@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/local_verify.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet written by graft.Verify plus oracle_sql.json,
+runs every oracle in DuckDB against the sf parquet tables, and compares:
+column names (sorted), row counts, and cell values (rows sorted, NaN-safe).
+"""
+import json, math, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append("\x01".join(norm_cell(r[i]) for i in order))
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "NO_OUTPUT"
+            continue
+        got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchall()
+        got_cols = [c[0] for c in con.description]
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY rows={len(got)}" + (" EMPTY!" if not got else "")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchall()
+            want_cols = [c[0] for c in con.description]
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        gc, gk = frame_key(got_cols, got)
+        wc, wk = frame_key(want_cols, want)
+        if gc != wc:
+            results[name] = f"SCHEMA_MISMATCH got={gc} want={wc}"
+        elif len(gk) != len(wk):
+            results[name] = f"ROWCOUNT got={len(gk)} want={len(wk)}"
+        elif gk != wk:
+            bad = next(i for i in range(len(gk)) if gk[i] != wk[i])
+            results[name] = (f"VALUE_MISMATCH first at sorted-row {bad}:\n"
+                             f"    got : {gk[bad][:300]}\n"
+                             f"    want: {wk[bad][:300]}")
+        else:
+            results[name] = f"OK rows={len(gk)}"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in results.items():
+        print(f"{'✓' if v.startswith('OK') else '✗' if 'ONLY' not in v else '~'} {k}: {v}")
+    print(f"\n{n_ok}/{len([k for k in results if k in oracles])} oracle-checked OK, "
+          f"{len(results)} total")
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,474 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.schema.{CatalogReader, SingerSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the scale extensions), each with a DuckDB-equivalent
+  * `oracleSql` where the semantics are ANSI-SQL-expressible.
+  * Non-SQL-expressible ops (MinHash/SimHash signatures, LSH ANN) get
+  * rows-only checks; their exact semantics are covered by ScalaTest. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Table loader. `events.ts` is nanosecond-precision parquet, which Spark
+    * only reads as long nanos (spark.sql.legacy.parquet.nanosAsLong, set in
+    * Verify/Bench sessions) — normalize it to a microsecond timestamp here
+    * (integer division: exact, no double rounding). */
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Catalog used by q01 to exercise JSON-Schema-driven read typing. */
+  private val eventsCatalogJson =
+    """{"streams": [{"stream": "events", "schema": {"type": "object",
+      |"properties": {
+      |  "event_id": {"type": ["integer", "null"]},
+      |  "ts": {"anyOf": [{"type": "string", "format": "date-time"}, {"type": "null"}]},
+      |  "user_id": {"type": ["string", "null"]},
+      |  "event_type": {"type": ["string", "null"]},
+      |  "value": {"type": ["number", "null"]},
+      |  "props": {"type": ["string", "null"]}}},
+      |"metadata": [{"breadcrumb": [], "metadata": {"table-key-properties": ["event_id"]}}]}]}
+      |""".stripMargin
+
+  /** Flagship pipeline on sf=0.001: synthesize a nested python-literal
+    * column → explode to rows → mapping DSL with a lookup pick.
+    * Avoids the events table (its ns timestamps need a session conf the
+    * driver's smoke session may not carry). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("line", concat(
+        lit("[{'seq': 1, 'status': '"), col("o_orderstatus"),
+        lit("'}, {'seq': 2, 'status': '"), col("o_orderstatus"), lit("'}]")))
+    val exploded = Explode.explodeJsonToRows(orders, "line")
+    val mapping =
+      """{"id": "o_orderkey", "seq": "line.seq", "status": "line.status",
+        |"customer_name": {"pick": {"objects": "customer",
+        |  "id_field": "c_custkey", "filter_ids": "rec.o_custkey",
+        |  "target_fields": "c_name"}}}""".stripMargin
+    Mapping.mapFields(exploded, mapping,
+      Map("customer" -> spark.read.parquet(s"$dir/customer.parquet")), project = true)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── §2.1 sources: catalog-typed read ─────────────────────────────
+    "q01_catalog_typed_read" -> ((s, dir) => {
+      val cat = CatalogReader.fromJson(eventsCatalogJson)("events")
+      val reader = new graft.sources.GsReader(s, dir)
+      val typed = reader.castToCatalog(T(s, dir, "events"), cat)
+      typed.select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+    // ── §2.3 projections: rename ─────────────────────────────────────
+    "q02_rename_project" -> ((s, dir) => {
+      Ops.rename(T(s, dir, "customer"),
+          Map("c_custkey" -> "id", "c_name" -> "name", "c_acctbal" -> "balance"))
+        .orderBy("id")
+    }),
+    // ── §2.6 explode object → columns ────────────────────────────────
+    "q03_explode_json_to_cols" -> ((s, dir) => {
+      Explode.explodeJsonToCols(T(s, dir, "events"), "props")
+        .select(col("event_id"), col("`props.k`"))
+        .orderBy("event_id")
+    }),
+    // ── §2.6 explode array-of-objects → rows (python-literal input) ──
+    "q04_explode_json_to_rows" -> ((s, dir) => {
+      val withLine = T(s, dir, "events").withColumn("line",
+        concat(lit("[{'n': 1, 'v': '"), col("event_type"),
+          lit("'}, {'n': 2, 'v': '"), col("event_type"), lit("'}]")))
+      Explode.explodeJsonToRows(withLine, "line")
+        .select(col("event_id"), col("`line.n`"), col("`line.v`"))
+        .orderBy(col("event_id"), col("`line.n`"))
+    }),
+    // ── §2.6 json tuple → cols ───────────────────────────────────────
+    "q05_json_tuple_to_cols" -> ((s, dir) => {
+      val withAttr = T(s, dir, "events").withColumn("attr",
+        concat(lit("{'Name': '"), col("event_type"),
+          lit("', 'Value': "), col("user_id"), lit("}")))
+      Explode.jsonTupleToCols(withAttr, "attr")
+        .select(col("event_id"), col("`attr.Name`"), col("`attr.Value`"))
+        .orderBy("event_id")
+    }),
+    // ── §2.6/2.7 compress rows → nested col (inverse explode) ────────
+    "q06_compress_rows_to_col" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"),
+          col("l_linenumber").as("line.l_linenumber"),
+          col("l_quantity").as("line.l_quantity"))
+      Explode.compressRowsToCol(li, "line", Seq("l_orderkey"))
+        .select(col("l_orderkey"), to_json(col("line")).as("line"))
+        .orderBy("l_orderkey")
+    }),
+    // ── §2.7 snapshot upsert (merge-by-pk, keep-last) ────────────────
+    "q07_snapshot_upsert" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"))
+      Snapshot.upsert(Some(snap), incoming, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // ── §2.7 hash CDC (drop_redundant) ───────────────────────────────
+    "q08_drop_redundant_cdc" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("gs_cdc_").toString
+      val store = new SnapshotStore(s, tmp)
+      val base = T(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      // prime the hash snapshot with the unmodified table
+      Snapshot.dropRedundant(store, "customer", base, Seq("c_custkey")).count()
+      val changed = base.withColumn("c_mktsegment",
+        when(col("c_mktsegment") === "BUILDING", "BUILDINGX").otherwise(col("c_mktsegment")))
+      Snapshot.dropRedundant(store, "customer", changed, Seq("c_custkey"), updatedFlag = true)
+        .select("c_custkey", "c_mktsegment", "_updated")
+        .orderBy("c_custkey")
+    }),
+    // ── §2.4 id backfill join (merge_id_from_snapshot) ───────────────
+    "q09_merge_id_from_snapshot" -> ((s, dir) => {
+      val df = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast(StringType).as("externalId"))
+      val ids = T(s, dir, "nation")
+        .select(col("n_nationkey").cast(StringType).as("InputId"),
+          (col("n_nationkey") + 1000).as("RemoteId"))
+      Snapshot.mergeIdFromSnapshot(df, ids, targetCol = "Id")
+        .select("c_custkey", "Id").orderBy("c_custkey")
+    }),
+    // ── §2.3 pluck_fields (filter + project) ─────────────────────────
+    "q10_pluck_fields" -> ((s, dir) => {
+      val ids = (1 to 200 by 7).map(_.asInstanceOf[Any])
+      Ops.pluckFields(T(s, dir, "part"), "p_partkey", ids,
+          Seq("p_partkey", "p_name", "p_brand"))
+        .orderBy("p_partkey")
+    }),
+    // ── §2.5 mapping DSL with "pick" lookup join ─────────────────────
+    "q11_map_fields_pick" -> ((s, dir) => {
+      val mapping =
+        """{"id": "c_custkey", "name": "c_name",
+          |"nation_name": {"pick": {"objects": "nation",
+          |  "id_field": "n_nationkey", "filter_ids": "rec.c_nationkey",
+          |  "target_fields": "n_name"}}}""".stripMargin
+      Mapping.mapFields(T(s, dir, "customer"), mapping,
+          Map("nation" -> T(s, dir, "nation")), project = true)
+        .orderBy("id")
+    }),
+    // ── §2.5 process_custom_fields ───────────────────────────────────
+    "q12_custom_fields" -> ((s, dir) => {
+      Ops.processCustomFields(T(s, dir, "part"), Seq("p_brand", "p_type"), "cf")
+        .select(col("p_partkey"), to_json(col("cf")).as("cf"))
+        .orderBy("p_partkey")
+    }),
+    // ── §2.7 row hash (MD5, sorted cols, canonical strings) ──────────
+    "q13_row_hash" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      c.select(col("c_custkey"),
+          Snapshot.rowHash(c, Seq("c_name", "c_mktsegment")).as("hash"))
+        .orderBy("c_custkey")
+    }),
+    // ── §2.9 datetime canonicalization (ISO-8601 micros + Z) ─────────
+    "q14_localize_datetime" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("iso"))
+        .orderBy("event_id")
+    }),
+    // ── §1.4 schema inference → Singer types ─────────────────────────
+    "q15_singer_schema_gen" -> ((s, dir) => {
+      val schema = T(s, dir, "lineitem").schema
+      val rows = schema.fields.toSeq.map { f =>
+        val prop = SingerSchema.dataTypeToProperty(f.dataType)
+        val tpe = prop.get("type").get(0).asText()
+        val fmt = Option(prop.get("format")).map(_.asText()).getOrElse("")
+        (f.name, tpe, fmt)
+      }
+      import s.implicits._
+      rows.toDF("column_name", "singer_type", "format").orderBy("column_name")
+    }),
+    // ── analytics: aggregation (TPC-H Q1 shape) ──────────────────────
+    "q16_tpch_q1" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // ── analytics: multi-join + agg + deterministic top-k ────────────
+    "q17_join_agg_revenue" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // ── analytics: window top-k per group ────────────────────────────
+    "q18_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      T(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+        .orderBy("l_orderkey", "rn")
+    }),
+    // ── scale: exact dedup ───────────────────────────────────────────
+    "q20_dedup_exact" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val dupes = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.exactDedup(d.unionByName(dupes), Seq("text"), "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // ── scale: token counting ────────────────────────────────────────
+    "q21_token_stats" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).as("chars"),
+          TextAnalysis.tokenCount(col("text")).as("tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+    // ── scale: quality scoring ───────────────────────────────────────
+    "q22_quality_score" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // ── scale: language id ───────────────────────────────────────────
+    "q23_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // ── scale: document fingerprint ──────────────────────────────────
+    "q24_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // ── scale: MinHash near-dup pairs (rows-only check) ──────────────
+    "q25_minhash_neardup" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.minhashNearDupPairs(d.unionByName(mutated), "doc_id", "text",
+          shingleSize = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // ── scale: SimHash signatures + near-dup (rows-only check) ───────
+    "q26_simhash_neardup" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val dupes = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.simhashNearDupPairs(d.unionByName(dupes), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // ── scale: brute-force ANN (exact top-k cosine) ──────────────────
+    "q27_ann_bruteforce" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+    // ── scale: LSH-bucketed ANN (rows-only check) ────────────────────
+    "q28_ann_lsh" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 5, planes = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+    // ── scale: embedding vector math ─────────────────────────────────
+    "q29_embedding_stats" -> ((s, dir) => {
+      T(s, dir, "embeddings").select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(Similarity.norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy("vec_id")
+    }),
+    // ── §2.2 singer sink record serialization ────────────────────────
+    "q30_singer_records" -> ((s, dir) => {
+      val ev = T(s, dir, "events").filter(col("event_id") < 100)
+        .select("event_id", "event_type", "value")
+      ev.select(col("event_id"),
+          graft.singer.SingerWriter.recordLine(ev, "events").as("line"))
+        .orderBy("event_id")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_catalog_typed_read" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q02_rename_project" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance
+        |FROM customer ORDER BY id""".stripMargin,
+    "q03_explode_json_to_cols" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS "props.k"
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q04_explode_json_to_rows" ->
+      """SELECT event_id, n AS "line.n", event_type AS "line.v"
+        |FROM events CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) t(n)
+        |ORDER BY event_id, n""".stripMargin,
+    "q05_json_tuple_to_cols" ->
+      """SELECT event_id, event_type AS "attr.Name",
+        |CAST(user_id AS VARCHAR) AS "attr.Value"
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q06_compress_rows_to_col" ->
+      """SELECT l_orderkey, '[' || string_agg(
+        |  CAST(json_object('l_linenumber', l_linenumber,
+        |                   'l_quantity', l_quantity) AS VARCHAR),
+        |  ',' ORDER BY l_linenumber, l_quantity) || ']' AS line
+        |FROM lineitem WHERE l_orderkey < 100
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q07_snapshot_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+        |inc AS (
+        |  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM inc
+        |UNION ALL
+        |SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_drop_redundant_cdc" ->
+      """SELECT c_custkey, 'BUILDINGX' AS c_mktsegment, true AS _updated
+        |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q09_merge_id_from_snapshot" ->
+      """SELECT c_custkey, n_nationkey + 1000 AS "Id"
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_pluck_fields" ->
+      ("""SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey IN (""" +
+        (1 to 200 by 7).mkString(", ") + ") ORDER BY p_partkey"),
+    "q11_map_fields_pick" ->
+      """SELECT c_custkey AS id, c_name AS name, n_name AS nation_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY id""".stripMargin,
+    "q12_custom_fields" ->
+      """SELECT p_partkey, CAST(json_array(
+        |  json_object('name', 'p_brand', 'value', p_brand),
+        |  json_object('name', 'p_type', 'value', p_type)) AS VARCHAR) AS cf
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q13_row_hash" ->
+      """SELECT c_custkey, md5(c_mktsegment || c_name) AS hash
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q14_localize_datetime" ->
+      """SELECT event_id,
+        |strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS iso
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_singer_schema_gen" -> {
+      val rows = Seq(
+        ("l_orderkey", "integer", ""), ("l_partkey", "integer", ""),
+        ("l_suppkey", "integer", ""), ("l_linenumber", "integer", ""),
+        ("l_quantity", "number", ""), ("l_extendedprice", "number", ""),
+        ("l_discount", "number", ""), ("l_tax", "number", ""),
+        ("l_returnflag", "string", ""), ("l_linestatus", "string", ""),
+        ("l_shipdate", "string", "date-time"))
+      rows.map { case (c, t, f) =>
+        s"SELECT '$c' AS column_name, '$t' AS singer_type, '$f' AS format"
+      }.mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+    "q16_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q17_join_agg_revenue" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q18_window_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |FROM lineitem WHERE l_orderkey < 1000
+        |QUALIFY rn <= 2 ORDER BY l_orderkey, rn""".stripMargin,
+    "q20_dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id FROM u GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q21_token_stats" ->
+      """SELECT doc_id, length(text) AS chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_quality_score" ->
+      """SELECT doc_id, round(
+        |  least(length(text) / 500.0, 1.0) * 0.25 +
+        |  (CASE WHEN length(text) > 0 THEN
+        |     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+        |   ELSE 0.0 END) * 0.25 +
+        |  (1.0 - least((CASE WHEN length(text) > 0 THEN
+        |     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+        |   ELSE 0.0 END) * 10.0, 1.0)) * 0.25 +
+        |  least((CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 THEN
+        |     len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) * 1.0
+        |       / len(string_split_regex(trim(text), '\s+'))
+        |   ELSE 0.0 END) * 4.0, 1.0) * 0.25, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_lang_id" -> {
+      val langs = TextAnalysis.markerLexicon.keys.toSeq.sorted
+      val scores = langs.map { l =>
+        val pat = "(?i)\\b(" + TextAnalysis.markerLexicon(l).mkString("|") + ")\\b"
+        s"len(regexp_extract_all(text, '$pat')) AS s_$l"
+      }.mkString(", ")
+      val greatest = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseChain = langs.map(l => s"WHEN s_$l = $greatest THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
+         |SELECT doc_id, lang, $caseChain AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q24_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(
+        |  regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+        |  '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_ann_bruteforce" ->
+      """SELECT q.vec_id AS query_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank,
+        |  c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q29_embedding_stats" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q30_singer_records" ->
+      """SELECT event_id,
+        |  '{"type": "RECORD", "stream": "events", "record": ' ||
+        |  CAST(json_object('event_id', event_id, 'event_type', event_type,
+        |    'value', value) AS VARCHAR) || '}' AS line
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin)
 }

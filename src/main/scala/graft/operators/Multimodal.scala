@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media are opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract / resize / frame-sample run as `mapPartitions` stages
+  * (the Scala analogue of Pandas-UDF-over-mapInPandas: per-partition batch
+  * processing with an explicit output schema, so Spark plans them as a
+  * single narrow stage — no shuffle, no driver round-trip).
+  *
+  * The codec layer is STUBBED — the container has no image/audio libs — as
+  * `DeterministicFakeCodec`, which derives plausible metadata from the raw
+  * bytes deterministically. The Spark-side contract (schemas, batching,
+  * partition sizing, null handling) is real and tested; swapping in a real
+  * codec is replacing one pure function.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("codec", StringType)))
+
+  /** A media table schema: id + opaque payload + typed metadata. */
+  def mediaSchema(idType: DataType = LongType): StructType = StructType(Seq(
+    StructField("media_id", idType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** The stub codec: everything derived deterministically from payload
+    * bytes, so tests are stable. A real build replaces these bodies with
+    * actual decoders (??? marks the genuine decode steps). */
+  object DeterministicFakeCodec {
+    def sniffMime(payload: Array[Byte]): String =
+      if (payload == null || payload.isEmpty) "application/octet-stream"
+      else payload(0) & 0x3 match {
+        case 0 => "image/jpeg"
+        case 1 => "image/png"
+        case 2 => "audio/wav"
+        case _ => "video/mp4"
+      }
+
+    /** REAL IMPL WOULD: decode the image header. Stub: dimensions from a
+      * byte hash (decode step intentionally not implemented: ???). */
+    def probeDimensions(payload: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(payload)
+      (64 + math.abs(h % 1024), 64 + math.abs((h / 1024) % 1024))
+    }
+
+    /** REAL IMPL WOULD: resample pixels. Stub: truncate/pad bytes to a
+      * deterministic size proportional to the target area. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(16, (w * h) / 64)
+      java.util.Arrays.copyOf(payload, target)
+    }
+
+    /** REAL IMPL WOULD: decode frames at `everyMs` intervals. Stub: slice
+      * the payload into frame-sized chunks. */
+    def sampleFrames(payload: Array[Byte], everyMs: Long, durationMs: Long): Seq[Array[Byte]] = {
+      val n = math.max(1, (durationMs / math.max(1, everyMs)).toInt).min(16)
+      val sz = math.max(1, payload.length / n)
+      (0 until n).map(i => java.util.Arrays.copyOfRange(
+        payload, i * sz, math.min(payload.length, (i + 1) * sz)))
+    }
+
+    /** REAL IMPL WOULD: run a vision/audio encoder. Stub: a deterministic
+      * 16-dim feature vector from byte statistics. */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](16)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          out(i % 16) += (payload(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        val n = math.max(1, payload.length / 16)
+        (0 until 16).foreach(j => out(j) /= n.toFloat)
+      }
+      out
+    }
+  }
+
+  /** Decode pass: fill the `meta` struct from the payload. Batched per
+    * partition; payload column stays opaque (never shuffled wider than
+    * needed — project before calling at scale). */
+  def decodeMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("decoded_meta", mediaMetaType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val (w, h) = DeterministicFakeCodec.probeDimensions(payload)
+        val meta = Row(DeterministicFakeCodec.sniffMime(payload), w, h,
+          if (payload == null) 0L else payload.length.toLong, "stub")
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Feature-extraction pass → `features: array<float>` column. */
+  def extractFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(r.toSeq :+ DeterministicFakeCodec.features(payload).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Resize pass (image semantics): payload → resized payload. */
+  def resize(df: DataFrame, w: Int, h: Int, payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val resized = if (payload == null) null
+          else DeterministicFakeCodec.resize(payload, w, h)
+        Row.fromSeq(r.toSeq.updated(idx, resized))
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling pass (video semantics): one output row per sampled
+    * frame — a flatMap, so downstream stages parallelize over frames. */
+  def sampleFrames(df: DataFrame, everyMs: Long,
+      payloadCol: String = "payload", metaCol: String = "meta"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val mIdx = df.schema.fieldIndex(metaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.get(pIdx).asInstanceOf[Array[Byte]]
+        if (payload == null) Iterator.empty
+        else {
+          val meta = r.getStruct(mIdx)
+          val dur = if (meta == null || meta.isNullAt(3)) payload.length.toLong else meta.getLong(3)
+          DeterministicFakeCodec.sampleFrames(payload, everyMs, dur).iterator
+            .zipWithIndex.map { case (f, i) => Row.fromSeq(r.toSeq ++ Seq(i, f)) }
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthesize a deterministic media table from any keyed frame (for tests
+    * and benches: payload bytes derived from the id). */
+  def synthesize(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("media_id"),
+      // payload: repeatable pseudo-bytes from the id
+      unhex(repeat(substring(md5(col(idCol).cast(StringType)), 1, 16), 8)).as("payload"))
+      .withColumn("meta", lit(null).cast(mediaMetaType))
+}

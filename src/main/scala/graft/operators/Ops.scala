@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / reshape operators.
+  * Reference: gluestick/pandas_utils.py:74-113, etl_utils.py:1042-1177. */
+object Ops {
+
+  private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** list → column subset; map → select(keys ∩ columns) + rename.
+    * Reference rename (pandas_utils.py:74-113). */
+  def rename(df: DataFrame, targets: Seq[String]): DataFrame = {
+    val present = targets.filter(df.columns.contains)
+    df.select(present.map(c => col(quoted(c))): _*)
+  }
+
+  def rename(df: DataFrame, mapping: Map[String, String]): DataFrame = {
+    val present = df.columns.filter(mapping.contains)
+    df.select(present.toIndexedSeq.map(c => col(quoted(c)).as(mapping(c))): _*)
+  }
+
+  /** Filter rows whose `idField` ∈ `filterIds` (plus optional partition
+    * equality), project `targetFields`. Reference pluck_fields
+    * (etl_utils.py:1042-1141). With a large id set, pass `idsDf` instead —
+    * becomes a semi-join rather than a giant IN-list literal. */
+  def pluckFields(
+      df: DataFrame,
+      idField: String,
+      filterIds: Seq[Any],
+      targetFields: Seq[String],
+      partitionKey: Option[(String, Any)] = None): DataFrame = {
+    val base = partitionKey match {
+      case Some((k, v)) => df.filter(col(quoted(k)) === lit(v))
+      case None         => df
+    }
+    base.filter(col(quoted(idField)).isin(filterIds: _*))
+      .select(targetFields.map(c => col(quoted(c))): _*)
+  }
+
+  def pluckFieldsJoin(
+      df: DataFrame,
+      idField: String,
+      idsDf: DataFrame,
+      targetFields: Seq[String]): DataFrame =
+    df.join(broadcast(idsDf.toDF(idField).distinct()), Seq(idField), "left_semi")
+      .select(targetFields.map(c => col(quoted(c))): _*)
+
+  /** Keep only columns matching a regex; optionally reshape to an array of
+    * `{name, value}` structs ("custom fields" form). Reference
+    * pluck_fields_by_regex (etl_utils.py:1161-1177). */
+  def pluckFieldsByRegex(
+      df: DataFrame,
+      regex: String,
+      returnAsCf: Boolean = false,
+      cfColumn: String = "custom_fields"): DataFrame = {
+    val re = regex.r
+    val matched = df.columns.filter(c => re.findFirstIn(c).isDefined).toIndexedSeq
+    if (!returnAsCf) df.select(matched.map(c => col(quoted(c))): _*)
+    else df.withColumn(cfColumn, customFieldsArray(matched))
+      .select(col(cfColumn))
+  }
+
+  /** Columns → `[{name, value}]` array, null values dropped.
+    * Reference process_custom_fields (etl_utils.py:1143-1159). Pure
+    * higher-order functions — codegen'd, no UDF. */
+  def customFieldsArray(cols: Seq[String]): Column =
+    filter(
+      array(cols.map(c =>
+        struct(lit(c).as("name"), col(quoted(c)).cast("string").as("value"))): _*),
+      x => x.getField("value").isNotNull)
+
+  def processCustomFields(df: DataFrame, cols: Seq[String], outCol: String = "custom_fields"): DataFrame =
+    df.withColumn(outCol, customFieldsArray(cols.toIndexedSeq))
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.functions.PyStr
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-run state: snapshot parquet datasets with a crash-safe
+  * lock-rename commit protocol.
+  *
+  * Reference: gluestick/etl_utils.py:152-191 + snapshot_lock.py. The
+  * reference writes one whole file; at 100 TB a snapshot must be a
+  * partitioned dataset, so here a snapshot is a *directory* of parquet,
+  * committed by directory rename (write `.tmp`, swap via `.lock`), keeping
+  * the same `.hg.partial_written.lock` suffix protocol so an orchestrator
+  * can detect a torn write.
+  */
+class SnapshotStore(spark: SparkSession, dir: String) {
+  private val fs: FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def path(name: String): Path = new Path(dir, s"$name.snapshot.parquet")
+  private def lockPath(name: String): Path =
+    new Path(dir, s"$name.snapshot.parquet.hg.partial_written.lock")
+
+  def exists(name: String): Boolean = fs.exists(path(name))
+
+  def read(name: String): Option[DataFrame] = {
+    // Recover from a torn write: if only the lock survives, restore it.
+    if (!fs.exists(path(name)) && fs.exists(lockPath(name)))
+      fs.rename(lockPath(name), path(name))
+    if (fs.exists(path(name))) Some(spark.read.parquet(path(name).toString))
+    else None
+  }
+
+  /** Atomic replace: write tmp → rename current to lock → rename tmp to
+    * current → drop lock. Readers never observe a partial dataset. */
+  def write(name: String, df: DataFrame, partitions: Option[Int] = None): Unit = {
+    fs.mkdirs(new Path(dir))
+    val tmp = new Path(dir, s".${name}.snapshot.tmp-${java.util.UUID.randomUUID()}")
+    val target = partitions.map(df.repartition(_)).getOrElse(df)
+    target.write.mode("overwrite")
+      .option("compression", "zstd") // reference uses zstd for all parquet
+      .parquet(tmp.toString)
+    val cur = path(name)
+    val lock = lockPath(name)
+    if (fs.exists(lock)) fs.delete(lock, true)
+    if (fs.exists(cur)) fs.rename(cur, lock)
+    fs.rename(tmp, cur)
+    if (fs.exists(lock)) fs.delete(lock, true)
+  }
+}
+
+/** Incremental-state operators: snapshot upsert, row-hash CDC, id backfill.
+  * Reference: gluestick/etl_utils.py:193-367, 855-922. */
+object Snapshot {
+
+  /** Ordering column giving "arrival order" within this batch — the
+    * reference's keep="last" depends on frame row order (etl_utils.py:253);
+    * Spark needs it explicit. */
+  private val arrival = "__gs_arrival"
+
+  /** Merge-by-PK upsert: rows in `incoming` replace snapshot rows with the
+    * same key; within `incoming`, the last occurrence wins.
+    *
+    * Equivalent formulations in the reference: pandas concat +
+    * drop_duplicates(keep="last") (etl_utils.py:236-253) and the Polars
+    * anti-join + diagonal concat (pl_reader.py:145-152). We use the
+    * window formulation over a priority column: one shuffle by pk, schema-
+    * evolving via unionByName(allowMissingColumns) — the Spark analogue of
+    * `diagonal_relaxed`. At scale the shuffle partitions by pk, so this is
+    * the standard merge-on-read pattern (no driver materialization).
+    */
+  def upsert(snapshot: Option[DataFrame], incoming: DataFrame, pk: Seq[String]): DataFrame = {
+    snapshot match {
+      case None => dedupKeepLast(incoming, pk)
+      case Some(snap) =>
+        val s = alignTypes(snap, incoming)
+          .withColumn("__gs_src", lit(0)).withColumn(arrival, lit(0L))
+        val n = incoming
+          .withColumn("__gs_src", lit(1))
+          .withColumn(arrival, monotonically_increasing_id())
+        val all = s.unionByName(n, allowMissingColumns = true)
+        val w = Window.partitionBy(pk.map(col): _*)
+          .orderBy(col("__gs_src").desc, col(arrival).desc)
+        all.withColumn("__gs_rn", row_number().over(w))
+          .filter(col("__gs_rn") === 1)
+          .drop("__gs_src", arrival, "__gs_rn")
+    }
+  }
+
+  /** keep="last" dedup within one frame (arrival order). */
+  def dedupKeepLast(df: DataFrame, pk: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col(arrival).desc)
+    df.withColumn(arrival, monotonically_increasing_id())
+      .withColumn("__gs_rn", row_number().over(w))
+      .filter(col("__gs_rn") === 1)
+      .drop(arrival, "__gs_rn")
+  }
+
+  /** Coerce snapshot columns to incoming dtypes before union — the
+    * reference casts the snapshot to the incoming frame's types and raises
+    * naming the failing column (etl_utils.py:238-251); we try_cast (bad
+    * cells null) to keep the operator total. */
+  private def alignTypes(snap: DataFrame, incoming: DataFrame): DataFrame = {
+    val want = incoming.schema.map(f => f.name -> f.dataType).toMap
+    val cols = snap.columns.map { c =>
+      want.get(c) match {
+        case Some(dt) if dt != snap.schema(c).dataType => col(c).try_cast(dt).as(c)
+        case _ => col(c)
+      }
+    }
+    snap.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Full snapshot_records lifecycle: read → merge → persist → return.
+    * `justNew=true` returns only this batch's rows (but still persists the
+    * merge); `overwrite=true` replaces the snapshot with `incoming`. */
+  def snapshotRecords(
+      store: SnapshotStore,
+      name: String,
+      incoming: DataFrame,
+      pk: Seq[String],
+      justNew: Boolean = false,
+      overwrite: Boolean = false): DataFrame = {
+    val merged =
+      if (overwrite) dedupKeepLast(incoming, pk)
+      else upsert(store.read(name), incoming, pk)
+    // The merged plan is read again after write; cache to avoid recompute,
+    // and to not re-read the snapshot we are about to replace.
+    val out = merged.cache()
+    out.count()
+    store.write(name, out)
+    if (justNew) incoming else out
+  }
+
+  /** Row-hash change-data-capture: keep only rows whose MD5 content hash is
+    * absent from the hash snapshot; optionally flag rows whose pk existed
+    * before (updates vs inserts). Persists the refreshed `pk+hash` snapshot.
+    * Reference drop_redundant: etl_utils.py:299-367.
+    *
+    * Scale note: the comparison is a pk+hash left-anti join — shuffles only
+    * (pk, hash) pairs, never full rows, so the CDC cost is bounded by key
+    * width not row width.
+    */
+  def dropRedundant(
+      store: SnapshotStore,
+      name: String,
+      df: DataFrame,
+      pk: Seq[String],
+      updatedFlag: Boolean = false): DataFrame = {
+    val hashed = df.withColumn("hash", rowHash(df, df.columns.filterNot(pk.contains).toSeq))
+    val hashName = s"$name.hash"
+    val prior = store.read(hashName)
+    val fresh = prior match {
+      case None => hashed
+      case Some(ph) =>
+        hashed.join(ph.select((pk :+ "hash").map(col): _*), (pk :+ "hash"), "left_anti")
+    }
+    val flagged = (prior, updatedFlag) match {
+      case (Some(ph), true) =>
+        val priorKeys = ph.select(pk.map(col): _*).distinct()
+          .withColumn("__gs_existed", lit(true))
+        fresh.join(priorKeys, pk, "left")
+          .withColumn("_updated", coalesce(col("__gs_existed"), lit(false)))
+          .drop("__gs_existed")
+      case (None, true) => fresh.withColumn("_updated", lit(false))
+      case _            => fresh
+    }
+    val out = flagged.cache(); out.count()
+    // refresh hash snapshot with this batch's hashes (upsert by pk)
+    val newHashes = hashed.select((pk :+ "hash").map(col): _*)
+    store.write(hashName, upsert(prior.map(_.select((pk :+ "hash").map(col): _*)), newHashes, pk))
+    out.drop("hash")
+  }
+
+  /** MD5 row hash with reference-parity string assembly (sorted column
+    * order, Python str() forms, null/NaN skipped) — etl_utils.py:272-296. */
+  def rowHash(df: DataFrame, cols: Seq[String]): Column = PyStr.rowHash(df, cols)
+
+  /** Backfill remote ids: left join `ids` snapshot (keep-last per InputId)
+    * on `externalIdCol == InputId`, adding `RemoteId` as `targetCol`.
+    * Reference merge_id_from_snapshot: etl_utils.py:855-922.
+    * The ids side is a deduped two-column frame → broadcast-able. */
+  def mergeIdFromSnapshot(
+      df: DataFrame,
+      ids: DataFrame,
+      externalIdCol: String = "externalId",
+      inputIdCol: String = "InputId",
+      remoteIdCol: String = "RemoteId",
+      targetCol: String = "Id"): DataFrame = {
+    val lookup = dedupKeepLast(
+      ids.select(col(inputIdCol), col(remoteIdCol)), Seq(inputIdCol))
+      .withColumnRenamed(remoteIdCol, targetCol)
+    df.join(broadcast(lookup), df(externalIdCol) === lookup(inputIdCol), "left")
+      .drop(lookup(inputIdCol))
+  }
+}

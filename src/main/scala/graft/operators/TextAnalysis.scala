@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * codegen'd expressions over a string column — embarrassingly parallel,
+  * no shuffle at all, so they stream at scan speed at any data size. */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: words, numbers, and punctuation runs counted
+    * separately (a cheap stand-in for a real tokenizer's token count). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** n-gram-heuristic language ID over a small marker lexicon per language.
+    * Scores = count of marker-word hits; prediction = argmax (ties broken
+    * by language code order). Returns a struct {lang, score}. */
+  val markerLexicon: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "dans", "que", "pour", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3", "you3", "he2"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val pattern = "(?i)\\b(" + markerLexicon(lang).mkString("|") + ")\\b"
+    regexp_count(text, lit(pattern))
+  }
+
+  def langId(text: Column): Column = {
+    val langs = markerLexicon.keys.toSeq.sorted
+    val scored = array(langs.map(l =>
+      struct(langScore(text, l).as("score"), lit(l).as("lang"))): _*)
+    // argmax: sort by (-score, lang) and take the head
+    val best = element_at(array_sort(scored,
+      (a, b) => when(a.getField("score") > b.getField("score"), -1)
+        .when(a.getField("score") < b.getField("score"), 1)
+        .when(a.getField("lang") < b.getField("lang"), -1)
+        .when(a.getField("lang") > b.getField("lang"), 1)
+        .otherwise(0)), 1)
+    best.getField("lang")
+  }
+
+  /** Heuristic quality score in [0, 1]: blends length band, alpha ratio,
+    * punctuation ratio, stopword presence, and mean word length band. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast(DoubleType)
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType)
+    val stop = regexp_count(text, lit("(?i)\\b(the|and|of|to|a|in|is|it)\\b")).cast(DoubleType)
+    val toks = tokenCount(text).cast(DoubleType)
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val alphaRatio = when(n > 0, alpha / n).otherwise(0.0)
+    val punctPenalty = lit(1.0) - least(when(n > 0, punct / n).otherwise(0.0) * 10.0, lit(1.0))
+    val stopScore = least(when(toks > 0, stop / toks).otherwise(0.0) * 4.0, lit(1.0))
+    round(lenScore * 0.25 + alphaRatio * 0.25 + punctPenalty * 0.25 + stopScore * 0.25, 6)
+  }
+
+  /** Canonical content fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, MD5. Robust to formatting-only edits. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+", " "))
+
+  /** Rolling-hash k-gram fingerprint set (winnowing-lite): hashes of all
+    * word k-grams, keeping the per-window minimum (window = `window`
+    * consecutive k-grams). Output: array<long> per row. */
+  def winnowedFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val grams = Dedup.shingles(text, k)
+    val hashes = transform(grams, g => xxhash64(g))
+    val nWin = greatest(size(hashes) - (window - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), nWin - 1),
+      i => array_min(slice(hashes, i + 1, lit(window)))))
+  }
+
+  /** All analysis columns at once over a documents frame. */
+  def analyze(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("token_count", tokenCount(col(textCol)))
+      .withColumn("bpeish_tokens", bpeishTokenCount(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

@@ -1,0 +1,194 @@
+package graft.schema
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Singer/JSON-Schema ⇄ Spark StructType bridge.
+  *
+  * Reimplements, Spark-natively, the catalog-typing semantics of the
+  * reference (gluestick/reader.py:232-279 and gluestick/singer.py:333-380):
+  * each property is a type union with "null" (nullable-by-default);
+  * `anyOf` collapses to the variant carrying a `format`, else to the union
+  * of member types; a multi-type union degrades to string.
+  */
+object SingerSchema {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): JsonNode = mapper.readTree(json)
+
+  /** Collapse an `anyOf` list: prefer the variant with a `format` key
+    * (reference singer.py:366-380); else merge the member `type`s. */
+  private def collapseAnyOf(node: JsonNode): JsonNode = {
+    val variants = node.get("anyOf").elements().asScala.toSeq
+    variants.find(v => v.has("format")) match {
+      case Some(v) => v
+      case None =>
+        val types = variants.flatMap(typeNames).filterNot(_ == "null").distinct
+        val o = mapper.createObjectNode()
+        if (types.size == 1) o.put("type", types.head)
+        else o.put("type", "string") // multi-type union → string (reader.py:268)
+        o
+    }
+  }
+
+  private def typeNames(node: JsonNode): Seq[String] = {
+    val t = node.get("type")
+    if (t == null) Seq.empty
+    else if (t.isArray) t.elements().asScala.map(_.asText()).toSeq
+    else Seq(t.asText())
+  }
+
+  /** One JSON-Schema property node → Spark DataType. */
+  def propertyToDataType(node0: JsonNode): DataType = {
+    val node = if (node0.has("anyOf")) collapseAnyOf(node0) else node0
+    val types = typeNames(node).filterNot(_ == "null")
+    val fmt = Option(node.get("format")).map(_.asText())
+    types match {
+      case Seq("string") =>
+        fmt match {
+          case Some("date-time") => TimestampType
+          case Some("date")      => DateType
+          case _                 => StringType // incl. "time": no TimeType → string
+        }
+      case Seq("integer") => LongType
+      case Seq("number")  => DoubleType
+      case Seq("boolean") => BooleanType
+      case Seq("object") =>
+        val props = node.get("properties")
+        if (props == null || !props.fieldNames().hasNext)
+          MapType(StringType, StringType) // open object
+        else toStructType(node)
+      case Seq("array") =>
+        val items = node.get("items")
+        if (items == null) ArrayType(StringType)
+        else ArrayType(propertyToDataType(items))
+      case _ => StringType // multi-type / unknown → string
+    }
+  }
+
+  /** JSON-Schema `{"type":"object","properties":{…}}` → StructType.
+    * All fields nullable (Singer unions every type with "null"). */
+  def toStructType(schema: JsonNode): StructType = {
+    val props = schema.get("properties")
+    if (props == null) return StructType(Nil)
+    val fields = props.properties().asScala.toSeq.map { e =>
+      StructField(e.getKey, propertyToDataType(e.getValue), nullable = true)
+    }
+    StructType(fields)
+  }
+
+  def toStructType(json: String): StructType = toStructType(parse(json))
+
+  /** Spark DataType → Singer JSON-Schema node (nullable union).
+    * Mirrors reference type emission (singer.py:117-177, 589-596). */
+  def dataTypeToProperty(dt: DataType): ObjectNode = {
+    val o = mapper.createObjectNode()
+    def typed(t: String): ObjectNode = {
+      val arr = o.putArray("type"); arr.add(t); arr.add("null"); o
+    }
+    dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        typed("integer")
+      case _: FloatType | _: DoubleType | _: DecimalType => typed("number")
+      case _: BooleanType                                => typed("boolean")
+      case _: TimestampType | _: TimestampNTZType =>
+        typed("string"); o.put("format", "date-time"); o
+      case _: DateType =>
+        typed("string"); o.put("format", "date"); o
+      case ArrayType(et, _) =>
+        typed("array"); o.set[ObjectNode]("items", dataTypeToProperty(et)); o
+      case st: StructType =>
+        typed("object")
+        val props = mapper.createObjectNode()
+        st.fields.foreach(f => props.set[ObjectNode](f.name, dataTypeToProperty(f.dataType)))
+        o.set[ObjectNode]("properties", props); o
+      case MapType(_, _, _) => typed("object")
+      case _: BinaryType    => typed("string")
+      case _                => typed("string")
+    }
+  }
+
+  /** Full Singer SCHEMA payload for a DataFrame schema. */
+  def fromStructType(st: StructType): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("type", "object")
+    val props = mapper.createObjectNode()
+    st.fields.foreach(f => props.set[ObjectNode](f.name, dataTypeToProperty(f.dataType)))
+    o.set[ObjectNode]("properties", props)
+    o
+  }
+
+  def fromStructTypeJson(st: StructType): String =
+    mapper.writeValueAsString(fromStructType(st))
+
+  /** Parse a `key_properties` value from parquet key-value metadata.
+    * Accepts JSON `["id"]` and Python-literal `['id']` forms — the
+    * reference uses eval() (reader.py:136); we parse, never eval. */
+  def parseKeyProperties(raw: String): Seq[String] = {
+    val trimmed = raw.trim
+    val jsonish = trimmed.replace('\'', '"')
+    try {
+      val node = mapper.readTree(jsonish)
+      if (node.isArray) node.elements().asScala.map(_.asText()).toSeq
+      else Seq(node.asText())
+    } catch {
+      case _: Exception =>
+        trimmed.stripPrefix("[").stripSuffix("]").split(",").toSeq
+          .map(_.trim.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+  }
+}
+
+/** Singer `catalog.json` loader: `{streams:[{stream, tap_stream_id, schema,
+  * metadata}]}` → per-stream StructType + key properties.
+  * Reference: gluestick/reader.py:192-279. */
+object CatalogReader {
+  import SingerSchema._
+
+  final case class StreamCatalog(
+      name: String,
+      schema: StructType,
+      keyProperties: Seq[String],
+      /** names of properties declared `format: date-time` (re-coerced with
+        * null-on-error semantics on CSV read — reader.py:110-114) */
+      dateFields: Seq[String])
+
+  def load(path: String): Map[String, StreamCatalog] =
+    fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  def fromJson(json: String): Map[String, StreamCatalog] = {
+    val root = parse(json)
+    val streams = Option(root.get("streams")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    streams.flatMap { s =>
+      val name = Seq("stream", "tap_stream_id").view
+        .flatMap(k => Option(s.get(k)).map(_.asText())).headOption
+      name.map { n =>
+        val schemaNode = s.get("schema")
+        val st = if (schemaNode == null) StructType(Nil) else toStructType(schemaNode)
+        val dateFields = Option(schemaNode).map(_.get("properties")).filter(_ != null)
+          .map(_.properties().asScala.toSeq.collect {
+            case e if isDateTime(e.getValue) => e.getKey
+          }).getOrElse(Nil)
+        val pk = Option(s.get("metadata")).toSeq
+          .flatMap(_.elements().asScala)
+          .filter { m =>
+            val bc = m.get("breadcrumb")
+            bc == null || !bc.elements().hasNext
+          }
+          .flatMap(m => Option(m.get("metadata")))
+          .flatMap(m => Option(m.get("table-key-properties")))
+          .flatMap(_.elements().asScala.map(_.asText()))
+        n -> StreamCatalog(n, st, pk, dateFields)
+      }
+    }.toMap
+  }
+
+  private def isDateTime(node: JsonNode): Boolean = {
+    def fmt(n: JsonNode) = Option(n.get("format")).exists(_.asText() == "date-time")
+    fmt(node) || Option(node.get("anyOf")).exists(_.elements().asScala.exists(fmt))
+  }
+}
