@@ -111,10 +111,11 @@ object SingerSchema {
     }
   }
 
-  /** Full Singer SCHEMA payload for a DataFrame schema. */
+  /** Full Singer SCHEMA payload for a DataFrame schema (root is a
+    * nullable union, matching the reference's emitted header). */
   def fromStructType(st: StructType): ObjectNode = {
     val o = mapper.createObjectNode()
-    o.put("type", "object")
+    val rootType = o.putArray("type"); rootType.add("object"); rootType.add("null")
     val props = mapper.createObjectNode()
     st.fields.foreach(f => props.set[ObjectNode](f.name, dataTypeToProperty(f.dataType)))
     o.set[ObjectNode]("properties", props)

@@ -70,10 +70,15 @@ object SingerWriter {
   def stateMessage(value: String = "{}"): String =
     s"""{"type": "STATE", "value": $value}"""
 
-  /** A Column holding the full RECORD line for each row. */
+  /** A Column holding the full RECORD line for each row. Float columns
+    * promote to double first — the reference's pandas path serializes
+    * float32 values at float64 precision (golden data.singer). */
   def recordLine(df: DataFrame, stream: String): Column = {
     val payload = to_json(
-      struct(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*), jsonOptions)
+      struct(df.schema.fields.toIndexedSeq.map { f =>
+        val c = col(s"`${f.name}`")
+        (if (f.dataType == FloatType) c.cast(DoubleType) else c).as(f.name)
+      }: _*), jsonOptions)
     concat(
       lit(s"""{"type": "RECORD", "stream": "${esc(stream)}", "record": """),
       payload,

@@ -79,7 +79,7 @@ class GsReader(
           // Read everything as string first, then try_cast per catalog —
           // matches reference coerce-to-null (never fail a load on one bad
           // cell). Header columns absent from the catalog stay string.
-          val raw = spark.read.option("header", "true").csv(path)
+          val raw = spark.read.option("header", "true").option("escape", "\"").csv(path)
           val casts = raw.columns.map { col0 =>
             c.schema.fields.find(_.name == col0) match {
               case Some(f) if f.dataType == TimestampType =>
@@ -90,7 +90,8 @@ class GsReader(
           }
           raw.select(casts.toIndexedSeq: _*)
         case _ =>
-          spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+          spark.read.option("header", "true").option("escape", "\"")
+            .option("inferSchema", "true").csv(path)
       }
     }
   }

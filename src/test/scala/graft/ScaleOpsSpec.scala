@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark shuffles and partitions here"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"))   // exact dup of 1
+  private def docsDf = docs.toDF("doc_id", "text")
+
+  test("exactDedup keeps the first row per distinct content") {
+    val out = Dedup.exactDedup(docsDf, Seq("text"), "doc_id")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("minhash near-dup finds the near pair and not the distinct doc") {
+    val pairs = Dedup.minhashNearDupPairs(docsDf, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact dup must be found with jaccard 1.0
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("minhashDedup drops near-duplicates, keeps smallest id") {
+    val out = Dedup.minhashDedup(docsDf, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 2, threshold = 0.5)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.contains(1L) && kept.contains(3L))
+    assert(!kept.contains(4L))
+  }
+
+  test("simhash: identical docs get identical signatures; near docs are close") {
+    val sig = Dedup.simhash(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(4L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) > 12)
+  }
+
+  test("jaccard of exact duplicates is 1.0") {
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardForPairs(docsDf, pairs, "doc_id", "text", shingleSize = 2)
+      .first().getDouble(2)
+    assert(j === 1.0)
+  }
+
+  test("brute-force ANN returns self-similar vectors first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") === 1L) // nearest to e_x is (0.9, 0.1, 0)
+    assert(out.length === 2)
+  }
+
+  test("LSH ANN candidates are a subset of brute-force ordering (recall sanity)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 10, planes = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty)
+    // random gaussian vectors are near-orthogonal: single-probe sign-LSH
+    // recall is genuinely modest there; assert it beats chance (10/500)
+    val recall = lsh.count(brute.contains).toDouble / lsh.length
+    assert(recall > 0.05, s"LSH candidates no better than chance: $recall")
+  }
+
+  test("IVF ANN returns k neighbors per query with sane scores") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 3)
+    val out = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      numCentroids = 8, nProbe = 3)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    assert(byQuery.values.forall(_.length === 5))
+    assert(out.agg(min("cosine"), max("cosine")).first().getDouble(1) <= 1.000001)
+  }
+
+  test("embedding near-dup pairs finds planted duplicates") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 50)
+    val planted = e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding", $"label")
+    val pairs = Dedup.embeddingNearDupPairs(e.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.999, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 5).forall(i => pairs.contains((i.toLong, i + 1000L))), s"missing planted dups: $pairs")
+  }
+
+  test("token counting and language id") {
+    val df = Seq(
+      (1, "the cat and the dog, that is it"),
+      (2, "der hund und die katze ist nicht da"),
+      (3, "")).toDF("id", "t")
+    val out = df.select($"id",
+      TextAnalysis.tokenCount($"t").as("n"),
+      TextAnalysis.bpeishTokenCount($"t").as("b"),
+      TextAnalysis.langId($"t").as("lang")).orderBy("id").collect()
+    assert(out(0).getInt(1) === 8)
+    assert(out(0).getString(3) === "en")
+    assert(out(1).getString(3) === "de")
+    assert(out(2).getInt(1) === 0)
+  }
+
+  test("quality score is in [0,1] and favors clean prose") {
+    val df = Seq(
+      (1, "The quick brown fox jumps over the lazy dog and runs to the hills in the morning light."),
+      (2, "!!!,,,;;;:::!!!")).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.qualityScore($"t").as("q")).orderBy("id").collect()
+    val (good, bad) = (out(0).getDouble(1), out(1).getDouble(1))
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("fingerprint is robust to formatting-only edits") {
+    val df = Seq(
+      (1, "Hello, World!  This is   fine."),
+      (2, "hello world this is fine"),
+      (3, "entirely different")).toDF("id", "t")
+    val fps = df.select(TextAnalysis.fingerprint($"t")).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("winnowed fingerprints overlap heavily for near-dup docs") {
+    val df = docsDf.select($"doc_id",
+      TextAnalysis.winnowedFingerprints($"text", k = 3, window = 3).as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap = m(1L).intersect(m(2L)).size.toDouble / m(1L).union(m(2L)).size
+    assert(overlap > 0.5)
+    assert(m(1L) === m(4L))
+  }
+}

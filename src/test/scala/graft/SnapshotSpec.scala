@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Snapshot, SnapshotStore}
+import org.apache.spark.sql.functions._
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: incoming replaces snapshot rows by pk, keep-last within batch") {
+    val snap = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("id", "v")
+    val incoming = Seq((2, "new2a"), (2, "new2b"), (4, "new4")).toDF("id", "v")
+    val out = Snapshot.upsert(Some(snap), incoming, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "old1"), (2, "new2b"), (3, "old3"), (4, "new4")))
+  }
+
+  test("upsert: schema evolution (missing columns null-fill both ways)") {
+    val snap = Seq((1, "a")).toDF("id", "v")
+    val incoming = Seq((2, "b", 9L)).toDF("id", "v", "extra")
+    val out = Snapshot.upsert(Some(snap), incoming, Seq("id"))
+    assert(out.columns.toSet === Set("id", "v", "extra"))
+    assert(out.filter($"id" === 1).select("extra").first().isNullAt(0))
+  }
+
+  test("upsert: snapshot columns coerce to incoming types") {
+    val snap = Seq(("1", "a")).toDF("id", "v") // id was string last run
+    val incoming = Seq((2, "b")).toDF("id", "v") // now int
+    val out = Snapshot.upsert(Some(snap), incoming, Seq("id"))
+    assert(out.schema("id").dataType.typeName === "integer")
+    assert(out.count() === 2)
+  }
+
+  test("snapshotRecords persists merged state across runs") {
+    val store = new SnapshotStore(spark, tmpDir("snap_"))
+    val r1 = Snapshot.snapshotRecords(store, "t", Seq((1, "a"), (2, "b")).toDF("id", "v"), Seq("id"))
+    assert(r1.count() === 2)
+    val r2 = Snapshot.snapshotRecords(store, "t", Seq((2, "b2"), (3, "c")).toDF("id", "v"), Seq("id"))
+    assert(r2.count() === 3)
+    val persisted = store.read("t").get.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(persisted.toSeq === Seq((1, "a"), (2, "b2"), (3, "c")))
+  }
+
+  test("snapshot store write is atomic (old data readable until commit, lock cleaned)") {
+    val dir = tmpDir("snap_")
+    val store = new SnapshotStore(spark, dir)
+    store.write("t", Seq((1, "a")).toDF("id", "v"))
+    store.write("t", Seq((2, "b")).toDF("id", "v"))
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files.exists(_.startsWith("t.snapshot.parquet")))
+    assert(!files.exists(_.contains("partial_written")), s"lock left behind: $files")
+    assert(!files.exists(_.startsWith(".t.snapshot.tmp")), s"tmp left behind: $files")
+    assert(store.read("t").get.collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
+
+  test("dropRedundant keeps only new/changed rows and flags updates") {
+    val store = new SnapshotStore(spark, tmpDir("cdc_"))
+    val v1 = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val first = Snapshot.dropRedundant(store, "s", v1, Seq("id"), updatedFlag = true)
+    assert(first.count() === 2)
+    assert(first.filter($"_updated").count() === 0)
+    // unchanged re-send → nothing comes through
+    val second = Snapshot.dropRedundant(store, "s", v1, Seq("id"), updatedFlag = true)
+    assert(second.count() === 0)
+    // one changed, one new
+    val v2 = Seq((1, "x2"), (3, "z")).toDF("id", "v")
+    val third = Snapshot.dropRedundant(store, "s", v2, Seq("id"), updatedFlag = true)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getBoolean(2)))
+    assert(third.toSeq === Seq((1, true), (3, false)))
+  }
+
+  test("row hash matches the reference's canonical form") {
+    // reference get_row_hash: md5 of sorted-column non-null str(v) concat
+    val df = Seq((1, "a", true, 1.5), (2, null.asInstanceOf[String], false, 2.0))
+      .toDF("id", "s", "b", "d")
+    val got = df.select(Snapshot.rowHash(df, Seq("s", "b", "d")).as("h"))
+      .collect().map(_.getString(0))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // sorted cols: b, d, s → "True" + "1.5" + "a" ; null s drops
+    assert(got(0) === md5hex("True1.5a"))
+    assert(got(1) === md5hex("False2.0"))
+  }
+
+  test("mergeIdFromSnapshot backfills remote ids, keep-last per InputId") {
+    val df = Seq(("r1", "e1"), ("r2", "e2"), ("r3", "e9")).toDF("row", "externalId")
+    val ids = Seq(("e1", 101L), ("e1", 111L), ("e2", 102L)).toDF("InputId", "RemoteId")
+    val out = Snapshot.mergeIdFromSnapshot(df, ids, targetCol = "Id")
+      .orderBy("row").collect()
+    assert(out.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq === Seq(111L, 102L, -1L))
+  }
+}
