@@ -177,4 +177,17 @@ object Explode {
   /** `element_at` with out-of-range → null (reference get_index_safely,
     * etl_utils.py:430-448; Python 0-based → Spark 1-based). */
   def getIndexSafely(arr: Column, i: Int): Column = try_element_at(arr, lit(i + 1))
+
+  /** Parse every string column the catalog types as object/array into real
+    * nested values (reference parse_df_cols, singer.py:383-401: applies
+    * parse_objs to columns typed object/array in the schema). */
+  def parseDfCols(df: DataFrame, catalog: CatalogReader.StreamCatalog): DataFrame = {
+    val targets = catalog.schema.fields.collect {
+      case StructField(n, dt @ (_: StructType | _: ArrayType | _: MapType), _, _)
+          if df.columns.contains(n) && df.schema(n).dataType == StringType => (n, dt)
+    }
+    targets.foldLeft(df) { case (d, (n, dt)) =>
+      d.withColumn(n, from_json(parse_py_literal(col(s"`$n`")), dt))
+    }
+  }
 }

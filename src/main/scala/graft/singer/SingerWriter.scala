@@ -54,6 +54,18 @@ object SingerWriter {
     b.toString
   }
 
+  /** Drop columns that are entirely null — the reference's `allow_objects`
+    * export mode (singer.py:498-499). One cheap aggregate pass (count per
+    * column), then a projection. */
+  def dropAllNullColumns(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.toIndexedSeq.map(c =>
+      count(col(s"`$c`")).as(c)): _*).first()
+    val keep = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) > 0 => c
+    }
+    df.select(keep.toIndexedSeq.map(c => col(s"`$c`")): _*)
+  }
+
   def schemaMessage(
       stream: String,
       schema: StructType,

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.operators.{Snapshot, SnapshotStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface.
+  *
+  * The reference is batch-only (SURVEY §2.10): incrementality = snapshot
+  * files per run. The streaming-native generalization keeps the same
+  * operator semantics under a `readStream`:
+  *
+  *  - `streamingUpsert`: the snapshot-merge operator inside `foreachBatch`
+  *    — each micro-batch merges into the persistent snapshot store exactly
+  *    like a batch run, so batch and streaming share one code path (and
+  *    one on-disk layout).
+  *  - `windowedCounts` / `windowedAgg`: event-time windows + watermark for
+  *    late data.
+  *  - `dedupStream`: exact streaming dedup via `dropDuplicates` bounded by
+  *    a watermark (state is evicted once events age out).
+  *  - `sessionize`: custom per-key state with flatMapGroupsWithState
+  *    (session windows with an inactivity gap).
+  */
+object Streaming {
+
+  /** Micro-batch snapshot upsert: every batch merges by pk into the store
+    * (keep-last wins within and across batches). The store stays readable
+    * by batch jobs — one state layout for both modes. */
+  def streamingUpsert(
+      stream: DataFrame,
+      store: SnapshotStore,
+      name: String,
+      pk: Seq[String]): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Snapshot.snapshotRecords(store, name, batch, pk): Unit
+      }
+
+  /** Event-time tumbling-window counts with late-data watermark. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      watermark: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val keyed = events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowLen) +: keyCols.map(col)): _*)
+    keyed.agg(count(lit(1)).as("n"))
+      .select((Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n")): _*)
+  }
+
+  /** Watermark-bounded exact dedup on a key (state evicted as time moves). */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  case class SessionState(start: Long, lastSeen: Long, count: Long)
+  case class SessionOut(key: Long, start: java.sql.Timestamp, end: java.sql.Timestamp, events: Long)
+
+  /** Session windows via custom keyed state: sessions close after
+    * `gapMs` of inactivity (processing-time timeout). Demonstrates the
+    * flatMapGroupsWithState escape hatch for semantics the built-in
+    * window functions can't express. */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).cast("timestamp").as("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.count))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption
+            val start = prev.map(_.start).getOrElse(times.min)
+            val last = math.max(prev.map(_.lastSeen).getOrElse(Long.MinValue), times.max)
+            state.update(SessionState(start, last, prev.map(_.count).getOrElse(0L) + times.size))
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Read a directory of parquet as a stream (one file per micro-batch by
+    * default) — the streaming analogue of the GsReader directory scan. */
+  def readParquetStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Run a streaming query to completion of available data (test helper /
+    * batch-catchup mode). */
+  def runAvailableNow(w: DataStreamWriter[org.apache.spark.sql.Row], checkpoint: String): StreamingQuery = {
+    val q = w.option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

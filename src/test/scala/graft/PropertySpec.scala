@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.PyLiteral
+import graft.operators.{Explode, Snapshot}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests — invariants the reference never checked (SURVEY §5).
+  * (Raw ScalaCheck generators with fixed seeds; the scalatest-scalacheck
+  * bridge artifact isn't available offline.) */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private val scalarGen: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => s.take(8)),
+    Gen.choose(-1000000, 1000000),
+    Gen.choose(-1e6, 1e6).map(d => math.rint(d * 100) / 100),
+    Gen.oneOf(true, false),
+    Gen.const(null))
+
+  private def pyRepr(v: Any): String = v match {
+    case null       => "None"
+    case true       => "True"
+    case false      => "False"
+    case s: String  => "'" + s + "'"
+    case d: Double  => if (d == math.rint(d)) s"${d.toLong}.0" else d.toString
+    case other      => other.toString
+  }
+
+  test("pyliteral → JSON parses for arbitrary flat dicts") {
+    forAll(Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(6)).suchThat(_.nonEmpty), scalarGen))) {
+      (m: Map[String, Any]) =>
+        val literal = m.map { case (k, v) => s"'$k': ${pyRepr(v)}" }.mkString("{", ", ", "}")
+        val json = PyLiteral.toJson(literal)
+        val node = jackson.readTree(json) // must be valid JSON
+        assert(node.isObject)
+        assert(node.size() === m.size)
+    }
+  }
+
+  test("pyliteral: valid JSON round-trips to semantically equal JSON") {
+    forAll(Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(6)).suchThat(_.nonEmpty),
+        Gen.choose(-1000, 1000)))) { (m: Map[String, Int]) =>
+      val json = jackson.writeValueAsString(
+        m.foldLeft(jackson.createObjectNode()) { case (o, (k, v)) => o.put(k, v) })
+      assert(jackson.readTree(PyLiteral.toJson(json)) === jackson.readTree(json))
+    }
+  }
+}
+
+/** Spark-backed property-style invariants (fixed seeds, multiple shapes). */
+class RoundTripSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("explode ∘ compress round-trips (pk-grouped content preserved)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      (i % 37, rnd.nextInt(100), s"d${rnd.nextInt(10)}")
+    }
+    val df = rows.toDF("pk", "line.x", "line.d")
+    val compressed = Explode.compressRowsToCol(df, "line", Seq("pk"))
+    val reexploded = compressed
+      .select(col("pk"), explode(col("line")).as("e"))
+      .select(col("pk"), col("e.x").as("line.x"), col("e.d").as("line.d"))
+    val norm = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(norm(reexploded) === norm(df))
+  }
+
+  test("upsert is idempotent: applying the same batch twice changes nothing") {
+    val snap = (1 to 100).map(i => (i, s"v$i")).toDF("id", "v")
+    val batch = (50 to 150).map(i => (i, s"n$i")).toDF("id", "v")
+    val once = Snapshot.upsert(Some(snap), batch, Seq("id"))
+    val twice = Snapshot.upsert(Some(once), batch, Seq("id"))
+    val norm = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(norm(once) === norm(twice))
+    assert(once.count() === 150)
+  }
+
+  test("row hash is stable across partitionings and column order") {
+    val df = (1 to 500).map(i => (i, s"s$i", i % 2 == 0, i * 1.5)).toDF("id", "s", "b", "d")
+    val h1 = df.select(col("id"), Snapshot.rowHash(df, Seq("s", "b", "d")).as("h"))
+    val shuffled = df.repartition(13).select("d", "b", "s", "id")
+    val h2 = shuffled.select(col("id"), Snapshot.rowHash(shuffled, Seq("b", "d", "s")).as("h"))
+    val m1 = h1.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val m2 = h2.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m1 === m2)
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard on planted overlaps") {
+    // doc pairs with controlled overlap fraction
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val half = ((1 to 30).map(i => s"tok$i") ++ (100 to 129).map(i => s"tok$i")).mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, half)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = graft.operators.Dedup.jaccardForPairs(df, pairs, "doc_id", "text", shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(math.abs(j((1L, 3L)) - 30.0 / 90.0) < 0.01)
+  }
+}

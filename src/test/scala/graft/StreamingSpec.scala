@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.SnapshotStore
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamingUpsert merges each micro-batch into the snapshot store") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val store = new SnapshotStore(spark, tmpDir("stream_snap_"))
+    val stream = mem.toDF.toDF("id", "v")
+    val writer = Streaming.streamingUpsert(stream, store, "t", Seq("id"))
+      .option("checkpointLocation", tmpDir("ckpt_"))
+      .trigger(Trigger.AvailableNow())
+
+    mem.addData((1, "a"), (2, "b"))
+    writer.start().awaitTermination()
+    mem.addData((2, "b2"), (3, "c"))
+    Streaming.streamingUpsert(mem.toDF.toDF("id", "v"), store, "t", Seq("id"))
+      .option("checkpointLocation", tmpDir("ckpt2_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    val out = store.read("t").get.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "a"), (2, "b2"), (3, "c")))
+  }
+
+  test("windowedCounts aggregates into event-time tumbling windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:40"), "a"),
+      (ts("2024-01-01 00:01:10"), "b"))
+    val windowed = Streaming.windowedCounts(
+      mem.toDF.toDF("ts", "k"), "ts", "1 minute", "10 seconds", Seq("k"))
+    val q = windowed.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmpDir("ckpt_wc_"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("wc").orderBy("window_start", "k").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Int)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-01 00:00:01"), 1), (ts("2024-01-01 00:00:02"), 1),
+      (ts("2024-01-01 00:00:03"), 2))
+    val deduped = Streaming.dedupStream(mem.toDF.toDF("ts", "id"), "ts", "1 minute", Seq("id"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt_dd_"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dd").select("id").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.DateUtils
+import graft.operators.Explode
+import graft.schema.CatalogReader
+import graft.singer.SingerWriter
+import graft.sources.GsReader
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class UtilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("localizeDatetime coerces bad strings to null (pandas errors='coerce')") {
+    val df = Seq("2024-05-23 20:01:07", "not a date", null).toDF("ts")
+    val out = DateUtils.localizeDatetime(df, "ts").collect()
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("localizeDatetimeStrict raises on unparseable non-null input") {
+    val df = Seq("garbage").toDF("ts")
+    val e = intercept[Exception] {
+      DateUtils.localizeDatetimeStrict(df, "ts").collect()
+    }
+    assert(e.getMessage.contains("Invalid datetime"))
+  }
+
+  test("isoMicrosZ serialization matches the singer wire format") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-05-23 20:01:07.123456")).toDF("ts")
+    assert(df.select(DateUtils.isoMicrosZ($"ts")).first().getString(0) ===
+      "2024-05-23T20:01:07.123456Z")
+  }
+
+  test("datetimeFields reflects timestamp/date columns of a schema") {
+    val st = StructType(Seq(StructField("a", StringType),
+      StructField("t", TimestampType), StructField("d", DateType)))
+    assert(DateUtils.datetimeFields(st) === Seq("t", "d"))
+  }
+
+  test("parseDfCols parses catalog-typed object/array string columns") {
+    val cat = CatalogReader.StreamCatalog("s",
+      StructType(Seq(
+        StructField("obj", StructType(Seq(StructField("k", LongType)))),
+        StructField("arr", ArrayType(LongType)),
+        StructField("plain", StringType))),
+      Nil, Nil)
+    val df = Seq(("{'k': 7}", "[1, 2]", "keep")).toDF("obj", "arr", "plain")
+    val out = Explode.parseDfCols(df, cat)
+    assert(out.schema("obj").dataType.isInstanceOf[StructType])
+    assert(out.select("obj.k").first().getLong(0) === 7L)
+    assert(out.select("arr").first().getSeq[Long](0) === Seq(1L, 2L))
+    assert(out.schema("plain").dataType === StringType)
+  }
+
+  test("dropAllNullColumns removes only entirely-null columns") {
+    val df = Seq((1, Some("a"), None: Option[String]),
+                 (2, None, None)).toDF("id", "partial", "empty")
+    val out = SingerWriter.dropAllNullColumns(df)
+    assert(out.columns.toSeq === Seq("id", "partial"))
+  }
+
+  test("GsReader catalog-typed CSV read coerces per catalog, bad cells null") {
+    val dir = tmpDir("reader_")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/orders-20240101T000000.csv"),
+      "order_id,amount,created_at,is_active\n1,9.5,2024-01-02 03:04:05,true\nbad,x,nope,maybe\n")
+    val catalogPath = s"$dir/catalog.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(catalogPath),
+      """{"streams": [{"stream": "orders", "schema": {"type": "object", "properties": {
+        |"order_id": {"type": ["integer", "null"]},
+        |"amount": {"type": ["number", "null"]},
+        |"created_at": {"type": "string", "format": "date-time"},
+        |"is_active": {"type": ["boolean", "null"]}}},
+        |"metadata": [{"breadcrumb": [], "metadata": {"table-key-properties": ["order_id"]}}]}]}""".stripMargin)
+    val reader = new GsReader(spark, dir, catalogPath = Some(catalogPath))
+    val df = reader.get("orders", catalogTypes = true).get
+    assert(df.schema("order_id").dataType === LongType)
+    assert(df.schema("created_at").dataType === TimestampType)
+    val rows = df.orderBy(asc_nulls_last("order_id")).collect()
+    assert(rows(0).getLong(0) === 1L && rows(0).getBoolean(3))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    assert(reader.getPk("orders") === Seq("order_id"))
+  }
+
+  test("GsReader snapshot read returns None when absent, data when present") {
+    val dir = tmpDir("reader_")
+    val snapDir = tmpDir("snaps_")
+    val reader = new GsReader(spark, dir, snapshotDir = Some(snapDir))
+    assert(reader.readSnapshot("orders").isEmpty)
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$snapDir/orders.snapshot.parquet")
+    assert(reader.readSnapshot("orders").get.count() === 1)
+  }
+
+  test("stream naming: prefix before last dash; first file per stream wins") {
+    val dir = tmpDir("naming_")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/My-Stream-20240101.csv"), "a\n1\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/My-Stream-20240202.csv"), "a\n2\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/plain.csv"), "a\n3\n")
+    val reader = new GsReader(spark, dir)
+    assert(reader.streams() === Seq("My-Stream", "plain"))
+    assert(reader.inputFiles()("My-Stream").endsWith("My-Stream-20240101.csv"))
+  }
+}
