@@ -111,6 +111,21 @@ case class ParsePyLiteral(child: Expression) extends UnaryExpression {
   override def prettyName: String = "parse_py_literal"
 }
 
+/** Python float `str()` rendering as a native expression (no UDF — keeps
+  * the row-hash projection inside whole-stage codegen). */
+case class PyFloatRepr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(PyStr.floatRepr(input.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.PyStr.floatRepr($c))")
+  override protected def withNewChildInternal(newChild: Expression): PyFloatRepr =
+    copy(child = newChild)
+  override def prettyName: String = "py_float_repr"
+}
+
 /** Canonical Python `str()` rendering + MD5 row hash.
   *
   * The reference's change-data-capture hashes each row as
@@ -147,9 +162,10 @@ object PyStr {
   /** Column rendered as Python `str()` would render the pandas value. */
   def canonical(c: Column, dt: DataType): Column = dt match {
     case BooleanType => when(c, "True").otherwise("False")
-    case DoubleType | FloatType =>
-      udf((d: java.lang.Double) => if (d == null) null else floatRepr(d))
-        .apply(c.cast(DoubleType))
+    case DoubleType | FloatType => {
+      import org.apache.spark.sql.graft.bridge
+      bridge.column(PyFloatRepr(bridge.expression(c.cast(DoubleType))))
+    }
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
       c.cast(StringType)
     case TimestampType | TimestampNTZType =>

@@ -102,3 +102,41 @@ class UtilitySpec extends SparkSpec {
     assert(reader.inputFiles()("My-Stream").endsWith("My-Stream-20240101.csv"))
   }
 }
+
+class ConfigSpec extends SparkSpec {
+  import graft.export.PipelineConfig
+  import graft.operators.Explode
+  import graft.schema.CatalogReader
+  import spark.implicits._
+
+  test("establishDirectories creates the standard layout from env") {
+    val root = tmpDir("pipeline_")
+    val dirs = PipelineConfig.establishDirectories(Map("ROOT_DIR" -> root))
+    assert(new java.io.File(dirs.input).isDirectory)
+    assert(new java.io.File(dirs.snapshots).isDirectory)
+    assert(dirs.input === s"$root/sync-output")
+  }
+
+  test("buildStringFormatVariables merges env + tenant, splits TENANT") {
+    val vars = PipelineConfig.buildStringFormatVariables(
+      Map("plan" -> "pro"),
+      Map("TENANT" -> "acme_eu", "JOB_ID" -> "j1", "UNRELATED" -> "x"))
+    assert(vars("ROOT_TENANT_ID") === "acme")
+    assert(vars("SUB_TENANT_ID") === "eu")
+    assert(vars("JOB_ID") === "j1")
+    assert(vars("plan") === "pro")
+    assert(!vars.contains("UNRELATED"))
+  }
+
+  test("enforceExplodedColTypes casts exploded columns per catalog") {
+    import org.apache.spark.sql.types._
+    val cat = CatalogReader.StreamCatalog("s",
+      StructType(Seq(StructField("line", ArrayType(StructType(Seq(
+        StructField("qty", LongType), StructField("ok", BooleanType))))))),
+      Nil, Nil)
+    val df = Seq(("7", "true"), ("8", "false")).toDF("line.qty", "line.ok")
+    val out = Explode.enforceExplodedColTypes(df, "line", cat)
+    assert(out.schema("line.qty").dataType === LongType)
+    assert(out.schema("line.ok").dataType === BooleanType)
+  }
+}
