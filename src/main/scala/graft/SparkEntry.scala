@@ -307,6 +307,67 @@ object SparkEntry {
       ev.select(col("event_id"),
           graft.singer.SingerWriter.recordLine(ev, "events").as("line"))
         .orderBy("event_id")
+    }),
+    // ── §2.6 parse_df_cols: catalog-typed object parsing ─────────────
+    "q31_parse_df_cols" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = CatalogReader.StreamCatalog("events",
+        StructType(Seq(StructField("props",
+          StructType(Seq(StructField("k", LongType)))))), Nil, Nil)
+      Explode.parseDfCols(T(s, dir, "events"), cat)
+        .select(col("event_id"), col("props.k").as("k"))
+        .orderBy("event_id")
+    }),
+    // ── §2.5 pickregex through the mapping DSL ───────────────────────
+    "q32_pickregex_cf" -> ((s, dir) => {
+      val mapping =
+        """{"pk": "p_partkey",
+          |"CF": {"pickregex": {"regex_field": "^p_(brand|type)$",
+          |                     "return_as_cf": true}}}""".stripMargin
+      Mapping.mapFields(T(s, dir, "part"), mapping)
+        .select(col("pk"), to_json(col("CF")).as("CF"))
+        .orderBy("pk")
+    }),
+    // ── analytics: batch sessionization (gaps-and-islands) ───────────
+    "q33_sessionize" -> ((s, dir) => {
+      val sess = Analytics.sessionize(T(s, dir, "events"), "user_id", "ts", 600L)
+      Analytics.sessionStats(sess, "user_id", "ts")
+        .select(col("user_id"), col("session_seq"),
+          date_format(col("session_start"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("session_end"),
+          col("events"))
+        .orderBy("user_id", "session_seq")
+    }),
+    // ── analytics: tumbling event-time windows (batch) ───────────────
+    "q34_windowed_counts" -> ((s, dir) => {
+      Analytics.windowedCounts(T(s, dir, "events"), "ts", "1 hour", Seq("event_type"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+    // ── scale: salted two-phase aggregation (skew handling) ──────────
+    "q35_salted_agg" -> ((s, dir) => {
+      Analytics.saltedCountSum(T(s, dir, "events"), Seq("event_type"), "value")
+        .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+    // ── scale: IVF ANN (rows-only; centroid math not SQL-expressible) ─
+    "q36_ann_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numCentroids = 16, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+    // ── scale: multimodal decode + feature plumbing (rows-only) ──────
+    "q37_multimodal" -> ((s, dir) => {
+      val media = Multimodal.synthesize(
+        T(s, dir, "part").filter(col("p_partkey") <= 100), "p_partkey")
+      val decoded = Multimodal.extractFeatures(Multimodal.decodeMeta(media))
+      decoded.select(col("media_id"), col("decoded_meta.mime").as("mime"),
+          col("decoded_meta.width").as("width"), col("decoded_meta.height").as("height"),
+          size(col("features")).as("feat_dim"))
+        .orderBy("media_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -470,5 +531,39 @@ object SparkEntry {
         |  '{"type": "RECORD", "stream": "events", "record": ' ||
         |  CAST(json_object('event_id', event_id, 'event_type', event_type,
         |    'value', value) AS VARCHAR) || '}' AS line
-        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin)
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+    "q31_parse_df_cols" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q32_pickregex_cf" ->
+      """SELECT p_partkey AS pk, CAST(json_array(
+        |  json_object('name', 'p_brand', 'value', p_brand),
+        |  json_object('name', 'p_type', 'value', p_type)) AS VARCHAR) AS CF
+        |FROM part ORDER BY pk""".stripMargin,
+    "q33_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN date_diff('second',
+        |        lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 600
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq,
+        |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS session_start,
+        |  strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS session_end,
+        |  count(*) AS events
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q34_windowed_counts" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q35_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics + skew-handling operators (extensions beyond the
+  * reference, which has no window/sort surface at all — SURVEY §2.8). */
+object Analytics {
+
+  /** Batch sessionization (gaps-and-islands): a new session starts after
+    * `gapSeconds` of inactivity per key. Pure window functions — one
+    * shuffle by key; the streaming twin is Streaming.sessionize. */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val newSession = when(
+      col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(byKey) > gapSeconds, 1
+    ).otherwise(0)
+    df.withColumn("__new", newSession)
+      .withColumn("session_seq", sum(col("__new")).over(byKey))
+      .drop("__new")
+  }
+
+  /** Per-session rollup on a sessionized frame. */
+  def sessionStats(sessionized: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    sessionized.groupBy(col(keyCol), col("session_seq"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("events"))
+
+  /** Tumbling event-time windows in batch (matches streaming windowedCounts
+    * semantics on at-rest data). */
+  def windowedCounts(df: DataFrame, tsCol: String, windowLen: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy((window(col(tsCol), windowLen) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n")): _*)
+
+  /** Two-phase salted aggregation for skewed keys: aggregate on
+    * (key, salt) first — spreading one hot key over `saltBuckets`
+    * reducers — then combine per key. Correct for any algebraic
+    * aggregate expressed as (partial, merge) pairs; this helper does
+    * count + sum, the common skew case. */
+  def saltedCountSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      sumCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(keyCols.map(col) :+ monotonically_increasing_id(): _*), lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col(sumCol)).as("__sum"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(sum("__cnt").as("n"), sum("__sum").as(s"sum_$sumCol"))
+  }
+
+  /** Salt the build side of a skewed equi-join: replicate the small side
+    * `saltBuckets` times and salt the big side's key, so one hot key
+    * spreads across `saltBuckets` tasks. AQE's skew-join handles most
+    * cases; this is the explicit fallback for extreme keys. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(saltBuckets)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicatedSmall, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Co-partition two frames on the join keys ahead of repeated joins —
+    * both sides shuffle once, every later join on the same keys is
+    * shuffle-free (the DataFrame analogue of bucketed tables). */
+  def coPartition(a: DataFrame, b: DataFrame, keys: Seq[String], partitions: Int): (DataFrame, DataFrame) =
+    (a.repartition(partitions, keys.map(col): _*),
+     b.repartition(partitions, keys.map(col): _*))
+
+  /** Top-k rows per group by `orderBy` (deterministic: pass tiebreakers). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}
