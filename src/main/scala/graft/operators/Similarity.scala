@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorOps.{vector_dot, vector_norm}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,44 +9,64 @@ import org.apache.spark.sql.types._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
   *
-  * Three tiers, all pure `functions._` expressions (zip_with / aggregate
-  * higher-order functions — codegen'd, no UDF):
+  * Scoring uses the native fused-loop `vector_dot` expression
+  * (graft.functions.VectorDot — whole-stage codegen, no boxing), and every
+  * pipeline precomputes per-row norms ONCE before the pair join, so each
+  * candidate pair costs exactly one dot product. Three tiers:
   *  - `bruteForceTopK`: exact; broadcast the (small) query set against the
   *    corpus — the correctness baseline and the right plan whenever
   *    |queries| is small, at any corpus scale.
-  *  - sign-random-projection LSH (`signBuckets`): corpus shuffles once by a
+  *  - `lshTopK`: sign-random-projection buckets; corpus shuffles once by a
   *    compact bucket id; queries probe only their bucket.
   *  - `ivfTopK`: inverted-file index — k centroids (deterministic sample +
   *    one Lloyd refinement), corpus partitioned by nearest centroid,
-  *    queries probe `nProbe` nearest centroid partitions. The 100 TB path:
-  *    scan cost drops by ~nProbe/k.
+  *    queries probe `nProbe` nearest centroids. The 100 TB path: scan cost
+  *    drops by ~nProbe/k.
   */
 object Similarity {
 
-  /** dot(a, b) in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) in double precision (native fused loop). */
+  def dot(a: Column, b: Column): Column = vector_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = vector_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** `planes`-bit sign signature under deterministic pseudo-random
-    * hyperplanes: plane p's weight for dimension i is derived from
-    * xxhash64(p, i) mapped into [-1, 1). Bucket = packed sign bits. */
-  def signSignature(vec: Column, planes: Int): Column = {
-    val projections = transform(sequence(lit(0), lit(planes - 1)), p => {
-      // deterministic weight stream per (plane, dim)
-      val weighted = zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast(DoubleType) *
-          (xxhash64(p * lit(1024) + i).cast(DoubleType) / lit(Long.MaxValue.toDouble)))
-      aggregate(weighted, lit(0.0), (acc, x) => acc + x)
-    })
-    aggregate(
-      zip_with(projections, sequence(lit(0), lit(planes - 1)),
-        (proj, p) => when(proj >= 0, call_function("shiftleft", lit(1L), p.cast(IntegerType))).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+  /** Deterministic pseudo-random hyperplane matrix (planes × dim), built
+    * once on the driver and shipped as a literal — each projection is then
+    * one native dot product instead of per-element hashing. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** `planes`-bit sign signature: packed sign bits of the hyperplane
+    * projections. `dim` is the embedding width (planes × dim weight
+    * literal; native vector_dot per plane). */
+  def signSignature(vec: Column, planes: Int, dim: Int): Column = {
+    val w = hyperplanes(planes, dim)
+    val projections = (0 until planes).map { p =>
+      vector_dot(vec, typedLit(w(p)))
+    }
+    projections.zipWithIndex.map { case (proj, p) =>
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Embedding width (reads one row). */
+  def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).first().getInt(0)
+
+  /** (id, vec, norm) projection — norms computed once, before any join. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      vector_norm(col(vecCol)).as(normAs))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Exact top-k cosine neighbors for each query row.
@@ -57,14 +78,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        (vector_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates only from the query's sign bucket, then
@@ -77,32 +96,32 @@ object Similarity {
       vecCol: String,
       k: Int,
       planes: Int = 12): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      signSignature(col(vecCol), planes).as("__bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      signSignature(col(vecCol), planes).as("__bucket"))
+    val dim = dimOf(corpus, vecCol)
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .withColumn("__bucket", signSignature(col("__cv"), planes, dim))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+      .withColumn("__bucket", signSignature(col("__qv"), planes, dim))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        (vector_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine"))
+    rankTopK(scored, k)
   }
 
-  /** IVF index: deterministic centroid pick (every ⌈n/k⌉-th vector by id
-    * order) + one Lloyd refinement step, then corpus assignment.
+  /** IVF index: deterministic centroid seeding (hash-sample ~numCentroids
+    * vectors — a distributed filter, no global sort/window) + one Lloyd
+    * refinement step, then corpus assignment.
     * Returns (centroid_id, centroid) and the assigned corpus. */
   def ivfIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       numCentroids: Int): (DataFrame, DataFrame) = {
-    val n = corpus.count()
+    val n = math.max(1L, corpus.count())
     val stride = math.max(1L, n / numCentroids)
     val seeds = corpus
-      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
-      .filter((col("__rn") % stride) === 1).limit(numCentroids)
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .limit(numCentroids)
       .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
     // one refinement: assign to nearest seed, recompute means element-wise
     val assigned0 = assign(corpus, seeds, idCol, vecCol)
@@ -115,13 +134,15 @@ object Similarity {
   }
 
   private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val c = centroids.select(col("centroid_id"), col("centroid"))
+    val c = centroids.select(col("centroid_id"), col("centroid"),
+      vector_norm(col("centroid")).as("__cenn"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("centroid_id"))
-    corpus.crossJoin(broadcast(c))
-      .withColumn("__d", -dot(col(vecCol), col("centroid")) /
-        (norm(col(vecCol)) * norm(col("centroid"))))
+    corpus.withColumn("__vn", vector_norm(col(vecCol)))
+      .crossJoin(broadcast(c))
+      .withColumn("__d",
+        -(vector_dot(col(vecCol), col("centroid")) / (col("__vn") * col("__cenn"))))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__d", "__rn", "centroid")
+      .drop("__d", "__rn", "centroid", "__vn", "__cenn")
   }
 
   /** IVF ANN: probe the `nProbe` nearest centroids per query, exact rerank
@@ -135,17 +156,20 @@ object Similarity {
       numCentroids: Int = 16,
       nProbe: Int = 2): DataFrame = {
     val (centroids, assigned) = ivfIndex(corpus, idCol, vecCol, numCentroids)
+    val cen = centroids.withColumn("__cenn", vector_norm(col("centroid")))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("centroid_id"))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__d", -cosine(col("__qv"), col("centroid")))
+    val probes = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+      .crossJoin(broadcast(cen))
+      .withColumn("__d",
+        -(vector_dot(col("__qv"), col("centroid")) / (col("__qn") * col("__cenn"))))
       .withColumn("__rn", row_number().over(probeW)).filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("centroid_id"))
-    val cand = assigned.select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"))
+    val cand = assigned.select(col("centroid_id"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), vector_norm(col(vecCol)).as("__cn"))
     val scored = cand.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (vector_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine"))
+    rankTopK(scored, k)
   }
 }

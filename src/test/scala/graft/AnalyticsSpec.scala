@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize splits on inactivity gaps per key") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")),
+      (1L, ts("2024-01-01 01:00:00")), // > 600s gap → new session
+      (2L, ts("2024-01-01 00:00:00"))).toDF("user_id", "ts")
+    val stats = Analytics.sessionStats(
+        Analytics.sessionize(df, "user_id", "ts", 600L), "user_id", "ts")
+      .orderBy("user_id", "session_seq").collect()
+    assert(stats.length === 3)
+    assert(stats(0).getLong(4) === 2L) // first session of user 1 has 2 events
+    assert(stats(1).getLong(4) === 1L)
+  }
+
+  test("windowed counts align to tumbling boundaries") {
+    val df = Seq(
+      (ts("2024-01-01 00:10:00"), "a"), (ts("2024-01-01 00:50:00"), "a"),
+      (ts("2024-01-01 01:10:00"), "a")).toDF("ts", "k")
+    val out = Analytics.windowedCounts(df, "ts", "1 hour", Seq("k"))
+      .orderBy("window_start").collect()
+    assert(out.map(_.getLong(3)).toSeq === Seq(2L, 1L))
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (1 to 10000).map(i => (s"k${i % 3}", i.toDouble)).toDF("k", "v")
+    val salted = Analytics.saltedCountSum(df, Seq("k"), "v", saltBuckets = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = df.groupBy("k").agg(count(lit(1)), sum("v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("salted join equals plain join") {
+    val big = (1 to 5000).map(i => (i % 7, i)).toDF("k", "v")
+    val small = Seq((0, "z"), (1, "a"), (3, "c")).toDF("k", "name")
+    val saltedRows = Analytics.saltedJoin(big, small, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    val plainRows = big.join(small, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    assert(saltedRows.toSeq === plainRows.toSeq)
+  }
+
+  test("topKPerGroup is deterministic with tiebreakers") {
+    val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 5, "c"), (2, 7, "d")).toDF("g", "score", "id")
+    val out = Analytics.topKPerGroup(df, Seq("g"),
+        Seq(col("score").desc, col("id")), 2)
+      .orderBy("g", "rn").collect().map(_.getString(2))
+    assert(out.toSeq === Seq("a", "b", "d"))
+  }
+
+  test("coPartition makes later joins shuffle-free") {
+    val a = (1 to 1000).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i, s"b$i")).toDF("k", "vb")
+    val (ca, cb) = Analytics.coPartition(a, b, Seq("k"), 8)
+    val joined = ca.join(cb, Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // SortMergeJoin over pre-partitioned children must not re-exchange
+    // beyond the two explicit repartitions
+    assert(joined.count() === 1000)
+    // only the two explicit repartitions may shuffle (a BroadcastExchange
+    // is not a hash shuffle and is fine)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"unexpected extra shuffles:\n$plan")
+  }
+}
