@@ -125,6 +125,13 @@ object SingerSchema {
   def fromStructTypeJson(st: StructType): String =
     mapper.writeValueAsString(fromStructType(st))
 
+  /** Singer schema from a case class — the Spark-native analogue of the
+    * reference's Pydantic "unified model" path (singer.py:222-277):
+    * the model's typed fields drive the emitted SCHEMA. */
+  def fromCaseClass[T <: Product: scala.reflect.runtime.universe.TypeTag]: ObjectNode =
+    fromStructType(org.apache.spark.sql.catalyst.ScalaReflection
+      .schemaFor[T].dataType.asInstanceOf[StructType])
+
   /** Parse a `key_properties` value from parquet key-value metadata.
     * Accepts JSON `["id"]` and Python-literal `['id']` forms — the
     * reference uses eval() (reader.py:136); we parse, never eval. */

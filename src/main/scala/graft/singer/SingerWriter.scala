@@ -84,15 +84,29 @@ object SingerWriter {
 
   /** A Column holding the full RECORD line for each row. Float columns
     * promote to double first — the reference's pandas path serializes
-    * float32 values at float64 precision (golden data.singer). */
-  def recordLine(df: DataFrame, stream: String): Column = {
+    * float32 values at float64 precision (golden data.singer). Optional
+    * `version` / `time_extracted` envelope fields per the Singer spec
+    * (reference write_record, singer.py:49-62; time_extracted must be
+    * UTC `%Y-%m-%dT%H:%M:%S.%fZ`). */
+  def recordLine(
+      df: DataFrame,
+      stream: String,
+      version: Option[Long] = None,
+      timeExtracted: Option[java.time.Instant] = None): Column = {
     val payload = to_json(
       struct(df.schema.fields.toIndexedSeq.map { f =>
         val c = col(s"`${f.name}`")
         (if (f.dataType == FloatType) c.cast(DoubleType) else c).as(f.name)
       }: _*), jsonOptions)
+    val versionPart = version.map(v => s""", "version": $v""").getOrElse("")
+    val tePart = timeExtracted.map { t =>
+      val s = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(t)
+      s""", "time_extracted": "$s""""
+    }.getOrElse("")
     concat(
-      lit(s"""{"type": "RECORD", "stream": "${esc(stream)}", "record": """),
+      lit(s"""{"type": "RECORD", "stream": "${esc(stream)}"$versionPart$tePart, "record": """),
       payload,
       lit("}"))
   }

@@ -102,4 +102,28 @@ class SingerWriterSpec extends SparkSpec {
     assert(graft.export.Exporter.outputName("orders", "",
       Map.empty, env = Map("HG_UNIFIED_OUTPUT_ORDERS" -> "renamed")) === "renamed")
   }
+
+  test("record envelope supports version and time_extracted") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("id", "v")
+    val line = df.select(SingerWriter.recordLine(df, "t",
+        version = Some(3L),
+        timeExtracted = Some(java.time.Instant.parse("2024-05-23T20:01:07.000123Z"))))
+      .first().getString(0)
+    val j = mapper.readTree(line)
+    assert(j.get("version").asLong() === 3L)
+    assert(j.get("time_extracted").asText() === "2024-05-23T20:01:07.000123Z")
+  }
+
+  test("fromCaseClass emits a singer schema from a typed model") {
+    val node = graft.schema.SingerSchema.fromCaseClass[SingerWriterSpec.Invoice]
+    val props = node.get("properties")
+    assert(props.get("id").get("type").get(0).asText() === "integer")
+    assert(props.get("amount").get("type").get(0).asText() === "number")
+    assert(props.get("issued").get("format").asText() === "date-time")
+  }
+}
+
+object SingerWriterSpec {
+  final case class Invoice(id: Long, amount: Double, issued: java.sql.Timestamp)
 }
