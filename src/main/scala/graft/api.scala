@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators._
+import graft.schema.CatalogReader
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** User-facing facade: the reference's one-import ergonomics
+  * (`from gluestick import ...`) as `import graft.api._` — folder readers
+  * returning named streams, plus operator syntax on DataFrame. */
+object api {
+
+  /** Folder of `Entity-<ts>.csv` files → stream-named DataFrames
+    * (reference read_csv_folder, etl_utils.py:23-93). */
+  def readCsvFolder(spark: SparkSession, path: String, ignore: Seq[String] = Nil): Map[String, DataFrame] = {
+    val reader = new graft.sources.GsReader(spark, path)
+    reader.inputFiles(ignore).collect {
+      case (stream, file) if file.endsWith(".csv") => stream -> reader.get(stream).get
+    }
+  }
+
+  /** Same for parquet (reference read_parquet_folder, etl_utils.py:96-149). */
+  def readParquetFolder(spark: SparkSession, path: String, ignore: Seq[String] = Nil): Map[String, DataFrame] = {
+    val reader = new graft.sources.GsReader(spark, path)
+    reader.inputFiles(ignore).collect {
+      case (stream, file) if file.endsWith(".parquet") => stream -> reader.get(stream).get
+    }
+  }
+
+  implicit class GsDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ── nested-data operators ──────────────────────────────────────────
+    def explodeJsonToRows(column: String, drop: Boolean = true,
+        catalog: Option[CatalogReader.StreamCatalog] = None,
+        samplingRatio: Double = 1.0): DataFrame =
+      Explode.explodeJsonToRows(df, column, drop, catalog, samplingRatio)
+
+    def explodeJsonToCols(column: String, drop: Boolean = true,
+        expectedKeys: Seq[String] = Nil, samplingRatio: Double = 1.0): DataFrame =
+      Explode.explodeJsonToCols(df, column, drop, expectedKeys, samplingRatio)
+
+    def jsonTupleToCols(column: String, keyProp: String = "Name",
+        valueProp: String = "Value"): DataFrame =
+      Explode.jsonTupleToCols(df, column, keyProp, valueProp)
+
+    def compressRowsToCol(columnPrefix: String, pk: Seq[String]): DataFrame =
+      Explode.compressRowsToCol(df, columnPrefix, pk)
+
+    // ── projection / mapping ───────────────────────────────────────────
+    def renameTo(mapping: Map[String, String]): DataFrame = Ops.rename(df, mapping)
+    def selectColumns(cols: Seq[String]): DataFrame = Ops.rename(df, cols)
+
+    def mapFields(mappingJson: String,
+        otherData: Map[String, DataFrame] = Map.empty): DataFrame =
+      Mapping.mapFields(df, mappingJson, otherData)
+
+    def mapFieldsDf(mappingJson: String,
+        otherData: Map[String, DataFrame] = Map.empty): DataFrame =
+      Mapping.mapFieldsDf(df, mappingJson, otherData)
+
+    // ── incremental state ──────────────────────────────────────────────
+    def snapshotRecords(store: SnapshotStore, name: String, pk: Seq[String],
+        justNew: Boolean = false, overwrite: Boolean = false): DataFrame =
+      Snapshot.snapshotRecords(store, name, df, pk, justNew, overwrite)
+
+    def dropRedundant(store: SnapshotStore, name: String, pk: Seq[String],
+        updatedFlag: Boolean = false): DataFrame =
+      Snapshot.dropRedundant(store, name, df, pk, updatedFlag)
+
+    def rowHashColumn(cols: Seq[String]): Column = Snapshot.rowHash(df, cols)
+
+    // ── sinks ──────────────────────────────────────────────────────────
+    def toSinger(stream: String, path: String, keyProperties: Seq[String] = Nil): Unit =
+      graft.singer.SingerWriter.write(df, stream, path, keyProperties)
+
+    def toExport(stream: String, outputDir: String, format: String = "singer",
+        keyProperties: Seq[String] = Nil): Unit =
+      graft.export.Exporter.export(df, stream, outputDir, format, keyProperties)
+
+    // ── scale operators ────────────────────────────────────────────────
+    def exactDedup(contentCols: Seq[String], orderCol: String): DataFrame =
+      Dedup.exactDedup(df, contentCols, orderCol)
+
+    def nearDedup(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame =
+      Dedup.dedupPipeline(df, idCol, textCol, threshold = threshold)
+
+    def analyzeText(textCol: String): DataFrame = TextAnalysis.analyze(df, textCol)
+
+    def topKNeighbors(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, queries, idCol, vecCol, k)
+
+    def sessionized(keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+      Analytics.sessionize(df, keyCol, tsCol, gapSeconds)
+  }
+}

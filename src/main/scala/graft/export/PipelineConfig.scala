@@ -2,6 +2,8 @@ package graft.export
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 /** Pipeline directory lifecycle + string-template variables.
   *
   * Reference: gluestick/config_utils.py:12-94 (env → ROOT_DIR and the
@@ -31,6 +33,24 @@ object PipelineConfig {
     Seq(dirs.input, dirs.output, dirs.snapshots, dirs.tmp)
       .foreach(d => Files.createDirectories(Paths.get(d)))
     dirs
+  }
+
+  /** Merge a JSON config file over defaults: keys present in the defaults
+    * keep their default when missing or empty-string in the file; a falsy /
+    * missing path returns the defaults unchanged (reference
+    * config_utils.py:97-135). */
+  def loadConfigJson(path: Option[String], defaults: Map[String, String]): Map[String, String] = {
+    val file = path.filter(_.nonEmpty).map(Paths.get(_)).filter(Files.exists(_))
+    file match {
+      case None => defaults
+      case Some(p) =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(p))
+        val fromFile = node.properties().asScala
+          .map(e => e.getKey -> (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString))
+          .toMap
+        defaults ++ fromFile.filterNot { case (k, v) => defaults.contains(k) && v.isEmpty }
+    }
   }
 
   private val JobEnvKeys = Seq("FLOW", "JOB_ID", "TAP", "CONNECTOR_ID", "TENANT", "ENV_ID")

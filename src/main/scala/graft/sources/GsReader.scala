@@ -43,7 +43,9 @@ class GsReader(
   def inputFiles(ignore: Seq[String] = Nil): Map[String, String] = {
     val p = new Path(inputDir)
     if (!fs.exists(p)) return Map.empty
-    val files = fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+    // plain files (tap output) AND directories named *.parquet/*.csv
+    // (Spark-written datasets) both count as one stream file
+    val files = fs.listStatus(p).toSeq.map(_.getPath)
       .filter(f => f.getName.endsWith(".csv") || f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     files.foldLeft(Map.empty[String, String]) { (acc, f) =>
