@@ -359,6 +359,19 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // ── scale: bucketed snapshot upsert (delta-bucket rewrite only) ──
+    "q38_bucketed_upsert" -> ((s, dir) => {
+      val store = new BucketedSnapshotStore(s,
+        java.nio.file.Files.createTempDirectory("gs_bsnap_").toString, numBuckets = 32)
+      val orders = T(s, dir, "orders")
+      val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"))
+      store.write("orders", snap, Seq("o_orderkey"))
+      store.upsert("orders", incoming, Seq("o_orderkey"))
+      store.read("orders").get.orderBy("o_orderkey")
+    }),
     // ── scale: multimodal decode + feature plumbing (rows-only) ──────
     "q37_multimodal" -> ((s, dir) => {
       val media = Multimodal.synthesize(
@@ -565,5 +578,16 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q35_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same merge semantics as q07, exercised through the bucketed store
+    "q38_bucketed_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+        |inc AS (
+        |  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM inc
+        |UNION ALL
+        |SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |ORDER BY o_orderkey""".stripMargin)
 }

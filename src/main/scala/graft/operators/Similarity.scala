@@ -86,25 +86,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** LSH-bucketed ANN: candidates only from the query's sign bucket, then
-    * exact rerank. Recall is tunable via `planes` (fewer planes → bigger
-    * buckets → higher recall, more compute). */
+  /** LSH-bucketed ANN: candidates from the query's sign bucket, then exact
+    * rerank. `multiProbe` additionally probes every bucket at Hamming
+    * distance 1 from the query's signature (planes extra buckets per
+    * query) — the standard recall/compute knob: corpus cost is unchanged
+    * (it is hashed once); only the broadcast probe set grows. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      planes: Int = 12): DataFrame = {
+      planes: Int = 12,
+      multiProbe: Boolean = true): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
       .withColumn("__bucket", signSignature(col("__cv"), planes, dim))
-    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
-      .withColumn("__bucket", signSignature(col("__qv"), planes, dim))
+    val q0 = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+      .withColumn("__sig", signSignature(col("__qv"), planes, dim))
+    val q =
+      if (!multiProbe) q0.withColumnRenamed("__sig", "__bucket")
+      else q0.withColumn("__bucket",
+          explode(array((col("__sig") +:
+            (0 until planes).map(p => col("__sig").bitwiseXOR(lit(1L << p)))): _*)))
+        .drop("__sig")
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (vector_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine"))
+      .distinct() // a pair can match via several probed buckets
     rankTopK(scored, k)
   }
 

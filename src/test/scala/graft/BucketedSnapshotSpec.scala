@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.BucketedSnapshotStore
+import org.apache.spark.sql.functions._
+
+class BucketedSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed upsert merges by pk and only touches delta buckets") {
+    val store = new BucketedSnapshotStore(spark, tmpDir("bsnap_"), numBuckets = 16)
+    val base = (1 to 1000).map(i => (i, s"v$i")).toDF("id", "v")
+    store.write("t", base, Seq("id"))
+    // delta hits a handful of keys → only their buckets rewrite
+    val delta = Seq((5, "NEW5"), (700, "NEW700"), (1001, "NEW1001")).toDF("id", "v")
+    val touched = store.upsert("t", delta, Seq("id"))
+    assert(touched <= 3 && touched >= 1)
+    val out = store.read("t").get
+    assert(out.count() === 1001)
+    val m = out.filter(col("id").isin(5, 700, 1001)).orderBy("id")
+      .collect().map(_.getString(1))
+    assert(m.toSeq === Seq("NEW5", "NEW700", "NEW1001"))
+    assert(out.filter(col("id") === 6).first().getString(1) === "v6")
+  }
+
+  test("bucketed upsert matches flat upsert semantics") {
+    val store = new BucketedSnapshotStore(spark, tmpDir("bsnap_"), numBuckets = 8)
+    val snap = (1 to 500).map(i => (i, i * 10)).toDF("id", "x")
+    val delta = (250 to 600).map(i => (i, -i)).toDF("id", "x")
+    store.write("t", snap, Seq("id"))
+    store.upsert("t", delta, Seq("id"))
+    val bucketed = store.read("t").get.orderBy("id").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val flat = graft.operators.Snapshot.upsert(Some(snap), delta, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(bucketed.toSeq === flat.toSeq)
+  }
+
+  test("readForKeys prunes to the requested keys' buckets") {
+    val store = new BucketedSnapshotStore(spark, tmpDir("bsnap_"), numBuckets = 16)
+    store.write("t", (1 to 1000).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val wanted = Seq(3, 500, 999).toDF("id")
+    val got = store.readForKeys("t", wanted, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((3, "v3"), (500, "v500"), (999, "v999")))
+  }
+
+  test("multi-probe LSH recall beats single-probe on the same data") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val brute = graft.operators.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(multiProbe: Boolean): Double = {
+      val got = graft.operators.Similarity
+        .lshTopK(e, q, "vec_id", "embedding", 10, planes = 8, multiProbe = multiProbe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (got.isEmpty) 0.0 else got.count(brute.contains).toDouble / brute.size
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(multi >= single, s"multi-probe ($multi) should not lose to single ($single)")
+    // probing 9/256 buckets ≈ 3.5% chance baseline on structure-free
+    // random vectors; require comfortably above it
+    assert(multi > 0.05, s"multi-probe recall no better than chance: $multi")
+  }
+}
