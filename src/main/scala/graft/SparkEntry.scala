@@ -372,6 +372,25 @@ object SparkEntry {
       store.upsert("orders", incoming, Seq("o_orderkey"))
       store.read("orders").get.orderBy("o_orderkey")
     }),
+    // ── scale: exact n-gram jaccard (oracle-checked similarity math) ─
+    "q39_ngram_jaccard" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      import s.implicits._
+      val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      Dedup.jaccardForPairs(d, pairs, "doc_id", "text", shingleSize = 1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+    // ── scale: embedding near-dup pairs (rows-only) ──────────────────
+    "q40_embedding_neardup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupPairs(e.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.999, planes = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     // ── scale: multimodal decode + feature plumbing (rows-only) ──────
     "q37_multimodal" -> ((s, dir) => {
       val media = Multimodal.synthesize(
@@ -589,5 +608,16 @@ object SparkEntry {
         |SELECT * FROM inc
         |UNION ALL
         |SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q39_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+        |    AS jaccard
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 50 ORDER BY id_a""".stripMargin)
 }
