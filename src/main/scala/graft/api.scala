@@ -10,13 +10,31 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object api {
 
   /** Folder of `Entity-<ts>.csv` files → stream-named DataFrames
-    * (reference read_csv_folder, etl_utils.py:23-93). */
-  def readCsvFolder(spark: SparkSession, path: String, ignore: Seq[String] = Nil): Map[String, DataFrame] = {
+    * (reference read_csv_folder, etl_utils.py:23-93). `converters` maps
+    * stream → column → Column transform, applied post-read — the analogue
+    * of the reference's per-entity `read_csv` converters (its canonical
+    * use, `ast.literal_eval` on stringified objects, is `parsePyObjects`). */
+  def readCsvFolder(
+      spark: SparkSession,
+      path: String,
+      converters: Map[String, Map[String, Column => Column]] = Map.empty,
+      ignore: Seq[String] = Nil): Map[String, DataFrame] = {
     val reader = new graft.sources.GsReader(spark, path)
     reader.inputFiles(ignore).collect {
-      case (stream, file) if file.endsWith(".csv") => stream -> reader.get(stream).get
+      case (stream, file) if file.endsWith(".csv") =>
+        val df = reader.get(stream).get
+        val converted = converters.getOrElse(stream, Map.empty).foldLeft(df) {
+          case (d, (c, f)) if d.columns.contains(c) =>
+            d.withColumn(c, f(org.apache.spark.sql.functions.col(s"`$c`")))
+          case (d, _) => d
+        }
+        stream -> converted
     }
   }
+
+  /** The `ast.literal_eval` converter: normalize a stringified python
+    * object column to strict JSON (ready for the explode operators). */
+  val parsePyObjects: Column => Column = graft.functions.PyLiteral.parse_py_literal
 
   /** Same for parquet (reference read_parquet_folder, etl_utils.py:96-149). */
   def readParquetFolder(spark: SparkSession, path: String, ignore: Seq[String] = Nil): Map[String, DataFrame] = {

@@ -70,6 +70,11 @@ object Multimodal {
         payload, i * sz, math.min(payload.length, (i + 1) * sz)))
     }
 
+    /** Batch entry point a real encoder would implement (one model call
+      * per batch). Stub: per-item features. */
+    def featuresBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map(features)
+
     /** REAL IMPL WOULD: run a vision/audio encoder. Stub: a deterministic
       * 16-dim feature vector from byte statistics. */
     def features(payload: Array[Byte]): Array[Float] = {
@@ -105,16 +110,25 @@ object Multimodal {
     }(enc)
   }
 
-  /** Feature-extraction pass → `features: array<float>` column. */
-  def extractFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+  /** Feature-extraction pass → `features: array<float>` column.
+    *
+    * Batched like mapInPandas: rows are processed `batchSize` at a time so
+    * a real encoder can amortize model invocation over the batch (the
+    * stub's batch API is a map, but the batching plumbing — grouping,
+    * order preservation, last-partial-batch — is the real contract). */
+  def extractFeatures(df: DataFrame, payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.get(idx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ DeterministicFakeCodec.features(payload).toSeq)
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = DeterministicFakeCodec.featuresBatch(
+          batch.map(_.get(idx).asInstanceOf[Array[Byte]]))
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
       }
     }(enc)
   }

@@ -62,4 +62,18 @@ class ApiSpec extends SparkSpec {
     assert(merged === Map("a" -> "file", "b" -> "d2", "c" -> "d3", "extra" -> "x"))
     assert(PipelineConfig.loadConfigJson(None, Map("x" -> "1")) === Map("x" -> "1"))
   }
+
+  test("readCsvFolder applies per-stream column converters") {
+    val dir = tmpDir("conv_")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/Invoice-20240101T000000.csv"),
+      "id,Line\n1,\"[{'Amount': 5}]\"\n")
+    val streams = readCsvFolder(spark, dir,
+      converters = Map("Invoice" -> Map("Line" -> parsePyObjects)))
+    val line = streams("Invoice").select("Line").first().getString(0)
+    assert(line === """[{"Amount": 5}]""")
+    // converted column feeds straight into the explode operator
+    val exploded = streams("Invoice").explodeJsonToRows("Line")
+    assert(exploded.columns.contains("Line.Amount"))
+  }
 }
