@@ -43,7 +43,8 @@ object Explode {
       column: String,
       drop: Boolean = true,
       catalog: Option[CatalogReader.StreamCatalog] = None,
-      samplingRatio: Double = 1.0): DataFrame = {
+      samplingRatio: Double = 1.0,
+      maxLevel: Int = 1): DataFrame = {
     val normalized = parse_py_literal(col(column).cast(StringType))
     // wrap non-list values into a one-element list (reference :219-224)
     val wrapped = when(normalized.isNull || normalized === "", lit(null).cast(StringType))
@@ -62,8 +63,23 @@ object Explode {
       .map(c => col(quoted(c)))
     val flat = elemType.fields.map(f =>
       col(s"__gs_elem.${quoted(f.name)}").as(s"$column.${f.name}"))
-    val out = parsed.select((keep ++ flat).toIndexedSeq: _*)
+    val out0 = parsed.select((keep ++ flat).toIndexedSeq: _*)
+    // deeper flattening: nested structs unfold one dotted level per pass
+    // (reference nested_to_record max_level, pandas_utils.py:253-260)
+    val out = (1 until maxLevel).foldLeft(out0)((d, _) => flattenStructsOneLevel(d))
     catalog.map(cat => enforceExplodedColTypes(out, column, cat)).getOrElse(out)
+  }
+
+  /** Unfold every struct-typed column into `parent.child` columns (one
+    * level); non-struct columns pass through. */
+  def flattenStructsOneLevel(df: DataFrame): DataFrame = {
+    if (!df.schema.fields.exists(_.dataType.isInstanceOf[StructType])) return df
+    val cols: Seq[Column] = df.schema.fields.toSeq.flatMap {
+      case StructField(name, st: StructType, _, _) =>
+        st.fields.toSeq.map(f => col(s"${quoted(name)}.${quoted(f.name)}").as(s"$name.${f.name}"))
+      case f => Seq(col(quoted(f.name)))
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 
   /** Unnest a stringified-object column into `col.key` columns; key set is

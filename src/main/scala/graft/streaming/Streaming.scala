@@ -62,23 +62,26 @@ object Streaming {
   case class SessionState(start: Long, lastSeen: Long, count: Long)
   case class SessionOut(key: Long, start: java.sql.Timestamp, end: java.sql.Timestamp, events: Long)
 
-  /** Session windows via custom keyed state: sessions close after
-    * `gapMs` of inactivity (processing-time timeout). Demonstrates the
-    * flatMapGroupsWithState escape hatch for semantics the built-in
+  /** Session windows via custom keyed state: a session closes once the
+    * event-time watermark passes `lastSeen + gapMs` (event-time timeout —
+    * deterministic under replay, unlike wall-clock timeouts). Demonstrates
+    * the flatMapGroupsWithState escape hatch for semantics the built-in
     * window functions can't express. */
   def sessionize(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
-      gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+      gapMs: Long,
+      watermark: String = "10 seconds"): org.apache.spark.sql.Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .select(col(keyCol).cast("long").as("k"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -91,7 +94,7 @@ object Streaming {
             val start = prev.map(_.start).getOrElse(times.min)
             val last = math.max(prev.map(_.lastSeen).getOrElse(Long.MinValue), times.max)
             state.update(SessionState(start, last, prev.map(_.count).getOrElse(0L) + times.size))
-            state.setTimeoutDuration(gapMs)
+            state.setTimeoutTimestamp(last + gapMs)
             Iterator.empty
           }
       }

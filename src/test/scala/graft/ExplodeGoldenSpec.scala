@@ -119,4 +119,14 @@ class ExplodeGoldenSpec extends SparkSpec {
       .first().getMap[String, String](0)
     assert(m === Map("a" -> "1", "b" -> "2"))
   }
+
+  test("explode_json_to_rows maxLevel=2 flattens nested objects one level deeper") {
+    import spark.implicits._
+    val df = Seq(("a", "[{'Id': 1, 'Meta': {'x': 'X', 'y': 2}}]")).toDF("k", "v")
+    val l1 = Explode.explodeJsonToRows(df, "v", maxLevel = 1)
+    assert(l1.schema("v.Meta").dataType.typeName === "struct")
+    val l2 = Explode.explodeJsonToRows(df, "v", maxLevel = 2)
+    assert(l2.columns.toSet === Set("k", "v.Id", "v.Meta.x", "v.Meta.y"))
+    assert(l2.select("`v.Meta.x`").first().getString(0) === "X")
+  }
 }

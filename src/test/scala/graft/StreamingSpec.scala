@@ -63,4 +63,30 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("dd").select("id").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
   }
+
+  test("streaming sessionize closes sessions once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = Streaming.sessionize(
+      mem.toDF.toDF("user_id", "ts"), "user_id", "ts",
+      gapMs = 60000, watermark = "10 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt_sess_"))
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      mem.addData((7L, ts("2024-01-01 00:00:01")), (7L, ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      // advance event time far past user 7's gap; watermark moves, then
+      // the following batch fires the timeout
+      mem.addData((8L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(out.contains((7L, 2L)), s"expected user 7's closed 2-event session, got ${out.toSeq}")
+    } finally q.stop()
+  }
 }
