@@ -83,7 +83,9 @@ object SparkEntry {
       val withLine = T(s, dir, "events").withColumn("line",
         concat(lit("[{'n': 1, 'v': '"), col("event_type"),
           lit("'}, {'n': 2, 'v': '"), col("event_type"), lit("'}]")))
-      Explode.explodeJsonToRows(withLine, "line")
+      // keys are uniform across rows → sampled inference is exact and
+      // skips a full scan (PLANS.md scale note)
+      Explode.explodeJsonToRows(withLine, "line", samplingRatio = 0.2)
         .select(col("event_id"), col("`line.n`"), col("`line.v`"))
         .orderBy(col("event_id"), col("`line.n`"))
     }),
