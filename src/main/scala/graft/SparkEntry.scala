@@ -393,6 +393,37 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: full dedup pipeline, exact → minhash (rows-only) ──────
+    "q41_dedup_pipeline" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val exactDup = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val nearDup = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" tail tokens appended")).as("text"))
+      Dedup.dedupPipeline(d.unionByName(exactDup).unionByName(nearDup),
+          "doc_id", "text", threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // ── scale: salted join equals plain join (skew fallback) ─────────
+    "q42_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_name")
+      Analytics.saltedJoin(li, sup.withColumnRenamed("s_suppkey", "l_suppkey"),
+          Seq("l_suppkey"), saltBuckets = 8)
+        .select("l_orderkey", "l_linenumber", "s_name")
+        .orderBy("l_orderkey", "l_linenumber", "s_name")
+    }),
+    // ── scale: winnowed k-gram fingerprints (rows-only) ──────────────
+    "q43_winnowed_fingerprints" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokensCol(col("text")).as("__toks"))
+        .select(col("doc_id"), TextAnalysis.kgramHashes(col("__toks")).as("__hashes"))
+        .select(col("doc_id"),
+          size(TextAnalysis.winnowFromHashes(col("__hashes"))).as("n_fingerprints"))
+        .orderBy("doc_id")
+    }),
     // ── scale: multimodal decode + feature plumbing (rows-only) ──────
     "q37_multimodal" -> ((s, dir) => {
       val media = Multimodal.synthesize(
@@ -611,6 +642,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
         |ORDER BY o_orderkey""".stripMargin,
+    "q42_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber, s_name""".stripMargin,
     "q39_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

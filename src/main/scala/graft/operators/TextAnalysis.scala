@@ -70,16 +70,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+", " "))
 
-  /** Rolling-hash k-gram fingerprint set (winnowing-lite): hashes of all
-    * word k-grams, keeping the per-window minimum (window = `window`
-    * consecutive k-grams). Output: array<long> per row. */
-  def winnowedFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
-    val grams = Dedup.shingles(text, k)
-    val hashes = transform(grams, g => xxhash64(g))
+  /** k-gram hash array for winnowing. Materialize this in its own
+    * projection before calling winnowFromHashes — referencing a non-
+    * trivial expression from inside the winnow lambda would re-inline
+    * the whole shingle+hash pipeline per window position. */
+  def kgramHashes(tokens: Column, k: Int = 5): Column =
+    transform(Dedup.shinglesOf(tokens, k), g => xxhash64(g))
+
+  /** Winnowing over a MATERIALIZED hash-array column: per-window minima
+    * (window = `window` consecutive k-grams), deduplicated. */
+  def winnowFromHashes(hashes: Column, window: Int = 4): Column = {
     val nWin = greatest(size(hashes) - (window - 1), lit(1))
     array_distinct(transform(sequence(lit(0), nWin - 1),
       i => array_min(slice(hashes, i + 1, lit(window)))))
   }
+
+  /** Rolling-hash k-gram fingerprint set (winnowing-lite): hashes of all
+    * word k-grams, keeping the per-window minimum. Convenience form over a
+    * token-array column; pipelines should materialize kgramHashes first. */
+  def winnowedFingerprints(tokens: Column, k: Int = 5, window: Int = 4): Column =
+    winnowFromHashes(kgramHashes(tokens, k), window)
 
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
