@@ -85,11 +85,19 @@ object TextAnalysis {
       i => array_min(slice(hashes, i + 1, lit(window)))))
   }
 
-  /** Rolling-hash k-gram fingerprint set (winnowing-lite): hashes of all
-    * word k-grams, keeping the per-window minimum. Convenience form over a
-    * token-array column; pipelines should materialize kgramHashes first. */
-  def winnowedFingerprints(tokens: Column, k: Int = 5, window: Int = 4): Column =
-    winnowFromHashes(kgramHashes(tokens, k), window)
+  /** Rolling-hash k-gram fingerprint set (winnowing-lite) over a documents
+    * frame: materializes the token and hash arrays in their own projections
+    * (see kgramHashes), then winnows. Adds `outCol: array<long>`. */
+  def winnowedFingerprints(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      outCol: String = "fingerprints",
+      k: Int = 5,
+      window: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn("__gs_toks", Dedup.tokensCol(col(textCol)))
+      .withColumn("__gs_kgh", kgramHashes(col("__gs_toks"), k))
+      .withColumn(outCol, winnowFromHashes(col("__gs_kgh"), window))
+      .drop("__gs_toks", "__gs_kgh")
 
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =

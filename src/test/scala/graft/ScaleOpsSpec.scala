@@ -136,9 +136,8 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("winnowed fingerprints overlap heavily for near-dup docs") {
-    val df = docsDf.select($"doc_id", Dedup.tokensCol($"text").as("toks"))
-      .select($"doc_id",
-        TextAnalysis.winnowedFingerprints($"toks", k = 3, window = 3).as("fp"))
+    val df = TextAnalysis.winnowedFingerprints(docsDf, "text", "fp", k = 3, window = 3)
+      .select("doc_id", "fp")
     val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val overlap = m(1L).intersect(m(2L)).size.toDouble / m(1L).union(m(2L)).size
     assert(overlap > 0.5)
