@@ -122,6 +122,35 @@ class SingerWriterSpec extends SparkSpec {
     assert(props.get("amount").get("type").get(0).asText() === "number")
     assert(props.get("issued").get("format").asText() === "date-time")
   }
+
+  test("export round-trip matches golden campaign_performance parquet/csv values") {
+    val reader = new GsReader(spark, refData("input"))
+    val df = reader.get("campaign_performance").get
+    val out = tmpDir("export_rt_")
+    graft.export.Exporter.export(df, "campaign_performance", out, format = "parquet")
+    graft.export.Exporter.export(df, "cp_csv", out, format = "csv")
+
+    def norm(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = d.columns.sorted
+      d.select(cols.map(c => col(s"`$c`").cast("string")): _*)
+        .collect().toSeq.map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "NULL" else {
+            val v = r.getString(i)
+            // golden stores float32 values promoted to float64; align both
+            // sides to float32 precision before comparing
+            try { "%.4f".format(v.toFloat.toDouble) } catch { case _: Exception => v }
+          })).sortBy(_.mkString("\u0001"))
+    }
+    val goldenPq = spark.read.parquet(refData("output/campaign_performance_parquet.parquet"))
+    val minePq = spark.read.parquet(s"$out/campaign_performance")
+    assert(minePq.columns.sorted.toSeq === goldenPq.columns.sorted.toSeq)
+    assert(norm(minePq) === norm(goldenPq))
+
+    val goldenCsv = spark.read.option("header", "true").csv(refData("output/campaign_performance_csv.csv"))
+    val mineCsv = spark.read.option("header", "true").csv(s"$out/cp_csv")
+    assert(mineCsv.columns.sorted.toSeq === goldenCsv.columns.sorted.toSeq)
+    assert(norm(mineCsv) === norm(goldenCsv))
+  }
 }
 
 object SingerWriterSpec {
