@@ -415,6 +415,18 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "s_name")
         .orderBy("l_orderkey", "l_linenumber", "s_name")
     }),
+    // ── analytics: as-of join (point-in-time lookup) ─────────────────
+    "q44_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      // "profile updates": a sparse subset of events carries a new value
+      val updates = ev.filter(col("event_id") % 37 === 0)
+        .select(col("user_id"), col("ts").as("upd_ts"), col("value").as("upd_value"))
+      val probes = ev.filter(col("event_id") % 5 === 0)
+        .select("event_id", "user_id", "ts")
+      Analytics.asofJoin(probes, updates, Seq("user_id"), "ts", "upd_ts", Seq("upd_value"))
+        .select(col("event_id"), col("user_id"), col("upd_value"))
+        .orderBy("event_id")
+    }),
     // ── scale: winnowed k-gram fingerprints (rows-only) ──────────────
     "q43_winnowed_fingerprints" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -647,6 +659,17 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_linenumber, s_name""".stripMargin,
+    "q44_asof_join" ->
+      """WITH updates AS (
+        |  SELECT user_id, ts AS upd_ts, value AS upd_value
+        |  FROM events WHERE event_id % 37 = 0),
+        |probes AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0)
+        |SELECT p.event_id, p.user_id, u.upd_value
+        |FROM probes p
+        |ASOF LEFT JOIN updates u
+        |  ON p.user_id = u.user_id AND p.ts >= u.upd_ts
+        |ORDER BY p.event_id""".stripMargin,
     "q39_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

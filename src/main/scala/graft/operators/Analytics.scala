@@ -83,6 +83,43 @@ object Analytics {
     (a.repartition(partitions, keys.map(col): _*),
      b.repartition(partitions, keys.map(col): _*))
 
+  /** As-of join: for each left row, attach the latest right row with
+    * `rightTs <= leftTs` for the same key (point-in-time lookup — the
+    * canonical operator Spark lacks natively).
+    *
+    * Composed, not a custom SparkPlan: union the two sides tagged, one
+    * window per key ordered by (ts, side) carrying the right side's values
+    * forward via last_value(ignoreNulls). ONE shuffle on the key — the
+    * same cost as the sort-merge join a native implementation would do;
+    * no range-condition explosion, no broadcast requirement on either
+    * side. Ties (rightTs == leftTs) match, like DuckDB/kdb asof. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+    val lAligned = valueCols.foldLeft(l)((d, c) =>
+      d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+    val r0 = right.select((keyCols.map(col) :+ col(rightTs).as("__ts")) ++
+      valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val rAligned = left.columns.foldLeft(r0.withColumn("__side", lit(0)))((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lAligned.unionByName(rAligned, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts → ties match
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(s"__v_$c"), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .drop(("__side" +: "__ts" +: valueCols.map(c => s"__v_$c")): _*)
+  }
+
   /** Top-k rows per group by `orderBy` (deterministic: pass tiebreakers). */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)

@@ -71,4 +71,21 @@ class AnalyticsSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles <= 2, s"unexpected extra shuffles:\n$plan")
   }
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val probes = Seq(
+      (1L, ts("2024-01-01 00:00:05")), // after u1 → 10.0
+      (1L, ts("2024-01-01 00:00:10")), // tie with u2 → 20.0 (ties match)
+      (1L, ts("2024-01-01 00:00:03")), // before any update → null
+      (2L, ts("2024-01-01 00:00:30"))  // other key, no updates → null
+    ).toDF("user_id", "ts")
+    val updates = Seq(
+      (1L, ts("2024-01-01 00:00:04"), 10.0),
+      (1L, ts("2024-01-01 00:00:10"), 20.0)
+    ).toDF("user_id", "upd_ts", "v")
+    val out = Analytics.asofJoin(probes, updates, Seq("user_id"), "ts", "upd_ts", Seq("v"))
+      .orderBy("user_id", "ts").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getDouble(2))
+    assert(out.toSeq === Seq(null, 10.0, 20.0, null))
+  }
 }
