@@ -137,25 +137,49 @@ object PyStr {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types._
 
-  /** Python str() of a float (shortest round-trip repr; Python switches to
-    * exponent below 1e-4 and at/above 1e16). */
+  /** Python str() of a float: shortest round-trip digits, switching to
+    * exponent notation only below 1e-4 or at/above 1e16 (Java's
+    * Double.toString switches at 1e-3/1e7, so its exponent forms inside
+    * Python's plain-decimal band are re-expanded digit-wise). */
   def floatRepr(d: Double): String = {
     if (d.isNaN) return "nan"
     if (d.isInfinite) return if (d > 0) "inf" else "-inf"
     val abs = math.abs(d)
     if (d == math.rint(d) && abs < 1e16) {
-      // integral-valued: Python prints 2.0, -3.0
       val l = d.toLong
       s"$l.0"
     } else {
-      val j = java.lang.Double.toString(d) // shortest round-trip, like repr()
-      if (j.contains("E")) {
-        // Java 1.234E-5 → Python 1.234e-05
-        val Array(m, e) = j.split("E")
+      val j = java.lang.Double.toString(d) // shortest round-trip digits
+      if (!j.contains("E")) j
+      else {
+        val Array(m0, e) = j.split("E")
         val exp = e.toInt
-        val mantissa = if (m.endsWith(".0")) m.dropRight(2) else m
-        f"${mantissa}e${if (exp < 0) "-" else "+"}${math.abs(exp)}%02d"
-      } else j
+        val pythonPlain = abs >= 1e-4 && abs < 1e16
+        if (!pythonPlain) {
+          val mantissa = if (m0.endsWith(".0")) m0.dropRight(2) else m0
+          f"${mantissa}e${if (exp < 0) "-" else "+"}${math.abs(exp)}%02d"
+        } else {
+          // shift the decimal point by exp to render without exponent
+          val neg = m0.startsWith("-")
+          val digits0 = m0.stripPrefix("-")
+          val dot = digits0.indexOf('.')
+          val digits = digits0.replace(".", "")
+          val pointPos = dot + exp // digits before the decimal point
+          val plain =
+            if (pointPos <= 0) "0." + ("0" * -pointPos) + digits
+            else if (pointPos >= digits.length)
+              digits + ("0" * (pointPos - digits.length)) + ".0"
+            else digits.substring(0, pointPos) + "." + digits.substring(pointPos)
+          val trimmed =
+            if (plain.contains('.'))
+              plain.reverse.dropWhile(_ == '0').reverse match {
+                case s if s.endsWith(".") => s + "0"
+                case s                    => s
+              }
+            else plain
+          (if (neg) "-" else "") + trimmed
+        }
+      }
     }
   }
 
@@ -169,8 +193,13 @@ object PyStr {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
       c.cast(StringType)
     case TimestampType | TimestampNTZType =>
-      // pandas str(Timestamp utc) = "2024-01-01 00:09:58.778549+00:00"
-      concat(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00:00"))
+      // pandas str(Timestamp utc) = "2024-01-01 00:09:58.778549+00:00",
+      // but OMITS the fraction entirely on whole seconds
+      concat(
+        when(unix_micros(c.cast(TimestampType)) % 1000000L === 0L,
+          date_format(c, "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+        lit("+00:00"))
     case DateType => date_format(c, "yyyy-MM-dd")
     case _        => c.cast(StringType)
   }

@@ -69,6 +69,12 @@ object Analytics {
       keys: Seq[String],
       saltBuckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched small-side row once per
+    // salt replica — only shapes where the replicated side never surfaces
+    // unmatched rows are sound
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi, not $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(saltBuckets)))
     val replicatedSmall = small.withColumn("__salt",
@@ -110,14 +116,21 @@ object Analytics {
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = lAligned.unionByName(rAligned, allowMissingColumns = true)
+    // Carry the matched right ROW as one struct (null only on left rows):
+    // per-column carry with ignoreNulls would skip a matched row whose
+    // value is genuinely NULL and mix values from different right rows.
+    val rightRow = when(col("__side") === 0,
+      struct(valueCols.map(c => col(s"__v_$c").as(c)): _*))
     // right rows sort before left rows at equal ts → ties match
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(s"__v_$c"), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1)
-      .drop(("__side" +: "__ts" +: valueCols.map(c => s"__v_$c")): _*)
+    val carried = unioned
+      .withColumn("__match", last(rightRow, ignoreNulls = true).over(w))
+    val extracted = valueCols.foldLeft(carried)((d, c) =>
+      d.withColumn(c, col(s"__match.`$c`")))
+    extracted.filter(col("__side") === 1)
+      .drop(("__side" +: "__ts" +: "__match" +: valueCols.map(c => s"__v_$c")): _*)
   }
 
   /** Top-k rows per group by `orderBy` (deterministic: pass tiebreakers). */

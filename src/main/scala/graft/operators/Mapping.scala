@@ -42,8 +42,52 @@ object Mapping {
     val mapping = jackson.readTree(mappingJson)
     require(mapping.isObject, "mapping must be a JSON object")
     var cur = df
-    var outCols = Vector.empty[(String, Column)]
     var pickIdx = 0
+    // picks can appear at ANY depth of the mapping (the reference resolves
+    // them recursively) — collect and join them all up front, remembering
+    // each pick node's temp column
+    val pickTags = new java.util.IdentityHashMap[JsonNode, String]()
+
+    def joinPick(node: JsonNode): Unit = {
+      val p = node.get("pick")
+      val objects = p.get("objects").asText()
+      otherData.get(objects).foreach { lookup0 =>
+        val idField = p.get("id_field").asText()
+        val filterIds = p.get("filter_ids").asText().stripPrefix("rec.")
+        val partitionKey = Option(p.get("partition_key")).filterNot(_.isNull).map(_.asText())
+        val isList = Option(p.get("is_list")).exists(_.asBoolean())
+        val tf = p.get("target_fields")
+        val targetFields: Seq[String] =
+          if (tf.isArray) tf.elements().asScala.map(_.asText()).toSeq else Seq(tf.asText())
+        val valueCol: Column =
+          if (tf.isArray) struct(targetFields.map(c => col(s"`$c`").as(c)): _*)
+          else col(s"`${targetFields.head}`")
+        val joinKeys = idField +: partitionKey.toSeq
+        val tag = s"__gs_pick_$pickIdx"; pickIdx += 1
+        val prepared =
+          if (isList)
+            lookup0.groupBy(joinKeys.map(c => col(s"`$c`")): _*)
+              .agg(collect_list(valueCol).as(tag))
+          else
+            Snapshot.dedupKeepLast(lookup0, joinKeys)
+              .select((joinKeys.map(c => col(s"`$c`")) :+ valueCol.as(tag)): _*)
+        val cond = (cur(s"`$filterIds`") === prepared(s"`$idField`")) +:
+          partitionKey.toSeq.map(k => cur(s"`$k`") === prepared(s"`$k`"))
+        cur = cur.join(broadcast(prepared), cond.reduce(_ && _), "left")
+          .drop(prepared(s"`$idField`"))
+        partitionKey.foreach(k => cur = cur.drop(prepared(s"`$k`")))
+        pickTags.put(node, tag)
+      }
+    }
+
+    def collectPicks(node: JsonNode): Unit = node match {
+      case o if o.isObject && o.has("pick") => joinPick(o)
+      case o if o.isObject =>
+        o.properties().asScala.foreach(e => collectPicks(e.getValue))
+      case a if a.isArray => a.elements().asScala.foreach(collectPicks)
+      case _              =>
+    }
+    mapping.properties().asScala.foreach(e => collectPicks(e.getValue))
 
     def compile(node: JsonNode): Option[Column] = node match {
       case s if s.isTextual =>
@@ -56,7 +100,8 @@ object Mapping {
         val asCf = Option(p.get("return_as_cf")).exists(_.asBoolean())
         if (asCf) Some(Ops.customFieldsArray(matched))
         else Some(struct(matched.map(c => col(s"`$c`").as(c)): _*))
-      case o if o.isObject && o.has("pick") => None // handled via joins below
+      case o if o.isObject && o.has("pick") =>
+        Option(pickTags.get(o)).map(t => col(s"`$t`"))
       case o if o.isObject =>
         val entries = o.properties().asScala.toSeq.flatMap { e =>
           compile(e.getValue).map(_.as(e.getKey))
@@ -68,51 +113,14 @@ object Mapping {
       case _ => None
     }
 
-    mapping.properties().asScala.toSeq.foreach { e =>
-      val key = e.getKey
-      val value = e.getValue
-      if (value.isObject && value.has("pick")) {
-        val p = value.get("pick")
-        val objects = p.get("objects").asText()
-        otherData.get(objects).foreach { lookup0 =>
-          val idField = p.get("id_field").asText()
-          val filterIds0 = p.get("filter_ids").asText()
-          val filterIds = filterIds0.stripPrefix("rec.") // id comes from current row
-          val partitionKey = Option(p.get("partition_key")).filterNot(_.isNull).map(_.asText())
-          val isList = Option(p.get("is_list")).exists(_.asBoolean())
-          val tf = p.get("target_fields")
-          val targetFields: Seq[String] =
-            if (tf.isArray) tf.elements().asScala.map(_.asText()).toSeq else Seq(tf.asText())
-          val valueCol: Column =
-            if (tf.isArray) struct(targetFields.map(c => col(s"`$c`").as(c)): _*)
-            else col(s"`${targetFields.head}`")
-          val joinKeys = idField +: partitionKey.toSeq
-          val tag = s"__gs_pick_$pickIdx"; pickIdx += 1
-          val prepared =
-            if (isList)
-              lookup0.groupBy(joinKeys.map(c => col(s"`$c`")): _*)
-                .agg(collect_list(valueCol).as(tag))
-            else
-              Snapshot.dedupKeepLast(lookup0, joinKeys)
-                .select((joinKeys.map(c => col(s"`$c`")) :+ valueCol.as(tag)): _*)
-          val cond = (cur(s"`$filterIds`") === prepared(s"`$idField`")) +:
-            partitionKey.toSeq.map(k => cur(s"`$k`") === prepared(s"`$k`"))
-          cur = cur.join(broadcast(prepared), cond.reduce(_ && _), "left")
-            .drop(prepared(s"`$idField`"))
-          partitionKey.foreach(k => cur = cur.drop(prepared(s"`$k`")))
-          outCols :+= (key, col(tag))
-        }
-      } else {
-        compile(value).foreach(c => outCols :+= (key, c))
-      }
+    val outCols = mapping.properties().asScala.toSeq.flatMap { e =>
+      compile(e.getValue).map(c => e.getKey -> c)
     }
-
     val renames = outCols.map { case (k, c) => c.as(k) }
     if (project) cur.select(renames: _*)
     else {
       val out = outCols.foldLeft(cur) { case (d, (k, c)) => d.withColumn(k, c) }
-      out.drop(outCols.map(_._1).filter(_.startsWith("__gs_pick_")): _*)
-        .drop((0 until pickIdx).map(i => s"__gs_pick_$i"): _*)
+      out.drop((0 until pickIdx).map(i => s"__gs_pick_$i"): _*)
     }
   }
 

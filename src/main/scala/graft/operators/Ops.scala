@@ -55,8 +55,9 @@ object Ops {
       regex: String,
       returnAsCf: Boolean = false,
       cfColumn: String = "custom_fields"): DataFrame = {
+    // reference uses re.match → anchored at the start, not search-anywhere
     val re = regex.r
-    val matched = df.columns.filter(c => re.findFirstIn(c).isDefined).toIndexedSeq
+    val matched = df.columns.filter(c => re.findPrefixOf(c).isDefined).toIndexedSeq
     if (!returnAsCf) df.select(matched.map(c => col(quoted(c))): _*)
     else df.withColumn(cfColumn, customFieldsArray(matched))
       .select(col(cfColumn))

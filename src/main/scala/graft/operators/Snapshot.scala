@@ -148,10 +148,14 @@ object Snapshot {
   def dropRedundant(
       store: SnapshotStore,
       name: String,
-      df: DataFrame,
+      df0: DataFrame,
       pk: Seq[String],
       updatedFlag: Boolean = false): DataFrame = {
-    val hashed = df.withColumn("hash", rowHash(df, df.columns.filterNot(pk.contains).toSeq))
+    // reference: pk-dedup first, then hash over ALL sorted columns
+    // including the pk (etl_utils.py:325-337) — hash-snapshot files stay
+    // interchangeable with reference-written ones
+    val df = if (pk.nonEmpty) df0.dropDuplicates(pk) else df0
+    val hashed = df.withColumn("hash", rowHash(df, df.columns.toSeq))
     val hashName = s"$name.hash"
     val prior = store.read(hashName)
     val fresh = prior match {

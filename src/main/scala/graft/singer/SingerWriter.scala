@@ -149,14 +149,20 @@ object SingerWriter {
       stream: String,
       dir: String,
       keyProperties: Seq[String] = Nil): Unit = {
-    import java.nio.charset.StandardCharsets.UTF_8
-    import java.nio.file.{Files, Paths}
+    import org.apache.hadoop.fs.Path
     df.select(recordLine(df, stream).as("value"))
       .write.mode("overwrite").text(s"$dir/records")
-    Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(s"$dir/_schema.singer"),
-      (schemaMessage(stream, df.schema, keyProperties) + "\n").getBytes(UTF_8))
-    Files.write(Paths.get(s"$dir/_state.singer"),
-      (stateMessage() + "\n").getBytes(UTF_8))
+    // sidecars through the same Hadoop filesystem as the record parts —
+    // java.nio would silently write to a local path for hdfs://, s3a://, …
+    val base = new Path(dir)
+    val fs = base.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new Path(base, name), true)
+      try out.write((content + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put("_schema.singer", schemaMessage(stream, df.schema, keyProperties))
+    put("_state.singer", stateMessage())
   }
 }

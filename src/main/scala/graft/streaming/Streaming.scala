@@ -94,7 +94,11 @@ object Streaming {
             val start = prev.map(_.start).getOrElse(times.min)
             val last = math.max(prev.map(_.lastSeen).getOrElse(Long.MinValue), times.max)
             state.update(SessionState(start, last, prev.map(_.count).getOrElse(0L) + times.size))
-            state.setTimeoutTimestamp(last + gapMs)
+            // a late event can put last+gap at or behind the watermark,
+            // where setTimeoutTimestamp throws and kills the query — clamp
+            // forward so the stale session times out on the next batch
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(last + gapMs, wm + 1))
             Iterator.empty
           }
       }

@@ -88,4 +88,20 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => if (r.isNullAt(2)) null else r.getDouble(2))
     assert(out.toSeq === Seq(null, 10.0, 20.0, null))
   }
+
+  test("asofJoin returns NULL from a matched right row whose value is null") {
+    val probes = Seq((1L, ts("2024-01-01 00:00:05"))).toDF("user_id", "ts")
+    val updates = Seq(
+      (1L, ts("2024-01-01 00:00:01"), Some(5.0)),
+      (1L, ts("2024-01-01 00:00:03"), None: Option[Double])).toDF("user_id", "upd_ts", "v")
+    val out = Analytics.asofJoin(probes, updates, Seq("user_id"), "ts", "upd_ts", Seq("v")).collect()
+    assert(out(0).isNullAt(2), "latest matched row has v=null; must not fall back to an older row")
+  }
+
+  test("saltedJoin rejects outer shapes that would duplicate the small side") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Analytics.saltedJoin(a, a, Seq("k"), joinType = "full")
+    }
+  }
 }

@@ -114,4 +114,14 @@ class MappingSpec extends SparkSpec {
       .select("custom_fields").first().getSeq[org.apache.spark.sql.Row](0)
     assert(arr.map(_.getString(0)) === Seq("a", "c"))
   }
+
+  test("pick nested inside a sub-object resolves (reference recurses)") {
+    val orders = Seq((100, 1)).toDF("okey", "emp_id")
+    val out = Mapping.mapFields(orders,
+      """{"Vendor": {"Ref": {"pick": {"objects": "employees", "id_field": "id",
+        |"filter_ids": "rec.emp_id", "target_fields": "name"}}, "Kind": "okey"}}""".stripMargin,
+      Map("employees" -> peopleDf))
+    val v = out.first().getStruct(0)
+    assert(v.getString(v.fieldIndex("Ref")) === "Alice")
+  }
 }

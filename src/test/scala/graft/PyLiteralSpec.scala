@@ -39,5 +39,10 @@ class PyLiteralSpec extends AnyFunSuite {
     assert(PyStr.floatRepr(185.22) === "185.22")
     assert(PyStr.floatRepr(1e16) === "1e+16")
     assert(PyStr.floatRepr(0.00001) === "1e-05")
+    // Python keeps plain decimals where Java would use exponents
+    assert(PyStr.floatRepr(0.0005) === "0.0005")
+    assert(PyStr.floatRepr(12345678.5) === "12345678.5")
+    assert(PyStr.floatRepr(-0.00012) === "-0.00012")
+    assert(PyStr.floatRepr(1.234e15 + 0.5) === "1234000000000000.5")
   }
 }

@@ -143,4 +143,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert(overlap > 0.5)
     assert(m(1L) === m(4L))
   }
+
+  test("exactDedup distinguishes null placement across content columns") {
+    val df = Seq((1L, Some("x"), None: Option[String]),
+                 (2L, None: Option[String], Some("x"))).toDF("id", "a", "b")
+    assert(Dedup.exactDedup(df, Seq("a", "b"), "id").count() === 2)
+  }
 }
