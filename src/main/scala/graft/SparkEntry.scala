@@ -427,6 +427,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("upd_value"))
         .orderBy("event_id")
     }),
+    // ── analytics: binned range join ─────────────────────────────────
+    "q45_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("bronze", 0.0, 50000.0), ("silver", 50000.0, 150000.0),
+        ("gold", 150000.0, 300000.0), ("platinum", 300000.0, 1000000.0))
+        .toDF("tier", "lo", "hi")
+      Analytics.rangeJoinBinned(
+          T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          tiers, "o_totalprice", "lo", "hi", binWidth = 50000.0)
+        .select("o_orderkey", "tier")
+        .orderBy("o_orderkey")
+    }),
     // ── scale: winnowed k-gram fingerprints (rows-only) ──────────────
     "q43_winnowed_fingerprints" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -659,6 +672,14 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_linenumber, s_name""".stripMargin,
+    "q45_range_join" ->
+      """SELECT o_orderkey, t.tier
+        |FROM orders JOIN (VALUES
+        |  ('bronze', 0.0, 50000.0), ('silver', 50000.0, 150000.0),
+        |  ('gold', 150000.0, 300000.0), ('platinum', 300000.0, 1000000.0))
+        |  t(tier, lo, hi)
+        |ON o_totalprice >= t.lo AND o_totalprice < t.hi
+        |ORDER BY o_orderkey""".stripMargin,
     "q44_asof_join" ->
       """WITH updates AS (
         |  SELECT user_id, ts AS upd_ts, value AS upd_value

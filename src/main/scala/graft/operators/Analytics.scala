@@ -133,6 +133,33 @@ object Analytics {
       .drop(("__side" +: "__ts" +: "__match" +: valueCols.map(c => s"__v_$c")): _*)
   }
 
+  /** Range join: match each point row to interval rows with
+    * `lo <= point < hi`, by binning — intervals explode into the fixed-
+    * width bins they overlap, points hash to their bin, and the match is
+    * an EQUI-join on the bin plus a residual filter. One hash shuffle
+    * instead of the O(points × intervals) broadcast-nested-loop Spark
+    * plans for a bare inequality join. `binWidth` should be on the order
+    * of the typical interval length. */
+  def rangeJoinBinned(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    val binnedIntervals = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        // hi is exclusive: the bin containing hi itself is only needed
+        // when the interval extends into it
+        floor((col(hiCol) - lit(1e-9)) / binWidth).cast("long"))))
+    val binnedPoints = points.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    binnedPoints.join(binnedIntervals, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Top-k rows per group by `orderBy` (deterministic: pass tiebreakers). */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)

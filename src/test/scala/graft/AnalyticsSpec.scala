@@ -104,4 +104,16 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.saltedJoin(a, a, Seq("k"), joinType = "full")
     }
   }
+
+  test("binned range join equals the naive inequality join") {
+    val points = (0 until 500).map(i => (i, i * 7.3 % 400)).toDF("id", "x")
+    val intervals = Seq(("a", 0.0, 100.0), ("b", 50.0, 260.0), ("c", 399.0, 400.0))
+      .toDF("tag", "lo", "hi")
+    val binned = Analytics.rangeJoinBinned(points, intervals, "x", "lo", "hi", 64.0)
+      .select("id", "tag").collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    val naive = points.join(intervals, $"x" >= $"lo" && $"x" < $"hi")
+      .select("id", "tag").collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(binned.toSeq === naive.toSeq)
+    assert(naive.nonEmpty)
+  }
 }
