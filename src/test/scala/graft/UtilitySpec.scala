@@ -140,3 +140,17 @@ class ConfigSpec extends SparkSpec {
     assert(out.schema("line.ok").dataType === BooleanType)
   }
 }
+
+class ExtensionsSpec extends SparkSpec {
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT parse_py_literal("{'a': None}") AS j,
+        |       py_float_repr(0.0005d) AS f,
+        |       vector_dot(array(1.0f, 2.0f), array(3.0d, 4.0d)) AS d""".stripMargin)
+      .first()
+    assert(r.getString(0) === """{"a": null}""")
+    assert(r.getString(1) === "0.0005")
+    assert(r.getDouble(2) === 11.0)
+  }
+}
