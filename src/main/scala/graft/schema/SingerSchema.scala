@@ -20,17 +20,24 @@ object SingerSchema {
   def parse(json: String): JsonNode = mapper.readTree(json)
 
   /** Collapse an `anyOf` list: prefer the variant with a `format` key
-    * (reference singer.py:366-380); else merge the member `type`s. */
-  private def collapseAnyOf(node: JsonNode): JsonNode = {
-    val variants = node.get("anyOf").elements().asScala.toSeq
+    * (reference singer.py:366-380); else merge the member `type`s.
+    * Variants are de-referenced first so `anyOf:[{$ref:…},{type:null}]`
+    * (the pydantic Optional[Model] shape) resolves. */
+  private def collapseAnyOf(node: JsonNode, root: JsonNode): JsonNode = {
+    val variants = node.get("anyOf").elements().asScala.toSeq.map(v => deref(v, root))
     variants.find(v => v.has("format")) match {
       case Some(v) => v
       case None =>
-        val types = variants.flatMap(typeNames).filterNot(_ == "null").distinct
-        val o = mapper.createObjectNode()
-        if (types.size == 1) o.put("type", types.head)
-        else o.put("type", "string") // multi-type union → string (reader.py:268)
-        o
+        // a single non-null variant keeps its full shape (properties/items)
+        val nonNull = variants.filterNot(v => typeNames(v) == Seq("null"))
+        if (nonNull.size == 1) nonNull.head
+        else {
+          val types = nonNull.flatMap(typeNames).filterNot(_ == "null").distinct
+          val o = mapper.createObjectNode()
+          if (types.size == 1) o.put("type", types.head)
+          else o.put("type", "string") // multi-type union → string (reader.py:268)
+          o
+        }
     }
   }
 
@@ -41,9 +48,26 @@ object SingerSchema {
     else Seq(t.asText())
   }
 
-  /** One JSON-Schema property node → Spark DataType. */
-  def propertyToDataType(node0: JsonNode): DataType = {
-    val node = if (node0.has("anyOf")) collapseAnyOf(node0) else node0
+  /** Resolve `{"$ref": "#/$defs/X"}` (or `#/definitions/X`) against the
+    * schema root — the reference resolves pydantic model_json_schema refs
+    * the same way (singer.py:222-240). Unresolvable refs degrade to the
+    * node itself (→ string). */
+  private def deref(node: JsonNode, root: JsonNode): JsonNode =
+    Option(node.get("$ref")).map(_.asText()) match {
+      case Some(ref) if ref.startsWith("#/") =>
+        val target = ref.stripPrefix("#/").split("/")
+          .foldLeft(root)((n, seg) => if (n == null) null else n.get(seg))
+        if (target != null) target else node
+      case _ => node
+    }
+
+  /** One JSON-Schema property node → Spark DataType. `root` anchors
+    * `$ref` resolution (defaults to the node itself for flat schemas). */
+  def propertyToDataType(node0: JsonNode): DataType = propertyToDataType(node0, node0)
+
+  def propertyToDataType(nodeIn: JsonNode, root: JsonNode): DataType = {
+    val node1 = deref(nodeIn, root)
+    val node = if (node1.has("anyOf")) collapseAnyOf(node1, root) else node1
     val types = typeNames(node).filterNot(_ == "null")
     val fmt = Option(node.get("format")).map(_.asText())
     types match {
@@ -60,22 +84,25 @@ object SingerSchema {
         val props = node.get("properties")
         if (props == null || !props.fieldNames().hasNext)
           MapType(StringType, StringType) // open object
-        else toStructType(node)
+        else toStructType(node, root)
       case Seq("array") =>
         val items = node.get("items")
         if (items == null) ArrayType(StringType)
-        else ArrayType(propertyToDataType(items))
+        else ArrayType(propertyToDataType(items, root))
       case _ => StringType // multi-type / unknown → string
     }
   }
 
   /** JSON-Schema `{"type":"object","properties":{…}}` → StructType.
     * All fields nullable (Singer unions every type with "null"). */
-  def toStructType(schema: JsonNode): StructType = {
-    val props = schema.get("properties")
+  def toStructType(schema: JsonNode): StructType = toStructType(schema, schema)
+
+  def toStructType(schema: JsonNode, root: JsonNode): StructType = {
+    val resolved = deref(schema, root)
+    val props = resolved.get("properties")
     if (props == null) return StructType(Nil)
     val fields = props.properties().asScala.toSeq.map { e =>
-      StructField(e.getKey, propertyToDataType(e.getValue), nullable = true)
+      StructField(e.getKey, propertyToDataType(e.getValue, root), nullable = true)
     }
     StructType(fields)
   }

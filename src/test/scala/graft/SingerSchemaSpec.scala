@@ -58,4 +58,21 @@ class SingerSchemaSpec extends AnyFunSuite {
     assert(SingerSchema.parseKeyProperties("""['id', 'x']""") === Seq("id", "x"))
     assert(SingerSchema.parseKeyProperties("[]") === Nil)
   }
+
+  test("pydantic-style $ref/$defs schemas resolve (incl. Optional[Model])") {
+    val json =
+      """{"type": "object", "properties": {
+        |  "addr": {"$ref": "#/$defs/Address"},
+        |  "alt": {"anyOf": [{"$ref": "#/$defs/Address"}, {"type": "null"}]},
+        |  "legacy": {"$ref": "#/definitions/Legacy"}},
+        |"$defs": {"Address": {"type": "object", "properties": {
+        |    "city": {"type": "string"}, "zip": {"type": "integer"}}}},
+        |"definitions": {"Legacy": {"type": ["number", "null"]}}}""".stripMargin
+    val st = SingerSchema.toStructType(json)
+    val addr = st("addr").dataType.asInstanceOf[StructType]
+    assert(addr.fieldNames.toSeq === Seq("city", "zip"))
+    assert(addr("zip").dataType === LongType)
+    assert(st("alt").dataType.isInstanceOf[StructType])
+    assert(st("legacy").dataType === DoubleType)
+  }
 }
