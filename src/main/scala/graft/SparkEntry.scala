@@ -639,8 +639,8 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sessions AS (
         |  SELECT user_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM marked)
         |SELECT user_id, session_seq,
         |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS session_start,

@@ -20,8 +20,12 @@ object Analytics {
     val newSession = when(
       col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(byKey) > gapSeconds, 1
     ).otherwise(0)
+    // ROWS frame (not the default RANGE): with duplicate (key, ts) pairs a
+    // RANGE running sum would assign peers the same value while the oracle's
+    // ROWS formulation counts them in order — keep the two side-by-side.
+    val runningFrame = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__new", newSession)
-      .withColumn("session_seq", sum(col("__new")).over(byKey))
+      .withColumn("session_seq", sum(col("__new")).over(runningFrame))
       .drop("__new")
   }
 

@@ -20,17 +20,28 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Exact dedup by content hash: first row (lowest `orderCol`) per distinct
-    * content survives. One shuffle, keys are (hash) only. The hash covers a
-    * JSON rendering of the content struct: field names delimit values and
-    * nulls stay distinguishable, so ("x", null) never collides with
-    * (null, "x") the way a separator-joined concat would. */
+    * content survives. The hash covers a JSON rendering of the content
+    * struct: field names delimit values and nulls stay distinguishable, so
+    * ("x", null) never collides with (null, "x") the way a separator-joined
+    * concat would.
+    *
+    * Winners are derived over (hash, orderCol) ONLY — a key-width shuffle
+    * with map-side partial min — then semi-joined back on those same two
+    * columns. The previous window formulation shuffled AND sorted full
+    * document rows by hash; here document text crosses at most the final
+    * semi-join exchange (no sort), and when the winner set is small AQE
+    * turns that into a broadcast semi-join with no corpus shuffle at all.
+    * `orderCol` should be row-unique (e.g. the doc id): rows tied on both
+    * content hash and orderCol are content-identical and all survive. */
   def exactDedup(df: DataFrame, contentCols: Seq[String], orderCol: String): DataFrame = {
     val h = sha2(to_json(struct(contentCols.map(c => col(c)): _*)), 256)
-    val w = Window.partitionBy(col("__gs_h")).orderBy(col(orderCol))
-    df.withColumn("__gs_h", h)
-      .withColumn("__gs_rn", row_number().over(w))
-      .filter(col("__gs_rn") === 1)
-      .drop("__gs_h", "__gs_rn")
+    val keyed = df.withColumn("__gs_h", h)
+    val winners = keyed.select(col("__gs_h"), col(orderCol).as("__gs_o"))
+      .groupBy("__gs_h").agg(min("__gs_o").as("__gs_o"))
+    keyed.join(winners,
+        keyed("__gs_h") === winners("__gs_h") && keyed(orderCol) === winners("__gs_o"),
+        "left_semi")
+      .drop("__gs_h")
   }
 
   /** Word-level shingles over an ALREADY-SPLIT token array column.
@@ -105,11 +116,47 @@ object Dedup {
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
-  /** Candidate near-dup pairs (id_a < id_b) from shared LSH buckets. */
-  def minhashCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val b = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
+  /** Hot-bucket cap for LSH candidate generation: a degenerate bucket with
+    * m members yields m(m−1)/2 pairs — near-identical boilerplate clusters
+    * (the common web-crawl case) blow up quadratically without a cap.
+    * Buckets above `maxBucketSize` are split into ceil(m/maxBucketSize)
+    * sub-buckets by a secondary id hash, bounding per-bucket work at
+    * O(m·maxBucketSize); cross-sub-bucket pairs are dropped (bounded recall
+    * loss on degenerate clusters — the standard production trade; exact
+    * replicas should be removed by exactDedup first). The member counts are
+    * a key-only aggregate; the count join broadcasts under AQE. */
+  private[operators] def capBuckets(
+      df: DataFrame, bucketCols: Seq[String], idCol: String, maxBucketSize: Int): DataFrame = {
+    val counts = df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__m"))
+    df.join(counts, bucketCols)
+      .withColumn("__sub",
+        when(col("__m") <= maxBucketSize, lit(0L))
+          .otherwise(pmod(xxhash64(col(idCol)),
+            ceil(col("__m") / lit(maxBucketSize.toDouble)).cast("long"))))
+      .drop("__m")
+  }
+
+  /** Observability for the cap: per-oversize-bucket member count and the
+    * (upper-bound) number of candidate pairs the split drops — callers can
+    * aggregate/log this before running a capped dedup. */
+  def oversizedBucketStats(
+      df: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val k = ceil(col("__m") / lit(maxBucketSize.toDouble))
+    df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__m"))
+      .filter(col("__m") > maxBucketSize)
+      .select((bucketCols.map(col) :+ col("__m").as("members") :+
+        // total pairs minus ~within-sub pairs: m(m-1)/2 · (1 - 1/k)
+        (col("__m") * (col("__m") - 1) / 2 * (lit(1.0) - lit(1.0) / k))
+          .cast("long").as("dropped_pairs_approx")): _*)
+  }
+
+  /** Candidate near-dup pairs (id_a < id_b) from shared LSH buckets.
+    * `maxBucketSize` bounds degenerate buckets (see capBuckets). */
+  def minhashCandidates(bandsDf: DataFrame, idCol: String, maxBucketSize: Int = 1000): DataFrame = {
+    val capped = capBuckets(bandsDf, Seq("band", "band_hash"), idCol, maxBucketSize)
+    val a = capped.select(col("band"), col("band_hash"), col("__sub"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("band_hash"), col("__sub"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_hash", "__sub"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -138,11 +185,12 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
     // shingling is the expensive narrow stage and feeds both the signature
     // build and the exact-jaccard verify — compute it once
     val sh = shingleRows(df, idCol, textCol, shingleSize).cache()
-    val cand = minhashCandidates(bandsFromShingles(sh, idCol, bands, rowsPerBand), idCol)
+    val cand = minhashCandidates(bandsFromShingles(sh, idCol, bands, rowsPerBand), idCol, maxBucketSize)
     val hashed = sh.select(col(idCol), xxhash64(col("__sh")).as("__sh")).distinct()
     jaccardFromShingleHashes(hashed, cand).filter(col("jaccard") >= threshold)
   }
@@ -156,8 +204,10 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val dupIds = minhashNearDupPairs(df, idCol, textCol, shingleSize, bands, rowsPerBand, threshold)
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val dupIds = minhashNearDupPairs(df, idCol, textCol, shingleSize, bands, rowsPerBand,
+        threshold, maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -181,17 +231,19 @@ object Dedup {
 
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxDist`, blocked on
     * 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
-  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val sig = simhash(df, idCol, textCol).cache()
-    val chunked = sig.select(col(idCol), col("simhash"), posexplode(
+    val chunked0 = sig.select(col(idCol), col("simhash"), posexplode(
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("simhash"), c * lit(16)).bitwiseAND(0xFFFFL)))
       .as(Seq("chunk", "chunk_val")))
-    val a = chunked.select(col("chunk"), col("chunk_val"),
+    val chunked = capBuckets(chunked0, Seq("chunk", "chunk_val"), idCol, maxBucketSize)
+    val a = chunked.select(col("chunk"), col("chunk_val"), col("__sub"),
       col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
+    val b = chunked.select(col("chunk"), col("chunk_val"), col("__sub"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))
+    a.join(b, Seq("chunk", "chunk_val", "__sub")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
@@ -205,17 +257,19 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      planes: Int = 16): DataFrame = {
+      planes: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
     import graft.functions.VectorOps.{vector_dot, vector_norm}
     val dim = Similarity.dimOf(df, vecCol)
-    val sig = df.select(col(idCol), col(vecCol),
+    val sig0 = df.select(col(idCol), col(vecCol),
       vector_norm(col(vecCol)).as("__n"),
       Similarity.signSignature(col(vecCol), planes, dim).as("__bucket"))
-    val a = sig.select(col("__bucket"), col(idCol).as("id_a"),
+    val sig = capBuckets(sig0, Seq("__bucket"), idCol, maxBucketSize)
+    val a = sig.select(col("__bucket"), col("__sub"), col(idCol).as("id_a"),
       col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = sig.select(col("__bucket"), col(idCol).as("id_b"),
+    val b = sig.select(col("__bucket"), col("__sub"), col(idCol).as("id_b"),
       col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+    a.join(b, Seq("__bucket", "__sub")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (vector_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -234,11 +288,12 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
     // cache the survivors: the minhash stage walks them three times
     // (shingling, sizes, final anti-join) and would otherwise re-run the
-    // exact-dedup window per pass
+    // exact dedup per pass
     val exact = exactDedup(df, Seq(textCol), idCol).cache()
-    minhashDedup(exact, idCol, textCol, shingleSize, bands, rowsPerBand, threshold)
+    minhashDedup(exact, idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucketSize)
   }
 }

@@ -121,9 +121,11 @@ object Explode {
       outValue: Option[String] = None,
       samplingRatio: Double = 1.0): DataFrame = {
     val normalized = parse_py_literal(col(column).cast(StringType))
-    // take the first element when the cell is a list
+    // take the first element when the cell is a list (reference x[0],
+    // pandas_utils.py:30-40) — a JSONPath index, so multi-element lists
+    // yield element 0 rather than the concatenation of all elements
     val first = when(ltrim(normalized).startsWith("["),
-      regexp_extract(normalized, "^\\s*\\[(.*)\\]\\s*$", 1))
+      get_json_object(normalized, "$[0]"))
       .otherwise(normalized)
     val obj = when(ltrim(first).startsWith("{"),
       first).otherwise(lit(null).cast(StringType))

@@ -73,7 +73,8 @@ object Mapping {
               .select((joinKeys.map(c => col(s"`$c`")) :+ valueCol.as(tag)): _*)
         val cond = (cur(s"`$filterIds`") === prepared(s"`$idField`")) +:
           partitionKey.toSeq.map(k => cur(s"`$k`") === prepared(s"`$k`"))
-        cur = cur.join(broadcast(prepared), cond.reduce(_ && _), "left")
+        // lookup streams grow with tenant data — hint only when estimated small
+        cur = cur.join(Ops.broadcastIfSmall(prepared), cond.reduce(_ && _), "left")
           .drop(prepared(s"`$idField`"))
         partitionKey.foreach(k => cur = cur.drop(prepared(s"`$k`")))
         pickTags.put(node, tag)

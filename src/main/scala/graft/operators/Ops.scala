@@ -9,6 +9,17 @@ object Ops {
 
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
 
+  /** Broadcast hint gated on Catalyst's driver-side size estimate: hint only
+    * when the plan's estimated size fits under the session's
+    * `autoBroadcastJoinThreshold`; otherwise return the frame unhinted so
+    * AQE picks the strategy from RUNTIME sizes. An unconditional hint on an
+    * unbounded side OOMs the driver once tenant data outgrows memory. */
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estimated <= threshold) broadcast(df) else df
+  }
+
   /** list → column subset; map → select(keys ∩ columns) + rename.
     * Reference rename (pandas_utils.py:74-113). */
   def rename(df: DataFrame, targets: Seq[String]): DataFrame = {

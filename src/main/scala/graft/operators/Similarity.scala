@@ -143,16 +143,43 @@ object Similarity {
     (refined, assign(corpus, refined, idCol, vecCol))
   }
 
+  /** Centroids materialized driver-side: (centroid_id, vector, norm),
+    * sorted by centroid_id so argmin tie-breaking is deterministic
+    * (lowest id wins, matching the old (distance, centroid_id) ordering). */
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Float], Double)] =
+    centroids.select(col("centroid_id").cast(LongType), col("centroid"),
+        vector_norm(col("centroid")).as("__n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Literal array<struct<cid,cvec,cnorm>> shipped inside the plan. */
+  private def centroidArrayLit(cens: Seq[(Long, Seq[Float], Double)]): Column =
+    array(cens.map { case (id, vec, nrm) =>
+      struct(lit(id).as("cid"), typedLit(vec).as("cvec"), lit(nrm).as("cnorm"))
+    }: _*)
+
+  /** Nearest-centroid assignment with NO shuffle: the centroid set is
+    * driver-small by construction (numCentroids rows), so it ships as a
+    * literal array and the argmax-cosine is a single fold-per-row
+    * projection — the plan has no Exchange between the corpus scan and the
+    * assignment. (The previous formulation crossJoined corpus × centroids
+    * and took row_number() over a per-id window, shuffling the corpus
+    * replicated ×numCentroids — fatal at 100 TB.) */
   private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val c = centroids.select(col("centroid_id"), col("centroid"),
-      vector_norm(col("centroid")).as("__cenn"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("centroid_id"))
+    val cens = collectCentroids(centroids)
+    val init = struct(lit(-1L).as("cid"), lit(Double.MinValue).as("score"))
     corpus.withColumn("__vn", vector_norm(col(vecCol)))
-      .crossJoin(broadcast(c))
-      .withColumn("__d",
-        -(vector_dot(col(vecCol), col("centroid")) / (col("__vn") * col("__cenn"))))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__d", "__rn", "centroid", "__vn", "__cenn")
+      .withColumn("__best", aggregate(centroidArrayLit(cens), init, (acc, c) => {
+        val score = vector_dot(col(vecCol), c.getField("cvec")) /
+          (col("__vn") * c.getField("cnorm"))
+        // strict > : at equal score the earlier (lower-id) centroid wins
+        when(score > acc.getField("score"),
+          struct(c.getField("cid").as("cid"), score.as("score"))).otherwise(acc)
+      }))
+      .withColumn("centroid_id", col("__best.cid"))
+      .drop("__best", "__vn")
   }
 
   /** IVF ANN: probe the `nProbe` nearest centroids per query, exact rerank
@@ -166,13 +193,17 @@ object Similarity {
       numCentroids: Int = 16,
       nProbe: Int = 2): DataFrame = {
     val (centroids, assigned) = ivfIndex(corpus, idCol, vecCol, numCentroids)
-    val cen = centroids.withColumn("__cenn", vector_norm(col("centroid")))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("centroid_id"))
+    // nProbe nearest centroids per query — same literal-array trick as
+    // assign(): score all centroids in one projection, array_sort by
+    // (-cosine, centroid_id), slice the top nProbe, explode. No shuffle.
+    val cens = collectCentroids(centroids)
+    val ranked = array_sort(transform(centroidArrayLit(cens), c =>
+      struct((-(vector_dot(col("__qv"), c.getField("cvec")) /
+        (col("__qn") * c.getField("cnorm")))).as("negScore"),
+        c.getField("cid").as("cid"))))
     val probes = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
-      .crossJoin(broadcast(cen))
-      .withColumn("__d",
-        -(vector_dot(col("__qv"), col("centroid")) / (col("__qn") * col("__cenn"))))
-      .withColumn("__rn", row_number().over(probeW)).filter(col("__rn") <= nProbe)
+      .withColumn("centroid_id",
+        explode(transform(slice(ranked, 1, nProbe), p => p.getField("cid"))))
       .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"))
     val cand = assigned.select(col("centroid_id"), col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), vector_norm(col(vecCol)).as("__cn"))

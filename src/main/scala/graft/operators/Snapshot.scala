@@ -198,7 +198,8 @@ object Snapshot {
     val lookup = dedupKeepLast(
       ids.select(col(inputIdCol), col(remoteIdCol)), Seq(inputIdCol))
       .withColumnRenamed(remoteIdCol, targetCol)
-    df.join(broadcast(lookup), df(externalIdCol) === lookup(inputIdCol), "left")
+    // two-column but unbounded (grows with the ids snapshot) — gate the hint
+    df.join(Ops.broadcastIfSmall(lookup), df(externalIdCol) === lookup(inputIdCol), "left")
       .drop(lookup(inputIdCol))
   }
 }

@@ -92,11 +92,14 @@ class ExplodeGoldenSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq(
       ("a", "{'Name': 'n1', 'Value': 'v1'}"),
-      ("b", "[{'Name': 'n2', 'Value': 'v2'}]")).toDF("id", "cf")
+      ("b", "[{'Name': 'n2', 'Value': 'v2'}]"),
+      // multi-element list: reference takes x[0] (pandas_utils.py:30-40)
+      ("c", "[{'Name': 'n3', 'Value': 'v3'}, {'Name': 'nX', 'Value': 'vX'}]")
+    ).toDF("id", "cf")
     val out = Explode.jsonTupleToCols(df, "cf")
     val rows = out.orderBy("id").collect()
-    assert(rows.map(_.getString(1)).toSeq === Seq("n1", "n2"))
-    assert(rows.map(_.getString(2)).toSeq === Seq("v1", "v2"))
+    assert(rows.map(_.getString(1)).toSeq === Seq("n1", "n2", "n3"))
+    assert(rows.map(_.getString(2)).toSeq === Seq("v1", "v2", "v3"))
     assert(!out.columns.contains("cf"))
   }
 

@@ -124,4 +124,35 @@ class MappingSpec extends SparkSpec {
     val v = out.first().getStruct(0)
     assert(v.getString(v.fieldIndex("Ref")) === "Alice")
   }
+
+  test("broadcastIfSmall gates the hint on the size estimate") {
+    val df = spark.range(1000).toDF("id")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+      assert(Ops.broadcastIfSmall(df).queryExecution.logical.toString.contains("Hint"))
+      // oversized estimate (range stats = 8 B x 1000 rows > 16 B) -> unhinted
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+      assert(!Ops.broadcastIfSmall(df).queryExecution.logical.toString.contains("Hint"))
+      // threshold <= 0 disables broadcasting entirely -> never hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!Ops.broadcastIfSmall(df).queryExecution.logical.toString.contains("Hint"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("oversized pick lookup plans without a broadcast hint, result unchanged") {
+    val orders = Seq((100, 1), (101, 3), (102, 9)).toDF("okey", "emp_id")
+    val mapping =
+      """{"OrderId": "okey", "EmployeeName": {"pick": {"objects": "employees",
+        |"id_field": "id", "filter_ids": "rec.emp_id", "target_fields": "name"}}}""".stripMargin
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+      val out = Mapping.mapFields(orders, mapping, Map("employees" -> peopleDf))
+      assert(!out.queryExecution.logical.toString.contains("Hint"))
+      val rows = out.orderBy("OrderId").collect()
+      assert(rows.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq ===
+        Seq("Alice", "Charlie", null))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

@@ -149,4 +149,38 @@ class ScaleOpsSpec extends SparkSpec {
                  (2L, None: Option[String], Some("x"))).toDF("id", "a", "b")
     assert(Dedup.exactDedup(df, Seq("a", "b"), "id").count() === 2)
   }
+
+  test("exactDedup shuffles only (hash, order) keys, never document rows") {
+    val plan = Dedup.exactDedup(docsDf, Seq("text"), "doc_id")
+      .queryExecution.optimizedPlan.toString
+    // the aggregate under the first Exchange projects just hash + order
+    assert(!plan.contains("row_number"), "window formulation is back")
+    assert(plan.contains("LeftSemi"), s"expected semi-join plan:\n$plan")
+  }
+
+  test("hot-bucket cap bounds candidate pairs on a planted boilerplate cluster") {
+    // 2000 docs sharing an identical 10-token prefix with one varying token:
+    // every band bucket of the prefix-dominated signature is degenerate
+    val n = 2000
+    val cluster = (0 until n).map(i =>
+      (i.toLong, s"common shared boilerplate header tokens repeated in every document $i"))
+    val df = cluster.toDF("doc_id", "text")
+    val bandsDf = Dedup.minhashBands(df, "doc_id", "text", shingleSize = 3,
+      bands = 4, rowsPerBand = 2)
+    val capped = Dedup.minhashCandidates(bandsDf, "doc_id", maxBucketSize = 50).count()
+    // uncapped would approach n(n-1)/2 = ~2.0M pairs; capped stays near
+    // bands * (n/50 sub-buckets) * C(50,2) ≈ 200k worst case
+    assert(capped < 500000L, s"cap ineffective: $capped pairs")
+    // observability: the degenerate buckets are reported with drop estimates
+    val stats = Dedup.oversizedBucketStats(bandsDf, Seq("band", "band_hash"), 50)
+    assert(stats.count() > 0)
+    assert(stats.agg(max("dropped_pairs_approx")).first().getLong(0) > 0L)
+  }
+
+  test("capped minhash dedup still finds near-dups (small buckets untouched)") {
+    val pairs = Dedup.minhashNearDupPairs(docsDf, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 2, threshold = 0.5, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
 }
