@@ -259,23 +259,28 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
-    // ── scale: MinHash near-dup pairs (rows-only check) ──────────────
+    // ── scale: MinHash near-dup pairs (oracle: brute-force jaccard; the
+    //    16×2 banding makes candidate recall effectively 1 at the
+    //    threshold, so LSH+verify equals the exact pair set) ───────────
     "q25_minhash_neardup" -> ((s, dir) => {
       val d = T(s, dir, "documents").select("doc_id", "text")
       val mutated = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
       Dedup.minhashNearDupPairs(d.unionByName(mutated), "doc_id", "text",
-          shingleSize = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+          shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
-    // ── scale: SimHash signatures + near-dup (rows-only check) ───────
+    // ── scale: SimHash near-dup (oracle: DuckDB recomputes the exact
+    //    signatures via the portable md5-prefix token hash; the 16-bit
+    //    chunk blocking is exact for hamming ≤ 3 by pigeonhole) ────────
     "q26_simhash_neardup" -> ((s, dir) => {
       val d = T(s, dir, "documents").select("doc_id", "text")
       val dupes = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      Dedup.simhashNearDupPairs(d.unionByName(dupes), "doc_id", "text", maxDist = 3)
+      Dedup.simhashNearDupPairs(d.unionByName(dupes), "doc_id", "text", maxDist = 3,
+          tokenHash = Dedup.md5Hash60)
         .orderBy("id_a", "id_b")
     }),
     // ── scale: brute-force ANN (exact top-k cosine) ──────────────────
@@ -287,7 +292,8 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
-    // ── scale: LSH-bucketed ANN (rows-only check) ────────────────────
+    // ── scale: LSH-bucketed ANN (oracle: DuckDB replays the sign-LSH
+    //    with the same seeded hyperplanes inlined as literals) ─────────
     "q28_ann_lsh" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
@@ -353,11 +359,12 @@ object SparkEntry {
         .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy("event_type")
     }),
-    // ── scale: IVF ANN (rows-only; centroid math not SQL-expressible) ─
+    // ── scale: IVF ANN (oracle: DuckDB replays the whole index build —
+    //    deterministic md5-hash seeding, one Lloyd step, probe + rank) ──
     "q36_ann_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, numCentroids = 16, nProbe = 3)
+          k = 5, numCentroids = 16, nProbe = 3, seedHash = Dedup.md5Hash60)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
@@ -383,7 +390,8 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a")
     }),
-    // ── scale: embedding near-dup pairs (rows-only) ──────────────────
+    // ── scale: embedding near-dup pairs (oracle: brute-force cosine —
+    //    planted dups are identical vectors, so sign-LSH recall is 1) ──
     "q40_embedding_neardup" -> ((s, dir) => {
       val e = T(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.filter(col("vec_id") < 25)
@@ -393,7 +401,8 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
-    // ── scale: full dedup pipeline, exact → minhash (rows-only) ──────
+    // ── scale: full dedup pipeline, exact → minhash (oracle: exact
+    //    dedup + brute-force-jaccard near-dup drop, mirrored in SQL) ───
     "q41_dedup_pipeline" -> ((s, dir) => {
       val d = T(s, dir, "documents").select("doc_id", "text")
       val exactDup = d.filter(col("doc_id") % 7 === 0)
@@ -402,7 +411,7 @@ object SparkEntry {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" tail tokens appended")).as("text"))
       Dedup.dedupPipeline(d.unionByName(exactDup).unionByName(nearDup),
-          "doc_id", "text", threshold = 0.5)
+          "doc_id", "text", bands = 16, rowsPerBand = 2, threshold = 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
     // ── scale: salted join equals plain join (skew fallback) ─────────
@@ -440,16 +449,19 @@ object SparkEntry {
         .select("o_orderkey", "tier")
         .orderBy("o_orderkey")
     }),
-    // ── scale: winnowed k-gram fingerprints (rows-only) ──────────────
+    // ── scale: winnowed k-gram fingerprints (oracle: DuckDB recomputes
+    //    the winnow over the portable md5-prefix k-gram hashes) ────────
     "q43_winnowed_fingerprints" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokensCol(col("text")).as("__toks"))
-        .select(col("doc_id"), TextAnalysis.kgramHashes(col("__toks")).as("__hashes"))
+        .select(col("doc_id"),
+          TextAnalysis.kgramHashes(col("__toks"), 5, Dedup.md5Hash60).as("__hashes"))
         .select(col("doc_id"),
           size(TextAnalysis.winnowFromHashes(col("__hashes"))).as("n_fingerprints"))
         .orderBy("doc_id")
     }),
-    // ── scale: multimodal decode + feature plumbing (rows-only) ──────
+    // ── scale: multimodal decode + feature plumbing (oracle: the stub
+    //    codec arithmetic — md5-derived payload bytes — replayed in SQL) ─
     "q37_multimodal" -> ((s, dir) => {
       val media = Multimodal.synthesize(
         T(s, dir, "part").filter(col("p_partkey") <= 100), "p_partkey")
@@ -701,5 +713,183 @@ object SparkEntry {
         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
         |    AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
-        |WHERE a.doc_id < 50 ORDER BY id_a""".stripMargin)
+        |WHERE a.doc_id < 50 ORDER BY id_a""".stripMargin,
+    "q25_minhash_neardup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u)),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p
+         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q26_simhash_neardup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (
+         |  SELECT doc_id, ${h60Sql("t")}::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM u)),
+         |sig AS (SELECT doc_id, $simhashBitsSql AS s FROM tok GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.s, b.s)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q28_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $lshSigSql AS sig FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([sig, $lshProbeXorsSql]) AS b
+         |      FROM s WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS cosine
+         |  FROM q JOIN s c ON c.sig = q.b WHERE q.query_id <> c.vec_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank, neighbor_id
+         |FROM cand QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q36_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+         |  FROM e
+         |  WHERE ${h60Sql("vec_id::VARCHAR")} %
+         |    (SELECT greatest(1, count(*) // 16) FROM embeddings) = 0
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+         |a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, seeds.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, seeds.cvec) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(seeds.cvec, seeds.cvec)))
+         |        DESC, seeds.cid) AS rn
+         |    FROM e, seeds) WHERE rn = 1),
+         |m AS (
+         |  SELECT a0.cid, t.i, CAST(avg(e.v[t.i]) AS FLOAT) AS mv
+         |  FROM a0 JOIN e USING (vec_id), range(1, 65) AS t(i) GROUP BY a0.cid, t.i),
+         |cents AS (SELECT cid, CAST(list(mv ORDER BY i) AS DOUBLE[]) AS cvec FROM m GROUP BY cid),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, cents.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, cents.cvec) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))
+         |        DESC, cents.cid) AS rn
+         |    FROM e, cents) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT e.vec_id AS query_id, cents.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, cents.cvec) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))
+         |        DESC, cents.cid) AS rn
+         |    FROM e, cents WHERE e.vec_id < 10) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+         |  FROM probes p JOIN a2 ON a2.cid = p.cid
+         |  JOIN e c ON c.vec_id = a2.vec_id
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  WHERE c.vec_id <> p.query_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank, neighbor_id
+         |FROM cand QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q37_multimodal" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |  CASE ('0x' || substr(md5(p_partkey::VARCHAR), 1, 2))::INTEGER % 4
+        |    WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  64 + ('0x' || substr(md5(p_partkey::VARCHAR), 1, 8))::UBIGINT % 1024 AS width,
+        |  64 + ('0x' || substr(md5(p_partkey::VARCHAR), 9, 8))::UBIGINT % 1024 AS height,
+        |  16 AS feat_dim
+        |FROM part WHERE p_partkey <= 100 ORDER BY media_id""".stripMargin,
+    "q40_embedding_neardup" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 6) AS cosine FROM p
+        |WHERE c >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "q41_dedup_pipeline" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' tail tokens appended' AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY text),
+         |s AS (SELECT doc_id, text FROM u WHERE doc_id IN (SELECT doc_id FROM ex)),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM s)),
+         |drops AS (
+         |  SELECT DISTINCT b.doc_id FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+         |SELECT doc_id FROM s WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
+    "q43_winnowed_fingerprints" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 5
+         |    THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+         |    ELSE [array_to_string(toks, ' ')] END AS grams FROM t),
+         |h AS (SELECT doc_id, list_transform(grams, x -> ${h60Sql("x")}::BIGINT) AS hs FROM g)
+         |SELECT doc_id, len(list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+         |  j -> list_min(hs[j:j+3])))) AS n_fingerprints
+         |FROM h ORDER BY doc_id""".stripMargin)
+
+  // ── oracle-SQL generation helpers ──────────────────────────────────────
+  // The rows-only queries become oracle-checked by REPLAYING the algorithm
+  // in DuckDB: deterministic constants (seeded hyperplanes) inline as SQL
+  // literals, and hash-dependent operators use the portable md5-prefix hash
+  // (Dedup.md5Hash60) that both engines compute identically.
+
+  /** DuckDB twin of Dedup.md5Hash60 (60-bit md5-prefix hash). */
+  private def h60Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::UBIGINT"
+
+  /** Distinct 3-token shingles from a `toks` list column — the DuckDB twin
+    * of Dedup.shinglesOf(tokens, 3) including the <3-token fallback. */
+  private val shingle3Sql: String =
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), " +
+      "i -> array_to_string(toks[i:i+2], ' ')) ELSE [array_to_string(toks, ' ')] END)"
+
+  /** The 64 per-bit majority votes of simhash as one SQL sum. Only bits
+    * 0-59 can be set with the 60-bit portable hash (both engines agree the
+    * top 4 bits are 0), so 60 terms suffice. */
+  private def simhashBitsSql: String =
+    (0 until 60).map(i =>
+      s"CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN ${1L << i} ELSE 0 END").mkString(" + ")
+
+  /** Sign-LSH signature over the same seeded hyperplanes as
+    * Similarity.signSignature(planes = 8, dim = 64, seed = 42), inlined as
+    * double literals (Double.toString round-trips exactly through DuckDB's
+    * strtod, and list_dot_product accumulates forward in double like the
+    * native VectorDot — the sign compare is bit-identical). */
+  private def lshSigSql: String = {
+    val planes = graft.operators.Similarity.hyperplanes(8, 64)
+    planes.zipWithIndex.map { case (w, p) =>
+      val lit = "[" + w.map(_.toString).mkString(", ") + "]::DOUBLE[]"
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** Multi-probe buckets: the signature XOR each single bit. */
+  private def lshProbeXorsSql: String =
+    (0 until 8).map(p => s"xor(sig, ${1L << p})").mkString(", ")
 }

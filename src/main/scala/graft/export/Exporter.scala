@@ -1,7 +1,10 @@
 package graft.export
 
+import graft.operators.Explode
+import graft.schema.CatalogReader
 import graft.singer.SingerWriter
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
 
 /** Multi-format sink router (reference to_export, etl_utils.py:561-832):
   * singer | parquet | csv | json | jsonl, with env-templated output naming.
@@ -30,6 +33,61 @@ object Exporter {
     s"$cleaned$overridden"
   }
 
+  /** Singer export with the reference's four-source schema resolution
+    * (to_singer, singer.py:494-516), in reference-code order:
+    *   1. catalog — when `USE_CATALOG_SCHEMA=true` in `env` or
+    *      `catalogStream` is set: forces allow_objects, parses object/array
+    *      string columns per the catalog (parse_df_cols), and uses the
+    *      catalog stream's schema. Under the env flag the catalog
+    *      properties MERGE over the inferred header (extra df columns
+    *      survive, singer.py:181-185) and records keep explicit nulls.
+    *   2. unified model — `unifiedModel` StructType (the case-class /
+    *      pydantic path; build with `SingerSchema.fromCaseClass` or
+    *      `toStructType`). Overrides an explicit `schema` like the
+    *      reference's `elif unified_model`.
+    *   3. explicit `schema`.
+    *   4. inference from the frame's Spark types.
+    * `allowObjects=false` (the reference default) JSON-stringifies complex
+    * columns; all-null columns are dropped in allow-objects mode unless
+    * nulls are being kept (singer.py:496-499). */
+  def toSinger(
+      df: DataFrame,
+      stream: String,
+      outputDir: String,
+      keys: Seq[String] = Nil,
+      filename: String = "data.singer",
+      allowObjects: Boolean = false,
+      schema: Option[StructType] = None,
+      unifiedModel: Option[StructType] = None,
+      keepNullFields: Boolean = false,
+      catalogStream: Option[String] = None,
+      catalog: Map[String, CatalogReader.StreamCatalog] = Map.empty,
+      env: Map[String, String] = sys.env): Unit = {
+    val useCatalogSchema = env.get("USE_CATALOG_SCHEMA").exists(_.equalsIgnoreCase("true"))
+    // INCLUDE_ALL_UNIFIED_FIELDS only applies when a unified model is in
+    // play (singer.py:495): keeps all-null columns and explicit nulls
+    val includeAllUnified =
+      env.get("INCLUDE_ALL_UNIFIED_FIELDS").exists(_.equalsIgnoreCase("true")) &&
+        unifiedModel.isDefined
+    val dropNullCols = allowObjects && !(useCatalogSchema || includeAllUnified || keepNullFields)
+    val frame0 = if (dropNullCols) SingerWriter.dropAllNullColumns(df) else df
+    val (frame, schemaOverride, mergeWith, allowObj) =
+      if (useCatalogSchema || catalogStream.isDefined) {
+        val streamName = catalogStream.getOrElse(stream)
+        val cat = catalog.getOrElse(streamName, throw new IllegalArgumentException(
+          s"No schema found in catalog for stream $streamName"))
+        val parsed = Explode.parseDfCols(frame0, cat)
+        if (useCatalogSchema) (parsed, None, Some(cat.schema), true)
+        else (parsed, Some(cat.schema), None, true)
+      }
+      else if (unifiedModel.isDefined) (frame0, unifiedModel, None, allowObjects)
+      else (frame0, schema, None, allowObjects)
+    val keepNulls = useCatalogSchema || includeAllUnified || keepNullFields
+    SingerWriter.write(frame, stream, s"$outputDir/$filename", keys,
+      schemaOverride = schemaOverride, mergeSchemaWith = mergeWith,
+      allowObjects = allowObj, keepNullFields = keepNulls)
+  }
+
   def export(
       df: DataFrame,
       stream: String,
@@ -38,12 +96,23 @@ object Exporter {
       keyProperties: Seq[String] = Nil,
       prefix: String = "",
       templateVars: Map[String, String] = Map.empty,
-      singleFile: Boolean = true): Unit = {
-    val name = outputName(stream, prefix, templateVars)
+      singleFile: Boolean = true,
+      allowObjects: Boolean = true,
+      keepNullFields: Boolean = false,
+      catalogStream: Option[String] = None,
+      catalog: Map[String, CatalogReader.StreamCatalog] = Map.empty,
+      schema: Option[StructType] = None,
+      unifiedModel: Option[StructType] = None,
+      env: Map[String, String] = sys.env): Unit = {
+    val name = outputName(stream, prefix, templateVars, env)
     val base = s"$outputDir/$name"
     format.toLowerCase match {
       case "singer" =>
-        if (singleFile) SingerWriter.write(df, name, s"$base.singer", keyProperties)
+        if (singleFile) toSinger(df, name, outputDir, keyProperties,
+          filename = s"$name.singer", allowObjects = allowObjects,
+          schema = schema, unifiedModel = unifiedModel,
+          keepNullFields = keepNullFields, catalogStream = catalogStream,
+          catalog = catalog, env = env)
         else SingerWriter.writeDistributed(df, name, base, keyProperties)
       case "parquet" =>
         df.write.mode("overwrite").option("compression", "zstd").parquet(base)

@@ -36,10 +36,13 @@ object Dedup {
   def exactDedup(df: DataFrame, contentCols: Seq[String], orderCol: String): DataFrame = {
     val h = sha2(to_json(struct(contentCols.map(c => col(c)): _*)), 256)
     val keyed = df.withColumn("__gs_h", h)
-    val winners = keyed.select(col("__gs_h"), col(orderCol).as("__gs_o"))
-      .groupBy("__gs_h").agg(min("__gs_o").as("__gs_o"))
+    // alias the winner-side columns to fresh names — a self-derived join on
+    // the same attribute would resolve both sides to one reference and
+    // silently drop the hash condition
+    val winners = keyed.select(col("__gs_h").as("__gs_wh"), col(orderCol).as("__gs_o"))
+      .groupBy("__gs_wh").agg(min("__gs_o").as("__gs_o"))
     keyed.join(winners,
-        keyed("__gs_h") === winners("__gs_h") && keyed(orderCol) === winners("__gs_o"),
+        col("__gs_h") === col("__gs_wh") && col(orderCol) === col("__gs_o"),
         "left_semi")
       .drop("__gs_h")
   }
@@ -59,6 +62,25 @@ object Dedup {
       .otherwise(array(concat_ws(" ", tokens))))
 
   def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Portable 60-bit hash: decimal value of the first 15 hex chars of md5.
+    * Reproducible in DuckDB as `('0x' || substr(md5(x::VARCHAR), 1, 15))::
+    * UBIGINT`, which lets an oracle recompute hash-dependent operators
+    * (simhash, winnowing, IVF seeding) exactly. The input is cast to string
+    * first — Spark's md5 would otherwise implicit-cast numerics to their
+    * BINARY encoding, which no SQL engine's md5(x::VARCHAR) reproduces.
+    * xxhash64 stays the default on hot paths — md5 is ~5× slower — this is
+    * the cross-engine-verifiable alternative. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Positional (non-distinct) shingles — winnowing needs every k-gram
+    * occurrence in document order; `shinglesOf` dedups for set-similarity. */
+  def shinglesOfAll(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+    .otherwise(array(concat_ws(" ", tokens)))
 
   /** (doc_id, shingle) rows — one row per distinct shingle per doc. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -214,11 +236,14 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-token 64-bit hashes vote ±1 on each
     * bit; the sign of each bit's sum forms the fingerprint. Pure expression
-    * pipeline: explode tokens → per-(doc, bit) sums → fold bits back. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * pipeline: explode tokens → per-(doc, bit) sums → fold bits back.
+    * `tokenHash` defaults to xxhash64; pass [[md5Hash60]] when an external
+    * oracle must reproduce the signatures. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = df.select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h", tokenHash(col("__t")))
     // single pass: 64 bit-vote sum-aggregates (no doc × token × bit
     // explosion); fold the per-bit signs back into one long
     val bitAggs = (0 until 64).map(i =>
@@ -232,8 +257,8 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxDist`, blocked on
     * 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val sig = simhash(df, idCol, textCol).cache()
+      maxBucketSize: Int = 1000, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val sig = simhash(df, idCol, textCol, tokenHash).cache()
     val chunked0 = sig.select(col(idCol), col("simhash"), posexplode(
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("simhash"), c * lit(16)).bitwiseAND(0xFFFFL)))

@@ -47,11 +47,15 @@ object Multimodal {
         case _ => "video/mp4"
       }
 
-    /** REAL IMPL WOULD: decode the image header. Stub: dimensions from a
-      * byte hash (decode step intentionally not implemented: ???). */
+    /** REAL IMPL WOULD: decode the image header. Stub: dimensions from the
+      * first 8 payload bytes read as two big-endian uint32s (decode step
+      * intentionally not implemented: ???). */
     def probeDimensions(payload: Array[Byte]): (Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      (64 + math.abs(h % 1024), 64 + math.abs((h / 1024) % 1024))
+      if (payload == null || payload.length < 8) return (64, 64)
+      def be32(o: Int): Long =
+        ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
+          ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+      ((64 + be32(0) % 1024).toInt, (64 + be32(4) % 1024).toInt)
     }
 
     /** REAL IMPL WOULD: resample pixels. Stub: truncate/pad bytes to a

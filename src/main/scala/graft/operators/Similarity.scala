@@ -119,20 +119,31 @@ object Similarity {
   }
 
   /** IVF index: deterministic centroid seeding (hash-sample ~numCentroids
-    * vectors — a distributed filter, no global sort/window) + one Lloyd
-    * refinement step, then corpus assignment.
-    * Returns (centroid_id, centroid) and the assigned corpus. */
+    * vectors — a distributed filter plus a bounded top-K by id, no global
+    * sort) + one Lloyd refinement step, then corpus assignment.
+    * Returns (centroid_id, centroid) and the assigned corpus.
+    *
+    * Seeding is FULLY deterministic: rows where `seedHash(id) % stride = 0`,
+    * the `numCentroids` smallest ids among them (orderBy+limit plans as
+    * TakeOrderedAndProject — K rows on the driver, never a full sort), with
+    * centroid_id = rank by id. `seedHash` defaults to xxhash64; pass
+    * Dedup.md5Hash60 when an external oracle must reproduce the index. */
   def ivfIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      numCentroids: Int): (DataFrame, DataFrame) = {
+      numCentroids: Int,
+      seedHash: Column => Column = xxhash64(_)): (DataFrame, DataFrame) = {
     val n = math.max(1L, corpus.count())
     val stride = math.max(1L, n / numCentroids)
-    val seeds = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+    val picked = corpus
+      .filter(pmod(seedHash(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol))
       .limit(numCentroids)
-      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
+    val w = Window.orderBy(col(idCol)) // numCentroids rows — single partition fine
+    val seeds = picked.select(
+      (row_number().over(w) - 1).cast(LongType).as("centroid_id"),
+      col(vecCol).as("centroid"))
     // one refinement: assign to nearest seed, recompute means element-wise
     val assigned0 = assign(corpus, seeds, idCol, vecCol)
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
@@ -191,8 +202,9 @@ object Similarity {
       vecCol: String,
       k: Int,
       numCentroids: Int = 16,
-      nProbe: Int = 2): DataFrame = {
-    val (centroids, assigned) = ivfIndex(corpus, idCol, vecCol, numCentroids)
+      nProbe: Int = 2,
+      seedHash: Column => Column = xxhash64(_)): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, idCol, vecCol, numCentroids, seedHash)
     // nProbe nearest centroids per query — same literal-array trick as
     // assign(): score all centroids in one projection, array_sort by
     // (-cosine, centroid_id), slice the top nProbe, explode. No shuffle.

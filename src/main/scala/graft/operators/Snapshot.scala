@@ -13,9 +13,17 @@ import org.apache.spark.sql.types._
   * Reference: gluestick/etl_utils.py:152-191 + snapshot_lock.py. The
   * reference writes one whole file; at 100 TB a snapshot must be a
   * partitioned dataset, so here a snapshot is a *directory* of parquet,
-  * committed by directory rename (write `.tmp`, swap via `.lock`), keeping
-  * the same `.hg.partial_written.lock` suffix protocol so an orchestrator
-  * can detect a torn write.
+  * committed by directory rename (write `.tmp`, swap via `.lock`).
+  *
+  * LOCK SEMANTICS DIFFER FROM THE REFERENCE — do not apply reference
+  * cleanup rules to these files. gluestick writes NEW data at the
+  * `.hg.partial_written.lock` path and renames it into place on success,
+  * so a leftover reference lock is a discardable partial write. Here the
+  * rename direction is inverted: the COMPLETE OLD snapshot is parked at
+  * the lock path while the new directory swaps in, so a leftover lock is
+  * the only surviving complete copy — `read` restores it, and an
+  * orchestrator must NEVER delete it. (New data is always staged under a
+  * `.tmp-<uuid>` path; those are the discardable ones.)
   */
 class SnapshotStore(spark: SparkSession, dir: String) {
   private val fs: FileSystem =
@@ -73,11 +81,19 @@ object Snapshot {
     * `diagonal_relaxed`. At scale the shuffle partitions by pk, so this is
     * the standard merge-on-read pattern (no driver materialization).
     */
-  def upsert(snapshot: Option[DataFrame], incoming: DataFrame, pk: Seq[String]): DataFrame = {
+  def upsert(snapshot: Option[DataFrame], incoming: DataFrame, pk: Seq[String],
+      coerceStrict: Boolean = false): DataFrame = {
     snapshot match {
       case None => dedupKeepLast(incoming, pk)
+      case Some(snap) if pk.isEmpty =>
+        // empty pk = dedup on the FULL row (reference drop_duplicates with
+        // no subset). The window formulation below would partition by
+        // nothing and collapse the whole snapshot to one row.
+        alignTypes(snap, incoming, coerceStrict)
+          .unionByName(incoming, allowMissingColumns = true)
+          .dropDuplicates()
       case Some(snap) =>
-        val s = alignTypes(snap, incoming)
+        val s = alignTypes(snap, incoming, coerceStrict)
           .withColumn("__gs_src", lit(0)).withColumn(arrival, lit(0L))
         val n = incoming
           .withColumn("__gs_src", lit(1))
@@ -91,8 +107,10 @@ object Snapshot {
     }
   }
 
-  /** keep="last" dedup within one frame (arrival order). */
+  /** keep="last" dedup within one frame (arrival order). Empty pk dedups on
+    * the full row — duplicates are then identical, so keep-any is correct. */
   def dedupKeepLast(df: DataFrame, pk: Seq[String]): DataFrame = {
+    if (pk.isEmpty) return df.dropDuplicates()
     val w = Window.partitionBy(pk.map(col): _*).orderBy(col(arrival).desc)
     df.withColumn(arrival, monotonically_increasing_id())
       .withColumn("__gs_rn", row_number().over(w))
@@ -102,10 +120,33 @@ object Snapshot {
 
   /** Coerce snapshot columns to incoming dtypes before union — the
     * reference casts the snapshot to the incoming frame's types and raises
-    * naming the failing column (etl_utils.py:238-251); we try_cast (bad
-    * cells null) to keep the operator total. */
-  private def alignTypes(snap: DataFrame, incoming: DataFrame): DataFrame = {
+    * naming the failing column (etl_utils.py:238-251). Default is total:
+    * try_cast nulls bad cells. `strict=true` reproduces the reference's
+    * raising behavior — one aggregate pass finds, per cast column, the
+    * offender count and an example value, and the error names them. */
+  private def alignTypes(snap: DataFrame, incoming: DataFrame, strict: Boolean = false): DataFrame = {
     val want = incoming.schema.map(f => f.name -> f.dataType).toMap
+    val needCast = snap.schema.fields.toIndexedSeq
+      .filter(f => want.get(f.name).exists(_ != f.dataType))
+    if (strict && needCast.nonEmpty) {
+      val aggs = needCast.flatMap { f =>
+        val c = col(s"`${f.name}`")
+        val bad = c.isNotNull && c.try_cast(want(f.name)).isNull
+        Seq(sum(when(bad, 1).otherwise(0)),
+          first(when(bad, c.cast(StringType)), ignoreNulls = true))
+      }
+      val r = snap.agg(aggs.head, aggs.tail: _*).first()
+      needCast.zipWithIndex.foreach { case (f, i) =>
+        val n = if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i)
+        if (n > 0) {
+          val example = if (r.isNullAt(2 * i + 1)) "null" else r.getString(2 * i + 1)
+          throw new IllegalStateException(
+            s"Snapshot failed while trying to convert field ${f.name} from type " +
+              s"${f.dataType.simpleString} to type ${want(f.name).simpleString}: " +
+              s"$n value(s) not convertible, e.g. '$example'")
+        }
+      }
+    }
     val cols = snap.columns.map { c =>
       want.get(c) match {
         case Some(dt) if dt != snap.schema(c).dataType => col(c).try_cast(dt).as(c)
@@ -124,10 +165,11 @@ object Snapshot {
       incoming: DataFrame,
       pk: Seq[String],
       justNew: Boolean = false,
-      overwrite: Boolean = false): DataFrame = {
+      overwrite: Boolean = false,
+      coerceStrict: Boolean = false): DataFrame = {
     val merged =
       if (overwrite) dedupKeepLast(incoming, pk)
-      else upsert(store.read(name), incoming, pk)
+      else upsert(store.read(name), incoming, pk, coerceStrict)
     // The merged plan is read again after write; cache to avoid recompute,
     // and to not re-read the snapshot we are about to replace.
     val out = merged.cache()
@@ -163,7 +205,10 @@ object Snapshot {
       case Some(ph) =>
         hashed.join(ph.select((pk :+ "hash").map(col): _*), (pk :+ "hash"), "left_anti")
     }
-    val flagged = (prior, updatedFlag) match {
+    // the flag needs a pk to associate state with — the reference only
+    // applies it when pk is non-empty (`updated_flag and pk`,
+    // etl_utils.py:352-365)
+    val flagged = (prior, updatedFlag && pk.nonEmpty) match {
       case (Some(ph), true) =>
         val priorKeys = ph.select(pk.map(col): _*).distinct()
           .withColumn("__gs_existed", lit(true))

@@ -70,12 +70,16 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+", " "))
 
-  /** k-gram hash array for winnowing. Materialize this in its own
-    * projection before calling winnowFromHashes — referencing a non-
-    * trivial expression from inside the winnow lambda would re-inline
-    * the whole shingle+hash pipeline per window position. */
-  def kgramHashes(tokens: Column, k: Int = 5): Column =
-    transform(Dedup.shinglesOf(tokens, k), g => xxhash64(g))
+  /** k-gram hash array for winnowing — POSITIONAL k-grams (every
+    * occurrence, document order: winnowing's sliding window is positional;
+    * deduping k-grams first would distort window minima). Materialize this
+    * in its own projection before calling winnowFromHashes — referencing a
+    * non-trivial expression from inside the winnow lambda would re-inline
+    * the whole shingle+hash pipeline per window position. `hash` defaults
+    * to xxhash64; pass Dedup.md5Hash60 for oracle-reproducible output. */
+  def kgramHashes(tokens: Column, k: Int = 5,
+      hash: Column => Column = xxhash64(_)): Column =
+    transform(Dedup.shinglesOfAll(tokens, k), g => hash(g))
 
   /** Winnowing over a MATERIALIZED hash-array column: per-window minima
     * (window = `window` consecutive k-grams), deduplicated. */

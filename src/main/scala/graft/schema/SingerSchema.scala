@@ -19,20 +19,23 @@ object SingerSchema {
 
   def parse(json: String): JsonNode = mapper.readTree(json)
 
-  /** Collapse an `anyOf` list: prefer the variant with a `format` key
-    * (reference singer.py:366-380); else merge the member `type`s.
-    * Variants are de-referenced first so `anyOf:[{$ref:…},{type:null}]`
-    * (the pydantic Optional[Model] shape) resolves. */
-  private def collapseAnyOf(node: JsonNode, root: JsonNode): JsonNode = {
-    val variants = node.get("anyOf").elements().asScala.toSeq.map(v => deref(v, root))
-    variants.find(v => v.has("format")) match {
-      case Some(v) => v
-      case None =>
+  /** Choose the winning `anyOf` variant: prefer the variant with a `format`
+    * key (reference singer.py:366-380); else a single non-null variant;
+    * else merge the member `type`s. Variants are inspected through a ONE-HOP
+    * deref (cycle-safe), but the ORIGINAL variant node is returned so the
+    * caller's recursion keeps `$ref` cycle tracking intact — e.g.
+    * `anyOf:[{$ref:…},{type:null}]`, the pydantic Optional[Model] shape. */
+  private def chooseAnyOfVariant(node: JsonNode, root: JsonNode): JsonNode = {
+    val originals = node.get("anyOf").elements().asScala.toSeq
+    val resolved = originals.map(v => deref(v, root))
+    resolved.indexWhere(_.has("format")) match {
+      case i if i >= 0 => originals(i)
+      case _ =>
         // a single non-null variant keeps its full shape (properties/items)
-        val nonNull = variants.filterNot(v => typeNames(v) == Seq("null"))
-        if (nonNull.size == 1) nonNull.head
+        val nonNull = originals.zip(resolved).filterNot { case (_, r) => typeNames(r) == Seq("null") }
+        if (nonNull.size == 1) nonNull.head._1
         else {
-          val types = nonNull.flatMap(typeNames).filterNot(_ == "null").distinct
+          val types = nonNull.flatMap(p => typeNames(p._2)).filterNot(_ == "null").distinct
           val o = mapper.createObjectNode()
           if (types.size == 1) o.put("type", types.head)
           else o.put("type", "string") // multi-type union → string (reader.py:268)
@@ -63,46 +66,65 @@ object SingerSchema {
 
   /** One JSON-Schema property node → Spark DataType. `root` anchors
     * `$ref` resolution (defaults to the node itself for flat schemas). */
-  def propertyToDataType(node0: JsonNode): DataType = propertyToDataType(node0, node0)
+  def propertyToDataType(node0: JsonNode): DataType = propertyToDataType(node0, node0, Set.empty)
 
-  def propertyToDataType(nodeIn: JsonNode, root: JsonNode): DataType = {
-    val node1 = deref(nodeIn, root)
-    val node = if (node1.has("anyOf")) collapseAnyOf(node1, root) else node1
-    val types = typeNames(node).filterNot(_ == "null")
-    val fmt = Option(node.get("format")).map(_.asText())
-    types match {
-      case Seq("string") =>
-        fmt match {
-          case Some("date-time") => TimestampType
-          case Some("date")      => DateType
-          case _                 => StringType // incl. "time": no TimeType → string
+  def propertyToDataType(nodeIn: JsonNode, root: JsonNode): DataType =
+    propertyToDataType(nodeIn, root, Set.empty)
+
+  /** `seen` tracks `$ref` paths already being resolved on this branch:
+    * pydantic emits self-referential `$defs` for recursive models
+    * (model_json_schema), which would otherwise recurse unboundedly — a
+    * repeated ref degrades to StringType, like an unresolvable one. */
+  private def propertyToDataType(nodeIn: JsonNode, root: JsonNode, seen: Set[String]): DataType =
+    Option(nodeIn.get("$ref")).map(_.asText()) match {
+      case Some(ref) if seen.contains(ref) => StringType // $ref cycle
+      case Some(ref) =>
+        val target = deref(nodeIn, root)
+        if (target eq nodeIn) StringType // unresolvable ref
+        else propertyToDataType(target, root, seen + ref)
+      case None if nodeIn.has("anyOf") =>
+        propertyToDataType(chooseAnyOfVariant(nodeIn, root), root, seen)
+      case None =>
+        val node = nodeIn
+        val types = typeNames(node).filterNot(_ == "null")
+        val fmt = Option(node.get("format")).map(_.asText())
+        types match {
+          case Seq("string") =>
+            fmt match {
+              case Some("date-time") => TimestampType
+              case Some("date")      => DateType
+              case _                 => StringType // incl. "time": no TimeType → string
+            }
+          case Seq("integer") => LongType
+          case Seq("number")  => DoubleType
+          case Seq("boolean") => BooleanType
+          case Seq("object") =>
+            val props = node.get("properties")
+            if (props == null || !props.fieldNames().hasNext)
+              MapType(StringType, StringType) // open object
+            else toStructType(node, root, seen)
+          case Seq("array") =>
+            val items = node.get("items")
+            if (items == null) ArrayType(StringType)
+            else ArrayType(propertyToDataType(items, root, seen))
+          case _ => StringType // multi-type / unknown → string
         }
-      case Seq("integer") => LongType
-      case Seq("number")  => DoubleType
-      case Seq("boolean") => BooleanType
-      case Seq("object") =>
-        val props = node.get("properties")
-        if (props == null || !props.fieldNames().hasNext)
-          MapType(StringType, StringType) // open object
-        else toStructType(node, root)
-      case Seq("array") =>
-        val items = node.get("items")
-        if (items == null) ArrayType(StringType)
-        else ArrayType(propertyToDataType(items, root))
-      case _ => StringType // multi-type / unknown → string
     }
-  }
 
   /** JSON-Schema `{"type":"object","properties":{…}}` → StructType.
     * All fields nullable (Singer unions every type with "null"). */
-  def toStructType(schema: JsonNode): StructType = toStructType(schema, schema)
+  def toStructType(schema: JsonNode): StructType = toStructType(schema, schema, Set.empty)
 
-  def toStructType(schema: JsonNode, root: JsonNode): StructType = {
+  def toStructType(schema: JsonNode, root: JsonNode): StructType =
+    toStructType(schema, root, Set.empty)
+
+  private def toStructType(schema: JsonNode, root: JsonNode, seen: Set[String]): StructType = {
+    val seenPlus = seen ++ Option(schema.get("$ref")).map(_.asText())
     val resolved = deref(schema, root)
     val props = resolved.get("properties")
     if (props == null) return StructType(Nil)
     val fields = props.properties().asScala.toSeq.map { e =>
-      StructField(e.getKey, propertyToDataType(e.getValue, root), nullable = true)
+      StructField(e.getKey, propertyToDataType(e.getValue, root, seenPlus), nullable = true)
     }
     StructType(fields)
   }

@@ -33,12 +33,13 @@ object SingerWriter {
   private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
   private val DateFormat = "yyyy-MM-dd"
 
-  private def jsonOptions: Map[String, String] = Map(
+  private def jsonOptions(keepNullFields: Boolean = false): Map[String, String] = Map(
     "timestampFormat" -> TsFormat,
     "timestampNTZFormat" -> TsFormat,
     "dateFormat" -> DateFormat,
     "timeZone" -> "UTC",
-    "ignoreNullFields" -> "true")
+    // keep_nulls mode serializes null scalars explicitly (singer.py:536-540)
+    "ignoreNullFields" -> (!keepNullFields).toString)
 
   private def esc(s: String): String = {
     val b = new StringBuilder
@@ -52,6 +53,24 @@ object SingerWriter {
       case c    => b.append(c)
     }
     b.toString
+  }
+
+  /** Non-`allow_objects` serialization (the reference DEFAULT,
+    * `_serialize_value` singer.py:72-78): array/struct/map columns are
+    * JSON-stringified into STRING record fields (and therefore typed
+    * `string` in the emitted SCHEMA). Primitive columns keep their types —
+    * the reference only applies `_serialize_value` to object-dtype columns
+    * (gen_singer_header's else branch, singer.py:176-178). Spacing differs
+    * from json.dumps (`{"a":1}` vs `{"a": 1}`); values are identical. */
+  def stringifyComplexColumns(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          to_json(col(s"`${f.name}`"), jsonOptions()).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }
+    df.select(cols: _*)
   }
 
   /** Drop columns that are entirely null — the reference's `allow_objects`
@@ -92,12 +111,13 @@ object SingerWriter {
       df: DataFrame,
       stream: String,
       version: Option[Long] = None,
-      timeExtracted: Option[java.time.Instant] = None): Column = {
+      timeExtracted: Option[java.time.Instant] = None,
+      keepNullFields: Boolean = false): Column = {
     val payload = to_json(
       struct(df.schema.fields.toIndexedSeq.map { f =>
         val c = col(s"`${f.name}`")
         (if (f.dataType == FloatType) c.cast(DoubleType) else c).as(f.name)
-      }: _*), jsonOptions)
+      }: _*), jsonOptions(keepNullFields))
     val versionPart = version.map(v => s""", "version": $v""").getOrElse("")
     val tePart = timeExtracted.map { t =>
       val s = java.time.format.DateTimeFormatter
@@ -111,8 +131,28 @@ object SingerWriter {
       lit("}"))
   }
 
+  /** Merge catalog properties over the inferred header, keeping extra df
+    * columns the catalog doesn't know (reference USE_CATALOG_SCHEMA merge,
+    * singer.py:181-185: `header_map["properties"].update(schema[...])`). */
+  private[graft] def mergeSchemas(inferred: StructType, catalog: StructType): StructType = {
+    val catByName = catalog.fields.map(f => f.name -> f).toMap
+    val overridden = inferred.fields.map(f => catByName.getOrElse(f.name, f))
+    val extras = catalog.fields.filterNot(f => inferred.fieldNames.contains(f.name))
+    StructType((overridden ++ extras).toIndexedSeq)
+  }
+
   /** Single-file Singer export (reference contract: singer.py:452-549).
-    * Appends if the file already exists (singer.py:518). */
+    * Appends if the file already exists (singer.py:518); the SCHEMA message
+    * is emitted on EVERY call including append mode, like the reference's
+    * per-call write_schema — appended batches with evolved columns are
+    * always described by a preceding SCHEMA.
+    *
+    * `allowObjects=false` (the reference's parameter default; graft's
+    * default here stays `true` for backward compatibility — the
+    * `Exporter.toSinger` router applies the reference default) serializes
+    * complex columns as JSON strings via [[stringifyComplexColumns]].
+    * `mergeSchemaWith` overlays catalog property types on the inferred
+    * header while keeping extra columns (USE_CATALOG_SCHEMA mode). */
   def write(
       df: DataFrame,
       stream: String,
@@ -120,7 +160,10 @@ object SingerWriter {
       keyProperties: Seq[String] = Nil,
       bookmarkProperties: Seq[String] = Nil,
       schemaOverride: Option[StructType] = None,
-      emitState: Boolean = true): Unit = {
+      emitState: Boolean = true,
+      allowObjects: Boolean = true,
+      keepNullFields: Boolean = false,
+      mergeSchemaWith: Option[StructType] = None): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.{Files, Paths, StandardOpenOption => O}
     val p = Paths.get(path)
@@ -129,12 +172,14 @@ object SingerWriter {
     val out = Files.newBufferedWriter(p, UTF_8,
       (if (appending) Seq(O.APPEND, O.WRITE) else Seq(O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)): _*)
     try {
-      if (!appending) {
-        out.write(schemaMessage(stream, schemaOverride.getOrElse(df.schema),
-          keyProperties, bookmarkProperties))
-        out.write("\n")
+      val prepared = if (allowObjects) df else stringifyComplexColumns(df)
+      val headerSchema = mergeSchemaWith match {
+        case Some(cat) => mergeSchemas(prepared.schema, cat)
+        case None      => schemaOverride.getOrElse(prepared.schema)
       }
-      val lines = df.select(recordLine(df, stream).as("line"))
+      out.write(schemaMessage(stream, headerSchema, keyProperties, bookmarkProperties))
+      out.write("\n")
+      val lines = prepared.select(recordLine(prepared, stream, keepNullFields = keepNullFields).as("line"))
       // toLocalIterator: one partition in driver memory at a time
       val it = lines.toLocalIterator()
       while (it.hasNext) { out.write(it.next().getString(0)); out.write("\n") }

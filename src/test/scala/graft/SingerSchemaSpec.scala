@@ -75,4 +75,33 @@ class SingerSchemaSpec extends AnyFunSuite {
     assert(st("alt").dataType.isInstanceOf[StructType])
     assert(st("legacy").dataType === DoubleType)
   }
+
+  test("self-referential $defs (recursive pydantic model) degrade to string, no overflow") {
+    // pydantic model_json_schema() for `class Node(BaseModel): child: Optional[Node]`
+    // (root-$ref shape): the repeated ref degrades to string instead of
+    // recursing unboundedly into StackOverflowError
+    val rootRef =
+      """{"$ref": "#/$defs/Node",
+        |"$defs": {"Node": {"type": "object", "properties": {
+        |  "name": {"type": "string"},
+        |  "child": {"anyOf": [{"$ref": "#/$defs/Node"}, {"type": "null"}]},
+        |  "children": {"type": "array", "items": {"$ref": "#/$defs/Node"}}}}}}""".stripMargin
+    val st = SingerSchema.toStructType(rootRef)
+    assert(st.fieldNames.toSeq === Seq("name", "child", "children"))
+    assert(st("name").dataType === StringType)
+    assert(st("child").dataType === StringType)
+    assert(st("children").dataType === ArrayType(StringType))
+
+    // properties-at-root shape: one level resolves, the cycle below degrades
+    val propsRoot =
+      """{"type": "object", "properties": {
+        |  "child": {"$ref": "#/$defs/Node"}},
+        |"$defs": {"Node": {"type": "object", "properties": {
+        |  "name": {"type": "string"},
+        |  "child": {"$ref": "#/$defs/Node"}}}}}""".stripMargin
+    val st2 = SingerSchema.toStructType(propsRoot)
+    val child = st2("child").dataType.asInstanceOf[StructType]
+    assert(child("name").dataType === StringType)
+    assert(child("child").dataType === StringType)
+  }
 }

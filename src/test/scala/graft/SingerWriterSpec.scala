@@ -44,15 +44,19 @@ class SingerWriterSpec extends SparkSpec {
     assert(gotJ.last.get("value").toString === "{}")
   }
 
-  test("append mode skips the schema header") {
+  test("append mode re-emits the schema header (reference per-call write_schema)") {
     import spark.implicits._
     val df = Seq((1, "a")).toDF("id", "v")
+    val evolved = Seq((2, "b", 1.5)).toDF("id", "v", "score")
     val out = s"${tmpDir("singer_")}/t.singer"
     SingerWriter.write(df, "t", out, emitState = false)
-    SingerWriter.write(df, "t", out, emitState = true)
+    SingerWriter.write(evolved, "t", out, emitState = true)
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out)).asScala
     val types = lines.map(l => mapper.readTree(l).get("type").asText())
-    assert(types.toSeq === Seq("SCHEMA", "RECORD", "RECORD", "STATE"))
+    assert(types.toSeq === Seq("SCHEMA", "RECORD", "SCHEMA", "RECORD", "STATE"))
+    // the second SCHEMA describes the evolved batch's columns
+    val secondSchema = mapper.readTree(lines(2)).at("/schema/properties")
+    assert(secondSchema.has("score"))
   }
 
   test("null scalars are dropped from records; timestamps serialize ISO-micros-Z") {
@@ -155,4 +159,144 @@ class SingerWriterSpec extends SparkSpec {
 
 object SingerWriterSpec {
   final case class Invoice(id: Long, amount: Double, issued: java.sql.Timestamp)
+}
+
+/** Four-source schema priority + serialization modes of the Singer sink
+  * (reference to_singer, singer.py:494-516 and _serialize_value :72-78). */
+class SingerModesSpec extends SparkSpec {
+  import graft.export.Exporter
+  import graft.schema.{CatalogReader, SingerSchema}
+  private val mapper = new ObjectMapper()
+
+  private val catalogJson =
+    """{"streams": [{"stream": "orders",
+      |  "schema": {"type": "object", "properties": {
+      |    "id": {"type": ["integer", "null"]},
+      |    "meta": {"type": ["object", "null"], "properties": {
+      |      "k": {"type": ["string", "null"]}}},
+      |    "catalog_only": {"type": ["number", "null"]}}},
+      |  "metadata": [{"breadcrumb": [], "metadata": {"table-key-properties": ["id"]}}]}]}""".stripMargin
+  private def catalog = CatalogReader.fromJson(catalogJson)
+
+  private def df = {
+    import spark.implicits._
+    Seq((1L, """{"k": "v1"}""", "x")).toDF("id", "meta", "extra")
+  }
+
+  private def readLines(path: String) =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+
+  test("allowObjects=false stringifies complex columns and types them string") {
+    import spark.implicits._
+    val nested = Seq((1L, Seq("a", "b"))).toDF("id", "tags")
+      .withColumn("obj", struct(lit("v").as("k")))
+    val dir = tmpDir("sm_")
+    Exporter.toSinger(nested, "t", dir, allowObjects = false, env = Map.empty)
+    val lines = readLines(s"$dir/data.singer").map(mapper.readTree)
+    val props = lines.head.at("/schema/properties")
+    assert(props.get("tags").get("type").get(0).asText() === "string")
+    assert(props.get("obj").get("type").get(0).asText() === "string")
+    val rec = lines(1).get("record")
+    assert(rec.get("tags").isTextual && rec.get("obj").isTextual)
+    assert(mapper.readTree(rec.get("tags").asText()).get(0).asText() === "a")
+    assert(mapper.readTree(rec.get("obj").asText()).get("k").asText() === "v")
+  }
+
+  test("priority 1a: catalogStream uses the catalog schema wholesale and parses object cols") {
+    val dir = tmpDir("sm_")
+    Exporter.toSinger(df, "anything", dir, catalogStream = Some("orders"),
+      catalog = catalog, env = Map.empty)
+    val lines = readLines(s"$dir/data.singer").map(mapper.readTree)
+    val props = lines.head.at("/schema/properties")
+    // catalog schema verbatim: catalog_only present, df-only extra absent
+    assert(props.has("catalog_only") && !props.has("extra"))
+    // the stringified meta column was parsed to a real object per the catalog
+    assert(lines(1).at("/record/meta/k").asText() === "v1")
+  }
+
+  test("priority 1b: USE_CATALOG_SCHEMA merges catalog types over inferred, keeps extras") {
+    val dir = tmpDir("sm_")
+    Exporter.toSinger(df, "orders", dir, catalog = catalog,
+      env = Map("USE_CATALOG_SCHEMA" -> "true"))
+    val lines = readLines(s"$dir/data.singer").map(mapper.readTree)
+    val props = lines.head.at("/schema/properties")
+    // merge: catalog-only AND df-only columns both present
+    assert(props.has("catalog_only") && props.has("extra"))
+    // catalog overrides meta to object; df-only extra stays inferred string
+    assert(props.get("meta").get("type").get(0).asText() === "object")
+    // keep_nulls mode: missing catalog_only column is absent from the frame,
+    // but null scalars in present columns serialize explicitly
+    assert(lines(1).at("/record/meta/k").asText() === "v1")
+  }
+
+  test("priority 2: unified model beats explicit schema (reference elif order)") {
+    val unified = SingerSchema.toStructType(
+      """{"type": "object", "properties": {"id": {"type": ["integer", "null"]},
+        |"meta": {"type": ["string", "null"]}, "extra": {"type": ["string", "null"]},
+        |"from_model": {"type": ["boolean", "null"]}}}""".stripMargin)
+    val explicit = SingerSchema.toStructType(
+      """{"type": "object", "properties": {"from_explicit": {"type": ["string", "null"]}}}""")
+    val dir = tmpDir("sm_")
+    Exporter.toSinger(df, "orders", dir, schema = Some(explicit),
+      unifiedModel = Some(unified), env = Map.empty)
+    val props = readLines(s"$dir/data.singer").map(mapper.readTree)
+      .head.at("/schema/properties")
+    assert(props.has("from_model") && !props.has("from_explicit"))
+  }
+
+  test("priority 3/4: explicit schema, else inference") {
+    val explicit = SingerSchema.toStructType(
+      """{"type": "object", "properties": {"from_explicit": {"type": ["string", "null"]}}}""")
+    val d1 = tmpDir("sm_"); val d2 = tmpDir("sm_")
+    Exporter.toSinger(df, "orders", d1, schema = Some(explicit), env = Map.empty)
+    assert(readLines(s"$d1/data.singer").map(mapper.readTree)
+      .head.at("/schema/properties").has("from_explicit"))
+    Exporter.toSinger(df, "orders", d2, env = Map.empty)
+    val inferred = readLines(s"$d2/data.singer").map(mapper.readTree)
+      .head.at("/schema/properties")
+    assert(inferred.has("id") && inferred.has("meta") && inferred.has("extra"))
+  }
+
+  test("allowObjects drops all-null columns unless nulls are kept") {
+    import spark.implicits._
+    val withNullCol = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "empty")
+    val d1 = tmpDir("sm_"); val d2 = tmpDir("sm_")
+    Exporter.toSinger(withNullCol, "t", d1, allowObjects = true, env = Map.empty)
+    assert(!readLines(s"$d1/data.singer").map(mapper.readTree)
+      .head.at("/schema/properties").has("empty"))
+    Exporter.toSinger(withNullCol, "t", d2, allowObjects = true,
+      keepNullFields = true, env = Map.empty)
+    val lines2 = readLines(s"$d2/data.singer").map(mapper.readTree)
+    assert(lines2.head.at("/schema/properties").has("empty"))
+    // keep-nulls serializes the null explicitly in records
+    assert(lines2(1).get("record").has("empty") && lines2(1).at("/record/empty").isNull)
+  }
+
+  test("INCLUDE_ALL_UNIFIED_FIELDS keeps null columns only with a unified model") {
+    import spark.implicits._
+    val withNullCol = Seq((1L, Option.empty[String])).toDF("id", "empty")
+    val unified = SingerSchema.toStructType(
+      """{"type": "object", "properties": {"id": {"type": ["integer", "null"]},
+        |"empty": {"type": ["string", "null"]}}}""".stripMargin)
+    val d1 = tmpDir("sm_"); val d2 = tmpDir("sm_")
+    val envOn = Map("INCLUDE_ALL_UNIFIED_FIELDS" -> "true")
+    // with the model: nulls kept, explicit null in the record
+    Exporter.toSinger(withNullCol, "t", d1, allowObjects = true,
+      unifiedModel = Some(unified), env = envOn)
+    val l1 = readLines(s"$d1/data.singer").map(mapper.readTree)
+    assert(l1(1).get("record").has("empty") && l1(1).at("/record/empty").isNull)
+    // without the model the flag is inert (reference gates on unified_model)
+    Exporter.toSinger(withNullCol, "t", d2, allowObjects = true, env = envOn)
+    assert(!readLines(s"$d2/data.singer").map(mapper.readTree)
+      .head.at("/schema/properties").has("empty"))
+  }
+
+  test("catalog stream missing raises like the reference") {
+    val e = intercept[IllegalArgumentException] {
+      Exporter.toSinger(df, "missing", tmpDir("sm_"),
+        catalogStream = Some("missing"), catalog = catalog, env = Map.empty)
+    }
+    assert(e.getMessage.contains("No schema found in catalog for stream missing"))
+  }
 }

@@ -82,6 +82,42 @@ class SnapshotSpec extends SparkSpec {
     assert(got(1) === md5hex("False2.0"))
   }
 
+  test("strict coercion raises naming the failing column and value") {
+    val snap = Seq(("abc", "a"), ("2", "b")).toDF("id", "v") // "abc" won't cast
+    val incoming = Seq((3, "c")).toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      Snapshot.upsert(Some(snap), incoming, Seq("id"), coerceStrict = true).count()
+    }
+    assert(e.getMessage.contains("field id"), e.getMessage)
+    assert(e.getMessage.contains("'abc'"), e.getMessage)
+    // the total default still nulls the bad cell instead
+    assert(Snapshot.upsert(Some(snap), incoming, Seq("id")).count() === 3)
+  }
+
+  test("empty pk: upsert dedups on the full row, never collapses to one") {
+    val snap = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val incoming = Seq((2, "b"), (3, "c")).toDF("id", "v")
+    val out = Snapshot.upsert(Some(snap), incoming, Nil)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(Snapshot.dedupKeepLast(Seq((1, "a"), (1, "a"), (2, "b")).toDF("id", "v"), Nil)
+      .count() === 2)
+  }
+
+  test("empty pk dropRedundant: hash-only CDC accumulates, repeat rows dropped") {
+    val store = new SnapshotStore(spark, tmpDir("cdc0_"))
+    val v1 = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    assert(Snapshot.dropRedundant(store, "s", v1, Nil).count() === 2)
+    // re-send: all hashes known → nothing; hash snapshot must NOT have
+    // collapsed to a single row
+    assert(Snapshot.dropRedundant(store, "s", v1, Nil).count() === 0)
+    // one new row comes through; updatedFlag is a no-op without a pk
+    val v2 = Seq((1, "x"), (3, "z")).toDF("id", "v")
+    val out = Snapshot.dropRedundant(store, "s", v2, Nil, updatedFlag = true)
+    assert(out.collect().map(_.getInt(0)).toSeq === Seq(3))
+    assert(!out.columns.contains("_updated"))
+  }
+
   test("mergeIdFromSnapshot backfills remote ids, keep-last per InputId") {
     val df = Seq(("r1", "e1"), ("r2", "e2"), ("r3", "e9")).toDF("row", "externalId")
     val ids = Seq(("e1", 101L), ("e1", 111L), ("e2", 102L)).toDF("InputId", "RemoteId")
