@@ -460,6 +460,22 @@ object SparkEntry {
           size(TextAnalysis.winnowFromHashes(col("__hashes"))).as("n_fingerprints"))
         .orderBy("doc_id")
     }),
+    // ── scale: connected-components dedup (oracle: brute-force pairs +
+    //    recursive-CTE transitive closure in DuckDB) ────────────────────
+    "q46_dedup_cc" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val m1 = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val m2 = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra token and more extra")).as("text"))
+      val u = d.unionByName(m1).unionByName(m2)
+      val pairs = Dedup.minhashNearDupPairs(u, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      Dedup.dedupByComponents(u, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // ── scale: multimodal decode + feature plumbing (oracle: the stub
     //    codec arithmetic — md5-derived payload bytes — replayed in SQL) ─
     "q37_multimodal" -> ((s, dir) => {
@@ -839,6 +855,31 @@ object SparkEntry {
          |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
          |SELECT doc_id FROM s WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
+    "q46_dedup_cc" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' extra token and more extra' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u)),
+         |e0 AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s)
+         |SELECT doc_id FROM u
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)
          |ORDER BY doc_id""".stripMargin,
     "q43_winnowed_fingerprints" ->
       s"""WITH t AS (

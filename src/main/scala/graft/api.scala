@@ -101,6 +101,15 @@ object api {
     def nearDedup(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame =
       Dedup.dedupPipeline(df, idCol, textCol, threshold = threshold)
 
+    /** Cluster-aware near-dedup: one representative per connected
+      * component of near-dup pairs (transitive closure), instead of
+      * nearDedup's drop-the-larger-id approximation. */
+    def nearDedupClustered(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame = {
+      val exact = Dedup.exactDedup(df, Seq(textCol), idCol).cache()
+      Dedup.dedupByComponents(exact, idCol,
+        Dedup.minhashNearDupPairs(exact, idCol, textCol, threshold = threshold))
+    }
+
     def analyzeText(textCol: String): DataFrame = TextAnalysis.analyze(df, textCol)
 
     def topKNeighbors(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =

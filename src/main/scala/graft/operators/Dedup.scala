@@ -301,6 +301,62 @@ object Dedup {
       .distinct()
   }
 
+  /** Transitive-closure clustering of near-dup pairs by min-label
+    * propagation: every node starts labeled with its own id; each round a
+    * node adopts the minimum label among itself and its neighbors, until
+    * no label changes (or `maxIter`). Returns (id, component) where
+    * component = the cluster's minimum id.
+    *
+    * Scale shape: only (id, label) pairs ever shuffle — never documents —
+    * and each round is one join + one partial-aggregated groupBy.
+    * Convergence takes O(cluster diameter) rounds; near-dup clusters are
+    * dense (star/clique-ish), so a handful of rounds suffices. Labels are
+    * cached per round and the previous round unpersisted, so lineage stays
+    * bounded by the last iteration. `minhashDedup`'s single-pass
+    * drop-the-larger-id is the cheap approximation; this is the principled
+    * version when chains matter (a~b, b~c with a≁c must collapse to one
+    * representative, not zero). */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src")).agg(min("component").as("__nbr"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
+          (col("__nbr") < col("component")).as("__chg"))
+        .cache()
+      val changed = updated.agg(sum(when(col("__chg"), 1).otherwise(0))).first()
+      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
+      labels.unpersist()
+      labels = updated.select("id", "component").cache()
+      labels.count() // materialize before dropping the parent cache
+      updated.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-aware dedup: keep exactly one row (the minimum id) per
+    * connected component of `pairs`, plus every row with no near-dup. */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   /** The production near-dup pipeline: exact dedup FIRST (collapses
     * identical-content clusters with one cheap hash shuffle), then MinHash
     * LSH on the survivors. Exact replicas otherwise flood the LSH buckets

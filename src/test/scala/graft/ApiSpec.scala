@@ -35,6 +35,10 @@ class ApiSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(docs.exactDedup(Seq("text"), "doc_id").count() === 2)
     assert(docs.analyzeText("text").columns.contains("quality"))
+    // clustered near-dedup: exact dups collapse, distinct doc survives
+    val kept = docs.nearDedupClustered("doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L))
   }
 
   test("validateModel drops uncastable rows and logs; raises when asked") {

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards for the scale-critical operators: these
+  * lock in the plan SHAPES that make the 100 TB story true, so a refactor
+  * that quietly reintroduces a shuffle or un-gates a broadcast fails here
+  * rather than in production. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def vecs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("IVF assignment has no Exchange between the corpus scan and centroid argmax") {
+    val (_, assigned) = Similarity.ivfIndex(vecs, "vec_id", "embedding", 4)
+    val plan = physical(assigned)
+    // the assignment itself is a projection over the scan: one stage,
+    // no Exchange, no Window, no Join
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment plans a window:\n$plan")
+    assert(!plan.contains("Join"), s"assignment plans a join:\n$plan")
+  }
+
+  test("parquet scan prunes columns and pushes filters (documents projection)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100)
+      .select("doc_id")
+    val plan = physical(d)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan reads more than the projection:\n$plan")
+  }
+
+  test("exactDedup's winner aggregate exchanges only hash + order columns") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val plan = physical(Dedup.exactDedup(d, Seq("text"), "doc_id"))
+    // the winners side aggregates (hash, order) before any exchange; the
+    // full rows only cross the final semi-join. The pre-shuffle partial
+    // aggregate must not carry the text column.
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty)
+    assert(aggLines.forall(!_.contains("text#")),
+      s"winner aggregate carries document text:\n${aggLines.mkString("\n")}")
+    assert(plan.contains("LeftSemi"), s"expected a semi-join:\n$plan")
+  }
+
+  test("oversized mergeIdFromSnapshot lookup is not hint-broadcast") {
+    val df = Seq(("r1", "e1")).toDF("row", "externalId")
+    val ids = spark.range(100000)
+      .select(concat(lit("e"), col("id")).as("InputId"), col("id").as("RemoteId"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val out = graft.operators.Snapshot.mergeIdFromSnapshot(df, ids)
+      assert(!out.queryExecution.logical.toString.contains("Hint"),
+        "oversized ids snapshot still hint-broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("TPC-H q1 aggregates map-side before the exchange (partial aggregation)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val agg = li.filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    val plan = physical(agg)
+    val i = plan.indexOf("Exchange")
+    assert(i >= 0)
+    // a partial HashAggregate must appear BELOW (after, in tree print) the exchange
+    assert(plan.indexOf("HashAggregate", i) >= 0,
+      s"no map-side partial aggregate under the exchange:\n$plan")
+  }
+}

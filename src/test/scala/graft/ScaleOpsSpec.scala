@@ -177,6 +177,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(stats.agg(max("dropped_pairs_approx")).first().getLong(0) > 0L)
   }
 
+  test("connectedComponents collapses chains to the minimum id") {
+    // chain 1-2-3-4 plus separate pair 10-11; 1≁3 directly but same cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupByComponents keeps one representative per cluster plus singletons") {
+    val rows = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByComponents(rows, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // cluster {1,2,3} → 1; singleton 4 stays; cluster {5,6} → 5
+    assert(kept === Seq(1L, 4L, 5L))
+  }
+
   test("capped minhash dedup still finds near-dups (small buckets untouched)") {
     val pairs = Dedup.minhashNearDupPairs(docsDf, "doc_id", "text",
         shingleSize = 2, bands = 16, rowsPerBand = 2, threshold = 0.5, maxBucketSize = 1000)
