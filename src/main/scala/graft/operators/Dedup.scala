@@ -108,7 +108,7 @@ object Dedup {
   /** Signature + band keys from (id, shingle) rows: one pass — a
     * conditional-free min-aggregate per hash lane (partial-aggregated
     * map-side; no (doc × shingle × lane) row explosion). */
-  private[operators] def bandsFromShingles(
+  private[graft] def bandsFromShingles(
       sh: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val laneAggs = (0 until numHashes).map(i =>
@@ -116,15 +116,48 @@ object Dedup {
     val sig = sh.groupBy(col(idCol)).agg(laneAggs.head, laneAggs.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
+    bandKeys(sig, idCol, bands, rowsPerBand)
+  }
+
+  /** Signature + band keys straight from a MATERIALIZED shingle-ARRAY
+    * column (`__sharr`): each lane is an `array_min(transform(...))` over
+    * the array — the per-doc min-hash computed with NO shuffle at all (the
+    * exploded-rows formulation pays a groupBy exchange). Hash functions are
+    * identical to bandsFromShingles, so signatures match exactly. */
+  private[graft] def bandsFromShingleArray(
+      shArr: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val lanes = (0 until numHashes).map(i =>
+      array_min(transform(col("__sharr"), s => xxhash64(s, lit(i)))))
+    val sig = shArr.select(col(idCol), array(lanes: _*).as("__sig"))
+    bandKeys(sig, idCol, bands, rowsPerBand)
+  }
+
+  /** (id, __sig) → one (id, band, band_hash) row per band. */
+  private def bandKeys(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
     sig.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
       .as(Seq("band", "band_hash")))
+
+  /** Exact jaccard for candidate pairs straight from shingle ARRAYS: join
+    * the (small) pair list against the per-doc arrays twice and intersect
+    * per pair — no exploded-row distinct, no (id, hash) shuffles; only docs
+    * that appear in a candidate pair ever move. The right shape whenever
+    * pairs ≪ corpus (always, after exact-dedup-first). */
+  private[graft] def jaccardFromShingleArrays(
+      shArr: DataFrame, pairs: DataFrame): DataFrame = {
+    val a = shArr.toDF("id_a", "__sha")
+    val b = shArr.toDF("id_b", "__shb")
+    val inter = size(array_intersect(col("__sha"), col("__shb")))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter / (size(col("__sha")) + size(col("__shb")) - inter)).as("jaccard"))
   }
 
   /** Exact jaccard for candidate pairs from hashed shingle rows. */
-  private[operators] def jaccardFromShingleHashes(
+  private[graft] def jaccardFromShingleHashes(
       hashed: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = hashed.groupBy(col(hashed.columns.head)).agg(count("*").as("__n"))
     val shA = hashed.toDF("id_a", "sh")
@@ -210,11 +243,18 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
     // shingling is the expensive narrow stage and feeds both the signature
-    // build and the exact-jaccard verify — compute it once
-    val sh = shingleRows(df, idCol, textCol, shingleSize).cache()
-    val cand = minhashCandidates(bandsFromShingles(sh, idCol, bands, rowsPerBand), idCol, maxBucketSize)
-    val hashed = sh.select(col(idCol), xxhash64(col("__sh")).as("__sh")).distinct()
-    jaccardFromShingleHashes(hashed, cand).filter(col("jaccard") >= threshold)
+    // build and the exact-jaccard verify — compute it ONCE as a per-doc
+    // ARRAY (one cached row per doc, not one per shingle): the signature
+    // path then needs no shuffle (bandsFromShingleArray), and the verify
+    // path explodes the cached arrays on demand. Tokens materialize in
+    // their own projection first — referencing the split inside the
+    // shingle lambda would inline it per element (no CSE).
+    val shArr = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesOf(col("__toks"), shingleSize).as("__sharr"))
+      .cache()
+    val cand = minhashCandidates(
+      bandsFromShingleArray(shArr, idCol, bands, rowsPerBand), idCol, maxBucketSize)
+    jaccardFromShingleArrays(shArr, cand).filter(col("jaccard") >= threshold)
   }
 
   /** Drop every doc that has a near-duplicate with a smaller id (single
@@ -321,11 +361,15 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) after every round: iterative algorithms grow
+    // their logical plan per round, and re-analyzing the whole history each
+    // iteration dominates runtime long before the data does — truncating
+    // lineage keeps per-round planning O(1). (cache() alone does NOT truncate.)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+      .withColumn("component", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -335,16 +379,12 @@ object Dedup {
         .select(labels("id"),
           least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
           (col("__nbr") < col("component")).as("__chg"))
-        .cache()
+        .localCheckpoint(true) // one job; the convergence agg below reads the checkpoint
       val changed = updated.agg(sum(when(col("__chg"), 1).otherwise(0))).first()
       converged = changed.isNullAt(0) || changed.getLong(0) == 0L
-      labels.unpersist()
-      labels = updated.select("id", "component").cache()
-      labels.count() // materialize before dropping the parent cache
-      updated.unpersist()
+      labels = updated.select("id", "component")
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -104,6 +104,23 @@ object Streaming {
       }
   }
 
+  /** Stream → Singer NDJSON: every micro-batch appends to one singer file
+    * through the batch writer, so each batch gets its own SCHEMA header
+    * (matching the reference's per-call write_schema — schema evolution
+    * across batches stays self-describing), RECORD lines, and a STATE
+    * bookmark marking the batch boundary. */
+  def streamingSinger(
+      stream: DataFrame,
+      streamName: String,
+      path: String,
+      keyProperties: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.singer.SingerWriter.write(batch, streamName, path, keyProperties)
+      }
+
   /** Read a directory of parquet as a stream (one file per micro-batch by
     * default) — the streaming analogue of the GsReader directory scan. */
   def readParquetStream(spark: SparkSession, dir: String, schema: StructType,

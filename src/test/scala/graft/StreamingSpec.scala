@@ -89,4 +89,26 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains((7L, 2L)), s"expected user 7's closed 2-event session, got ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("streamingSinger appends schema + records + state per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val out = s"${tmpDir("stream_singer_")}/data.singer"
+    mem.addData((1, "a"), (2, "b"))
+    Streaming.streamingSinger(mem.toDF.toDF("id", "v"), "t", out)
+      .option("checkpointLocation", tmpDir("ckpt_ss1_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    mem.addData((3, "c"))
+    Streaming.streamingSinger(mem.toDF.toDF("id", "v"), "t", out)
+      .option("checkpointLocation", tmpDir("ckpt_ss2_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val types = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out))
+      .toArray.toSeq.map(l => mapper.readTree(l.toString).get("type").asText())
+    // the second query uses a fresh checkpoint, so its batch replays all 3
+    // rows — the framing (SCHEMA header, RECORDs, STATE bookmark per batch)
+    // is what this asserts
+    assert(types === Seq("SCHEMA", "RECORD", "RECORD", "STATE",
+      "SCHEMA", "RECORD", "RECORD", "RECORD", "STATE"))
+  }
 }
