@@ -62,6 +62,7 @@ object Exporter {
       keepNullFields: Boolean = false,
       catalogStream: Option[String] = None,
       catalog: Map[String, CatalogReader.StreamCatalog] = Map.empty,
+      recursiveTyping: Boolean = true,
       env: Map[String, String] = sys.env): Unit = {
     val useCatalogSchema = env.get("USE_CATALOG_SCHEMA").exists(_.equalsIgnoreCase("true"))
     // INCLUDE_ALL_UNIFIED_FIELDS only applies when a unified model is in
@@ -85,7 +86,8 @@ object Exporter {
     val keepNulls = useCatalogSchema || includeAllUnified || keepNullFields
     SingerWriter.write(frame, stream, s"$outputDir/$filename", keys,
       schemaOverride = schemaOverride, mergeSchemaWith = mergeWith,
-      allowObjects = allowObj, keepNullFields = keepNulls)
+      allowObjects = allowObj, keepNullFields = keepNulls,
+      recursiveTyping = recursiveTyping)
   }
 
   def export(

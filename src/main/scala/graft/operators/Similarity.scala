@@ -136,10 +136,15 @@ object Similarity {
       seedHash: Column => Column = xxhash64(_)): (DataFrame, DataFrame) = {
     val n = math.max(1L, corpus.count())
     val stride = math.max(1L, n / numCentroids)
-    val picked = corpus
+    val hashPicked = corpus
       .filter(pmod(seedHash(col(idCol)), lit(stride)) === 0)
       .orderBy(col(idCol))
       .limit(numCentroids)
+    // a small corpus can have NO ids hitting 0 mod stride — fall back to
+    // the first numCentroids rows by id (still deterministic)
+    val picked =
+      if (hashPicked.isEmpty) corpus.orderBy(col(idCol)).limit(numCentroids)
+      else hashPicked
     val w = Window.orderBy(col(idCol)) // numCentroids rows — single partition fine
     val seeds = picked.select(
       (row_number().over(w) - 1).cast(LongType).as("centroid_id"),

@@ -174,6 +174,31 @@ object SingerSchema {
   def fromStructTypeJson(st: StructType): String =
     mapper.writeValueAsString(fromStructType(st))
 
+  /** The reference's non-recursive "fuzzy" array typing
+    * (gen_singer_header type_mapping["array"], singer.py:131):
+    * `{"type": ["array","null"], "items": {"type": ["object","string","null"]}}`. */
+  def fuzzyArrayProperty: ObjectNode = {
+    val o = mapper.createObjectNode()
+    val t = o.putArray("type"); t.add("array"); t.add("null")
+    val items = mapper.createObjectNode()
+    val it = items.putArray("type"); it.add("object"); it.add("string"); it.add("null")
+    o.set[ObjectNode]("items", items)
+    o
+  }
+
+  /** `recursiveTyping=false` (reference to_singer param) degrades every
+    * top-level array property to the fuzzy form instead of recursing into
+    * element types. */
+  def fromStructTypeJson(st: StructType, recursiveTyping: Boolean): String = {
+    val node = fromStructType(st)
+    if (!recursiveTyping) {
+      val props = node.get("properties").asInstanceOf[ObjectNode]
+      st.fields.filter(_.dataType.isInstanceOf[ArrayType])
+        .foreach(f => props.set[ObjectNode](f.name, fuzzyArrayProperty))
+    }
+    mapper.writeValueAsString(node)
+  }
+
   /** Singer schema from a case class — the Spark-native analogue of the
     * reference's Pydantic "unified model" path (singer.py:222-277):
     * the model's typed fields drive the emitted SCHEMA. */

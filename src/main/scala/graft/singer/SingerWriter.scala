@@ -89,8 +89,9 @@ object SingerWriter {
       stream: String,
       schema: StructType,
       keyProperties: Seq[String],
-      bookmarkProperties: Seq[String] = Nil): String = {
-    val schemaJson = SingerSchema.fromStructTypeJson(schema)
+      bookmarkProperties: Seq[String] = Nil,
+      recursiveTyping: Boolean = true): String = {
+    val schemaJson = SingerSchema.fromStructTypeJson(schema, recursiveTyping)
     val kp = keyProperties.map(k => s""""${esc(k)}"""").mkString("[", ", ", "]")
     val bp =
       if (bookmarkProperties.isEmpty) ""
@@ -163,7 +164,8 @@ object SingerWriter {
       emitState: Boolean = true,
       allowObjects: Boolean = true,
       keepNullFields: Boolean = false,
-      mergeSchemaWith: Option[StructType] = None): Unit = {
+      mergeSchemaWith: Option[StructType] = None,
+      recursiveTyping: Boolean = true): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.{Files, Paths, StandardOpenOption => O}
     val p = Paths.get(path)
@@ -177,7 +179,8 @@ object SingerWriter {
         case Some(cat) => mergeSchemas(prepared.schema, cat)
         case None      => schemaOverride.getOrElse(prepared.schema)
       }
-      out.write(schemaMessage(stream, headerSchema, keyProperties, bookmarkProperties))
+      out.write(schemaMessage(stream, headerSchema, keyProperties, bookmarkProperties,
+        recursiveTyping))
       out.write("\n")
       val lines = prepared.select(recordLine(prepared, stream, keepNullFields = keepNullFields).as("line"))
       // toLocalIterator: one partition in driver memory at a time

@@ -177,6 +177,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(stats.agg(max("dropped_pairs_approx")).first().getLong(0) > 0L)
   }
 
+  test("IVF survives a corpus smaller than numCentroids (seed fallback)") {
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(tiny, tiny.filter($"vec_id" === 0), "vec_id", "embedding",
+      k = 2, numCentroids = 16, nProbe = 16)
+    val neighbors = out.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(neighbors.head === 2L) // (0.9, 0.1) is nearest to (1, 0)
+  }
+
   test("connectedComponents collapses chains to the minimum id") {
     // chain 1-2-3-4 plus separate pair 10-11; 1≁3 directly but same cluster
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")

@@ -292,6 +292,23 @@ class SingerModesSpec extends SparkSpec {
       .head.at("/schema/properties").has("empty"))
   }
 
+  test("recursiveTyping=false emits fuzzy array headers (reference type_mapping)") {
+    import spark.implicits._
+    val nested = Seq((1L, Seq("a", "b"))).toDF("id", "tags")
+    val d1 = tmpDir("sm_"); val d2 = tmpDir("sm_")
+    Exporter.toSinger(nested, "t", d1, allowObjects = true, env = Map.empty)
+    val recursive = readLines(s"$d1/data.singer").map(mapper.readTree)
+      .head.at("/schema/properties/tags")
+    assert(recursive.at("/items/type/0").asText() === "string") // real element type
+    Exporter.toSinger(nested, "t", d2, allowObjects = true,
+      recursiveTyping = false, env = Map.empty)
+    val fuzzy = readLines(s"$d2/data.singer").map(mapper.readTree)
+      .head.at("/schema/properties/tags")
+    assert(fuzzy.at("/type/0").asText() === "array")
+    val itemTypes = (0 until 3).map(i => fuzzy.at(s"/items/type/$i").asText())
+    assert(itemTypes === Seq("object", "string", "null"))
+  }
+
   test("catalog stream missing raises like the reference") {
     val e = intercept[IllegalArgumentException] {
       Exporter.toSinger(df, "missing", tmpDir("sm_"),
