@@ -50,20 +50,19 @@ object Exporter {
     * `allowObjects=false` (the reference default) JSON-stringifies complex
     * columns; all-null columns are dropped in allow-objects mode unless
     * nulls are being kept (singer.py:496-499). */
-  def toSinger(
+  /** Resolved serialization plan for a Singer export:
+    * (frame, schemaOverride, mergeSchemaWith, allowObjects, keepNulls). */
+  private def resolveSinger(
       df: DataFrame,
       stream: String,
-      outputDir: String,
-      keys: Seq[String] = Nil,
-      filename: String = "data.singer",
-      allowObjects: Boolean = false,
-      schema: Option[StructType] = None,
-      unifiedModel: Option[StructType] = None,
-      keepNullFields: Boolean = false,
-      catalogStream: Option[String] = None,
-      catalog: Map[String, CatalogReader.StreamCatalog] = Map.empty,
-      recursiveTyping: Boolean = true,
-      env: Map[String, String] = sys.env): Unit = {
+      allowObjects: Boolean,
+      schema: Option[StructType],
+      unifiedModel: Option[StructType],
+      keepNullFields: Boolean,
+      catalogStream: Option[String],
+      catalog: Map[String, CatalogReader.StreamCatalog],
+      env: Map[String, String])
+      : (DataFrame, Option[StructType], Option[StructType], Boolean, Boolean) = {
     val useCatalogSchema = env.get("USE_CATALOG_SCHEMA").exists(_.equalsIgnoreCase("true"))
     // INCLUDE_ALL_UNIFIED_FIELDS only applies when a unified model is in
     // play (singer.py:495): keeps all-null columns and explicit nulls
@@ -84,12 +83,38 @@ object Exporter {
       else if (unifiedModel.isDefined) (frame0, unifiedModel, None, allowObjects)
       else (frame0, schema, None, allowObjects)
     val keepNulls = useCatalogSchema || includeAllUnified || keepNullFields
+    (frame, schemaOverride, mergeWith, allowObj, keepNulls)
+  }
+
+  def toSinger(
+      df: DataFrame,
+      stream: String,
+      outputDir: String,
+      keys: Seq[String] = Nil,
+      filename: String = "data.singer",
+      allowObjects: Boolean = false,
+      schema: Option[StructType] = None,
+      unifiedModel: Option[StructType] = None,
+      keepNullFields: Boolean = false,
+      catalogStream: Option[String] = None,
+      catalog: Map[String, CatalogReader.StreamCatalog] = Map.empty,
+      recursiveTyping: Boolean = true,
+      env: Map[String, String] = sys.env): Unit = {
+    val (frame, schemaOverride, mergeWith, allowObj, keepNulls) = resolveSinger(
+      df, stream, allowObjects, schema, unifiedModel, keepNullFields,
+      catalogStream, catalog, env)
     SingerWriter.write(frame, stream, s"$outputDir/$filename", keys,
       schemaOverride = schemaOverride, mergeSchemaWith = mergeWith,
       allowObjects = allowObj, keepNullFields = keepNulls,
       recursiveTyping = recursiveTyping)
   }
 
+  /** NOTE on singer defaults: `allowObjects` defaults to true here (nested
+    * values stay real JSON — graft's historical behavior), and per the
+    * reference's allow-objects semantics that also DROPS all-null columns
+    * (one extra aggregate pass) unless nulls are kept. Pass
+    * `keepNullFields=true` to retain all-null columns, or
+    * `allowObjects=false` for the reference's stringify default. */
   def export(
       df: DataFrame,
       stream: String,
@@ -115,7 +140,16 @@ object Exporter {
           schema = schema, unifiedModel = unifiedModel,
           keepNullFields = keepNullFields, catalogStream = catalogStream,
           catalog = catalog, env = env)
-        else SingerWriter.writeDistributed(df, name, base, keyProperties)
+        else {
+          // same resolution chain as the single-file path — distributed
+          // output must not silently ignore schema/serialization options
+          val (frame, schemaOverride, mergeWith, allowObj, keepNulls) = resolveSinger(
+            df, name, allowObjects, schema, unifiedModel, keepNullFields,
+            catalogStream, catalog, env)
+          SingerWriter.writeDistributed(frame, name, base, keyProperties,
+            schemaOverride = schemaOverride, mergeSchemaWith = mergeWith,
+            allowObjects = allowObj, keepNullFields = keepNulls)
+        }
       case "parquet" =>
         df.write.mode("overwrite").option("compression", "zstd").parquet(base)
       case "csv" =>

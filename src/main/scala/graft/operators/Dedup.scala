@@ -41,8 +41,11 @@ object Dedup {
     // silently drop the hash condition
     val winners = keyed.select(col("__gs_h").as("__gs_wh"), col(orderCol).as("__gs_o"))
       .groupBy("__gs_wh").agg(min("__gs_o").as("__gs_o"))
+    // null-safe compare on the order column: a group whose ids are ALL null
+    // has min(__gs_o) = null, and a plain === would match nothing — the
+    // whole group would silently vanish instead of surviving
     keyed.join(winners,
-        col("__gs_h") === col("__gs_wh") && col(orderCol) === col("__gs_o"),
+        col("__gs_h") === col("__gs_wh") && col(orderCol) <=> col("__gs_o"),
         "left_semi")
       .drop("__gs_h")
   }
@@ -350,12 +353,15 @@ object Dedup {
     * Scale shape: only (id, label) pairs ever shuffle — never documents —
     * and each round is one join + one partial-aggregated groupBy.
     * Convergence takes O(cluster diameter) rounds; near-dup clusters are
-    * dense (star/clique-ish), so a handful of rounds suffices. Labels are
-    * cached per round and the previous round unpersisted, so lineage stays
-    * bounded by the last iteration. `minhashDedup`'s single-pass
-    * drop-the-larger-id is the cheap approximation; this is the principled
-    * version when chains matter (a~b, b~c with a≁c must collapse to one
-    * representative, not zero). */
+    * dense (star/clique-ish), so a handful of rounds suffices. Each round
+    * eagerly localCheckpoints, truncating lineage (checkpoint blocks are
+    * reclaimed by the ContextCleaner as old round references are GC'd).
+    * If `maxIter` is hit before convergence a warning is logged and the
+    * partial labels are returned — components may then be split finer than
+    * the true transitive closure (never merged wrongly). `minhashDedup`'s
+    * single-pass drop-the-larger-id is the cheap approximation; this is
+    * the principled version when chains matter (a~b, b~c with a≁c must
+    * collapse to one representative, not zero). */
   def connectedComponents(
       pairs: DataFrame,
       idA: String = "id_a",
@@ -385,6 +391,11 @@ object Dedup {
       labels = updated.select("id", "component")
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIter=$maxIter before converging — " +
+          "components may be split finer than the true transitive closure; " +
+          "raise maxIter for chain-shaped clusters")
     labels
   }
 

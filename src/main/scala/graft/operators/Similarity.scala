@@ -152,10 +152,14 @@ object Similarity {
     // one refinement: assign to nearest seed, recompute means element-wise
     val assigned0 = assign(corpus, seeds, idCol, vecCol)
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // cache: assign() collects the centroids (one pipeline run) and callers
+    // like ivfTopK collect them AGAIN for probe selection — uncached, the
+    // whole seed→assign→groupBy chain would re-execute per collection
     val refined = assigned0.groupBy("centroid_id")
       .agg(array((0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1).cast(DoubleType)).cast(FloatType)): _*)
         .as("centroid"))
+      .cache()
     (refined, assign(corpus, refined, idCol, vecCol))
   }
 
@@ -195,6 +199,12 @@ object Similarity {
   private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val cens = collectCentroids(centroids)
     val withVn = corpus.withColumn("__vn", vector_norm(col(vecCol)))
+    // Zero-norm vectors (corpus row or degenerate centroid) make the cosine
+    // NaN; NaN poisons array_max (whole corpus lands on one centroid) and
+    // never beats the fold's accumulator (rows vanish with cid −1). Clamp
+    // every score to −Infinity instead: such rows/centroids assign
+    // deterministically to the first centroid rather than disappearing.
+    def safeScore(s: Column): Column = nanvl(s, lit(Double.NegativeInfinity))
     val assigned =
       if (cens.size == 1) withVn.withColumn("centroid_id", lit(cens.head._1))
       else if (cens.size <= UnrollCentroids) {
@@ -202,7 +212,7 @@ object Similarity {
         // evaluates exactly once per row; a when-chain over shared
         // subexpressions re-evaluates them per branch if codegen bails out
         val scores = cens.map { case (_, vec, nrm) =>
-          vector_dot(col(vecCol), typedLit(vec)) / (col("__vn") * lit(nrm))
+          safeScore(vector_dot(col(vecCol), typedLit(vec)) / (col("__vn") * lit(nrm)))
         }
         val cidArr = array(cens.map(c => lit(c._1)): _*)
         withVn.withColumn("__scores", array(scores: _*))
@@ -212,10 +222,14 @@ object Similarity {
             array_position(col("__scores"), array_max(col("__scores"))).cast("int")))
           .drop("__scores")
       } else {
-        val init = struct(lit(-1L).as("cid"), lit(Double.MinValue).as("score"))
-        withVn.withColumn("__best", aggregate(centroidArrayLit(cens), init, (acc, c) => {
-          val score = vector_dot(col(vecCol), c.getField("cvec")) /
-            (col("__vn") * c.getField("cnorm"))
+        // seed the fold with the FIRST centroid's (cid, score) so an
+        // all-−Inf row still gets a real assignment (never cid −1)
+        val headScore = safeScore(
+          vector_dot(col(vecCol), typedLit(cens.head._2)) / (col("__vn") * lit(cens.head._3)))
+        val init = struct(lit(cens.head._1).as("cid"), headScore.as("score"))
+        withVn.withColumn("__best", aggregate(centroidArrayLit(cens.tail), init, (acc, c) => {
+          val score = safeScore(vector_dot(col(vecCol), c.getField("cvec")) /
+            (col("__vn") * c.getField("cnorm")))
           // strict > : at equal score the earlier (lower-id) centroid wins
           when(score > acc.getField("score"),
             struct(c.getField("cid").as("cid"), score.as("score"))).otherwise(acc)
@@ -240,9 +254,11 @@ object Similarity {
     // assign(): score all centroids in one projection, array_sort by
     // (-cosine, centroid_id), slice the top nProbe, explode. No shuffle.
     val cens = collectCentroids(centroids)
+    // nanvl: a zero-norm query or centroid sorts last instead of NaN
+    // poisoning the struct sort
     val ranked = array_sort(transform(centroidArrayLit(cens), c =>
-      struct((-(vector_dot(col("__qv"), c.getField("cvec")) /
-        (col("__qn") * c.getField("cnorm")))).as("negScore"),
+      struct(nanvl(-(vector_dot(col("__qv"), c.getField("cvec")) /
+        (col("__qn") * c.getField("cnorm"))), lit(Double.PositiveInfinity)).as("negScore"),
         c.getField("cid").as("cid"))))
     val probes = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
       .withColumn("centroid_id",

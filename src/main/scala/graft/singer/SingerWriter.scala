@@ -191,14 +191,26 @@ object SingerWriter {
   }
 
   /** Distributed Singer export for scale: RECORD part files written by
-    * executors, SCHEMA/STATE as driver sidecars. */
+    * executors, SCHEMA/STATE as driver sidecars. Supports the same
+    * serialization options as [[write]], so `Exporter.export` produces
+    * consistent output regardless of `singleFile`. */
   def writeDistributed(
       df: DataFrame,
       stream: String,
       dir: String,
-      keyProperties: Seq[String] = Nil): Unit = {
+      keyProperties: Seq[String] = Nil,
+      schemaOverride: Option[StructType] = None,
+      allowObjects: Boolean = true,
+      keepNullFields: Boolean = false,
+      mergeSchemaWith: Option[StructType] = None,
+      recursiveTyping: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
-    df.select(recordLine(df, stream).as("value"))
+    val prepared = if (allowObjects) df else stringifyComplexColumns(df)
+    val headerSchema = mergeSchemaWith match {
+      case Some(cat) => mergeSchemas(prepared.schema, cat)
+      case None      => schemaOverride.getOrElse(prepared.schema)
+    }
+    prepared.select(recordLine(prepared, stream, keepNullFields = keepNullFields).as("value"))
       .write.mode("overwrite").text(s"$dir/records")
     // sidecars through the same Hadoop filesystem as the record parts —
     // java.nio would silently write to a local path for hdfs://, s3a://, …
@@ -210,7 +222,8 @@ object SingerWriter {
       try out.write((content + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    put("_schema.singer", schemaMessage(stream, df.schema, keyProperties))
+    put("_schema.singer",
+      schemaMessage(stream, headerSchema, keyProperties, recursiveTyping = recursiveTyping))
     put("_state.singer", stateMessage())
   }
 }

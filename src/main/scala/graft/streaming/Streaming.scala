@@ -108,7 +108,15 @@ object Streaming {
     * through the batch writer, so each batch gets its own SCHEMA header
     * (matching the reference's per-call write_schema — schema evolution
     * across batches stays self-describing), RECORD lines, and a STATE
-    * bookmark marking the batch boundary. */
+    * bookmark marking the batch boundary.
+    *
+    * Replay guard: the last appended batchId is recorded in a
+    * `<path>.batchid` sidecar and replayed batches (checkpoint recovery
+    * re-delivers the in-flight batch) are skipped. The append itself is
+    * not atomic with the sidecar update, so a crash INSIDE the append can
+    * still leave a torn batch — net semantics are at-least-once with
+    * duplicates confined to the single crashed batch; dedupe downstream
+    * by pk if exactly-once matters. */
   def streamingSinger(
       stream: DataFrame,
       streamName: String,
@@ -116,9 +124,17 @@ object Streaming {
       keyProperties: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(path + ".batchid")
+        val lastDone =
+          if (java.nio.file.Files.exists(marker))
+            new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+          else -1L
+        if (batchId > lastDone && !batch.isEmpty) {
           graft.singer.SingerWriter.write(batch, streamName, path, keyProperties)
+          java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+          ()
+        }
       }
 
   /** Read a directory of parquet as a stream (one file per micro-batch by

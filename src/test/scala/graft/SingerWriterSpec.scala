@@ -309,6 +309,20 @@ class SingerModesSpec extends SparkSpec {
     assert(itemTypes === Seq("object", "string", "null"))
   }
 
+  test("distributed export honors the same serialization options as single-file") {
+    import spark.implicits._
+    val nested = Seq((1L, Seq("a", "b"))).toDF("id", "tags")
+    val dir = tmpDir("sm_dist_")
+    Exporter.export(nested, "t", dir, format = "singer", singleFile = false,
+      allowObjects = false, env = Map.empty)
+    val schemaLine = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/t/_schema.singer")).trim)
+    // stringified complex column → typed string in the distributed header too
+    assert(schemaLine.at("/schema/properties/tags/type/0").asText() === "string")
+    val rec = spark.read.text(s"$dir/t/records").collect().map(_.getString(0))
+    assert(mapper.readTree(rec.head).at("/record/tags").isTextual)
+  }
+
   test("catalog stream missing raises like the reference") {
     val e = intercept[IllegalArgumentException] {
       Exporter.toSinger(df, "missing", tmpDir("sm_"),

@@ -94,21 +94,27 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Int, String)]
     val out = s"${tmpDir("stream_singer_")}/data.singer"
+    val ckpt = tmpDir("ckpt_ss_")
     mem.addData((1, "a"), (2, "b"))
     Streaming.streamingSinger(mem.toDF.toDF("id", "v"), "t", out)
-      .option("checkpointLocation", tmpDir("ckpt_ss1_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // restart with the SAME checkpoint: only the new row arrives (batch 1)
     mem.addData((3, "c"))
     Streaming.streamingSinger(mem.toDF.toDF("id", "v"), "t", out)
-      .option("checkpointLocation", tmpDir("ckpt_ss2_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val types = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out))
+    def types() = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out))
       .toArray.toSeq.map(l => mapper.readTree(l.toString).get("type").asText())
-    // the second query uses a fresh checkpoint, so its batch replays all 3
-    // rows — the framing (SCHEMA header, RECORDs, STATE bookmark per batch)
-    // is what this asserts
-    assert(types === Seq("SCHEMA", "RECORD", "RECORD", "STATE",
-      "SCHEMA", "RECORD", "RECORD", "RECORD", "STATE"))
+    assert(types() === Seq("SCHEMA", "RECORD", "RECORD", "STATE",
+      "SCHEMA", "RECORD", "STATE"))
+    // replayed batch (fresh checkpoint, same batch ids) is skipped by the
+    // .batchid sidecar — no duplicate appends
+    Streaming.streamingSinger(mem.toDF.toDF("id", "v"), "t", out)
+      .option("checkpointLocation", tmpDir("ckpt_ss_replay_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(types() === Seq("SCHEMA", "RECORD", "RECORD", "STATE",
+      "SCHEMA", "RECORD", "STATE"))
   }
 }
