@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.PyLiteral
-import graft.operators.{Explode, Snapshot}
+import graft.operators.{Dedup, Explode, Snapshot}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -106,5 +106,50 @@ class RoundTripSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(j((1L, 2L)) === 1.0)
     assert(math.abs(j((1L, 3L)) - 30.0 / 90.0) < 0.01)
+  }
+
+  test("invariant: capped candidate pairs are a subset of uncapped pairs") {
+    import org.apache.spark.sql.functions._
+    // three seeds x varying cluster shapes
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 120).map { i =>
+        val cluster = rnd.nextInt(4)
+        (i.toLong, s"cluster $cluster shared boilerplate prefix tokens here doc ${i % 7}")
+      }.toDF("doc_id", "text")
+      val bands = Dedup.minhashBands(docs, "doc_id", "text", 2, 8, 2)
+      def pairs(cap: Int) = Dedup.minhashCandidates(bands, "doc_id", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val capped = pairs(10)
+      val uncapped = pairs(1000000)
+      assert(capped.subsetOf(uncapped), s"seed=$seed: cap invented pairs")
+    }
+  }
+
+  test("invariant: exactDedup is idempotent and content-distinct") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map(i => (i.toLong, s"text ${rnd.nextInt(40)}"))
+      .toDF("doc_id", "text")
+    val once = Dedup.exactDedup(docs, Seq("text"), "doc_id")
+    val twice = Dedup.exactDedup(once, Seq("text"), "doc_id")
+    assert(once.count() === twice.count())
+    assert(once.select("text").distinct().count() === once.count())
+    // survivor per content = the minimum id
+    val winners = once.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val mins = docs.groupBy("text").agg(min("doc_id").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(winners === mins)
+  }
+
+  test("invariant: connectedComponents labels are cluster minima and stable under pair order") {
+    val pairs1 = Seq((3L, 4L), (1L, 2L), (2L, 3L), (9L, 8L)).toDF("id_a", "id_b")
+    val pairs2 = Seq((2L, 3L), (9L, 8L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    def comps(p: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(p).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = comps(pairs1)
+    assert(c1 === comps(pairs2)) // order-independent
+    assert(c1.values.toSet === Set(1L, 8L)) // labels are the cluster minima
+    assert(c1.forall { case (id, comp) => comp <= id })
   }
 }
