@@ -476,6 +476,13 @@ object SparkEntry {
       Dedup.dedupByComponents(u, "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    // ── scale: deterministic stratified hash-sampling (oracle: the
+    //    md5-prefix hash threshold replayed per stratum in SQL) ─────────
+    "q47_hash_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(T(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // ── scale: multimodal decode + feature plumbing (oracle: the stub
     //    codec arithmetic — md5-derived payload bytes — replayed in SQL) ─
     "q37_multimodal" -> ((s, dir) => {
@@ -880,6 +887,11 @@ object SparkEntry {
          |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s)
          |SELECT doc_id FROM u
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)
+         |ORDER BY doc_id""".stripMargin,
+    "q47_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60Sql("doc_id::VARCHAR")} % 1000000 <
+         |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END
          |ORDER BY doc_id""".stripMargin,
     "q43_winnowed_fingerprints" ->
       s"""WITH t AS (

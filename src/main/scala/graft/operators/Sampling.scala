@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * Production pipelines sample by KEY HASH, not RNG: the decision for a row
+  * depends only on its key, so samples are reproducible across runs,
+  * engines, retries, and repartitioning, and the same key always lands in
+  * (or out of) the sample — critical for train/eval splits that must not
+  * leak. Spark's `sample()`/`sampleBy()` are seeded-RNG per partition and
+  * change under repartitioning; these operators never do.
+  *
+  * Keep/drop is one codegen'd projection over the scan — no shuffle, no
+  * state — and the md5-prefix hash (Dedup.md5Hash60) makes every decision
+  * replayable in SQL engines for auditing.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** The row's sampling bucket in [0, 1e6): uniform in the key hash. */
+  def hashBucket(key: Column): Column = pmod(Dedup.md5Hash60(key), lit(Buckets))
+
+  /** Keep ~`rate` of rows, decided by key hash (deterministic). */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(hashBucket(col(keyCol)) < lit((rate * Buckets).toLong))
+  }
+
+  /** Per-stratum rates (Spark sampleBy semantics, deterministically):
+    * strata present in `rates` sample at their rate, others at
+    * `defaultRate` (0.0 = drop, reference sampleBy behavior). */
+  def stratifiedHashSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "all rates must be in [0,1]")
+    val threshold = rates.foldLeft(lit((defaultRate * Buckets).toLong): Column) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === lit(stratum), lit((rate * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+
+  /** Deterministic train/eval/test split: assigns each key to one fold by
+    * hash range; folds are disjoint and exhaustive, and a key keeps its
+    * fold forever (no leakage across reruns or growing data). `weights`
+    * need not be normalized. */
+  def hashSplit(df: DataFrame, keyCol: String, weights: Seq[Double]): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val bounds = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).toLong)
+    val bucket = hashBucket(col(keyCol))
+    bounds.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(bucket >= lit(lo) && bucket < lit(hi))
+    }.toSeq
+  }
+}

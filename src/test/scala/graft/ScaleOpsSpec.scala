@@ -177,6 +177,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(stats.agg(max("dropped_pairs_approx")).first().getLong(0) > 0L)
   }
 
+  test("hash sampling is deterministic, rate-accurate, and partition-invariant") {
+    import graft.operators.Sampling
+    val rows = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = Sampling.hashSample(rows, "id", 0.3)
+    val n = kept.count()
+    assert(math.abs(n - 600) < 80, s"rate off: $n/2000 at 0.3")
+    // identical decision set regardless of physical layout
+    val repart = Sampling.hashSample(rows.repartition(13), "id", 0.3)
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ===
+      repart.collect().map(_.getLong(0)).sorted.toSeq)
+    // nested rates: stratum-specific thresholds apply
+    val strat = Sampling.stratifiedHashSample(rows, "lang", "id",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    assert(strat.select("lang").distinct().collect().map(_.getString(0)).toSeq === Seq("en"))
+    assert(strat.count() === rows.filter($"lang" === "en").count())
+  }
+
+  test("hashSplit folds are disjoint, exhaustive, and stable") {
+    import graft.operators.Sampling
+    val rows = (0L until 1000L).toDF("id")
+    val folds = Sampling.hashSplit(rows, "id", Seq(8, 1, 1))
+    val sets = folds.map(_.collect().map(_.getLong(0)).toSet)
+    assert(sets.map(_.size).sum === 1000)
+    assert(sets.combinations(2).forall { case Seq(a, b) => a.intersect(b).isEmpty })
+    assert(sets(0).size > 700 && sets(1).size < 180 && sets(2).size < 180)
+    // a key's fold never changes across invocations
+    val again = Sampling.hashSplit(rows, "id", Seq(8, 1, 1)).map(_.collect().map(_.getLong(0)).toSet)
+    assert(sets === again)
+  }
+
   test("IVF survives a corpus smaller than numCentroids (seed fallback)") {
     val tiny = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(0.9f, 0.1f)))
