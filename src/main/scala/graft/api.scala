@@ -117,5 +117,13 @@ object api {
 
     def sessionized(keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
       Analytics.sessionize(df, keyCol, tsCol, gapSeconds)
+
+    /** Deterministic key-hash sample (reproducible, partition-invariant). */
+    def hashSample(keyCol: String, rate: Double): DataFrame =
+      Sampling.hashSample(df, keyCol, rate)
+
+    /** Leak-proof train/eval(/test) split by key hash. */
+    def hashSplit(keyCol: String, weights: Seq[Double]): Seq[DataFrame] =
+      Sampling.hashSplit(df, keyCol, weights)
   }
 }
