@@ -476,6 +476,21 @@ object SparkEntry {
       Dedup.dedupByComponents(u, "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    // ── scale: PII redaction (oracle: the same Java∩RE2 regex chain
+    //    replayed with DuckDB regexp_replace 'g') ───────────────────────
+    "q48_pii_redact" -> ((s, dir) => {
+      // plant deterministic PII on every 5th doc so the chain has real work
+      val planted = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com at 10.0."), col("doc_id") % 256, lit(".1")))
+          .otherwise(col("text")).as("text"))
+      planted.withColumn("__pii", TextAnalysis.piiCounts(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("redacted"),
+          col("__pii.email").as("n_email"), col("__pii.ipv4").as("n_ip"))
+        .orderBy("doc_id")
+    }),
     // ── scale: deterministic stratified hash-sampling (oracle: the
     //    md5-prefix hash threshold replayed per stratum in SQL) ─────────
     "q47_hash_sample" -> ((s, dir) => {
@@ -888,6 +903,23 @@ object SparkEntry {
          |SELECT doc_id FROM u
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)
          |ORDER BY doc_id""".stripMargin,
+    "q48_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com at 10.0.'
+        |        || (doc_id % 256) || '.1'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d().\s-]{6,}\d', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "q47_hash_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60Sql("doc_id::VARCHAR")} % 1000000 <

@@ -10,6 +10,27 @@ import org.apache.spark.sql.types._
   * no shuffle at all, so they stream at scan speed at any data size. */
 object TextAnalysis {
 
+  /** PII redaction patterns (applied in order — order matters: an IPv4
+    * inside a longer digit run would otherwise be eaten by the phone
+    * pattern). Constructs are restricted to the Java∩RE2 common subset
+    * (no lookaround) so external engines can replay the exact chain. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d().\\s-]{6,}\\d", "<PHONE>"))
+
+  /** Redact emails / IPv4s / phone-shaped digit runs (the standard
+    * C4/Dolma-style scrub stage) — a chain of codegen'd regexp_replace
+    * projections, no shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
+
+  /** How many PII spans each pattern finds (for audit/reporting). */
+  def piiCounts(text: Column): Column =
+    struct(piiPatterns.map { case (name, p, _) =>
+      size(regexp_extract_all(text, lit(p), lit(0))).as(name)
+    }: _*)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)

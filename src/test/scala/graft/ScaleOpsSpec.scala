@@ -177,6 +177,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(stats.agg(max("dropped_pairs_approx")).first().getLong(0) > 0L)
   }
 
+  test("PII redaction scrubs emails, IPs, and phone runs; counts report spans") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.org or x@y.io, host 192.168.0.1, call +1 (555) 123-4567"),
+      (2L, "clean text without identifiers")).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.redactPii($"t").as("r"),
+      TextAnalysis.piiCounts($"t").as("c")).orderBy("id").collect()
+    val r1 = out(0).getString(1)
+    assert(!r1.contains("@") && !r1.contains("192.168") && !r1.contains("555"))
+    assert(r1.contains("<EMAIL>") && r1.contains("<IP>") && r1.contains("<PHONE>"))
+    val c1 = out(0).getStruct(2)
+    assert(c1.getInt(0) === 2 && c1.getInt(1) === 1) // emails, ipv4s
+    assert(out(1).getString(1) === "clean text without identifiers")
+  }
+
   test("hash sampling is deterministic, rate-accurate, and partition-invariant") {
     import graft.operators.Sampling
     val rows = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
