@@ -918,7 +918,10 @@ object SparkEntry {
         |    '\+?\d[\d().\s-]{6,}\d', '<PHONE>', 'g') AS redacted,
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-        |  len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip
+        |  len(regexp_extract_all(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip
         |FROM planted ORDER BY doc_id""".stripMargin,
     "q47_hash_sample" ->
       s"""SELECT doc_id, lang FROM documents

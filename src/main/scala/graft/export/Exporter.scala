@@ -112,9 +112,10 @@ object Exporter {
   /** NOTE on singer defaults: `allowObjects` defaults to true here (nested
     * values stay real JSON — graft's historical behavior), and per the
     * reference's allow-objects semantics that also DROPS all-null columns
-    * (one extra aggregate pass) unless nulls are kept. Pass
-    * `keepNullFields=true` to retain all-null columns, or
-    * `allowObjects=false` for the reference's stringify default. */
+    * (one extra aggregate pass over the full dataset, on the distributed
+    * path too) unless nulls are kept. At large scale pass
+    * `keepNullFields=true` to skip that pass and retain all-null columns,
+    * or `allowObjects=false` for the reference's stringify default. */
   def export(
       df: DataFrame,
       stream: String,

@@ -20,8 +20,13 @@ object Sampling {
 
   private val Buckets = 1000000L
 
-  /** The row's sampling bucket in [0, 1e6): uniform in the key hash. */
-  def hashBucket(key: Column): Column = pmod(Dedup.md5Hash60(key), lit(Buckets))
+  /** The row's sampling bucket in [0, 1e6): uniform in the key hash.
+    * Null keys deterministically land in bucket 0 (kept by any non-zero
+    * rate, always in the first fold) — a null hash would otherwise filter
+    * such rows out of EVERY fold, silently breaking the disjoint-and-
+    * exhaustive split contract. */
+  def hashBucket(key: Column): Column =
+    pmod(coalesce(Dedup.md5Hash60(key), lit(0L)), lit(Buckets))
 
   /** Keep ~`rate` of rows, decided by key hash (deterministic). */
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {

@@ -136,21 +136,31 @@ object Similarity {
       seedHash: Column => Column = xxhash64(_)): (DataFrame, DataFrame) = {
     val n = math.max(1L, corpus.count())
     val stride = math.max(1L, n / numCentroids)
+    // ONE collect materializes the seeds driver-side (TakeOrderedAndProject
+    // returns them already id-sorted) — assignment needs them as literals
+    // anyway, so a separate emptiness probe or a seeds-frame re-collection
+    // would each cost an extra corpus-scanning job
     val hashPicked = corpus
       .filter(pmod(seedHash(col(idCol)), lit(stride)) === 0)
       .orderBy(col(idCol))
       .limit(numCentroids)
+      .select(col(vecCol)).collect()
     // a small corpus can have NO ids hitting 0 mod stride — fall back to
     // the first numCentroids rows by id (still deterministic)
-    val picked =
-      if (hashPicked.isEmpty) corpus.orderBy(col(idCol)).limit(numCentroids)
+    val seedRows =
+      if (hashPicked.isEmpty)
+        corpus.orderBy(col(idCol)).limit(numCentroids).select(col(vecCol)).collect()
       else hashPicked
-    val w = Window.orderBy(col(idCol)) // numCentroids rows — single partition fine
-    val seeds = picked.select(
-      (row_number().over(w) - 1).cast(LongType).as("centroid_id"),
-      col(vecCol).as("centroid"))
+    val seedCens: Seq[(Long, Seq[Float], Double)] = seedRows.toSeq.zipWithIndex.map {
+      case (r, i) =>
+        val vec = r.getSeq[Float](0)
+        // identical to vector_norm: forward double accumulation of float²
+        var acc = 0.0
+        vec.foreach(f => acc += f.toDouble * f.toDouble)
+        (i.toLong, vec, math.sqrt(acc))
+    }
     // one refinement: assign to nearest seed, recompute means element-wise
-    val assigned0 = assign(corpus, seeds, idCol, vecCol)
+    val assigned0 = assignSeq(corpus, seedCens, vecCol)
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     // cache: assign() collects the centroids (one pipeline run) and callers
     // like ivfTopK collect them AGAIN for probe selection — uncached, the
@@ -196,15 +206,19 @@ object Similarity {
     * any k but ~40% slower per row. */
   private val UnrollCentroids = 128
 
-  private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val cens = collectCentroids(centroids)
+  private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    assignSeq(corpus, collectCentroids(centroids), vecCol)
+
+  private def assignSeq(corpus: DataFrame, cens: Seq[(Long, Seq[Float], Double)],
+      vecCol: String): DataFrame = {
     val withVn = corpus.withColumn("__vn", vector_norm(col(vecCol)))
-    // Zero-norm vectors (corpus row or degenerate centroid) make the cosine
-    // NaN; NaN poisons array_max (whole corpus lands on one centroid) and
-    // never beats the fold's accumulator (rows vanish with cid −1). Clamp
-    // every score to −Infinity instead: such rows/centroids assign
-    // deterministically to the first centroid rather than disappearing.
-    def safeScore(s: Column): Column = nanvl(s, lit(Double.NegativeInfinity))
+    // Zero-norm vectors make the cosine NaN (poisoning array_max / never
+    // beating the fold accumulator) and NULL embeddings make it null
+    // (null centroid_id, which NPEs the refinement's collect). Clamp both
+    // to −Infinity: such rows assign deterministically to the first
+    // centroid instead of disappearing, in BOTH argmax paths.
+    def safeScore(s: Column): Column =
+      coalesce(nanvl(s, lit(Double.NegativeInfinity)), lit(Double.NegativeInfinity))
     val assigned =
       if (cens.size == 1) withVn.withColumn("centroid_id", lit(cens.head._1))
       else if (cens.size <= UnrollCentroids) {

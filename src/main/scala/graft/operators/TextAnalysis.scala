@@ -25,11 +25,19 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
 
-  /** How many PII spans each pattern finds (for audit/reporting). */
-  def piiCounts(text: Column): Column =
-    struct(piiPatterns.map { case (name, p, _) =>
-      size(regexp_extract_all(text, lit(p), lit(0))).as(name)
-    }: _*)
+  /** How many spans each pattern ACTUALLY redacts (for audit/reporting):
+    * counted sequentially on the progressively-redacted text, exactly
+    * mirroring the redactPii chain — counting every pattern on the raw
+    * text would double-count (an IPv4 also matches the phone digit-run
+    * pattern, but the chain redacts it as <IP> first). */
+  def piiCounts(text: Column): Column = {
+    val (fields, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((acc, cur), (name, p, r)) =>
+        (acc :+ size(regexp_extract_all(cur, lit(p), lit(0))).as(name),
+          regexp_replace(cur, p, r))
+    }
+    struct(fields: _*)
+  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =

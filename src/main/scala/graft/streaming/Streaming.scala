@@ -111,12 +111,15 @@ object Streaming {
     * bookmark marking the batch boundary.
     *
     * Replay guard: the last appended batchId is recorded in a
-    * `<path>.batchid` sidecar and replayed batches (checkpoint recovery
-    * re-delivers the in-flight batch) are skipped. The append itself is
-    * not atomic with the sidecar update, so a crash INSIDE the append can
-    * still leave a torn batch — net semantics are at-least-once with
-    * duplicates confined to the single crashed batch; dedupe downstream
-    * by pk if exactly-once matters. */
+    * `<path>.batchid` sidecar, and a batch is skipped ONLY when its id
+    * EQUALS the recorded one — the checkpoint-recovery case where the
+    * in-flight batch is re-delivered. An equality (not `<=`) check means a
+    * NEW query writing to the same path (fresh checkpoint, ids restarting
+    * at 0) is never silently dropped; the worst case is duplication, never
+    * loss. The append is not atomic with the sidecar update, so a crash
+    * inside the append can still leave a torn batch — net semantics are
+    * at-least-once with duplicates confined to one batch; dedupe
+    * downstream by pk if exactly-once matters. */
   def streamingSinger(
       stream: DataFrame,
       streamName: String,
@@ -130,7 +133,7 @@ object Streaming {
           if (java.nio.file.Files.exists(marker))
             new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
           else -1L
-        if (batchId > lastDone && !batch.isEmpty) {
+        if (batchId != lastDone && !batch.isEmpty) {
           graft.singer.SingerWriter.write(batch, streamName, path, keyProperties)
           java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
           ()

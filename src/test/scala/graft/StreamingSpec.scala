@@ -109,12 +109,21 @@ class StreamingSpec extends SparkSpec {
       .toArray.toSeq.map(l => mapper.readTree(l.toString).get("type").asText())
     assert(types() === Seq("SCHEMA", "RECORD", "RECORD", "STATE",
       "SCHEMA", "RECORD", "STATE"))
-    // replayed batch (fresh checkpoint, same batch ids) is skipped by the
-    // .batchid sidecar — no duplicate appends
+    // crash-replay simulation: a batch whose id EQUALS the sidecar marker
+    // is skipped (no duplicate append)...
+    val marker = java.nio.file.Paths.get(out + ".batchid")
+    java.nio.file.Files.write(marker, "0".getBytes("UTF-8"))
     Streaming.streamingSinger(mem.toDF.toDF("id", "v"), "t", out)
       .option("checkpointLocation", tmpDir("ckpt_ss_replay_"))
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
     assert(types() === Seq("SCHEMA", "RECORD", "RECORD", "STATE",
       "SCHEMA", "RECORD", "STATE"))
+    // ...but a NEW query whose ids differ from the marker always appends —
+    // the guard can duplicate, never lose
+    java.nio.file.Files.write(marker, "99".getBytes("UTF-8"))
+    Streaming.streamingSinger(mem.toDF.toDF("id", "v"), "t", out)
+      .option("checkpointLocation", tmpDir("ckpt_ss_fresh_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(types().count(_ == "SCHEMA") === 3)
   }
 }
