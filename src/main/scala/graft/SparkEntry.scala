@@ -503,7 +503,7 @@ object SparkEntry {
     "q37_multimodal" -> ((s, dir) => {
       val media = Multimodal.synthesize(
         T(s, dir, "part").filter(col("p_partkey") <= 100), "p_partkey")
-      val decoded = Multimodal.extractFeatures(Multimodal.decodeMeta(media))
+      val decoded = Multimodal.decodeAndFeaturize(media)
       decoded.select(col("media_id"), col("decoded_meta.mime").as("mime"),
           col("decoded_meta.width").as("width"), col("decoded_meta.height").as("height"),
           size(col("features")).as("feat_dim"))

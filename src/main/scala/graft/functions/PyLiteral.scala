@@ -126,6 +126,29 @@ case class PyFloatRepr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "py_float_repr"
 }
 
+/** Python `str()`/`repr()` of a COMPLEX cell (struct/array/map) as a native
+  * expression. The reference hashes object-valued cells via `str(v)`
+  * (gluestick/etl_utils.py:292-295) and compress_rows_to_col stringifies
+  * each row-dict with `str(x.to_dict())` (pandas_utils.py:441): single-
+  * quoted strings with CPython quote switching, `True`/`False`/`None`,
+  * `", "` element and `": "` key separators. Interpreted eval
+  * (CodegenFallback) — complex cells are off the scalar hot path, and the
+  * surrounding projection stays codegen'd. */
+case class PyRepr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any = {
+    val sb = new java.lang.StringBuilder
+    PyStr.appendRepr(sb, input, child.dataType)
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PyRepr =
+    copy(child = newChild)
+  override def prettyName: String = "py_repr"
+}
+
 /** Canonical Python `str()` rendering + MD5 row hash.
   *
   * The reference's change-data-capture hashes each row as
@@ -201,7 +224,114 @@ object PyStr {
           .otherwise(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")),
         lit("+00:00"))
     case DateType => date_format(c, "yyyy-MM-dd")
-    case _        => c.cast(StringType)
+    // object-valued cells: Python str(dict)/str(list) — hash snapshots
+    // written by the reference on frames with object columns now match
+    case _: StructType | _: ArrayType | _: MapType => pyRepr(c)
+    case _ => c.cast(StringType)
+  }
+
+  /** Python `str(v)` of a complex cell (see [[PyRepr]]). */
+  def pyRepr(c: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(PyRepr(bridge.expression(c)))
+  }
+
+  /** CPython string repr: `'...'` unless the text contains a single quote
+    * and no double quote (then `"..."`); `\\`, the active quote, and
+    * newline/tab/CR escaped; other C0/C1 controls + DEL + NBSP as `\xNN`.
+    * Printable non-ASCII is kept verbatim (Python 3 semantics). */
+  private[functions] def appendStrRepr(sb: java.lang.StringBuilder, s: String): Unit = {
+    val quote = if (s.indexOf('\'') >= 0 && s.indexOf('"') < 0) '"' else '\''
+    sb.append(quote)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == quote || c == '\\') sb.append('\\').append(c)
+      else c match {
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case o if o < 0x20 || o == 0x7f || (o >= 0x80 && o <= 0xa0) =>
+          sb.append(f"\\x${o.toInt}%02x")
+        case o => sb.append(o)
+      }
+      i += 1
+    }
+    sb.append(quote)
+  }
+
+  private def timestampRepr(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(secs, frac.toInt * 1000,
+      java.time.ZoneOffset.UTC)
+    val base = ldt.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    if (frac == 0L) base else f"$base.$frac%06d"
+  }
+
+  /** Recursive Python repr over Catalyst internal values. Nulls render as
+    * `None` (a pandas NaN-typed hole would be `nan`; object cells sourced
+    * from JSON/literal_eval hold None, which is the case that matters for
+    * reference interop). Timestamps/dates inside object cells render as
+    * their single-quoted ISO string — the reference's object cells only
+    * ever hold str/num/bool/None/dict/list, so this path is a documented
+    * approximation for Spark-typed nested values. */
+  private[functions] def appendRepr(sb: java.lang.StringBuilder, v: Any, dt: DataType): Unit = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+    if (v == null) { sb.append("None"); return }
+    dt match {
+      case StringType  => appendStrRepr(sb, v.toString)
+      case BooleanType => sb.append(if (v.asInstanceOf[Boolean]) "True" else "False")
+      case DoubleType  => sb.append(floatRepr(v.asInstanceOf[Double]))
+      case FloatType   => sb.append(floatRepr(v.asInstanceOf[Float].toDouble))
+      case ByteType | ShortType | IntegerType | LongType => sb.append(v.toString)
+      case _: DecimalType =>
+        sb.append(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.toPlainString)
+      case TimestampType | TimestampNTZType =>
+        appendStrRepr(sb, timestampRepr(v.asInstanceOf[Long]))
+      case DateType =>
+        appendStrRepr(sb, java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case st: StructType =>
+        val row = v.asInstanceOf[InternalRow]
+        sb.append('{')
+        var i = 0
+        while (i < st.length) {
+          if (i > 0) sb.append(", ")
+          appendStrRepr(sb, st(i).name)
+          sb.append(": ")
+          appendRepr(sb, if (row.isNullAt(i)) null else row.get(i, st(i).dataType),
+            st(i).dataType)
+          i += 1
+        }
+        sb.append('}')
+      case ArrayType(et, _) =>
+        val arr = v.asInstanceOf[ArrayData]
+        sb.append('[')
+        var i = 0
+        while (i < arr.numElements()) {
+          if (i > 0) sb.append(", ")
+          appendRepr(sb, if (arr.isNullAt(i)) null else arr.get(i, et), et)
+          i += 1
+        }
+        sb.append(']')
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[MapData]
+        val ks = m.keyArray(); val vs = m.valueArray()
+        sb.append('{')
+        var i = 0
+        while (i < m.numElements()) {
+          if (i > 0) sb.append(", ")
+          appendRepr(sb, ks.get(i, kt), kt)
+          sb.append(": ")
+          appendRepr(sb, if (vs.isNullAt(i)) null else vs.get(i, vt), vt)
+          i += 1
+        }
+        sb.append('}')
+      case _ => appendStrRepr(sb, v.toString)
+    }
   }
 
   /** MD5 row hash over sorted columns' non-null canonical strings

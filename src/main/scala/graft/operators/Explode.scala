@@ -154,11 +154,20 @@ object Explode {
       df: DataFrame,
       columnPrefix: String,
       pk: Seq[String],
-      sorted: Boolean = true): DataFrame = {
+      sorted: Boolean = true,
+      pythonStr: Boolean = false): DataFrame = {
     val prefixed = df.columns.filter(_.startsWith(columnPrefix + "."))
     require(prefixed.nonEmpty, s"no columns with prefix '$columnPrefix.'")
-    val entry = struct(prefixed.toIndexedSeq.map(c =>
+    val entryStruct = struct(prefixed.toIndexedSeq.map(c =>
       col(quoted(c)).as(c.stripPrefix(columnPrefix + "."))): _*)
+    // pythonStr: each entry becomes `str(row.to_dict())` BEFORE collection,
+    // exactly like the reference (pandas_utils.py:441) — the compressed
+    // column is then a list of single-quoted Python dict strings, not
+    // structs. (Sorting then orders those strings, which matches sorting
+    // by the struct's leading fields for fixed-width renderings; pass the
+    // ordering key first regardless.)
+    val entry =
+      if (pythonStr) graft.functions.PyStr.pyRepr(entryStruct) else entryStruct
     val others = df.columns.filterNot(c => prefixed.contains(c) || pk.contains(c))
     val rawList = collect_list(col("__gs_entry"))
     val listAgg = (if (sorted) sort_array(rawList) else rawList).as(columnPrefix)

@@ -137,6 +137,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** Fused decode + feature pass: one `mapPartitions`, so each media row is
+    * deserialized/reserialized ONCE instead of paying the RowEncoder
+    * boundary twice (chaining [[decodeMeta]] then [[extractFeatures]]
+    * deserializes every row at both stage entries — measurably pure
+    * overhead, and the non-codegen boundary deoptimizes the surrounding
+    * plan twice). Output schema and values are identical to the chain:
+    * `decoded_meta` struct then `features: array<float>`. Feature
+    * extraction stays batched (`batchSize`) so a real encoder amortizes
+    * model invocation; metadata decode is per-row within the same batch. */
+  def decodeAndFeaturize(df: DataFrame, payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("decoded_meta", mediaMetaType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.map(_.get(idx).asInstanceOf[Array[Byte]])
+        val feats = DeterministicFakeCodec.featuresBatch(payloads)
+        batch.iterator.zip(payloads.iterator).zip(feats.iterator).map {
+          case ((r, payload), f) =>
+            val (w, h) = DeterministicFakeCodec.probeDimensions(payload)
+            val meta = Row(DeterministicFakeCodec.sniffMime(payload), w, h,
+              if (payload == null) 0L else payload.length.toLong, "stub")
+            Row.fromSeq(r.toSeq ++ Seq(meta, f.toSeq))
+        }
+      }
+    }(enc)
+  }
+
   /** Resize pass (image semantics): payload → resized payload. */
   def resize(df: DataFrame, w: Int, h: Int, payloadCol: String = "payload"): DataFrame = {
     val enc = RowEncoder.encoderFor(df.schema)

@@ -37,6 +37,18 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.toSeq === again.toSeq)
   }
 
+  test("decodeAndFeaturize (fused) matches the decodeMeta→extractFeatures chain") {
+    val fused = Multimodal.decodeAndFeaturize(media).orderBy("media_id")
+    val chained = Multimodal.extractFeatures(Multimodal.decodeMeta(media)).orderBy("media_id")
+    assert(fused.schema === chained.schema)
+    val f = fused.select("media_id", "decoded_meta", "features").collect()
+    val c = chained.select("media_id", "decoded_meta", "features").collect()
+    assert(f.toSeq === c.toSeq)
+    // odd partial batch exercised (20 rows, batchSize 7)
+    val partial = Multimodal.decodeAndFeaturize(media, batchSize = 7)
+    assert(partial.count() === 20)
+  }
+
   test("resize rewrites payloads to the target size budget") {
     val out = Multimodal.resize(media, 128, 128)
     val sizes = out.select("payload").collect().map(_.getAs[Array[Byte]](0).length).distinct
