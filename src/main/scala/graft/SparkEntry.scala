@@ -230,7 +230,8 @@ object SparkEntry {
     "q20_dedup_exact" -> ((s, dir) => {
       val d = T(s, dir, "documents").select("doc_id", "text")
       val dupes = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      Dedup.exactDedup(d.unionByName(dupes), Seq("text"), "doc_id")
+      Dedup.exactDedup(d.unionByName(dupes), Seq("text"), "doc_id",
+          assumeUniqueOrder = true)
         .select("doc_id").orderBy("doc_id")
     }),
     // ── scale: token counting ────────────────────────────────────────
@@ -261,14 +262,18 @@ object SparkEntry {
     }),
     // ── scale: MinHash near-dup pairs (oracle: brute-force jaccard; the
     //    16×2 banding makes candidate recall effectively 1 at the
-    //    threshold, so LSH+verify equals the exact pair set) ───────────
+    //    threshold, so LSH+verify equals the exact pair set. The verify
+    //    threshold sits at 0.55 — a MARGIN above the banding's 0.5 design
+    //    point — so a pair hugging the boundary, whose banding miss
+    //    probability (1−s²)¹⁶ is the largest, cannot turn expected LSH
+    //    recall into a spurious oracle mismatch) ────────────────────────
     "q25_minhash_neardup" -> ((s, dir) => {
       val d = T(s, dir, "documents").select("doc_id", "text")
       val mutated = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
       Dedup.minhashNearDupPairs(d.unionByName(mutated), "doc_id", "text",
-          shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+          shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -411,7 +416,8 @@ object SparkEntry {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" tail tokens appended")).as("text"))
       Dedup.dedupPipeline(d.unionByName(exactDup).unionByName(nearDup),
-          "doc_id", "text", bands = 16, rowsPerBand = 2, threshold = 0.5)
+          "doc_id", "text", bands = 16, rowsPerBand = 2, threshold = 0.55,
+          assumeUniqueId = true)
         .select("doc_id").orderBy("doc_id")
     }),
     // ── scale: salted join equals plain join (skew fallback) ─────────
@@ -472,7 +478,7 @@ object SparkEntry {
           concat(col("text"), lit(" extra token and more extra")).as("text"))
       val u = d.unionByName(m1).unionByName(m2)
       val pairs = Dedup.minhashNearDupPairs(u, "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
       Dedup.dedupByComponents(u, "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
@@ -829,7 +835,7 @@ object SparkEntry {
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
          |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p
-         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE j >= 0.55 ORDER BY id_a, id_b""".stripMargin,
     "q26_simhash_neardup" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents
@@ -937,7 +943,7 @@ object SparkEntry {
          |drops AS (
          |  SELECT DISTINCT b.doc_id FROM t a JOIN t b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.55)
          |SELECT doc_id FROM s WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          |ORDER BY doc_id""".stripMargin,
     "q46_dedup_cc" ->
@@ -955,7 +961,7 @@ object SparkEntry {
          |e0 AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.55),
          |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
          |r(s, d) AS (
          |  SELECT a, b FROM edges

@@ -51,7 +51,11 @@ object Exporter {
     * columns; all-null columns are dropped in allow-objects mode unless
     * nulls are being kept (singer.py:496-499). */
   /** Resolved serialization plan for a Singer export:
-    * (frame, schemaOverride, mergeSchemaWith, allowObjects, keepNulls). */
+    * (frame, schemaOverride, mergeSchemaWith, allowObjects, nullMode).
+    *
+    * Null-mode resolution mirrors to_singer (singer.py:520-537):
+    * keep_nulls wins; else trim_nested_nulls does a deep drop; else the
+    * reference DEFAULT drops top-level null scalars only. */
   private def resolveSinger(
       df: DataFrame,
       stream: String,
@@ -59,10 +63,11 @@ object Exporter {
       schema: Option[StructType],
       unifiedModel: Option[StructType],
       keepNullFields: Boolean,
+      trimNestedNulls: Boolean,
       catalogStream: Option[String],
       catalog: Map[String, CatalogReader.StreamCatalog],
       env: Map[String, String])
-      : (DataFrame, Option[StructType], Option[StructType], Boolean, Boolean) = {
+      : (DataFrame, Option[StructType], Option[StructType], Boolean, SingerWriter.NullMode) = {
     val useCatalogSchema = env.get("USE_CATALOG_SCHEMA").exists(_.equalsIgnoreCase("true"))
     // INCLUDE_ALL_UNIFIED_FIELDS only applies when a unified model is in
     // play (singer.py:495): keeps all-null columns and explicit nulls
@@ -83,7 +88,11 @@ object Exporter {
       else if (unifiedModel.isDefined) (frame0, unifiedModel, None, allowObjects)
       else (frame0, schema, None, allowObjects)
     val keepNulls = useCatalogSchema || includeAllUnified || keepNullFields
-    (frame, schemaOverride, mergeWith, allowObj, keepNulls)
+    val nullMode =
+      if (keepNulls) SingerWriter.NullMode.KeepAll
+      else if (trimNestedNulls) SingerWriter.NullMode.DropAll
+      else SingerWriter.NullMode.DropTopLevel
+    (frame, schemaOverride, mergeWith, allowObj, nullMode)
   }
 
   def toSinger(
@@ -96,16 +105,17 @@ object Exporter {
       schema: Option[StructType] = None,
       unifiedModel: Option[StructType] = None,
       keepNullFields: Boolean = false,
+      trimNestedNulls: Boolean = false,
       catalogStream: Option[String] = None,
       catalog: Map[String, CatalogReader.StreamCatalog] = Map.empty,
       recursiveTyping: Boolean = true,
       env: Map[String, String] = sys.env): Unit = {
-    val (frame, schemaOverride, mergeWith, allowObj, keepNulls) = resolveSinger(
+    val (frame, schemaOverride, mergeWith, allowObj, nullMode) = resolveSinger(
       df, stream, allowObjects, schema, unifiedModel, keepNullFields,
-      catalogStream, catalog, env)
+      trimNestedNulls, catalogStream, catalog, env)
     SingerWriter.write(frame, stream, s"$outputDir/$filename", keys,
       schemaOverride = schemaOverride, mergeSchemaWith = mergeWith,
-      allowObjects = allowObj, keepNullFields = keepNulls,
+      allowObjects = allowObj, nullMode = Some(nullMode),
       recursiveTyping = recursiveTyping)
   }
 
@@ -127,6 +137,7 @@ object Exporter {
       singleFile: Boolean = true,
       allowObjects: Boolean = true,
       keepNullFields: Boolean = false,
+      trimNestedNulls: Boolean = false,
       catalogStream: Option[String] = None,
       catalog: Map[String, CatalogReader.StreamCatalog] = Map.empty,
       schema: Option[StructType] = None,
@@ -139,17 +150,17 @@ object Exporter {
         if (singleFile) toSinger(df, name, outputDir, keyProperties,
           filename = s"$name.singer", allowObjects = allowObjects,
           schema = schema, unifiedModel = unifiedModel,
-          keepNullFields = keepNullFields, catalogStream = catalogStream,
-          catalog = catalog, env = env)
+          keepNullFields = keepNullFields, trimNestedNulls = trimNestedNulls,
+          catalogStream = catalogStream, catalog = catalog, env = env)
         else {
           // same resolution chain as the single-file path — distributed
           // output must not silently ignore schema/serialization options
-          val (frame, schemaOverride, mergeWith, allowObj, keepNulls) = resolveSinger(
+          val (frame, schemaOverride, mergeWith, allowObj, nullMode) = resolveSinger(
             df, name, allowObjects, schema, unifiedModel, keepNullFields,
-            catalogStream, catalog, env)
+            trimNestedNulls, catalogStream, catalog, env)
           SingerWriter.writeDistributed(frame, name, base, keyProperties,
             schemaOverride = schemaOverride, mergeSchemaWith = mergeWith,
-            allowObjects = allowObj, keepNullFields = keepNulls)
+            allowObjects = allowObj, nullMode = Some(nullMode))
         }
       case "parquet" =>
         df.write.mode("overwrite").option("compression", "zstd").parquet(base)

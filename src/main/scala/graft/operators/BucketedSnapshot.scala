@@ -1,25 +1,51 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Partitioned snapshot store: merge-on-write that only touches the
-  * pk-hash buckets the delta lands in.
+  * pk-hash buckets the delta lands in, with a crash-safe
+  * generation + manifest commit protocol.
   *
   * The reference rewrites the whole snapshot file per run
   * (etl_utils.py:180-191) — fine at 50k rows, impossible at 100 TB. Here
-  * the snapshot is a parquet dataset hash-partitioned on
-  * `pmod(hash(pk), numBuckets)`:
+  * the snapshot is a set of immutable parquet "generation" directories
+  * hash-partitioned on `pmod(hash(pk), numBuckets)`, stitched together by
+  * a versioned manifest:
+  *
+  * {{{
+  * <dir>/<name>.snapshot.bucketed/
+  *   manifest-000000000003        # bucket -> generation, one line each
+  *   gen-<uuid-a>/__gs_bucket=0/  # immutable once a manifest names it
+  *   gen-<uuid-b>/__gs_bucket=7/
+  * }}}
   *
   *  - upsert reads ONLY the buckets present in the incoming batch
-  *    (partition pruning on the bucket column — untouched buckets are
-  *    never scanned, never rewritten);
+  *    (partition pruning on the bucket column within each generation —
+  *    untouched buckets are never scanned, never rewritten);
   *  - the merge itself is the same window keep-last as `Snapshot.upsert`;
-  *  - the write replaces only those bucket directories (dynamic partition
-  *    overwrite), so write volume scales with delta size, not snapshot
-  *    size.
+  *  - the merged touched buckets land in a NEW generation directory —
+  *    existing data is never overwritten, so the read-your-own-input
+  *    hazard of dynamic partition overwrite is gone;
+  *  - the commit point is a single file create: `manifest-<n+1>` (staged
+  *    to a dot-tmp, renamed into a path that does not yet exist — atomic
+  *    on HDFS and POSIX). A crash before it leaves `manifest-<n>` intact
+  *    and only unreferenced garbage behind; a crash after it leaves the
+  *    new snapshot fully committed. Readers always resolve the
+  *    highest-numbered manifest, so they never observe a partial commit;
+  *  - garbage (orphaned generations, superseded manifests) is deleted
+  *    AFTER commit and re-collected opportunistically on the next write,
+  *    so a crash mid-GC only wastes space, never data.
+  *
+  * Single-writer, like the reference's snapshot lock protocol
+  * (snapshot_lock.py:13-47); concurrent readers are safe against torn
+  * commits but a reader racing the post-commit GC of a *superseded*
+  * generation should pin a manifest version (out of scope here, as in the
+  * reference).
   *
   * With numBuckets sized so a bucket fits an executor (e.g. 65536 buckets
   * for a 100 TB snapshot → ~1.6 GB/bucket), a 0.1% delta touches ~0.1% of
@@ -33,38 +59,146 @@ class BucketedSnapshotStore(
   private val BucketCol = "__gs_bucket"
 
   def path(name: String): Path = new Path(dir, s"$name.snapshot.bucketed")
-  private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs: FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists(name: String): Boolean = fs.exists(path(name))
+  /** Crash-injection seams for the spec: overridden to throw, simulating a
+    * failure just before / just after the manifest commit point. */
+  protected def beforeCommitHook(): Unit = ()
+  protected def afterCommitHook(): Unit = ()
+
+  def exists(name: String): Boolean = latestManifest(path(name)).isDefined
 
   private def bucketOf(pk: Seq[String]) =
     pmod(hash(pk.map(col): _*), lit(numBuckets))
 
-  /** Full snapshot (all buckets), bucket column dropped. */
-  def read(name: String): Option[DataFrame] =
-    if (!exists(name)) None
-    else Some(spark.read.parquet(path(name).toString).drop(BucketCol))
+  // ---- manifest io -------------------------------------------------------
 
-  /** Initialize / replace the whole snapshot. */
-  def write(name: String, df: DataFrame, pk: Seq[String]): Unit =
-    df.withColumn(BucketCol, bucketOf(pk))
-      .repartition(col(BucketCol))
-      .write.mode("overwrite")
+  private def latestManifest(root: Path): Option[(Long, Path)] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toIndexedSeq.map(_.getPath)
+      .filter(_.getName.startsWith("manifest-"))
+      .flatMap(p => scala.util.Try(p.getName.stripPrefix("manifest-").toLong)
+        .toOption.map(_ -> p))
+      .sortBy(_._1).lastOption
+
+  private def readManifest(root: Path): Option[(Long, Map[Int, String])] =
+    latestManifest(root).map { case (v, p) =>
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val m = content.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.take(i).toInt -> line.drop(i + 1)
+      }.toMap
+      (v, m)
+    }
+
+  /** Stage to a dot-tmp, rename into a not-yet-existing versioned path —
+    * the rename IS the commit point. */
+  private def writeManifest(root: Path, version: Long, entries: Map[Int, String]): Unit = {
+    val tmp = new Path(root, s".manifest-tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$b\t$g" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(root, f"manifest-$version%012d")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"manifest commit failed: $dest already exists")
+  }
+
+  /** Delete superseded manifests, orphaned generations, leftover tmps.
+    * Safe to crash anywhere in here: everything deleted is unreferenced by
+    * the latest manifest, and leftovers are re-collected next write. */
+  private def gc(root: Path): Unit =
+    readManifest(root).foreach { case (v, m) =>
+      val live = m.values.toSet
+      val keep = f"manifest-$v%012d"
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val dead =
+          (n.startsWith("gen-") && !live.contains(n)) ||
+          (n.startsWith("manifest-") && n != keep) ||
+          n.startsWith(".manifest-tmp-")
+        if (dead) fs.delete(st.getPath, true)
+      }
+    }
+
+  // ---- reads -------------------------------------------------------------
+
+  /** Union of per-generation reads restricted to the given buckets (or all
+    * manifest buckets when `buckets` is None). Partition pruning applies
+    * within each generation; `unionByName(allowMissingColumns)` aligns
+    * schema evolution across generations. */
+  private def readBuckets(root: Path, m: Map[Int, String],
+      buckets: Option[Seq[Int]]): Option[DataFrame] = {
+    val wanted = buckets.getOrElse(m.keys.toSeq)
+    val byGen = wanted.flatMap(b => m.get(b).map(_ -> b))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val parts = byGen.toSeq.sortBy(_._1).map { case (gen, bs) =>
+      spark.read.parquet(new Path(root, gen).toString)
+        .filter(col(BucketCol).isin(bs.map(Integer.valueOf): _*))
+    }
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Full snapshot (all buckets), bucket column dropped. */
+  def read(name: String): Option[DataFrame] = {
+    val root = path(name)
+    readManifest(root).flatMap { case (_, m) =>
+      readBuckets(root, m, None).map(_.drop(BucketCol))
+    }
+  }
+
+  // ---- writes ------------------------------------------------------------
+
+  private def writeGeneration(root: Path, df: DataFrame, pk: Seq[String],
+      alreadyBucketed: Boolean): (String, Seq[Int]) = {
+    val gen = s"gen-${UUID.randomUUID()}"
+    val genPath = new Path(root, gen)
+    val bucketed =
+      if (alreadyBucketed) df else df.withColumn(BucketCol, bucketOf(pk))
+    bucketed.repartition(col(BucketCol))
+      .write.mode("errorifexists")
       .option("compression", "zstd")
       .partitionBy(BucketCol)
-      .parquet(path(name).toString)
+      .parquet(genPath.toString)
+    val written = fs.listStatus(genPath).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt)
+    (gen, written)
+  }
+
+  /** Initialize / replace the whole snapshot. */
+  def write(name: String, df: DataFrame, pk: Seq[String]): Unit = {
+    val root = path(name)
+    fs.mkdirs(root)
+    val ver = latestManifest(root).map(_._1).getOrElse(0L)
+    val (gen, buckets) = writeGeneration(root, df, pk, alreadyBucketed = false)
+    beforeCommitHook()
+    writeManifest(root, ver + 1, buckets.map(_ -> gen).toMap)
+    afterCommitHook()
+    gc(root)
+  }
 
   /** Merge-by-pk upsert touching only the delta's buckets. Returns the
     * count of rewritten buckets (for observability). */
   def upsert(name: String, incoming: DataFrame, pk: Seq[String]): Long = {
-    if (!exists(name)) { write(name, Snapshot.dedupKeepLast(incoming, pk), pk); return numBuckets.toLong }
+    val root = path(name)
+    val manifest = readManifest(root)
+    if (manifest.isEmpty) {
+      write(name, Snapshot.dedupKeepLast(incoming, pk), pk)
+      return numBuckets.toLong
+    }
+    val (ver, m) = manifest.get
     val bucketed = incoming.withColumn(BucketCol, bucketOf(pk))
     val touched = bucketed.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     if (touched.isEmpty) return 0L
     // partition pruning: only the touched bucket directories are scanned
-    val existing = spark.read.parquet(path(name).toString)
-      .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+    val existing = readBuckets(root, m, Some(touched)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bucketed.schema))
     val arrival = monotonically_increasing_id()
     val merged = existing.withColumn("__src", lit(0)).withColumn("__arr", lit(0L))
       .unionByName(
@@ -74,29 +208,29 @@ class BucketedSnapshotStore(
       .orderBy(col("__src").desc, col("__arr").desc)
     val winner = merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__src", "__arr", "__rn")
-    // dynamic partition overwrite: replaces only the touched buckets
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      winner.repartition(col(BucketCol))
-        .write.mode("overwrite")
-        .option("compression", "zstd")
-        .partitionBy(BucketCol)
-        .parquet(path(name).toString)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // stage the merged touched buckets into a fresh generation — the
+    // generations being read stay untouched until the manifest flips
+    val (gen, _) = writeGeneration(root, winner, pk, alreadyBucketed = true)
+    beforeCommitHook()
+    writeManifest(root, ver + 1, m ++ touched.map(_ -> gen))
+    afterCommitHook()
+    gc(root)
     touched.length.toLong
   }
 
   /** Point lookup / key-subset read with bucket pruning: scans only the
     * buckets the requested keys hash into (merge-on-read companion). */
   def readForKeys(name: String, keys: DataFrame, pk: Seq[String]): DataFrame = {
-    val touched = keys.select(pmod(hash(pk.map(col): _*), lit(numBuckets)).as(BucketCol))
-      .distinct().collect().map(_.getInt(0))
-    spark.read.parquet(path(name).toString)
-      .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+    val root = path(name)
+    val (_, m) = readManifest(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val touched = keys.select(bucketOf(pk).as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    readBuckets(root, m, Some(touched))
+      // no touched bucket exists yet → empty frame with snapshot schema
+      .orElse(readBuckets(root, m, None).map(_.limit(0)))
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        keys.select(pk.map(col): _*).schema))
       .drop(BucketCol)
       .join(keys.select(pk.map(col): _*).distinct(), pk, "left_semi")
   }

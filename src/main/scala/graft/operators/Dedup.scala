@@ -31,9 +31,16 @@ object Dedup {
     * document rows by hash; here document text crosses at most the final
     * semi-join exchange (no sort), and when the winner set is small AQE
     * turns that into a broadcast semi-join with no corpus shuffle at all.
-    * `orderCol` should be row-unique (e.g. the doc id): rows tied on both
-    * content hash and orderCol are content-identical and all survive. */
-  def exactDedup(df: DataFrame, contentCols: Seq[String], orderCol: String): DataFrame = {
+    *
+    * One-survivor is unconditional: rows tied on BOTH content hash and
+    * `orderCol` (a non-unique order column, e.g. a timestamp) are collapsed
+    * to an arbitrary single row by a final hash-keyed dropDuplicates. That
+    * collapse costs one survivor-width shuffle; when `orderCol` is known
+    * row-unique (the common doc-id case) pass `assumeUniqueOrder = true`
+    * to skip it — ties are then impossible and the plan stays the
+    * key-only-shuffle one described above. */
+  def exactDedup(df: DataFrame, contentCols: Seq[String], orderCol: String,
+      assumeUniqueOrder: Boolean = false): DataFrame = {
     val h = sha2(to_json(struct(contentCols.map(c => col(c)): _*)), 256)
     val keyed = df.withColumn("__gs_h", h)
     // alias the winner-side columns to fresh names — a self-derived join on
@@ -44,9 +51,10 @@ object Dedup {
     // null-safe compare on the order column: a group whose ids are ALL null
     // has min(__gs_o) = null, and a plain === would match nothing — the
     // whole group would silently vanish instead of surviving
-    keyed.join(winners,
+    val survivors = keyed.join(winners,
         col("__gs_h") === col("__gs_wh") && col(orderCol) <=> col("__gs_o"),
         "left_semi")
+    (if (assumeUniqueOrder) survivors else survivors.dropDuplicates("__gs_h"))
       .drop("__gs_h")
   }
 
@@ -436,13 +444,14 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      assumeUniqueId: Boolean = false): DataFrame = {
     // The exact survivors are walked exactly twice: once feeding the
     // (cached-within-the-call) shingle-array build in minhashNearDupPairs,
     // once in the final anti-join. Recomputing one cheap hash-dedup pass
     // beats pinning a corpus-sized cache for the session's lifetime — at
     // 100 TB caching the survivor corpus is not an option anyway.
-    val exact = exactDedup(df, Seq(textCol), idCol)
+    val exact = exactDedup(df, Seq(textCol), idCol, assumeUniqueId)
     minhashDedup(exact, idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucketSize)
   }
 }

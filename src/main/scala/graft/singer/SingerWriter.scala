@@ -30,6 +30,31 @@ import org.apache.spark.sql.types._
   */
 object SingerWriter {
 
+  /** Null-field serialization modes, mirroring the reference's three
+    * reachable behaviors in `to_singer` (singer.py:520-537):
+    *  - [[NullMode.DropAll]] — `trim_nested_nulls=True`: nulls removed at
+    *    every depth (`remove_nulls_deep`); Spark `ignoreNullFields=true`.
+    *    Graft's legacy boolean default maps here.
+    *  - [[NullMode.KeepAll]] — `keep_null_fields=True`: nulls serialized
+    *    explicitly at every depth.
+    *  - [[NullMode.DropTopLevel]] — the reference DEFAULT
+    *    (`{k: v for k, v in rec.items() if not _is_null_scalar(v)}`,
+    *    singer.py:536-537): top-level null cells vanish from the record,
+    *    nulls INSIDE object/array cells stay. Spark's `ignoreNullFields`
+    *    is all-or-nothing, so this mode builds the record from per-field
+    *    `"key":<json>` fragments gated on `isNotNull` and joined with
+    *    `concat_ws` (which skips null fragments) — still pure codegen'd
+    *    expressions, no UDF. */
+  sealed abstract class NullMode
+  object NullMode {
+    case object DropAll extends NullMode
+    case object KeepAll extends NullMode
+    case object DropTopLevel extends NullMode
+  }
+
+  private def resolveNullMode(keepNullFields: Boolean, nullMode: Option[NullMode]): NullMode =
+    nullMode.getOrElse(if (keepNullFields) NullMode.KeepAll else NullMode.DropAll)
+
   private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
   private val DateFormat = "yyyy-MM-dd"
 
@@ -61,12 +86,16 @@ object SingerWriter {
     * `string` in the emitted SCHEMA). Primitive columns keep their types —
     * the reference only applies `_serialize_value` to object-dtype columns
     * (gen_singer_header's else branch, singer.py:176-178). Spacing differs
-    * from json.dumps (`{"a":1}` vs `{"a": 1}`); values are identical. */
-  def stringifyComplexColumns(df: DataFrame): DataFrame = {
+    * from json.dumps (`{"a":1}` vs `{"a": 1}`); values are identical.
+    *
+    * `keepNullFields` controls nulls INSIDE the stringified cells — a
+    * keep-nulls export must not silently drop nested keys here (the
+    * round-2 hardcoded drop-nulls bug). */
+  def stringifyComplexColumns(df: DataFrame, keepNullFields: Boolean = false): DataFrame = {
     val cols = df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType =>
-          to_json(col(s"`${f.name}`"), jsonOptions()).as(f.name)
+          to_json(col(s"`${f.name}`"), jsonOptions(keepNullFields)).as(f.name)
         case _ => col(s"`${f.name}`")
       }
     }
@@ -113,12 +142,30 @@ object SingerWriter {
       stream: String,
       version: Option[Long] = None,
       timeExtracted: Option[java.time.Instant] = None,
-      keepNullFields: Boolean = false): Column = {
-    val payload = to_json(
-      struct(df.schema.fields.toIndexedSeq.map { f =>
-        val c = col(s"`${f.name}`")
-        (if (f.dataType == FloatType) c.cast(DoubleType) else c).as(f.name)
-      }: _*), jsonOptions(keepNullFields))
+      keepNullFields: Boolean = false,
+      nullMode: Option[NullMode] = None): Column = {
+    val promoted = df.schema.fields.toIndexedSeq.map { f =>
+      val c = col(s"`${f.name}`")
+      f.name -> (if (f.dataType == FloatType) c.cast(DoubleType) else c)
+    }
+    val payload = resolveNullMode(keepNullFields, nullMode) match {
+      case NullMode.DropTopLevel =>
+        // reference-default semantics: per-field "key":<json> fragments.
+        // Each value renders via to_json over a one-field struct with
+        // keep-nulls options (so NESTED nulls survive); the `{"x":` prefix
+        // (5 chars) and trailing `}` are sliced off. A null top-level cell
+        // nulls its fragment, and concat_ws skips it entirely.
+        val frags = promoted.map { case (name, c) =>
+          val j = to_json(struct(c.as("x")), jsonOptions(keepNullFields = true))
+          when(c.isNotNull,
+            concat(lit("\"" + esc(name) + "\":"), j.substr(lit(6), length(j) - 6)))
+        }
+        concat(lit("{"), concat_ws(",", frags: _*), lit("}"))
+      case mode =>
+        to_json(
+          struct(promoted.map { case (name, c) => c.as(name) }: _*),
+          jsonOptions(mode == NullMode.KeepAll))
+    }
     val versionPart = version.map(v => s""", "version": $v""").getOrElse("")
     val tePart = timeExtracted.map { t =>
       val s = java.time.format.DateTimeFormatter
@@ -153,7 +200,10 @@ object SingerWriter {
     * `Exporter.toSinger` router applies the reference default) serializes
     * complex columns as JSON strings via [[stringifyComplexColumns]].
     * `mergeSchemaWith` overlays catalog property types on the inferred
-    * header while keeping extra columns (USE_CATALOG_SCHEMA mode). */
+    * header while keeping extra columns (USE_CATALOG_SCHEMA mode); when
+    * `schemaOverride` is also given, the merge bases on the override, not
+    * the inferred schema. `nullMode` (see [[NullMode]]) supersedes the
+    * legacy `keepNullFields` boolean when set. */
   def write(
       df: DataFrame,
       stream: String,
@@ -165,7 +215,8 @@ object SingerWriter {
       allowObjects: Boolean = true,
       keepNullFields: Boolean = false,
       mergeSchemaWith: Option[StructType] = None,
-      recursiveTyping: Boolean = true): Unit = {
+      recursiveTyping: Boolean = true,
+      nullMode: Option[NullMode] = None): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.{Files, Paths, StandardOpenOption => O}
     val p = Paths.get(path)
@@ -174,15 +225,20 @@ object SingerWriter {
     val out = Files.newBufferedWriter(p, UTF_8,
       (if (appending) Seq(O.APPEND, O.WRITE) else Seq(O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)): _*)
     try {
-      val prepared = if (allowObjects) df else stringifyComplexColumns(df)
+      val mode = resolveNullMode(keepNullFields, nullMode)
+      val prepared =
+        if (allowObjects) df
+        else stringifyComplexColumns(df, mode != NullMode.DropAll)
+      val base = schemaOverride.getOrElse(prepared.schema)
       val headerSchema = mergeSchemaWith match {
-        case Some(cat) => mergeSchemas(prepared.schema, cat)
-        case None      => schemaOverride.getOrElse(prepared.schema)
+        case Some(cat) => mergeSchemas(base, cat)
+        case None      => base
       }
       out.write(schemaMessage(stream, headerSchema, keyProperties, bookmarkProperties,
         recursiveTyping))
       out.write("\n")
-      val lines = prepared.select(recordLine(prepared, stream, keepNullFields = keepNullFields).as("line"))
+      val lines = prepared.select(
+        recordLine(prepared, stream, nullMode = Some(mode)).as("line"))
       // toLocalIterator: one partition in driver memory at a time
       val it = lines.toLocalIterator()
       while (it.hasNext) { out.write(it.next().getString(0)); out.write("\n") }
@@ -203,14 +259,19 @@ object SingerWriter {
       allowObjects: Boolean = true,
       keepNullFields: Boolean = false,
       mergeSchemaWith: Option[StructType] = None,
-      recursiveTyping: Boolean = true): Unit = {
+      recursiveTyping: Boolean = true,
+      nullMode: Option[NullMode] = None): Unit = {
     import org.apache.hadoop.fs.Path
-    val prepared = if (allowObjects) df else stringifyComplexColumns(df)
+    val mode = resolveNullMode(keepNullFields, nullMode)
+    val prepared =
+      if (allowObjects) df
+      else stringifyComplexColumns(df, mode != NullMode.DropAll)
+    val schemaBase = schemaOverride.getOrElse(prepared.schema)
     val headerSchema = mergeSchemaWith match {
-      case Some(cat) => mergeSchemas(prepared.schema, cat)
-      case None      => schemaOverride.getOrElse(prepared.schema)
+      case Some(cat) => mergeSchemas(schemaBase, cat)
+      case None      => schemaBase
     }
-    prepared.select(recordLine(prepared, stream, keepNullFields = keepNullFields).as("value"))
+    prepared.select(recordLine(prepared, stream, nullMode = Some(mode)).as("value"))
       .write.mode("overwrite").text(s"$dir/records")
     // sidecars through the same Hadoop filesystem as the record parts —
     // java.nio would silently write to a local path for hdfs://, s3a://, …

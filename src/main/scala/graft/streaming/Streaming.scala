@@ -119,7 +119,14 @@ object Streaming {
     * loss. The append is not atomic with the sidecar update, so a crash
     * inside the append can still leave a torn batch — net semantics are
     * at-least-once with duplicates confined to one batch; dedupe
-    * downstream by pk if exactly-once matters. */
+    * downstream by pk if exactly-once matters.
+    *
+    * The sidecar itself is written temp-file + ATOMIC_MOVE and parsed
+    * tolerantly: a corrupt/empty marker (crash mid-write on a filesystem
+    * without atomic rename) reads as "no marker" (-1), so the worst case
+    * is one duplicated batch — consistent with the at-least-once contract
+    * — never a permanently wedged stream throwing NumberFormatException
+    * on every restart. */
   def streamingSinger(
       stream: DataFrame,
       streamName: String,
@@ -131,11 +138,18 @@ object Streaming {
         val marker = java.nio.file.Paths.get(path + ".batchid")
         val lastDone =
           if (java.nio.file.Files.exists(marker))
-            new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+            scala.util.Try(
+              new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+            ).getOrElse(-1L)
           else -1L
         if (batchId != lastDone && !batch.isEmpty) {
           graft.singer.SingerWriter.write(batch, streamName, path, keyProperties)
-          java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+          val tmp = java.nio.file.Paths.get(
+            path + s".batchid.tmp-${java.util.UUID.randomUUID()}")
+          java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, marker,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           ()
         }
       }

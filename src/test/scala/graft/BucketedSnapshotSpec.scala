@@ -43,6 +43,48 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(got.toSeq === Seq((3, "v3"), (500, "v500"), (999, "v999")))
   }
 
+  test("crash before manifest commit leaves the old snapshot fully readable") {
+    val dir = tmpDir("bsnap_crash_")
+    val good = new BucketedSnapshotStore(spark, dir, numBuckets = 8)
+    val base = (1 to 500).map(i => (i, s"v$i")).toDF("id", "v")
+    good.write("t", base, Seq("id"))
+    // crashes after staging the new generation, BEFORE the manifest flip
+    val crashing = new BucketedSnapshotStore(spark, dir, numBuckets = 8) {
+      override protected def beforeCommitHook(): Unit =
+        throw new RuntimeException("injected crash pre-commit")
+    }
+    val delta = Seq((5, "NEW5"), (300, "NEW300")).toDF("id", "v")
+    intercept[RuntimeException](crashing.upsert("t", delta, Seq("id")))
+    // the old snapshot is still complete and consistent
+    val out = good.read("t").get
+    assert(out.count() === 500)
+    assert(out.filter(col("id") === 5).first().getString(1) === "v5")
+    // and a retry of the same upsert succeeds, GC-ing the orphaned gen
+    good.upsert("t", delta, Seq("id"))
+    val after = good.read("t").get
+    assert(after.count() === 500)
+    assert(after.filter(col("id") === 5).first().getString(1) === "NEW5")
+  }
+
+  test("crash after manifest commit (mid-GC) leaves the NEW snapshot readable") {
+    val dir = tmpDir("bsnap_crash2_")
+    val good = new BucketedSnapshotStore(spark, dir, numBuckets = 8)
+    good.write("t", (1 to 500).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val crashing = new BucketedSnapshotStore(spark, dir, numBuckets = 8) {
+      override protected def afterCommitHook(): Unit =
+        throw new RuntimeException("injected crash post-commit")
+    }
+    val delta = Seq((5, "NEW5"), (501, "NEW501")).toDF("id", "v")
+    intercept[RuntimeException](crashing.upsert("t", delta, Seq("id")))
+    // commit already happened → readers see the new state
+    val out = good.read("t").get
+    assert(out.count() === 501)
+    assert(out.filter(col("id") === 5).first().getString(1) === "NEW5")
+    // next write re-collects the garbage the crash left behind
+    good.upsert("t", Seq((6, "NEW6")).toDF("id", "v"), Seq("id"))
+    assert(good.read("t").get.count() === 501)
+  }
+
   test("multi-probe LSH recall beats single-probe on the same data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 20)

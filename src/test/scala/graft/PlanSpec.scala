@@ -41,7 +41,8 @@ class PlanSpec extends SparkSpec {
   test("exactDedup's winner aggregate exchanges only hash + order columns") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
-    val plan = physical(Dedup.exactDedup(d, Seq("text"), "doc_id"))
+    val plan = physical(Dedup.exactDedup(d, Seq("text"), "doc_id",
+      assumeUniqueOrder = true))
     // the winners side aggregates (hash, order) before any exchange; the
     // full rows only cross the final semi-join. The pre-shuffle partial
     // aggregate must not carry the text column.

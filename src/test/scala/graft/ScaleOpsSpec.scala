@@ -151,11 +151,25 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("exactDedup shuffles only (hash, order) keys, never document rows") {
-    val plan = Dedup.exactDedup(docsDf, Seq("text"), "doc_id")
+    val plan = Dedup.exactDedup(docsDf, Seq("text"), "doc_id",
+        assumeUniqueOrder = true)
       .queryExecution.optimizedPlan.toString
     // the aggregate under the first Exchange projects just hash + order
     assert(!plan.contains("row_number"), "window formulation is back")
     assert(plan.contains("LeftSemi"), s"expected semi-join plan:\n$plan")
+  }
+
+  test("exactDedup keeps exactly one survivor when the order column ties") {
+    // non-unique order column (constant timestamp): every duplicate pair
+    // ties at (hash, min) — the default mode must still collapse to one
+    val df = Seq((1L, "same text"), (1L, "same text"), (1L, "same text"),
+                 (1L, "other text")).toDF("ts", "text")
+    val out = Dedup.exactDedup(df, Seq("text"), "ts")
+    assert(out.count() === 2, "tied duplicates must collapse to one survivor")
+    // opting into the unique-order fast path skips the collapse — all ties
+    // survive, as documented
+    assert(Dedup.exactDedup(df, Seq("text"), "ts", assumeUniqueOrder = true)
+      .count() === 4)
   }
 
   test("hot-bucket cap bounds candidate pairs on a planted boilerplate cluster") {

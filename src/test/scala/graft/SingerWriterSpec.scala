@@ -202,6 +202,77 @@ class SingerModesSpec extends SparkSpec {
     assert(mapper.readTree(rec.get("obj").asText()).get("k").asText() === "v")
   }
 
+  test("reference-default nulls: top-level null scalars drop, nested nulls stay") {
+    // reference to_singer DEFAULT (singer.py:536-537): rec keys with null
+    // scalar values are removed; nulls INSIDE object cells survive because
+    // remove_nulls_deep only runs under trim_nested_nulls. Expected lines
+    // derived by replaying that dict comprehension + json.dumps on this
+    // fixture by hand.
+    val df = spark.sql(
+      """SELECT 1L AS id, CAST(NULL AS STRING) AS note,
+        |       named_struct('a', 1L, 'b', CAST(NULL AS STRING)) AS obj
+        |UNION ALL
+        |SELECT 2L, 'hello', CAST(NULL AS STRUCT<a: BIGINT, b: STRING>)""".stripMargin)
+    val dir = tmpDir("sm_nn_")
+    Exporter.toSinger(df.orderBy("id"), "t", dir, allowObjects = true,
+      keepNullFields = true, env = Map.empty) // keep all-null-col drop out of the way
+    val keep = readLines(s"$dir/data.singer").map(mapper.readTree)
+    // sanity: KeepAll mode serializes the top-level nulls explicitly
+    assert(keep(1).get("record").has("note") && keep(1).at("/record/note").isNull)
+
+    val dir2 = tmpDir("sm_nn2_")
+    Exporter.toSinger(df.orderBy("id"), "t", dir2, allowObjects = true,
+      env = Map.empty) // reference default mode
+    val lines = readLines(s"$dir2/data.singer").map(mapper.readTree)
+    val r1 = lines(1).get("record")
+    assert(!r1.has("note"), "top-level null scalar must be dropped")
+    assert(r1.get("obj").get("a").asLong === 1L)
+    assert(r1.get("obj").has("b") && r1.get("obj").get("b").isNull,
+      s"nested null must be KEPT (reference default), got $r1")
+    val r2 = lines(2).get("record")
+    assert(r2.get("note").asText === "hello")
+    assert(!r2.has("obj"), "null object cell is a top-level null → dropped")
+    // trim_nested_nulls=True replays remove_nulls_deep: nested null gone too
+    val dir3 = tmpDir("sm_nn3_")
+    Exporter.toSinger(df.orderBy("id"), "t", dir3, allowObjects = true,
+      trimNestedNulls = true, env = Map.empty)
+    val trimmed = readLines(s"$dir3/data.singer").map(mapper.readTree)
+    assert(!trimmed(1).at("/record/obj").has("b"))
+  }
+
+  test("schemaOverride and mergeSchemaWith compose: merge bases on the override") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val df2 = Seq((1, "1.5")).toDF("id", "v")
+    val overrideSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", DoubleType)))
+    val catalogSchema = StructType(Seq(
+      StructField("id", StringType), StructField("cat_extra", StringType)))
+    val out = s"${tmpDir("sm_both_")}/t.singer"
+    SingerWriter.write(df2, "t", out,
+      schemaOverride = Some(overrideSchema), mergeSchemaWith = Some(catalogSchema))
+    val props = mapper.readTree(readLines(out).head).at("/schema/properties")
+    // catalog wins where it speaks: id → string; extra catalog col present
+    assert(props.get("id").get("type").get(0).asText() === "string")
+    assert(props.has("cat_extra"))
+    // where the catalog is silent, the OVERRIDE (not inference) types it:
+    // v was inferred string but overridden to number
+    assert(props.get("v").get("type").get(0).asText() === "number")
+  }
+
+  test("keep-nulls export keeps nulls inside stringified complex cells") {
+    val df2 = spark.sql(
+      "SELECT 1L AS id, named_struct('a', 1L, 'b', CAST(NULL AS STRING)) AS obj")
+    val dir = tmpDir("sm_sc_")
+    Exporter.toSinger(df2, "t", dir, allowObjects = false,
+      keepNullFields = true, env = Map.empty)
+    val rec = readLines(s"$dir/data.singer").map(mapper.readTree).apply(1).get("record")
+    assert(rec.get("obj").isTextual)
+    val parsed = mapper.readTree(rec.get("obj").asText())
+    assert(parsed.has("b") && parsed.get("b").isNull,
+      s"stringified cell dropped nested null in keep-nulls mode: $parsed")
+  }
+
   test("priority 1a: catalogStream uses the catalog schema wholesale and parses object cols") {
     val dir = tmpDir("sm_")
     Exporter.toSinger(df, "anything", dir, catalogStream = Some("orders"),
