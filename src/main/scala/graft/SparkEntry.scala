@@ -865,10 +865,9 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |seeds AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
-         |  FROM e
-         |  WHERE ${h60Sql("vec_id::VARCHAR")} %
-         |    (SELECT greatest(1, count(*) // 16) FROM embeddings) = 0
-         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+         |  FROM (SELECT vec_id, v FROM e
+         |        QUALIFY row_number()
+         |          OVER (ORDER BY ${h60Sql("vec_id::VARCHAR")}, vec_id) <= 16)),
          |a0 AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, seeds.cid, row_number() OVER (PARTITION BY e.vec_id

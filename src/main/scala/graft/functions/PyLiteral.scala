@@ -238,24 +238,42 @@ object PyStr {
 
   /** CPython string repr: `'...'` unless the text contains a single quote
     * and no double quote (then `"..."`); `\\`, the active quote, and
-    * newline/tab/CR escaped; other C0/C1 controls + DEL + NBSP as `\xNN`.
-    * Printable non-ASCII is kept verbatim (Python 3 semantics). */
+    * newline/tab/CR escaped; every other codepoint failing Python's
+    * `str.isprintable` (categories Cc/Cf/Cs/Co/Cn/Zl/Zp and Zs other than
+    * space — e.g. soft hyphen U+00AD, zero-width space U+200B, line
+    * separator U+2028) escapes as `\xNN` / `\uNNNN` / `\UNNNNNNNN` by
+    * codepoint width, exactly like CPython's repr. Printable non-ASCII is
+    * kept verbatim (Python 3 semantics). Residual caveat: Java and
+    * CPython may disagree on very recently assigned codepoints (Unicode
+    * table skew makes Cn classification version-dependent). */
+  private def pyUnprintable(cp: Int): Boolean = cp != ' '.toInt && {
+    Character.getType(cp) match {
+      case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+           Character.PRIVATE_USE | Character.UNASSIGNED |
+           Character.LINE_SEPARATOR | Character.PARAGRAPH_SEPARATOR |
+           Character.SPACE_SEPARATOR => true
+      case _ => false
+    }
+  }
+
   private[functions] def appendStrRepr(sb: java.lang.StringBuilder, s: String): Unit = {
     val quote = if (s.indexOf('\'') >= 0 && s.indexOf('"') < 0) '"' else '\''
     sb.append(quote)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == quote || c == '\\') sb.append('\\').append(c)
-      else c match {
+      val cp = s.codePointAt(i)
+      if (cp == quote.toInt || cp == '\\'.toInt) sb.append('\\').appendCodePoint(cp)
+      else cp match {
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
-        case o if o < 0x20 || o == 0x7f || (o >= 0x80 && o <= 0xa0) =>
-          sb.append(f"\\x${o.toInt}%02x")
-        case o => sb.append(o)
+        case o if pyUnprintable(o) =>
+          if (o < 0x100) sb.append(f"\\x$o%02x")
+          else if (o <= 0xffff) sb.append(f"\\u$o%04x")
+          else sb.append(f"\\U$o%08x")
+        case o => sb.appendCodePoint(o)
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.append(quote)
   }
@@ -285,6 +303,13 @@ object PyStr {
       case StringType  => appendStrRepr(sb, v.toString)
       case BooleanType => sb.append(if (v.asInstanceOf[Boolean]) "True" else "False")
       case DoubleType  => sb.append(floatRepr(v.asInstanceOf[Double]))
+      // KNOWN APPROXIMATION (like the timestamp one below): float32 widens
+      // to double, so 0.1f renders '0.10000000149011612' while numpy's
+      // str(np.float32(0.1)) gives '0.1' (numpy's float32 shortest-repr
+      // rules differ from CPython float64's — not replicated here). Nested
+      // float32 cells therefore hash differently from reference-written
+      // snapshots; top-level float32 COLUMNS are unaffected (rowHash casts
+      // them per the reference's float64 frame dtype).
       case FloatType   => sb.append(floatRepr(v.asInstanceOf[Float].toDouble))
       case ByteType | ShortType | IntegerType | LongType => sb.append(v.toString)
       case _: DecimalType =>

@@ -367,59 +367,90 @@ object Dedup {
       .distinct()
   }
 
-  /** Transitive-closure clustering of near-dup pairs by min-label
-    * propagation: every node starts labeled with its own id; each round a
-    * node adopts the minimum label among itself and its neighbors, until
-    * no label changes (or `maxIter`). Returns (id, component) where
-    * component = the cluster's minimum id.
+  /** Transitive-closure clustering of near-dup pairs by alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Returns (id, component)
+    * where component = the cluster's minimum id.
     *
-    * Scale shape: only (id, label) pairs ever shuffle — never documents —
-    * and each round is one join + one partial-aggregated groupBy.
-    * Convergence takes O(cluster diameter) rounds; near-dup clusters are
-    * dense (star/clique-ish), so a handful of rounds suffices. Each round
-    * eagerly localCheckpoints, truncating lineage (checkpoint blocks are
-    * reclaimed by the ContextCleaner as old round references are GC'd).
-    * If `maxIter` is hit before convergence a warning is logged and the
-    * partial labels are returned — components may then be split finer than
-    * the true transitive closure (never merged wrongly). `minhashDedup`'s
-    * single-pass drop-the-larger-id is the cheap approximation; this is
-    * the principled version when chains matter (a~b, b~c with a≁c must
-    * collapse to one representative, not zero). */
+    * Each round rewires the edge set toward star graphs rooted at the
+    * component minimum:
+    *  - large-star: every node links its STRICTLY LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller neighbors (and itself) to
+    *    the smallest of them.
+    * The edge set is a fixpoint exactly when every component is a star on
+    * its minimum — convergence in O(log n) rounds, NOT O(diameter) like
+    * min-label propagation (a 100-chain converges in ~5 rounds instead of
+    * 100). Only (id, id) pairs ever shuffle — never documents — and both
+    * phases are key-width groupBy + join.
+    *
+    * Per round: one eager localCheckpoint truncates lineage (iterative
+    * plans otherwise grow per round and re-analysis dominates); the
+    * convergence probe compares edge counts and only runs the exact
+    * set-difference check when counts match (i.e. on the final round).
+    * If `maxIter` is hit a warning is logged and partial labels return —
+    * components may be split finer than the true closure (never merged
+    * wrongly). `minhashDedup`'s single-pass drop-the-larger-id is the
+    * cheap approximation; this is the principled version when chains
+    * matter (a~b, b~c with a≁c must collapse to one representative). */
   def connectedComponents(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (eager) after every round: iterative algorithms grow
-    // their logical plan per round, and re-analyzing the whole history each
-    // iteration dominates runtime long before the data does — truncating
-    // lineage keeps per-round planning O(1). (cache() alone does NOT truncate.)
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val raw = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    val allNodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct()
+    // canonical orientation: src > dst ("node → smaller neighbor")
+    var edges = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+    var edgeCount = edges.count()
     var iter = 0
-    var converged = false
+    var converged = edgeCount == 0L
     while (iter < maxIter && !converged) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src")).agg(min("component").as("__nbr"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
-          (col("__nbr") < col("component")).as("__chg"))
-        .localCheckpoint(true) // one job; the convergence agg below reads the checkpoint
-      val changed = updated.agg(sum(when(col("__chg"), 1).otherwise(0))).first()
-      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
-      labels = updated.select("id", "component")
+      // ── large-star ──────────────────────────────────────────────────
+      // symmetric view so every node sees its full neighborhood; m(u) =
+      // min(Γ(u) ∪ {u}); emit (v, m) for every neighbor v > u. Each
+      // undirected edge is emitted exactly once, from its smaller endpoint.
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src").agg(min("dst").as("__mn"))
+        .select(col("src").as("u"), least(col("__mn"), col("src")).as("m"))
+      val ls = sym.join(lsMin, sym("src") === lsMin("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")) // v > u ≥ m → canonical
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // ── small-star ──────────────────────────────────────────────────
+      // on the canonical set each group IS the smaller-neighbor list;
+      // m(u) = min of it (< u); emit (u, m) and (v, m) for the others.
+      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
+      val next = ls.join(ssMin, Seq("src"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst")) // v > m → canonical
+        .union(ssMin.select(col("src"), col("m").as("dst")))
+        .distinct().localCheckpoint(true)
+      val nextCount = next.count()
+      // fixpoint ⇔ identical edge set; counts differ on every non-final
+      // round, so the exact set check runs once at the end
+      converged = nextCount == edgeCount &&
+        next.except(edges).limit(1).count() == 0L
+      edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents hit maxIter=$maxIter before converging — " +
           "components may be split finer than the true transitive closure; " +
-          "raise maxIter for chain-shaped clusters")
-    labels
+          "raise maxIter (rounds are logarithmic, so this indicates a " +
+          "pathological graph or maxIter set very low)")
+    // converged stars: every non-min node points at its component min (min
+    // over dsts is belt-and-braces for the maxIter-partial case); minima
+    // and isolated/self-paired nodes label themselves
+    val nonMin = edges.groupBy(col("src").as("id")).agg(min("dst").as("__comp"))
+    allNodes.join(nonMin, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
   }
 
   /** Cluster-aware dedup: keep exactly one row (the minimum id) per

@@ -20,13 +20,18 @@ object Explode {
 
   /** Infer the JSON schema of a (normalized) string column — the key-union
     * semantics of the reference. `samplingRatio < 1.0` bounds the inference
-    * pass at 100 TB; the transform still applies to every row. */
+    * pass at 100 TB; the transform still applies to every row.
+    *
+    * The sample is taken BEFORE the (expensive) normalization expression in
+    * `jsonCol` is projected, so a 10% sample evaluates the py-literal parse
+    * on 10% of rows — sampling after the projection would pay the full
+    * parse cost and only discount the cheap JSON tokenization. */
   def inferJsonSchema(df: DataFrame, jsonCol: Column, samplingRatio: Double = 1.0): DataType = {
     val spark = df.sparkSession
     import spark.implicits._
-    val strings = df.select(jsonCol.cast(StringType)).na.drop().as[String]
-    val sampled = if (samplingRatio < 1.0) strings.sample(samplingRatio) else strings
-    spark.read.option("primitivesAsString", "false").json(sampled).schema match {
+    val base = if (samplingRatio < 1.0) df.sample(samplingRatio) else df
+    val strings = base.select(jsonCol.cast(StringType)).na.drop().as[String]
+    spark.read.option("primitivesAsString", "false").json(strings).schema match {
       case s if s.isEmpty => StructType(Nil)
       case s              => s
     }
@@ -160,19 +165,21 @@ object Explode {
     require(prefixed.nonEmpty, s"no columns with prefix '$columnPrefix.'")
     val entryStruct = struct(prefixed.toIndexedSeq.map(c =>
       col(quoted(c)).as(c.stripPrefix(columnPrefix + "."))): _*)
-    // pythonStr: each entry becomes `str(row.to_dict())` BEFORE collection,
-    // exactly like the reference (pandas_utils.py:441) — the compressed
-    // column is then a list of single-quoted Python dict strings, not
-    // structs. (Sorting then orders those strings, which matches sorting
-    // by the struct's leading fields for fixed-width renderings; pass the
-    // ordering key first regardless.)
-    val entry =
-      if (pythonStr) graft.functions.PyStr.pyRepr(entryStruct) else entryStruct
+    // pythonStr: each entry becomes `str(row.to_dict())` like the reference
+    // (pandas_utils.py:441) — the compressed column is then a list of
+    // single-quoted Python dict strings, not structs. The sort happens on
+    // the STRUCTS before rendering, so list order follows the struct's
+    // field ordering regardless of rendered-string width (lexicographic
+    // string order would put id 10 before 9); the rendering is a per-
+    // element transform over the already-collected list.
     val others = df.columns.filterNot(c => prefixed.contains(c) || pk.contains(c))
     val rawList = collect_list(col("__gs_entry"))
-    val listAgg = (if (sorted) sort_array(rawList) else rawList).as(columnPrefix)
+    val orderedList = if (sorted) sort_array(rawList) else rawList
+    val listAgg = (if (pythonStr)
+        transform(orderedList, x => graft.functions.PyStr.pyRepr(x))
+      else orderedList).as(columnPrefix)
     val aggs = listAgg +: others.toIndexedSeq.map(c => first(col(quoted(c)), ignoreNulls = false).as(c))
-    df.withColumn("__gs_entry", entry)
+    df.withColumn("__gs_entry", entryStruct)
       .groupBy(pk.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((pk ++ others :+ columnPrefix).map(c => col(quoted(c))).toIndexedSeq: _*)

@@ -118,42 +118,43 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF index: deterministic centroid seeding (hash-sample ~numCentroids
-    * vectors — a distributed filter plus a bounded top-K by id, no global
-    * sort) + one Lloyd refinement step, then corpus assignment.
-    * Returns (centroid_id, centroid) and the assigned corpus.
+  /** IVF index: deterministic centroid seeding + one Lloyd refinement
+    * step, then corpus assignment. Returns (centroid_id, centroid) and the
+    * assigned corpus.
     *
-    * Seeding is FULLY deterministic: rows where `seedHash(id) % stride = 0`,
-    * the `numCentroids` smallest ids among them (orderBy+limit plans as
-    * TakeOrderedAndProject — K rows on the driver, never a full sort), with
-    * centroid_id = rank by id. `seedHash` defaults to xxhash64; pass
-    * Dedup.md5Hash60 when an external oracle must reproduce the index. */
+    * Seeding is FULLY deterministic and needs NO corpus count: the
+    * `numCentroids` rows with the smallest `(seedHash(id), id)` — a
+    * hash-order top-K is a uniform pseudo-random sample, and orderBy+limit
+    * plans as TakeOrderedAndProject (K rows on the driver, never a global
+    * sort). centroid_id = rank by id among the selected seeds. `seedHash`
+    * defaults to xxhash64; pass Dedup.md5Hash60 when an external oracle
+    * must reproduce the index.
+    *
+    * The corpus is touched by exactly 3 jobs: (1) the seed top-K scan,
+    * (2) the refinement aggregate (seed-assignment is a shuffle-free
+    * projection fused into the same scan), (3) the caller materializing
+    * the returned final assignment. The vector dimension comes from the
+    * collected seed vectors — no probe job — and the previous separate
+    * count() pass is gone (PlanSpec asserts the job count). */
   def ivfIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       numCentroids: Int,
       seedHash: Column => Column = xxhash64(_)): (DataFrame, DataFrame) = {
-    val n = math.max(1L, corpus.count())
-    val stride = math.max(1L, n / numCentroids)
-    // ONE collect materializes the seeds driver-side (TakeOrderedAndProject
-    // returns them already id-sorted) — assignment needs them as literals
-    // anyway, so a separate emptiness probe or a seeds-frame re-collection
-    // would each cost an extra corpus-scanning job
-    val hashPicked = corpus
-      .filter(pmod(seedHash(col(idCol)), lit(stride)) === 0)
-      .orderBy(col(idCol))
+    // top-K by hash order picks the sample (TakeOrderedAndProject — one
+    // job, no global sort); the K survivors re-rank by id DRIVER-side so
+    // centroid ids are stable without a second Spark sort job
+    val picked = corpus
+      .orderBy(seedHash(col(idCol)).asc, col(idCol).asc)
       .limit(numCentroids)
-      .select(col(vecCol)).collect()
-    // a small corpus can have NO ids hitting 0 mod stride — fall back to
-    // the first numCentroids rows by id (still deterministic)
-    val seedRows =
-      if (hashPicked.isEmpty)
-        corpus.orderBy(col(idCol)).limit(numCentroids).select(col(vecCol)).collect()
-      else hashPicked
+      .select(col(idCol), col(vecCol)).collect()
+    require(picked.nonEmpty, "ivfIndex requires a non-empty corpus")
+    val seedRows = picked.sortWith((a, b) =>
+      a.get(0).asInstanceOf[Comparable[Any]].compareTo(b.get(0)) < 0)
     val seedCens: Seq[(Long, Seq[Float], Double)] = seedRows.toSeq.zipWithIndex.map {
       case (r, i) =>
-        val vec = r.getSeq[Float](0)
+        val vec = r.getSeq[Float](1)
         // identical to vector_norm: forward double accumulation of float²
         var acc = 0.0
         vec.foreach(f => acc += f.toDouble * f.toDouble)
@@ -161,7 +162,7 @@ object Similarity {
     }
     // one refinement: assign to nearest seed, recompute means element-wise
     val assigned0 = assignSeq(corpus, seedCens, vecCol)
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dim = seedCens.head._2.length
     // Centroids are driver-small by construction (numCentroids rows):
     // collect them ONCE and rebuild as a LocalRelation, so assign() and
     // callers like ivfTopK that collect them again hit a LocalTableScan —

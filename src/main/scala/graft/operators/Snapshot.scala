@@ -30,30 +30,47 @@ class SnapshotStore(spark: SparkSession, dir: String) {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def path(name: String): Path = new Path(dir, s"$name.snapshot.parquet")
-  private def lockPath(name: String): Path =
-    new Path(dir, s"$name.snapshot.parquet.hg.partial_written.lock")
+  def csvPath(name: String): Path = new Path(dir, s"$name.snapshot.csv")
+  private def lockPath(p: Path): Path =
+    new Path(p.getParent, s"${p.getName}.hg.partial_written.lock")
 
-  def exists(name: String): Boolean = fs.exists(path(name))
+  def exists(name: String): Boolean =
+    fs.exists(path(name)) || fs.exists(csvPath(name))
 
+  /** Parquet wins when both formats exist (mirrors GsReader.readSnapshot's
+    * probe order and the reference's etl_utils.py:152-178). */
   def read(name: String): Option[DataFrame] = {
-    // Recover from a torn write: if only the lock survives, restore it.
-    if (!fs.exists(path(name)) && fs.exists(lockPath(name)))
-      fs.rename(lockPath(name), path(name))
-    if (fs.exists(path(name))) Some(spark.read.parquet(path(name).toString))
+    def recover(p: Path): Boolean = {
+      // Recover from a torn write: if only the lock survives, restore it.
+      if (!fs.exists(p) && fs.exists(lockPath(p))) fs.rename(lockPath(p), p)
+      fs.exists(p)
+    }
+    if (recover(path(name))) Some(spark.read.parquet(path(name).toString))
+    else if (recover(csvPath(name)))
+      Some(spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(csvPath(name).toString))
     else None
   }
 
   /** Atomic replace: write tmp → rename current to lock → rename tmp to
-    * current → drop lock. Readers never observe a partial dataset. */
-  def write(name: String, df: DataFrame, partitions: Option[Int] = None): Unit = {
+    * current → drop lock. Readers never observe a partial dataset.
+    * `useCsv` writes a `.snapshot.csv` dataset instead (reference
+    * `use_csv=True`, etl_utils.py:186-189) — same commit protocol; note
+    * CSV round-trips types through header+inference, like the reference's
+    * pandas read_csv. */
+  def write(name: String, df: DataFrame, partitions: Option[Int] = None,
+      useCsv: Boolean = false): Unit = {
     fs.mkdirs(new Path(dir))
     val tmp = new Path(dir, s".${name}.snapshot.tmp-${java.util.UUID.randomUUID()}")
     val target = partitions.map(df.repartition(_)).getOrElse(df)
-    target.write.mode("overwrite")
-      .option("compression", "zstd") // reference uses zstd for all parquet
-      .parquet(tmp.toString)
-    val cur = path(name)
-    val lock = lockPath(name)
+    if (useCsv)
+      target.write.mode("overwrite").option("header", "true").csv(tmp.toString)
+    else
+      target.write.mode("overwrite")
+        .option("compression", "zstd") // reference uses zstd for all parquet
+        .parquet(tmp.toString)
+    val cur = if (useCsv) csvPath(name) else path(name)
+    val lock = lockPath(cur)
     if (fs.exists(lock)) fs.delete(lock, true)
     if (fs.exists(cur)) fs.rename(cur, lock)
     fs.rename(tmp, cur)
@@ -166,7 +183,8 @@ object Snapshot {
       pk: Seq[String],
       justNew: Boolean = false,
       overwrite: Boolean = false,
-      coerceStrict: Boolean = false): DataFrame = {
+      coerceStrict: Boolean = false,
+      useCsv: Boolean = false): DataFrame = {
     val merged =
       if (overwrite) dedupKeepLast(incoming, pk)
       else upsert(store.read(name), incoming, pk, coerceStrict)
@@ -175,7 +193,7 @@ object Snapshot {
     // RETURNED frame re-reads the freshly committed snapshot: durable, no
     // recompute-after-replace hazard, and nothing stays pinned in storage
     // (the previous cache() here was never unpersisted and leaked).
-    store.write(name, merged)
+    store.write(name, merged, useCsv = useCsv)
     if (justNew) incoming else store.read(name).getOrElse(merged)
   }
 
@@ -220,12 +238,15 @@ object Snapshot {
       case _            => fresh
     }
     // Materialize the delta BEFORE the hash snapshot is replaced:
-    // localCheckpoint truncates lineage, so an evicted block can spill but
-    // never silently recompute against the refreshed snapshot (which would
-    // make every row look redundant). Unlike the previous cache() — which
-    // pinned storage for the session — checkpoint blocks are reclaimed by
-    // the ContextCleaner once the caller drops the frame. The delta is
-    // changed-rows-only, so the footprint is batch-sized, not corpus-sized.
+    // localCheckpoint truncates lineage, so the delta can never silently
+    // recompute against the refreshed snapshot (which would make every row
+    // look redundant). Blocks are MEMORY_AND_DISK, so memory pressure
+    // spills rather than evicts — but checkpointed blocks have no recovery
+    // path: losing an executor (crash, dynamic-allocation decommission)
+    // fails the job outright. Fail-loud, never silently wrong. Unlike the
+    // previous cache() — which pinned storage for the session — checkpoint
+    // blocks are reclaimed by the ContextCleaner once the caller drops the
+    // frame. The delta is changed-rows-only: batch-sized, not corpus-sized.
     val out = flagged.localCheckpoint(true)
     // refresh hash snapshot with this batch's hashes (upsert by pk);
     // write() stages to tmp, so `prior`'s files stay intact during the job

@@ -132,4 +132,31 @@ class ExplodeGoldenSpec extends SparkSpec {
     assert(l2.columns.toSet === Set("k", "v.Id", "v.Meta.x", "v.Meta.y"))
     assert(l2.select("`v.Meta.x`").first().getString(0) === "X")
   }
+
+  test("pyRepr escapes non-printable unicode like CPython repr") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // CPython str.isprintable: soft hyphen U+00AD (Cf) and zero-width
+    // space U+200B (Cf) escape as \\xad / \\u200b, line separator U+2028
+    // (Zl) as \\u2028; printable non-ASCII (incl. astral So like U+1F600)
+    // stays verbatim
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq(("a\u00ADb", "z\u200Bw", "p\u2028q", "ok " + emoji))
+      .toDF("a", "b", "c", "d")
+    val out = df.select(graft.functions.PyStr.pyRepr(
+      struct(col("a"), col("b"), col("c"), col("d")))).first().getString(0)
+    assert(out ===
+      s"{'a': 'a\\xadb', 'b': 'z\\u200bw', 'c': 'p\\u2028q', 'd': 'ok $emoji'}")
+  }
+
+  test("pythonStr+sorted orders by struct fields, not rendered strings") {
+    import spark.implicits._
+    // lexicographic string sort would put n=10 before n=2 ('1' < '2');
+    // struct-field sort must yield 2, 9, 10
+    val df = Seq((1L, 9L), (1L, 10L), (1L, 2L)).toDF("id", "line.n")
+    val out = Explode.compressRowsToCol(df, "line", Seq("id"),
+        sorted = true, pythonStr = true)
+      .select("line").first().getSeq[String](0)
+    assert(out === Seq("{'n': 2}", "{'n': 9}", "{'n': 10}"))
+  }
 }

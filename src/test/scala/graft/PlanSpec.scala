@@ -27,6 +27,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"assignment plans a join:\n$plan")
   }
 
+  test("ivfIndex builds + materializes the assignment in at most 3 jobs") {
+    // the scale contract: seed top-K scan, refinement aggregate, and the
+    // caller's final-assignment materialization — no separate count() or
+    // dimension-probe jobs walking the corpus
+    // AQE splits one query into per-stage jobs, which would double-count
+    // single-pass queries — disable it so jobs == logical corpus passes
+    val sc = spark.sparkContext
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // construct the reader outside the group: spark.read.parquet runs a
+    // one-off schema-inference job that is not an ivfIndex corpus pass
+    val corpus = vecs
+    sc.setJobGroup("ivf-jobcount", "ivfIndex job budget")
+    try {
+      val (_, assigned) = Similarity.ivfIndex(corpus, "vec_id", "embedding", 8)
+      assigned.count()
+    } finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    val jobIds = sc.statusTracker.getJobIdsForGroup("ivf-jobcount")
+    val detail = jobIds.sorted.map { id =>
+      val st = sc.statusTracker.getJobInfo(id).map(_.stageIds.toSeq).getOrElse(Nil)
+      val names = st.flatMap(s => sc.statusTracker.getStageInfo(s).map(_.name()))
+      s"job $id: ${names.mkString(" | ")}"
+    }.mkString("\n")
+    assert(jobIds.length <= 3, s"ivfIndex ran ${jobIds.length} jobs, expected ≤ 3\n$detail")
+  }
+
   test("parquet scan prunes columns and pushes filters (documents projection)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)

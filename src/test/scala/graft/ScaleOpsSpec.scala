@@ -254,6 +254,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents converges logarithmically on a 100-node chain") {
+    // worst case for min-label propagation (O(diameter) = 100 rounds);
+    // large-star/small-star must collapse it within 7 rounds — maxIter=7
+    // would return a SPLIT labeling if convergence were any slower
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 100)
+    assert(comp.values.forall(_ === 0L),
+      s"chain did not fully collapse in ≤7 rounds: ${comp.filter(_._2 != 0L)}")
+  }
+
+  test("connectedComponents handles self-pairs and shuffled edge directions") {
+    val pairs = Seq((5L, 5L), (9L, 2L), (2L, 7L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(5L -> 5L, 2L -> 2L, 7L -> 2L, 9L -> 2L))
+  }
+
   test("dedupByComponents keeps one representative per cluster plus singletons") {
     val rows = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
