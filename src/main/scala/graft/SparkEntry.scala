@@ -514,6 +514,37 @@ object SparkEntry {
           col("decoded_meta.width").as("width"), col("decoded_meta.height").as("height"),
           size(col("features")).as("feat_dim"))
         .orderBy("media_id")
+    }),
+    // ── singer reference-default nulls (oracle: DuckDB rebuilds the same
+    //    RECORD lines — concat_ws skips null fragments exactly like the
+    //    isNotNull-gated fragment build; nested nulls survive via
+    //    to_json(struct_pack)) ──────────────────────────────────────────
+    "q49_singer_nested_nulls" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val base = c.select(
+        col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, col("c_name")).as("name"),
+        when(col("c_custkey") % 5 =!= 0,
+          struct(col("c_nationkey").as("nk"),
+            when(col("c_custkey") % 2 === 0, col("c_mktsegment")).as("seg"))).as("obj"))
+      base.select(col("c_custkey"),
+          graft.singer.SingerWriter.recordLine(base, "t",
+            nullMode = Some(graft.singer.SingerWriter.NullMode.DropTopLevel)).as("line"))
+        .orderBy("c_custkey")
+    }),
+    // ── bucketed store point lookup: readForKeys scans only the probed
+    //    keys' buckets (oracle: plain semi-join over the primed snapshot) ─
+    "q50_bucketed_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val store = new BucketedSnapshotStore(s,
+        java.nio.file.Files.createTempDirectory("gs_bpl_").toString, numBuckets = 32)
+      val snap = T(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      store.write("orders", snap, Seq("o_orderkey"))
+      val keys = (1L to 2000L).toDF("o_orderkey")
+      store.readForKeys("orders", keys, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
     }))
 
   /** Bench-protocol variants (graft.Bench uses these; CORRECTNESS still
@@ -572,6 +603,18 @@ object SparkEntry {
           store.upsert("orders", incoming, Seq("o_orderkey"))
           store.read("orders").get.orderBy("o_orderkey")
         }
+      }),
+      "q50_bucketed_point_lookup" -> ((s, dir) => {
+        import s.implicits._
+        val store = new BucketedSnapshotStore(s,
+          java.nio.file.Files.createTempDirectory("gs_bpl_").toString, numBuckets = 32)
+        val snap = T(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        store.write("orders", snap, Seq("o_orderkey"))
+        val keys = (1L to 2000L).toDF("o_orderkey")
+        () => store.readForKeys("orders", keys, Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
       }))
     queries.map { case (n, fn) =>
       n -> overrides.getOrElse(n, (s: SparkSession, d: String) => () => fn(s, d))
@@ -1005,7 +1048,22 @@ object SparkEntry {
          |h AS (SELECT doc_id, list_transform(grams, x -> ${h60Sql("x")}::BIGINT) AS hs FROM g)
          |SELECT doc_id, len(list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
          |  j -> list_min(hs[j:j+3])))) AS n_fingerprints
-         |FROM h ORDER BY doc_id""".stripMargin)
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q49_singer_nested_nulls" ->
+      """SELECT c_custkey,
+        |  '{"type": "RECORD", "stream": "t", "record": {' ||
+        |  concat_ws(',',
+        |    '"c_custkey":' || to_json(c_custkey),
+        |    CASE WHEN c_custkey % 3 = 0 THEN '"name":' || to_json(c_name) END,
+        |    CASE WHEN c_custkey % 5 <> 0 THEN '"obj":' || to_json(struct_pack(
+        |      nk := c_nationkey,
+        |      seg := CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END)) END
+        |  ) || '}}' AS line
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q50_bucketed_point_lookup" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <> 0 AND o_orderkey BETWEEN 1 AND 2000
+        |ORDER BY o_orderkey""".stripMargin)
 
   // ── oracle-SQL generation helpers ──────────────────────────────────────
   // The rows-only queries become oracle-checked by REPLAYING the algorithm

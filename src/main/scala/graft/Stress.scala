@@ -58,6 +58,23 @@ object Stress {
     }
     docs.unpersist()
 
+    // connected components on adversarial shapes: long chains maximize
+    // round count (the old min-label needed O(diameter) rounds; large-star/
+    // small-star must stay logarithmic), the union with cliques checks the
+    // mixed regime near-dup graphs actually produce
+    time(s"connectedComponents chain(${factor * 10000}) + 1000 cliques(10)") {
+      val n = factor * 10000L
+      val chain = spark.range(n - 1).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val cliques = spark.range(1000).toDF("c").crossJoin(
+        spark.range(10).toDF("i").crossJoin(spark.range(10).toDF("j"))
+          .filter(col("i") < col("j")))
+        .select((lit(n) + col("c") * 10 + col("i")).as("id_a"),
+          (lit(n) + col("c") * 10 + col("j")).as("id_b"))
+      val comp = Dedup.connectedComponents(chain.unionByName(cliques))
+      println("[stress]   components=" +
+        comp.select("component").distinct().count() + " (expect 1001)")
+    }
+
     val orders0 = spark.read.parquet(s"$sfDir/orders.parquet")
     val orders = replicate(orders0, "o_orderkey", 100000000L)
     println(s"[stress] orders: ${orders.count()} rows")

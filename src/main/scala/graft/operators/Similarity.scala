@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.VectorOps.{vector_dot, vector_norm}
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.VectorOps.{nearest_centroid, vector_dot, vector_norm}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -160,22 +160,35 @@ object Similarity {
         vec.foreach(f => acc += f.toDouble * f.toDouble)
         (i.toLong, vec, math.sqrt(acc))
     }
-    // one refinement: assign to nearest seed, recompute means element-wise
+    // one refinement: assign to nearest seed, recompute means element-wise.
+    // The mean is computed per (centroid, dimension) via posexplode + one
+    // grouped avg — NOT as `dim` separate avg(element_at(...)) aggregate
+    // functions: those fuse with the unrolled argmax projection into one
+    // enormous whole-stage-codegen method that blows the JIT method limit
+    // and runs interpreted (~10× slower, measured 9.3 s → 0.8 s on a 40k ×
+    // 64-dim corpus). The exploded rows combine map-side to
+    // numCentroids × dim groups, so the shuffle stays tiny at any corpus
+    // size and the refinement remains ONE corpus pass.
     val assigned0 = assignSeq(corpus, seedCens, vecCol)
-    val dim = seedCens.head._2.length
-    // Centroids are driver-small by construction (numCentroids rows):
-    // collect them ONCE and rebuild as a LocalRelation, so assign() and
-    // callers like ivfTopK that collect them again hit a LocalTableScan —
-    // no cached blocks pinned for the session (the previous .cache() here
-    // leaked storage in long-lived multi-operator sessions), and the
-    // seed→assign→groupBy chain runs exactly one job.
-    val refinedDist = assigned0.groupBy("centroid_id")
-      .agg(array((0 until dim).map(i =>
-        avg(element_at(col(vecCol), i + 1).cast(DoubleType)).cast(FloatType)): _*)
-        .as("centroid"))
+    val perDim = assigned0
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+      .groupBy("centroid_id", "__pos")
+      .agg(avg(col("__val").cast(DoubleType)).as("__avg"))
+      .collect()
+    // Centroids are driver-small by construction (numCentroids × dim
+    // cells): rebuild them as a LocalRelation so assign() and callers like
+    // ivfTopK that collect them again hit a LocalTableScan — nothing stays
+    // pinned in executor storage.
     val spark = corpus.sparkSession
-    val refined = spark.createDataFrame(
-      java.util.Arrays.asList(refinedDist.collect(): _*), refinedDist.schema)
+    val centroidRows: java.util.List[Row] = java.util.Arrays.asList(
+      perDim.groupBy(_.getLong(0)).toSeq.map { case (cid, cells) =>
+        val vec = cells.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        Row(cid, vec)
+      }: _*)
+    val refinedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id", LongType),
+      org.apache.spark.sql.types.StructField("centroid", ArrayType(FloatType))))
+    val refined = spark.createDataFrame(centroidRows, refinedSchema)
     (refined, assign(corpus, refined, idCol, vecCol))
   }
 
@@ -197,65 +210,47 @@ object Similarity {
     }: _*)
 
   /** Nearest-centroid assignment with NO shuffle: the centroid set is
-    * driver-small by construction (numCentroids rows), so it ships as plan
-    * literals and the argmax-cosine happens per row — no Exchange between
-    * the corpus scan and the assignment. (The previous formulation
+    * driver-small by construction (numCentroids rows), so it ships inside
+    * the plan and the argmax-cosine happens per row — no Exchange between
+    * the corpus scan and the assignment. (The round-1 formulation
     * crossJoined corpus × centroids and took row_number() over a per-id
     * window, shuffling the corpus replicated ×numCentroids — fatal at
     * 100 TB.)
     *
-    * For moderate centroid counts the argmax UNROLLS into one codegen'd
-    * projection — k native vector_dot score columns (CSE'd), `greatest`,
-    * and a first-match pick (ties → lowest centroid_id, matching the fold).
-    * Beyond the unroll threshold it falls back to an `aggregate` fold over
-    * a literal array, whose lambda is evaluated interpreted — correct at
-    * any k but ~40% slower per row. */
-  private val UnrollCentroids = 128
-
+    * The argmax itself is the fused [[graft.functions.NearestCentroid]]
+    * expression over a flat pre-scaled matrix — constant generated-code
+    * size at ANY k. The round-2/3 k-unrolled score array was abandoned
+    * after the collapsed projection crossed HotSpot's huge-method limit
+    * when composed with downstream operators (join + norm), silently
+    * deoptimizing whole stages to the bytecode interpreter at ~10× cost —
+    * see NearestCentroid's scaladoc for the mechanism. */
   private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
     assignSeq(corpus, collectCentroids(centroids), vecCol)
 
   private def assignSeq(corpus: DataFrame, cens: Seq[(Long, Seq[Float], Double)],
       vecCol: String): DataFrame = {
-    val withVn = corpus.withColumn("__vn", vector_norm(col(vecCol)))
-    // Zero-norm vectors make the cosine NaN (poisoning array_max / never
-    // beating the fold accumulator) and NULL embeddings make it null
-    // (null centroid_id, which NPEs the refinement's collect). Clamp both
-    // to −Infinity: such rows assign deterministically to the first
-    // centroid instead of disappearing, in BOTH argmax paths.
-    def safeScore(s: Column): Column =
-      coalesce(nanvl(s, lit(Double.NegativeInfinity)), lit(Double.NegativeInfinity))
-    val assigned =
-      if (cens.size == 1) withVn.withColumn("centroid_id", lit(cens.head._1))
-      else if (cens.size <= UnrollCentroids) {
-        // materialize the k scores as ONE array column first — every dot
-        // evaluates exactly once per row; a when-chain over shared
-        // subexpressions re-evaluates them per branch if codegen bails out
-        val scores = cens.map { case (_, vec, nrm) =>
-          safeScore(vector_dot(col(vecCol), typedLit(vec)) / (col("__vn") * lit(nrm)))
-        }
-        val cidArr = array(cens.map(c => lit(c._1)): _*)
-        withVn.withColumn("__scores", array(scores: _*))
-          // array_position returns the FIRST max's index → lowest
-          // centroid_id wins ties, matching the fold's strict >
-          .withColumn("centroid_id", element_at(cidArr,
-            array_position(col("__scores"), array_max(col("__scores"))).cast("int")))
-          .drop("__scores")
-      } else {
-        // seed the fold with the FIRST centroid's (cid, score) so an
-        // all-−Inf row still gets a real assignment (never cid −1)
-        val headScore = safeScore(
-          vector_dot(col(vecCol), typedLit(cens.head._2)) / (col("__vn") * lit(cens.head._3)))
-        val init = struct(lit(cens.head._1).as("cid"), headScore.as("score"))
-        withVn.withColumn("__best", aggregate(centroidArrayLit(cens.tail), init, (acc, c) => {
-          val score = safeScore(vector_dot(col(vecCol), c.getField("cvec")) /
-            (col("__vn") * c.getField("cnorm")))
-          // strict > : at equal score the earlier (lower-id) centroid wins
-          when(score > acc.getField("score"),
-            struct(c.getField("cid").as("cid"), score.as("score"))).otherwise(acc)
-        })).withColumn("centroid_id", col("__best.cid")).drop("__best")
+    // Nearest-by-cosine via the fused NearestCentroid expression: the
+    // centroid matrix is pre-scaled by 1/‖c‖ driver-side (argmax is
+    // invariant to the per-row 1/‖v‖ factor, so the row norm is never
+    // computed), ties take the lowest index, NaN scores never win, and a
+    // NULL embedding coalesces to the first centroid — so no row ever
+    // disappears from the refinement's collect. A degenerate zero-norm
+    // centroid contributes a zero row (score 0) instead of ±Inf noise.
+    val dim = cens.head._2.length
+    val matrix = new Array[Double](cens.size * dim)
+    cens.zipWithIndex.foreach { case ((_, vec, nrm), c) =>
+      val inv = if (nrm > 0.0 && !nrm.isNaN) 1.0 / nrm else 0.0
+      var i = 0
+      while (i < dim && i < vec.length) {
+        matrix(c * dim + i) = vec(i).toDouble * inv
+        i += 1
       }
-    assigned.drop("__vn")
+    }
+    // index → centroid_id via a small literal lookup (single reference)
+    val cidArr = array(cens.map(c => lit(c._1)): _*)
+    corpus.withColumn("centroid_id",
+      element_at(cidArr,
+        coalesce(nearest_centroid(col(vecCol), matrix, cens.size, dim), lit(0)) + 1))
   }
 
   /** IVF ANN: probe the `nProbe` nearest centroids per query, exact rerank
