@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All MinHash signature lanes in ONE pass over the shingle array,
+  * bit-identical to `array(array_min(transform(sh, s => xxhash64(s, i))))`
+  * for i in 0 until numHashes.
+  *
+  * Spark's `xxhash64(s, lit(i))` folds its children left-to-right from the
+  * seed 42: `hashInt(i, hashUnsafeBytes(s, 42))` (`lit(i)` is an INT —
+  * empirically verified against the SQL function). Exploiting that, each
+  * shingle's string hash is computed ONCE and every lane derives from it
+  * with a single cheap `hashInt` — versus the HOF formulation, which
+  * builds numHashes intermediate arrays per row and evaluates the lambda
+  * INTERPRETED per (shingle × lane): ~26M boxed evaluations at
+  * sf0.1 × 32 lanes, the dominant cost of the whole minhash family
+  * (q25/q41/q46). Here it is numShingles string hashes + cheap mixes in
+  * compiled Scala.
+  *
+  * CodegenFallback is deliberate: the per-ROW eval call does the entire
+  * fused loop, so the one boxed call per document is noise, and the
+  * expression can never contribute to a huge-method codegen blowup.
+  *
+  * Null handling: a null shingle ARRAY yields a null signature (the HOF
+  * form yields an array of nulls — callers guarantee non-null arrays via
+  * `shinglesOf`, which always emits ≥ 1 element). Null ELEMENTS inside
+  * the array cannot be produced by `shinglesOf` and are skipped here. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var l = 0
+        while (l < numHashes) {
+          val h = XXH64.hashInt(l, base)
+          if (h < mins(l)) mins(l) = h
+          l += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.graft.bridge
+
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    bridge.column(MinHashSignature(bridge.expression(shingles), numHashes))
+}

@@ -138,9 +138,11 @@ object Dedup {
   private[graft] def bandsFromShingleArray(
       shArr: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val lanes = (0 until numHashes).map(i =>
-      array_min(transform(col("__sharr"), s => xxhash64(s, lit(i)))))
-    val sig = shArr.select(col(idCol), array(lanes: _*).as("__sig"))
+    // fused one-pass signature (bit-identical to the per-lane
+    // array_min(transform(...)) HOF form, ~10× cheaper — see
+    // MinHashSignature's scaladoc)
+    val sig = shArr.select(col(idCol),
+      graft.functions.MinHashSig.minhash_signature(col("__sharr"), numHashes).as("__sig"))
     bandKeys(sig, idCol, bands, rowsPerBand)
   }
 

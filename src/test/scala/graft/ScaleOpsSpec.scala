@@ -172,6 +172,19 @@ class ScaleOpsSpec extends SparkSpec {
       .count() === 4)
   }
 
+  test("fused minhash signature is bit-identical to the per-lane HOF form") {
+    val sh = docsDf.select(col("doc_id"),
+      Dedup.shinglesOf(Dedup.tokensCol(col("text")), 3).as("__sharr"))
+    val lanes = (0 until 32).map(i =>
+      array_min(transform(col("__sharr"), s => xxhash64(s, lit(i)))))
+    val hof = sh.select(col("doc_id"), array(lanes: _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = sh.select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_signature(col("__sharr"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused === hof)
+  }
+
   test("hot-bucket cap bounds candidate pairs on a planted boilerplate cluster") {
     // 2000 docs sharing an identical 10-token prefix with one varying token:
     // every band bucket of the prefix-dominated signature is degenerate
