@@ -58,19 +58,15 @@ object Dedup {
       .drop("__gs_h")
   }
 
-  /** Word-level shingles over an ALREADY-SPLIT token array column.
-    *
-    * Callers must materialize the token array in its own projection
-    * (`withColumn`) first: if the split expression were passed in directly,
-    * Catalyst would inline it into every `element_at` inside the lambda
-    * (lambda bodies defeat common-subexpression elimination), turning the
-    * shingle build into O(tokens²) regex splits per document. */
+  /** Word-level shingles over an ALREADY-SPLIT token array column —
+    * distinct, first-occurrence order. One fused pass via the native
+    * [[graft.functions.WordShingles]] expression; the previous HOF
+    * formulation (`transform` over positions, n `element_at`s +
+    * `concat_ws` per shingle, interpreted per element) is preserved
+    * output-identical — spec-asserted — but was the second-largest
+    * interpreted cost in the minhash family after the signature lanes. */
   def shinglesOf(tokens: Column, n: Int): Column =
-    array_distinct(
-      when(size(tokens) >= n,
-        transform(sequence(lit(0), size(tokens) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
-      .otherwise(array(concat_ws(" ", tokens))))
+    graft.functions.Shingles.word_shingles(tokens, n, distinct = true)
 
   def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
 
@@ -88,10 +84,7 @@ object Dedup {
   /** Positional (non-distinct) shingles — winnowing needs every k-gram
     * occurrence in document order; `shinglesOf` dedups for set-similarity. */
   def shinglesOfAll(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
-    .otherwise(array(concat_ws(" ", tokens)))
+    graft.functions.Shingles.word_shingles(tokens, n, distinct = false)
 
   /** (doc_id, shingle) rows — one row per distinct shingle per doc. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -172,6 +172,36 @@ class ScaleOpsSpec extends SparkSpec {
       .count() === 4)
   }
 
+  test("fused word shingles are output-identical to the HOF form") {
+    def hofShingles(tokens: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(
+        when(size(tokens) >= n,
+          transform(sequence(lit(0), size(tokens) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", tokens))))
+    // real docs + edge cases: short doc (< n tokens), repeated shingles,
+    // null text (null token array → [""])
+    val edge = Seq((9001L, "one two"), (9002L, "a b a b a b"),
+        (9003L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val all = docsDf.select("doc_id", "text").unionByName(edge)
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("__toks"))
+    val hof = all.select(col("doc_id"), hofShingles(col("__toks"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fused = all.select(col("doc_id"), Dedup.shinglesOf(col("__toks"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fused === hof)
+    // positional variant keeps duplicates in document order
+    val posHof = all.select(col("doc_id"),
+        when(size(col("__toks")) >= 3,
+          transform(sequence(lit(0), size(col("__toks")) - 3),
+            i => concat_ws(" ", (0 until 3).map(j => element_at(col("__toks"), i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", col("__toks")))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val posFused = all.select(col("doc_id"), Dedup.shinglesOfAll(col("__toks"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(posFused === posHof)
+  }
+
   test("fused minhash signature is bit-identical to the per-lane HOF form") {
     val sh = docsDf.select(col("doc_id"),
       Dedup.shinglesOf(Dedup.tokensCol(col("text")), 3).as("__sharr"))
