@@ -219,7 +219,12 @@ class BucketedSnapshotStore(
   }
 
   /** Point lookup / key-subset read with bucket pruning: scans only the
-    * buckets the requested keys hash into (merge-on-read companion). */
+    * buckets the requested keys hash into (merge-on-read companion).
+    *
+    * The `keys` frame's pk columns must have the snapshot's EXACT column
+    * types: `hash()` is type-sensitive (hash(5L) != hash(5)), so an
+    * int-typed probe against a bigint-keyed snapshot would prune to the
+    * wrong buckets and silently miss rows. */
   def readForKeys(name: String, keys: DataFrame, pk: Seq[String]): DataFrame = {
     val root = path(name)
     val (_, m) = readManifest(root).getOrElse(
