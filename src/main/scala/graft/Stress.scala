@@ -70,7 +70,10 @@ object Stress {
           .filter(col("i") < col("j")))
         .select((lit(n) + col("c") * 10 + col("i")).as("id_a"),
           (lit(n) + col("c") * 10 + col("j")).as("id_b"))
-      val comp = Dedup.connectedComponents(chain.unionByName(cliques))
+      // rounds are logarithmic but a 10k·factor chain needs ~log2(n) of
+      // them — the default maxIter=20 is reached near factor 100, so give
+      // explicit headroom (maxIter caps cost, not correctness margin)
+      val comp = Dedup.connectedComponents(chain.unionByName(cliques), maxIter = 40)
       println("[stress]   components=" +
         comp.select("component").distinct().count() + " (expect 1001)")
     }

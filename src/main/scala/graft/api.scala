@@ -87,28 +87,38 @@ object api {
     def rowHashColumn(cols: Seq[String]): Column = Snapshot.rowHash(df, cols)
 
     // ── sinks ──────────────────────────────────────────────────────────
+    // reference-default nulls (drop top-level null scalars, keep nested)
+    // so the facade serializes identically to Exporter.toSinger
     def toSinger(stream: String, path: String, keyProperties: Seq[String] = Nil): Unit =
-      graft.singer.SingerWriter.write(df, stream, path, keyProperties)
+      graft.singer.SingerWriter.write(df, stream, path, keyProperties,
+        nullMode = Some(graft.singer.SingerWriter.NullMode.DropTopLevel))
 
     def toExport(stream: String, outputDir: String, format: String = "singer",
         keyProperties: Seq[String] = Nil): Unit =
       graft.export.Exporter.export(df, stream, outputDir, format, keyProperties)
 
     // ── scale operators ────────────────────────────────────────────────
-    def exactDedup(contentCols: Seq[String], orderCol: String): DataFrame =
-      Dedup.exactDedup(df, contentCols, orderCol)
+    /** `assumeUniqueOrder = true` (caller guarantees a row-unique order
+      * column, e.g. a doc id) skips the tie-collapse shuffle and keeps
+      * the key-only-shuffle plan — see Dedup.exactDedup. */
+    def exactDedup(contentCols: Seq[String], orderCol: String,
+        assumeUniqueOrder: Boolean = false): DataFrame =
+      Dedup.exactDedup(df, contentCols, orderCol, assumeUniqueOrder)
 
-    def nearDedup(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame =
-      Dedup.dedupPipeline(df, idCol, textCol, threshold = threshold)
+    def nearDedup(idCol: String, textCol: String, threshold: Double = 0.7,
+        assumeUniqueId: Boolean = false): DataFrame =
+      Dedup.dedupPipeline(df, idCol, textCol, threshold = threshold,
+        assumeUniqueId = assumeUniqueId)
 
     /** Cluster-aware near-dedup: one representative per connected
       * component of near-dup pairs (transitive closure), instead of
       * nearDedup's drop-the-larger-id approximation. */
-    def nearDedupClustered(idCol: String, textCol: String, threshold: Double = 0.7): DataFrame = {
+    def nearDedupClustered(idCol: String, textCol: String, threshold: Double = 0.7,
+        assumeUniqueId: Boolean = false): DataFrame = {
       // Not cached: minhashNearDupPairs materializes its pair result
       // eagerly (internally caching what it reuses), so the survivors are
       // walked twice total — cheaper than pinning a corpus-sized cache.
-      val exact = Dedup.exactDedup(df, Seq(textCol), idCol)
+      val exact = Dedup.exactDedup(df, Seq(textCol), idCol, assumeUniqueId)
       Dedup.dedupByComponents(exact, idCol,
         Dedup.minhashNearDupPairs(exact, idCol, textCol, threshold = threshold))
     }

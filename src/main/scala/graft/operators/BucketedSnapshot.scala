@@ -67,7 +67,12 @@ class BucketedSnapshotStore(
   protected def beforeCommitHook(): Unit = ()
   protected def afterCommitHook(): Unit = ()
 
-  def exists(name: String): Boolean = latestManifest(path(name)).isDefined
+  /** An EMPTY committed snapshot (zero buckets — e.g. `write` of an empty
+    * frame) reports false, keeping the `exists → read.get` pairing total:
+    * a zero-entry manifest has no data files to recover a schema from, so
+    * read() would return None. Upsert treats such a store as fresh. */
+  def exists(name: String): Boolean =
+    readManifest(path(name)).exists(_._2.nonEmpty)
 
   private def bucketOf(pk: Seq[String]) =
     pmod(hash(pk.map(col): _*), lit(numBuckets))
@@ -187,7 +192,7 @@ class BucketedSnapshotStore(
   def upsert(name: String, incoming: DataFrame, pk: Seq[String]): Long = {
     val root = path(name)
     val manifest = readManifest(root)
-    if (manifest.isEmpty) {
+    if (manifest.forall(_._2.isEmpty)) {
       write(name, Snapshot.dedupKeepLast(incoming, pk), pk)
       return numBuckets.toLong
     }

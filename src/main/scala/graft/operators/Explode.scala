@@ -171,13 +171,23 @@ object Explode {
     // the STRUCTS before rendering, so list order follows the struct's
     // field ordering regardless of rendered-string width (lexicographic
     // string order would put id 10 before 9); the rendering is a per-
-    // element transform over the already-collected list.
+    // element transform over the already-collected list. When the entry
+    // struct is NOT orderable (e.g. a map-typed prefixed column), the
+    // sort falls back to the rendered strings — analyzable for any type,
+    // at the cost of string-lexicographic ordering.
+    val structOrderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        df.select(entryStruct).schema.head.dataType)
     val others = df.columns.filterNot(c => prefixed.contains(c) || pk.contains(c))
     val rawList = collect_list(col("__gs_entry"))
-    val orderedList = if (sorted) sort_array(rawList) else rawList
-    val listAgg = (if (pythonStr)
-        transform(orderedList, x => graft.functions.PyStr.pyRepr(x))
-      else orderedList).as(columnPrefix)
+    val listAgg = (if (pythonStr && structOrderable && sorted)
+        transform(sort_array(rawList), x => graft.functions.PyStr.pyRepr(x))
+      else if (pythonStr) {
+        val rendered = transform(rawList, x => graft.functions.PyStr.pyRepr(x))
+        if (sorted) sort_array(rendered) else rendered
+      }
+      else if (sorted) sort_array(rawList)
+      else rawList).as(columnPrefix)
     val aggs = listAgg +: others.toIndexedSeq.map(c => first(col(quoted(c)), ignoreNulls = false).as(c))
     df.withColumn("__gs_entry", entryStruct)
       .groupBy(pk.map(col): _*)

@@ -75,6 +75,13 @@ class SnapshotStore(spark: SparkSession, dir: String) {
     if (fs.exists(cur)) fs.rename(cur, lock)
     fs.rename(tmp, cur)
     if (fs.exists(lock)) fs.delete(lock, true)
+    // a write is the NEW current state regardless of format: drop the
+    // other-format dataset, or read()'s parquet-first probe would keep
+    // resolving a stale parquet snapshot after a switch to useCsv (silent
+    // loss of every CSV-era upsert)
+    val other = if (useCsv) path(name) else csvPath(name)
+    if (fs.exists(other)) fs.delete(other, true)
+    if (fs.exists(lockPath(other))) fs.delete(lockPath(other), true)
   }
 }
 

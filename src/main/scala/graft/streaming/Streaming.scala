@@ -131,7 +131,11 @@ object Streaming {
       stream: DataFrame,
       streamName: String,
       path: String,
-      keyProperties: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
+      keyProperties: Seq[String] = Nil,
+      // reference-default nulls, matching Exporter.toSinger — a record
+      // must serialize identically whether it arrived by batch or stream
+      nullMode: graft.singer.SingerWriter.NullMode =
+        graft.singer.SingerWriter.NullMode.DropTopLevel): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -143,7 +147,8 @@ object Streaming {
             ).getOrElse(-1L)
           else -1L
         if (batchId != lastDone && !batch.isEmpty) {
-          graft.singer.SingerWriter.write(batch, streamName, path, keyProperties)
+          graft.singer.SingerWriter.write(batch, streamName, path, keyProperties,
+            nullMode = Some(nullMode))
           val tmp = java.nio.file.Paths.get(
             path + s".batchid.tmp-${java.util.UUID.randomUUID()}")
           java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))

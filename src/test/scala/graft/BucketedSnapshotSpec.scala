@@ -85,6 +85,18 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(good.read("t").get.count() === 501)
   }
 
+  test("empty write leaves a fresh-looking store (exists false, upsert seeds)") {
+    val store = new BucketedSnapshotStore(spark, tmpDir("bsnap_empty_"), numBuckets = 8)
+    store.write("t", Seq.empty[(Int, String)].toDF("id", "v"), Seq("id"))
+    // zero-bucket manifest: no data files to recover a schema from, so
+    // the store must not claim existence it cannot read back
+    assert(!store.exists("t"))
+    assert(store.read("t").isEmpty)
+    // and the next upsert seeds the store instead of merging with nothing
+    store.upsert("t", Seq((1, "a")).toDF("id", "v"), Seq("id"))
+    assert(store.read("t").get.count() === 1)
+  }
+
   test("multi-probe LSH recall beats single-probe on the same data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 20)

@@ -149,6 +149,19 @@ class ExplodeGoldenSpec extends SparkSpec {
       s"{'a': 'a\\xadb', 'b': 'z\\u200bw', 'c': 'p\\u2028q', 'd': 'ok $emoji'}")
   }
 
+  test("pythonStr+sorted falls back to string sort for non-orderable entries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a map-typed prefixed column (e.g. from arrayToDict) is not orderable
+    // as a struct sort key — the render-then-sort fallback must still work
+    val df = Seq((1L, 2L), (1L, 1L)).toDF("id", "line.n")
+      .withColumn("line.m", map(lit("k"), col("`line.n`")))
+    val out = Explode.compressRowsToCol(df, "line", Seq("id"),
+        sorted = true, pythonStr = true)
+      .select("line").first().getSeq[String](0)
+    assert(out === Seq("{'n': 1, 'm': {'k': 1}}", "{'n': 2, 'm': {'k': 2}}"))
+  }
+
   test("pythonStr+sorted orders by struct fields, not rendered strings") {
     import spark.implicits._
     // lexicographic string sort would put n=10 before n=2 ('1' < '2');

@@ -141,6 +141,20 @@ class SnapshotSpec extends SparkSpec {
     assert(merged.toSeq === Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("format switch: a CSV write supersedes an existing parquet snapshot") {
+    val store = new SnapshotStore(spark, tmpDir("snap_switch_"))
+    store.write("s", Seq((1, "old")).toDF("id", "v"))
+    // switching to use_csv must not leave the stale parquet shadowing
+    // reads (read() probes parquet first)
+    store.write("s", Seq((1, "new"), (2, "x")).toDF("id", "v"), useCsv = true)
+    val out = store.read("s").get.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "new"), (2, "x")))
+    // and back again
+    store.write("s", Seq((3, "pq")).toDF("id", "v"))
+    assert(store.read("s").get.collect().map(_.getInt(0)).toSeq === Seq(3))
+  }
+
   test("mergeIdFromSnapshot backfills remote ids, keep-last per InputId") {
     val df = Seq(("r1", "e1"), ("r2", "e2"), ("r3", "e9")).toDF("row", "externalId")
     val ids = Seq(("e1", 101L), ("e1", 111L), ("e2", 102L)).toDF("InputId", "RemoteId")
