@@ -532,6 +532,24 @@ object SparkEntry {
             nullMode = Some(graft.singer.SingerWriter.NullMode.DropTopLevel)).as("line"))
         .orderBy("c_custkey")
     }),
+    // ── use_csv snapshot lifecycle: prime a CSV snapshot, upsert a delta
+    //    through snapshotRecords(useCsv=true), read the committed CSV back
+    //    (header + inferSchema round-trip ⇒ explicit casts for schema
+    //    parity). Same merge math as q07's oracle. ──────────────────────
+    "q51_csv_snapshot_upsert" -> ((s, dir) => {
+      val store = new SnapshotStore(s,
+        java.nio.file.Files.createTempDirectory("gs_csvsnap_").toString)
+      val orders = T(s, dir, "orders")
+      val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      store.write("orders", snap, useCsv = true)
+      val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"))
+      Snapshot.snapshotRecords(store, "orders", incoming, Seq("o_orderkey"), useCsv = true)
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     // ── bucketed store point lookup: readForKeys scans only the probed
     //    keys' buckets (oracle: plain semi-join over the primed snapshot) ─
     "q50_bucketed_point_lookup" -> ((s, dir) => {
@@ -614,6 +632,21 @@ object SparkEntry {
         val keys = (1L to 2000L).toDF("o_orderkey")
         () => store.readForKeys("orders", keys, Seq("o_orderkey"))
           .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      }),
+      "q51_csv_snapshot_upsert" -> ((s, dir) => {
+        val store = new SnapshotStore(s,
+          java.nio.file.Files.createTempDirectory("gs_csvsnap_").toString)
+        val orders = T(s, dir, "orders")
+        val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        store.write("orders", snap, useCsv = true)
+        val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"))
+        () => Snapshot.snapshotRecords(store, "orders", incoming,
+            Seq("o_orderkey"), useCsv = true)
+          .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
           .orderBy("o_orderkey")
       }))
     queries.map { case (n, fn) =>
@@ -1063,6 +1096,16 @@ object SparkEntry {
     "q50_bucketed_point_lookup" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 <> 0 AND o_orderkey BETWEEN 1 AND 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q51_csv_snapshot_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+        |inc AS (
+        |  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM inc
+        |UNION ALL
+        |SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
         |ORDER BY o_orderkey""".stripMargin)
 
   // ── oracle-SQL generation helpers ──────────────────────────────────────
