@@ -61,9 +61,54 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** 64-bit SimHash of a token ARRAY in one pass, value-identical to the
+  * explode → groupBy → 64-bit-vote-sum formulation with the default
+  * `xxhash64` token hash (`hashUnsafeBytes(bytes, 42)` per token; every
+  * occurrence votes, ties → 0 bit). Beyond the per-element win, this
+  * removes the (doc, token-hash) SHUFFLE the grouped formulation pays —
+  * the signature becomes a pure projection, like the minhash path. */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashBits =
+    copy(child = c)
+  override def prettyName: String = "simhash_bits"
+}
+
 object MinHashSig {
   import org.apache.spark.sql.graft.bridge
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     bridge.column(MinHashSignature(bridge.expression(shingles), numHashes))
+
+  def simhash_bits(tokens: Column): Column =
+    bridge.column(SimHashBits(bridge.expression(tokens)))
 }

@@ -291,12 +291,24 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per-token 64-bit hashes vote ±1 on each
-    * bit; the sign of each bit's sum forms the fingerprint. Pure expression
-    * pipeline: explode tokens → per-(doc, bit) sums → fold bits back.
-    * `tokenHash` defaults to xxhash64; pass [[md5Hash60]] when an external
-    * oracle must reproduce the signatures. */
+    * bit; the sign of each bit's sum forms the fingerprint.
+    *
+    * With the default hash (`tokenHash = null` → xxhash64) the signature
+    * is the fused [[graft.functions.SimHashBits]] expression over the
+    * token array — a pure PROJECTION, no shuffle at all (value-identical
+    * to the grouped formulation, spec-asserted). A custom `tokenHash`
+    * (e.g. [[md5Hash60]] for an external oracle replay) takes the generic
+    * path: explode tokens → per-(doc, bit) vote sums → fold bits back —
+    * one (id, hash) key-width shuffle. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = null): DataFrame = {
+    if (tokenHash == null)
+      return df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+        // null text → null token array: the generic path emits no rows for
+        // such a doc (explode of null), so drop it here too
+        .filter(col("__toks").isNotNull)
+        .select(col(idCol),
+          graft.functions.MinHashSig.simhash_bits(col("__toks")).as("simhash"))
     val tok = df.select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
       .withColumn("__h", tokenHash(col("__t")))
@@ -313,7 +325,7 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxDist`, blocked on
     * 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-      maxBucketSize: Int = 1000, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      maxBucketSize: Int = 1000, tokenHash: Column => Column = null): DataFrame = {
     // sig is key-width (id, long) but corpus-cardinality; same lifecycle as
     // minhashNearDupPairs — eager small result, deterministic release.
     val sig = simhash(df, idCol, textCol, tokenHash).cache()

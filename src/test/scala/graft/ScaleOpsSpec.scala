@@ -202,6 +202,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(posFused === posHof)
   }
 
+  test("fused simhash is value-identical to the grouped bit-vote form") {
+    val grouped = Dedup.simhash(docsDf, "doc_id", "text", tokenHash = xxhash64(_))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Dedup.simhash(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === grouped)
+    // and the fused plan is a pure projection — no Exchange
+    val plan = Dedup.simhash(docsDf, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused simhash shuffles:\n$plan")
+  }
+
   test("fused minhash signature is bit-identical to the per-lane HOF form") {
     val sh = docsDf.select(col("doc_id"),
       Dedup.shinglesOf(Dedup.tokensCol(col("text")), 3).as("__sharr"))
