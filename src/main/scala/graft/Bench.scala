@@ -1,6 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Force full row production. `.count()` on a DataFrame lets Catalyst
+    * column-prune pure projections (scan → project → count collapses to a
+    * bare scan count), so projection-shaped queries would time a plan that
+    * never evaluates the expressions under test. `queryExecution.toRdd`
+    * executes the physical plan as-is — every output column of every row is
+    * materialized into an UnsafeRow before the count.
+    */
+  def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,7 +40,7 @@ object Bench {
         try {
           val thunk = mk(spark, sfDir)
           val t0 = System.nanoTime()
-          thunk().count()
+          force(thunk())
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

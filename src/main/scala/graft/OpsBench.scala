@@ -26,7 +26,7 @@ object OpsBench {
     df.count()
     var t0 = System.nanoTime()
     val out = Explode.explodeJsonToRows(df, "Line Detail", samplingRatio = 0.05)
-    val c = out.count()
+    val c = Bench.force(out)
     var dt = (System.nanoTime() - t0) / 1e9
     println(f"GRAFT explode_json_to_rows rows=$n out=$c time=$dt%.2fs rows_per_s=${n / dt}%,.0f")
 
@@ -37,7 +37,7 @@ object OpsBench {
     t0 = System.nanoTime()
     Snapshot.snapshotRecords(store, "t", base, Seq("id"))
     val merged = Snapshot.snapshotRecords(store, "t", delta, Seq("id"))
-    val mc = merged.count()
+    val mc = Bench.force(merged)
     dt = (System.nanoTime() - t0) / 1e9
     println(f"GRAFT snapshot_records 2 runs rows=$m+$m merged=$mc time=$dt%.2fs")
     spark.stop()

@@ -45,19 +45,19 @@ object Stress {
     // production pipeline: exact dedup first (collapses the replica
     // clusters), then minhash LSH on survivors
     time(s"dedupPipeline ${factor}x") {
-      println("[stress]   kept=" + Dedup.dedupPipeline(docs, "doc_id", "text").count())
+      println("[stress]   kept=" + Bench.force(Dedup.dedupPipeline(docs, "doc_id", "text")))
     }
     // doc_id is row-unique here → measure the declared-unique scale path
     // (the default adds an unconditional tie-collapse shuffle of survivors)
     time(s"exactDedup ${factor}x") {
-      println("[stress]   kept=" + Dedup.exactDedup(docs, Seq("text"), "doc_id",
-        assumeUniqueOrder = true).count())
+      println("[stress]   kept=" + Bench.force(Dedup.exactDedup(docs, Seq("text"), "doc_id",
+        assumeUniqueOrder = true)))
     }
     time(s"simhash ${factor}x") {
-      println("[stress]   sigs=" + Dedup.simhash(docs, "doc_id", "text").count())
+      println("[stress]   sigs=" + Bench.force(Dedup.simhash(docs, "doc_id", "text")))
     }
     time(s"textAnalysis ${factor}x") {
-      println("[stress]   rows=" + TextAnalysis.analyze(docs, "text").count())
+      println("[stress]   rows=" + Bench.force(TextAnalysis.analyze(docs, "text")))
     }
     docs.unpersist()
 
@@ -88,7 +88,7 @@ object Stress {
       val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
       val delta = orders.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1)
-      println("[stress]   merged=" + Snapshot.upsert(Some(snap), delta, Seq("o_orderkey")).count())
+      println("[stress]   merged=" + Bench.force(Snapshot.upsert(Some(snap), delta, Seq("o_orderkey"))))
     }
 
     val events0 = spark.read.parquet(s"$sfDir/events.parquet")
@@ -96,25 +96,25 @@ object Stress {
     val events = replicate(events0, "event_id", 1000000000L)
     println(s"[stress] events: ${events.count()} rows")
     time(s"sessionize ${factor}x") {
-      println("[stress]   sessions=" + Analytics.sessionStats(
-        Analytics.sessionize(events, "user_id", "ts", 600L), "user_id", "ts").count())
+      println("[stress]   sessions=" + Bench.force(Analytics.sessionStats(
+        Analytics.sessionize(events, "user_id", "ts", 600L), "user_id", "ts")))
     }
     time(s"windowedCounts ${factor}x") {
-      println("[stress]   windows=" + Analytics.windowedCounts(
-        events, "ts", "1 hour", Seq("event_type")).count())
+      println("[stress]   windows=" + Bench.force(Analytics.windowedCounts(
+        events, "ts", "1 hour", Seq("event_type"))))
     }
 
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = replicate(emb0, "vec_id", 1000000L).cache()
     println(s"[stress] embeddings: ${emb.count()} rows")
     time(s"bruteForce ANN 100q x ${factor}x corpus") {
-      println("[stress]   results=" + Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", 10).count())
+      println("[stress]   results=" + Bench.force(Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", 10)))
     }
     time(s"ivf ANN 100q x ${factor}x corpus") {
-      println("[stress]   results=" + Similarity.ivfTopK(
+      println("[stress]   results=" + Bench.force(Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", 10,
-        numCentroids = 32, nProbe = 3).count())
+        numCentroids = 32, nProbe = 3)))
     }
     emb.unpersist()
     spark.stop()

@@ -39,13 +39,15 @@ import org.apache.spark.sql.functions._
   *    highest-numbered manifest, so they never observe a partial commit;
   *  - garbage (orphaned generations, superseded manifests) is deleted
   *    AFTER commit and re-collected opportunistically on the next write,
-  *    so a crash mid-GC only wastes space, never data.
+  *    so a crash mid-GC only wastes space, never data;
+  *  - GC retains the last `keepManifests` manifests AND the generations
+  *    they reference (grace window), so a concurrent reader that resolved
+  *    the previous manifest survives a commit landing mid-scan; long scans
+  *    pin explicitly via `manifestVersion` + `readAt`.
   *
   * Single-writer, like the reference's snapshot lock protocol
-  * (snapshot_lock.py:13-47); concurrent readers are safe against torn
-  * commits but a reader racing the post-commit GC of a *superseded*
-  * generation should pin a manifest version (out of scope here, as in the
-  * reference).
+  * (snapshot_lock.py:13-47); concurrent readers never observe a torn
+  * commit, and the retention window above closes the reader-vs-GC race.
   *
   * With numBuckets sized so a bucket fits an executor (e.g. 65536 buckets
   * for a 100 TB snapshot → ~1.6 GB/bucket), a 0.1% delta touches ~0.1% of
@@ -54,7 +56,9 @@ import org.apache.spark.sql.functions._
 class BucketedSnapshotStore(
     spark: SparkSession,
     dir: String,
-    numBuckets: Int = 64) {
+    numBuckets: Int = 64,
+    keepManifests: Int = 2) {
+  require(keepManifests >= 1, s"keepManifests must be >= 1, got $keepManifests")
 
   private val BucketCol = "__gs_bucket"
 
@@ -79,26 +83,31 @@ class BucketedSnapshotStore(
 
   // ---- manifest io -------------------------------------------------------
 
-  private def latestManifest(root: Path): Option[(Long, Path)] =
-    if (!fs.exists(root)) None
+  private def allManifests(root: Path): IndexedSeq[(Long, Path)] =
+    if (!fs.exists(root)) IndexedSeq.empty
     else fs.listStatus(root).toIndexedSeq.map(_.getPath)
       .filter(_.getName.startsWith("manifest-"))
       .flatMap(p => scala.util.Try(p.getName.stripPrefix("manifest-").toLong)
         .toOption.map(_ -> p))
-      .sortBy(_._1).lastOption
+      .sortBy(_._1)
+
+  private def latestManifest(root: Path): Option[(Long, Path)] =
+    allManifests(root).lastOption
+
+  private def readManifestAt(p: Path): (Long, Map[Int, String]) = {
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m = content.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      line.take(i).toInt -> line.drop(i + 1)
+    }.toMap
+    (p.getName.stripPrefix("manifest-").toLong, m)
+  }
 
   private def readManifest(root: Path): Option[(Long, Map[Int, String])] =
-    latestManifest(root).map { case (v, p) =>
-      val in = fs.open(p)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val m = content.split("\n").iterator.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        line.take(i).toInt -> line.drop(i + 1)
-      }.toMap
-      (v, m)
-    }
+    latestManifest(root).map { case (_, p) => readManifestAt(p) }
 
   /** Stage to a dot-tmp, rename into a not-yet-existing versioned path —
     * the rename IS the commit point. */
@@ -113,22 +122,33 @@ class BucketedSnapshotStore(
       throw new IllegalStateException(s"manifest commit failed: $dest already exists")
   }
 
-  /** Delete superseded manifests, orphaned generations, leftover tmps.
-    * Safe to crash anywhere in here: everything deleted is unreferenced by
-    * the latest manifest, and leftovers are re-collected next write. */
-  private def gc(root: Path): Unit =
-    readManifest(root).foreach { case (v, m) =>
-      val live = m.values.toSet
-      val keep = f"manifest-$v%012d"
-      fs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        val dead =
-          (n.startsWith("gen-") && !live.contains(n)) ||
-          (n.startsWith("manifest-") && n != keep) ||
-          n.startsWith(".manifest-tmp-")
-        if (dead) fs.delete(st.getPath, true)
-      }
+  /** Delete superseded manifests and the generations only they reference,
+    * RETAINING the latest `keepManifests` manifests and everything they
+    * name — the GC grace window. A concurrent reader that resolved the
+    * previous manifest just before a commit can finish its scan: the
+    * generations it is reading stay on disk until `keepManifests - 1`
+    * further commits land (readers needing longer pins call
+    * `readAt`/`manifestVersion` and size `keepManifests` to their scan
+    * time × write rate). Safe to crash anywhere in here: everything
+    * deleted is unreferenced by the retained manifests, and leftovers are
+    * re-collected next write. */
+  private def gc(root: Path): Unit = {
+    val manifests = allManifests(root)
+    if (manifests.isEmpty) return
+    val retained = manifests.sortBy(_._1).takeRight(keepManifests)
+    val keepNames = retained.map { case (v, _) => f"manifest-$v%012d" }.toSet
+    val live = retained.flatMap { case (_, p) =>
+      readManifestAt(p)._2.values
+    }.toSet
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val dead =
+        (n.startsWith("gen-") && !live.contains(n)) ||
+        (n.startsWith("manifest-") && !keepNames.contains(n)) ||
+        n.startsWith(".manifest-tmp-")
+      if (dead) fs.delete(st.getPath, true)
     }
+  }
 
   // ---- reads -------------------------------------------------------------
 
@@ -153,6 +173,59 @@ class BucketedSnapshotStore(
     val root = path(name)
     readManifest(root).flatMap { case (_, m) =>
       readBuckets(root, m, None).map(_.drop(BucketCol))
+    }
+  }
+
+  /** Version of the currently committed manifest — capture it, then scan
+    * via `readAt` to pin a consistent view across concurrent commits (the
+    * GC grace window retains the last `keepManifests` versions). */
+  def manifestVersion(name: String): Option[Long] =
+    latestManifest(path(name)).map(_._1)
+
+  /** Read the snapshot as of a specific (retained) manifest version.
+    * Throws if that version has aged out of the `keepManifests` window. */
+  def readAt(name: String, version: Long): Option[DataFrame] = {
+    val root = path(name)
+    val p = new Path(root, f"manifest-$version%012d")
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"manifest version $version of '$name' is gone (GC keeps the last " +
+          s"$keepManifests); re-resolve with manifestVersion()")
+    val (_, m) = readManifestAt(p)
+    readBuckets(root, m, None).map(_.drop(BucketCol))
+  }
+
+  /** `hash()` is type-sensitive (`hash(5L) != hash(5)`), so a pk column
+    * whose dtype differs from the snapshot's prunes to the WRONG buckets
+    * and silently drops rows. Enforce the contract against the committed
+    * snapshot schema (one driver-side footer read of a live generation):
+    * lossless numeric widenings are cast in place, anything else throws. */
+  private def alignPkTypes(df: DataFrame, pk: Seq[String], root: Path,
+      m: Map[Int, String], what: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val snapSchema = m.values.headOption.map { gen =>
+      spark.read.parquet(new Path(root, gen).toString).schema
+    }
+    snapSchema.fold(df) { ss =>
+      def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType)            => true
+        case (IntegerType, LongType)                        => true
+        case (FloatType, DoubleType)                        => true
+        case _                                              => false
+      }
+      pk.foldLeft(df) { (acc, c) =>
+        val want = ss.find(_.name == c).map(_.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"$what: pk column '$c' is absent from snapshot schema ${ss.simpleString}"))
+        val have = acc.schema(c).dataType
+        if (have == want) acc
+        else if (widens(have, want)) acc.withColumn(c, col(c).cast(want))
+        else throw new IllegalArgumentException(
+          s"$what: pk column '$c' is ${have.simpleString} but the snapshot " +
+            s"stores ${want.simpleString}; hash-bucketing is type-sensitive, " +
+            s"so this probe would silently miss rows — cast the column first")
+      }
     }
   }
 
@@ -197,7 +270,8 @@ class BucketedSnapshotStore(
       return numBuckets.toLong
     }
     val (ver, m) = manifest.get
-    val bucketed = incoming.withColumn(BucketCol, bucketOf(pk))
+    val aligned = alignPkTypes(incoming, pk, root, m, "upsert")
+    val bucketed = aligned.withColumn(BucketCol, bucketOf(pk))
     val touched = bucketed.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted.toIndexedSeq
     if (touched.isEmpty) return 0L
@@ -226,14 +300,16 @@ class BucketedSnapshotStore(
   /** Point lookup / key-subset read with bucket pruning: scans only the
     * buckets the requested keys hash into (merge-on-read companion).
     *
-    * The `keys` frame's pk columns must have the snapshot's EXACT column
-    * types: `hash()` is type-sensitive (hash(5L) != hash(5)), so an
-    * int-typed probe against a bigint-keyed snapshot would prune to the
-    * wrong buckets and silently miss rows. */
-  def readForKeys(name: String, keys: DataFrame, pk: Seq[String]): DataFrame = {
+    * The probe's pk column types are ENFORCED against the snapshot schema
+    * (`alignPkTypes`): a mismatched probe — e.g. int against a
+    * bigint-keyed snapshot — is widened when lossless and rejected loudly
+    * otherwise, never allowed to prune to the wrong buckets and silently
+    * return missing rows. */
+  def readForKeys(name: String, keys0: DataFrame, pk: Seq[String]): DataFrame = {
     val root = path(name)
     val (_, m) = readManifest(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
+    val keys = alignPkTypes(keys0.select(pk.map(col): _*), pk, root, m, "readForKeys")
     val touched = keys.select(bucketOf(pk).as(BucketCol))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
     readBuckets(root, m, Some(touched))

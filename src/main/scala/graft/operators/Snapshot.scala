@@ -37,19 +37,51 @@ class SnapshotStore(spark: SparkSession, dir: String) {
   def exists(name: String): Boolean =
     fs.exists(path(name)) || fs.exists(csvPath(name))
 
-  /** Parquet wins when both formats exist (mirrors GsReader.readSnapshot's
-    * probe order and the reference's etl_utils.py:152-178). */
+  /** Format markers make the parquet↔csv switch crash-safe: a write commits
+    * its format by atomically creating `<name>.snapshot.format-<n>.<fmt>`
+    * (create-no-overwrite of a zero-byte file) AFTER the data rename and
+    * BEFORE the stale other-format dataset is deleted. Readers resolve the
+    * max-`n` marker; without markers (stores written before this existed)
+    * they fall back to the parquet-first probe. So a crash between the data
+    * commit and the cleanup can no longer leave a stale parquet dataset
+    * permanently shadowing a committed CSV one: either the marker landed
+    * (new format wins) or it didn't (the write never committed — the old
+    * complete snapshot stays current). */
+  private val FormatMarker = """^(.+)\.snapshot\.format-(\d+)\.(csv|parquet)$""".r
+  private def markerFiles(name: String): Seq[(Long, String, Path)] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case FormatMarker(n, seq, fmt) if n == name => Some((seq.toLong, fmt, p))
+        case _ => None
+      }
+    }
+  }
+  private def markedFormat(name: String): Option[String] =
+    markerFiles(name).sortBy(_._1).lastOption.map(_._2)
+
   def read(name: String): Option[DataFrame] = {
     def recover(p: Path): Boolean = {
       // Recover from a torn write: if only the lock survives, restore it.
       if (!fs.exists(p) && fs.exists(lockPath(p))) fs.rename(lockPath(p), p)
       fs.exists(p)
     }
-    if (recover(path(name))) Some(spark.read.parquet(path(name).toString))
-    else if (recover(csvPath(name)))
-      Some(spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(csvPath(name).toString))
-    else None
+    def readCsv(): Option[DataFrame] =
+      if (recover(csvPath(name)))
+        Some(spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(csvPath(name).toString))
+      else None
+    def readParquet(): Option[DataFrame] =
+      if (recover(path(name))) Some(spark.read.parquet(path(name).toString))
+      else None
+    markedFormat(name) match {
+      case Some("csv")     => readCsv().orElse(readParquet())
+      case Some("parquet") => readParquet().orElse(readCsv())
+      // No marker: parquet wins when both formats exist (mirrors
+      // GsReader.readSnapshot's probe order and etl_utils.py:152-178).
+      case _ => readParquet().orElse(readCsv())
+    }
   }
 
   /** Atomic replace: write tmp → rename current to lock → rename tmp to
@@ -74,15 +106,28 @@ class SnapshotStore(spark: SparkSession, dir: String) {
     if (fs.exists(lock)) fs.delete(lock, true)
     if (fs.exists(cur)) fs.rename(cur, lock)
     fs.rename(tmp, cur)
+    afterDataCommit()
+    // commit the format: readers resolve the highest-numbered marker, so a
+    // crash anywhere past this line can no longer resurrect the other
+    // format's stale dataset (previously the cleanup below raced the crash
+    // and a leftover parquet dir would shadow a committed CSV write)
+    val fmt = if (useCsv) "csv" else "parquet"
+    val markers = markerFiles(name)
+    val nextSeq = markers.map(_._1).maxOption.getOrElse(0L) + 1L
+    fs.create(new Path(dir, s"$name.snapshot.format-$nextSeq.$fmt"), false).close()
+    afterFormatCommit()
     if (fs.exists(lock)) fs.delete(lock, true)
-    // a write is the NEW current state regardless of format: drop the
-    // other-format dataset, or read()'s parquet-first probe would keep
-    // resolving a stale parquet snapshot after a switch to useCsv (silent
-    // loss of every CSV-era upsert)
+    // post-commit GC (idempotent; a crash here is repaired by the next
+    // write): stale other-format dataset + its lock, superseded markers
     val other = if (useCsv) path(name) else csvPath(name)
     if (fs.exists(other)) fs.delete(other, true)
     if (fs.exists(lockPath(other))) fs.delete(lockPath(other), true)
+    markers.foreach { case (_, _, p) => fs.delete(p, false) }
   }
+
+  /** Crash-injection seams for specs — no-ops in production. */
+  protected def afterDataCommit(): Unit = ()
+  protected def afterFormatCommit(): Unit = ()
 }
 
 /** Incremental-state operators: snapshot upsert, row-hash CDC, id backfill.

@@ -43,6 +43,55 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(got.toSeq === Seq((3, "v3"), (500, "v500"), (999, "v999")))
   }
 
+  test("readForKeys/upsert enforce pk types: lossless widen, loud reject") {
+    val store = new BucketedSnapshotStore(spark, tmpDir("bsnap_types_"), numBuckets = 8)
+    // bigint-keyed snapshot
+    val base = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    store.write("t", base, Seq("id"))
+    // int-typed probe: previously pruned to WRONG buckets (hash(5) !=
+    // hash(5L)) and silently returned nothing — now widened to bigint
+    val intProbe = Seq(3, 500).toDF("id")
+    val got = store.readForKeys("t", intProbe, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((3L, "v3"), (500L, "v500")))
+    // non-widenable probe (string) fails loudly instead of missing rows
+    val e = intercept[IllegalArgumentException] {
+      store.readForKeys("t", Seq("3").toDF("id"), Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("type-sensitive"), e.getMessage)
+    // same contract on the upsert path: an int-typed delta against the
+    // bigint snapshot must merge by key, not duplicate into other buckets
+    store.upsert("t", Seq((5, "NEW5")).toDF("id", "v"), Seq("id"))
+    val merged = store.read("t").get
+    assert(merged.count() === 500)
+    assert(merged.filter(col("id") === 5L).first().getString(1) === "NEW5")
+    intercept[IllegalArgumentException] {
+      store.upsert("t", Seq(("7", "x")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
+  test("GC grace window: previous manifest stays readable across a commit") {
+    val dir = tmpDir("bsnap_pin_")
+    val store = new BucketedSnapshotStore(spark, dir, numBuckets = 8, keepManifests = 2)
+    store.write("t", (1 to 300).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val pinned = store.manifestVersion("t").get
+    // a reader pins `pinned`, then a commit + GC lands mid-scan
+    store.upsert("t", Seq((5, "NEW5"), (301, "NEW301")).toDF("id", "v"), Seq("id"))
+    // the pinned view still reads the OLD state, fully intact
+    val old = store.readAt("t", pinned).get
+    assert(old.count() === 300)
+    assert(old.filter(col("id") === 5).first().getString(1) === "v5")
+    // latest view sees the new state
+    assert(store.read("t").get.count() === 301)
+    // one more commit ages the pin out of the keep-2 window → loud failure
+    store.upsert("t", Seq((6, "NEW6")).toDF("id", "v"), Seq("id"))
+    val e = intercept[IllegalStateException](store.readAt("t", pinned))
+    assert(e.getMessage.contains("GC keeps the last"), e.getMessage)
+    // and the aged-out generation directories are actually collected:
+    // only generations referenced by the retained 2 manifests remain
+    assert(store.read("t").get.count() === 301)
+  }
+
   test("crash before manifest commit leaves the old snapshot fully readable") {
     val dir = tmpDir("bsnap_crash_")
     val good = new BucketedSnapshotStore(spark, dir, numBuckets = 8)

@@ -155,6 +155,50 @@ class SnapshotSpec extends SparkSpec {
     assert(store.read("s").get.collect().map(_.getInt(0)).toSeq === Seq(3))
   }
 
+  test("format switch is crash-safe on both sides of the marker commit") {
+    import org.apache.hadoop.fs.Path
+    // Crash BEFORE the format marker lands: the switch never committed, so
+    // reads must keep resolving the old parquet state (not a half-visible
+    // CSV), and the next successful write repairs the store.
+    val dirA = tmpDir("snap_crashA_")
+    val goodA = new SnapshotStore(spark, dirA)
+    goodA.write("s", Seq((1, "old")).toDF("id", "v"))
+    val crashA = new SnapshotStore(spark, dirA) {
+      override protected def afterDataCommit(): Unit =
+        throw new RuntimeException("injected crash pre-marker")
+    }
+    intercept[RuntimeException] {
+      crashA.write("s", Seq((1, "new"), (2, "x")).toDF("id", "v"), useCsv = true)
+    }
+    val afterA = goodA.read("s").get.collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(afterA.toSeq === Seq((1, "old")), "uncommitted switch must stay invisible")
+    goodA.write("s", Seq((9, "ok")).toDF("id", "v"), useCsv = true)
+    assert(goodA.read("s").get.collect().map(_.getInt(0)).toSeq === Seq(9))
+
+    // Crash AFTER the marker but BEFORE the stale-parquet cleanup: the
+    // switch IS committed — reads must resolve the CSV even though the old
+    // parquet dataset still exists on disk.
+    val dirB = tmpDir("snap_crashB_")
+    val goodB = new SnapshotStore(spark, dirB)
+    goodB.write("s", Seq((1, "old")).toDF("id", "v"))
+    val crashB = new SnapshotStore(spark, dirB) {
+      override protected def afterFormatCommit(): Unit =
+        throw new RuntimeException("injected crash post-marker")
+    }
+    intercept[RuntimeException] {
+      crashB.write("s", Seq((1, "new"), (2, "x")).toDF("id", "v"), useCsv = true)
+    }
+    val fs = new Path(dirB).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(dirB, "s.snapshot.parquet")), "stale parquet still on disk")
+    val afterB = goodB.read("s").get.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(afterB.toSeq === Seq((1, "new"), (2, "x")),
+      "committed CSV must win over the stale parquet")
+    // next write GCs the stale dataset
+    goodB.write("s", Seq((3, "z")).toDF("id", "v"), useCsv = true)
+    assert(!fs.exists(new Path(dirB, "s.snapshot.parquet")))
+  }
+
   test("mergeIdFromSnapshot backfills remote ids, keep-last per InputId") {
     val df = Seq(("r1", "e1"), ("r2", "e2"), ("r3", "e9")).toDF("row", "externalId")
     val ids = Seq(("e1", 101L), ("e1", 111L), ("e2", 102L)).toDF("InputId", "RemoteId")
