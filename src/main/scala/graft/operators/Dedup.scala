@@ -388,12 +388,17 @@ object Dedup {
     * The edge set is a fixpoint exactly when every component is a star on
     * its minimum — convergence in O(log n) rounds, NOT O(diameter) like
     * min-label propagation (a 100-chain converges in ~5 rounds instead of
-    * 100). Only (id, id) pairs ever shuffle — never documents — and both
-    * phases are key-width groupBy + join.
+    * 100). Only (id, id) pairs ever shuffle — never documents.
     *
-    * Per round: one eager localCheckpoint truncates lineage (iterative
-    * plans otherwise grow per round and re-analysis dominates); the
-    * convergence probe compares edge counts and only runs the exact
+    * Integral ids take an RDD loop (the one place in this library where
+    * RDDs beat DataFrames: an iterative fixpoint re-enters Catalyst
+    * analysis + AQE planning + eager-checkpoint materialization EVERY
+    * round, a fixed ~1s/round at any scale — the RDD rounds are plain
+    * shuffles with lineage anchored at the previous round's persisted
+    * blocks, exactly GraphX's regime). Non-integral ids (e.g. string keys)
+    * fall back to an equivalent DataFrame window loop.
+    *
+    * The convergence probe compares edge counts and only runs the exact
     * set-difference check when counts match (i.e. on the final round).
     * If `maxIter` is hit a warning is logged and partial labels return —
     * components may be split finer than the true closure (never merged
@@ -406,58 +411,142 @@ object Dedup {
       idB: String = "id_b",
       maxIter: Int = 20): DataFrame = {
     val raw = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    // union type-widens, so this is the common id type the result carries
     val allNodes = raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id"))).distinct()
-    // canonical orientation: src > dst ("node → smaller neighbor")
-    var edges = raw.filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
-      .distinct().localCheckpoint(true)
+    val idType = allNodes.schema("id").dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val stars =
+      if (integral) ccStarsRdd(raw, maxIter, idType)
+      else ccStarsDf(raw, maxIter)
+    // converged stars: every non-min node points at its component min (min
+    // over dsts is belt-and-braces for the maxIter-partial case); minima
+    // and isolated/self-paired nodes label themselves
+    val nonMin = stars.groupBy(col("src").as("id")).agg(min("dst").as("__comp"))
+    allNodes.join(nonMin, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
+  }
+
+  private def ccWarnMaxIter(maxIter: Int): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"connectedComponents hit maxIter=$maxIter before converging — " +
+        "components may be split finer than the true transitive closure; " +
+        "raise maxIter (rounds are logarithmic, so this indicates a " +
+        "pathological graph or maxIter set very low)")
+
+  /** RDD star-contraction loop for integral ids, returning the converged
+    * star edge set as a (src, dst) DataFrame cast back to `idType`.
+    * Each round is one 3-stage job (large-star groupByKey, small-star
+    * groupByKey, distinct) + a count on the persisted result — no Catalyst
+    * re-analysis, no checkpoint job. Neighborhoods are materialized per
+    * key like the paper's reducers; the component-min's neighborhood grows
+    * toward component size, the known memory bound of this algorithm. */
+  private def ccStarsRdd(raw: DataFrame, maxIter: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = raw.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val pairRdd = raw.filter(col("a") =!= col("b"))
+      .select(col("a").cast(LongType), col("b").cast(LongType))
+      .queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
+    val np = math.max(pairRdd.getNumPartitions, 2)
+    var edges = pairRdd
+      .map { case (x, y) => if (x > y) (x, y) else (y, x) } // canonical src > dst
+      .distinct(np).persist(StorageLevel.MEMORY_AND_DISK)
     var edgeCount = edges.count()
     var iter = 0
     var converged = edgeCount == 0L
     while (iter < maxIter && !converged) {
       // ── large-star ──────────────────────────────────────────────────
       // symmetric view so every node sees its full neighborhood; m(u) =
-      // min(Γ(u) ∪ {u}); emit (v, m) for every neighbor v > u. Each
-      // undirected edge is emitted exactly once, from its smaller endpoint.
-      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val lsMin = sym.groupBy("src").agg(min("dst").as("__mn"))
-        .select(col("src").as("u"), least(col("__mn"), col("src")).as("m"))
-      val ls = sym.join(lsMin, sym("src") === lsMin("u"))
-        .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst")) // v > u ≥ m → canonical
-        .filter(col("src") =!= col("dst"))
-        .distinct()
+      // min(Γ(u) ∪ {u}); emit (v, m) for every neighbor v > u (each
+      // undirected edge once, from its smaller endpoint; v > u ≥ m keeps
+      // the canonical orientation).
+      val sym = edges.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      val ls = sym.groupByKey(np).flatMap { case (u, nbrs) =>
+        val arr = nbrs.toArray
+        var m = u
+        var i = 0
+        while (i < arr.length) { if (arr(i) < m) m = arr(i); i += 1 }
+        val mn = m
+        arr.iterator.filter(v => v > u && v != mn).map(v => (v, mn))
+      }
       // ── small-star ──────────────────────────────────────────────────
-      // on the canonical set each group IS the smaller-neighbor list;
-      // m(u) = min of it (< u); emit (u, m) and (v, m) for the others.
-      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
-      val next = ls.join(ssMin, Seq("src"))
-        .filter(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst")) // v > m → canonical
-        .union(ssMin.select(col("src"), col("m").as("dst")))
-        .distinct().localCheckpoint(true)
+      // group = a node's smaller-neighbor list; m = its min (< u); emit
+      // (u, m) and (v, m) for the others (in-group HashSet dedupes the
+      // replica floods star hubs produce; cross-group dups fall to the
+      // round-final distinct).
+      val next = ls.groupByKey(np).flatMap { case (u, ms) =>
+        val arr = ms.toArray
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < arr.length) { if (arr(i) < mn) mn = arr(i); i += 1 }
+        val seen = new java.util.HashSet[Long]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]((u, mn))
+        i = 0
+        while (i < arr.length) {
+          val v = arr(i)
+          if (v != mn && seen.add(v)) out += ((v, mn))
+          i += 1
+        }
+        out.iterator
+      }.distinct(np).persist(StorageLevel.MEMORY_AND_DISK)
       val nextCount = next.count()
       // fixpoint ⇔ identical edge set; counts differ on every non-final
       // round, so the exact set check runs once at the end
+      converged = nextCount == edgeCount && next.subtract(edges, np).isEmpty()
+      edges.unpersist(blocking = false)
+      edges = next
+      edgeCount = nextCount
+      iter += 1
+    }
+    if (!converged) ccWarnMaxIter(maxIter)
+    val out = spark.createDataFrame(
+      edges.map { case (s, d) => org.apache.spark.sql.Row(s, d) },
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    out.select(col("src").cast(idType).as("src"), col("dst").cast(idType).as("dst"))
+  }
+
+  /** DataFrame star-contraction loop (any orderable id type). Each phase's
+    * neighborhood minimum is a window `min().over(partitionBy)` — one
+    * shuffle per phase instead of a groupBy plus both sides of a join; one
+    * eager localCheckpoint per round truncates lineage (iterative plans
+    * otherwise grow per round and re-analysis dominates). */
+  private def ccStarsDf(raw: DataFrame, maxIter: Int): DataFrame = {
+    var edges = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
+      .distinct().localCheckpoint(true)
+    var edgeCount = edges.count()
+    var iter = 0
+    var converged = edgeCount == 0L
+    def starRound(edges: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val ls = sym
+        .withColumn("m", least(min("dst").over(Window.partitionBy("src")), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")) // v > u ≥ m → canonical
+        .filter(col("src") =!= col("dst"))
+      ls.withColumn("m", min("dst").over(Window.partitionBy("src")))
+        .select(
+          when(col("dst") =!= col("m"), col("dst")).otherwise(col("src")).as("src"),
+          col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    while (iter < maxIter && !converged) {
+      val next = starRound(edges).localCheckpoint(true)
+      val nextCount = next.count()
       converged = nextCount == edgeCount &&
         next.except(edges).limit(1).count() == 0L
       edges = next
       edgeCount = nextCount
       iter += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents hit maxIter=$maxIter before converging — " +
-          "components may be split finer than the true transitive closure; " +
-          "raise maxIter (rounds are logarithmic, so this indicates a " +
-          "pathological graph or maxIter set very low)")
-    // converged stars: every non-min node points at its component min (min
-    // over dsts is belt-and-braces for the maxIter-partial case); minima
-    // and isolated/self-paired nodes label themselves
-    val nonMin = edges.groupBy(col("src").as("id")).agg(min("dst").as("__comp"))
-    allNodes.join(nonMin, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
+    if (!converged) ccWarnMaxIter(maxIter)
+    edges
   }
 
   /** Cluster-aware dedup: keep exactly one row (the minimum id) per
