@@ -25,23 +25,30 @@ import org.apache.spark.sql.types._
   * fused loop, so the one boxed call per document is noise, and the
   * expression can never contribute to a huge-method codegen blowup.
   *
-  * Null handling: a null shingle ARRAY yields a null signature (the HOF
-  * form yields an array of nulls — callers guarantee non-null arrays via
-  * `shinglesOf`, which always emits ≥ 1 element). Null ELEMENTS inside
-  * the array cannot be produced by `shinglesOf` and are skipped here. */
+  * Null handling: a null shingle ARRAY — or an EMPTY one, or one holding
+  * only null elements — yields a null signature. (The HOF form yields an
+  * array of null lanes for an empty input; both mean "no signature", and
+  * null is the honest answer for a public helper — Long.MaxValue lanes
+  * would look like a real signature and silently bucket all empty docs
+  * together. Internal callers guarantee ≥ 1 element via `shinglesOf`.)
+  * Null ELEMENTS inside the array are skipped. */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) return null
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val n = arr.numElements()
     var i = 0
+    var any = false
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        any = true
         val s = arr.getUTF8String(i)
         val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var l = 0
@@ -53,7 +60,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!any) null else new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =

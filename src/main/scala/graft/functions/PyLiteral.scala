@@ -126,6 +126,24 @@ case class PyFloatRepr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "py_float_repr"
 }
 
+/** numpy float32 scalar `str()` rendering as a native expression — shortest
+  * round-trip digits at FLOAT width (see [[PyStr.float32Repr]]). Used for
+  * FloatType columns so row hashes match reference frames where pandas kept
+  * the float32 dtype (any mixed-dtype row, i.e. every snapshot frame with a
+  * pk column). */
+case class PyFloat32Repr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(PyStr.float32Repr(input.asInstanceOf[Float]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.PyStr.float32Repr($c))")
+  override protected def withNewChildInternal(newChild: Expression): PyFloat32Repr =
+    copy(child = newChild)
+  override def prettyName: String = "py_float32_repr"
+}
+
 /** Python `str()`/`repr()` of a COMPLEX cell (struct/array/map) as a native
   * expression. The reference hashes object-valued cells via `str(v)`
   * (gluestick/etl_utils.py:292-295) and compress_rows_to_col stringifies
@@ -206,12 +224,79 @@ object PyStr {
     }
   }
 
+  /** numpy float32 scalar `str()`/`repr()` (numpy >= 1.14 dragon4): the
+    * SHORTEST decimal digits that round-trip at float32 width, with
+    * CPython-style rendering — positional iff `1e-4 <= |value| < 1e16`,
+    * else `<digits>e±NN`. Two deliberate differences from [[floatRepr]]
+    * (CPython float64): digits are shortest at 32-bit width (str(
+    * np.float32(0.1)) == '0.1', not '0.10000000149011612'), and the
+    * positional/scientific split keys off the VALUE, not the rendered
+    * exponent — np.float32(1e-4) is 9.9999997e-05 < 1e-4, so numpy prints
+    * '1e-04' where CPython's str(0.0001) is positional. Verified against
+    * numpy 1.26.4 output value-by-value in PyLiteralSpec. */
+  def float32Repr(f: Float): String = {
+    if (java.lang.Float.isNaN(f)) return "nan"
+    if (java.lang.Float.isInfinite(f)) return if (f > 0) "inf" else "-inf"
+    if (f == 0.0f)
+      return if (java.lang.Float.floatToRawIntBits(f) != 0) "-0.0" else "0.0"
+    val af = math.abs(f)
+    val exact = new java.math.BigDecimal(af.toDouble) // widening is exact
+    // shortest digit count whose closest decimal round-trips (<= 9 always)
+    var bd: java.math.BigDecimal = null
+    var p = 1
+    while (bd == null) {
+      val cand = exact.round(
+        new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      // parseFloat is correctly rounded per spec (floatValue() is not)
+      if (java.lang.Float.parseFloat(cand.toPlainString) == af || p >= 12)
+        bd = cand
+      p += 1
+    }
+    val st = bd.stripTrailingZeros
+    val digits = st.unscaledValue.toString
+    val exp10 = digits.length - 1 - st.scale // decimal exponent of lead digit
+    val sb = new java.lang.StringBuilder
+    if (f < 0) sb.append('-')
+    if (af.toDouble < 1e-4 || af.toDouble >= 1e16) { // value-based (numpy)
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits, 1, digits.length)
+      sb.append('e').append(if (exp10 < 0) '-' else '+')
+      val ae = math.abs(exp10)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    } else if (exp10 >= 0) {
+      if (digits.length > exp10 + 1)
+        sb.append(digits, 0, exp10 + 1).append('.')
+          .append(digits, exp10 + 1, digits.length)
+      else {
+        sb.append(digits)
+        var i = digits.length; while (i < exp10 + 1) { sb.append('0'); i += 1 }
+        sb.append(".0")
+      }
+    } else {
+      sb.append("0.")
+      var i = -1; while (i > exp10) { sb.append('0'); i -= 1 }
+      sb.append(digits)
+    }
+    sb.toString
+  }
+
   /** Column rendered as Python `str()` would render the pandas value. */
   def canonical(c: Column, dt: DataType): Column = dt match {
     case BooleanType => when(c, "True").otherwise("False")
-    case DoubleType | FloatType => {
+    case DoubleType => {
       import org.apache.spark.sql.graft.bridge
       bridge.column(PyFloatRepr(bridge.expression(c.cast(DoubleType))))
+    }
+    // float32 columns hash at FLOAT width: pandas keeps the float32 dtype
+    // through df.apply(axis=1) whenever the row is mixed-dtype (every
+    // reference snapshot frame has a pk/hash column), so str(row[col]) is
+    // numpy's float32 shortest-repr, not the float64 widening. (An
+    // ALL-float32 frame would upcast rows to float64 — not a frame
+    // drop_redundant can see.)
+    case FloatType => {
+      import org.apache.spark.sql.graft.bridge
+      bridge.column(PyFloat32Repr(bridge.expression(c)))
     }
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
       c.cast(StringType)
@@ -303,14 +388,14 @@ object PyStr {
       case StringType  => appendStrRepr(sb, v.toString)
       case BooleanType => sb.append(if (v.asInstanceOf[Boolean]) "True" else "False")
       case DoubleType  => sb.append(floatRepr(v.asInstanceOf[Double]))
-      // KNOWN APPROXIMATION (like the timestamp one below): float32 widens
-      // to double, so 0.1f renders '0.10000000149011612' while numpy's
-      // str(np.float32(0.1)) gives '0.1' (numpy's float32 shortest-repr
-      // rules differ from CPython float64's — not replicated here). Nested
-      // float32 cells therefore hash differently from reference-written
-      // snapshots; top-level float32 COLUMNS are unaffected (rowHash casts
-      // them per the reference's float64 frame dtype).
-      case FloatType   => sb.append(floatRepr(v.asInstanceOf[Float].toDouble))
+      // float32 cells render at FLOAT width via numpy's shortest-repr
+      // (str(np.float32(0.1)) == '0.1'), matching reference-written hash
+      // snapshots whose object cells hold np.float32 scalars. Remaining
+      // documented divergence: a parquet-sourced pandas ARRAY cell is an
+      // np.ndarray, whose str() is space-separated ('[0.1 2.5]'); this
+      // path renders Python-list style ('[0.1, 2.5]'), which is what the
+      // reference's literal_eval/JSON-sourced object cells contain.
+      case FloatType   => sb.append(float32Repr(v.asInstanceOf[Float]))
       case ByteType | ShortType | IntegerType | LongType => sb.append(v.toString)
       case _: DecimalType =>
         sb.append(v.asInstanceOf[org.apache.spark.sql.types.Decimal]

@@ -144,9 +144,18 @@ object SingerWriter {
       timeExtracted: Option[java.time.Instant] = None,
       keepNullFields: Boolean = false,
       nullMode: Option[NullMode] = None): Column = {
+    // NaN (like NaT/NA) is a null scalar to the reference (_is_null_scalar,
+    // singer.py:90-91): keep_nulls REPLACES it with None, the drop modes
+    // drop the key. Nullifying NaN here once makes every mode below agree —
+    // otherwise Spark's to_json would render the non-standard literal NaN.
     val promoted = df.schema.fields.toIndexedSeq.map { f =>
-      val c = col(s"`${f.name}`")
-      f.name -> (if (f.dataType == FloatType) c.cast(DoubleType) else c)
+      val c0 = col(s"`${f.name}`")
+      val c = f.dataType match {
+        case FloatType  => when(!isnan(c0), c0.cast(DoubleType))
+        case DoubleType => when(!isnan(c0), c0)
+        case _          => c0
+      }
+      f.name -> c
     }
     val payload = resolveNullMode(keepNullFields, nullMode) match {
       case NullMode.DropTopLevel =>

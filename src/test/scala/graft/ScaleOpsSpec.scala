@@ -227,6 +227,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fused === hof)
   }
 
+  test("minhash signature of an empty or all-null shingle array is null") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "sh")
+      .union(Seq((4L, Seq(null.asInstanceOf[String]))).toDF("id", "sh"))
+    val out = df.select(col("id"),
+        graft.functions.MinHashSig.minhash_signature(col("sh"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out(1L) != null && out(1L).asInstanceOf[Seq[Long]].length === 8)
+    assert(out(2L) == null, "empty array must yield a null signature")
+    assert(out(3L) == null)
+    assert(out(4L) == null, "all-null elements must yield a null signature")
+  }
+
   test("hot-bucket cap bounds candidate pairs on a planted boilerplate cluster") {
     // 2000 docs sharing an identical 10-token prefix with one varying token:
     // every band bucket of the prefix-dominated signature is degenerate

@@ -73,6 +73,28 @@ class SingerWriterSpec extends SparkSpec {
     assert(r2.get("id").asLong() === 2L)
   }
 
+  test("NaN doubles are null scalars in every record mode (_is_null_scalar)") {
+    import spark.implicits._
+    val df = Seq((1L, Double.NaN, 2.5), (2L, 1.0, Double.NaN)).toDF("id", "a", "b")
+    // default / DropTopLevel: the NaN key vanishes, like None
+    for (mode <- Seq(None, Some(SingerWriter.NullMode.DropTopLevel): Option[SingerWriter.NullMode])) {
+      val lines = df.orderBy("id")
+        .select(SingerWriter.recordLine(df, "t", nullMode = mode))
+        .collect().map(_.getString(0))
+      val r1 = mapper.readTree(lines(0)).get("record")
+      assert(!r1.has("a") && r1.get("b").asDouble() === 2.5, lines(0))
+      val r2 = mapper.readTree(lines(1)).get("record")
+      assert(r2.get("a").asDouble() === 1.0 && !r2.has("b"), lines(1))
+    }
+    // keep_nulls: the reference REPLACES NaN with None -> explicit JSON null
+    val keep = df.orderBy("id")
+      .select(SingerWriter.recordLine(df, "t", keepNullFields = true))
+      .collect().map(_.getString(0))
+    val k1 = mapper.readTree(keep(0)).get("record")
+    assert(k1.has("a") && k1.get("a").isNull, keep(0))
+    assert(k1.get("b").asDouble() === 2.5)
+  }
+
   test("distributed singer export writes record parts + schema/state sidecars") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i, s"v$i")).toDF("id", "v").repartition(4)
