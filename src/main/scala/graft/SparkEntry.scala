@@ -57,6 +57,38 @@ object SparkEntry {
       Map("customer" -> spark.read.parquet(s"$dir/customer.parquet")), project = true)
   }
 
+  /** Inputs of the three LSH-verified dedup queries, shared between the
+    * query definitions and the q53 recall-margin probe so the probe can
+    * never drift from what the gated queries actually run on. */
+  private def lshInputQ25(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select("doc_id", "text")
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+    d.unionByName(mutated)
+  }
+
+  private def lshInputQ41(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select("doc_id", "text")
+    val exactDup = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" tail tokens appended")).as("text"))
+    d.unionByName(exactDup).unionByName(nearDup)
+  }
+
+  private def lshInputQ46(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select("doc_id", "text")
+    val m1 = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+    val m2 = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" extra token and more extra")).as("text"))
+    d.unionByName(m1).unionByName(m2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── §2.1 sources: catalog-typed read ─────────────────────────────
     "q01_catalog_typed_read" -> ((s, dir) => {
@@ -268,11 +300,7 @@ object SparkEntry {
     //    probability (1−s²)¹⁶ is the largest, cannot turn expected LSH
     //    recall into a spurious oracle mismatch) ────────────────────────
     "q25_minhash_neardup" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select("doc_id", "text")
-      val mutated = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" extra token")).as("text"))
-      Dedup.minhashNearDupPairs(d.unionByName(mutated), "doc_id", "text",
+      Dedup.minhashNearDupPairs(lshInputQ25(s, dir), "doc_id", "text",
           shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -409,13 +437,7 @@ object SparkEntry {
     // ── scale: full dedup pipeline, exact → minhash (oracle: exact
     //    dedup + brute-force-jaccard near-dup drop, mirrored in SQL) ───
     "q41_dedup_pipeline" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select("doc_id", "text")
-      val exactDup = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      val nearDup = d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
-          concat(col("text"), lit(" tail tokens appended")).as("text"))
-      Dedup.dedupPipeline(d.unionByName(exactDup).unionByName(nearDup),
+      Dedup.dedupPipeline(lshInputQ41(s, dir),
           "doc_id", "text", bands = 16, rowsPerBand = 2, threshold = 0.55,
           assumeUniqueId = true)
         .select("doc_id").orderBy("doc_id")
@@ -469,14 +491,7 @@ object SparkEntry {
     // ── scale: connected-components dedup (oracle: brute-force pairs +
     //    recursive-CTE transitive closure in DuckDB) ────────────────────
     "q46_dedup_cc" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select("doc_id", "text")
-      val m1 = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" extra token")).as("text"))
-      val m2 = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
-          concat(col("text"), lit(" extra token and more extra")).as("text"))
-      val u = d.unionByName(m1).unionByName(m2)
+      val u = lshInputQ46(s, dir)
       val pairs = Dedup.minhashNearDupPairs(u, "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
       Dedup.dedupByComponents(u, "doc_id", pairs)
@@ -563,6 +578,50 @@ object SparkEntry {
       store.readForKeys("orders", keys, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
+    }),
+    // ── §2.2 distributed Singer sink: executor-written RECORD parts,
+    //    round-tripped through a text read-back (oracle: DuckDB rebuilds
+    //    the same record lines — so part-file content, not just counts,
+    //    is gated; the single-file writer shares recordLine, spec'd) ─────
+    "q52_singer_distributed" -> ((s, dir) => {
+      val ev = T(s, dir, "events").filter(col("event_id") < 1000)
+        .select("event_id", "event_type", "value")
+      val out = java.nio.file.Files.createTempDirectory("gs_dsinger_").toString
+      graft.singer.SingerWriter.writeDistributed(ev.repartition(8), "events", out)
+      s.read.text(s"$out/records")
+        .select(get_json_object(col("value"), "$.record.event_id")
+          .cast("bigint").as("event_id"), col("value").as("line"))
+        .orderBy("event_id")
+    }),
+    // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
+    //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
+    //    banding's 0.5 S-curve midpoint. This query recomputes, brute
+    //    force, every true pair of each gated input and (a) REQUIREs the
+    //    aggregate band-miss mass of oracle pairs stays negligible,
+    //    (b) emits the per-probe stats as a gated row — so a testdata
+    //    regen that grows pairs near the midpoint fails loudly here
+    //    instead of surfacing as an unexplained q25/q41/q46 mismatch. ────
+    "q53_lsh_margin" -> ((s, dir) => {
+      import s.implicits._
+      val probes = Seq(
+        "q25" -> lshInputQ25(s, dir),
+        "q41" -> lshInputQ41(s, dir),
+        "q46" -> lshInputQ46(s, dir))
+      val rows = probes.map { case (p, in) =>
+        val r = Dedup.lshMarginStats(in, "doc_id", "text", shingleSize = 3,
+          bands = 16, rowsPerBand = 2, threshold = 0.55, hazardFloor = 0.5).first()
+        val misses = if (r.isNullAt(3)) 0.0 else r.getDouble(3)
+        System.err.println(f"[verify] lsh-margin $p: oracle_pairs=${r.getLong(0)} " +
+          f"hazard_pairs=${r.getLong(1)} min_jaccard=${r.get(2)} " +
+          f"expected_band_misses=$misses%.3e")
+        require(r.getLong(0) > 0, s"LSH margin probe $p found no true pairs — gated input is broken")
+        require(misses <= 0.05,
+          f"LSH margin violated for $p: expected band misses $misses%.4f > 0.05 — " +
+            "testdata pairs hug the 0.5 banding midpoint; the q25/q41/q46 LSH gates are no longer reliable")
+        (p, r.getLong(0), r.getLong(1), r.getDouble(2))
+      }
+      rows.toDF("probe", "oracle_pairs", "hazard_pairs", "min_jaccard")
+        .orderBy("probe")
     }))
 
   /** Bench-protocol variants (graft.Bench uses these; CORRECTNESS still
@@ -649,7 +708,10 @@ object SparkEntry {
             col("o_totalprice").cast("double").as("o_totalprice"))
           .orderBy("o_orderkey")
       }))
-    queries.map { case (n, fn) =>
+    // q53 is a verify-time data-quality probe that deliberately
+    // brute-forces ALL O(n²) doc pairs (that's what the banding it guards
+    // exists to avoid) — it is not an operator and must not enter the bench.
+    (queries - "q53_lsh_margin").map { case (n, fn) =>
       n -> overrides.getOrElse(n, (s: SparkSession, d: String) => () => fn(s, d))
     }
   }
@@ -1106,7 +1168,65 @@ object SparkEntry {
         |SELECT * FROM inc
         |UNION ALL
         |SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q52_singer_distributed" ->
+      """SELECT event_id,
+        |  '{"type": "RECORD", "stream": "events", "record": ' ||
+        |  CAST(json_object('event_id', event_id, 'event_type', event_type,
+        |    'value', value) AS VARCHAR) || '}' AS line
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "q53_lsh_margin" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |u25 AS (
+         |  SELECT doc_id, text FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM docs WHERE doc_id % 10 = 0),
+         |u41 AS (
+         |  SELECT doc_id, text FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM docs WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' tail tokens appended' AS text
+         |  FROM docs WHERE doc_id % 11 = 0),
+         |u46 AS (
+         |  SELECT doc_id, text FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM docs WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' extra token and more extra' AS text
+         |  FROM docs WHERE doc_id % 10 = 0),
+         |t25 AS (SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u25)),
+         |t41 AS (SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u41)),
+         |t46 AS (SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u46)),
+         |p25 AS (SELECT len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM t25 a JOIN t25 b ON a.doc_id < b.doc_id),
+         |p41 AS (SELECT len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM t41 a JOIN t41 b ON a.doc_id < b.doc_id),
+         |p46 AS (SELECT len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM t46 a JOIN t46 b ON a.doc_id < b.doc_id)
+         |SELECT 'q25' AS probe,
+         |  count(*) FILTER (WHERE j >= 0.55) AS oracle_pairs,
+         |  count(*) FILTER (WHERE j >= 0.5 AND j < 0.55) AS hazard_pairs,
+         |  round(min(j) FILTER (WHERE j >= 0.55), 4) AS min_jaccard FROM p25
+         |UNION ALL
+         |SELECT 'q41' AS probe,
+         |  count(*) FILTER (WHERE j >= 0.55) AS oracle_pairs,
+         |  count(*) FILTER (WHERE j >= 0.5 AND j < 0.55) AS hazard_pairs,
+         |  round(min(j) FILTER (WHERE j >= 0.55), 4) AS min_jaccard FROM p41
+         |UNION ALL
+         |SELECT 'q46' AS probe,
+         |  count(*) FILTER (WHERE j >= 0.55) AS oracle_pairs,
+         |  count(*) FILTER (WHERE j >= 0.5 AND j < 0.55) AS hazard_pairs,
+         |  round(min(j) FILTER (WHERE j >= 0.55), 4) AS min_jaccard FROM p46
+         |ORDER BY probe""".stripMargin)
 
   // ── oracle-SQL generation helpers ──────────────────────────────────────
   // The rows-only queries become oracle-checked by REPLAYING the algorithm

@@ -273,6 +273,42 @@ object Dedup {
     } finally shArr.unpersist()
   }
 
+  /** Recall-margin probe for LSH-gated oracle checks (VERIFY-time data
+    * quality, not an operator): brute-force jaccard over ALL doc pairs —
+    * no banding — reporting how close the data comes to the banding design
+    * point. An oracle that verifies at `threshold` while the `bands`-band
+    * signature targets a lower S-curve midpoint is only safe while no true
+    * pair hugs the midpoint: a pair at jaccard s is missed by every band
+    * with probability (1−s^rows)^bands, so the check aggregates that miss
+    * mass over all pairs ≥ threshold (`expected_misses`) and counts pairs
+    * in the hazard window [hazardFloor, threshold) that the margin
+    * excludes. O(n²) pairs by construction — call on verify-scale data
+    * only (it deliberately does what the banding exists to avoid). */
+  def lshMarginStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.55,
+      hazardFloor: Double = 0.5): DataFrame = {
+    val shArr = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+      .select(col(idCol).as("__id"), shinglesOf(col("__toks"), shingleSize).as("__sharr"))
+    val a = shArr.toDF("id_a", "__sha")
+    val b = shArr.toDF("id_b", "__shb")
+    val inter = size(array_intersect(col("__sha"), col("__shb")))
+    val j = inter / (size(col("__sha")) + size(col("__shb")) - inter)
+    a.join(b, col("id_a") < col("id_b"))
+      .select(j.as("j")).filter(col("j") >= hazardFloor)
+      .agg(
+        count(when(col("j") >= threshold, true)).as("oracle_pairs"),
+        count(when(col("j") < threshold, true)).as("hazard_pairs"),
+        round(min(when(col("j") >= threshold, col("j"))), 4).as("min_jaccard"),
+        sum(when(col("j") >= threshold,
+          pow(lit(1.0) - pow(col("j"), rowsPerBand), bands))).as("expected_misses"))
+  }
+
   /** Drop every doc that has a near-duplicate with a smaller id (single
     * LSH + verify pass; no connected components needed for dedup-keep-first). */
   def minhashDedup(
