@@ -53,8 +53,15 @@ object Stress {
       println("[stress]   kept=" + Bench.force(Dedup.exactDedup(docs, Seq("text"), "doc_id",
         assumeUniqueOrder = true)))
     }
-    time(s"simhash ${factor}x") {
+    // fused vs grouped, both under honest row production (toRdd) — the old
+    // count()-forced comparison column-pruned the fused projection, timing
+    // a bare scan against a real aggregate
+    time(s"simhash fused ${factor}x") {
       println("[stress]   sigs=" + Bench.force(Dedup.simhash(docs, "doc_id", "text")))
+    }
+    time(s"simhash grouped ${factor}x") {
+      println("[stress]   sigs=" + Bench.force(
+        Dedup.simhash(docs, "doc_id", "text", tokenHash = xxhash64(_))))
     }
     time(s"textAnalysis ${factor}x") {
       println("[stress]   rows=" + Bench.force(TextAnalysis.analyze(docs, "text")))
@@ -65,20 +72,28 @@ object Stress {
     // round count (the old min-label needed O(diameter) rounds; large-star/
     // small-star must stay logarithmic), the union with cliques checks the
     // mixed regime near-dup graphs actually produce
-    time(s"connectedComponents chain(${factor * 10000}) + 1000 cliques(10)") {
-      val n = factor * 10000L
-      val chain = spark.range(n - 1).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-      val cliques = spark.range(1000).toDF("c").crossJoin(
-        spark.range(10).toDF("i").crossJoin(spark.range(10).toDF("j"))
-          .filter(col("i") < col("j")))
-        .select((lit(n) + col("c") * 10 + col("i")).as("id_a"),
-          (lit(n) + col("c") * 10 + col("j")).as("id_b"))
-      // rounds are logarithmic but a 10k·factor chain needs ~log2(n) of
-      // them — the default maxIter=20 is reached near factor 100, so give
-      // explicit headroom (maxIter caps cost, not correctness margin)
-      val comp = Dedup.connectedComponents(chain.unionByName(cliques), maxIter = 40)
-      println("[stress]   components=" +
-        comp.select("component").distinct().count() + " (expect 1001)")
+    val ccN = factor * 10000L
+    val ccChain = spark.range(ccN - 1).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val ccCliques = spark.range(1000).toDF("c").crossJoin(
+      spark.range(10).toDF("i").crossJoin(spark.range(10).toDF("j"))
+        .filter(col("i") < col("j")))
+      .select((lit(ccN) + col("c") * 10 + col("i")).as("id_a"),
+        (lit(ccN) + col("c") * 10 + col("j")).as("id_b"))
+    val ccEdges = ccChain.unionByName(ccCliques)
+    // default path: the 200k+45k edge set is under the driver gate —
+    // union-find closes it in milliseconds after one canonicalize+collect
+    time(s"connectedComponents chain(${ccN}) + 1000 cliques(10) [driver gate]") {
+      println("[stress]   components=" + Dedup.connectedComponents(ccEdges, maxIter = 40)
+        .select("component").distinct().count() + " (expect 1001)")
+    }
+    // forced distributed: the above-the-gate regime (a 10k·factor chain
+    // needs ~log2(n) alternation rounds — the default maxIter=20 is
+    // reached near factor 100, so give explicit headroom; maxIter caps
+    // cost, not correctness margin)
+    time(s"connectedComponents chain(${ccN}) + 1000 cliques(10) [forced distributed]") {
+      println("[stress]   components=" + Dedup.connectedComponents(ccEdges, maxIter = 40,
+          maxDriverEdges = 0L)
+        .select("component").distinct().count() + " (expect 1001)")
     }
 
     val orders0 = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -89,6 +104,55 @@ object Stress {
       val delta = orders.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1)
       println("[stress]   merged=" + Bench.force(Snapshot.upsert(Some(snap), delta, Seq("o_orderkey"))))
+    }
+
+    // bucketed store at DEPTH: 100 small upserts build deep generation
+    // history. The invariant under test: disk usage and read cost stay
+    // O(live buckets), not O(total upserts) — the manifest names at most
+    // one generation per bucket, GC retains only the keepManifests grace
+    // window, and a point lookup after 100 commits prunes exactly like a
+    // fresh store's.
+    time("bucketed store: 100-deep upsert history") {
+      val dir = java.nio.file.Files.createTempDirectory("gs_deep_").toString
+      val store = new BucketedSnapshotStore(spark, dir, numBuckets = 64)
+      val base = orders0.select(col("o_orderkey"), col("o_totalprice"))
+      val baseCount = base.count()
+      store.write("orders", base, Seq("o_orderkey"))
+      var i = 0
+      while (i < 100) {
+        // 5 scattered keys per commit → a handful of touched buckets each,
+        // the shape that actually builds many-generation manifests
+        val delta = base.filter(col("o_orderkey") % 30000 === (i * 7) % 30000)
+          .withColumn("o_totalprice", lit(-1.0) - i)
+        store.upsert("orders", delta, Seq("o_orderkey"))
+        i += 1
+      }
+      val root = store.path("orders")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(root).map(_.getPath.getName)
+      val gens = entries.count(_.startsWith("gen-"))
+      val manifests = entries.count(_.startsWith("manifest-"))
+      println(s"[stress]   after 100 upserts: $gens generations, $manifests manifests on disk")
+      assert(manifests == 2, s"GC must retain exactly keepManifests=2, saw $manifests")
+      assert(gens <= 64 + 16,
+        s"live generations must stay O(buckets)=64, not O(history)=100+: saw $gens")
+      val keys = (1L to 2000L).toDF("o_orderkey")
+      def lookup(tag: String): Long = {
+        val t0 = System.nanoTime()
+        val got = Bench.force(store.readForKeys("orders", keys, Seq("o_orderkey")))
+        println(f"[stress]   $tag readForKeys(2000): $got rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        got
+      }
+      lookup("deep-history")
+      // compaction collapses the per-generation read fan-out back to one scan
+      val collapsed = store.compact("orders")
+      println(s"[stress]   compacted $collapsed generations into 1")
+      lookup("post-compact")
+      val fin = store.read("orders").get
+      val negs = fin.filter(col("o_totalprice") < 0).count()
+      assert(fin.count() == baseCount, "deep upsert history lost rows")
+      assert(negs > 0 && negs <= 500, s"unexpected updated-row count $negs")
+      fs.delete(root, true)
     }
 
     val events0 = spark.read.parquet(s"$sfDir/events.parquet")

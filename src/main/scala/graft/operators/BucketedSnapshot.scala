@@ -297,6 +297,32 @@ class BucketedSnapshotStore(
     touched.length.toLong
   }
 
+  /** Rewrite every live bucket into ONE fresh generation under the same
+    * commit protocol (new generation → manifest flip → GC). Deep upsert
+    * history leaves the manifest referencing up to `numBuckets` distinct
+    * generations, and every read unions one pruned scan per referenced
+    * generation — compaction collapses that fan-out back to a single
+    * scan. O(snapshot) I/O like the reference's whole-file rewrite
+    * (etl_utils.py:180-191), but only when invoked; upserts stay
+    * delta-proportional. Returns the number of generations collapsed. */
+  def compact(name: String): Int = {
+    val root = path(name)
+    val manifest = readManifest(root)
+    if (manifest.forall(_._2.isEmpty)) return 0
+    val (ver, m) = manifest.get
+    val liveGens = m.values.toSet.size
+    if (liveGens <= 1) return liveGens
+    // readBuckets keeps the bucket column, so rows land in their existing
+    // buckets unchanged (alreadyBucketed) — no re-hash, no pk needed
+    val full = readBuckets(root, m, None).get
+    val (gen, buckets) = writeGeneration(root, full, Nil, alreadyBucketed = true)
+    beforeCommitHook()
+    writeManifest(root, ver + 1, buckets.map(_ -> gen).toMap)
+    afterCommitHook()
+    gc(root)
+    liveGens
+  }
+
   /** Point lookup / key-subset read with bucket pruning: scans only the
     * buckets the requested keys hash into (merge-on-read companion).
     *

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -426,13 +426,20 @@ object Dedup {
     * min-label propagation (a 100-chain converges in ~5 rounds instead of
     * 100). Only (id, id) pairs ever shuffle — never documents.
     *
-    * Integral ids take an RDD loop (the one place in this library where
-    * RDDs beat DataFrames: an iterative fixpoint re-enters Catalyst
-    * analysis + AQE planning + eager-checkpoint materialization EVERY
-    * round, a fixed ~1s/round at any scale — the RDD rounds are plain
-    * shuffles with lineage anchored at the previous round's persisted
-    * blocks, exactly GraphX's regime). Non-integral ids (e.g. string keys)
-    * fall back to an equivalent DataFrame window loop.
+    * SIZE-GATED EXECUTION (like Spark's broadcast-join threshold): the
+    * edge set an LSH near-dup stage emits is almost always tiny relative
+    * to the corpus — capped band buckets bound it explicitly — so when the
+    * canonical distinct edge count is ≤ `maxDriverEdges` (default 2M,
+    * ~32 MB of (long,long) pairs) the closure is computed with a
+    * driver-side union-find in milliseconds: a distributed star-contraction
+    * round costs ~1 s of fixed scheduling at ANY size, and a 2M-edge graph
+    * can need 15+ of them. Above the gate — or with `maxDriverEdges = 0` —
+    * integral ids take the distributed RDD loop (the one place in this
+    * library where RDDs beat DataFrames: an iterative fixpoint re-enters
+    * Catalyst analysis + AQE planning every round; the RDD rounds are
+    * plain shuffles anchored at the previous round's persisted blocks,
+    * exactly GraphX's regime). Non-integral ids (e.g. string keys) fall
+    * back to an equivalent DataFrame window loop.
     *
     * The convergence probe compares edge counts and only runs the exact
     * set-difference check when counts match (i.e. on the final round).
@@ -445,7 +452,8 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     val raw = pairs.select(col(idA).as("a"), col(idB).as("b"))
     // union type-widens, so this is the common id type the result carries
     val allNodes = raw.select(col("a").as("id"))
@@ -456,7 +464,7 @@ object Dedup {
       case _ => false
     }
     val stars =
-      if (integral) ccStarsRdd(raw, maxIter, idType)
+      if (integral) ccStarsIntegral(raw, maxIter, idType, maxDriverEdges)
       else ccStarsDf(raw, maxIter)
     // converged stars: every non-min node points at its component min (min
     // over dsts is belt-and-braces for the maxIter-partial case); minima
@@ -473,28 +481,98 @@ object Dedup {
         "raise maxIter (rounds are logarithmic, so this indicates a " +
         "pathological graph or maxIter set very low)")
 
-  /** RDD star-contraction loop for integral ids, returning the converged
-    * star edge set as a (src, dst) DataFrame cast back to `idType`.
-    * Each round is one 3-stage job (large-star groupByKey, small-star
-    * groupByKey, distinct) + a count on the persisted result — no Catalyst
-    * re-analysis, no checkpoint job. Neighborhoods are materialized per
-    * key like the paper's reducers; the component-min's neighborhood grows
-    * toward component size, the known memory bound of this algorithm. */
-  private def ccStarsRdd(raw: DataFrame, maxIter: Int,
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+  /** Integral-id star computation: canonicalize + count once, then route
+    * by size — driver union-find under the gate, distributed RDD
+    * star-contraction above it. */
+  private def ccStarsIntegral(raw: DataFrame, maxIter: Int,
+      idType: org.apache.spark.sql.types.DataType, maxDriverEdges: Long): DataFrame = {
     val spark = raw.sparkSession
     import org.apache.spark.storage.StorageLevel
     val pairRdd = raw.filter(col("a") =!= col("b"))
       .select(col("a").cast(LongType), col("b").cast(LongType))
       .queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
     val np = math.max(pairRdd.getNumPartitions, 2)
-    var edges = pairRdd
+    val edges = pairRdd
       .map { case (x, y) => if (x > y) (x, y) else (y, x) } // canonical src > dst
       .distinct(np).persist(StorageLevel.MEMORY_AND_DISK)
-    var edgeCount = edges.count()
+    val edgeCount = edges.count()
+    try {
+      if (edgeCount <= maxDriverEdges) ccStarsDriver(spark, edges.collect(), idType)
+      else ccStarsRdd(spark, edges, edgeCount, np, maxIter, idType)
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Driver union-find (path-halving, union-by-min so the root IS the
+    * component minimum) over a collected canonical edge array. The gate
+    * guarantees ≤ maxDriverEdges pairs — ~32 MB at the 2M default —
+    * and the closure of that is microseconds of driver CPU vs 10+
+    * distributed rounds at ~1 s of scheduling each. Returns the same
+    * (src, dst) star frame as the distributed loops: every edge-touched
+    * node mapped to its component min. */
+  private def ccStarsDriver(spark: SparkSession, edges: Array[(Long, Long)],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.min(Int.MaxValue.toLong, edges.length.toLong * 3).toInt)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      if (p == null) { parent.put(x, x); return x }
+      while (p != x) { // path-halving
+        val gp = parent.get(p.longValue())
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    var i = 0
+    while (i < edges.length) {
+      val (a, b) = edges(i)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      i += 1
+    }
+    val rows = new Array[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val node = it.next().longValue()
+      rows(j) = org.apache.spark.sql.Row(node, find(node))
+      j += 1
+    }
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq,
+        math.max(1, rows.length / 2000000)), schema)
+      .select(col("src").cast(idType).as("src"), col("dst").cast(idType).as("dst"))
+  }
+
+  /** RDD star-contraction loop for integral ids above the driver gate,
+    * returning the converged star edge set as a (src, dst) DataFrame cast
+    * back to `idType`. Each round is one 3-stage job (large-star
+    * groupByKey, small-star groupByKey, distinct) + a count on the
+    * persisted result — no Catalyst re-analysis, no checkpoint job.
+    * Round shuffles run on a partition count sized to the CURRENT edge
+    * count (the set shrinks toward star edges as rounds proceed — task
+    * scheduling would otherwise dominate the endgame rounds).
+    * Neighborhoods are materialized per key like the paper's reducers;
+    * the component-min's neighborhood grows toward component size, the
+    * known memory bound of this algorithm. */
+  private def ccStarsRdd(spark: SparkSession,
+      edges0: org.apache.spark.rdd.RDD[(Long, Long)], count0: Long, np: Int,
+      maxIter: Int, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def roundPartitions(n: Long): Int =
+      math.max(4, math.min(np.toLong, n / 250000L + 1L)).toInt
+    var edges = edges0
+    var edgeCount = count0
     var iter = 0
     var converged = edgeCount == 0L
     while (iter < maxIter && !converged) {
+      val np = roundPartitions(edgeCount)
       // ── large-star ──────────────────────────────────────────────────
       // symmetric view so every node sees its full neighborhood; m(u) =
       // min(Γ(u) ∪ {u}); emit (v, m) for every neighbor v > u (each

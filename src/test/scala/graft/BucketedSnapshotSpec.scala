@@ -70,6 +70,28 @@ class BucketedSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("compact collapses a deep-generation manifest into one scan, same data") {
+    val dir = tmpDir("bsnap_compact_")
+    val store = new BucketedSnapshotStore(spark, dir, numBuckets = 8)
+    store.write("t", (1 to 400).map(i => (i, i * 10)).toDF("id", "x"), Seq("id"))
+    // 12 small upserts → the manifest references many generations
+    for (k <- 1 to 12)
+      store.upsert("t", Seq((k * 30, -k), (400 + k, -k)).toDF("id", "x"), Seq("id"))
+    val before = store.read("t").get.orderBy("id").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val collapsed = store.compact("t")
+    assert(collapsed > 1, s"expected a multi-generation manifest, saw $collapsed")
+    // same rows, single live generation, point lookups still correct
+    val after = store.read("t").get.orderBy("id").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(after.toSeq === before.toSeq)
+    assert(store.compact("t") === 1) // idempotent: already single-generation
+    val got = store.readForKeys("t", Seq(30, 401).toDF("id"), Seq("id"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq === Seq((30, -1), (401, -1)))
+    // upserts keep working on the compacted store
+    store.upsert("t", Seq((1, 111)).toDF("id", "x"), Seq("id"))
+    assert(store.read("t").get.filter(col("id") === 1).first().getInt(1) === 111)
+  }
+
   test("GC grace window: previous manifest stays readable across a commit") {
     val dir = tmpDir("bsnap_pin_")
     val store = new BucketedSnapshotStore(spark, dir, numBuckets = 8, keepManifests = 2)

@@ -327,13 +327,29 @@ class ScaleOpsSpec extends SparkSpec {
   test("connectedComponents converges logarithmically on a 100-node chain") {
     // worst case for min-label propagation (O(diameter) = 100 rounds);
     // large-star/small-star must collapse it within 7 rounds — maxIter=7
-    // would return a SPLIT labeling if convergence were any slower
+    // would return a SPLIT labeling if convergence were any slower.
+    // maxDriverEdges=0 forces the DISTRIBUTED loop (the round budget is
+    // what's under test; the driver union-find gate would bypass it)
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, maxIter = 7)
+    val comp = Dedup.connectedComponents(pairs, maxIter = 7, maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size === 100)
     assert(comp.values.forall(_ === 0L),
       s"chain did not fully collapse in ≤7 rounds: ${comp.filter(_._2 != 0L)}")
+  }
+
+  test("driver union-find gate agrees with the distributed star loop") {
+    // deterministic random graph: mixed components, chains, self-pairs
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs) // 400 edges ≪ gate
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDistributed = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === viaDistributed)
+    // labels are component minima on both paths
+    assert(viaDriver.forall { case (id, c) => c <= id })
   }
 
   test("connectedComponents handles self-pairs and shuffled edge directions") {
