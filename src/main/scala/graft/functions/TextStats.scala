@@ -1,0 +1,327 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-pass text statistics.
+  *
+  * The TextAnalysis operators were built from `org.apache.spark.sql.
+  * functions` regex primitives — correct, but a quality + langid + token
+  * pass re-scans every document ~10 times through java.util.regex
+  * machinery (still the honest bottleneck of the text family: 15.5 s for
+  * 100k docs at stress scale, all of it projection CPU). These expressions
+  * compute the same numbers in one compiled character scan per document.
+  *
+  * VALUE PARITY IS A CONTRACT, not an aspiration: the DuckDB oracles
+  * (q21-q24) replay the original regex formulations, and the ScalaTest
+  * property spec asserts fused == regex on randomized inputs including the
+  * nasty edges. The scan therefore replicates Java-regex semantics
+  * EXACTLY:
+  *  - `\s` is the ASCII set [ \t\n\x0B\f\r] — NOT Character.isWhitespace
+  *    (U+00A0 etc. are not `\s` and must count as ordinary chars);
+  *  - `\w` (for `\b` word boundaries) is ASCII [A-Za-z0-9_];
+  *  - char classes match per CODEPOINT (an emoji is ONE `[^A-Za-z0-9\s]`
+  *    match even though it is two UTF-16 chars);
+  *  - Spark's `trim` strips SPACES only (a leading tab survives);
+  *  - Spark's `split(str, re)` keeps trailing empty fields (limit -1), so
+  *    "a b " tokenizes to 3 fields, and a whitespace-only non-empty string
+  *    to 2;
+  *  - `(?i)` without UNICODE_CASE folds ASCII only — marker/stopword hits
+  *    are ASCII word runs compared case-folded.
+  *
+  * CodegenFallback is deliberate (same reasoning as [[MinHashSignature]]):
+  * one boxed call per document does the whole fused scan, and the
+  * expression can never blow up generated-method size.
+  */
+object TextScan {
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  @inline private def isWord(c: Char): Boolean =
+    isAlpha(c) || isDigit(c) || c == '_'
+  @inline private def isPunct(c: Char): Boolean =
+    c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?'
+
+  /** `size(split(trim(s), "\\s+"))` with Spark semantics (space-only trim,
+    * kept trailing empties), 0 for space-only strings. */
+  def tokenCount(s: String): Int = {
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    if (lo == hi) return 0
+    var n = 1
+    var i = lo
+    while (i < hi) {
+      if (isWs(s.charAt(i))) {
+        n += 1
+        while (i < hi && isWs(s.charAt(i))) i += 1
+      } else i += 1
+    }
+    n
+  }
+
+  /** `size(regexp_extract_all(s, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))`:
+    * alpha runs + digit runs + single non-ws other codepoints. */
+  def bpeishCount(s: String): Int = {
+    var n = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (isAlpha(c)) {
+        n += 1
+        while (i < len && isAlpha(s.charAt(i))) i += 1
+      } else if (isDigit(c)) {
+        n += 1
+        while (i < len && isDigit(s.charAt(i))) i += 1
+      } else if (isWs(c)) {
+        i += 1
+      } else {
+        n += 1
+        i += Character.charCount(s.codePointAt(i)) // one match per codepoint
+      }
+    }
+    n
+  }
+
+  /** Java-`\b` word character. QUIRK REPLICATED ON PURPOSE: without
+    * UNICODE_CHARACTER_CLASS, Java's `\w` is ASCII [A-Za-z0-9_] but `\b`
+    * boundaries are computed from `ch == '_' || Character.isLetterOrDigit`
+    * — UNICODE letters/digits (OpenJDK Pattern.Bound). So "aé" is ONE word
+    * run ('é' is a letter) and `(?i)\ba\b` does NOT match it; an ASCII-only
+    * scanner would over-count. Verified by the parity property spec. */
+  @inline private def isBoundWord(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  /** Count of `\b`-delimited word runs whose ASCII-case-folded form is in
+    * `words` — exactly `regexp_count(s, "(?i)\\b(w1|w2|…)\\b")` for
+    * ASCII-lowercase alternatives (the `\b` anchors make each whole run the
+    * only candidate match; runs containing non-ASCII word chars can never
+    * equal an ASCII marker, matching the regex's failed-boundary behavior). */
+  def wordHits(s: String, words: java.util.HashSet[String]): Int = {
+    var n = 0
+    var i = 0
+    val len = s.length
+    val sb = new java.lang.StringBuilder(16)
+    while (i < len) {
+      if (isBoundWord(s.codePointAt(i))) {
+        sb.setLength(0)
+        var cp = s.codePointAt(i)
+        while (i < len && isBoundWord(cp)) {
+          if (cp >= 'A' && cp <= 'Z') sb.append((cp + 32).toChar)
+          else sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+          if (i < len) cp = s.codePointAt(i)
+        }
+        if (words.contains(sb.toString)) n += 1
+      } else i += Character.charCount(s.codePointAt(i))
+    }
+    n
+  }
+
+  /** Per-language word hits in one scan (shared tokenization; same
+    * Java-`\b` run semantics as [[wordHits]]). */
+  def multiWordHits(s: String, lexicons: Array[java.util.HashSet[String]]): Array[Int] = {
+    val out = new Array[Int](lexicons.length)
+    var i = 0
+    val len = s.length
+    val sb = new java.lang.StringBuilder(16)
+    while (i < len) {
+      if (isBoundWord(s.codePointAt(i))) {
+        sb.setLength(0)
+        var cp = s.codePointAt(i)
+        while (i < len && isBoundWord(cp)) {
+          if (cp >= 'A' && cp <= 'Z') sb.append((cp + 32).toChar)
+          else sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+          if (i < len) cp = s.codePointAt(i)
+        }
+        val w = sb.toString
+        var l = 0
+        while (l < lexicons.length) {
+          if (lexicons(l).contains(w)) out(l) += 1
+          l += 1
+        }
+      } else i += Character.charCount(s.codePointAt(i))
+    }
+    out
+  }
+
+  /** Codepoint count of chars in [A-Za-z] (== length of
+    * `regexp_replace(s, "[^A-Za-z]", "")`). */
+  def alphaCount(s: String): Int = {
+    var n = 0; var i = 0
+    while (i < s.length) { if (isAlpha(s.charAt(i))) n += 1; i += 1 }
+    n
+  }
+
+  /** Codepoint count of chars in [.,;:!?]. */
+  def punctCount(s: String): Int = {
+    var n = 0; var i = 0
+    while (i < s.length) { if (isPunct(s.charAt(i))) n += 1; i += 1 }
+    n
+  }
+
+  /** The fingerprint canonicalization pipeline on an ALREADY-lowercased
+    * string: `regexp_replace(trim(regexp_replace(lc, "[^a-z0-9\\s]", " ")),
+    * "\\s+", " ")` — each non-[a-z0-9\s] CODEPOINT becomes one space, then
+    * space-only trim, then \s-runs collapse to single spaces. */
+  def canonicalize(lc: String): String = {
+    val len = lc.length
+    // step 1: substitute — build into a char array (1 space per codepoint)
+    val sub = new java.lang.StringBuilder(len)
+    var i = 0
+    while (i < len) {
+      val c = lc.charAt(i)
+      if ((c >= 'a' && c <= 'z') || isDigit(c) || isWs(c)) { sub.append(c); i += 1 }
+      else { sub.append(' '); i += Character.charCount(lc.codePointAt(i)) }
+    }
+    // step 2: trim SPACES only
+    var lo = 0
+    var hi = sub.length
+    while (lo < hi && sub.charAt(lo) == ' ') lo += 1
+    while (hi > lo && sub.charAt(hi - 1) == ' ') hi -= 1
+    // step 3: collapse \s runs
+    val out = new java.lang.StringBuilder(hi - lo)
+    i = lo
+    while (i < hi) {
+      val c = sub.charAt(i)
+      if (isWs(c)) {
+        out.append(' ')
+        while (i < hi && isWs(sub.charAt(i))) i += 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+}
+
+/** All scalar text stats in one scan:
+  * struct(chars, tokens, bpeish, alpha, punct, stop). `chars` counts
+  * codepoints like Spark's `length()`; `stop` is the quality-score
+  * stopword hit count. */
+case class TextCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("chars", IntegerType, nullable = false),
+    StructField("tokens", IntegerType, nullable = false),
+    StructField("bpeish", IntegerType, nullable = false),
+    StructField("alpha", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("stop", IntegerType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      s.codePointCount(0, s.length),
+      TextScan.tokenCount(s),
+      TextScan.bpeishCount(s),
+      TextScan.alphaCount(s),
+      TextScan.punctCount(s),
+      TextScan.wordHits(s, TextCounts.StopWords)))
+  }
+  override protected def withNewChildInternal(c: Expression): TextCounts =
+    copy(child = c)
+  override def prettyName: String = "text_counts"
+}
+
+object TextCounts {
+  /** The quality-score stopword list (same as the regex alternation). */
+  private[functions] val StopWords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "and", "of", "to", "a", "in", "is", "it").foreach(s.add)
+    s
+  }
+}
+
+/** Marker-lexicon hit counts per language as array<int> (lexicon order =
+  * constructor order), one shared tokenization scan. */
+case class LangScores(child: Expression, langs: Seq[String],
+    lexicons: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lexicons.map { ws =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    new GenericArrayData(TextScan.multiWordHits(s, sets))
+  }
+  override protected def withNewChildInternal(c: Expression): LangScores =
+    copy(child = c)
+  override def prettyName: String = "lang_scores"
+}
+
+/** argmax language directly (one scan, one eval): the language (constructor
+  * order = sorted language codes) with the most marker-word hits, ties
+  * broken by the earlier code — identical to sorting (score desc, lang asc)
+  * and taking the head. */
+case class LangIdBest(child: Expression, langs: Seq[String],
+    lexicons: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lexicons.map { ws =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+  @transient private lazy val langUtf8: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val hits = TextScan.multiWordHits(v.asInstanceOf[UTF8String].toString, sets)
+    var best = 0
+    var i = 1
+    while (i < hits.length) {
+      if (hits(i) > hits(best)) best = i
+      i += 1
+    }
+    langUtf8(best)
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdBest =
+    copy(child = c)
+  override def prettyName: String = "lang_id_best"
+}
+
+/** Fingerprint canonical text: Spark `lower()` (UTF8String.toLowerCase —
+  * the exact same call) followed by the substitute/trim/collapse pipeline.
+  * md5 stays an ordinary builtin on top. */
+case class CanonicalText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      TextScan.canonicalize(v.asInstanceOf[UTF8String].toLowerCase.toString))
+  override protected def withNewChildInternal(c: Expression): CanonicalText =
+    copy(child = c)
+  override def prettyName: String = "canonical_text"
+}
+
+object TextStats {
+  import org.apache.spark.sql.graft.bridge
+
+  def text_counts(text: Column): Column =
+    bridge.column(TextCounts(bridge.expression(text)))
+
+  def lang_scores(text: Column, langs: Seq[String], lexicons: Seq[Seq[String]]): Column =
+    bridge.column(LangScores(bridge.expression(text), langs, lexicons))
+
+  def lang_id_best(text: Column, langs: Seq[String], lexicons: Seq[Seq[String]]): Column =
+    bridge.column(LangIdBest(bridge.expression(text), langs, lexicons))
+
+  def canonical_text(text: Column): Column =
+    bridge.column(CanonicalText(bridge.expression(text)))
+}

@@ -39,14 +39,24 @@ object TextAnalysis {
     struct(fields: _*)
   }
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
+  /** The fused one-pass counters struct (see [[graft.functions.TextCounts]]).
+    * Build it ONCE per select and read fields off it — Spark's runtime
+    * subexpression elimination dedupes repeated references. */
+  def textCounts(text: Column): Column = graft.functions.TextStats.text_counts(text)
+
+  /** Whitespace token count (fused scan; regex twin below is the
+    * spec-asserted reference semantics). */
+  def tokenCount(text: Column): Column = textCounts(text).getField("tokens")
+
+  private[graft] def tokenCountRegex(text: Column): Column =
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count: words, numbers, and punctuation runs counted
     * separately (a cheap stand-in for a real tokenizer's token count). */
-  def bpeishTokenCount(text: Column): Column =
+  def bpeishTokenCount(text: Column): Column = textCounts(text).getField("bpeish")
+
+  private[graft] def bpeishTokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text,
       lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
@@ -60,12 +70,21 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "est", "et", "dans", "que", "pour", "une"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3", "you3", "he2"))
 
+  /** Marker hits for ONE language (regex form — the fused [[langId]] path
+    * shares a single tokenization across all languages instead). */
   def langScore(text: Column, lang: String): Column = {
     val pattern = "(?i)\\b(" + markerLexicon(lang).mkString("|") + ")\\b"
     regexp_count(text, lit(pattern))
   }
 
+  /** argmax over per-language marker hits, ties broken by language code
+    * order — one fused tokenization scan for all languages. */
   def langId(text: Column): Column = {
+    val langs = markerLexicon.keys.toSeq.sorted
+    graft.functions.TextStats.lang_id_best(text, langs, langs.map(markerLexicon))
+  }
+
+  private[graft] def langIdRegex(text: Column): Column = {
     val langs = markerLexicon.keys.toSeq.sorted
     val scored = array(langs.map(l =>
       struct(langScore(text, l).as("score"), lit(l).as("lang"))): _*)
@@ -80,13 +99,21 @@ object TextAnalysis {
   }
 
   /** Heuristic quality score in [0, 1]: blends length band, alpha ratio,
-    * punctuation ratio, stopword presence, and mean word length band. */
+    * punctuation ratio, stopword presence, and mean word length band.
+    * All five inputs come off ONE fused counters struct; the arithmetic
+    * is identical to the regex twin (and the DuckDB oracle). */
   def qualityScore(text: Column): Column = {
-    val n = length(text).cast(DoubleType)
-    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
-    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType)
-    val stop = regexp_count(text, lit("(?i)\\b(the|and|of|to|a|in|is|it)\\b")).cast(DoubleType)
-    val toks = tokenCount(text).cast(DoubleType)
+    val tc = textCounts(text)
+    val n = tc.getField("chars").cast(DoubleType)
+    val alpha = tc.getField("alpha").cast(DoubleType)
+    val punct = tc.getField("punct").cast(DoubleType)
+    val stop = tc.getField("stop").cast(DoubleType)
+    val toks = tc.getField("tokens").cast(DoubleType)
+    qualityFormula(n, alpha, punct, stop, toks)
+  }
+
+  private def qualityFormula(n: Column, alpha: Column, punct: Column,
+      stop: Column, toks: Column): Column = {
     val lenScore = least(n / lit(500.0), lit(1.0))
     val alphaRatio = when(n > 0, alpha / n).otherwise(0.0)
     val punctPenalty = lit(1.0) - least(when(n > 0, punct / n).otherwise(0.0) * 10.0, lit(1.0))
@@ -94,9 +121,20 @@ object TextAnalysis {
     round(lenScore * 0.25 + alphaRatio * 0.25 + punctPenalty * 0.25 + stopScore * 0.25, 6)
   }
 
+  private[graft] def qualityScoreRegex(text: Column): Column =
+    qualityFormula(
+      length(text).cast(DoubleType),
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType),
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType),
+      regexp_count(text, lit("(?i)\\b(the|and|of|to|a|in|is|it)\\b")).cast(DoubleType),
+      tokenCountRegex(text).cast(DoubleType))
+
   /** Canonical content fingerprint: lowercase, strip non-alphanumerics,
     * collapse whitespace, MD5. Robust to formatting-only edits. */
   def fingerprint(text: Column): Column =
+    md5(graft.functions.TextStats.canonical_text(text))
+
+  private[graft] def fingerprintRegex(text: Column): Column =
     md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+", " "))
 
   /** k-gram hash array for winnowing — POSITIONAL k-grams (every

@@ -60,6 +60,47 @@ class RoundTripSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("fused text scans are value-identical to the regex formulations") {
+    import graft.operators.TextAnalysis
+    // adversarial alphabet: ASCII \s members and non-members (U+00A0,
+    // U+2028 are NOT java-regex \s), word chars incl. '_', marker words,
+    // unicode letters, an astral emoji (one codepoint, two UTF-16 chars)
+    val pieces = Array(
+      "the", "The", "AND", "of", "der", "la", "que", "wo3", "de5", "it",
+      "a", "b", "xyz", "42", "3x", "_", "a_b", "x9_", ".", ",", "!", "?",
+      ";", ":", " ", "  ", "\t", "\n", "\u000B", "\f", "\r", "\u00A0",
+      "\u2028", "é", "Ü", "漢字", "🙂", "'", "\"", "-", "@", "#")
+    val rnd = new scala.util.Random(13)
+    val docs = (1 to 300).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => pieces(rnd.nextInt(pieces.length))).mkString)
+    } ++ Seq(
+      (1001L, ""), (1002L, " "), (1003L, "\t"), (1004L, "   x   "),
+      (1005L, "\tthe cat\t"), (1006L, "the the the und und la la"),
+      (1007L, "🙂🙂 a🙂b"), (1008L, " the "))
+    val df = docs.toDF("id", "t")
+    val out = df.select(
+      TextAnalysis.tokenCount($"t").as("f_tok"),
+      TextAnalysis.tokenCountRegex($"t").as("r_tok"),
+      TextAnalysis.bpeishTokenCount($"t").as("f_bpe"),
+      TextAnalysis.bpeishTokenCountRegex($"t").as("r_bpe"),
+      TextAnalysis.qualityScore($"t").as("f_q"),
+      TextAnalysis.qualityScoreRegex($"t").as("r_q"),
+      TextAnalysis.langId($"t").as("f_lang"),
+      TextAnalysis.langIdRegex($"t").as("r_lang"),
+      TextAnalysis.fingerprint($"t").as("f_fp"),
+      TextAnalysis.fingerprintRegex($"t").as("r_fp"),
+      $"t")
+    out.collect().foreach { r =>
+      val t = r.getString(10)
+      assert(r.getInt(0) === r.getInt(1), s"tokenCount mismatch on ${t.map(_.toInt)}")
+      assert(r.getInt(2) === r.getInt(3), s"bpeish mismatch on ${t.map(_.toInt)}")
+      assert(r.getDouble(4) === r.getDouble(5), s"quality mismatch on ${t.map(_.toInt)}")
+      assert(r.getString(6) === r.getString(7), s"langId mismatch on ${t.map(_.toInt)}")
+      assert(r.getString(8) === r.getString(9), s"fingerprint mismatch on ${t.map(_.toInt)}")
+    }
+  }
+
   test("explode ∘ compress round-trips (pk-grouped content preserved)") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 200).map { i =>
