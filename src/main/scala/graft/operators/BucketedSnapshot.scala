@@ -57,8 +57,11 @@ class BucketedSnapshotStore(
     spark: SparkSession,
     dir: String,
     numBuckets: Int = 64,
-    keepManifests: Int = 2) {
+    keepManifests: Int = 2,
+    autoCompactGenerations: Int = 0) {
   require(keepManifests >= 1, s"keepManifests must be >= 1, got $keepManifests")
+  require(autoCompactGenerations >= 0,
+    s"autoCompactGenerations must be >= 0, got $autoCompactGenerations")
 
   private val BucketCol = "__gs_bucket"
 
@@ -175,6 +178,12 @@ class BucketedSnapshotStore(
       readBuckets(root, m, None).map(_.drop(BucketCol))
     }
   }
+
+  /** Number of distinct generations the current manifest references — the
+    * per-read union fan-out (1 right after [[compact]]). Observability for
+    * compaction policies. */
+  def compactionFanout(name: String): Int =
+    readManifest(path(name)).map(_._2.values.toSet.size).getOrElse(0)
 
   /** Version of the currently committed manifest — capture it, then scan
     * via `readAt` to pin a consistent view across concurrent commits (the
@@ -294,6 +303,12 @@ class BucketedSnapshotStore(
     writeManifest(root, ver + 1, m ++ touched.map(_ -> gen))
     afterCommitHook()
     gc(root)
+    // optional maintenance policy: once the manifest references more than
+    // `autoCompactGenerations` generations, fold them back into one — the
+    // amortized cost of keeping read fan-out bounded without a scheduler
+    if (autoCompactGenerations > 0 &&
+        readManifest(root).exists(_._2.values.toSet.size > autoCompactGenerations))
+      compact(name)
     touched.length.toLong
   }
 

@@ -136,8 +136,11 @@ object Explode {
       first).otherwise(lit(null).cast(StringType))
     val keyOut = outKey.getOrElse(s"$column.$keyProp")
     val valOut = outValue.getOrElse(s"$column.$valueProp")
-    df.withColumn(keyOut, get_json_object(obj, s"$$.$keyProp"))
-      .withColumn(valOut, get_json_object(obj, s"$$.$valueProp"))
+    // json_tuple extracts both fields from ONE parse (two get_json_object
+    // calls would each re-parse the object); values match get_json_object
+    // exactly — text for scalars, JSON text for nested, null for missing
+    df.select(col("*"),
+        json_tuple(obj, keyProp, valueProp).as(Seq(keyOut, valOut)))
       .drop(column)
   }
 
