@@ -480,12 +480,13 @@ object SparkEntry {
     // ── scale: winnowed k-gram fingerprints (oracle: DuckDB recomputes
     //    the winnow over the portable md5-prefix k-gram hashes) ────────
     "q43_winnowed_fingerprints" -> ((s, dir) => {
+      // fused winnow pass with the portable md5 hash — same fingerprints
+      // the DuckDB oracle replays (HOF-chain parity is spec-asserted)
       T(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokensCol(col("text")).as("__toks"))
         .select(col("doc_id"),
-          TextAnalysis.kgramHashes(col("__toks"), 5, Dedup.md5Hash60).as("__hashes"))
-        .select(col("doc_id"),
-          size(TextAnalysis.winnowFromHashes(col("__hashes"))).as("n_fingerprints"))
+          size(TextAnalysis.winnowedHashes(col("__toks"), 5, 4, "md5_60"))
+            .as("n_fingerprints"))
         .orderBy("doc_id")
     }),
     // ── scale: connected-components dedup (oracle: brute-force pairs +
@@ -506,9 +507,11 @@ object SparkEntry {
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com at 10.0."), col("doc_id") % 256, lit(".1")))
           .otherwise(col("text")).as("text"))
-      planted.withColumn("__pii", TextAnalysis.piiCounts(col("text")))
+      // fused pass: redaction + counts from ONE Matcher chain (the
+      // separate redactPii/piiCounts selections ran the chain twice)
+      planted.withColumn("__pii", TextAnalysis.piiRedactWithCounts(col("text")))
         .select(col("doc_id"),
-          TextAnalysis.redactPii(col("text")).as("redacted"),
+          col("__pii.redacted").as("redacted"),
           col("__pii.email").as("n_email"), col("__pii.ipv4").as("n_ip"))
         .orderBy("doc_id")
     }),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -310,6 +310,149 @@ case class CanonicalText(child: Expression)
   override def prettyName: String = "canonical_text"
 }
 
+/** Winnowing fingerprints fused into one pass: positional k-gram shingles
+  * (WordShingles semantics incl. the short-doc single-shingle fallback and
+  * null-array → [""]), per-shingle hash, per-window minima, first-occurrence
+  * dedup — value-identical to the HOF chain
+  * `array_distinct(transform(seq, i => array_min(slice(kgramHashes, i+1, w))))`
+  * which evaluated its lambdas INTERPRETED per window position.
+  *
+  * `hashKind`:
+  *  - `"xxhash64"` — Spark's `xxhash64(shingle)` (seed 42), the production
+  *    path;
+  *  - `"md5_60"` — the portable `Dedup.md5Hash60` (decimal value of the
+  *    first 15 md5 hex chars), so the DuckDB oracle can replay the exact
+  *    fingerprints. */
+case class WinnowedHashes(child: Expression, k: Int, window: Int, hashKind: String)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && window >= 1, s"k and window must be >= 1, got $k/$window")
+  require(hashKind == "xxhash64" || hashKind == "md5_60",
+    s"hashKind must be xxhash64 or md5_60, got $hashKind")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private val space = UTF8String.fromString(" ")
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def hash(s: UTF8String): Long =
+    if (hashKind == "xxhash64")
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    else {
+      val d = md5.get().digest(s.getBytes)
+      // first 15 hex chars = first 7 bytes + high nibble of the 8th
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      (v << 4) | ((d(7) & 0xf0L) >> 4)
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val hashes: Array[Long] =
+      if (v == null) Array(hash(UTF8String.fromString("")))
+      else {
+        val arr = v.asInstanceOf[ArrayData]
+        val m = arr.numElements()
+        def tok(i: Int): UTF8String =
+          if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        if (m < k) {
+          val all = new Array[UTF8String](m)
+          var i = 0
+          while (i < m) { all(i) = tok(i); i += 1 }
+          Array(hash(UTF8String.concatWs(space, all: _*)))
+        } else {
+          val out = new Array[Long](m - k + 1)
+          var i = 0
+          while (i < out.length) {
+            val parts = new Array[UTF8String](k)
+            var j = 0
+            while (j < k) { parts(j) = tok(i + j); j += 1 }
+            out(i) = hash(UTF8String.concatWs(space, parts: _*))
+            i += 1
+          }
+          out
+        }
+      }
+    val n = hashes.length
+    val nWin = math.max(n - (window - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nWin * 2)
+    var i = 0
+    while (i < nWin) {
+      var mn = hashes(i)
+      var j = i + 1
+      val end = math.min(i + window, n)
+      while (j < end) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+      seen.add(mn)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowedHashes =
+    copy(child = c)
+  override def prettyName: String = "winnowed_hashes"
+}
+
+/** PII redaction + audit counts in one chain of Matcher passes —
+  * struct(redacted, email, ipv4, phone). `redactPii` and `piiCounts`
+  * each re-ran the 3-pattern regex chain (6 passes when a query selects
+  * both, as the audit query does); here each pattern runs ONE find loop
+  * that counts and substitutes simultaneously on the progressively
+  * redacted text — identical values by construction (same java.util.regex
+  * Patterns, same sequential order). */
+case class PiiRedactCounts(child: Expression, patterns: Seq[(String, String, String)])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val compiled: Array[(java.util.regex.Pattern, String)] =
+    patterns.map { case (_, p, r) => (java.util.regex.Pattern.compile(p), r) }.toArray
+
+  override def dataType: DataType = StructType(
+    StructField("redacted", StringType, nullable = true) +:
+      patterns.map { case (name, _, _) =>
+        StructField(name, IntegerType, nullable = false)
+      })
+
+  override def nullSafeEval(v: Any): Any = {
+    var cur = v.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](compiled.length)
+    var i = 0
+    while (i < compiled.length) {
+      val (p, repl) = compiled(i)
+      val m = p.matcher(cur)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(cur.length)
+        var n = 0
+        do {
+          n += 1
+          m.appendReplacement(sb, repl)
+        } while (m.find())
+        m.appendTail(sb)
+        counts(i) = n
+        cur = sb.toString
+      }
+      i += 1
+    }
+    val fields = new Array[Any](1 + counts.length)
+    fields(0) = UTF8String.fromString(cur)
+    i = 0
+    while (i < counts.length) { fields(i + 1) = counts(i); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PiiRedactCounts =
+    copy(child = c)
+  override def prettyName: String = "pii_redact_counts"
+}
+
 object TextStats {
   import org.apache.spark.sql.graft.bridge
 
@@ -324,4 +467,12 @@ object TextStats {
 
   def canonical_text(text: Column): Column =
     bridge.column(CanonicalText(bridge.expression(text)))
+
+  def winnowed_hashes(tokens: Column, k: Int, window: Int,
+      hashKind: String = "xxhash64"): Column =
+    bridge.column(WinnowedHashes(bridge.expression(tokens), k, window, hashKind))
+
+  def pii_redact_counts(text: Column,
+      patterns: Seq[(String, String, String)]): Column =
+    bridge.column(PiiRedactCounts(bridge.expression(text), patterns))
 }

@@ -25,6 +25,15 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
 
+  /** Redaction AND audit counts in one fused pass —
+    * struct(redacted, email, ipv4, phone). Selecting [[redactPii]] and
+    * [[piiCounts]] together runs the 3-pattern chain twice (6 regex
+    * passes); this runs each pattern once, counting and substituting in
+    * the same Matcher loop. Values identical (same Patterns, same order —
+    * spec-asserted). */
+  def piiRedactWithCounts(text: Column): Column =
+    graft.functions.TextStats.pii_redact_counts(text, piiPatterns)
+
   /** How many spans each pattern ACTUALLY redacts (for audit/reporting):
     * counted sequentially on the progressively-redacted text, exactly
     * mirroring the redactPii chain — counting every pattern on the raw
@@ -156,19 +165,27 @@ object TextAnalysis {
       i => array_min(slice(hashes, i + 1, lit(window)))))
   }
 
+  /** Fused winnowing fingerprints over an already-split token array:
+    * shingle → hash → window minima → dedup in ONE compiled pass (the
+    * kgramHashes/winnowFromHashes HOF chain evaluates its lambdas
+    * interpreted per window position — kept below as the spec-asserted
+    * reference and for arbitrary custom hash columns). `hashKind`
+    * `"md5_60"` produces `Dedup.md5Hash60` fingerprints for
+    * oracle-replayable output. */
+  def winnowedHashes(tokens: Column, k: Int = 5, window: Int = 4,
+      hashKind: String = "xxhash64"): Column =
+    graft.functions.TextStats.winnowed_hashes(tokens, k, window, hashKind)
+
   /** Rolling-hash k-gram fingerprint set (winnowing-lite) over a documents
-    * frame: materializes the token and hash arrays in their own projections
-    * (see kgramHashes), then winnows. Adds `outCol: array<long>`. */
+    * frame — the fused one-pass expression. Adds `outCol: array<long>`. */
   def winnowedFingerprints(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       outCol: String = "fingerprints",
       k: Int = 5,
       window: Int = 4): org.apache.spark.sql.DataFrame =
-    df.withColumn("__gs_toks", Dedup.tokensCol(col(textCol)))
-      .withColumn("__gs_kgh", kgramHashes(col("__gs_toks"), k))
-      .withColumn(outCol, winnowFromHashes(col("__gs_kgh"), window))
-      .drop("__gs_toks", "__gs_kgh")
+    df.withColumn(outCol,
+      winnowedHashes(Dedup.tokensCol(col(textCol)), k, window))
 
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =

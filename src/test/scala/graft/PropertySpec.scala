@@ -101,6 +101,51 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("fused winnowing equals the HOF chain for both hash kinds") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val rnd = new scala.util.Random(29)
+    val words = Array("alpha", "beta", "gamma", "delta", "x", "42", "z9")
+    val docs = (1 to 120).map { i =>
+      val n = rnd.nextInt(25) // includes < k-token short docs and empties
+      (i.toLong, (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    } ++ Seq((201L, ""), (202L, "one"), (203L, "a a a a a a a a"))
+    val df = docs.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.tokensCol($"text").as("toks"))
+    def collectMap(c: org.apache.spark.sql.Column) =
+      df.select($"doc_id", c.as("fp")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val hofXx = collectMap(TextAnalysis.winnowFromHashes(
+      TextAnalysis.kgramHashes($"toks", 5), 4))
+    val fusedXx = collectMap(TextAnalysis.winnowedHashes($"toks", 5, 4))
+    assert(fusedXx === hofXx)
+    val hofMd5 = collectMap(TextAnalysis.winnowFromHashes(
+      TextAnalysis.kgramHashes($"toks", 5, Dedup.md5Hash60), 4))
+    val fusedMd5 = collectMap(TextAnalysis.winnowedHashes($"toks", 5, 4, "md5_60"))
+    assert(fusedMd5 === hofMd5)
+  }
+
+  test("fused PII redact+counts equals the separate regex chains") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org or x@y.io, host 192.168.0.1, call +1 (555) 123-4567"),
+      (2L, "clean text without identifiers"),
+      (3L, "edge 999.999.999.999 and 1.2.3.4.5 and user@@double.at"),
+      (4L, "Â phone 0123456789 twice 0123456789 email a@b.co ip 10.0.0.255"),
+      (5L, "")).toDF("id", "t")
+    val out = docs.select($"id",
+        TextAnalysis.redactPii($"t").as("r_red"),
+        TextAnalysis.piiCounts($"t").as("r_cnt"),
+        TextAnalysis.piiRedactWithCounts($"t").as("f"))
+      .collect()
+    out.foreach { r =>
+      val f = r.getStruct(3)
+      assert(f.getString(0) === r.getString(1), s"redacted mismatch id=${r.getLong(0)}")
+      val rc = r.getStruct(2)
+      assert(f.getInt(1) === rc.getInt(0) && f.getInt(2) === rc.getInt(1) &&
+        f.getInt(3) === rc.getInt(2), s"counts mismatch id=${r.getLong(0)}")
+    }
+  }
+
   test("explode ∘ compress round-trips (pk-grouped content preserved)") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 200).map { i =>
