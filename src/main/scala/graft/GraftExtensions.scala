@@ -1,6 +1,10 @@
 package graft
 
-import graft.functions.{ParsePyLiteral, PyFloatRepr, VectorDot}
+import graft.functions.{CanonicalText, MinHashSignature, ParsePyLiteral,
+  PyFloat32Repr, PyFloatRepr, SimHashBits, TextCounts, VectorDot,
+  WinnowedHashes, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,7 +38,59 @@ object GraftExtensions {
       (args: Seq[Expression]) => PyFloatRepr(args.head)),
     ("vector_dot",
       info("vector_dot", "fused-loop dot product of two float/double arrays"),
-      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    ("py_float32_repr",
+      info("py_float32_repr", "renders a float exactly like numpy str(float32)"),
+      (args: Seq[Expression]) => PyFloat32Repr(args.head)),
+    ("text_counts",
+      info("text_counts", "struct(chars, tokens, bpeish, alpha, punct, stop) in one scan"),
+      (args: Seq[Expression]) => TextCounts(args.head)),
+    ("canonical_text",
+      info("canonical_text", "fingerprint canonicalization (lower, strip, collapse ws)"),
+      (args: Seq[Expression]) => CanonicalText(args.head)),
+    ("word_shingles",
+      info("word_shingles", "word_shingles(tokens, n, distinct) — n-gram shingles in one pass"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        intArg(args, 1, "word_shingles", "n"),
+        boolArg(args, 2, "word_shingles", "distinct"))),
+    ("minhash_signature",
+      info("minhash_signature", "minhash_signature(shingles, numHashes) — all lanes in one pass"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        intArg(args, 1, "minhash_signature", "numHashes"))),
+    ("simhash_bits",
+      info("simhash_bits", "64-bit simhash of a token array in one pass"),
+      (args: Seq[Expression]) => SimHashBits(args.head)),
+    ("winnowed_hashes",
+      info("winnowed_hashes",
+        "winnowed_hashes(tokens, k, window, hashKind) — fused winnowing fingerprints"),
+      (args: Seq[Expression]) => WinnowedHashes(args(0),
+        intArg(args, 1, "winnowed_hashes", "k"),
+        intArg(args, 2, "winnowed_hashes", "window"),
+        strArg(args, 3, "winnowed_hashes", "hashKind"))))
+
+  private def lit(args: Seq[Expression], i: Int, fn: String, name: String): Any =
+    args(i) match {
+      case Literal(v, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be a literal, got $other")
+    }
+  private def intArg(args: Seq[Expression], i: Int, fn: String, name: String): Int =
+    lit(args, i, fn, name) match {
+      case n: Int  => n
+      case n: Long => n.toInt
+      case v => throw new IllegalArgumentException(s"$fn: '$name' must be an int, got $v")
+    }
+  private def boolArg(args: Seq[Expression], i: Int, fn: String, name: String): Boolean =
+    lit(args, i, fn, name) match {
+      case b: Boolean => b
+      case v => throw new IllegalArgumentException(s"$fn: '$name' must be a boolean, got $v")
+    }
+  private def strArg(args: Seq[Expression], i: Int, fn: String, name: String): String =
+    lit(args, i, fn, name) match {
+      case s: UTF8String => s.toString
+      case s: String     => s
+      case v => throw new IllegalArgumentException(s"$fn: '$name' must be a string, got $v")
+    }
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

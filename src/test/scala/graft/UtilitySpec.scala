@@ -153,4 +153,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getString(1) === "0.0005")
     assert(r.getDouble(2) === 11.0)
   }
+
+  test("round-5 expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT py_float32_repr(float(0.1)) AS f32,
+        |       text_counts('the cat!').tokens AS toks,
+        |       text_counts('the cat!').stop AS stop,
+        |       canonical_text('A,b  C!') AS canon,
+        |       word_shingles(array('a','b','c'), 2, true) AS sh,
+        |       size(minhash_signature(array('a b','b c'), 8)) AS lanes,
+        |       simhash_bits(array('x')) AS sim,
+        |       size(winnowed_hashes(array('a','b','c','d','e','f'), 2, 3, 'xxhash64')) AS fp
+        |""".stripMargin).first()
+    assert(r.getString(0) === "0.1")
+    assert(r.getInt(1) === 2 && r.getInt(2) === 1)
+    assert(r.getString(3) === "a b c")
+    assert(r.getSeq[String](4) === Seq("a b", "b c"))
+    assert(r.getInt(5) === 8)
+    assert(r.getLong(6) !== 0L)
+    assert(r.getInt(7) >= 1)
+    // non-literal config args fail loudly, not silently misbehave
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(array('a'), cast(rand()*3 as int), true)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
 }
