@@ -596,6 +596,16 @@ object SparkEntry {
           .cast("bigint").as("event_id"), col("value").as("line"))
         .orderBy("event_id")
     }),
+    // ── scale: benchmark decontamination (GPT-3-style n-gram overlap
+    //    removal; oracle: DuckDB replays the shingle intersection) ───────
+    "q54_decontaminate" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 17 === 0)
+        .select(col("text").as("bench_text"))
+      Dedup.decontaminate(d, "doc_id", "text", bench, "bench_text",
+          ngram = 3, minMatches = 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1178,6 +1188,18 @@ object SparkEntry {
         |  CAST(json_object('event_id', event_id, 'event_type', event_type,
         |    'value', value) AS VARCHAR) || '}' AS line
         |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "q54_decontaminate" ->
+      s"""WITH bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+         |bt AS (SELECT DISTINCT sh FROM (
+         |  SELECT unnest($shingle3Sql) AS sh FROM (
+         |    SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM bench))),
+         |ct AS (SELECT doc_id, unnest($shingle3Sql) AS sh FROM (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents)),
+         |m AS (SELECT doc_id FROM ct JOIN bt USING (sh)
+         |      GROUP BY doc_id HAVING count(*) >= 5)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM m)
+         |ORDER BY doc_id""".stripMargin,
     "q53_lsh_margin" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
          |u25 AS (

@@ -326,6 +326,55 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Per-document benchmark-contamination counts: how many DISTINCT
+    * `ngram`-token shingles each corpus document shares with ANY benchmark
+    * document (GPT-3 appendix-C style train/test decontamination).
+    *
+    * 100 TB shape: the benchmark shingle set is tiny by nature (eval sets
+    * are MBs), so it broadcasts (size-gated) and the corpus side streams
+    * its shingle rows through a broadcast semi-join — NO corpus-wide
+    * shuffle. Only MATCHED (doc, shingle) rows — bounded by
+    * |benchmark shingles| × collisions — reach the distinct + per-doc
+    * count. Matching is on the shingle STRINGS themselves (not hashes):
+    * exactness matters for a contamination audit, the strings never ride
+    * a shuffle except for the tiny matched subset, and the DuckDB oracle
+    * replays the semantics verbatim. */
+  def contaminationCounts(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      ngram: Int = 13): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shinglesOf(tokensCol(col(benchTextCol)), ngram)).as("__sh"))
+      .distinct()
+    val corpusShingles = shingleRows(corpus, idCol, textCol, ngram)
+    corpusShingles
+      .join(Ops.broadcastIfSmall(benchShingles), Seq("__sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count("*").as("matched_ngrams")) // shingleRows is already distinct per doc
+  }
+
+  /** Drop corpus documents sharing at least `minMatches` distinct `ngram`-
+    * token shingles with the benchmark set (see [[contaminationCounts]]).
+    * The contaminated id set is tiny → broadcast anti-join back. */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      ngram: Int = 13,
+      minMatches: Int = 1): DataFrame = {
+    require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
+    val contaminated = contaminationCounts(corpus, idCol, textCol, benchmark,
+        benchTextCol, ngram)
+      .filter(col("matched_ngrams") >= minMatches)
+      .select(col(idCol))
+    corpus.join(Ops.broadcastIfSmall(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash per document: per-token 64-bit hashes vote ±1 on each
     * bit; the sign of each bit's sum forms the fingerprint.
     *

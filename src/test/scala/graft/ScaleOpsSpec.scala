@@ -227,6 +227,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fused === hof)
   }
 
+  test("decontamination drops benchmark-overlapping docs, keeps clean ones") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "a completely different document about distributed query engines"),
+      (3L, "the quick brown fox appears briefly here"), // partial overlap
+      (4L, "spark catalyst optimizer rewrites logical plans")).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox jumps over the lazy dog every single day")
+      .toDF("bench_text")
+    // doc 1 shares all its 3-grams; doc 3 shares 2 ("the quick brown",
+    // "quick brown fox") — below minMatches=3
+    val counts = Dedup.contaminationCounts(corpus, "doc_id", "text", bench,
+        "bench_text", ngram = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) >= 8L && counts(3L) === 2L && !counts.contains(2L))
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "bench_text",
+        ngram = 3, minMatches = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(2L, 3L, 4L))
+    // matching is exact strings — a doc repeating benchmark TOKENS in a
+    // different order is clean
+    val reordered = Seq((9L, "dog lazy the over jumps fox brown quick the")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(reordered, "doc_id", "text", bench, "bench_text",
+      ngram = 3, minMatches = 1).count() === 1L)
+  }
+
   test("minhash signature of an empty or all-null shingle array is null") {
     val df = Seq(
       (1L, Seq("a b c", "b c d")),
