@@ -596,6 +596,22 @@ object SparkEntry {
           .cast("bigint").as("event_id"), col("value").as("line"))
         .orderBy("event_id")
     }),
+    // ── scale: Gopher-style repetition quality signals (oracle: DuckDB
+    //    replays the line/2-gram/adjacent-repeat fractions) ──────────────
+    "q55_repetition_stats" -> ((s, dir) => {
+      // plant repetition on every 4th doc: a duplicated line + a stutter
+      val planted = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n"), col("text"), lit("\nagain again again")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_line_frac").as("dup_line_frac"),
+          col("r.dup_2gram_frac").as("dup_2gram_frac"),
+          col("r.adj_repeat_frac").as("adj_repeat_frac"))
+        .orderBy("doc_id")
+    }),
     // ── scale: benchmark decontamination (GPT-3-style n-gram overlap
     //    removal; oracle: DuckDB replays the shingle intersection) ───────
     "q54_decontaminate" -> ((s, dir) => {
@@ -1188,6 +1204,29 @@ object SparkEntry {
         |  CAST(json_object('event_id', event_id, 'event_type', event_type,
         |    'value', value) AS VARCHAR) || '}' AS line
         |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "q55_repetition_stats" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || chr(10) || text || chr(10) || 'again again again'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM planted),
+        |g AS (SELECT doc_id, lines, toks,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [array_to_string(toks, ' ')] END AS grams FROM t)
+        |SELECT doc_id,
+        |  round((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 6)
+        |    AS dup_line_frac,
+        |  CASE WHEN len(toks) >= 2 THEN
+        |    round((len(grams) - len(list_distinct(grams))) * 1.0 / len(grams), 6)
+        |  ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(toks) >= 2 THEN
+        |    round(len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1]))
+        |      * 1.0 / (len(toks) - 1), 6)
+        |  ELSE 0.0 END AS adj_repeat_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q54_decontaminate" ->
       s"""WITH bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
          |bt AS (SELECT DISTINCT sh FROM (

@@ -264,6 +264,94 @@ case class LangScores(child: Expression, langs: Seq[String],
   override def prettyName: String = "lang_scores"
 }
 
+/** Gopher/MassiveText-style repetition quality signals in one pass:
+  * struct(dup_line_frac, dup_2gram_frac, adj_repeat_frac), each rounded
+  * to 6 places —
+  *  - dup_line_frac: 1 − distinct/total over `split(text, '\n')` lines;
+  *  - dup_2gram_frac: 1 − distinct/total over POSITIONAL 2-token shingles
+  *    of `split(trim(lower(text)), "\\s+")` tokens (WordShingles
+  *    semantics: < 2 tokens → one all-token shingle → fraction 0);
+  *  - adj_repeat_frac: fraction of adjacent token pairs that are equal
+  *    (elongation detector); 0 for single-token docs.
+  * Token semantics replicate Spark exactly: UTF8String.toLowerCase,
+  * space-only trim, ASCII-\s runs with kept leading/trailing empty
+  * fields. Value parity with the built-in-function twin is spec-asserted
+  * (the q55 DuckDB oracle replays the built-in formulation). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_2gram_frac", DoubleType, nullable = false),
+    StructField("adj_repeat_frac", DoubleType, nullable = false)))
+
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(v: Any): Any = {
+    val raw = v.asInstanceOf[UTF8String]
+    // ── lines ──
+    val s = raw.toString
+    var total = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == '\n') total += 1; i += 1 }
+    val seen = new java.util.HashSet[String](total * 2)
+    var start = 0
+    i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == '\n') {
+        seen.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val dupLine = (total - seen.size).toDouble / total
+    // ── tokens (split(trim(lower(text)), "\s+") semantics) ──
+    val lc = raw.toLowerCase.toString
+    var lo = 0
+    var hi = lc.length
+    while (lo < hi && lc.charAt(lo) == ' ') lo += 1
+    while (hi > lo && lc.charAt(hi - 1) == ' ') hi -= 1
+    val toks = new scala.collection.mutable.ArrayBuffer[String](16)
+    def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    if (lo == hi) toks += ""
+    else {
+      var p = lo
+      i = lo
+      while (i < hi) {
+        if (isWs(lc.charAt(i))) {
+          toks += lc.substring(p, i)
+          while (i < hi && isWs(lc.charAt(i))) i += 1
+          p = i
+        } else i += 1
+      }
+      toks += lc.substring(p, hi)
+    }
+    val m = toks.length
+    // ── positional 2-gram dup fraction + adjacent repeats ──
+    var dup2: Double = 0.0
+    var adj: Double = 0.0
+    if (m >= 2) {
+      val n2 = m - 1
+      val g = new java.util.HashSet[String](n2 * 2)
+      var eq = 0
+      i = 0
+      while (i < n2) {
+        g.add(toks(i) + " " + toks(i + 1))
+        if (toks(i) == toks(i + 1)) eq += 1
+        i += 1
+      }
+      dup2 = (n2 - g.size).toDouble / n2
+      adj = eq.toDouble / n2
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](round6(dupLine), round6(dup2), round6(adj)))
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** argmax language directly (one scan, one eval): the language (constructor
   * order = sorted language codes) with the most marker-word hits, ties
   * broken by the earlier code — identical to sorting (score desc, lang asc)
@@ -475,4 +563,7 @@ object TextStats {
   def pii_redact_counts(text: Column,
       patterns: Seq[(String, String, String)]): Column =
     bridge.column(PiiRedactCounts(bridge.expression(text), patterns))
+
+  def repetition_stats(text: Column): Column =
+    bridge.column(RepetitionStats(bridge.expression(text)))
 }

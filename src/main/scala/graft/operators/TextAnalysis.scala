@@ -187,6 +187,30 @@ object TextAnalysis {
     df.withColumn(outCol,
       winnowedHashes(Dedup.tokensCol(col(textCol)), k, window))
 
+  /** Gopher/MassiveText-style repetition quality signals —
+    * struct(dup_line_frac, dup_2gram_frac, adj_repeat_frac), fused
+    * one-pass scan. The built-in-function twin below defines the
+    * semantics (and the q55 oracle); parity is spec-asserted. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextStats.repetition_stats(text)
+
+  private[graft] def repetitionStatsBuiltin(text: Column): Column = {
+    val lines = split(text, "\n")
+    val nl = size(lines).cast(DoubleType)
+    val dupLine = round((nl - size(array_distinct(lines))) / nl, 6)
+    val toks = Dedup.tokensCol(text)
+    val grams = Dedup.shinglesOfAll(toks, 2)
+    val ng = size(grams).cast(DoubleType)
+    val dup2 = when(size(toks) >= 2,
+      round((ng - size(array_distinct(grams))) / ng, 6)).otherwise(0.0)
+    val adj = when(size(toks) >= 2,
+      round(size(filter(zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1), (a, b) => a === b),
+        x => x)).cast(DoubleType) / (size(toks) - 1), 6)).otherwise(0.0)
+    struct(dupLine.as("dup_line_frac"), dup2.as("dup_2gram_frac"),
+      adj.as("adj_repeat_frac"))
+  }
+
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))

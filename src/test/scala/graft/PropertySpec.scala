@@ -90,7 +90,9 @@ class RoundTripSpec extends SparkSpec {
       TextAnalysis.langIdRegex($"t").as("r_lang"),
       TextAnalysis.fingerprint($"t").as("f_fp"),
       TextAnalysis.fingerprintRegex($"t").as("r_fp"),
-      $"t")
+      $"t",
+      TextAnalysis.repetitionStats($"t").as("f_rep"),
+      TextAnalysis.repetitionStatsBuiltin($"t").as("r_rep"))
     out.collect().foreach { r =>
       val t = r.getString(10)
       assert(r.getInt(0) === r.getInt(1), s"tokenCount mismatch on ${t.map(_.toInt)}")
@@ -98,6 +100,7 @@ class RoundTripSpec extends SparkSpec {
       assert(r.getDouble(4) === r.getDouble(5), s"quality mismatch on ${t.map(_.toInt)}")
       assert(r.getString(6) === r.getString(7), s"langId mismatch on ${t.map(_.toInt)}")
       assert(r.getString(8) === r.getString(9), s"fingerprint mismatch on ${t.map(_.toInt)}")
+      assert(r.getStruct(11) === r.getStruct(12), s"repetition mismatch on ${t.map(_.toInt)}")
     }
   }
 
