@@ -76,9 +76,10 @@ object GraftExtensions {
     }
   private def intArg(args: Seq[Expression], i: Int, fn: String, name: String): Int =
     lit(args, i, fn, name) match {
-      case n: Int  => n
-      case n: Long => n.toInt
-      case v => throw new IllegalArgumentException(s"$fn: '$name' must be an int, got $v")
+      case n: Int => n
+      case n: Long if n >= Int.MinValue && n <= Int.MaxValue => n.toInt
+      case v => throw new IllegalArgumentException(
+        s"$fn: '$name' must be an int in [${Int.MinValue}, ${Int.MaxValue}], got $v")
     }
   private def boolArg(args: Seq[Expression], i: Int, fn: String, name: String): Boolean =
     lit(args, i, fn, name) match {

@@ -24,6 +24,23 @@ object SparkEntry {
     else df
   }
 
+  /** Scratch directory for store-backed queries, deleted recursively at
+    * JVM exit — gate and bench runs construct these queries repeatedly
+    * (each bench repetition re-primes its store), and undeleted
+    * gs_* directories would otherwise accumulate across runs. */
+  private def tmpWorkDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** Catalog used by q01 to exercise JSON-Schema-driven read typing. */
   private val eventsCatalogJson =
     """{"streams": [{"stream": "events", "schema": {"type": "object",
@@ -152,7 +169,7 @@ object SparkEntry {
     }),
     // ── §2.7 hash CDC (drop_redundant) ───────────────────────────────
     "q08_drop_redundant_cdc" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("gs_cdc_").toString
+      val tmp = tmpWorkDir("gs_cdc_")
       val store = new SnapshotStore(s, tmp)
       val base = T(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
       // prime the hash snapshot with the unmodified table
@@ -404,7 +421,7 @@ object SparkEntry {
     // ── scale: bucketed snapshot upsert (delta-bucket rewrite only) ──
     "q38_bucketed_upsert" -> ((s, dir) => {
       val store = new BucketedSnapshotStore(s,
-        java.nio.file.Files.createTempDirectory("gs_bsnap_").toString, numBuckets = 32)
+        tmpWorkDir("gs_bsnap_"), numBuckets = 32)
       val orders = T(s, dir, "orders")
       val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -556,7 +573,7 @@ object SparkEntry {
     //    parity). Same merge math as q07's oracle. ──────────────────────
     "q51_csv_snapshot_upsert" -> ((s, dir) => {
       val store = new SnapshotStore(s,
-        java.nio.file.Files.createTempDirectory("gs_csvsnap_").toString)
+        tmpWorkDir("gs_csvsnap_"))
       val orders = T(s, dir, "orders")
       val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -573,7 +590,7 @@ object SparkEntry {
     "q50_bucketed_point_lookup" -> ((s, dir) => {
       import s.implicits._
       val store = new BucketedSnapshotStore(s,
-        java.nio.file.Files.createTempDirectory("gs_bpl_").toString, numBuckets = 32)
+        tmpWorkDir("gs_bpl_"), numBuckets = 32)
       val snap = T(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
         .select(col("o_orderkey"), col("o_totalprice"))
       store.write("orders", snap, Seq("o_orderkey"))
@@ -589,7 +606,7 @@ object SparkEntry {
     "q52_singer_distributed" -> ((s, dir) => {
       val ev = T(s, dir, "events").filter(col("event_id") < 1000)
         .select("event_id", "event_type", "value")
-      val out = java.nio.file.Files.createTempDirectory("gs_dsinger_").toString
+      val out = tmpWorkDir("gs_dsinger_")
       graft.singer.SingerWriter.writeDistributed(ev.repartition(8), "events", out)
       s.read.text(s"$out/records")
         .select(get_json_object(col("value"), "$.record.event_id")
@@ -685,7 +702,7 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       }),
       "q08_drop_redundant_cdc" -> ((s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("gs_cdc_").toString
+        val tmp = tmpWorkDir("gs_cdc_")
         val store = new SnapshotStore(s, tmp)
         val base = T(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
         Snapshot.dropRedundant(store, "customer", base, Seq("c_custkey")).count()
@@ -698,7 +715,7 @@ object SparkEntry {
       }),
       "q38_bucketed_upsert" -> ((s, dir) => {
         val store = new BucketedSnapshotStore(s,
-          java.nio.file.Files.createTempDirectory("gs_bsnap_").toString, numBuckets = 32)
+          tmpWorkDir("gs_bsnap_"), numBuckets = 32)
         val orders = T(s, dir, "orders")
         val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
           .select(col("o_orderkey"), col("o_totalprice"))
@@ -713,7 +730,7 @@ object SparkEntry {
       "q50_bucketed_point_lookup" -> ((s, dir) => {
         import s.implicits._
         val store = new BucketedSnapshotStore(s,
-          java.nio.file.Files.createTempDirectory("gs_bpl_").toString, numBuckets = 32)
+          tmpWorkDir("gs_bpl_"), numBuckets = 32)
         val snap = T(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
           .select(col("o_orderkey"), col("o_totalprice"))
         store.write("orders", snap, Seq("o_orderkey"))
@@ -724,7 +741,7 @@ object SparkEntry {
       }),
       "q51_csv_snapshot_upsert" -> ((s, dir) => {
         val store = new SnapshotStore(s,
-          java.nio.file.Files.createTempDirectory("gs_csvsnap_").toString)
+          tmpWorkDir("gs_csvsnap_"))
         val orders = T(s, dir, "orders")
         val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
           .select(col("o_orderkey"), col("o_totalprice"))

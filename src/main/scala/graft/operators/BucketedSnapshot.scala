@@ -204,16 +204,37 @@ class BucketedSnapshotStore(
     readBuckets(root, m, None).map(_.drop(BucketCol))
   }
 
+  /** Data schema of one generation, resolved from a SINGLE bucket
+    * subdirectory (one LIST of the generation dir + one footer read —
+    * NOT a full partition discovery over up to `numBuckets` directories,
+    * which would cost seconds of object-store LISTs per point lookup at
+    * the design scale). Generations are immutable once a manifest names
+    * them, so the cache can never go stale. */
+  private val genSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def generationDataSchema(root: Path, gen: String) =
+    genSchemaCache.getOrElseUpdate(s"$root/$gen", {
+      val genPath = new Path(root, gen)
+      val bucketDir = fs.listStatus(genPath).map(_.getPath)
+        .filter(_.getName.startsWith(s"$BucketCol=")).sortBy(_.getName)
+        .headOption.getOrElse(
+          throw new IllegalStateException(s"generation $genPath has no bucket dirs"))
+      spark.read.parquet(bucketDir.toString).schema
+    })
+
   /** `hash()` is type-sensitive (`hash(5L) != hash(5)`), so a pk column
     * whose dtype differs from the snapshot's prunes to the WRONG buckets
     * and silently drops rows. Enforce the contract against the committed
-    * snapshot schema (one driver-side footer read of a live generation):
-    * lossless numeric widenings are cast in place, anything else throws. */
+    * snapshot schema (cached single-footer read of the lowest-bucket
+    * generation — deterministic under schema evolution across
+    * generations): lossless numeric widenings are cast in place, anything
+    * else throws. */
   private def alignPkTypes(df: DataFrame, pk: Seq[String], root: Path,
       m: Map[Int, String], what: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val snapSchema = m.values.headOption.map { gen =>
-      spark.read.parquet(new Path(root, gen).toString).schema
+    val snapSchema = m.toSeq.sortBy(_._1).headOption.map { case (_, gen) =>
+      generationDataSchema(root, gen)
     }
     snapSchema.fold(df) { ss =>
       def widens(from: DataType, to: DataType): Boolean = (from, to) match {

@@ -478,11 +478,13 @@ object Dedup {
     * SIZE-GATED EXECUTION (like Spark's broadcast-join threshold): the
     * edge set an LSH near-dup stage emits is almost always tiny relative
     * to the corpus — capped band buckets bound it explicitly — so when the
-    * canonical distinct edge count is ≤ `maxDriverEdges` (default 2M,
-    * ~32 MB of (long,long) pairs) the closure is computed with a
-    * driver-side union-find in milliseconds: a distributed star-contraction
-    * round costs ~1 s of fixed scheduling at ANY size, and a 2M-edge graph
-    * can need 15+ of them. Above the gate — or with `maxDriverEdges = 0` —
+    * canonical distinct edge count is ≤ `maxDriverEdges` (default 1M —
+    * ~130 MB transient driver peak, see [[ccStarsDriver]]'s memory math)
+    * the closure is computed with a driver-side union-find in
+    * milliseconds: a distributed star-contraction round costs ~1 s of
+    * fixed scheduling at ANY size, and a 1M-edge graph can need 15+ of
+    * them. Size the gate to the driver's heap when raising it.
+    * Above the gate — or with `maxDriverEdges = 0` —
     * integral ids take the distributed RDD loop (the one place in this
     * library where RDDs beat DataFrames: an iterative fixpoint re-enters
     * Catalyst analysis + AQE planning every round; the RDD rounds are
@@ -502,7 +504,7 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20,
-      maxDriverEdges: Long = 2000000L): DataFrame = {
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     val raw = pairs.select(col(idA).as("a"), col(idB).as("b"))
     // union type-widens, so this is the common id type the result carries
     val allNodes = raw.select(col("a").as("id"))
@@ -551,51 +553,87 @@ object Dedup {
     } finally edges.unpersist(blocking = false)
   }
 
-  /** Driver union-find (path-halving, union-by-min so the root IS the
-    * component minimum) over a collected canonical edge array. The gate
-    * guarantees ≤ maxDriverEdges pairs — ~32 MB at the 2M default —
-    * and the closure of that is microseconds of driver CPU vs 10+
-    * distributed rounds at ~1 s of scheduling each. Returns the same
+  /** Driver union-find over PRIMITIVE arrays: node ids dedupe through an
+    * open-addressed long table into dense indices, the union-find runs on
+    * int arrays (path-halving + union-by-rank), and component labels come
+    * from a min-id-per-root pass, so the root convention of the
+    * distributed loops (label = component minimum) is preserved. Honest
+    * memory math at the 1M-edge default gate (≤ 2M nodes): the collected
+    * boxed tuple array ~48 MB (transient), the id table + parent/rank +
+    * label arrays ~80 MB primitive — comfortable on a default driver, and
+    * milliseconds of CPU vs 10+ distributed rounds at ~1 s of scheduling
+    * each. The output frame streams off a BROADCAST of two primitive
+    * arrays — no driver-side Row materialization. Returns the same
     * (src, dst) star frame as the distributed loops: every edge-touched
     * node mapped to its component min. */
   private def ccStarsDriver(spark: SparkSession, edges: Array[(Long, Long)],
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
-      math.min(Int.MaxValue.toLong, edges.length.toLong * 3).toInt)
-    def find(x0: Long): Long = {
+    val maxNodes = math.max(2, edges.length * 2)
+    var cap = 4
+    while (cap < maxNodes * 2) cap <<= 1 // load factor ≤ 0.5
+    val tableIds = new Array[Long](cap)
+    val tableIdx = new Array[Int](cap)
+    java.util.Arrays.fill(tableIdx, -1)
+    val nodeIds = new Array[Long](maxNodes)
+    val parent = new Array[Int](maxNodes)
+    val rank = new Array[Byte](maxNodes)
+    var nNodes = 0
+    def indexOf(id: Long): Int = {
+      var h = (java.lang.Long.hashCode(id * -7046029254386353131L)) & (cap - 1)
+      while (true) {
+        val j = tableIdx(h)
+        if (j < 0) {
+          tableIds(h) = id
+          tableIdx(h) = nNodes
+          nodeIds(nNodes) = id
+          parent(nNodes) = nNodes
+          nNodes += 1
+          return nNodes - 1
+        } else if (tableIds(h) == id) return j
+        h = (h + 1) & (cap - 1)
+      }
+      -1 // unreachable
+    }
+    def find(x0: Int): Int = {
       var x = x0
-      var p = parent.get(x)
-      if (p == null) { parent.put(x, x); return x }
-      while (p != x) { // path-halving
-        val gp = parent.get(p.longValue())
-        parent.put(x, gp)
-        x = gp
-        p = parent.get(x)
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path-halving
+        x = parent(x)
       }
       x
     }
     var i = 0
     while (i < edges.length) {
       val (a, b) = edges(i)
-      val ra = find(a); val rb = find(b)
+      val ra = find(indexOf(a)); val rb = find(indexOf(b))
       if (ra != rb) {
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
       }
       i += 1
     }
-    val rows = new Array[org.apache.spark.sql.Row](parent.size())
-    val it = parent.keySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val node = it.next().longValue()
-      rows(j) = org.apache.spark.sql.Row(node, find(node))
-      j += 1
+    // label = min node id per root (the distributed loops' convention)
+    val minOf = new Array[Long](nNodes)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    i = 0
+    while (i < nNodes) {
+      val r = find(i)
+      if (nodeIds(i) < minOf(r)) minOf(r) = nodeIds(i)
+      i += 1
     }
+    val labels = new Array[Long](nNodes)
+    i = 0
+    while (i < nNodes) { labels(i) = minOf(find(i)); i += 1 }
+    val ids = java.util.Arrays.copyOf(nodeIds, nNodes)
+    val bc = spark.sparkContext.broadcast((ids, labels))
+    val n = nNodes
     val schema = StructType(Seq(
       StructField("src", LongType), StructField("dst", LongType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq,
-        math.max(1, rows.length / 2000000)), schema)
+    val rdd = spark.sparkContext
+      .parallelize(0 until n, math.max(1, n / 2000000))
+      .map(j => org.apache.spark.sql.Row(bc.value._1(j), bc.value._2(j)))
+    spark.createDataFrame(rdd, schema)
       .select(col("src").cast(idType).as("src"), col("dst").cast(idType).as("dst"))
   }
 
@@ -669,7 +707,16 @@ object Dedup {
     val out = spark.createDataFrame(
       edges.map { case (s, d) => org.apache.spark.sql.Row(s, d) },
       StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
-    out.select(col("src").cast(idType).as("src"), col("dst").cast(idType).as("dst"))
+      .select(col("src").cast(idType).as("src"), col("dst").cast(idType).as("dst"))
+      // the converged star set is node-count-small: materialize it eagerly
+      // (truncating lineage off the round RDDs) so the final round's
+      // persisted RDD can be released HERE — otherwise one MEMORY_AND_DISK
+      // edge RDD leaks per call for the lifetime of the context (the
+      // checkpoint blocks are reclaimed by the ContextCleaner once the
+      // caller drops the frame)
+      .localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** DataFrame star-contraction loop (any orderable id type). Each phase's

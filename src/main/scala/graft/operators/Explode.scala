@@ -138,9 +138,16 @@ object Explode {
     val valOut = outValue.getOrElse(s"$column.$valueProp")
     // json_tuple extracts both fields from ONE parse (two get_json_object
     // calls would each re-parse the object); values match get_json_object
-    // exactly — text for scalars, JSON text for nested, null for missing
+    // exactly — text for scalars, JSON text for nested, null for missing.
+    // The generator lands in temp columns and is folded back with
+    // withColumn REPLACEMENT semantics: an output name colliding with an
+    // existing column overwrites it in place (position preserved) instead
+    // of producing an ambiguous duplicate.
     df.select(col("*"),
-        json_tuple(obj, keyProp, valueProp).as(Seq(keyOut, valOut)))
+        json_tuple(obj, keyProp, valueProp).as(Seq("__gs_jt_k", "__gs_jt_v")))
+      .withColumn(keyOut, col("__gs_jt_k"))
+      .withColumn(valOut, col("__gs_jt_v"))
+      .drop("__gs_jt_k", "__gs_jt_v")
       .drop(column)
   }
 
