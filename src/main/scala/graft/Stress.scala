@@ -53,6 +53,13 @@ object Stress {
       println("[stress]   kept=" + Bench.force(Dedup.exactDedup(docs, Seq("text"), "doc_id",
         assumeUniqueOrder = true)))
     }
+    // benchmark decontamination: benchmark shingles broadcast, corpus
+    // streams through the semi-join — time should track the corpus scan
+    time(s"decontaminate ${factor}x vs 500-doc benchmark") {
+      val bench = docs0.limit(500).select(col("text").as("bench_text"))
+      println("[stress]   kept=" + Bench.force(Dedup.decontaminate(
+        docs, "doc_id", "text", bench, "bench_text", ngram = 13, minMatches = 1)))
+    }
     // fused vs grouped, both under honest row production (toRdd) — the old
     // count()-forced comparison column-pruned the fused projection, timing
     // a bare scan against a real aggregate
