@@ -56,6 +56,20 @@ class PlanSpec extends SparkSpec {
     assert(jobIds.length <= 3, s"ivfIndex ran ${jobIds.length} jobs, expected ≤ 3\n$detail")
   }
 
+  test("decontaminate broadcasts the benchmark; the corpus never sort-merge-joins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.limit(20).select(col("text").as("bench_text"))
+    val plan = physical(
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "bench_text", ngram = 3))
+    // the scale contract: benchmark shingles and the contaminated id set
+    // ride broadcasts; the corpus streams through broadcast joins with no
+    // corpus-wide SortMergeJoin (exchanges exist only for the tiny
+    // matched-subset aggregate and the benchmark-side distinct)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus sort-merge-joins:\n$plan")
+  }
+
   test("parquet scan prunes columns and pushes filters (documents projection)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)
