@@ -66,7 +66,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => WinnowedHashes(args(0),
         intArg(args, 1, "winnowed_hashes", "k"),
         intArg(args, 2, "winnowed_hashes", "window"),
-        strArg(args, 3, "winnowed_hashes", "hashKind"))))
+        strArg(args, 3, "winnowed_hashes", "hashKind"))),
+    ("repetition_stats",
+      info("repetition_stats",
+        "struct(dup_line_frac, dup_2gram_frac, adj_repeat_frac) in one scan"),
+      (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
 
   private def lit(args: Seq[Expression], i: Int, fn: String, name: String): Any =
     args(i) match {

@@ -173,6 +173,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) === 8)
     assert(r.getLong(6) !== 0L)
     assert(r.getInt(7) >= 1)
+    val rep = spark.sql(
+      "SELECT repetition_stats('a b\na b').dup_line_frac AS d").first()
+    assert(rep.getDouble(0) === 0.5)
     // non-literal config args fail loudly, not silently misbehave
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles(array('a'), cast(rand()*3 as int), true)").collect()
