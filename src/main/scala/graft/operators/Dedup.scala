@@ -639,15 +639,22 @@ object Dedup {
 
   /** RDD star-contraction loop for integral ids above the driver gate,
     * returning the converged star edge set as a (src, dst) DataFrame cast
-    * back to `idType`. Each round is one 3-stage job (large-star
-    * groupByKey, small-star groupByKey, distinct) + a count on the
-    * persisted result — no Catalyst re-analysis, no checkpoint job.
-    * Round shuffles run on a partition count sized to the CURRENT edge
-    * count (the set shrinks toward star edges as rounds proceed — task
-    * scheduling would otherwise dominate the endgame rounds).
-    * Neighborhoods are materialized per key like the paper's reducers;
-    * the component-min's neighborhood grows toward component size, the
-    * known memory bound of this algorithm. */
+    * back to `idType`. Each round is one TWO-shuffle job (large-star
+    * groupByKey, small-star groupByKey) + a count on the persisted
+    * result — no Catalyst re-analysis, no checkpoint job, and NO
+    * round-final distinct: both stars dedupe their neighborhoods
+    * group-side, so a cross-group duplicate emission survives exactly one
+    * round (bounded ≤ 2× volume) instead of paying a third shuffle every
+    * round to remove it. Consequences handled below: the edge multiset
+    * can differ from its set pre-fixpoint, so the count-equality trigger
+    * verifies with the SYMMETRIC set difference (at the fixpoint the
+    * star set emits no duplicates at all, so counts stabilize and
+    * termination is unaffected). Round shuffles run on a partition count
+    * sized to the CURRENT edge count (the set shrinks toward star edges
+    * as rounds proceed — task scheduling would otherwise dominate the
+    * endgame rounds). Neighborhoods are materialized per key like the
+    * paper's reducers; the component-min's neighborhood grows toward
+    * component size, the known memory bound of this algorithm. */
   private def ccStarsRdd(spark: SparkSession,
       edges0: org.apache.spark.rdd.RDD[(Long, Long)], count0: Long, np: Int,
       maxIter: Int, idType: org.apache.spark.sql.types.DataType): DataFrame = {
@@ -662,9 +669,10 @@ object Dedup {
       val np = roundPartitions(edgeCount)
       // ── large-star ──────────────────────────────────────────────────
       // symmetric view so every node sees its full neighborhood; m(u) =
-      // min(Γ(u) ∪ {u}); emit (v, m) for every neighbor v > u (each
-      // undirected edge once, from its smaller endpoint; v > u ≥ m keeps
-      // the canonical orientation).
+      // min(Γ(u) ∪ {u}); emit (v, m) for every DISTINCT neighbor v > u
+      // (each undirected edge once, from its smaller endpoint; v > u ≥ m
+      // keeps the canonical orientation; the HashSet absorbs duplicate
+      // edges carried over from the previous round).
       val sym = edges.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
       val ls = sym.groupByKey(np).flatMap { case (u, nbrs) =>
         val arr = nbrs.toArray
@@ -672,13 +680,14 @@ object Dedup {
         var i = 0
         while (i < arr.length) { if (arr(i) < m) m = arr(i); i += 1 }
         val mn = m
-        arr.iterator.filter(v => v > u && v != mn).map(v => (v, mn))
+        val seen = new java.util.HashSet[Long]()
+        arr.iterator.filter(v => v > u && v != mn && seen.add(v)).map(v => (v, mn))
       }
       // ── small-star ──────────────────────────────────────────────────
       // group = a node's smaller-neighbor list; m = its min (< u); emit
       // (u, m) and (v, m) for the others (in-group HashSet dedupes the
-      // replica floods star hubs produce; cross-group dups fall to the
-      // round-final distinct).
+      // replica floods star hubs produce; cross-group dups survive one
+      // round and die in the next round's group HashSets).
       val next = ls.groupByKey(np).flatMap { case (u, ms) =>
         val arr = ms.toArray
         var mn = Long.MaxValue
@@ -693,11 +702,14 @@ object Dedup {
           i += 1
         }
         out.iterator
-      }.distinct(np).persist(StorageLevel.MEMORY_AND_DISK)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
       val nextCount = next.count()
-      // fixpoint ⇔ identical edge set; counts differ on every non-final
-      // round, so the exact set check runs once at the end
-      converged = nextCount == edgeCount && next.subtract(edges, np).isEmpty()
+      // fixpoint ⇔ identical edge SET; the multiset count only triggers
+      // the exact check (both difference directions — without the
+      // round-final distinct, equal counts alone could mask a dup-vs-
+      // extra-edge coincidence), which runs once on the final round
+      converged = nextCount == edgeCount &&
+        next.subtract(edges, np).isEmpty() && edges.subtract(next, np).isEmpty()
       edges.unpersist(blocking = false)
       edges = next
       edgeCount = nextCount
