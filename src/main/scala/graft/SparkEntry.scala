@@ -613,6 +613,17 @@ object SparkEntry {
           .cast("bigint").as("event_id"), col("value").as("line"))
         .orderBy("event_id")
     }),
+    // ── scale: sequence packing (concat offsets + context-window ids;
+    //    oracle: DuckDB window cumsum replay) ────────────────────────────
+    "q56_pack_sequences" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tok_len"),
+        pmod(col("doc_id"), lit(8)).as("stratum"))
+      Analytics.packSequences(d, "doc_id", "tok_len", capacity = 2048,
+          strataCol = "stratum")
+        .select(col("doc_id"), col("stratum"), col("offset"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
     // ── scale: Gopher-style repetition quality signals (oracle: DuckDB
     //    replays the line/2-gram/adjacent-repeat fractions) ──────────────
     "q55_repetition_stats" -> ((s, dir) => {
@@ -1221,6 +1232,20 @@ object SparkEntry {
         |  CAST(json_object('event_id', event_id, 'event_type', event_type,
         |    'value', value) AS VARCHAR) || '}' AS line
         |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "q56_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok_len,
+        |    doc_id % 8 AS stratum
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, stratum, tok_len,
+        |    CAST(sum(tok_len) OVER (PARTITION BY stratum ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - tok_len AS BIGINT) AS "offset"
+        |  FROM d)
+        |SELECT doc_id, stratum, "offset", "offset" // 2048 AS pack_id
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q55_repetition_stats" ->
       """WITH planted AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0

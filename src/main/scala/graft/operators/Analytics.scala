@@ -165,6 +165,35 @@ object Analytics {
   }
 
   /** Top-k rows per group by `orderBy` (deterministic: pass tiebreakers). */
+  /** Sequence-packing offsets for pretraining batch prep: documents
+    * concatenate in deterministic (stratum, id) order; each gets its
+    * start `offset` within the stratum's token stream and the
+    * `pack_id = floor(offset / capacity)` of the context window its
+    * FIRST token lands in (the standard concat-then-cut-at-context-
+    * boundaries packing — a document may span into the next window,
+    * exactly like packed pretraining with cross-document truncation).
+    *
+    * 100 TB shape: one window per STRATUM (shard key, e.g. a hash of the
+    * id) — packing is inherently sequential within a stream, so the
+    * stratum column is the unit of parallelism; a single global stream
+    * would serialize the cumsum into one partition. One shuffle on the
+    * stratum key. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      capacity: Long,
+      strataCol: String): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offset = (sum(col(lenCol)).over(w) - col(lenCol)).cast("long")
+    df.withColumn("offset", offset)
+      // integer division (not double-divide-then-truncate): exact at any
+      // stream length
+      .withColumn("pack_id", expr(s"offset div ${capacity}L"))
+  }
+
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -116,4 +116,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(binned.toSeq === naive.toSeq)
     assert(naive.nonEmpty)
   }
+
+  test("packSequences assigns contiguous offsets and context-window pack ids per stratum") {
+    val docs = Seq(
+      (1L, 1000L, 0L), (2L, 1500L, 0L), (3L, 700L, 0L), (4L, 100L, 0L),
+      (5L, 2048L, 1L), (6L, 1L, 1L)).toDF("doc_id", "tok_len", "stratum")
+    val out = Analytics.packSequences(docs, "doc_id", "tok_len", capacity = 2048L,
+        strataCol = "stratum")
+      .select("doc_id", "offset", "pack_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // stratum 0 stream: offsets 0, 1000, 2500, 3200 → packs 0, 0, 1, 1
+    assert(out(1L) === (0L, 0L) && out(2L) === (1000L, 0L))
+    assert(out(3L) === (2500L, 1L) && out(4L) === (3200L, 1L))
+    // stratum 1 is an independent stream; an exact-capacity doc fills pack 0
+    assert(out(5L) === (0L, 0L) && out(6L) === (2048L, 1L))
+  }
 }
