@@ -614,7 +614,9 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     // ── scale: sequence packing (concat offsets + context-window ids;
-    //    oracle: DuckDB window cumsum replay) ────────────────────────────
+    //    oracle: DuckDB window cumsum replay — shares the family-wide
+    //    tokenization convention that RE2's \s excludes U+000B, latent
+    //    only because testdata carries no vertical tabs, same as q21) ────
     "q56_pack_sequences" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("tok_len"),

@@ -164,14 +164,16 @@ object Analytics {
       .drop("__bin")
   }
 
-  /** Top-k rows per group by `orderBy` (deterministic: pass tiebreakers). */
   /** Sequence-packing offsets for pretraining batch prep: documents
     * concatenate in deterministic (stratum, id) order; each gets its
     * start `offset` within the stratum's token stream and the
-    * `pack_id = floor(offset / capacity)` of the context window its
-    * FIRST token lands in (the standard concat-then-cut-at-context-
-    * boundaries packing — a document may span into the next window,
-    * exactly like packed pretraining with cross-document truncation).
+    * `pack_id = offset div capacity` of the context window its FIRST
+    * token lands in (the standard concat-then-cut-at-context-boundaries
+    * packing — a document may span into the next window, exactly like
+    * packed pretraining with cross-document truncation). Lengths must be
+    * non-negative — enforced per row (fail-loud raise_error, not a
+    * silent nonsense offset; a negative length would also make `div`
+    * truncation diverge from floor semantics).
     *
     * 100 TB shape: one window per STRATUM (shard key, e.g. a hash of the
     * id) — packing is inherently sequential within a stream, so the
@@ -185,15 +187,20 @@ object Analytics {
       capacity: Long,
       strataCol: String): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val len = when(col(lenCol) < 0, raise_error(concat(
+        lit(s"packSequences: negative $lenCol: "), col(lenCol).cast("string"))))
+      .otherwise(col(lenCol))
     val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offset = (sum(col(lenCol)).over(w) - col(lenCol)).cast("long")
+    val offset = (sum(len).over(w) - col(lenCol)).cast("long")
     df.withColumn("offset", offset)
       // integer division (not double-divide-then-truncate): exact at any
-      // stream length
+      // stream length; offsets are non-negative by the guard above, so
+      // div == floor
       .withColumn("pack_id", expr(s"offset div ${capacity}L"))
   }
 
+  /** Top-k rows per group by `orderBy` (deterministic: pass tiebreakers). */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
