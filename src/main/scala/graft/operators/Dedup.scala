@@ -224,14 +224,22 @@ object Dedup {
 
   /** Exact Jaccard similarity over word shingles for given candidate pairs —
     * computed from shingle sets via a (pair → shingle) join, shuffling only
-    * (id, shingle-hash) pairs. */
+    * (id, shingle-hash) pairs. The corpus is first semi-joined against the
+    * broadcast set of ids the pairs actually reference, so the shingle
+    * scan+shuffle costs O(|pair ids|), not O(|corpus|): a 51-pair score on
+    * a 100 TB corpus touches ~102 documents, not the whole table. (Inside
+    * `minhashNearDupPairs` no such filter applies — signatures need every
+    * doc — this is the standalone pair-scoring entry point only.) */
   def jaccardForPairs(
       df: DataFrame,
       pairs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val hashed = shingleRows(df, idCol, textCol, shingleSize)
+    val pairIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val needed = df.join(broadcast(pairIds), Seq(idCol), "left_semi")
+    val hashed = shingleRows(needed, idCol, textCol, shingleSize)
       .select(col(idCol), xxhash64(col("__sh")).as("__sh"))
       .distinct()
     jaccardFromShingleHashes(hashed, pairs)

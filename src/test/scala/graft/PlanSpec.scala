@@ -70,6 +70,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus sort-merge-joins:\n$plan")
   }
 
+  test("jaccardForPairs filters the corpus to the pair ids before shingling") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val plan = physical(Dedup.jaccardForPairs(docs, pairs, "doc_id", "text"))
+    // the scale contract: a small pair list must not pay a corpus-wide
+    // shingle shuffle — the corpus is semi-joined against the broadcast
+    // pair-id set before any explode/aggregate
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus not semi-join-filtered by pair ids:\n$plan")
+    // the printed tree lists parents first: the semi-join must sit BELOW
+    // the shingle explode (Generate), i.e. print after it — that is what
+    // "filter before shingling" looks like physically
+    val explodeIdx = plan.indexOf("Generate")
+    assert(explodeIdx >= 0 && plan.indexOf("LeftSemi", explodeIdx) > explodeIdx,
+      s"pair-id semi-join does not feed the shingle explode:\n$plan")
+  }
+
   test("parquet scan prunes columns and pushes filters (documents projection)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)
