@@ -445,7 +445,16 @@ object PyStr {
   }
 
   /** MD5 row hash over sorted columns' non-null canonical strings
-    * (null/NaN values contribute nothing, matching `v == v and not None`). */
+    * (null/NaN values contribute nothing, matching `v == v and not None`).
+    *
+    * Float caveat: float32 values render via numpy's scalar `str()` —
+    * shortest round-trip digits at 32-bit width (dragon4), positional iff
+    * 1e-4 ≤ |v| < 1e16 decided on the VALUE. Verified against numpy
+    * 1.26.4; that algorithm has been stable since numpy 1.14, but if a
+    * future numpy changes scalar repr, hashes produced here will diverge
+    * from a reference run on that numpy — check here first when a
+    * cross-system hash mismatch appears. Verified vectors (118 cases):
+    * PyLiteralSpec. */
   def rowHash(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Column = {
     val sorted = cols.sorted
     val parts = sorted.map { name =>

@@ -486,12 +486,18 @@ object Dedup {
     * SIZE-GATED EXECUTION (like Spark's broadcast-join threshold): the
     * edge set an LSH near-dup stage emits is almost always tiny relative
     * to the corpus — capped band buckets bound it explicitly — so when the
-    * canonical distinct edge count is ≤ `maxDriverEdges` (default 1M —
-    * ~130 MB transient driver peak, see [[ccStarsDriver]]'s memory math)
-    * the closure is computed with a driver-side union-find in
-    * milliseconds: a distributed star-contraction round costs ~1 s of
-    * fixed scheduling at ANY size, and a 1M-edge graph can need 15+ of
-    * them. Size the gate to the driver's heap when raising it.
+    * canonical distinct edge count is ≤ `maxDriverEdges` the closure is
+    * computed with a driver-side union-find in milliseconds: a distributed
+    * star-contraction round costs ~1 s of fixed scheduling at ANY size,
+    * and a 1M-edge graph can need 15+ of them.
+    *
+    * The default gate (`maxDriverEdges = -1`) is MEMORY-ADAPTIVE:
+    * heap/3200 clamped to [65k, 16M] edges — i.e. a 1/16-of-heap budget at
+    * the measured ~200 B/edge worst case (boxed collect + node tables, see
+    * [[ccStarsDriver]]'s memory math). An 8 GiB driver gates at ~2.7M
+    * edges; a 512 MiB one at ~168k (≈ 34 MB peak — no OOM risk); the cap
+    * bounds union-find wall time on huge drivers. Pass an explicit
+    * positive value to pin the gate.
     * Above the gate — or with `maxDriverEdges = 0` —
     * integral ids take the distributed RDD loop (the one place in this
     * library where RDDs beat DataFrames: an iterative fixpoint re-enters
@@ -512,7 +518,7 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20,
-      maxDriverEdges: Long = 1000000L): DataFrame = {
+      maxDriverEdges: Long = -1L): DataFrame = {
     val raw = pairs.select(col(idA).as("a"), col(idB).as("b"))
     // union type-widens, so this is the common id type the result carries
     val allNodes = raw.select(col("a").as("id"))
@@ -522,8 +528,9 @@ object Dedup {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    val gate = if (maxDriverEdges < 0) adaptiveMaxDriverEdges() else maxDriverEdges
     val stars =
-      if (integral) ccStarsIntegral(raw, maxIter, idType, maxDriverEdges)
+      if (integral) ccStarsIntegral(raw, maxIter, idType, gate)
       else ccStarsDf(raw, maxIter)
     // converged stars: every non-min node points at its component min (min
     // over dsts is belt-and-braces for the maxIter-partial case); minima
@@ -532,6 +539,12 @@ object Dedup {
     allNodes.join(nonMin, Seq("id"), "left")
       .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
   }
+
+  /** Memory-adaptive driver-UF gate: 1/16 of the driver heap at the
+    * ~200 B/edge worst case (see [[ccStarsDriver]]), clamped to [65k, 16M]
+    * edges. Resolved at call time so `-Xmx` changes take effect. */
+  private[graft] def adaptiveMaxDriverEdges(): Long =
+    math.min(16000000L, math.max(65536L, Runtime.getRuntime.maxMemory() / 3200L))
 
   private def ccWarnMaxIter(maxIter: Int): Unit =
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -647,7 +660,16 @@ object Dedup {
 
   /** RDD star-contraction loop for integral ids above the driver gate,
     * returning the converged star edge set as a (src, dst) DataFrame cast
-    * back to `idType`. Each round is one TWO-shuffle job (large-star
+    * back to `idType`.
+    *
+    * RETURNED-FRAME CONTRACT: a MULTISET — convergence is detected by
+    * count equality + empty symmetric SET difference, which a final
+    * multiset carrying duplicate rows can still satisfy (e.g. edges =
+    * {e1,e1,e2}, next = {e1,e2,e2}). Callers must aggregate (the
+    * `connectedComponents` consumer does `groupBy(src).min(dst)`) or
+    * distinct before treating rows as unique.
+    *
+    * Each round is one TWO-shuffle job (large-star
     * groupByKey, small-star groupByKey) + a count on the persisted
     * result — no Catalyst re-analysis, no checkpoint job, and NO
     * round-final distinct: both stars dedupe their neighborhoods

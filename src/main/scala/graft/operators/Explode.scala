@@ -116,7 +116,12 @@ object Explode {
   }
 
   /** Dict-or-first-of-list column → two columns (key prop, value prop),
-    * dropping the original. Reference: pandas_utils.py:12-71. */
+    * dropping the original. Reference: pandas_utils.py:12-71.
+    *
+    * `keyProp`/`valueProp` are LITERAL top-level field names (json_tuple
+    * matches the exact key string), mirroring the reference's dict access
+    * `x[prop]` — a prop containing a dot selects the field literally named
+    * `"a.b"`, never a nested path. */
   def jsonTupleToCols(
       df: DataFrame,
       column: String,

@@ -377,6 +377,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(viaDriver.forall { case (id, c) => c <= id })
   }
 
+  test("adaptive driver-UF gate scales with heap and respects its clamps") {
+    // formula: heap/3200 (1/16 of heap at ~200 B/edge) clamped to [65k, 16M]
+    val g = Dedup.adaptiveMaxDriverEdges()
+    assert(g === math.min(16000000L,
+      math.max(65536L, Runtime.getRuntime.maxMemory() / 3200L)))
+    // the 8 GiB test/bench JVM must gate ABOVE the 100×-stress probe's
+    // 1,045k edges (the round-5 cliff: just over the old fixed 1M gate)
+    assert(g > 1100000L, s"gate $g would route a ~1M-edge probe distributed")
+  }
+
   test("connectedComponents handles self-pairs and shuffled edge directions") {
     val pairs = Seq((5L, 5L), (9L, 2L), (2L, 7L), (7L, 9L)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(pairs)
