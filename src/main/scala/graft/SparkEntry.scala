@@ -24,20 +24,35 @@ object SparkEntry {
     else df
   }
 
-  /** Scratch directory for store-backed queries, deleted recursively at
+  /** Scratch directories for store-backed queries, deleted recursively at
     * JVM exit — gate and bench runs construct these queries repeatedly
     * (each bench repetition re-primes its store), and undeleted
-    * gs_* directories would otherwise accumulate across runs. */
+    * gs_* directories would otherwise accumulate across runs. One static
+    * shutdown hook drains a concurrent queue of paths (bench reps would
+    * otherwise register an unbounded number of hook Threads). */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      var p = scratchDirs.poll()
+      while (p != null) {
+        try {
+          if (Files.exists(p)) {
+            val walk = Files.walk(p)
+            try walk.sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        } catch { case _: Throwable => () }
+        p = scratchDirs.poll()
+      }
+    }))
+
   private def tmpWorkDir(prefix: String): String = {
+    scratchHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      } catch { case _: Throwable => () }))
+    scratchDirs.add(p)
     p.toString
   }
 
@@ -652,6 +667,29 @@ object SparkEntry {
           ngram = 3, minMatches = 5)
         .select("doc_id").orderBy("doc_id")
     }),
+    // ── scale: REAL image decode via the JDK's javax.imageio (oracle:
+    //    the synthesized PNGs' dims/fill arithmetic — values pass only if
+    //    PNG encode → magic sniff → header probe → pixel decode → bilinear
+    //    resize → re-probe all round-trip through the real codec) ────────
+    "q57_image_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesizeImages(
+        T(s, dir, "part").filter(col("p_partkey") <= 150), "p_partkey")
+      val decoded = Multimodal.decodeMeta(media, codec = Multimodal.ImageCodec)
+        .select(col("media_id"), col("payload"),
+          col("decoded_meta.mime").as("mime"),
+          col("decoded_meta.width").cast("long").as("width"),
+          col("decoded_meta.height").cast("long").as("height"))
+      val resized = Multimodal.resize(decoded, 24, 18, codec = Multimodal.ImageCodec)
+      val reprobed = Multimodal.decodeMeta(resized, codec = Multimodal.ImageCodec)
+      val feat = Multimodal.extractFeatures(reprobed, codec = Multimodal.ImageCodec)
+      feat.select(col("media_id"), col("mime"), col("width"), col("height"),
+          col("decoded_meta.width").cast("long").as("r_width"),
+          col("decoded_meta.height").cast("long").as("r_height"),
+          round(element_at(col("features"), 1) * 255).cast("long").as("avg_r"),
+          round(element_at(col("features"), 2) * 255).cast("long").as("avg_g"),
+          round(element_at(col("features"), 3) * 255).cast("long").as("avg_b"))
+        .orderBy("media_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1110,6 +1148,15 @@ object SparkEntry {
         |  64 + ('0x' || substr(md5(p_partkey::VARCHAR), 9, 8))::UBIGINT % 1024 AS height,
         |  16 AS feat_dim
         |FROM part WHERE p_partkey <= 100 ORDER BY media_id""".stripMargin,
+    "q57_image_decode" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id, 'image/png' AS mime,
+        |  CAST(16 + p_partkey % 48 AS BIGINT) AS width,
+        |  CAST(16 + (p_partkey // 7) % 40 AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS r_width, CAST(18 AS BIGINT) AS r_height,
+        |  CAST((p_partkey * 37) % 256 AS BIGINT) AS avg_r,
+        |  CAST((p_partkey * 59) % 256 AS BIGINT) AS avg_g,
+        |  CAST((p_partkey * 83) % 256 AS BIGINT) AS avg_b
+        |FROM part WHERE p_partkey <= 150 ORDER BY media_id""".stripMargin,
     "q40_embedding_neardup" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings

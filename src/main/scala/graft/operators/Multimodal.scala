@@ -13,13 +13,32 @@ import org.apache.spark.sql.types._
   * processing with an explicit output schema, so Spark plans them as a
   * single narrow stage — no shuffle, no driver round-trip).
   *
-  * The codec layer is STUBBED — the container has no image/audio libs — as
-  * `DeterministicFakeCodec`, which derives plausible metadata from the raw
-  * bytes deterministically. The Spark-side contract (schemas, batching,
-  * partition sizing, null handling) is real and tested; swapping in a real
-  * codec is replacing one pure function.
+  * The codec layer is pluggable ([[Multimodal.MediaCodec]]):
+  *  - [[Multimodal.ImageCodec]] is REAL for images — `javax.imageio`
+  *    (shipped with every JDK) sniffs PNG/JPEG/GIF/BMP magic bytes,
+  *    header-probes dimensions without a full pixel decode, decodes
+  *    pixels, and resizes via `BufferedImage`+`Graphics2D`. Audio/video
+  *    stay stubbed (the JDK has no audio/video codecs).
+  *  - [[Multimodal.DeterministicFakeCodec]] derives everything from raw
+  *    bytes deterministically — the stand-in for encoders that need
+  *    external model runtimes (and the historical default, so metadata
+  *    stays stable for payloads that are not real media).
   */
 object Multimodal {
+
+  /** The pluggable codec boundary: everything the mapPartitions stages
+    * need from a media implementation. Implementations must be
+    * serializable (they ride task closures). */
+  trait MediaCodec extends Serializable {
+    def name: String
+    def sniffMime(payload: Array[Byte]): String
+    /** (width, height), or (-1, -1) when the payload is not decodable. */
+    def probeDimensions(payload: Array[Byte]): (Int, Int)
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+    def sampleFrames(payload: Array[Byte], everyMs: Long, durationMs: Long): Seq[Array[Byte]]
+    def featuresBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
+    def features(payload: Array[Byte]): Array[Float]
+  }
 
   val mediaMetaType: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -35,9 +54,11 @@ object Multimodal {
     StructField("meta", mediaMetaType)))
 
   /** The stub codec: everything derived deterministically from payload
-    * bytes, so tests are stable. A real build replaces these bodies with
-    * actual decoders (??? marks the genuine decode steps). */
-  object DeterministicFakeCodec {
+    * bytes, so tests are stable. Use [[ImageCodec]] for real image
+    * decode; this remains the stand-in for audio/video and for encoder
+    * models (??? marks the steps that need an external runtime). */
+  object DeterministicFakeCodec extends MediaCodec {
+    val name = "stub"
     def sniffMime(payload: Array[Byte]): String =
       if (payload == null || payload.isEmpty) "application/octet-stream"
       else payload(0) & 0x3 match {
@@ -96,19 +117,154 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on the JDK's own `javax.imageio` — no external
+    * dependency. Sniffs magic bytes (PNG/JPEG/GIF/BMP), header-probes
+    * dimensions WITHOUT a full pixel decode (`ImageReader.getWidth(0)`
+    * reads only the header), decodes pixels, and resizes with
+    * `BufferedImage` + `Graphics2D` (bilinear), re-encoding PNG
+    * (lossless, so solid-color fidelity is exact). Audio/video frame
+    * sampling delegates to [[DeterministicFakeCodec]] — the JDK ships no
+    * audio/video codecs, and that boundary stays honestly stubbed.
+    * Features for decodable images are REAL pixel statistics (per-channel
+    * means + a 12-bin luma histogram — signal processing, not a learned
+    * embedding); non-images fall back to the stub's byte statistics.
+    *
+    * Thread safety: every call builds its own reader/stream (ImageIO's
+    * static reader registry is thread-safe for lookup); the disk-backed
+    * stream cache is disabled once per JVM (executor temp dirs + an extra
+    * fsync per decode otherwise). */
+  object ImageCodec extends MediaCodec {
+    val name = "imageio"
+
+    // ImageIO.setUseCache is a JVM-global toggle; idempotent, do it once
+    // per executor JVM on first use
+    @transient private lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    def sniffMime(payload: Array[Byte]): String = {
+      if (payload == null || payload.length < 8) return "application/octet-stream"
+      def u(i: Int): Int = payload(i) & 0xFF
+      if (u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G' &&
+          u(4) == 0x0D && u(5) == 0x0A && u(6) == 0x1A && u(7) == 0x0A) "image/png"
+      else if (u(0) == 0xFF && u(1) == 0xD8 && u(2) == 0xFF) "image/jpeg"
+      else if (u(0) == 'G' && u(1) == 'I' && u(2) == 'F' && u(3) == '8' &&
+          (u(4) == '7' || u(4) == '9') && u(5) == 'a') "image/gif"
+      else if (u(0) == 'B' && u(1) == 'M') "image/bmp"
+      else "application/octet-stream"
+    }
+
+    /** Header-only dimension probe: grabs the format's ImageReader and asks
+      * for width/height of image 0 — readers parse just the header for
+      * this, so probing a 10 MB JPEG costs a few hundred bytes of I/O. */
+    def probeDimensions(payload: Array[Byte]): (Int, Int) = {
+      init
+      if (sniffMime(payload) == "application/octet-stream") return (-1, -1)
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return (-1, -1)
+        val r = readers.next()
+        try { r.setInput(in); (r.getWidth(0), r.getHeight(0)) }
+        finally r.dispose()
+      } catch { case _: java.io.IOException => (-1, -1) }
+      finally in.close()
+    }
+
+    /** Full pixel decode; null when the payload is not a decodable image. */
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      init
+      if (payload == null) return null
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    }
+
+    /** Lossless PNG encode. */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      init
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Synthesize a solid-color PNG — deterministic real bytes for tests
+      * and oracle-gated queries. */
+    def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      encodePng(img)
+    }
+
+    /** Real resample for decodable images (bilinear `Graphics2D`,
+      * re-encoded PNG); non-image payloads pass through UNCHANGED — in a
+      * mixed media table, image resize is a no-op for audio/video rows. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = decode(payload)
+      if (src == null) return payload
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      encodePng(dst)
+    }
+
+    /** Video stays stubbed — no JDK video codec. */
+    def sampleFrames(payload: Array[Byte], everyMs: Long, durationMs: Long): Seq[Array[Byte]] =
+      DeterministicFakeCodec.sampleFrames(payload, everyMs, durationMs)
+
+    def featuresBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map(features)
+
+    /** Real pixel statistics for images: [meanR, meanG, meanB, meanLuma,
+      * 12-bin luma histogram (mass)] = 16 dims, matching the stub's
+      * dimensionality so downstream schemas are codec-independent. */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val img = decode(payload)
+      if (img == null) return DeterministicFakeCodec.features(payload)
+      val out = new Array[Float](16)
+      val w = img.getWidth; val h = img.getHeight
+      val n = math.max(1, w * h).toFloat
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          val luma = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+          out(0) += r / 255.0f; out(1) += g / 255.0f; out(2) += b / 255.0f
+          out(3) += luma
+          out(4 + math.min(11, (luma * 12).toInt)) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < 16) { out(i) /= n; i += 1 }
+      out
+    }
+  }
+
   /** Decode pass: fill the `meta` struct from the payload. Batched per
     * partition; payload column stays opaque (never shuffled wider than
     * needed — project before calling at scale). */
-  def decodeMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+  def decodeMeta(df: DataFrame, payloadCol: String = "payload",
+      codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("decoded_meta", mediaMetaType))
     val enc = RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.get(idx).asInstanceOf[Array[Byte]]
-        val (w, h) = DeterministicFakeCodec.probeDimensions(payload)
-        val meta = Row(DeterministicFakeCodec.sniffMime(payload), w, h,
-          if (payload == null) 0L else payload.length.toLong, "stub")
+        val (w, h) = codec.probeDimensions(payload)
+        val meta = Row(codec.sniffMime(payload),
+          if (w < 0) null else w, if (h < 0) null else h,
+          if (payload == null) 0L else payload.length.toLong, codec.name)
         Row.fromSeq(r.toSeq :+ meta)
       }
     }(enc)
@@ -121,14 +277,14 @@ object Multimodal {
     * stub's batch API is a map, but the batching plumbing — grouping,
     * order preservation, last-partial-batch — is the real contract). */
   def extractFeatures(df: DataFrame, payloadCol: String = "payload",
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val feats = DeterministicFakeCodec.featuresBatch(
+        val feats = codec.featuresBatch(
           batch.map(_.get(idx).asInstanceOf[Array[Byte]]))
         batch.iterator.zip(feats.iterator).map { case (r, f) =>
           Row.fromSeq(r.toSeq :+ f.toSeq)
@@ -147,7 +303,7 @@ object Multimodal {
     * extraction stays batched (`batchSize`) so a real encoder amortizes
     * model invocation; metadata decode is per-row within the same batch. */
   def decodeAndFeaturize(df: DataFrame, payloadCol: String = "payload",
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("decoded_meta", mediaMetaType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
@@ -156,12 +312,13 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val payloads = batch.map(_.get(idx).asInstanceOf[Array[Byte]])
-        val feats = DeterministicFakeCodec.featuresBatch(payloads)
+        val feats = codec.featuresBatch(payloads)
         batch.iterator.zip(payloads.iterator).zip(feats.iterator).map {
           case ((r, payload), f) =>
-            val (w, h) = DeterministicFakeCodec.probeDimensions(payload)
-            val meta = Row(DeterministicFakeCodec.sniffMime(payload), w, h,
-              if (payload == null) 0L else payload.length.toLong, "stub")
+            val (w, h) = codec.probeDimensions(payload)
+            val meta = Row(codec.sniffMime(payload),
+              if (w < 0) null else w, if (h < 0) null else h,
+              if (payload == null) 0L else payload.length.toLong, codec.name)
             Row.fromSeq(r.toSeq ++ Seq(meta, f.toSeq))
         }
       }
@@ -169,14 +326,15 @@ object Multimodal {
   }
 
   /** Resize pass (image semantics): payload → resized payload. */
-  def resize(df: DataFrame, w: Int, h: Int, payloadCol: String = "payload"): DataFrame = {
+  def resize(df: DataFrame, w: Int, h: Int, payloadCol: String = "payload",
+      codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
     val enc = RowEncoder.encoderFor(df.schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.get(idx).asInstanceOf[Array[Byte]]
         val resized = if (payload == null) null
-          else DeterministicFakeCodec.resize(payload, w, h)
+          else codec.resize(payload, w, h)
         Row.fromSeq(r.toSeq.updated(idx, resized))
       }
     }(enc)
@@ -185,7 +343,8 @@ object Multimodal {
   /** Frame-sampling pass (video semantics): one output row per sampled
     * frame — a flatMap, so downstream stages parallelize over frames. */
   def sampleFrames(df: DataFrame, everyMs: Long,
-      payloadCol: String = "payload", metaCol: String = "meta"): DataFrame = {
+      payloadCol: String = "payload", metaCol: String = "meta",
+      codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame", BinaryType)))
@@ -199,7 +358,7 @@ object Multimodal {
         else {
           val meta = r.getStruct(mIdx)
           val dur = if (meta == null || meta.isNullAt(3)) payload.length.toLong else meta.getLong(3)
-          DeterministicFakeCodec.sampleFrames(payload, everyMs, dur).iterator
+          codec.sampleFrames(payload, everyMs, dur).iterator
             .zipWithIndex.map { case (f, i) => Row.fromSeq(r.toSeq ++ Seq(i, f)) }
         }
       }
@@ -213,4 +372,31 @@ object Multimodal {
       // payload: repeatable pseudo-bytes from the id
       unhex(repeat(substring(md5(col(idCol).cast(StringType)), 1, 16), 8)).as("payload"))
       .withColumn("meta", lit(null).cast(mediaMetaType))
+
+  /** Deterministic dims/fill for [[synthesizeImages]] — shared with tests
+    * and oracle SQL (which replays this arithmetic): for id `i`,
+    * width = 16 + i%48, height = 16 + (i/7)%40, channel fills
+    * (37i, 59i, 83i) mod 256. */
+  def imageParams(id: Long): (Int, Int, Int, Int, Int) =
+    ((16 + id % 48).toInt, (16 + (id / 7) % 40).toInt,
+      ((id * 37) % 256).toInt, ((id * 59) % 256).toInt, ((id * 83) % 256).toInt)
+
+  /** Synthesize REAL solid-color PNGs keyed by `idCol` — genuine image
+    * bytes (encoded per-partition with [[ImageCodec]]), so decode /
+    * resize / feature paths exercise the real `javax.imageio` codec while
+    * an arithmetic oracle still knows every expected value. */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType).as("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h, cr, cg, cb) = imageParams(id)
+        Row(id, ImageCodec.solidPng(w, h, (cr << 16) | (cg << 8) | cb))
+      }
+    }(enc)
+  }
 }

@@ -55,6 +55,84 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.toSeq === Seq((128 * 128) / 64))
   }
 
+  // ── real image codec (javax.imageio) ──────────────────────────────────
+
+  test("ImageCodec sniffs real magic bytes and rejects junk") {
+    val png = Multimodal.ImageCodec.solidPng(5, 4, 0x336699)
+    assert(Multimodal.ImageCodec.sniffMime(png) === "image/png")
+    // JPEG via the JDK encoder
+    val img = new java.awt.image.BufferedImage(6, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    assert(Multimodal.ImageCodec.sniffMime(jbos.toByteArray) === "image/jpeg")
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", gbos)
+    assert(Multimodal.ImageCodec.sniffMime(gbos.toByteArray) === "image/gif")
+    val bbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bbos)
+    assert(Multimodal.ImageCodec.sniffMime(bbos.toByteArray) === "image/bmp")
+    assert(Multimodal.ImageCodec.sniffMime("not an image".getBytes) ===
+      "application/octet-stream")
+    assert(Multimodal.ImageCodec.sniffMime(null) === "application/octet-stream")
+  }
+
+  test("ImageCodec header-probes true dimensions for png/jpeg/gif/bmp") {
+    val png = Multimodal.ImageCodec.solidPng(37, 23, 0xAA5511)
+    assert(Multimodal.ImageCodec.probeDimensions(png) === ((37, 23)))
+    val img = new java.awt.image.BufferedImage(41, 19, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      assert(Multimodal.ImageCodec.probeDimensions(bos.toByteArray) === ((41, 19)), fmt)
+    }
+    assert(Multimodal.ImageCodec.probeDimensions("junk bytes here".getBytes) === ((-1, -1)))
+  }
+
+  test("ImageCodec resize really resamples: dimensions change, solid color survives") {
+    val src = Multimodal.ImageCodec.solidPng(60, 40, 0x7F3001)
+    val out = Multimodal.ImageCodec.resize(src, 24, 18)
+    assert(Multimodal.ImageCodec.probeDimensions(out) === ((24, 18)))
+    val img = Multimodal.ImageCodec.decode(out)
+    // bilinear resample of a solid color is exactly that color, PNG is lossless
+    assert((img.getRGB(0, 0) & 0xFFFFFF) === 0x7F3001)
+    assert((img.getRGB(23, 17) & 0xFFFFFF) === 0x7F3001)
+    // non-image payloads pass through unchanged
+    val junk = "audio bytes".getBytes
+    assert(Multimodal.ImageCodec.resize(junk, 8, 8) eq junk)
+  }
+
+  test("ImageCodec features are real pixel statistics (golden solid image)") {
+    val png = Multimodal.ImageCodec.solidPng(10, 10, (200 << 16) | (100 << 8) | 50)
+    val f = Multimodal.ImageCodec.features(png)
+    assert(f.length === 16)
+    assert(math.round(f(0) * 255) === 200)
+    assert(math.round(f(1) * 255) === 100)
+    assert(math.round(f(2) * 255) === 50)
+    // histogram mass sums to 1 (one luma bin holds all pixels)
+    assert(math.abs(f.drop(4).sum - 1.0f) < 1e-5)
+    assert(f.drop(4).max === 1.0f)
+  }
+
+  test("decodeMeta with ImageCodec on synthesized PNGs matches imageParams; junk gets null dims") {
+    val imgs = Multimodal.synthesizeImages(spark.range(0, 30).toDF("id"), "id")
+    val out = Multimodal.decodeMeta(imgs, codec = Multimodal.ImageCodec)
+      .select("media_id", "decoded_meta.*").orderBy("media_id").collect()
+    out.foreach { r =>
+      val (w, h, _, _, _) = Multimodal.imageParams(r.getLong(0))
+      assert(r.getString(1) === "image/png")
+      assert(r.getInt(2) === w); assert(r.getInt(3) === h)
+      assert(r.getString(5) === "imageio")
+    }
+    // a non-image payload through the same path: octet-stream, null dims
+    val junk = Multimodal.synthesize(spark.range(0, 3).toDF("id"), "id")
+    val jm = Multimodal.decodeMeta(junk, codec = Multimodal.ImageCodec)
+      .select("decoded_meta.*").collect()
+    jm.foreach { r =>
+      assert(r.getString(0) === "application/octet-stream")
+      assert(r.isNullAt(1) && r.isNullAt(2))
+    }
+  }
+
   test("sampleFrames flat-maps one row per frame with frame index") {
     val withMeta = Multimodal.decodeMeta(media)
       .withColumnRenamed("meta", "meta_orig").withColumnRenamed("decoded_meta", "meta")
