@@ -92,6 +92,17 @@ object SparkEntry {
   /** Inputs of the three LSH-verified dedup queries, shared between the
     * query definitions and the q53 recall-margin probe so the probe can
     * never drift from what the gated queries actually run on. */
+  /** q58/q59 input: every 5th doc gets the same 12-token boilerplate
+    * prefix — deterministic cross-doc duplicated spans for substring-level
+    * dedup (natural cross-doc 8-grams in the corpus flag too; the oracle
+    * replays the identical computation). */
+  private val boilerplate =
+    "terms of service apply to all content herein and usage governed accordingly"
+  private def plantedBoilerplate(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(lit(boilerplate + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+
   private def lshInputQ25(s: SparkSession, dir: String): DataFrame = {
     val d = T(s, dir, "documents").select("doc_id", "text")
     val mutated = d.filter(col("doc_id") % 10 === 0)
@@ -690,6 +701,22 @@ object SparkEntry {
           round(element_at(col("features"), 3) * 255).cast("long").as("avg_b"))
         .orderBy("media_id")
     }),
+    // ── scale: substring-level exact dedup — cross-doc duplicated token
+    //    spans (oracle: DuckDB replays gram grouping + island merge on the
+    //    gram STRINGS; Spark joins on xxhash64 of the same grams) ─────────
+    "q58_duplicate_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(plantedBoilerplate(s, dir), "doc_id", "text",
+          minSpanTokens = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+    // ── per-doc duplicated-token budget over the same planted corpus
+    //    (the filter signal: fraction of tokens inside cross-doc spans) ───
+    "q59_dup_span_stats" -> ((s, dir) => {
+      Dedup.duplicateSpanStats(plantedBoilerplate(s, dir), "doc_id", "text",
+          minSpanTokens = 8)
+        .filter(col("dup_tokens") > 0)
+        .orderBy("doc_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1148,6 +1175,64 @@ object SparkEntry {
         |  64 + ('0x' || substr(md5(p_partkey::VARCHAR), 9, 8))::UBIGINT % 1024 AS height,
         |  16 AS feat_dim
         |FROM part WHERE p_partkey <= 100 ORDER BY media_id""".stripMargin,
+    "q58_duplicate_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'terms of service apply to all content herein and usage governed accordingly ' || text
+        |    ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM d),
+        |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, len(toks) - 6)) AS pos,
+        |        unnest(list_transform(range(1, len(toks) - 6),
+        |          i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |      FROM tt),
+        |f AS (SELECT doc_id, pos FROM g
+        |      QUALIFY min(doc_id) OVER (PARTITION BY gram)
+        |        <> max(doc_id) OVER (PARTITION BY gram)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |i AS (SELECT doc_id, pos,
+        |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |          THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM m)
+        |SELECT doc_id, min(pos) - 1 AS span_start, max(pos) + 6 AS span_end,
+        |       max(pos) + 6 - (min(pos) - 1) + 1 AS span_tokens
+        |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "q59_dup_span_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'terms of service apply to all content herein and usage governed accordingly ' || text
+        |    ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM d),
+        |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, len(toks) - 6)) AS pos,
+        |        unnest(list_transform(range(1, len(toks) - 6),
+        |          i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |      FROM tt),
+        |f AS (SELECT doc_id, pos FROM g
+        |      QUALIFY min(doc_id) OVER (PARTITION BY gram)
+        |        <> max(doc_id) OVER (PARTITION BY gram)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |i AS (SELECT doc_id, pos,
+        |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |          THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM m),
+        |sp AS (SELECT doc_id, max(pos) + 6 - (min(pos) - 1) + 1 AS span_tokens
+        |       FROM i GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, sum(span_tokens) AS dup_tokens FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, agg.dup_tokens, len(t.toks) AS tok_len,
+        |       round(agg.dup_tokens / greatest(len(t.toks), 1), 6) AS dup_frac
+        |FROM t JOIN agg ON agg.doc_id = t.doc_id
+        |WHERE agg.dup_tokens > 0 ORDER BY t.doc_id""".stripMargin,
     "q57_image_decode" ->
       """SELECT CAST(p_partkey AS BIGINT) AS media_id, 'image/png' AS mime,
         |  CAST(16 + p_partkey % 48 AS BIGINT) AS width,

@@ -411,23 +411,20 @@ case class CanonicalText(child: Expression)
   *  - `"md5_60"` — the portable `Dedup.md5Hash60` (decimal value of the
   *    first 15 md5 hex chars), so the DuckDB oracle can replay the exact
   *    fingerprints. */
-case class WinnowedHashes(child: Expression, k: Int, window: Int, hashKind: String)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 1 && window >= 1, s"k and window must be >= 1, got $k/$window")
-  require(hashKind == "xxhash64" || hashKind == "md5_60",
-    s"hashKind must be xxhash64 or md5_60, got $hashKind")
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
-
+/** Shared positional k-gram hashing (the shingle+hash front half of
+  * winnowing): WordShingles semantics incl. the short-doc single-shingle
+  * fallback and null-array → [""]. Factored out so [[WinnowedHashes]]
+  * (window minima) and [[KgramHashes]] (every position, for
+  * substring-level dedup) are value-identical on the shared prefix. */
+private[functions] object KgramHash {
   private val space = UTF8String.fromString(" ")
-  @transient private lazy val md5 =
+  private val md5 =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  private def hash(s: UTF8String): Long =
+  def hash(hashKind: String, s: UTF8String): Long =
     if (hashKind == "xxhash64")
       org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
@@ -440,33 +437,68 @@ case class WinnowedHashes(child: Expression, k: Int, window: Int, hashKind: Stri
       (v << 4) | ((d(7) & 0xf0L) >> 4)
     }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val hashes: Array[Long] =
-      if (v == null) Array(hash(UTF8String.fromString("")))
-      else {
-        val arr = v.asInstanceOf[ArrayData]
-        val m = arr.numElements()
-        def tok(i: Int): UTF8String =
-          if (arr.isNullAt(i)) null else arr.getUTF8String(i)
-        if (m < k) {
-          val all = new Array[UTF8String](m)
-          var i = 0
-          while (i < m) { all(i) = tok(i); i += 1 }
-          Array(hash(UTF8String.concatWs(space, all: _*)))
-        } else {
-          val out = new Array[Long](m - k + 1)
-          var i = 0
-          while (i < out.length) {
-            val parts = new Array[UTF8String](k)
-            var j = 0
-            while (j < k) { parts(j) = tok(i + j); j += 1 }
-            out(i) = hash(UTF8String.concatWs(space, parts: _*))
-            i += 1
-          }
-          out
+  /** hashes(i) = hash of the k-gram starting at token i; a doc shorter
+    * than k yields ONE whole-doc hash. */
+  def hashArray(v: Any, k: Int, hashKind: String): Array[Long] =
+    if (v == null) Array(hash(hashKind, UTF8String.fromString("")))
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      def tok(i: Int): UTF8String =
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (m < k) {
+        val all = new Array[UTF8String](m)
+        var i = 0
+        while (i < m) { all(i) = tok(i); i += 1 }
+        Array(hash(hashKind, UTF8String.concatWs(space, all: _*)))
+      } else {
+        val out = new Array[Long](m - k + 1)
+        var i = 0
+        while (i < out.length) {
+          val parts = new Array[UTF8String](k)
+          var j = 0
+          while (j < k) { parts(j) = tok(i + j); j += 1 }
+          out(i) = hash(hashKind, UTF8String.concatWs(space, parts: _*))
+          i += 1
         }
+        out
       }
+    }
+}
+
+/** Every positional k-gram hash (index = token position) in one fused
+  * pass — the [[WinnowedHashes]] front half WITHOUT window minima or
+  * dedup. Substring-level dedup needs all positions: every token offset
+  * is probed for cross-document duplication. */
+case class KgramHashes(child: Expression, k: Int, hashKind: String)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(hashKind == "xxhash64" || hashKind == "md5_60",
+    s"hashKind must be xxhash64 or md5_60, got $hashKind")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      KgramHash.hashArray(child.eval(input), k, hashKind))
+
+  override protected def withNewChildInternal(c: Expression): KgramHashes =
+    copy(child = c)
+  override def prettyName: String = "kgram_hashes"
+}
+
+case class WinnowedHashes(child: Expression, k: Int, window: Int, hashKind: String)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && window >= 1, s"k and window must be >= 1, got $k/$window")
+  require(hashKind == "xxhash64" || hashKind == "md5_60",
+    s"hashKind must be xxhash64 or md5_60, got $hashKind")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val hashes: Array[Long] = KgramHash.hashArray(child.eval(input), k, hashKind)
     val n = hashes.length
     val nWin = math.max(n - (window - 1), 1)
     val seen = new java.util.LinkedHashSet[java.lang.Long](nWin * 2)
@@ -559,6 +591,9 @@ object TextStats {
   def winnowed_hashes(tokens: Column, k: Int, window: Int,
       hashKind: String = "xxhash64"): Column =
     bridge.column(WinnowedHashes(bridge.expression(tokens), k, window, hashKind))
+
+  def kgram_hashes(tokens: Column, k: Int, hashKind: String = "xxhash64"): Column =
+    bridge.column(KgramHashes(bridge.expression(tokens), k, hashKind))
 
   def pii_redact_counts(text: Column,
       patterns: Seq[(String, String, String)]): Column =

@@ -383,6 +383,100 @@ object Dedup {
     corpus.join(Ops.broadcastIfSmall(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Substring-level exact dedup: maximal token spans (≥ `minSpanTokens`)
+    * duplicated ACROSS documents — the capability document-level dedup
+    * misses (shared boilerplate/template spans inside otherwise-distinct
+    * pages, which dominate web corpora; cf. Lee et al. 2021, CCS'd in
+    * PAPERS.md). Returns (idCol, span_start, span_end, span_tokens) with
+    * token positions 0-based inclusive; every token in a span is covered
+    * by some k-gram (k = `minSpanTokens`) that also occurs in at least
+    * one OTHER document.
+    *
+    * Plan shape at 100 TB:
+    *  1. one fused [[graft.functions.KgramHashes]] scan emits (id, pos,
+    *     hash) — ~20 B per token position; only these derived keys ever
+    *     shuffle, never text. This linear-in-tokens probe volume is the
+    *     price of EXACT substring dedup (the suffix-array formulation
+    *     pays the same order in index bytes);
+    *  2. duplicated hashes come from groupBy(hash).agg(min(id), max(id))
+    *     — min ≠ max ⟺ ≥ 2 distinct docs — with MAP-SIDE partial
+    *     aggregation, so a boilerplate k-gram shared by millions of docs
+    *     combines before the exchange (skew-robust where a window over
+    *     the hash would sort the hot key in one task);
+    *  3. the (usually tiny) duplicated-hash set broadcasts back against
+    *     the gram stream (size-gated — falls back to a shuffle join that
+    *     AQE skew-splits);
+    *  4. flagged positions (≪ corpus) shuffle once on id for the
+    *     interval merge (overlapping-or-adjacent k-gram intervals union
+    *     into maximal spans via running-max islands).
+    *
+    * Docs with fewer than `minSpanTokens` tokens are excluded up front —
+    * they cannot contain a qualifying span (whole-document duplicates
+    * are [[exactDedup]]'s domain). Within-document repetition is
+    * [[graft.operators.TextAnalysis.repetitionStats]]'s domain; a hash
+    * occurring many times in ONE doc only does not flag.
+    *
+    * `hashKind` as in [[minhashNearDupPairs]]: `xxhash64` production,
+    * `md5_60` for an external SQL oracle to replay gram equality. */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 10,
+      hashKind: String = "xxhash64"): DataFrame = {
+    val k = minSpanTokens
+    require(k >= 2, s"minSpanTokens must be >= 2, got $k")
+    val grams = df
+      .select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+          graft.functions.TextStats.kgram_hashes(col("__toks"), k, hashKind))
+        .as(Seq("__pos", "__h")))
+    val dupHashes = grams.groupBy("__h")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("__h")
+    val flagged = grams.join(Ops.broadcastIfSmall(dupHashes), Seq("__h"))
+      .select(col(idCol), col("__pos"))
+    // merge overlapping/adjacent [pos, pos+k-1] intervals into maximal
+    // spans: an island breaks where a position clears the running max end
+    val wD = Window.partitionBy(idCol).orderBy("__pos")
+    val prevEnd = max(col("__pos") + lit(k - 1))
+      .over(wD.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new",
+        when(prevEnd.isNull || col("__pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__island",
+        sum(col("__new")).over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("__pos").as("span_start"),
+        (max("__pos") + lit(k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Per-document duplicated-token budget from [[duplicateSpans]]: every
+    * doc (spans or not) with its duplicated-token count and fraction —
+    * the filter signal a pipeline thresholds on (e.g. drop docs that are
+    * mostly boilerplate). Fraction denominators use the same token
+    * convention as the spans. */
+  def duplicateSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 10,
+      hashKind: String = "xxhash64"): DataFrame = {
+    val perDoc = duplicateSpans(df, idCol, textCol, minSpanTokens, hashKind)
+      .groupBy(idCol).agg(sum("span_tokens").as("__dup"))
+    df.select(col(idCol),
+        coalesce(size(tokensCol(col(textCol))), lit(0)).as("tok_len"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+        col("tok_len"),
+        round(coalesce(col("__dup"), lit(0L)) /
+          greatest(col("tok_len"), lit(1)), 6).as("dup_frac"))
+  }
+
   /** 64-bit SimHash per document: per-token 64-bit hashes vote ±1 on each
     * bit; the sign of each bit's sum forms the fingerprint.
     *

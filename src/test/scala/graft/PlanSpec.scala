@@ -88,6 +88,20 @@ class PlanSpec extends SparkSpec {
       s"pair-id semi-join does not feed the shingle explode:\n$plan")
   }
 
+  test("duplicateSpans aggregates grams map-side and never sort-merge-joins the gram stream") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val plan = physical(Dedup.duplicateSpans(docs, "doc_id", "text", minSpanTokens = 8))
+    // scale contract: the duplicated-hash set rides a broadcast back over
+    // the gram stream (no corpus-wide SortMergeJoin), and the min/max
+    // dup detection partially aggregates before its exchange
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"gram stream sort-merge-joins:\n$plan")
+    val i = plan.indexOf("Exchange")
+    assert(i >= 0 && plan.indexOf("HashAggregate", i) >= 0,
+      s"no map-side partial aggregate under the exchange:\n$plan")
+  }
+
   test("parquet scan prunes columns and pushes filters (documents projection)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)

@@ -144,6 +144,62 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m(1L) === m(4L))
   }
 
+  test("duplicateSpans finds cross-doc spans, merges overlaps, ignores within-doc repeats") {
+    val boiler = "a b c d e f g h i j" // 10 shared tokens
+    val docs = Seq(
+      (1L, s"x1 y1 $boiler z1 w1"),    // shared run at token 2..11
+      (2L, s"$boiler q2 r2 s2"),       // shared run at token 0..9
+      (3L, "m m m m m m m m m m m m"), // WITHIN-doc repetition only — no flag
+      (4L, "p4 q4 r4 s4 t4"))          // 5 tokens < k — excluded entirely
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", minSpanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    // k=8 grams fully inside the shared 10-token run: 3 overlapping
+    // positions per doc, merged into ONE maximal span of 10 tokens
+    assert(out === Set((1L, 2, 11, 10), (2L, 0, 9, 10)))
+  }
+
+  test("duplicateSpans merges adjacent-but-disjoint flagged intervals into one run") {
+    // two 8-gram matches at distance exactly k: intervals [0,7] and [8,15]
+    // touch, so tokens 0..15 form one contiguous duplicated-covered run
+    val r1 = "a b c d e f g h"
+    val r2 = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"$r1 $r2"),                 // both runs, back to back
+      (2L, s"$r1 z2 z3 z4 z5 z6 z7 z8 z9"), // shares run 1 only
+      (3L, s"y2 y3 y4 y5 y6 y7 y8 y9 $r2")) // shares run 2 only
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", minSpanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out.contains((1L, 0, 15)), s"adjacent intervals did not merge: $out")
+  }
+
+  test("duplicateSpanStats reports per-doc duplicated-token fractions for all docs") {
+    val boiler = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, s"x1 y1 $boiler z1 w1"),
+      (2L, s"$boiler q2 r2 s2"),
+      (3L, "clean doc with eight distinct tokens here ok"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "doc_id", "text", minSpanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((10L, 14, 0.714286)))
+    assert(out(2L) === ((10L, 13, 0.769231)))
+    assert(out(3L) === ((0L, 8, 0.0)))
+  }
+
+  test("fused KgramHashes matches the HOF kgramHashes reference chain") {
+    val docs = Seq((1L, "one two three four five six"), (2L, "short"),
+      (3L, ""), (4L, "a b c")).toDF("doc_id", "text")
+    val toks = Dedup.tokensCol(col("text"))
+    val fused = docs.select(col("doc_id"),
+      graft.functions.TextStats.kgram_hashes(toks, 3).as("h")).collect()
+    val ref = docs.select(col("doc_id"),
+      TextAnalysis.kgramHashes(toks, 3).as("h")).collect()
+    assert(fused.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap ===
+      ref.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+  }
+
   test("exactDedup distinguishes null placement across content columns") {
     val df = Seq((1L, Some("x"), None: Option[String]),
                  (2L, None: Option[String], Some("x"))).toDF("id", "a", "b")
