@@ -103,6 +103,21 @@ object SparkEntry {
       when(col("doc_id") % 5 === 0, concat(lit(boilerplate + " "), col("text")))
         .otherwise(col("text")).as("text"))
 
+  /** q60's learned-merge list (rank order). All pairs keep left ≠ right
+    * so the SQL oracle can merge a round's occurrences independently —
+    * occurrences of such a pair cannot overlap (an overlap at i, i+1
+    * forces syms(i+1) = right = left). The Spark expression handles
+    * left = right too (left-to-right non-overlap, spec-covered). */
+  private val bpeMerges = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "u"), ("r", "e"), ("o", "n"), ("e", "n"))
+
+  /** Inline rank lookup for the q60 oracle: CASE over the merge table. */
+  private def bpeRankCase(arr: String): String =
+    bpeMerges.zipWithIndex.map { case ((a, b), r) =>
+      s"WHEN $arr[i]='$a' AND $arr[i+1]='$b' THEN ${r + 1}"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+
   private def lshInputQ25(s: SparkSession, dir: String): DataFrame = {
     val d = T(s, dir, "documents").select("doc_id", "text")
     val mutated = d.filter(col("doc_id") % 10 === 0)
@@ -717,6 +732,15 @@ object SparkEntry {
         .filter(col("dup_tokens") > 0)
         .orderBy("doc_id")
     }),
+    // ── scale: REAL BPE token counts — greedy min-rank merge loop over a
+    //    learned merge list (oracle: DuckDB recursive CTE replays the
+    //    merge rounds symbol-by-symbol) ────────────────────────────────────
+    "q60_bpe_tokens" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      d.select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text"), bpeMerges).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1175,6 +1199,37 @@ object SparkEntry {
         |  64 + ('0x' || substr(md5(p_partkey::VARCHAR), 9, 8))::UBIGINT % 1024 AS height,
         |  16 AS feat_dim
         |FROM part WHERE p_partkey <= 100 ORDER BY media_id""".stripMargin,
+    "q60_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |      FROM documents),
+         |w0 AS (SELECT doc_id, unnest(toks) AS word FROM w),
+         |init AS (SELECT doc_id,
+         |  list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms FROM w0),
+         |bpe AS (
+         |  SELECT doc_id, syms FROM init
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    list_filter(list_transform(range(1, len(syms) + 1), i ->
+         |      CASE WHEN i < len(syms) AND ranks[i] IS NOT NULL AND ranks[i] = best
+         |             THEN syms[i] || syms[i+1]
+         |           WHEN i > 1 AND ranks[i-1] IS NOT NULL AND ranks[i-1] = best
+         |             THEN NULL
+         |           ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+         |  FROM (
+         |    SELECT doc_id, syms, ranks,
+         |      list_min(list_filter(ranks, r -> r IS NOT NULL)) AS best
+         |    FROM (SELECT doc_id, syms,
+         |            list_transform(range(1, len(syms)), i -> ${bpeRankCase("syms")}) AS ranks
+         |          FROM bpe) rr) bb
+         |  WHERE best IS NOT NULL)
+         |SELECT doc_id, sum(n) AS bpe_tokens FROM (
+         |  SELECT doc_id, len(syms) AS n,
+         |    list_min(list_filter(
+         |      list_transform(range(1, len(syms)), i -> ${bpeRankCase("syms")}),
+         |      r -> r IS NOT NULL)) AS best
+         |  FROM bpe) t
+         |WHERE best IS NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q58_duplicate_spans" ->
       """WITH d AS (
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0

@@ -523,6 +523,90 @@ case class WinnowedHashes(child: Expression, k: Int, window: Int, hashKind: Stri
   override def prettyName: String = "winnowed_hashes"
 }
 
+/** REAL byte-pair-encoding token count in one fused pass — greedy
+  * min-rank merge loop (the GPT-2 `bpe()` algorithm): per word, start
+  * from codepoint symbols, repeatedly find the LOWEST-RANK adjacent pair
+  * present and merge ALL its occurrences left-to-right non-overlapping,
+  * until no ranked pair remains; the count is the surviving symbol count
+  * summed over words. This replaces heuristic counts (`bpeishCount`)
+  * whose drift vs a real tokenizer is unbounded — packing (q56) and
+  * token budgeting want merge-true numbers.
+  *
+  * Words come from the family tokenization convention (trim spaces,
+  * lowercase, split `\s+`); empty words contribute 0 symbols, so the
+  * Java-vs-RE2 trailing-empty-token difference cannot surface in counts.
+  * Symbols are CODEPOINTS (a surrogate pair is one symbol), matching SQL
+  * engines' per-character string slicing for oracle replay.
+  *
+  * `merges` is the learned merge list in rank order (a real
+  * `merges.txt`: one "left right" pair per line — see
+  * `TextAnalysis.parseMerges`). The list serializes with the expression;
+  * at production vocab sizes (~50k merges ≈ 1 MB) that ships once per
+  * task closure like any literal — acceptable; move to a broadcast only
+  * if profiling says otherwise. */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Int.box(i))
+    }
+    m
+  }
+
+  private def countWord(w: String): Int = {
+    if (w.isEmpty) return 0
+    var syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      syms.add(w.substring(i, i + n))
+      i += n
+    }
+    while (syms.size >= 2) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = rank.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) return syms.size
+      val (a, b) = merges(best)
+      val out = new java.util.ArrayList[String](syms.size)
+      j = 0
+      while (j < syms.size) {
+        if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+          out.add(a + b); j += 2
+        } else { out.add(syms.get(j)); j += 1 }
+      }
+      syms = out
+    }
+    syms.size
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    // trim strips SPACES only (Spark trim parity); lowercase; \s+ split.
+    // String.split drops trailing empties vs Spark's limit=-1, but empty
+    // words count 0 symbols, so totals are unaffected.
+    val s = v.asInstanceOf[UTF8String].toString
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val words = s.substring(lo, hi).toLowerCase.split("\\s+")
+    var total = 0
+    var i = 0
+    while (i < words.length) { total += countWord(words(i)); i += 1 }
+    total
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+    copy(child = c)
+  override def prettyName: String = "bpe_token_count"
+}
+
 /** PII redaction + audit counts in one chain of Matcher passes —
   * struct(redacted, email, ipv4, phone). `redactPii` and `piiCounts`
   * each re-ran the 3-pattern regex chain (6 passes when a query selects
@@ -594,6 +678,9 @@ object TextStats {
 
   def kgram_hashes(tokens: Column, k: Int, hashKind: String = "xxhash64"): Column =
     bridge.column(KgramHashes(bridge.expression(tokens), k, hashKind))
+
+  def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
+    bridge.column(BpeTokenCount(bridge.expression(text), merges))
 
   def pii_redact_counts(text: Column,
       patterns: Seq[(String, String, String)]): Column =

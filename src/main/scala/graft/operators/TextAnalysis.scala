@@ -62,8 +62,34 @@ object TextAnalysis {
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count: words, numbers, and punctuation runs counted
-    * separately (a cheap stand-in for a real tokenizer's token count). */
+    * separately (a cheap stand-in for a real tokenizer's token count).
+    * [[bpeTokenCount]] is the merge-true version. */
   def bpeishTokenCount(text: Column): Column = textCounts(text).getField("bpeish")
+
+  /** REAL BPE token count from a learned merge list (rank order), greedy
+    * min-rank merging per word — see
+    * [[graft.functions.BpeTokenCount]] for the exact algorithm and
+    * conventions. `bpeishTokenCount` stays the zero-config heuristic
+    * twin; this is what packing/budgeting should use when the
+    * tokenizer's merges file is available. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextStats.bpe_token_count(text, merges)
+
+  /** Parse a standard `merges.txt`: one "left right" pair per line, rank
+    * = line order; blank lines and `#...` header/comment lines skipped
+    * (GPT-2 ships a `#version` first line). Load driver-side and pass to
+    * [[bpeTokenCount]]. */
+  def parseMerges(lines: IterableOnce[String]): Seq[(String, String)] =
+    lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed merges line (expected 'left right'): '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+      .toSeq
 
   private[graft] def bpeishTokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text,

@@ -200,6 +200,64 @@ class ScaleOpsSpec extends SparkSpec {
       ref.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
   }
 
+  test("bpeTokenCount applies greedy min-rank merges (golden cases)") {
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
+    val df = Seq(
+      (1L, "the"),      // t h e → th e → the = 1
+      (2L, "and then"), // and → 1; then: t h e n → th e n → the n = 2
+      (3L, ""),         // no symbols
+      (4L, "xyz"),      // no applicable merges: 3 codepoints
+      (5L, "  THE  "))  // trim + lowercase = 1
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 1, 2L -> 3, 3L -> 0, 4L -> 3, 5L -> 1))
+  }
+
+  test("bpeTokenCount is the min-rank LOOP, not a single rank-ordered pass") {
+    // rank 0 = (aa,b), rank 1 = (a,a): "aab" must first merge (a,a) — the
+    // only pair present — then revisit rank 0 on the NEW adjacency:
+    // [a,a,b] → [aa,b] → [aab] = 1 token. A one-pass-per-rule scheme
+    // would answer 2 (rule 0 sees no match before rule 1 runs).
+    val merges = Seq(("aa", "b"), ("a", "a"))
+    val df = Seq((1L, "aab")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.bpeTokenCount(col("text"), merges))
+      .first().getInt(0)
+    assert(n === 1)
+  }
+
+  test("bpeTokenCount merges left-to-right non-overlapping for left=right rules") {
+    val merges = Seq(("a", "a"))
+    val df = Seq((1L, "aaaa"), (2L, "aaa"), (3L, "aaaaa")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // aaaa → [aa,aa]=2; aaa → [aa,a]=2; aaaaa → [aa,aa,a]=3
+    assert(out === Map(1L -> 2, 2L -> 2, 3L -> 3))
+  }
+
+  test("bpeTokenCount treats surrogate-pair codepoints as single symbols") {
+    val x = new String(Character.toChars(0x1D54F)) // 𝕏 (2 UTF-16 chars)
+    val df = Seq((1L, x + x), (2L, s"a${x}b")).toDF("doc_id", "text")
+    val merged = df.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), Seq((x, x))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === Map(1L -> 1, 2L -> 3)) // 𝕏𝕏 merges; a𝕏b has no pair
+    val plain = df.select(TextAnalysis.bpeTokenCount(col("text"), Nil))
+      .collect().map(_.getInt(0)).toSeq
+    assert(plain === Seq(2, 3)) // codepoint counts, not char counts
+  }
+
+  test("parseMerges reads merges.txt conventions") {
+    val lines = Seq("#version: 0.2", "", "t h", "th e", "  a n  ")
+    assert(TextAnalysis.parseMerges(lines) ===
+      Seq(("t", "h"), ("th", "e"), ("a", "n")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.parseMerges(Seq("a b c"))
+    }
+  }
+
   test("exactDedup distinguishes null placement across content columns") {
     val df = Seq((1L, Some("x"), None: Option[String]),
                  (2L, None: Option[String], Some("x"))).toDF("id", "a", "b")
