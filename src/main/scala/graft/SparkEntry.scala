@@ -741,6 +741,17 @@ object SparkEntry {
           TextAnalysis.bpeTokenCount(col("text"), bpeMerges).as("bpe_tokens"))
         .orderBy("doc_id")
     }),
+    // ── scale: SemDeDup — semantic dedup via IVF clusters + within-cluster
+    //    cosine (oracle: DuckDB replays seeding, refinement, assignment —
+    //    the q36 machinery — then the pairwise drop policy) ───────────────
+    "q61_semantic_dedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.semanticDedup(e.unionByName(planted), "vec_id", "embedding",
+          numCentroids = 16, tau = 0.95, seedHash = Dedup.md5Hash60)
+        .select("vec_id").orderBy("vec_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1199,6 +1210,44 @@ object SparkEntry {
         |  64 + ('0x' || substr(md5(p_partkey::VARCHAR), 9, 8))::UBIGINT % 1024 AS height,
         |  16 AS feat_dim
         |FROM part WHERE p_partkey <= 100 ORDER BY media_id""".stripMargin,
+    "q61_semantic_dedup" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+         |  FROM (SELECT vec_id, v FROM e
+         |        QUALIFY row_number()
+         |          OVER (ORDER BY ${h60Sql("vec_id::VARCHAR")}, vec_id) <= 16)),
+         |a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, seeds.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, seeds.cvec) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(seeds.cvec, seeds.cvec)))
+         |        DESC, seeds.cid) AS rn
+         |    FROM e, seeds) WHERE rn = 1),
+         |m AS (
+         |  SELECT a0.cid, t.i, CAST(avg(e.v[t.i]) AS FLOAT) AS mv
+         |  FROM a0 JOIN e USING (vec_id), range(1, 65) AS t(i) GROUP BY a0.cid, t.i),
+         |cents AS (SELECT cid, CAST(list(mv ORDER BY i) AS DOUBLE[]) AS cvec FROM m GROUP BY cid),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, cents.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, cents.cvec) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))
+         |        DESC, cents.cid) AS rn
+         |    FROM e, cents) WHERE rn = 1),
+         |p AS (
+         |  SELECT b.vec_id AS id_b
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE list_dot_product(ea.v, eb.v) /
+         |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95)
+         |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id_b FROM p)
+         |ORDER BY vec_id""".stripMargin,
     "q60_bpe_tokens" ->
       s"""WITH RECURSIVE
          |w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

@@ -561,6 +561,68 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster embeddings with [[Similarity.ivfIndex]]'s
+    * 3-pass k-means build, then compare pairs WITHIN each cluster only —
+    * the clusters bound the quadratic term, which is the whole point of
+    * the method (global pairwise is intractable; sign-LSH near-dup
+    * ([[embeddingNearDupPairs]]) only finds near-identical vectors, while
+    * cluster-local cosine at moderate `tau` also catches semantically
+    * equivalent rewrites). Returns (id_a, id_b, cosine) with id_a < id_b
+    * and cosine ≥ `tau`.
+    *
+    * Scale shape: the pairwise stage shuffles vectors once on
+    * (centroid_id) — cluster size is the unit of quadratic work, so
+    * `numCentroids` should scale with corpus size (SemDeDup uses
+    * n/cluster ≈ thousands); `maxClusterSize` hard-caps degenerate
+    * clusters via [[capBuckets]] (cross-sub pairs are forfeited, same
+    * documented approximation as [[minhashCandidates]]).
+    * `seedHash` as in [[Similarity.ivfIndex]]: default xxhash64; pass
+    * [[md5Hash60]] for an external SQL oracle replay. */
+  def semanticDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      tau: Double = 0.95,
+      maxClusterSize: Int = 100000,
+      seedHash: Column => Column = xxhash64(_)): DataFrame = {
+    import graft.functions.VectorOps.{vector_dot, vector_norm}
+    val (_, assigned) = Similarity.ivfIndex(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol, numCentroids, seedHash)
+    val sig = capBuckets(assigned.withColumn("__n", vector_norm(col(vecCol))),
+      Seq("centroid_id"), idCol, maxClusterSize)
+    val a = sig.select(col("centroid_id"), col("__sub"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = sig.select(col("centroid_id"), col("__sub"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("centroid_id", "__sub")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vector_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** SemDeDup survivors: drop every row with a SMALLER-id τ-neighbor in
+    * its cluster (single-pass keep-the-min policy, the same documented
+    * approximation as [[minhashDedup]] — a chain a~b, b~c with a≁c drops
+    * both b and c; pipe [[semanticDupPairs]] into
+    * [[connectedComponents]] + [[dedupByComponents]] when principled
+    * chain handling matters). */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      tau: Double = 0.95,
+      maxClusterSize: Int = 100000,
+      seedHash: Column => Column = xxhash64(_)): DataFrame = {
+    val drop = semanticDupPairs(df, idCol, vecCol, numCentroids, tau,
+        maxClusterSize, seedHash)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(Ops.broadcastIfSmall(drop), Seq(idCol), "left_anti")
+  }
+
   /** Transitive-closure clustering of near-dup pairs by alternating
     * large-star / small-star contraction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14). Returns (id, component)

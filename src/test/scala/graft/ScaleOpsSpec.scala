@@ -455,6 +455,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(neighbors.head === 2L) // (0.9, 0.1) is nearest to (1, 0)
   }
 
+  test("semanticDupPairs finds within-cluster cosine pairs; semanticDedup keeps the min id") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),   // exact dup of 1 → cosine 1.0
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.99f, 0.14f)), // cosine to 3 ≈ 0.990
+      (5L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // one cluster → plain pairwise; makes the expected set exact
+    val pairs = Dedup.semanticDupPairs(df, "vec_id", "embedding",
+        numCentroids = 1, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+        numCentroids = 1, tau = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
+  test("semanticDedup drops planted identical copies regardless of cluster count") {
+    // identical vectors always land in the same cluster (same argmax),
+    // so the planted +100 copies must drop under any centroid count.
+    // Base vectors are e_a + c·e_{a+1} with c-gaps ≥ 0.3 — every
+    // cross-original cosine stays ≤ ~0.995, below the 0.999 tau.
+    val base = (0L until 40L).map { i =>
+      val a = (i % 8).toInt
+      (i, Seq.tabulate(8)(d =>
+        if (d == a) 1.0f
+        else if (d == (a + 1) % 8) 0.3f * (1 + i / 8)
+        else 0.0f))
+    }
+    val planted = base.take(10).map { case (i, v) => (i + 100, v) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+        numCentroids = 4, tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((100L until 110L).forall(!kept.contains(_)), s"planted copies survived: $kept")
+    assert((0L until 40L).forall(kept.contains), "an original was dropped")
+  }
+
   test("connectedComponents collapses chains to the minimum id") {
     // chain 1-2-3-4 plus separate pair 10-11; 1≁3 directly but same cluster
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
