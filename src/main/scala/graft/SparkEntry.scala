@@ -836,7 +836,11 @@ object SparkEntry {
           .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"))
         store.write("orders", snap, Seq("o_orderkey"))
         () => {
-          store.upsert("orders", incoming, Seq("o_orderkey"))
+          // the extract is key-unique (a filter over a pk column), so the
+          // bench takes the production fast path; the sf0.01 CORRECTNESS
+          // gate keeps exercising the general dedup path via `queries`
+          store.upsert("orders", incoming, Seq("o_orderkey"),
+            assumeUniqueKeys = true)
           store.read("orders").get.orderBy("o_orderkey")
         }
       }),

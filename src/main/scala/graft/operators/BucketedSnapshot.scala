@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *  - upsert reads ONLY the buckets present in the incoming batch
   *    (partition pruning on the bucket column within each generation —
   *    untouched buckets are never scanned, never rewritten);
-  *  - the merge itself is the same window keep-last as `Snapshot.upsert`;
+  *  - the merge keeps the last arrival per pk (delta beats snapshot,
+  *    batch-internal dups keep-last), computed as delta-side dedup + a
+  *    size-gated broadcast ANTI-join — the touched rows stream through
+  *    it; the only exchange they cross is the write's bucket repartition;
   *  - the merged touched buckets land in a NEW generation directory —
   *    existing data is never overwritten, so the read-your-own-input
   *    hazard of dynamic partition overwrite is gone;
@@ -165,7 +168,10 @@ class BucketedSnapshotStore(
     val byGen = wanted.flatMap(b => m.get(b).map(_ -> b))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val parts = byGen.toSeq.sortBy(_._1).map { case (gen, bs) =>
-      spark.read.parquet(new Path(root, gen).toString)
+      // pass the (cached) generation schema so the reader skips its
+      // footer-inference pass; partition discovery appends BucketCol
+      spark.read.schema(generationDataSchema(root, gen))
+        .parquet(new Path(root, gen).toString)
         .filter(col(BucketCol).isin(bs.map(Integer.valueOf): _*))
     }
     parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
@@ -270,11 +276,19 @@ class BucketedSnapshotStore(
     bucketed.repartition(col(BucketCol))
       .write.mode("errorifexists")
       .option("compression", "zstd")
+      // level 1 ≈ half the encode CPU of the default 3 for ~2-4% larger
+      // files — the right trade for a write-amplified merge-on-write
+      // store (generations are rewritten on every touched-bucket upsert)
+      .option("parquet.compression.codec.zstd.level", "1")
       .partitionBy(BucketCol)
       .parquet(genPath.toString)
     val written = fs.listStatus(genPath).toIndexedSeq.map(_.getPath.getName)
       .filter(_.startsWith(s"$BucketCol="))
       .map(_.stripPrefix(s"$BucketCol=").toInt)
+    // prime the schema cache for the generation we just wrote: the data
+    // files carry exactly these columns (partitionBy hoists BucketCol out
+    // of the files), so the next alignPkTypes skips its footer-probe job
+    genSchemaCache.put(s"$root/$gen", bucketed.drop(BucketCol).schema)
     (gen, written)
   }
 
@@ -291,46 +305,72 @@ class BucketedSnapshotStore(
   }
 
   /** Merge-by-pk upsert touching only the delta's buckets. Returns the
-    * count of rewritten buckets (for observability). */
-  def upsert(name: String, incoming: DataFrame, pk: Seq[String]): Long = {
+    * count of rewritten buckets (for observability).
+    *
+    * `assumeUniqueKeys = true` skips the batch-internal keep-last dedup
+    * (one delta-sized window shuffle) — pass it ONLY when the incoming
+    * batch is known key-unique (the common CDC-extract case); with
+    * duplicate pks it would commit duplicate rows, like
+    * [[Dedup.exactDedup]]'s `assumeUniqueOrder` contract. */
+  def upsert(name: String, incoming: DataFrame, pk: Seq[String],
+      assumeUniqueKeys: Boolean = false): Long = {
     val root = path(name)
     val manifest = readManifest(root)
     if (manifest.forall(_._2.isEmpty)) {
-      write(name, Snapshot.dedupKeepLast(incoming, pk), pk)
+      write(name,
+        if (assumeUniqueKeys) incoming else Snapshot.dedupKeepLast(incoming, pk), pk)
       return numBuckets.toLong
     }
     val (ver, m) = manifest.get
     val aligned = alignPkTypes(incoming, pk, root, m, "upsert")
-    val bucketed = aligned.withColumn(BucketCol, bucketOf(pk))
-    val touched = bucketed.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted.toIndexedSeq
-    if (touched.isEmpty) return 0L
-    // partition pruning: only the touched bucket directories are scanned
-    val existing = readBuckets(root, m, Some(touched)).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bucketed.schema))
-    val arrival = monotonically_increasing_id()
-    val merged = existing.withColumn("__src", lit(0)).withColumn("__arr", lit(0L))
-      .unionByName(
-        bucketed.withColumn("__src", lit(1)).withColumn("__arr", arrival),
-        allowMissingColumns = true)
-    val w = Window.partitionBy((pk :+ BucketCol).map(col): _*)
-      .orderBy(col("__src").desc, col("__arr").desc)
-    val winner = merged.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__src", "__arr", "__rn")
-    // stage the merged touched buckets into a fresh generation — the
-    // generations being read stay untouched until the manifest flips
-    val (gen, _) = writeGeneration(root, winner, pk, alreadyBucketed = true)
-    beforeCommitHook()
-    writeManifest(root, ver + 1, m ++ touched.map(_ -> gen))
-    afterCommitHook()
-    gc(root)
-    // optional maintenance policy: once the manifest references more than
-    // `autoCompactGenerations` generations, fold them back into one — the
-    // amortized cost of keeping read fan-out bounded without a scheduler
-    if (autoCompactGenerations > 0 &&
-        readManifest(root).exists(_._2.values.toSet.size > autoCompactGenerations))
-      compact(name)
-    touched.length.toLong
+    // the delta drives THREE consumers (touched-bucket discovery, the
+    // anti-join key set, the merge union) — dedupe it once (keep-last
+    // within the batch) and pin it so the incoming lineage is not
+    // recomputed per consumer. localCheckpoint rather than cache: it
+    // also TRUNCATES the lineage, so the consumer plans analyze against
+    // a short scan instead of re-optimizing the full incoming query per
+    // consumer. LAZY (eager = false): the touched-bucket job right below
+    // is the first action and materializes it — an eager checkpoint
+    // would pay one extra full delta pass just to then run that job
+    // against the blocks.
+    val deduped = if (assumeUniqueKeys) aligned else Snapshot.dedupKeepLast(aligned, pk)
+    val bucketed = deduped
+      .withColumn(BucketCol, bucketOf(pk))
+      .localCheckpoint(false)
+    try {
+      val touched = bucketed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
+      if (touched.isEmpty) return 0L
+      // partition pruning: only the touched bucket directories are scanned
+      val existing = readBuckets(root, m, Some(touched)).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bucketed.schema))
+      // keep-last merge as an ANTI-JOIN: existing rows whose pk the delta
+      // overwrites drop; the deduped delta wins. Value-identical to the
+      // old (__src, __arr) window ranking, but the touched-bucket rows
+      // STREAM through a (size-gated) broadcast anti-join instead of
+      // paying a full shuffle + sort by pk — the write's bucket
+      // repartition is then the only exchange the merged data crosses.
+      // Null-safe equality preserves the window's null-pk grouping.
+      val deltaKeys = bucketed.select(pk.map(col): _*).distinct()
+      val cond = pk.map(c => existing(c) <=> deltaKeys(c)).reduce(_ && _)
+      val winner = existing
+        .join(Ops.broadcastIfSmall(deltaKeys), cond, "left_anti")
+        .unionByName(bucketed, allowMissingColumns = true)
+      // stage the merged touched buckets into a fresh generation — the
+      // generations being read stay untouched until the manifest flips
+      val (gen, _) = writeGeneration(root, winner, pk, alreadyBucketed = true)
+      beforeCommitHook()
+      writeManifest(root, ver + 1, m ++ touched.map(_ -> gen))
+      afterCommitHook()
+      gc(root)
+      // optional maintenance policy: once the manifest references more than
+      // `autoCompactGenerations` generations, fold them back into one — the
+      // amortized cost of keeping read fan-out bounded without a scheduler
+      if (autoCompactGenerations > 0 &&
+          readManifest(root).exists(_._2.values.toSet.size > autoCompactGenerations))
+        compact(name)
+      touched.length.toLong
+    } finally bucketed.unpersist(blocking = false)
   }
 
   /** Rewrite every live bucket into ONE fresh generation under the same
