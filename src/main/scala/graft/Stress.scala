@@ -73,6 +73,22 @@ object Stress {
     time(s"textAnalysis ${factor}x") {
       println("[stress]   rows=" + Bench.force(TextAnalysis.analyze(docs, "text")))
     }
+    // substring-level dedup, WORST case by construction: replicated docs
+    // make every position cross-doc duplicated, so the flagged stream is
+    // the entire gram stream (~1 row/token) and the island merge sees it
+    // all — real corpora flag a small fraction. Linear-at-worst is the
+    // bar here.
+    time(s"duplicateSpans ${factor}x (all-dup worst case)") {
+      println("[stress]   spans=" + Bench.force(
+        Dedup.duplicateSpans(docs, "doc_id", "text", minSpanTokens = 8)))
+    }
+    // real-BPE counting is a pure fused scan — should track textAnalysis
+    time(s"bpeTokenCount ${factor}x") {
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("an", "d"), ("e", "r"), ("o", "u"), ("r", "e"), ("o", "n"), ("e", "n"))
+      println("[stress]   rows=" + Bench.force(docs.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).as("n"))))
+    }
     docs.unpersist()
 
     // connected components on adversarial shapes: long chains maximize
@@ -186,6 +202,13 @@ object Stress {
       println("[stress]   results=" + Bench.force(Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", 10,
         numCentroids = 32, nProbe = 3)))
+    }
+    // SemDeDup at scale: centroid count scales with the corpus (the
+    // cluster is the unit of quadratic work) — replicas make every base
+    // vector a tau-duplicate group of size `factor`
+    time(s"semanticDedup ${factor}x (numCentroids=256)") {
+      println("[stress]   kept=" + Bench.force(Dedup.semanticDedup(
+        emb, "vec_id", "embedding", numCentroids = 256, tau = 0.99)))
     }
     emb.unpersist()
     spark.stop()

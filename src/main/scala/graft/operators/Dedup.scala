@@ -685,15 +685,58 @@ object Dedup {
       case _ => false
     }
     val gate = if (maxDriverEdges < 0) adaptiveMaxDriverEdges() else maxDriverEdges
-    val stars =
-      if (integral) ccStarsIntegral(raw, maxIter, idType, gate)
-      else ccStarsDf(raw, maxIter)
     // converged stars: every non-min node points at its component min (min
     // over dsts is belt-and-braces for the maxIter-partial case); minima
-    // and isolated/self-paired nodes label themselves
-    val nonMin = stars.groupBy(col("src").as("id")).agg(min("dst").as("__comp"))
-    allNodes.join(nonMin, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
+    // and isolated/self-paired nodes label themselves. Needed for the
+    // DISTRIBUTED paths, whose star frames are multisets over non-min
+    // nodes only.
+    def joined(stars: DataFrame): DataFrame = {
+      val nonMin = stars.groupBy(col("src").as("id")).agg(min("dst").as("__comp"))
+      allNodes.join(nonMin, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
+    }
+    if (!integral) return joined(ccStarsDf(raw, maxIter))
+    // integral ids: canonicalize + count once, then route by size. The
+    // canonical distinct runs as a Tungsten hash aggregate (codegen,
+    // UnsafeRow) — the previous RDD .distinct() paid boxed Tuple2
+    // hashing + Java serialization for the same shuffle (2× slower
+    // measured on the 1M-edge probe). Nulls cannot reach greatest/least:
+    // the null-rejecting a ≠ b filter runs first.
+    val spark = raw.sparkSession
+    val canonical = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).cast(LongType).as("src"),
+        least(col("a"), col("b")).cast(LongType).as("dst"))
+      .distinct()
+      // lazy checkpoint, materialized by the count: pins the distinct
+      // result as raw UnsafeRow blocks (no columnar re-encode) for the
+      // collect/round consumers and truncates lineage
+      .localCheckpoint(false)
+    val edgeCount = canonical.count()
+    def edgeRdd = canonical.queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
+    try {
+      if (edgeCount <= gate) {
+        // the driver union-find emits a COMPLETE unique (node →
+        // component-min) mapping over every edge-touched node — label
+        // directly, skipping the corpus-width allNodes distinct, the
+        // groupBy and the join the distributed multiset contract needs
+        // (measured: 8.4 s → ~3 s on the 1M-edge probe). The residual
+        // (nodes seen only in self-pairs or alongside a null partner)
+        // streams through a broadcast anti-join and is tiny by
+        // construction — every a ≠ b pair lands its nodes in the UF.
+        val stars = ccStarsDriver(spark, edgeRdd.collect(), idType)
+        val labeled = stars.select(col("src").as("id"), col("dst").as("component"))
+        val residual = raw.select(col("a").as("id"))
+          .union(raw.select(col("b").as("id")))
+          .join(broadcast(stars.select(col("src").as("id"))), Seq("id"), "left_anti")
+          .distinct()
+          .select(col("id"), col("id").as("component"))
+        labeled.unionByName(residual)
+      } else {
+        val rdd = edgeRdd
+        joined(ccStarsRdd(spark, rdd, edgeCount,
+          math.max(rdd.getNumPartitions, 2), maxIter, idType))
+      }
+    } finally canonical.unpersist(blocking = false) // checkpoint blocks fall to the ContextCleaner
   }
 
   /** Memory-adaptive driver-UF gate: 1/16 of the driver heap at the
@@ -709,27 +752,6 @@ object Dedup {
         "raise maxIter (rounds are logarithmic, so this indicates a " +
         "pathological graph or maxIter set very low)")
 
-  /** Integral-id star computation: canonicalize + count once, then route
-    * by size — driver union-find under the gate, distributed RDD
-    * star-contraction above it. */
-  private def ccStarsIntegral(raw: DataFrame, maxIter: Int,
-      idType: org.apache.spark.sql.types.DataType, maxDriverEdges: Long): DataFrame = {
-    val spark = raw.sparkSession
-    import org.apache.spark.storage.StorageLevel
-    val pairRdd = raw.filter(col("a") =!= col("b"))
-      .select(col("a").cast(LongType), col("b").cast(LongType))
-      .queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
-    val np = math.max(pairRdd.getNumPartitions, 2)
-    val edges = pairRdd
-      .map { case (x, y) => if (x > y) (x, y) else (y, x) } // canonical src > dst
-      .distinct(np).persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = edges.count()
-    try {
-      if (edgeCount <= maxDriverEdges) ccStarsDriver(spark, edges.collect(), idType)
-      else ccStarsRdd(spark, edges, edgeCount, np, maxIter, idType)
-    } finally edges.unpersist(blocking = false)
-  }
-
   /** Driver union-find over PRIMITIVE arrays: node ids dedupe through an
     * open-addressed long table into dense indices, the union-find runs on
     * int arrays (path-halving + union-by-rank), and component labels come
@@ -740,9 +762,11 @@ object Dedup {
     * label arrays ~80 MB primitive — comfortable on a default driver, and
     * milliseconds of CPU vs 10+ distributed rounds at ~1 s of scheduling
     * each. The output frame streams off a BROADCAST of two primitive
-    * arrays — no driver-side Row materialization. Returns the same
-    * (src, dst) star frame as the distributed loops: every edge-touched
-    * node mapped to its component min. */
+    * arrays — no driver-side Row materialization. Unlike the distributed
+    * loops' star multisets, the returned (src, dst) frame is a COMPLETE
+    * UNIQUE labeling: every edge-touched node exactly once — component
+    * minima included, mapped to themselves — so callers can use it as
+    * (id, component) directly. */
   private def ccStarsDriver(spark: SparkSession, edges: Array[(Long, Long)],
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val maxNodes = math.max(2, edges.length * 2)
@@ -808,7 +832,7 @@ object Dedup {
     val schema = StructType(Seq(
       StructField("src", LongType), StructField("dst", LongType)))
     val rdd = spark.sparkContext
-      .parallelize(0 until n, math.max(1, n / 2000000))
+      .parallelize(0 until n, math.max(1, n / 250000))
       .map(j => org.apache.spark.sql.Row(bc.value._1(j), bc.value._2(j)))
     spark.createDataFrame(rdd, schema)
       .select(col("src").cast(idType).as("src"), col("dst").cast(idType).as("dst"))
