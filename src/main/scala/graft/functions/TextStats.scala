@@ -551,40 +551,77 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + " " + b, Int.box(i))
+      m.putIfAbsent(a + "\u0000" + b, Int.box(i))
     }
     m
   }
 
-  private def countWord(w: String): Int = {
-    if (w.isEmpty) return 0
-    var syms = new java.util.ArrayList[String](w.length)
+  /** Seed pairs: merges whose BOTH sides are single codepoints, packed
+    * (left << 32 | right) and sorted for allocation-free binary search.
+    * Every merge chain starts from one of these (a multi-codepoint symbol
+    * can only exist after an earlier merge fired), so a word containing
+    * no seed pair can never merge — countable without building a single
+    * symbol object: the common case, and what dominated the scan profile. */
+  @transient private lazy val seedPairs: Array[Long] =
+    merges.collect {
+      case (a, b) if a.codePointCount(0, a.length) == 1 &&
+          b.codePointCount(0, b.length) == 1 =>
+        (a.codePointAt(0).toLong << 32) | b.codePointAt(0).toLong
+    }.toArray.sorted
+
+  /** One allocation-free scan: (codepoint count, any-seed-pair-present). */
+  private def scanWord(w: String): (Int, Boolean) = {
+    var cps = 0
+    var seed = false
+    var prev = -1
     var i = 0
     while (i < w.length) {
-      val n = Character.charCount(w.codePointAt(i))
-      syms.add(w.substring(i, i + n))
-      i += n
+      val cp = w.codePointAt(i)
+      cps += 1
+      if (!seed && prev >= 0 && seedPairs.length > 0 &&
+          java.util.Arrays.binarySearch(seedPairs, (prev.toLong << 32) | cp.toLong) >= 0)
+        seed = true
+      prev = cp
+      i += Character.charCount(cp)
     }
-    while (syms.size >= 2) {
+    (cps, seed)
+  }
+
+  private def countWord(w: String): Int = {
+    if (w.isEmpty) return 0
+    val (cps, seed) = scanWord(w)
+    if (!seed) return cps // no seed pair => no merge can ever fire
+    val syms = new Array[String](cps)
+    var i = 0
+    var n = 0
+    while (i < w.length) {
+      val c = Character.charCount(w.codePointAt(i))
+      syms(n) = w.substring(i, i + c)
+      n += 1
+      i += c
+    }
+    while (n >= 2) {
       var best = Int.MaxValue
       var j = 0
-      while (j < syms.size - 1) {
-        val r = rank.get(syms.get(j) + " " + syms.get(j + 1))
+      while (j < n - 1) {
+        val r = rank.get(syms(j) + "\u0000" + syms(j + 1))
         if (r != null && r < best) best = r
         j += 1
       }
-      if (best == Int.MaxValue) return syms.size
+      if (best == Int.MaxValue) return n
       val (a, b) = merges(best)
-      val out = new java.util.ArrayList[String](syms.size)
+      // merge all left-to-right non-overlapping occurrences IN PLACE
+      var w2 = 0
       j = 0
-      while (j < syms.size) {
-        if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
-          out.add(a + b); j += 2
-        } else { out.add(syms.get(j)); j += 1 }
+      while (j < n) {
+        if (j < n - 1 && syms(j) == a && syms(j + 1) == b) {
+          syms(w2) = a + b; j += 2
+        } else { syms(w2) = syms(j); j += 1 }
+        w2 += 1
       }
-      syms = out
+      n = w2
     }
-    syms.size
+    n
   }
 
   override def nullSafeEval(v: Any): Any = {
