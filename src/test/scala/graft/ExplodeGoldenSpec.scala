@@ -32,7 +32,7 @@ class ExplodeGoldenSpec extends SparkSpec {
           catch { case _: NumberFormatException => s }
         }
       })
-      .sortBy(_.mkString(""))
+      .sortBy(_.mkString("\u0001"))
   }
 
   private def assertMatchesGolden(result: DataFrame, goldenRel: String): Unit = {
