@@ -752,6 +752,14 @@ object SparkEntry {
           numCentroids = 16, tau = 0.95, seedHash = Dedup.md5Hash60)
         .select("vec_id").orderBy("vec_id")
     }),
+    // ── scale: CDC chunk-level dedup — the substring-dedup scale path
+    //    (~1 probe per avg-chunk instead of per token position; oracle:
+    //    DuckDB replays boundaries, chunk hashes, and the dup budget) ─────
+    "q62_cdc_chunk_stats" -> ((s, dir) => {
+      Dedup.duplicateChunkStats(plantedBoilerplate(s, dir), "doc_id", "text",
+          avgChunkTokens = 8, hashKind = "md5_60")
+        .orderBy("doc_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1252,6 +1260,31 @@ object SparkEntry {
          |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95)
          |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id_b FROM p)
          |ORDER BY vec_id""".stripMargin,
+    "q62_cdc_chunk_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |    THEN 'terms of service apply to all content herein and usage governed accordingly ' || text
+         |    ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM d),
+         |tok AS (SELECT doc_id,
+         |          unnest(range(1, len(toks) + 1)) AS pos,
+         |          unnest(toks) AS token FROM t),
+         |b AS (SELECT doc_id, pos, token,
+         |        CASE WHEN ${h60Sql("token")} % 8 = 0 THEN 1 ELSE 0 END AS bnd
+         |      FROM tok),
+         |c AS (SELECT doc_id, pos, token,
+         |        coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         |      FROM b),
+         |ch AS (SELECT doc_id, cid,
+         |         ${h60Sql("string_agg(token, ' ' ORDER BY pos)")}::BIGINT AS chash,
+         |         count(*) AS ntok
+         |       FROM c GROUP BY doc_id, cid),
+         |f AS (SELECT doc_id, ntok FROM ch
+         |      QUALIFY min(doc_id) OVER (PARTITION BY chash)
+         |        <> max(doc_id) OVER (PARTITION BY chash))
+         |SELECT doc_id, count(*) AS dup_chunks, sum(ntok) AS dup_tokens
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q60_bpe_tokens" ->
       s"""WITH RECURSIVE
          |w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

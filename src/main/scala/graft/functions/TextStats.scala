@@ -488,6 +488,65 @@ case class KgramHashes(child: Expression, k: Int, hashKind: String)
   override def prettyName: String = "kgram_hashes"
 }
 
+/** Content-defined chunking over a token array, fused into one pass:
+  * a token ENDS a chunk when `hash(token) % avgChunkTokens == 0` —
+  * boundaries depend only on LOCAL content, so an insertion re-chunks
+  * its neighborhood and nothing else (fixed-stride chunk boundaries
+  * shift for the whole rest of the document). Returns
+  * `array<struct<hash: long, n_tokens: int>>` — chunk hash = hash of
+  * the space-joined chunk tokens, the trailing partial chunk included.
+  *
+  * This is the SCALE path for substring-level dedup: ~1 emitted row per
+  * `avgChunkTokens` instead of [[KgramHashes]]' row per position, at
+  * the cost of a weaker guarantee (a duplicated span is detected when
+  * it wholly contains a chunk — spans ≥ ~2× the average chunk size in
+  * expectation). `hashKind` as elsewhere: xxhash64 production, md5_60
+  * for SQL-oracle replay (boundary tests use floorMod, which matches
+  * SQL `%` on md5_60's nonnegative values). */
+case class CdcChunkHashes(child: Expression, avgChunkTokens: Int, hashKind: String)
+    extends UnaryExpression with CodegenFallback {
+  require(avgChunkTokens >= 2, s"avgChunkTokens must be >= 2, got $avgChunkTokens")
+  require(hashKind == "xxhash64" || hashKind == "md5_60",
+    s"hashKind must be xxhash64 or md5_60, got $hashKind")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("hash", LongType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  private val space = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new java.util.ArrayList[Any]()
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val buf = new java.util.ArrayList[UTF8String](avgChunkTokens * 2)
+      def close(): Unit = if (!buf.isEmpty) {
+        val joined = UTF8String.concatWs(space, buf.toArray(new Array[UTF8String](buf.size)): _*)
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](KgramHash.hash(hashKind, joined), buf.size)))
+        buf.clear()
+      }
+      var i = 0
+      while (i < m) {
+        val tok = if (arr.isNullAt(i)) UTF8String.fromString("") else arr.getUTF8String(i)
+        buf.add(tok)
+        if (java.lang.Math.floorMod(KgramHash.hash(hashKind, tok), avgChunkTokens.toLong) == 0L)
+          close()
+        i += 1
+      }
+      close() // trailing partial chunk
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunkHashes =
+    copy(child = c)
+  override def prettyName: String = "cdc_chunk_hashes"
+}
+
 case class WinnowedHashes(child: Expression, k: Int, window: Int, hashKind: String)
     extends UnaryExpression with CodegenFallback {
   require(k >= 1 && window >= 1, s"k and window must be >= 1, got $k/$window")
@@ -718,6 +777,10 @@ object TextStats {
 
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     bridge.column(BpeTokenCount(bridge.expression(text), merges))
+
+  def cdc_chunk_hashes(tokens: Column, avgChunkTokens: Int,
+      hashKind: String = "xxhash64"): Column =
+    bridge.column(CdcChunkHashes(bridge.expression(tokens), avgChunkTokens, hashKind))
 
   def pii_redact_counts(text: Column,
       patterns: Seq[(String, String, String)]): Column =

@@ -455,6 +455,48 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Content-defined chunk rows: one row per chunk — (idCol, chunk_idx,
+    * chunk_hash, n_tokens). The SCALE path for substring-level dedup:
+    * [[duplicateSpans]] is exact but emits one probe per token position;
+    * CDC emits ~1 per `avgChunkTokens`, with boundaries that depend only
+    * on local content (an insertion re-chunks its neighborhood, nothing
+    * downstream — unlike fixed-stride chunks). Detection guarantee:
+    * a duplicated span is flagged when it wholly contains a chunk —
+    * spans ≥ ~2× `avgChunkTokens` in expectation. */
+  def cdcChunkRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      avgChunkTokens: Int = 16,
+      hashKind: String = "xxhash64"): DataFrame =
+    df.select(col(idCol), posexplode(
+        graft.functions.TextStats.cdc_chunk_hashes(
+          tokensCol(col(textCol)), avgChunkTokens, hashKind))
+      .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.hash").as("chunk_hash"), col("__c.n_tokens").as("n_tokens"))
+
+  /** Per-document cross-doc duplicated-chunk budget over [[cdcChunkRows]]:
+    * (idCol, dup_chunks, dup_tokens) for docs with at least one chunk
+    * whose hash occurs in ≥ 2 distinct documents. Same plan shape as
+    * [[duplicateSpans]]' detection: map-side-partial min/max per chunk
+    * hash, duplicated set broadcast back over the chunk stream. */
+  def duplicateChunkStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      avgChunkTokens: Int = 16,
+      hashKind: String = "xxhash64"): DataFrame = {
+    val chunks = cdcChunkRows(df, idCol, textCol, avgChunkTokens, hashKind)
+    val dup = chunks.groupBy("chunk_hash")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("chunk_hash")
+    chunks.join(Ops.broadcastIfSmall(dup), Seq("chunk_hash"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("dup_chunks"), sum("n_tokens").as("dup_tokens"))
+  }
+
   /** Per-document duplicated-token budget from [[duplicateSpans]]: every
     * doc (spans or not) with its duplicated-token count and fraction —
     * the filter signal a pipeline thresholds on (e.g. drop docs that are

@@ -200,6 +200,36 @@ class ScaleOpsSpec extends SparkSpec {
       ref.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
   }
 
+  test("cdcChunkRows: chunks partition the tokens; identical docs share every hash") {
+    val text = (1 to 60).map(i => s"tok$i word$i item$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, "different little doc")).toDF("doc_id", "text")
+    val rows = Dedup.cdcChunkRows(docs, "doc_id", "text", avgChunkTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val byDoc = rows.groupBy(_._1)
+    // chunks partition the token stream: n_tokens sums to the doc's count
+    assert(byDoc(1L).map(_._4).sum === 180)
+    // identical docs chunk identically
+    assert(byDoc(1L).map(r => (r._2, r._3, r._4)).toSeq.sorted ===
+      byDoc(2L).map(r => (r._2, r._3, r._4)).toSeq.sorted)
+    assert(byDoc(1L).map(_._3).toSet.intersect(byDoc(3L).map(_._3).toSet).isEmpty)
+  }
+
+  test("CDC boundaries are content-local: a prefix insertion only perturbs the first chunk") {
+    val shared = (1 to 80).map(i => s"alpha$i beta$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, s"zzzunique insertion $shared")).toDF("doc_id", "text")
+    val rows = Dedup.cdcChunkRows(docs, "doc_id", "text", avgChunkTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = rows.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = rows.filter(_._1 == 2L).map(_._2).toSet
+    // everything after doc 1's first boundary re-aligns despite the shift
+    assert(h1.intersect(h2).size >= h1.size - 1,
+      s"CDC lost alignment after an insertion: ${h1.size} chunks, ${h1.intersect(h2).size} shared")
+    val stats = Dedup.duplicateChunkStats(docs, "doc_id", "text", avgChunkTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.keySet === Set(1L, 2L))
+    assert(stats(1L) >= h1.size - 1)
+  }
+
   test("bpeTokenCount applies greedy min-rank merges (golden cases)") {
     val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
     val df = Seq(
