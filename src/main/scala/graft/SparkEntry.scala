@@ -103,12 +103,13 @@ object SparkEntry {
       when(col("doc_id") % 5 === 0, concat(lit(boilerplate + " "), col("text")))
         .otherwise(col("text")).as("text"))
 
-  /** q60's learned-merge list (rank order). All pairs keep left ≠ right
-    * so the SQL oracle can merge a round's occurrences independently —
-    * occurrences of such a pair cannot overlap (an overlap at i, i+1
-    * forces syms(i+1) = right = left). The Spark expression handles
-    * left = right too (left-to-right non-overlap, spec-covered). */
-  private val bpeMerges = Seq(
+  /** q60's learned-merge list (rank order), shared with the stress
+    * harness. All pairs keep left ≠ right so the SQL oracle can merge a
+    * round's occurrences independently — occurrences of such a pair
+    * cannot overlap (an overlap at i, i+1 forces syms(i+1) = right =
+    * left). The Spark expression handles left = right too
+    * (left-to-right non-overlap, spec-covered). */
+  private[graft] val bpeMerges = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "u"), ("r", "e"), ("o", "n"), ("e", "n"))
 

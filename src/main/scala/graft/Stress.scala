@@ -84,10 +84,8 @@ object Stress {
     }
     // real-BPE counting is a pure fused scan — should track textAnalysis
     time(s"bpeTokenCount ${factor}x") {
-      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
-        ("an", "d"), ("e", "r"), ("o", "u"), ("r", "e"), ("o", "n"), ("e", "n"))
       println("[stress]   rows=" + Bench.force(docs.select(col("doc_id"),
-        TextAnalysis.bpeTokenCount(col("text"), merges).as("n"))))
+        TextAnalysis.bpeTokenCount(col("text"), SparkEntry.bpeMerges).as("n"))))
     }
     docs.unpersist()
 

@@ -615,6 +615,11 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     m
   }
 
+  // merges may arrive as a List (parseMerges): index an Array in the
+  // merge loop, not the Seq — merges(best) on a 50k-entry List walks
+  // ~25k cons cells per lookup
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+
   /** Seed pairs: merges whose BOTH sides are single codepoints, packed
     * (left << 32 | right) and sorted for allocation-free binary search.
     * Every merge chain starts from one of these (a multi-codepoint symbol
@@ -668,7 +673,7 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
         j += 1
       }
       if (best == Int.MaxValue) return n
-      val (a, b) = merges(best)
+      val (a, b) = mergeArr(best)
       // merge all left-to-right non-overlapping occurrences IN PLACE
       var w2 = 0
       j = 0

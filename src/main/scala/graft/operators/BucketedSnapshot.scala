@@ -292,12 +292,20 @@ class BucketedSnapshotStore(
     (gen, written)
   }
 
-  /** Initialize / replace the whole snapshot. */
-  def write(name: String, df: DataFrame, pk: Seq[String]): Unit = {
+  /** Initialize / replace the whole snapshot. Dedupes the input to one
+    * row per pk (keep-last) so EVERY committed snapshot is pk-unique by
+    * construction — the invariant the anti-join upsert merge relies on
+    * (it removes overwritten keys but never collapses pre-existing
+    * duplicates the way the old window merge incidentally did).
+    * `assumeUniqueKeys = true` skips the dedup shuffle when the input is
+    * known key-unique, same contract as [[upsert]]. */
+  def write(name: String, df: DataFrame, pk: Seq[String],
+      assumeUniqueKeys: Boolean = false): Unit = {
     val root = path(name)
     fs.mkdirs(root)
     val ver = latestManifest(root).map(_._1).getOrElse(0L)
-    val (gen, buckets) = writeGeneration(root, df, pk, alreadyBucketed = false)
+    val data = if (assumeUniqueKeys) df else Snapshot.dedupKeepLast(df, pk)
+    val (gen, buckets) = writeGeneration(root, data, pk, alreadyBucketed = false)
     beforeCommitHook()
     writeManifest(root, ver + 1, buckets.map(_ -> gen).toMap)
     afterCommitHook()
@@ -317,8 +325,7 @@ class BucketedSnapshotStore(
     val root = path(name)
     val manifest = readManifest(root)
     if (manifest.forall(_._2.isEmpty)) {
-      write(name,
-        if (assumeUniqueKeys) incoming else Snapshot.dedupKeepLast(incoming, pk), pk)
+      write(name, incoming, pk, assumeUniqueKeys)
       return numBuckets.toLong
     }
     val (ver, m) = manifest.get
@@ -346,11 +353,15 @@ class BucketedSnapshotStore(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bucketed.schema))
       // keep-last merge as an ANTI-JOIN: existing rows whose pk the delta
       // overwrites drop; the deduped delta wins. Value-identical to the
-      // old (__src, __arr) window ranking, but the touched-bucket rows
-      // STREAM through a (size-gated) broadcast anti-join instead of
-      // paying a full shuffle + sort by pk — the write's bucket
-      // repartition is then the only exchange the merged data crosses.
-      // Null-safe equality preserves the window's null-pk grouping.
+      // old (__src, __arr) window ranking GIVEN the store's pk-unique
+      // invariant (write() establishes it, this merge preserves it —
+      // unlike the old window, this never heals duplicates that bypassed
+      // write(), so the invariant lives there, not here). The
+      // touched-bucket rows STREAM through a (size-gated) broadcast
+      // anti-join instead of paying a full shuffle + sort by pk — the
+      // write's bucket repartition is then the only exchange the merged
+      // data crosses. Null-safe equality preserves the window's null-pk
+      // grouping.
       val deltaKeys = bucketed.select(pk.map(col): _*).distinct()
       val cond = pk.map(c => existing(c) <=> deltaKeys(c)).reduce(_ && _)
       val winner = existing

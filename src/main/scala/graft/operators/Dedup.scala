@@ -238,7 +238,10 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val pairIds = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val needed = df.join(broadcast(pairIds), Seq(idCol), "left_semi")
+    // size-gated: a tiny pair list broadcasts (the common case this API
+    // exists for); a huge one falls back to a shuffle semi-join instead
+    // of OOMing the driver
+    val needed = df.join(Ops.broadcastIfSmall(pairIds), Seq(idCol), "left_semi")
     val hashed = shingleRows(needed, idCol, textCol, shingleSize)
       .select(col(idCol), xxhash64(col("__sh")).as("__sh"))
       .distinct()

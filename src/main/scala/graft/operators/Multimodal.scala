@@ -166,7 +166,13 @@ object Multimodal {
         val r = readers.next()
         try { r.setInput(in); (r.getWidth(0), r.getHeight(0)) }
         finally r.dispose()
-      } catch { case _: java.io.IOException => (-1, -1) }
+      } catch {
+        // NonFatal, not just IOException: JDK readers throw
+        // ArrayIndexOutOfBounds/NegativeArraySize/IllegalArgument on
+        // malformed GIF LZW / PNG chunk data — a corrupt web-corpus row
+        // must degrade to "not decodable", never fail the task
+        case scala.util.control.NonFatal(_) => (-1, -1)
+      }
       finally in.close()
     }
 
@@ -175,7 +181,7 @@ object Multimodal {
       init
       if (payload == null) return null
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     }
 
     /** Lossless PNG encode. */

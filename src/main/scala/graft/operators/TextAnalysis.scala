@@ -76,13 +76,15 @@ object TextAnalysis {
     graft.functions.TextStats.bpe_token_count(text, merges)
 
   /** Parse a standard `merges.txt`: one "left right" pair per line, rank
-    * = line order; blank lines and `#...` header/comment lines skipped
-    * (GPT-2 ships a `#version` first line). Load driver-side and pass to
-    * [[bpeTokenCount]]. */
+    * = line order; blank lines and the `#version` header line skipped
+    * (GPT-2's convention). ONLY `#version` is treated as a header —
+    * `# #` and friends are legitimate merges ('#' begins real subword
+    * symbols in scraped-markdown vocabularies). Load driver-side and
+    * pass to [[bpeTokenCount]]. */
   def parseMerges(lines: IterableOnce[String]): Seq[(String, String)] =
     lines.iterator
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0 && l.indexOf(' ', sp + 1) < 0,

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 class BucketedSnapshotSpec extends SparkSpec {
   import spark.implicits._
 
+  test("write establishes pk-uniqueness (keep-last) so the anti-join merge preserves it") {
+    val store = new BucketedSnapshotStore(spark, tmpDir("bsnapu_"), numBuckets = 8)
+    // duplicate pks at init: keep-last must survive, and later upserts
+    // must never resurrect or multiply the duplicates
+    val dup = Seq((1, "old1"), (2, "v2"), (1, "new1"), (3, "v3"), (1, "newest1"))
+      .toDF("id", "v")
+    store.write("t", dup, Seq("id"))
+    val init = store.read("t").get.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(store.read("t").get.count() === 3)
+    assert(init(1) === "newest1")
+    store.upsert("t", Seq((2, "NEW2")).toDF("id", "v"), Seq("id"))
+    val after = store.read("t").get.collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(after.length === 3, s"duplicates persisted: ${after.toSeq}")
+    assert(after.toMap === Map(1 -> "newest1", 2 -> "NEW2", 3 -> "v3"))
+  }
+
   test("bucketed upsert merges by pk and only touches delta buckets") {
     val store = new BucketedSnapshotStore(spark, tmpDir("bsnap_"), numBuckets = 16)
     val base = (1 to 1000).map(i => (i, s"v$i")).toDF("id", "v")

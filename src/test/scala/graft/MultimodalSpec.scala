@@ -101,6 +101,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageCodec.resize(junk, 8, 8) eq junk)
   }
 
+  test("ImageCodec degrades to not-decodable on corrupt payloads with valid magic") {
+    // truncated GIF/PNG: magic bytes intact, body garbage — JDK readers
+    // throw RuntimeExceptions on these; the codec must return the
+    // documented sentinels, never fail the task
+    val img = new java.awt.image.BufferedImage(20, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (fmt <- Seq("gif", "png", "jpg")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      val full = bos.toByteArray
+      for (cut <- Seq(10, 24, full.length / 2)) {
+        val truncated = java.util.Arrays.copyOf(full, cut)
+        val dims = Multimodal.ImageCodec.probeDimensions(truncated)
+        assert(dims._1 >= -1 && dims._2 >= -1) // no throw is the contract
+        Multimodal.ImageCodec.decode(truncated) // may be null; must not throw
+        val corrupted = full.clone()
+        // scramble the body after the header region
+        for (i <- 16 until corrupted.length) corrupted(i) = (i * 31).toByte
+        Multimodal.ImageCodec.decode(corrupted)
+        Multimodal.ImageCodec.probeDimensions(corrupted)
+      }
+    }
+  }
+
   test("ImageCodec features are real pixel statistics (golden solid image)") {
     val png = Multimodal.ImageCodec.solidPng(10, 10, (200 << 16) | (100 << 8) | 50)
     val f = Multimodal.ImageCodec.features(png)

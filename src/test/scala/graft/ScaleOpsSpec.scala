@@ -283,6 +283,10 @@ class ScaleOpsSpec extends SparkSpec {
     val lines = Seq("#version: 0.2", "", "t h", "th e", "  a n  ")
     assert(TextAnalysis.parseMerges(lines) ===
       Seq(("t", "h"), ("th", "e"), ("a", "n")))
+    // '#' begins REAL subword symbols (markdown vocabularies): only the
+    // #version header is skipped, '# #' is a legitimate merge
+    assert(TextAnalysis.parseMerges(Seq("#version: 0.2", "# #", "## #")) ===
+      Seq(("#", "#"), ("##", "#")))
     intercept[IllegalArgumentException] {
       TextAnalysis.parseMerges(Seq("a b c"))
     }
