@@ -102,6 +102,18 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregate under the exchange:\n$plan")
   }
 
+  test("duplicateChunkStats keeps the chunk stream off any sort-merge join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val plan = physical(Dedup.duplicateChunkStats(docs, "doc_id", "text",
+      avgChunkTokens = 8))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"chunk stream sort-merge-joins:\n$plan")
+    val i = plan.indexOf("Exchange")
+    assert(i >= 0 && plan.indexOf("HashAggregate", i) >= 0,
+      s"no map-side partial aggregate under the exchange:\n$plan")
+  }
+
   test("parquet scan prunes columns and pushes filters (documents projection)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)
