@@ -241,4 +241,102 @@ class RoundTripSpec extends SparkSpec {
     assert(c1.values.toSet === Set(1L, 8L)) // labels are the cluster minima
     assert(c1.forall { case (id, comp) => comp <= id })
   }
+
+  test("invariant: duplicateSpans equals a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta") // small vocab → cross-doc k-grams actually happen
+    val k = 3
+    (1 to 5).foreach { round =>
+      val docs = (1L to 8L).map { id =>
+        val n = 3 + rnd.nextInt(25)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // brute-force reference over the same tokenization (texts are
+      // pre-canonical: lowercase, single spaces)
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val grams = toks.view.mapValues(ts =>
+        if (ts.length < k) Seq.empty
+        else ts.sliding(k).map(_.mkString(" ")).toSeq).toMap
+      val owners = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val expected = docs.flatMap { case (id, _) =>
+        val flagged = grams(id).zipWithIndex.collect {
+          case (g, p) if owners(g).exists(_ != id) => p
+        }
+        // merge overlapping-or-adjacent [p, p+k-1] intervals
+        val spans = flagged.foldLeft(List.empty[(Int, Int)]) {
+          case (Nil, p)                               => List((p, p + k - 1))
+          case ((s, e) :: rest, p) if p <= e + 1      => (s, math.max(e, p + k - 1)) :: rest
+          case (acc, p)                               => (p, p + k - 1) :: acc
+        }.reverse
+        spans.map { case (s, e) => (id, s, e, e - s + 1) }
+      }.toSet
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+          minSpanTokens = k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got === expected, s"round $round corpus: ${docs.mkString("; ")}")
+    }
+  }
+
+  test("invariant: bpeTokenCount equals an independent naive reference on random inputs") {
+    import graft.operators.TextAnalysis
+    val x = new String(Character.toChars(0x1D54F)) // astral codepoint
+    val symbols = Array("a", "b", "c", x)
+    val rnd = new scala.util.Random(97)
+    def naiveCount(text: String, merges: Seq[(String, String)]): Int = {
+      val rank = merges.zipWithIndex
+        .groupBy(_._1).view.mapValues(_.head._2).toMap // first rank wins, like putIfAbsent
+      def word(w: String): Int = {
+        var syms = {
+          val b = collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < w.length) {
+            val n = Character.charCount(w.codePointAt(i)); b += w.substring(i, i + n); i += n
+          }
+          b.toList
+        }
+        var done = syms.length < 2
+        while (!done) {
+          val ranked = syms.zip(syms.tail).flatMap(rank.get)
+          if (ranked.isEmpty) done = true
+          else {
+            val (a, b) = merges(ranked.min)
+            val out = collection.mutable.ArrayBuffer.empty[String]
+            var rest = syms
+            while (rest.nonEmpty) rest match {
+              case `a` :: `b` :: t => out += (a + b); rest = t
+              case h :: t          => out += h; rest = t
+              case Nil             =>
+            }
+            syms = out.toList
+            done = syms.length < 2
+          }
+        }
+        if (w.isEmpty) 0 else syms.length
+      }
+      var lo = 0; var hi = text.length
+      while (lo < hi && text.charAt(lo) == ' ') lo += 1
+      while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+      text.substring(lo, hi).toLowerCase.split("\\s+").map(word).sum
+    }
+    (1 to 6).foreach { round =>
+      // random merge lists incl. multi-symbol lefts and left = right
+      val merges = Seq.fill(5)((
+        Seq.fill(1 + rnd.nextInt(2))(symbols(rnd.nextInt(symbols.length))).mkString,
+        symbols(rnd.nextInt(symbols.length))))
+      val texts = (1L to 40L).map { id =>
+        val words = Seq.fill(1 + rnd.nextInt(5))(
+          Seq.fill(rnd.nextInt(7))(symbols(rnd.nextInt(symbols.length))).mkString)
+        (id, words.mkString(" "))
+      }
+      val got = texts.toDF("doc_id", "text")
+        .select($"doc_id", TextAnalysis.bpeTokenCount($"text", merges).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      texts.foreach { case (id, t) =>
+        assert(got(id) === naiveCount(t, merges),
+          s"round $round text='$t' merges=$merges")
+      }
+    }
+  }
 }
