@@ -761,6 +761,13 @@ object SparkEntry {
           avgChunkTokens = 8, hashKind = "md5_60")
         .orderBy("doc_id")
     }),
+    // ── scale: duplicated-span REMOVAL — cleaned text for affected docs
+    //    (oracle: DuckDB rebuilds the kept-token join per doc) ────────────
+    "q63_strip_spans" -> ((s, dir) => {
+      Dedup.stripDuplicateSpans(plantedBoilerplate(s, dir), "doc_id", "text",
+          minSpanTokens = 8)
+        .orderBy("doc_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1261,6 +1268,38 @@ object SparkEntry {
          |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95)
          |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id_b FROM p)
          |ORDER BY vec_id""".stripMargin,
+    "q63_strip_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'terms of service apply to all content herein and usage governed accordingly ' || text
+        |    ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM d),
+        |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, len(toks) - 6)) AS pos,
+        |        unnest(list_transform(range(1, len(toks) - 6),
+        |          i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |      FROM tt),
+        |f AS (SELECT doc_id, pos FROM g
+        |      QUALIFY min(doc_id) OVER (PARTITION BY gram)
+        |        <> max(doc_id) OVER (PARTITION BY gram)),
+        |covered AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS cpos FROM f),
+        |affected AS (SELECT DISTINCT doc_id FROM covered),
+        |tok AS (SELECT tt.doc_id, len(tt.toks) AS tlen,
+        |          unnest(range(1, len(tt.toks) + 1)) AS pos,
+        |          unnest(tt.toks) AS token
+        |        FROM tt JOIN affected USING (doc_id)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.token FROM tok
+        |         LEFT JOIN covered c ON c.doc_id = tok.doc_id AND c.cpos = tok.pos
+        |         WHERE c.cpos IS NULL),
+        |rb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+        |          count(*) AS kept_n
+        |       FROM kept GROUP BY doc_id),
+        |base AS (SELECT DISTINCT tok.doc_id, tok.tlen FROM tok)
+        |SELECT base.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+        |       base.tlen - coalesce(rb.kept_n, 0) AS removed_tokens
+        |FROM base LEFT JOIN rb ON rb.doc_id = base.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     "q62_cdc_chunk_stats" ->
       s"""WITH d AS (
          |  SELECT doc_id, CASE WHEN doc_id % 5 = 0

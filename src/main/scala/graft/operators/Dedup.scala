@@ -421,17 +421,17 @@ object Dedup {
     *
     * `hashKind` as in [[minhashNearDupPairs]]: `xxhash64` production,
     * `md5_60` for an external SQL oracle to replay gram equality. */
-  def duplicateSpans(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      minSpanTokens: Int = 10,
-      hashKind: String = "xxhash64"): DataFrame = {
-    val k = minSpanTokens
+  /** Shared front half of the span family: token arrays (docs ≥ k
+    * tokens) and the flagged k-gram START positions — (idCol, __pos)
+    * where the k-gram at __pos occurs in ≥ 2 distinct docs. Same plan
+    * shape notes as [[duplicateSpans]]. */
+  private def flaggedGramStarts(df: DataFrame, idCol: String, textCol: String,
+      k: Int, hashKind: String): (DataFrame, DataFrame) = {
     require(k >= 2, s"minSpanTokens must be >= 2, got $k")
-    val grams = df
+    val toks = df
       .select(col(idCol), tokensCol(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k)
+    val grams = toks
       .select(col(idCol), posexplode(
           graft.functions.TextStats.kgram_hashes(col("__toks"), k, hashKind))
         .as(Seq("__pos", "__h")))
@@ -441,6 +441,17 @@ object Dedup {
       .select("__h")
     val flagged = grams.join(Ops.broadcastIfSmall(dupHashes), Seq("__h"))
       .select(col(idCol), col("__pos"))
+    (toks, flagged)
+  }
+
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 10,
+      hashKind: String = "xxhash64"): DataFrame = {
+    val k = minSpanTokens
+    val (_, flagged) = flaggedGramStarts(df, idCol, textCol, k, hashKind)
     // merge overlapping/adjacent [pos, pos+k-1] intervals into maximal
     // spans: an island breaks where a position clears the running max end
     val wD = Window.partitionBy(idCol).orderBy("__pos")
@@ -604,6 +615,53 @@ object Dedup {
         (vector_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
+  }
+
+  /** Remove every cross-document duplicated span occurrence (Lee et al.
+    * 2021 remove ALL occurrences and note models never regress for it;
+    * whole-document duplicates should be collapsed by [[exactDedup]]
+    * first so shared text that IS the document survives as one copy).
+    * Returns (idCol, clean_text, removed_tokens) for the AFFECTED
+    * documents only — callers union the untouched remainder back in,
+    * which is the scale-correct shape (the rewrite stage touches only
+    * flagged docs; everyone else never leaves the scan).
+    *
+    * `clean_text` is rebuilt token-level and joined with single spaces —
+    * original whitespace is canonicalized, the same convention as the
+    * family's tokenizer. A fully-duplicated doc yields an empty string
+    * (removed_tokens = its token count). */
+  def stripDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 10,
+      hashKind: String = "xxhash64"): DataFrame = {
+    val k = minSpanTokens
+    val (toks, flagged) = flaggedGramStarts(df, idCol, textCol, k, hashKind)
+    // flagged k-gram starts → the covered token positions (union of
+    // [p, p+k-1] — k-fold expansion of an already-small frame)
+    val covered = flagged
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__cov"))
+      .distinct()
+    val affected = covered.select(idCol).distinct()
+    // only affected docs explode to token rows; kept tokens rebuild the text
+    val tokenRows = toks.join(Ops.broadcastIfSmall(affected), Seq(idCol), "left_semi")
+      .select(col(idCol), size(col("__toks")).as("__len"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    val kept = tokenRows.join(covered,
+        tokenRows(idCol) === covered(idCol) && col("__pos") === col("__cov"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x.getField("__tok"))).as("__clean"),
+        count(lit(1)).as("__kept"), first(col("__len")).as("__len"))
+    // fully-covered docs vanish from `rebuilt` — restore them as empty
+    toks.join(Ops.broadcastIfSmall(affected), Seq(idCol), "left_semi")
+      .select(col(idCol), size(col("__toks")).as("__alllen"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        (col("__alllen") - coalesce(col("__kept"), lit(0L))).as("removed_tokens"))
   }
 
   /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,

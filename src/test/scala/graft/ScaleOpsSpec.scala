@@ -174,6 +174,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.contains((1L, 0, 15)), s"adjacent intervals did not merge: $out")
   }
 
+  test("stripDuplicateSpans rebuilds affected docs without the duplicated tokens") {
+    val boiler = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, s"x1 y1 $boiler z1 w1"),
+      (2L, s"$boiler q2 r2 s2"),
+      (3L, "an untouched document with plenty distinct tokens here"),
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", minSpanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 2L)) // only affected docs return
+    assert(out(1L) === (("x1 y1 z1 w1", 10L)))
+    assert(out(2L) === (("q2 r2 s2", 10L)))
+  }
+
+  test("stripDuplicateSpans empties a fully-duplicated doc (exactDedup's job otherwise)") {
+    val same = "p q r s t u v w x y"
+    val docs = Seq((1L, same), (2L, same)).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", minSpanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> (("", 10L)), 2L -> (("", 10L))))
+  }
+
   test("duplicateSpanStats reports per-doc duplicated-token fractions for all docs") {
     val boiler = "a b c d e f g h i j"
     val docs = Seq(
