@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkSpec {
@@ -221,6 +221,48 @@ class ScaleOpsSpec extends SparkSpec {
       TextAnalysis.kgramHashes(toks, 3).as("h")).collect()
     assert(fused.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap ===
       ref.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+  }
+
+  test("end-to-end training-data pipeline: quality → decontaminate → dedup → strip → pack") {
+    // the composed flow a real corpus build runs, over sf0.001 — every
+    // stage is individually oracle-gated; this locks the COMPOSITION
+    // (schemas line up, stages commute with each other's outputs)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val n0 = docs.count()
+    val bench = docs.filter(col("doc_id") % 31 === 0).select(col("text").as("bench_text"))
+    val scored = TextAnalysis.analyze(docs, "text")
+      .filter(col("token_count") >= 5 && col("quality") > 0.2)
+    val n1 = scored.count()
+    val decontaminated = Dedup.decontaminate(scored.select("doc_id", "text"),
+      "doc_id", "text", bench, "bench_text", ngram = 5, minMatches = 1)
+    val n2 = decontaminated.count()
+    val deduped = Dedup.dedupPipeline(decontaminated, "doc_id", "text",
+      bands = 16, rowsPerBand = 2, threshold = 0.55, assumeUniqueId = true)
+    val n3 = deduped.count()
+    val stripped = Dedup.stripDuplicateSpans(deduped, "doc_id", "text", minSpanTokens = 8)
+    val cleaned = deduped.join(stripped.select(col("doc_id"),
+        col("clean_text")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), col("text")).as("text"))
+      .filter(length(trim(col("text"))) > 0)
+    val packed = Analytics.packSequences(
+      cleaned.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tok_len"),
+        pmod(col("doc_id"), lit(4)).as("stratum")),
+      "doc_id", "tok_len", capacity = 2048, strataCol = "stratum")
+    val rows = packed.collect()
+    // stages only ever remove documents
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3, s"counts grew: $n0 $n1 $n2 $n3")
+    assert(n3 > 0 && rows.nonEmpty)
+    // packing invariants survive the composition: per stratum, offsets are
+    // the exact prefix sums of the lengths in id order
+    rows.groupBy(_.getAs[Long]("stratum")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var run = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("offset") === run)
+        run += r.getAs[Int]("tok_len")
+      }
+    }
   }
 
   test("cdcChunkRows: chunks partition the tokens; identical docs share every hash") {
