@@ -639,10 +639,14 @@ object Dedup {
     val k = minSpanTokens
     val (toks, flagged) = flaggedGramStarts(df, idCol, textCol, k, hashKind)
     // flagged k-gram starts → the covered token positions (union of
-    // [p, p+k-1] — k-fold expansion of an already-small frame)
+    // [p, p+k-1] — k-fold expansion of an already-small frame). Eagerly
+    // checkpointed: three consumers (affected-id set, the anti-join, and
+    // the semi-join's broadcast) would otherwise each re-run the whole
+    // corpus gram pipeline behind it.
     val covered = flagged
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__cov"))
       .distinct()
+      .localCheckpoint(true)
     val affected = covered.select(idCol).distinct()
     // only affected docs explode to token rows; kept tokens rebuild the text
     val tokenRows = toks.join(Ops.broadcastIfSmall(affected), Seq(idCol), "left_semi")
