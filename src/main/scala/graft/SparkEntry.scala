@@ -768,6 +768,21 @@ object SparkEntry {
           minSpanTokens = 8)
         .orderBy("doc_id")
     }),
+    // ── scale: REAL audio decode via the JDK's javax.sound.sampled
+    //    (oracle: synthesized PCM16 square waves — duration and RMS only
+    //    match if WAV header parse + PCM decode + windowed RMS are real;
+    //    amplitude/2^15 is float-exact, so no tolerance needed) ──────────
+    "q64_audio_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudio(
+        T(s, dir, "part").filter(col("p_partkey") <= 150), "p_partkey")
+      val dec = Multimodal.decodeMeta(media, codec = Multimodal.JdkAvCodec)
+      val feat = Multimodal.extractFeatures(dec, codec = Multimodal.JdkAvCodec)
+      feat.select(col("media_id"),
+          col("decoded_meta.mime").as("mime"),
+          col("decoded_meta.duration_ms").as("duration_ms"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("rms"))
+        .orderBy("media_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1268,6 +1283,11 @@ object SparkEntry {
          |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95)
          |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id_b FROM p)
          |ORDER BY vec_id""".stripMargin,
+    "q64_audio_decode" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id, 'audio/wav' AS mime,
+        |  ((1000 + (p_partkey % 5) * 500) * 1000) // 8000 AS duration_ms,
+        |  round((1000 + (p_partkey % 20) * 1000) / 32768.0, 6) AS rms
+        |FROM part WHERE p_partkey <= 150 ORDER BY media_id""".stripMargin,
     "q63_strip_spans" ->
       """WITH d AS (
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0

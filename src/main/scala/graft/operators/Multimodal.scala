@@ -17,8 +17,12 @@ import org.apache.spark.sql.types._
   *  - [[Multimodal.ImageCodec]] is REAL for images — `javax.imageio`
   *    (shipped with every JDK) sniffs PNG/JPEG/GIF/BMP magic bytes,
   *    header-probes dimensions without a full pixel decode, decodes
-  *    pixels, and resizes via `BufferedImage`+`Graphics2D`. Audio/video
-  *    stay stubbed (the JDK has no audio/video codecs).
+  *    pixels, and resizes via `BufferedImage`+`Graphics2D`.
+  *  - [[Multimodal.WavCodec]] is REAL for audio — `javax.sound.sampled`
+  *    (also in the JDK) parses WAV/AIFF/AU headers and decodes PCM for
+  *    waveform features; [[Multimodal.JdkAvCodec]] routes images + audio
+  *    to the real codecs in one `MediaCodec`.
+  *  - Only VIDEO remains stubbed — the JDK ships no video codec.
   *  - [[Multimodal.DeterministicFakeCodec]] derives everything from raw
   *    bytes deterministically — the stand-in for encoders that need
   *    external model runtimes (and the historical default, so metadata
@@ -34,6 +38,10 @@ object Multimodal {
     def sniffMime(payload: Array[Byte]): String
     /** (width, height), or (-1, -1) when the payload is not decodable. */
     def probeDimensions(payload: Array[Byte]): (Int, Int)
+    /** Media duration for the meta struct. Default: the historical
+      * byte-length convention; codecs with real timing (audio) override. */
+    def durationMs(payload: Array[Byte]): Long =
+      if (payload == null) 0L else payload.length.toLong
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     def sampleFrames(payload: Array[Byte], everyMs: Long, durationMs: Long): Seq[Array[Byte]]
     def featuresBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
@@ -122,9 +130,10 @@ object Multimodal {
     * dimensions WITHOUT a full pixel decode (`ImageReader.getWidth(0)`
     * reads only the header), decodes pixels, and resizes with
     * `BufferedImage` + `Graphics2D` (bilinear), re-encoding PNG
-    * (lossless, so solid-color fidelity is exact). Audio/video frame
+    * (lossless, so solid-color fidelity is exact). Audio is real too —
+    * via [[WavCodec]] (`javax.sound.sampled`); only VIDEO frame
     * sampling delegates to [[DeterministicFakeCodec]] — the JDK ships no
-    * audio/video codecs, and that boundary stays honestly stubbed.
+    * video codec, and that boundary stays honestly stubbed.
     * Features for decodable images are REAL pixel statistics (per-channel
     * means + a 12-bin luma histogram — signal processing, not a learned
     * embedding); non-images fall back to the stub's byte statistics.
@@ -256,6 +265,163 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on the JDK's own `javax.sound.sampled` (WAV/AIFF/AU
+    * ship with every JDK — only video has no platform codec). Header
+    * probe yields sample rate / channels / frame count (duration) without
+    * decoding samples; PCM decode yields the real waveform for
+    * signal-processing features (per-window RMS energy). Corrupt payloads
+    * degrade to sentinels, never fail the task. */
+  object WavCodec {
+    val name = "javax.sound"
+
+    def sniffMime(payload: Array[Byte]): String = {
+      if (payload == null || payload.length < 12) return "application/octet-stream"
+      def s4(o: Int) = new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (s4(0) == "RIFF" && s4(8) == "WAVE") "audio/wav"
+      else if (s4(0) == "FORM" && (s4(8) == "AIFF" || s4(8) == "AIFC")) "audio/aiff"
+      else if (s4(0) == ".snd") "audio/basic"
+      else "application/octet-stream"
+    }
+
+    /** (duration_ms, sample_rate_hz, channels), or (-1, -1, -1) when not
+      * parseable. Header-only — no sample decode. */
+    def probe(payload: Array[Byte]): (Long, Int, Int) = {
+      if (payload == null) return (-1L, -1, -1)
+      try {
+        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ff.getFormat
+        val frames = ff.getFrameLength
+        val rate = fmt.getSampleRate
+        val dur = if (frames >= 0 && rate > 0) (frames * 1000.0 / rate).toLong else -1L
+        (dur, rate.toInt, fmt.getChannels)
+      } catch { case scala.util.control.NonFatal(_) => (-1L, -1, -1) }
+    }
+
+    /** Decode to normalized mono double samples in [-1, 1] (PCM16
+      * little-endian path; multi-channel averages channels). Null when
+      * not decodable. */
+    def decodeSamples(payload: Array[Byte]): Array[Double] = {
+      if (payload == null) return null
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            return null // scope: PCM16 signed, the canonical WAV layout
+          val raw = in.readAllBytes()
+          val ch = fmt.getChannels
+          val be = fmt.isBigEndian
+          val n = raw.length / (2 * ch)
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              val v = if (be) ((raw(o) << 8) | (raw(o + 1) & 0xFF)).toShort
+                      else ((raw(o + 1) << 8) | (raw(o) & 0xFF)).toShort
+              acc += v / 32768.0
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          out
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+
+    /** REAL waveform feature: RMS energy per fixed window of samples —
+      * signal processing over the decoded PCM, not byte statistics. */
+    def rmsWindows(payload: Array[Byte], windowSamples: Int): Array[Double] = {
+      val s = decodeSamples(payload)
+      if (s == null || windowSamples < 1) return Array.empty
+      val nw = (s.length + windowSamples - 1) / windowSamples
+      val out = new Array[Double](nw)
+      var w = 0
+      while (w < nw) {
+        val start = w * windowSamples
+        val end = math.min(s.length, start + windowSamples)
+        var acc = 0.0
+        var i = start
+        while (i < end) { acc += s(i) * s(i); i += 1 }
+        out(w) = math.sqrt(acc / math.max(1, end - start))
+        w += 1
+      }
+      out
+    }
+
+    /** Synthesize a PCM16 mono WAV — real RIFF bytes, fully
+      * deterministic (44-byte canonical header + little-endian samples).
+      * `sample(i)` returns the 16-bit amplitude for frame i. */
+    def synthesizeWav(nSamples: Int, sampleRate: Int)(sample: Int => Short): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) { buf.putShort(sample(i)); i += 1 }
+      buf.array()
+    }
+  }
+
+  /** The combined REAL codec on JDK platform libraries only: images via
+    * [[ImageCodec]], audio via [[WavCodec]] (real header durations and
+    * PCM-derived features), everything else `application/octet-stream`
+    * with null dimensions. Audio features are 16 per-sixteenth RMS
+    * energies of the decoded waveform — real signal processing. Video
+    * has no JDK codec; frame sampling stays the documented stub. */
+  object JdkAvCodec extends MediaCodec {
+    val name = "jdk-av"
+
+    def sniffMime(payload: Array[Byte]): String = {
+      val img = ImageCodec.sniffMime(payload)
+      if (img != "application/octet-stream") img else WavCodec.sniffMime(payload)
+    }
+
+    def probeDimensions(payload: Array[Byte]): (Int, Int) =
+      ImageCodec.probeDimensions(payload)
+
+    override def durationMs(payload: Array[Byte]): Long = {
+      val (dur, _, _) = WavCodec.probe(payload)
+      if (dur >= 0) dur else super.durationMs(payload)
+    }
+
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      ImageCodec.resize(payload, w, h)
+
+    def sampleFrames(payload: Array[Byte], everyMs: Long, durationMs: Long): Seq[Array[Byte]] =
+      DeterministicFakeCodec.sampleFrames(payload, everyMs, durationMs)
+
+    def featuresBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map(features)
+
+    def features(payload: Array[Byte]): Array[Float] = {
+      val samples = WavCodec.decodeSamples(payload)
+      if (samples == null || samples.length == 0)
+        return ImageCodec.features(payload)
+      val win = math.max(1, (samples.length + 15) / 16)
+      val rms = WavCodec.rmsWindows(payload, win)
+      val out = new Array[Float](16)
+      var i = 0
+      while (i < math.min(16, rms.length)) { out(i) = rms(i).toFloat; i += 1 }
+      out
+    }
+  }
+
   /** Decode pass: fill the `meta` struct from the payload. Batched per
     * partition; payload column stays opaque (never shuffled wider than
     * needed — project before calling at scale). */
@@ -270,7 +436,7 @@ object Multimodal {
         val (w, h) = codec.probeDimensions(payload)
         val meta = Row(codec.sniffMime(payload),
           if (w < 0) null else w, if (h < 0) null else h,
-          if (payload == null) 0L else payload.length.toLong, codec.name)
+          codec.durationMs(payload), codec.name)
         Row.fromSeq(r.toSeq :+ meta)
       }
     }(enc)
@@ -324,7 +490,7 @@ object Multimodal {
             val (w, h) = codec.probeDimensions(payload)
             val meta = Row(codec.sniffMime(payload),
               if (w < 0) null else w, if (h < 0) null else h,
-              if (payload == null) 0L else payload.length.toLong, codec.name)
+              codec.durationMs(payload), codec.name)
             Row.fromSeq(r.toSeq ++ Seq(meta, f.toSeq))
         }
       }
@@ -386,6 +552,35 @@ object Multimodal {
   def imageParams(id: Long): (Int, Int, Int, Int, Int) =
     ((16 + id % 48).toInt, (16 + (id / 7) % 40).toInt,
       ((id * 37) % 256).toInt, ((id * 59) % 256).toInt, ((id * 83) % 256).toInt)
+
+  /** Deterministic WAV params for [[synthesizeAudio]], shared with tests
+    * and oracle SQL: for id `i`, nSamples = 1000 + (i%5)·500 at 8 kHz
+    * mono, square-wave amplitude A = 1000 + (i%20)·1000. |sample| is
+    * constant, so EVERY RMS window is exactly A/32768 — and 32768 = 2^15
+    * makes that value float-exact, so an arithmetic oracle can assert it
+    * to 6 decimals with no tolerance. */
+  def audioParams(id: Long): (Int, Short) =
+    ((1000 + (id % 5) * 500).toInt, (1000 + (id % 20) * 1000).toShort)
+
+  /** Synthesize REAL PCM16 WAVs keyed by `idCol` — genuine RIFF bytes
+    * (44-byte canonical header + samples), so decode / feature paths
+    * exercise the real `javax.sound.sampled` codec while an arithmetic
+    * oracle knows every expected value. */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType).as("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (n, a) = audioParams(id)
+        Row(id, WavCodec.synthesizeWav(n, 8000)(i =>
+          if (i % 2 == 0) a else (-a).toShort))
+      }
+    }(enc)
+  }
 
   /** Synthesize REAL solid-color PNGs keyed by `idCol` — genuine image
     * bytes (encoded per-partition with [[ImageCodec]]), so decode /

@@ -124,6 +124,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec: real WAV round trip — sniff, header probe, PCM decode, RMS") {
+    // 8000 samples at 8 kHz = exactly 1000 ms; square wave amp 12000
+    val wav = Multimodal.WavCodec.synthesizeWav(8000, 8000)(i =>
+      if (i % 2 == 0) 12000 else -12000)
+    assert(Multimodal.WavCodec.sniffMime(wav) === "audio/wav")
+    val (dur, rate, ch) = Multimodal.WavCodec.probe(wav)
+    assert((dur, rate, ch) === ((1000L, 8000, 1)))
+    val samples = Multimodal.WavCodec.decodeSamples(wav)
+    assert(samples.length === 8000)
+    assert(samples(0) === 12000 / 32768.0)
+    assert(samples(1) === -12000 / 32768.0)
+    // RMS of a constant-|amplitude| wave is exactly amp/2^15 per window
+    val rms = Multimodal.WavCodec.rmsWindows(wav, 500)
+    assert(rms.length === 16)
+    assert(rms.forall(_ === 12000 / 32768.0))
+    // corrupt payloads degrade, never throw
+    assert(Multimodal.WavCodec.probe("RIFFjunkWAVEgarbage!!".getBytes) === ((-1L, -1, -1)))
+    assert(Multimodal.WavCodec.decodeSamples(java.util.Arrays.copyOf(wav, 30)) === null)
+    assert(Multimodal.WavCodec.sniffMime("not audio".getBytes) === "application/octet-stream")
+  }
+
+  test("JdkAvCodec routes images and audio to the real codecs in one MediaCodec") {
+    val audio = Multimodal.synthesizeAudio(spark.range(0, 20).toDF("id"), "id")
+    val out = Multimodal.decodeMeta(audio, codec = Multimodal.JdkAvCodec)
+      .select("media_id", "decoded_meta.*").orderBy("media_id").collect()
+    out.foreach { r =>
+      val (n, _) = Multimodal.audioParams(r.getLong(0))
+      assert(r.getString(1) === "audio/wav")
+      assert(r.isNullAt(2) && r.isNullAt(3)) // no image dimensions
+      assert(r.getLong(4) === n * 1000L / 8000L) // REAL duration from the header
+      assert(r.getString(5) === "jdk-av")
+    }
+    // and a PNG through the same codec still decodes as an image
+    val imgs = Multimodal.synthesizeImages(spark.range(0, 3).toDF("id"), "id")
+    val im = Multimodal.decodeMeta(imgs, codec = Multimodal.JdkAvCodec)
+      .select("media_id", "decoded_meta.*").collect()
+    im.foreach { r =>
+      val (w, h, _, _, _) = Multimodal.imageParams(r.getLong(0))
+      assert(r.getString(1) === "image/png")
+      assert(r.getInt(2) === w && r.getInt(3) === h)
+    }
+  }
+
   test("ImageCodec features are real pixel statistics (golden solid image)") {
     val png = Multimodal.ImageCodec.solidPng(10, 10, (200 << 16) | (100 << 8) | 50)
     val f = Multimodal.ImageCodec.features(png)
