@@ -70,7 +70,19 @@ object GraftExtensions {
     ("repetition_stats",
       info("repetition_stats",
         "struct(dup_line_frac, dup_2gram_frac, adj_repeat_frac) in one scan"),
-      (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
+      (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)),
+    ("kgram_hashes",
+      info("kgram_hashes",
+        "kgram_hashes(tokens, k, hashKind) — every positional k-gram hash in one pass"),
+      (args: Seq[Expression]) => graft.functions.KgramHashes(args(0),
+        intArg(args, 1, "kgram_hashes", "k"),
+        strArg(args, 2, "kgram_hashes", "hashKind"))),
+    ("cdc_chunk_hashes",
+      info("cdc_chunk_hashes",
+        "cdc_chunk_hashes(tokens, avgChunkTokens, hashKind) — content-defined chunk hashes"),
+      (args: Seq[Expression]) => graft.functions.CdcChunkHashes(args(0),
+        intArg(args, 1, "cdc_chunk_hashes", "avgChunkTokens"),
+        strArg(args, 2, "cdc_chunk_hashes", "hashKind"))))
 
   private def lit(args: Seq[Expression], i: Int, fn: String, name: String): Any =
     args(i) match {

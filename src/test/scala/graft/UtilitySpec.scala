@@ -176,6 +176,14 @@ class ExtensionsSpec extends SparkSpec {
     val rep = spark.sql(
       "SELECT repetition_stats('a b\na b').dup_line_frac AS d").first()
     assert(rep.getDouble(0) === 0.5)
+    // round-6 expressions: positional k-gram hashes and CDC chunking
+    val r6 = spark.sql(
+      """SELECT size(kgram_hashes(array('a','b','c','d'), 2, 'xxhash64')) AS kg,
+        |       aggregate(cdc_chunk_hashes(array('a','b','c','d','e'), 2, 'xxhash64'),
+        |                 0, (acc, c) -> acc + c.n_tokens) AS chunk_tok_sum
+        |""".stripMargin).first()
+    assert(r6.getInt(0) === 3)       // 4 tokens, k=2 → 3 positions
+    assert(r6.getInt(1) === 5)       // chunks partition all 5 tokens
     // non-literal config args fail loudly, not silently misbehave
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles(array('a'), cast(rand()*3 as int), true)").collect()
