@@ -5,13 +5,41 @@ Usage: python3 scripts/local_verify.py <verify_out_dir> <sf_dir>
 
 Reads each <name>/ parquet written by graft.Verify plus oracle_sql.json,
 runs every oracle in DuckDB against the sf parquet tables, and compares:
-column names (sorted), row counts, and cell values (rows sorted, NaN-safe).
+column names (sorted), row counts, cell values (rows sorted, NaN-safe),
+AND column type-classes (DESCRIBE both sides). The driver's hash is
+type-sensitive beyond integer width: an oracle emitting HUGEINT/decimal128
+(e.g. an uncast sum() over ints) fails at the driver even when values are
+identical — round 6 shipped exactly that (q59/q60/q62). Int-width diffs
+(INTEGER vs BIGINT vs TINYINT...) stay tolerated to match the driver.
 """
 import json, math, sys, glob, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+_INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+def type_class(t):
+    """Collapse a DuckDB type name to the class the driver's hash cares about.
+    Int widths collapse together (driver-normalized); DECIMAL/HUGEINT do NOT
+    collapse into int — that is the round-6 failure class."""
+    t = t.upper()
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+        return "decimal"
+    if t in _INT_TYPES:
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("VARCHAR") or t in ("STRING", "TEXT"):
+        return "string"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t
+
+def describe_types(con, sql):
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
 
 def norm_cell(v):
     if v is None:
@@ -64,8 +92,20 @@ def main():
             continue
         gc, gk = frame_key(got_cols, got)
         wc, wk = frame_key(want_cols, want)
+        type_errs = []
+        try:
+            got_t = describe_types(con, f"SELECT * FROM '{d}/*.parquet'")
+            want_t = describe_types(con, oracles[name])
+            for col in sorted(set(got_t) & set(want_t)):
+                a, b = type_class(got_t[col]), type_class(want_t[col])
+                if a != b:
+                    type_errs.append(f"{col}: spark={got_t[col]}({a}) vs oracle={want_t[col]}({b})")
+        except Exception as e:
+            type_errs.append(f"DESCRIBE failed: {e}")
         if gc != wc:
             results[name] = f"SCHEMA_MISMATCH got={gc} want={wc}"
+        elif type_errs:
+            results[name] = "TYPE_MISMATCH " + "; ".join(type_errs)
         elif len(gk) != len(wk):
             results[name] = f"ROWCOUNT got={len(gk)} want={len(wk)}"
         elif gk != wk:

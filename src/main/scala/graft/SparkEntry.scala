@@ -1343,7 +1343,7 @@ object SparkEntry {
          |f AS (SELECT doc_id, ntok FROM ch
          |      QUALIFY min(doc_id) OVER (PARTITION BY chash)
          |        <> max(doc_id) OVER (PARTITION BY chash))
-         |SELECT doc_id, count(*) AS dup_chunks, sum(ntok) AS dup_tokens
+         |SELECT doc_id, count(*) AS dup_chunks, CAST(sum(ntok) AS BIGINT) AS dup_tokens
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q60_bpe_tokens" ->
       s"""WITH RECURSIVE
@@ -1369,7 +1369,7 @@ object SparkEntry {
          |            list_transform(range(1, len(syms)), i -> ${bpeRankCase("syms")}) AS ranks
          |          FROM bpe) rr) bb
          |  WHERE best IS NOT NULL)
-         |SELECT doc_id, sum(n) AS bpe_tokens FROM (
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens FROM (
          |  SELECT doc_id, len(syms) AS n,
          |    list_min(list_filter(
          |      list_transform(range(1, len(syms)), i -> ${bpeRankCase("syms")}),
@@ -1429,7 +1429,7 @@ object SparkEntry {
         |      FROM m),
         |sp AS (SELECT doc_id, max(pos) + 6 - (min(pos) - 1) + 1 AS span_tokens
         |       FROM i GROUP BY doc_id, island),
-        |agg AS (SELECT doc_id, sum(span_tokens) AS dup_tokens FROM sp GROUP BY doc_id)
+        |agg AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens FROM sp GROUP BY doc_id)
         |SELECT t.doc_id, agg.dup_tokens, len(t.toks) AS tok_len,
         |       round(agg.dup_tokens / greatest(len(t.toks), 1), 6) AS dup_frac
         |FROM t JOIN agg ON agg.doc_id = t.doc_id
