@@ -689,14 +689,16 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
   }
 
   override def nullSafeEval(v: Any): Any = {
-    // trim strips SPACES only (Spark trim parity); lowercase; \s+ split.
+    // trim strips SPACES only (Spark trim parity); lowercase via
+    // UTF8String for Spark lower() parity (locale-insensitive — plain
+    // String.toLowerCase diverges under tr/az default locales); \s+ split.
     // String.split drops trailing empties vs Spark's limit=-1, but empty
     // words count 0 symbols, so totals are unaffected.
-    val s = v.asInstanceOf[UTF8String].toString
+    val s = v.asInstanceOf[UTF8String].toLowerCase.toString
     var lo = 0; var hi = s.length
     while (lo < hi && s.charAt(lo) == ' ') lo += 1
     while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    val words = s.substring(lo, hi).toLowerCase.split("\\s+")
+    val words = s.substring(lo, hi).split("\\s+")
     var total = 0
     var i = 0
     while (i < words.length) { total += countWord(words(i)); i += 1 }

@@ -379,7 +379,7 @@ class BucketedSnapshotStore(
       // amortized cost of keeping read fan-out bounded without a scheduler
       if (autoCompactGenerations > 0 &&
           readManifest(root).exists(_._2.values.toSet.size > autoCompactGenerations))
-        compact(name)
+        compact(name, pk) // pk → also heals legacy pre-invariant duplicates
       touched.length.toLong
     } finally bucketed.unpersist(blocking = false)
   }
@@ -391,17 +391,26 @@ class BucketedSnapshotStore(
     * generation — compaction collapses that fan-out back to a single
     * scan. O(snapshot) I/O like the reference's whole-file rewrite
     * (etl_utils.py:180-191), but only when invoked; upserts stay
-    * delta-proportional. Returns the number of generations collapsed. */
-  def compact(name: String): Int = {
+    * delta-proportional. Returns the number of generations collapsed.
+    *
+    * Passing `pk` additionally heals LEGACY duplicate keys: snapshots
+    * committed before write() enforced the pk-unique invariant can carry
+    * duplicate pks that the old window merge silently collapsed on upsert
+    * but the anti-join merge preserves forever — folding generations is
+    * the natural point to dedup them once (keep-last). Same-pk rows share
+    * a bucket by construction (bucket = hash(pk)), so the dedup never
+    * moves rows across buckets. */
+  def compact(name: String, pk: Seq[String] = Nil): Int = {
     val root = path(name)
     val manifest = readManifest(root)
     if (manifest.forall(_._2.isEmpty)) return 0
     val (ver, m) = manifest.get
     val liveGens = m.values.toSet.size
-    if (liveGens <= 1) return liveGens
+    if (liveGens <= 1 && pk.isEmpty) return liveGens
     // readBuckets keeps the bucket column, so rows land in their existing
-    // buckets unchanged (alreadyBucketed) — no re-hash, no pk needed
-    val full = readBuckets(root, m, None).get
+    // buckets unchanged (alreadyBucketed) — no re-hash needed
+    val full0 = readBuckets(root, m, None).get
+    val full = if (pk.isEmpty) full0 else Snapshot.dedupKeepLast(full0, pk)
     val (gen, buckets) = writeGeneration(root, full, Nil, alreadyBucketed = true)
     beforeCommitHook()
     writeManifest(root, ver + 1, buckets.map(_ -> gen).toMap)

@@ -828,13 +828,16 @@ object Dedup {
         // groupBy and the join the distributed multiset contract needs
         // (measured: 8.4 s → ~3 s on the 1M-edge probe). The residual
         // (nodes seen only in self-pairs or alongside a null partner)
-        // streams through a broadcast anti-join and is tiny by
-        // construction — every a ≠ b pair lands its nodes in the UF.
+        // streams through an anti-join and is tiny by construction —
+        // every a ≠ b pair lands its nodes in the UF. The stars id frame
+        // is size-GATED, not unconditionally hinted: the adaptive gate
+        // admits up to 16M edges (~32M nodes) on big-heap drivers, which
+        // can exceed what every executor should hold resident.
         val stars = ccStarsDriver(spark, edgeRdd.collect(), idType)
         val labeled = stars.select(col("src").as("id"), col("dst").as("component"))
         val residual = raw.select(col("a").as("id"))
           .union(raw.select(col("b").as("id")))
-          .join(broadcast(stars.select(col("src").as("id"))), Seq("id"), "left_anti")
+          .join(Ops.broadcastIfSmall(stars.select(col("src").as("id"))), Seq("id"), "left_anti")
           .distinct()
           .select(col("id"), col("id").as("component"))
         labeled.unionByName(residual)

@@ -108,6 +108,31 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(store.read("t").get.filter(col("id") === 1).first().getInt(1) === 111)
   }
 
+  test("compact with pk heals legacy duplicate keys the anti-join merge preserves") {
+    val dir = tmpDir("bsnap_heal_")
+    val store = new BucketedSnapshotStore(spark, dir, numBuckets = 8)
+    // simulate a LEGACY store: assumeUniqueKeys bypasses write()'s dedup,
+    // exactly like snapshots committed before the pk-unique invariant
+    val dup = Seq((1, "old1a"), (1, "old1b"), (2, "old2"), (2, "old2"), (3, "v3"))
+      .toDF("id", "v")
+    store.write("t", dup, Seq("id"), assumeUniqueKeys = true)
+    assert(store.read("t").get.count() === 5) // duplicates really committed
+    // the anti-join upsert preserves untouched duplicates (id=2 stays dup)
+    store.upsert("t", Seq((1, "new1")).toDF("id", "v"), Seq("id"))
+    val afterUpsert = store.read("t").get.collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(afterUpsert.count(_._1 == 1) === 1)
+    assert(afterUpsert.count(_._1 == 2) === 2)
+    // compact(name, pk) heals: one row per pk, upserted value preserved
+    store.compact("t", Seq("id"))
+    val healed = store.read("t").get.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(healed.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(healed.toMap.apply(1) === "new1")
+    // pk-less compact stays the pure generation fold (no heal, no rewrite
+    // needed on the already-single-generation store)
+    assert(store.compact("t") === 1)
+  }
+
   test("autoCompactGenerations bounds manifest fan-out across many upserts") {
     val store = new BucketedSnapshotStore(spark, tmpDir("bsnap_auto_"),
       numBuckets = 8, autoCompactGenerations = 4)

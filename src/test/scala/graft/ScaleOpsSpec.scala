@@ -344,6 +344,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain === Seq(2, 3)) // codepoint counts, not char counts
   }
 
+  test("bpeTokenCount lowercases locale-insensitively (tr/az dotless-I)") {
+    // Spark lower('II') = 'ii' → one (i,i) merge = 1 symbol. A
+    // locale-sensitive String.toLowerCase yields 'ıı' under a Turkish
+    // default locale — no merge, count 2 — diverging from tokensCol and
+    // the DuckDB oracle.
+    val df = Seq((1L, "II")).toDF("doc_id", "text")
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      val n = df.select(TextAnalysis.bpeTokenCount(col("text"), Seq(("i", "i"))))
+        .first().getInt(0)
+      assert(n === 1)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("parseMerges reads merges.txt conventions") {
     val lines = Seq("#version: 0.2", "", "t h", "th e", "  a n  ")
     assert(TextAnalysis.parseMerges(lines) ===
