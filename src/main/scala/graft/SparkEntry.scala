@@ -783,6 +783,27 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 6).as("rms"))
         .orderBy("media_id")
     }),
+    // ── scale: REAL video container decode — pure-JDK RIFF/AVI parse,
+    //    time-based frame sampling, exact BI_RGB pixel decode (oracle:
+    //    the synthesized AVIs' dims/fill arithmetic — values pass only if
+    //    container parse → avih probe → movi frame walk → DIB pixel
+    //    decode all round-trip through the real parser) ──────────────────
+    "q65_video_frames" -> ((s, dir) => {
+      val media = Multimodal.synthesizeVideos(
+        T(s, dir, "part").filter(col("p_partkey") <= 150), "p_partkey")
+      val dec = Multimodal.decodeMeta(media, codec = Multimodal.JdkAvCodec)
+      Multimodal.sampleFrameStats(dec, everyMs = 80)
+        .select(col("media_id"),
+          col("decoded_meta.mime").as("mime"),
+          col("decoded_meta.width").cast("long").as("width"),
+          col("decoded_meta.height").cast("long").as("height"),
+          col("decoded_meta.duration_ms").as("duration_ms"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          round(col("mean_r")).cast("long").as("mean_r"),
+          round(col("mean_g")).cast("long").as("mean_g"),
+          round(col("mean_b")).cast("long").as("mean_b"))
+        .orderBy("media_id", "frame_idx")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1288,6 +1309,22 @@ object SparkEntry {
         |  ((1000 + (p_partkey % 5) * 500) * 1000) // 8000 AS duration_ms,
         |  round((1000 + (p_partkey % 20) * 1000) / 32768.0, 6) AS rms
         |FROM part WHERE p_partkey <= 150 ORDER BY media_id""".stripMargin,
+    "q65_video_frames" ->
+      """WITH p AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |    CAST(3 + p_partkey % 5 AS BIGINT) AS n_frames,
+        |    CAST(8 + (p_partkey % 5) * 4 AS BIGINT) AS width,
+        |    CAST(6 + (p_partkey // 3) % 8 AS BIGINT) AS height
+        |  FROM part WHERE p_partkey <= 150),
+        |f AS (SELECT media_id, width, height, n_frames,
+        |        CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx
+        |      FROM p)
+        |SELECT media_id, 'video/x-msvideo' AS mime, width, height,
+        |  CAST(n_frames * 40 AS BIGINT) AS duration_ms, frame_idx,
+        |  CAST((media_id * 37 + frame_idx * 11) % 256 AS BIGINT) AS mean_r,
+        |  CAST((media_id * 59 + frame_idx * 17) % 256 AS BIGINT) AS mean_g,
+        |  CAST((media_id * 83 + frame_idx * 23) % 256 AS BIGINT) AS mean_b
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q63_strip_spans" ->
       """WITH d AS (
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0

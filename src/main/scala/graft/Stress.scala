@@ -87,6 +87,29 @@ object Stress {
       println("[stress]   rows=" + Bench.force(docs.select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text"), SparkEntry.bpeMerges).as("n"))))
     }
+    // production vocab size: ~50k merges (synthetic but BPE-shaped — full
+    // 2-char pair coverage, then 3-char and 4-char chains — loaded through
+    // the real merges.txt parse path). The rank table is a hash map, so
+    // per-pair lookup is O(1): wall time must track the 10-rule row times
+    // the extra merge iterations the denser vocab triggers, NOT the vocab
+    // size. This list is adversarially dense (every adjacent letter pair
+    // merges), so it upper-bounds any real 50k vocabulary.
+    time(s"bpeTokenCount 50k-merge vocab ${factor}x") {
+      val letters = 'a' to 'z'
+      val two = for (a <- letters; b <- letters) yield s"$a $b"
+      val three = for (a <- letters; b <- letters; c <- letters) yield s"$a$b $c"
+      val four = for (a <- letters; b <- letters; c <- letters; d <- letters)
+        yield s"$a$b$c $d"
+      val lines = ("#version: 0.2" +: (two ++ three ++ four)).take(50001)
+      val f = java.nio.file.Files.createTempFile("merges_", ".txt")
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      val src = scala.io.Source.fromFile(f.toFile, "UTF-8")
+      val merges = try TextAnalysis.parseMerges(src.getLines().toSeq) finally src.close()
+      java.nio.file.Files.delete(f)
+      println("[stress]   vocab=" + merges.size)
+      println("[stress]   rows=" + Bench.force(docs.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).as("n"))))
+    }
     docs.unpersist()
 
     // connected components on adversarial shapes: long chains maximize
@@ -207,6 +230,22 @@ object Stress {
     time(s"semanticDedup ${factor}x (numCentroids=256)") {
       println("[stress]   kept=" + Bench.force(Dedup.semanticDedup(
         emb, "vec_id", "embedding", numCentroids = 256, tau = 0.99)))
+    }
+    // DEFAULT path: numCentroids auto-resolves to ceil(n/4096) — verify
+    // the per-cluster quadratic term stays bounded without caller tuning
+    time(s"semanticDedup ${factor}x (auto centroids)") {
+      val n = emb.count()
+      val k = Dedup.semDedupAutoCentroids(n)
+      println("[stress]   kept=" + Bench.force(Dedup.semanticDedup(
+        emb, "vec_id", "embedding", tau = 0.99)))
+      // cluster-size histogram at the SAME auto k: the max cluster bounds
+      // the quadratic term (pairs ≈ max²/2, target ≈ 4096²/2 ≈ 8.4M)
+      val (_, assigned) = Similarity.ivfIndex(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", k)
+      val sizes = assigned.groupBy("centroid_id").count()
+        .agg(max("count"), avg("count")).first()
+      println(f"[stress]   auto k=$k for n=$n: max cluster=${sizes.getLong(0)}, " +
+        f"avg=${sizes.getDouble(1)}%.0f, max pairs≈${sizes.getLong(0) * sizes.getLong(0) / 2}")
     }
     emb.unpersist()
     spark.stop()

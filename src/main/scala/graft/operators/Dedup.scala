@@ -444,16 +444,10 @@ object Dedup {
     (toks, flagged)
   }
 
-  def duplicateSpans(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      minSpanTokens: Int = 10,
-      hashKind: String = "xxhash64"): DataFrame = {
-    val k = minSpanTokens
-    val (_, flagged) = flaggedGramStarts(df, idCol, textCol, k, hashKind)
-    // merge overlapping/adjacent [pos, pos+k-1] intervals into maximal
-    // spans: an island breaks where a position clears the running max end
+  /** Island merge: flagged k-gram starts → maximal [start, end] spans.
+    * Merges overlapping/adjacent [pos, pos+k-1] intervals — an island
+    * breaks where a position clears the running max end. */
+  private def spansFromFlagged(flagged: DataFrame, idCol: String, k: Int): DataFrame = {
     val wD = Window.partitionBy(idCol).orderBy("__pos")
     val prevEnd = max(col("__pos") + lit(k - 1))
       .over(wD.rowsBetween(Window.unboundedPreceding, -1))
@@ -467,6 +461,17 @@ object Dedup {
         (max("__pos") + lit(k - 1)).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 10,
+      hashKind: String = "xxhash64"): DataFrame = {
+    val k = minSpanTokens
+    val (_, flagged) = flaggedGramStarts(df, idCol, textCol, k, hashKind)
+    spansFromFlagged(flagged, idCol, k)
   }
 
   /** Content-defined chunk rows: one row per chunk — (idCol, chunk_idx,
@@ -516,14 +521,9 @@ object Dedup {
     * the filter signal a pipeline thresholds on (e.g. drop docs that are
     * mostly boilerplate). Fraction denominators use the same token
     * convention as the spans. */
-  def duplicateSpanStats(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      minSpanTokens: Int = 10,
-      hashKind: String = "xxhash64"): DataFrame = {
-    val perDoc = duplicateSpans(df, idCol, textCol, minSpanTokens, hashKind)
-      .groupBy(idCol).agg(sum("span_tokens").as("__dup"))
+  private def statsFromSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(idCol).agg(sum("span_tokens").as("__dup"))
     df.select(col(idCol),
         coalesce(size(tokensCol(col(textCol))), lit(0)).as("tok_len"))
       .join(perDoc, Seq(idCol), "left")
@@ -532,6 +532,15 @@ object Dedup {
         round(coalesce(col("__dup"), lit(0L)) /
           greatest(col("tok_len"), lit(1)), 6).as("dup_frac"))
   }
+
+  def duplicateSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 10,
+      hashKind: String = "xxhash64"): DataFrame =
+    statsFromSpans(df,
+      duplicateSpans(df, idCol, textCol, minSpanTokens, hashKind), idCol, textCol)
 
   /** 64-bit SimHash per document: per-token 64-bit hashes vote ±1 on each
     * bit; the sign of each bit's sum forms the fingerprint.
@@ -636,8 +645,12 @@ object Dedup {
       textCol: String,
       minSpanTokens: Int = 10,
       hashKind: String = "xxhash64"): DataFrame = {
-    val k = minSpanTokens
-    val (toks, flagged) = flaggedGramStarts(df, idCol, textCol, k, hashKind)
+    val (toks, flagged) = flaggedGramStarts(df, idCol, textCol, minSpanTokens, hashKind)
+    stripFromFlagged(toks, flagged, idCol, minSpanTokens)
+  }
+
+  private def stripFromFlagged(toks: DataFrame, flagged: DataFrame,
+      idCol: String, k: Int): DataFrame = {
     // flagged k-gram starts → the covered token positions (union of
     // [p, p+k-1] — k-fold expansion of an already-small frame). Eagerly
     // checkpointed: three consumers (affected-id set, the anti-join, and
@@ -668,6 +681,34 @@ object Dedup {
         (col("__alllen") - coalesce(col("__kept"), lit(0L))).as("removed_tokens"))
   }
 
+  /** The span family's three outputs over ONE shared scan. */
+  case class SpanDedupReport(spans: DataFrame, stats: DataFrame, stripped: DataFrame)
+
+  /** Combined entry point for pipelines that consume more than one of
+    * [[duplicateSpans]] / [[duplicateSpanStats]] / [[stripDuplicateSpans]]:
+    * the corpus-wide flagged-gram computation (fused k-gram scan →
+    * map-side-partial min/max per hash → broadcast-back) runs ONCE and is
+    * eagerly checkpointed — calling the three single-output operators
+    * separately re-runs it per call, which is the dominant cost (the
+    * flagged frame itself is ≪ corpus: (id, pos) of cross-doc duplicated
+    * gram starts only). Use the single-output operators when only one
+    * output is consumed — the eager checkpoint here pays one extra
+    * materialization that is only worth it shared. */
+  def spanDedupReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 10,
+      hashKind: String = "xxhash64"): SpanDedupReport = {
+    val k = minSpanTokens
+    val (toks, flagged0) = flaggedGramStarts(df, idCol, textCol, k, hashKind)
+    val flagged = flagged0.localCheckpoint(true)
+    SpanDedupReport(
+      spans = spansFromFlagged(flagged, idCol, k),
+      stats = statsFromSpans(df, spansFromFlagged(flagged, idCol, k), idCol, textCol),
+      stripped = stripFromFlagged(toks, flagged, idCol, k))
+  }
+
   /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster embeddings with [[Similarity.ivfIndex]]'s
@@ -680,24 +721,30 @@ object Dedup {
     * and cosine ≥ `tau`.
     *
     * Scale shape: the pairwise stage shuffles vectors once on
-    * (centroid_id) — cluster size is the unit of quadratic work, so
-    * `numCentroids` should scale with corpus size (SemDeDup uses
-    * n/cluster ≈ thousands); `maxClusterSize` hard-caps degenerate
-    * clusters via [[capBuckets]] (cross-sub pairs are forfeited, same
-    * documented approximation as [[minhashCandidates]]).
+    * (centroid_id) — cluster size is the unit of quadratic work.
+    * `numCentroids` defaults to [[Similarity.AutoCentroids]], resolved as
+    * ⌈n / 4096⌉ from one count() job ([[semDedupAutoCentroids]]): a FIXED
+    * target cluster size bounds per-cluster work at ~target²/2 pairs and
+    * keeps TOTAL pair work linear in n (≈ n·target/2) — no caller tuning
+    * at any corpus size (SemDeDup itself uses n/cluster ≈ thousands).
+    * `maxClusterSize` hard-caps degenerate clusters via [[capBuckets]]
+    * (cross-sub pairs are forfeited, same documented approximation as
+    * [[minhashCandidates]]).
     * `seedHash` as in [[Similarity.ivfIndex]]: default xxhash64; pass
     * [[md5Hash60]] for an external SQL oracle replay. */
   def semanticDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      numCentroids: Int = 16,
+      numCentroids: Int = Similarity.AutoCentroids,
       tau: Double = 0.95,
       maxClusterSize: Int = 100000,
       seedHash: Column => Column = xxhash64(_)): DataFrame = {
     import graft.functions.VectorOps.{vector_dot, vector_norm}
+    val nc = if (numCentroids == Similarity.AutoCentroids)
+      semDedupAutoCentroids(df.count()) else numCentroids
     val (_, assigned) = Similarity.ivfIndex(
-      df.select(col(idCol), col(vecCol)), idCol, vecCol, numCentroids, seedHash)
+      df.select(col(idCol), col(vecCol)), idCol, vecCol, nc, seedHash)
     val sig = capBuckets(assigned.withColumn("__n", vector_norm(col(vecCol))),
       Seq("centroid_id"), idCol, maxClusterSize)
     val a = sig.select(col("centroid_id"), col("__sub"), col(idCol).as("id_a"),
@@ -716,11 +763,19 @@ object Dedup {
     * both b and c; pipe [[semanticDupPairs]] into
     * [[connectedComponents]] + [[dedupByComponents]] when principled
     * chain handling matters). */
+  /** SemDeDup auto-sizing: centroid count from a FIXED target cluster
+    * size, so the within-cluster quadratic term is bounded by construction
+    * (~4096²/2 ≈ 8.4M cheap dot products per cluster) and total pair work
+    * grows linearly with the corpus. Clamped so the centroid matrix stays
+    * driver-small. */
+  private[graft] def semDedupAutoCentroids(n: Long, targetClusterSize: Int = 4096): Int =
+    math.min(65536L, math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+
   def semanticDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      numCentroids: Int = 16,
+      numCentroids: Int = Similarity.AutoCentroids,
       tau: Double = 0.95,
       maxClusterSize: Int = 100000,
       seedHash: Column => Column = xxhash64(_)): DataFrame = {

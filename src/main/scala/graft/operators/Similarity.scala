@@ -118,6 +118,17 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Sentinel: resolve the centroid count from the corpus size at the
+    * entry point ([[ivfTopK]], [[Dedup.semanticDupPairs]]) — costs one
+    * count() job; pass an explicit count to skip it. */
+  val AutoCentroids: Int = -1
+
+  /** Classic IVF sizing: k ≈ √n (per-probe candidate list and centroid
+    * scan balance at √n each), clamped so the centroid set stays
+    * driver-small whatever the corpus. */
+  private[graft] def sqrtCentroids(n: Long): Int =
+    math.min(65536L, math.max(1L, math.round(math.sqrt(n.toDouble)))).toInt
+
   /** IVF index: deterministic centroid seeding + one Lloyd refinement
     * step, then corpus assignment. Returns (centroid_id, centroid) and the
     * assigned corpus.
@@ -254,17 +265,21 @@ object Similarity {
   }
 
   /** IVF ANN: probe the `nProbe` nearest centroids per query, exact rerank
-    * inside the probed partitions. */
+    * inside the probed partitions. `numCentroids` defaults to
+    * [[AutoCentroids]]: resolved as √n from one corpus count, so callers
+    * need no tuning for the quadratic term to stay bounded at any scale. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      numCentroids: Int = 16,
+      numCentroids: Int = AutoCentroids,
       nProbe: Int = 2,
       seedHash: Column => Column = xxhash64(_)): DataFrame = {
-    val (centroids, assigned) = ivfIndex(corpus, idCol, vecCol, numCentroids, seedHash)
+    val nc = if (numCentroids == AutoCentroids) sqrtCentroids(corpus.count())
+             else numCentroids
+    val (centroids, assigned) = ivfIndex(corpus, idCol, vecCol, nc, seedHash)
     // nProbe nearest centroids per query — same literal-array trick as
     // assign(): score all centroids in one projection, array_sort by
     // (-cosine, centroid_id), slice the top nProbe, explode. No shuffle.

@@ -199,6 +199,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AviCodec: real RIFF/AVI round trip — sniff, probe, frame sample, DIB decode") {
+    // 5 frames, 12×7, distinct solid fills per frame
+    val fills = (0 until 5).map(f => (f * 40 << 16) | (f * 30 << 8) | (f * 20))
+    val avi = Multimodal.AviCodec.synthesizeAvi(12, 7, fills)
+    assert(Multimodal.AviCodec.sniffMime(avi) === "video/x-msvideo")
+    assert(Multimodal.AviCodec.probeDimensions(avi) === ((12, 7)))
+    assert(Multimodal.AviCodec.durationMs(avi) === 200L) // 5 × 40 ms
+    // everyMs = 80 over 200 ms at 25 fps → frame indexes 0, 2, 4
+    val sampled = Multimodal.AviCodec.sampleFrames(avi, everyMs = 80)
+    assert(sampled.map(_._1) === Seq(0, 2, 4))
+    sampled.foreach { case (i, frame) =>
+      val Some((mr, mg, mb)) = Multimodal.AviCodec.dibMeanRgb(frame, 12, 7)
+      assert((mr, mg, mb) === ((i * 40.0, i * 30.0, i * 20.0)))
+    }
+    // everyMs shorter than the frame period dedupes to each frame once
+    assert(Multimodal.AviCodec.sampleFrames(avi, everyMs = 10).map(_._1) ===
+      Seq(0, 1, 2, 3, 4))
+    // corrupt payloads degrade, never throw
+    assert(Multimodal.AviCodec.probeDimensions("RIFFjunkAVI garbage".getBytes) === ((-1, -1)))
+    assert(Multimodal.AviCodec.sampleFrames(
+      java.util.Arrays.copyOf(avi, 40), everyMs = 80) === Seq.empty)
+    assert(Multimodal.AviCodec.sniffMime("not video".getBytes) === "application/octet-stream")
+    // JdkAvCodec routes AVI payloads to the real parser
+    assert(Multimodal.JdkAvCodec.sniffMime(avi) === "video/x-msvideo")
+    assert(Multimodal.JdkAvCodec.durationMs(avi) === 200L)
+    assert(Multimodal.JdkAvCodec.sampleFrames(avi, 80, 200L).length === 3)
+  }
+
+  test("sampleFrameStats on synthesized AVIs matches videoParams arithmetic") {
+    val vids = Multimodal.synthesizeVideos(spark.range(1, 25).toDF("id"), "id")
+    val out = Multimodal.sampleFrameStats(vids, everyMs = 80)
+      .select("media_id", "frame_idx", "mean_r", "mean_g", "mean_b")
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      assert(f % 2 === 0) // 80 ms sampling over 40 ms frames
+      val rgb = Multimodal.videoFrameRgb(id, f)
+      assert(r.getDouble(2) === ((rgb >> 16) & 0xFF).toDouble)
+      assert(r.getDouble(3) === ((rgb >> 8) & 0xFF).toDouble)
+      assert(r.getDouble(4) === (rgb & 0xFF).toDouble)
+    }
+    val (n1, _, _) = Multimodal.videoParams(1L) // id 1 → 4 frames → idx 0, 2
+    assert(out.filter(_.getLong(0) == 1L).map(_.getInt(1)).toSeq ===
+      (0 until n1 by 2).toSeq)
+  }
+
   test("sampleFrames flat-maps one row per frame with frame index") {
     val withMeta = Multimodal.decodeMeta(media)
       .withColumnRenamed("meta", "meta_orig").withColumnRenamed("decoded_meta", "meta")

@@ -279,12 +279,9 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
-  test("invariant: bpeTokenCount equals an independent naive reference on random inputs") {
-    import graft.operators.TextAnalysis
-    val x = new String(Character.toChars(0x1D54F)) // astral codepoint
-    val symbols = Array("a", "b", "c", x)
-    val rnd = new scala.util.Random(97)
-    def naiveCount(text: String, merges: Seq[(String, String)]): Int = {
+  /** Independent greedy min-rank BPE (list-based, O(n²) per word) — the
+    * reference both bpeTokenCount invariant tests compare against. */
+  private def naiveBpeCount(text: String, merges: Seq[(String, String)]): Int = {
       val rank = merges.zipWithIndex
         .groupBy(_._1).view.mapValues(_.head._2).toMap // first rank wins, like putIfAbsent
       def word(w: String): Int = {
@@ -319,7 +316,13 @@ class RoundTripSpec extends SparkSpec {
       while (lo < hi && text.charAt(lo) == ' ') lo += 1
       while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
       text.substring(lo, hi).toLowerCase.split("\\s+").map(word).sum
-    }
+  }
+
+  test("invariant: bpeTokenCount equals an independent naive reference on random inputs") {
+    import graft.operators.TextAnalysis
+    val x = new String(Character.toChars(0x1D54F)) // astral codepoint
+    val symbols = Array("a", "b", "c", x)
+    val rnd = new scala.util.Random(97)
     (1 to 6).foreach { round =>
       // random merge lists incl. multi-symbol lefts and left = right
       val merges = Seq.fill(5)((
@@ -334,9 +337,34 @@ class RoundTripSpec extends SparkSpec {
         .select($"doc_id", TextAnalysis.bpeTokenCount($"text", merges).as("n"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       texts.foreach { case (id, t) =>
-        assert(got(id) === naiveCount(t, merges),
+        assert(got(id) === naiveBpeCount(t, merges),
           s"round $round text='$t' merges=$merges")
       }
+    }
+  }
+
+  test("invariant: bpeTokenCount matches the naive reference at a 1k-merge vocab") {
+    import graft.operators.TextAnalysis
+    // same BPE-shaped generator as the Stress 50k row, truncated to 1000
+    // rules and loaded through the real merges.txt parse path: full 2-char
+    // pair coverage (676) + the first 324 three-char chains
+    val letters = 'a' to 'z'
+    val two = for (a <- letters; b <- letters) yield s"$a $b"
+    val three = for (a <- letters; b <- letters; c <- letters) yield s"$a$b $c"
+    val merges = TextAnalysis.parseMerges(
+      ("#version: 0.2" +: (two ++ three)).take(1001))
+    assert(merges.size === 1000)
+    val rnd = new scala.util.Random(53)
+    val texts = (1L to 60L).map { id =>
+      val words = Seq.fill(1 + rnd.nextInt(6))(
+        Seq.fill(1 + rnd.nextInt(10))(('a' + rnd.nextInt(26)).toChar).mkString)
+      (id, words.mkString(" "))
+    } :+ (1000L, "The ABBey ABBA abab   midnight   train ")
+    val got = texts.toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.bpeTokenCount($"text", merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === naiveBpeCount(t, merges), s"text='$t'")
     }
   }
 }

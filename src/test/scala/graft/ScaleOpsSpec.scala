@@ -211,6 +211,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(3L) === ((0L, 8, 0.0)))
   }
 
+  test("spanDedupReport outputs are value-identical to the single-output operators") {
+    val boiler = "please subscribe to our newsletter for daily updates and offers"
+    val docs = Seq(
+      (1L, s"unique first content $boiler more unique tail here"),
+      (2L, s"$boiler completely different body text follows after it"),
+      (3L, "independent document with no shared spans at all whatsoever"),
+      (4L, boiler)).toDF("doc_id", "text")
+    val r = Dedup.spanDedupReport(docs, "doc_id", "text", minSpanTokens = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(r.spans) ===
+      rows(Dedup.duplicateSpans(docs, "doc_id", "text", minSpanTokens = 8)))
+    assert(rows(r.stats) ===
+      rows(Dedup.duplicateSpanStats(docs, "doc_id", "text", minSpanTokens = 8)))
+    assert(rows(r.stripped) ===
+      rows(Dedup.stripDuplicateSpans(docs, "doc_id", "text", minSpanTokens = 8)))
+    assert(r.spans.count() > 0) // the boilerplate actually flags
+  }
+
   test("fused KgramHashes matches the HOF kgramHashes reference chain") {
     val docs = Seq((1L, "one two three four five six"), (2L, "short"),
       (3L, ""), (4L, "a b c")).toDF("doc_id", "text")
@@ -240,7 +258,10 @@ class ScaleOpsSpec extends SparkSpec {
     val deduped = Dedup.dedupPipeline(decontaminated, "doc_id", "text",
       bands = 16, rowsPerBand = 2, threshold = 0.55, assumeUniqueId = true)
     val n3 = deduped.count()
-    val stripped = Dedup.stripDuplicateSpans(deduped, "doc_id", "text", minSpanTokens = 8)
+    // stats + strip are consumed together → the combined one-scan entry
+    val report = Dedup.spanDedupReport(deduped, "doc_id", "text", minSpanTokens = 8)
+    assert(report.stats.count() === n3) // stats covers every surviving doc
+    val stripped = report.stripped
     val cleaned = deduped.join(stripped.select(col("doc_id"),
         col("clean_text")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), col("text")).as("text"))
@@ -607,6 +628,42 @@ class ScaleOpsSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert((100L until 110L).forall(!kept.contains(_)), s"planted copies survived: $kept")
     assert((0L until 40L).forall(kept.contains), "an original was dropped")
+  }
+
+  test("auto centroid sizing: SemDeDup targets a fixed cluster size, IVF uses sqrt(n)") {
+    // SemDeDup: ⌈n / 4096⌉, clamped — per-cluster pair work bounded by
+    // construction, total pair work linear in n
+    assert(Dedup.semDedupAutoCentroids(1) === 1)
+    assert(Dedup.semDedupAutoCentroids(4096) === 1)
+    assert(Dedup.semDedupAutoCentroids(4097) === 2)
+    assert(Dedup.semDedupAutoCentroids(1000000) === 245)
+    assert(Dedup.semDedupAutoCentroids(1L << 40) === 65536) // clamp
+    // IVF: √n, clamped
+    assert(Similarity.sqrtCentroids(1) === 1)
+    assert(Similarity.sqrtCentroids(10000) === 100)
+    assert(Similarity.sqrtCentroids(1L << 40) === 65536) // clamp
+  }
+
+  test("semanticDedup and ivfTopK default paths equal the explicit resolved counts") {
+    val df = (0L until 60L).map { i =>
+      (i, Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0f else 0.01f * (i / 8)))
+    }.toDF("vec_id", "embedding")
+    // 60 rows → SemDeDup auto resolves to 1 centroid
+    val auto = Dedup.semanticDedup(df, "vec_id", "embedding", tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val explicit = Dedup.semanticDedup(df, "vec_id", "embedding",
+        numCentroids = Dedup.semDedupAutoCentroids(60), tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(auto === explicit)
+    // IVF auto resolves to √60 ≈ 8 centroids — same results as explicit 8
+    val q = df.filter($"vec_id" < 3)
+    def flat(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSeq
+    val autoIvf = flat(Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 3, nProbe = 2))
+    val explIvf = flat(Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 3,
+      numCentroids = Similarity.sqrtCentroids(60), nProbe = 2))
+    assert(autoIvf === explIvf && autoIvf.nonEmpty)
   }
 
   test("connectedComponents collapses chains to the minimum id") {
