@@ -385,11 +385,14 @@ object Multimodal {
     * `00db`/`00dc` chunk per frame. For BI_RGB the frame chunk is the
     * raw bottom-up BGR24 bitmap (rows padded to 4 bytes) — decoding it
     * is arithmetic, no codec needed, so frame sampling and pixel
-    * statistics are REAL for this format. COMPRESSED video (H.264, VP9,
-    * even MJPEG's JPEG-in-AVI needs per-frame ImageIO) is where the JDK
-    * ships no decoder; [[JdkAvCodec.sampleFrames]] handles AVI here and
-    * keeps the documented stub for everything else. Corrupt payloads
-    * degrade to sentinels/empty, never fail the task. */
+    * statistics are REAL for this format. Motion-JPEG AVIs (`MJPG`
+    * streams whose `00dc` chunks are self-contained JFIF JPEGs) decode
+    * REAL too — per-frame `javax.imageio` ([[frameMeanRgb]]); MJPG
+    * streams relying on OpenDML implicit Huffman tables may not decode.
+    * Other compressed video (H.264, VP9, …) is where the JDK ships no
+    * decoder; [[JdkAvCodec.sampleFrames]] handles AVI here and keeps the
+    * documented stub for everything else. Corrupt payloads degrade to
+    * sentinels/empty, never fail the task. */
   object AviCodec {
     val name = "riff-avi"
 
@@ -499,9 +502,51 @@ object Multimodal {
       * solid fills, one per frame; 25 fps (40 000 µs/frame). */
     def synthesizeAvi(w: Int, h: Int, frameRgbs: Seq[Int]): Array[Byte] = {
       val rowBytes = (w * 3 + 3) & ~3
-      val frameSize = rowBytes * h
+      val frames = frameRgbs.map { rgb =>
+        val r = ((rgb >> 16) & 0xFF).toByte
+        val g = ((rgb >> 8) & 0xFF).toByte
+        val b = (rgb & 0xFF).toByte
+        val f = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = y * rowBytes + x * 3
+            f(o) = b; f(o + 1) = g; f(o + 2) = r
+            x += 1
+          }
+          y += 1
+        }
+        f
+      }
+      buildAvi(w, h, frames, "DIB ", "00db", compression = 0)
+    }
+
+    /** Synthesize a REAL Motion-JPEG AVI: same container, `MJPG` stream
+      * with one self-contained JFIF JPEG (ImageIO-encoded) per `00dc`
+      * chunk. JPEG is lossy, so fills round-trip approximately — this is
+      * the spec-verified compressed path, not an exact-oracle one. */
+    def synthesizeMjpegAvi(w: Int, h: Int, frameRgbs: Seq[Int]): Array[Byte] = {
+      val frames = frameRgbs.map { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      // fourcc 'MJPG' = biCompression for Motion JPEG
+      buildAvi(w, h, frames, "MJPG", "00dc", compression = 0x47504A4D)
+    }
+
+    private def buildAvi(w: Int, h: Int, frames: Seq[Array[Byte]],
+        handler: String, chunkId: String, compression: Int): Array[Byte] = {
       val ascii = java.nio.charset.StandardCharsets.US_ASCII
-      val moviBody = 4 + frameRgbs.length * (8 + frameSize)
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      def padded(n: Int) = n + (n & 1)
+      val moviBody = 4 + frames.map(f => 8 + padded(f.length)).sum
       val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
       val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
       val buf = java.nio.ByteBuffer.allocate(8 + riffBody)
@@ -511,38 +556,55 @@ object Multimodal {
       // avih: µsPerFrame, maxBytesPerSec, padding, flags, totalFrames,
       // initialFrames, streams, suggestedBufSize, width, height, reserved×4
       buf.put("avih".getBytes(ascii)).putInt(56)
-        .putInt(40000).putInt(0).putInt(0).putInt(0).putInt(frameRgbs.length)
-        .putInt(0).putInt(1).putInt(frameSize).putInt(w).putInt(h)
+        .putInt(40000).putInt(0).putInt(0).putInt(0).putInt(frames.length)
+        .putInt(0).putInt(1).putInt(maxFrame).putInt(w).putInt(h)
         .putInt(0).putInt(0).putInt(0).putInt(0)
       buf.put("LIST".getBytes(ascii)).putInt(4 + (8 + 56) + (8 + 40))
         .put("strl".getBytes(ascii))
-      // strh: vids/DIB, flags, prio+lang, initial, scale=1 rate=25,
+      // strh: vids/<handler>, flags, prio+lang, initial, scale=1 rate=25,
       // start, length, bufSize, quality, sampleSize, rcFrame
       buf.put("strh".getBytes(ascii)).putInt(56)
-        .put("vids".getBytes(ascii)).put("DIB ".getBytes(ascii))
+        .put("vids".getBytes(ascii)).put(handler.getBytes(ascii))
         .putInt(0).putInt(0).putInt(0).putInt(1).putInt(25)
-        .putInt(0).putInt(frameRgbs.length).putInt(frameSize).putInt(-1).putInt(0)
+        .putInt(0).putInt(frames.length).putInt(maxFrame).putInt(-1).putInt(0)
         .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
-      // strf: BITMAPINFOHEADER, BI_RGB
+      // strf: BITMAPINFOHEADER (biCompression 0 = BI_RGB, 'MJPG' = MJPEG)
       buf.put("strf".getBytes(ascii)).putInt(40)
         .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-        .putInt(0).putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+        .putInt(compression).putInt(maxFrame).putInt(0).putInt(0).putInt(0).putInt(0)
       buf.put("LIST".getBytes(ascii)).putInt(moviBody).put("movi".getBytes(ascii))
-      frameRgbs.foreach { rgb =>
-        buf.put("00db".getBytes(ascii)).putInt(frameSize)
-        val r = ((rgb >> 16) & 0xFF).toByte
-        val g = ((rgb >> 8) & 0xFF).toByte
-        val b = (rgb & 0xFF).toByte
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { buf.put(b).put(g).put(r); x += 1 }
-          var pad = rowBytes - w * 3
-          while (pad > 0) { buf.put(0.toByte); pad -= 1 }
-          y += 1
-        }
+      frames.foreach { f =>
+        buf.put(chunkId.getBytes(ascii)).putInt(f.length).put(f)
+        if ((f.length & 1) == 1) buf.put(0.toByte) // word alignment
       }
       buf.array()
+    }
+
+    /** Exact (meanR, meanG, meanB) for BI_RGB frames; REAL ImageIO decode
+      * for JPEG frames (the MJPEG case — self-contained JFIF per chunk).
+      * None when neither applies. */
+    def frameMeanRgb(frame: Array[Byte], w: Int, h: Int): Option[(Double, Double, Double)] = {
+      if (frame == null || frame.length < 3) return None
+      // JPEG magic first: a large-enough JPEG chunk could otherwise pass
+      // the DIB size check and "decode" as pixel garbage
+      if ((frame(0) & 0xFF) != 0xFF || (frame(1) & 0xFF) != 0xD8)
+        return dibMeanRgb(frame, w, h)
+      val img = ImageCodec.decode(frame)
+      if (img == null) return None
+      var r = 0.0; var g = 0.0; var b = 0.0
+      val iw = img.getWidth; val ih = img.getHeight
+      var y = 0
+      while (y < ih) {
+        var x = 0
+        while (x < iw) {
+          val rgb = img.getRGB(x, y)
+          r += (rgb >> 16) & 0xFF; g += (rgb >> 8) & 0xFF; b += rgb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1, iw * ih).toDouble
+      Some((r / n, g / n, b / n))
     }
   }
 
@@ -794,7 +856,8 @@ object Multimodal {
 
   /** Frame-sampling pass for AVI payloads with REAL per-frame pixel
     * stats: one output row per sampled frame — (frame_idx, mean_r/g/b).
-    * Exact for BI_RGB frames; non-AVI payloads emit no rows. */
+    * Exact for BI_RGB frames, ImageIO-decoded for MJPEG (JFIF) frames;
+    * non-AVI payloads emit no rows. */
   def sampleFrameStats(df: DataFrame, everyMs: Long,
       payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -809,7 +872,7 @@ object Multimodal {
         val payload = r.get(pIdx).asInstanceOf[Array[Byte]]
         val (w, h) = AviCodec.probeDimensions(payload)
         AviCodec.sampleFrames(payload, everyMs).iterator.flatMap { case (i, f) =>
-          AviCodec.dibMeanRgb(f, w, h).map { case (mr, mg, mb) =>
+          AviCodec.frameMeanRgb(f, w, h).map { case (mr, mg, mb) =>
             Row.fromSeq(r.toSeq ++ Seq[Any](i, mr, mg, mb))
           }
         }

@@ -227,6 +227,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JdkAvCodec.sampleFrames(avi, 80, 200L).length === 3)
   }
 
+  test("AviCodec: Motion-JPEG AVI — same container, real per-frame ImageIO decode") {
+    val fills = Seq(0x102030, 0x405060, 0x708090, 0xA0B0C0)
+    val avi = Multimodal.AviCodec.synthesizeMjpegAvi(16, 12, fills)
+    assert(Multimodal.AviCodec.sniffMime(avi) === "video/x-msvideo")
+    assert(Multimodal.AviCodec.probeDimensions(avi) === ((16, 12)))
+    assert(Multimodal.AviCodec.durationMs(avi) === 160L)
+    val sampled = Multimodal.AviCodec.sampleFrames(avi, everyMs = 40)
+    assert(sampled.map(_._1) === Seq(0, 1, 2, 3))
+    sampled.foreach { case (i, frame) =>
+      // each chunk is a self-contained JFIF JPEG
+      assert((frame(0) & 0xFF) === 0xFF && (frame(1) & 0xFF) === 0xD8)
+      val Some((mr, mg, mb)) = Multimodal.AviCodec.frameMeanRgb(frame, 16, 12)
+      val rgb = fills(i)
+      // JPEG is lossy: solid fills round-trip within a small tolerance
+      assert(math.abs(mr - ((rgb >> 16) & 0xFF)) < 4.0, s"frame $i mean_r=$mr")
+      assert(math.abs(mg - ((rgb >> 8) & 0xFF)) < 4.0, s"frame $i mean_g=$mg")
+      assert(math.abs(mb - (rgb & 0xFF)) < 4.0, s"frame $i mean_b=$mb")
+    }
+  }
+
   test("sampleFrameStats on synthesized AVIs matches videoParams arithmetic") {
     val vids = Multimodal.synthesizeVideos(spark.range(1, 25).toDF("id"), "id")
     val out = Multimodal.sampleFrameStats(vids, everyMs = 80)
