@@ -266,6 +266,28 @@ class MultimodalSpec extends SparkSpec {
       (0 until n1 by 2).toSeq)
   }
 
+  test("e2e multimodal pipeline: video frames → features → embedding near-dup") {
+    import graft.operators.Dedup
+    // two ids with the SAME frame fills (planted via id arithmetic is not
+    // possible — videoFrameRgb is injective in id — so plant by unioning
+    // id 7 twice under different media ids), plus distinct others
+    val base = Multimodal.synthesizeVideos(spark.range(1, 20).toDF("id"), "id")
+    val dup = Multimodal.synthesizeVideos(
+      spark.range(7, 8).toDF("id"), "id")
+      .withColumn("media_id", col("media_id") + 1000)
+    val frames = Multimodal.sampleFrameStats(base.unionByName(dup), everyMs = 40)
+    // per-frame stats → a per-video embedding: mean over sampled frames
+    val emb = frames.groupBy("media_id").agg(
+      array(avg("mean_r").cast("float"), avg("mean_g").cast("float"),
+        avg("mean_b").cast("float")).as("embedding"))
+    val pairs = Dedup.embeddingNearDupPairs(emb, "media_id", "embedding",
+        threshold = 0.99999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the planted copy (7, 1007) must surface as an embedding near-dup
+    assert(pairs.contains((7L, 1007L)),
+      s"planted duplicate video not found: ${pairs.mkString(",")}")
+  }
+
   test("sampleFrames flat-maps one row per frame with frame index") {
     val withMeta = Multimodal.decodeMeta(media)
       .withColumnRenamed("meta", "meta_orig").withColumnRenamed("decoded_meta", "meta")

@@ -27,6 +27,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"assignment plans a join:\n$plan")
   }
 
+  test("video synthesize → decode → frame-stats is one narrow stage (no Exchange)") {
+    import graft.operators.Multimodal
+    val vids = Multimodal.synthesizeVideos(spark.range(1, 50).toDF("id"), "id")
+    val out = Multimodal.sampleFrameStats(
+      Multimodal.decodeMeta(vids, codec = Multimodal.JdkAvCodec), everyMs = 80)
+    val plan = physical(out)
+    // three chained mapPartitions stages over the id scan: per-partition
+    // work, no shuffle anywhere — the shape that scales to any corpus
+    assert(!plan.contains("Exchange"), s"video chain shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"video chain plans a join:\n$plan")
+  }
+
   test("ivfIndex builds + materializes the assignment in at most 3 jobs") {
     // the scale contract: seed top-K scan, refinement aggregate, and the
     // caller's final-assignment materialization — no separate count() or
