@@ -580,6 +580,35 @@ object Multimodal {
       buf.array()
     }
 
+    /** REAL 16-dim pixel statistics of a BI_RGB frame, same layout as
+      * [[ImageCodec.features]] ([meanR, meanG, meanB, meanLuma, 12-bin
+      * luma histogram]); null when the frame is not a matching DIB. */
+    def dibFeatures(frame: Array[Byte], w: Int, h: Int): Array[Float] = {
+      if (frame == null || w <= 0 || h <= 0) return null
+      val rowBytes = (w * 3 + 3) & ~3
+      if (frame.length < rowBytes * h) return null
+      val out = new Array[Float](16)
+      val n = (w * h).toFloat
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val base = y * rowBytes
+        while (x < w) {
+          val o = base + x * 3
+          val b = frame(o) & 0xFF; val g = frame(o + 1) & 0xFF; val r = frame(o + 2) & 0xFF
+          val luma = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+          out(0) += r / 255.0f; out(1) += g / 255.0f; out(2) += b / 255.0f
+          out(3) += luma
+          out(4 + math.min(11, (luma * 12).toInt)) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < 16) { out(i) /= n; i += 1 }
+      out
+    }
+
     /** Exact (meanR, meanG, meanB) for BI_RGB frames; REAL ImageIO decode
       * for JPEG frames (the MJPEG case — self-contained JFIF per chunk).
       * None when neither applies. */
@@ -651,14 +680,28 @@ object Multimodal {
 
     def features(payload: Array[Byte]): Array[Float] = {
       val samples = WavCodec.decodeSamples(payload)
-      if (samples == null || samples.length == 0)
-        return ImageCodec.features(payload)
-      val win = math.max(1, (samples.length + 15) / 16)
-      val rms = WavCodec.rmsWindows(payload, win)
-      val out = new Array[Float](16)
-      var i = 0
-      while (i < math.min(16, rms.length)) { out(i) = rms(i).toFloat; i += 1 }
-      out
+      if (samples != null && samples.length > 0) {
+        val win = math.max(1, (samples.length + 15) / 16)
+        val rms = WavCodec.rmsWindows(payload, win)
+        val out = new Array[Float](16)
+        var i = 0
+        while (i < math.min(16, rms.length)) { out(i) = rms(i).toFloat; i += 1 }
+        return out
+      }
+      // AVI: REAL first-frame pixel statistics, same 16-dim layout as
+      // images (DIB → direct raw-pixel stats; MJPEG → the frame IS a
+      // JPEG, so the image feature path decodes it)
+      if (AviCodec.sniffMime(payload) == "video/x-msvideo") {
+        AviCodec.sampleFrames(payload, everyMs = Long.MaxValue).headOption.foreach {
+          case (_, frame) =>
+            if (frame.length >= 3 && (frame(0) & 0xFF) == 0xFF && (frame(1) & 0xFF) == 0xD8)
+              return ImageCodec.features(frame)
+            val (w, h) = AviCodec.probeDimensions(payload)
+            val f = AviCodec.dibFeatures(frame, w, h)
+            if (f != null) return f
+        }
+      }
+      ImageCodec.features(payload)
     }
   }
 

@@ -266,6 +266,25 @@ class MultimodalSpec extends SparkSpec {
       (0 until n1 by 2).toSeq)
   }
 
+  test("JdkAvCodec video features are real first-frame pixel statistics") {
+    // DIB: exact — frame 0 fill (200, 100, 50)
+    val avi = Multimodal.AviCodec.synthesizeAvi(10, 10,
+      Seq((200 << 16) | (100 << 8) | 50, 0x000000))
+    val f = Multimodal.JdkAvCodec.features(avi)
+    assert(f.length === 16)
+    assert(math.round(f(0) * 255) === 200)
+    assert(math.round(f(1) * 255) === 100)
+    assert(math.round(f(2) * 255) === 50)
+    assert(math.abs(f.drop(4).sum - 1.0f) < 1e-5) // histogram mass
+    // MJPEG: approximate (lossy), same layout via the image feature path
+    val mj = Multimodal.AviCodec.synthesizeMjpegAvi(16, 12,
+      Seq((200 << 16) | (100 << 8) | 50))
+    val fm = Multimodal.JdkAvCodec.features(mj)
+    assert(math.abs(fm(0) * 255 - 200) < 4.0)
+    assert(math.abs(fm(1) * 255 - 100) < 4.0)
+    assert(math.abs(fm(2) * 255 - 50) < 4.0)
+  }
+
   test("e2e multimodal pipeline: video frames → features → embedding near-dup") {
     import graft.operators.Dedup
     // two ids with the SAME frame fills (planted via id arithmetic is not
