@@ -804,6 +804,25 @@ object SparkEntry {
           round(col("mean_b")).cast("long").as("mean_b"))
         .orderBy("media_id", "frame_idx")
     }),
+    // ── scale: bigram LM perplexity (CCNet-style quality filter) — train
+    //    on the corpus, score every doc; add-one smoothing. The per-doc
+    //    NLL folds position-sorted arrays so the doubles are
+    //    order-deterministic (oracle: DuckDB retrains the same counts and
+    //    replays the ordered list fold bit-for-bit) ─────────────────────
+    "q66_lm_perplexity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val lm = TextAnalysis.trainBigramLm(docs, "text", "doc_id")
+      TextAnalysis.perplexity(docs, lm, "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
+        .orderBy("doc_id")
+    }),
+    // ── scale: vocabulary / Zipf coverage table (tokenizer-training aid;
+    //    oracle: same counts + rank/cumsum windows — integer-exact until
+    //    one final double division) ─────────────────────────────────────
+    "q67_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabulary(T(s, dir, "documents"), "text", minCount = 2L)
+        .orderBy("rank")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1325,6 +1344,41 @@ object SparkEntry {
         |  CAST((media_id * 59 + frame_idx * 17) % 256 AS BIGINT) AS mean_g,
         |  CAST((media_id * 83 + frame_idx * 23) % 256 AS BIGINT) AS mean_b
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "q66_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bi0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> {'pos': i, 'w1': t[i], 'w2': t[i+1]})) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2 FROM bi0),
+        |cnt AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM cnt GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+        |      FROM (SELECT unnest(t) AS tok FROM toks)),
+        |sc AS (SELECT b.doc_id, b.pos,
+        |    -ln((coalesce(c.cnt, 0) + 1.0) / (coalesce(x.ctx_cnt, 0) + v.vs)) AS lp
+        |  FROM bi b LEFT JOIN cnt c USING (w1, w2) LEFT JOIN ctx x USING (w1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) / count(*), 6)
+        |    AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q67_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |r AS (SELECT token, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+        |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER () AS BIGINT) AS total
+        |      FROM c)
+        |SELECT token, cnt, CAST(rank AS BIGINT) AS rank,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_frac
+        |FROM r WHERE cnt >= 2 ORDER BY rank""".stripMargin,
     "q63_strip_spans" ->
       """WITH d AS (
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0

@@ -73,6 +73,18 @@ object Stress {
     time(s"textAnalysis ${factor}x") {
       println("[stress]   rows=" + Bench.force(TextAnalysis.analyze(docs, "text")))
     }
+    // bigram LM train + score e2e: the model stays vocabulary-sized no
+    // matter the corpus factor (replication adds occurrences, not types),
+    // so the broadcast path must hold and wall time must track the corpus
+    // scans + the one doc-key shuffle
+    time(s"lmPerplexity train+score ${factor}x") {
+      val lm = TextAnalysis.trainBigramLm(docs, "text", "doc_id")
+      println("[stress]   scored=" + Bench.force(
+        TextAnalysis.perplexity(docs, lm, "text", "doc_id")))
+    }
+    time(s"vocabulary ${factor}x") {
+      println("[stress]   vocab=" + Bench.force(TextAnalysis.vocabulary(docs, "text")))
+    }
     // substring-level dedup, WORST case by construction: replicated docs
     // make every position cross-doc duplicated, so the flagged stream is
     // the entire gram stream (~1 row/token) and the island merge sees it

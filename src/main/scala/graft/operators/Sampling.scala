@@ -52,6 +52,44 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
 
+  /** Temperature-flattened source-mixing rates (the multilingual-LM
+    * sampling convention): sampling a source s with probability ∝ n_s^τ
+    * means each ROW of s is kept with rate ∝ n_s^(τ-1); τ = 1 is
+    * natural proportions, τ → 0 uniform across sources. Rates are
+    * normalized so the smallest source keeps `maxRate` (the per-row
+    * rate is largest there) — everything else keeps less, so the mix is
+    * achieved purely by downsampling. Driver action: ONE tiny
+    * per-source count aggregate; the counts fold in sorted source
+    * order, so the returned doubles are reproducible. */
+  def temperatureMixRates(
+      df: DataFrame,
+      sourceCol: String,
+      tau: Double,
+      maxRate: Double = 1.0): Map[String, Double] = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(maxRate > 0.0 && maxRate <= 1.0, s"maxRate must be in (0,1], got $maxRate")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "no sources to mix")
+    val nMin = counts.map(_._2).min.toDouble
+    counts.map { case (s, n) =>
+      s -> maxRate * math.pow(n / nMin, tau - 1.0)
+    }.toMap
+  }
+
+  /** Deterministic temperature mix: computes [[temperatureMixRates]] and
+    * applies them via [[stratifiedHashSample]] — reproducible,
+    * partition-invariant, no RNG; sources absent from the rate map (none,
+    * by construction) would drop. */
+  def temperatureMix(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      tau: Double,
+      maxRate: Double = 1.0): DataFrame =
+    stratifiedHashSample(df, sourceCol, keyCol,
+      temperatureMixRates(df, sourceCol, tau, maxRate), defaultRate = 0.0)
+
   /** Deterministic train/eval/test split: assigns each key to one fold by
     * hash range; folds are disjoint and exhaustive, and a key keeps its
     * fold forever (no leakage across reruns or growing data). `weights`

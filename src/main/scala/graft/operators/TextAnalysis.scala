@@ -239,6 +239,118 @@ object TextAnalysis {
       adj.as("adj_repeat_frac"))
   }
 
+  // ── Bigram LM perplexity (CCNet-style quality filtering) ───────────
+
+  /** A trained bigram model, all lazy frames: `bigrams` (w1, w2, cnt),
+    * `contexts` (w1, ctx_cnt = Σ_w2 cnt — the bigram-START count, so the
+    * final token of a document is not a context), and `vocab` (every
+    * distinct token at any position). Vocabulary-sized — tiny relative
+    * to the corpus that trained it — so scoring can broadcast it. */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame, vocab: DataFrame)
+
+  /** (id, pos, w1, w2): one row per adjacent token pair in document
+    * order, pos 0-based. Pure projection + generator — no shuffle;
+    * all-whitespace docs and single-token docs produce no rows. */
+  private[graft] def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n1 = size(col("__toks")) - 1
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), Dedup.tokensCol(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(zip_with(
+        slice(col("__toks"), lit(1), n1),
+        slice(col("__toks"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col(idCol), col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+  }
+
+  /** Train a bigram LM over `df[textCol]` ([[Dedup.tokensCol]]
+    * tokenization — the corpus-wide convention). Two aggregations
+    * (bigram groupBy + token distinct), both map-side-partial and both
+    * collapsing to vocabulary-sized outputs; `contexts` re-aggregates
+    * the already-tiny bigram frame, not the corpus. */
+  def trainBigramLm(df: DataFrame, textCol: String, idCol: String): BigramLm = {
+    // Lazy local checkpoint: the bigram table is consumed ≥ 3× (contexts
+    // re-agg, scoring join, any user reuse) and Catalyst would otherwise
+    // replay the corpus-wide explode+groupBy for each consumer. The frame
+    // is vocabulary-sized, so the checkpoint is cheap; on a real cluster
+    // lineage truncation trades a rare executor-loss recompute for never
+    // rescanning the corpus (A/B: composed train+score 1.42 → 1.00 s warm,
+    // 6.1 → 2.7 s cold, at sf0.1).
+    val bigrams = bigramRows(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val contexts = bigrams.groupBy("w1").agg(sum("cnt").as("ctx_cnt"))
+    val vocab = df.filter(length(trim(col(textCol))) > 0)
+      .select(explode(Dedup.tokensCol(col(textCol))).as("token")).distinct()
+    BigramLm(bigrams, contexts, vocab)
+  }
+
+  /** Per-document bigram negative log-likelihood under `lm` with add-one
+    * smoothing — the CCNet-style perplexity quality filter:
+    * P(w2|w1) = (cnt+1)/(ctx+V). Output: (id, n_bigrams, avg_nll, ppl);
+    * docs with < 2 tokens emit no row.
+    *
+    * Plan: bigram generator (projection, no shuffle) → size-gated
+    * broadcast joins against the model (falls back to shuffle joins if a
+    * pruned 100 TB-corpus model outgrows the threshold) → ONE doc-key
+    * shuffle. The per-doc sum folds an array sorted by position, so the
+    * double result is order-deterministic (bit-replayable by a SQL
+    * oracle's ordered list fold) — a plain sum() over doubles would
+    * drift with Spark's partition merge order. */
+  def perplexity(df: DataFrame, lm: BigramLm, textCol: String, idCol: String): DataFrame = {
+    val v = lm.vocab.agg(count(lit(1)).cast(DoubleType).as("__V"))
+    val scored = bigramRows(df, idCol, textCol)
+      .join(Ops.broadcastIfSmall(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(Ops.broadcastIfSmall(lm.contexts), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol), col("pos"),
+        (-log((coalesce(col("cnt"), lit(0L)).cast(DoubleType) + 1.0) /
+          (coalesce(col("ctx_cnt"), lit(0L)).cast(DoubleType) + col("__V")))).as("__lp"))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("pos"), col("__lp").as("lp")))),
+            x => x.getField("lp")),
+          lit(0.0), (acc, x) => acc + x).as("__nll"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__nll") / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(col("__nll") / col("n_bigrams")), 4).as("ppl"))
+  }
+
+  // ── Vocabulary / Zipf coverage (tokenizer-training aid) ────────────
+
+  /** Corpus vocabulary with Zipf rank and cumulative coverage:
+    * (token, cnt, rank, cum_frac). rank = position in (cnt DESC, token
+    * ASC) order; cum_frac = fraction of ALL token occurrences covered by
+    * ranks ≤ this one. The cumsum is exact integer arithmetic with one
+    * final double division, so the doubles are oracle-deterministic.
+    * `minCount` truncates AFTER ranking (a count threshold is always a
+    * rank prefix — ties share a count), so coverage keeps its
+    * full-corpus meaning.
+    *
+    * Plan: one explode+groupBy shuffle at corpus scale (map-side
+    * partial), then rank/cumsum/total share a single global-sort window
+    * over the VOCABULARY — the corpus never passes through the window,
+    * and real vocabularies (≤ tens of M rows) sort in one partition
+    * comfortably. */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(length(trim(col(textCol))) > 0)
+      .select(explode(Dedup.tokensCol(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum",
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__total",
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cnt") >= minCount)
+      .select(col("token"), col("cnt"), col("rank"),
+        round(col("__cum").cast(DoubleType) / col("__total").cast(DoubleType), 6)
+          .as("cum_frac"))
+  }
+
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))
