@@ -103,6 +103,18 @@ object SparkEntry {
       when(col("doc_id") % 5 === 0, concat(lit(boilerplate + " "), col("text")))
         .otherwise(col("text")).as("text"))
 
+  /** q68/q69 input: every 4th doc gets a shared header line, every
+    * (7k+2)th a shared footer line — deterministic cross-doc duplicated
+    * LINES for the line-dedup tier (any natural cross-doc duplicate
+    * lines in the corpus flag too; the oracle replays identically). */
+  private def plantedLines(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("subscribe to our newsletter for updates\n"), col("text")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit("\nall rights reserved worldwide")))
+        .otherwise(col("text")).as("text"))
+
   /** q60's learned-merge list (rank order), shared with the stress
     * harness. All pairs keep left ≠ right so the SQL oracle can merge a
     * round's occurrences independently — occurrences of such a pair
@@ -823,6 +835,19 @@ object SparkEntry {
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", minCount = 2L)
         .orderBy("rank")
     }),
+    // ── scale: cross-doc duplicated-LINE stats (Dolma line dedup signal;
+    //    oracle: DuckDB splits the same lines, groups trimmed content
+    //    with the min≠max distinct-doc test, recounts per doc) ──────────
+    "q68_dup_line_stats" -> ((s, dir) => {
+      Dedup.duplicateLineStats(plantedLines(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // ── scale: cross-doc duplicated-LINE removal — only affected docs
+    //    rebuild (oracle: DuckDB rebuilds the kept lines in order) ──────
+    "q69_strip_dup_lines" -> ((s, dir) => {
+      Dedup.stripDuplicateLines(plantedLines(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1344,6 +1369,54 @@ object SparkEntry {
         |  CAST((media_id * 59 + frame_idx * 17) % 256 AS BIGINT) AS mean_g,
         |  CAST((media_id * 83 + frame_idx * 23) % 256 AS BIGINT) AS mean_b
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "q68_dup_line_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0
+        |      THEN 'subscribe to our newsletter for updates' || chr(10) || text
+        |    WHEN doc_id % 7 = 2
+        |      THEN text || chr(10) || 'all rights reserved worldwide'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |        i -> {'pos': i, 'line': ls[i]})) AS e
+        |      FROM l0),
+        |ln AS (SELECT doc_id, e.pos AS pos, trim(e.line) AS tl FROM l),
+        |dup AS (SELECT tl FROM ln WHERE length(tl) >= 1
+        |        GROUP BY tl HAVING min(doc_id) <> max(doc_id)),
+        |per AS (SELECT doc_id, count(*) AS dup_lines
+        |        FROM ln JOIN dup USING (tl) GROUP BY doc_id)
+        |SELECT l0.doc_id, CAST(len(l0.ls) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(per.dup_lines, 0) AS BIGINT) AS dup_lines,
+        |  round(coalesce(per.dup_lines, 0) / len(l0.ls), 6) AS dup_line_frac
+        |FROM l0 LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q69_strip_dup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0
+        |      THEN 'subscribe to our newsletter for updates' || chr(10) || text
+        |    WHEN doc_id % 7 = 2
+        |      THEN text || chr(10) || 'all rights reserved worldwide'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |        i -> {'pos': i, 'line': ls[i]})) AS e
+        |      FROM l0),
+        |ln AS (SELECT doc_id, e.pos AS pos, e.line AS line, trim(e.line) AS tl FROM l),
+        |dup AS (SELECT tl FROM ln WHERE length(tl) >= 1
+        |        GROUP BY tl HAVING min(doc_id) <> max(doc_id)),
+        |aff AS (SELECT DISTINCT doc_id FROM ln JOIN dup USING (tl)),
+        |kept AS (SELECT doc_id, pos, line FROM ln
+        |         WHERE doc_id IN (SELECT doc_id FROM aff)
+        |           AND tl NOT IN (SELECT tl FROM dup)),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |          count(*) AS kept FROM kept GROUP BY doc_id)
+        |SELECT l0.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        |  CAST(len(l0.ls) - coalesce(reb.kept, 0) AS BIGINT) AS removed_lines
+        |FROM l0 JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q66_lm_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

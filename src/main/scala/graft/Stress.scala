@@ -85,6 +85,18 @@ object Stress {
     time(s"vocabulary ${factor}x") {
       println("[stress]   vocab=" + Bench.force(TextAnalysis.vocabulary(docs, "text")))
     }
+    // line dedup, worst case by construction: replicated docs make EVERY
+    // eligible line cross-doc duplicated, so the dup set is the full
+    // distinct-line table and every doc is affected (real corpora flag a
+    // small fraction and strip rebuilds only those docs)
+    time(s"duplicateLineStats ${factor}x (all-dup worst case)") {
+      println("[stress]   rows=" + Bench.force(
+        Dedup.duplicateLineStats(docs, "doc_id", "text")))
+    }
+    time(s"stripDuplicateLines ${factor}x (all-dup worst case)") {
+      println("[stress]   rebuilt=" + Bench.force(
+        Dedup.stripDuplicateLines(docs, "doc_id", "text")))
+    }
     // substring-level dedup, WORST case by construction: replicated docs
     // make every position cross-doc duplicated, so the flagged stream is
     // the entire gram stream (~1 row/token) and the island merge sees it

@@ -709,6 +709,98 @@ object Dedup {
       stripped = stripFromFlagged(toks, flagged, idCol, k))
   }
 
+  // ── Line-level exact dedup (Dolma-style cross-doc line removal) ────
+
+  /** One row per raw '\n' line: (idCol, __pos, __line, __lh). __lh is
+    * the hash of the TRIMMED line for eligible lines (trimmed length ≥
+    * `minLineChars`), null otherwise — ineligible (blank/short) lines
+    * can never flag and always survive stripping, but still count in
+    * line totals. Pure projection + generator, no shuffle. */
+  private def lineRows(df: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int, hashKind: String): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val lineHash: Column => Column =
+      if (hashKind == "md5_60") md5Hash60(_) else xxhash64(_)
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      .withColumn("__lh",
+        when(length(trim(col("__line"))) >= minLineChars,
+          lineHash(trim(col("__line")))))
+  }
+
+  /** Line hashes occurring in ≥ 2 DISTINCT docs — the same
+    * map-side-partial min/max trick as the span family (within-doc
+    * repetition alone does not flag; that is [[graft.operators.TextAnalysis.repetitionStats]]'
+    * signal). */
+  private def dupLineHashes(lines: DataFrame, idCol: String): DataFrame =
+    lines.filter(col("__lh").isNotNull)
+      .groupBy("__lh")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("__lh")
+
+  /** Per-document cross-doc duplicated-LINE stats (the Dolma line-dedup
+    * signal): (idCol, n_lines, dup_lines, dup_line_frac) for every doc.
+    * A line is duplicated when its trimmed content appears in ≥ 2
+    * distinct documents; `minLineChars` keeps trivially-short lines from
+    * flagging. Plan shape as [[duplicateChunkStats]]: only
+    * (id, pos, hash) rows shuffle, the duplicated-hash set is
+    * map-side-partial min/max and broadcast back; line totals are a pure
+    * projection off the original scan, never shuffled. */
+  def duplicateLineStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int = 1,
+      hashKind: String = "xxhash64"): DataFrame = {
+    val lines = lineRows(df, idCol, textCol, minLineChars, hashKind)
+    val dup = dupLineHashes(lines, idCol)
+    val perDoc = lines.join(Ops.broadcastIfSmall(dup), Seq("__lh"))
+      .groupBy(idCol).agg(count(lit(1)).as("__dup"))
+    df.select(col(idCol), size(split(col(textCol), "\n", -1)).as("n_lines"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("__dup"), lit(0L)).as("dup_lines"),
+        round(coalesce(col("__dup"), lit(0L)) / col("n_lines"), 6)
+          .as("dup_line_frac"))
+  }
+
+  /** Remove every cross-doc duplicated line (all occurrences — choosing
+    * a canonical keeper would need a global owner election; stripping
+    * symmetrically is the Dolma convention and what [[stripDuplicateSpans]]
+    * does for spans). Returns ONLY affected docs —
+    * (idCol, clean_text, removed_lines) — untouched docs never leave the
+    * scan; fully-flagged docs come back with clean_text = "". Kept lines
+    * rebuild in original order with original (untrimmed) content. */
+  def stripDuplicateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int = 1,
+      hashKind: String = "xxhash64"): DataFrame = {
+    val lines = lineRows(df, idCol, textCol, minLineChars, hashKind)
+    // eagerly checkpointed: consumed by the affected-doc set AND the
+    // anti-join; each re-run would replay the corpus line scan + groupBy
+    val dup = dupLineHashes(lines, idCol).localCheckpoint(true)
+    val dupB = Ops.broadcastIfSmall(dup)
+    val affected = lines.join(dupB, Seq("__lh")).select(idCol).distinct()
+    val affB = Ops.broadcastIfSmall(affected)
+    val kept = lines.join(affB, Seq(idCol), "left_semi")
+      .join(dupB, Seq("__lh"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line"))).as("__clean"),
+        count(lit(1)).as("__kept"))
+    df.join(affB, Seq(idCol), "left_semi")
+      .select(col(idCol), size(split(col(textCol), "\n", -1)).as("__alllen"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        (col("__alllen") - coalesce(col("__kept"), lit(0L))).as("removed_lines"))
+  }
+
   /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster embeddings with [[Similarity.ivfIndex]]'s
