@@ -835,6 +835,17 @@ object SparkEntry {
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", minCount = 2L)
         .orderBy("rank")
     }),
+    // ── scale: quality-aware canonical selection — near-dup components
+    //    keep their best-quality member, not the smallest id (oracle:
+    //    q46's recursive-CTE components + argmax by (quality, id)) ──────
+    "q70_dedup_keep_best" -> ((s, dir) => {
+      val u = lshInputQ46(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(u, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
+      Dedup.dedupByComponentsKeepBest(u, "doc_id", pairs, "quality")
+        .select("doc_id").orderBy("doc_id")
+    }),
     // ── scale: cross-doc duplicated-LINE stats (Dolma line dedup signal;
     //    oracle: DuckDB splits the same lines, groups trimmed content
     //    with the min≠max distinct-doc test, recounts per doc) ──────────
@@ -1369,6 +1380,36 @@ object SparkEntry {
         |  CAST((media_id * 59 + frame_idx * 17) % 256 AS BIGINT) AS mean_g,
         |  CAST((media_id * 83 + frame_idx * 23) % 256 AS BIGINT) AS mean_b
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "q70_dedup_keep_best" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' extra token and more extra' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u)),
+         |e0 AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.55),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s),
+         |q AS (SELECT doc_id, ${qualitySql("text")} AS quality FROM u),
+         |win AS (SELECT comp.id, row_number() OVER (PARTITION BY comp.c
+         |          ORDER BY q.quality DESC, comp.id) AS rk
+         |        FROM comp JOIN q ON q.doc_id = comp.id)
+         |SELECT doc_id FROM u
+         |WHERE doc_id NOT IN (SELECT id FROM comp)
+         |   OR doc_id IN (SELECT id FROM win WHERE rk = 1)
+         |ORDER BY doc_id""".stripMargin,
     "q68_dup_line_stats" ->
       """WITH d AS (
         |  SELECT doc_id, CASE
@@ -1842,6 +1883,22 @@ object SparkEntry {
   /** DuckDB twin of Dedup.md5Hash60 (60-bit md5-prefix hash). */
   private def h60Sql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::UBIGINT"
+
+  /** DuckDB twin of TextAnalysis.qualityScore over a text expression —
+    * the q22 formula, shared by q70's keep-best ordering. */
+  private def qualitySql(t: String): String =
+    s"""round(
+       |  least(length($t) / 500.0, 1.0) * 0.25 +
+       |  (CASE WHEN length($t) > 0 THEN
+       |     length(regexp_replace($t, '[^A-Za-z]', '', 'g')) * 1.0 / length($t)
+       |   ELSE 0.0 END) * 0.25 +
+       |  (1.0 - least((CASE WHEN length($t) > 0 THEN
+       |     length(regexp_replace($t, '[^.,;:!?]', '', 'g')) * 1.0 / length($t)
+       |   ELSE 0.0 END) * 10.0, 1.0)) * 0.25 +
+       |  least((CASE WHEN len(string_split_regex(trim($t), '\\s+')) > 0 THEN
+       |     len(regexp_extract_all($t, '(?i)\\b(the|and|of|to|a|in|is|it)\\b')) * 1.0
+       |       / len(string_split_regex(trim($t), '\\s+'))
+       |   ELSE 0.0 END) * 4.0, 1.0) * 0.25, 6)""".stripMargin
 
   /** Distinct 3-token shingles from a `toks` list column — the DuckDB twin
     * of Dedup.shinglesOf(tokens, 3) including the <3-token fallback. */

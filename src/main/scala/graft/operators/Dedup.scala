@@ -1247,6 +1247,30 @@ object Dedup {
       .drop("component")
   }
 
+  /** Quality-aware canonical selection: like [[dedupByComponents]], but
+    * each near-dup component keeps its BEST-scoring member (`scoreCol`
+    * descending, ties to the smallest id) instead of the smallest id —
+    * the production curation policy when duplicates differ in quality
+    * (e.g. keep the highest [[graft.operators.TextAnalysis.qualityScore]]
+    * copy of a boilerplate cluster).
+    *
+    * Scale shape: the component frame covers only ids that appear in
+    * `pairs` (≪ corpus), joins back size-gated, and the argmax window
+    * partitions by component — per-partition work is component size.
+    * Non-members pass through with no extra shuffle beyond the join. */
+  def dedupByComponentsKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val comp = Ops.broadcastIfSmall(
+      connectedComponents(pairs).withColumnRenamed("id", idCol))
+    val joined = df.join(comp, Seq(idCol), "left")
+    val keep = joined.filter(col("component").isNotNull)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("component").orderBy(col(scoreCol).desc, col(idCol))))
+      .filter(col("__rk") === 1).drop("__rk", "component")
+    joined.filter(col("component").isNull).drop("component")
+      .unionByName(keep)
+  }
+
   /** The production near-dup pipeline: exact dedup FIRST (collapses
     * identical-content clusters with one cheap hash shuffle), then MinHash
     * LSH on the survivors. Exact replicas otherwise flood the LSH buckets

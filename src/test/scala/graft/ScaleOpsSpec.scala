@@ -728,6 +728,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 5L))
   }
 
+  test("dedupByComponentsKeepBest keeps the best-scoring member, ties to min id") {
+    val rows = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: best 0.9, tie → 2
+      (4L, 0.1),                       // singleton survives regardless of score
+      (5L, 0.2), (6L, 0.8)             // cluster {5,6}: 6 wins
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByComponentsKeepBest(rows, "doc_id", pairs, "quality")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(2L, 4L, 6L))
+    // degenerate: uniform scores reduce to the min-id policy
+    val uniform = rows.withColumn("quality", lit(1.0))
+    val keptU = Dedup.dedupByComponentsKeepBest(uniform, "doc_id", pairs, "quality")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptU === Seq(1L, 4L, 5L))
+  }
+
   test("capped minhash dedup still finds near-dups (small buckets untouched)") {
     val pairs = Dedup.minhashNearDupPairs(docsDf, "doc_id", "text",
         shingleSize = 2, bands = 16, rowsPerBand = 2, threshold = 0.5, maxBucketSize = 1000)
