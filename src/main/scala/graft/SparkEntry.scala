@@ -846,6 +846,57 @@ object SparkEntry {
       Dedup.dedupByComponentsKeepBest(u, "doc_id", pairs, "quality")
         .select("doc_id").orderBy("doc_id")
     }),
+    // Bloom-accelerated first-seen ingest: history = two committed
+    // generations (write + upsert → per-bucket bloom sidecars); incoming
+    // mixes already-seen ids with brand-new ones. The result is EXACT
+    // (bloom clears definitely-new rows, an anti-join over only the
+    // candidate buckets confirms the rest), so a plain SQL anti-join is a
+    // faithful oracle no matter which rows the fpp tail routes to the
+    // exact path.
+    "q71_incremental_dedup" -> ((s, dir) => {
+      val store = new BucketedSnapshotStore(s, tmpWorkDir("gs_bloom_"),
+        numBuckets = 32, keyBloomFpp = 0.01)
+      val d = T(s, dir, "documents")
+      store.write("docs", d.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      store.upsert("docs", d.filter(col("doc_id") % 7 === 0)
+        .select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      val incoming = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("source"), col("n_chars")))
+      store.incrementalNew("docs", incoming, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // Crawl-ingest front door: synthetic HTML (tags, script/style with
+    // contents, entities, hard whitespace) wrapped around documents.text,
+    // stripped back to clean text by the fused StripMarkup scan. The
+    // oracle replays the stage chain with RE2 regexes + a replace chain
+    // (decode &amp; last ≡ the single-pass decoder on this input).
+    "q73_strip_markup" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style type=\"text/css\">p { color: #fff; }" +
+          "</style></head><body><h1>"),
+        col("source"),
+        lit("</h1><SCRIPT lang=\"js\">var x = 1; if (x < 2) { x = 3; }</SCRIPT>" +
+          "<p class=\"main\">Tom &amp; Jerry &lt;3 &quot;"),
+        col("text"),
+        lit("&quot;&gt;<br/>end&nbsp;of&nbsp;doc</p></body></html>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.stripMarkup(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // Corpus-wide KNN report, IVF-blocked: every vector's top-3 cosine
+    // neighbors within its cluster. md5 seed hash so DuckDB can replay
+    // the index bit-for-bit (same convention as q61/q36).
+    "q72_knn_join" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.knnJoin(e, "vec_id", "embedding", k = 3,
+          numCentroids = 16, seedHash = Dedup.md5Hash60)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
     // ── scale: cross-doc duplicated-LINE stats (Dolma line dedup signal;
     //    oracle: DuckDB splits the same lines, groups trimmed content
     //    with the min≠max distinct-doc test, recounts per doc) ──────────
@@ -962,6 +1013,25 @@ object SparkEntry {
         () => store.readForKeys("orders", keys, Seq("o_orderkey"))
           .select(col("o_orderkey"), col("o_totalprice"))
           .orderBy("o_orderkey")
+      }),
+      // q71: the history build (write + upsert + bloom sidecars) is test
+      // setup; the operator under measurement is the bloom-prefiltered
+      // incremental ingest of a mixed dup/new batch.
+      "q71_incremental_dedup" -> ((s, dir) => {
+        val store = new BucketedSnapshotStore(s, tmpWorkDir("gs_bloom_"),
+          numBuckets = 32, keyBloomFpp = 0.01)
+        val d = T(s, dir, "documents")
+        store.write("docs", d.filter(col("doc_id") % 3 === 0)
+          .select("doc_id", "source", "n_chars"), Seq("doc_id"))
+        store.upsert("docs", d.filter(col("doc_id") % 7 === 0)
+          .select("doc_id", "source", "n_chars"), Seq("doc_id"))
+        val incoming = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("source"), col("n_chars")))
+        () => store.incrementalNew("docs", incoming, Seq("doc_id"))
+          .orderBy("doc_id")
       }),
       "q51_csv_snapshot_upsert" -> ((s, dir) => {
         val store = new SnapshotStore(s,
@@ -1410,6 +1480,72 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT id FROM comp)
          |   OR doc_id IN (SELECT id FROM win WHERE rk = 1)
          |ORDER BY doc_id""".stripMargin,
+    "q71_incremental_dedup" ->
+      """WITH hist AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0 OR doc_id % 7 = 0),
+        |inc AS (
+        |  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT i.doc_id, i.source, i.n_chars
+        |FROM inc i WHERE i.doc_id NOT IN (SELECT doc_id FROM hist)
+        |ORDER BY i.doc_id""".stripMargin,
+    "q73_strip_markup" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>t</title><style type="text/css">p { color: #fff; }' ||
+        |  '</style></head><body><h1>' || source ||
+        |  '</h1><SCRIPT lang="js">var x = 1; if (x < 2) { x = 3; }</SCRIPT>' ||
+        |  '<p class="main">Tom &amp; Jerry &lt;3 &quot;' || text ||
+        |  '&quot;&gt;<br/>end&nbsp;of&nbsp;doc</p></body></html>' AS x
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(x,
+        |         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(x,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS x FROM s2)
+        |SELECT doc_id, trim(regexp_replace(x, '[\x00-\x20]+', ' ', 'g')) AS clean
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+    "q72_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+         |  FROM (SELECT vec_id, v FROM e
+         |        QUALIFY row_number()
+         |          OVER (ORDER BY ${h60Sql("vec_id::VARCHAR")}, vec_id) <= 16)),
+         |a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, seeds.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, seeds.cvec) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(seeds.cvec, seeds.cvec)))
+         |        DESC, seeds.cid) AS rn
+         |    FROM e, seeds) WHERE rn = 1),
+         |m AS (
+         |  SELECT a0.cid, t.i, CAST(avg(e.v[t.i]) AS FLOAT) AS mv
+         |  FROM a0 JOIN e USING (vec_id), range(1, 65) AS t(i) GROUP BY a0.cid, t.i),
+         |cents AS (SELECT cid, CAST(list(mv ORDER BY i) AS DOUBLE[]) AS cvec FROM m GROUP BY cid),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, cents.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, cents.cvec) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))
+         |        DESC, cents.cid) AS rn
+         |    FROM e, cents) WHERE rn = 1),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(ea.v, eb.v) /
+         |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
     "q68_dup_line_stats" ->
       """WITH d AS (
         |  SELECT doc_id, CASE

@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Distributed Bloom-filter build: map-side partial filters OR-merged up
+  * the aggregation tree. Input is a pre-hashed LONG key (`xxhash64` over
+  * the pk columns — hashing with a Spark-native expression keeps the
+  * build/probe sides trivially consistent); output is the serialized
+  * filter (BinaryType).
+  *
+  * Used per pk-hash bucket (`groupBy(bucket).agg(BloomAggregate(...))`)
+  * to build the incremental-dedup sidecars of
+  * [[graft.operators.BucketedSnapshotStore]]: each bucket's filter is
+  * sized independently, and partial aggregation means every executor
+  * inserts its own partition's keys locally — only filter BITMAPS cross
+  * the shuffle, never keys.
+  *
+  * Bit-level determinism: inserting a set of keys sets a set of bits;
+  * both insertion order and partitioning only change the ORDER bits are
+  * OR-ed in, so the final bitmap — and its serialized bytes — are
+  * identical under any partitioning (spec-asserted). `expectedItems` is a
+  * SIZING hint: undersizing degrades the false-positive rate, never
+  * correctness (no false negatives, by Bloom construction).
+  *
+  * Reference has no counterpart — the pandas engine re-reads the whole
+  * snapshot per run (etl_utils.py:180-191); a 100 TB store needs a
+  * membership sketch so re-ingested duplicates never touch the history.
+  */
+case class BloomAggregate(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter] with UnaryLike[Expression] {
+
+  require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+  require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buffer.putLong(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter =
+    buffer.mergeInPlace(other)
+
+  override def eval(buffer: BloomFilter): Any = serialize(buffer)
+
+  override def serialize(buffer: BloomFilter): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    buffer.writeTo(out)
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAggregate =
+    copy(child = newChild)
+}
+
+/** Hadoop `Configuration` is not `Serializable`; this is the standard
+  * write/readFields envelope so executor-side code can open the bloom
+  * sidecar files through whatever filesystem the store lives on. */
+class SerializableHadoopConf(@transient private var conf: Configuration)
+  extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+/** bucket → bloom sidecar path, plus the filesystem conf to open them
+  * with. Executors load each filter LAZILY on first probe and cache it
+  * per JVM ([[BloomBankCache]]) — the driver never ships filter bytes in
+  * the plan, so a task closure stays small no matter how large the bank
+  * is, and an executor only ever loads the buckets its rows hash into
+  * (bounded when the probe side is bucket-partitioned). */
+case class BloomBank(files: Map[Int, String], conf: SerializableHadoopConf)
+
+object BloomBankCache {
+  /** Per-JVM cache keyed by sidecar path. Generations are immutable once
+    * a manifest names them (BucketedSnapshot commit protocol), so a
+    * cached filter can never go stale; superseded generations stop being
+    * probed, their entries just age harmlessly until the JVM exits. */
+  private val cache = TrieMap.empty[String, BloomFilter]
+  def get(path: String, conf: Configuration): BloomFilter =
+    cache.getOrElseUpdate(path, {
+      val p = new Path(path)
+      val in = p.getFileSystem(conf).open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    })
+  private[graft] def clear(): Unit = cache.clear()
+}
+
+/** `might_contain` over a per-bucket filter bank: looks up the row's
+  * bucket in the bank and probes that bucket's filter with the row's
+  * pre-hashed key. A bucket ABSENT from the bank has no committed history
+  * at all → definitely new → false. No false negatives either way: build
+  * and probe hash with the same `xxhash64` expression, and every
+  * committed key of a bucket is in that bucket's (merged-generation)
+  * filter.
+  *
+  * CodegenFallback is deliberate (same reasoning as [[MinHashSignature]]):
+  * the per-row work is a hash-indexed map lookup plus k bit-probes; a
+  * generated-code version would save only the boxing of one long. */
+case class BloomBankMightContain(
+    hashChild: Expression,
+    bucketChild: Expression,
+    bank: BloomBank)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = hashChild
+  override def right: Expression = bucketChild
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_bank_might_contain"
+
+  override protected def nullSafeEval(h: Any, b: Any): Any =
+    bank.files.get(b.asInstanceOf[Int]) match {
+      case Some(path) =>
+        BloomBankCache.get(path, bank.conf.value)
+          .mightContainLong(h.asInstanceOf[Long])
+      case None => false
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomBankMightContain =
+    copy(hashChild = newLeft, bucketChild = newRight)
+}

@@ -61,10 +61,13 @@ class BucketedSnapshotStore(
     dir: String,
     numBuckets: Int = 64,
     keepManifests: Int = 2,
-    autoCompactGenerations: Int = 0) {
+    autoCompactGenerations: Int = 0,
+    keyBloomFpp: Double = 0.0) {
   require(keepManifests >= 1, s"keepManifests must be >= 1, got $keepManifests")
   require(autoCompactGenerations >= 0,
     s"autoCompactGenerations must be >= 0, got $autoCompactGenerations")
+  require(keyBloomFpp >= 0 && keyBloomFpp < 1,
+    s"keyBloomFpp must be in [0,1), got $keyBloomFpp")
 
   private val BucketCol = "__gs_bucket"
 
@@ -289,7 +292,74 @@ class BucketedSnapshotStore(
     // files carry exactly these columns (partitionBy hoists BucketCol out
     // of the files), so the next alignPkTypes skips its footer-probe job
     genSchemaCache.put(s"$root/$gen", bucketed.drop(BucketCol).schema)
+    if (keyBloomFpp > 0 && pk.nonEmpty) writeGenBlooms(root, gen, pk)
     (gen, written)
+  }
+
+  // ---- key-bloom sidecars (incremental-dedup fast path) ------------------
+
+  /** Per-bucket Bloom sidecars for one generation, built from the files
+    * just written (a read-back scan column-pruned to the pk — the delta's
+    * upstream lineage is never recomputed) and stored under
+    * `<gen>/_blooms/bucket-<i>.bloom`. The underscore prefix keeps the
+    * dir invisible to parquet partition discovery, and living INSIDE the
+    * generation dir gives the sidecars the generation's lifecycle for
+    * free: immutable once the manifest commits, GC'd with it, and never
+    * stale — an upsert merges a touched bucket's full history into the
+    * new generation, so that generation's filter covers every committed
+    * key of the bucket. Maintenance cost is therefore delta-proportional,
+    * exactly like the data files.
+    *
+    * Filters collect through `toLocalIterator` (one bucket's bitmap at a
+    * time), so driver memory is bounded by the largest single filter, not
+    * the bank. Capacity is uniform per bucket (keys are murmur-bucketed
+    * → near-uniform), sized 2× the mean with a floor; undersizing only
+    * degrades the FP rate, never correctness. */
+  private def writeGenBlooms(root: Path, gen: String, pk: Seq[String]): Unit = {
+    import graft.functions.BloomAggregate
+    import org.apache.spark.sql.graft.bridge
+    val genPath = new Path(root, gen)
+    val df = spark.read.schema(generationDataSchema(root, gen))
+      .parquet(genPath.toString)
+    val rows = df.count()
+    if (rows == 0) return
+    val bucketsTouched = math.max(1,
+      fs.listStatus(genPath).count(_.getPath.getName.startsWith(s"$BucketCol=")))
+    val cap = math.max(4096L, math.ceil(2.0 * rows / bucketsTouched).toLong)
+    val hashed = df.select(col(BucketCol),
+      xxhash64(pk.map(col): _*).as("__gs_h"))
+    val agg = hashed.groupBy(col(BucketCol)).agg(bridge.column(
+      BloomAggregate(bridge.expression(col("__gs_h")), cap, keyBloomFpp)
+        .toAggregateExpression()).as("__gs_bloom"))
+    val bloomDir = new Path(genPath, "_blooms")
+    fs.mkdirs(bloomDir)
+    val it = agg.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val out = fs.create(new Path(bloomDir, s"bucket-${r.getInt(0)}.bloom"), true)
+      try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+    }
+  }
+
+  /** bucket → sidecar path for every live manifest entry, or None if ANY
+    * live bucket lacks one (e.g. generations written with blooms off, or
+    * a `compact()` without pk) — the probe then falls back to the exact
+    * path rather than risk a false "definitely new". One listing per
+    * distinct generation, not per bucket. */
+  private def bloomBank(root: Path, m: Map[Int, String]): Option[Map[Int, String]] = {
+    val byGen = m.toSeq.groupBy(_._2)
+    val acc = Map.newBuilder[Int, String]
+    byGen.foreach { case (gen, entries) =>
+      val bloomDir = new Path(new Path(root, gen), "_blooms")
+      if (!fs.exists(bloomDir)) return None
+      val present = fs.listStatus(bloomDir).map(_.getPath.getName).toSet
+      entries.foreach { case (b, _) =>
+        val f = s"bucket-$b.bloom"
+        if (!present.contains(f)) return None
+        acc += b -> new Path(bloomDir, f).toString
+      }
+    }
+    Some(acc.result())
   }
 
   /** Initialize / replace the whole snapshot. Dedupes the input to one
@@ -411,7 +481,10 @@ class BucketedSnapshotStore(
     // buckets unchanged (alreadyBucketed) — no re-hash needed
     val full0 = readBuckets(root, m, None).get
     val full = if (pk.isEmpty) full0 else Snapshot.dedupKeepLast(full0, pk)
-    val (gen, buckets) = writeGeneration(root, full, Nil, alreadyBucketed = true)
+    // pk flows through so the folded generation regains its bloom sidecars
+    // (a pk-less compact produces a bloomless generation → the
+    // incrementalNew fast path falls back until the next pk-ed write)
+    val (gen, buckets) = writeGeneration(root, full, pk, alreadyBucketed = true)
     beforeCommitHook()
     writeManifest(root, ver + 1, buckets.map(_ -> gen).toMap)
     afterCommitHook()
@@ -441,5 +514,91 @@ class BucketedSnapshotStore(
         keys.select(pk.map(col): _*).schema))
       .drop(BucketCol)
       .join(keys.select(pk.map(col): _*).distinct(), pk, "left_semi")
+  }
+
+  // ---- incremental dedup (first-seen ingest) -----------------------------
+
+  /** Spec seam: the resolved sidecar bank for direct probe-rate assertions.
+    * Throws if any live bucket lacks a sidecar. */
+  private[graft] def probeBankForTest(name: String): graft.functions.BloomBank = {
+    val root = path(name)
+    val (_, m) = readManifest(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    graft.functions.BloomBank(
+      bloomBank(root, m).getOrElse(
+        throw new IllegalStateException(s"'$name' has incomplete bloom sidecars")),
+      new graft.functions.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** Rows of `incoming` whose pk has NEVER been committed to the snapshot
+    * — the membership primitive of a dedup-on-ingest pipeline ("drop
+    * everything we already crawled"). EXACT semantics, bloom-accelerated:
+    *
+    *  1. every row probes its bucket's Bloom sidecar
+    *     ([[graft.functions.BloomBankMightContain]] over xxhash64(pk));
+    *     "not in filter" is PROOF the key is new (no false negatives), so
+    *     those rows pass through untouched — no join, no shuffle, no
+    *     history I/O;
+    *  2. only the maybe-dup survivors (true dups + the fpp tail) are
+    *     confirmed by an exact anti-join, scanning ONLY the buckets they
+    *     hash into (partition pruning, same as upsert).
+    *
+    * At 100 TB the difference is the whole game: a mostly-new batch never
+    * touches the history — the exact join's input shrinks from the full
+    * batch to (true dups + fpp·batch), and the history scan shrinks to
+    * the candidate buckets. When any live generation lacks sidecars
+    * (blooms disabled, legacy store, pk-less compact) the whole batch
+    * takes the exact path — same answer, no sketch. The result is exact
+    * either way, so the two paths are interchangeable (spec-asserted).
+    *
+    * `incoming` is scanned at most twice (the two probe branches) plus
+    * once for candidate-bucket discovery on the (small) maybe side —
+    * cheaper than materializing a batch-sized checkpoint. Batch-internal
+    * duplicates are NOT collapsed here (both copies of a never-seen key
+    * return); dedupe the batch first, or let [[ingestNew]]'s commit do it. */
+  def incrementalNew(name: String, incoming: DataFrame, pk: Seq[String]): DataFrame = {
+    require(pk.nonEmpty, "incrementalNew needs a non-empty pk")
+    import graft.functions.{BloomBank, BloomBankMightContain, SerializableHadoopConf}
+    import org.apache.spark.sql.graft.bridge
+    val root = path(name)
+    val manifest = readManifest(root)
+    if (manifest.forall(_._2.isEmpty)) return incoming
+    val (_, m) = manifest.get
+    val aligned = alignPkTypes(incoming, pk, root, m, "incrementalNew")
+
+    def exactNew(cand: DataFrame): DataFrame = {
+      val touched = cand.select(bucketOf(pk).as(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).filter(m.contains).toIndexedSeq
+      readBuckets(root, m, Some(touched)).fold(cand) { hist =>
+        val keys = hist.select(pk.map(col): _*)
+        val cond = pk.map(c => cand(c) <=> keys(c)).reduce(_ && _)
+        cand.join(keys, cond, "left_anti")
+      }
+    }
+
+    bloomBank(root, m) match {
+      case Some(files) if files.nonEmpty =>
+        val bank = BloomBank(files,
+          new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+        val maybe = org.apache.spark.sql.graft.bridge.column(BloomBankMightContain(
+          bridge.expression(xxhash64(pk.map(col): _*)),
+          bridge.expression(bucketOf(pk)), bank))
+        aligned.filter(!maybe).unionByName(exactNew(aligned.filter(maybe)))
+      case _ => exactNew(aligned)
+    }
+  }
+
+  /** First-seen-wins ingest: commit (and return) only the never-seen rows
+    * of `incoming`. Batch-internal duplicate pks collapse keep-last at
+    * the commit (the store's pk-unique invariant); re-running the same
+    * batch is a no-op. The returned frame re-reads the committed rows via
+    * a key-pruned [[readForKeys]], so callers observe exactly what landed. */
+  def ingestNew(name: String, incoming: DataFrame, pk: Seq[String]): DataFrame = {
+    val fresh = incrementalNew(name, incoming, pk)
+      .localCheckpoint(false) // upsert + the key-probe both consume it
+    try {
+      upsert(name, fresh, pk)
+      readForKeys(name, fresh.select(pk.map(col): _*), pk)
+    } finally fresh.unpersist(blocking = false)
   }
 }

@@ -302,4 +302,46 @@ object Similarity {
         (vector_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** Self-KNN: the top-k cosine neighbors of EVERY corpus row — the
+    * all-pairs companion to [[ivfTopK]]'s probe-set search, used for
+    * corpus-wide curation reports (duplicate triage, local-density
+    * estimates, diversity sampling).
+    *
+    * Brute force is n² and dead at scale; here the IVF assignment blocks
+    * the quadratic term: rows join only within their cluster, so pair
+    * work is Σ|cluster|² — with the default ⌈n/targetClusterSize⌉
+    * centroids that is ≤ n × targetClusterSize, LINEAR in n by
+    * construction (same bound [[Dedup.semanticDupPairs]] rides). Both
+    * join sides are the same assigned frame, so the cluster-key exchange
+    * is computed once and reused; the only other shuffle is the per-query
+    * top-k window. Neighbors in foreign clusters are unseen — the usual
+    * IVF recall trade, which the oracle replays rather than papers over.
+    * Rows short of k in-cluster neighbors return what exists (a
+    * singleton-cluster row returns none), ranks 1..k deterministic with
+    * ties broken by neighbor id. */
+  def knnJoin(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = AutoCentroids,
+      targetClusterSize: Int = 4096,
+      seedHash: Column => Column = xxhash64(_)): DataFrame = {
+    val nc = if (numCentroids == AutoCentroids)
+      math.max(1, math.ceil(corpus.count().toDouble / targetClusterSize).toInt)
+    else numCentroids
+    val (_, assigned0) = ivfIndex(corpus, idCol, vecCol, nc, seedHash)
+    val assigned = assigned0.select(col("centroid_id"), col(idCol).as("__id"),
+      col(vecCol).as("__v"), vector_norm(col(vecCol)).as("__n"))
+    val a = assigned.select(col("centroid_id"), col("__id").as("query_id"),
+      col("__v").as("__qv"), col("__n").as("__qn"))
+    val b = assigned.select(col("centroid_id"), col("__id").as("neighbor_id"),
+      col("__v").as("__cv"), col("__n").as("__cn"))
+    val scored = a.join(b, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vector_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine"))
+    rankTopK(scored, k)
+  }
 }

@@ -25,6 +25,15 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
 
+  /** HTML/markup → clean text (fused [[graft.functions.StripMarkup]]
+    * scan): script/style blocks drop with contents, tags drop, entities
+    * decode single-pass, whitespace collapses. Pure projection — the
+    * crawl-ingest front door stays shuffle-free at any scale. */
+  def stripMarkup(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.StripMarkup(
+        org.apache.spark.sql.graft.bridge.expression(text)))
+
   /** Redaction AND audit counts in one fused pass —
     * struct(redacted, email, ipv4, phone). Selecting [[redactPii]] and
     * [[piiCounts]] together runs the 3-pattern chain twice (6 regex

@@ -90,6 +90,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.agg(min("cosine"), max("cosine")).first().getDouble(1) <= 1.000001)
   }
 
+  test("knnJoin at one centroid equals exact brute-force self-KNN") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // one cluster → the IVF blocking admits every pair → exact semantics
+    val knn = Similarity.knnJoin(e, "vec_id", "embedding", k = 3, numCentroids = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(knn.nonEmpty && knn.toSeq === brute.toSeq)
+  }
+
+  test("knnJoin surfaces planted exact copies as rank-1 neighbors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 50).select("vec_id", "embedding")
+    val copies = e.select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    val out = Similarity.knnJoin(e.unionByName(copies), "vec_id", "embedding",
+        k = 1, numCentroids = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // an exact copy lands in its source's cluster (identical argmax) and
+    // dominates at cosine 1.0
+    (0L until 50L).foreach { id =>
+      assert(out(id + 1000) === id, s"copy ${id + 1000} missed its source")
+      assert(out(id) === id + 1000, s"source $id missed its copy")
+    }
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 50)
