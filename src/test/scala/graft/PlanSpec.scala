@@ -165,6 +165,56 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("stripMarkup is a pure projection over a pruned scan") {
+    import graft.operators.TextAnalysis
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.stripMarkup(col("text")).as("clean"))
+    val plan = physical(d)
+    // crawl-ingest front door: one narrow stage, scan reads only the two
+    // columns the projection needs
+    assert(!plan.contains("Exchange"), s"stripMarkup shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"stripMarkup plans a join:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan reads more than the projection:\n$plan")
+  }
+
+  test("knnJoin assigns inline on both sides and pushes the top-k limit into the window") {
+    val plan = physical(
+      Similarity.knnJoin(vecs, "vec_id", "embedding", k = 3, numCentroids = 4))
+    // the quadratic term is blocked by the centroid_id equi-join; the only
+    // hash exchange is the per-query top-k window, and the rank<=k filter
+    // must reach the window operator as a group-limit (partial top-k before
+    // the exchange), or the join output is materialized corpus-wide
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k not pushed into the window:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (the top-k window), got $hashExchanges:\n$plan")
+    // centroid assignment is a projection over the scan on BOTH join sides —
+    // no exchange, aggregate, or window below the join inputs
+    assert(plan.contains("nearest_centroid"), s"assignment not inline:\n$plan")
+  }
+
+  test("incrementalNew: definitely-new rows cross no join; history scan is bucket-pruned") {
+    import graft.operators.BucketedSnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("gs_planbloom_").toString
+    val store = new BucketedSnapshotStore(spark, dir, numBuckets = 8, keyBloomFpp = 0.01)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source")
+    store.write("docs", d.filter(col("doc_id") % 3 === 0), Seq("doc_id"))
+    val plan = physical(
+      store.incrementalNew("docs", d.filter(col("doc_id") % 2 === 0), Seq("doc_id")))
+    // the 100 TB contract: the bloom-cleared branch is a bare filtered scan
+    // (one join TOTAL, on the maybe side only), and the history side reads
+    // only the candidate buckets
+    assert(plan.contains("bloom_bank_might_contain"), s"no bloom probe:\n$plan")
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 join (maybe-side anti), got $joins:\n$plan")
+    assert(plan.contains("LeftAnti"), s"exact confirm is not an anti-join:\n$plan")
+    assert(plan.contains("PartitionFilters: [__gs_bucket"),
+      s"history scan not bucket-pruned:\n$plan")
+  }
+
   test("TPC-H q1 aggregates map-side before the exchange (partial aggregation)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val agg = li.filter(col("l_shipdate") <= "1998-09-02")
