@@ -160,6 +160,23 @@ object SparkEntry {
     d.unionByName(m1).unionByName(m2)
   }
 
+  /** q74's (history, incoming): history = even docs; incoming = exact
+    * re-crawls of %10==0, near-dup mutations of %10==6 (both history
+    * members), and the odd docs as genuinely-novel arrivals. The q25-style
+    * mutation keeps the pairs far above the 16×2 banding midpoint (the
+    * combined frame is margin-probed in q53). */
+  private def ndixInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = T(s, dir, "documents").select("doc_id", "text")
+    val history = d.filter(col("doc_id") % 2 === 0)
+    val incoming = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 10 === 6)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 2 === 1))
+    (history, incoming)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── §2.1 sources: catalog-typed read ─────────────────────────────
     "q01_catalog_typed_read" -> ((s, dir) => {
@@ -897,6 +914,23 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // Incremental near-dup ingest: history is INDEXED once (persisted LSH
+    // band postings + shingle arrays in a prefix-bucketed store); the
+    // incoming batch probes only the band buckets it collides with and
+    // verifies candidates with exact Jaccard against the stored arrays.
+    // The oracle brute-forces every (incoming, history) pair ≥ 0.55 — the
+    // banding's recall at these parameters is separately REQUIREd by the
+    // q53 margin probe over this exact input.
+    "q74_neardup_ingest" -> ((s, dir) => {
+      val idx = new NearDupIndex(s, tmpWorkDir("gs_ndix_"), shingleSize = 3,
+        bands = 16, rowsPerBand = 2, threshold = 0.55, numBuckets = 32)
+      val (history, incoming) = ndixInputs(s, dir)
+      idx.add(history, "doc_id", "text")
+      idx.probe(incoming, "doc_id", "text")
+        .select(col("inc_id"), col("hist_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("inc_id", "hist_id")
+    }),
     // ── scale: cross-doc duplicated-LINE stats (Dolma line dedup signal;
     //    oracle: DuckDB splits the same lines, groups trimmed content
     //    with the min≠max distinct-doc test, recounts per doc) ──────────
@@ -923,7 +957,10 @@ object SparkEntry {
       val probes = Seq(
         "q25" -> lshInputQ25(s, dir),
         "q41" -> lshInputQ41(s, dir),
-        "q46" -> lshInputQ46(s, dir))
+        "q46" -> lshInputQ46(s, dir),
+        // q74 verifies (incoming × history) pairs only; margin over the
+        // combined frame upper-bounds the miss mass of that subset
+        "q74" -> { val (h, i) = ndixInputs(s, dir); h.unionByName(i) })
       val rows = probes.map { case (p, in) =>
         val r = Dedup.lshMarginStats(in, "doc_id", "text", shingleSize = 3,
           bands = 16, rowsPerBand = 2, threshold = 0.55, hazardFloor = 0.5).first()
@@ -934,7 +971,7 @@ object SparkEntry {
         require(r.getLong(0) > 0, s"LSH margin probe $p found no true pairs — gated input is broken")
         require(misses <= 0.05,
           f"LSH margin violated for $p: expected band misses $misses%.4f > 0.05 — " +
-            "testdata pairs hug the 0.5 banding midpoint; the q25/q41/q46 LSH gates are no longer reliable")
+            "testdata pairs hug the 0.5 banding midpoint; the q25/q41/q46/q74 LSH gates are no longer reliable")
         (p, r.getLong(0), r.getLong(1), r.getDouble(2))
       }
       rows.toDF("probe", "oracle_pairs", "hazard_pairs", "min_jaccard")
@@ -1013,6 +1050,18 @@ object SparkEntry {
         () => store.readForKeys("orders", keys, Seq("o_orderkey"))
           .select(col("o_orderkey"), col("o_totalprice"))
           .orderBy("o_orderkey")
+      }),
+      // q74: the history indexing is test setup; the operator under
+      // measurement is the band-bucket-pruned probe of the mixed batch.
+      "q74_neardup_ingest" -> ((s, dir) => {
+        val idx = new NearDupIndex(s, tmpWorkDir("gs_ndix_"), shingleSize = 3,
+          bands = 16, rowsPerBand = 2, threshold = 0.55, numBuckets = 32)
+        val (history, incoming) = ndixInputs(s, dir)
+        idx.add(history, "doc_id", "text")
+        () => idx.probe(incoming, "doc_id", "text")
+          .select(col("inc_id"), col("hist_id"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("inc_id", "hist_id")
       }),
       // q71: the history build (write + upsert + bloom sidecars) is test
       // setup; the operator under measurement is the bloom-prefiltered
@@ -1546,6 +1595,27 @@ object SparkEntry {
          |      FROM p)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "q74_neardup_ingest" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 2 = 0),
+         |inc AS (
+         |  SELECT doc_id + 100000 AS doc_id, text FROM docs WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' extra token' AS text
+         |  FROM docs WHERE doc_id % 10 = 6
+         |  UNION ALL
+         |  SELECT doc_id, text FROM docs WHERE doc_id % 2 = 1),
+         |th AS (SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM hist)),
+         |ti AS (SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM inc)),
+         |p AS (
+         |  SELECT i.doc_id AS inc_id, h.doc_id AS hist_id,
+         |    len(list_intersect(i.sh, h.sh)) * 1.0 /
+         |      (len(i.sh) + len(h.sh) - len(list_intersect(i.sh, h.sh))) AS j
+         |  FROM ti i CROSS JOIN th h)
+         |SELECT inc_id, hist_id, round(j, 4) AS jaccard FROM p
+         |WHERE j >= 0.55 ORDER BY inc_id, hist_id""".stripMargin,
     "q68_dup_line_stats" ->
       """WITH d AS (
         |  SELECT doc_id, CASE
@@ -1979,12 +2049,21 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id + 200000 AS doc_id, text || ' extra token and more extra' AS text
          |  FROM docs WHERE doc_id % 10 = 0),
+         |u74 AS (
+         |  SELECT doc_id, text FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM docs WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' extra token' AS text
+         |  FROM docs WHERE doc_id % 10 = 6),
          |t25 AS (SELECT doc_id, $shingle3Sql AS sh
          |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u25)),
          |t41 AS (SELECT doc_id, $shingle3Sql AS sh
          |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u41)),
          |t46 AS (SELECT doc_id, $shingle3Sql AS sh
          |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u46)),
+         |t74 AS (SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u74)),
          |p25 AS (SELECT len(list_intersect(a.sh, b.sh)) * 1.0 /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
          |  FROM t25 a JOIN t25 b ON a.doc_id < b.doc_id),
@@ -1993,7 +2072,10 @@ object SparkEntry {
          |  FROM t41 a JOIN t41 b ON a.doc_id < b.doc_id),
          |p46 AS (SELECT len(list_intersect(a.sh, b.sh)) * 1.0 /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-         |  FROM t46 a JOIN t46 b ON a.doc_id < b.doc_id)
+         |  FROM t46 a JOIN t46 b ON a.doc_id < b.doc_id),
+         |p74 AS (SELECT len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM t74 a JOIN t74 b ON a.doc_id < b.doc_id)
          |SELECT 'q25' AS probe,
          |  count(*) FILTER (WHERE j >= 0.55) AS oracle_pairs,
          |  count(*) FILTER (WHERE j >= 0.5 AND j < 0.55) AS hazard_pairs,
@@ -2008,6 +2090,11 @@ object SparkEntry {
          |  count(*) FILTER (WHERE j >= 0.55) AS oracle_pairs,
          |  count(*) FILTER (WHERE j >= 0.5 AND j < 0.55) AS hazard_pairs,
          |  round(min(j) FILTER (WHERE j >= 0.55), 4) AS min_jaccard FROM p46
+         |UNION ALL
+         |SELECT 'q74' AS probe,
+         |  count(*) FILTER (WHERE j >= 0.55) AS oracle_pairs,
+         |  count(*) FILTER (WHERE j >= 0.5 AND j < 0.55) AS hazard_pairs,
+         |  round(min(j) FILTER (WHERE j >= 0.55), 4) AS min_jaccard FROM p74
          |ORDER BY probe""".stripMargin)
 
   // ── oracle-SQL generation helpers ──────────────────────────────────────

@@ -62,7 +62,8 @@ class BucketedSnapshotStore(
     numBuckets: Int = 64,
     keepManifests: Int = 2,
     autoCompactGenerations: Int = 0,
-    keyBloomFpp: Double = 0.0) {
+    keyBloomFpp: Double = 0.0,
+    bucketPrefixLen: Int = 0) {
   require(keepManifests >= 1, s"keepManifests must be >= 1, got $keepManifests")
   require(autoCompactGenerations >= 0,
     s"autoCompactGenerations must be >= 0, got $autoCompactGenerations")
@@ -87,8 +88,22 @@ class BucketedSnapshotStore(
   def exists(name: String): Boolean =
     readManifest(path(name)).exists(_._2.nonEmpty)
 
-  private def bucketOf(pk: Seq[String]) =
-    pmod(hash(pk.map(col): _*), lit(numBuckets))
+  /** Bucket routing. With `bucketPrefixLen = 0` (the default) the bucket is
+    * hash(full pk). A positive value buckets on only the first N pk
+    * columns, which lets SECONDARY-KEY probes prune buckets while the full
+    * pk still defines row identity — e.g. an LSH band index keyed
+    * (band, band_hash, doc_id) but bucketed (band, band_hash), so a probe
+    * by band key reads only the colliding buckets ([[NearDupIndex]]). All
+    * store invariants survive because equal pks imply equal prefixes: the
+    * per-bucket upsert merge and compact's keep-last dedup still see every
+    * row of a pk in one bucket. Callers of [[readForKeys]] on a
+    * prefix-bucketed table may pass just the prefix columns as `pk`. Like
+    * `numBuckets`, the value is part of the on-disk contract: reopen the
+    * store with the same setting. */
+  private def bucketOf(pk: Seq[String]) = {
+    val cols = if (bucketPrefixLen <= 0) pk else pk.take(bucketPrefixLen)
+    pmod(hash(cols.map(col): _*), lit(numBuckets))
+  }
 
   // ---- manifest io -------------------------------------------------------
 
