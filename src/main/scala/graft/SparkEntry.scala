@@ -931,6 +931,18 @@ object SparkEntry {
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("inc_id", "hist_id")
     }),
+    // Feature-hashed text embeddings: tokens hash to signed dimensions,
+    // signed counts l2-normalize — model-free vectors for the ANN tier.
+    // Exploded to (doc_id, idx, v) rows; the oracle replays the portable
+    // md5-60 hash arithmetic and the float rounding exactly.
+    "q75_hash_embed" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.hashEmbedding(col("text"), 64, portable = true)))
+        .select(col("doc_id"), col("pos").as("idx"),
+          round(col("col").cast("double"), 4).as("v"))
+        .orderBy("doc_id", "idx")
+    }),
     // ── scale: cross-doc duplicated-LINE stats (Dolma line dedup signal;
     //    oracle: DuckDB splits the same lines, groups trimmed content
     //    with the min≠max distinct-doc test, recounts per doc) ──────────
@@ -1616,6 +1628,25 @@ object SparkEntry {
          |  FROM ti i CROSS JOIN th h)
          |SELECT inc_id, hist_id, round(j, 4) AS jaccard FROM p
          |WHERE j >= 0.55 ORDER BY inc_id, hist_id""".stripMargin,
+    "q75_hash_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h FROM toks),
+        |c AS (SELECT doc_id, CAST((h // 2) % 64 AS BIGINT) AS idx,
+        |        CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s FROM h),
+        |agg AS (SELECT doc_id, idx, CAST(sum(s) AS DOUBLE) AS v
+        |        FROM c GROUP BY doc_id, idx),
+        |dims AS (SELECT d.doc_id, t.i AS idx
+        |         FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) t(i)),
+        |f AS (SELECT dims.doc_id, dims.idx, coalesce(agg.v, 0) AS v
+        |      FROM dims LEFT JOIN agg ON dims.doc_id = agg.doc_id AND dims.idx = agg.idx),
+        |n AS (SELECT doc_id, sqrt(sum(v * v)) AS norm FROM f GROUP BY doc_id)
+        |SELECT f.doc_id, f.idx,
+        |  round(CAST(CAST(CASE WHEN n.norm = 0 THEN 0 ELSE f.v / n.norm END
+        |    AS FLOAT) AS DOUBLE), 4) AS v
+        |FROM f JOIN n ON f.doc_id = n.doc_id
+        |ORDER BY f.doc_id, f.idx""".stripMargin,
     "q68_dup_line_stats" ->
       """WITH d AS (
         |  SELECT doc_id, CASE

@@ -717,6 +717,60 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
   * that counts and substitutes simultaneously on the progressively
   * redacted text — identical values by construction (same java.util.regex
   * Patterns, same sequential order). */
+/** Feature-hashed dense text embedding (the "hashing trick"): every token
+  * of the child ARRAY hashes to one of `dim` dimensions and a ±1 sign
+  * (sign = low hash bit, dimension = remaining bits mod dim — independent
+  * by construction); the signed counts l2-normalize into a unit
+  * `Array[Float]`. The output is drop-in compatible with the
+  * Similarity/Dedup vector tier (cosine of identical token multisets
+  * is exactly 1.0), turning raw text into ANN-searchable vectors with no
+  * model and no shuffle — a pure projection at any scale.
+  *
+  * `hashKind` as elsewhere in this file: `xxhash64` (seed 42) production,
+  * `md5_60` so a SQL oracle can replay the exact vector. Determinism:
+  * the vector is a pure function of the token multiset.
+  *
+  * CodegenFallback is deliberate (same reasoning as [[MinHashSignature]]):
+  * one boxed call per row does the whole O(tokens + dim) pass. */
+case class HashedEmbedding(child: Expression, dim: Int, hashKind: String)
+    extends UnaryExpression with CodegenFallback {
+  require(dim > 0, s"dim must be > 0, got $dim")
+  require(hashKind == "xxhash64" || hashKind == "md5_60",
+    s"hashKind must be xxhash64 or md5_60, got $hashKind")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Long](dim)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      val t =
+        if (arr.isNullAt(i)) UTF8String.fromString("") else arr.getUTF8String(i)
+      val h = KgramHash.hash(hashKind, t)
+      // h >>> 1 is nonnegative, so plain % is the unsigned remainder
+      counts(((h >>> 1) % dim).toInt) += (if ((h & 1L) == 1L) 1L else -1L)
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < dim) { val c = counts(i).toDouble; ss += c * c; i += 1 }
+    val out = new Array[Any](dim)
+    if (ss == 0.0) {
+      i = 0; while (i < dim) { out(i) = 0.0f; i += 1 }
+    } else {
+      val norm = math.sqrt(ss)
+      i = 0; while (i < dim) { out(i) = (counts(i) / norm).toFloat; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedEmbedding =
+    copy(child = c)
+  override def prettyName: String = "hashed_embedding"
+}
+
 case class PiiRedactCounts(child: Expression, patterns: Seq[(String, String, String)])
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val compiled: Array[(java.util.regex.Pattern, String)] =
@@ -788,6 +842,10 @@ object TextStats {
   def cdc_chunk_hashes(tokens: Column, avgChunkTokens: Int,
       hashKind: String = "xxhash64"): Column =
     bridge.column(CdcChunkHashes(bridge.expression(tokens), avgChunkTokens, hashKind))
+
+  def hashed_embedding(tokens: Column, dim: Int,
+      hashKind: String = "xxhash64"): Column =
+    bridge.column(HashedEmbedding(bridge.expression(tokens), dim, hashKind))
 
   def pii_redact_counts(text: Column,
       patterns: Seq[(String, String, String)]): Column =

@@ -34,6 +34,15 @@ object TextAnalysis {
       graft.functions.StripMarkup(
         org.apache.spark.sql.graft.bridge.expression(text)))
 
+  /** Feature-hashed dense embedding of `text` (tokens hash to signed
+    * dimensions, l2-normalized — see [[graft.functions.HashedEmbedding]]):
+    * model-free `Array[Float]` vectors compatible with the
+    * Similarity/Dedup ANN tier, as a pure projection. `portable = true`
+    * selects the md5-based hash a SQL oracle can replay. */
+  def hashEmbedding(text: Column, dim: Int, portable: Boolean = false): Column =
+    graft.functions.TextStats.hashed_embedding(
+      Dedup.tokensCol(text), dim, if (portable) "md5_60" else "xxhash64")
+
   /** Redaction AND audit counts in one fused pass —
     * struct(redacted, email, ipv4, phone). Selecting [[redactPii]] and
     * [[piiCounts]] together runs the 3-pattern chain twice (6 regex
