@@ -101,18 +101,28 @@ class NearDupIndex(
     if (!store.exists(Bands)) return empty
     val arr = shingleArr(docs, idCol, textCol).cache()
     try {
+      // batch×bands rows, materialized EAGERLY: the signature pass (the
+      // probe's one corpus-shaped computation) would otherwise re-run for
+      // the postings-bucket collect, the candidate plan, and the verify
+      // plan — three times per probe
       val incBands = Dedup.bandsFromShingleArray(arr, "__id", bands, rowsPerBand)
+        .localCheckpoint(true)
       // postings for ONLY the band keys this batch emits (bucket-pruned)
       val postings = store.readForKeys(Bands,
         incBands.select("band", "band_hash"), Seq("band", "band_hash"))
       // degenerate-key cap on the HISTORY side: a band key with m postings
       // and k incoming hits yields m·k candidate pairs — boilerplate keys
-      // (m > maxBucketSize) are dropped, bounding per-key work
-      val keyCounts = postings.groupBy("band", "band_hash").agg(count(lit(1)).as("__m"))
-      val okPostings = postings.join(keyCounts, Seq("band", "band_hash"))
+      // (m > maxBucketSize) are dropped, bounding per-key work. Window, not
+      // groupBy+join: one shuffle of the pruned postings, one scan.
+      val okPostings = postings.withColumn("__m", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
         .filter(col("__m") <= maxBucketSize).drop("__m")
+      // pair-ids, materialized so the postings read + candidate join run
+      // once (the history-shingle key read collects from it, then the
+      // verify join consumes it)
       val cand = incBands.join(okPostings, Seq("band", "band_hash"))
         .select(col("__id").as("inc_id"), col("doc_id").as("hist_id")).distinct()
+        .localCheckpoint(true)
       // exact verify: incoming arrays from the cache, history arrays via a
       // key-pruned read of only the candidate ids
       val histArr = store.readForKeys(Shingles,
