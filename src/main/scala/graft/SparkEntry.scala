@@ -943,6 +943,39 @@ object SparkEntry {
           round(col("col").cast("double"), 4).as("v"))
         .orderBy("doc_id", "idx")
     }),
+    // Linear classifier scoring over hashed features (fastText-style
+    // quality filter inference, shuffle-free): fixed deterministic weight
+    // vector w_i = ((i*37) % 21 - 10)/10, bias 0.25; the oracle rebuilds
+    // the q75 vectors and replays the dot product + sigmoid.
+    "q76_classifier_score" -> ((s, dir) => {
+      val w = (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.hashedLinearScore(col("text"), w, bias = 0.25,
+            portable = true), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+    // Unicode canonicalization: deterministic noise (combining accents +
+    // control chars + DEL) is injected around each document, then
+    // normalizeText must NFC-compose and collapse — the oracle replays
+    // with DuckDB's nfc_normalize + the same [\x00-\x20\x7F]+ regex.
+    "q77_normalize_text" -> ((s, dir) => {
+      val noisy = concat(lit("Cafe\u0301\u0007  "), col("text"),
+        lit("\tno\u0308el\u007f"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.normalizeText(noisy).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // Token-window chunking with overlap (sequence prep): 64-token
+    // windows every 48 tokens; one row per chunk with its start offset,
+    // token count, and text.
+    "q78_chunk_tokens" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(T(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 48)
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))
+        .orderBy("doc_id", "start")
+    }),
     // ── scale: cross-doc duplicated-LINE stats (Dolma line dedup signal;
     //    oracle: DuckDB splits the same lines, groups trimmed content
     //    with the min≠max distinct-doc test, recounts per doc) ──────────
@@ -1647,6 +1680,48 @@ object SparkEntry {
         |    AS FLOAT) AS DOUBLE), 4) AS v
         |FROM f JOIN n ON f.doc_id = n.doc_id
         |ORDER BY f.doc_id, f.idx""".stripMargin,
+    "q76_classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h FROM toks),
+        |c AS (SELECT doc_id, CAST((h // 2) % 64 AS BIGINT) AS idx,
+        |        CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s FROM h),
+        |agg AS (SELECT doc_id, idx, CAST(sum(s) AS DOUBLE) AS v
+        |        FROM c GROUP BY doc_id, idx),
+        |dims AS (SELECT d.doc_id, t.i AS idx
+        |         FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) t(i)),
+        |f AS (SELECT dims.doc_id, dims.idx, coalesce(agg.v, 0) AS v
+        |      FROM dims LEFT JOIN agg ON dims.doc_id = agg.doc_id AND dims.idx = agg.idx),
+        |n AS (SELECT doc_id, sqrt(sum(v * v)) AS norm FROM f GROUP BY doc_id),
+        |vec AS (SELECT f.doc_id, f.idx,
+        |  CAST(CAST(CASE WHEN n.norm = 0 THEN 0 ELSE f.v / n.norm END
+        |    AS FLOAT) AS DOUBLE) AS v
+        |  FROM f JOIN n ON f.doc_id = n.doc_id),
+        |w AS (SELECT i AS idx, ((i * 37) % 21 - 10) / 10.0 AS w FROM range(0, 64) t(i)),
+        |dot AS (SELECT vec.doc_id, sum(vec.v * w.w) AS d
+        |        FROM vec JOIN w ON vec.idx = w.idx GROUP BY vec.doc_id)
+        |SELECT doc_id, round(1 / (1 + exp(-(d + 0.25))), 4) AS score
+        |FROM dot ORDER BY doc_id""".stripMargin,
+    "q77_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    nfc_normalize('Cafe' || chr(769) || chr(7) || '  ' || text
+        |      || chr(9) || 'no' || chr(776) || 'el' || chr(127)),
+        |    '[\x00-\x20\x7F]+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q78_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+        |c AS (SELECT doc_id, tk, n, unnest(range(0, n, 48)) AS start FROM s),
+        |o AS (SELECT doc_id, start,
+        |        list_slice(tk, start + 1, least(start + 64, n)) AS ck FROM c)
+        |SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |  CAST(len(ck) AS BIGINT) AS n_tokens,
+        |  array_to_string(ck, ' ') AS chunk_text
+        |FROM o ORDER BY doc_id, start""".stripMargin,
     "q68_dup_line_stats" ->
       """WITH d AS (
         |  SELECT doc_id, CASE

@@ -53,6 +53,63 @@ case class StripMarkup(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode-normalizing text cleanup, the "fix the bytes" stage that runs
+  * before any hash/shingle/token operator: byte-identical text is what
+  * exact dedup keys on, so `e`+U+0301 vs precomposed `é` MUST collapse
+  * before hashing or the same sentence dedups as two documents.
+  *
+  *  1. NFC canonical composition (`java.text.Normalizer`; skipped via the
+  *     `isNormalized` quick check — identity on ASCII, the common case);
+  *  2. control/whitespace collapse: every run of cp ≤ 0x20 or DEL (0x7F)
+  *     becomes one space, leading/trailing runs drop. Non-ASCII spaces
+  *     (U+00A0 …) survive — they are CONTENT under NFC, and an oracle's
+  *     `[\x00-\x20\x7F]+` regex sees exactly the same boundary.
+  *
+  * Externally replayable as `trim(regexp_replace(nfc_normalize(x),
+  * '[\x00-\x20\x7F]+', ' ', 'g'))` (both regex dialects agree on explicit
+  * `\xNN` classes — the Java∩RE2 convention of [[TextStats]]).
+  *
+  * CodegenFallback as elsewhere in this file: one boxed call per row
+  * around an O(len) pass. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(v: Any): Any = {
+    import java.text.Normalizer
+    val s0 = v.asInstanceOf[UTF8String].toString
+    val s1 =
+      if (Normalizer.isNormalized(s0, Normalizer.Form.NFC)) s0
+      else Normalizer.normalize(s0, Normalizer.Form.NFC)
+    UTF8String.fromString(NormalizeText.collapseControls(s1))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  /** Runs of cp ≤ 0x20 or DEL → one space; leading/trailing runs drop. */
+  private[graft] def collapseControls(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c <= ' ' || c == '\u007f') pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}
+
 object StripMarkup {
   private val Script = Pattern.compile("<script[^>]*>.*?</script>",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)

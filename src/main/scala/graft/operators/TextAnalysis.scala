@@ -43,6 +43,58 @@ object TextAnalysis {
     graft.functions.TextStats.hashed_embedding(
       Dedup.tokensCol(text), dim, if (portable) "md5_60" else "xxhash64")
 
+  /** Unicode NFC composition + control/whitespace cleanup (fused
+    * [[graft.functions.NormalizeText]] scan) — the canonicalization stage
+    * that runs BEFORE hash/shingle/token operators so byte-level encoding
+    * variants of the same text dedup as one document. Pure projection. */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.NormalizeText(
+        org.apache.spark.sql.graft.bridge.expression(text)))
+
+  /** Linear classifier inference over [[hashEmbedding]] features —
+    * fastText-style quality/domain filtering at scan speed:
+    * `sigmoid(w · hashEmbed(text) + bias)`. The weight vector rides along
+    * as a literal array (a trained model is driver-small by definition),
+    * the dot product folds with builtin higher-order functions, and the
+    * whole score is a shuffle-free projection — classifier-filtering a
+    * 100 TB corpus costs one scan, no model server anywhere.
+    * `weights.size` fixes the embedding dimension. */
+  def hashedLinearScore(text: Column, weights: Seq[Double], bias: Double,
+      portable: Boolean = false): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val products = zip_with(
+      hashEmbedding(text, weights.size, portable), typedLit(weights),
+      (a, b) => a * b)
+    // sequential index-order fold — deterministic double summation
+    val dot = aggregate(products, lit(0.0), (acc, x) => acc + x)
+    lit(1.0) / (lit(1.0) + exp(-(dot + lit(bias))))
+  }
+
+  /** Fixed-token-window chunking with overlap — the sequence-prep stage
+    * of a pretraining/RAG pipeline: each document's whitespace tokens
+    * split into windows of `window` tokens every `stride` tokens
+    * (`stride < window` ⇒ overlapping context). One row per chunk:
+    * (id, chunk_id, start, n_tokens, chunk_text). Pure
+    * projection + posexplode — no shuffle; a document's chunks stay in
+    * its partition, so chunking a 100 TB corpus is a single scan. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be > 0, got $window")
+    require(stride > 0, s"stride must be > 0, got $stride")
+    df.select(col(idCol), Dedup.tokensCol(col(textCol)).as("__t"))
+      // tokensCol of an all-whitespace doc is [""] (size ≥ 1), so the
+      // sequence upper bound is always ≥ 0 and every doc chunks
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0), size(col("__t")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id"), col("start"),
+        slice(col("__t"), col("start") + 1, lit(window)).as("__c"))
+      .select(col(idCol), col("chunk_id"), col("start"),
+        size(col("__c")).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** Redaction AND audit counts in one fused pass —
     * struct(redacted, email, ipv4, phone). Selecting [[redactPii]] and
     * [[piiCounts]] together runs the 3-pattern chain twice (6 regex

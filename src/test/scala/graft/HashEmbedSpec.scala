@@ -57,6 +57,29 @@ class HashEmbedSpec extends SparkSpec {
     }
   }
 
+  test("hashedLinearScore: zero weights give sigmoid(bias); single-token doc gives sigmoid(±w_idx + bias)") {
+    val d = Seq((1L, "hello")).toDF("doc_id", "text")
+    val zero = d.select(TextAnalysis.hashedLinearScore($"text",
+      Seq.fill(32)(0.0), bias = 0.7).as("s")).first().getDouble(0)
+    assert(math.abs(zero - 1.0 / (1.0 + math.exp(-0.7))) < 1e-12)
+    // single token → unit mass ±1 at (h>>>1)%dim; score = σ(±w_idx + b)
+    val h = spark.range(1).select(xxhash64(lit("hello"))).first().getLong(0)
+    val idx = ((h >>> 1) % 32).toInt
+    val sign = if ((h & 1L) == 1L) 1.0 else -1.0
+    val w = (0 until 32).map(i => (i + 1) / 10.0)
+    val got = d.select(TextAnalysis.hashedLinearScore($"text", w, bias = 0.25)
+      .as("s")).first().getDouble(0)
+    val want = 1.0 / (1.0 + math.exp(-(sign * w(idx) + 0.25)))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("hashedLinearScore is a shuffle-free single-stage plan") {
+    val plan = docs.select(TextAnalysis.hashedLinearScore($"text",
+      (0 until 16).map(_ * 0.1), bias = 0.0).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier scoring should not shuffle:\n$plan")
+  }
+
   test("portable variant equals an independent md5Hash60 DataFrame recompute") {
     val d = docs.filter($"doc_id" < 50)
     val dim = 64
