@@ -966,6 +966,18 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.normalizeText(noisy).as("clean"))
         .orderBy("doc_id")
     }),
+    // Token-budget curation: keep the best-quality docs until 15k
+    // cumulative tokens. Ordering uses the 6-dp-rounded quality —
+    // q22-proven equal across engines, so the cross-engine double
+    // ordering is exact; ties break on doc_id.
+    "q79_token_budget" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      Sampling.selectByTokenBudget(d, "doc_id", "ntok", "quality",
+          budget = 15000L)
+        .orderBy("doc_id")
+    }),
     // Token-window chunking with overlap (sequence prep): 64-token
     // windows every 48 tokens; one row per chunk with its start offset,
     // token count, and text.
@@ -1710,6 +1722,27 @@ object SparkEntry {
         |      || chr(9) || 'no' || chr(776) || 'el' || chr(127)),
         |    '[\x00-\x20\x7F]+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q79_token_budget" ->
+      """WITH q AS (SELECT doc_id,
+        |  round(
+        |    least(length(text) / 500.0, 1.0) * 0.25 +
+        |    (CASE WHEN length(text) > 0 THEN
+        |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+        |     ELSE 0.0 END) * 0.25 +
+        |    (1.0 - least((CASE WHEN length(text) > 0 THEN
+        |       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+        |     ELSE 0.0 END) * 10.0, 1.0)) * 0.25 +
+        |    least((CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 THEN
+        |       len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) * 1.0
+        |         / len(string_split_regex(trim(text), '\s+'))
+        |     ELSE 0.0 END) * 4.0, 1.0) * 0.25, 6) AS quality,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (SELECT doc_id, quality, ntok,
+        |        sum(ntok) OVER (ORDER BY quality DESC, doc_id) AS cum_tok FROM q)
+        |SELECT doc_id, quality, ntok, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM c WHERE cum_tok <= 15000 ORDER BY doc_id""".stripMargin,
     "q78_chunk_tokens" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk

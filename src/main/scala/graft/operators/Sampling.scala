@@ -90,6 +90,54 @@ object Sampling {
     stratifiedHashSample(df, sourceCol, keyCol,
       temperatureMixRates(df, sourceCol, tau, maxRate), defaultRate = 0.0)
 
+  /** Quality-ranked token-budget selection: keep the best-scoring
+    * documents (score desc, ties to the smaller id) whose cumulative
+    * token count stays ≤ `budget` — "give me the top-quality 10B tokens"
+    * of a curation pipeline. Returns (id, score, ntok, cum_tok), ordered
+    * semantics only (no physical order guarantee).
+    *
+    * Scale shape — a budget selection IS a global sort plus a running
+    * sum, done in the distributed idiom rather than a one-partition
+    * window:
+    *  1. range-repartition by (score desc, id) — the same exchange a
+    *     global orderBy pays, and the only corpus-wide shuffle here;
+    *  2. per-range token sums collect to the driver (one row per
+    *     partition) and prefix-sum into per-range offsets;
+    *  3. ranges whose offset already exceeds the budget are PRUNED —
+    *     the second pass shuffles only budget-proportional rows, never
+    *     the corpus tail;
+    *  4. surviving ranges cumsum locally (window partitioned per range)
+    *     and add their offset.
+    * The kept set is invariant to the number/placement of range
+    * boundaries (each row's global prefix sum is partition-independent),
+    * spec-proven by re-running under different partition counts. */
+  def selectByTokenBudget(df: DataFrame, idCol: String, ntokCol: String,
+      scoreCol: String, budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranked = df
+      .select(col(idCol), col(scoreCol), col(ntokCol).cast("long").as(ntokCol))
+      .repartitionByRange(p, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val sums = ranked.groupBy("__pid").agg(sum(col(ntokCol)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (sums.isEmpty) return ranked.drop("__pid")
+      .withColumn("cum_tok", lit(0L)).limit(0)
+    val offsets: Map[Int, Long] = sums.map(_._1)
+      .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val keepPids = offsets.collect { case (pid, off) if off <= budget => pid }.toSeq
+    ranked.filter(col("__pid").isInCollection(keepPids))
+      .withColumn("cum_tok",
+        sum(col(ntokCol)).over(
+          Window.partitionBy("__pid").orderBy(col(scoreCol).desc, col(idCol).asc)) +
+        element_at(typedLit(offsets), col("__pid")))
+      .filter(col("cum_tok") <= budget)
+      .select(col(idCol), col(scoreCol), col(ntokCol), col("cum_tok"))
+  }
+
   /** Deterministic train/eval/test split: assigns each key to one fold by
     * hash range; folds are disjoint and exhaustive, and a key keeps its
     * fold forever (no leakage across reruns or growing data). `weights`
