@@ -40,6 +40,26 @@ object Streaming {
           Snapshot.snapshotRecords(store, name, batch, pk): Unit
       }
 
+  /** Micro-batch near-dup-gated ingest: each batch probes the persistent
+    * LSH index ([[graft.operators.NearDupIndex]]) against EVERYTHING ever
+    * ingested, and only verified-novel docs are indexed and handed to
+    * `onNovel` (write to the corpus store, emit downstream, …). The
+    * crawl-pipeline contract — "is this a near-dup of anything we have
+    * ever seen?" — in streaming form; restarts are safe because a
+    * reprocessed batch matches its own indexed copy at jaccard 1.0 and
+    * yields no novel rows. */
+  def streamingNearDupIngest(
+      stream: DataFrame,
+      idx: graft.operators.NearDupIndex,
+      idCol: String,
+      textCol: String)(onNovel: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onNovel(idx.ingest(batch, idCol, textCol))
+      }
+
   /** Event-time tumbling-window counts with late-data watermark. */
   def windowedCounts(
       events: DataFrame,

@@ -30,6 +30,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, "a"), (2, "b2"), (3, "c")))
   }
 
+  test("streamingNearDupIngest admits only history-novel docs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = new graft.operators.NearDupIndex(spark, tmpDir("stream_ndix_"),
+      shingleSize = 2, bands = 16, rowsPerBand = 2, threshold = 0.5, numBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val novel = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit =
+      Streaming.streamingNearDupIngest(
+          mem.toDF.toDF("doc_id", "text"), idx, "doc_id", "text") { nv =>
+          novel ++= nv.select("doc_id").collect().map(_.getLong(0)): Unit
+        }
+        .option("checkpointLocation", tmpDir("ckpt_ndix_"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "entirely different content about spark structured streaming state"
+    mem.addData((1L, a), (2L, b))
+    run()
+    assert(novel.sorted.toSeq === Seq(1L, 2L))
+    // batch 2: a near-copy of doc 1 is rejected, fresh content admitted
+    novel.clear()
+    mem.addData((3L, a + " extra"), (4L, "completely unrelated third topic entirely new words"))
+    run()
+    assert(novel.sorted.toSeq === Seq(4L))
+  }
+
   test("windowedCounts aggregates into event-time tumbling windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
