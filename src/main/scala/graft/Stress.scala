@@ -272,6 +272,57 @@ object Stress {
         f"avg=${sizes.getDouble(1)}%.0f, max pairs≈${sizes.getLong(0) * sizes.getLong(0) / 2}")
     }
     emb.unpersist()
+
+    // ── incremental near-dup index: probe cost vs history size ─────────
+    // The scaling claim under test: a FIXED batch's probe reads only the
+    // postings buckets its band keys hash into, so probe wall time stays
+    // ~flat while the indexed history grows factor× (index build is the
+    // linear part and is timed separately).
+    locally {
+      val ndDir = java.nio.file.Files.createTempDirectory("stress_ndix_").toString
+      val idx = new NearDupIndex(spark, ndDir, shingleSize = 3,
+        bands = 16, rowsPerBand = 2, threshold = 0.55, numBuckets = 64)
+      val history = replicate(docs0, "doc_id", 1000000L)
+      time(s"nearDupIndex add ${factor}x history") {
+        idx.add(history, "doc_id", "text")
+      }
+      val batch = docs0.limit(500)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      time(s"nearDupIndex probe 500-doc batch vs ${factor}x history") {
+        println("[stress]   matches=" + Bench.force(
+          idx.probe(batch, "doc_id", "text")))
+      }
+    }
+
+    // docs was unpersisted above — re-cache for the remaining probes so
+    // replication cost isn't re-timed inside each one
+    val docsTail = replicate(docs0, "doc_id", 1000000L).cache()
+    docsTail.count()
+
+    // ── token-budget selection: global sort + budget-pruned cumsum ─────
+    // Budget is FIXED while the corpus grows factor×: pass 1 (range
+    // shuffle + per-range sums) is the linear part; pass 2 only touches
+    // budget-proportional ranges, so its cost must NOT grow with factor.
+    time(s"selectByTokenBudget ${factor}x corpus, fixed 100k-token budget") {
+      val scored = docsTail.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      println("[stress]   kept=" + Bench.force(Sampling.selectByTokenBudget(
+        scored, "doc_id", "ntok", "quality", budget = 100000L)))
+    }
+
+    // ── chunking + canonicalization: pure projections, linear by shape ─
+    time(s"chunkTokens ${factor}x (64/48 windows)") {
+      println("[stress]   chunks=" + Bench.force(TextAnalysis.chunkTokens(
+        docsTail, "doc_id", "text", window = 64, stride = 48)))
+    }
+    time(s"normalizeText + hashedLinearScore ${factor}x (fused scan)") {
+      val w = (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0)
+      println("[stress]   rows=" + Bench.force(docsTail.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("clean"),
+        TextAnalysis.hashedLinearScore(col("text"), w, bias = 0.25).as("score"))))
+    }
+    docsTail.unpersist()
     spark.stop()
   }
 }
