@@ -978,6 +978,14 @@ object SparkEntry {
           budget = 15000L)
         .orderBy("doc_id")
     }),
+    // Equal-token shard assignment: shard_id = exclusive-cumsum DIV 2000
+    // under doc_id order — deterministic training-shard packing.
+    "q80_token_shards" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      Sampling.assignTokenShards(d, "doc_id", "ntok", targetTokens = 2000L)
+        .orderBy("doc_id")
+    }),
     // Token-window chunking with overlap (sequence prep): 64-token
     // windows every 48 tokens; one row per chunk with its start offset,
     // token count, and text.
@@ -1743,6 +1751,15 @@ object SparkEntry {
         |        sum(ntok) OVER (ORDER BY quality DESC, doc_id) AS cum_tok FROM q)
         |SELECT doc_id, quality, ntok, CAST(cum_tok AS BIGINT) AS cum_tok
         |FROM c WHERE cum_tok <= 15000 ORDER BY doc_id""".stripMargin,
+    "q80_token_shards" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (SELECT doc_id, ntok,
+        |        CAST(sum(ntok) OVER (ORDER BY doc_id) - ntok AS BIGINT) AS excl FROM q)
+        |SELECT doc_id, ntok, CAST(excl // 2000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q78_chunk_tokens" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk

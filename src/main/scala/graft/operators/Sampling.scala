@@ -138,6 +138,44 @@ object Sampling {
       .select(col(idCol), col(scoreCol), col(ntokCol), col("cum_tok"))
   }
 
+  /** Deterministic equal-token sharding: assign each document a
+    * `shard_id` so every shard holds ~`targetTokens` tokens of
+    * consecutive (by `idCol`) documents — the training-shard packing
+    * step before writing a corpus out for dataloaders.
+    * `shard_id = exclusive-prefix-sum(ntok) ÷ targetTokens`, so shard
+    * boundaries are a pure function of the data: stable across runs,
+    * engines, and partitioning. Returns (id, ntok, shard_id).
+    *
+    * Same distributed-cumsum idiom as [[selectByTokenBudget]] (range
+    * repartition = the one corpus-wide exchange; per-range sums drive
+    * driver-side prefix offsets; local window cumsum) — but with no
+    * budget there is nothing to prune: every range computes its local
+    * cumsum, which is the irreducible full-corpus pass. */
+  def assignTokenShards(df: DataFrame, idCol: String, ntokCol: String,
+      targetTokens: Long, partitions: Int = 0): DataFrame = {
+    require(targetTokens > 0L, s"targetTokens must be > 0, got $targetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranked = df
+      .select(col(idCol), col(ntokCol).cast("long").as(ntokCol))
+      .repartitionByRange(p, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val sums = ranked.groupBy("__pid").agg(sum(col(ntokCol)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (sums.isEmpty) return ranked.drop("__pid")
+      .withColumn("shard_id", lit(0L)).limit(0)
+    val offsets: Map[Int, Long] = sums.map(_._1)
+      .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    ranked
+      .withColumn("__excl",
+        sum(col(ntokCol)).over(Window.partitionBy("__pid").orderBy(col(idCol).asc)) -
+        col(ntokCol) + element_at(typedLit(offsets), col("__pid")))
+      .select(col(idCol), col(ntokCol),
+        expr(s"__excl DIV ${targetTokens}L").as("shard_id"))
+  }
+
   /** Deterministic train/eval/test split: assigns each key to one fold by
     * hash range; folds are disjoint and exhaustive, and a key keeps its
     * fold forever (no leakage across reruns or growing data). `weights`
