@@ -986,6 +986,23 @@ object SparkEntry {
       Sampling.assignTokenShards(d, "doc_id", "ntok", targetTokens = 2000L)
         .orderBy("doc_id")
     }),
+    // Perceptual image near-dup: 9×8 grayscale gradient PNGs (pixel
+    // formula replayable in SQL), clones of every 10th image perturb one
+    // corner pixel → Hamming ≤ 1 from their base. Passes only if PNG
+    // encode → decode → luma → dHash bit extraction round-trips exactly;
+    // the oracle brute-forces all pairs from the pixel arithmetic.
+    "q81_image_neardup" -> ((s, dir) => {
+      val ids = T(s, dir, "part").filter(col("p_partkey") <= 150)
+        .select(col("p_partkey").cast("long").as("media_id"))
+      val base = ids.select(col("media_id"), col("media_id").as("salt"),
+        lit(0).as("bump"))
+      val clones = ids.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") + 1000L).as("media_id"),
+          col("media_id").as("salt"), lit(8).as("bump"))
+      val media = Multimodal.synthesizeGradientImages(base.unionByName(clones))
+      Multimodal.imageNearDupPairs(media, "media_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // Token-window chunking with overlap (sequence prep): 64-token
     // windows every 48 tokens; one row per chunk with its start offset,
     // token count, and text.
@@ -1751,6 +1768,31 @@ object SparkEntry {
         |        sum(ntok) OVER (ORDER BY quality DESC, doc_id) AS cum_tok FROM q)
         |SELECT doc_id, quality, ntok, CAST(cum_tok AS BIGINT) AS cum_tok
         |FROM c WHERE cum_tok <= 15000 ORDER BY doc_id""".stripMargin,
+    "q81_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |         CAST(p_partkey AS BIGINT) AS salt, 0 AS bump
+        |  FROM part WHERE p_partkey <= 150
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 1000 AS BIGINT), CAST(p_partkey AS BIGINT), 8
+        |  FROM part WHERE p_partkey <= 150 AND p_partkey % 10 = 0),
+        |px AS (SELECT media_id, x.i AS x, y.j AS y,
+        |  (x.i * 31 + y.j * 53 +
+        |   (salt % 97) * (x.i * x.i + 3 * y.j * y.j + 7 * x.i * y.j + 1) * 11 +
+        |   CASE WHEN x.i = 0 AND y.j = 0 THEN bump ELSE 0 END) % 256 AS v
+        |  FROM ids, range(0, 9) x(i), range(0, 8) y(j)),
+        |bits AS (SELECT a.media_id, a.y, a.x,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b
+        |    ON a.media_id = b.media_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.y = b.y AND a.x = b.x AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "q80_token_shards" ->
       """WITH q AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -577,20 +577,29 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxDist`, blocked on
     * 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-      maxBucketSize: Int = 1000, tokenHash: Column => Column = null): DataFrame = {
+      maxBucketSize: Int = 1000, tokenHash: Column => Column = null): DataFrame =
+    hammingNearDupPairs(simhash(df, idCol, textCol, tokenHash), idCol, "simhash",
+      maxDist, maxBucketSize)
+
+  /** Near-dup pairs among arbitrary 64-bit signatures by Hamming distance
+    * ≤ `maxDist`, blocked on 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some
+    * chunk equal — complete recall at the default). Signature-source
+    * agnostic: text simhash and image dHash both route here. */
+  def hammingNearDupPairs(sig0: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     // sig is key-width (id, long) but corpus-cardinality; same lifecycle as
     // minhashNearDupPairs — eager small result, deterministic release.
-    val sig = simhash(df, idCol, textCol, tokenHash).cache()
+    val sig = sig0.select(col(idCol), col(sigCol).as("__sig")).cache()
     try {
-    val chunked0 = sig.select(col(idCol), col("simhash"), posexplode(
+    val chunked0 = sig.select(col(idCol), col("__sig"), posexplode(
       transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("simhash"), c * lit(16)).bitwiseAND(0xFFFFL)))
+        c => call_function("shiftright", col("__sig"), c * lit(16)).bitwiseAND(0xFFFFL)))
       .as(Seq("chunk", "chunk_val")))
     val chunked = capBuckets(chunked0, Seq("chunk", "chunk_val"), idCol, maxBucketSize)
     val a = chunked.select(col("chunk"), col("chunk_val"), col("__sub"),
-      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+      col(idCol).as("id_a"), col("__sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"), col("__sub"),
-      col(idCol).as("id_b"), col("simhash").as("sig_b"))
+      col(idCol).as("id_b"), col("__sig").as("sig_b"))
     a.join(b, Seq("chunk", "chunk_val", "__sub")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))

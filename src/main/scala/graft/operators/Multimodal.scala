@@ -263,6 +263,42 @@ object Multimodal {
       while (i < 16) { out(i) /= n; i += 1 }
       out
     }
+
+    /** 64-bit perceptual difference hash (dHash): decode → 9×8 bilinear
+      * downscale (skipped when the image is already 9×8 — the identity
+      * fast path keeps the hash an exact function of the pixels there) →
+      * integer luma `(77r + 150g + 29b) >> 8` (256-weight sum, so a
+      * grayscale pixel's luma is exactly its value) → bit `y*8+x` set iff
+      * `luma(x+1,y) > luma(x,y)`. Robust to re-encoding and uniform
+      * brightness shifts; Hamming distance between hashes is the standard
+      * image near-dup metric. Undecodable payloads hash to 0. */
+    def dHash64(payload: Array[Byte]): Long = {
+      val src = decode(payload)
+      if (src == null) return 0L
+      val img =
+        if (src.getWidth == 9 && src.getHeight == 8) src
+        else decode(resize(payload, 9, 8))
+      if (img == null) return 0L
+      var fp = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        var prev = luma8(img.getRGB(0, y))
+        while (x < 8) {
+          val cur = luma8(img.getRGB(x + 1, y))
+          if (cur > prev) fp |= 1L << (y * 8 + x)
+          prev = cur
+          x += 1
+        }
+        y += 1
+      }
+      fp
+    }
+
+    private def luma8(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      (77 * r + 150 * g + 29 * b) >> 8
+    }
   }
 
   /** REAL audio codec on the JDK's own `javax.sound.sampled` (WAV/AIFF/AU
@@ -927,6 +963,70 @@ object Multimodal {
     * bytes (encoded per-partition with [[ImageCodec]]), so decode /
     * resize / feature paths exercise the real `javax.imageio` codec while
     * an arithmetic oracle still knows every expected value. */
+  /** Perceptual-hash pass → `dhash: long` column ([[ImageCodec.dHash64]]),
+    * the image analogue of the text simhash signature: one mapPartitions
+    * scan, no shuffle. */
+  def dHash(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("dhash", LongType, nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+
+          ImageCodec.dHash64(r.get(idx).asInstanceOf[Array[Byte]]))
+      }
+    }(enc)
+  }
+
+  /** Image near-dup pairs by dHash Hamming distance ≤ `maxDist` —
+    * [[dHash]] signatures through the generic chunk-blocked
+    * [[Dedup.hammingNearDupPairs]] (complete recall at dist ≤ 3, no
+    * all-pairs join anywhere): (id_a, id_b, hamming). */
+  def imageNearDupPairs(df: DataFrame, idCol: String,
+      payloadCol: String = "payload", maxDist: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    Dedup.hammingNearDupPairs(
+      dHash(df, payloadCol).select(col(idCol), col("dhash")),
+      idCol, "dhash", maxDist, maxBucketSize)
+
+  /** Synthesize 9×8 grayscale gradient PNGs for dHash testing: from rows
+    * (media_id, salt, bump), pixel value
+    * `v(x,y) = (x·31 + y·53 + (salt % 97)·(x² + 3y² + 7xy + 1)·11
+    *            + bump·[x=y=0]) % 256`
+    * — quadratic cross terms so adjacent-pixel differences vary within a
+    * row (a linear gradient's dHash bits would be wrap-driven and
+    * salt-correlated), exactly replayable in SQL, and `bump` perturbs one
+    * corner pixel so a clone sits at Hamming distance ≤ 1 from its base. */
+  def synthesizeGradientImages(src: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val in = src.select(col("media_id").cast(LongType),
+      col("salt").cast(LongType), col("bump").cast(IntegerType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val (id, salt, bump) = (r.getLong(0), r.getLong(1), r.getInt(2))
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val v = ((x * 31 + y * 53 +
+              (salt % 97) * (x * x + 3 * y * y + 7 * x * y + 1) * 11 +
+              (if (x == 0 && y == 0) bump else 0)) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, ImageCodec.encodePng(img))
+      }
+    }(enc)
+  }
+
   def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
     val src = df.select(col(idCol).cast(LongType).as("media_id"))
     val outSchema = StructType(Seq(

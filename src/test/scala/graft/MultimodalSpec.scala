@@ -316,4 +316,61 @@ class MultimodalSpec extends SparkSpec {
     val perDoc = frames.groupBy("media_id").count().select(min("count")).first().getLong(0)
     assert(perDoc >= 1)
   }
+
+  test("dHash64: bits follow the hand-computed luma comparisons on a 9×8 image") {
+    // grayscale row pattern 0,10,5,20,… : bit set iff next pixel brighter
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val vals = Array(0, 10, 5, 20, 20, 3, 200, 100, 150)
+    (0 until 8).foreach { y =>
+      (0 until 9).foreach { x =>
+        val v = vals(x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val fp = Multimodal.ImageCodec.dHash64(Multimodal.ImageCodec.encodePng(img))
+    // per-row bits: 10>0, !(5>10), 20>5, !(20>20), !(3>20), 200>3, !(100>200), 150>100
+    val rowBits = Seq(1, 0, 1, 0, 0, 1, 0, 1)
+    val wantRow = rowBits.zipWithIndex.map { case (b, x) => b.toLong << x }.sum
+    val want = (0 until 8).map(y => wantRow << (y * 8)).sum
+    assert(fp === want)
+    // re-encoding the same pixels does not move the hash
+    val again = Multimodal.ImageCodec.dHash64(Multimodal.ImageCodec.encodePng(img))
+    assert(again === fp)
+  }
+
+  test("dHash64 downscales larger images and is stable under upscale re-encode") {
+    // a 90×80 blow-up of a gradient hashes like SOME 64-bit signature and
+    // identically across re-encodes; undecodable payloads hash to 0
+    val big = new java.awt.image.BufferedImage(
+      90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 80).foreach { y =>
+      (0 until 90).foreach { x =>
+        val v = (x * 2 + y) % 256
+        big.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val p = Multimodal.ImageCodec.encodePng(big)
+    assert(Multimodal.ImageCodec.dHash64(p) === Multimodal.ImageCodec.dHash64(p))
+    assert(Multimodal.ImageCodec.dHash64(Array[Byte](1, 2, 3)) === 0L)
+  }
+
+  test("imageNearDupPairs: corner-pixel clones sit within Hamming 1 of their base") {
+    val ids = spark.range(1, 31).toDF("media_id")
+    val base = ids.select($"media_id", $"media_id".as("salt"), lit(0).as("bump"))
+    val clones = ids.filter($"media_id" % 10 === 0)
+      .select(($"media_id" + 1000).as("media_id"), $"media_id".as("salt"),
+        lit(8).as("bump"))
+    val media = Multimodal.synthesizeGradientImages(base.unionByName(clones))
+    val pairs = Multimodal.imageNearDupPairs(media, "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every clone pairs with its base at distance ≤ 1
+    Seq(10L, 20L, 30L).foreach { b =>
+      val hit = pairs.find(p => p._1 == b && p._2 == b + 1000)
+      assert(hit.isDefined, s"clone of $b not found in ${pairs.toSeq}")
+      assert(hit.get._3 <= 1)
+    }
+    // every reported pair honors the distance contract
+    assert(pairs.forall(_._3 <= 3))
+  }
 }
