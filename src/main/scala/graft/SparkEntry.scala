@@ -1003,6 +1003,25 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(media, "media_id", maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
+    // Audio near-dup via RMS-delta fingerprints: stepped square-wave WAVs
+    // (per-window amplitude formula replayable in SQL; RMS of a ±A window
+    // is exactly A/32768), clones perturb the first window. Passes only
+    // if WAV encode → javax.sound decode → windowed RMS → bit extraction
+    // round-trips exactly; the oracle brute-forces pairs from the
+    // amplitude arithmetic.
+    "q82_audio_neardup" -> ((s, dir) => {
+      val ids = T(s, dir, "part").filter(col("p_partkey") <= 150)
+        .select(col("p_partkey").cast("long").as("media_id"))
+      val base = ids.select(col("media_id"), col("media_id").as("salt"),
+        lit(0).as("bump"))
+      val clones = ids.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") + 1000L).as("media_id"),
+          col("media_id").as("salt"), lit(5000).as("bump"))
+      val media = Multimodal.synthesizeSteppedWavs(base.unionByName(clones))
+      Multimodal.audioNearDupPairs(media, "media_id", windowSamples = 64,
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // Token-window chunking with overlap (sequence prep): 64-token
     // windows every 48 tokens; one row per chunk with its start offset,
     // token count, and text.
@@ -1768,6 +1787,30 @@ object SparkEntry {
         |        sum(ntok) OVER (ORDER BY quality DESC, doc_id) AS cum_tok FROM q)
         |SELECT doc_id, quality, ntok, CAST(cum_tok AS BIGINT) AS cum_tok
         |FROM c WHERE cum_tok <= 15000 ORDER BY doc_id""".stripMargin,
+    "q82_audio_neardup" ->
+      """WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |         CAST(p_partkey AS BIGINT) AS salt, 0 AS bump
+        |  FROM part WHERE p_partkey <= 150
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 1000 AS BIGINT), CAST(p_partkey AS BIGINT), 5000
+        |  FROM part WHERE p_partkey <= 150 AND p_partkey % 10 = 0),
+        |amp AS (SELECT media_id, w.i AS w,
+        |  ((salt + 1) * (w.i * w.i + 1) * 7919 +
+        |   CASE WHEN w.i = 0 THEN bump ELSE 0 END) % 25000 AS a
+        |  FROM ids, range(0, 65) w(i)),
+        |bits AS (SELECT lo.media_id, lo.w AS i,
+        |    CASE WHEN hi.a > lo.a THEN 1 ELSE 0 END AS bit
+        |  FROM amp lo JOIN amp hi
+        |    ON lo.media_id = hi.media_id AND hi.w = lo.w + 1
+        |  WHERE lo.w < 64),
+        |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.i = b.i AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "q81_image_neardup" ->
       """WITH ids AS (
         |  SELECT CAST(p_partkey AS BIGINT) AS media_id,

@@ -394,6 +394,29 @@ object Multimodal {
     /** Synthesize a PCM16 mono WAV — real RIFF bytes, fully
       * deterministic (44-byte canonical header + little-endian samples).
       * `sample(i)` returns the 16-bit amplitude for frame i. */
+    /** 64-bit audio fingerprint (chromaprint-lite): RMS energy over
+      * consecutive `windowSamples`-sample windows, bit `i` set iff
+      * `rms(i+1) > rms(i)` over the first 65 windows (missing windows are
+      * silence). Robust to uniform gain changes being monotone; Hamming
+      * distance between fingerprints is the near-dup metric, served by
+      * the same chunk-blocked pair machinery as text simhash and image
+      * dHash. For PCM16 square waves of per-window amplitude A the RMS is
+      * exactly A/32768 (power-of-two denominator), so the bits are exact
+      * integer comparisons an external oracle can replay. Undecodable
+      * payloads fingerprint to 0. */
+    def audioFingerprint64(payload: Array[Byte], windowSamples: Int): Long = {
+      val rms = rmsWindows(payload, windowSamples)
+      if (rms.isEmpty) return 0L
+      def at(i: Int): Double = if (i < rms.length) rms(i) else 0.0
+      var fp = 0L
+      var i = 0
+      while (i < 64) {
+        if (at(i + 1) > at(i)) fp |= 1L << i
+        i += 1
+      }
+      fp
+    }
+
     def synthesizeWav(nSamples: Int, sampleRate: Int)(sample: Int => Short): Array[Byte] = {
       val dataLen = nSamples * 2
       val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -1023,6 +1046,65 @@ object Multimodal {
           y += 1
         }
         Row(id, ImageCodec.encodePng(img))
+      }
+    }(enc)
+  }
+
+  /** Audio-fingerprint pass → `afp: long` column
+    * ([[WavCodec.audioFingerprint64]]): one mapPartitions scan, no
+    * shuffle — the audio analogue of [[dHash]]. */
+  def audioFingerprint(df: DataFrame, payloadCol: String = "payload",
+      windowSamples: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("afp", LongType, nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ WavCodec.audioFingerprint64(
+          r.get(idx).asInstanceOf[Array[Byte]], windowSamples))
+      }
+    }(enc)
+  }
+
+  /** Audio near-dup pairs by fingerprint Hamming distance ≤ `maxDist` via
+    * the generic [[Dedup.hammingNearDupPairs]]: (id_a, id_b, hamming). */
+  def audioNearDupPairs(df: DataFrame, idCol: String,
+      payloadCol: String = "payload", windowSamples: Int = 64,
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    Dedup.hammingNearDupPairs(
+      audioFingerprint(df, payloadCol, windowSamples).select(col(idCol), col("afp")),
+      idCol, "afp", maxDist, maxBucketSize)
+
+  /** Synthesize stepped square-wave WAVs for fingerprint testing: from
+    * rows (media_id, salt, bump), 65 windows of 64 samples whose
+    * per-window amplitude is
+    * `A(w) = ((salt + 1)·(w² + 1)·7919 + bump·[w=0]) % 25000`
+    * (multiplicative mixing: the wrap pattern, and so the bit pattern,
+    * depends on the salt — a per-salt constant FACTOR alone would leave
+    * every non-wrapping salt with identical comparison bits)
+    * — alternating ±A(w) samples make every window's RMS exactly
+    * A(w)/32768, so fingerprint bits reduce to integer comparisons a SQL
+    * oracle replays; `bump` perturbs the first window so a clone sits at
+    * Hamming distance ≤ 1 from its base. */
+  def synthesizeSteppedWavs(src: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val in = src.select(col("media_id").cast(LongType),
+      col("salt").cast(LongType), col("bump").cast(IntegerType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val (id, salt, bump) = (r.getLong(0), r.getLong(1), r.getInt(2))
+        def amp(w: Int): Int =
+          (((salt + 1) * (w * w + 1) * 7919L +
+            (if (w == 0) bump else 0)) % 25000).toInt
+        val payload = WavCodec.synthesizeWav(65 * 64, 8000) { i =>
+          val a = amp(i / 64)
+          (if (i % 2 == 0) a else -a).toShort
+        }
+        Row(id, payload)
       }
     }(enc)
   }

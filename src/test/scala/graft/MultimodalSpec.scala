@@ -373,4 +373,35 @@ class MultimodalSpec extends SparkSpec {
     // every reported pair honors the distance contract
     assert(pairs.forall(_._3 <= 3))
   }
+
+  test("audioFingerprint64: bits equal the per-window amplitude comparisons exactly") {
+    // amplitudes 100,50,200,200,… repeating: bit i = A(i+1) > A(i)
+    val amps = (0 until 65).map(w => Seq(100, 50, 200, 200)(w % 4))
+    val wav = Multimodal.WavCodec.synthesizeWav(65 * 64, 8000) { i =>
+      val a = amps(i / 64); (if (i % 2 == 0) a else -a).toShort
+    }
+    val fp = Multimodal.WavCodec.audioFingerprint64(wav, 64)
+    val want = (0 until 64).map { i =>
+      if (amps(i + 1) > amps(i)) 1L << i else 0L
+    }.sum
+    assert(fp === want)
+    assert(Multimodal.WavCodec.audioFingerprint64(Array[Byte](1, 2, 3), 64) === 0L)
+  }
+
+  test("audioNearDupPairs: first-window clones sit within Hamming 1 of their base") {
+    val ids = spark.range(1, 31).toDF("media_id")
+    val base = ids.select($"media_id", $"media_id".as("salt"), lit(0).as("bump"))
+    val clones = ids.filter($"media_id" % 10 === 0)
+      .select(($"media_id" + 1000).as("media_id"), $"media_id".as("salt"),
+        lit(5000).as("bump"))
+    val media = Multimodal.synthesizeSteppedWavs(base.unionByName(clones))
+    val pairs = Multimodal.audioNearDupPairs(media, "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    Seq(10L, 20L, 30L).foreach { b =>
+      val hit = pairs.find(p => p._1 == b && p._2 == b + 1000)
+      assert(hit.isDefined, s"clone of $b not found in ${pairs.toSeq}")
+      assert(hit.get._3 <= 1)
+    }
+    assert(pairs.forall(_._3 <= 3))
+  }
 }
