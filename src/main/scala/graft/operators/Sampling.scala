@@ -138,6 +138,23 @@ object Sampling {
       .select(col(idCol), col(scoreCol), col(ntokCol), col("cum_tok"))
   }
 
+  /** Keep the top `frac` of rows by score (exact, deterministic): rank by
+    * (score desc, id asc) and keep the first ⌈frac·n⌉ — the percentile
+    * filter of a curation pipeline ("drop the bottom 10% by quality"),
+    * exact where `percentile_approx` is not. Implemented as
+    * [[selectByTokenBudget]] with unit weights: the kept COUNT is a
+    * cumulative sum of ones, so the same range-repartition + pruned
+    * second pass applies — cost is one global-sort exchange plus a
+    * keep-proportional pass, at any corpus size. */
+  def topFractionByScore(df: DataFrame, idCol: String, scoreCol: String,
+      frac: Double, partitions: Int = 0): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val k = math.ceil(df.count() * frac).toLong
+    selectByTokenBudget(df.withColumn("__one", lit(1L)), idCol, "__one",
+        scoreCol, budget = k, partitions = partitions)
+      .select(col(idCol), col(scoreCol), col("cum_tok").as("rank"))
+  }
+
   /** Deterministic equal-token sharding: assign each document a
     * `shard_id` so every shard holds ~`targetTokens` tokens of
     * consecutive (by `idCol`) documents — the training-shard packing
