@@ -118,10 +118,18 @@ object Sampling {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // LAZY localCheckpoint freezes the range partitioning: the range
+    // exchange picks boundaries from an rdd.id-seeded reservoir sample, so
+    // re-executing the shuffle (sums pass vs. main pass) can land rows in
+    // DIFFERENT ranges once partitions exceed the sample size — the
+    // per-range offsets would then be wrong. The sums collect below
+    // materializes the checkpoint once; every later pass reads the frozen
+    // partitions. Spec-pinned with a tiny rangeExchange sample size.
     val ranked = df
       .select(col(idCol), col(scoreCol), col(ntokCol).cast("long").as(ntokCol))
       .repartitionByRange(p, col(scoreCol).desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val sums = ranked.groupBy("__pid").agg(sum(col(ntokCol)).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (sums.isEmpty) return ranked.drop("__pid")
@@ -175,10 +183,13 @@ object Sampling {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // lazy checkpoint for the same range-boundary determinism reasons as
+    // [[selectByTokenBudget]] (rdd.id-seeded sampling — see there)
     val ranked = df
       .select(col(idCol), col(ntokCol).cast("long").as(ntokCol))
       .repartitionByRange(p, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val sums = ranked.groupBy("__pid").agg(sum(col(ntokCol)).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (sums.isEmpty) return ranked.drop("__pid")
