@@ -43,6 +43,14 @@ object TextAnalysis {
     graft.functions.TextStats.hashed_embedding(
       Dedup.tokensCol(text), dim, if (portable) "md5_60" else "xxhash64")
 
+  /** Deflate compression ratio (compressed/raw bytes) — the
+    * Gopher-family redundancy signal: boilerplate and templated text
+    * compresses far below prose. Pure projection
+    * ([[graft.functions.CompressionRatio]]); spec-verified (no SQL engine
+    * replays raw deflate, so this is deliberately not oracle-gated). */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    graft.functions.TextStats.compression_ratio(text, level)
+
   /** Unicode NFC composition + control/whitespace cleanup (fused
     * [[graft.functions.NormalizeText]] scan) — the canonicalization stage
     * that runs BEFORE hash/shingle/token operators so byte-level encoding
