@@ -1269,15 +1269,19 @@ object Dedup {
     * Non-members pass through with no extra shuffle beyond the join. */
   def dedupByComponentsKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
-    val comp = Ops.broadcastIfSmall(
-      connectedComponents(pairs).withColumnRenamed("id", idCol))
-    val joined = df.join(comp, Seq(idCol), "left")
-    val keep = joined.filter(col("component").isNotNull)
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    // losers = every member except its component's best: computed on a
+    // 2-column projection of df (column-pruned scan) joined against the
+    // member-sized component frame — the argmax window shuffles only
+    // (id, score, component), never row width. The corpus then crosses a
+    // single anti-join against the loser ids (≤ members − components,
+    // size-gated broadcast), one full-width scan total.
+    val losers = df.select(col(idCol), col(scoreCol))
+      .join(Ops.broadcastIfSmall(comp), Seq(idCol))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("component").orderBy(col(scoreCol).desc, col(idCol))))
-      .filter(col("__rk") === 1).drop("__rk", "component")
-    joined.filter(col("component").isNull).drop("component")
-      .unionByName(keep)
+      .filter(col("__rk") > 1).select(col(idCol))
+    df.join(Ops.broadcastIfSmall(losers), Seq(idCol), "left_anti")
   }
 
   /** The production near-dup pipeline: exact dedup FIRST (collapses
