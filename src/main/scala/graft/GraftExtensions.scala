@@ -82,7 +82,24 @@ object GraftExtensions {
         "cdc_chunk_hashes(tokens, avgChunkTokens, hashKind) — content-defined chunk hashes"),
       (args: Seq[Expression]) => graft.functions.CdcChunkHashes(args(0),
         intArg(args, 1, "cdc_chunk_hashes", "avgChunkTokens"),
-        strArg(args, 2, "cdc_chunk_hashes", "hashKind"))))
+        strArg(args, 2, "cdc_chunk_hashes", "hashKind"))),
+    ("strip_markup",
+      info("strip_markup", "HTML/markup → clean text in one fused scan"),
+      (args: Seq[Expression]) => graft.functions.StripMarkup(args.head)),
+    ("normalize_text",
+      info("normalize_text", "Unicode NFC + control/whitespace collapse in one pass"),
+      (args: Seq[Expression]) => graft.functions.NormalizeText(args.head)),
+    ("hashed_embedding",
+      info("hashed_embedding",
+        "hashed_embedding(tokens, dim, hashKind) — l2-normalized feature-hashed vector"),
+      (args: Seq[Expression]) => graft.functions.HashedEmbedding(args(0),
+        intArg(args, 1, "hashed_embedding", "dim"),
+        strArg(args, 2, "hashed_embedding", "hashKind"))),
+    ("compression_ratio",
+      info("compression_ratio",
+        "compression_ratio(text, level) — deflate(compressed)/raw bytes redundancy signal"),
+      (args: Seq[Expression]) => graft.functions.CompressionRatio(args(0),
+        intArg(args, 1, "compression_ratio", "level"))))
 
   private def lit(args: Seq[Expression], i: Int, fn: String, name: String): Any =
     args(i) match {

@@ -190,4 +190,18 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
   }
+
+  test("round-7 expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT strip_markup('<p>Tom &amp; co</p>') AS clean,
+        |       normalize_text('Cafe\u0301\u0007  x') AS norm,
+        |       size(hashed_embedding(array('a','b'), 16, 'xxhash64')) AS dim,
+        |       compression_ratio(repeat('spam ', 200), 6) AS cr
+        |""".stripMargin).first()
+    assert(r.getString(0) === "Tom & co")
+    assert(r.getString(1) === "Café x")
+    assert(r.getInt(2) === 16)
+    assert(r.getDouble(3) < 0.05)
+  }
 }
