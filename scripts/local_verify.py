@@ -70,10 +70,23 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Declared-query manifest (written by Verify): any declared query with no
+    # output dir is a hard failure — round 7 lost q33 to exactly this
+    # (AnalysisException swallowed to stderr, row absent from the gate).
+    declared = []
+    mpath = f"{out_dir}/queries.json"
+    if os.path.exists(mpath):
+        declared = json.load(open(mpath))
     results = {}
-    for name in sorted(os.listdir(out_dir)):
+    dirs = {n for n in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, n))}
+    for name in declared:
+        if name not in dirs:
+            results[name] = "MISSING: declared in SparkEntry.queries but no output dir"
+    for name in sorted(dirs):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if os.path.exists(f"{d}/_error.txt"):
+            results[name] = "QUERY_ERROR: " + open(f"{d}/_error.txt").read().strip()[:300]
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:
@@ -120,6 +133,15 @@ def main():
         print(f"{'✓' if v.startswith('OK') else '✗' if 'ONLY' not in v else '~'} {k}: {v}")
     print(f"\n{n_ok}/{len([k for k in results if k in oracles])} oracle-checked OK, "
           f"{len(results)} total")
+    hard_fail = [k for k, v in results.items()
+                 if not (v.startswith("OK") or v.startswith("ROWS_ONLY"))]
+    if declared and len(dirs) != len(declared):
+        print(f"GATE FAIL: {len(declared)} queries declared, {len(dirs)} output dirs")
+        sys.exit(1)
+    if hard_fail:
+        print(f"GATE FAIL: {len(hard_fail)} failing: {', '.join(hard_fail)}")
+        sys.exit(1)
+    print("GATE PASS")
 
 if __name__ == "__main__":
     main()

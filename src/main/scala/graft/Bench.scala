@@ -35,7 +35,13 @@ object Bench {
     // bucketed store) and must start each rep from identical state.
     // A prepare or query failure records a -1.0 sentinel instead of a
     // bogus near-zero time; total sums only successful queries.
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, mk) =>
+    // Optional comma-separated query-name filter (A/B triage: bench only
+    // the queries under suspicion instead of the full 10-minute sweep).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, mk) =>
       val times = (1 to reps).flatMap { _ =>
         try {
           val thunk = mk(spark, sfDir)
@@ -48,12 +54,18 @@ object Bench {
             None
         }
       }
-      name -> (if (times.size == reps) times.min else -1.0)
+      name -> (if (times.size == reps) times.min else -1.0, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-rep times alongside the min: regression triage needs to tell a
+    // code regression (all reps slow) from ambient machine drift (wide
+    // spread) — rounds 6 AND 7 both burned a verdict cycle on this.
+    val rs = results.map { case (k, (_, ts)) =>
+      s"\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,9 +19,18 @@ object SparkEntry {
     * (integer division: exact, no double rounding). */
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) parquet read as long nanos (legacy.parquet.nanosAsLong)
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP_MICROS with isAdjustedToUTC=0 reads as TIMESTAMP_NTZ in
+      // Spark 4; normalize to TimestampType (value-preserving under the
+      // UTC session timezone all entrypoints set).
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Scratch directories for store-backed queries, deleted recursively at

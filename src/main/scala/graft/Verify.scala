@@ -18,13 +18,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A thrown query must be a visible red, not an absent row: write a
+        // marker dir so downstream tooling can distinguish "failed" from
+        // "never declared" (round-7 shipped q33 invisible for lack of this).
+        val d = new java.io.File(s"$outDir/$name"); d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_error.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
+    System.err.println(
+      s"[verify] ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} queries written, $failed failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +50,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every declared query, so local_verify can detect a query
+    // that silently vanished (threw before producing output).
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -17,8 +17,12 @@ object Analytics {
       tsCol: String,
       gapSeconds: Long): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // Cast via timestamp first: TIMESTAMP_NTZ → BIGINT is an illegal direct
+    // cast in Spark 4, but NTZ → TIMESTAMP → BIGINT is legal and
+    // value-preserving under a UTC session timezone.
+    val secs = col(tsCol).cast("timestamp").cast("long")
     val newSession = when(
-      col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(byKey) > gapSeconds, 1
+      secs - lag(secs, 1).over(byKey) > gapSeconds, 1
     ).otherwise(0)
     // ROWS frame (not the default RANGE): with duplicate (key, ts) pairs a
     // RANGE running sum would assign peers the same value while the oracle's

@@ -21,6 +21,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(stats(1).getLong(4) === 1L)
   }
 
+  test("sessionize works on a TIMESTAMP_NTZ column") {
+    // Regression: the round-7 testdata regeneration made events.ts read as
+    // TIMESTAMP_NTZ (isAdjustedToUTC=0 micros), and NTZ → BIGINT is an
+    // illegal direct cast in Spark 4 — sessionize must cast via timestamp.
+    import org.apache.spark.sql.types.TimestampNTZType
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")),
+      (1L, ts("2024-01-01 01:00:00")),
+      (2L, ts("2024-01-01 00:00:00"))).toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+    assert(df.schema("ts").dataType === TimestampNTZType)
+    val stats = Analytics.sessionStats(
+        Analytics.sessionize(df, "user_id", "ts", 600L), "user_id", "ts")
+      .orderBy("user_id", "session_seq").collect()
+    assert(stats.length === 3)
+    assert(stats(0).getLong(4) === 2L)
+  }
+
   test("windowed counts align to tumbling boundaries") {
     val df = Seq(
       (ts("2024-01-01 00:10:00"), "a"), (ts("2024-01-01 00:50:00"), "a"),
