@@ -1054,6 +1054,24 @@ object SparkEntry {
       Dedup.stripDuplicateLines(plantedLines(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ── scale: TF-IDF keyword extraction — top-3 terms per doc (oracle:
+    //    DuckDB replays tokenization, smoothed idf, and the rank window) ─
+    "q83_tfidf_keywords" -> ((s, dir) => {
+      Ranking.topKeywords(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"), col("rank").cast("long").as("rank"),
+          col("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+    // ── scale: BM25 query-relevance scoring — corpus slice by relevance
+    //    to a fixed term set (oracle: DuckDB replays idf/tf/length
+    //    normalization; per-doc sum folds term-sorted, ±1e-6 rounded) ────
+    "q84_bm25_score" -> ((s, dir) => {
+      Ranking.bm25(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", Seq("join", "merge", "filter"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")
+    }),
     // ── LSH recall-margin probe (data-quality gate for q25/q41/q46): the
     //    oracles verify at jaccard ≥ 0.55, a MARGIN above the 16×2
     //    banding's 0.5 S-curve midpoint. This query recomputes, brute
@@ -1914,6 +1932,40 @@ object SparkEntry {
         |  CAST(len(l0.ls) - coalesce(reb.kept, 0) AS BIGINT) AS removed_lines
         |FROM l0 JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q83_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |        tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0) AS tfidf
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, term ASC) AS rank
+        |      FROM w)
+        |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+        |  round(tfidf, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q84_bm25_score" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t0),
+        |t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t0),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+        |       WHERE term IN ('join', 'merge', 'filter') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id,
+        |        ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |          * tf.tf * 2.2
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS c
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN st)
+        |SELECT doc_id, round(sum(c), 6) AS bm25
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q66_lm_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus ranking / keyword relevance: TF-IDF and BM25 (extensions —
+  * the reference has no retrieval surface; standard curation companions
+  * to the quality/dedup tier, e.g. keyword extraction for topic
+  * filtering and query-relevance scoring for targeted corpus slices).
+  *
+  * Scale shape: one explode → (id, term)-keyed aggregate with map-side
+  * partials for term frequencies; document frequencies are a term-keyed
+  * key-only aggregate (vocabulary-sized output) joined back size-gated.
+  * No driver-side iteration; the only scalars (N, avgdl) are single-row
+  * aggregates computed once per call — the same one-cheap-scan idiom as
+  * `Sampling.topFractionByScore`. */
+object Ranking {
+
+  /** Per-(doc, term) raw counts — shared tokenizer with the dedup family
+    * (`Dedup.tokensCol`: trim → lower → split on whitespace). One shuffle
+    * keyed on (id, term), partial-aggregated map-side. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(Dedup.tokensCol(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Smoothed IDF (sklearn convention): ln((1+N)/(1+df)) + 1 — never
+    * negative, defined for unseen terms. */
+  private def smoothIdf(n: Column, dfreq: Column): Column =
+    log((lit(1.0) + n) / (lit(1.0) + dfreq)) + lit(1.0)
+
+  /** (doc, term, tf, tfidf) over the whole corpus. Document frequencies
+    * are vocabulary-sized and join back through the size-gated broadcast
+    * helper — term-keyed shuffle join only when the vocabulary is too
+    * large to broadcast. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    // one row per document is the frame's contract (as everywhere in the
+    // dedup/quality tier) — a plain count avoids a corpus-wide distinct
+    val nDocs = df.count()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    tf.join(Ops.broadcastIfSmall(dfreq), Seq("term"))
+      .select(col(idCol), col("term"), col("tf"),
+        (col("tf") * smoothIdf(lit(nDocs.toDouble), col("__df"))).as("tfidf"))
+  }
+
+  /** Top-`k` keywords per document by TF-IDF — ties broken by term so the
+    * kept set is deterministic. The rank window partitions by doc (never
+    * a global sort); output is k rows per doc. */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tfidf(df, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
+  /** BM25 relevance of every matching document against a fixed term set
+    * (the "slice the corpus by query relevance" curation op).
+    *
+    * Scale notes: `queryTerms` is a literal `isin` filter applied AT THE
+    * EXPLODE, so the (id, term) aggregate only ever shuffles rows for
+    * query terms — corpus-size-independent per-term cost. Document
+    * lengths ride on the same scan as the match filter; `avgdl` and `N`
+    * are one single-row aggregate. Per-doc summation folds a
+    * position-sorted array (q66's idiom) so the double result is
+    * order-deterministic under any partitioning.
+    *
+    * IDF is the standard BM25 form ln(1 + (N−df+0.5)/(df+0.5)). */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.trim.toLowerCase).distinct
+    val toks = df.select(col(idCol), Dedup.tokensCol(col(textCol)).as("__toks"))
+    // single-row scalar frame: N docs + average doc length (its own
+    // one-column corpus scan — a global constant has no cheaper shape)
+    val stats = toks.select(size(col("__toks")).as("dl"))
+      .agg(count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl"))
+    // doc length rides THROUGH the explode as a grouping key (functionally
+    // dependent on the id), so no corpus-sized length join is ever needed —
+    // only query-term rows survive to the shuffle.
+    val tf = toks
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val contrib = tf
+      .join(Ops.broadcastIfSmall(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__c",
+        col("__idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("__avgdl"))))
+    // order-deterministic per-doc sum: fold term-sorted contributions
+    contrib.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("term"), col("__c")))).as("__cs"))
+      .select(col(idCol),
+        aggregate(col("__cs"), lit(0.0), (acc, x) => acc + x.getField("__c"))
+          .as("bm25"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Ranking
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat"),
+    (3L, "a cat and a dog")).toDF("doc_id", "text")
+
+  test("term frequencies count repeated tokens per doc") {
+    val tf = Ranking.termFrequencies(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tf((1L, "the")) === 2L)
+    assert(tf((1L, "cat")) === 1L)
+    assert(tf((3L, "a")) === 2L)
+    assert(!tf.contains((2L, "cat")))
+  }
+
+  test("tfidf matches the smoothed sklearn formula by hand") {
+    // N=3; df(the)=2 → idf = ln(4/3)+1; doc1 tf(the)=2
+    val got = Ranking.tfidf(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1 && col("term") === "the")
+      .collect()(0).getDouble(3)
+    val want = 2.0 * (math.log(4.0 / 3.0) + 1.0)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("top keywords rank by tfidf desc then term asc, k rows max") {
+    val top = Ranking.topKeywords(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1).orderBy("rank").collect()
+    assert(top.length === 2)
+    // doc1: "the" tf=2·idf(ln(4/3)+1)≈2.575 beats every tf=1 term
+    assert(top(0).getString(1) === "the")
+    // remaining four terms (cat, mat, on, sat) tie: df-dependent idf —
+    // cat df=2 < mat/on/sat df=1, so a df=1 term wins; tie on tfidf
+    // breaks by term asc → "mat"
+    assert(top(1).getString(1) === "mat")
+  }
+
+  test("bm25 matches a hand-computed score and only returns matching docs") {
+    val out = Ranking.bm25(docs, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // hand: N=3, avgdl=(6+3+5)/3=14/3; df(cat)=2, df(dog)=2 →
+    // idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    val idf = math.log(1.6)
+    def s(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (14.0 / 3.0)))
+    assert(math.abs(out(1L) - s(1, 6)) < 1e-12)          // cat only
+    assert(math.abs(out(3L) - (s(1, 5) + s(1, 5))) < 1e-12) // cat + dog
+  }
+
+  test("bm25 per-doc sum is deterministic under repartitioning") {
+    val base = (1 to 400).map(i =>
+      (i.toLong, s"alpha beta gamma token$i " * (i % 5 + 1))).toDF("doc_id", "text")
+    val q = Seq("alpha", "beta", "gamma")
+    val a = Ranking.bm25(base, "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Ranking.bm25(base.repartition(17), "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b) // bit-identical, not approximately equal
+  }
+}
