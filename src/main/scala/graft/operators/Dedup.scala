@@ -212,12 +212,45 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs (id_a < id_b) from shared LSH buckets.
-    * `maxBucketSize` bounds degenerate buckets (see capBuckets). */
-  def minhashCandidates(bandsDf: DataFrame, idCol: String, maxBucketSize: Int = 1000): DataFrame = {
-    val capped = capBuckets(bandsDf, Seq("band", "band_hash"), idCol, maxBucketSize)
-    val a = capped.select(col("band"), col("band_hash"), col("__sub"), col(idCol).as("id_a"))
-    val b = capped.select(col("band"), col("band_hash"), col("__sub"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_hash", "__sub"))
+    * `maxBucketSize` bounds degenerate buckets (see capBuckets /
+    * [[graft.functions.BucketPairs]]).
+    *
+    * Long ids (every internal gated path) take the fused shape — ONE
+    * bucket-keyed exchange into member arrays, singleton buckets (the
+    * vast majority) dropped before any pair work, pairs + the hot-bucket
+    * cap generated in-expression — instead of the relational count-join +
+    * self-join, which pays four exchanges over the full band frame
+    * (−38% on q25's candidate stage, PLANS.md round-8). Non-long ids
+    * keep the relational form (same output, spec-asserted). */
+  def minhashCandidates(bandsDf: DataFrame, idCol: String, maxBucketSize: Int = 1000): DataFrame =
+    bucketCandidatePairs(bandsDf, Seq("band", "band_hash"), idCol, maxBucketSize)
+
+  /** Shared candidate generator for every bucket-keyed LSH family
+    * (minhash bands, simhash/hamming chunks, IVF cells). */
+  private[operators] def bucketCandidatePairs(
+      df: DataFrame, bucketCols: Seq[String], idCol: String, maxBucketSize: Int): DataFrame = {
+    if (df.schema(idCol).dataType == LongType) {
+      df.groupBy(bucketCols.map(col): _*)
+        .agg(collect_list(col(idCol)).as("__members"))
+        .filter(size(col("__members")) >= 2)
+        .select(explode(
+          graft.functions.BucketPairs.bucket_pairs(col("__members"), maxBucketSize))
+          .as("__p"))
+        .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+        .distinct()
+    } else relationalCandidatePairs(df, bucketCols, idCol, maxBucketSize)
+  }
+
+  /** The pre-round-8 relational candidate plan (count join + self-join).
+    * Kept as the non-long-id fallback and as the equivalence reference
+    * the fused path is spec-asserted against. */
+  private[graft] def relationalCandidatePairs(
+      df: DataFrame, bucketCols: Seq[String], idCol: String, maxBucketSize: Int): DataFrame = {
+    val capped = capBuckets(df, bucketCols, idCol, maxBucketSize)
+    val keys = bucketCols :+ "__sub"
+    val a = capped.select((keys.map(col) :+ col(idCol).as("id_a")): _*)
+    val b = capped.select((keys.map(col) :+ col(idCol).as("id_b")): _*)
+    a.join(b, keys)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -595,17 +628,33 @@ object Dedup {
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("__sig"), c * lit(16)).bitwiseAND(0xFFFFL)))
       .as(Seq("chunk", "chunk_val")))
-    val chunked = capBuckets(chunked0, Seq("chunk", "chunk_val"), idCol, maxBucketSize)
-    val a = chunked.select(col("chunk"), col("chunk_val"), col("__sub"),
-      col(idCol).as("id_a"), col("__sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"), col("__sub"),
-      col(idCol).as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("chunk", "chunk_val", "__sub")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
-      .localCheckpoint(true)
+    val fused =
+      if (sig0.schema(idCol).dataType == LongType) {
+        // fused candidate shape (see bucketCandidatePairs): ONE chunk-keyed
+        // exchange into (id, sig) member arrays; pairs, the hot-bucket cap,
+        // AND the hamming≤maxDist test all evaluate in-expression, so
+        // shared-chunk pairs that fail the distance test never become rows
+        chunked0.groupBy(col("chunk"), col("chunk_val"))
+          .agg(collect_list(struct(col(idCol), col("__sig"))).as("__members"))
+          .filter(size(col("__members")) >= 2)
+          .select(explode(graft.functions.BucketPairs.hamming_bucket_pairs(
+            col("__members"), maxBucketSize, maxDist)).as("__p"))
+          .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+            col("__p.hamming").cast(IntegerType).as("hamming"))
+          .distinct()
+      } else {
+        val chunked = capBuckets(chunked0, Seq("chunk", "chunk_val"), idCol, maxBucketSize)
+        val a = chunked.select(col("chunk"), col("chunk_val"), col("__sub"),
+          col(idCol).as("id_a"), col("__sig").as("sig_a"))
+        val b = chunked.select(col("chunk"), col("chunk_val"), col("__sub"),
+          col(idCol).as("id_b"), col("__sig").as("sig_b"))
+        a.join(b, Seq("chunk", "chunk_val", "__sub")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= maxDist)
+      }
+    fused.localCheckpoint(true)
     } finally sig.unpersist()
   }
 

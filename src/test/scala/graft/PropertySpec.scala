@@ -215,6 +215,76 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("invariant: fused candidate pairs ≡ relational plan, capped and uncapped") {
+    import org.apache.spark.sql.functions._
+    // clusters big enough that cap=10 forces sub-bucket splits: the fused
+    // in-expression pmod(xxhash64(id), k) must reproduce the relational
+    // capBuckets assignment bit-for-bit, not just approximately
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 150).map { i =>
+        val cluster = rnd.nextInt(3)
+        (i.toLong, s"cluster $cluster shared boilerplate prefix tokens here doc ${i % 5}")
+      }.toDF("doc_id", "text")
+      val bands = Dedup.minhashBands(docs, "doc_id", "text", 2, 8, 2)
+      for (cap <- Seq(10, 1000000)) {
+        val fused = Dedup.minhashCandidates(bands, "doc_id", cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val relational = Dedup.relationalCandidatePairs(
+            bands, Seq("band", "band_hash"), "doc_id", cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(fused === relational, s"seed=$seed cap=$cap")
+      }
+    }
+  }
+
+  test("invariant: fused hamming pairs ≡ relational fallback (uncapped, both id types)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 120).map { i =>
+      val cluster = rnd.nextInt(3)
+      (i.toLong,
+        s"cluster $cluster boilerplate body tokens repeated across docs variant ${i % 4}")
+    }.toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"), col("hamming").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fused = norm(Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 8))
+    // string ids route through the pre-round-8 relational plan; uncapped,
+    // the candidate set is id-hash-independent so outputs must coincide
+    val relational = norm(Dedup.simhashNearDupPairs(
+      docs.withColumn("doc_id", format_string("%05d", col("doc_id"))),
+      "doc_id", "text", maxDist = 8))
+    assert(fused.nonEmpty && fused === relational)
+  }
+
+  test("invariant: HammingBucketPairs cap replays capBuckets sub-assignment exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import spark.implicits._
+    // one bucket of 40 members with fixed sigs, cap=7 → k=6 sub-buckets:
+    // reference computes pmod(xxhash64(id, 42), k) in plain Scala
+    val members = (0L until 40L).map(id => (id, id * 1103515245L + 12345L))
+    val cap = 7
+    val k = math.ceil(members.size.toDouble / cap).toLong
+    val ref = (for {
+      (ia, sa) <- members; (ib, sb) <- members
+      if ia < ib
+      subA = ((XXH64.hashLong(ia, 42L) % k) + k) % k
+      subB = ((XXH64.hashLong(ib, 42L) % k) + k) % k
+      if subA == subB
+      d = java.lang.Long.bitCount(sa ^ sb)
+      if d <= 64
+    } yield (ia, ib, d)).toSet
+    val got = Seq(members).toDF("m")
+      .select(explode(graft.functions.BucketPairs.hamming_bucket_pairs(
+        col("m").cast("array<struct<id:long,sig:long>>"), cap, 64)).as("p"))
+      .select("p.id_a", "p.id_b", "p.hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === ref)
+    assert(got.nonEmpty && got.size < members.size * (members.size - 1) / 2) // cap dropped cross-sub pairs
+  }
+
   test("invariant: exactDedup is idempotent and content-distinct") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)
