@@ -1054,6 +1054,15 @@ object SparkEntry {
       Dedup.stripDuplicateLines(plantedLines(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ── scale: per-group percentile filter — keep the best 30% of every
+    //    source (oracle: DuckDB rank + count windows per source) ─────────
+    "q85_group_top_fraction" -> ((s, dir) => {
+      Sampling.topFractionPerGroup(
+          T(s, dir, "documents").select(col("source"), col("doc_id"),
+            col("n_chars").cast("double").as("score")),
+          "source", "doc_id", "score", frac = 0.3)
+        .orderBy("source", "rank")
+    }),
     // ── scale: TF-IDF keyword extraction — top-3 terms per doc (oracle:
     //    DuckDB replays tokenization, smoothed idf, and the rank window) ─
     "q83_tfidf_keywords" -> ((s, dir) => {
@@ -1932,6 +1941,16 @@ object SparkEntry {
         |  CAST(len(l0.ls) - coalesce(reb.kept, 0) AS BIGINT) AS removed_lines
         |FROM l0 JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q85_group_top_fraction" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rank,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= ceil(n * 0.3)
+        |ORDER BY source, rank""".stripMargin,
     "q83_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

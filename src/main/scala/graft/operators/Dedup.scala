@@ -667,21 +667,42 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
-    import graft.functions.VectorOps.{vector_dot, vector_norm}
     val dim = Similarity.dimOf(df, vecCol)
-    val sig0 = df.select(col(idCol), col(vecCol),
-      vector_norm(col(vecCol)).as("__n"),
+    // fused candidate shape (see bucketCandidatePairs): the bucket exchange
+    // carries ONLY (bucket, id) — the old a×b self-join exchanged the full
+    // vectors twice; vectors are now looked up just for the docs that
+    // actually appear in a candidate pair
+    val buckets = df.select(col(idCol),
       Similarity.signSignature(col(vecCol), planes, dim).as("__bucket"))
-    val sig = capBuckets(sig0, Seq("__bucket"), idCol, maxBucketSize)
-    val a = sig.select(col("__bucket"), col("__sub"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = sig.select(col("__bucket"), col("__sub"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("__bucket", "__sub")).filter(col("id_a") < col("id_b"))
+    val pairs = bucketCandidatePairs(buckets, Seq("__bucket"), idCol, maxBucketSize)
+    cosineForPairs(df, pairs, idCol, vecCol)
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact cosine for (id_a, id_b) candidate pairs: the corpus is pruned
+    * to the docs the pairs reference (size-gated broadcast semi-join, same
+    * shape as [[jaccardForPairs]]) before vectors are joined in — scoring
+    * P pairs on an N-doc corpus touches ≤ 2P vectors, never N. */
+  def cosineForPairs(
+      df: DataFrame, pairs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorOps.{vector_dot, vector_norm}
+    // no distinct: a left-semi probe tolerates duplicate build keys, and
+    // the dedup would cost an exchange of its own
+    val pairIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
+    // pruned-vector frame is pair-sized (≤ 2P rows) — checkpoint it eagerly
+    // so (a) the corpus semi-join scan runs ONCE, not once per join side,
+    // and (b) both lookups below become broadcast joins over known-small
+    // data (no exchange at all when P is broadcastable; size-gated
+    // fallback to shuffle joins otherwise)
+    val vecs = df.join(Ops.broadcastIfSmall(pairIds), Seq(idCol), "left_semi")
+      .select(col(idCol), col(vecCol).as("__v"), vector_norm(col(vecCol)).as("__n"))
+      .localCheckpoint(true)
+    val a = Ops.broadcastIfSmall(vecs.toDF("id_a", "__va", "__na"))
+    val b = Ops.broadcastIfSmall(vecs.toDF("id_b", "__vb", "__nb"))
+    pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         (vector_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .distinct()
   }
 
   /** Remove every cross-document duplicated span occurrence (Lee et al.
@@ -890,20 +911,17 @@ object Dedup {
       tau: Double = 0.95,
       maxClusterSize: Int = 100000,
       seedHash: Column => Column = xxhash64(_)): DataFrame = {
-    import graft.functions.VectorOps.{vector_dot, vector_norm}
     val nc = if (numCentroids == Similarity.AutoCentroids)
       semDedupAutoCentroids(df.count()) else numCentroids
     val (_, assigned) = Similarity.ivfIndex(
       df.select(col(idCol), col(vecCol)), idCol, vecCol, nc, seedHash)
-    val sig = capBuckets(assigned.withColumn("__n", vector_norm(col(vecCol))),
+    // same fused candidate shape as embeddingNearDupPairs: the cluster
+    // exchange carries only (centroid_id, id); vectors join in only for
+    // docs that appear in a within-cluster pair
+    val pairs = bucketCandidatePairs(
+      assigned.select(col(idCol), col("centroid_id")),
       Seq("centroid_id"), idCol, maxClusterSize)
-    val a = sig.select(col("centroid_id"), col("__sub"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = sig.select(col("centroid_id"), col("__sub"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("centroid_id", "__sub")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (vector_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
+    cosineForPairs(df, pairs, idCol, vecCol)
       .filter(col("cosine") >= tau)
   }
 

@@ -204,6 +204,82 @@ object Sampling {
         expr(s"__excl DIV ${targetTokens}L").as("shard_id"))
   }
 
+  /** Per-group percentile filter: keep the top ⌈frac·n_g⌉ rows of EACH
+    * group by (score desc, id asc) — "keep the best 30% of every source"
+    * (per-domain quality filtering; a single global cut would let a
+    * high-quality source crowd the others out entirely). Returns
+    * (group, id, score, rank) where rank is 1-based within the group.
+    *
+    * Scale shape — the naive formulation is a rank window partitioned by
+    * group, which serializes each group through ONE task (a 100 TB corpus
+    * with 20 sources → 20 tasks); instead, the [[selectByTokenBudget]]
+    * distributed-cumsum idiom generalized per group:
+    *  1. ONE range exchange by (group, score desc, id) — frozen via lazy
+    *     localCheckpoint for the same boundary-determinism reasons;
+    *  2. per-(range, group) counts collect to the driver — ranges ×
+    *     groups rows, driver-small while group cardinality is
+    *     source/domain-like (the operator's contract; it REQUIREs
+    *     ≤ 100k groups rather than silently collecting more);
+    *  3. per-group prefix offsets over ranges; ranges where every
+    *     present group is already past its budget are PRUNED;
+    *  4. surviving ranges rank locally (window per (range, group)) and
+    *     add the offset — the group budget check is a broadcast join of
+    *     the tiny (group, offset-per-range, budget) frame.
+    * Kept set is partition-invariant (spec-proven under 1/3/17
+    * partitions). */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, frac: Double, partitions: Int = 0): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranked = df
+      .select(col(groupCol), col(idCol), col(scoreCol))
+      .repartitionByRange(p, col(groupCol).asc, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = ranked.groupBy("__pid", groupCol).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    require(counts.map(_._2).distinct.size <= 100000,
+      s"topFractionPerGroup saw ${counts.map(_._2).distinct.size} groups — " +
+        "group cardinality must be source/domain-like (<= 100k); " +
+        "use topFractionByScore or a pre-aggregation for high-cardinality keys")
+    if (counts.isEmpty) return ranked.drop("__pid")
+      .withColumn("rank", lit(0L)).limit(0)
+    // per-group: budget = ceil(frac · n_g); offset per pid = rows of the
+    // group in EARLIER pids (ranges are ordered by pid within a group)
+    val byGroup = counts.groupBy(_._2)
+    val rows = byGroup.iterator.flatMap { case (g, cs) =>
+      val sorted = cs.sortBy(_._1)
+      val total = sorted.map(_._3).sum
+      val budget = math.ceil(total * frac).toLong
+      sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).dropRight(1))
+        .map { case (pid, off) => (pid, g, off, budget) }
+    }.toSeq
+    val keepPids = rows.collect { case (pid, _, off, budget) if off < budget => pid }.toSet
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__opid",
+          org.apache.spark.sql.types.IntegerType),
+        ranked.schema(groupCol).copy(name = "__g"),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__budget",
+          org.apache.spark.sql.types.LongType))))
+    ranked.filter(col("__pid").isInCollection(keepPids))
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(groupCol) === col("__g"))
+      .drop("__opid", "__g")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("__pid"), col(groupCol))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long") + col("__off"))
+      .filter(col("rank") <= col("__budget"))
+      .select(col(groupCol), col(idCol), col(scoreCol), col("rank"))
+  }
+
   /** Deterministic train/eval/test split: assigns each key to one fold by
     * hash range; folds are disjoint and exhaustive, and a key keeps its
     * fold forever (no leakage across reruns or growing data). `weights`
