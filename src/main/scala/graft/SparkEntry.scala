@@ -1054,6 +1054,15 @@ object SparkEntry {
       Dedup.stripDuplicateLines(plantedLines(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ── scale: deterministic training-order shuffle — position is a pure
+    //    function of (key, seed) via the SQL-replayable md5-60 hash
+    //    (oracle: DuckDB recomputes the hash and the global row_number) ──
+    "q86_shuffle_order" -> ((s, dir) => {
+      Sampling.deterministicShuffle(
+          T(s, dir, "documents").select("doc_id", "source"), "doc_id", seed = 7L)
+        .select(col("doc_id"), col("source"), col("shuffle_idx"))
+        .orderBy("doc_id")
+    }),
     // ── scale: per-group percentile filter — keep the best 30% of every
     //    source (oracle: DuckDB rank + count windows per source) ─────────
     "q85_group_top_fraction" -> ((s, dir) => {
@@ -1941,6 +1950,14 @@ object SparkEntry {
         |  CAST(len(l0.ls) - coalesce(reb.kept, 0) AS BIGINT) AS removed_lines
         |FROM l0 JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q86_shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::UBIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS shuffle_idx
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q85_group_top_fraction" ->
       """WITH r AS (
         |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,

@@ -280,6 +280,52 @@ object Sampling {
       .select(col(groupCol), col(idCol), col(scoreCol), col("rank"))
   }
 
+  /** Distributed global row-number: 1-based position of every row under
+    * `sortCols` — the scalable form of `row_number() OVER (ORDER BY …)`,
+    * which Spark executes as a ONE-partition window. Same idiom as
+    * [[selectByTokenBudget]]: one range exchange (what any global sort
+    * pays), per-range counts → driver prefix offsets, local window +
+    * offset. Ties must be broken by the caller's sortCols (include a
+    * unique id last) or positions are nondeterministic. */
+  def globalRowNumber(df: DataFrame, outCol: String, sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    // lazy checkpoint freezes range boundaries (rdd.id-seeded sampling —
+    // see selectByTokenBudget)
+    val ranked = df
+      .repartitionByRange(p, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = ranked.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty)
+      return df.withColumn(outCol, lit(0L)).limit(0)
+    val offsets: Map[Int, Long] = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    ranked
+      .withColumn(outCol,
+        row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)).cast("long") +
+          element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid")
+  }
+
+  /** Deterministic corpus shuffle for training-order randomization:
+    * every row gets `shuffle_idx` — its position when the corpus is
+    * ordered by a keyed hash — so the "random" order is a pure function
+    * of (key, seed): reproducible across runs/engines/partitioning, and
+    * re-seedable per epoch. Hash is the SQL-replayable md5-60 form
+    * ([[Dedup.md5Hash60]] of key·":"·seed), ties (hash collisions)
+    * broken by key. One range exchange via [[globalRowNumber]] — no
+    * global-window bottleneck, no RNG. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: Long): DataFrame =
+    globalRowNumber(
+      df.withColumn("__h",
+        Dedup.md5Hash60(concat(col(keyCol).cast("string"), lit(":"), lit(seed)))),
+      "shuffle_idx",
+      col("__h").asc, col(keyCol).asc)
+      .drop("__h")
+
   /** Deterministic train/eval/test split: assigns each key to one fold by
     * hash range; folds are disjoint and exhaustive, and a key keeps its
     * fold forever (no leakage across reruns or growing data). `weights`

@@ -58,6 +58,29 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("globalRowNumber assigns exact 1..n positions under the sort order") {
+    val df = (1 to 500).map(i => (i.toLong, ((i * 7919) % 503).toDouble))
+      .toDF("id", "score")
+    val out = Sampling.globalRowNumber(df, "pos", col("score").asc, col("id").asc)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq === (1L to 500L).toSeq)
+    val want = out.sortBy(r => (r._2, r._1)).map(_._1)
+    assert(out.sortBy(_._3).map(_._1).toSeq === want.toSeq)
+  }
+
+  test("deterministicShuffle: same seed reproduces, different seed permutes") {
+    val df = (1 to 400).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    def run(seed: Long, parts: Int) = Sampling.deterministicShuffle(
+        df.repartition(parts), "id", seed)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = run(42L, 4)
+    assert(run(42L, 11) === a) // partition-invariant
+    val b = run(43L, 4)
+    assert(a !== b)
+    assert(a.values.toSeq.sorted === (1L to 400L).toSeq)
+    assert(b.values.toSeq.sorted === (1L to 400L).toSeq)
+  }
+
   test("topFractionPerGroup frac edges: 0 keeps nothing, 1 keeps everything ranked") {
     val zero = Sampling.topFractionPerGroup(frame, "source", "id", "score", 0.0)
     assert(zero.count() === 0L)
