@@ -140,6 +140,59 @@ object SparkEntry {
       s"WHEN $arr[i]='$a' AND $arr[i+1]='$b' THEN ${r + 1}"
     }.mkString("CASE ", " ", " ELSE NULL END")
 
+  /** The q87 oracle: BPE TRAINING replayed in SQL, the `numMerges` rounds
+    * unrolled as chained CTEs. Per round r: `p_r` counts adjacent symbol
+    * pairs over the word table (each position, frequency-weighted), `b_r`
+    * is the argmax with the trainer's tie order (count desc, left, right),
+    * `s_r` re-segments by GREEDY LEFT-TO-RIGHT non-overlapping
+    * replacement — position i merges iff it matches AND the maximal run
+    * of consecutive matches ending at i has odd length (the closed form
+    * of "not consumed by the merge at i−1"), which replays
+    * `TextAnalysis.trainBpeMerges`' scan exactly (and BpeTokenCount's
+    * application convention). */
+  private[graft] def bpeTrainOracleSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT u.p.l AS l, u.p.r AS r, sum(u.f) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)), i ->
+         |      struct_pack(l := syms[i], r := syms[i+1]))) AS p, f
+         |    FROM $prev) u
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r FROM p$r ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |s$r AS (
+         |  SELECT list_filter(list_transform(range(1, len(syms) + 1), i ->
+         |      CASE WHEN mg[i] THEN syms[i] || syms[i+1]
+         |           WHEN i > 1 AND coalesce(mg[i-1], false) THEN NULL
+         |           ELSE syms[i] END), x -> x IS NOT NULL) AS syms, f
+         |  FROM (
+         |    SELECT syms, f,
+         |      list_transform(range(1, len(syms) + 1), i ->
+         |        coalesce(mt[i], false) AND
+         |        ((i - coalesce(list_max(list_filter(range(1, i + 1),
+         |            j -> NOT coalesce(mt[j], true))), 0)) % 2 = 1)) AS mg
+         |    FROM (
+         |      SELECT syms, f,
+         |        list_transform(range(1, len(syms)), i ->
+         |          syms[i] = b.l AND syms[i+1] = b.r) AS mt
+         |      FROM $prev CROSS JOIN b$r b) q1) q2)""".stripMargin
+    }
+    val finalSel = (1 to numMerges)
+      .map(r => s"SELECT $r AS rank, l AS merge_left, r AS merge_right FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS f FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT list_transform(range(1, length(word) + 1),
+       |         i -> word[i:i]) AS syms, f FROM w),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(rank AS BIGINT) AS rank, merge_left, merge_right FROM (
+       |$finalSel
+       |) ORDER BY rank""".stripMargin
+  }
+
   private def lshInputQ25(s: SparkSession, dir: String): DataFrame = {
     val d = T(s, dir, "documents").select("doc_id", "text")
     val mutated = d.filter(col("doc_id") % 10 === 0)
@@ -1054,6 +1107,16 @@ object SparkEntry {
       Dedup.stripDuplicateLines(plantedLines(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ── scale: BPE merge TRAINING — learn the tokenizer's merge table
+    //    from the corpus (oracle: the full training loop replayed in SQL,
+    //    rounds unrolled — pair counts, argmax, greedy re-segmentation) ──
+    "q87_bpe_train" -> ((s, dir) => {
+      TextAnalysis.trainBpeMergesDF(
+          T(s, dir, "documents").select("text"), "text", numMerges = 8)
+        .select(col("rank"), col("left").as("merge_left"),
+          col("right").as("merge_right"))
+        .orderBy("rank")
+    }),
     // ── scale: deterministic training-order shuffle — position is a pure
     //    function of (key, seed) via the SQL-replayable md5-60 hash
     //    (oracle: DuckDB recomputes the hash and the global row_number) ──
@@ -1950,6 +2013,7 @@ object SparkEntry {
         |  CAST(len(l0.ls) - coalesce(reb.kept, 0) AS BIGINT) AS removed_lines
         |FROM l0 JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q87_bpe_train" -> bpeTrainOracleSql(8),
     "q86_shuffle_order" ->
       """WITH h AS (
         |  SELECT doc_id, source,

@@ -153,6 +153,163 @@ object TextAnalysis {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     graft.functions.TextStats.bpe_token_count(text, merges)
 
+  /** Learn a BPE merge table from the corpus — the training twin of
+    * [[bpeTokenCount]] (which APPLIES a given table; q60). Standard
+    * word-level BPE (Sennrich et al. 2016 / the GPT-2 merges.txt model):
+    *
+    *  1. ONE corpus pass collapses everything to the word-frequency
+    *     table — the only corpus-sized computation; at any corpus scale
+    *     training cost is then a function of VOCABULARY size, not tokens.
+    *  2. Per round: count adjacent symbol pairs over the word table
+    *     (each occurrence position counts, weighted by word frequency),
+    *     take the argmax (ties → smaller (left, right), so training is
+    *     deterministic), and re-segment every word by greedy
+    *     left-to-right non-overlapping replacement — the exact
+    *     application semantics of [[graft.functions.BpeTokenCount]], so
+    *     learned tables compose with q60's counter bit-for-bit.
+    *
+    * The word table trains driver-side when it fits (`maxDriverVocab`
+    * rows — the common case even for web-scale corpora; a 100 TB crawl's
+    * word vocabulary is millions, not billions) and otherwise iterates
+    * distributed: per round, a pair-count aggregate over the words frame
+    * plus a fold-HOF re-segmentation, both vocabulary-frame-sized. The
+    * two paths are spec-asserted identical (the distributed fold IS the
+    * greedy scan: a merged symbol never equals the bare left symbol it
+    * replaced unless right is empty, which merges.txt forbids).
+    *
+    * Stops early if no pair occurs ≥ `minPairCount` times. Returns the
+    * merge list in rank order, ready for [[bpeTokenCount]]. */
+  def trainBpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L,
+      maxDriverVocab: Long = 2000000L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val words = df
+      .select(explode(Dedup.tokensCol(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+    val vocab = words.count()
+    if (vocab <= maxDriverVocab)
+      trainDriver(words.collect().map(r => (r.getString(0), r.getLong(1))),
+        numMerges, minPairCount)
+    else trainDistributed(words, numMerges, minPairCount)
+  }
+
+  /** [[trainBpeMerges]] as a gate-able frame: (rank, left, right). */
+  def trainBpeMergesDF(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainBpeMerges(df, textCol, numMerges, minPairCount).zipWithIndex
+      .map { case ((l, r), i) => ((i + 1).toLong, l, r) }
+      .toDF("rank", "left", "right")
+  }
+
+  private def trainDriver(
+      wordFreqs: Array[(String, Long)],
+      numMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    // words as symbol arrays (codepoint-level init, like BpeTokenCount)
+    var words: Array[(Array[String], Long)] = wordFreqs.map { case (w, f) =>
+      val syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val c = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + c)
+        i += c
+      }
+      (syms.toArray, f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) round = numMerges
+      else {
+        val (best, cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (cnt < minPairCount) round = numMerges
+        else {
+          merges += best
+          val (a, b) = best
+          words = words.map { case (syms, f) =>
+            if (syms.length < 2) (syms, f)
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                  out += a + b; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.toArray, f)
+            }
+          }
+          round += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def trainDistributed(
+      words: DataFrame,
+      numMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    // symbols column: codepoint split (regex split on empty with -1 keeps
+    // surrogate pairs intact via codepoint-aware split below)
+    var cur = words.select(
+      split(col("__w"), "(?<!^)(?=.)").as("__syms"), col("__f"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges) {
+      val top = cur
+        .select(explode(zip_with(
+          slice(col("__syms"), lit(1), size(col("__syms")) - 1),
+          slice(col("__syms"), lit(2), size(col("__syms")) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("__p"), col("__f"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__f")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) round = numMerges
+      else {
+        val a = top(0).getString(0); val b = top(0).getString(1)
+        merges += ((a, b))
+        // greedy left-to-right replacement as a left fold: append each
+        // symbol, but if the accumulator ends in `a` (un-merged this
+        // round) and the next symbol is `b`, replace that tail with a+b.
+        // Guard __m marks whether the tail `a` was itself just formed by
+        // this round's merge (a+b == a only if b is empty — impossible),
+        // so plain equality on the tail is exactly the scan semantics.
+        val next = cur.select(
+          aggregate(col("__syms"),
+            array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))).as("__syms"),
+          col("__f"))
+          .localCheckpoint(true)
+        cur.unpersist()
+        cur = next
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Parse a standard `merges.txt`: one "left right" pair per line, rank
     * = line order; blank lines and the `#version` header line skipped
     * (GPT-2's convention). ONLY `#version` is treated as a header —
