@@ -1107,6 +1107,27 @@ object SparkEntry {
       Dedup.stripDuplicateLines(plantedLines(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ── scale: cross-source contamination matrix — which sources share
+    //    near-duplicate content (q25's pair machinery + source rollup;
+    //    oracle: brute-force true pairs joined to sources) ───────────────
+    "q88_cross_source_dups" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupPairs(lshInputQ25(s, dir), "doc_id",
+        "text", shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
+      // planted ids (+100000) inherit their original doc's source
+      val src = T(s, dir, "documents")
+        .select(col("doc_id").as("__key"), col("source"))
+      def side(out: String) =
+        Ops.broadcastIfSmall(src.select(col("__key"), col("source").as(out)))
+      pairs
+        .join(side("src_a"), col("id_a") % 100000 === col("__key"))
+        .drop("__key")
+        .join(side("src_b"), col("id_b") % 100000 === col("__key"))
+        .drop("__key")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
     // ── scale: BPE merge TRAINING — learn the tokenizer's merge table
     //    from the corpus (oracle: the full training loop replayed in SQL,
     //    rounds unrolled — pair counts, argmax, greedy re-segmentation) ──
@@ -2014,6 +2035,29 @@ object SparkEntry {
         |FROM l0 JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q87_bpe_train" -> bpeTrainOracleSql(8),
+    "q88_cross_source_dups" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u)),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+         |q AS (SELECT id_a, id_b FROM p WHERE j >= 0.55),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |  greatest(sa.source, sb.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM q
+         |JOIN s sa ON q.id_a % 100000 = sa.doc_id
+         |JOIN s sb ON q.id_b % 100000 = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "q86_shuffle_order" ->
       """WITH h AS (
         |  SELECT doc_id, source,
