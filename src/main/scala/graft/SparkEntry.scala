@@ -1132,8 +1132,13 @@ object SparkEntry {
     //    from the corpus (oracle: the full training loop replayed in SQL,
     //    rounds unrolled — pair counts, argmax, greedy re-segmentation) ──
     "q87_bpe_train" -> ((s, dir) => {
+      // minPairCount = 1: the SQL oracle keeps merging while ANY pair
+      // exists, so the Scala side must not stop early at the default
+      // floor of 2 (irrelevant on this corpus, but the two sides must
+      // share the stopping rule by construction, not by data)
       TextAnalysis.trainBpeMergesDF(
-          T(s, dir, "documents").select("text"), "text", numMerges = 8)
+          T(s, dir, "documents").select("text"), "text", numMerges = 8,
+          minPairCount = 1L)
         .select(col("rank"), col("left").as("merge_left"),
           col("right").as("merge_right"))
         .orderBy("rank")

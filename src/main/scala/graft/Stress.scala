@@ -223,8 +223,16 @@ object Stress {
       fs.delete(root, true)
     }
 
-    val events0 = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same ts normalization as SparkEntry.T: long nanos (legacy config) OR
+    // TIMESTAMP_NTZ (regenerated micros parquet) → TimestampType
+    val eventsRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val events0 = eventsRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        eventsRaw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => eventsRaw
+    }
     val events = replicate(events0, "event_id", 1000000000L)
     println(s"[stress] events: ${events.count()} rows")
     time(s"sessionize ${factor}x") {
@@ -321,6 +329,47 @@ object Stress {
       println("[stress]   rows=" + Bench.force(docsTail.select(col("doc_id"),
         TextAnalysis.normalizeText(col("text")).as("clean"),
         TextAnalysis.hashedLinearScore(col("text"), w, bias = 0.25).as("score"))))
+    }
+    // ── ranking tier: vocabulary-bounded aggregates over the corpus ────
+    // tf-idf keyword extraction: the (id, term) aggregate is the linear
+    // part; document frequencies stay vocabulary-sized at any factor
+    time(s"topKeywords ${factor}x (k=3)") {
+      val d = docsTail.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(7))))
+      println("[stress]   rows=" + Bench.force(
+        Ranking.topKeywords(d, "doc_id", "text", k = 3)))
+    }
+    // bm25: only query-term rows shuffle — cost must track the scan, not
+    // the aggregate, as factor grows
+    time(s"bm25 3-term query ${factor}x") {
+      println("[stress]   scored=" + Bench.force(
+        Ranking.bm25(docsTail, "doc_id", "text", Seq("join", "merge", "filter"))))
+    }
+    // per-group percentile: one range exchange; offsets frame is
+    // (ranges × groups), driver-small at any factor
+    time(s"topFractionPerGroup ${factor}x (7 groups, frac 0.3)") {
+      val d = docsTail.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(7))).as("source"),
+        col("doc_id"), length(col("text")).cast("double").as("score"))
+      println("[stress]   kept=" + Bench.force(
+        Sampling.topFractionPerGroup(d, "source", "doc_id", "score", 0.3)))
+    }
+    // deterministic shuffle: one range exchange + per-range counts
+    time(s"deterministicShuffle ${factor}x") {
+      println("[stress]   rows=" + Bench.force(
+        Sampling.deterministicShuffle(docsTail.select("doc_id"), "doc_id", 7L)))
+    }
+    // BPE training: corpus collapses to the word table in one pass;
+    // rounds are vocabulary-sized, so wall time must be ~flat in factor
+    // beyond the initial scan
+    time(s"trainBpeMerges ${factor}x (8 rounds, driver path)") {
+      val m = TextAnalysis.trainBpeMerges(docsTail, "text", numMerges = 8)
+      println("[stress]   merges=" + m.size)
+    }
+    time(s"trainBpeMerges ${factor}x (8 rounds, forced distributed)") {
+      val m = TextAnalysis.trainBpeMerges(docsTail, "text", numMerges = 8,
+        maxDriverVocab = 0L)
+      println("[stress]   merges=" + m.size)
     }
     docsTail.unpersist()
     spark.stop()

@@ -233,10 +233,10 @@ object Dedup {
       df.groupBy(bucketCols.map(col): _*)
         .agg(collect_list(col(idCol)).as("__members"))
         .filter(size(col("__members")) >= 2)
-        .select(explode(
-          graft.functions.BucketPairs.bucket_pairs(col("__members"), maxBucketSize))
-          .as("__p"))
-        .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+        // streaming generator, not an array expression: a dense bucket's
+        // ~m²/2 pairs must never materialize as one value
+        .select(graft.functions.BucketPairs
+          .bucket_pairs(col("__members"), maxBucketSize).as(Seq("id_a", "id_b")))
         .distinct()
     } else relationalCandidatePairs(df, bucketCols, idCol, maxBucketSize)
   }
@@ -637,10 +637,9 @@ object Dedup {
         chunked0.groupBy(col("chunk"), col("chunk_val"))
           .agg(collect_list(struct(col(idCol), col("__sig"))).as("__members"))
           .filter(size(col("__members")) >= 2)
-          .select(explode(graft.functions.BucketPairs.hamming_bucket_pairs(
-            col("__members"), maxBucketSize, maxDist)).as("__p"))
-          .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
-            col("__p.hamming").cast(IntegerType).as("hamming"))
+          .select(graft.functions.BucketPairs.hamming_bucket_pairs(
+            col("__members"), maxBucketSize, maxDist)
+            .as(Seq("id_a", "id_b", "hamming")))
           .distinct()
       } else {
         val chunked = capBuckets(chunked0, Seq("chunk", "chunk_val"), idCol, maxBucketSize)
@@ -682,10 +681,17 @@ object Dedup {
   /** Exact cosine for (id_a, id_b) candidate pairs: the corpus is pruned
     * to the docs the pairs reference (size-gated broadcast semi-join, same
     * shape as [[jaccardForPairs]]) before vectors are joined in — scoring
-    * P pairs on an N-doc corpus touches ≤ 2P vectors, never N. */
+    * P pairs on an N-doc corpus touches ≤ 2P vectors, never N. For the
+    * SPARSE-pair regime only (pairs ≪ corpus — LSH candidates on deduped
+    * data); dense within-cluster scoring belongs in a streamed self-join
+    * (see semanticDupPairs). The pairs frame is checkpointed first so the
+    * broadcast size gates below see REAL sizes — optimizer estimates
+    * downstream of a pair generator are meaningless, and a false-positive
+    * broadcast of a huge pair list is a driver OOM (20× stress lesson). */
   def cosineForPairs(
-      df: DataFrame, pairs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      df: DataFrame, pairs0: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorOps.{vector_dot, vector_norm}
+    val pairs = pairs0.localCheckpoint(true)
     // no distinct: a left-semi probe tolerates duplicate build keys, and
     // the dedup would cost an exchange of its own
     val pairIds = pairs.select(col("id_a").as(idCol))
@@ -911,17 +917,28 @@ object Dedup {
       tau: Double = 0.95,
       maxClusterSize: Int = 100000,
       seedHash: Column => Column = xxhash64(_)): DataFrame = {
+    import graft.functions.VectorOps.{vector_dot, vector_norm}
     val nc = if (numCentroids == Similarity.AutoCentroids)
       semDedupAutoCentroids(df.count()) else numCentroids
     val (_, assigned) = Similarity.ivfIndex(
       df.select(col(idCol), col(vecCol)), idCol, vecCol, nc, seedHash)
-    // same fused candidate shape as embeddingNearDupPairs: the cluster
-    // exchange carries only (centroid_id, id); vectors join in only for
-    // docs that appear in a within-cluster pair
-    val pairs = bucketCandidatePairs(
-      assigned.select(col(idCol), col("centroid_id")),
+    // DENSE-pair regime — deliberately NOT the key-width candidate shape
+    // used by embeddingNearDupPairs: SemDeDup's contract is ~(n/k)² cosine
+    // comparisons per cluster (the paper's accepted quadratic term), so
+    // "pairs ≪ corpus" does not hold and a materialized pair list +
+    // vector lookup regresses to corpus-scale state (the 20× stress
+    // proved it). The within-cluster self-join STREAMS the quadratic
+    // work: one cluster-keyed exchange carrying vectors, cosine computed
+    // and filtered inline, only surviving pairs ever become rows.
+    val sig = capBuckets(assigned.withColumn("__n", vector_norm(col(vecCol))),
       Seq("centroid_id"), idCol, maxClusterSize)
-    cosineForPairs(df, pairs, idCol, vecCol)
+    val a = sig.select(col("centroid_id"), col("__sub"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = sig.select(col("centroid_id"), col("__sub"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("centroid_id", "__sub")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vector_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
       .filter(col("cosine") >= tau)
   }
 

@@ -277,9 +277,9 @@ class RoundTripSpec extends SparkSpec {
       if d <= 64
     } yield (ia, ib, d)).toSet
     val got = Seq(members).toDF("m")
-      .select(explode(graft.functions.BucketPairs.hamming_bucket_pairs(
-        col("m").cast("array<struct<id:long,sig:long>>"), cap, 64)).as("p"))
-      .select("p.id_a", "p.id_b", "p.hamming")
+      .select(graft.functions.BucketPairs.hamming_bucket_pairs(
+        col("m").cast("array<struct<id:long,sig:long>>"), cap, 64)
+        .as(Seq("id_a", "id_b", "hamming")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === ref)
     assert(got.nonEmpty && got.size < members.size * (members.size - 1) / 2) // cap dropped cross-sub pairs
