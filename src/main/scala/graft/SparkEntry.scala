@@ -1107,6 +1107,18 @@ object SparkEntry {
       Dedup.stripDuplicateLines(plantedLines(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ── scale: per-group percentile-rank normalization — score → its
+    //    percentile within its source (oracle: DuckDB row_number + count
+    //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    "q89_group_pct_rank" -> ((s, dir) => {
+      Sampling.percentRankPerGroup(
+          T(s, dir, "documents").select(col("source"), col("doc_id"),
+            col("n_chars").cast("double").as("score")),
+          "source", "doc_id", "score")
+        .select(col("source"), col("doc_id"), col("score"), col("rank"),
+          round(col("pct"), 6).as("pct"))
+        .orderBy("source", "rank")
+    }),
     // ── scale: cross-source contamination matrix — which sources share
     //    near-duplicate content (q25's pair machinery + source rollup;
     //    oracle: brute-force true pairs joined to sources) ───────────────
@@ -2040,6 +2052,17 @@ object SparkEntry {
         |FROM l0 JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q87_bpe_train" -> bpeTrainOracleSql(8),
+    "q89_group_pct_rank" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rank,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, doc_id, score, CAST(rank AS BIGINT) AS rank,
+        |  CASE WHEN n = 1 THEN 0.0
+        |       ELSE round((rank - 1) * 1.0 / (n - 1), 6) END AS pct
+        |FROM r ORDER BY source, rank""".stripMargin,
     "q88_cross_source_dups" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents

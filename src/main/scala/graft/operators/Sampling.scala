@@ -280,6 +280,29 @@ object Sampling {
       .select(col(groupCol), col(idCol), col(scoreCol), col("rank"))
   }
 
+  /** Per-group percentile-rank normalization: every row's score becomes
+    * its percentile within its own group — `pct = (pos − 1) / (n_g − 1)`
+    * in [0, 1], 0 = the group's best under (score desc, id asc) — the
+    * calibration step before cross-source thresholding ("drop below the
+    * 80th percentile OF EACH SOURCE"; raw score cuts would judge every
+    * source on the dominant source's scale). Positions are row_number
+    * semantics with ties broken by id (deterministic and replayable),
+    * not rank-with-gaps. Singleton groups get pct 0. Same scale shape as
+    * [[topFractionPerGroup]] (it IS that machinery at frac = 1 plus a
+    * group-size join — group sizes are group-cardinality-small and
+    * broadcast size-gated). */
+  def percentRankPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, partitions: Int = 0): DataFrame = {
+    val ranked = topFractionPerGroup(df, groupCol, idCol, scoreCol,
+      frac = 1.0, partitions = partitions)
+    val sizes = ranked.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    ranked.join(Ops.broadcastIfSmall(sizes), Seq(groupCol))
+      .withColumn("pct",
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("rank") - 1).cast("double") / (col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Distributed global row-number: 1-based position of every row under
     * `sortCols` — the scalable form of `row_number() OVER (ORDER BY …)`,
     * which Spark executes as a ONE-partition window. Same idiom as

@@ -58,6 +58,21 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("percentRankPerGroup: 0 for each group's best, 1 for its worst, id ties") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
+      ("b", 5L, 7.0), ("b", 6L, 3.0),
+      ("c", 7L, 9.0)).toDF("source", "id", "score")
+    val out = Sampling.percentRankPerGroup(df, "source", "id", "score")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) === 1.0 / 3.0) // tie with id 3 broken by id asc
+    assert(out(3L) === 2.0 / 3.0)
+    assert(out(4L) === 1.0)
+    assert(out(5L) === 0.0 && out(6L) === 1.0)
+    assert(out(7L) === 0.0) // singleton group
+  }
+
   test("globalRowNumber assigns exact 1..n positions under the sort order") {
     val df = (1 to 500).map(i => (i.toLong, ((i * 7919) % 503).toDouble))
       .toDF("id", "score")
