@@ -1107,6 +1107,62 @@ object SparkEntry {
       Dedup.stripDuplicateLines(plantedLines(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ── scale: Count-Min-sketch heavy hitters — bounded-memory term
+    //    frequency estimation (d×w counter grid; est ≥ cnt always);
+    //    threshold = 1/30 of total token mass (oracle: DuckDB replays
+    //    every md5-bucketed cell and the min-over-rows estimate) ─────────
+    "q90_cms_heavy_hitters" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("text")
+      // single driver-side scalar (same idiom as tfidf's nDocs): the
+      // heavy-hitter cut is a fraction of total token mass
+      val total = d.select(explode(Dedup.tokensCol(col("text"))).as("t"))
+        .filter(col("t") =!= "").count()
+      Sketches.cmsHeavyHitters(d, "text", depth = 4, width = 1024,
+          minCount = total / 30)
+        .orderBy("term")
+    }),
+    // ── scale: DSIR importance weights — hashed-bigram log-likelihood
+    //    ratio of every doc against the src0 target sample (oracle: DuckDB
+    //    replays bucket hashing, smoothing, and the bucket-sorted fold) ──
+    "q91_importance_weights" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Importance.importanceWeights(
+          d.select("doc_id", "text"),
+          d.filter(col("source") === "src0").select("text"),
+          "doc_id", "text", buckets = 4096, alpha = 0.5)
+        .select(col("doc_id"), round(col("logw"), 6).as("logw"))
+        .orderBy("doc_id")
+    }),
+    // ── scale: hybrid retrieval — BM25 + embedding-cosine candidates
+    //    fused by reciprocal-rank (oracle: DuckDB replays both rankers
+    //    with the term-sorted bm25 fold and the 1/(60+rank) fusion) ──────
+    "q92_hybrid_rrf" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val e = T(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble).toSeq
+      Ranking.hybridSearch(d, "doc_id", "text", e, "vec_id", "embedding",
+          Seq("join", "merge", "filter"), qv,
+          candidates = 50, k0 = 60, topK = 20)
+        .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+          round(col("rrf"), 6).as("rrf"), col("rank"))
+        .orderBy("rank")
+    }),
+    // ── scale: containment dedup — verbatim quotes/subsets whose overlap
+    //    coefficient ≥ 0.9 though their Jaccard is tiny; every 7th doc
+    //    plants a 25-token quote (oracle: DuckDB brute-forces every pair's
+    //    |A∩B|/min(|A|,|B|)) ─────────────────────────────────────────────
+    "q93_containment" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val quotes = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(Dedup.tokensCol(col("text")), 1, 25)).as("text"))
+      Dedup.containmentPairs(d.unionByName(quotes), "doc_id", "text",
+          shingleSize = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
@@ -2052,6 +2108,115 @@ object SparkEntry {
         |FROM l0 JOIN aff USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q87_bpe_train" -> bpeTrainOracleSql(8),
+    "q90_cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |       WHERE term <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) // 30 AS mc FROM tf),
+        |hrow AS (SELECT unnest(range(4)) AS r),
+        |cells AS (
+        |  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 15))::UBIGINT
+        |      % 1024 AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM tf CROSS JOIN hrow GROUP BY 1, 2),
+        |est AS (
+        |  SELECT tf.term, tf.cnt, min(c.c) AS est
+        |  FROM tf CROSS JOIN hrow r
+        |  JOIN cells c ON c.r = r.r
+        |    AND c.bucket = ('0x' || substr(md5(r.r::VARCHAR || ':' || tf.term), 1, 15))::UBIGINT % 1024
+        |  GROUP BY 1, 2)
+        |SELECT term, cnt, CAST(est AS BIGINT) AS est
+        |FROM est, tot WHERE est >= tot.mc ORDER BY term""".stripMargin,
+    "q91_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+        |  FROM toks WHERE len(t) >= 2),
+        |fb AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(f), 1, 15))::UBIGINT % 4096 AS bucket FROM bg),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
+        |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM fb
+        |       WHERE source = 'src0' GROUP BY 1),
+        |j AS (SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+        |        coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+        |      FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket),
+        |tots AS (SELECT CAST(sum(ct) AS BIGINT) AS st, CAST(sum(cr) AS BIGINT) AS sr
+        |         FROM j),
+        |w AS (SELECT bucket,
+        |        ln(ct + 0.5) - ln(st + 2048.0) - ln(cr + 0.5) + ln(sr + 2048.0) AS w
+        |      FROM j, tots),
+        |db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM fb GROUP BY 1, 2),
+        |sc AS (SELECT db.doc_id, db.bucket, db.cnt * w.w AS c
+        |       FROM db JOIN w USING (bucket))
+        |SELECT doc_id,
+        |  round(list_reduce(list(c ORDER BY bucket), (a, b) -> a + b), 6) AS logw
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q92_hybrid_rrf" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t0),
+        |t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t0),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+        |       WHERE term IN ('join', 'merge', 'filter') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id, tf.term,
+        |        ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |          * tf.tf * 2.2
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS c
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN st),
+        |bm AS (SELECT doc_id,
+        |         list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS bm
+        |       FROM c GROUP BY doc_id),
+        |lex AS (SELECT doc_id, CAST(row_number()
+        |          OVER (ORDER BY bm DESC, doc_id) AS INTEGER) AS rank_lex
+        |        FROM bm QUALIFY rank_lex <= 50),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |       WHERE vec_id = 0),
+        |sem0 AS (SELECT vec_id AS doc_id,
+        |           list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.v) AS cs
+        |         FROM embeddings, qv),
+        |sem AS (SELECT doc_id, CAST(row_number()
+        |          OVER (ORDER BY cs DESC, doc_id) AS INTEGER) AS rank_sem
+        |        FROM sem0 QUALIFY rank_sem <= 50),
+        |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+        |        coalesce(1.0 / (60 + rank_lex), 0) + coalesce(1.0 / (60 + rank_sem), 0)
+        |          AS rrf
+        |      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+        |FROM f QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+    "q93_containment" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    array_to_string(string_split_regex(trim(lower(text)), '\\s+')[1:25], ' ')
+         |      AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM u)),
+         |p AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, len(a.sh) AS na, len(b.sh) AS nb,
+         |    len(list_intersect(a.sh, b.sh)) AS inter
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+         |q AS (
+         |  SELECT CASE WHEN na < nb THEN ia WHEN nb < na THEN ib
+         |           ELSE least(ia, ib) END AS id_a,
+         |    CASE WHEN na < nb THEN ib WHEN nb < na THEN ia
+         |      ELSE greatest(ia, ib) END AS id_b,
+         |    inter * 1.0 / least(na, nb) AS containment
+         |  FROM p)
+         |SELECT id_a, id_b, round(containment, 6) AS containment FROM q
+         |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q89_group_pct_rank" ->
       """WITH r AS (
         |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,

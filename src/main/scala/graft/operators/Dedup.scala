@@ -164,17 +164,89 @@ object Dedup {
 
   /** Exact jaccard for candidate pairs from hashed shingle rows. */
   private[graft] def jaccardFromShingleHashes(
-      hashed: DataFrame, pairs: DataFrame): DataFrame = {
+      hashed: DataFrame, pairs: DataFrame): DataFrame =
+    pairOverlapCounts(hashed, pairs)
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+
+  /** Shared-shingle counts with both set sizes for candidate pairs:
+    * (id_a, id_b, inter, n_a, n_b) from hashed shingle rows — the common
+    * core of Jaccard and containment scoring. */
+  private def pairOverlapCounts(hashed: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = hashed.groupBy(col(hashed.columns.head)).agg(count("*").as("__n"))
     val shA = hashed.toDF("id_a", "sh")
     val shB = hashed.toDF("id_b", "sh")
-    val inter = pairs.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
+    pairs.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count("*").as("inter"))
-    inter
       .join(sizes.toDF("id_a", "n_a"), "id_a")
       .join(sizes.toDF("id_b", "n_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+
+  /** Near-containment pairs by overlap coefficient |A∩B| / min(|A|,|B|) —
+    * the quote/subset-extraction dedup case Jaccard-gated near-dup MISSES:
+    * a 25-token quote lifted verbatim from a 500-token document has
+    * containment 1.0 but Jaccard ≈ 0.05, far below any near-dup threshold.
+    *
+    * Shape: an exact shingle INVERTED-INDEX join (minhash bands estimate
+    * Jaccard, not containment, so LSH would re-introduce exactly the miss
+    * this operator exists to close), SINGLE-PHASE: the per-pair shared
+    * count IS the (id_a, id_b) aggregate of the index self-join — no
+    * candidate materialization, no per-candidate re-join (the two-phase
+    * candidates-then-verify shape pays the whole join mass AGAIN against
+    * the shingle rows; measured 4× slower on a dense index). Set sizes
+    * join back key-only, size-gated.
+    *
+    * The inherent cost is Σ_shingle df² join rows. `maxShingleDf` bounds
+    * it at df·maxShingleDf by dropping shingles indexed by more docs than
+    * the cap ("stop shingles" — web boilerplate). Sizes are computed AFTER
+    * the drop, so numerator and denominator stay consistent: semantics are
+    * exact containment over the non-ubiquitous shingle space — identical
+    * to brute force whenever no shingle exceeds the cap, and deliberately
+    * blind to boilerplate-only overlap beyond it (the trade to document:
+    * a quote made ENTIRELY of stop shingles is not flagged).
+    *
+    * Output (id_a = contained/smaller set, id_b = container): pairs with
+    * |A| < |B|, or id_a < id_b when sizes tie; `containment` ≥ threshold.
+    * Docs shorter than `shingleSize` tokens carry the family's single
+    * whole-doc pseudo-shingle ([[graft.functions.WordShingles]]), so two
+    * identical short docs still pair; a short doc never "contains" a
+    * longer one (a full n-gram can't equal a shorter join). */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9,
+      maxShingleDf: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val hashed = shingleRows(df, idCol, textCol, shingleSize)
+      .select(col(idCol), xxhash64(col("__sh")).as("__sh"))
+      .distinct()
+    // stop-shingle drop: the hot list is tiny (usually empty) → broadcast
+    // anti-join, never a full df-count join against the index
+    val hot = hashed.groupBy("__sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf).select("__sh")
+    val kept = hashed.join(Ops.broadcastIfSmall(hot), Seq("__sh"), "left_anti")
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = kept.select(col("__sh"), col(idCol).as("id_a"))
+      .join(kept.select(col("__sh"), col(idCol).as("id_b")), "__sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(Ops.broadcastIfSmall(sizes.toDF("id_a", "n_a")), "id_a")
+      .join(Ops.broadcastIfSmall(sizes.toDF("id_b", "n_b")), "id_b")
+      .select(
+        when(col("n_a") < col("n_b"), col("id_a"))
+          .when(col("n_b") < col("n_a"), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))).as("id_small"),
+        when(col("n_a") < col("n_b"), col("id_b"))
+          .when(col("n_b") < col("n_a"), col("id_a"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("id_large"),
+        (col("inter") / least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_small").as("id_a"), col("id_large").as("id_b"),
+        col("containment"))
   }
 
   /** Hot-bucket cap for LSH candidate generation: a degenerate bucket with

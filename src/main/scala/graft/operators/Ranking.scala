@@ -110,4 +110,59 @@ object Ranking {
         aggregate(col("__cs"), lit(0.0), (acc, x) => acc + x.getField("__c"))
           .as("bm25"))
   }
+
+  /** Rank the top `n` rows of `scored` by (`scoreCol` desc, id asc) as
+    * (id, rank). The global top-n runs as TakeOrderedAndProject (a
+    * per-partition heap + driver merge — never a full sort), and the
+    * row_number window then orders a frame already bounded at `n` rows,
+    * so the single-partition window is O(n), not O(corpus). */
+  private def topNRanks(scored: DataFrame, idCol: String, scoreCol: String,
+      n: Int, rankName: String): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(n)
+      .withColumn(rankName, row_number().over(w))
+      .select(col(idCol), col(rankName))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of independently ranked
+    * candidate lists: score(d) = Σ_lists 1/(k0 + rank_list(d)), summed over
+    * the lists that retrieved d. Input frames are (idCol, <rankCol>) with
+    * distinct ids; output is the fused top-`topK` as (id, rank-columns…,
+    * rrf, rank) — absent ranks stay null and contribute 0. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k0: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 > 0, s"k0 must be positive, got $k0")
+    val joined = lists.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rankCols = joined.columns.filterNot(_ == idCol)
+    val rrf = rankCols.map(c =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col(c)), lit(0.0)))
+      .reduce(_ + _)
+    topNRanks(joined.withColumn("rrf", rrf), idCol, "rrf", topK, "rank")
+      .join(joined, Seq(idCol))
+      .withColumn("rrf", rrf)
+      .select((col(idCol) +: rankCols.toSeq.map(col)) :+ col("rrf") :+ col("rank"): _*)
+  }
+
+  /** Hybrid retrieval: BM25 over `queryTerms` fused with cosine similarity
+    * to `queryVec` via RRF — the standard lexical+semantic corpus-slicing
+    * combination. Each side prunes to its own top-`candidates` BEFORE
+    * fusion (TakeOrderedAndProject — no global sort, no corpus-wide
+    * window); the fused frame is ≤ 2·candidates rows. `docs` and
+    * `embeddings` join only within that candidate set. */
+  def hybridSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, vecIdCol: String, vecCol: String,
+      queryTerms: Seq[String], queryVec: Seq[Double],
+      candidates: Int = 50, k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(queryVec.nonEmpty, "queryVec must be non-empty")
+    val lex = topNRanks(bm25(docs, idCol, textCol, queryTerms),
+      idCol, "bm25", candidates, "rank_lex")
+    val qv = array(queryVec.map(lit): _*)
+    val sem = topNRanks(
+      embeddings.select(col(vecIdCol).as(idCol),
+        Similarity.cosine(col(vecCol), qv).as("__cos")),
+      idCol, "__cos", candidates, "rank_sem")
+    rrfFuse(Seq(lex, sem), idCol, k0, topK)
+  }
 }

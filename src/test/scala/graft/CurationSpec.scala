@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators.{Dedup, Importance, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Round-8 curation extensions: Count-Min sketch, DSIR importance
+  * weighting, and containment (overlap-coefficient) dedup. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── Count-Min sketch ───────────────────────────────────────────────────
+
+  private val cmsDocs = Seq(
+    (1L, "cat cat cat dog"),
+    (2L, "cat dog mouse"),
+    (3L, "cat mouse")).toDF("doc_id", "text")
+
+  test("cms estimate never under-counts and is exact in a wide sketch") {
+    val tf = Sketches.termCounts(cmsDocs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tf === Map("cat" -> 5L, "dog" -> 2L, "mouse" -> 2L))
+    // width 4096 over 3 terms: collisions are (3 choose 2)·4/4096-unlikely,
+    // and with depth 4 the MIN over rows is exact unless every row collides
+    val est = Sketches.cmsHeavyHitters(cmsDocs, "text",
+        depth = 4, width = 4096, minCount = 0L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    est.foreach { case (term, (cnt, e)) =>
+      assert(cnt === tf(term)); assert(e === cnt, s"wide sketch inexact for $term")
+    }
+  }
+
+  test("cms in a degenerate 1-cell sketch estimates the total for every term") {
+    // width=1, depth=1: every term shares the one counter → est = Σ counts
+    val out = Sketches.cmsHeavyHitters(cmsDocs, "text",
+        depth = 1, width = 1, minCount = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.values.toSet === Set(9L))
+    // …and est ≥ cnt holds by construction even here
+  }
+
+  test("cms unseen term estimates 0; heavy-hitter threshold filters") {
+    val tf = Sketches.termCounts(cmsDocs, "text")
+    val sketch = Sketches.cmsSketch(tf, "term", "cnt", depth = 4, width = 4096)
+    val probe = Seq("cat", "zebra").toDF("term")
+    val est = Sketches.cmsEstimate(sketch, probe, "term", depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("cat") === 5L)
+    assert(est("zebra") === 0L)
+    val hh = Sketches.cmsHeavyHitters(cmsDocs, "text", 4, 4096, minCount = 3L)
+      .collect().map(_.getString(0)).toSet
+    assert(hh === Set("cat"))
+  }
+
+  // ── DSIR importance weighting ──────────────────────────────────────────
+
+  test("bigram features: n−1 bigrams, empty below 2 tokens") {
+    val got = Seq("a b c d", "solo", "", "  x  y ").toDF("t")
+      .select(Importance.bigramsCol(col("t")).as("b"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) === List("a b", "b c", "c d"))
+    assert(got(1) === Nil)
+    assert(got(2) === Nil)
+    assert(got(3) === List("x y"))
+  }
+
+  test("importance weights match the closed form in the 1-bucket sketch") {
+    // B=1: every feature lands in bucket 0, so t=T, r=R and
+    // w = ln(T+α) − ln(T+α·1) − ln(R+α) + ln(R+α·1) = 0 exactly —
+    // logw(doc) = cnt·0 = 0 for every doc with ≥1 bigram
+    val raw = Seq((1L, "a b c"), (2L, "d e")).toDF("id", "text")
+    val target = Seq(Tuple1("a b")).toDF("text")
+    val out = Importance.importanceWeights(raw, target, "id", "text",
+        buckets = 1, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L))
+    out.values.foreach(v => assert(math.abs(v) < 1e-12))
+  }
+
+  test("importance weights pull target-like docs above off-target docs") {
+    val raw = Seq(
+      (1L, "cat purrs softly cat purrs softly"),
+      (2L, "dog barks loudly dog barks loudly"),
+      (3L, "cat purrs softly dog barks loudly")).toDF("id", "text")
+    val target = Seq(Tuple1("cat purrs softly cat purrs")).toDF("text")
+    val w = Importance.importanceWeights(raw, target, "id", "text",
+        buckets = 1 << 13, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"expected cat > mixed > dog, got $w")
+  }
+
+  test("importance weights are invariant under repartitioning") {
+    val raw = (1 to 300).map(i =>
+      (i.toLong, s"alpha beta gamma t$i delta " * (i % 4 + 1))).toDF("id", "text")
+    val target = raw.filter(col("id") % 5 === 0).select("text")
+    def run(parts: Int) =
+      Importance.importanceWeights(raw.repartition(parts), target, "id", "text",
+          buckets = 64, alpha = 0.5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(2); val b = run(7)
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(v === b(k), s"doc $k drifted") }
+  }
+
+  test("docs without bigrams are absent from the weight frame") {
+    val raw = Seq((1L, "two tokens"), (2L, "one")).toDF("id", "text")
+    val target = Seq(Tuple1("two tokens")).toDF("text")
+    val ids = Importance.importanceWeights(raw, target, "id", "text",
+      buckets = 16, alpha = 0.5).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
+  // ── Containment (overlap-coefficient) dedup ────────────────────────────
+
+  private val quoteDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+    (2L, "the quick brown fox jumps"),   // strict prefix of 1 → containment 1
+    (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+
+  test("containment flags a verbatim quote its Jaccard would miss") {
+    val out = Dedup.containmentPairs(quoteDocs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toList === List((2L, 1L, 1.0)), s"got ${out.toList}")
+    // the same pair under Jaccard: 3 shared of 9∪3 → 1/3, below any
+    // near-dup threshold — the case this operator exists for
+    val j = Dedup.jaccardForPairs(quoteDocs,
+        Seq((1L, 2L)).toDF("id_a", "id_b"), "doc_id", "text", shingleSize = 3)
+      .collect()(0).getDouble(2)
+    assert(math.abs(j - 3.0 / 9.0) < 1e-12)
+  }
+
+  test("containment respects the threshold and orients smaller-set first") {
+    // doc 5 shares 2 of its 3 shingles with doc 4 → containment 2/3
+    val docs = Seq(
+      (4L, "a b c d e f"),
+      (5L, "a b c d x")).toDF("doc_id", "text")
+    val strict = Dedup.containmentPairs(docs, "doc_id", "text", 3, threshold = 0.9)
+    assert(strict.count() === 0)
+    val loose = Dedup.containmentPairs(docs, "doc_id", "text", 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(loose.toList === List((5L, 4L, 2.0 / 3.0)))
+  }
+
+  test("identical shingle sets orient by id; sub-shingle docs never pair") {
+    val docs = Seq(
+      (7L, "x y z w"),
+      (6L, "x y z w"),      // same shingles as 7 → tie broken by id
+      (8L, "too short")).toDF("doc_id", "text")  // < 3 tokens: no shingles
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toList === List((6L, 7L, 1.0)))
+  }
+}

@@ -64,4 +64,42 @@ class RankingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a === b) // bit-identical, not approximately equal
   }
+
+  test("rrfFuse sums reciprocal ranks, nulls contribute zero, id breaks ties") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank_lex")
+    val sem = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank_sem")
+    val out = Ranking.rrfFuse(Seq(lex, sem), "id", k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getInt(4)))
+    // 10 and 20 tie exactly (1/61 + 1/62 both ways) → id asc decides
+    val s12 = 1.0 / 61 + 1.0 / 62
+    assert(out(0) === ((10L, s12, 1)))
+    assert(out(1) === ((20L, s12, 2)))
+    // 30 and 40 appear in one list each: same 1/63 → id asc
+    assert(out(2) === ((30L, 1.0 / 63, 3)))
+    assert(out(3) === ((40L, 1.0 / 63, 4)))
+  }
+
+  test("hybridSearch fuses bm25 and cosine candidates") {
+    val docs = Seq(
+      (1L, "spark join optimizer"),
+      (2L, "join join join"),
+      (3L, "unrelated prose entirely")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Ranking.hybridSearch(docs, "doc_id", "text",
+        emb, "vec_id", "embedding",
+        queryTerms = Seq("join"), queryVec = Seq(1.0, 0.0),
+        candidates = 3, k0 = 60, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toList
+    // lexical ranks: 2 (3×join) then 1; semantic ranks: 1 (cos 1) then 3
+    // fused: doc1 = 1/62+1/61, doc2 = 1/61+0? no — doc2 has cos 0 → sem
+    // rank 3 of 3 candidates; doc3 sem rank 2, no lex match
+    // doc1: lex 2, sem 1 → 1/62 + 1/61 ≈ .03280
+    // doc2: lex 1, sem 3 → 1/61 + 1/63 ≈ .03227
+    // doc3: sem 2       → 1/62          ≈ .01613
+    assert(out.map(_._1) === List(1L, 2L, 3L))
+    assert(out.map(_._2) === List(1, 2, 3))
+  }
 }
