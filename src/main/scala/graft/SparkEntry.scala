@@ -1112,13 +1112,9 @@ object SparkEntry {
     //    threshold = 1/30 of total token mass (oracle: DuckDB replays
     //    every md5-bucketed cell and the min-over-rows estimate) ─────────
     "q90_cms_heavy_hitters" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select("text")
-      // single driver-side scalar (same idiom as tfidf's nDocs): the
-      // heavy-hitter cut is a fraction of total token mass
-      val total = d.select(explode(Dedup.tokensCol(col("text"))).as("t"))
-        .filter(col("t") =!= "").count()
-      Sketches.cmsHeavyHitters(d, "text", depth = 4, width = 1024,
-          minCount = total / 30)
+      Sketches.cmsHeavyHittersByTotalFraction(
+          T(s, dir, "documents").select("text"), "text",
+          depth = 4, width = 1024, divisor = 30)
         .orderBy("term")
     }),
     // ── scale: DSIR importance weights — hashed-bigram log-likelihood
@@ -1126,10 +1122,12 @@ object SparkEntry {
     //    replays bucket hashing, smoothing, and the bucket-sorted fold) ──
     "q91_importance_weights" -> ((s, dir) => {
       val d = T(s, dir, "documents")
+      // md5_60 here so the DuckDB oracle replays every bucket; production
+      // default is xxhash64 (benchQueries measures that path, as q26/q36)
       Importance.importanceWeights(
           d.select("doc_id", "text"),
           d.filter(col("source") === "src0").select("text"),
-          "doc_id", "text", buckets = 4096, alpha = 0.5)
+          "doc_id", "text", buckets = 4096, alpha = 0.5, hashKind = "md5_60")
         .select(col("doc_id"), round(col("logw"), 6).as("logw"))
         .orderBy("doc_id")
     }),
@@ -1297,6 +1295,17 @@ object SparkEntry {
     * override run the `queries` entry entirely inside the timed region. */
   def benchQueries: Map[String, (SparkSession, String) => () => DataFrame] = {
     val overrides: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+      // q91 benches the PRODUCTION xxhash64 feature hash (md5 is the
+      // oracle-replay artifact — same convention as q26/q36 below)
+      "q91_importance_weights" -> ((s, dir) => {
+        val d = T(s, dir, "documents")
+        val raw = d.select("doc_id", "text")
+        val target = d.filter(col("source") === "src0").select("text")
+        () => Importance.importanceWeights(raw, target, "doc_id", "text",
+            buckets = 4096, alpha = 0.5)
+          .select(col("doc_id"), round(col("logw"), 6).as("logw"))
+          .orderBy("doc_id")
+      }),
       "q26_simhash_neardup" -> ((s, dir) => {
         val d = T(s, dir, "documents").select("doc_id", "text")
         val dupes = d.filter(col("doc_id") % 10 === 0)

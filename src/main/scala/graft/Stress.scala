@@ -371,6 +371,48 @@ object Stress {
         maxDriverVocab = 0L)
       println("[stress]   merges=" + m.size)
     }
+
+    // ── round-8 curation tier ──────────────────────────────────────────
+    // CMS heavy hitters: sketch state bounded at d×w per task regardless
+    // of factor; cost must track the token scan
+    time(s"cmsHeavyHitters ${factor}x (4x1024, total/30)") {
+      println("[stress]   hh=" + Bench.force(Sketches.cmsHeavyHittersByTotalFraction(
+        docsTail, "text", depth = 4, width = 1024, divisor = 30)))
+    }
+    // DSIR importance: weight table B-bounded; one corpus explode (lazy
+    // checkpoint) + one broadcast join
+    time(s"importanceWeights ${factor}x (B=4096)") {
+      val target = docs0.filter(col("doc_id") % 7 === 0).select("text")
+      println("[stress]   rows=" + Bench.force(Importance.importanceWeights(
+        docsTail, target, "doc_id", "text", buckets = 4096)))
+    }
+    // containment: prefix-filtered set-overlap join. Replicas here share
+    // every shingle with their base doc (df grows with factor), which is
+    // the DEGENERATE boilerplate regime — true-pair count itself grows
+    // quadratically, so this stage replicates with per-token rewrite
+    // (disjoint shingle spaces, constant df: the realistic regime where
+    // corpus growth adds diversity). The degenerate regime is the
+    // near-dup-dedup-first pipeline's job (and maxShingleDf's).
+    time(s"containmentPairs ${factor}x (disjoint-token regime, t=0.9)") {
+      val disjoint = spark.range(factor).toDF("__rep").crossJoin(docs0)
+        .withColumn("doc_id", col("doc_id") + col("__rep") * 1000000L)
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1r"), col("__rep"))))
+        .drop("__rep")
+      println("[stress]   pairs=" + Bench.force(
+        Dedup.containmentPairs(disjoint, "doc_id", "text", 3, 0.9)))
+    }
+    // hybrid retrieval: each side prunes to its candidate budget via
+    // TakeOrderedAndProject — fused frame stays 2·candidates at any factor
+    time(s"hybridSearch ${factor}x (50 candidates, top 20)") {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val emb = replicate(emb0, "vec_id", 1000000L)
+      val qv = emb0.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble).toSeq
+      println("[stress]   rows=" + Bench.force(Ranking.hybridSearch(
+        docsTail, "doc_id", "text", emb, "vec_id", "embedding",
+        Seq("join", "merge", "filter"), qv, candidates = 50, topK = 20)))
+    }
     docsTail.unpersist()
     spark.stop()
   }

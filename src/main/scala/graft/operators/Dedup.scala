@@ -187,23 +187,29 @@ object Dedup {
     * a 25-token quote lifted verbatim from a 500-token document has
     * containment 1.0 but Jaccard ≈ 0.05, far below any near-dup threshold.
     *
-    * Shape: an exact shingle INVERTED-INDEX join (minhash bands estimate
-    * Jaccard, not containment, so LSH would re-introduce exactly the miss
-    * this operator exists to close), SINGLE-PHASE: the per-pair shared
-    * count IS the (id_a, id_b) aggregate of the index self-join — no
-    * candidate materialization, no per-candidate re-join (the two-phase
-    * candidates-then-verify shape pays the whole join mass AGAIN against
-    * the shingle rows; measured 4× slower on a dense index). Set sizes
-    * join back key-only, size-gated.
-    *
-    * The inherent cost is Σ_shingle df² join rows. `maxShingleDf` bounds
-    * it at df·maxShingleDf by dropping shingles indexed by more docs than
-    * the cap ("stop shingles" — web boilerplate). Sizes are computed AFTER
-    * the drop, so numerator and denominator stay consistent: semantics are
-    * exact containment over the non-ubiquitous shingle space — identical
-    * to brute force whenever no shingle exceeds the cap, and deliberately
-    * blind to boilerplate-only overlap beyond it (the trade to document:
-    * a quote made ENTIRELY of stop shingles is not flagged).
+    * Shape: a PREFIX-FILTERED set-overlap join (the PPJoin family's filter
+    * adapted to the overlap coefficient; minhash bands estimate Jaccard,
+    * not containment, so LSH would re-introduce exactly the miss this
+    * operator exists to close):
+    *  1. index (id, shingle-hash), stop-shingles above `maxShingleDf`
+    *     dropped (sizes recomputed AFTER the drop, so numerator and
+    *     denominator stay consistent: exact containment over the
+    *     non-ubiquitous shingle space — ≡ brute force whenever no shingle
+    *     is hot, deliberately blind to boilerplate-only overlap beyond);
+    *  2. PIGEONHOLE PREFIX: a pair at overlap ≥ t·n_small must share at
+    *     least one of the smaller set's p = n − ⌈t·n⌉ + 1 shingles — ANY
+    *     p-subset works, so pick the p RAREST (global df asc), which
+    *     minimizes the candidate join mass. Only prefix rows of the
+    *     potential-contained side join the full index: candidate mass is
+    *     Σ_sh df_prefix·df_full, not Σ_sh df² — the naive any-shared
+    *     self-join aggregates one group per pair sharing ANY shingle
+    *     (measured 2.6× slower end-to-end at 20×, and that aggregate is
+    *     the scale killer: ~n·avg_neighbors groups);
+    *  3. exact verify per candidate from per-doc shingle ARRAYS
+    *     (array_intersect — pair-sized work, no second index-mass join).
+    * The ⌈t·n⌉ is computed as ceil(t·n − 1e-9): float error then only ever
+    * ENLARGES the prefix (extra candidates), never shrinks it (missed true
+    * pairs).
     *
     * Output (id_a = contained/smaller set, id_b = container): pairs with
     * |A| < |B|, or id_a < id_b when sizes tie; `containment` ≥ threshold.
@@ -220,22 +226,52 @@ object Dedup {
       maxShingleDf: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    // the index feeds df-counts, both candidate-join sides, and the verify
+    // arrays — WITHOUT materialization every branch re-runs the shingle
+    // explode+distinct (measured 2× end-to-end at 20×). Two eager
+    // checkpoints, each (id, hash[, small ints])-narrow.
+    // no distinct: shinglesOf dedups within each doc, so (id, shingle)
+    // rows are already unique — a distinct here would pay a full extra
+    // exchange over the index for nothing
     val hashed = shingleRows(df, idCol, textCol, shingleSize)
       .select(col(idCol), xxhash64(col("__sh")).as("__sh"))
-      .distinct()
+      .localCheckpoint(true)
+    val dfc = hashed.groupBy("__sh").agg(count(lit(1)).as("__df"))
     // stop-shingle drop: the hot list is tiny (usually empty) → broadcast
     // anti-join, never a full df-count join against the index
-    val hot = hashed.groupBy("__sh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDf).select("__sh")
-    val kept = hashed.join(Ops.broadcastIfSmall(hot), Seq("__sh"), "left_anti")
-    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val inter = kept.select(col("__sh"), col(idCol).as("id_a"))
-      .join(kept.select(col("__sh"), col(idCol).as("id_b")), "__sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(Ops.broadcastIfSmall(sizes.toDF("id_a", "n_a")), "id_a")
-      .join(Ops.broadcastIfSmall(sizes.toDF("id_b", "n_b")), "id_b")
+    val kept = hashed.join(
+      Ops.broadcastIfSmall(dfc.filter(col("__df") > maxShingleDf).select("__sh")),
+      Seq("__sh"), "left_anti")
+    // rarity-ranked index: df rides along (shingle-keyed join), then one
+    // id-keyed exchange ranks each doc's shingles rarest-first
+    val w = Window.partitionBy(col(idCol))
+    val ranked = kept.join(dfc, Seq("__sh"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rk",
+        row_number().over(w.orderBy(col("__df").asc, col("__sh").asc)))
+      .localCheckpoint(true)
+    val prefix = ranked.filter(
+      col("__rk") <= col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + lit(1))
+    val cand = prefix.select(col("__sh"), col(idCol).as("id_a"), col("__n").as("n_a"))
+      .join(ranked.select(col("__sh"), col(idCol).as("id_b"), col("__n").as("n_b")),
+        "__sh")
+      // only the smaller side's prefix must hit; equal sizes hit via
+      // either side's prefix
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("id_a") =!= col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    // exact verify: per-doc shingle arrays of the capped space, pair-sized
+    // intersect work
+    val arrs = ranked.groupBy(col(idCol)).agg(collect_list(col("__sh")).as("__arr"))
+    val inter = size(array_intersect(col("__sha"), col("__shb")))
+    cand
+      .join(arrs.select(col(idCol).as("id_a"), col("__arr").as("__sha")), "id_a")
+      .join(arrs.select(col(idCol).as("id_b"), col("__arr").as("__shb")), "id_b")
+      .select(col("id_a"), col("id_b"), size(col("__sha")).as("n_a"),
+        size(col("__shb")).as("n_b"), inter.as("inter"))
       .select(
         when(col("n_a") < col("n_b"), col("id_a"))
           .when(col("n_b") < col("n_a"), col("id_b"))

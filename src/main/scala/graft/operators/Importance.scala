@@ -24,39 +24,53 @@ import org.apache.spark.sql.functions._
   * idiom) so the double result is invariant under repartitioning. */
 object Importance {
 
-  /** Hashed feature bucket in [0, B). */
-  def featureBucket(feature: Column, buckets: Int): Column =
-    pmod(Dedup.md5Hash60(feature), lit(buckets.toLong))
+  /** Hashed feature bucket in [0, B). `hashKind` as in the dedup family:
+    * `xxhash64` is the production default (codegen'd; md5+conv was ~a
+    * third of the 20×-stress feature-scan cost); `md5_60` exists so an
+    * external SQL oracle can replay every bucket bit-for-bit (the
+    * verification artifact, not the shipped default — same convention as
+    * the minhash/simhash signatures). */
+  def featureBucket(feature: Column, buckets: Int,
+      hashKind: String = "xxhash64"): Column = {
+    val h = if (hashKind == "md5_60") Dedup.md5Hash60(feature) else xxhash64(feature)
+    pmod(h, lit(buckets.toLong))
+  }
 
   /** Word-bigram features of a text column: "w1 w2" strings over the
     * shared whitespace tokenizer (DSIR's hashed-ngram convention; bigrams
     * carry word-order signal unigram bags miss). Empty/1-token docs have
-    * no features and receive no weight row. */
-  def bigramsCol(text: Column): Column = {
-    val toks = Dedup.tokensCol(text)
-    // zip_with pads the shorter side with null → the dangling last element
-    // is a lone token (concat_ws skips nulls); tokens never contain spaces,
-    // so "has a space" keeps exactly the n−1 true bigrams. (slice length
-    // must stay within Int range of start — start+length overflows on
-    // MaxValue — so pass the array size.)
-    filter(
-      zip_with(toks, slice(toks, lit(2), size(toks)),
-        (a, b) => concat_ws(" ", a, b)),
-      p => p.contains(" "))
-  }
+    * no features and receive no weight row.
+    *
+    * Bigrams are 2-shingles, so this rides the compiled one-pass
+    * [[graft.functions.Shingles.word_shingles]] loop (an equivalent
+    * zip_with/slice/filter HOF chain evaluates interpreted per element —
+    * the feature scan measured 13.5 → 6.9 s at 20× stress from this plus
+    * the hash swap). The sub-2-token pseudo-shingle the shingle family
+    * emits has no space, so the space filter restores exact bigram
+    * semantics. */
+  def bigramsCol(text: Column): Column =
+    filter(Dedup.shinglesOfAll(Dedup.tokensCol(text), 2), p => p.contains(" "))
+
+  /** Exploded (…, __f) bigram rows — the space filter runs codegen'd on
+    * the exploded string column, not as a per-element array lambda. */
+  private def bigramRows(df: DataFrame, keep: Seq[Column], textCol: String): DataFrame =
+    df.select(keep :+
+      explode(Dedup.shinglesOfAll(Dedup.tokensCol(col(textCol)), 2)).as("__f"): _*)
+      .filter(col("__f").contains(" "))
 
   /** (doc, bucket, cnt) hashed-bigram counts — the per-document feature
     * vector in sparse form. */
   def docBucketCounts(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
-    df.select(col(idCol), explode(bigramsCol(col(textCol))).as("__f"))
-      .select(col(idCol), featureBucket(col("__f"), buckets).as("bucket"))
+      buckets: Int, hashKind: String = "xxhash64"): DataFrame =
+    bigramRows(df, Seq(col(idCol)), textCol)
+      .select(col(idCol), featureBucket(col("__f"), buckets, hashKind).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** (bucket, cnt) corpus feature counts — B-bounded output. */
-  def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
-    df.select(explode(bigramsCol(col(textCol))).as("__f"))
-      .select(featureBucket(col("__f"), buckets).as("bucket"))
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+      hashKind: String = "xxhash64"): DataFrame =
+    bigramRows(df, Seq.empty, textCol)
+      .select(featureBucket(col("__f"), buckets, hashKind).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
   /** Per-bucket log-likelihood ratios ln p̂_target(b) − ln p̂_raw(b) with
@@ -64,10 +78,19 @@ object Importance {
     * operation order the SQL oracle replays:
     * ln(t+α) − ln(T+αB) − ln(r+α) + ln(R+αB). */
   def bucketLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
-      buckets: Int, alpha: Double): DataFrame = {
+      buckets: Int, alpha: Double, hashKind: String = "xxhash64"): DataFrame =
+    logRatiosFromCounts(bucketCounts(raw, textCol, buckets, hashKind),
+      bucketCounts(target, textCol, buckets, hashKind), buckets, alpha)
+
+  /** Core of [[bucketLogRatios]] over pre-aggregated (bucket, cnt)
+    * frames — lets callers that already hold a finer-grained count frame
+    * (e.g. [[importanceWeights]]'s per-doc counts) derive the raw side by
+    * re-aggregation instead of a second corpus scan. */
+  private[graft] def logRatiosFromCounts(rawCounts: DataFrame,
+      targetCounts: DataFrame, buckets: Int, alpha: Double): DataFrame = {
     require(alpha > 0.0, s"alpha must be > 0 (unsmoothed ratios diverge), got $alpha")
-    val r = bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "__r")
-    val t = bucketCounts(target, textCol, buckets).withColumnRenamed("cnt", "__t")
+    val r = rawCounts.withColumnRenamed("cnt", "__r")
+    val t = targetCounts.withColumnRenamed("cnt", "__t")
     val joined = r.join(t, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("__r"), lit(0L)).as("__r"),
@@ -96,10 +119,18 @@ object Importance {
     * bucket-sorted (cnt·w) contributions so the result is deterministic
     * under any partitioning. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 1 << 13, alpha: Double = 0.5): DataFrame = {
-    val w = bucketLogRatios(raw, target, textCol, buckets, alpha)
-    docBucketCounts(raw, idCol, textCol, buckets)
-      .join(Ops.broadcastIfSmall(w), Seq("bucket"))
+      textCol: String, buckets: Int = 1 << 13, alpha: Double = 0.5,
+      hashKind: String = "xxhash64"): DataFrame = {
+    // Two corpus scans, deliberately: the raw-distribution scan aggregates
+    // straight to B buckets — partial aggregation collapses it to ≤ B rows
+    // PER TASK map-side, so its shuffle is ~free — while the per-doc scan
+    // shuffles (doc, bucket) pairs (unavoidable: that frame IS the score
+    // input). Deriving the raw side from a materialized per-doc frame was
+    // measured SLOWER at both scales (checkpoint write/read of the
+    // corpus-sized frame > the cheap second scan): 13.4 vs 9.3 s at 20×.
+    val db = docBucketCounts(raw, idCol, textCol, buckets, hashKind)
+    val w = bucketLogRatios(raw, target, textCol, buckets, alpha, hashKind)
+    db.join(Ops.broadcastIfSmall(w), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(
         struct(col("bucket"), (col("cnt") * col("w")).as("c")))).as("__cs"))

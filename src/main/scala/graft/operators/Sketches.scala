@@ -69,10 +69,31 @@ object Sketches {
     * Guarantees: est ≥ cnt always (CMS never under-counts), so the output
     * is a SUPERSET of the true heavy hitters — the standard
     * sketch-then-verify contract (the exact column here is the verify).
-    * Output: (term, cnt, est), est ≥ minCount. */
+    * Output: (term, cnt, est), est ≥ minCount.
+    *
+    * The term-count frame feeds three plan branches (sketch build, probe
+    * set, exact-count join) — it is vocabulary-sized, so one eager
+    * localCheckpoint pins it and the corpus is scanned exactly ONCE. */
   def cmsHeavyHitters(df: DataFrame, textCol: String,
-      depth: Int, width: Int, minCount: Long): DataFrame = {
-    val tf = termCounts(df, textCol)
+      depth: Int, width: Int, minCount: Long): DataFrame =
+    hhFromCounts(termCounts(df, textCol).localCheckpoint(true),
+      depth, width, minCount)
+
+  /** [[cmsHeavyHitters]] with the threshold as a fraction of total token
+    * mass: minCount = total / divisor (integer division — replayable).
+    * The total reads off the checkpointed term counts, not a second
+    * corpus scan. */
+  def cmsHeavyHittersByTotalFraction(df: DataFrame, textCol: String,
+      depth: Int, width: Int, divisor: Long): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val tf = termCounts(df, textCol).localCheckpoint(true)
+    val totRow = tf.agg(sum("cnt")).first()
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    hhFromCounts(tf, depth, width, total / divisor)
+  }
+
+  private def hhFromCounts(tf: DataFrame, depth: Int, width: Int,
+      minCount: Long): DataFrame = {
     val sketch = cmsSketch(tf, "term", "cnt", depth, width)
     tf.join(cmsEstimate(sketch, tf, "term", depth, width), Seq("term"))
       .filter(col("est") >= minCount)
