@@ -1146,6 +1146,32 @@ object SparkEntry {
           round(col("rrf"), 6).as("rrf"), col("rank"))
         .orderBy("rank")
     }),
+    // ── scale: HyperLogLog distinct shingles per source — deterministic
+    //    md5-based registers, mergeable m-bounded state (oracle: DuckDB
+    //    replays every register and the α·m²/Z estimate, small-range
+    //    correction included) ───────────────────────────────────────────
+    "q94_hll_distinct" -> ((s, dir) => {
+      val sh = T(s, dir, "documents")
+        .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      val est = Sketches.hllEstimate(sh, Seq("source"), "sh", m = 256)
+      sh.groupBy("source").agg(countDistinct(col("sh")).as("exact_distinct"))
+        .join(est, Seq("source"))
+        .select(col("source"), col("exact_distinct"), round(col("est"), 6).as("est"))
+        .orderBy("source")
+    }),
+    // ── scale: resample + forward-fill — per-user 6h grid over the event
+    //    stream, last-in-bucket then ffill (oracle: DuckDB rebuilds the
+    //    grid with generate_series-equivalent ranges and an
+    //    ignore-nulls last_value window) ──────────────────────────────────
+    "q95_resample_ffill" -> ((s, dir) => {
+      Analytics.resampleFfill(
+          T(s, dir, "events").filter(col("user_id") < 40),
+          Seq("user_id"), "ts", "value",
+          stepMicros = 6L * 3600 * 1000000, orderCol = "event_id")
+        .select(col("user_id"), col("bucket_ts"),
+          round(col("value"), 6).as("value"), col("has_event"))
+        .orderBy("user_id", "bucket_ts")
+    }),
     // ── scale: containment dedup — verbatim quotes/subsets whose overlap
     //    coefficient ≥ 0.9 though their Jaccard is tiny; every 7th doc
     //    plants a 25-token quote (oracle: DuckDB brute-forces every pair's
@@ -2201,6 +2227,53 @@ object SparkEntry {
         |SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf,
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
         |FROM f QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+    "q94_hll_distinct" ->
+      s"""WITH s AS (
+         |  SELECT source, unnest($shingle3Sql) AS sh
+         |  FROM (SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents)),
+         |h AS (SELECT source, sh,
+         |        ('0x' || substr(md5(sh), 1, 15))::UBIGINT AS hv FROM s),
+         |hb AS (SELECT source, hv & 255 AS bucket, hv >> 8 AS v FROM h),
+         |r AS (SELECT source, bucket, max(${hllRhoSql("v", 52)}) AS M
+         |      FROM hb GROUP BY 1, 2),
+         |e AS (SELECT source,
+         |        list_reduce(list(power(2.0, -M) ORDER BY bucket), (a, b) -> a + b)
+         |          + (256.0 - count(*)) AS z,
+         |        256.0 - count(*) AS v0
+         |      FROM r GROUP BY 1),
+         |x AS (SELECT source,
+         |        CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z <= 640.0
+         |               AND v0 > 0.0
+         |          THEN 256.0 * ln(256.0 / v0)
+         |          ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z END AS est
+         |      FROM e),
+         |d AS (SELECT source, count(DISTINCT sh) AS exact_distinct FROM s GROUP BY 1)
+         |SELECT d.source, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+         |  round(est, 6) AS est
+         |FROM d JOIN x USING (source) ORDER BY source""".stripMargin,
+    "q95_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
+        |  FROM events WHERE user_id < 40),
+        |b AS (SELECT user_id, us - us % 21600000000 AS b, us, value, event_id FROM e),
+        |lst AS (
+        |  SELECT user_id, b, value FROM (
+        |    SELECT user_id, b, value, row_number()
+        |      OVER (PARTITION BY user_id, b ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |g AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM b GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(range(b0, b1 + 21600000000, 21600000000)) AS b FROM g),
+        |f AS (
+        |  SELECT grid.user_id, grid.b, lst.value IS NOT NULL AS has_event,
+        |    last_value(lst.value IGNORE NULLS)
+        |      OVER (PARTITION BY grid.user_id ORDER BY grid.b
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM grid LEFT JOIN lst ON grid.user_id = lst.user_id AND grid.b = lst.b)
+        |SELECT user_id, make_timestamp(b) AS bucket_ts, round(value, 6) AS value,
+        |  has_event
+        |FROM f ORDER BY user_id, bucket_ts""".stripMargin,
     "q93_containment" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents
@@ -2773,6 +2846,14 @@ object SparkEntry {
 
   /** Distinct 3-token shingles from a `toks` list column — the DuckDB twin
     * of Dedup.shinglesOf(tokens, 3) including the <3-token fallback. */
+  /** HLL ρ as a descending threshold CASE over `vExpr` (a 60−log2(m)-bit
+    * field) — mirrors Sketches.hllRho: exact integer comparisons, no
+    * log2 (libm log2 is off-by-ulp at exactly the power-of-two
+    * boundaries ρ cares about). */
+  private def hllRhoSql(vExpr: String, width: Int): String =
+    (1 to width).map(k => s"WHEN $vExpr >= ${1L << (width - k)} THEN $k")
+      .mkString("CASE ", " ", s" ELSE ${width + 1} END")
+
   private val shingle3Sql: String =
     "list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), " +
       "i -> array_to_string(toks[i:i+2], ' ')) ELSE [array_to_string(toks, ' ')] END)"

@@ -205,6 +205,61 @@ object Analytics {
   }
 
   /** Top-k rows per group by `orderBy` (deterministic: pass tiebreakers). */
+  /** Resample an event series to a fixed `stepMicros` grid with
+    * forward-fill (pandas `resample().last().ffill()` semantics): per key,
+    * one bucket row for every step between the key's first and last
+    * event; a bucket's value is the LAST event in [b, b+step) — ties at
+    * equal ts broken by `orderCol` desc — or the previous bucket's fill
+    * when the bucket is empty. Leading value is never null (the first
+    * bucket contains the key's first event).
+    *
+    * Scale shape: bucket grids generate per KEY via `sequence()` (no
+    * driver-side range, no cross join); per-bucket last and the fill
+    * window are both key-partitioned — work is (events + buckets) per
+    * key, parallel across keys. All grid arithmetic is integer micros
+    * (exact, SQL-replayable).
+    *
+    * Output: (key…, bucket_ts timestamp, value, has_event). */
+  def resampleFfill(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      stepMicros: Long,
+      orderCol: String): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive, got $stepMicros")
+    val keyC = keyCols.map(col)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val bucketed = events.select((keyC :+
+      (us - pmod(us, lit(stepMicros))).as("__b") :+
+      col(valueCol).as("__v") :+ col(orderCol).as("__o")): _*)
+    // last event per (key, bucket): order inside the bucket is
+    // (ts desc, orderCol desc) — ts varies within a bucket, orderCol
+    // breaks exact-ts ties deterministically
+    val lastInBucket = events.select((keyC :+
+        (us - pmod(us, lit(stepMicros))).as("__b") :+ us.as("__us") :+
+        col(valueCol).as("__v") :+ col(orderCol).as("__o")): _*)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((keyC :+ col("__b")): _*)
+          .orderBy(col("__us").desc, col("__o").desc)))
+      .filter(col("__rn") === 1)
+      .select((keyC :+ col("__b") :+ col("__v")): _*)
+    // per-key grid: sequence(first bucket, last bucket, step) — array
+    // length is the key's span / step, generated distributed
+    val grid = bucketed.groupBy(keyC: _*)
+      .agg(min(col("__b")).as("__b0"), max(col("__b")).as("__b1"))
+      .select((keyC :+ explode(sequence(col("__b0"), col("__b1"),
+        lit(stepMicros))).as("__b")): _*)
+    val filled = grid.join(lastInBucket, keyCols :+ "__b", "left")
+      .withColumn("has_event", col("__v").isNotNull)
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(
+        Window.partitionBy(keyC: _*).orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled.select((keyC :+
+      timestamp_micros(col("__b")).as("bucket_ts") :+
+      col("value") :+ col("has_event")): _*)
+  }
+
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -99,4 +99,69 @@ object Sketches {
       .filter(col("est") >= minCount)
       .select(col("term"), col("cnt"), col("est"))
   }
+
+  // ── HyperLogLog (Flajolet et al. 2007) ────────────────────────────────
+  //
+  // Deterministic md5-based variant: the register grid is a
+  // groupBy(group, bucket).max(rho) — m-bounded per group, map-side
+  // combined, MERGEABLE by construction (max of maxes) — and every
+  // register value is a pure integer function of the md5-60 hash, so an
+  // external SQL engine replays the whole sketch bit-for-bit (unlike
+  // engine-native approx_count_distinct, whose hash is private).
+
+  /** Position of the leftmost 1-bit counted over a `width`-bit field,
+    * plus 1; an all-zero field reads width+1 (standard HLL ρ). Built as a
+    * descending threshold CASE — exact integer comparisons, no log2 (JVM
+    * Math.log-based log2 is off-by-ulp AT powers of two, which is every
+    * boundary this function cares about). */
+  private[graft] def hllRho(v: Column, width: Int): Column = {
+    val first = when(v >= lit(1L << (width - 1)), lit(1))
+    (2 to width).foldLeft(first) { (acc, k) =>
+      acc.when(v >= lit(1L << (width - k)), lit(k))
+    }.otherwise(lit(width + 1))
+  }
+
+  private def log2i(m: Int): Int = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    java.lang.Integer.numberOfTrailingZeros(m)
+  }
+
+  /** HLL registers of `valueCol` per group: (group…, bucket, M) with
+    * M = max ρ — at most m rows per group. Low hash bits pick the bucket,
+    * the remaining 60−log2(m) bits feed ρ (bit ops only: the 60-bit hash
+    * does not survive a double cast). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      m: Int): DataFrame = {
+    val b = log2i(m)
+    val h = Dedup.md5Hash60(col(valueCol))
+    df.select((groupCols.map(col) :+
+        (h.bitwiseAND(lit((m - 1).toLong))).as("bucket") :+
+        hllRho(shiftright(h, b), 60 - b).as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("M"))
+  }
+
+  /** HLL distinct-count estimate per group: (group…, est).
+    * E = α_m·m²/Z with Z = Σ_j 2^−M_j (absent registers contribute 2⁰),
+    * and the standard small-range correction E ≤ 2.5m ∧ V>0 →
+    * m·ln(m/V). The Z fold is register-sorted (the family idiom), so the
+    * double is bit-identical under any partitioning — and replayable. */
+  def hllEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      m: Int = 256): DataFrame = {
+    val regs = hllRegisters(df, groupCols, valueCol, m)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val z = aggregate(col("__ps"), lit(0.0), (acc, x) => acc + x.getField("p")) +
+      (lit(m.toDouble) - col("__cnt"))
+    val rawE = alpha * lit((m.toLong * m).toDouble) / z
+    val v0 = lit(m.toDouble) - col("__cnt")
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bucket"),
+          pow(lit(2.0), -col("M").cast("double")).as("p")))).as("__ps"),
+        count(lit(1)).as("__cnt"))
+      .select((groupCols.map(col) :+
+        when(rawE <= lit(2.5 * m) && v0 > lit(0.0),
+          lit(m.toDouble) * log(lit(m.toDouble) / v0))
+          .otherwise(rawE).as("est")): _*)
+  }
 }

@@ -149,4 +149,37 @@ class AnalyticsSpec extends SparkSpec {
     // stratum 1 is an independent stream; an exact-capacity doc fills pack 0
     assert(out(5L) === (0L, 0L) && out(6L) === (2048L, 1L))
   }
+
+  private def ts(h: Int, m: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("resampleFfill: last-in-bucket, gap forward-fill, per-key grids") {
+    val events = Seq(
+      (1L, ts(0, 10), 1.0, 100L),
+      (1L, ts(0, 50), 2.0, 101L),   // later in bucket 0 → wins
+      (1L, ts(6, 30), 3.0, 102L),
+      (1L, ts(18, 20), 4.0, 103L),  // bucket 12:00 empty → ffill 3.0
+      (2L, ts(6, 0), 9.0, 104L)     // key 2: single-bucket grid
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Analytics.resampleFfill(events, Seq("user_id"), "ts", "value",
+        stepMicros = 6L * 3600 * 1000000, orderCol = "event_id")
+      .orderBy("user_id", "bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 16),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toList === List(
+      (1L, "00:00", 2.0, true),
+      (1L, "06:00", 3.0, true),
+      (1L, "12:00", 3.0, false),
+      (1L, "18:00", 4.0, true),
+      (2L, "06:00", 9.0, true)))
+  }
+
+  test("resampleFfill breaks exact-ts ties by the order column") {
+    val events = Seq(
+      (1L, ts(0, 0), 1.0, 100L),
+      (1L, ts(0, 0), 7.0, 105L)).toDF("user_id", "ts", "value", "event_id")
+    val out = Analytics.resampleFfill(events, Seq("user_id"), "ts", "value",
+      stepMicros = 3600000000L, orderCol = "event_id").collect()
+    assert(out.length === 1 && out(0).getDouble(2) === 7.0)
+  }
 }

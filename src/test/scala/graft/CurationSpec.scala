@@ -51,6 +51,55 @@ class CurationSpec extends SparkSpec {
     assert(hh === Set("cat"))
   }
 
+  // ── HyperLogLog ────────────────────────────────────────────────────────
+
+  test("hll rho: leftmost-1 position over the field width") {
+    val rows = Seq(0L, 1L, 2L, 1L << 51, (1L << 52) - 1).toDF("v")
+      .select(Sketches.hllRho(col("v"), 52).as("rho"))
+      .collect().map(_.getInt(0)).toList
+    // v=0 → 53; v=1 → 52; v=2 → 51; top bit set → 1; all bits set → 1
+    assert(rows === List(53, 52, 51, 1, 1))
+  }
+
+  test("hll registers merge by max: union == merge of halves") {
+    val a = (1 to 500).map(i => ("g", s"val$i")).toDF("g", "v")
+    val b = (300 to 900).map(i => ("g", s"val$i")).toDF("g", "v")
+    val whole = Sketches.hllRegisters(a.union(b), Seq("g"), "v", 256)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val merged = Sketches.hllRegisters(a, Seq("g"), "v", 256)
+      .union(Sketches.hllRegisters(b, Seq("g"), "v", 256))
+      .groupBy("g", "bucket").agg(max("M").as("M"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(whole === merged)
+  }
+
+  test("hll estimate: within 3 sigma at n=2000, small-range at n=10, dup-invariant") {
+    val big = (1 to 2000).map(i => ("g", s"item$i")).toDF("g", "v")
+    val est = Sketches.hllEstimate(big, Seq("g"), "v", 256)
+      .collect()(0).getDouble(1)
+    // m=256 → sigma ~= 1.04/sqrt(256) = 6.5%; 3 sigma = 19.5%
+    assert(math.abs(est - 2000) / 2000 < 0.195, s"est $est too far from 2000")
+    val small = (1 to 10).map(i => ("g", s"item$i")).toDF("g", "v")
+    val estS = Sketches.hllEstimate(small, Seq("g"), "v", 256)
+      .collect()(0).getDouble(1)
+    // linear counting is register-granular at tiny n: one bucket collision
+    // (expected ~n²/2m ≈ 0.2 here, realized 1 for this value set) moves
+    // the estimate by ~1 — allow ±15%
+    assert(math.abs(estS - 10) / 10 < 0.15, s"small-range est $estS too far from 10")
+    // duplicates never move a register
+    val dup = big.union(big).union(big)
+    val estD = Sketches.hllEstimate(dup, Seq("g"), "v", 256)
+      .collect()(0).getDouble(1)
+    assert(estD === est)
+  }
+
+  test("hll estimate is bit-identical under repartitioning") {
+    val df = (1 to 3000).map(i => (s"g${i % 5}", s"item$i")).toDF("g", "v")
+    def run(p: Int) = Sketches.hllEstimate(df.repartition(p), Seq("g"), "v", 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(run(2) === run(13))
+  }
+
   // ── DSIR importance weighting ──────────────────────────────────────────
 
   test("bigram features: n−1 bigrams, empty below 2 tokens") {
