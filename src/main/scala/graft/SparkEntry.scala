@@ -1146,6 +1146,20 @@ object SparkEntry {
           round(col("rrf"), 6).as("rrf"), col("rank"))
         .orderBy("rank")
     }),
+    // ── scale: quality-classifier TRAINING — full-batch logistic GD over
+    //    hashed bigram features; deterministic folds make the whole run
+    //    replayable (oracle: the training loop unrolled in SQL — per-round
+    //    z fold, sigmoid residuals, doc-sorted gradient fold, update) ────
+    "q96_lr_train" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (col("source") === "src0").cast("int").as("label"))
+      Training.trainLogistic(d, "doc_id", "text", "label", buckets = 256,
+          rounds = 3, learningRate = 0.5, hashKind = "md5_60",
+          deterministic = true)
+        .select(col("bucket"), round(col("w"), 6).as("w"))
+        .orderBy("bucket")
+    }),
     // ── scale: HyperLogLog distinct shingles per source — deterministic
     //    md5-based registers, mergeable m-bounded state (oracle: DuckDB
     //    replays every register and the α·m²/Z estimate, small-range
@@ -1321,6 +1335,18 @@ object SparkEntry {
     * override run the `queries` entry entirely inside the timed region. */
   def benchQueries: Map[String, (SparkSession, String) => () => DataFrame] = {
     val overrides: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+      // q96 benches the PRODUCTION path: xxhash64 features + plain-sum
+      // gradients (the md5/deterministic-fold combination exists so the
+      // SQL oracle can replay the training run bit-for-bit)
+      "q96_lr_train" -> ((s, dir) => {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            (col("source") === "src0").cast("int").as("label"))
+        () => Training.trainLogistic(d, "doc_id", "text", "label",
+            buckets = 256, rounds = 3, learningRate = 0.5)
+          .select(col("bucket"), round(col("w"), 6).as("w"))
+          .orderBy("bucket")
+      }),
       // q91 benches the PRODUCTION xxhash64 feature hash (md5 is the
       // oracle-replay artifact — same convention as q26/q36 below)
       "q91_importance_weights" -> ((s, dir) => {
@@ -2227,6 +2253,7 @@ object SparkEntry {
         |SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf,
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
         |FROM f QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+    "q96_lr_train" -> lrTrainOracleSql(rounds = 3, buckets = 256, lr = 0.5),
     "q94_hll_distinct" ->
       s"""WITH s AS (
          |  SELECT source, unnest($shingle3Sql) AS sh
@@ -2846,6 +2873,47 @@ object SparkEntry {
 
   /** Distinct 3-token shingles from a `toks` list column — the DuckDB twin
     * of Dedup.shinglesOf(tokens, 3) including the <3-token fallback. */
+  /** The q96 logistic-GD training loop unrolled in SQL: per round k, a
+    * bucket-sorted z fold per doc, sigmoid residuals, a doc-sorted
+    * gradient fold per bucket, and the weight update — every fold ordered
+    * exactly as the Scala side's sort_array folds, so the doubles are
+    * bit-identical round over round. */
+  private def lrTrainOracleSql(rounds: Int, buckets: Int, lr: Double): String = {
+    val header =
+      s"""WITH lbl AS (
+         |  SELECT doc_id, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |         FROM documents),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+         |       FROM toks WHERE len(t) >= 2),
+         |db AS (SELECT doc_id,
+         |         CAST(('0x' || substr(md5(f), 1, 15))::UBIGINT % $buckets AS BIGINT)
+         |           AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |       FROM bg GROUP BY 1, 2),
+         |ff AS (SELECT db.doc_id, bucket, cnt, y FROM db
+         |         JOIN lbl ON db.doc_id = lbl.doc_id
+         |       UNION ALL
+         |       SELECT doc_id, -1 AS bucket, 1 AS cnt, y FROM lbl),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM ff),""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""z$k AS (SELECT ff.doc_id, ff.y,
+         |  list_reduce(list(ff.cnt * w.w ORDER BY ff.bucket), (a, b) -> a + b) AS z
+         |  FROM ff JOIN w${k - 1} w ON ff.bucket = w.bucket GROUP BY 1, 2),
+         |r$k AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z$k),
+         |g$k AS (SELECT bucket, s / (SELECT n FROM nn) AS g FROM (
+         |  SELECT ff.bucket,
+         |    list_reduce(list(ff.cnt * r.r ORDER BY ff.doc_id), (a, b) -> a + b) AS s
+         |  FROM ff JOIN r$k r ON ff.doc_id = r.doc_id GROUP BY ff.bucket)),
+         |w$k AS (SELECT w.bucket, w.w - $lr * g.g AS w
+         |  FROM w${k - 1} w JOIN g$k g ON w.bucket = g.bucket),""".stripMargin
+    }.mkString("\n").stripSuffix(",")
+    s"$header\n$roundCtes\nSELECT bucket, round(w, 6) AS w FROM w$rounds ORDER BY bucket"
+  }
+
   /** HLL ρ as a descending threshold CASE over `vExpr` (a 60−log2(m)-bit
     * field) — mirrors Sketches.hllRho: exact integer comparisons, no
     * log2 (libm log2 is off-by-ulp at exactly the power-of-two

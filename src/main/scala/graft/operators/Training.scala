@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed training of the quality-classifier tier (extension): binary
+  * logistic regression over hashed bigram features by full-batch gradient
+  * descent — the "train the filter ON the cluster, on the corpus it will
+  * filter" counterpart to [[TextAnalysis.hashedLinearScore]] (which only
+  * APPLIES given weights, q76).
+  *
+  * Shape per round (rounds are driver-sequenced, weights are a ≤(B+1)-row
+  * table):
+  *  1. score: the materialized (doc, bucket, cnt, y) feature frame joins
+  *     the weight literal map, per-doc z folds bucket-sorted (the family's
+  *     determinism idiom) → p = σ(z) → residual p−y, doc-sized frame;
+  *  2. gradient: residuals join back id-keyed; per-bucket aggregate is
+  *     B-bounded and map-side combined;
+  *  3. update: the ≤(B+1)-row gradient collects; w ← w − η·g on the
+  *     driver (exactly the k-means/IVF round pattern).
+  * The feature frame is eagerly checkpointed ONCE — every round re-reads
+  * the materialized blocks, never the corpus.
+  *
+  * Bias handling: a synthetic bucket −1 with cnt 1 on every doc — the
+  * bias is then just another weight row and every fold/update treats it
+  * uniformly (it sorts first in the z fold).
+  *
+  * `deterministic = true` folds the gradient doc-sorted so the whole
+  * training run is bit-identical under any partitioning AND replayable by
+  * an external SQL engine (the correctness-gate path); production leaves
+  * the plain sum (last-ulp nondeterminism, ~zero cost). `hashKind` as in
+  * [[Importance.featureBucket]]. */
+object Training {
+
+  /** (id, bucket, cnt) hashed-bigram features plus the synthetic bias
+    * bucket −1 on every row of `df`. */
+  def lrFeatures(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, hashKind: String = "xxhash64"): DataFrame =
+    Importance.docBucketCounts(df, idCol, textCol, buckets, hashKind)
+      .unionByName(df.select(col(idCol), lit(-1L).as("bucket"), lit(1L).as("cnt")))
+
+  /** Train; returns the final weight table (bucket, w) — bucket −1 is the
+    * bias. `labelCol` must be 0/1-valued (cast to double). */
+  def trainLogistic(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int = 256,
+      rounds: Int = 3,
+      learningRate: Double = 0.5,
+      hashKind: String = "xxhash64",
+      deterministic: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    val labels = df.select(col(idCol), col(labelCol).cast("double").as("__y"))
+    val ff = lrFeatures(df, idCol, textCol, buckets, hashKind)
+      .join(labels, Seq(idCol))
+      .localCheckpoint(true)
+    val n = df.count().toDouble
+    var weights = Map.empty[Long, Double] // absent = 0.0
+    for (_ <- 1 to rounds) {
+      val wmap =
+        if (weights.isEmpty) typedLit(Map(Long.MinValue -> 0.0)) // non-empty literal
+        else typedLit(weights)
+      val contrib = col("cnt").cast("double") *
+        coalesce(element_at(wmap, col("bucket")), lit(0.0))
+      val resid = ff
+        .groupBy(col(idCol), col("__y"))
+        .agg(sort_array(collect_list(struct(col("bucket"), contrib.as("c"))))
+          .as("__cs"))
+        .select(col(idCol),
+          (lit(1.0) / (lit(1.0) +
+            exp(-aggregate(col("__cs"), lit(0.0),
+              (acc, x) => acc + x.getField("c")))) - col("__y")).as("__r"))
+      val joined = ff.join(resid, Seq(idCol))
+        .select(col("bucket"), col(idCol).as("__id"),
+          (col("cnt").cast("double") * col("__r")).as("__c"))
+      val grad =
+        if (deterministic)
+          joined.groupBy("bucket")
+            .agg(sort_array(collect_list(struct(col("__id"), col("__c"))))
+              .as("__gs"))
+            .select(col("bucket"),
+              (aggregate(col("__gs"), lit(0.0),
+                (acc, x) => acc + x.getField("__c")) / lit(n)).as("__g"))
+        else
+          joined.groupBy("bucket").agg((sum(col("__c")) / lit(n)).as("__g"))
+      val g = grad.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      weights = g.foldLeft(weights) { case (w, (b, gb)) =>
+        w + (b -> (w.getOrElse(b, 0.0) - learningRate * gb))
+      }
+    }
+    import spark.implicits._
+    weights.toSeq.sortBy(_._1).toDF("bucket", "w")
+  }
+
+  /** Score `df` with a trained weight table: per-doc σ(z) in one broadcast
+    * join + bucket-sorted fold — the application path for weights from
+    * [[trainLogistic]]. */
+  def scoreLogistic(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int,
+      hashKind: String = "xxhash64"): DataFrame =
+    lrFeatures(df, idCol, textCol, buckets, hashKind)
+      .join(Ops.broadcastIfSmall(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("bucket"),
+        (col("cnt").cast("double") * col("w")).as("c")))).as("__cs"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-aggregate(col("__cs"), lit(0.0),
+          (acc, x) => acc + x.getField("c"))))).as("score"))
+}

@@ -179,6 +179,82 @@ object Streaming {
         }
       }
 
+  /** Micro-batch Count-Min-sketch ingest: sketch each batch's term counts
+    * and MERGE into the persisted sketch — the sketch is a counter grid,
+    * so the merge is an exact cell-wise sum and the persisted state stays
+    * ≤ depth·width rows FOREVER, regardless of how much text streams
+    * through (the streaming heavy-hitter tracker: probe the store with
+    * [[graft.operators.Sketches.cmsEstimate]] at any time).
+    *
+    * Durability: each merge writes a fresh `v<batchId>` parquet dir, then
+    * repoints the `LATEST` marker via temp-file + ATOMIC_MOVE — readers
+    * never observe a half-written sketch, and a crash between the write
+    * and the repoint leaves the previous version live. Replay guard as in
+    * [[streamingSinger]]: a batch EQUAL to the recorded id is the
+    * checkpoint-recovery redelivery and is skipped (double-counting a
+    * batch would overestimate — the one CMS failure mode with no
+    * self-correction); a fresh query restarting ids at 0 is never
+    * silently dropped. Old versions are pruned best-effort after the
+    * repoint. */
+  def streamingCmsIngest(
+      stream: DataFrame,
+      textCol: String,
+      depth: Int,
+      width: Int,
+      dir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val spark = batch.sparkSession
+        Files.createDirectories(Paths.get(dir))
+        val (prior, lastId) = readVersioned(spark, dir)
+        if (batchId != lastId && !batch.isEmpty) {
+          val bs = graft.operators.Sketches.cmsSketch(
+            graft.operators.Sketches.termCounts(batch, textCol),
+            "term", "cnt", depth, width)
+          val merged = prior match {
+            case Some(p) => p.unionByName(bs)
+              .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+            case None => bs
+          }
+          val vdir = s"$dir/v$batchId"
+          merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+          val tmp = Paths.get(s"$dir/.latest.tmp-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+          Files.move(tmp, Paths.get(s"$dir/LATEST"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          // best-effort prune of superseded versions
+          val d = new java.io.File(dir)
+          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+            if (f.isDirectory && f.getName.startsWith("v") &&
+                f.getName != s"v$batchId")
+              scala.util.Try {
+                val walk = Files.walk(f.toPath)
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(p => { Files.deleteIfExists(p); () })
+                finally walk.close()
+              }: Unit
+          }
+          ()
+        }
+      }
+
+  /** The persisted sketch behind [[streamingCmsIngest]] (None before the
+    * first committed batch), plus the committed batch id. Reads through
+    * the LATEST pointer; a corrupt/missing pointer reads as "no sketch"
+    * (the ingest then treats the next batch as the first — consistent
+    * with the at-least-once contract). */
+  def readVersioned(spark: SparkSession, dir: String): (Option[DataFrame], Long) = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(s"$dir/LATEST")
+    if (!Files.exists(marker)) (None, -1L)
+    else scala.util.Try {
+      val id = new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+      (Some(spark.read.parquet(s"$dir/v$id")), id)
+    }.getOrElse((None, -1L))
+  }
+
   /** Read a directory of parquet as a stream (one file per micro-batch by
     * default) — the streaming analogue of the GsReader directory scan. */
   def readParquetStream(spark: SparkSession, dir: String, schema: StructType,

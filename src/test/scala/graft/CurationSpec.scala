@@ -159,6 +159,71 @@ class CurationSpec extends SparkSpec {
     assert(ids === Set(1L))
   }
 
+  // ── Logistic-regression training ───────────────────────────────────────
+
+  test("trainLogistic: one GD round matches the closed form on a tiny corpus") {
+    // two docs, two tokens each → one bigram each; B large → no collisions
+    import graft.operators.Training
+    val d = Seq(
+      (1L, "good text", 1),
+      (2L, "bad words", 0)).toDF("doc_id", "text", "label")
+    val w = Training.trainLogistic(d, "doc_id", "text", "label",
+        buckets = 1 << 16, rounds = 1, learningRate = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // round 1: all w=0 → z=0 → p=0.5 → r = 0.5−y = ∓0.5
+    // per-bucket gradient: doc1's bigram bucket g = 1·(−0.5)/2 = −0.25 →
+    // w = 0 − 0.5·(−0.25) = 0.125; doc2's bucket → −0.125;
+    // bias: (−0.5 + 0.5)/2 = 0 → stays 0
+    val nonBias = w.filterNot(_._1 == -1L).values.toList.sorted
+    assert(nonBias === List(-0.125, 0.125))
+    assert(w(-1L) === 0.0)
+  }
+
+  test("trainLogistic separates labels correlated with a marker token") {
+    import graft.operators.Training
+    val docs = (1 to 200).map { i =>
+      val pos = i % 2 == 0
+      val marker = if (pos) "excellent quality prose" else "spam junk garbage"
+      (i.toLong, s"document number $i with $marker inside", if (pos) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val w = Training.trainLogistic(docs, "doc_id", "text", "label",
+      buckets = 4096, rounds = 10, learningRate = 1.0)
+    val scores = Training.scoreLogistic(docs, "doc_id", "text", w, 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = (2 to 200 by 2).map(i => scores(i.toLong))
+    val neg = (1 to 199 by 2).map(i => scores(i.toLong))
+    assert(pos.min > neg.max,
+      s"positives ${pos.min} should outscore negatives ${neg.max}")
+  }
+
+  test("trainLogistic deterministic mode is bit-identical under repartitioning") {
+    import graft.operators.Training
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"alpha beta t$i gamma delta " * (i % 3 + 1), i % 2)).toDF(
+      "doc_id", "text", "label")
+    def run(p: Int) = Training.trainLogistic(docs.repartition(p), "doc_id",
+        "text", "label", buckets = 512, rounds = 3, deterministic = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(3); val b = run(11)
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(v === b(k), s"bucket $k drifted") }
+  }
+
+  test("trainLogistic plain-sum mode agrees with deterministic to 1e-9") {
+    import graft.operators.Training
+    val docs = (1 to 150).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 11} tok${i % 13}", i % 2)).toDF(
+      "doc_id", "text", "label")
+    val det = Training.trainLogistic(docs, "doc_id", "text", "label",
+        buckets = 512, rounds = 3, deterministic = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = Training.trainLogistic(docs, "doc_id", "text", "label",
+        buckets = 512, rounds = 3, deterministic = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(det.keySet === fast.keySet)
+    det.foreach { case (k, v) => assert(math.abs(v - fast(k)) < 1e-9) }
+  }
+
   // ── Containment (overlap-coefficient) dedup ────────────────────────────
 
   private val quoteDocs = Seq(

@@ -177,4 +177,58 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(out + ".batchid")), "UTF-8").trim
     assert(healed === "0")
   }
+
+  test("streamingCmsIngest: merged sketch equals the one-shot sketch of all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dir = tmpDir("stream_cms_")
+    // ONE checkpoint across runs: a fresh checkpoint would redeliver all
+    // data as batch 0, which the replay guard rightly skips
+    val ckpt = tmpDir("ckpt_cms_")
+    def ingest() = Streaming.streamingCmsIngest(
+        mem.toDF.toDF("text"), "text", depth = 4, width = 512, dir = dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    mem.addData("cat cat dog", "mouse")
+    ingest()
+    mem.addData("dog dog dog owl", "cat")
+    ingest()
+
+    val (merged, lastId) = Streaming.readVersioned(spark, dir)
+    assert(lastId >= 0)
+    val got = merged.get.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = graft.operators.Sketches.cmsSketch(
+        graft.operators.Sketches.termCounts(
+          Seq("cat cat dog", "mouse", "dog dog dog owl", "cat").toDF("text"), "text"),
+        "term", "cnt", 4, 512)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === oneShot)
+    // probing the persisted sketch reads exact counts in a wide sketch
+    val est = graft.operators.Sketches.cmsEstimate(
+        merged.get, Seq("cat", "dog", "zebra").toDF("term"), "term", 4, 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("cat" -> 3L, "dog" -> 4L, "zebra" -> 0L))
+  }
+
+  test("streamingCmsIngest skips a redelivered batch id (no double count)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dir = tmpDir("stream_cms_replay_")
+    mem.addData("alpha alpha")
+    // two runs with FRESH checkpoints → the second redelivers batch 0,
+    // which must hit the equality guard and leave the sketch unchanged
+    Streaming.streamingCmsIngest(mem.toDF.toDF("text"), "text", 4, 512, dir)
+      .option("checkpointLocation", tmpDir("ckpt_r1_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    Streaming.streamingCmsIngest(mem.toDF.toDF("text"), "text", 4, 512, dir)
+      .option("checkpointLocation", tmpDir("ckpt_r2_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val est = graft.operators.Sketches.cmsEstimate(
+        Streaming.readVersioned(spark, dir)._1.get,
+        Seq("alpha").toDF("term"), "term", 4, 512)
+      .collect()(0).getLong(1)
+    assert(est === 2L)
+  }
 }
