@@ -1165,8 +1165,11 @@ object SparkEntry {
     //    replays every register and the α·m²/Z estimate, small-range
     //    correction included) ───────────────────────────────────────────
     "q94_hll_distinct" -> ((s, dir) => {
+      // the exploded (source, shingle) frame feeds both the register build
+      // and the exact-count verify column — checkpoint it once
       val sh = T(s, dir, "documents")
         .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+        .localCheckpoint(true)
       val est = Sketches.hllEstimate(sh, Seq("source"), "sh", m = 256)
       sh.groupBy("source").agg(countDistinct(col("sh")).as("exact_distinct"))
         .join(est, Seq("source"))

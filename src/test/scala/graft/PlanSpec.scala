@@ -215,6 +215,50 @@ class PlanSpec extends SparkSpec {
       s"history scan not bucket-pruned:\n$plan")
   }
 
+  test("cmsEstimate broadcasts the sketch; the probe side never sort-merge-joins") {
+    import graft.operators.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tf = Sketches.termCounts(docs, "text")
+    val sketch = Sketches.cmsSketch(tf, "term", "cnt", 4, 1024)
+    val plan = physical(Sketches.cmsEstimate(sketch, tf, "term", 4, 1024))
+    assert(plan.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe sort-merge-joins:\n$plan")
+  }
+
+  test("hybridSearch: candidate pruning is TakeOrdered, never a global sort or cartesian") {
+    import graft.operators.Ranking
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Ranking.hybridSearch(docs, "doc_id", "text", emb, "vec_id",
+      "embedding", Seq("join"), Seq.fill(64)(0.1), candidates = 20, topK = 5)
+    val plan = physical(out)
+    assert(plan.contains("TakeOrderedAndProject"), s"no heap-based top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"fusion goes cartesian:\n$plan")
+    // the only Sort allowed feeds the bounded post-limit windows, never a
+    // corpus-wide ordering: every Sort must sit above a limit
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-wide sort exchange:\n$plan")
+  }
+
+  test("importanceWeights broadcasts the B-bounded weight table") {
+    import graft.operators.Importance
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(Importance.importanceWeights(
+      docs.select("doc_id", "text"), docs.limit(20).select("text"),
+      "doc_id", "text", buckets = 1024))
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
+  }
+
+  test("containmentPairs: no cartesian; the candidate join keys on the shingle hash") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val plan = physical(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9))
+    assert(!plan.contains("CartesianProduct"), s"containment goes cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"containment nested-loops:\n$plan")
+  }
+
   test("TPC-H q1 aggregates map-side before the exchange (partial aggregation)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val agg = li.filter(col("l_shipdate") <= "1998-09-02")
