@@ -1146,6 +1146,22 @@ object SparkEntry {
           round(col("rrf"), 6).as("rrf"), col("rank"))
         .orderBy("rank")
     }),
+    // ── scale: corpus version diff — release auditing between corpus
+    //    snapshots: per-source added/removed/changed counts + net token
+    //    drift; the diff join shuffles (id, hash, ntok) only (oracle:
+    //    DuckDB full-outer text compare) ──────────────────────────────────
+    "q97_corpus_diff" -> ((s, dir) => {
+      val v1 = T(s, dir, "documents").select("doc_id", "source", "text")
+      val kept = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      val added = v1.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 300000).as("doc_id"), col("source"),
+          concat(lit("fresh content for doc "), col("doc_id")).as("text"))
+      Diff.corpusDiffReport(v1, kept.unionByName(added),
+          "doc_id", "source", "text")
+        .orderBy("source")
+    }),
     // ── scale: quality-classifier TRAINING — full-batch logistic GD over
     //    hashed bigram features; deterministic folds make the whole run
     //    replayable (oracle: the training loop unrolled in SQL — per-round
@@ -2257,6 +2273,33 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
         |FROM f QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
     "q96_lr_train" -> lrTrainOracleSql(rounds = 3, buckets = 256, lr = 0.5),
+    "q97_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' revised' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, source,
+        |    'fresh content for doc ' || doc_id AS text
+        |  FROM documents WHERE doc_id < 50),
+        |t1 AS (SELECT doc_id, source AS g1, text AS x1,
+        |         len(string_split_regex(trim(lower(text)), '\s+')) AS n1 FROM v1),
+        |t2 AS (SELECT doc_id, source AS g2, text AS x2,
+        |         len(string_split_regex(trim(lower(text)), '\s+')) AS n2 FROM v2),
+        |j AS (SELECT coalesce(g2, g1) AS source,
+        |        CASE WHEN x1 IS NULL THEN 'added'
+        |             WHEN x2 IS NULL THEN 'removed'
+        |             WHEN x1 = x2 THEN 'unchanged' ELSE 'changed' END AS status,
+        |        n1, n2
+        |      FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(sum(coalesce(n2, 0) - coalesce(n1, 0)) AS BIGINT) AS token_delta
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q94_hll_distinct" ->
       s"""WITH s AS (
          |  SELECT source, unnest($shingle3Sql) AS sh

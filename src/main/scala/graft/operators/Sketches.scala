@@ -147,8 +147,16 @@ object Sketches {
     * m·ln(m/V). The Z fold is register-sorted (the family idiom), so the
     * double is bit-identical under any partitioning — and replayable. */
   def hllEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      m: Int = 256): DataFrame = {
-    val regs = hllRegisters(df, groupCols, valueCol, m)
+      m: Int = 256): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCols, valueCol, m),
+      groupCols, m)
+
+  /** Estimate from a pre-built register frame (group…, bucket, M) — the
+    * entry point for merged/persisted registers (e.g. the streaming
+    * ingest), where the raw values are long gone. */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+      m: Int): DataFrame = {
+    log2i(m) // validates m
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val z = aggregate(col("__ps"), lit(0.0), (acc, x) => acc + x.getField("p")) +
       (lit(m.toDouble) - col("__cnt"))

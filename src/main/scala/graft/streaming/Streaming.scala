@@ -240,6 +240,54 @@ object Streaming {
         }
       }
 
+  /** Micro-batch HyperLogLog ingest: batch registers MERGE into the
+    * persisted register frame by cell-wise MAX — unlike the CMS counter
+    * grid, max-merge is IDEMPOTENT, so a redelivered batch cannot corrupt
+    * the sketch; the replay guard here only saves wasted work. State stays
+    * ≤ m rows per group forever; estimate any time with
+    * [[graft.operators.Sketches.hllEstimateFromRegisters]]. Same
+    * versioned-dir + ATOMIC_MOVE pointer layout as the CMS ingest. */
+  def streamingHllIngest(
+      stream: DataFrame,
+      valueCol: String,
+      m: Int,
+      dir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val spark = batch.sparkSession
+        Files.createDirectories(Paths.get(dir))
+        val (prior, lastId) = readVersioned(spark, dir)
+        if (batchId != lastId && !batch.isEmpty) {
+          val bs = graft.operators.Sketches.hllRegisters(batch, Seq.empty,
+            valueCol, m)
+          val merged = prior match {
+            case Some(p) => p.unionByName(bs)
+              .groupBy("bucket").agg(max("M").as("M"))
+            case None => bs
+          }
+          val vdir = s"$dir/v$batchId"
+          merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+          val tmp = Paths.get(s"$dir/.latest.tmp-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+          Files.move(tmp, Paths.get(s"$dir/LATEST"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          val d = new java.io.File(dir)
+          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+            if (f.isDirectory && f.getName.startsWith("v") &&
+                f.getName != s"v$batchId")
+              scala.util.Try {
+                val walk = Files.walk(f.toPath)
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(p => { Files.deleteIfExists(p); () })
+                finally walk.close()
+              }: Unit
+          }
+          ()
+        }
+      }
+
   /** The persisted sketch behind [[streamingCmsIngest]] (None before the
     * first committed batch), plus the committed batch id. Reads through
     * the LATEST pointer; a corrupt/missing pointer reads as "no sketch"

@@ -159,6 +159,31 @@ class CurationSpec extends SparkSpec {
     assert(ids === Set(1L))
   }
 
+  // ── Corpus diff ────────────────────────────────────────────────────────
+
+  test("corpusDiff statuses and per-source report with token drift") {
+    import graft.operators.Diff
+    val v1 = Seq(
+      (1L, "a", "one two three"),
+      (2L, "a", "keep me intact"),
+      (3L, "b", "gone soon")).toDF("doc_id", "source", "text")
+    val v2 = Seq(
+      (1L, "a", "one two three four"), // changed: +1 token
+      (2L, "a", "keep me intact"),     // unchanged
+      (4L, "b", "fresh arrival")).toDF("doc_id", "source", "text") // added
+    val rows = Diff.corpusDiff(v1, v2, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows === Map(1L -> "changed", 2L -> "unchanged",
+      3L -> "removed", 4L -> "added"))
+    val rep = Diff.corpusDiffReport(v1, v2, "doc_id", "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // a: 0 added, 0 removed, 1 changed, 1 unchanged, delta +1
+    assert(rep("a") === (0L, 0L, 1L, 1L, 1L))
+    // b: 1 added (+2 tok), 1 removed (−2 tok), delta 0
+    assert(rep("b") === (1L, 1L, 0L, 0L, 0L))
+  }
+
   // ── Logistic-regression training ───────────────────────────────────────
 
   test("trainLogistic: one GD round matches the closed form on a tiny corpus") {

@@ -212,6 +212,32 @@ class StreamingSpec extends SparkSpec {
     assert(est === Map("cat" -> 3L, "dog" -> 4L, "zebra" -> 0L))
   }
 
+  test("streamingHllIngest: merged registers equal the one-shot sketch; estimate works") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dir = tmpDir("stream_hll_")
+    val ckpt = tmpDir("ckpt_hll_")
+    def ingest() = Streaming.streamingHllIngest(
+        mem.toDF.toDF("v"), "v", m = 256, dir = dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    mem.addData((1 to 400).map(i => s"val$i"): _*)
+    ingest()
+    mem.addData((300 to 800).map(i => s"val$i"): _*) // overlap: union = 800 distinct
+    ingest()
+
+    val (regs, _) = Streaming.readVersioned(spark, dir)
+    val oneShot = graft.operators.Sketches.hllRegisters(
+        (1 to 800).map(i => s"val$i").toDF("v"), Seq.empty, "v", 256)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = regs.get.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === oneShot)
+    val est = graft.operators.Sketches.hllEstimateFromRegisters(
+      regs.get, Seq.empty, 256).collect()(0).getDouble(0)
+    assert(math.abs(est - 800) / 800 < 0.195, s"est $est too far from 800")
+  }
+
   test("streamingCmsIngest skips a redelivered batch id (no double count)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
