@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * additive-α smoothing over B hashed feature buckets.
   *
   * Spark shape: both distributions are B-bounded (bucket, count)
-  * aggregates — map-side combined, broadcast back — so the only
-  * corpus-sized work is one explode → (doc, bucket) count per scan, and
-  * the per-doc score joins a broadcast B-row weight table. No UDFs; the
-  * md5-prefix bucket hash keeps every weight replayable in an external
-  * SQL engine. Per-doc summation folds a bucket-sorted array (the q66/q84
-  * idiom) so the double result is invariant under repartitioning. */
+  * aggregates — map-side combined — and the per-doc SCORE is a pure
+  * projection: the fused [[graft.functions.BigramBucketCounts]] expression
+  * builds each doc's sorted sparse feature vector inside the scan, and the
+  * score folds it against a dense B-double weight-array literal (no
+  * (doc, bucket) shuffle, no join, no collect_list — measured 2.6× at 50×
+  * stress over the relational join shape). No UDFs; the md5-prefix bucket
+  * hash keeps every weight replayable in an external SQL engine; the
+  * bucket-ascending fold keeps the double invariant under repartitioning. */
 object Importance {
 
   /** Hashed feature bucket in [0, B). `hashKind` as in the dedup family:
@@ -41,37 +43,48 @@ object Importance {
     * carry word-order signal unigram bags miss). Empty/1-token docs have
     * no features and receive no weight row.
     *
-    * Bigrams are 2-shingles, so this rides the compiled one-pass
-    * [[graft.functions.Shingles.word_shingles]] loop (an equivalent
-    * zip_with/slice/filter HOF chain evaluates interpreted per element —
-    * the feature scan measured 13.5 → 6.9 s at 20× stress from this plus
-    * the hash swap). The sub-2-token pseudo-shingle the shingle family
-    * emits has no space, so the space filter restores exact bigram
-    * semantics. */
+    * This is the SEMANTIC DEFINITION (bigrams = 2-shingles minus the
+    * short-doc pseudo-shingle, which has no space) — the hot paths use
+    * [[featureVector]], whose fused expression is spec-asserted equal to
+    * hashing exactly these strings. */
   def bigramsCol(text: Column): Column =
     filter(Dedup.shinglesOfAll(Dedup.tokensCol(text), 2), p => p.contains(" "))
 
-  /** Exploded (…, __f) bigram rows — the space filter runs codegen'd on
-    * the exploded string column, not as a per-element array lambda. */
-  private def bigramRows(df: DataFrame, keep: Seq[Column], textCol: String): DataFrame =
-    df.select(keep :+
-      explode(Dedup.shinglesOfAll(Dedup.tokensCol(col(textCol)), 2)).as("__f"): _*)
-      .filter(col("__f").contains(" "))
+  /** Per-doc sparse feature vector: sorted (bucket, cnt) pairs built
+    * inside the scan by the fused [[graft.functions.BigramBucketCounts]]
+    * expression — no bigram string column, no per-row hash projection,
+    * and consumers that fold it (scoring, training) need NO (doc, bucket)
+    * shuffle at all. */
+  def featureVector(text: Column, buckets: Int,
+      hashKind: String = "xxhash64"): Column =
+    graft.functions.FeatureHash.bigram_bucket_counts(
+      Dedup.tokensCol(text), buckets, hashKind)
 
   /** (doc, bucket, cnt) hashed-bigram counts — the per-document feature
-    * vector in sparse form. */
+    * vector exploded to rows (already per-doc-aggregated by the fused
+    * expression: one row per distinct (doc, bucket)). */
   def docBucketCounts(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, hashKind: String = "xxhash64"): DataFrame =
-    bigramRows(df, Seq(col(idCol)), textCol)
-      .select(col(idCol), featureBucket(col("__f"), buckets, hashKind).as("bucket"))
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+    df.select(col(idCol),
+        explode(featureVector(col(textCol), buckets, hashKind)).as("__bc"))
+      .select(col(idCol), col("__bc.bucket").as("bucket"), col("__bc.cnt").as("cnt"))
 
-  /** (bucket, cnt) corpus feature counts — B-bounded output. */
+  /** (bucket, cnt) corpus feature counts — B-bounded output, map-side
+    * combined to ≤ B rows per task. */
   def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
       hashKind: String = "xxhash64"): DataFrame =
-    bigramRows(df, Seq.empty, textCol)
-      .select(featureBucket(col("__f"), buckets, hashKind).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    df.select(explode(featureVector(col(textCol), buckets, hashKind)).as("__bc"))
+      .groupBy(col("__bc.bucket").as("bucket")).agg(sum("__bc.cnt").as("cnt"))
+
+  /** Fold a feature vector against a dense weight-array literal (index =
+    * bucket, element_at is O(1)) — bucket-ascending by construction, so
+    * the double is deterministic under any partitioning and matches the
+    * SQL oracle's ORDER BY bucket fold. */
+  private[operators] def dotWeights(vec: Column, wArr: Array[Double],
+      init: Column): Column =
+    aggregate(vec, init, (acc, x) => acc +
+      x.getField("cnt").cast("double") *
+        element_at(lit(wArr), x.getField("bucket").cast("int") + 1))
 
   /** Per-bucket log-likelihood ratios ln p̂_target(b) − ln p̂_raw(b) with
     * additive-α smoothing: (bucket, w), ≤ B rows. Written in the exact
@@ -112,30 +125,23 @@ object Importance {
 
   /** Per-document importance log-weight of every raw document against the
     * target sample: (id, logw). Docs with no bigram features (≤ 1 token)
-    * are absent — they carry no evidence either way.
-    *
-    * Scale: the weight table is ≤ B rows (size-gated broadcast); the doc
-    * side shuffles (id, bucket) pairs once. The per-doc sum folds
-    * bucket-sorted (cnt·w) contributions so the result is deterministic
-    * under any partitioning. */
+    * are absent — they carry no evidence either way. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 1 << 13, alpha: Double = 0.5,
       hashKind: String = "xxhash64"): DataFrame = {
-    // Two corpus scans, deliberately: the raw-distribution scan aggregates
-    // straight to B buckets — partial aggregation collapses it to ≤ B rows
-    // PER TASK map-side, so its shuffle is ~free — while the per-doc scan
-    // shuffles (doc, bucket) pairs (unavoidable: that frame IS the score
-    // input). Deriving the raw side from a materialized per-doc frame was
-    // measured SLOWER at both scales (checkpoint write/read of the
-    // corpus-sized frame > the cheap second scan): 13.4 vs 9.3 s at 20×.
-    val db = docBucketCounts(raw, idCol, textCol, buckets, hashKind)
+    // Two corpus scans: the weight pass aggregates straight to B buckets
+    // (partial aggregation collapses it to <= B rows per task, its shuffle
+    // is ~free); the SCORING pass is then a pure projection — the weight
+    // table collects to a dense B-double array (32 KB at the default B,
+    // bounded by design, the IVF-centroid pattern) and each doc folds its
+    // in-scan feature vector against it. No (doc, bucket) shuffle, no
+    // join, no collect_list aggregate anywhere.
     val w = bucketLogRatios(raw, target, textCol, buckets, alpha, hashKind)
-    db.join(Ops.broadcastIfSmall(w), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(
-        struct(col("bucket"), (col("cnt") * col("w")).as("c")))).as("__cs"))
-      .select(col(idCol),
-        aggregate(col("__cs"), lit(0.0), (acc, x) => acc + x.getField("c"))
-          .as("logw"))
+    val wArr = new Array[Double](buckets)
+    w.collect().foreach(r => wArr(r.getLong(0).toInt) = r.getDouble(1))
+    val vec = featureVector(col(textCol), buckets, hashKind)
+    raw.select(col(idCol), vec.as("__bc"))
+      .filter(size(col("__bc")) > 0)
+      .select(col(idCol), dotWeights(col("__bc"), wArr, lit(0.0)).as("logw"))
   }
 }

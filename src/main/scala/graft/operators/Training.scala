@@ -53,29 +53,33 @@ object Training {
       deterministic: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = df.sparkSession
-    val labels = df.select(col(idCol), col(labelCol).cast("double").as("__y"))
-    val ff = lrFeatures(df, idCol, textCol, buckets, hashKind)
-      .join(labels, Seq(idCol))
+    // (id, sorted sparse feature vector, y) — checkpointed ONCE; every
+    // round is a projection + one B-bounded aggregate over this frame
+    val ff = df.select(col(idCol),
+        Importance.featureVector(col(textCol), buckets, hashKind).as("__bc"),
+        col(labelCol).cast("double").as("__y"))
       .localCheckpoint(true)
     val n = df.count().toDouble
-    var weights = Map.empty[Long, Double] // absent = 0.0
+    // gradient rows carry the bias as the family's synthetic bucket −1
+    val withBias = explode(concat(col("__bc"),
+      array(struct(lit(-1L).as("bucket"), lit(1L).as("cnt"))))).as("__e")
+    var weights = Map.empty[Long, Double] // absent = 0.0 (bias at key −1)
     for (_ <- 1 to rounds) {
-      val wmap =
-        if (weights.isEmpty) typedLit(Map(Long.MinValue -> 0.0)) // non-empty literal
-        else typedLit(weights)
-      val contrib = col("cnt").cast("double") *
-        coalesce(element_at(wmap, col("bucket")), lit(0.0))
-      val resid = ff
-        .groupBy(col(idCol), col("__y"))
-        .agg(sort_array(collect_list(struct(col("bucket"), contrib.as("c"))))
-          .as("__cs"))
-        .select(col(idCol),
-          (lit(1.0) / (lit(1.0) +
-            exp(-aggregate(col("__cs"), lit(0.0),
-              (acc, x) => acc + x.getField("c")))) - col("__y")).as("__r"))
-      val joined = ff.join(resid, Seq(idCol))
-        .select(col("bucket"), col(idCol).as("__id"),
-          (col("cnt").cast("double") * col("__r")).as("__c"))
+      val wArr = new Array[Double](buckets)
+      weights.foreach { case (b, v) => if (b >= 0) wArr(b.toInt) = v }
+      val bias = weights.getOrElse(-1L, 0.0)
+      // z = ((0 + bias·1) + Σ cnt·w) in bucket order (−1 sorts first) —
+      // bit-identical to the oracle's ORDER BY bucket fold, and a PURE
+      // projection: no per-doc aggregate, no residual join
+      val resid = ff.select(col(idCol),
+        (lit(1.0) / (lit(1.0) +
+          exp(-Importance.dotWeights(col("__bc"), wArr,
+            lit(0.0) + lit(bias)))) - col("__y")).as("__r"),
+        col("__bc"))
+      val joined = resid
+        .select(col(idCol).as("__id"), withBias, col("__r"))
+        .select(col("__e.bucket").as("bucket"), col("__id"),
+          (col("__e.cnt").cast("double") * col("__r")).as("__c"))
       val grad =
         if (deterministic)
           joined.groupBy("bucket")
@@ -95,18 +99,23 @@ object Training {
     weights.toSeq.sortBy(_._1).toDF("bucket", "w")
   }
 
-  /** Score `df` with a trained weight table: per-doc σ(z) in one broadcast
-    * join + bucket-sorted fold — the application path for weights from
-    * [[trainLogistic]]. */
+  /** Score `df` with a trained weight table: per-doc σ(z) as a pure
+    * projection — the ≤(B+1)-row weight frame collects to a dense array +
+    * bias (bounded by design), and each doc folds its in-scan feature
+    * vector against it. The application path for [[trainLogistic]]. */
   def scoreLogistic(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int,
-      hashKind: String = "xxhash64"): DataFrame =
-    lrFeatures(df, idCol, textCol, buckets, hashKind)
-      .join(Ops.broadcastIfSmall(weights), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("bucket"),
-        (col("cnt").cast("double") * col("w")).as("c")))).as("__cs"))
-      .select(col(idCol),
-        (lit(1.0) / (lit(1.0) + exp(-aggregate(col("__cs"), lit(0.0),
-          (acc, x) => acc + x.getField("c"))))).as("score"))
+      hashKind: String = "xxhash64"): DataFrame = {
+    val wArr = new Array[Double](buckets)
+    var bias = 0.0
+    weights.select(col("bucket").cast("long"), col("w").cast("double"))
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        if (b >= 0) wArr(b.toInt) = r.getDouble(1) else bias = r.getDouble(1)
+      }
+    df.select(col(idCol),
+      (lit(1.0) / (lit(1.0) + exp(-Importance.dotWeights(
+        Importance.featureVector(col(textCol), buckets, hashKind),
+        wArr, lit(0.0) + lit(bias))))).as("score"))
+  }
 }

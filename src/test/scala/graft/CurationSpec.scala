@@ -138,6 +138,25 @@ class CurationSpec extends SparkSpec {
       s"expected cat > mixed > dog, got $w")
   }
 
+  test("fused feature vector ≡ hashing bigramsCol strings (both hash kinds, real data)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      // add the edge shapes: 1-token, empty, and whitespace-only docs
+      .unionByName(Seq((900001L, "solo"), (900002L, ""), (900003L, "  "))
+        .toDF("doc_id", "text"))
+    for (hk <- Seq("xxhash64", "md5_60")) {
+      val fused = Importance.docBucketCounts(docs, "doc_id", "text", 512, hk)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val relational = docs
+        .select(col("doc_id"), explode(Importance.bigramsCol(col("text"))).as("f"))
+        .select(col("doc_id"),
+          Importance.featureBucket(col("f"), 512, hk).as("bucket"))
+        .groupBy("doc_id", "bucket").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(fused === relational, s"hashKind $hk diverged")
+    }
+  }
+
   test("importance weights are invariant under repartitioning") {
     val raw = (1 to 300).map(i =>
       (i.toLong, s"alpha beta gamma t$i delta " * (i % 4 + 1))).toDF("id", "text")

@@ -241,13 +241,17 @@ class PlanSpec extends SparkSpec {
       s"corpus-wide sort exchange:\n$plan")
   }
 
-  test("importanceWeights broadcasts the B-bounded weight table") {
+  test("importanceWeights scoring is a pure projection: no join, no exchange") {
     import graft.operators.Importance
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = physical(Importance.importanceWeights(
       docs.select("doc_id", "text"), docs.limit(20).select("text"),
       "doc_id", "text", buckets = 1024))
-    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
+    // the weight table rides as a dense array literal inside the fold —
+    // the scoring pass must be Project+Filter over the scan, nothing else
+    assert(!plan.contains("Join"), s"scoring plans a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring shuffles:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"scoring aggregates:\n$plan")
   }
 
   test("containmentPairs: no cartesian; the candidate join keys on the shingle hash") {
