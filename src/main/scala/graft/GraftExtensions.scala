@@ -99,7 +99,13 @@ object GraftExtensions {
       info("compression_ratio",
         "compression_ratio(text, level) — deflate(compressed)/raw bytes redundancy signal"),
       (args: Seq[Expression]) => graft.functions.CompressionRatio(args(0),
-        intArg(args, 1, "compression_ratio", "level"))))
+        intArg(args, 1, "compression_ratio", "level"))),
+    ("bigram_bucket_counts",
+      info("bigram_bucket_counts",
+        "bigram_bucket_counts(tokens, buckets, hashKind) — sorted sparse (bucket, cnt) hashed-bigram feature vector"),
+      (args: Seq[Expression]) => graft.functions.BigramBucketCounts(args(0),
+        intArg(args, 1, "bigram_bucket_counts", "buckets"),
+        strArg(args, 2, "bigram_bucket_counts", "hashKind"))))
 
   private def lit(args: Seq[Expression], i: Int, fn: String, name: String): Any =
     args(i) match {

@@ -1146,6 +1146,16 @@ object SparkEntry {
           round(col("rrf"), 6).as("rrf"), col("rank"))
         .orderBy("rank")
     }),
+    // ── scale: k-means TRAINING — assignment as one fused argmax-dot
+    //    projection over augmented vectors, (cluster, dim)-keyed mean
+    //    update; deterministic folds make every round replayable (oracle:
+    //    rounds unrolled in SQL — scores, argmin window, id-sorted means) ─
+    "q98_kmeans_train" -> ((s, dir) => {
+      Training.trainKMeans(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, rounds = 3, deterministic = true)
+        .select(col("cluster"), col("dim"), round(col("value"), 6).as("value"))
+        .orderBy("cluster", "dim")
+    }),
     // ── scale: corpus version diff — release auditing between corpus
     //    snapshots: per-source added/removed/changed counts + net token
     //    drift; the diff join shuffles (id, hash, ntok) only (oracle:
@@ -1354,6 +1364,14 @@ object SparkEntry {
     * override run the `queries` entry entirely inside the timed region. */
   def benchQueries: Map[String, (SparkSession, String) => () => DataFrame] = {
     val overrides: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+      // q98 benches the PRODUCTION path: plain-avg means (deterministic
+      // id-sorted folds exist so the SQL oracle can replay the run)
+      "q98_kmeans_train" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        () => Training.trainKMeans(e, "vec_id", "embedding", k = 4, rounds = 3)
+          .select(col("cluster"), col("dim"), round(col("value"), 6).as("value"))
+          .orderBy("cluster", "dim")
+      }),
       // q96 benches the PRODUCTION path: xxhash64 features + plain-sum
       // gradients (the md5/deterministic-fold combination exists so the
       // SQL oracle can replay the training run bit-for-bit)
@@ -2273,6 +2291,7 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
         |FROM f QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
     "q96_lr_train" -> lrTrainOracleSql(rounds = 3, buckets = 256, lr = 0.5),
+    "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q97_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, source, text FROM documents),
         |v2 AS (
@@ -2958,6 +2977,44 @@ object SparkEntry {
          |  FROM w${k - 1} w JOIN g$k g ON w.bucket = g.bucket),""".stripMargin
     }.mkString("\n").stripSuffix(",")
     s"$header\n$roundCtes\nSELECT bucket, round(w, 6) AS w FROM w$rounds ORDER BY bucket"
+  }
+
+  /** The q98 k-means training loop unrolled in SQL. Score parity with the
+    * Scala side's augmented NearestCentroid loop: 64 index-order products
+    * folded, then + (−(Σc²/2.0)) — the same op sequence, so assignments
+    * and the id-sorted means are bit-identical round over round. */
+  private def kmeansOracleSql(k: Int, rounds: Int, dims: Int): String = {
+    val d1 = dims + 1
+    val header =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, x
+         |       FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT $k)),""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT e.vec_id, e.x, c.cluster,
+         |  list_reduce(list_transform(range(1, $d1), i -> e.x[i] * c.x[i]),
+         |      (p, q) -> p + q)
+         |    + (-(list_reduce(list_transform(range(1, $d1), i -> c.x[i] * c.x[i]),
+         |      (p, q) -> p + q) / 2.0)) AS score
+         |  FROM e CROSS JOIN c${r - 1} c),
+         |a$r AS (SELECT vec_id, x, cluster FROM (
+         |  SELECT vec_id, x, cluster, row_number()
+         |    OVER (PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn
+         |  FROM s$r) WHERE rn = 1),
+         |u$r AS (SELECT a.cluster, a.vec_id, d.i AS dim, a.x[d.i] AS v
+         |        FROM a$r a CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) d),
+         |m$r AS (SELECT cluster, dim,
+         |          list_reduce(list(v ORDER BY vec_id), (p, q) -> p + q) / count(*) AS v
+         |        FROM u$r GROUP BY 1, 2),
+         |c$r AS (SELECT p.cluster, coalesce(n.x, p.x) AS x
+         |        FROM c${r - 1} p LEFT JOIN (SELECT cluster, list(v ORDER BY dim) AS x
+         |                                    FROM m$r GROUP BY cluster) n
+         |          USING (cluster)),""".stripMargin
+    }.mkString("\n").stripSuffix(",")
+    s"""$header
+       |$roundCtes
+       |SELECT cluster, d.i AS dim, round(x[d.i], 6) AS value
+       |FROM c$rounds CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) d
+       |ORDER BY cluster, dim""".stripMargin
   }
 
   /** HLL ρ as a descending threshold CASE over `vExpr` (a 60−log2(m)-bit

@@ -99,6 +99,84 @@ object Training {
     weights.toSeq.sortBy(_._1).toDF("bucket", "w")
   }
 
+  /** Distributed k-means training over an embedding column — the third
+    * on-cluster trainer (tokenizer q87, classifier q96, clustering here),
+    * and the standalone form of the centroid fitting [[Similarity.ivfIndex]]
+    * does internally.
+    *
+    * Round shape: assignment is ONE projection via the fused
+    * [[graft.functions.NearestCentroid]] loop — Euclidean argmin runs as
+    * argmax-dot on AUGMENTED vectors (x ⊕ 1 against c ⊕ −‖c‖²/2; the
+    * −‖x‖² term is cluster-independent), so k never unrolls into the
+    * generated code; means are a (cluster, dim)-keyed aggregate (≤ k·d
+    * groups) and the k·d-row update collects to the driver (the
+    * IVF/logistic round pattern). The input projects to (id, double[])
+    * ONCE, eagerly checkpointed.
+    *
+    * Init: the k lowest-id vectors (deterministic from data, replayable).
+    * Empty clusters keep their previous centroid. `deterministic = true`
+    * folds each mean id-sorted — the whole training run is then
+    * bit-identical under any partitioning and an external SQL engine
+    * replays every round (the q96 contract); production keeps plain avg.
+    *
+    * Returns (cluster, dim, value): k·d rows, dim 1-based. */
+  def trainKMeans(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 3,
+      deterministic: Boolean = false): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k/rounds must be >= 1, got $k/$rounds")
+    val spark = df.sparkSession
+    val e = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__x"))
+      .localCheckpoint(true)
+    val dims = e.select(size(col("__x"))).first().getInt(0)
+    var cens: Array[Array[Double]] = e.orderBy("__id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cens.length == k, s"need at least $k vectors, got ${cens.length}")
+    for (_ <- 1 to rounds) {
+      // augmented row-major matrix: [c_1..c_d, −‖c‖²/2] per cluster —
+      // bias accumulated in index order, exactly as the SQL replay folds
+      val aug = new Array[Double](k * (dims + 1))
+      for (c <- 0 until k) {
+        var s = 0.0
+        var i = 0
+        while (i < dims) {
+          aug(c * (dims + 1) + i) = cens(c)(i)
+          s += cens(c)(i) * cens(c)(i)
+          i += 1
+        }
+        aug(c * (dims + 1) + dims) = -(s / 2.0)
+      }
+      val assigned = e.select(col("__id"),
+        graft.functions.VectorOps.nearest_centroid(
+          concat(col("__x"), array(lit(1.0))), aug, k, dims + 1).as("__c"),
+        col("__x"))
+      val uns = assigned.select(col("__c"), col("__id"),
+        posexplode(col("__x")).as(Seq("__d", "__v")))
+      val means =
+        if (deterministic)
+          uns.groupBy("__c", "__d")
+            .agg(sort_array(collect_list(struct(col("__id"), col("__v"))))
+              .as("__vs"), count(lit(1)).as("__n"))
+            .select(col("__c"), col("__d"),
+              (aggregate(col("__vs"), lit(0.0),
+                (acc, x) => acc + x.getField("__v")) / col("__n")).as("__m"))
+        else
+          uns.groupBy("__c", "__d").agg(avg(col("__v")).as("__m"))
+      val next = cens.map(_.clone())
+      means.collect().foreach(r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cens = next
+    }
+    import spark.implicits._
+    cens.zipWithIndex.flatMap { case (c, ci) =>
+      c.zipWithIndex.map { case (v, d) => (ci, d + 1, v) }
+    }.toSeq.toDF("cluster", "dim", "value")
+  }
+
   /** Score `df` with a trained weight table: per-doc σ(z) as a pure
     * projection — the ≤(B+1)-row weight frame collects to a dense array +
     * bias (bounded by design), and each doc folds its in-scan feature

@@ -268,6 +268,61 @@ class CurationSpec extends SparkSpec {
     det.foreach { case (k, v) => assert(math.abs(v - fast(k)) < 1e-9) }
   }
 
+  // ── k-means training ───────────────────────────────────────────────────
+
+  private def blob(ids: Range, base: Seq[Double], jitter: Double) =
+    ids.map(i => (i.toLong, base.zipWithIndex.map { case (v, d) =>
+      (v + jitter * ((i + d) % 3 - 1)).toFloat }))
+
+  test("trainKMeans recovers separated blob means exactly after one round") {
+    import graft.operators.Training
+    // ids 0 and 1 land in different blobs → init centroids straddle them
+    val a = blob(0 to 0, Seq(10.0, 0.0, 0.0), 0) ++ blob(2 to 20 by 2, Seq(10.0, 0.0, 0.0), 0.1)
+    val b = blob(1 to 1, Seq(-10.0, 5.0, 0.0), 0) ++ blob(3 to 21 by 2, Seq(-10.0, 5.0, 0.0), 0.1)
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val out = Training.trainKMeans(df, "vec_id", "embedding", k = 2, rounds = 1,
+        deterministic = true)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // cluster 0 = blob around (10,0,0): mean of dim 1 ≈ 10 within jitter
+    assert(math.abs(out((0, 1)) - 10.0) < 0.2, s"got ${out((0, 1))}")
+    assert(math.abs(out((1, 1)) + 10.0) < 0.2, s"got ${out((1, 1))}")
+    assert(math.abs(out((1, 2)) - 5.0) < 0.2, s"got ${out((1, 2))}")
+  }
+
+  test("trainKMeans: empty cluster keeps its previous centroid") {
+    import graft.operators.Training
+    // three init centroids (ids 0,1,2) but all points sit on two blobs;
+    // centroid 1 (id 1 at the far point) captures its blob, centroid 2's
+    // init vector is strictly closer to centroid 0's for every point...
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(100.0f, 0.0f)),
+      (2L, Seq(0.1f, 0.0f)),   // init c2 very close to c0
+      (3L, Seq(0.05f, 0.0f)), (4L, Seq(100.1f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Training.trainKMeans(pts, "vec_id", "embedding", k = 3, rounds = 2,
+        deterministic = true)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // points 0.05/0.1 split between c0 and c2 by distance; the far blob
+    // belongs to c1; no crash, 3×2 centroid rows
+    assert(out.size === 6)
+    // mean of 100.0f and 100.1f — float32 storage, so ±1e-4
+    assert(math.abs(out((1, 1)) - 100.05) < 1e-4)
+  }
+
+  test("trainKMeans deterministic mode is bit-identical under repartitioning and ≈ plain avg") {
+    import graft.operators.Training
+    val df = (1 to 200).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF(
+      "vec_id", "embedding")
+    def run(p: Int, det: Boolean) = Training.trainKMeans(df.repartition(p),
+        "vec_id", "embedding", k = 3, rounds = 3, deterministic = det)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val d1 = run(2, det = true); val d2 = run(11, det = true)
+    assert(d1 === d2)
+    val plain = run(4, det = false)
+    d1.foreach { case (k0, v) => assert(math.abs(v - plain(k0)) < 1e-9) }
+  }
+
   // ── Containment (overlap-coefficient) dedup ────────────────────────────
 
   private val quoteDocs = Seq(

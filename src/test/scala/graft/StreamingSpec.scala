@@ -238,6 +238,14 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(est - 800) / 800 < 0.195, s"est $est too far from 800")
   }
 
+  test("sketch ingest survives a torn LATEST pointer (reads as no sketch, never crashes)") {
+    val dir = tmpDir("stream_cms_torn_")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/LATEST"), "garbage ")
+    val (sketch, id) = Streaming.readVersioned(spark, dir)
+    assert(sketch.isEmpty && id === -1L)
+  }
+
   test("streamingCmsIngest skips a redelivered batch id (no double count)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
