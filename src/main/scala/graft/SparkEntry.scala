@@ -1233,6 +1233,43 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: PageRank centrality over the customer–supplier graph —
+    //    the link-graph quality prior of web-corpus curation (bidirected
+    //    orders⋈lineitem edges, 3 rounds, GraphX staticPageRank
+    //    semantics; gate runs the deterministic src-sorted fold so the
+    //    oracle replays every round as unrolled CTEs) ────────────────────
+    "q101_pagerank" -> ((s, dir) => {
+      val el = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      Graph.pageRank(Graph.bidirect(el, "a", "b"), "src", "dst",
+          rounds = 3, damping = 0.85, deterministic = true)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+    // ── scale: weighted sample without replacement — priority sampling
+    //    (Duffield–Lund–Thorup): u from the md5-60 hash, priority w/u,
+    //    top-k via TakeOrderedAndProject, τ = (k+1)-th priority calibrates
+    //    the unbiased estimator weight est_w = max(w, τ) (oracle: DuckDB
+    //    replays the hash, the two divisions, the rank, and τ) ───────────
+    "q99_priority_sample" -> ((s, dir) => {
+      Sampling.prioritySampleK(
+          T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 50, seed = 11L)
+        .orderBy(col("priority").desc, col("doc_id").asc)
+    }),
+    // ── scale: exact-k uniform sample per source — hash-ranked draw, a
+    //    pure function of (id, seed) (oracle: DuckDB replays the hash and
+    //    the per-source rank window) ─────────────────────────────────────
+    "q100_group_sample_k" -> ((s, dir) => {
+      Sampling.sampleKPerGroup(
+          T(s, dir, "documents").select("source", "doc_id"),
+          "source", "doc_id", k = 20L, seed = 5L)
+        .orderBy("source", "pick")
+    }),
     "q89_group_pct_rank" -> ((s, dir) => {
       Sampling.percentRankPerGroup(
           T(s, dir, "documents").select(col("source"), col("doc_id"),
@@ -1364,6 +1401,19 @@ object SparkEntry {
     * override run the `queries` entry entirely inside the timed region. */
   def benchQueries: Map[String, (SparkSession, String) => () => DataFrame] = {
     val overrides: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+      // q101 benches the PRODUCTION path: plain map-side-combined sums
+      // (the src-sorted fold exists so the SQL oracle can replay rounds)
+      "q101_pagerank" -> ((s, dir) => {
+        val el = T(s, dir, "orders")
+          .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+        () => Graph.pageRank(Graph.bidirect(el, "a", "b"), "src", "dst",
+            rounds = 3, damping = 0.85)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      }),
       // q98 benches the PRODUCTION path: plain-avg means (deterministic
       // id-sorted folds exist so the SQL oracle can replay the run)
       "q98_kmeans_train" -> ((s, dir) => {
@@ -2292,6 +2342,7 @@ object SparkEntry {
         |FROM f QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
     "q96_lr_train" -> lrTrainOracleSql(rounds = 3, buckets = 256, lr = 0.5),
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
+    "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q97_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, source, text FROM documents),
         |v2 AS (
@@ -2391,6 +2442,32 @@ object SparkEntry {
          |  FROM p)
          |SELECT id_a, id_b, round(containment, 6) AS containment FROM q
          |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "q99_priority_sample" ->
+      """WITH pr AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))::UBIGINT
+        |        + 1)::DOUBLE / 1152921504606846976.0) AS priority
+        |  FROM documents),
+        |r AS (SELECT pr.*,
+        |        row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+        |      FROM pr),
+        |t AS (SELECT CASE WHEN (SELECT max(rn) FROM r) > 50
+        |             THEN (SELECT priority FROM r WHERE rn = 51)
+        |             ELSE 0.0 END AS tau)
+        |SELECT doc_id, w, priority, greatest(w, t.tau) AS est_w
+        |FROM r, t WHERE rn <= 50 ORDER BY priority DESC, doc_id ASC""".stripMargin,
+    "q100_group_sample_k" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':5'), 1, 15))::UBIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |                                ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pick
+        |      FROM h)
+        |SELECT source, doc_id, pick FROM r WHERE pick <= 20
+        |ORDER BY source, pick""".stripMargin,
     "q89_group_pct_rank" ->
       """WITH r AS (
         |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
@@ -2938,6 +3015,40 @@ object SparkEntry {
 
   /** Distinct 3-token shingles from a `toks` list column — the DuckDB twin
     * of Dedup.shinglesOf(tokens, 3) including the <3-token fallback. */
+  /** The q101 PageRank loop unrolled in SQL (GraphX staticPageRank
+    * semantics over the bidirected customer–supplier graph): per round, a
+    * src-sorted contribution fold per node — the same order as the Scala
+    * side's sort_array fold, so ranks are bit-identical round over round
+    * ((1 − damping) embeds as the exact double the Scala side computes);
+    * final ranks round to 6. */
+  private def pageRankOracleSql(rounds: Int, damping: Double): String = {
+    val base = (1.0 - damping).toString
+    val header =
+      s"""WITH el AS (
+         |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,
+         |    's' || l_suppkey::VARCHAR AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM el
+         |          UNION ALL SELECT b, a FROM el),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |r0 AS (SELECT node, 1.0 AS rank FROM nodes),""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, e.src AS src, r.rank / d.deg AS c
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src),
+         |s$k AS (SELECT node,
+         |    list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS s
+         |  FROM c$k GROUP BY node),
+         |r$k AS (SELECT n.node, $base + $damping * coalesce(s.s, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN s$k s ON n.node = s.node),""".stripMargin
+    }.mkString("\n").stripSuffix(",")
+    s"""$header
+       |$roundCtes
+       |SELECT node, round(rank, 6) AS rank FROM r$rounds ORDER BY node""".stripMargin
+  }
+
   /** The q96 logistic-GD training loop unrolled in SQL: per round k, a
     * bucket-sorted z fold per doc, sigmoid residuals, a doc-sorted
     * gradient fold per bucket, and the weight update — every fold ordered

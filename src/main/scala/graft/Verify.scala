@@ -19,7 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration subset filter (comma-separated names). The manifest
+    // below follows the same filter, so local_verify's declared-vs-written
+    // check stays coherent on subset runs; driver runs never set this.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,7 +42,7 @@ object Verify {
       }
     }
     System.err.println(
-      s"[verify] ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} queries written, $failed failed")
+      s"[verify] ${selected.size - failed}/${selected.size} queries written, $failed failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -53,7 +61,7 @@ object Verify {
     // Manifest of every declared query, so local_verify can detect a query
     // that silently vanished (threw before producing output).
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

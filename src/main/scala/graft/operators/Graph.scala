@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph centrality for corpus curation.
+  *
+  * Web-scale training corpora rank their domains/hosts by link-graph
+  * centrality (a harmonic-centrality or PageRank score per host is a
+  * standard quality prior for crawl data), and entity graphs inside a
+  * corpus rank the same way. The reference engine has no graph surface;
+  * this is the Spark-native take: the edge frame is the only corpus-sized
+  * object, rounds are plain equi-joins + key-width aggregates, and the
+  * per-round state (one rank per node) is node-sized.
+  *
+  * Scale shape:
+  *  - edges pre-join their out-degree ONCE, hash-repartition by src, and
+  *    persist — every round's join then reuses that partitioning, so only
+  *    the node-sized rank frame shuffles per round;
+  *  - contributions aggregate map-side per dst (combiner = the in-degree
+  *    sum), shuffling key+double width only;
+  *  - ranks localCheckpoint each round: lineage stays one round deep.
+  *
+  * `deterministic = true` folds each node's contributions src-sorted
+  * (collect_list bounded by in-degree) so the whole run is bit-identical
+  * under any partitioning and SQL-replayable — the gate path, same
+  * convention as Training.trainLogistic/trainKMeans. Production keeps the
+  * plain map-side-combined sum (hot nodes with huge in-degree never
+  * materialize a list).
+  */
+object Graph {
+
+  /** Make a directed edge list undirected by emitting both directions.
+    * PageRank over the result has no dangling nodes (every node that
+    * appears has at least one out-edge). */
+  def bidirect(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+
+  /** PageRank, GraphX `staticPageRank` semantics: every node starts at
+    * 1.0 and each round sets
+    * `rank' = (1 − damping) + damping · Σ_{in-edges} rank_src / outdeg_src`.
+    * Nodes with no out-edges keep receiving rank but pass none on (their
+    * mass leaks, as in GraphX); use [[bidirect]] first for undirected
+    * graphs, which have no such nodes. Duplicate edges are collapsed.
+    * Returns (node, rank). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, damping: Double = 0.85,
+      deterministic: Boolean = false): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0,1], got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // out-degree joins into the edge frame once; rounds reuse the
+    // src-partitioned persisted frame (only ranks shuffle per round)
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to rounds) {
+      val contribs = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("src"),
+          (col("rank") / col("deg")).as("c"))
+      val summed =
+        if (deterministic)
+          contribs.groupBy("node").agg(
+            aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
+              lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+        else contribs.groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(summed, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    eDeg.unpersist(false)
+    ranks
+  }
+}

@@ -230,6 +230,22 @@ object Sampling {
   def topFractionPerGroup(df: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, frac: Double, partitions: Int = 0): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    rankPerGroupCore(df, groupCol, idCol, scoreCol,
+      total => math.ceil(total * frac).toLong, partitions)
+  }
+
+  /** Keep the top `k` rows of EACH group by (score desc, id asc) — the
+    * count form of [[topFractionPerGroup]] ("keep the 1M best docs of
+    * every source"), same distributed per-(range, group) cumsum shape,
+    * same ≤100k-group contract. Returns (group, id, score, rank). */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Long, partitions: Int = 0): DataFrame = {
+    require(k >= 0L, s"k must be >= 0, got $k")
+    rankPerGroupCore(df, groupCol, idCol, scoreCol, _ => k, partitions)
+  }
+
+  private def rankPerGroupCore(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, budgetOf: Long => Long, partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
@@ -242,7 +258,7 @@ object Sampling {
     val counts = ranked.groupBy("__pid", groupCol).agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
     require(counts.map(_._2).distinct.size <= 100000,
-      s"topFractionPerGroup saw ${counts.map(_._2).distinct.size} groups — " +
+      s"rankPerGroup saw ${counts.map(_._2).distinct.size} groups — " +
         "group cardinality must be source/domain-like (<= 100k); " +
         "use topFractionByScore or a pre-aggregation for high-cardinality keys")
     if (counts.isEmpty) return ranked.drop("__pid")
@@ -253,7 +269,7 @@ object Sampling {
     val rows = byGroup.iterator.flatMap { case (g, cs) =>
       val sorted = cs.sortBy(_._1)
       val total = sorted.map(_._3).sum
-      val budget = math.ceil(total * frac).toLong
+      val budget = budgetOf(total)
       sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).dropRight(1))
         .map { case (pid, off) => (pid, g, off, budget) }
     }.toSeq
@@ -301,6 +317,73 @@ object Sampling {
         when(col("__n") === 1, lit(0.0))
           .otherwise((col("rank") - 1).cast("double") / (col("__n") - 1)))
       .drop("__n")
+  }
+
+  /** Exact-k deterministic uniform sample of EACH group: rank the group's
+    * rows by a keyed hash and keep the first `k` — "1000 random docs from
+    * every source" for eval sets and manual audits, where a RATE sample
+    * ([[stratifiedHashSample]]) cannot promise an exact count and
+    * Spark's RNG `sampleBy` changes under repartitioning. The picked set
+    * is a pure function of (id, seed): reproducible across runs/engines,
+    * re-seedable for a fresh draw. Returns (group, id, pick) with pick
+    * the 1-based draw order within the group.
+    *
+    * Scale shape: [[topKPerGroup]]'s distributed per-(range, group)
+    * rank machinery with hash-ascending order — one range exchange,
+    * ranges past every group's k PRUNED before the second pass (for
+    * k ≪ n_g that prunes almost everything); never a one-task-per-group
+    * window. Same ≤100k-group contract. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Long, seed: Long = 0L, partitions: Int = 0): DataFrame = {
+    // rankPerGroupCore orders (score DESC, id ASC); negate the hash so
+    // descending negated-hash = ascending hash (h < 2^60, negation-safe)
+    val withH = df.withColumn("__negh",
+      -Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"), lit(seed))))
+    topKPerGroup(withH, groupCol, idCol, "__negh", k, partitions)
+      .select(col(groupCol), col(idCol), col("rank").as("pick"))
+  }
+
+  /** Weighted sample of `k` rows without replacement by PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 2007): each row draws a deterministic
+    * uniform u = (h60(id:seed)+1)/2^60 ∈ (0, 1], gets priority w/u, and
+    * the k largest priorities win — inclusion probability ≈ min(1, w/τ),
+    * so heavy rows (long docs, hot domains) are overrepresented exactly
+    * as importance sampling wants, and the (k+1)-th priority τ yields the
+    * unbiased total-weight estimator ŵ = max(w, τ) (Σŵ over the sample
+    * estimates Σw over the corpus — the subsample carries its own
+    * calibration). No RNG: the sample is a pure function of (ids, seed),
+    * stable across runs/engines/partitioning, and every arithmetic step
+    * (long→double round, one division per row) is IEEE-correctly-rounded
+    * identically in external SQL engines, so the gate replays it exactly.
+    *
+    * Scale shape: priorities are a pure projection over the scan; the
+    * top-(k+1) is `orderBy.limit` = TakeOrderedAndProject (per-partition
+    * heaps of k+1, driver merge — no global sort); τ and ranks then
+    * compute on a ≤(k+1)-row frame. Returns (id, w, priority, est_w). */
+  def prioritySampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"), lit(seed))) + 1)
+      .cast("double") / lit(1.152921504606846976e18) // 2^60: exact double
+    val pr = df
+      .select(col(idCol), col(weightCol).cast("double").as("w"))
+      .withColumn("priority", col("w") / u)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k + 1)
+    // τ = the (k+1)-th priority if the corpus has more than k rows, else 0
+    // (sample is exhaustive → ŵ = w). The frame here is ≤ k+1 rows, so the
+    // unpartitioned windows are driver-bounded by construction.
+    val all = Window.partitionBy(lit(1))
+    val ord = Window.partitionBy(lit(1))
+      .orderBy(col("priority").desc, col(idCol).asc)
+    pr.withColumn("__rn", row_number().over(ord))
+      .withColumn("__tau",
+        when(count(lit(1)).over(all) === k + 1,
+          min(col("priority")).over(all)).otherwise(lit(0.0)))
+      .filter(col("__rn") <= k)
+      .withColumn("est_w", greatest(col("w"), col("__tau")))
+      .drop("__rn", "__tau")
   }
 
   /** Distributed global row-number: 1-based position of every row under

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive reference PageRank (GraphX staticPageRank semantics),
+    * contributions folded src-sorted to mirror the deterministic path. */
+  private def refRank(edges: Seq[(String, String)], rounds: Int,
+      d: Double): Map[String, Double] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to rounds) {
+      val in = e.groupBy(_._2)
+      rank = nodes.map { n =>
+        val s = in.getOrElse(n, Seq.empty).sortBy(_._1)
+          .foldLeft(0.0)((acc, ed) => acc + rank(ed._1) / deg(ed._1))
+        n -> ((1.0 - d) + d * s)
+      }.toMap
+    }
+    rank
+  }
+
+  private val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"))
+
+  test("pageRank matches the hand reference bit-for-bit on a bidirected graph") {
+    val e = Graph.bidirect(chain.toDF("s", "t"), "s", "t")
+    val got = Graph.pageRank(e, "src", "dst", rounds = 3, deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bidir = chain ++ chain.map(_.swap)
+    val want = refRank(bidir, 3, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (n, r) => assert(r === want(n), s"node $n") }
+  }
+
+  test("pageRank dangling semantics: sinks receive but pass nothing (GraphX)") {
+    // a -> b only: after 1 round rank_b = 0.15 + 0.85*1, rank_a = 0.15
+    val got = Graph.pageRank(Seq(("a", "b")).toDF("s", "t"), "s", "t",
+        rounds = 1, deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === (1.0 - 0.85))
+    assert(got("b") === (1.0 - 0.85) + 0.85 * 1.0)
+  }
+
+  test("pageRank deterministic mode is bit-identical under repartitioning") {
+    val edges = (1 to 400).flatMap { i =>
+      Seq((s"n${i % 37}", s"n${(i * 7) % 41 + 37}"),
+        (s"n${(i * 13) % 41 + 37}", s"n${i % 37}"))
+    }
+    def run(parts: Int) = Graph.pageRank(
+        Graph.bidirect(edges.toDF("s", "t").repartition(parts), "s", "t"),
+        "src", "dst", rounds = 3, deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a = run(2)
+    assert(run(11) === a)
+    assert(a === refRank((edges ++ edges.map(_.swap)).distinct, 3, 0.85))
+  }
+
+  test("production (plain-sum) path agrees with deterministic to 1e-9") {
+    val edges = (1 to 300).map(i => (s"u${i % 23}", s"v${(i * 11) % 29}"))
+    val e = Graph.bidirect(edges.toDF("s", "t"), "s", "t")
+    val det = Graph.pageRank(e, "src", "dst", 3, deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = Graph.pageRank(e, "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(det.keySet === plain.keySet)
+    det.foreach { case (n, r) => assert(math.abs(r - plain(n)) < 1e-9, s"node $n") }
+  }
+
+  test("duplicate edges collapse; rounds=0 returns all-ones") {
+    val dup = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("s", "t")
+    val one = Graph.pageRank(dup, "s", "t", rounds = 1, deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a->b collapsed: deg(a)=1, so b gets full rank_a
+    assert(one("b") === (1.0 - 0.85) + 0.85 * 1.0)
+    val zero = Graph.pageRank(dup, "s", "t", rounds = 0)
+      .collect().map(r => r.getDouble(1)).toSet
+    assert(zero === Set(1.0))
+  }
+}

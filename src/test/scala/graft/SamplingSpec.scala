@@ -102,4 +102,84 @@ class SamplingSpec extends SparkSpec {
     val all = Sampling.topFractionPerGroup(frame, "source", "id", "score", 1.0)
     assert(all.count() === 300L)
   }
+
+  // the 60-bit md5-prefix hash, as Dedup.md5Hash60 computes it
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("topKPerGroup keeps exactly min(k, n_g) best rows per group") {
+    val out = Sampling.topKPerGroup(frame, "source", "id", "score", 30L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val want = frame.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(30)
+          .zipWithIndex.map { case ((_, id, s), i) => (g, id, s, (i + 1).toLong) }
+      }.toSet
+    assert(out.toSet === want)
+    // k beyond the group size keeps the whole group
+    assert(Sampling.topKPerGroup(frame, "source", "id", "score", 1000L).count() === 300L)
+  }
+
+  test("sampleKPerGroup draws exactly k per group, reproducibly, hash-ranked") {
+    val out = Sampling.sampleKPerGroup(frame, "source", "id", k = 10L, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = frame.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy { case (_, id) => (h60(s"$id:7"), id) }.take(10)
+          .zipWithIndex.map { case ((_, id), i) => (g, id, (i + 1).toLong) }
+      }.toSet
+    assert(out.toSet === want)
+    assert(out.groupBy(_._1).values.forall(_.length === 10))
+    // partition-invariant; different seed draws a different set
+    val again = Sampling.sampleKPerGroup(
+      frame.repartition(13), "source", "id", k = 10L, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === out.toSet)
+    val other = Sampling.sampleKPerGroup(frame, "source", "id", k = 10L, seed = 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(other !== out.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("prioritySampleK matches the brute-force priority ranking and estimator") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 17 + 1).toLong))
+      .toDF("id", "ntok")
+    val k = 25
+    val out = Sampling.prioritySampleK(df, "id", "ntok", k, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val pr = (1 to 200).map { i =>
+      val w = (i % 17 + 1).toDouble
+      val u = (h60(s"$i:3") + 1).toDouble / 1.152921504606846976e18
+      (i.toLong, w, w / u)
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val tau = pr(k)._3
+    val want = pr.take(k).map { case (id, w, p) => (id, w, p, math.max(w, tau)) }.toSet
+    assert(out.toSet === want)
+    assert(out.length === k)
+    // partition-invariant
+    val again = Sampling.prioritySampleK(df.repartition(11), "id", "ntok", k, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(again === out.toSet)
+  }
+
+  test("prioritySampleK: n <= k keeps everything with est_w = w; heavy row always wins") {
+    val tiny = Seq((1L, 5L), (2L, 9L)).toDF("id", "w")
+    val all = Sampling.prioritySampleK(tiny, "id", "w", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    assert(all.length === 2)
+    all.foreach { case (_, w, est) => assert(est === w) }
+    // a row whose weight dwarfs the rest is always sampled (w/u >= w)
+    val skew = ((1 to 100).map(i => (i.toLong, 1L)) :+ (999L, 1000000000L))
+      .toDF("id", "w")
+    (0L to 4L).foreach { seed =>
+      val ids = Sampling.prioritySampleK(skew, "id", "w", k = 5, seed = seed)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(999L), s"seed $seed")
+    }
+  }
 }
