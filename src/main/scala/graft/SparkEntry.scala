@@ -1233,6 +1233,40 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: exact order-statistic quantiles per group — distributed
+    //    rank machinery, no percentile_approx (oracle: DuckDB row_number
+    //    windows pick the same values) ────────────────────────────────────
+    "q103_group_quantiles" -> ((s, dir) => {
+      Analytics.discreteQuantilesPerGroup(
+          T(s, dir, "events").select(col("event_type"), col("event_id"),
+            col("value")),
+          "event_type", "event_id", "value",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("event_type", "q")
+    }),
+    // ── scale: robust per-group outliers — modified z-score over discrete
+    //    median/MAD (oracle: DuckDB replays both order statistics and the
+    //    fixed-order z arithmetic) ────────────────────────────────────────
+    "q104_robust_outliers" -> ((s, dir) => {
+      Analytics.robustOutliers(
+          T(s, dir, "events").select(col("event_type"), col("event_id"),
+            col("value")),
+          "event_type", "event_id", "value", cutoff = 3.5)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("med"), col("mad"), round(col("z"), 6).as("z"))
+        .orderBy("event_type", "event_id")
+    }),
+    // ── scale: collocation extraction — adjacent-token pairs ranked by
+    //    lift = p(ab)/(p(a)p(b)), the log-free monotone form of PMI
+    //    (oracle: DuckDB replays both count scans and the fixed-order
+    //    double arithmetic bit-for-bit) ───────────────────────────────────
+    "q102_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(T(s, dir, "documents").select("text"),
+          "text", minCount = 5L, topN = 100)
+        .select(col("term_a"), col("term_b"), col("pair_count"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+    }),
     // ── scale: PageRank centrality over the customer–supplier graph —
     //    the link-graph quality prior of web-corpus curation (bidirected
     //    orders⋈lineitem edges, 3 rounds, GraphX staticPageRank
@@ -2343,6 +2377,61 @@ object SparkEntry {
     "q96_lr_train" -> lrTrainOracleSql(rounds = 3, buckets = 256, lr = 0.5),
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
+    "q103_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |qs AS (SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        |                          AS DOUBLE[])) AS q)
+        |SELECT event_type, q, value
+        |FROM r JOIN qs ON rk = greatest(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY event_type, q""".stripMargin,
+    "q104_robust_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (SELECT event_type, value AS med FROM r
+        |        WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+        |d AS (SELECT r.event_type, event_id, value, med,
+        |        abs(value - med) AS dev FROM r JOIN med USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY dev ASC, event_id ASC) AS rk2,
+        |        count(*) OVER (PARTITION BY event_type) AS n2 FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM r2
+        |        WHERE rk2 = greatest(1, CAST(ceil(0.5 * n2) AS BIGINT))),
+        |f AS (SELECT d.event_type, event_id, value, med, mad,
+        |        ((value - med) * 0.6745) / mad AS z
+        |      FROM d JOIN mad USING (event_type) WHERE mad <> 0)
+        |SELECT event_type, event_id, value, med, mad, round(z, 6) AS z
+        |FROM f WHERE abs(z) > 3.5 ORDER BY event_type, event_id""".stripMargin,
+    "q102_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |uni AS (SELECT w, count(*) AS c
+        |        FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> '' GROUP BY w),
+        |bi AS (SELECT g, count(*) AS c_ab FROM (
+        |        SELECT unnest(list_transform(range(1, len(t)),
+        |          i -> t[i] || ' ' || t[i+1])) AS g
+        |        FROM toks WHERE len(t) >= 2) GROUP BY g),
+        |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uni),
+        |pp AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS P FROM bi),
+        |cand AS (SELECT c_ab, string_split(g, ' ')[1] AS term_a,
+        |           string_split(g, ' ')[2] AS term_b
+        |         FROM bi WHERE c_ab >= 5),
+        |j AS (SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS pair_count,
+        |        ((CAST(c_ab AS DOUBLE) * T) * T) / ((P * ua.c) * ub.c) AS lift
+        |      FROM cand
+        |      JOIN uni ua ON cand.term_a = ua.w
+        |      JOIN uni ub ON cand.term_b = ub.w
+        |      CROSS JOIN tt CROSS JOIN pp)
+        |SELECT term_a, term_b, pair_count, round(lift, 6) AS lift
+        |FROM j ORDER BY lift DESC, term_a, term_b LIMIT 100""".stripMargin,
     "q97_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, source, text FROM documents),
         |v2 AS (

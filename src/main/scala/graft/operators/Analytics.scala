@@ -264,4 +264,71 @@ object Analytics {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** EXACT order-statistic quantiles per group — the q-quantile is the
+    * VALUE at ascending rank max(1, ⌈q·n_g⌉), no interpolation (an
+    * element of the data, deterministic and replayable where
+    * `percentile_approx` is neither). ⌈⌉ applies to the double product
+    * q·n exactly as both engines compute it, so a float artifact like
+    * 0.3·500 = 150.000…003 → rank 151 is CONSISTENT by construction.
+    * Returns (group, q, value).
+    *
+    * Scale shape: never a one-task-per-group sort — ranks come from
+    * [[Sampling.topFractionPerGroup]]'s distributed per-(range, group)
+    * machinery (score desc; the ascending rank is n_g − rank + 1, which
+    * selects the same VALUE for any tie order), then one broadcast join
+    * of the groups×qs target frame picks the quantile rows. Same
+    * ≤100k-group contract. */
+  def discreteQuantilesPerGroup(df: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, qs: Seq[Double],
+      partitions: Int = 0): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "qs must be non-empty quantiles in [0,1]")
+    val ranked = Sampling.topFractionPerGroup(
+      df, groupCol, idCol, scoreCol, frac = 1.0, partitions = partitions)
+    val targets = ranked.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol), explode(typedLit(qs)).as("q"), col("__n"))
+      .withColumn("__target",
+        col("__n") - greatest(lit(1L), ceil(col("q") * col("__n"))) + 1)
+      .select(col(groupCol).as("__g"), col("q"), col("__target"))
+    ranked.join(Ops.broadcastIfSmall(targets),
+        ranked(groupCol) === col("__g") && col("rank") === col("__target"))
+      .select(col(groupCol), col("q"), col(scoreCol).as("value"))
+  }
+
+  /** Robust per-group outliers by the modified z-score (Iglewicz–Hoaglin):
+    * z = 0.6745·(x − median) / MAD, flag |z| > cutoff — the
+    * quality-score anomaly sweep of a curation pipeline, where mean/σ
+    * would let the outliers move their own threshold. Median and MAD are
+    * the DISCRETE order statistics of [[discreteQuantilesPerGroup]]
+    * (exact, replayable); groups whose MAD is 0 (over half the mass on
+    * one value) flag nothing — z is undefined there, the standard
+    * treatment. z's arithmetic is the fixed parenthesization
+    * ((x − med)·0.6745)/MAD, IEEE-identical in external engines.
+    *
+    * Three corpus passes (scores → deviations → flags) and two
+    * distributed rank machines; the per-group stats frames are
+    * group-cardinality-small and broadcast. Returns
+    * (group, id, score, med, mad, z) for flagged rows only. */
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, cutoff: Double = 3.5,
+      partitions: Int = 0): DataFrame = {
+    require(cutoff > 0.0, s"cutoff must be > 0, got $cutoff")
+    val med = discreteQuantilesPerGroup(df, groupCol, idCol, scoreCol,
+        Seq(0.5), partitions)
+      .select(col(groupCol), col("value").as("med"))
+    val withMed = df.select(col(groupCol), col(idCol), col(scoreCol))
+      .join(Ops.broadcastIfSmall(med), Seq(groupCol))
+    val mad = discreteQuantilesPerGroup(
+        withMed.withColumn("__dev", abs(col(scoreCol) - col("med"))),
+        groupCol, idCol, "__dev", Seq(0.5), partitions)
+      .select(col(groupCol), col("value").as("mad"))
+    withMed.join(Ops.broadcastIfSmall(mad), Seq(groupCol))
+      .withColumn("z",
+        when(col("mad") =!= 0.0,
+          ((col(scoreCol) - col("med")) * lit(0.6745)) / col("mad")))
+      .filter(col("z").isNotNull && abs(col("z")) > cutoff)
+      .select(col(groupCol), col(idCol), col(scoreCol),
+        col("med"), col("mad"), col("z"))
+  }
 }

@@ -586,6 +586,59 @@ object TextAnalysis {
           .as("cum_frac"))
   }
 
+  /** Collocation extraction: adjacent-token pairs ranked by LIFT —
+    * p(ab) / (p(a)·p(b)), the association strength behind multi-word
+    * expressions ("new york", "machine learning") that tokenizers and
+    * phrase-aware dedup want surfaced from the corpus itself. Lift is a
+    * monotone transform of PMI (PMI = ln lift), computed WITHOUT the log:
+    * ((c_ab·T)·T) / ((P·c_a)·c_b) over exact integer counts in a fixed
+    * parenthesization, so every step is an IEEE-correctly-rounded double
+    * op that external SQL engines reproduce bit-for-bit (libm ln differs
+    * by ulps across engines; a monotone transform cannot change the
+    * ranking, so nothing is lost by skipping it). T = total token count,
+    * P = total bigram count — both BEFORE the minCount cut, so the
+    * probabilities keep their full-corpus meaning.
+    *
+    * Plan: unigram and bigram counts are the two corpus scans (each a
+    * map-side-combined key-only aggregate; the bigram frame persists via
+    * localCheckpoint because the total-mass scalar and the candidate cut
+    * both read it); `minCount` prunes the candidate frame BEFORE the two
+    * vocabulary-sized unigram joins (size-gated broadcast); top-N is
+    * `orderBy.limit` = TakeOrderedAndProject, never a global sort.
+    * Returns (term_a, term_b, pair_count, lift), ties at the cut broken
+    * by (term_a, term_b). */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      topN: Int = 100): DataFrame = {
+    require(minCount >= 1L && topN >= 1, "minCount and topN must be >= 1")
+    val uni = df.select(explode(Dedup.tokensCol(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val bi = df.select(explode(Importance.bigramsCol(col(textCol))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    val totT = uni.agg(sum("c")).collect()(0)
+    val totP = bi.agg(sum("c_ab")).collect()(0)
+    if (totT.isNullAt(0) || totP.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("term_a"), lit("").as("term_b"),
+          lit(0L).as("pair_count"), lit(0.0).as("lift")).limit(0)
+    val t = lit(totT.getLong(0).toDouble)
+    val p = lit(totP.getLong(0).toDouble)
+    bi.filter(col("c_ab") >= minCount)
+      .withColumn("term_a", element_at(split(col("g"), " "), 1))
+      .withColumn("term_b", element_at(split(col("g"), " "), 2))
+      .join(Ops.broadcastIfSmall(
+        uni.select(col("w").as("term_a"), col("c").as("c_a"))), Seq("term_a"))
+      .join(Ops.broadcastIfSmall(
+        uni.select(col("w").as("term_b"), col("c").as("c_b"))), Seq("term_b"))
+      .select(col("term_a"), col("term_b"), col("c_ab").as("pair_count"),
+        (((col("c_ab").cast(DoubleType) * t) * t) /
+          ((p * col("c_a")) * col("c_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+      .limit(topN)
+  }
+
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))

@@ -182,4 +182,44 @@ class AnalyticsSpec extends SparkSpec {
       stepMicros = 3600000000L, orderCol = "event_id").collect()
     assert(out.length === 1 && out(0).getDouble(2) === 7.0)
   }
+
+  private def refQuantile(vals: Seq[Double], q: Double): Double = {
+    val sorted = vals.sorted
+    sorted((math.max(1L, math.ceil(q * vals.size).toLong) - 1).toInt)
+  }
+
+  test("discreteQuantilesPerGroup picks exact order statistics, ties and all") {
+    val rows = (1 to 100).map(i => ("a", i.toLong, (i % 10).toDouble)) ++
+      (1 to 7).map(i => ("b", (100 + i).toLong, i * 10.0))
+    val df = rows.toDF("g", "id", "score")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val out = Analytics.discreteQuantilesPerGroup(df, "g", "id", "score", qs)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    for (q <- qs) {
+      assert(out(("a", q)) === refQuantile(rows.filter(_._1 == "a").map(_._3), q), s"a q=$q")
+      assert(out(("b", q)) === refQuantile(rows.filter(_._1 == "b").map(_._3), q), s"b q=$q")
+    }
+    assert(out.size === qs.size * 2)
+    // partition-invariant
+    val again = Analytics.discreteQuantilesPerGroup(
+      df.repartition(13), "g", "id", "score", qs, partitions = 3)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(again === out)
+  }
+
+  test("robustOutliers flags modified-z outliers; MAD-0 groups flag nothing") {
+    // group a: tight cluster around 10 with one extreme point
+    val a = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) :+ (("a", 99L, 1000.0))
+    // group b: over half the mass on one value → MAD 0 → no flags even
+    // with an extreme point present
+    val b = (1 to 10).map(i => ("b", (200 + i).toLong, 5.0)) :+ (("b", 299L, 999.0))
+    val out = Analytics.robustOutliers((a ++ b).toDF("g", "id", "score"),
+        "g", "id", "score", cutoff = 3.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))
+    assert(out.map(t => (t._1, t._2)).toSet === Set(("a", 99L)))
+    // z replays the fixed parenthesization against the hand stats
+    val med = refQuantile(a.map(_._3), 0.5)
+    val mad = refQuantile(a.map(v => math.abs(v._3 - med)), 0.5)
+    assert(out.head._3 === ((1000.0 - med) * 0.6745) / mad)
+  }
 }

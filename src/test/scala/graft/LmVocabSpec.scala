@@ -111,4 +111,45 @@ class LmVocabSpec extends SparkSpec {
     val bigKept = kept.count(_._2 == "big")
     assert(bigKept > 1600 * 0.4 && bigKept < 1600 * 0.6)
   }
+
+  /** Scala reference for collocation lift with the operator's exact
+    * parenthesization, so doubles compare bit-for-bit. */
+  private def refCollocations(texts: Seq[String], minCount: Long)
+      : Seq[(String, String, Long, Double)] = {
+    val toks = texts.map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val bi = toks.filter(_.size >= 2)
+      .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+    val t = uni.values.sum.toDouble
+    val p = bi.values.sum.toDouble
+    bi.toSeq.filter(_._2 >= minCount).map { case ((a, b), cab) =>
+      (a, b, cab, ((cab.toDouble * t) * t) / ((p * uni(a)) * uni(b)))
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }
+  }
+
+  test("collocations: lift matches the hand reference bit-for-bit") {
+    val texts = Seq("new york is big", "new york times say", "big new day",
+      "york is old", "new york new york", "the day is new")
+    val out = TextAnalysis.collocations(texts.toDF("text"), "text",
+        minCount = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = refCollocations(texts, 2L).take(10)
+    assert(out.toSeq === want)
+    // "new york" (4 occurrences) must be the strongest frequent pair
+    assert(out.head._1 === "new" && out.head._2 === "york")
+  }
+
+  test("collocations: minCount prunes, topN cuts deterministically, empty corpus is empty") {
+    val texts = Seq("a b", "a b", "c d", "x y x y x y")
+    val all = TextAnalysis.collocations(texts.toDF("text"), "text", 1L, 100)
+      .collect()
+    val cut = TextAnalysis.collocations(texts.toDF("text"), "text", 2L, 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all.length > cut.size)
+    assert(cut === Set(("a", "b"), ("x", "y"), ("y", "x")))
+    val top1 = TextAnalysis.collocations(texts.toDF("text"), "text", 1L, 1).collect()
+    assert(top1.length === 1)
+    assert(TextAnalysis.collocations(Seq("   ").toDF("text"), "text").count() === 0L)
+  }
 }
