@@ -1233,6 +1233,20 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: label-propagation communities over the customer–supplier
+    //    graph — deterministic LPA (most frequent neighbor label, ties
+    //    smallest; integer/string-exact, oracle replays unrolled rounds) ──
+    "q105_label_prop" -> ((s, dir) => {
+      val el = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      Graph.labelPropagation(Graph.bidirect(el, "a", "b"), "src", "dst",
+          rounds = 4)
+        .orderBy("node")
+    }),
     // ── scale: exact order-statistic quantiles per group — distributed
     //    rank machinery, no percentile_approx (oracle: DuckDB row_number
     //    windows pick the same values) ────────────────────────────────────
@@ -2377,6 +2391,7 @@ object SparkEntry {
     "q96_lr_train" -> lrTrainOracleSql(rounds = 3, buckets = 256, lr = 0.5),
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
+    "q105_label_prop" -> lpaOracleSql(rounds = 4),
     "q103_group_quantiles" ->
       """WITH r AS (
         |  SELECT event_type, value,
@@ -3136,6 +3151,34 @@ object SparkEntry {
     s"""$header
        |$roundCtes
        |SELECT node, round(rank, 6) AS rank FROM r$rounds ORDER BY node""".stripMargin
+  }
+
+  /** The q105 label-propagation loop unrolled in SQL: per round, neighbor
+    * label counts and a (count DESC, label ASC) argmax per node — every
+    * step integer/string-exact, so parity needs no fold-order care. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val header =
+      s"""WITH el AS (
+         |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,
+         |    's' || l_suppkey::VARCHAR AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM el
+         |          UNION ALL SELECT b, a FROM el),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |l0 AS (SELECT node, node AS label FROM nodes),""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |w$k AS (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |                       ORDER BY c DESC, label ASC) AS rn
+         |  FROM c$k) WHERE rn = 1),
+         |l$k AS (SELECT p.node, coalesce(w.label, p.label) AS label
+         |  FROM l${k - 1} p LEFT JOIN w$k w ON p.node = w.node),""".stripMargin
+    }.mkString("\n").stripSuffix(",")
+    s"$header\n$roundCtes\nSELECT node, label FROM l$rounds ORDER BY node"
   }
 
   /** The q96 logistic-GD training loop unrolled in SQL: per round k, a

@@ -81,4 +81,45 @@ object Graph {
     eDeg.unpersist(false)
     ranks
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with itself; each round it adopts the most frequent
+    * label among its in-neighbors, ties to the SMALLEST label — the
+    * deterministic variant of LPA (random tie-breaks make runs
+    * unreproducible; smallest-label is the standard fix). Nodes with no
+    * in-edges keep their label. The label domain is node ids, so every
+    * step is integer/string-exact — no floating point anywhere. Use
+    * [[bidirect]] first for undirected community detection. Returns
+    * (node, label) after `rounds` synchronous rounds.
+    *
+    * Scale shape mirrors [[pageRank]]: the edge frame persists
+    * src-partitioned once; per round, one (dst, label)-keyed count
+    * aggregate (map-side combined) and ONE argmax aggregate — implemented
+    * as `min(struct(-cnt, label))`, so the winner needs no window and no
+    * per-node list; labels localCheckpoint per round (node-sized). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val winner = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("node")
+        .agg(min(struct((-col("__c")).as("__nc"), col("label")))
+          .getField("label").as("__new"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    labels
+  }
 }

@@ -71,6 +71,51 @@ class GraphSpec extends SparkSpec {
     det.foreach { case (n, r) => assert(math.abs(r - plain(n)) < 1e-9, s"node $n") }
   }
 
+  /** Naive reference LPA: most frequent in-neighbor label, ties smallest. */
+  private def refLpa(edges: Seq[(String, String)], rounds: Int): Map[String, String] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val in = e.groupBy(_._2)
+      lab = nodes.map { n =>
+        val counts = in.getOrElse(n, Seq.empty).map(ed => lab(ed._1))
+          .groupBy(identity).map { case (l, ls) => l -> ls.size }
+        n -> (if (counts.isEmpty) lab(n)
+              else counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation matches the hand reference; two cliques separate") {
+    // two triangles joined by one bridge edge: LPA should settle each
+    // clique on its own smallest label
+    val cliques = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1"))
+    val e = Graph.bidirect(cliques.toDF("s", "t"), "s", "t")
+    for (r <- 0 to 4) {
+      val got = Graph.labelPropagation(e, "src", "dst", r)
+        .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+      assert(got === refLpa(cliques ++ cliques.map(_.swap), r), s"rounds=$r")
+    }
+    val fin = Graph.labelPropagation(e, "src", "dst", 4)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(Set(fin("a1"), fin("a2")).size === 1) // a-clique agrees
+    assert(Set(fin("b2"), fin("b3")).size === 1) // b-clique agrees
+  }
+
+  test("labelPropagation is deterministic under repartitioning") {
+    val edges = (1 to 500).map(i => (s"n${i % 43}", s"n${(i * 17) % 47}"))
+    def run(parts: Int) = Graph.labelPropagation(
+        Graph.bidirect(edges.toDF("s", "t").repartition(parts), "s", "t"),
+        "src", "dst", 3)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val a = run(2)
+    assert(run(13) === a)
+    assert(a === refLpa((edges ++ edges.map(_.swap)).distinct, 3))
+  }
+
   test("duplicate edges collapse; rounds=0 returns all-ones") {
     val dup = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("s", "t")
     val one = Graph.pageRank(dup, "s", "t", rounds = 1, deterministic = true)

@@ -263,6 +263,35 @@ class PlanSpec extends SparkSpec {
       s"containment nested-loops:\n$plan")
   }
 
+  test("prioritySampleK: top-k is a heap (TakeOrderedAndProject), never a global sort") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(Sampling.prioritySampleK(docs, "doc_id", "n_chars", 50))
+    assert(plan.contains("TakeOrderedAndProject"), s"no heap-based top-k:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-wide sort exchange:\n$plan")
+  }
+
+  test("collocations: candidate cut joins the vocab frames, top-N is TakeOrdered") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(TextAnalysis.collocations(docs, "text", 2L, 50))
+    assert(plan.contains("TakeOrderedAndProject"), s"no heap-based top-N:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"collocations go cartesian:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-wide sort exchange:\n$plan")
+  }
+
+  test("discreteQuantilesPerGroup: quantile pick is a broadcast join, no cartesian") {
+    import graft.operators.Analytics
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_type", "event_id", "value")
+    val plan = physical(Analytics.discreteQuantilesPerGroup(
+      ev, "event_type", "event_id", "value", Seq(0.5, 0.9)))
+    assert(plan.contains("BroadcastHashJoin"), s"target join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"quantile pick goes cartesian:\n$plan")
+  }
+
   test("TPC-H q1 aggregates map-side before the exchange (partial aggregation)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val agg = li.filter(col("l_shipdate") <= "1998-09-02")
