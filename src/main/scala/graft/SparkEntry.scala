@@ -1233,6 +1233,18 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: pairwise source divergence — smoothed Jensen–Shannon over
+    //    unigram distributions, the "how different are my corpora" report
+    //    (oracle: DuckDB replays counts, grid, smoothing, and the
+    //    word-sorted fold bit-for-bit) ────────────────────────────────────
+    "q106_source_divergence" -> ((s, dir) => {
+      Importance.sourceDivergence(
+          T(s, dir, "documents").select("source", "text"),
+          "source", "text", alpha = 0.5, deterministic = true)
+        .select(col("source_a"), col("source_b"),
+          round(col("js"), 6).as("js"))
+        .orderBy("source_a", "source_b")
+    }),
     // ── scale: label-propagation communities over the customer–supplier
     //    graph — deterministic LPA (most frequent neighbor label, ties
     //    smallest; integer/string-exact, oracle replays unrolled rounds) ──
@@ -1242,7 +1254,6 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("a"),
           concat(lit("s"), col("l_suppkey")).as("b"))
-        .distinct()
       Graph.labelPropagation(Graph.bidirect(el, "a", "b"), "src", "dst",
           rounds = 4)
         .orderBy("node")
@@ -1292,7 +1303,6 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("a"),
           concat(lit("s"), col("l_suppkey")).as("b"))
-        .distinct()
       Graph.pageRank(Graph.bidirect(el, "a", "b"), "src", "dst",
           rounds = 3, damping = 0.85, deterministic = true)
         .select(col("node"), round(col("rank"), 6).as("rank"))
@@ -1456,7 +1466,6 @@ object SparkEntry {
           .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(concat(lit("c"), col("o_custkey")).as("a"),
             concat(lit("s"), col("l_suppkey")).as("b"))
-          .distinct()
         () => Graph.pageRank(Graph.bidirect(el, "a", "b"), "src", "dst",
             rounds = 3, damping = 0.85)
           .select(col("node"), round(col("rank"), 6).as("rank"))
@@ -2392,6 +2401,28 @@ object SparkEntry {
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
+    "q106_source_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, count(*) AS c FROM toks
+        |        WHERE w <> '' GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT w FROM cnt),
+        |vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+        |grid AS (SELECT t.source, vocab.w, coalesce(cnt.c, 0) AS c, t.n
+        |         FROM vocab CROSS JOIN tot t
+        |         LEFT JOIN cnt ON cnt.source = t.source AND cnt.w = vocab.w),
+        |pr AS (SELECT source, w,
+        |         (CAST(c AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 0.5 * vs.v) AS p
+        |       FROM grid CROSS JOIN vs),
+        |terms AS (SELECT a.source AS source_a, b.source AS source_b, a.w,
+        |            0.5 * (a.p * ln(a.p / ((a.p + b.p) / 2.0)))
+        |            + 0.5 * (b.p * ln(b.p / ((a.p + b.p) / 2.0))) AS t
+        |          FROM pr a JOIN pr b ON a.w = b.w AND a.source < b.source)
+        |SELECT source_a, source_b,
+        |  round(list_reduce(list(t ORDER BY w), (x, y) -> x + y), 6) AS js
+        |FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "q103_group_quantiles" ->
       """WITH r AS (
         |  SELECT event_type, value,

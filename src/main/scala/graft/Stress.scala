@@ -413,6 +413,69 @@ object Stress {
         docsTail, "doc_id", "text", emb, "vec_id", "embedding",
         Seq("join", "merge", "filter"), qv, candidates = 50, topK = 20)))
     }
+    // ── round-8 graph/sampling/statistics tier ─────────────────────────
+    // graph rounds: edges persist src-partitioned once; replicated graphs
+    // are `factor` disjoint copies, so per-round cost must scale with the
+    // edge count and the rank/label state with the node count
+    val graphEdges = {
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val el = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      spark.range(factor).toDF("__rep").crossJoin(el)
+        .select(concat(col("a"), lit("_"), col("__rep")).as("a"),
+          concat(col("b"), lit("_"), col("__rep")).as("b"))
+    }
+    time(s"pageRank ${factor}x disjoint graphs (3 rounds, production)") {
+      println("[stress]   nodes=" + Bench.force(Graph.pageRank(
+        Graph.bidirect(graphEdges, "a", "b"), "src", "dst", rounds = 3)))
+    }
+    time(s"labelPropagation ${factor}x disjoint graphs (4 rounds)") {
+      println("[stress]   nodes=" + Bench.force(Graph.labelPropagation(
+        Graph.bidirect(graphEdges, "a", "b"), "src", "dst", rounds = 4)))
+    }
+    // priority sampling: a projection + TakeOrdered heap — must track the
+    // bare scan at any factor
+    time(s"prioritySampleK ${factor}x (k=1000)") {
+      println("[stress]   rows=" + Bench.force(Sampling.prioritySampleK(
+        docsTail.select(col("doc_id"), length(col("text")).as("w")),
+        "doc_id", "w", k = 1000)))
+    }
+    // exact-k per group: ranges past every group's k are pruned, so the
+    // second pass must stay k-proportional as the corpus grows
+    time(s"sampleKPerGroup ${factor}x (7 groups, k=1000)") {
+      val d = docsTail.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(7))).as("source"), col("doc_id"))
+      println("[stress]   rows=" + Bench.force(
+        Sampling.sampleKPerGroup(d, "source", "doc_id", k = 1000L)))
+    }
+    // collocations: replication multiplies counts, not vocabulary — both
+    // count frames stay vocab-bounded, cost must track the two scans
+    time(s"collocations ${factor}x (minCount=5, top 100)") {
+      println("[stress]   rows=" + Bench.force(TextAnalysis.collocations(
+        docsTail, "text", minCount = 5L, topN = 100)))
+    }
+    // discrete quantiles + robust outliers over replicated events: the
+    // rank machinery is per-(range, group); group count stays 5
+    val statEvents = {
+      val e0 = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_type"), col("event_id"),
+          col("value").cast("double").as("value"))
+      spark.range(factor).toDF("__rep").crossJoin(e0)
+        .withColumn("event_id", col("event_id") + col("__rep") * 10000000L)
+        .drop("__rep")
+    }
+    time(s"discreteQuantilesPerGroup ${factor}x events (6 quantiles)") {
+      println("[stress]   rows=" + Bench.force(Analytics.discreteQuantilesPerGroup(
+        statEvents, "event_type", "event_id", "value",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))))
+    }
+    time(s"robustOutliers ${factor}x events (cutoff 3.5)") {
+      println("[stress]   flagged=" + Bench.force(Analytics.robustOutliers(
+        statEvents, "event_type", "event_id", "value", cutoff = 3.5)))
+    }
     docsTail.unpersist()
     spark.stop()
   }

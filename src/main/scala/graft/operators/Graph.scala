@@ -47,21 +47,33 @@ object Graph {
     * Returns (node, rank). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, damping: Double = 0.85,
-      deterministic: Boolean = false): DataFrame = {
+      deterministic: Boolean = false,
+      checkpointInterval: Int = 8): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0,1], got $damping")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+    // Materialize the deduped edge frame ONCE before anything derives
+    // from it: deg, nodes, and the degree join all read `e`, and an
+    // unmaterialized plan would re-run the caller's edge derivation (for
+    // the q101 graph, an orders⋈lineitem join) up to four times.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     // out-degree joins into the edge frame once; rounds reuse the
     // src-partitioned persisted frame (only ranks shuffle per round)
+    // the degree join's output is already hash-partitioned by src (no
+    // explicit repartition needed); rounds reuse that partitioning from
+    // the persisted frame, so only the node-sized rank frame shuffles
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // first action: materializes `e` into its cache (both union branches
+    // and every later consumer then read the cached frame)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("src"),
@@ -76,9 +88,18 @@ object Graph {
         .select(col("node"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      // Checkpoint every `checkpointInterval` rounds, not every round:
+      // an eager checkpoint is a full job, and short runs are faster as
+      // ONE lazy plan; the interval bounds plan depth for long runs.
+      if (r % checkpointInterval == 0 && r < rounds)
+        ranks = ranks.localCheckpoint(true)
     }
+    // the loop leaves the last round LAZY; materialize it before freeing
+    // the inputs it reads (unpersisted caches would silently recompute
+    // the whole edge derivation at first consumer action)
+    if (rounds > 0) ranks = ranks.localCheckpoint(true)
     eDeg.unpersist(false)
+    e.unpersist(false)
     ranks
   }
 
@@ -98,8 +119,11 @@ object Graph {
     * as `min(struct(-cnt, label))`, so the winner needs no window and no
     * per-node list; labels localCheckpoint per round (node-sized). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpointInterval: Int = 8): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+    // same up-front materialization rationale as pageRank: nodes and the
+    // round joins all read `e`
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -107,7 +131,7 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val winner = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
@@ -115,10 +139,20 @@ object Graph {
         .groupBy("node")
         .agg(min(struct((-col("__c")).as("__nc"), col("label")))
           .getField("label").as("__new"))
-      labels = labels.join(winner, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint(true)
+      // Fallback col("node"), NOT the previous label: a node absent from
+      // `winner` has no in-edges, and such a node can never adopt any
+      // label — its label is provably its own id in every round. Using
+      // the previous frame here would reference `labels` TWICE per round
+      // (left side + inside winner), doubling the lazy plan per round —
+      // 2^rounds subtree evaluations without a checkpoint.
+      labels = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
+      // interval checkpointing, same rationale as pageRank
+      if (r % checkpointInterval == 0 && r < rounds)
+        labels = labels.localCheckpoint(true)
     }
+    // same final materialization rationale as pageRank
+    if (rounds > 0) labels = labels.localCheckpoint(true)
     e.unpersist(false)
     labels
   }

@@ -144,4 +144,59 @@ object Importance {
       .filter(size(col("__bc")) > 0)
       .select(col(idCol), dotWeights(col("__bc"), wArr, lit(0.0)).as("logw"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between the unigram distributions
+    * of every pair of sources — "how different are my corpora", the
+    * report behind mixing-weight decisions (JS is symmetric, bounded by
+    * ln 2, and defined for disjoint supports, which raw KL is not).
+    * Distributions use additive-α smoothing over the GLOBAL vocabulary,
+    * so a word absent from one source still contributes mass:
+    * p_s(w) = (c_{s,w} + α) / (n_s + α·|V|). Per-term arithmetic is a
+    * fixed parenthesization (0.5·(p·ln(p/m)) + 0.5·(q·ln(q/m)),
+    * m = (p+q)/2) — the ln-on-equal-inputs convention q66/q83 already
+    * proved replayable across engines.
+    *
+    * Scale shape: the corpus collapses to the (source, word) count frame
+    * in one map-side-combined scan (checkpointed — grid and totals both
+    * read it); the complete vocab×sources grid and the word-keyed pair
+    * join are vocabulary-sized, never corpus-sized; totals broadcast.
+    * `deterministic` folds each pair's terms word-sorted (the gate path,
+    * vocab-bounded collect per pair); production keeps the plain
+    * map-side-combined sum. Returns (source_a, source_b, js) for every
+    * unordered pair. */
+  def sourceDivergence(df: DataFrame, groupCol: String, textCol: String,
+      alpha: Double = 0.5, deterministic: Boolean = false): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val counts = df
+      .select(col(groupCol).as("__g"),
+        explode(Dedup.tokensCol(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__g", "__w").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val vocab = counts.select("__w").distinct()
+    val vSize = vocab.count()
+    val totals = counts.groupBy("__g").agg(sum("__c").as("__n"))
+    val grid = vocab.crossJoin(Ops.broadcastIfSmall(totals))
+      .join(counts, Seq("__g", "__w"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val aV = lit(alpha) * vSize // exact for integral 2α·|V|
+    def prob(c: Column, n: Column): Column = (c + lit(alpha)) / (n + aV)
+    val a = grid.select(col("__w"), col("__g").as("source_a"),
+      col("__c").as("__ca"), col("__n").as("__na"))
+    val b = grid.select(col("__w"), col("__g").as("source_b"),
+      col("__c").as("__cb"), col("__n").as("__nb"))
+    val p = prob(col("__ca"), col("__na"))
+    val q = prob(col("__cb"), col("__nb"))
+    val m = (p + q) / lit(2.0)
+    val term = lit(0.5) * (p * log(p / m)) + lit(0.5) * (q * log(q / m))
+    val terms = a.join(b, Seq("__w"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("__w"), term.as("__t"))
+    if (deterministic)
+      terms.groupBy("source_a", "source_b").agg(
+        aggregate(sort_array(collect_list(struct(col("__w"), col("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("js"))
+    else
+      terms.groupBy("source_a", "source_b").agg(sum(col("__t")).as("js"))
+  }
 }

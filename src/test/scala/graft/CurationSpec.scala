@@ -364,4 +364,65 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toList === List((6L, 7L, 1.0)))
   }
+
+  // ── Source divergence (Jensen–Shannon) ─────────────────────────────────
+
+  /** Scala reference with the operator's exact op order so doubles compare
+    * bit-for-bit under the deterministic word-sorted fold. */
+  private def refJs(corpora: Map[String, Seq[String]], alpha: Double)
+      : Map[(String, String), Double] = {
+    val counts = corpora.view.mapValues(
+      _.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val vocab = counts.values.flatMap(_.keys).toSeq.distinct.sorted
+    val av = alpha * vocab.size
+    val srcs = corpora.keys.toSeq.sorted
+    (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      (sa, sb) = (srcs(i), srcs(j))
+    } yield {
+      val na = counts(sa).values.sum.toDouble
+      val nb = counts(sb).values.sum.toDouble
+      val js = vocab.foldLeft(0.0) { (acc, w) =>
+        val p = (counts(sa).getOrElse(w, 0L) + alpha) / (na + av)
+        val q = (counts(sb).getOrElse(w, 0L) + alpha) / (nb + av)
+        val m = (p + q) / 2.0
+        acc + (0.5 * (p * math.log(p / m)) + 0.5 * (q * math.log(q / m)))
+      }
+      (sa, sb) -> js
+    }).toMap
+  }
+
+  test("sourceDivergence matches the hand reference bit-for-bit; identical sources = 0") {
+    val corpora = Map(
+      "s1" -> Seq("the cat sat", "the dog ran fast"),
+      "s2" -> Seq("the cat sat", "the dog ran fast"),
+      "s3" -> Seq("quantum flux entangles qubits", "flux gates entangle"))
+    val df = corpora.toSeq.flatMap { case (s, ts) => ts.map(s -> _) }
+      .toDF("source", "text")
+    val got = Importance.sourceDivergence(df, "source", "text",
+        deterministic = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val want = refJs(corpora, 0.5)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(v === want(k), s"pair $k") }
+    // identical distributions: every term is exactly 0
+    assert(got(("s1", "s2")) === 0.0)
+    // disjoint-vocab pair is large but below ln 2
+    assert(got(("s1", "s3")) > 0.1 && got(("s1", "s3")) < math.log(2.0))
+  }
+
+  test("sourceDivergence: deterministic fold is partition-invariant, plain agrees 1e-12") {
+    val rows = (1 to 300).map { i =>
+      (s"src${i % 3}", s"tok${i % 17} tok${(i * 7) % 23} tok${(i * 11) % 29}")
+    }
+    def run(parts: Int, det: Boolean) = Importance.sourceDivergence(
+        rows.toDF("source", "text").repartition(parts), "source", "text",
+        deterministic = det)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val a = run(2, det = true)
+    assert(run(13, det = true) === a)
+    val plain = run(4, det = false)
+    a.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-12, s"pair $k") }
+  }
 }
