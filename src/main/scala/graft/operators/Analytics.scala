@@ -273,26 +273,77 @@ object Analytics {
     * 0.3·500 = 150.000…003 → rank 151 is CONSISTENT by construction.
     * Returns (group, q, value).
     *
-    * Scale shape: never a one-task-per-group sort — ranks come from
-    * [[Sampling.topFractionPerGroup]]'s distributed per-(range, group)
-    * machinery (score desc; the ascending rank is n_g − rank + 1, which
-    * selects the same VALUE for any tie order), then one broadcast join
-    * of the groups×qs target frame picks the quantile rows. Same
-    * ≤100k-group contract. */
+    * Scale shape: never a one-task-per-group sort — ONE range exchange
+    * by (group, score desc, id), per-(range, group) counts to the
+    * driver, then every range that holds NO target rank for any
+    * (group, q) is PRUNED: the window pass touches at most groups×qs
+    * partitions however large the corpus (the ascending rank maps to
+    * desc rank n_g − t + 1, which selects the same VALUE for any tie
+    * order). Same ≤100k-group contract as the Sampling rank family. */
   def discreteQuantilesPerGroup(df: DataFrame, groupCol: String,
       idCol: String, scoreCol: String, qs: Seq[Double],
       partitions: Int = 0): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "qs must be non-empty quantiles in [0,1]")
-    val ranked = Sampling.topFractionPerGroup(
-      df, groupCol, idCol, scoreCol, frac = 1.0, partitions = partitions)
-    val targets = ranked.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-      .select(col(groupCol), explode(typedLit(qs)).as("q"), col("__n"))
-      .withColumn("__target",
-        col("__n") - greatest(lit(1L), ceil(col("q") * col("__n"))) + 1)
-      .select(col(groupCol).as("__g"), col("q"), col("__target"))
-    ranked.join(Ops.broadcastIfSmall(targets),
-        ranked(groupCol) === col("__g") && col("rank") === col("__target"))
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // one range exchange (the same boundary-freezing lazy checkpoint as
+    // the Sampling cumsum family); per-(range, group) counts drive the
+    // driver-side rank targeting
+    val ranked = df.select(col(groupCol), col(idCol), col(scoreCol))
+      .repartitionByRange(p, col(groupCol).asc, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = ranked.groupBy("__pid", groupCol).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    require(counts.map(_._2).distinct.size <= 100000,
+      "discreteQuantilesPerGroup requires source/domain-like group " +
+        "cardinality (<= 100k groups)")
+    if (counts.isEmpty) return ranked
+      .select(col(groupCol), lit(0.0).as("q"), col(scoreCol).as("value")).limit(0)
+    // per (group, q): the ascending target rank max(1, ceil(q·n)) — the
+    // SAME IEEE double product/ceil the SQL oracle computes — maps to a
+    // descending rank n−t+1, which lands in exactly ONE range; every
+    // range holding no target for any (group, q) is PRUNED, so the
+    // window pass touches at most groups×qs partitions however large
+    // the corpus.
+    val targetRows = counts.groupBy(_._2).iterator.flatMap { case (g, cs) =>
+      val sorted = cs.sortBy(_._1)
+      val n = sorted.map(_._3).sum
+      val offsets = sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).dropRight(1))
+      qs.map { q =>
+        val tAsc = math.max(1L, math.ceil(q * n).toLong)
+        val tDesc = n - tAsc + 1
+        val (pid, off) = offsets.zip(sorted.map(_._3))
+          .collectFirst { case ((pd, o), c) if tDesc > o && tDesc <= o + c => (pd, o) }
+          .get
+        (pid, g, q, tDesc - off)
+      }
+    }.toSeq
+    val keepPids = targetRows.map(_._1).toSet
+    val targets = spark.createDataFrame(
+      spark.sparkContext.parallelize(targetRows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__tpid",
+          org.apache.spark.sql.types.IntegerType),
+        ranked.schema(groupCol).copy(name = "__g"),
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__local",
+          org.apache.spark.sql.types.LongType))))
+    import org.apache.spark.sql.expressions.Window
+    // rank BEFORE the target join — the join duplicates each row once per
+    // (group, q) target in its range, which would corrupt a post-join
+    // row_number
+    ranked.filter(col("__pid").isInCollection(keepPids))
+      .withColumn("__rank",
+        row_number().over(Window.partitionBy(col("__pid"), col(groupCol))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
+      .join(broadcast(targets),
+        col("__pid") === col("__tpid") && col(groupCol) === col("__g") &&
+          col("__rank") === col("__local"))
       .select(col(groupCol), col("q"), col(scoreCol).as("value"))
   }
 
