@@ -1233,6 +1233,23 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: ROLLUP revenue report — hierarchical grouping sets over a
+    //    broadcast-dim star join; revenue in exact integer cents so the
+    //    subtotal doubles are engine-independent (oracle: DuckDB GROUP BY
+    //    ROLLUP over the same fixed-order cents arithmetic) ───────────────
+    "q107_rollup" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
+          round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * lit(100.0)).cast("long").as("cents"))
+      rev.rollup(col("n_name"), col("o_year"))
+        .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name").asc_nulls_first, col("o_year").asc_nulls_first)
+    }),
     // ── scale: pairwise source divergence — smoothed Jensen–Shannon over
     //    unigram distributions, the "how different are my corpora" report
     //    (oracle: DuckDB replays counts, grid, smoothing, and the
@@ -2401,6 +2418,19 @@ object SparkEntry {
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
+    "q107_rollup" ->
+      """WITH rev AS (
+        |  SELECT n_name, year(o_orderdate) AS o_year,
+        |    CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, o_year, CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM rev GROUP BY ROLLUP (n_name, o_year)
+        |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin,
     "q106_source_divergence" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
