@@ -1233,6 +1233,15 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: edit-distance fuzzy pairs — PassJoin segment blocking +
+    //    exact levenshtein verify, complete recall at maxDist (oracle:
+    //    DuckDB brute-forces every pair) ──────────────────────────────────
+    "q108_edit_distance" -> ((s, dir) => {
+      Dedup.editDistancePairs(
+          T(s, dir, "part").select("p_partkey", "p_name"),
+          "p_partkey", "p_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
     // ── scale: ROLLUP revenue report — hierarchical grouping sets over a
     //    broadcast-dim star join; revenue in exact integer cents so the
     //    subtotal doubles are engine-independent (oracle: DuckDB GROUP BY
@@ -1476,6 +1485,15 @@ object SparkEntry {
     * override run the `queries` entry entirely inside the timed region. */
   def benchQueries: Map[String, (SparkSession, String) => () => DataFrame] = {
     val overrides: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+      // q106 benches the PRODUCTION path: plain map-side-combined sums
+      // (the word-sorted fold exists so the SQL oracle can replay it)
+      "q106_source_divergence" -> ((s, dir) => {
+        val d = T(s, dir, "documents").select("source", "text")
+        () => Importance.sourceDivergence(d, "source", "text", alpha = 0.5)
+          .select(col("source_a"), col("source_b"),
+            round(col("js"), 6).as("js"))
+          .orderBy("source_a", "source_b")
+      }),
       // q101 benches the PRODUCTION path: plain map-side-combined sums
       // (the src-sorted fold exists so the SQL oracle can replay rounds)
       "q101_pagerank" -> ((s, dir) => {
@@ -2418,6 +2436,12 @@ object SparkEntry {
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
+    "q108_edit_distance" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q107_rollup" ->
       """WITH rev AS (
         |  SELECT n_name, year(o_orderdate) AS o_year,

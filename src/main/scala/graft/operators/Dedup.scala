@@ -1499,4 +1499,108 @@ object Dedup {
     val exact = exactDedup(df, Seq(textCol), idCol, assumeUniqueId)
     minhashDedup(exact, idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucketSize)
   }
+
+  /** Edit-distance (fuzzy) pair matching for SHORT strings — the entity-
+    * resolution counterpart to the token-set families: near-identical
+    * names/titles/URLs ("Customer#001" vs "Customer#O01") that token
+    * Jaccard cannot see. Returns every unordered pair with
+    * `levenshtein ≤ maxDist` as (id_a, id_b, dist) — COMPLETE recall, no
+    * probabilistic blocking.
+    *
+    * Candidate generation is PassJoin-style segment blocking (Li et al.,
+    * "PassJoin: a partition-based method for similarity joins"): every
+    * string of length ≥ τ+1 splits into τ+1 contiguous segments
+    * (pigeonhole: a pair within τ edits leaves ≥ 1 segment untouched,
+    * aligned in the other string within a ±τ shift); the index side
+    * emits its τ+1 (length, segIdx, segment) keys, the probe side emits
+    * the bounded substring windows for each plausible indexed length —
+    * ≤ (2τ+1)·(τ+1)·(2τ+1) rows per string, a constant — and candidates
+    * are an EQUI-join on those keys, never all-pairs. Pairs where both
+    * strings are shorter than τ+1 pair inside a dedicated tiny bucket
+    * (skipped entirely when no such strings exist). Exact `levenshtein`
+    * verifies every distinct candidate — a codegen'd projection.
+    *
+    * At 100 TB: index and probe streams are constant-factor expansions of
+    * the scan, the join shuffles (length, segIdx, segment)-keyed rows
+    * only, and hot segments (shared prefixes) bound candidates by true
+    * block sizes — the usual salting/cap patterns apply if a segment
+    * value is degenerate (e.g. all-identical prefixes). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1,8], got $maxDist")
+    val tau = maxDist
+    val k = tau + 1
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__len", length(col("__s")))
+    // segment geometry for a length-L string split into k parts: the
+    // first k − (L mod k) segments take ⌊L/k⌋ chars, the rest one more
+    def segStart(l: Column, i: Column): Column = {
+      val b = (l / k).cast("int")
+      val rem = l % k
+      i * b + greatest(lit(0), i - (lit(k) - rem))
+    }
+    def segLen(l: Column, i: Column): Column = {
+      val b = (l / k).cast("int")
+      val rem = l % k
+      b + when(i >= lit(k) - rem, 1).otherwise(0)
+    }
+    // index side: one row per segment of every string long enough to
+    // split into k non-empty parts
+    val iIdx = explode(sequence(lit(0), lit(tau))).as("__i")
+    val index = base.filter(col("__len") >= k)
+      .select(col("__id"), col("__s"), col("__len"), iIdx)
+      .select(col("__id").as("id_a"), col("__s").as("sa"),
+        col("__len").as("__L"), col("__i"),
+        col("__s").substr(segStart(col("__len"), col("__i")) + 1,
+          segLen(col("__len"), col("__i"))).as("__seg"))
+    // probe side: for every plausible indexed length class L ≥ k, the
+    // substrings that could equal segment i of an L-length partner,
+    // at positions within the ±τ pigeonhole shift window
+    val probe = base
+      // the when() guard keeps sequence() from descending when a string
+      // is so short that no valid length class ≥ k exists
+      .select(col("__id"), col("__s"), col("__len"),
+        explode_outer(when(col("__len") + tau >= k,
+          sequence(greatest(col("__len") - tau, lit(k)),
+            col("__len") + tau))).as("__L"))
+      .filter(col("__L").isNotNull)
+      .select(col("__id"), col("__s"), col("__len"), col("__L"), iIdx)
+      .withColumn("__st", segStart(col("__L"), col("__i")))
+      .withColumn("__sl", segLen(col("__L"), col("__i")))
+      .withColumn("__p", explode_outer(when(
+        greatest(col("__st") - tau, lit(0)) <= least(col("__len") - col("__sl"), col("__st") + tau),
+        sequence(greatest(col("__st") - tau, lit(0)),
+          least(col("__len") - col("__sl"), col("__st") + tau)))))
+      .filter(col("__p").isNotNull)
+      .select(col("__id").as("id_b"), col("__s").as("sb"),
+        col("__L"), col("__i"),
+        col("__s").substr(col("__p") + 1, col("__sl")).as("__seg"))
+    // normalize orientation with least/greatest, NOT a filter: a pair
+    // whose shorter side is under k chars exists in only ONE (index,
+    // probe) orientation, and an id_a < id_b filter would drop it when
+    // the indexed side has the larger id
+    val main = index.join(probe, Seq("__L", "__i", "__seg"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        when(col("id_a") < col("id_b"),
+          struct(col("id_a"), col("id_b"), col("sa"), col("sb")))
+          .otherwise(struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+            col("sb").as("sa"), col("sa").as("sb"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.sa").as("sa"), col("__p.sb").as("sb"))
+    // pairs where BOTH sides are too short to split: a tiny bounded
+    // bucket (strings under k chars); skipped when none exist
+    val shorts = base.filter(col("__len") < k)
+    val all =
+      if (shorts.isEmpty) main
+      else main.unionByName(
+        shorts.select(col("__id").as("id_a"), col("__s").as("sa"))
+          .crossJoin(shorts.select(col("__id").as("id_b"), col("__s").as("sb")))
+          .filter(col("id_a") < col("id_b")))
+    all.distinct()
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= tau)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -365,6 +365,47 @@ class CurationSpec extends SparkSpec {
     assert(out.toList === List((6L, 7L, 1.0)))
   }
 
+  // ── Edit-distance pairs (PassJoin segment blocking) ────────────────────
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs = brute force on an adversarial small-alphabet corpus") {
+    // small alphabet + mixed lengths 0..8 → dense near-matches, empty and
+    // sub-k strings, cross-length pairs: every blocking edge case at once
+    val strs = (0 until 140).map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L)
+      (i.toLong, (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    for (tau <- 1 to 3) {
+      val got = Dedup.editDistancePairs(df, "id", "s", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = lev(sa, sb) if d <= tau
+      } yield (ia, ib, d)).toSet
+      assert(got === want, s"tau=$tau: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("editDistancePairs finds planted typos across length classes") {
+    val df = Seq(
+      (1L, "customer#000123"), (2L, "customer#000124"),  // substitution
+      (3L, "customer#00123"),                             // deletion vs 1
+      (4L, "blue widget"), (5L, "blue widgets"),          // insertion
+      (6L, "entirely different")).toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 1), (4L, 5L, 1)))
+  }
+
   // ── Source divergence (Jensen–Shannon) ─────────────────────────────────
 
   /** Scala reference with the operator's exact op order so doubles compare
