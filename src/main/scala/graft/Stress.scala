@@ -476,6 +476,18 @@ object Stress {
       println("[stress]   flagged=" + Bench.force(Analytics.robustOutliers(
         statEvents, "event_type", "event_id", "value", cutoff = 3.5)))
     }
+    // edit-distance fuzzy pairs on DISTINCT template strings
+    // ("item-00001234", sequential): the adversarial shared-prefix regime
+    // that kills segment blocking; true pairs (one-digit neighbors) are
+    // dense but linear in n. Duplicated strings are exact-dedup's job
+    // first (quadratic dist-0 pairs are irreducible output).
+    time(s"editDistancePairs ${factor}x distinct ids (maxDist=1)") {
+      val n = 20000L * factor
+      val strs = spark.range(n).select(col("id"),
+        concat(lit("item-"), lpad(col("id"), 8, "0")).as("s"))
+      println("[stress]   pairs=" + Bench.force(
+        Dedup.editDistancePairs(strs, "id", "s", maxDist = 1)))
+    }
     docsTail.unpersist()
     spark.stop()
   }

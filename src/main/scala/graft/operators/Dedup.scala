@@ -1507,98 +1507,78 @@ object Dedup {
     * `levenshtein ≤ maxDist` as (id_a, id_b, dist) — COMPLETE recall, no
     * probabilistic blocking.
     *
-    * Candidate generation is PassJoin-style segment blocking (Li et al.,
-    * "PassJoin: a partition-based method for similarity joins"): every
-    * string of length ≥ τ+1 splits into τ+1 contiguous segments
-    * (pigeonhole: a pair within τ edits leaves ≥ 1 segment untouched,
-    * aligned in the other string within a ±τ shift); the index side
-    * emits its τ+1 (length, segIdx, segment) keys, the probe side emits
-    * the bounded substring windows for each plausible indexed length —
-    * ≤ (2τ+1)·(τ+1)·(2τ+1) rows per string, a constant — and candidates
-    * are an EQUI-join on those keys, never all-pairs. Pairs where both
-    * strings are shorter than τ+1 pair inside a dedicated tiny bucket
-    * (skipped entirely when no such strings exist). Exact `levenshtein`
-    * verifies every distinct candidate — a codegen'd projection.
+    * Candidate generation is DELETION-NEIGHBORHOOD blocking (the
+    * FastSS/SymSpell family): every string emits all variants reachable
+    * by deleting ≤ τ characters (canonical ascending original
+    * positions), and two strings within τ edits ALWAYS share a variant —
+    * from an optimal alignment, delete the substituted+deleted chars
+    * from one side (≤ τ) and the substituted+inserted chars from the
+    * other (≤ τ) and both reach the same subsequence. Candidates are an
+    * equi-join on the 64-bit hash of the variant (8-byte shuffle keys;
+    * hash collisions only ever ADD candidates, and exact `levenshtein`
+    * verifies every distinct pair — a codegen'd projection).
     *
-    * At 100 TB: index and probe streams are constant-factor expansions of
-    * the scan, the join shuffles (length, segIdx, segment)-keyed rows
-    * only, and hot segments (shared prefixes) bound candidates by true
-    * block sizes — the usual salting/cap patterns apply if a segment
-    * value is degenerate (e.g. all-identical prefixes). */
+    * Why not segment (PassJoin-style) blocking: segment keys carry only
+    * ~L/(τ+1) characters, so template data with a shared prefix
+    * ("item-00001234"…) degenerates into one giant block — measured
+    * quadratic on 400k sequential ids. Deletion variants keep ≥ L−τ
+    * characters of the ORIGINAL string, so blocks stay true-neighborhood
+    * sized under any shared template. The trade is key volume:
+    * Σ_{d≤τ} C(L,d) keys per string — linear in rows, fine for τ ≤ 3 on
+    * short strings, which is the operator\u2019s contract (REQUIREd).
+    * Exact-duplicate strings should be collapsed first (dedupPipeline
+    * convention): m copies of one string are m·(m−1)/2 irreducible
+    * dist-0 pairs. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1,8], got $maxDist")
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1,3] (deletion-neighborhood keys grow C(L,d)), got $maxDist")
     val tau = maxDist
-    val k = tau + 1
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
-      .withColumn("__len", length(col("__s")))
-    // segment geometry for a length-L string split into k parts: the
-    // first k − (L mod k) segments take ⌊L/k⌋ chars, the rest one more
-    def segStart(l: Column, i: Column): Column = {
-      val b = (l / k).cast("int")
-      val rem = l % k
-      i * b + greatest(lit(0), i - (lit(k) - rem))
-    }
-    def segLen(l: Column, i: Column): Column = {
-      val b = (l / k).cast("int")
-      val rem = l % k
-      b + when(i >= lit(k) - rem, 1).otherwise(0)
-    }
-    // index side: one row per segment of every string long enough to
-    // split into k non-empty parts
-    val iIdx = explode(sequence(lit(0), lit(tau))).as("__i")
-    val index = base.filter(col("__len") >= k)
-      .select(col("__id"), col("__s"), col("__len"), iIdx)
-      .select(col("__id").as("id_a"), col("__s").as("sa"),
-        col("__len").as("__L"), col("__i"),
-        col("__s").substr(segStart(col("__len"), col("__i")) + 1,
-          segLen(col("__len"), col("__i"))).as("__seg"))
-    // probe side: for every plausible indexed length class L ≥ k, the
-    // substrings that could equal segment i of an L-length partner,
-    // at positions within the ±τ pigeonhole shift window
-    val probe = base
-      // the when() guard keeps sequence() from descending when a string
-      // is so short that no valid length class ≥ k exists
-      .select(col("__id"), col("__s"), col("__len"),
-        explode_outer(when(col("__len") + tau >= k,
-          sequence(greatest(col("__len") - tau, lit(k)),
-            col("__len") + tau))).as("__L"))
-      .filter(col("__L").isNotNull)
-      .select(col("__id"), col("__s"), col("__len"), col("__L"), iIdx)
-      .withColumn("__st", segStart(col("__L"), col("__i")))
-      .withColumn("__sl", segLen(col("__L"), col("__i")))
-      .withColumn("__p", explode_outer(when(
-        greatest(col("__st") - tau, lit(0)) <= least(col("__len") - col("__sl"), col("__st") + tau),
-        sequence(greatest(col("__st") - tau, lit(0)),
-          least(col("__len") - col("__sl"), col("__st") + tau)))))
-      .filter(col("__p").isNotNull)
-      .select(col("__id").as("id_b"), col("__s").as("sb"),
-        col("__L"), col("__i"),
-        col("__s").substr(col("__p") + 1, col("__sl")).as("__seg"))
-    // normalize orientation with least/greatest, NOT a filter: a pair
-    // whose shorter side is under k chars exists in only ONE (index,
-    // probe) orientation, and an id_a < id_b filter would drop it when
-    // the indexed side has the larger id
-    val main = index.join(probe, Seq("__L", "__i", "__seg"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(
-        when(col("id_a") < col("id_b"),
-          struct(col("id_a"), col("id_b"), col("sa"), col("sb")))
-          .otherwise(struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
-            col("sb").as("sa"), col("sa").as("sb"))).as("__p"))
-      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
-        col("__p.sa").as("sa"), col("__p.sb").as("sb"))
-    // pairs where BOTH sides are too short to split: a tiny bounded
-    // bucket (strings under k chars); skipped when none exist
-    val shorts = base.filter(col("__len") < k)
-    val all =
-      if (shorts.isEmpty) main
-      else main.unionByName(
-        shorts.select(col("__id").as("id_a"), col("__s").as("sa"))
-          .crossJoin(shorts.select(col("__id").as("id_b"), col("__s").as("sb")))
-          .filter(col("id_a") < col("id_b")))
-    all.distinct()
+    val sL = length(col("__s"))
+    // drop one character at original position p (1-based)
+    def drop1(s: Column, p: Column): Column =
+      concat(s.substr(lit(1), p - 1), s.substr(p + 1, length(s) - p))
+    def drop2(s: Column, p1: Column, p2: Column): Column =
+      concat(s.substr(lit(1), p1 - 1), s.substr(p1 + 1, p2 - p1 - 1),
+        s.substr(p2 + 1, length(s) - p2))
+    def drop3(s: Column, p1: Column, p2: Column, p3: Column): Column =
+      concat(s.substr(lit(1), p1 - 1), s.substr(p1 + 1, p2 - p1 - 1),
+        s.substr(p2 + 1, p3 - p2 - 1), s.substr(p3 + 1, length(s) - p3))
+    val v0 = base.select(col("__id"), col("__s"), col("__s").as("__v"))
+    val v1 = base.filter(sL >= 1)
+      .select(col("__id"), col("__s"), explode(sequence(lit(1), sL)).as("__p1"))
+      .select(col("__id"), col("__s"), drop1(col("__s"), col("__p1")).as("__v"))
+    val variants = Seq(
+      Some(v0), Some(v1),
+      if (tau >= 2) Some(base.filter(sL >= 2)
+        .select(col("__id"), col("__s"),
+          explode(sequence(lit(1), sL - 1)).as("__p1"))
+        .select(col("__id"), col("__s"), col("__p1"),
+          explode(sequence(col("__p1") + 1, length(col("__s")))).as("__p2"))
+        .select(col("__id"), col("__s"),
+          drop2(col("__s"), col("__p1"), col("__p2")).as("__v")))
+      else None,
+      if (tau >= 3) Some(base.filter(sL >= 3)
+        .select(col("__id"), col("__s"),
+          explode(sequence(lit(1), sL - 2)).as("__p1"))
+        .select(col("__id"), col("__s"), col("__p1"),
+          explode(sequence(col("__p1") + 1, length(col("__s")) - 1)).as("__p2"))
+        .select(col("__id"), col("__s"), col("__p1"), col("__p2"),
+          explode(sequence(col("__p2") + 1, length(col("__s")))).as("__p3"))
+        .select(col("__id"), col("__s"),
+          drop3(col("__s"), col("__p1"), col("__p2"), col("__p3")).as("__v")))
+      else None).flatten
+    val keys = variants.reduce(_ unionByName _)
+      .select(col("__id"), col("__s"), xxhash64(col("__v")).as("__k"))
+    val a = keys.select(col("__id").as("id_a"), col("__s").as("sa"), col("__k"))
+    val b = keys.select(col("__id").as("id_b"), col("__s").as("sb"), col("__k"))
+    a.join(b, Seq("__k"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("sa")) - length(col("sb"))) <= tau)
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .distinct()
       .withColumn("dist", levenshtein(col("sa"), col("sb")))
       .filter(col("dist") <= tau)
       .select(col("id_a"), col("id_b"), col("dist"))

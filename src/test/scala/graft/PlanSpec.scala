@@ -292,6 +292,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"quantile pick goes cartesian:\n$plan")
   }
 
+  test("editDistancePairs: candidates equi-join on segment keys, never cartesian") {
+    val parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select("p_partkey", "p_name")
+    val plan = physical(Dedup.editDistancePairs(parts, "p_partkey", "p_name", 1))
+    assert(!plan.contains("CartesianProduct"), s"edit-distance goes cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance nested-loops:\n$plan")
+  }
+
   test("TPC-H q1 aggregates map-side before the exchange (partial aggregation)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val agg = li.filter(col("l_shipdate") <= "1998-09-02")
