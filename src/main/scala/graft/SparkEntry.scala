@@ -1233,8 +1233,19 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
-    // ── scale: edit-distance fuzzy pairs — PassJoin segment blocking +
-    //    exact levenshtein verify, complete recall at maxDist (oracle:
+    // ── scale: incremental fuzzy ingest — persistent deletion-variant
+    //    index, batch probes only its colliding buckets (oracle: DuckDB
+    //    brute-forces every incoming×history levenshtein) ─────────────────
+    "q109_fuzzy_ingest" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val ix = new FuzzyIndex(s, tmpWorkDir("gs_fzix_"), maxDist = 1,
+        numBuckets = 32)
+      ix.add(c.filter(col("c_custkey") % 2 === 0), "c_custkey", "c_name")
+      ix.probe(c.filter(col("c_custkey") % 2 === 1), "c_custkey", "c_name")
+        .orderBy("inc_id", "hist_id")
+    }),
+    // ── scale: edit-distance fuzzy pairs — deletion-neighborhood blocking
+    //    + exact levenshtein verify, complete recall at maxDist (oracle:
     //    DuckDB brute-forces every pair) ──────────────────────────────────
     "q108_edit_distance" -> ((s, dir) => {
       Dedup.editDistancePairs(
@@ -2436,6 +2447,14 @@ object SparkEntry {
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
+    "q109_fuzzy_ingest" ->
+      """WITH hist AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+        |inc AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT i.c_custkey AS inc_id, h.c_custkey AS hist_id,
+        |  levenshtein(i.c_name, h.c_name) AS dist
+        |FROM inc i CROSS JOIN hist h
+        |WHERE levenshtein(i.c_name, h.c_name) <= 1
+        |ORDER BY inc_id, hist_id""".stripMargin,
     "q108_edit_distance" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  levenshtein(a.p_name, b.p_name) AS dist

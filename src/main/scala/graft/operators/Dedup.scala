@@ -1529,11 +1529,15 @@ object Dedup {
     * Exact-duplicate strings should be collapsed first (dedupPipeline
     * convention): m copies of one string are m·(m−1)/2 irreducible
     * dist-0 pairs. */
-  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 3,
-      s"maxDist must be in [1,3] (deletion-neighborhood keys grow C(L,d)), got $maxDist")
-    val tau = maxDist
+  /** (__id, __s, __k) rows: the 64-bit hash of every ≤`tau`-deletion
+    * variant of each string (canonical ascending original positions; the
+    * string itself is its own 0-deletion variant). Shared candidate-key
+    * generator for [[editDistancePairs]] and the incremental
+    * [[FuzzyIndex]]. */
+  private[operators] def deletionVariantKeys(df: DataFrame, idCol: String,
+      strCol: String, tau: Int): DataFrame = {
+    require(tau >= 1 && tau <= 3,
+      s"maxDist must be in [1,3] (deletion-neighborhood keys grow C(L,d)), got $tau")
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
     val sL = length(col("__s"))
@@ -1570,8 +1574,15 @@ object Dedup {
         .select(col("__id"), col("__s"),
           drop3(col("__s"), col("__p1"), col("__p2"), col("__p3")).as("__v")))
       else None).flatten
-    val keys = variants.reduce(_ unionByName _)
+    variants.reduce(_ unionByName _)
       .select(col("__id"), col("__s"), xxhash64(col("__v")).as("__k"))
+  }
+
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    val tau = maxDist
+    val keys = deletionVariantKeys(df, idCol, strCol, tau)
+
     val a = keys.select(col("__id").as("id_a"), col("__s").as("sa"), col("__k"))
     val b = keys.select(col("__id").as("id_b"), col("__s").as("sb"), col("__k"))
     a.join(b, Seq("__k"))
