@@ -60,6 +60,24 @@ object Streaming {
           onNovel(idx.ingest(batch, idCol, textCol))
       }
 
+  /** Micro-batch fuzzy-gated ingest: the [[streamingNearDupIngest]]
+    * contract at character level — each batch probes the persistent
+    * deletion-variant index ([[graft.operators.FuzzyIndex]]) against
+    * everything ever ingested; only strings with no history match within
+    * maxDist are indexed and handed to `onNovel`. Restart-safe: a
+    * reprocessed batch matches its own indexed copy at dist 0. */
+  def streamingFuzzyIngest(
+      stream: DataFrame,
+      idx: graft.operators.FuzzyIndex,
+      idCol: String,
+      strCol: String)(onNovel: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onNovel(idx.ingest(batch, idCol, strCol))
+      }
+
   /** Event-time tumbling-window counts with late-data watermark. */
   def windowedCounts(
       events: DataFrame,

@@ -56,6 +56,35 @@ class StreamingSpec extends SparkSpec {
     assert(novel.sorted.toSeq === Seq(4L))
   }
 
+  test("streamingFuzzyIngest admits only strings beyond maxDist of history") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = new graft.operators.FuzzyIndex(spark, tmpDir("stream_fzix_"),
+      maxDist = 1, numBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val novel = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit =
+      Streaming.streamingFuzzyIngest(
+          mem.toDF.toDF("id", "name"), idx, "id", "name") { nv =>
+          novel ++= nv.select("id").collect().map(_.getLong(0)): Unit
+        }
+        .option("checkpointLocation", tmpDir("ckpt_fzix_"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    mem.addData((1L, "acme corporation"), (2L, "globex industries"))
+    run()
+    assert(novel.sorted.toSeq === Seq(1L, 2L))
+    novel.clear()
+    // one-typo copy rejected; a two-edit variant admitted at maxDist=1
+    mem.addData((3L, "acme corporatian"), (4L, "acme corporatiXY"))
+    run()
+    assert(novel.sorted.toSeq === Seq(4L))
+    // redelivered content matches its own copy at dist 0
+    novel.clear()
+    mem.addData((5L, "acme corporatiXY"))
+    run()
+    assert(novel.isEmpty)
+  }
+
   test("windowedCounts aggregates into event-time tumbling windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
