@@ -1233,6 +1233,24 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: TrustRank / personalized PageRank — trust propagation from
+    //    a seed whitelist (nation-0 customers) over the same graph; rank =
+    //    proximity to trusted nodes, unreachable components exactly 0
+    //    (oracle: unrolled rounds with the seeded teleport vector) ────────
+    "q110_trustrank" -> ((s, dir) => {
+      val el = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      val seeds = T(s, dir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("n"))
+      Graph.personalizedPageRank(Graph.bidirect(el, "a", "b"), "src", "dst",
+          seeds, "n", rounds = 3, damping = 0.85, deterministic = true)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    }),
     // ── scale: incremental fuzzy ingest — persistent deletion-variant
     //    index, batch probes only its colliding buckets (oracle: DuckDB
     //    brute-forces every incoming×history levenshtein) ─────────────────
@@ -2447,6 +2465,7 @@ object SparkEntry {
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
+    "q110_trustrank" -> pprOracleSql(rounds = 3, damping = 0.85),
     "q109_fuzzy_ingest" ->
       """WITH hist AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
         |inc AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1)
@@ -3283,6 +3302,45 @@ object SparkEntry {
          |  FROM l${k - 1} p LEFT JOIN w$k w ON p.node = w.node),""".stripMargin
     }.mkString("\n").stripSuffix(",")
     s"$header\n$roundCtes\nSELECT node, label FROM l$rounds ORDER BY node"
+  }
+
+  /** The q110 TrustRank loop unrolled in SQL: the q101 round machinery
+    * with the seeded teleport vector t (1/|S∩nodes| on seeds, else 0) —
+    * same src-sorted folds, same exact-double (1 − damping) literal. */
+  private def pprOracleSql(rounds: Int, damping: Double): String = {
+    val base = (1.0 - damping).toString
+    val header =
+      s"""WITH el AS (
+         |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,
+         |    's' || l_suppkey::VARCHAR AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM el
+         |          UNION ALL SELECT b, a FROM el),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |sn AS (SELECT DISTINCT 'c' || c_custkey::VARCHAR AS node
+         |       FROM customer WHERE c_nationkey = 0),
+         |sng AS (SELECT sn.node FROM sn JOIN nodes USING (node)),
+         |tv AS (SELECT CAST(1.0 AS DOUBLE) / count(*) AS t FROM sng),
+         |based AS (SELECT n.node,
+         |            CASE WHEN g.node IS NOT NULL THEN tv.t ELSE 0.0 END AS t
+         |          FROM nodes n LEFT JOIN sng g ON n.node = g.node
+         |          CROSS JOIN tv),
+         |r0 AS (SELECT node, t AS rank FROM based),""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, e.src AS src, r.rank / d.deg AS c
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src),
+         |s$k AS (SELECT node,
+         |    list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS s
+         |  FROM c$k GROUP BY node),
+         |r$k AS (SELECT b.node, $base * b.t + $damping * coalesce(s.s, 0.0) AS rank
+         |  FROM based b LEFT JOIN s$k s ON b.node = s.node),""".stripMargin
+    }.mkString("\n").stripSuffix(",")
+    s"""$header
+       |$roundCtes
+       |SELECT node, round(rank, 9) AS rank FROM r$rounds ORDER BY node""".stripMargin
   }
 
   /** The q96 logistic-GD training loop unrolled in SQL: per round k, a

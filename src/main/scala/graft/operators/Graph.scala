@@ -38,6 +38,24 @@ object Graph {
     edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
 
+  /** Shared prep: deduped persisted edge frame (materialized once — deg,
+    * nodes, and the degree join all read it; an unmaterialized plan would
+    * re-run the caller's edge derivation up to four times), the
+    * degree-joined edge frame (src-partitioned by the join, persisted for
+    * the rounds), and the checkpointed node frame. */
+  private def prepGraph(edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    (e, eDeg, nodes)
+  }
+
   /** PageRank, GraphX `staticPageRank` semantics: every node starts at
     * 1.0 and each round sets
     * `rank' = (1 − damping) + damping · Σ_{in-edges} rank_src / outdeg_src`.
@@ -53,25 +71,7 @@ object Graph {
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0,1], got $damping")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
-    // Materialize the deduped edge frame ONCE before anything derives
-    // from it: deg, nodes, and the degree join all read `e`, and an
-    // unmaterialized plan would re-run the caller's edge derivation (for
-    // the q101 graph, an orders⋈lineitem join) up to four times.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
-    // out-degree joins into the edge frame once; rounds reuse the
-    // src-partitioned persisted frame (only ranks shuffle per round)
-    // the degree join's output is already hash-partitioned by src (no
-    // explicit repartition needed); rounds reuse that partitioning from
-    // the persisted frame, so only the node-sized rank frame shuffles
-    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // first action: materializes `e` into its cache (both union branches
-    // and every later consumer then read the cached frame)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val (e, eDeg, nodes) = prepGraph(edges, srcCol, dstCol)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (r <- 1 to rounds) {
       val contribs = eDeg
@@ -97,6 +97,55 @@ object Graph {
     // the loop leaves the last round LAZY; materialize it before freeing
     // the inputs it reads (unpersisted caches would silently recompute
     // the whole edge derivation at first consumer action)
+    if (rounds > 0) ranks = ranks.localCheckpoint(true)
+    eDeg.unpersist(false)
+    e.unpersist(false)
+    ranks
+  }
+
+  /** Personalized PageRank / TrustRank (Gyöngyi et al., VLDB 2004):
+    * teleportation goes ONLY to the seed set — rank' = (1 − d)·t +
+    * d·Σ rank/deg with t = 1/|S| on seeds and 0 elsewhere, initialized at
+    * t. Rank measures proximity to TRUSTED nodes: "score every domain by
+    * its link distance from a hand-audited whitelist", the classic
+    * seeded-quality prior for crawl corpora. Nodes unreachable from any
+    * seed stay at exactly 0. Same scale shape, determinism convention,
+    * and interval checkpointing as [[pageRank]]. Returns (node, rank). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int, damping: Double = 0.85,
+      deterministic: Boolean = false, checkpointInterval: Int = 8): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0,1], got $damping")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+    val (e, eDeg, nodes) = prepGraph(edges, srcCol, dstCol)
+    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"))
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "no seed nodes present in the graph")
+    val t = 1.0 / nSeeds
+    val based = nodes.join(seedNodes.withColumn("__t", lit(t)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(0.0)).as("__t"))
+      .localCheckpoint(true)
+    var ranks = based.select(col("node"), col("__t").as("rank"))
+    for (r <- 1 to rounds) {
+      val contribs = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("src"),
+          (col("rank") / col("deg")).as("c"))
+      val summed =
+        if (deterministic)
+          contribs.groupBy("node").agg(
+            aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
+              lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+        else contribs.groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = based.join(summed, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("__t") +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (r % checkpointInterval == 0 && r < rounds)
+        ranks = ranks.localCheckpoint(true)
+    }
     if (rounds > 0) ranks = ranks.localCheckpoint(true)
     eDeg.unpersist(false)
     e.unpersist(false)

@@ -71,6 +71,57 @@ class GraphSpec extends SparkSpec {
     det.foreach { case (n, r) => assert(math.abs(r - plain(n)) < 1e-9, s"node $n") }
   }
 
+  /** Naive reference personalized PageRank (TrustRank), src-sorted folds. */
+  private def refPpr(edges: Seq[(String, String)], seeds: Set[String],
+      rounds: Int, d: Double): Map[String, Double] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val present = seeds & nodes.toSet
+    val t = 1.0 / present.size
+    def tOf(n: String) = if (present(n)) t else 0.0
+    var rank = nodes.map(n => n -> tOf(n)).toMap
+    for (_ <- 1 to rounds) {
+      val in = e.groupBy(_._2)
+      rank = nodes.map { n =>
+        val s = in.getOrElse(n, Seq.empty).sortBy(_._1)
+          .foldLeft(0.0)((acc, ed) => acc + rank(ed._1) / deg(ed._1))
+        n -> ((1.0 - d) * tOf(n) + d * s)
+      }.toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRank matches the reference; unreachable nodes stay at 0") {
+    // component 1: a–b–c chain; component 2: x–y, unreachable from seeds
+    val ch = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+    val e = Graph.bidirect(ch.toDF("s", "t"), "s", "t")
+    val seeds = Seq("a", "zzz-not-in-graph").toDF("n") // absent seeds drop
+    val got = Graph.personalizedPageRank(e, "src", "dst", seeds, "n",
+        rounds = 3, deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refPpr(ch ++ ch.map(_.swap), Set("a"), 3, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (n, v) => assert(v === want(n), s"node $n") }
+    assert(got("x") === 0.0 && got("y") === 0.0)
+    // seed-component nodes all carry trust; the chain end is weakest
+    assert(got("a") > 0.0 && got("b") > 0.0)
+    assert(got("c") < got("b"))
+  }
+
+  test("personalizedPageRank deterministic mode is partition-invariant") {
+    val edges = (1 to 400).map(i => (s"n${i % 31}", s"n${(i * 7) % 37}"))
+    val seeds = Seq("n1", "n2", "n3").toDF("n")
+    def run(parts: Int) = Graph.personalizedPageRank(
+        Graph.bidirect(edges.toDF("s", "t").repartition(parts), "s", "t"),
+        "src", "dst", seeds, "n", rounds = 3, deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a = run(2)
+    assert(run(11) === a)
+    assert(a === refPpr((edges ++ edges.map(_.swap)).distinct,
+      Set("n1", "n2", "n3"), 3, 0.85))
+  }
+
   /** Naive reference LPA: most frequent in-neighbor label, ties smallest. */
   private def refLpa(edges: Seq[(String, String)], rounds: Int): Map[String, String] = {
     val e = edges.distinct
