@@ -1266,9 +1266,12 @@ object SparkEntry {
     //    + exact levenshtein verify, complete recall at maxDist (oracle:
     //    DuckDB brute-forces every pair) ──────────────────────────────────
     "q108_edit_distance" -> ((s, dir) => {
+      // customer names are UNIQUE strings (the operator contract: collapse
+      // exact duplicates first — part names are 64 values x hundreds of
+      // copies, whose quadratic dist-0 output measures nothing)
       Dedup.editDistancePairs(
-          T(s, dir, "part").select("p_partkey", "p_name"),
-          "p_partkey", "p_name", maxDist = 1)
+          T(s, dir, "customer").select("c_custkey", "c_name"),
+          "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
     // ── scale: ROLLUP revenue report — hierarchical grouping sets over a
@@ -1522,6 +1525,20 @@ object SparkEntry {
           .select(col("source_a"), col("source_b"),
             round(col("js"), 6).as("js"))
           .orderBy("source_a", "source_b")
+      }),
+      // q110 benches the PRODUCTION path (plain sums, like q101)
+      "q110_trustrank" -> ((s, dir) => {
+        val el = T(s, dir, "orders")
+          .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+        val seeds = T(s, dir, "customer")
+          .filter(col("c_nationkey") === 0)
+          .select(concat(lit("c"), col("c_custkey")).as("n"))
+        () => Graph.personalizedPageRank(Graph.bidirect(el, "a", "b"),
+            "src", "dst", seeds, "n", rounds = 3, damping = 0.85)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+          .orderBy("node")
       }),
       // q101 benches the PRODUCTION path: plain map-side-combined sums
       // (the src-sorted fold exists so the SQL oracle can replay rounds)
@@ -2475,10 +2492,10 @@ object SparkEntry {
         |WHERE levenshtein(i.c_name, h.c_name) <= 1
         |ORDER BY inc_id, hist_id""".stripMargin,
     "q108_edit_distance" ->
-      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        |  levenshtein(a.p_name, b.p_name) AS dist
-        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 1
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
     "q107_rollup" ->
       """WITH rev AS (

@@ -92,6 +92,34 @@ object Streaming {
         col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n")): _*)
   }
 
+  /** Stream–stream event-time INTERVAL join (attribution): every left
+    * event pairs with the right events sharing its key whose timestamp
+    * falls in [left.ts + lowerSec, left.ts + upperSec] — "clicks within
+    * 10 minutes of the impression". Both sides carry watermarks, and the
+    * time-range predicate bounds the join state Spark must hold (without
+    * it a stream–stream inner join buffers forever). Columns from each
+    * side are prefixed `l_`/`r_` (minus the join key). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      lowerSec: Long,
+      upperSec: Long,
+      watermark: String): DataFrame = {
+    require(lowerSec <= upperSec, s"need lowerSec <= upperSec, got [$lowerSec, $upperSec]")
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") + expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $upperSec SECONDS"))
+      .drop(s"r_$keyCol")
+      .withColumnRenamed(s"l_$keyCol", keyCol)
+  }
+
   /** Watermark-bounded exact dedup on a key (state evicted as time moves). */
   def dedupStream(events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)

@@ -119,6 +119,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd").select("id").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
   }
 
+  test("intervalJoin pairs right events inside the left event's window only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = Streaming.intervalJoin(
+      imps.toDF.toDF("user", "ts", "imp"),
+      clicks.toDF.toDF("user", "ts", "click"),
+      "user", "ts", lowerSec = 0, upperSec = 60, watermark = "10 seconds")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt_ivj_"))
+      .trigger(Trigger.AvailableNow())
+    imps.addData((1L, ts(0), "i1"), (2L, ts(0), "i2"))
+    clicks.addData(
+      (1L, ts(30), "c-in"),     // inside [0, 60]
+      (1L, ts(90), "c-late"),   // outside the window
+      (2L, ts(60), "c-edge"),   // inclusive upper bound
+      (3L, ts(10), "c-nokey"))  // no matching impression
+    q.start().awaitTermination()
+    val got = spark.table("ivj")
+      .select("user", "l_imp", "r_click")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "i1", "c-in"), (2L, "i2", "c-edge")))
+  }
+
   test("streaming sessionize closes sessions once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
