@@ -44,7 +44,7 @@ object Graph {
     * degree-joined edge frame (src-partitioned by the join, persisted for
     * the rounds), and the checkpointed node frame. */
   private def prepGraph(edges: DataFrame, srcCol: String, dstCol: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
@@ -53,8 +53,16 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    (e, eDeg, nodes)
+    (e, eDeg, nodes, nodes.count())
   }
+
+  /** Size-gated broadcast of a per-node state frame: post-checkpoint
+    * stats are unknown to Catalyst, so the gate is the DRIVER-known node
+    * count (the IVF-centroid idiom) — broadcast keeps every round's edge
+    * join shuffle-free while the state fits an executor; huge graphs fall
+    * back to the shuffled join. */
+  private def maybeBroadcast(state: DataFrame, nNodes: Long): DataFrame =
+    if (nNodes <= (1L << 22)) broadcast(state) else state
 
   /** PageRank, GraphX `staticPageRank` semantics: every node starts at
     * 1.0 and each round sets
@@ -71,11 +79,11 @@ object Graph {
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0,1], got $damping")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
-    val (e, eDeg, nodes) = prepGraph(edges, srcCol, dstCol)
+    val (e, eDeg, nodes, nNodes) = prepGraph(edges, srcCol, dstCol)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (r <- 1 to rounds) {
       val contribs = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(maybeBroadcast(ranks.withColumnRenamed("node", "src"), nNodes), "src")
         .select(col("dst").as("node"), col("src"),
           (col("rank") / col("deg")).as("c"))
       val summed =
@@ -118,7 +126,7 @@ object Graph {
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0,1], got $damping")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
-    val (e, eDeg, nodes) = prepGraph(edges, srcCol, dstCol)
+    val (e, eDeg, nodes, nNodes) = prepGraph(edges, srcCol, dstCol)
     val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
       .join(nodes, Seq("node"))
     val nSeeds = seedNodes.count()
@@ -130,7 +138,7 @@ object Graph {
     var ranks = based.select(col("node"), col("__t").as("rank"))
     for (r <- 1 to rounds) {
       val contribs = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(maybeBroadcast(ranks.withColumnRenamed("node", "src"), nNodes), "src")
         .select(col("dst").as("node"), col("src"),
           (col("rank") / col("deg")).as("c"))
       val summed =
