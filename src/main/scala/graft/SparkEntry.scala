@@ -1233,6 +1233,31 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: rolling 7-day distinct users via HLL register MERGE —
+    //    daily registers are the only state, window merge is max(M) per
+    //    (day, bucket) (oracle: DuckDB replays registers, fan-out, merge,
+    //    and the α·m²/Z estimate) ─────────────────────────────────────────
+    "q111_hll_rolling" -> ((s, dir) => {
+      Sketches.hllRollingDistinct(T(s, dir, "events"), "ts", "user_id",
+          m = 256, windowDays = 7)
+        .select(col("day"), round(col("est"), 6).as("est"))
+        .orderBy("day")
+    }),
+    // ── scale: cohort retention matrix — first-touch weekly cohorts ×
+    //    week offsets, integer-exact until one final division (oracle:
+    //    DuckDB replays first-touch, distinct activity, and the matrix) ───
+    "q112_cohort_retention" -> ((s, dir) => {
+      Analytics.cohortRetention(T(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    }),
+    // ── scale: ordered funnel — users reaching each step strictly after
+    //    their earliest prior-step completion (oracle: DuckDB replays the
+    //    chained min-time semantics) ─────────────────────────────────────
+    "q113_funnel" -> ((s, dir) => {
+      Analytics.funnel(T(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("step_idx")
+    }),
     // ── scale: TrustRank / personalized PageRank — trust propagation from
     //    a seed whitelist (nation-0 customers) over the same graph; rank =
     //    proximity to trusted nodes, unreachable components exactly 0
@@ -2483,6 +2508,60 @@ object SparkEntry {
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
     "q110_trustrank" -> pprOracleSql(rounds = 3, damping = 0.85),
+    "q111_hll_rolling" ->
+      s"""WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+         |           FROM events),
+         |h AS (SELECT day,
+         |        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT AS hv
+         |      FROM e),
+         |hb AS (SELECT day, hv & 255 AS bucket, hv >> 8 AS v FROM h),
+         |r AS (SELECT day, bucket, max(${hllRhoSql("v", 52)}) AS M
+         |      FROM hb GROUP BY 1, 2),
+         |c AS (SELECT day + CAST(i AS INTEGER) AS day, bucket, M
+         |      FROM r CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+         |mg AS (SELECT day, bucket, max(M) AS M FROM c GROUP BY 1, 2),
+         |pd AS (SELECT DISTINCT day FROM r),
+         |z AS (SELECT mg.day,
+         |        list_reduce(list(power(2.0, -M) ORDER BY bucket), (a, b) -> a + b)
+         |          + (256.0 - count(*)) AS z,
+         |        256.0 - count(*) AS v0
+         |      FROM mg JOIN pd ON mg.day = pd.day GROUP BY 1),
+         |x AS (SELECT day,
+         |        CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z <= 640.0
+         |               AND v0 > 0.0
+         |          THEN 256.0 * ln(256.0 / v0)
+         |          ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z END AS est
+         |      FROM z)
+         |SELECT day, round(est, 6) AS est FROM x ORDER BY day""".stripMargin,
+    "q112_cohort_retention" ->
+      """WITH fs AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |           FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |j AS (SELECT a.user_id, fs.cohort, a.week,
+        |        CAST(date_diff('day', fs.cohort, a.week) // 7 AS BIGINT) AS off
+        |      FROM act a JOIN fs USING (user_id)),
+        |cnt AS (SELECT cohort, off, count(*) AS n_active FROM j GROUP BY 1, 2),
+        |sz AS (SELECT cohort, count(*) AS n_cohort FROM fs GROUP BY 1)
+        |SELECT CAST(cohort AS DATE) AS cohort_week, off AS week_offset,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_cohort AS BIGINT) AS n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS pct
+        |FROM cnt JOIN sz USING (cohort)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q113_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT * FROM (VALUES
+        |  (0, 'view', (SELECT count(*) FROM s1)),
+        |  (1, 'click', (SELECT count(*) FROM s2)),
+        |  (2, 'purchase', (SELECT count(*) FROM s3))) AS t(step_idx, step, n_users)
+        |ORDER BY step_idx""".stripMargin,
     "q109_fuzzy_ingest" ->
       """WITH hist AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
         |inc AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1)

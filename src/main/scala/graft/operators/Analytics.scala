@@ -265,6 +265,66 @@ object Analytics {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Cohort retention matrix: users grouped by their FIRST-seen ISO week
+    * (the cohort), then for each later week offset k, the fraction of the
+    * cohort active in week cohort+k — the canonical product-analytics
+    * retention table, all integer arithmetic until one final division
+    * (deterministic, replayable). Returns
+    * (cohort_week, week_offset, n_active, n_cohort, pct).
+    *
+    * Plan: one user-keyed min aggregate (first touch), one distinct over
+    * (user, week) — both map-side combined — a user-keyed join, and a
+    * (cohort, offset) aggregate; cohort sizes are week-cardinality-small
+    * and join back size-gated. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = df.groupBy(col(userCol).as("__u"))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cohort"))
+    val active = df.select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).as("__week"))
+      .distinct()
+    val joined = active.join(firstSeen, Seq("__u"))
+      .withColumn("__off",
+        (datediff(col("__week"), col("__cohort")) / 7).cast("long"))
+    val counts = joined.groupBy(col("__cohort"), col("__off"))
+      .agg(count(lit(1)).as("n_active")) // (user, week) is distinct upstream
+    val sizes = firstSeen.groupBy("__cohort").agg(count(lit(1)).as("n_cohort"))
+    counts.join(Ops.broadcastIfSmall(sizes), Seq("__cohort"))
+      .select(col("__cohort").cast("date").as("cohort_week"),
+        col("__off").as("week_offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6).as("pct"))
+  }
+
+  /** Ordered funnel: how many users reach each step IN ORDER — step k
+    * counts users with an event of type `steps(k)` STRICTLY after their
+    * earliest completion time of step k−1 (min-time semantics, the
+    * standard open-window funnel). All integer/timestamp-exact. Returns
+    * (step_idx, step, n_users).
+    *
+    * Plan: one user-keyed min aggregate per step, each over the
+    * step-filtered stream (filters push to the scan); k user-keyed
+    * joins of user-cardinality frames. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val spark = df.sparkSession
+    var reached: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      val ev = df.filter(col(typeCol) === st)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+      reached = (
+        if (i == 0) ev.groupBy("__u").agg(min(col("__ts")).as("__t"))
+        else ev.join(reached.select(col("__u"), col("__t").as("__prev")), Seq("__u"))
+          .filter(col("__ts") > col("__prev"))
+          .groupBy("__u").agg(min(col("__ts")).as("__t"))
+        // user-sized, read twice (this count + the next step's join)
+        ).localCheckpoint(true)
+      val n = reached.count()
+      (i.toLong, st, n)
+    }
+    import spark.implicits._
+    counts.toDF("step_idx", "step", "n_users")
+  }
+
   /** EXACT order-statistic quantiles per group — the q-quantile is the
     * VALUE at ascending rank max(1, ⌈q·n_g⌉), no interpolation (an
     * element of the data, deterministic and replayable where

@@ -172,4 +172,30 @@ object Sketches {
           lit(m.toDouble) * log(lit(m.toDouble) / v0))
           .otherwise(rawE).as("est")): _*)
   }
+
+  /** Rolling-window distinct counts — "distinct users over the trailing
+    * `windowDays` days, every day" — via HLL register MERGE: daily
+    * registers build once (m rows per day, the only state the raw stream
+    * leaves behind), each day's registers fan out to the `windowDays`
+    * output days they cover, and the window merge is a plain
+    * `max(M)` per (day, bucket) — mergeability is the whole point: no
+    * day is ever re-scanned, and the same daily registers serve ANY
+    * window length. Only days that actually have events report.
+    * Returns (day, est). */
+  def hllRollingDistinct(df: DataFrame, tsCol: String, valueCol: String,
+      m: Int = 256, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daily = hllRegisters(
+      df.select(date_trunc("day", col(tsCol)).cast("date").as("__day"),
+        col(valueCol)),
+      Seq("__day"), valueCol, m)
+      .localCheckpoint(true) // days×m rows; read by contrib AND presentDays
+    val contrib = daily.select(
+      explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("day"),
+      col("bucket"), col("M"))
+    val merged = contrib.groupBy("day", "bucket").agg(max(col("M")).as("M"))
+    val present = daily.select(col("__day").as("day")).distinct()
+    hllEstimateFromRegisters(merged.join(present, Seq("day")), Seq("day"), m)
+  }
 }

@@ -183,6 +183,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getDouble(2) === 7.0)
   }
 
+  test("cohortRetention builds the week-offset matrix from first-touch cohorts") {
+    // week0 = Mon 2024-01-01, week1 = 2024-01-08, week3 = 2024-01-22
+    val rows = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00")), (3L, ts("2024-01-24 10:00:00")),
+      (3L, ts("2024-01-10 18:00:00"))) // same user+week dup collapses
+      .toDF("user_id", "ts2")
+    val out = Analytics.cohortRetention(rows, "user_id", "ts2")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(out === Set(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-08", 0L, 1L, 1L, 1.0),
+      ("2024-01-08", 2L, 1L, 1L, 1.0)))
+  }
+
+  test("funnel counts users completing steps strictly in order") {
+    val rows = Seq(
+      (1L, "view", ts("2024-01-01 00:00:01")),
+      (1L, "click", ts("2024-01-01 00:00:02")),
+      (1L, "purchase", ts("2024-01-01 00:00:03")),
+      (2L, "view", ts("2024-01-01 00:00:01")),
+      (2L, "click", ts("2024-01-01 00:00:01")), // not strictly after → out
+      (3L, "click", ts("2024-01-01 00:00:01")), // no view → never enters
+      (4L, "view", ts("2024-01-01 00:00:05")),
+      (4L, "click", ts("2024-01-01 00:00:04"))) // click before view → out
+      .toDF("user_id", "event_type", "ts2")
+    val out = Analytics.funnel(rows, "user_id", "ts2", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(out === List((0L, "view", 3L), (1L, "click", 1L), (2L, "purchase", 1L)))
+  }
+
   private def refQuantile(vals: Seq[Double], q: Double): Double = {
     val sorted = vals.sorted
     sorted((math.max(1L, math.ceil(q * vals.size).toLong) - 1).toInt)

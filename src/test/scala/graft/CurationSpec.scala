@@ -365,6 +365,34 @@ class CurationSpec extends SparkSpec {
     assert(out.toList === List((6L, 7L, 1.0)))
   }
 
+  // ── Rolling-window HLL ─────────────────────────────────────────────────
+
+  test("hllRollingDistinct: each day's merged estimate equals the one-shot window sketch") {
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(1700000000000L + day * 86400000L + i * 1000L)
+    // 12 days, varying distinct values per day, values recur across days
+    val rows = for (d <- 0 until 12; i <- 0 until (20 + 13 * (d % 4)))
+      yield (ts(d, i), s"user${(i * (d + 3)) % 150}")
+    val df = rows.toDF("ts3", "v")
+    val out = Sketches.hllRollingDistinct(df, "ts3", "v", m = 256, windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(out.size === 12) // every event day reports
+    // windowed one-shot sketch must match the merged registers BIT-FOR-BIT
+    val byDay = rows.groupBy(t => new java.sql.Date(t._1.getTime).toString)
+    val days = byDay.keys.toSeq.sorted
+    for ((day, idx) <- days.zipWithIndex) {
+      val windowDays = days.slice(math.max(0, idx - 6), idx + 1)
+      val windowVals = windowDays.flatMap(byDay(_)).map(_._2)
+      val oneShot = Sketches.hllEstimate(
+          windowVals.toDF("v"), Seq.empty, "v", m = 256)
+        .collect()(0).getDouble(0)
+      assert(out(day) === oneShot, s"day $day")
+      // sanity: estimate lands near the exact distinct count
+      val exact = windowVals.distinct.size.toDouble
+      assert(math.abs(out(day) - exact) / exact < 0.25, s"day $day accuracy")
+    }
+  }
+
   // ── Edit-distance pairs (PassJoin segment blocking) ────────────────────
 
   private def lev(a: String, b: String): Int = {
