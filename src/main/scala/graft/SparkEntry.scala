@@ -1233,6 +1233,14 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: user-journey transition matrix — consecutive event-type
+    //    pairs per user, row-normalized (oracle: DuckDB replays the keyed
+    //    lag window and the normalization) ─────────────────────────────────
+    "q114_transitions" -> ((s, dir) => {
+      Analytics.transitionMatrix(T(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
     // ── scale: rolling 7-day distinct users via HLL register MERGE —
     //    daily registers are the only state, window merge is max(M) per
     //    (day, bucket) (oracle: DuckDB replays registers, fan-out, merge,
@@ -2508,6 +2516,19 @@ object SparkEntry {
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
     "q110_trustrank" -> pprOracleSql(rounds = 3, damping = 0.85),
+    "q114_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q111_hll_rolling" ->
       s"""WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
          |           FROM events),

@@ -265,6 +265,28 @@ object Analytics {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** User-journey transition matrix: consecutive event-type pairs per key
+    * (ordered by ts, ties by `orderCol` — deterministic), counted and
+    * row-normalized — the Markov-chain view of behavior streams. Returns
+    * (from_type, to_type, n, p) with p = n / Σ_from rounded to 6.
+    *
+    * Plan: one keyed window (partitioned by the high-cardinality user
+    * key, never global), a (from, to) aggregate map-side combined, and a
+    * type-cardinality-small totals broadcast. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    val counts = df.select(col(keyCol), col(tsCol), col(typeCol), col(orderCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("__tot"))
+    counts.join(Ops.broadcastIfSmall(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+  }
+
   /** Cohort retention matrix: users grouped by their FIRST-seen ISO week
     * (the cohort), then for each later week offset k, the fraction of the
     * cohort active in week cohort+k — the canonical product-analytics

@@ -201,6 +201,26 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 2L, 1L, 1L, 1.0)))
   }
 
+  test("transitionMatrix counts consecutive pairs per user with normalized rows") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "a", 1L),
+      (1L, ts("2024-01-01 00:00:02"), "b", 2L),
+      (1L, ts("2024-01-01 00:00:03"), "a", 3L),
+      (2L, ts("2024-01-01 00:00:01"), "a", 4L),
+      (2L, ts("2024-01-01 00:00:02"), "b", 5L),
+      // same-ts tie broken by the order column: c before d
+      (3L, ts("2024-01-01 00:00:01"), "c", 6L),
+      (3L, ts("2024-01-01 00:00:01"), "d", 7L))
+      .toDF("user_id", "ts2", "t", "eid")
+    val out = Analytics.transitionMatrix(rows, "user_id", "ts2", "t", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      ("a", "b", 2L, 1.0),   // a→b twice, only outgoing from a... a→b 2 of 2
+      ("b", "a", 1L, 1.0),
+      ("c", "d", 1L, 1.0)))
+  }
+
   test("funnel counts users completing steps strictly in order") {
     val rows = Seq(
       (1L, "view", ts("2024-01-01 00:00:01")),
