@@ -1233,6 +1233,14 @@ object SparkEntry {
     // ── scale: per-group percentile-rank normalization — score → its
     //    percentile within its source (oracle: DuckDB row_number + count
     //    windows, (pos−1)/(n−1)) ──────────────────────────────────────────
+    // ── scale: ingest-volume anomaly monitor — daily counts vs trailing
+    //    discrete median, full flagged report (oracle: DuckDB replays the
+    //    count aggregate, the sorted window median, and the flags) ────────
+    "q115_volume_anomalies" -> ((s, dir) => {
+      Analytics.volumeAnomalies(T(s, dir, "events"), "ts", "event_type",
+          windowDays = 7)
+        .orderBy("event_type", "day")
+    }),
     // ── scale: user-journey transition matrix — consecutive event-type
     //    pairs per user, row-normalized (oracle: DuckDB replays the keyed
     //    lag window and the normalization) ─────────────────────────────────
@@ -2516,6 +2524,20 @@ object SparkEntry {
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
     "q110_trustrank" -> pprOracleSql(rounds = 3, damping = 0.85),
+    "q115_volume_anomalies" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |             event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT day, event_type, n,
+        |        list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |      FROM d),
+        |m AS (SELECT day, event_type, n, arr[(len(arr) + 1) // 2] AS med FROM w)
+        |SELECT day, event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(med AS BIGINT) AS med,
+        |  round(CAST(n AS DOUBLE) / med, 6) AS ratio,
+        |  (n > 2.0 * med OR n < 0.5 * med) AS is_anomaly
+        |FROM m ORDER BY event_type, day""".stripMargin,
     "q114_transitions" ->
       """WITH p AS (
         |  SELECT user_id, event_type,

@@ -265,6 +265,39 @@ object Analytics {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Ingest-volume anomaly monitor: daily event counts per group against
+    * the DISCRETE median of their trailing `windowDays` observed days —
+    * the pipeline-health check behind "did a source silently halve
+    * overnight?". Flags n > highRatio·med or n < lowRatio·med; emits the
+    * FULL report (day, group, n, med, ratio, is_anomaly) so quiet
+    * periods are auditable too. The median is the lower order statistic
+    * of the window (exact integers, replayable); ratio is one division.
+    *
+    * Plan: the corpus-scale work is ONE (day, group) count aggregate
+    * (map-side combined); the rolling window then runs over the
+    * days×groups frame, which is tiny at any corpus size. */
+  def volumeAnomalies(df: DataFrame, tsCol: String, groupCol: String,
+      windowDays: Int = 7, highRatio: Double = 2.0,
+      lowRatio: Double = 0.5): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daily = df.groupBy(
+        date_trunc("day", col(tsCol)).cast("date").as("day"),
+        col(groupCol))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("__arr", sort_array(collect_list(col("n")).over(w)))
+      .withColumn("med",
+        element_at(col("__arr"), expr("(size(__arr) + 1) div 2").cast("int")))
+      .withColumn("ratio", round(col("n").cast("double") / col("med"), 6))
+      .withColumn("is_anomaly",
+        col("n") > lit(highRatio) * col("med") ||
+          col("n") < lit(lowRatio) * col("med"))
+      .select(col("day"), col(groupCol), col("n"), col("med"),
+        col("ratio"), col("is_anomaly"))
+  }
+
   /** User-journey transition matrix: consecutive event-type pairs per key
     * (ordered by ts, ties by `orderCol` — deterministic), counted and
     * row-normalized — the Markov-chain view of behavior streams. Returns

@@ -201,6 +201,25 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 2L, 1L, 1L, 1.0)))
   }
 
+  test("volumeAnomalies flags spikes and drops against the trailing discrete median") {
+    def day(d: Int, i: Int) = ts(f"2024-01-${d}%02d 00:00:${i % 60}%02d")
+    // type "a": 10/day for 6 days, then a 30-event spike, then a 3-event drop
+    val a = (1 to 6).flatMap(d => (1 to 10).map(i => (day(d, i), "a"))) ++
+      (1 to 30).map(i => (day(7, i), "a")) ++
+      (1 to 3).map(i => (day(8, i), "a"))
+    // type "b": steady 5/day — never flagged
+    val b = (1 to 8).flatMap(d => (1 to 5).map(i => (day(d, i), "b")))
+    val out = Analytics.volumeAnomalies((a ++ b).toDF("ts2", "t"),
+        "ts2", "t", windowDays = 7)
+      .collect().map(r => ((r.getDate(0).toString, r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(out(("2024-01-07", "a")) === ((30L, 10L, true)))  // spike: 30 > 2*10
+    assert(out(("2024-01-08", "a")) === ((3L, 10L, true)))   // drop: 3 < 0.5*10
+    assert(out(("2024-01-06", "a"))._3 === false)
+    assert(out.filter(_._1._2 == "b").values.forall(!_._3))
+    assert(out.size === 16)
+  }
+
   test("transitionMatrix counts consecutive pairs per user with normalized rows") {
     val rows = Seq(
       (1L, ts("2024-01-01 00:00:01"), "a", 1L),
