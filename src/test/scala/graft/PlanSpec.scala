@@ -292,6 +292,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"quantile pick goes cartesian:\n$plan")
   }
 
+  test("cohortRetention: cohort-size join broadcasts, no cartesian") {
+    import graft.operators.Analytics
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = physical(Analytics.cohortRetention(ev, "user_id", "ts"))
+    assert(plan.contains("BroadcastHashJoin"), s"sizes not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cohort goes cartesian:\n$plan")
+  }
+
+  test("transitionMatrix: one keyed window, totals broadcast") {
+    import graft.operators.Analytics
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = physical(Analytics.transitionMatrix(ev, "user_id", "ts",
+      "event_type", "event_id"))
+    assert(plan.contains("BroadcastHashJoin"), s"totals not broadcast:\n$plan")
+    // the lag window must be keyed by user, never a global single partition
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(user_id"),
+      s"window not keyed by user:\n$plan")
+  }
+
   test("editDistancePairs: candidates equi-join on segment keys, never cartesian") {
     val parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .select("p_partkey", "p_name")
