@@ -1315,6 +1315,45 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: TPC-H Q3 shape (shipping priority) — selective dim filter
+    //    pushed to the scan, star join, top-10 by exact cents revenue
+    //    (oracle: DuckDB runs the same SQL) ────────────────────────────────
+    "q116_tpch_q3" -> ((s, dir) => {
+      val cutoff = "1998-06-01"
+      T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit(cutoff))
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit(cutoff))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * lit(100.0)).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue_cents"),
+          col("o_orderdate"), col("o_orderpriority"))
+    }),
+    // ── scale: TPC-H Q5 shape (local supplier volume) — six-way star join
+    //    where customer and supplier share a nation, revenue per nation in
+    //    exact cents (oracle: DuckDB runs the same SQL) ───────────────────
+    "q117_tpch_q5" -> ((s, dir) => {
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("2000-01-01"))
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * lit(100.0)).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
     // ── scale: ROLLUP revenue report — hierarchical grouping sets over a
     //    broadcast-dim star join; revenue in exact integer cents so the
     //    subtotal doubles are engine-independent (oracle: DuckDB GROUP BY
@@ -2619,6 +2658,34 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q116_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q117_tpch_q5" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "q107_rollup" ->
       """WITH rev AS (
         |  SELECT n_name, year(o_orderdate) AS o_year,
