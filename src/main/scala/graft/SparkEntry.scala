@@ -1315,6 +1315,21 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: pure-SQL pipeline through the registered native functions
+    //    (GraftExtensions) — the spark.sql entrypoint IS the product
+    //    surface too (oracle: DuckDB replays counts, shingles, and the
+    //    canonicalization) ────────────────────────────────────────────────
+    "q118_sql_pipeline" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      T(s, dir, "documents").createOrReplaceTempView("docs_v")
+      s.sql("""
+        SELECT doc_id,
+          text_counts(text).tokens AS n_tokens,
+          size(word_shingles(split(trim(lower(text)), '\\s+'), 3, true))
+            AS n_shingles,
+          md5(canonical_text(text)) AS fingerprint
+        FROM docs_v ORDER BY doc_id""")
+    }),
     // ── scale: TPC-H Q3 shape (shipping priority) — selective dim filter
     //    pushed to the scan, star join, top-10 by exact cents revenue
     //    (oracle: DuckDB runs the same SQL) ────────────────────────────────
@@ -2658,6 +2673,17 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q118_sql_pipeline" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |  (SELECT len($shingle3Sql) FROM
+         |    (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks))
+         |    AS n_shingles,
+         |  md5(regexp_replace(trim(
+         |    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+         |    '\\s+', ' ', 'g')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q116_tpch_q3" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0)
