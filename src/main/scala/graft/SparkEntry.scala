@@ -1315,6 +1315,18 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: exact weighted quantiles — "median document length BY
+    //    TOKEN MASS": the crossing row of the cumulative weight, range-
+    //    pruned (oracle: DuckDB replays the global cumsum and the
+    //    crossing condition) ─────────────────────────────────────────────
+    "q119_weighted_quantiles" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("double").as("score"),
+        TextAnalysis.tokenCount(col("text")).as("w"))
+      Sampling.weightedQuantiles(d, "doc_id", "score", "w",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+        .orderBy("q")
+    }),
     // ── scale: pure-SQL pipeline through the registered native functions
     //    (GraftExtensions) — the spark.sql entrypoint IS the product
     //    surface too (oracle: DuckDB replays counts, shingles, and the
@@ -2673,6 +2685,22 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q119_weighted_quantiles" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, score, w,
+        |        sum(w) OVER (ORDER BY score, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d),
+        |tot AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM d),
+        |qs AS (SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        |                          AS DOUBLE[])) AS q)
+        |SELECT q, score AS value, CAST(cum AS BIGINT) AS cum_weight
+        |FROM c CROSS JOIN tot CROSS JOIN qs
+        |WHERE cum >= q * tw AND (cum - w) < q * tw
+        |ORDER BY q""".stripMargin,
     "q118_sql_pipeline" ->
       s"""SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0

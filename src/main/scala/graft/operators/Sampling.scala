@@ -386,6 +386,75 @@ object Sampling {
       .drop("__rn", "__tau")
   }
 
+  /** EXACT weighted quantiles: the q-quantile is the score of the FIRST
+    * row (score asc, id asc) whose inclusive cumulative WEIGHT reaches
+    * q·W — "the median quality BY TOKEN MASS", which is what a corpus
+    * budget actually experiences (doc-count quantiles over-weight short
+    * docs). The crossing row is selected exactly: cum ≥ t AND
+    * cum − w < t (weights ≥ 0; zero-weight rows are never crossings).
+    * t = q·W is one double product and the comparisons promote exact
+    * integers, so external engines replay every pick. Returns
+    * (q, value, cum_weight).
+    *
+    * Scale shape — the [[selectByTokenBudget]] idiom: ONE range exchange
+    * by (score asc, id asc) with frozen boundaries, per-range weight
+    * sums to the driver, and only the ranges containing a crossing
+    * survive to the local-cumsum pass — ≤ |qs| ranges however large the
+    * corpus. */
+  def weightedQuantiles(df: DataFrame, idCol: String, scoreCol: String,
+      weightCol: String, qs: Seq[Double], partitions: Int = 0): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "qs must be non-empty quantiles in (0,1] (q=0 has no crossing row)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranked = df
+      .select(col(idCol), col(scoreCol), col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(p, col(scoreCol).asc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val sums = ranked.groupBy("__pid").agg(sum(col("__w")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (sums.isEmpty) return ranked
+      .select(lit(0.0).as("q"), col(scoreCol).as("value"),
+        lit(0L).as("cum_weight")).limit(0)
+    val total = sums.map(_._2).sum
+    require(total > 0L, "weightedQuantiles needs positive total weight")
+    val offsets = sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2).dropRight(1))
+    // each q's crossing lies in exactly ONE range: the first whose
+    // exclusive prefix is below t and whose inclusive prefix reaches it
+    // (a zero-weight range can never satisfy o < t <= o+s)
+    val targetRows = qs.map { q =>
+      val t = q * total
+      val (pid, off) = offsets.zip(sums.map(_._2))
+        .collectFirst { case ((pd, o), s) if o < t && o + s >= t => (pd, o) }.get
+      (pid, q, t, off)
+    }
+    val keepPids = targetRows.map(_._1).toSet
+    val targets = spark.createDataFrame(
+      spark.sparkContext.parallelize(targetRows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__tpid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__t",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))))
+    ranked.filter(col("__pid").isInCollection(keepPids))
+      .withColumn("__cum",
+        sum(col("__w")).over(Window.partitionBy("__pid")
+          .orderBy(col(scoreCol).asc, col(idCol).asc)) )
+      .join(broadcast(targets), col("__pid") === col("__tpid"))
+      .filter((col("__cum") + col("__off")) >= col("__t") &&
+        (col("__cum") + col("__off") - col("__w")) < col("__t"))
+      .select(col("q"), col(scoreCol).as("value"),
+        (col("__cum") + col("__off")).as("cum_weight"))
+  }
+
   /** Distributed global row-number: 1-based position of every row under
     * `sortCols` — the scalable form of `row_number() OVER (ORDER BY …)`,
     * which Spark executes as a ONE-partition window. Same idiom as

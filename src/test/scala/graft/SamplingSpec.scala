@@ -167,6 +167,43 @@ class SamplingSpec extends SparkSpec {
     assert(again === out.toSet)
   }
 
+  /** Reference weighted quantile: first row (score asc, id asc) whose
+    * inclusive cumulative weight reaches q·W. */
+  private def refWq(rows: Seq[(Long, Double, Long)], q: Double): (Double, Long) = {
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    val total = rows.map(_._3).sum
+    val t = q * total
+    var cum = 0L
+    for ((_, sc, w) <- sorted) {
+      cum += w
+      if (cum >= t && cum - w < t) return (sc, cum)
+    }
+    throw new IllegalStateException("no crossing")
+  }
+
+  test("weightedQuantiles picks the exact crossing row by cumulative weight") {
+    val rows = (1 to 500).map(i =>
+      (i.toLong, ((i * 7919) % 97).toDouble, (i % 13 + 1).toLong))
+    val df = rows.toDF("id", "score", "w")
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 1.0)
+    val out = Sampling.weightedQuantiles(df, "id", "score", "w", qs)
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet === qs.toSet)
+    qs.foreach(q => assert(out(q) === refWq(rows, q), s"q=$q"))
+    // zero-weight rows are never crossings; partition invariance
+    val withZeros = rows ++ Seq((9001L, 3.0, 0L), (9002L, 50.0, 0L))
+    val out2 = Sampling.weightedQuantiles(
+      withZeros.toDF("id", "score", "w").repartition(13),
+      "id", "score", "w", qs, partitions = 3)
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    qs.foreach(q => assert(out2(q) === refWq(rows, q), s"zeros q=$q"))
+    // weighted median differs from the doc-count median when mass skews
+    val skew = Seq((1L, 1.0, 1L), (2L, 2.0, 1L), (3L, 3.0, 100L))
+    val m = Sampling.weightedQuantiles(skew.toDF("id", "score", "w"),
+      "id", "score", "w", Seq(0.5)).collect()(0)
+    assert(m.getDouble(1) === 3.0) // the heavy row carries the median
+  }
+
   test("prioritySampleK: n <= k keeps everything with est_w = w; heavy row always wins") {
     val tiny = Seq((1L, 5L), (2L, 9L)).toDF("id", "w")
     val all = Sampling.prioritySampleK(tiny, "id", "w", k = 5)
