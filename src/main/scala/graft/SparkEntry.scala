@@ -1315,6 +1315,15 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: novelty scoring vs a reference corpus — fraction of each
+    //    doc's shingles unseen in the reference, decontaminate's scoring
+    //    twin (oracle: DuckDB replays shingles and the overlap ratio) ─────
+    "q120_novelty" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.noveltyScore(d.select("doc_id", "text"), "doc_id", "text",
+          d.filter(col("source") === "src0").select("text"), "text", ngram = 3)
+        .orderBy("doc_id")
+    }),
     // ── scale: exact weighted quantiles — "median document length BY
     //    TOKEN MASS": the crossing row of the cumulative weight, range-
     //    pruned (oracle: DuckDB replays the global cumsum and the
@@ -2685,6 +2694,20 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q120_novelty" ->
+      s"""WITH ref AS (SELECT DISTINCT unnest($shingle3Sql) AS rsh FROM
+         |  (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |   FROM documents WHERE source = 'src0')),
+         |ds AS (SELECT doc_id, unnest($shingle3Sql) AS sh FROM
+         |  (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |   FROM documents)),
+         |agg AS (SELECT ds.doc_id, count(*) AS n_shingles,
+         |          count(ref.rsh) AS n_known
+         |        FROM ds LEFT JOIN ref ON ds.sh = ref.rsh GROUP BY 1)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_known AS BIGINT) AS n_known,
+         |  round(1.0 - CAST(n_known AS DOUBLE) / n_shingles, 6) AS novelty
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q119_weighted_quantiles" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -527,6 +527,33 @@ object Dedup {
     corpus.join(Ops.broadcastIfSmall(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Per-document NOVELTY score against a reference corpus: the fraction
+    * of a doc's distinct n-gram shingles ABSENT from the reference —
+    * [[decontaminate]]'s scoring twin (curation FAVORS novel content
+    * where decontamination DROPS overlapping content; same machinery,
+    * opposite sign). novelty = 1 − |sh(doc) ∩ SH(ref)| / |sh(doc)| as
+    * one exact integer ratio. Returns (id, n_shingles, n_known, novelty).
+    *
+    * Plan: reference shingles collapse to a distinct vocabulary-like set
+    * (size-gated broadcast); the corpus shingle stream left-joins it and
+    * aggregates per doc map-side — one corpus-scale shuffle on the doc
+    * key. */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, ngram: Int = 3): DataFrame = {
+    val refSh = ref
+      .select(explode(shinglesOf(tokensCol(col(refTextCol)), ngram)).as("__sh"))
+      .distinct()
+      .withColumn("__known", lit(1L))
+    shingleRows(df, idCol, textCol, ngram)
+      .join(Ops.broadcastIfSmall(refSh), Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__known"), lit(0L))).as("n_known"))
+      .select(col(idCol), col("n_shingles"), col("n_known"),
+        round(lit(1.0) - col("n_known").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** Substring-level exact dedup: maximal token spans (≥ `minSpanTokens`)
     * duplicated ACROSS documents — the capability document-level dedup
     * misses (shared boilerplate/template spans inside otherwise-distinct

@@ -365,6 +365,22 @@ class CurationSpec extends SparkSpec {
     assert(out.toList === List((6L, 7L, 1.0)))
   }
 
+  // ── Novelty scoring ────────────────────────────────────────────────────
+
+  test("noveltyScore: exact overlap ratio against the reference shingle set") {
+    val ref = Seq("the quick brown fox jumps").toDF("text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),      // all 3 shingles known → 0.0
+      (2L, "the quick brown cat sleeps now"), // 1 of 4 known
+      (3L, "entirely novel content here")).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(docs, "doc_id", "text", ref, "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) === ((3L, 3L, 0.0)))
+    assert(out(2L) === ((4L, 1L, 0.75)))
+    assert(out(3L) === ((2L, 0L, 1.0))) // 4 tokens → two 3-shingles
+  }
+
   // ── Rolling-window HLL ─────────────────────────────────────────────────
 
   test("hllRollingDistinct: each day's merged estimate equals the one-shot window sketch") {
