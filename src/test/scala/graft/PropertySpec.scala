@@ -437,4 +437,56 @@ class RoundTripSpec extends SparkSpec {
       assert(got(id) === naiveBpeCount(t, merges), s"text='$t'")
     }
   }
+
+  // ── deletion-neighborhood completeness (the FastSS theorem behind
+  //    Dedup.editDistancePairs / FuzzyIndex candidate generation) ────────
+
+  private def delVariants(s: String, tau: Int): Set[String] = {
+    var cur = Set(s)
+    var all = Set(s)
+    for (_ <- 1 to tau) {
+      cur = cur.flatMap(x => x.indices.map(i => x.take(i) + x.drop(i + 1)))
+      all ++= cur
+    }
+    all
+  }
+
+  test("any pair within tau edits shares a <=tau-deletion variant (tau=1..3)") {
+    val strGen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val editGen = Gen.oneOf(0, 1, 2) // 0=sub, 1=ins, 2=del
+    for (tau <- 1 to 3) {
+      val opGen: Gen[(Int, Int, Char)] = for {
+        op <- editGen
+        p <- Gen.choose(0, 127)
+        ch <- Gen.oneOf('a', 'b', 'x')
+      } yield (op, p, ch)
+      val caseGen: Gen[(String, List[(Int, Int, Char)])] = for {
+        s <- strGen
+        k <- Gen.choose(0, tau)
+        ops <- Gen.listOfN(k, opGen)
+      } yield (s, ops)
+      (0 until 300).foreach { i =>
+        val (s, ops) = caseGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+        val t = ops.foldLeft(s) { case (cur, (op, pRaw, ch)) =>
+          op match {
+            case 0 if cur.nonEmpty =>
+              val p = pRaw % cur.length
+              cur.updated(p, ch)
+            case 1 =>
+              val p = pRaw % (cur.length + 1)
+              cur.take(p) + ch + cur.drop(p)
+            case 2 if cur.nonEmpty =>
+              val p = pRaw % cur.length
+              cur.take(p) + cur.drop(p + 1)
+            case _ => cur
+          }
+        }
+        assert(delVariants(s, tau).intersect(delVariants(t, tau)).nonEmpty,
+          s"tau=$tau s='$s' t='$t'")
+      }
+    }
+  }
 }
