@@ -1315,6 +1315,17 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: per-source weighted quantiles — each source's own
+    //    token-mass crossing rows (oracle: DuckDB replays the per-source
+    //    cumsum windows and crossing conditions) ──────────────────────────
+    "q121_group_weighted_quantiles" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("source"), col("doc_id"),
+        col("n_chars").cast("double").as("score"),
+        TextAnalysis.tokenCount(col("text")).as("w"))
+      Sampling.weightedQuantilesPerGroup(d, "source", "doc_id", "score", "w",
+          Seq(0.25, 0.5, 0.75))
+        .orderBy("source", "q")
+    }),
     // ── scale: novelty scoring vs a reference corpus — fraction of each
     //    doc's shingles unseen in the reference, decontaminate's scoring
     //    twin (oracle: DuckDB replays shingles and the overlap ratio) ─────
@@ -2694,6 +2705,21 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q121_group_weighted_quantiles" ->
+      """WITH d AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS w
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, score, w,
+        |        sum(w) OVER (PARTITION BY source ORDER BY score, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d),
+        |tot AS (SELECT source, CAST(sum(w) AS DOUBLE) AS tw FROM d GROUP BY 1),
+        |qs AS (SELECT unnest(CAST([0.25, 0.5, 0.75] AS DOUBLE[])) AS q)
+        |SELECT source, q, score AS value, CAST(cum AS BIGINT) AS cum_weight
+        |FROM c JOIN tot USING (source) CROSS JOIN qs
+        |WHERE cum >= q * tw AND (cum - w) < q * tw
+        |ORDER BY source, q""".stripMargin,
     "q120_novelty" ->
       s"""WITH ref AS (SELECT DISTINCT unnest($shingle3Sql) AS rsh FROM
          |  (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks

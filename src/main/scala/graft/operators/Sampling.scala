@@ -455,6 +455,75 @@ object Sampling {
         (col("__cum") + col("__off")).as("cum_weight"))
   }
 
+  /** [[weightedQuantiles]] per group: the crossing row of each group's
+    * own cumulative weight — "median length by token mass PER SOURCE".
+    * Same crossing semantics and replayability; the per-(range, group)
+    * machinery of the rank family, with only crossing ranges surviving
+    * (≤ groups×qs) and the same ≤100k-group contract. Groups with zero
+    * total weight emit no rows. Returns (group, q, value, cum_weight). */
+  def weightedQuantilesPerGroup(df: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, weightCol: String, qs: Seq[Double],
+      partitions: Int = 0): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "qs must be non-empty quantiles in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranked = df
+      .select(col(groupCol), col(idCol), col(scoreCol),
+        col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(p, col(groupCol).asc, col(scoreCol).asc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val sums = ranked.groupBy("__pid", groupCol).agg(sum(col("__w")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    require(sums.map(_._2).distinct.size <= 100000,
+      "weightedQuantilesPerGroup requires source/domain-like group " +
+        "cardinality (<= 100k groups)")
+    if (sums.isEmpty) return ranked
+      .select(col(groupCol), lit(0.0).as("q"), col(scoreCol).as("value"),
+        lit(0L).as("cum_weight")).limit(0)
+    val targetRows = sums.groupBy(_._2).iterator.flatMap { case (g, cs) =>
+      val sorted = cs.sortBy(_._1)
+      val total = sorted.map(_._3).sum
+      if (total <= 0L) Seq.empty
+      else {
+        val offsets = sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).dropRight(1))
+        qs.map { q =>
+          val t = q * total
+          val (pid, off) = offsets.zip(sorted.map(_._3))
+            .collectFirst { case ((pd, o), s) if o < t && o + s >= t => (pd, o) }.get
+          (pid, g, q, t, off)
+        }
+      }
+    }.toSeq
+    val keepPids = targetRows.map(_._1).toSet
+    val targets = spark.createDataFrame(
+      spark.sparkContext.parallelize(targetRows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__tpid",
+          org.apache.spark.sql.types.IntegerType),
+        ranked.schema(groupCol).copy(name = "__g"),
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__t",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))))
+    ranked.filter(col("__pid").isInCollection(keepPids))
+      .withColumn("__cum",
+        sum(col("__w")).over(Window.partitionBy(col("__pid"), col(groupCol))
+          .orderBy(col(scoreCol).asc, col(idCol).asc)))
+      .join(broadcast(targets),
+        col("__pid") === col("__tpid") && col(groupCol) === col("__g"))
+      .filter((col("__cum") + col("__off")) >= col("__t") &&
+        (col("__cum") + col("__off") - col("__w")) < col("__t"))
+      .select(col(groupCol), col("q"), col(scoreCol).as("value"),
+        (col("__cum") + col("__off")).as("cum_weight"))
+  }
+
   /** Distributed global row-number: 1-based position of every row under
     * `sortCols` — the scalable form of `row_number() OVER (ORDER BY …)`,
     * which Spark executes as a ONE-partition window. Same idiom as

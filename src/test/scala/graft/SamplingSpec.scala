@@ -204,6 +204,28 @@ class SamplingSpec extends SparkSpec {
     assert(m.getDouble(1) === 3.0) // the heavy row carries the median
   }
 
+  test("weightedQuantilesPerGroup matches the per-group reference; zero-weight group silent") {
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 3}", i.toLong, ((i * 7919) % 83).toDouble, (i % 11 + 1).toLong)) ++
+      Seq(("gz", 9001L, 1.0, 0L)) // zero-total group → no output rows
+    val df = rows.toDF("g", "id", "score", "w")
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val out = Sampling.weightedQuantilesPerGroup(df, "g", "id", "score", "w", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet === (for (g <- Seq("g0", "g1", "g2"); q <- qs) yield (g, q)).toSet)
+    for (g <- Seq("g0", "g1", "g2"); q <- qs) {
+      val grp = rows.filter(_._1 == g).map(r => (r._2, r._3, r._4))
+      assert(out((g, q)) === refWq(grp, q), s"$g q=$q")
+    }
+    // partition-invariant
+    val again = Sampling.weightedQuantilesPerGroup(
+      df.repartition(13), "g", "id", "score", "w", qs, partitions = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(again === out)
+  }
+
   test("prioritySampleK: n <= k keeps everything with est_w = w; heavy row always wins") {
     val tiny = Seq((1L, 5L), (2L, 9L)).toDF("id", "w")
     val all = Sampling.prioritySampleK(tiny, "id", "w", k = 5)
