@@ -1315,6 +1315,16 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: deterministic train/eval/test split — fold membership is a
+    //    pure function of the key hash, disjoint and exhaustive (oracle:
+    //    DuckDB replays the bucket thresholds) ─────────────────────────────
+    "q122_hash_split" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id")
+      Sampling.hashSplit(d, "doc_id", Seq(0.8, 0.1, 0.1)).zipWithIndex
+        .map { case (f, i) => f.withColumn("fold", lit(i)) }
+        .reduce(_ unionByName _)
+        .orderBy("doc_id")
+    }),
     // ── scale: per-source weighted quantiles — each source's own
     //    token-mass crossing rows (oracle: DuckDB replays the per-source
     //    cumsum windows and crossing conditions) ──────────────────────────
@@ -2705,6 +2715,13 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q122_hash_split" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN b < 800000 THEN 0 WHEN b < 900000 THEN 1 ELSE 2 END AS fold
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q121_group_weighted_quantiles" ->
       """WITH d AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
