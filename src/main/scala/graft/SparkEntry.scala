@@ -1315,6 +1315,15 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: corpus-level MinHash similarity matrix — estimated shingle
+    //    Jaccard of every source pair from lane-wise min agreement, the
+    //    sketch twin of q106 (oracle: DuckDB replays every lane min) ──────
+    "q123_source_minhash" -> ((s, dir) => {
+      Dedup.sourceMinhashSimilarity(
+          T(s, dir, "documents").select("source", "text"),
+          "source", "text", shingleSize = 3, lanes = 64)
+        .orderBy("source_a", "source_b")
+    }),
     // ── scale: deterministic train/eval/test split — fold membership is a
     //    pure function of the key hash, disjoint and exhaustive (oracle:
     //    DuckDB replays the bucket thresholds) ─────────────────────────────
@@ -2715,6 +2724,24 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q123_source_minhash" ->
+      s"""WITH sh AS (SELECT DISTINCT source, unnest($shingle3Sql) AS sh FROM
+         |  (SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |   FROM documents)),
+         |l AS (SELECT source, i AS lane, sh FROM sh
+         |      CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |h AS (SELECT source, lane,
+         |        ('0x' || substr(md5(lane::VARCHAR || ':' || sh), 1, 15))::UBIGINT
+         |          AS hv
+         |      FROM l),
+         |m AS (SELECT source, lane, min(hv) AS mn FROM h GROUP BY 1, 2),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS lane_matches
+         |      FROM m a JOIN m b ON a.lane = b.lane AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(lane_matches AS BIGINT) AS lane_matches,
+         |  round(CAST(lane_matches AS DOUBLE) / 64, 6) AS est_jaccard
+         |FROM p ORDER BY source_a, source_b""".stripMargin,
     "q122_hash_split" ->
       """WITH h AS (SELECT doc_id,
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b

@@ -527,6 +527,44 @@ object Dedup {
     corpus.join(Ops.broadcastIfSmall(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level MinHash similarity matrix: the estimated Jaccard of
+    * every source pair's SHINGLE VOCABULARIES from lane-wise minimum
+    * agreement — the sketch twin of [[Importance.sourceDivergence]]
+    * (divergence weighs frequencies; this estimates set overlap, and the
+    * per-(group, lane) mins are mergeable state a streaming ingest could
+    * keep). est_jaccard = matching lanes / lanes, the classic unbiased
+    * MinHash estimator. All integer mins (md5-60, lane-salted) — exact
+    * replay. Returns (source_a, source_b, lane_matches, est_jaccard).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (group, shingle)
+    * frame first (one shuffle); the lane fan-out runs on that
+    * vocabulary-sized frame, and the min aggregate is map-side combined
+    * down to groups×lanes rows — the pairwise join is tiny. */
+  def sourceMinhashSimilarity(df: DataFrame, groupCol: String,
+      textCol: String, shingleSize: Int = 3, lanes: Int = 64): DataFrame = {
+    require(lanes >= 1, s"lanes must be >= 1, got $lanes")
+    val sh = df.select(col(groupCol).as("__g"),
+        explode(shinglesOf(tokensCol(col(textCol)), shingleSize)).as("__sh"))
+      .distinct()
+    val mins = sh
+      .select(col("__g"), explode(sequence(lit(0), lit(lanes - 1))).as("__lane"),
+        col("__sh"))
+      .select(col("__g"), col("__lane"),
+        md5Hash60(concat(col("__lane").cast("string"), lit(":"), col("__sh")))
+          .as("__h"))
+      .groupBy("__g", "__lane").agg(min(col("__h")).as("__m"))
+    val a = mins.select(col("__g").as("source_a"), col("__lane"),
+      col("__m").as("__ma"))
+    val b = mins.select(col("__g").as("source_b"), col("__lane"),
+      col("__m").as("__mb"))
+    a.join(b, Seq("__lane")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(when(col("__ma") === col("__mb"), 1L).otherwise(0L))
+        .as("lane_matches"))
+      .select(col("source_a"), col("source_b"), col("lane_matches"),
+        round(col("lane_matches").cast("double") / lanes, 6).as("est_jaccard"))
+  }
+
   /** Per-document NOVELTY score against a reference corpus: the fraction
     * of a doc's distinct n-gram shingles ABSENT from the reference —
     * [[decontaminate]]'s scoring twin (curation FAVORS novel content

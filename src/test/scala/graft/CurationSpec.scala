@@ -365,6 +365,29 @@ class CurationSpec extends SparkSpec {
     assert(out.toList === List((6L, 7L, 1.0)))
   }
 
+  // ── Corpus-level MinHash similarity ────────────────────────────────────
+
+  test("sourceMinhashSimilarity: exact on identical/disjoint, close on overlap") {
+    def doc(words: Seq[String]) = words.sliding(5).map(_.mkString(" ")).toSeq
+    val vocabA = (1 to 120).map(i => s"wa$i")
+    val vocabC = (1 to 120).map(i => s"wc$i")
+    val mixed = vocabA.take(60) ++ vocabC.take(60)
+    val rows =
+      doc(vocabA).map(("s1", _)) ++ doc(vocabA).map(("s2", _)) ++ // identical
+      doc(vocabC).map(("s3", _)) ++                               // disjoint
+      doc(mixed).map(("s4", _))                                   // half-ish
+    val out = Dedup.sourceMinhashSimilarity(rows.toDF("source", "text"),
+        "source", "text", shingleSize = 3, lanes = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("s1", "s2")) === ((64L, 1.0)))   // identical vocab
+    assert(out(("s1", "s3"))._1 === 0L)          // disjoint vocab
+    // s1 vs s4 true shingle jaccard is roughly 1/3; the 64-lane estimate
+    // must land within the sketch's error band
+    val est = out(("s1", "s4"))._2
+    assert(est > 0.05 && est < 0.6, s"est=$est")
+  }
+
   // ── Novelty scoring ────────────────────────────────────────────────────
 
   test("noveltyScore: exact overlap ratio against the reference shingle set") {
