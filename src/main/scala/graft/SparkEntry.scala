@@ -1321,7 +1321,8 @@ object SparkEntry {
     "q123_source_minhash" -> ((s, dir) => {
       Dedup.sourceMinhashSimilarity(
           T(s, dir, "documents").select("source", "text"),
-          "source", "text", shingleSize = 3, lanes = 64)
+          "source", "text", shingleSize = 3, lanes = 64,
+          hashKind = "md5_60")
         .orderBy("source_a", "source_b")
     }),
     // ── scale: deterministic train/eval/test split — fold membership is a
@@ -1670,6 +1671,14 @@ object SparkEntry {
         () => Importance.sourceDivergence(d, "source", "text", alpha = 0.5)
           .select(col("source_a"), col("source_b"),
             round(col("js"), 6).as("js"))
+          .orderBy("source_a", "source_b")
+      }),
+      // q123 benches the PRODUCTION lane hash (xxhash64; md5 is the
+      // oracle-replay artifact — the q26/q36/q91 convention)
+      "q123_source_minhash" -> ((s, dir) => {
+        val d = T(s, dir, "documents").select("source", "text")
+        () => Dedup.sourceMinhashSimilarity(d, "source", "text",
+            shingleSize = 3, lanes = 64)
           .orderBy("source_a", "source_b")
       }),
       // q110 benches the PRODUCTION path (plain sums, like q101)

@@ -541,7 +541,8 @@ object Dedup {
     * vocabulary-sized frame, and the min aggregate is map-side combined
     * down to groups×lanes rows — the pairwise join is tiny. */
   def sourceMinhashSimilarity(df: DataFrame, groupCol: String,
-      textCol: String, shingleSize: Int = 3, lanes: Int = 64): DataFrame = {
+      textCol: String, shingleSize: Int = 3, lanes: Int = 64,
+      hashKind: String = "xxhash64"): DataFrame = {
     require(lanes >= 1, s"lanes must be >= 1, got $lanes")
     val sh = df.select(col(groupCol).as("__g"),
         explode(shinglesOf(tokensCol(col(textCol)), shingleSize)).as("__sh"))
@@ -549,9 +550,13 @@ object Dedup {
     val mins = sh
       .select(col("__g"), explode(sequence(lit(0), lit(lanes - 1))).as("__lane"),
         col("__sh"))
-      .select(col("__g"), col("__lane"),
-        md5Hash60(concat(col("__lane").cast("string"), lit(":"), col("__sh")))
-          .as("__h"))
+      .select(col("__g"), col("__lane"), {
+        // production lanes hash with codegen'd xxhash64; md5_60 exists so
+        // the SQL oracle replays every min (the family convention)
+        val salted = concat(col("__lane").cast("string"), lit(":"), col("__sh"))
+        (if (hashKind == "md5_60") md5Hash60(salted) else xxhash64(salted))
+          .as("__h")
+      })
       .groupBy("__g", "__lane").agg(min(col("__h")).as("__m"))
     val a = mins.select(col("__g").as("source_a"), col("__lane"),
       col("__m").as("__ma"))

@@ -376,16 +376,21 @@ class CurationSpec extends SparkSpec {
       doc(vocabA).map(("s1", _)) ++ doc(vocabA).map(("s2", _)) ++ // identical
       doc(vocabC).map(("s3", _)) ++                               // disjoint
       doc(mixed).map(("s4", _))                                   // half-ish
-    val out = Dedup.sourceMinhashSimilarity(rows.toDF("source", "text"),
-        "source", "text", shingleSize = 3, lanes = 64)
-      .collect().map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getDouble(3))).toMap
-    assert(out(("s1", "s2")) === ((64L, 1.0)))   // identical vocab
-    assert(out(("s1", "s3"))._1 === 0L)          // disjoint vocab
-    // s1 vs s4 true shingle jaccard is roughly 1/3; the 64-lane estimate
-    // must land within the sketch's error band
-    val est = out(("s1", "s4"))._2
-    assert(est > 0.05 && est < 0.6, s"est=$est")
+    // both lane hashes (production xxhash64, oracle-replay md5_60) must
+    // satisfy the sketch contract: exact on identical/disjoint vocabularies,
+    // within the 64-lane error band on partial overlap
+    for (kind <- Seq("xxhash64", "md5_60")) {
+      val out = Dedup.sourceMinhashSimilarity(rows.toDF("source", "text"),
+          "source", "text", shingleSize = 3, lanes = 64, hashKind = kind)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(out(("s1", "s2")) === ((64L, 1.0)), kind)   // identical vocab
+      assert(out(("s1", "s3"))._1 === 0L, kind)          // disjoint vocab
+      // s1 vs s4 true shingle jaccard is roughly 1/3; the 64-lane estimate
+      // must land within the sketch's error band
+      val est = out(("s1", "s4"))._2
+      assert(est > 0.05 && est < 0.6, s"kind=$kind est=$est")
+    }
   }
 
   // ── Novelty scoring ────────────────────────────────────────────────────
