@@ -1315,6 +1315,48 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: per-column table profile — null/distinct/min/max/avg-len
+    //    in ONE scan + single-row aggregate; exact distinct is the oracle
+    //    path, production folds HLL++ into the same pass (oracle: DuckDB
+    //    runs the per-column aggregates) ──────────────────────────────────
+    "q124_profile" -> ((s, dir) => {
+      Profiling.profileTable(T(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"), exactDistinct = true)
+        .orderBy("column")
+    }),
+    // ── scale: data-contract constraint suite — pk uniqueness, fk
+    //    coverage (key-only anti-joins, dim side broadcast), fused
+    //    same-scan range checks (oracle: DuckDB replays each check) ───────
+    "q125_quality_checks" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      val ev = T(s, dir, "events")
+      Profiling.checkConstraints(Seq(
+        Profiling.pkUniqueCheck("pk_orders_unique", o, Seq("o_orderkey")),
+        Profiling.pkUniqueCheck("pk_lineitem_unique", li,
+          Seq("l_orderkey", "l_linenumber")),
+        Profiling.fkCoveredCheck("fk_orders_custkey", o, "o_custkey",
+          T(s, dir, "customer"), "c_custkey"),
+        Profiling.fkCoveredCheck("fk_lineitem_orderkey", li, "l_orderkey",
+          o, "o_orderkey"),
+        Profiling.fkCoveredCheck("fk_lineitem_partkey", li, "l_partkey",
+          T(s, dir, "part"), "p_partkey")) ++
+        Profiling.predicateChecks(li, Seq(
+          "range_lineitem_quantity" ->
+            (col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+          "range_lineitem_discount" ->
+            (col("l_discount") >= 0.0 && col("l_discount") <= 0.1))) ++
+        Profiling.predicateChecks(ev, Seq(
+          // deliberately tight SLA bound — exercises a FAILING check
+          "range_events_value" ->
+            (col("value") >= 0.0 && col("value") <= 400.0))))
+    }),
+    // ── scale: shuffle-key skew diagnostic — top-k heaviest keys +
+    //    max/mean ratio, the input to the salt-or-broadcast decision
+    //    (oracle: DuckDB replays counts, ranks, and ratios) ───────────────
+    "q126_key_skew" -> ((s, dir) => {
+      Profiling.keySkewReport(T(s, dir, "lineitem"), "l_suppkey", k = 10)
+    }),
     // ── scale: corpus-level MinHash similarity matrix — estimated shingle
     //    Jaccard of every source pair from lane-wise min agreement, the
     //    sketch twin of q106 (oracle: DuckDB replays every lane min) ──────
@@ -1672,6 +1714,15 @@ object SparkEntry {
           .select(col("source_a"), col("source_b"),
             round(col("js"), 6).as("js"))
           .orderBy("source_a", "source_b")
+      }),
+      // q124 benches the PRODUCTION profile (HLL++ distinct folded into
+      // the single scan — no Expand; exact distinct is the oracle path)
+      "q124_profile" -> ((s, dir) => {
+        val o = T(s, dir, "orders")
+        () => Profiling.profileTable(o,
+            Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"), exactDistinct = false)
+          .orderBy("column")
       }),
       // q123 benches the PRODUCTION lane hash (xxhash64; md5 is the
       // oracle-replay artifact — the q26/q36/q91 convention)
@@ -2733,6 +2784,66 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q124_profile" ->
+      s"""${profileNumColSql("o_custkey")} UNION ALL
+         |${profileRenderColSql("o_orderdate")} UNION ALL
+         |${profileNumColSql("o_orderkey")} UNION ALL
+         |${profileStrColSql("o_orderpriority")} UNION ALL
+         |${profileStrColSql("o_orderstatus")} UNION ALL
+         |${profileNumColSql("o_totalprice")}
+         |ORDER BY "column"""".stripMargin,
+    "q125_quality_checks" ->
+      """WITH checks AS (
+        |  SELECT 'pk_orders_unique' AS check_name,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'pk_lineitem_unique',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'fk_orders_custkey', CAST(count(*) AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orderkey', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_partkey', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_partkey IS NULL AND l.l_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'range_lineitem_quantity', CAST(sum(CASE WHEN coalesce(
+        |    l_quantity >= 1.0 AND l_quantity <= 50.0, false) THEN 0 ELSE 1 END)
+        |    AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range_lineitem_discount', CAST(sum(CASE WHEN coalesce(
+        |    l_discount >= 0.0 AND l_discount <= 0.1, false) THEN 0 ELSE 1 END)
+        |    AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range_events_value', CAST(sum(CASE WHEN coalesce(
+        |    value >= 0.0 AND value <= 400.0, false) THEN 0 ELSE 1 END)
+        |    AS BIGINT)
+        |  FROM events)
+        |SELECT check_name, violations, violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
+    "q126_key_skew" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        max(cnt) AS max_cnt FROM c),
+        |t AS (SELECT key, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |      FROM c QUALIFY rank <= 10)
+        |SELECT rank, key, CAST(cnt AS BIGINT) AS cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share,
+        |  n_keys,
+        |  round(CAST(max_cnt AS DOUBLE) *
+        |    (CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)), 6) AS skew
+        |FROM t CROSS JOIN s ORDER BY rank""".stripMargin,
     "q123_source_minhash" ->
       s"""WITH sh AS (SELECT DISTINCT source, unnest($shingle3Sql) AS sh FROM
          |  (SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -3820,4 +3931,39 @@ object SparkEntry {
   /** Multi-probe buckets: the signature XOR each single bit. */
   private def lshProbeXorsSql: String =
     (0 until 8).map(p => s"xor(sig, ${1L << p})").mkString(", ")
+
+  // ── q124 profile oracle: one SELECT per column, UNION ALL'd.
+  //    Shared columns every branch must emit (names drive the driver's
+  //    sorted-column hash): column, n_rows, n_nulls, n_distinct,
+  //    min_num, max_num, min_str, max_str, avg_len.
+  private def profileNumColSql(c: String): String =
+    s"""SELECT '$c' AS "column", count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+       |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+       |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       |  CAST(NULL AS DOUBLE) AS avg_len
+       |FROM orders""".stripMargin
+
+  private def profileStrColSql(c: String): String =
+    s"""SELECT '$c' AS "column", count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str,
+       |  round(CAST(CAST(sum(length($c)) AS BIGINT) AS DOUBLE) /
+       |    CAST(count($c) AS DOUBLE), 6) AS avg_len
+       |FROM orders""".stripMargin
+
+  /** Non-numeric, non-string columns (timestamps): min/max render to
+    * string, no avg_len. */
+  private def profileRenderColSql(c: String): String =
+    s"""SELECT '$c' AS "column", count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str,
+       |  CAST(NULL AS DOUBLE) AS avg_len
+       |FROM orders""".stripMargin
 }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-profiling and data-quality diagnostics — the "look before you
+  * load" tier of a large-scale pipeline. Before 100 TB of parquet is
+  * joined, deduped, or trained on, three questions decide every
+  * downstream plan choice: what is IN each column (profile), does the
+  * data satisfy its contract (constraint checks), and how skewed are the
+  * keys about to be shuffled (skew report — the input to the
+  * salt-or-broadcast decision `Analytics.saltedJoin` implements).
+  *
+  * The reference pipeline (gluestick) has no profiling surface; its
+  * implicit contract checks live inside readers (catalog dtype coercion,
+  * reference/gluestick/reader.py:60-118) and snapshot key handling. Here
+  * they are first-class, scan-shaped operators:
+  *
+  *  - [[profileTable]]: ONE full scan, no shuffle except the final
+  *    single-row aggregate. Exact distinct counts expand the scan k-fold
+  *    (Spark's multi-count-distinct Expand) — that is the ORACLE path;
+  *    production passes `exactDistinct = false` and gets
+  *    approx_count_distinct (HLL++) folded into the same single pass.
+  *  - [[checkConstraints]]: each check is an aggregate or a key-only
+  *    anti-join; same-table range/null checks fuse into one scan.
+  *  - [[keySkewReport]]: groupBy count (map-side combined) +
+  *    TakeOrderedAndProject for the top-k — never a global sort.
+  */
+object Profiling {
+
+  /** Per-column profile of `cols`: row count, null count, distinct count,
+    * typed min/max (numeric → `min_num`/`max_num` rounded to 6, everything
+    * else rendered to string → `min_str`/`max_str`), and mean string
+    * length for string columns.
+    *
+    * One scan, one single-row aggregate, then a driver-side pivot of that
+    * row to long format (one output row per column — the pivot costs
+    * nothing at any scale). `exactDistinct = true` is the SQL-replayable
+    * gate path (COUNT(DISTINCT) per column — Spark plans one Expand over
+    * the scan, fine for an audit query); production uses HLL++
+    * approx_count_distinct, which keeps the whole profile a single
+    * map-side-combinable pass. */
+  def profileTable(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profileTable needs at least one column")
+    val schema = df.schema
+    def isNumeric(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__dist_$c"))
+      val minmax =
+        if (isNumeric(dt)) Seq(
+          round(min(col(c)).cast("double"), 6).as(s"__min_$c"),
+          round(max(col(c)).cast("double"), 6).as(s"__max_$c"))
+        else Seq(
+          min(col(c)).cast("string").as(s"__mins_$c"),
+          max(col(c)).cast("string").as(s"__maxs_$c"))
+      // mean length only where it means something (string columns);
+      // explicit sum/count division — both engines round the two casts and
+      // the one divide identically (IEEE, fixed parenthesization)
+      val len =
+        if (dt == StringType) Seq(
+          sum(length(col(c)).cast("long")).as(s"__lensum_$c"))
+        else Seq.empty
+      base ++ minmax ++ len
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      val dt = schema(c).dataType
+      val (minNum, maxNum, minStr, maxStr) =
+        if (isNumeric(dt))
+          (col(s"__min_$c"), col(s"__max_$c"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        else
+          (lit(null).cast("double"), lit(null).cast("double"),
+            col(s"__mins_$c"), col(s"__maxs_$c"))
+      val avgLen =
+        if (dt == StringType)
+          round(col(s"__lensum_$c").cast("double") /
+            (col("__n") - col(s"__nulls_$c")).cast("double"), 6)
+        else lit(null).cast("double")
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__dist_$c").cast("long").as("n_distinct"),
+        minNum.as("min_num"), maxNum.as("max_num"),
+        minStr.as("min_str"), maxStr.as("max_str"),
+        avgLen.as("avg_len"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  /** One data-quality check: a human-readable name plus a violation
+    * count already reduced to a single-row, single-`violations`-column
+    * frame. Compose with [[checkConstraints]]. */
+  final case class Check(name: String, violations: DataFrame)
+
+  /** Primary-key uniqueness: violations = surplus rows beyond one per
+    * distinct key tuple (0 ⇔ the key is unique). One aggregate, no join:
+    * count(*) − count(distinct key). */
+  def pkUniqueCheck(name: String, df: DataFrame, keyCols: Seq[String]): Check = {
+    require(keyCols.nonEmpty, "pkUniqueCheck needs at least one key column")
+    Check(name, df.agg(
+      (count(lit(1)) - countDistinct(col(keyCols.head), keyCols.tail.map(col): _*))
+        .as("violations")))
+  }
+
+  /** Referential integrity: child rows whose foreign key has no match in
+    * the parent's key column (NULL fks are not violations — SQL FK
+    * semantics). Key-only projections on both sides; the parent side
+    * dedupes to its key set, so a dimension parent broadcasts. */
+  def fkCoveredCheck(name: String, child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String): Check = {
+    val violations = child.select(col(fkCol)).filter(col(fkCol).isNotNull)
+      .join(Ops.broadcastIfSmall(parent.select(col(pkCol).as(fkCol)).distinct),
+        Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    Check(name, violations)
+  }
+
+  /** Fused same-scan predicate checks: each (name, mustHold) pair counts
+    * rows where the predicate is NOT satisfied (null predicate = failed —
+    * a range check over a NULL value is a violation, matching SQL CHECK
+    * semantics only loosely but making audits conservative). All checks
+    * ride ONE scan of `df` as conditional sums. */
+  def predicateChecks(df: DataFrame, checks: Seq[(String, Column)]): Seq[Check] = {
+    require(checks.nonEmpty, "predicateChecks needs at least one predicate")
+    val aggs = checks.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"__v_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    checks.zipWithIndex.map { case ((n, _), i) =>
+      Check(n, row.select(col(s"__v_$i").as("violations")))
+    }
+  }
+
+  /** Run a constraint suite: one output row per check —
+    * (check_name, violations, passed), ordered by check name. Each
+    * check's frame is single-row by construction, so the union is free. */
+  def checkConstraints(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "checkConstraints needs at least one check")
+    checks.map { c =>
+      c.violations.select(lit(c.name).as("check_name"),
+        col("violations").cast("long").as("violations"),
+        (col("violations") === 0L).as("passed"))
+    }.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  /** Shuffle-key skew diagnostic: the top-`k` heaviest values of
+    * `keyCol` with their row share, plus corpus-level constants — number
+    * of distinct keys, mean rows per key, and `skew` = max/mean ratio
+    * (1.0 = perfectly uniform; the salt-or-broadcast decision threshold).
+    *
+    * Shape: one groupBy count (map-side combined to one row per key),
+    * then a single-row stats aggregate over the counts frame and a
+    * TakeOrderedAndProject for the top-k — the counts frame is
+    * key-cardinality-sized and never globally sorted. All derived ratios
+    * are single-divide doubles over exact longs (cross-engine exact). */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // the counts frame feeds BOTH the top-k and the stats aggregate —
+    // checkpoint it so the corpus is scanned once, not per consumer
+    // (lazy: materializes inside the single action that runs the report)
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"),
+      max("cnt").as("max_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc)))
+    top.crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share"),
+        col("n_keys"),
+        round(col("max_cnt").cast("double") *
+          (col("n_keys").cast("double") / col("n_rows").cast("double")), 6)
+          .as("skew"))
+      .orderBy("rank")
+  }
+}

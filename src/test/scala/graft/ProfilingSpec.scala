@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Profiling
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // ── profileTable ─────────────────────────────────────────────────────
+
+  private lazy val mixed = Seq(
+    (1L, Some("aa"), Some(1.5)),
+    (2L, Some("bbbb"), Some(-2.0)),
+    (3L, None, Some(1.5)),
+    (4L, Some("aa"), None)).toDF("id", "s", "x")
+
+  test("profileTable: exact stats per column kind") {
+    val out = Profiling.profileTable(mixed, Seq("id", "s", "x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(1) === 4L)            // n_rows
+    assert(id.getLong(2) === 0L)            // n_nulls
+    assert(id.getLong(3) === 4L)            // n_distinct
+    assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 4.0)
+    assert(id.isNullAt(6) && id.isNullAt(7) && id.isNullAt(8))
+    val s = out("s")
+    assert(s.getLong(2) === 1L)             // one null
+    assert(s.getLong(3) === 2L)             // aa, bbbb
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getString(6) === "aa" && s.getString(7) === "bbbb")
+    assert(s.getDouble(8) === 2.666667)  // round(mean non-null len, 6)
+    val x = out("x")
+    assert(x.getLong(2) === 1L && x.getLong(3) === 2L)
+    assert(x.getDouble(4) === -2.0 && x.getDouble(5) === 1.5)
+  }
+
+  test("profileTable: production path (approx distinct) plans NO Expand") {
+    val exact = Profiling.profileTable(mixed, Seq("id", "s", "x"),
+      exactDistinct = true)
+    val approx = Profiling.profileTable(mixed, Seq("id", "s", "x"),
+      exactDistinct = false)
+    // the exact path pays the multi-count-distinct Expand (oracle only);
+    // the production profile must stay a single un-expanded pass
+    assert(planOf(exact).contains("Expand"))
+    assert(!planOf(approx).contains("Expand"),
+      s"approx profile should not Expand:\n${planOf(approx)}")
+    // approx distinct is still exact at these tiny cardinalities
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a === Map("id" -> 4L, "s" -> 2L, "x" -> 2L))
+  }
+
+  // ── constraint suite ─────────────────────────────────────────────────
+
+  test("checkConstraints: pk duplicates, fk orphans, and predicate nulls count") {
+    val child = Seq((1L, 10L), (1L, 10L), (2L, 99L), (3L, 0L))
+      .toDF("id", "fk")
+      .withColumn("fk", when(col("fk") === 0L, lit(null)).otherwise(col("fk")))
+    val parent = Seq(10L, 11L).toDF("pk")
+    val out = Profiling.checkConstraints(Seq(
+        Profiling.pkUniqueCheck("pk", child, Seq("id")),
+        Profiling.fkCoveredCheck("fk", child, "fk", parent, "pk")) ++
+        Profiling.predicateChecks(child, Seq(
+          "id_pos" -> (col("id") > 0L),
+          "fk_range" -> (col("fk") < 50L))))  // NULL fk -> violation
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out("pk") === ((1L, false)))       // one surplus duplicate row
+    assert(out("fk") === ((1L, false)))       // fk=99 orphan; NULL fk exempt
+    assert(out("id_pos") === ((0L, true)))
+    // fk=99 fails the range AND the NULL fk counts (conservative audit)
+    assert(out("fk_range") === ((2L, false)))
+  }
+
+  test("pkUniqueCheck: composite keys") {
+    val df = Seq((1L, 1), (1L, 2), (1L, 2)).toDF("a", "b")
+    val out = Profiling.checkConstraints(
+      Seq(Profiling.pkUniqueCheck("c", df, Seq("a", "b")))).collect()
+    assert(out.head.getLong(1) === 1L)
+  }
+
+  // ── key-skew report ──────────────────────────────────────────────────
+
+  test("keySkewReport: ranks, shares, and max/mean skew ratio") {
+    // key 7 -> 6 rows, key 1 -> 2, keys 2..4 -> 1 each; 10 rows, 5 keys
+    val df = (Seq.fill(6)(7) ++ Seq(1, 1, 2, 3, 4)).toDF("k")
+    val out = Profiling.keySkewReport(df.withColumn("k", col("k").cast("long")),
+        "k", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(out.length === 3)
+    assert(out(0)._1 === 1 && out(0)._2 === 7L && out(0)._3 === 6L)
+    assert(out(0)._4 === 0.545455)   // round(6/11, 6)
+    assert(out(0)._5 === 5L)
+    assert(out(0)._6 === 2.727273)   // round(6 * (5/11), 6)
+    assert(out(1)._2 === 1L && out(1)._3 === 2L)  // next heaviest
+    assert(out(2)._3 === 1L)                      // ties broken by key asc
+    assert(out(2)._2 === 2L)
+  }
+
+  test("keySkewReport: top-k is a heap (TakeOrderedAndProject), never a global sort") {
+    // needs more keys than k: a LocalRelation with maxRows <= k lets
+    // Catalyst eliminate the limit entirely (and with it the TakeOrdered)
+    val df = spark.range(1000).selectExpr("id % 100 AS k")
+    val plan = planOf(Profiling.keySkewReport(df.toDF(), "k", k = 5))
+    assert(plan.contains("TakeOrderedAndProject"), s"no heap top-k:\n$plan")
+  }
+}
