@@ -1315,6 +1315,18 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: Z-order (Morton) layout keys — interleaved-bit sort key
+    //    for multi-dimensional parquet min-max skipping (the OPTIMIZE
+    //    ZORDER idea); stats broadcast, key is a pure integer projection
+    //    (oracle: DuckDB replays buckets and the bit interleave) ──────────
+    "q127_zorder_key" -> ((s, dir) => {
+      Layout.zorderKey(T(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          Seq("l_partkey", "l_suppkey"), "zkey", bits = 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zkey"),
+          shiftright(col("zkey"), 24).as("zbucket"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // ── scale: per-column table profile — null/distinct/min/max/avg-len
     //    in ONE scan + single-row aggregate; exact distinct is the oracle
     //    path, production folds HLL++ into the same pass (oracle: DuckDB
@@ -2784,6 +2796,19 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q127_zorder_key" ->
+      s"""WITH s AS (SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+         |             min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+         |           FROM lineitem),
+         |b AS (SELECT l_orderkey, l_linenumber,
+         |        ((l_partkey - mn0) * 65536) // (mx0 - mn0 + 1) AS b0,
+         |        ((l_suppkey - mn1) * 65536) // (mx1 - mn1 + 1) AS b1
+         |      FROM lineitem CROSS JOIN s),
+         |z AS (SELECT l_orderkey, l_linenumber,
+         |        CAST(${zInterleaveSql(2, 16)} AS BIGINT) AS zkey
+         |      FROM b)
+         |SELECT l_orderkey, l_linenumber, zkey, zkey >> 24 AS zbucket
+         |FROM z ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q124_profile" ->
       s"""${profileNumColSql("o_custkey")} UNION ALL
          |${profileRenderColSql("o_orderdate")} UNION ALL
@@ -3931,6 +3956,12 @@ object SparkEntry {
   /** Multi-probe buckets: the signature XOR each single bit. */
   private def lshProbeXorsSql: String =
     (0 until 8).map(p => s"xor(sig, ${1L << p})").mkString(", ")
+
+  /** q127 Morton interleave as a SQL sum: column i's bucket bit b lands
+    * at position n·b + i (bit sets are disjoint, so + ≡ |). */
+  private def zInterleaveSql(n: Int, bits: Int): String =
+    (0 until bits).flatMap(b => (0 until n).map(i =>
+      s"(((b$i >> $b) & 1) << ${n * b + i})")).mkString(" + ")
 
   // ── q124 profile oracle: one SELECT per column, UNION ALL'd.
   //    Shared columns every branch must emit (names drive the driver's
