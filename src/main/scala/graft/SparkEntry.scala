@@ -1315,6 +1315,15 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: int8 embedding quantization — per-dim min-max codes (4×
+    //    ANN index memory cut) + reconstruction-MSE audit; stats are plan
+    //    literals, quantization is a pure projection (oracle: DuckDB
+    //    replays codes, dequantization, and the in-order error fold) ──────
+    "q128_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8Report(T(s, dir, "embeddings"), "vec_id",
+          "embedding")
+        .orderBy("vec_id")
+    }),
     // ── scale: Z-order (Morton) layout keys — interleaved-bit sort key
     //    for multi-dimensional parquet min-max skipping (the OPTIMIZE
     //    ZORDER idea); stats broadcast, key is a pure integer projection
@@ -2796,6 +2805,27 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q128_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, unnest(range(len(v))) AS dim, unnest(v) AS val
+        |      FROM e),
+        |s AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY 1),
+        |c AS (SELECT vec_id, dim, val, mn, mx - mn AS rg,
+        |        CASE WHEN mx = mn THEN 0 ELSE
+        |          LEAST(GREATEST(CAST(floor(((val - mn) *
+        |            CAST(255.0 AS DOUBLE)) / (mx - mn)) AS INT), 0), 255)
+        |        END AS code
+        |      FROM x JOIN s USING (dim)),
+        |d AS (SELECT vec_id, dim, val, code,
+        |        mn + (CAST(code AS DOUBLE) * rg) / CAST(255.0 AS DOUBLE) AS dq
+        |      FROM c),
+        |m AS (SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |        list_reduce(list((val - dq) * (val - dq) ORDER BY dim),
+        |          (a, b) -> a + b) AS sse
+        |      FROM d GROUP BY 1)
+        |SELECT vec_id, code_sum, round(sse / CAST(64.0 AS DOUBLE), 6) AS mse
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q127_zorder_key" ->
       s"""WITH s AS (SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
          |             min(l_suppkey) AS mn1, max(l_suppkey) AS mx1

@@ -779,4 +779,47 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  // ── int8 quantization ──────────────────────────────────────────────────
+
+  test("quantizeInt8: codes hit the exact min-max grid and clamp") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 10.0f, 5.0f)),
+      (1L, Array(1.0f, 20.0f, 5.0f)),
+      (2L, Array(0.5f, 15.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim0: [0,1] -> 0.0->0, 1.0->255, 0.5->floor(127.5)=127
+    // dim1: [10,20] -> 10->0, 20->255, 15->floor(127.5)=127
+    // dim2: constant -> always 0
+    assert(out(0L) === Seq(0, 0, 0))
+    assert(out(1L) === Seq(255, 255, 0))
+    assert(out(2L) === Seq(127, 127, 0))
+  }
+
+  test("quantizeInt8Report: mse bound and exact-on-grid reconstruction") {
+    // values exactly ON the 256-level grid reconstruct exactly: mse = 0
+    val grid = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(255.0f, 255.0f))).toDF("vec_id", "embedding")
+    val g = Similarity.quantizeInt8Report(grid, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g(0L) === ((0L, 0.0)))
+    assert(g(1L) === ((510L, 0.0)))
+    // off-grid: error per dim is bounded by one quantization step
+    val vecs = (0L to 20L).map(i =>
+      (i, Array((i * 0.37f) % 3.0f, (i * 1.13f) % 7.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8Report(vecs, "vec_id", "embedding").collect()
+    val stepSq = math.pow(7.0 / 255.0, 2)  // widest dim range / 255, squared
+    assert(rows.forall(_.getDouble(2) <= stepSq), "mse exceeds one step^2")
+  }
+
+  test("quantizeInt8: plan is a pure projection after the stats pass (no join)") {
+    val vecs = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"quantization must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+  }
 }
