@@ -1315,6 +1315,18 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: top principal component — power iteration over the
+    //    distributed covariance grid (chained generators, no self-join);
+    //    the d×d eigen-rounds are driver arithmetic in fixed index order
+    //    (oracle: DuckDB replays means, covariance, and 3 unrolled
+    //    matvec/normalize rounds bit-for-bit) ─────────────────────────────
+    "q129_top_pc" -> ((s, dir) => {
+      Training.topPrincipalComponent(T(s, dir, "embeddings"), "vec_id",
+          "embedding", rounds = 3, deterministic = true)
+        .select(col("dim"), round(col("pc1"), 6).as("pc1"),
+          round(col("eigenvalue"), 6).as("eigenvalue"))
+        .orderBy("dim")
+    }),
     // ── scale: int8 embedding quantization — per-dim min-max codes (4×
     //    ANN index memory cut) + reconstruction-MSE audit; stats are plan
     //    literals, quantization is a pure projection (oracle: DuckDB
@@ -1735,6 +1747,16 @@ object SparkEntry {
           .select(col("source_a"), col("source_b"),
             round(col("js"), 6).as("js"))
           .orderBy("source_a", "source_b")
+      }),
+      // q129 benches the PRODUCTION covariance path (plain sums; the
+      // id-sorted folds are the oracle-replay artifact — q96/q98 convention)
+      "q129_top_pc" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        () => Training.topPrincipalComponent(e, "vec_id", "embedding",
+            rounds = 3)
+          .select(col("dim"), round(col("pc1"), 6).as("pc1"),
+            round(col("eigenvalue"), 6).as("eigenvalue"))
+          .orderBy("dim")
       }),
       // q124 benches the PRODUCTION profile (HLL++ distinct folded into
       // the single scan — no Expand; exact distinct is the oracle path)
@@ -2805,6 +2827,32 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q129_top_pc" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |x AS (SELECT id, unnest(range(len(v))) AS d, unnest(v) AS val
+         |      FROM e),
+         |mu AS (SELECT d, list_reduce(list(val ORDER BY id), (a, b) -> a + b) /
+         |         CAST((SELECT count(*) FROM e) AS DOUBLE) AS m
+         |       FROM x GROUP BY d),
+         |c AS (SELECT id, d, val - m AS cv FROM x JOIN mu USING (d)),
+         |p AS (SELECT a.id AS id, a.d AS i, b.d AS j, a.cv * b.cv AS prod
+         |      FROM c a JOIN c b ON a.id = b.id),
+         |cov AS (SELECT i, j,
+         |          list_reduce(list(prod ORDER BY id), (a, b) -> a + b) /
+         |          CAST((SELECT count(*) FROM e) - 1 AS DOUBLE) AS cij
+         |        FROM p GROUP BY i, j),
+         |w1 AS (SELECT i AS d,
+         |         list_reduce(list(cij ORDER BY j), (a, b) -> a + b) AS w
+         |       FROM cov GROUP BY i),
+         |l1 AS (SELECT sqrt(list_reduce(list(w * w ORDER BY d),
+         |         (a, b) -> a + b)) AS l FROM w1),
+         |v1 AS (SELECT d, w / (SELECT l FROM l1) AS v FROM w1),
+         |${pcRoundSql(2)},
+         |${pcRoundSql(3)}
+         |SELECT d + 1 AS dim, round(v, 6) AS pc1,
+         |  round((SELECT l FROM l3), 6) AS eigenvalue
+         |FROM v3 ORDER BY dim""".stripMargin,
     "q128_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -3986,6 +4034,19 @@ object SparkEntry {
   /** Multi-probe buckets: the signature XOR each single bit. */
   private def lshProbeXorsSql: String =
     (0 until 8).map(p => s"xor(sig, ${1L << p})").mkString(", ")
+
+  /** q129 power-iteration round t: matvec against v(t−1) with a j-sorted
+    * fold, L2 norm with an i-sorted fold, normalize — each op mirrors the
+    * driver loop's fixed index order. */
+  private def pcRoundSql(t: Int): String = {
+    val prev = t - 1
+    s"""w$t AS (SELECT cov.i AS d,
+       |         list_reduce(list(cij * v ORDER BY j), (a, b) -> a + b) AS w
+       |       FROM cov JOIN v$prev ON cov.j = v$prev.d GROUP BY cov.i),
+       |l$t AS (SELECT sqrt(list_reduce(list(w * w ORDER BY d),
+       |         (a, b) -> a + b)) AS l FROM w$t),
+       |v$t AS (SELECT d, w / (SELECT l FROM l$t) AS v FROM w$t)""".stripMargin
+  }
 
   /** q127 Morton interleave as a SQL sum: column i's bucket bit b lands
     * at position n·b + i (bit sets are disjoint, so + ≡ |). */

@@ -177,6 +177,103 @@ object Training {
     }.toSeq.toDF("cluster", "dim", "value")
   }
 
+  /** Top principal component of an embedding column by power iteration —
+    * the direction of maximum corpus variance: the first step of
+    * embedding whitening/debiasing ("all-but-the-top"), drift detection
+    * between corpus snapshots, and a 1-D curriculum/diversity axis.
+    *
+    * Scale shape: the corpus-sized work is two aggregates — per-dim
+    * means (d rows) and the covariance outer-product grid (d² rows,
+    * built by CHAINED generators over each row's centered vector: no
+    * self-join, no slanted shuffle; the (i,j) aggregate map-side
+    * combines d² partials per task). Both collect to the driver under
+    * the d ≤ 512 driver-small contract (64-dim data → 4096 rows — the
+    * k-means/IVF round pattern), and the 3-round d×d eigen-iteration is
+    * driver arithmetic in fixed index order, bit-replayable by an
+    * external SQL engine.
+    *
+    * `deterministic = true` folds means and covariance id-sorted (the
+    * q96/q98 gate convention); production keeps plain sums. Returns
+    * (dim 1-based, pc1, eigenvalue) where eigenvalue is the final-round
+    * Rayleigh estimate ‖C·v‖. */
+  def topPrincipalComponent(df: DataFrame, idCol: String, vecCol: String,
+      rounds: Int = 3, deterministic: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    val e = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__x"))
+      .localCheckpoint(true)
+    val n = e.count()
+    require(n >= 2, s"need >= 2 vectors for a covariance, got $n")
+    val dims = e.select(size(col("__x"))).first().getInt(0)
+    require(dims <= 512,
+      s"d=$dims: the d^2 covariance collect is driver-small only to d=512")
+    val uns = e.select(col("__id"), posexplode(col("__x")).as(Seq("__d", "__v")))
+    val meanAgg =
+      if (deterministic)
+        uns.groupBy("__d")
+          .agg(sort_array(collect_list(struct(col("__id"), col("__v"))))
+            .as("__vs"))
+          .select(col("__d"),
+            (aggregate(col("__vs"), lit(0.0),
+              (acc, x) => acc + x.getField("__v")) / lit(n.toDouble)).as("__m"))
+      else
+        uns.groupBy("__d").agg((sum("__v") / lit(n.toDouble)).as("__m"))
+    val mu = meanAgg.collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    val muLit = typedLit(mu.toSeq)
+    val centered = e.select(col("__id"),
+      transform(col("__x"), (v, i) => v - element_at(muLit, i + 1)).as("__c"))
+    // outer-product grid by chained generators — d² rows per input row,
+    // no join anywhere
+    val prods = centered
+      .select(col("__id"), col("__c"),
+        posexplode(col("__c")).as(Seq("__i", "__ci")))
+      .select(col("__id"), col("__i"), col("__ci"),
+        posexplode(col("__c")).as(Seq("__j", "__cj")))
+      .select(col("__id"), col("__i"), col("__j"),
+        (col("__ci") * col("__cj")).as("__p"))
+    val covAgg =
+      if (deterministic)
+        prods.groupBy("__i", "__j")
+          .agg(sort_array(collect_list(struct(col("__id"), col("__p"))))
+            .as("__ps"))
+          .select(col("__i"), col("__j"),
+            (aggregate(col("__ps"), lit(0.0),
+              (acc, x) => acc + x.getField("__p")) / lit((n - 1).toDouble))
+              .as("__cv"))
+      else
+        prods.groupBy("__i", "__j")
+          .agg((sum("__p") / lit((n - 1).toDouble)).as("__cv"))
+    val cm = Array.ofDim[Double](dims, dims)
+    covAgg.collect().foreach(r => cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // power iteration on the driver — d×d, fixed index order (ascending
+    // j then ascending i), each step one IEEE op: SQL-replayable
+    val v = Array.fill(dims)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to rounds) {
+      val w = new Array[Double](dims)
+      var i = 0
+      while (i < dims) {
+        var s = 0.0
+        var j = 0
+        while (j < dims) { s += cm(i)(j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      var ss = 0.0
+      i = 0
+      while (i < dims) { ss += w(i) * w(i); i += 1 }
+      lambda = math.sqrt(ss)
+      require(lambda > 0.0, "zero covariance matrix — no principal direction")
+      i = 0
+      while (i < dims) { v(i) = w(i) / lambda; i += 1 }
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, d) => (d + 1, x, lambda) }.toSeq
+      .toDF("dim", "pc1", "eigenvalue")
+  }
+
   /** Score `df` with a trained weight table: per-doc σ(z) as a pure
     * projection — the ≤(B+1)-row weight frame collects to a dense array +
     * bias (bounded by design), and each doc folds its in-scan feature

@@ -309,6 +309,39 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out((1, 1)) - 100.05) < 1e-4)
   }
 
+  // ── top principal component ────────────────────────────────────────────
+
+  test("topPrincipalComponent: recovers the dominant axis and eigenvalue exactly") {
+    import graft.operators.Training
+    // points on the line (t, 2t), t = -5..5: rank-1 covariance
+    // C = [[11, 22], [22, 44]] -> eigenvector (1,2)/sqrt(5), lambda = 55
+    val df = (-5 to 5).map(i => (i.toLong + 5L, Seq(i.toFloat, 2.0f * i)))
+      .toDF("vec_id", "embedding")
+    val out = Training.topPrincipalComponent(df, "vec_id", "embedding",
+        rounds = 3, deterministic = true)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out(1)._1 - 1.0 / math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(out(2)._1 - 2.0 / math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(out(1)._2 - 55.0) < 1e-9)
+  }
+
+  test("topPrincipalComponent: deterministic mode is partition-invariant and ≈ plain") {
+    import graft.operators.Training
+    val df = (1 to 100).map(i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 3).toFloat, (i % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame, det: Boolean) =
+      Training.topPrincipalComponent(d, "vec_id", "embedding", rounds = 3,
+          deterministic = det)
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val a = run(df, det = true)
+    val b = run(df.repartition(7), det = true)
+    assert(a === b, "deterministic PC must be bit-identical under repartitioning")
+    val p = run(df, det = false)
+    assert(a.forall { case (d, (v, l)) =>
+      math.abs(v - p(d)._1) < 1e-9 && math.abs(l - p(d)._2) < 1e-9 })
+  }
+
   test("trainKMeans deterministic mode is bit-identical under repartitioning and ≈ plain avg") {
     import graft.operators.Training
     val df = (1 to 200).map(i =>
