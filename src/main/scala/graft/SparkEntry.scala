@@ -1315,6 +1315,17 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: per-source keyness — Dunning log-likelihood G² picks the
+    //    WORDS that make each source distinctive (divergence q106 says how
+    //    far; this says why); top-k rides the pruned per-group rank core
+    //    (oracle: DuckDB replays counts, expectations, ln terms, ranks) ───
+    "q130_source_keyness" -> ((s, dir) => {
+      Importance.sourceKeyness(T(s, dir, "documents").select("source", "text"),
+          "source", "text", topK = 5)
+        .select(col("source"), col("term"), round(col("g2"), 6).as("g2"),
+          col("rank"))
+        .orderBy("source", "rank")
+    }),
     // ── scale: top principal component — power iteration over the
     //    distributed covariance grid (chained generators, no self-join);
     //    the d×d eigen-rounds are driver arithmetic in fixed index order
@@ -2827,6 +2838,35 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q130_source_keyness" ->
+      """WITH tok AS (SELECT source,
+        |       unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |     FROM documents),
+        |counts AS (SELECT source, w, count(*) AS c FROM tok
+        |           WHERE w <> '' GROUP BY 1, 2),
+        |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS cg
+        |       FROM counts GROUP BY 1),
+        |wt AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM counts GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+        |s AS (SELECT source, w, c, cw,
+        |        CAST(c AS DOUBLE) AS a,
+        |        CAST(cw - c AS DOUBLE) AS b,
+        |        CAST(cg AS DOUBLE) AS cc,
+        |        CAST((SELECT n FROM nn) AS DOUBLE) AS nd
+        |      FROM counts JOIN gt USING (source) JOIN wt USING (w)),
+        |g AS (SELECT source, w AS term,
+        |        CAST(2.0 AS DOUBLE) *
+        |          ((a * ln(a / ((cc * (a + b)) / nd))) +
+        |           CASE WHEN cw = c THEN CAST(0.0 AS DOUBLE)
+        |                ELSE b * ln(b / (((nd - cc) * (a + b)) / nd)) END)
+        |          AS g2
+        |      FROM s WHERE (a * nd) > (cc * (a + b))),
+        |r AS (SELECT source, term, g2,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY g2 DESC, term) AS rank
+        |      FROM g QUALIFY rank <= 5)
+        |SELECT source, term, round(g2, 6) AS g2, rank
+        |FROM r ORDER BY source, rank""".stripMargin,
     "q129_top_pc" ->
       s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),

@@ -199,4 +199,53 @@ object Importance {
     else
       terms.groupBy("source_a", "source_b").agg(sum(col("__t")).as("js"))
   }
+
+  /** Distinctive vocabulary per source: Dunning log-likelihood keyness
+    * (G² = 2·(a·ln(a/E₁) + b·ln(b/E₂)) over the word's in-source count
+    * `a` vs its rest-of-corpus count `b`, expectations proportional to
+    * token mass) — [[sourceDivergence]] says HOW FAR two sources are,
+    * this says WHICH WORDS carry the difference. Only OVERREPRESENTED
+    * terms rank (observed > expected; G² is also large for conspicuously
+    * absent words, which is the wrong list for "what is this source
+    * about").
+    *
+    * Scale shape: one corpus scan to (source, word) counts
+    * (map-side-combined, checkpointed); source totals broadcast; word
+    * totals join word-keyed (vocab-sized both sides); the per-source
+    * top-k rides [[Sampling.topKPerGroup]]'s pruned range machinery —
+    * never a one-task-per-source window. All arithmetic is fixed-
+    * parenthesization doubles over exact counts; `ln` parity across
+    * engines is the q66/q83/q106 precedent. b = 0 terms contribute 0
+    * (the 0·ln 0 convention). */
+  def sourceKeyness(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df
+      .select(col(groupCol).as("__g"),
+        explode(Dedup.tokensCol(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__g", "__w").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val srcTotals = counts.groupBy("__g").agg(sum("__c").as("__cg"))
+    val wordTotals = counts.groupBy("__w").agg(sum("__c").as("__cw"))
+    val n = counts.agg(sum("__c")).first().getLong(0)
+    val nD = lit(n.toDouble)
+    val a = col("__c").cast("double")
+    val b = (col("__cw") - col("__c")).cast("double")
+    val cc = col("__cg").cast("double")
+    val d = nD - cc
+    val ab = a + b
+    val e1 = (cc * ab) / nD
+    val e2 = (d * ab) / nD
+    val t1 = a * log(a / e1)
+    val t2 = when(col("__cw") === col("__c"), lit(0.0))
+      .otherwise(b * log(b / e2))
+    val scored = counts
+      .join(Ops.broadcastIfSmall(srcTotals), Seq("__g"))
+      .join(wordTotals, Seq("__w"))
+      .filter((a * nD) > (cc * ab)) // overrepresented only
+      .select(col("__g").as("source"), col("__w").as("term"),
+        (lit(2.0) * (t1 + t2)).as("g2"))
+    Sampling.topKPerGroup(scored, "source", "term", "g2", topK)
+  }
 }

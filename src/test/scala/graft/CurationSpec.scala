@@ -426,6 +426,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ── Source keyness ─────────────────────────────────────────────────────
+
+  test("sourceKeyness: hand-computed G2, overrepresented-only, rank order") {
+    import graft.operators.Importance
+    val df = Seq(("A", "x x y"), ("B", "y z")).toDF("source", "text")
+    val out = Importance.sourceKeyness(df, "source", "text", topK = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // A: x -> a=2 cw=2 b=0 cc=3 N=5: G2 = 2*2*ln(2/1.2); y is UNDER its
+    // expectation (1 < 1.2) and must be excluded
+    assert(out.keySet === Set(("A", "x"), ("B", "y"), ("B", "z")))
+    assert(math.abs(out(("A", "x"))._1 - 4.0 * math.log(2.0 / 1.2)) < 1e-12)
+    // B: z (2*ln 2.5) outranks y (2*ln(1.25/1.2))
+    assert(math.abs(out(("B", "z"))._1 - 2.0 * math.log(1.0 / 0.4)) < 1e-12)
+    assert(out(("B", "z"))._2 === 1L && out(("B", "y"))._2 === 2L)
+  }
+
+  test("sourceKeyness: identical sources yield nothing (no term overrepresented)") {
+    import graft.operators.Importance
+    val df = Seq(("A", "x y z"), ("B", "x y z")).toDF("source", "text")
+    assert(Importance.sourceKeyness(df, "source", "text").count() === 0L)
+  }
+
   // ── Novelty scoring ────────────────────────────────────────────────────
 
   test("noveltyScore: exact overlap ratio against the reference shingle set") {
