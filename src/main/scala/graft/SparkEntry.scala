@@ -1315,6 +1315,24 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: MMR diverse top-k — relevant-but-not-redundant greedy
+    //    selection over the TakeOrdered candidate set (driver-small
+    //    greedy, the centroid contract); oracle: DuckDB replays candidate
+    //    pruning, pairwise cosines, and 10 unrolled greedy rounds ─────────
+    "q131_mmr_select" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble).toSeq
+      val withRel = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosine(col("embedding"), array(qv.map(lit): _*))
+            .as("rel"))
+      Ranking.mmrSelect(withRel, "vec_id", "embedding", "rel",
+          k = 10, lambda = 0.7, candidates = 50)
+        .select(col("rank"), col("id"), round(col("rel"), 6).as("rel"),
+          round(col("mmr"), 6).as("mmr"))
+        .orderBy("rank")
+    }),
     // ── scale: per-source keyness — Dunning log-likelihood G² picks the
     //    WORDS that make each source distinctive (divergence q106 says how
     //    far; this says why); top-k rides the pruned per-group rank core
@@ -2838,6 +2856,7 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q131_mmr_select" -> mmrOracleSql(k = 10, lambda = 0.7, candidates = 50),
     "q130_source_keyness" ->
       """WITH tok AS (SELECT source,
         |       unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -4074,6 +4093,51 @@ object SparkEntry {
   /** Multi-probe buckets: the signature XOR each single bit. */
   private def lshProbeXorsSql: String =
     (0 until 8).map(p => s"xor(sig, ${1L << p})").mkString(", ")
+
+  /** q131 MMR oracle: candidate pruning (rel desc, id), all pairwise
+    * cosines, then `k` unrolled greedy rounds — round 1's score is λ·rel
+    * (subtracting (1−λ)·0.0 is the identity in IEEE, matching the
+    * driver); later rounds join the selected set for the max-cosine
+    * penalty. λ and (1−λ) embed as exact Double.toString literals. */
+  private def mmrOracleSql(k: Int, lambda: Double, candidates: Int): String = {
+    val lam = lambda.toString
+    val oml = (1.0 - lambda).toString
+    val rounds = (2 to k).map { t =>
+      val p = t - 1
+      s"""m$t AS (SELECT c.id, c.rel, max(pc.cs) AS ms
+         |       FROM cand c JOIN pc ON pc.ia = c.id
+         |       JOIN sel$p s ON pc.ib = s.id
+         |       WHERE c.id NOT IN (SELECT id FROM sel$p)
+         |       GROUP BY c.id, c.rel),
+         |s$t AS (SELECT id, rel, score FROM (
+         |         SELECT id, rel,
+         |           (CAST($lam AS DOUBLE) * rel) -
+         |           (CAST($oml AS DOUBLE) * ms) AS score
+         |         FROM m$t)
+         |       QUALIFY row_number() OVER (ORDER BY score DESC, id) = 1),
+         |sel$t AS MATERIALIZED (SELECT id, rel, score, rank FROM sel$p UNION ALL
+         |          SELECT id, rel, score, $t AS rank FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |            WHERE vec_id = 0),
+       |cand0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+       |            list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.v)
+       |              AS rel
+       |          FROM embeddings, qv WHERE vec_id <> 0),
+       |cand AS MATERIALIZED (SELECT id, v, rel FROM cand0
+       |         QUALIFY row_number() OVER (ORDER BY rel DESC, id)
+       |           <= $candidates),
+       |pc AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+       |         list_cosine_similarity(a.v, b.v) AS cs
+       |       FROM cand a JOIN cand b ON a.id <> b.id),
+       |s1 AS (SELECT id, rel, CAST($lam AS DOUBLE) * rel AS score FROM cand
+       |       QUALIFY row_number()
+       |         OVER (ORDER BY CAST($lam AS DOUBLE) * rel DESC, id) = 1),
+       |sel1 AS MATERIALIZED (SELECT id, rel, score, 1 AS rank FROM s1),
+       |$rounds
+       |SELECT rank, id, round(rel, 6) AS rel, round(score, 6) AS mmr
+       |FROM sel$k ORDER BY rank""".stripMargin
+  }
 
   /** q129 power-iteration round t: matvec against v(t−1) with a j-sorted
     * fold, L2 norm with an i-sorted fold, normalize — each op mirrors the

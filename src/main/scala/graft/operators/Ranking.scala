@@ -165,4 +165,76 @@ object Ranking {
       idCol, "__cos", candidates, "rank_sem")
     rrfFuse(Seq(lex, sem), idCol, k0, topK)
   }
+
+  /** Maximal-marginal-relevance selection: greedily pick `k` rows that
+    * are RELEVANT but not redundant —
+    * score(i) = λ·rel(i) − (1−λ)·max_{s∈selected} cos(i, s) — the
+    * diversity step behind eval-set construction, few-shot example
+    * choice, and "top results without five near-identical docs".
+    *
+    * Scale shape: the corpus-sized work is ONE TakeOrderedAndProject
+    * pruning to the top `candidates` by relevance (ties → id); the
+    * greedy loop is inherently sequential, so it runs on the driver over
+    * that ≤1024-row candidate set (the centroid/eigen driver-small
+    * contract — a greedy argmax over the corpus itself would be k full
+    * scans for no recall gain: a low-relevance row never enters any
+    * MMR prefix). Cosines use dot/(√dot·√dot) with forward double
+    * accumulation, ties break to the smaller id — every step
+    * SQL-replayable. Returns (rank, id, rel, mmr) in selection order. */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String, relCol: String,
+      k: Int, lambda: Double, candidates: Int = 50): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    require(candidates <= 1024,
+      s"candidates=$candidates: the greedy loop is driver-small only to 1024")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = df.sparkSession
+    val cand = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        col(relCol).cast("double").as("__rel"))
+      .orderBy(col("__rel").desc, col("__id").asc)
+      .limit(candidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = cand.map { case (_, v, _) => math.sqrt(dot(v, v)) }
+    val n = cand.length
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val selIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val taken = new Array[Boolean](n)
+    for (_ <- 1 to math.min(k, n)) {
+      var bestI = -1
+      var bestScore = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          var maxSim = 0.0
+          var first = true
+          for (j <- selIdx) {
+            val c = dot(cand(i)._2, cand(j)._2) / (norms(i) * norms(j))
+            if (first || c > maxSim) { maxSim = c; first = false }
+          }
+          val score = lambda * cand(i)._3 - (1.0 - lambda) * maxSim
+          if (score > bestScore ||
+              (score == bestScore && cand(i)._1 < bestId)) {
+            bestScore = score; bestI = i; bestId = cand(i)._1
+          }
+        }
+        i += 1
+      }
+      taken(bestI) = true
+      selIdx += bestI
+      selected += ((cand(bestI)._1, cand(bestI)._3, bestScore))
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, s), r) => (r + 1L, id, rel, s) }
+      .toDF("rank", "id", "rel", "mmr")
+  }
 }

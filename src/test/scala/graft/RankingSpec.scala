@@ -102,4 +102,42 @@ class RankingSpec extends SparkSpec {
     assert(out.map(_._1) === List(1L, 2L, 3L))
     assert(out.map(_._2) === List(1, 2, 3))
   }
+
+  // ── MMR diverse selection ──────────────────────────────────────────────
+
+  private def mmrFrame = Seq(
+    // 1 and 2 are near-identical high-relevance vectors; 3 is orthogonal
+    // with lower relevance; 4 is low-relevance near-aligned filler
+    // (anti-aligned vectors would legitimately SCORE HIGH — the negative
+    // max-sim penalty rewards them, canonical MMR behavior)
+    (1L, Array(1.0f, 0.0f), 0.95),
+    (2L, Array(0.999f, 0.001f), 0.94),
+    (3L, Array(0.0f, 1.0f), 0.5),
+    (4L, Array(0.9f, 0.4f), 0.1)).toDF("id", "vec", "rel")
+
+  test("mmrSelect: skips the redundant near-duplicate of the top pick") {
+    val out = Ranking.mmrSelect(mmrFrame, "id", "vec", "rel", k = 2,
+        lambda = 0.5, candidates = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // rank 1 = id 1 (top relevance); rank 2 must be the ORTHOGONAL id 3
+    // (score 0.25 - 0) over the near-dup id 2 (0.47 - 0.5*~1.0 < 0)
+    assert(out.toList === List((1L, 1L), (2L, 3L)))
+  }
+
+  test("mmrSelect: lambda = 1 reduces to pure relevance ranking") {
+    val out = Ranking.mmrSelect(mmrFrame, "id", "vec", "rel", k = 3,
+        lambda = 1.0, candidates = 4)
+      .collect().map(r => r.getLong(1))
+    assert(out.toList === List(1L, 2L, 3L))
+  }
+
+  test("mmrSelect: exact score ties break to the smaller id") {
+    val tied = Seq(
+      (7L, Array(1.0f, 0.0f), 0.9),
+      (3L, Array(0.0f, 1.0f), 0.9)).toDF("id", "vec", "rel")
+    val out = Ranking.mmrSelect(tied, "id", "vec", "rel", k = 1,
+        lambda = 1.0, candidates = 2)
+      .collect().map(r => r.getLong(1))
+    assert(out.toList === List(3L))
+  }
 }
