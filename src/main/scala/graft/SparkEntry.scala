@@ -1315,6 +1315,33 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: two-sample KS drift — exact sup|F̂₁−F̂₂| between column
+    //    slices via per-distinct-value counts + distributed cumsum;
+    //    argmax is TakeOrdered(1) (oracle: DuckDB replays counts,
+    //    cumulative fractions, and the tie-broken argmax) ─────────────────
+    "q132_ks_drift" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val cutoff = lit("1995-06-01").cast("timestamp")
+      Profiling.ksDrift(
+          o.filter(col("o_orderdate") < cutoff),
+          o.filter(col("o_orderdate") >= cutoff),
+          "o_totalprice")
+        .select(round(col("d_stat"), 6).as("d_stat"), col("at_value"),
+          col("n1"), col("n2"))
+    }),
+    // ── scale: exact Pearson correlation matrix — integer-unit inputs
+    //    make all five sufficient statistics EXACT long sums (no fold
+    //    order anywhere); one scan, one row, pivoted to pairs (oracle:
+    //    DuckDB replays the sums and the fixed-paren r) ───────────────────
+    "q133_corr_matrix" -> ((s, dir) => {
+      Profiling.integerCorrelationMatrix(T(s, dir, "lineitem"), Seq(
+          "quantity" -> col("l_quantity").cast("long"),
+          "discount_bp" -> round(col("l_discount") * 100).cast("long"),
+          "price" -> round(col("l_extendedprice")).cast("long"),
+          "tax_bp" -> round(col("l_tax") * 100).cast("long")))
+        .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))
+        .orderBy("col_a", "col_b")
+    }),
     // ── scale: MMR diverse top-k — relevant-but-not-redundant greedy
     //    selection over the TakeOrdered candidate set (driver-small
     //    greedy, the centroid contract); oracle: DuckDB replays candidate
@@ -2856,6 +2883,30 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q132_ks_drift" ->
+      """WITH s AS (SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1995-06-01' THEN 1 ELSE 0 END
+        |      AS a
+        |  FROM orders),
+        |n AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |        CAST(sum(1 - a) AS BIGINT) AS n2 FROM s),
+        |c AS (SELECT v, CAST(sum(a) AS BIGINT) AS c1,
+        |        CAST(sum(1 - a) AS BIGINT) AS c2 FROM s GROUP BY 1),
+        |cum AS (SELECT v,
+        |          sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS k1,
+        |          sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS k2
+        |        FROM c),
+        |d AS (SELECT v,
+        |        abs(CAST(k1 AS DOUBLE) / CAST((SELECT n1 FROM n) AS DOUBLE) -
+        |            CAST(k2 AS DOUBLE) / CAST((SELECT n2 FROM n) AS DOUBLE))
+        |          AS diff
+        |      FROM cum)
+        |SELECT round(diff, 6) AS d_stat, v AS at_value,
+        |  (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2
+        |FROM d ORDER BY diff DESC, v LIMIT 1""".stripMargin,
+    "q133_corr_matrix" -> corrMatrixOracleSql,
     "q131_mmr_select" -> mmrOracleSql(k = 10, lambda = 0.7, candidates = 50),
     "q130_source_keyness" ->
       """WITH tok AS (SELECT source,
@@ -4093,6 +4144,41 @@ object SparkEntry {
   /** Multi-probe buckets: the signature XOR each single bit. */
   private def lshProbeXorsSql: String =
     (0 until 8).map(p => s"xor(sig, ${1L << p})").mkString(", ")
+
+  /** q133 correlation-matrix oracle: exact long sufficient statistics
+    * over integer-unit projections, then r at the operator's exact
+    * parenthesization — one row per column pair. */
+  private def corrMatrixOracleSql: String = {
+    val cols = Seq(
+      "quantity" -> "CAST(l_quantity AS BIGINT)",
+      "discount_bp" -> "CAST(round(l_discount * 100) AS BIGINT)",
+      "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+      "tax_bp" -> "CAST(round(l_tax * 100) AS BIGINT)")
+    val proj = cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val stats = (Seq("CAST(count(*) AS BIGINT) AS n") ++
+      cols.flatMap { case (n, _) =>
+        Seq(s"CAST(sum($n) AS BIGINT) AS s_$n",
+          s"CAST(sum($n * $n) AS BIGINT) AS q_$n")
+      } ++
+      cols.combinations(2).map { case Seq((na, _), (nb, _)) =>
+        s"CAST(sum($na * $nb) AS BIGINT) AS p_${na}_$nb"
+      }).mkString(",\n    ")
+    val rows = cols.combinations(2).map { case Seq((na, _), (nb, _)) =>
+      val r = s"((CAST(n AS DOUBLE) * CAST(p_${na}_$nb AS DOUBLE)) - " +
+        s"(CAST(s_$na AS DOUBLE) * CAST(s_$nb AS DOUBLE))) / " +
+        s"(sqrt((CAST(n AS DOUBLE) * CAST(q_$na AS DOUBLE)) - " +
+        s"(CAST(s_$na AS DOUBLE) * CAST(s_$na AS DOUBLE))) * " +
+        s"sqrt((CAST(n AS DOUBLE) * CAST(q_$nb AS DOUBLE)) - " +
+        s"(CAST(s_$nb AS DOUBLE) * CAST(s_$nb AS DOUBLE))))"
+      s"SELECT '$na' AS col_a, '$nb' AS col_b, round($r, 6) AS corr FROM a"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH src AS (SELECT $proj FROM lineitem),
+       |a AS (SELECT
+       |    $stats
+       |  FROM src)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 
   /** q131 MMR oracle: candidate pruning (rel desc, id), all pairwise
     * cosines, then `k` unrolled greedy rounds — round 1's score is λ·rel

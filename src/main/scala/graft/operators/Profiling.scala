@@ -154,6 +154,93 @@ object Profiling {
     }.reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic: D = max over observed
+    * values of |F̂_a(v) − F̂_b(v)| — distribution drift between two
+    * slices of the same column ("did this week's ingest change shape?").
+    * Exact, not a sketch: drift alarms page people.
+    *
+    * Scale shape: the corpus collapses to per-DISTINCT-VALUE counts in
+    * one map-side-combined aggregate; the cumulative pass runs on that
+    * value-cardinality-sized frame via range partitioning + per-range
+    * driver offsets (the distributed-cumsum idiom — never a single-task
+    * global window); the argmax is TakeOrdered(1). Ties on D break to
+    * the smallest value. Returns one row:
+    * (d_stat, at_value, n1, n2). */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    val tagged = a.select(col(valueCol).cast("double").as("__v"), lit(1L).as("__a"),
+        lit(0L).as("__b"))
+      .unionByName(b.select(col(valueCol).cast("double").as("__v"),
+        lit(0L).as("__a"), lit(1L).as("__b")))
+    val counts = tagged.groupBy("__v")
+      .agg(sum("__a").as("__c1"), sum("__b").as("__c2"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val parted = counts.repartitionByRange(p, col("__v").asc)
+      .sortWithinPartitions("__v")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val partials = parted.groupBy("__pid")
+      .agg(sum("__c1").as("__s1"), sum("__c2").as("__s2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n1 = partials.map(_._2).sum
+    val n2 = partials.map(_._3).sum
+    require(n1 > 0 && n2 > 0, s"both samples must be non-empty, got $n1/$n2")
+    val off1 = partials.map(_._1).zip(partials.scanLeft(0L)(_ + _._2).dropRight(1))
+    val off2 = partials.map(_._1).zip(partials.scanLeft(0L)(_ + _._3).dropRight(1))
+    import spark.implicits._
+    val offs = off1.zip(off2)
+      .map { case ((pid, o1), (_, o2)) => (pid, o1, o2) }.toSeq
+      .toDF("__opid", "__o1", "__o2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    parted.join(broadcast(offs), col("__pid") === col("__opid"))
+      .select(col("__v"),
+        (sum("__c1").over(w) + col("__o1")).as("__k1"),
+        (sum("__c2").over(w) + col("__o2")).as("__k2"))
+      .select(col("__v"),
+        abs(col("__k1").cast("double") / lit(n1.toDouble) -
+          col("__k2").cast("double") / lit(n2.toDouble)).as("__d"))
+      .orderBy(col("__d").desc, col("__v").asc).limit(1)
+      .select(col("__d").as("d_stat"), col("__v").as("at_value"),
+        lit(n1).as("n1"), lit(n2).as("n2"))
+  }
+
+  /** Exact Pearson correlation matrix over EXACT-INTEGER-valued column
+    * expressions (quantities, cents, basis points): all five sufficient
+    * statistics (Σx, Σy, Σxy, Σx², Σy²) are LONG sums — order-independent
+    * and engine-exact, so the correlation needs no sorted folds and no
+    * deterministic/production split; the final r computes in doubles at
+    * fixed parenthesization. One scan, one single-row aggregate, pivoted
+    * to (col_a, col_b) pairs. Contract: per-row |x| and the corpus sums
+    * must fit signed longs — at 100 TB row counts, scale the integer
+    * units (cents → dollars) or shard the sum. */
+  def integerCorrelationMatrix(df: DataFrame,
+      cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.flatMap { case (n, e) =>
+        Seq(sum(e).as(s"__s_$n"), sum(e * e).as(s"__q_$n"))
+      } ++
+      cols.combinations(2).map { case Seq((na, ea), (nb, eb)) =>
+        sum(ea * eb).as(s"__p_${na}_$nb")
+      }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.combinations(2).map { case Seq((na, _), (nb, _)) =>
+      val nD = col("__n").cast("double")
+      val sx = col(s"__s_$na").cast("double")
+      val sy = col(s"__s_$nb").cast("double")
+      val sxx = col(s"__q_$na").cast("double")
+      val syy = col(s"__q_$nb").cast("double")
+      val sxy = col(s"__p_${na}_$nb").cast("double")
+      val r = ((nD * sxy) - (sx * sy)) /
+        (sqrt((nD * sxx) - (sx * sx)) * sqrt((nD * syy) - (sy * sy)))
+      struct(lit(na).as("col_a"), lit(nb).as("col_b"), r.as("corr"))
+    }.toSeq
+    row.select(explode(array(pairs: _*)).as("p")).select("p.*")
+  }
+
   /** Shuffle-key skew diagnostic: the top-`k` heaviest values of
     * `keyCol` with their row share, plus corpus-level constants — number
     * of distinct keys, mean rows per key, and `skew` = max/mean ratio

@@ -100,6 +100,44 @@ class ProfilingSpec extends SparkSpec {
     assert(out(2)._2 === 2L)
   }
 
+  // ── KS drift ─────────────────────────────────────────────────────────
+
+  test("ksDrift: identical samples -> 0, disjoint -> 1, hand golden with tie-break") {
+    def f(xs: Seq[Double]) = xs.toDF("x")
+    val same = Profiling.ksDrift(f(Seq(1, 2, 3)), f(Seq(1, 2, 3)), "x").first()
+    assert(same.getDouble(0) === 0.0)
+    val disj = Profiling.ksDrift(f(Seq(1, 2)), f(Seq(5, 6)), "x").first()
+    assert(disj.getDouble(0) === 1.0 && disj.getDouble(1) === 2.0)
+    // a={1,2}, b={2,3}: |F1-F2| = 0.5 at v=1 and v=2 -> tie breaks to v=1
+    val g = Profiling.ksDrift(f(Seq(1, 2)), f(Seq(2, 3)), "x").first()
+    assert(g.getDouble(0) === 0.5 && g.getDouble(1) === 1.0)
+    assert(g.getLong(2) === 2L && g.getLong(3) === 2L)
+  }
+
+  test("ksDrift: partition-invariant (distributed cumsum exactness)") {
+    val a = (1 to 500).map(i => (i % 37).toDouble).toDF("x")
+    val b = (1 to 400).map(i => (i % 23).toDouble).toDF("x")
+    val r1 = Profiling.ksDrift(a, b, "x").first()
+    val r2 = Profiling.ksDrift(a.repartition(13), b.repartition(7), "x").first()
+    assert(r1.getDouble(0) === r2.getDouble(0))
+    assert(r1.getDouble(1) === r2.getDouble(1))
+  }
+
+  // ── exact correlation matrix ─────────────────────────────────────────
+
+  test("integerCorrelationMatrix: perfect, inverse, and hand-computed r") {
+    val df = Seq((1L, 2L, 5L), (2L, 4L, 4L), (3L, 6L, 3L), (4L, 8L, 1L))
+      .toDF("x", "y", "z")
+    val out = Profiling.integerCorrelationMatrix(df, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // y = 2x exactly; sqrt rounding leaves r one ulp shy of 1.0
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-15)
+    assert(math.abs(out(("x", "z")) + 0.9827076298239908) < 1e-12)
+    assert(out(("y", "z")) === out(("x", "z")))  // scaling invariance
+  }
+
   test("keySkewReport: top-k is a heap (TakeOrderedAndProject), never a global sort") {
     // needs more keys than k: a LocalRelation with maxRows <= k lets
     // Catalyst eliminate the limit entirely (and with it the TakeOrdered)
