@@ -1315,6 +1315,18 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: Benford first-digit audit — leading-digit distribution vs
+    //    log₁₀(1+1/d) with χ² drift score; digit extraction is integer-
+    //    exact, expectations embed as shared literals (oracle: DuckDB
+    //    replays digits, fractions, and the digit-sorted χ² fold) ─────────
+    "q134_benford" -> ((s, dir) => {
+      Profiling.benfordCheck(T(s, dir, "orders"), "o_totalprice")
+        .select(col("digit"), col("cnt"),
+          round(col("obs_frac"), 6).as("obs_frac"),
+          round(col("exp_frac"), 6).as("exp_frac"),
+          round(col("chi2"), 6).as("chi2"))
+        .orderBy("digit")
+    }),
     // ── scale: two-sample KS drift — exact sup|F̂₁−F̂₂| between column
     //    slices via per-distinct-value counts + distributed cumsum;
     //    argmax is TakeOrdered(1) (oracle: DuckDB replays counts,
@@ -2883,6 +2895,7 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q134_benford" -> benfordOracleSql,
     "q132_ks_drift" ->
       """WITH s AS (SELECT o_totalprice AS v,
         |    CASE WHEN o_orderdate < TIMESTAMP '1995-06-01' THEN 1 ELSE 0 END
@@ -4144,6 +4157,42 @@ object SparkEntry {
   /** Multi-probe buckets: the signature XOR each single bit. */
   private def lshProbeXorsSql: String =
     (0 until 8).map(p => s"xor(sig, ${1L << p})").mkString(", ")
+
+  /** q134 Benford oracle: integer-exact digit extraction, the SAME nine
+    * Double literals as the operator (embedded via toString), digit-
+    * sorted χ² fold. */
+  private def benfordOracleSql: String = {
+    val expCase = (1 to 9).map(d =>
+      s"WHEN $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH c0 AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR),
+       |              1, 1) AS INT) AS digit
+       |            FROM (SELECT o_totalprice AS v FROM orders)
+       |            WHERE v >= 1.0),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM c0 GROUP BY 1),
+       |spine AS (SELECT unnest(range(1, 10)) AS digit),
+       |f AS (SELECT spine.digit AS digit, coalesce(cnt, 0) AS cnt
+       |      FROM spine LEFT JOIN c USING (digit)),
+       |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM f),
+       |s AS (SELECT digit, cnt,
+       |        CAST(cnt AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)
+       |          AS obs_frac,
+       |        $expCase AS exp_frac
+       |      FROM f),
+       |p AS (SELECT digit, cnt, obs_frac, exp_frac,
+       |        ((CAST(cnt AS DOUBLE) -
+       |          (CAST((SELECT n FROM n) AS DOUBLE) * exp_frac)) *
+       |         (CAST(cnt AS DOUBLE) -
+       |          (CAST((SELECT n FROM n) AS DOUBLE) * exp_frac))) /
+       |        (CAST((SELECT n FROM n) AS DOUBLE) * exp_frac) AS part
+       |      FROM s),
+       |chi AS (SELECT list_reduce(list(part ORDER BY digit), (a, b) -> a + b)
+       |          AS chi2 FROM p)
+       |SELECT digit, cnt, round(obs_frac, 6) AS obs_frac,
+       |  round(exp_frac, 6) AS exp_frac,
+       |  round((SELECT chi2 FROM chi), 6) AS chi2
+       |FROM p ORDER BY digit""".stripMargin
+  }
 
   /** q133 correlation-matrix oracle: exact long sufficient statistics
     * over integer-unit projections, then r at the operator's exact

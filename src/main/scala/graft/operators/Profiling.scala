@@ -154,6 +154,49 @@ object Profiling {
     }.reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** Benford's-law first-digit audit of a positive numeric column
+    * (values ≥ 1): observed leading-digit fractions vs the Benford
+    * expectation log₁₀(1 + 1/d), with the χ² distance as the drift
+    * score — the classic fabricated-or-truncated-data tell for amounts
+    * and counts.
+    *
+    * The leading digit extracts INTEGER-exactly (floor → long → string →
+    * first char; BIGINT-to-string never goes scientific, unlike double
+    * formatting, so both engines agree on every value). The nine Benford
+    * expectations embed as the same Double literals on both sides, and
+    * the 9-term χ² folds digit-sorted. One corpus scan; everything after
+    * is a 9-row frame. */
+  def benfordCheck(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v") >= 1.0)
+      .select(substring(floor(col("__v")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val spine = (1 to 9).toDF("digit")
+    val full = spine.join(counts, Seq("digit"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .localCheckpoint(false)
+    val expLit = typedLit((1 to 9).map(d => math.log10(1.0 + 1.0 / d)))
+    val withN = full.crossJoin(broadcast(full.agg(sum("cnt").as("__n"))))
+    val cD = col("cnt").cast("double")
+    val nD = col("__n").cast("double")
+    val e = element_at(expLit, col("digit"))
+    val scored = withN.select(col("digit"), col("cnt"),
+      (cD / nD).as("obs_frac"), e.as("exp_frac"),
+      (((cD - (nD * e)) * (cD - (nD * e))) / (nD * e)).as("__part"))
+      .localCheckpoint(false)
+    val chi = scored.agg(
+      aggregate(sort_array(collect_list(struct(col("digit"), col("__part")))),
+        lit(0.0), (acc, x) => acc + x.getField("__part")).as("chi2"))
+    scored.crossJoin(broadcast(chi))
+      .select(col("digit"), col("cnt"), col("obs_frac"), col("exp_frac"),
+        col("chi2"))
+      .orderBy("digit")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: D = max over observed
     * values of |F̂_a(v) − F̂_b(v)| — distribution drift between two
     * slices of the same column ("did this week's ingest change shape?").

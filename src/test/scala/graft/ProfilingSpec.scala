@@ -123,6 +123,40 @@ class ProfilingSpec extends SparkSpec {
     assert(r1.getDouble(1) === r2.getDouble(1))
   }
 
+  // ── Benford audit ────────────────────────────────────────────────────
+
+  test("benfordCheck: exact digit counts, spine completeness, chi2 golden") {
+    // 19 -> 1, 2.5 -> 2, 200 -> 2, 0.5 filtered (< 1), 9.99 -> 9
+    val df = Seq(19.0, 2.5, 200.0, 0.5, 9.99).toDF("v")
+    val out = Profiling.benfordCheck(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === (1 to 9).toSet)          // full spine
+    assert(out(1)._1 === 1L && out(2)._1 === 2L && out(9)._1 === 1L)
+    assert(out(3)._1 === 0L)                       // absent digit present as 0
+    assert(out(1)._2 === 0.25)                     // 1 of 4 kept values
+    assert(math.abs(out(1)._3 - math.log10(2.0)) < 1e-15)
+    // chi2 equals the hand fold over the nine digit cells
+    val n = 4.0
+    val expChi = (1 to 9).map { d =>
+      val e = math.log10(1.0 + 1.0 / d)
+      val c = out(d)._1.toDouble
+      ((c - n * e) * (c - n * e)) / (n * e)
+    }.sum
+    assert(math.abs(out(5)._4 - expChi) < 1e-9)
+  }
+
+  test("benfordCheck: chi2 separates Benford data from single-digit data") {
+    // 2^k leading digits follow Benford (chi2 well inside the 8-dof band);
+    // a same-magnitude block (all leading digit 1) must score far higher
+    val benford = (0 until 64).map(k => math.pow(2.0, k)).toDF("v")
+    val chiB = Profiling.benfordCheck(benford, "v").first().getDouble(4)
+    assert(chiB < 8.0, s"chi2 too high for Benford data: $chiB")
+    val block = (1000 until 1064).map(_.toDouble).toDF("v")
+    val chiU = Profiling.benfordCheck(block, "v").first().getDouble(4)
+    assert(chiU > 100.0, s"single-digit data should blow up chi2: $chiU")
+  }
+
   // ── exact correlation matrix ─────────────────────────────────────────
 
   test("integerCorrelationMatrix: perfect, inverse, and hand-computed r") {
