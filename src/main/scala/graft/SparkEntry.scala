@@ -1315,6 +1315,18 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: co-occurrence mining — support/lift of parts sharing an
+    //    order, pairs generated IN-ROW from each basket's sorted item
+    //    array (no self-join); top-k by exact pair count (oracle: DuckDB
+    //    replays via the relational self-join formulation) ────────────────
+    "q135_co_occurrence" -> ((s, dir) => {
+      Analytics.coOccurrencePairs(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", topK = 20)
+        .select(col("item_a"), col("item_b"), col("cnt"),
+          round(col("support"), 6).as("support"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy(col("cnt").desc, col("item_a"), col("item_b"))
+    }),
     // ── scale: Benford first-digit audit — leading-digit distribution vs
     //    log₁₀(1+1/d) with χ² drift score; digit extraction is integer-
     //    exact, expectations embed as shared literals (oracle: DuckDB
@@ -2895,6 +2907,25 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q135_co_occurrence" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+        |i AS (SELECT it, CAST(count(*) AS BIGINT) AS ci FROM b GROUP BY 1),
+        |p AS (SELECT a.it AS item_a, b2.it AS item_b,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+        |      GROUP BY 1, 2),
+        |s AS (SELECT item_a, item_b, cnt,
+        |        CAST(cnt AS DOUBLE) / CAST((SELECT nb FROM n) AS DOUBLE)
+        |          AS support,
+        |        (CAST(cnt AS DOUBLE) * CAST((SELECT nb FROM n) AS DOUBLE)) /
+        |        (CAST(ia.ci AS DOUBLE) * CAST(ib.ci AS DOUBLE)) AS lift
+        |      FROM p JOIN i ia ON p.item_a = ia.it
+        |             JOIN i ib ON p.item_b = ib.it)
+        |SELECT item_a, item_b, cnt, round(support, 6) AS support,
+        |  round(lift, 6) AS lift
+        |FROM s ORDER BY cnt DESC, item_a, item_b LIMIT 20""".stripMargin,
     "q134_benford" -> benfordOracleSql,
     "q132_ks_drift" ->
       """WITH s AS (SELECT o_totalprice AS v,

@@ -497,4 +497,55 @@ object Analytics {
       .select(col(groupCol), col(idCol), col(scoreCol),
         col("med"), col("mad"), col("z"))
   }
+
+  /** Item co-occurrence mining ("parts ordered together"): support and
+    * lift of every item pair that shares a basket, top-k by pair count.
+    * The association-rule primitive behind related-content joins and
+    * template detection in event streams.
+    *
+    * Scale shape: NO self-join — each basket aggregates once to its
+    * sorted distinct item array (map-side combined), and pairs generate
+    * in-row from that array (baskets are small by nature; the pair count
+    * per basket is C(|basket|, 2), bounded by the basket-size contract,
+    * so output stays linear in baskets). Pair counts map-side combine;
+    * item supports join back item-keyed (item-cardinality-sized,
+    * broadcast-gated); top-k is TakeOrderedAndProject. Counts are exact
+    * longs; support = cnt/n_baskets and lift = (cnt·n)/(c_a·c_b) are
+    * single-expression doubles at fixed parenthesization. */
+  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+      topK: Int = 20, minCount: Long = 1L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val baskets = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__it"))
+      .groupBy("__b").agg(sort_array(collect_set(col("__it"))).as("__items"))
+      .localCheckpoint(false)
+    val nb = baskets.count()
+    require(nb > 0, "no baskets")
+    val itemCounts = baskets
+      .select(explode(col("__items")).as("__it"))
+      .groupBy("__it").agg(count(lit(1)).as("__ci"))
+    // in-row pair generation from the sorted array: for item i, pair with
+    // every later item (slice is 1-based; i is 0-based -> start i + 2)
+    val pairs = baskets.select(explode(flatten(
+        transform(col("__items"), (x, i) =>
+          transform(slice(col("__items"), i + lit(2), size(col("__items"))),
+            y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val nbD = lit(nb.toDouble)
+    pairs
+      .join(Ops.broadcastIfSmall(
+        itemCounts.select(col("__it").as("item_a"), col("__ci").as("__ca"))),
+        Seq("item_a"))
+      .join(Ops.broadcastIfSmall(
+        itemCounts.select(col("__it").as("item_b"), col("__ci").as("__cb"))),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("cnt"),
+        (col("cnt").cast("double") / nbD).as("support"),
+        ((col("cnt").cast("double") * nbD) /
+          (col("__ca").cast("double") * col("__cb").cast("double"))).as("lift"))
+      .orderBy(col("cnt").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topK)
+  }
 }

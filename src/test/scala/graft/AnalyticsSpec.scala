@@ -296,4 +296,34 @@ class AnalyticsSpec extends SparkSpec {
     val mad = refQuantile(a.map(v => math.abs(v._3 - med)), 0.5)
     assert(out.head._3 === ((1000.0 - med) * 0.6745) / mad)
   }
+
+  // ── co-occurrence mining ───────────────────────────────────────────────
+
+  test("coOccurrencePairs: hand golden with support and lift") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (1L, "b")).toDF("bk", "it")  // dup (1,b) must collapse
+    val out = Analytics.coOccurrencePairs(df, "bk", "it", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val (cab, sab, lab) = out(("a", "b"))
+    assert(cab === 2L)
+    assert(sab === 2.0 / 3.0)
+    assert(lab === (2.0 * 3.0) / (3.0 * 2.0))  // ca=3, cb=2, n=3
+    assert(out(("a", "c"))._1 === 1L && out(("b", "c"))._1 === 1L)
+  }
+
+  test("coOccurrencePairs: in-row generation equals the relational self-join") {
+    val df = (1 to 300).map(i => ((i % 40).toLong, s"it${(i * 7) % 23}"))
+      .toDF("bk", "it")
+    val inRow = Analytics.coOccurrencePairs(df, "bk", "it", topK = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = df.distinct()
+    val joined = b.as("x").join(b.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(inRow === joined)
+  }
 }
