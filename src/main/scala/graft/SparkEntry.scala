@@ -1315,6 +1315,20 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: snapshot profile diff — full-outer join of two table
+    //    profiles classifying every column added/removed/changed/
+    //    unchanged: the silent-upstream-drift audit (oracle: DuckDB
+    //    replays both profiles and the null-safe classification) ──────────
+    "q136_profile_diff" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val cutoff = lit("1995-06-01").cast("timestamp")
+      Profiling.profileDiff(
+          o.filter(col("o_orderdate") < cutoff),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          o,
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+          exactDistinct = true)
+    }),
     // ── scale: co-occurrence mining — support/lift of parts sharing an
     //    order, pairs generated IN-ROW from each basket's sorted item
     //    array (no self-join); top-k by exact pair count (oracle: DuckDB
@@ -2907,6 +2921,37 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q136_profile_diff" -> {
+      val fromA = "(SELECT * FROM orders WHERE o_orderdate < " +
+        "TIMESTAMP '1995-06-01')"
+      val pa = Seq(
+        profileNumColSql("o_orderkey", fromA, "_a"),
+        profileNumColSql("o_custkey", fromA, "_a"),
+        profileStrColSql("o_orderstatus", fromA, "_a"),
+        profileNumColSql("o_totalprice", fromA, "_a")).mkString(" UNION ALL\n")
+      val pb = Seq(
+        profileNumColSql("o_orderkey", "orders", "_b"),
+        profileNumColSql("o_custkey", "orders", "_b"),
+        profileNumColSql("o_totalprice", "orders", "_b"),
+        profileRenderColSql("o_orderdate", "orders", "_b"))
+        .mkString(" UNION ALL\n")
+      val eq = Seq("n_rows", "n_nulls", "n_distinct", "min_num", "max_num",
+        "min_str", "max_str", "avg_len")
+        .map(c => s"(${c}_a IS NOT DISTINCT FROM ${c}_b)").mkString(" AND ")
+      s"""WITH pa AS (
+         |$pa),
+         |pb AS (
+         |$pb)
+         |SELECT coalesce("column_a", "column_b") AS "column",
+         |  CASE WHEN "column_b" IS NULL THEN 'removed'
+         |       WHEN "column_a" IS NULL THEN 'added'
+         |       WHEN $eq THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  n_rows_a, n_rows_b, n_nulls_a, n_nulls_b,
+         |  n_distinct_a, n_distinct_b
+         |FROM pa FULL OUTER JOIN pb ON "column_a" = "column_b"
+         |ORDER BY "column"""".stripMargin
+    },
     "q135_co_occurrence" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |           FROM lineitem),
@@ -4328,34 +4373,37 @@ object SparkEntry {
   //    Shared columns every branch must emit (names drive the driver's
   //    sorted-column hash): column, n_rows, n_nulls, n_distinct,
   //    min_num, max_num, min_str, max_str, avg_len.
-  private def profileNumColSql(c: String): String =
-    s"""SELECT '$c' AS "column", count(*) AS n_rows,
-       |  count(*) - count($c) AS n_nulls,
-       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-       |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
-       |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
-       |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
-       |  CAST(NULL AS DOUBLE) AS avg_len
-       |FROM orders""".stripMargin
+  private def profileNumColSql(c: String, from: String = "orders",
+      suf: String = ""): String =
+    s"""SELECT '$c' AS "column$suf", count(*) AS n_rows$suf,
+       |  count(*) - count($c) AS n_nulls$suf,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct$suf,
+       |  round(CAST(min($c) AS DOUBLE), 6) AS min_num$suf,
+       |  round(CAST(max($c) AS DOUBLE), 6) AS max_num$suf,
+       |  CAST(NULL AS VARCHAR) AS min_str$suf, CAST(NULL AS VARCHAR) AS max_str$suf,
+       |  CAST(NULL AS DOUBLE) AS avg_len$suf
+       |FROM $from""".stripMargin
 
-  private def profileStrColSql(c: String): String =
-    s"""SELECT '$c' AS "column", count(*) AS n_rows,
-       |  count(*) - count($c) AS n_nulls,
-       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-       |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
-       |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str,
+  private def profileStrColSql(c: String, from: String = "orders",
+      suf: String = ""): String =
+    s"""SELECT '$c' AS "column$suf", count(*) AS n_rows$suf,
+       |  count(*) - count($c) AS n_nulls$suf,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct$suf,
+       |  CAST(NULL AS DOUBLE) AS min_num$suf, CAST(NULL AS DOUBLE) AS max_num$suf,
+       |  CAST(min($c) AS VARCHAR) AS min_str$suf, CAST(max($c) AS VARCHAR) AS max_str$suf,
        |  round(CAST(CAST(sum(length($c)) AS BIGINT) AS DOUBLE) /
-       |    CAST(count($c) AS DOUBLE), 6) AS avg_len
-       |FROM orders""".stripMargin
+       |    CAST(count($c) AS DOUBLE), 6) AS avg_len$suf
+       |FROM $from""".stripMargin
 
   /** Non-numeric, non-string columns (timestamps): min/max render to
     * string, no avg_len. */
-  private def profileRenderColSql(c: String): String =
-    s"""SELECT '$c' AS "column", count(*) AS n_rows,
-       |  count(*) - count($c) AS n_nulls,
-       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-       |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
-       |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str,
-       |  CAST(NULL AS DOUBLE) AS avg_len
-       |FROM orders""".stripMargin
+  private def profileRenderColSql(c: String, from: String = "orders",
+      suf: String = ""): String =
+    s"""SELECT '$c' AS "column$suf", count(*) AS n_rows$suf,
+       |  count(*) - count($c) AS n_nulls$suf,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct$suf,
+       |  CAST(NULL AS DOUBLE) AS min_num$suf, CAST(NULL AS DOUBLE) AS max_num$suf,
+       |  CAST(min($c) AS VARCHAR) AS min_str$suf, CAST(max($c) AS VARCHAR) AS max_str$suf,
+       |  CAST(NULL AS DOUBLE) AS avg_len$suf
+       |FROM $from""".stripMargin
 }

@@ -98,6 +98,44 @@ object Profiling {
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
 
+  /** Schema-and-distribution drift report between two snapshots of a
+    * table: full-outer-joins the two [[profileTable]] outputs on column
+    * name and classifies every column `added` / `removed` / `changed` /
+    * `unchanged` (null-safe equality across ALL profile stats — row
+    * count, nulls, distinct, typed min/max, avg length). The "what moved
+    * between yesterday's load and today's" audit that catches silent
+    * upstream schema changes before a 100 TB job does. Costs exactly the
+    * two single-scan profiles plus a column-count-sized join. */
+  def profileDiff(a: DataFrame, colsA: Seq[String],
+      b: DataFrame, colsB: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    def side(df: DataFrame, cols: Seq[String], suf: String) =
+      profileTable(df, cols, exactDistinct).select(
+        col("column"),
+        col("n_rows").as(s"n_rows$suf"), col("n_nulls").as(s"n_nulls$suf"),
+        col("n_distinct").as(s"n_distinct$suf"),
+        col("min_num").as(s"__mn$suf"), col("max_num").as(s"__mx$suf"),
+        col("min_str").as(s"__ms$suf"), col("max_str").as(s"__mxs$suf"),
+        col("avg_len").as(s"__al$suf"))
+    val pa = side(a, colsA, "_a")
+    val pb = side(b, colsB, "_b")
+    val statsEqual = Seq("n_rows", "n_nulls", "n_distinct")
+      .map(c => col(s"${c}_a") <=> col(s"${c}_b"))
+      .++(Seq("__mn", "__mx", "__ms", "__mxs", "__al")
+        .map(c => col(s"${c}_a") <=> col(s"${c}_b")))
+      .reduce(_ && _)
+    pa.join(pb, Seq("column"), "full_outer")
+      .select(col("column"),
+        when(col("n_rows_b").isNull, lit("removed"))
+          .when(col("n_rows_a").isNull, lit("added"))
+          .when(statsEqual, lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("n_rows_a"), col("n_rows_b"),
+        col("n_nulls_a"), col("n_nulls_b"),
+        col("n_distinct_a"), col("n_distinct_b"))
+      .orderBy("column")
+  }
+
   /** One data-quality check: a human-readable name plus a violation
     * count already reduced to a single-row, single-`violations`-column
     * frame. Compose with [[checkConstraints]]. */

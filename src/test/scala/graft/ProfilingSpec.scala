@@ -52,6 +52,16 @@ class ProfilingSpec extends SparkSpec {
     assert(a === Map("id" -> 4L, "s" -> 2L, "x" -> 2L))
   }
 
+  test("profileDiff: added/removed/changed/unchanged classification") {
+    val a = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v")
+    val b = Seq((1L, "p", 1.5), (2L, "q", 9.0)).toDF("id", "t", "v")
+    val out = Profiling.profileDiff(a, Seq("id", "s", "v"),
+        b, Seq("id", "t", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("id" -> "unchanged", "s" -> "removed",
+      "t" -> "added", "v" -> "changed"))
+  }
+
   // ── constraint suite ─────────────────────────────────────────────────
 
   test("checkConstraints: pk duplicates, fk orphans, and predicate nulls count") {
