@@ -1315,6 +1315,15 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: equi-width histogram — bins over broadcast min/max, bin id
+    //    a pure fixed-paren projection, spine keeps empty bins (oracle:
+    //    DuckDB replays stats, bins, edges, and counts) ────────────────────
+    "q137_histogram" -> ((s, dir) => {
+      Profiling.histogram(T(s, dir, "lineitem"), "l_extendedprice", bins = 20)
+        .select(col("bin"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("cnt"))
+        .orderBy("bin")
+    }),
     // ── scale: snapshot profile diff — full-outer join of two table
     //    profiles classifying every column added/removed/changed/
     //    unchanged: the silent-upstream-drift audit (oracle: DuckDB
@@ -2921,6 +2930,24 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q137_histogram" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT min(x) AS mn, max(x) AS mx FROM v),
+        |c AS (SELECT CASE WHEN s.mx = s.mn THEN 0 ELSE
+        |        LEAST(CAST(floor(((x - s.mn) * CAST(20.0 AS DOUBLE)) /
+        |          (s.mx - s.mn)) AS INT), 19) END AS bin
+        |      FROM v CROSS JOIN s),
+        |k AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS bin)
+        |SELECT spine.bin AS bin,
+        |  round(s.mn + ((CAST(spine.bin AS DOUBLE) * (s.mx - s.mn)) /
+        |    CAST(20.0 AS DOUBLE)), 6) AS lo,
+        |  round(s.mn + (((CAST(spine.bin AS DOUBLE) + CAST(1.0 AS DOUBLE)) *
+        |    (s.mx - s.mn)) / CAST(20.0 AS DOUBLE)), 6) AS hi,
+        |  coalesce(cnt, 0) AS cnt
+        |FROM spine LEFT JOIN k USING (bin) CROSS JOIN s
+        |ORDER BY bin""".stripMargin,
     "q136_profile_diff" -> {
       val fromA = "(SELECT * FROM orders WHERE o_orderdate < " +
         "TIMESTAMP '1995-06-01')"

@@ -192,6 +192,45 @@ object Profiling {
     }.reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** Equi-width histogram of a numeric column: `bins` buckets over
+    * [min, max], every bin present (zero counts included), with exact
+    * double bin edges. The distribution-shape primitive the single
+    * min/max of [[profileTable]] can't show.
+    *
+    * Shape: one stats aggregate broadcast as a single row, then the bin
+    * id is a pure projection (`floor(((v−min)·bins)/(max−min))` clamped
+    * to the last bin — fixed parenthesization, IEEE-exact in any
+    * engine); counts map-side combine to ≤bins rows; the spine join
+    * makes empty bins explicit. Constant columns (min = max) land in
+    * bin 0. NULLs are excluded (they belong to the profile, not the
+    * histogram). */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val vals = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val stats = vals.agg(min("__v").as("__mn"), max("__v").as("__mx"))
+    val nbD = lit(bins.toDouble)
+    val bin = when(col("__mx") === col("__mn"), lit(0))
+      .otherwise(least(
+        floor(((col("__v") - col("__mn")) * nbD) / (col("__mx") - col("__mn")))
+          .cast("int"),
+        lit(bins - 1)))
+    val counts = vals.crossJoin(broadcast(stats))
+      .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val binD = col("bin").cast("double")
+    spine.join(counts, Seq("bin"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(stats))
+      .select(col("bin"),
+        (col("__mn") + ((binD * (col("__mx") - col("__mn"))) / nbD)).as("lo"),
+        (col("__mn") + (((binD + lit(1.0)) * (col("__mx") - col("__mn"))) / nbD))
+          .as("hi"),
+        col("cnt"))
+      .orderBy("bin")
+  }
+
   /** Benford's-law first-digit audit of a positive numeric column
     * (values ≥ 1): observed leading-digit fractions vs the Benford
     * expectation log₁₀(1 + 1/d), with the χ² distance as the drift

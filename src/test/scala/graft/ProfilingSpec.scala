@@ -133,6 +133,27 @@ class ProfilingSpec extends SparkSpec {
     assert(r1.getDouble(1) === r2.getDouble(1))
   }
 
+  // ── histogram ────────────────────────────────────────────────────────
+
+  test("histogram: exact bin assignment, empty bins, max lands in last bin") {
+    val df = Seq(0.0, 1.0, 2.5, 9.99, 10.0).toDF("v")
+    val out = Profiling.histogram(df, "v", bins = 4)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set(0, 1, 2, 3))            // full spine
+    assert(out(0) === ((0.0, 2.5, 2L)))               // 0.0, 1.0
+    assert(out(1) === ((2.5, 5.0, 1L)))               // 2.5
+    assert(out(2)._3 === 0L)                          // empty bin kept
+    assert(out(3) === ((7.5, 10.0, 2L)))              // 9.99 and max=10.0 clamped
+  }
+
+  test("histogram: constant column lands entirely in bin 0") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val out = Profiling.histogram(df, "v", bins = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(out === Map(0 -> 3L, 1 -> 0L, 2 -> 0L))
+  }
+
   // ── Benford audit ────────────────────────────────────────────────────
 
   test("benfordCheck: exact digit counts, spine completeness, chi2 golden") {
