@@ -27,10 +27,15 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def time[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
+    // STRESS_ONLY=substr,substr runs just the matching stages (fast
+    // targeted scaling probes without the 20-minute full harness)
+    val only = sys.env.get("STRESS_ONLY")
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
+    def time[A](name: String)(f: => A): Unit =
+      if (only.forall(_.exists(name.toLowerCase.contains))) {
+        val t0 = System.nanoTime(); f
+        println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
 
     /** Replicate a frame `factor`× with shifted ids (distinct keys). */
     def replicate(df: DataFrame, idCol: String, shift: Long): DataFrame =
@@ -488,6 +493,69 @@ object Stress {
       println("[stress]   pairs=" + Bench.force(
         Dedup.editDistancePairs(strs, "id", "s", maxDist = 1)))
     }
+    // ── profiling / layout / analytics tier ────────────────────────────
+    // replicated lineitem: row count scales by factor; key cardinality is
+    // fixed, so the profile/skew/histogram aggregates must stay flat per
+    // input row and the correlation sums must not overflow (dollar units)
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val liBig = spark.range(factor).toDF("__rep").crossJoin(li0).drop("__rep")
+      .cache()
+    println(s"[stress] lineitem: ${liBig.count()} rows")
+    time(s"profileTable ${factor}x (production HLL++ path)") {
+      println("[stress]   rows=" + Bench.force(Profiling.profileTable(liBig,
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"),
+        exactDistinct = false)))
+    }
+    time(s"keySkewReport ${factor}x (l_suppkey)") {
+      println("[stress]   rows=" + Bench.force(
+        Profiling.keySkewReport(liBig, "l_suppkey", k = 10)))
+    }
+    time(s"histogram ${factor}x (20 bins)") {
+      println("[stress]   rows=" + Bench.force(
+        Profiling.histogram(liBig, "l_extendedprice", bins = 20)))
+    }
+    time(s"integerCorrelationMatrix ${factor}x (4 cols, dollar units)") {
+      println("[stress]   rows=" + Bench.force(
+        Profiling.integerCorrelationMatrix(liBig, Seq(
+          "quantity" -> col("l_quantity").cast("long"),
+          "discount_bp" -> round(col("l_discount") * 100).cast("long"),
+          "price" -> round(col("l_extendedprice")).cast("long"),
+          "tax_bp" -> round(col("l_tax") * 100).cast("long")))))
+    }
+    time(s"zorderKey + layoutByZorder ${factor}x (16-bit, 64 parts)") {
+      println("[stress]   rows=" + Bench.force(Layout.layoutByZorder(
+        liBig.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), partitions = 64)))
+    }
+    time(s"coOccurrencePairs ${factor}x (orders x parts)") {
+      println("[stress]   rows=" + Bench.force(Analytics.coOccurrencePairs(
+        liBig, "l_orderkey", "l_partkey", topK = 20)))
+    }
+    time(s"ksDrift ${factor}x (totalprice halves)") {
+      val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+      val oBig = spark.range(factor).toDF("__rep").crossJoin(o0).drop("__rep")
+      val cutoff = lit("1995-06-01").cast("timestamp")
+      println("[stress]   rows=" + Bench.force(Profiling.ksDrift(
+        oBig.filter(col("o_orderdate") < cutoff),
+        oBig.filter(col("o_orderdate") >= cutoff), "o_totalprice")))
+    }
+    liBig.unpersist()
+    // embeddings tier: sf0.1 has 5k vectors; factor x replication drives
+    // the covariance grid (n x d^2 products) and the quantization stats
+    val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val eBig = spark.range(factor).toDF("__rep").crossJoin(e0)
+      .withColumn("vec_id", col("vec_id") + col("__rep") * 1000000L)
+      .drop("__rep").cache()
+    println(s"[stress] embeddings: ${eBig.count()} rows")
+    time(s"quantizeInt8Report ${factor}x") {
+      println("[stress]   rows=" + Bench.force(
+        Similarity.quantizeInt8Report(eBig, "vec_id", "embedding")))
+    }
+    time(s"topPrincipalComponent ${factor}x (3 rounds, production)") {
+      println("[stress]   rows=" + Bench.force(
+        Training.topPrincipalComponent(eBig, "vec_id", "embedding", rounds = 3)))
+    }
+    eBig.unpersist()
     docsTail.unpersist()
     spark.stop()
   }
