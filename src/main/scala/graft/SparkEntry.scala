@@ -1315,6 +1315,19 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: Lorenz curve + Gini — token-mass concentration across
+    //    docs on the distributed-cumsum idiom; Σ rank·w is an exact long
+    //    (oracle: DuckDB replays ranks, cumsums, targets, and the
+    //    fixed-paren Gini) ─────────────────────────────────────────────────
+    "q138_lorenz_gini" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("w"))
+      Sampling.lorenzGini(d, "doc_id", "w", deciles = 10)
+        .select(col("decile"), col("target_rank"),
+          round(col("cum_share"), 6).as("cum_share"),
+          round(col("gini"), 6).as("gini"))
+        .orderBy("decile")
+    }),
     // ── scale: equi-width histogram — bins over broadcast min/max, bin id
     //    a pure fixed-paren projection, spine keeps empty bins (oracle:
     //    DuckDB replays stats, bins, edges, and counts) ────────────────────
@@ -2930,6 +2943,31 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q138_lorenz_gini" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS w
+        |  FROM documents),
+        |r AS (SELECT id, w,
+        |        row_number() OVER (ORDER BY w, id) AS rank,
+        |        sum(w) OVER (ORDER BY w, id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS cumw
+        |      FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(w) AS BIGINT) AS wt FROM d),
+        |s AS (SELECT CAST(sum(rank * w) AS BIGINT) AS s FROM r),
+        |t AS (SELECT unnest(range(1, 11)) AS decile)
+        |SELECT t.decile AS decile,
+        |  ((SELECT n FROM n) * t.decile) // 10 AS target_rank,
+        |  round(CAST(r.cumw AS DOUBLE) /
+        |    CAST((SELECT wt FROM n) AS DOUBLE), 6) AS cum_share,
+        |  round(((CAST(2.0 AS DOUBLE) * CAST((SELECT s FROM s) AS DOUBLE)) /
+        |    (CAST((SELECT n FROM n) AS DOUBLE) *
+        |     CAST((SELECT wt FROM n) AS DOUBLE))) -
+        |    ((CAST((SELECT n FROM n) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |     CAST((SELECT n FROM n) AS DOUBLE)), 6) AS gini
+        |FROM t JOIN r ON r.rank = ((SELECT n FROM n) * t.decile) // 10
+        |ORDER BY decile""".stripMargin,
     "q137_histogram" ->
       """WITH v AS (SELECT l_extendedprice AS x FROM lineitem
         |           WHERE l_extendedprice IS NOT NULL),

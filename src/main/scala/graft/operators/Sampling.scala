@@ -554,6 +554,65 @@ object Sampling {
       .drop("__pid")
   }
 
+  /** Lorenz curve + Gini coefficient of a non-negative integer weight
+    * ("how concentrated is the token mass?"): for each decile d, the
+    * share of total weight held by the bottom d/10 of rows when sorted
+    * by (weight asc, id asc), plus the exact-sufficient-statistic Gini
+    * G = (2·Σᵢ rankᵢ·wᵢ)/(n·W) − (n+1)/n. The corpus-concentration
+    * diagnostic behind source-mixing decisions (a Gini near 1 means a
+    * handful of documents carry the corpus).
+    *
+    * Scale shape: ONE range exchange (what any global order pays);
+    * per-range count+weight partials to the driver (the
+    * globalRowNumber/selectByTokenBudget idiom); rank and cumulative
+    * weight are local windows + broadcast offsets; Σ rank·w is a plain
+    * LONG aggregate (exact, order-free). Long-overflow contract:
+    * rank·w per row and its corpus sum must fit a signed long — scale
+    * weight units down for extreme corpora. Returns `deciles` rows
+    * (decile, target_rank, cum_share) with the constant `gini`. */
+  def lorenzGini(df: DataFrame, idCol: String, weightCol: String,
+      deciles: Int = 10): DataFrame = {
+    require(deciles >= 1, s"deciles must be >= 1, got $deciles")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select(col(idCol).as("__id"), col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(p, col("__w").asc, col("__id").asc)
+      .sortWithinPartitions("__w", "__id")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val partials = parted.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), sum("__w").as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = partials.map(_._2).sum
+    val wTot = partials.map(_._3).sum
+    require(n > 0 && wTot > 0, s"need rows with positive total weight")
+    val offR = partials.map(_._1)
+      .zip(partials.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val offW = partials.map(_._1)
+      .zip(partials.scanLeft(0L)(_ + _._3).dropRight(1)).toMap
+    val win = Window.partitionBy("__pid").orderBy(col("__w").asc, col("__id").asc)
+    val ranked = parted.select(col("__w"),
+      (row_number().over(win).cast("long") +
+        element_at(typedLit(offR), col("__pid"))).as("__rank"),
+      (sum("__w").over(win.rowsBetween(Long.MinValue, 0)) +
+        element_at(typedLit(offW), col("__pid"))).as("__cumw"))
+      .localCheckpoint(false)
+    val s = ranked.agg(sum(col("__rank") * col("__w"))).first().getLong(0)
+    val nD = n.toDouble; val wD = wTot.toDouble
+    val gini = ((2.0 * s.toDouble) / (nD * wD)) - ((nD + 1.0) / nD)
+    import spark.implicits._
+    val targets = (1 to deciles)
+      .map(d => (d, (n * d) / deciles)).toDF("decile", "target_rank")
+    ranked.join(broadcast(targets), col("__rank") === col("target_rank"))
+      .select(col("decile"), col("target_rank"),
+        (col("__cumw").cast("double") / lit(wD)).as("cum_share"),
+        lit(gini).as("gini"))
+      .orderBy("decile")
+  }
+
   /** Deterministic corpus shuffle for training-order randomization:
     * every row gets `shuffle_idx` — its position when the corpus is
     * ordered by a keyed hash — so the "random" order is a pure function

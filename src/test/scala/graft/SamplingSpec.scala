@@ -241,4 +241,37 @@ class SamplingSpec extends SparkSpec {
       assert(ids.contains(999L), s"seed $seed")
     }
   }
+
+  // ── Lorenz / Gini ──────────────────────────────────────────────────────
+
+  test("lorenzGini: uniform weights -> gini 0, linear curve") {
+    val df = (1L to 10L).map(i => (i, 5L)).toDF("id", "w")
+    val out = Sampling.lorenzGini(df, "id", "w")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.size === 10)
+    (1 to 10).foreach { d =>
+      assert(out(d)._1 === d.toLong)           // target rank = d of 10
+      assert(out(d)._2 === d / 10.0)           // exact linear curve
+      assert(out(d)._3 === 0.0)                // perfectly equal
+    }
+  }
+
+  test("lorenzGini: all mass on one row -> gini 0.9, step curve") {
+    val df = ((1L to 9L).map(i => (i, 0L)) :+ ((10L, 100L))).toDF("id", "w")
+    val out = Sampling.lorenzGini(df, "id", "w")
+      .collect().map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    (1 to 9).foreach(d => assert(out(d)._1 === 0.0))
+    assert(out(10)._1 === 1.0)
+    assert(math.abs(out(10)._2 - 0.9) < 1e-12)
+  }
+
+  test("lorenzGini: partition-invariant") {
+    val df = (1L to 97L).map(i => (i, (i % 13) + 1L)).toDF("id", "w")
+    val a = Sampling.lorenzGini(df, "id", "w")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val b = Sampling.lorenzGini(df.repartition(11), "id", "w")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(a.toList === b.toList)
+  }
 }
