@@ -1315,6 +1315,26 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: ranking evaluation — recall@k + NDCG@k of the exact
+    //    cosine ranking against label relevance (the measurement half of
+    //    the retrieval tier); gains/ideal sums are shared driver literals
+    //    (oracle: DuckDB replays the ranking and both metrics) ────────────
+    "q139_ranking_eval" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val ranked = Similarity.bruteForceTopK(e, queries, "vec_id",
+          "embedding", 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val rel = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(e.select(col("vec_id").as("doc_id"), col("label")), Seq("label"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select("query_id", "doc_id")
+      Ranking.evalRanking(ranked, rel, k = 10)
+        .select(col("query_id"), col("n_rel"), col("hits"),
+          round(col("recall"), 6).as("recall"),
+          round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("query_id")
+    }),
     // ── scale: Lorenz curve + Gini — token-mass concentration across
     //    docs on the distributed-cumsum idiom; Σ rank·w is an exact long
     //    (oracle: DuckDB replays ranks, cumsums, targets, and the
@@ -2943,6 +2963,7 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q139_ranking_eval" -> rankingEvalOracleSql(k = 10),
     "q138_lorenz_gini" ->
       """WITH d AS (SELECT doc_id AS id,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -4368,6 +4389,47 @@ object SparkEntry {
        |  FROM src)
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** q139 ranking-eval oracle: the q27 cosine-ranking replay + the
+    * metric formulas with the OPERATOR'S OWN gain/ideal literals
+    * (driver-computed, embedded via toString — no cross-engine log
+    * parity to defend). */
+  private def rankingEvalOracleSql(k: Int): String = {
+    val gains = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val cums = gains.scanLeft(0.0)(_ + _).tail
+    val gainCase = gains.zipWithIndex
+      .map { case (g, i) => s"WHEN ${i + 1} THEN CAST($g AS DOUBLE)" }
+      .mkString("CASE rank ", " ", " END")
+    val idcgCase = cums.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN CAST($c AS DOUBLE)" }
+      .mkString(s"CASE LEAST(n_rel, $k) ", " ", " END")
+    s"""WITH q AS (SELECT vec_id AS query_id, label,
+       |             CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < 10),
+       |ranked AS (SELECT q.query_id, c.vec_id AS doc_id,
+       |             row_number() OVER (PARTITION BY q.query_id
+       |               ORDER BY list_cosine_similarity(
+       |                 CAST(c.embedding AS DOUBLE[]), q.qv) DESC, c.vec_id)
+       |               AS rank
+       |           FROM q, embeddings c WHERE c.vec_id <> q.query_id
+       |           QUALIFY rank <= $k),
+       |rel AS (SELECT q.query_id, c.vec_id AS doc_id
+       |        FROM q JOIN embeddings c
+       |          ON c.label = q.label AND c.vec_id <> q.query_id),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |         FROM rel GROUP BY 1),
+       |h AS (SELECT r.query_id, r.rank FROM ranked r
+       |      JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id),
+       |d AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+       |        list_reduce(list($gainCase ORDER BY rank), (a, b) -> a + b)
+       |          AS dcg
+       |      FROM h GROUP BY 1)
+       |SELECT n.query_id, n.n_rel, coalesce(d.hits, 0) AS hits,
+       |  round(CAST(coalesce(d.hits, 0) AS DOUBLE) /
+       |    CAST(n.n_rel AS DOUBLE), 6) AS recall,
+       |  round(coalesce(d.dcg, CAST(0.0 AS DOUBLE)) / ($idcgCase), 6) AS ndcg
+       |FROM nrel n LEFT JOIN d USING (query_id) ORDER BY query_id""".stripMargin
   }
 
   /** q131 MMR oracle: candidate pruning (rel desc, id), all pairwise

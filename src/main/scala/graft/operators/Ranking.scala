@@ -166,6 +166,46 @@ object Ranking {
     rrfFuse(Seq(lex, sem), idCol, k0, topK)
   }
 
+  /** Ranking-quality evaluation: per-query recall@k and NDCG@k of a
+    * ranked result list against a relevance set — the measurement half
+    * of the retrieval tier (bruteForce/LSH/IVF/hybrid produce rankings;
+    * this scores them, e.g. ANN recall vs the exact baseline, or
+    * label-agreement quality of an embedding space).
+    *
+    * Binary relevance: gain at rank r is 1/log₂(r+1); the k gain values
+    * and their cumulative (ideal) sums are DRIVER-computed literals
+    * shared verbatim with the SQL replay — no cross-engine log parity
+    * to defend. DCG folds hit-ranks ascending (deterministic); ideal
+    * DCG = cum[min(|relevant|, k)]. Queries with an empty relevance set
+    * are absent from the output (their NDCG is undefined).
+    *
+    * Shape: one (query, doc)-keyed equi-join of the rank≤k slice
+    * against the relevance set, then query-keyed aggregates — all
+    * map-side combinable, nothing corpus-quadratic. */
+  def evalRanking(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gains = (1 to k)
+      .map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val cums = gains.scanLeft(0.0)(_ + _).tail
+    val gainsLit = typedLit(gains)
+    val cumLit = typedLit(cums)
+    val hits = ranked.filter(col("rank") <= k)
+      .join(relevant, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("__hits"),
+        aggregate(sort_array(collect_list(col("rank").cast("int"))), lit(0.0),
+          (acc, r) => acc + element_at(gainsLit, r)).as("__dcg"))
+    val nrel = relevant.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    nrel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall"),
+        (coalesce(col("__dcg"), lit(0.0)) /
+          element_at(cumLit, least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .as("ndcg"))
+  }
+
   /** Maximal-marginal-relevance selection: greedily pick `k` rows that
     * are RELEVANT but not redundant —
     * score(i) = λ·rel(i) − (1−λ)·max_{s∈selected} cos(i, s) — the

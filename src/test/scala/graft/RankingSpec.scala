@@ -140,4 +140,40 @@ class RankingSpec extends SparkSpec {
       .collect().map(r => r.getLong(1))
     assert(out.toList === List(3L))
   }
+
+  // ── ranking evaluation ─────────────────────────────────────────────────
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  test("evalRanking: hand-computed recall and NDCG, zero-hit and perfect cases") {
+    val ranked = Seq(
+      // query 1: hits at ranks 1 and 3 of relevant {10, 11, 12}
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      // query 2: no hits
+      (2L, 99L, 1), (2L, 98L, 2),
+      // query 3: perfect two-element ranking of its full relevance set
+      (3L, 20L, 1), (3L, 21L, 2)).toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 50L),
+      (3L, 20L), (3L, 21L)).toDF("query_id", "doc_id")
+    val out = Ranking.evalRanking(ranked, rel, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, h1, r1, nd1) = out(1L)
+    assert(n1 === 3L && h1 === 2L)
+    assert(math.abs(r1 - 2.0 / 3.0) < 1e-15)
+    val dcg1 = 1.0 / log2(2.0) + 1.0 / log2(4.0)
+    val idcg1 = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(nd1 - dcg1 / idcg1) < 1e-12)
+    assert(out(2L) === ((1L, 0L, 0.0, 0.0)))
+    val (_, _, r3, nd3) = out(3L)
+    assert(r3 === 1.0)
+    assert(math.abs(nd3 - 1.0) < 1e-12)  // ideal order of the full set
+  }
+
+  test("evalRanking: ranks beyond k are ignored") {
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 4)).toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "doc_id")
+    val out = Ranking.evalRanking(ranked, rel, k = 3).first()
+    assert(out.getLong(2) === 1L)   // only the rank-1 hit counts at k=3
+  }
 }
