@@ -1315,6 +1315,36 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: two-proportion z-test — A/B experiment readout over
+    //    per-user conversion; sufficient statistics are exact longs in one
+    //    single-row aggregate (oracle: DuckDB replays counts and the
+    //    fixed-paren z) ─────────────────────────────────────────────────────
+    "q141_ab_test" -> ((s, dir) => {
+      // conversion = a heavy purchaser (>= 14 purchase events; nearly every
+      // user has >= 1, which would make the test degenerate)
+      val users = T(s, dir, "events").groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      Analytics.proportionZTest(users,
+          col("user_id") % 2 === 0, col("np") >= 14L)
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+          round(col("z"), 6).as("z"))
+    }),
+    // ── scale: equal-frequency binning — every row's global-rank decile
+    //    via integer div (equal-POPULATION buckets where q137's equal-
+    //    width bins skew); per-bucket count + value edges (oracle: DuckDB
+    //    replays ranks, buckets, and edges) ────────────────────────────────
+    "q140_quantile_bins" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).as("rid"),
+          col("l_extendedprice"))
+      Sampling.quantileBins(li, "rid", "l_extendedprice", bins = 10)
+        .select(col("bucket"), col("cnt"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"))
+        .orderBy("bucket")
+    }),
     // ── scale: ranking evaluation — recall@k + NDCG@k of the exact
     //    cosine ranking against label relevance (the measurement half of
     //    the retrieval tier); gains/ideal sums are shared driver literals
@@ -2963,6 +2993,42 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q141_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a, conv
+        |      FROM u),
+        |s AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |        CAST(sum(a * conv) AS BIGINT) AS x1,
+        |        CAST(sum(1 - a) AS BIGINT) AS n2,
+        |        CAST(sum((1 - a) * conv) AS BIGINT) AS x2
+        |      FROM t)
+        |SELECT n1, x1, n2, x2,
+        |  round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+        |  round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+        |  round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |         CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |    sqrt((((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+        |           (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+        |          (CAST(1.0 AS DOUBLE) -
+        |           ((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+        |            (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))) *
+        |         ((CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+        |          (CAST(1.0 AS DOUBLE) / CAST(n2 AS DOUBLE)))), 6) AS z
+        |FROM s""".stripMargin,
+    "q140_quantile_bins" ->
+      """WITH d AS (SELECT l_orderkey::VARCHAR || ':' ||
+        |    l_linenumber::VARCHAR AS rid, l_extendedprice AS v
+        |  FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, rid) AS rank FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |b AS (SELECT v, ((rank - 1) * 10) // (SELECT n FROM n) AS bucket
+        |      FROM r)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(min(v), 6) AS lo, round(max(v), 6) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q139_ranking_eval" -> rankingEvalOracleSql(k = 10),
     "q138_lorenz_gini" ->
       """WITH d AS (SELECT doc_id AS id,

@@ -498,6 +498,40 @@ object Analytics {
         col("med"), col("mad"), col("z"))
   }
 
+  /** Two-proportion z-test: is the success rate of group A different
+    * from group B? The experiment-readout primitive (A/B conversion,
+    * filter-pass-rate drift between pipeline versions). Input is one
+    * row per UNIT (user, doc) with boolean group/success columns; the
+    * sufficient statistics (n₁, x₁, n₂, x₂) are exact long sums in ONE
+    * single-row aggregate, and z = (p₁−p₂)/√(p̄(1−p̄)(1/n₁+1/n₂))
+    * computes in doubles at fixed parenthesization — engine-exact.
+    * Returns one row (n1, x1, n2, x2, p1, p2, z). */
+  def proportionZTest(df: DataFrame, groupACol: Column,
+      successCol: Column): DataFrame = {
+    val a = when(groupACol, 1L).otherwise(0L)
+    val s = when(successCol, 1L).otherwise(0L)
+    val row = df.agg(
+      sum(a).as("n1"), sum(a * s).as("x1"),
+      sum(lit(1L) - a).as("n2"), sum((lit(1L) - a) * s).as("x2"))
+    val n1 = col("n1").cast("double"); val x1 = col("x1").cast("double")
+    val n2 = col("n2").cast("double"); val x2 = col("x2").cast("double")
+    val p1 = x1 / n1
+    val p2 = x2 / n2
+    val pp = (x1 + x2) / (n1 + n2)
+    val se = sqrt((pp * (lit(1.0) - pp)) * ((lit(1.0) / n1) + (lit(1.0) / n2)))
+    // degenerate designs have no defined z: an empty arm, or zero pooled
+    // variance (all units converted, or none did) — report NULL, never a
+    // division by zero (Spark 4 ANSI throws on 0/0)
+    val z = when(col("n1") === 0L || col("n2") === 0L, lit(null))
+      .when(col("x1") + col("x2") === 0L ||
+        col("x1") + col("x2") === col("n1") + col("n2"), lit(null))
+      .otherwise((p1 - p2) / se)
+    row.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      when(col("n1") === 0L, lit(null)).otherwise(p1).as("p1"),
+      when(col("n2") === 0L, lit(null)).otherwise(p2).as("p2"),
+      z.as("z"))
+  }
+
   /** Item co-occurrence mining ("parts ordered together"): support and
     * lift of every item pair that shares a basket, top-k by pair count.
     * The association-rule primitive behind related-content joins and

@@ -554,6 +554,35 @@ object Sampling {
       .drop("__pid")
   }
 
+  /** Equal-frequency (quantile) binning: every row gets the bucket
+    * `((rank − 1) · bins) div n` of its global (value, id) rank —
+    * equal-POPULATION buckets where [[Profiling.histogram]]'s
+    * equal-WIDTH bins leave skewed columns with a handful of hot bins.
+    * The feature-discretization primitive (decile features, balanced
+    * stratification keys). Returns the per-bucket summary
+    * (bucket, cnt, lo, hi); integer arithmetic end-to-end — no
+    * double-boundary parity risk anywhere.
+    *
+    * Shape: [[globalRowNumber]]'s one range exchange + driver offsets,
+    * then a bins-sized aggregate. */
+  def quantileBins(df: DataFrame, idCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val ranked = globalRowNumber(
+      df.select(col(idCol).as("__id"), col(valueCol).cast("double").as("__v")),
+      "__rank", col("__v").asc, col("__id").asc)
+      .localCheckpoint(false)
+    val n = ranked.count()
+    require(n > 0, "no rows to bin")
+    ranked
+      // integer `div`, never double `/`: a quotient one ulp below an
+      // integer would round up and misplace the boundary row
+      .withColumn("bucket", expr(s"((__rank - 1L) * ${bins}L) div ${n}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min("__v").as("lo"), max("__v").as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Lorenz curve + Gini coefficient of a non-negative integer weight
     * ("how concentrated is the token mass?"): for each decile d, the
     * share of total weight held by the bottom d/10 of rows when sorted

@@ -326,4 +326,27 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(inRow === joined)
   }
+
+  // ── two-proportion z-test ──────────────────────────────────────────────
+
+  test("proportionZTest: hand-computed z, degenerate designs -> NULL") {
+    // A: 3 of 4 convert; B: 1 of 4
+    val df = Seq((1L, true, true), (2L, true, true), (3L, true, true),
+      (4L, true, false), (5L, false, true), (6L, false, false),
+      (7L, false, false), (8L, false, false)).toDF("id", "a", "s")
+    val r = Analytics.proportionZTest(df, col("a"), col("s")).first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 3L, 4L, 1L)))
+    val p1 = 0.75; val p2 = 0.25; val pp = 0.5
+    val want = (p1 - p2) / math.sqrt((pp * (1.0 - pp)) * (0.25 + 0.25))
+    assert(math.abs(r.getDouble(6) - want) < 1e-12)
+    // all units converted -> zero pooled variance -> NULL z, not an error
+    val allConv = Seq((1L, true, true), (2L, false, true)).toDF("id", "a", "s")
+    assert(Analytics.proportionZTest(allConv, col("a"), col("s"))
+      .first().isNullAt(6))
+    // empty arm -> NULL z and NULL p for that arm
+    val oneArm = Seq((1L, true, true), (2L, true, false)).toDF("id", "a", "s")
+    val oa = Analytics.proportionZTest(oneArm, col("a"), col("s")).first()
+    assert(oa.isNullAt(5) && oa.isNullAt(6))
+  }
 }

@@ -274,4 +274,29 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(a.toList === b.toList)
   }
+
+  // ── quantile binning ───────────────────────────────────────────────────
+
+  test("quantileBins: integer-exact bucket boundaries and edges") {
+    val df = (1L to 10L).map(i => (i, i * 10.0)).toDF("id", "v")
+    val out = Sampling.quantileBins(df, "id", "v", bins = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // ((rank-1)*3) div 10 -> sizes 4, 3, 3
+    assert(out(0L) === ((4L, 10.0, 40.0)))
+    assert(out(1L) === ((3L, 50.0, 70.0)))
+    assert(out(2L) === ((3L, 80.0, 100.0)))
+  }
+
+  test("quantileBins: partition-invariant with heavy ties") {
+    val df = (1L to 100L).map(i => (i, (i % 3).toDouble)).toDF("id", "v")
+    val a = Sampling.quantileBins(df, "id", "v", bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val b = Sampling.quantileBins(df.repartition(13), "id", "v", bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(a.toList === b.toList)
+    assert(a.map(_._2).sum === 100L)
+    // equal-population: every bucket holds exactly 25
+    assert(a.forall(_._2 === 25L))
+  }
 }
