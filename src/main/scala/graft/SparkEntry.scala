@@ -1315,6 +1315,15 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: exact triangle counting — compact-forward x<y<z
+    //    enumeration over the co-purchase projection (clustering signal:
+    //    organic neighborhoods triangulate, link farms star) (oracle:
+    //    DuckDB replays the triple join, corners, and Σ/3 total) ──────────
+    "q142_triangles" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.triangleCounts(edges, "item_a", "item_b", topK = 10)
+    }),
     // ── scale: two-proportion z-test — A/B experiment readout over
     //    per-user conversion; sufficient statistics are exact longs in one
     //    single-row aggregate (oracle: DuckDB replays counts and the
@@ -2993,6 +3002,24 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q142_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.it AS x, b2.it AS y
+        |     FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it),
+        |t AS (SELECT e1.x AS x, e1.y AS y, e2.y AS z
+        |      FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |nodes AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        |          UNION ALL SELECT z FROM t),
+        |c AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |      FROM nodes GROUP BY 1),
+        |tot AS (SELECT CAST(sum(triangles) // 3 AS BIGINT) AS total FROM c),
+        |r AS (SELECT node, triangles,
+        |        row_number() OVER (ORDER BY triangles DESC, node) AS rank
+        |      FROM c QUALIFY rank <= 10)
+        |SELECT rank, node, triangles, (SELECT total FROM tot) AS total
+        |FROM r ORDER BY rank""".stripMargin,
     "q141_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

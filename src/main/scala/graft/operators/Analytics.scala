@@ -546,24 +546,41 @@ object Analytics {
     * broadcast-gated); top-k is TakeOrderedAndProject. Counts are exact
     * longs; support = cnt/n_baskets and lift = (cnt·n)/(c_a·c_b) are
     * single-expression doubles at fixed parenthesization. */
+  /** The basket frame behind [[coOccurrencePairs]]: one map-side-combined
+    * aggregate to (basket, sorted distinct item array). */
+  private def basketArrays(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    df.select(col(basketCol).as("__b"), col(itemCol).as("__it"))
+      .groupBy("__b").agg(sort_array(collect_set(col("__it"))).as("__items"))
+
+  /** In-row pair generation from a sorted item array: for item i, pair
+    * with every later item (slice is 1-based; i is 0-based → start
+    * i + 2). One row per (basket, pair). */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets.select(explode(flatten(
+      transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2), size(col("__items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+
+  /** Distinct co-occurrence edges (item_a < item_b by the array sort
+    * order): the graph projection of the basket table — input to
+    * [[graft.operators.Graph.triangleCounts]] and friends. */
+  def coOccurrenceEdges(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    basketPairs(basketArrays(df, basketCol, itemCol))
+      .select(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .distinct()
+
   def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
       topK: Int = 20, minCount: Long = 1L): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val baskets = df
-      .select(col(basketCol).as("__b"), col(itemCol).as("__it"))
-      .groupBy("__b").agg(sort_array(collect_set(col("__it"))).as("__items"))
-      .localCheckpoint(false)
+    val baskets = basketArrays(df, basketCol, itemCol).localCheckpoint(false)
     val nb = baskets.count()
     require(nb > 0, "no baskets")
     val itemCounts = baskets
       .select(explode(col("__items")).as("__it"))
       .groupBy("__it").agg(count(lit(1)).as("__ci"))
-    // in-row pair generation from the sorted array: for item i, pair with
-    // every later item (slice is 1-based; i is 0-based -> start i + 2)
-    val pairs = baskets.select(explode(flatten(
-        transform(col("__items"), (x, i) =>
-          transform(slice(col("__items"), i + lit(2), size(col("__items"))),
-            y => struct(x.as("a"), y.as("b")))))).as("__p"))
+    val pairs = basketPairs(baskets)
       .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

@@ -213,4 +213,48 @@ object Graph {
     e.unpersist(false)
     labels
   }
+
+  /** Exact triangle counting over an undirected edge list — the local
+    * clustering signal (community density, spam-farm detection: organic
+    * neighborhoods triangulate, link farms star). Returns the top-`k`
+    * nodes by triangle participation plus the exact global triangle
+    * total as a constant column.
+    *
+    * Compact-forward shape: edges canonicalize to x < y (self-loops
+    * dropped, multi-edges collapsed), wedges enumerate ordered x<y<z by
+    * joining edge lists on the middle node, and the closing edge check
+    * is one more equi-join — every triangle found EXACTLY once, the
+    * standard ordering trick that bounds work by Σ deg(v)² instead of
+    * deg·n. Per-node participation sums each triangle into its three
+    * corners; the global total derives as Σ/3 from the node-sized
+    * counts frame (no second pass over the triangle stream). */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .filter(col("x") < col("y"))
+      .distinct()
+      .localCheckpoint(false)
+    val wedges = e.select(col("x"), col("y").as("m"))
+      .join(e.select(col("x").as("m"), col("y").as("z")), Seq("m"))
+    val tris = wedges
+      .join(e.select(col("x"), col("y").as("z")), Seq("x", "z"))
+      .select(col("x"), col("m").as("y"), col("z"))
+    val counts = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .localCheckpoint(false)
+    val total = counts.agg(
+      (coalesce(sum("triangles"), lit(0L)) / lit(3)).cast("long").as("total"))
+    counts
+      .orderBy(col("triangles").desc, col("node").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("triangles").desc, col("node").asc)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("node"), col("triangles"), col("total"))
+      .orderBy("rank")
+  }
 }

@@ -177,4 +177,28 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getDouble(1)).toSet
     assert(zero === Set(1.0))
   }
+
+  // ── triangle counting ──────────────────────────────────────────────────
+
+  test("triangleCounts: hand graph, canonicalization, exact total") {
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5
+    // and noise: a self-loop and reversed/duplicate edges that must
+    // collapse in canonicalization
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L),            // reverse duplicate
+      (2L, 2L),            // self-loop
+      (4L, 5L)).toDF("s", "d")
+    val out = Graph.triangleCounts(edges, "s", "d", topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 4)                  // pendant node 5 has none
+    assert(out.forall(_._4 === 4L))           // exact K4 total
+    assert(out.forall(_._3 === 3L))           // each K4 node in 3 triangles
+    assert(out.map(_._2).toList === List(1L, 2L, 3L, 4L))  // ties -> node asc
+  }
+
+  test("triangleCounts: triangle-free graph reports an empty top list") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    assert(Graph.triangleCounts(star, "s", "d").count() === 0L)
+  }
 }
