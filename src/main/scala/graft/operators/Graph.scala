@@ -220,14 +220,20 @@ object Graph {
     * nodes by triangle participation plus the exact global triangle
     * total as a constant column.
     *
-    * Compact-forward shape: edges canonicalize to x < y (self-loops
-    * dropped, multi-edges collapsed), wedges enumerate ordered x<y<z by
-    * joining edge lists on the middle node, and the closing edge check
-    * is one more equi-join — every triangle found EXACTLY once, the
-    * standard ordering trick that bounds work by Σ deg(v)² instead of
-    * deg·n. Per-node participation sums each triangle into its three
-    * corners; the global total derives as Σ/3 from the node-sized
-    * counts frame (no second pass over the triangle stream). */
+    * DEGREE-ordered compact-forward shape (the O(m^1.5) form): edges
+    * canonicalize (self-loops dropped, multi-edges collapsed), then
+    * orient from the lower-(degree, id) endpoint to the higher — every
+    * node's OUT-degree is then O(√m)-bounded on any graph (the
+    * degeneracy argument), so the wedge join Σ outdeg(v)² survives the
+    * skewed co-occurrence graphs where id-ordering blows up on hubs.
+    * Wedges join out-edge lists on their shared source, the closing
+    * edge check is one more equi-join, and every triangle is found
+    * EXACTLY once. The triangle SET is ordering-invariant, so per-node
+    * counts and the total match any other enumeration (the SQL oracle
+    * uses plain id-ordering). Per-node participation sums each triangle
+    * into its three corners; the global total derives as Σ/3 from the
+    * node-sized counts frame (no second pass over the triangle
+    * stream). */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
       topK: Int = 10): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
@@ -237,11 +243,32 @@ object Graph {
       .filter(col("x") < col("y"))
       .distinct()
       .localCheckpoint(false)
-    val wedges = e.select(col("x"), col("y").as("m"))
-      .join(e.select(col("x").as("m"), col("y").as("z")), Seq("m"))
+    val deg = Ops.broadcastIfSmall(
+      e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
+    // orient low-(degree, id) → high: (u, v) with (du, u) < (dv, v);
+    // carry the dst order key for the wedge comparison
+    val oriented = e
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), Seq("y"))
+      .select(
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+          .otherwise(col("y")).as("u"),
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+          .otherwise(col("x")).as("v"),
+        greatest(col("dx"), col("dy")).as("dv"))
+      .localCheckpoint(false)
+    val wedges = oriented.select(col("u"), col("v"), col("dv"))
+      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")),
+        Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
     val tris = wedges
-      .join(e.select(col("x"), col("y").as("z")), Seq("x", "z"))
-      .select(col("x"), col("m").as("y"), col("z"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"))
+      .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
     val counts = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
