@@ -1315,6 +1315,26 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: k-core peeling — fixed-round dense-kernel extraction
+    //    (per-round semi-join vs the broadcast alive set; the fixed-round
+    //    replay contract) (oracle: DuckDB unrolls the rounds) ──────────────
+    "q143_kcore" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.kCore(edges, "item_a", "item_b", k = 120, rounds = 6)
+    }),
+    // ── scale: neighborhood-overlap link prediction — Jaccard of
+    //    neighbor sets for NOT-yet-connected pairs via the wedge join;
+    //    exact-long ratio (oracle: DuckDB replays wedges, anti-join,
+    //    degrees, and the top-k cut) ───────────────────────────────────────
+    "q144_link_prediction" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.linkPrediction(edges, "item_a", "item_b", topK = 20)
+        .select(col("a").as("item_a"), col("b").as("item_b"), col("common"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("item_a", "item_b")
+    }),
     // ── scale: exact triangle counting — compact-forward x<y<z
     //    enumeration over the co-purchase projection (clustering signal:
     //    organic neighborhoods triangulate, link farms star) (oracle:
@@ -3002,6 +3022,30 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q143_kcore" -> kCoreOracleSql(k = 120, rounds = 6),
+    "q144_link_prediction" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.it AS x, b2.it AS y
+        |     FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it),
+        |adj AS MATERIALIZED (SELECT x AS m, y AS n FROM e
+        |      UNION ALL SELECT y AS m, x AS n FROM e),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |cm AS (SELECT a1.n AS a, a2.n AS b, CAST(count(*) AS BIGINT) AS common
+        |       FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT cm.a, cm.b, cm.common FROM cm
+        |         LEFT JOIN e ON cm.a = e.x AND cm.b = e.y
+        |         WHERE e.x IS NULL),
+        |sc AS (SELECT a, b, common,
+        |         CAST(common AS DOUBLE) /
+        |           CAST((da.d + db.d) - common AS DOUBLE) AS j
+        |       FROM cand JOIN deg da ON cand.a = da.n
+        |              JOIN deg db ON cand.b = db.n),
+        |top AS (SELECT a, b, common, j FROM sc
+        |        QUALIFY row_number() OVER (ORDER BY j DESC, a, b) <= 20)
+        |SELECT a AS item_a, b AS item_b, common, round(j, 6) AS jaccard
+        |FROM top ORDER BY item_a, item_b""".stripMargin,
     "q142_triangles" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |           FROM lineitem),
@@ -4482,6 +4526,35 @@ object SparkEntry {
        |  FROM src)
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** q143 k-core oracle: the peeling rounds unrolled — per round, edges
+    * restricted to the previous alive set and a degree-≥-k filter; every
+    * CTE MATERIALIZED (multi-referenced, the q131 inlining lesson). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      val p = t - 1
+      s"""ae$t AS MATERIALIZED (SELECT x, y FROM e
+         |      WHERE x IN (SELECT n FROM a$p) AND y IN (SELECT n FROM a$p)),
+         |a$t AS MATERIALIZED (SELECT n FROM (
+         |        SELECT n, count(*) AS d FROM
+         |          (SELECT x AS n FROM ae$t UNION ALL SELECT y AS n FROM ae$t)
+         |        GROUP BY 1)
+         |      WHERE d >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+       |           FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT a.it AS x, b2.it AS y
+       |     FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it),
+       |a0 AS MATERIALIZED (SELECT DISTINCT n FROM
+       |     (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)),
+       |$roundCtes,
+       |fe AS (SELECT x, y FROM e
+       |       WHERE x IN (SELECT n FROM a$rounds)
+       |         AND y IN (SELECT n FROM a$rounds))
+       |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM (SELECT x AS n FROM fe UNION ALL SELECT y AS n FROM fe)
+       |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
   /** q139 ranking-eval oracle: the q27 cosine-ranking replay + the

@@ -284,4 +284,94 @@ object Graph {
       .select(col("rank"), col("node"), col("triangles"), col("total"))
       .orderBy("rank")
   }
+
+  /** Fixed-round k-core peeling: repeatedly drop nodes whose degree in
+    * the SURVIVING subgraph is below `k` — the dense-kernel extractor
+    * (community cores, spam-ring kernels; the k-core is what remains
+    * when every marginal node is gone). Runs EXACTLY `rounds` rounds —
+    * the fixed-round contract that makes an external engine replay the
+    * run verbatim (the PageRank/LPA convention); converged inputs are
+    * a fixed point, extra rounds are no-ops. Returns the surviving
+    * (node, degree) pairs, degree measured inside the final core.
+    *
+    * Scale shape: per round, ONE semi-join pass of the edge frame
+    * against the node-sized alive set (broadcast-gated) + one
+    * map-side-combined degree count; alive checkpoints per round
+    * (node-sized — the multi-reference lazy-plan blowup is the q105
+    * lesson). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k/rounds must be >= 1, got $k/$rounds")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .filter(col("x") < col("y"))
+      .distinct()
+      .localCheckpoint(false)
+    def degrees(ae: DataFrame): DataFrame =
+      ae.select(col("x").as("n")).unionAll(ae.select(col("y").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+    var alive = e.select(col("x").as("n"))
+      .unionAll(e.select(col("y").as("n"))).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ae = e
+        .join(Ops.broadcastIfSmall(alive.select(col("n").as("x"))),
+          Seq("x"), "left_semi")
+        .join(Ops.broadcastIfSmall(alive.select(col("n").as("y"))),
+          Seq("y"), "left_semi")
+      alive = degrees(ae).filter(col("d") >= k).select("n")
+        .localCheckpoint(true)
+    }
+    val core = e
+      .join(Ops.broadcastIfSmall(alive.select(col("n").as("x"))),
+        Seq("x"), "left_semi")
+      .join(Ops.broadcastIfSmall(alive.select(col("n").as("y"))),
+        Seq("y"), "left_semi")
+    degrees(core).select(col("n").as("node"), col("d").as("degree"))
+      .orderBy("node")
+  }
+
+  /** Neighborhood-overlap link prediction: for node pairs NOT yet
+    * connected, the Jaccard overlap of their neighbor sets
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — the classic "you two share most of
+    * your neighbors" recommendation/completion signal. Top-`k` by
+    * (jaccard desc, pair asc).
+    *
+    * Shape: common-neighbor counts come from the wedge join (adjacency
+    * self-joined on the shared middle node, pair ordered a < b — each
+    * pair counted once per shared neighbor, work Σ deg²); existing
+    * edges drop by anti-join BEFORE the degree joins; degrees are
+    * node-sized and broadcast-gated; jaccard is one division over
+    * exact longs. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .filter(col("x") < col("y"))
+      .distinct()
+      .localCheckpoint(false)
+    val adj = e.select(col("x").as("m"), col("y").as("n"))
+      .unionAll(e.select(col("y").as("m"), col("x").as("n")))
+    val deg = Ops.broadcastIfSmall(
+      adj.groupBy(col("n")).agg(count(lit(1)).as("d")))
+    val common = adj.select(col("m"), col("n").as("a"))
+      .join(adj.select(col("m"), col("n").as("b")), Seq("m"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val candidates = common
+      .join(e.select(col("x").as("a"), col("y").as("b")),
+        Seq("a", "b"), "left_anti")
+    candidates
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") /
+          ((col("__da") + col("__db")) - col("common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
 }

@@ -201,4 +201,37 @@ class GraphSpec extends SparkSpec {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
     assert(Graph.triangleCounts(star, "s", "d").count() === 0L)
   }
+
+  // ── k-core ─────────────────────────────────────────────────────────────
+
+  test("kCore: K4 survives k=3, attached chain peels away round by round") {
+    // K4 on {1,2,3,4}; chain 4-5-6 hangs off it
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val out = Graph.kCore(edges, "s", "d", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // fixed point: extra rounds change nothing
+    val more = Graph.kCore(edges, "s", "d", k = 3, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === out)
+    // k above the max degree empties the core
+    assert(Graph.kCore(edges, "s", "d", k = 5, rounds = 4).count() === 0L)
+  }
+
+  // ── link prediction ────────────────────────────────────────────────────
+
+  test("linkPrediction: square diagonals score 1.0, existing edges excluded") {
+    // 4-cycle 1-2-3-4-1: the two diagonals share both neighbors
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val out = Graph.linkPrediction(edges, "s", "d", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(out((1L, 3L)) === ((2L, 1.0)))
+    assert(out((2L, 4L)) === ((2L, 1.0)))
+    // a complete triangle has no unconnected distance-2 pairs
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    assert(Graph.linkPrediction(k3, "s", "d").count() === 0L)
+  }
 }
