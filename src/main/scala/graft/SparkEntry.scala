@@ -1943,6 +1943,17 @@ object SparkEntry {
             round(col("js"), 6).as("js"))
           .orderBy("source_a", "source_b")
       }),
+      // q144 benches the PRODUCTION capped path (middle-degree cap 100 —
+      // the bounded-recall scale lever; the exact path is the oracle gate)
+      "q144_link_prediction" -> ((s, dir) => {
+        val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey")
+        () => Graph.linkPrediction(edges, "item_a", "item_b", topK = 20,
+            maxMiddleDegree = 100)
+          .select(col("a").as("item_a"), col("b").as("item_b"), col("common"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("item_a", "item_b")
+      }),
       // q129 benches the PRODUCTION covariance path (plain sums; the
       // id-sorted folds are the oracle-replay artifact — q96/q98 convention)
       "q129_top_pc" -> ((s, dir) => {

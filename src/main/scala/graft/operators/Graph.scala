@@ -340,13 +340,20 @@ object Graph {
     *
     * Shape: common-neighbor counts come from the wedge join (adjacency
     * self-joined on the shared middle node, pair ordered a < b — each
-    * pair counted once per shared neighbor, work Σ deg²); existing
-    * edges drop by anti-join BEFORE the degree joins; degrees are
-    * node-sized and broadcast-gated; jaccard is one division over
-    * exact longs. */
+    * pair counted once per shared neighbor, work Σ C(deg(m), 2) — the
+    * INHERENT size of the distance-2 pair set); existing edges drop by
+    * anti-join BEFORE the degree joins; degrees are node-sized and
+    * broadcast-gated; jaccard is one division over exact longs.
+    *
+    * `maxMiddleDegree > 0` is the production scale lever: middles above
+    * the cap generate deg² wedges but carry the WEAKEST evidence (a hub
+    * everyone touches says nothing about two of its spokes), so
+    * dropping them bounds work per middle at C(cap, 2) — the
+    * bounded-recall convention of `Dedup.capBuckets`. 0 = exact. */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20, maxMiddleDegree: Int = 0): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxMiddleDegree >= 0, "maxMiddleDegree must be >= 0 (0 = exact)")
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("x"),
         greatest(col(srcCol), col(dstCol)).as("y"))
@@ -357,8 +364,12 @@ object Graph {
       .unionAll(e.select(col("y").as("m"), col("x").as("n")))
     val deg = Ops.broadcastIfSmall(
       adj.groupBy(col("n")).agg(count(lit(1)).as("d")))
-    val common = adj.select(col("m"), col("n").as("a"))
-      .join(adj.select(col("m"), col("n").as("b")), Seq("m"))
+    val mids =
+      if (maxMiddleDegree == 0) adj
+      else adj.join(deg.select(col("n").as("m"), col("d").as("__dm")), Seq("m"))
+        .filter(col("__dm") <= maxMiddleDegree).drop("__dm")
+    val common = mids.select(col("m"), col("n").as("a"))
+      .join(mids.select(col("m"), col("n").as("b")), Seq("m"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
     val candidates = common

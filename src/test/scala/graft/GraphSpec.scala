@@ -234,4 +234,20 @@ class GraphSpec extends SparkSpec {
     val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
     assert(Graph.linkPrediction(k3, "s", "d").count() === 0L)
   }
+
+  test("linkPrediction: middle-degree cap drops only hub-mediated pairs") {
+    // hub 100 touches 1,2,3; separately 1-10-2 is a low-degree path
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (1L, 10L), (10L, 2L)).toDF("s", "d")
+    val exact = Graph.linkPrediction(edges, "s", "d", topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)))
+    // cap 2 removes the hub (deg 3) as a middle: (1,3)/(2,3) vanish, the
+    // 10-mediated (1,2) pair survives
+    val capped = Graph.linkPrediction(edges, "s", "d", topK = 100,
+        maxMiddleDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.contains((1L, 3L)) && !capped.contains((2L, 3L)))
+  }
 }
