@@ -1315,6 +1315,18 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: SCD2 interval builder — gaps-and-islands collapse of the
+    //    per-user event stream into validity intervals, the dimension-
+    //    history shape asofJoin consumes (oracle: DuckDB replays lag
+    //    flags, run numbering, and lead closure) ───────────────────────────
+    "q145_scd2" -> ((s, dir) => {
+      Snapshot.scd2Intervals(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_to").cast("string").as("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
     // ── scale: k-core peeling — fixed-round dense-kernel extraction
     //    (per-round semi-join vs the broadcast alive set; the fixed-round
     //    replay contract) (oracle: DuckDB unrolls the rounds) ──────────────
@@ -3033,6 +3045,29 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q145_scd2" ->
+      """WITH f AS (SELECT user_id, ts, event_id, event_type,
+        |        CASE WHEN lag(event_type) OVER w IS NULL
+        |               OR lag(event_type) OVER w <> event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, ts, event_type,
+        |        sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM f),
+        |g AS (SELECT user_id, run, min(ts) AS valid_from,
+        |        min(event_type) AS event_type
+        |      FROM r GROUP BY 1, 2),
+        |c AS (SELECT user_id, event_type, valid_from,
+        |        lead(valid_from) OVER (PARTITION BY user_id
+        |          ORDER BY valid_from, run) AS valid_to
+        |      FROM g)
+        |SELECT user_id, event_type,
+        |  CAST(valid_from AS VARCHAR) AS valid_from,
+        |  CAST(valid_to AS VARCHAR) AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM c ORDER BY user_id, valid_from, event_type""".stripMargin,
     "q143_kcore" -> kCoreOracleSql(k = 120, rounds = 6),
     "q144_link_prediction" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it

@@ -329,4 +329,42 @@ object Snapshot {
     df.join(Ops.broadcastIfSmall(lookup), df(externalIdCol) === lookup(inputIdCol), "left")
       .drop(lookup(inputIdCol))
   }
+
+  /** SCD-Type-2 interval builder: collapse a per-key observation stream
+    * into validity intervals — (key, value, valid_from, valid_to,
+    * is_current), one row per RUN of consecutive identical values. The
+    * dimension-history shape the snapshot/CDC family feeds ("what was
+    * this account's status on March 3rd?" is a point-in-time join
+    * against this table, and [[graft.operators.Analytics.asofJoin]] is
+    * that join).
+    *
+    * Gaps-and-islands: per key, flag rows whose value differs from the
+    * previous observation (lag), number the runs with a running sum of
+    * flags, collapse each run to its first timestamp, then close every
+    * interval with the next run's start (lead; NULL = still current).
+    * ONE keyed window partition per key — never a global window; ties
+    * within a timestamp break by `tieCol` so runs are deterministic. */
+  def scd2Intervals(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val flagged = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("__chg",
+        when(lag(col(valueCol), 1).over(obs).isNull ||
+          lag(col(valueCol), 1).over(obs) =!= col(valueCol), 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum("__chg").over(
+        obs.rowsBetween(Long.MinValue, 0)))
+    val runs = flagged.groupBy(col(keyCol), col("__run"))
+      .agg(min(col(tsCol)).as("valid_from"),
+        min(col(valueCol)).as(valueCol)) // constant within a run
+    val runW = Window.partitionBy(col(keyCol)).orderBy(col("valid_from").asc,
+      col("__run").asc)
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(runW))
+      .select(col(keyCol), col(valueCol), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -206,4 +206,39 @@ class SnapshotSpec extends SparkSpec {
       .orderBy("row").collect()
     assert(out.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq === Seq(111L, 102L, -1L))
   }
+
+  // ── SCD2 intervals ─────────────────────────────────────────────────────
+
+  test("scd2Intervals: runs collapse, intervals chain, last is current") {
+    import graft.operators.Snapshot
+    import java.sql.Timestamp
+    def t(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val obs = Seq(
+      (1L, t(1), 1L, "A"), (1L, t(2), 2L, "A"),   // run A collapses
+      (1L, t(3), 3L, "B"),                        // change
+      (1L, t(4), 4L, "A"),                        // back to A: NEW run
+      (2L, t(5), 5L, "X")).toDF("k", "ts", "id", "v")
+    val out = Snapshot.scd2Intervals(obs, "k", "ts", "id", "v")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(out.toList === List(
+      (1L, "A", t(1), Some(t(3)), false),
+      (1L, "B", t(3), Some(t(4)), false),
+      (1L, "A", t(4), None, true),
+      (2L, "X", t(5), None, true)))
+  }
+
+  test("scd2Intervals: same-timestamp ties order by the tie column") {
+    import graft.operators.Snapshot
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:01")
+    val obs = Seq((1L, ts, 2L, "B"), (1L, ts, 1L, "A"))
+      .toDF("k", "ts", "id", "v")
+    val out = Snapshot.scd2Intervals(obs, "k", "ts", "id", "v")
+      .orderBy("valid_from", "v")
+      .collect().map(r => (r.getString(1), r.getBoolean(4)))
+    // id 1 (A) observed first, then B: A closed, B current
+    assert(out.toSet === Set(("A", false), ("B", true)))
+  }
 }
