@@ -1315,6 +1315,31 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: per-source lexical diversity — token/type counts, TTR,
+    //    Shannon entropy (word-sorted fold; q106's single-source twin)
+    //    (oracle: DuckDB replays counts, entropy terms, and the fold) ──────
+    "q146_lexical_diversity" -> ((s, dir) => {
+      TextAnalysis.lexicalDiversity(
+          T(s, dir, "documents").select("source", "text"), "source", "text",
+          deterministic = true)
+        .select(col("group"), col("n_tokens"), col("n_types"),
+          round(col("ttr"), 6).as("ttr"),
+          round(col("entropy"), 6).as("entropy"),
+          round(col("norm_entropy"), 6).as("norm_entropy"))
+        .orderBy("group")
+    }),
+    // ── scale: exact trimmed mean per group — robust central tendency on
+    //    exact cents (kept-sum is an order-free long); ranks ride the
+    //    pruned per-(range, group) machinery (oracle: DuckDB replays
+    //    ranks, cuts, and the one division) ────────────────────────────────
+    "q147_trimmed_mean" -> ((s, dir) => {
+      Analytics.trimmedMeanPerGroup(T(s, dir, "orders"),
+          "o_orderpriority", "o_orderkey",
+          round(col("o_totalprice") * 100), frac = 0.1)
+        .select(col("group"), col("n_total"), col("n_kept"),
+          round(col("mean"), 6).as("mean"))
+        .orderBy("group")
+    }),
     // ── scale: SCD2 interval builder — gaps-and-islands collapse of the
     //    per-user event stream into validity intervals, the dimension-
     //    history shape asofJoin consumes (oracle: DuckDB replays lag
@@ -1954,6 +1979,17 @@ object SparkEntry {
           .select(col("source_a"), col("source_b"),
             round(col("js"), 6).as("js"))
           .orderBy("source_a", "source_b")
+      }),
+      // q146 benches the PRODUCTION entropy path (plain sums; word-sorted
+      // folds are the oracle-replay artifact — the q106 convention)
+      "q146_lexical_diversity" -> ((s, dir) => {
+        val d = T(s, dir, "documents").select("source", "text")
+        () => TextAnalysis.lexicalDiversity(d, "source", "text")
+          .select(col("group"), col("n_tokens"), col("n_types"),
+            round(col("ttr"), 6).as("ttr"),
+            round(col("entropy"), 6).as("entropy"),
+            round(col("norm_entropy"), 6).as("norm_entropy"))
+          .orderBy("group")
       }),
       // q144 benches the PRODUCTION capped path (middle-degree cap 100 —
       // the bounded-recall scale lever; the exact path is the oracle gate)
@@ -3045,6 +3081,45 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q146_lexical_diversity" ->
+      """WITH tok AS (SELECT source AS g,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |counts AS (SELECT g, w, count(*) AS c FROM tok
+        |           WHERE w <> '' GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |          CAST(count(*) AS BIGINT) AS v FROM counts GROUP BY 1),
+        |t AS (SELECT counts.g AS g, w,
+        |        (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |          ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term,
+        |        n, v
+        |      FROM counts JOIN tot ON counts.g = tot.g),
+        |s AS (SELECT g, n, v,
+        |        list_reduce(list(term ORDER BY w), (a, b) -> a + b) AS sm
+        |      FROM t GROUP BY g, n, v)
+        |SELECT g AS "group", n AS n_tokens, v AS n_types,
+        |  round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr,
+        |  round(-sm, 6) AS entropy,
+        |  round(CASE WHEN v = 1 THEN CAST(0.0 AS DOUBLE)
+        |             ELSE (-sm) / ln(CAST(v AS DOUBLE)) END, 6)
+        |    AS norm_entropy
+        |FROM s ORDER BY "group"""".stripMargin,
+    "q147_trimmed_mean" ->
+      """WITH d AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT g, id, cents,
+        |        row_number() OVER (PARTITION BY g
+        |          ORDER BY CAST(cents AS DOUBLE) DESC, id) AS rank,
+        |        count(*) OVER (PARTITION BY g) AS n
+        |      FROM d),
+        |k AS (SELECT g, n, cents FROM r
+        |      WHERE rank > floor(CAST(n AS DOUBLE) * CAST(0.1 AS DOUBLE))
+        |        AND rank <= n - floor(CAST(n AS DOUBLE) * CAST(0.1 AS DOUBLE)))
+        |SELECT g AS "group", CAST(min(n) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS mean
+        |FROM k GROUP BY g ORDER BY "group"""".stripMargin,
     "q145_scd2" ->
       """WITH f AS (SELECT user_id, ts, event_id, event_type,
         |        CASE WHEN lag(event_type) OVER w IS NULL

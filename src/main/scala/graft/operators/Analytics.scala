@@ -599,4 +599,39 @@ object Analytics {
       .orderBy(col("cnt").desc, col("item_a").asc, col("item_b").asc)
       .limit(topK)
   }
+
+  /** Exact trimmed mean per group: drop the top and bottom
+    * `floor(n_g · frac)` rows of each group by value rank and average
+    * the middle — the robust central tendency that, unlike the median,
+    * still uses most of the data ("average order value per priority,
+    * immune to the whales and the refunds"). Values are EXACT INTEGER
+    * units (cents), so the kept-sum is an order-free long and the mean
+    * is one division — no deterministic/production split exists to
+    * diverge.
+    *
+    * Ranks ride [[Sampling.topFractionPerGroup]]'s pruned per-(range,
+    * group) machinery at frac = 1 (distributed row_number semantics,
+    * ties by id — never a one-task-per-group window); group sizes are
+    * group-cardinality-small and broadcast. Returns
+    * (group, n_total, n_kept, mean). */
+  def trimmedMeanPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      valueCents: Column, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac < 0.5, s"frac must be in [0, 0.5), got $frac")
+    val prep = df.select(col(groupCol), col(idCol),
+        valueCents.cast("long").as("__cents"))
+      .withColumn("__score", col("__cents").cast("double"))
+    val ranked = Sampling.topFractionPerGroup(prep.drop("__cents"),
+        groupCol, idCol, "__score", frac = 1.0)
+      .join(prep.select(col(groupCol), col(idCol), col("__cents")),
+        Seq(groupCol, idCol))
+    val sizes = ranked.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val cut = floor(col("__n").cast("double") * lit(frac))
+    ranked.join(Ops.broadcastIfSmall(sizes), Seq(groupCol))
+      .filter(col("rank") > cut && col("rank") <= col("__n") - cut)
+      .groupBy(col(groupCol).as("group"), col("__n").as("n_total"))
+      .agg(count(lit(1)).as("n_kept"), sum("__cents").as("__sum"))
+      .select(col("group"), col("n_total"), col("n_kept"),
+        (col("__sum").cast("double") / col("n_kept").cast("double"))
+          .as("mean"))
+  }
 }

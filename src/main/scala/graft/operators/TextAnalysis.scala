@@ -646,4 +646,48 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Per-group lexical diversity: token count, type (distinct-token)
+    * count, type-token ratio, Shannon entropy of the unigram
+    * distribution, and entropy normalized by ln(types) — the "is this
+    * source templated boilerplate or real prose?" diagnostic
+    * ([[graft.operators.Importance.sourceDivergence]] compares sources
+    * to each other; this scores each one alone).
+    *
+    * One corpus scan to the checkpointed (group, word) counts; totals
+    * are group-cardinality-sized; the entropy folds word-sorted when
+    * `deterministic` (the gate path — SQL-replayable, ln parity per the
+    * q66/q106 precedent), plain sum in production. Singleton-vocabulary
+    * groups get normalized entropy 0 (H = 0 and ln V = 0 — defined as
+    * the limit, not a 0/0). */
+  def lexicalDiversity(df: DataFrame, groupCol: String, textCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("__g"),
+        explode(Dedup.tokensCol(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__g", "__w").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy("__g")
+      .agg(sum("__c").as("__n"), count(lit(1)).as("__v"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    val term = p * log(p)
+    val terms = counts.join(Ops.broadcastIfSmall(totals), Seq("__g"))
+      .select(col("__g"), col("__w"), term.as("__t"),
+        col("__n"), col("__v"))
+    val summed =
+      if (deterministic)
+        terms.groupBy("__g", "__n", "__v").agg(
+          aggregate(sort_array(collect_list(struct(col("__w"), col("__t")))),
+            lit(0.0), (acc, x) => acc + x.getField("__t")).as("__s"))
+      else
+        terms.groupBy("__g", "__n", "__v").agg(sum("__t").as("__s"))
+    summed.select(col("__g").as("group"),
+      col("__n").as("n_tokens"), col("__v").as("n_types"),
+      (col("__v").cast("double") / col("__n").cast("double")).as("ttr"),
+      (-col("__s")).as("entropy"),
+      when(col("__v") === 1L, lit(0.0))
+        .otherwise((-col("__s")) / log(col("__v").cast("double")))
+        .as("norm_entropy"))
+  }
 }

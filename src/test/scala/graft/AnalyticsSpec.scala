@@ -349,4 +349,25 @@ class AnalyticsSpec extends SparkSpec {
     val oa = Analytics.proportionZTest(oneArm, col("a"), col("s")).first()
     assert(oa.isNullAt(5) && oa.isNullAt(6))
   }
+
+  // ── trimmed mean ───────────────────────────────────────────────────────
+
+  test("trimmedMeanPerGroup: drops both tails, exact cents mean") {
+    // group g: cents 1..10 -> frac 0.2 cuts floor(10*0.2)=2 from each
+    // tail -> keep 3..8, mean 5.5
+    val df = (1L to 10L).map(i => ("g", i, i)).toDF("grp", "id", "cents")
+    val out = Analytics.trimmedMeanPerGroup(df, "grp", "id", col("cents"),
+        frac = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toList === List(("g", 10L, 6L, 5.5)))
+  }
+
+  test("trimmedMeanPerGroup: outlier immunity vs the plain mean") {
+    val df = ((1L to 99L).map(i => ("g", i, 100L)) :+ (("g", 100L, 1000000L)))
+      .toDF("grp", "id", "cents")
+    val tm = Analytics.trimmedMeanPerGroup(df, "grp", "id", col("cents"),
+        frac = 0.05).first().getDouble(3)
+    assert(tm === 100.0)   // the single whale is gone
+  }
 }
