@@ -1315,6 +1315,34 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: join-cardinality forecast — exact Σ cA·cB over common
+    //    keys BEFORE the join runs (self-join blowup detector; hot key →
+    //    saltedJoin input) (oracle: DuckDB replays counts and products) ────
+    "q148_join_cardinality" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Profiling.joinCardinality(li, "l_partkey", li, "l_partkey")
+    }),
+    // ── scale: weighted draws WITH replacement — multinomial corpus
+    //    mixing as a pure function of (seed, draw): inverse-CDF crossing
+    //    rows on the id-ordered cumulative weight (oracle: DuckDB replays
+    //    hashes, cumsums, and crossings) ───────────────────────────────────
+    "q149_weighted_draws" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("w"))
+      Sampling.weightedDraws(d, "doc_id", "w", k = 20, seed = 7L)
+        .select(col("draw"), col("id"), col("w"), round(col("u"), 6).as("u"))
+        .orderBy("draw")
+    }),
+    // ── scale: time-weighted average per key — duration-weighted mean for
+    //    irregularly-sampled state; exact micros durations, ts-sorted fold
+    //    on the gate path (oracle: DuckDB replays gaps and the fold) ───────
+    "q150_twap" -> ((s, dir) => {
+      Analytics.timeWeightedAverage(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "value", deterministic = true)
+        .select(col("user_id"), col("n_intervals"), col("total_micros"),
+          round(col("twap"), 6).as("twap"))
+        .orderBy("user_id")
+    }),
     // ── scale: per-source lexical diversity — token/type counts, TTR,
     //    Shannon entropy (word-sorted fold; q106's single-source twin)
     //    (oracle: DuckDB replays counts, entropy terms, and the fold) ──────
@@ -1979,6 +2007,16 @@ object SparkEntry {
           .select(col("source_a"), col("source_b"),
             round(col("js"), 6).as("js"))
           .orderBy("source_a", "source_b")
+      }),
+      // q150 benches the PRODUCTION fold (plain sums; ts-sorted folds are
+      // the oracle-replay artifact)
+      "q150_twap" -> ((s, dir) => {
+        val ev = T(s, dir, "events")
+        () => Analytics.timeWeightedAverage(ev, "user_id", "ts",
+            "event_id", "value")
+          .select(col("user_id"), col("n_intervals"), col("total_micros"),
+            round(col("twap"), 6).as("twap"))
+          .orderBy("user_id")
       }),
       // q146 benches the PRODUCTION entropy path (plain sums; word-sorted
       // folds are the oracle-replay artifact — the q106 convention)
@@ -3081,6 +3119,46 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q148_join_cardinality" ->
+      """WITH ca AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |            FROM lineitem GROUP BY 1),
+        |p AS (SELECT k, CAST(c * c AS BIGINT) AS pr FROM ca),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_common_keys,
+        |        CAST(sum(pr) AS BIGINT) AS join_rows FROM p)
+        |SELECT n_common_keys, join_rows, k AS hot_key, pr AS hot_rows
+        |FROM p CROSS JOIN t ORDER BY pr DESC, k LIMIT 1""".stripMargin,
+    "q149_weighted_draws" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS w
+         |  FROM documents),
+         |c AS (SELECT id, w, sum(w) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED
+         |        PRECEDING AND CURRENT ROW) AS cum FROM d),
+         |wt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM d),
+         |dr AS (SELECT CAST(i AS INT) AS draw,
+         |         CAST((('0x' || substr(md5('7:' || i::VARCHAR), 1, 15))
+         |           ::UBIGINT + 1) AS DOUBLE) /
+         |           CAST(${math.pow(2.0, 60)} AS DOUBLE) AS u
+         |       FROM (SELECT unnest(range(1, 21)) AS i))
+         |SELECT draw, id, CAST(w AS BIGINT) AS w, round(u, 6) AS u
+         |FROM c JOIN dr
+         |  ON CAST(cum AS DOUBLE) >= u * CAST((SELECT wt FROM wt) AS DOUBLE)
+         | AND CAST(cum - w AS DOUBLE) < u * CAST((SELECT wt FROM wt) AS DOUBLE)
+         |ORDER BY draw""".stripMargin,
+    "q150_twap" ->
+      """WITH d AS (SELECT user_id, ts, event_id, value,
+        |        epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id, ts, event_id, value, dt,
+        |        value * CAST(dt AS DOUBLE) AS vd
+        |      FROM d WHERE dt IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS total_micros,
+        |  round(list_reduce(list(vd ORDER BY ts, event_id),
+        |      (a, b) -> a + b) /
+        |    CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE), 6) AS twap
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q146_lexical_diversity" ->
       """WITH tok AS (SELECT source AS g,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w

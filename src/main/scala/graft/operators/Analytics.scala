@@ -634,4 +634,43 @@ object Analytics {
         (col("__sum").cast("double") / col("n_kept").cast("double"))
           .as("mean"))
   }
+
+  /** Time-weighted average per key (TWAP): each observation's value is
+    * weighted by how long it REMAINED current (the gap to the next
+    * observation) — the correct mean for irregularly-sampled state
+    * ("average queue depth", "average price held") where the plain mean
+    * over-weights busy periods. The last observation per key carries no
+    * duration and is excluded. Durations are exact integer microseconds;
+    * the Σ value·dt fold is ts-sorted when `deterministic` (gate), plain
+    * in production. ONE keyed window. Returns
+    * (key, n_intervals, total_micros, twap). */
+  def timeWeightedAverage(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val withDt = df
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__dt", lead(micros, 1).over(w) - micros)
+      .filter(col("__dt").isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol), col("__v"), col("__dt"),
+        (col("__v") * col("__dt").cast("double")).as("__vd"))
+    val agg =
+      if (deterministic)
+        withDt.groupBy(keyCol).agg(
+          count(lit(1)).as("n_intervals"),
+          sum("__dt").as("total_micros"),
+          aggregate(sort_array(collect_list(
+            struct(col(tsCol), col(tieCol), col("__vd")))),
+            lit(0.0), (acc, x) => acc + x.getField("__vd")).as("__s"))
+      else
+        withDt.groupBy(keyCol).agg(
+          count(lit(1)).as("n_intervals"),
+          sum("__dt").as("total_micros"),
+          sum("__vd").as("__s"))
+    agg.select(col(keyCol), col("n_intervals"), col("total_micros"),
+      (col("__s") / col("total_micros").cast("double")).as("twap"))
+  }
 }

@@ -396,4 +396,28 @@ object Profiling {
           .as("skew"))
       .orderBy("rank")
   }
+
+  /** Join-cardinality forecast: the EXACT row count `a ⋈ b` on an
+    * equi-key would produce — Σ over common keys of cntA(k)·cntB(k) —
+    * plus the hottest key and its contribution. The "will this join
+    * explode?" pre-flight: run it on the key frames (key-cardinality-
+    * sized, a tiny fraction of the join itself) BEFORE committing a
+    * 100 TB shuffle; a hot key here is the direct input to
+    * [[graft.operators.Analytics.saltedJoin]]. All counts and products
+    * are exact longs. Returns one row
+    * (n_common_keys, join_rows, hot_key, hot_rows). */
+  def joinCardinality(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val ca = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("__cb"))
+    val prods = ca.join(cb, Seq("k"))
+      .select(col("k"), (col("__ca") * col("__cb")).as("__p"))
+      .localCheckpoint(false)
+    val totals = prods.agg(count(lit(1)).as("n_common_keys"),
+      coalesce(sum("__p"), lit(0L)).as("join_rows"))
+    prods.orderBy(col("__p").desc, col("k").asc).limit(1)
+      .crossJoin(broadcast(totals))
+      .select(col("n_common_keys"), col("join_rows"),
+        col("k").as("hot_key"), col("__p").as("hot_rows"))
+  }
 }

@@ -671,4 +671,54 @@ object Sampling {
       df.filter(bucket >= lit(lo) && bucket < lit(hi))
     }.toSeq
   }
+
+  /** Weighted sampling WITH replacement: `k` independent draws, each
+    * selecting a row with probability ∝ weight — multinomial corpus
+    * mixing ("draw 100k docs proportional to token mass"), where
+    * [[prioritySampleK]] is the without-replacement form. Draw `d` maps
+    * to the uniform u_d = (h60(seed:d)+1)/2⁶⁰ and selects the CROSSING
+    * row of the id-ordered cumulative weight (cum ≥ u·W ∧ cum−w < u·W)
+    * — a pure function of (seed, d), replayable anywhere.
+    *
+    * Shape: the id-ordered cumulative weight is the lorenzGini
+    * range-exchange + driver-offset pass; the k-row draws frame
+    * broadcasts against it with the crossing predicate (k is bounded —
+    * the nested-loop is k·rows predicate evaluations, linear in the
+    * corpus). Zero-weight rows can never cross. Returns
+    * (draw, id, w, u). */
+  def weightedDraws(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select(col(idCol).as("__id"), col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(p, col("__id").asc)
+      .sortWithinPartitions("__id")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val partials = parted.groupBy("__pid").agg(sum("__w").as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val wTot = partials.map(_._2).sum
+    require(wTot > 0, "total weight must be positive")
+    val offW = partials.map(_._1)
+      .zip(partials.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val win = Window.partitionBy("__pid").orderBy(col("__id").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val cum = parted.select(col("__id"), col("__w"),
+      (sum("__w").over(win) + element_at(typedLit(offW), col("__pid")))
+        .as("__cum"))
+    val draws = spark.range(1, k + 1).select(col("id").cast("int").as("draw"))
+      .withColumn("u",
+        (Dedup.md5Hash60(concat(lit(seed.toString), lit(":"),
+          col("draw").cast("string"))) + lit(1L)).cast("double") /
+          lit(math.pow(2.0, 60)))
+      .withColumn("__t", col("u") * lit(wTot.toDouble))
+    cum.join(broadcast(draws),
+        col("__cum").cast("double") >= col("__t") &&
+          (col("__cum") - col("__w")).cast("double") < col("__t"))
+      .select(col("draw"), col("__id").as("id"), col("__w").as("w"), col("u"))
+      .orderBy("draw")
+  }
 }

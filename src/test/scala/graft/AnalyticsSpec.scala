@@ -370,4 +370,27 @@ class AnalyticsSpec extends SparkSpec {
         frac = 0.05).first().getDouble(3)
     assert(tm === 100.0)   // the single whale is gone
   }
+
+  // ── time-weighted average ──────────────────────────────────────────────
+
+  test("timeWeightedAverage: duration weighting beats the plain mean") {
+    import java.sql.Timestamp
+    def t(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    // value 10 held 9s, value 100 held 1s, final value excluded
+    val df = Seq((1L, t(0), 1L, 10.0), (1L, t(9), 2L, 100.0),
+      (1L, t(10), 3L, 7.0)).toDF("k", "ts", "id", "v")
+    val r = Analytics.timeWeightedAverage(df, "k", "ts", "id", "v",
+        deterministic = true).first()
+    assert(r.getLong(1) === 2L)                       // two intervals
+    assert(r.getLong(2) === 10000000L)                // 10s in micros
+    assert(math.abs(r.getDouble(3) - 19.0) < 1e-12)   // (10*9 + 100*1)/10
+  }
+
+  test("timeWeightedAverage: single-observation keys are excluded") {
+    import java.sql.Timestamp
+    val df = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 5.0))
+      .toDF("k", "ts", "id", "v")
+    assert(Analytics.timeWeightedAverage(df, "k", "ts", "id", "v")
+      .count() === 0L)
+  }
 }

@@ -210,4 +210,17 @@ class ProfilingSpec extends SparkSpec {
     val plan = planOf(Profiling.keySkewReport(df.toDF(), "k", k = 5))
     assert(plan.contains("TakeOrderedAndProject"), s"no heap top-k:\n$plan")
   }
+
+  // ── join-cardinality forecast ────────────────────────────────────────
+
+  test("joinCardinality: exact product-sum and hot key") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")     // counts 3,1,1
+    val b = Seq(1L, 1L, 2L, 9L).toDF("j")         // counts 2,1 (9 uncommon)
+    val r = Profiling.joinCardinality(a, "k", b, "j").first()
+    // common keys 1,2: 3*2 + 1*1 = 7; hot key 1 with 6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 7L, 1L, 6L)))
+    // the forecast must equal the actual join size
+    assert(a.join(b, col("k") === col("j")).count() === 7L)
+  }
 }

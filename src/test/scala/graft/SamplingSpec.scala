@@ -299,4 +299,34 @@ class SamplingSpec extends SparkSpec {
     // equal-population: every bucket holds exactly 25
     assert(a.forall(_._2 === 25L))
   }
+
+  // ── weighted draws ─────────────────────────────────────────────────────
+
+  test("weightedDraws: k rows, crossing correctness, seed sensitivity") {
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 90L)).toDF("id", "w")
+    val out = Sampling.weightedDraws(df, "id", "w", k = 50, seed = 42L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length === 50)                    // every draw resolves
+    assert(out.forall(_._2 != 2L))               // zero weight never drawn
+    // crossing correctness: u <= 0.1 -> id 1 (cum 10 of 100), else id 3
+    assert(out.forall { case (_, id, u) =>
+      if (u * 100.0 <= 10.0) id == 1L else id == 3L })
+    // proportionality sanity on the 90/10 split
+    val heavy = out.count(_._2 == 3L)
+    assert(heavy > 30, s"90% mass drew only $heavy/50")
+    // a different seed draws a different sequence
+    val other = Sampling.weightedDraws(df, "id", "w", k = 50, seed = 43L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(other.toSeq != out.map(t => (t._1, t._2)).toSeq)
+  }
+
+  test("weightedDraws: partition-invariant (pure function of seed and draw)") {
+    val df = (1L to 100L).map(i => (i, i % 7 + 1L)).toDF("id", "w")
+    val a = Sampling.weightedDraws(df, "id", "w", k = 10, seed = 5L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    val b = Sampling.weightedDraws(df.repartition(13), "id", "w", k = 10,
+        seed = 5L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(a === b)
+  }
 }
