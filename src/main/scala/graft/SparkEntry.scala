@@ -1315,6 +1315,17 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: categorical mutual information — MI/NMI + marginal
+    //    entropies over the contingency cells ("is this column that one
+    //    in disguise?") (oracle: DuckDB replays cells, marginals, and the
+    //    key-sorted folds) ─────────────────────────────────────────────────
+    "q151_mutual_information" -> ((s, dir) => {
+      Profiling.mutualInformation(T(s, dir, "lineitem"),
+          "l_returnflag", "l_linestatus", deterministic = true)
+        .select(col("n"), round(col("mi"), 6).as("mi"),
+          round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+          round(col("nmi"), 6).as("nmi"))
+    }),
     // ── scale: join-cardinality forecast — exact Σ cA·cB over common
     //    keys BEFORE the join runs (self-join blowup detector; hot key →
     //    saltedJoin input) (oracle: DuckDB replays counts and products) ────
@@ -3119,6 +3130,35 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q151_mutual_information" ->
+      """WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS x,
+        |    CAST(l_linestatus AS VARCHAR) AS y, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |j AS (SELECT cells.x AS x, cells.y AS y, c, cx, cy,
+        |        CAST((SELECT n FROM n) AS DOUBLE) AS nd
+        |      FROM cells JOIN mx USING (x) JOIN my USING (y)),
+        |mi AS (SELECT list_reduce(list(
+        |         (CAST(c AS DOUBLE) / nd) * ln((CAST(c AS DOUBLE) / nd) /
+        |           ((CAST(cx AS DOUBLE) / nd) * (CAST(cy AS DOUBLE) / nd)))
+        |         ORDER BY x, y), (a, b) -> a + b) AS mi FROM j),
+        |hx AS (SELECT -list_reduce(list(
+        |         (CAST(cx AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) *
+        |         ln(CAST(cx AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+        |         ORDER BY x), (a, b) -> a + b) AS h FROM mx),
+        |hy AS (SELECT -list_reduce(list(
+        |         (CAST(cy AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) *
+        |         ln(CAST(cy AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+        |         ORDER BY y), (a, b) -> a + b) AS h FROM my)
+        |SELECT (SELECT n FROM n) AS n, round((SELECT mi FROM mi), 6) AS mi,
+        |  round((SELECT h FROM hx), 6) AS h_x,
+        |  round((SELECT h FROM hy), 6) AS h_y,
+        |  round(CASE WHEN (SELECT h FROM hx) > 0 AND (SELECT h FROM hy) > 0
+        |    THEN (SELECT mi FROM mi) /
+        |      sqrt((SELECT h FROM hx) * (SELECT h FROM hy))
+        |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS nmi""".stripMargin,
     "q148_join_cardinality" ->
       """WITH ca AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
         |            FROM lineitem GROUP BY 1),

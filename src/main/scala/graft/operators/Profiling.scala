@@ -420,4 +420,57 @@ object Profiling {
       .select(col("n_common_keys"), col("join_rows"),
         col("k").as("hot_key"), col("__p").as("hot_rows"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * feature-association measure for discrete pairs, where
+    * [[integerCorrelationMatrix]] covers numeric pairs: MI =
+    * Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))), plus both marginal entropies and
+    * the √(H(X)·H(Y))-normalized NMI in [0,1]. "Is l_returnflag just
+    * l_linestatus in disguise?" before a model double-counts them.
+    *
+    * One scan to the (x, y) contingency counts (map-side combined,
+    * cell-cardinality-sized); marginals derive from the cells; all
+    * probabilities are exact-long ratios; the three Σ terms fold
+    * key-sorted when `deterministic` (gate), plain in production.
+    * Returns one row (n, mi, h_x, h_y, nmi). */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val cells = df
+      .select(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val mx = cells.groupBy("__x").agg(sum("__c").as("__cx"))
+    val my = cells.groupBy("__y").agg(sum("__c").as("__cy"))
+    val n = cells.agg(sum("__c")).first().getLong(0)
+    require(n > 0, "no rows")
+    val nD = lit(n.toDouble)
+    def foldTerms(terms: DataFrame, keyCols: Seq[String],
+        termCol: String): DataFrame =
+      if (deterministic)
+        terms.agg(aggregate(
+          sort_array(collect_list(struct(
+            keyCols.map(col) :+ col(termCol).as("__t"): _*))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("s"))
+      else terms.agg(sum(col(termCol)).as("s"))
+    val pxy = col("__c").cast("double") / nD
+    val px = col("__cx").cast("double") / nD
+    val py = col("__cy").cast("double") / nD
+    val miTerms = cells
+      .join(Ops.broadcastIfSmall(mx), Seq("__x"))
+      .join(Ops.broadcastIfSmall(my), Seq("__y"))
+      .select(col("__x"), col("__y"),
+        (pxy * log(pxy / (px * py))).as("__t"))
+    val mi = foldTerms(miTerms, Seq("__x", "__y"), "__t").first().getDouble(0)
+    val hx = -foldTerms(
+      mx.select(col("__x"), (px * log(px)).as("__t")), Seq("__x"), "__t")
+      .first().getDouble(0)
+    val hy = -foldTerms(
+      my.select(col("__y"), (py * log(py)).as("__t")), Seq("__y"), "__t")
+      .first().getDouble(0)
+    val nmi = if (hx > 0.0 && hy > 0.0)
+      mi / math.sqrt(hx * hy) else 0.0
+    import df.sparkSession.implicits._
+    Seq((n, mi, hx, hy, nmi)).toDF("n", "mi", "h_x", "h_y", "nmi")
+  }
 }

@@ -223,4 +223,31 @@ class ProfilingSpec extends SparkSpec {
     // the forecast must equal the actual join size
     assert(a.join(b, col("k") === col("j")).count() === 7L)
   }
+
+  // ── mutual information ───────────────────────────────────────────────
+
+  test("mutualInformation: identical -> NMI 1, independent -> MI exactly 0") {
+    val ident = (1 to 60).map(i => (s"v${i % 3}", s"v${i % 3}")).toDF("x", "y")
+    val r1 = Profiling.mutualInformation(ident, "x", "y",
+      deterministic = true).first()
+    assert(math.abs(r1.getDouble(1) - math.log(3.0)) < 1e-12)  // MI = H
+    assert(math.abs(r1.getDouble(4) - 1.0) < 1e-12)            // NMI = 1
+    // balanced product distribution: every cell p(x,y) = p(x)p(y) exactly
+    val indep = (0 until 60).map(i => (s"a${i % 2}", s"b${i % 3}")).toDF("x", "y")
+    val r2 = Profiling.mutualInformation(indep, "x", "y",
+      deterministic = true).first()
+    assert(math.abs(r2.getDouble(1)) < 1e-15)
+    assert(math.abs(r2.getDouble(2) - math.log(2.0)) < 1e-12)
+    assert(math.abs(r2.getDouble(3) - math.log(3.0)) < 1e-12)
+  }
+
+  test("mutualInformation: deterministic ≈ production") {
+    val df = (1 to 500).map(i => (s"x${i % 7}", s"y${(i * i) % 5}"))
+      .toDF("x", "y")
+    val a = Profiling.mutualInformation(df, "x", "y", deterministic = true)
+      .first()
+    val b = Profiling.mutualInformation(df, "x", "y").first()
+    assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9)
+    assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-9)
+  }
 }
