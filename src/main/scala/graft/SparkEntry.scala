@@ -1315,6 +1315,26 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: Kaplan–Meier survival — time-to-first-error curve in
+    //    hours (product-limit estimator with censoring support) (oracle:
+    //    DuckDB replays at-risk suffix sums and the ascending product) ─────
+    "q152_kaplan_meier" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val subj = ev.groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("__first"),
+        min(when(col("event_type") === "error", unix_micros(col("ts"))))
+          .as("__ferr"))
+      val g = ev.agg(max(unix_micros(col("ts"))).as("__gmx"))
+      val d = subj.crossJoin(broadcast(g))
+        .select(
+          expr("coalesce(__ferr - __first, __gmx - __first) div 3600000000")
+            .as("t_hours"),
+          col("__ferr").isNotNull.as("ev"))
+      Analytics.kaplanMeier(d, "t_hours", "ev")
+        .select(col("t"), col("n_risk"), col("events"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("t")
+    }),
     // ── scale: categorical mutual information — MI/NMI + marginal
     //    entropies over the contingency cells ("is this column that one
     //    in disguise?") (oracle: DuckDB replays cells, marginals, and the
@@ -3130,6 +3150,34 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q152_kaplan_meier" ->
+      """WITH s AS (SELECT user_id,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS fst,
+        |    CAST(min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        |      AS BIGINT) AS ferr
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS gmx FROM events),
+        |subj AS (SELECT
+        |    coalesce(ferr - fst, (SELECT gmx FROM g) - fst) // 3600000000
+        |      AS t,
+        |    ferr IS NOT NULL AS e
+        |  FROM s),
+        |byt AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS d, CAST(count(*) AS BIGINT) AS c
+        |        FROM subj GROUP BY 1),
+        |risk AS (SELECT t, d, c,
+        |           CAST(sum(c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        |         FROM byt),
+        |ev AS (SELECT t, d, n,
+        |         CAST(1.0 AS DOUBLE) - (CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+        |           AS term
+        |       FROM risk WHERE d > 0)
+        |SELECT a.t AS t, min(a.n) AS n_risk, min(a.d) AS events,
+        |  round(list_reduce(list(b.term ORDER BY b.t), (x, y) -> x * y), 6)
+        |    AS survival
+        |FROM ev a JOIN ev b ON b.t <= a.t
+        |GROUP BY a.t ORDER BY t""".stripMargin,
     "q151_mutual_information" ->
       """WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS x,
         |    CAST(l_linestatus AS VARCHAR) AS y, count(*) AS c

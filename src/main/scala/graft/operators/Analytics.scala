@@ -673,4 +673,47 @@ object Analytics {
     agg.select(col(keyCol), col("n_intervals"), col("total_micros"),
       (col("__s") / col("total_micros").cast("double")).as("twap"))
   }
+
+  /** Kaplan–Meier survival curve (product-limit estimator): given one
+    * row per subject with a duration and an observed-event flag
+    * (false = censored — the subject left observation with no event),
+    * S(t) = Π over event times t′ ≤ t of (1 − d(t′)/n(t′)), the
+    * standard answer to "how long until users churn / jobs fail /
+    * documents go stale" under censoring, where a naive mean of
+    * observed durations is biased low.
+    *
+    * Shape: ONE map-side-combined aggregate to per-duration (events,
+    * subjects) counts; everything after runs on that curve frame, whose
+    * size is the distinct-duration count — the GRANULARITY CONTRACT
+    * (day/hour-bucket durations keep it thousands at any corpus size;
+    * the at-risk suffix sum and prefix product are windows/folds over
+    * that frame only). The survival product folds event-time-ascending
+    * with a 1.0 init (exact identity) — SQL-replayable. Returns
+    * (t, n_risk, events, survival) at event times only. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val subj = df.select(col(durationCol).cast("long").as("__t"),
+      col(eventCol).cast("boolean").as("__e"))
+    val byT = subj.groupBy("__t").agg(
+      sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+      count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val w = Window.orderBy(col("__t").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val risk = byT.withColumn("__n", sum("__c").over(w))
+    val ev = risk.filter(col("__d") > 0)
+      .select(col("__t"), col("__d"), col("__n"),
+        (lit(1.0) - (col("__d").cast("double") / col("__n").cast("double")))
+          .as("__term"))
+      .localCheckpoint(false)
+    ev.select(col("__t"), col("__d"), col("__n"))
+      .join(ev.select(col("__t").as("__t2"), col("__term")),
+        col("__t2") <= col("__t"))
+      .groupBy("__t", "__d", "__n")
+      .agg(aggregate(sort_array(collect_list(struct(col("__t2"), col("__term")))),
+        lit(1.0), (acc, x) => acc * x.getField("__term")).as("survival"))
+      .select(col("__t").as("t"), col("__n").as("n_risk"),
+        col("__d").as("events"), col("survival"))
+      .orderBy("t")
+  }
 }

@@ -393,4 +393,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.timeWeightedAverage(df, "k", "ts", "id", "v")
       .count() === 0L)
   }
+
+  // ── Kaplan–Meier ───────────────────────────────────────────────────────
+
+  test("kaplanMeier: textbook curve with censoring") {
+    // durations: events at t=2 (1), t=5 (1); censored at t=3 and t=6
+    // n_risk(2)=4 -> S=3/4; n_risk(5)=2 -> S = 3/4 * 1/2 = 3/8
+    val df = Seq((2L, true), (3L, false), (5L, true), (6L, false))
+      .toDF("t", "e")
+    val out = Analytics.kaplanMeier(df, "t", "e")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(2L, 5L))          // curve points at events only
+    assert(out(2L) === ((4L, 1L, 0.75)))
+    assert(out(5L) === ((2L, 1L, 0.375)))
+  }
+
+  test("kaplanMeier: ties at one time and no-censoring sanity") {
+    // all observed: S steps to 0 at the last event
+    val df = Seq((1L, true), (1L, true), (2L, true)).toDF("t", "e")
+    val out = Analytics.kaplanMeier(df, "t", "e")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - 1.0 / 3.0) < 1e-15)   // 1 - 2/3
+    assert(out(2L)._2 === 0.0)
+  }
 }
