@@ -1315,6 +1315,23 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: PSI drift score — reference-decile binned
+    //    (p_ref−p_cur)·ln(p_ref/p_cur), the model-monitoring standard;
+    //    edges from distributed reference ranks as plan literals (oracle:
+    //    DuckDB replays edges, bins, smoothing, and the fold) ──────────────
+    "q153_psi" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val cutoff = lit("1995-06-01").cast("timestamp")
+      Profiling.psi(
+          o.filter(col("o_orderdate") < cutoff),
+          o.filter(col("o_orderdate") >= cutoff),
+          "o_totalprice", bins = 10)
+        .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("bin")
+    }),
     // ── scale: Kaplan–Meier survival — time-to-first-error curve in
     //    hours (product-limit estimator with censoring support) (oracle:
     //    DuckDB replays at-risk suffix sums and the ascending product) ─────
@@ -3150,6 +3167,48 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q153_psi" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders
+        |     WHERE o_orderdate < TIMESTAMP '1995-06-01'
+        |       AND o_totalprice IS NOT NULL),
+        |cur AS (SELECT o_totalprice AS v FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        |          AND o_totalprice IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rank FROM ref),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+        |ed AS (SELECT t.j AS j, r.v AS e
+        |       FROM (SELECT unnest(range(1, 10)) AS j) t
+        |       JOIN r ON r.rank = ((SELECT n FROM nr) * t.j) // 10),
+        |es AS (SELECT list(e ORDER BY j) AS es FROM ed),
+        |ra AS (SELECT len(list_filter((SELECT es FROM es), x -> v > x))
+        |         AS bin FROM ref),
+        |rb AS (SELECT len(list_filter((SELECT es FROM es), x -> v > x))
+        |         AS bin FROM cur),
+        |ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_cnt
+        |       FROM ra GROUP BY 1),
+        |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_cnt
+        |       FROM rb GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+        |j0 AS (SELECT spine.bin AS bin, coalesce(ref_cnt, 0) AS ref_cnt,
+        |         coalesce(cur_cnt, 0) AS cur_cnt
+        |       FROM spine LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+        |t0 AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS na,
+        |         CAST(sum(cur_cnt) AS BIGINT) AS nb FROM j0),
+        |tm AS (SELECT bin, ref_cnt, cur_cnt,
+        |         (CAST(ref_cnt AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |           (CAST((SELECT na FROM t0) AS DOUBLE) +
+        |            CAST(5.0 AS DOUBLE)) AS p_ref,
+        |         (CAST(cur_cnt AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |           (CAST((SELECT nb FROM t0) AS DOUBLE) +
+        |            CAST(5.0 AS DOUBLE)) AS p_cur
+        |       FROM j0),
+        |tt AS (SELECT bin, ref_cnt, cur_cnt, p_ref, p_cur,
+        |         (p_ref - p_cur) * ln(p_ref / p_cur) AS term FROM tm),
+        |ps AS (SELECT list_reduce(list(term ORDER BY bin), (a, b) -> a + b)
+        |         AS psi FROM tt)
+        |SELECT bin, ref_cnt, cur_cnt, round(p_ref, 6) AS p_ref,
+        |  round(p_cur, 6) AS p_cur, round((SELECT psi FROM ps), 6) AS psi
+        |FROM tt ORDER BY bin""".stripMargin,
     "q152_kaplan_meier" ->
       """WITH s AS (SELECT user_id,
         |    CAST(min(epoch_us(ts)) AS BIGINT) AS fst,

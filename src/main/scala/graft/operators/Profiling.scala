@@ -473,4 +473,83 @@ object Profiling {
     import df.sparkSession.implicits._
     Seq((n, mi, hx, hy, nmi)).toDF("n", "mi", "h_x", "h_y", "nmi")
   }
+
+  /** Population Stability Index: the industry-standard binned drift
+    * score between a REFERENCE distribution and a CURRENT one — bin the
+    * reference into `bins` equal-population buckets, score
+    * PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur) over those fixed edges
+    * (rule of thumb: < 0.1 stable, > 0.25 act). [[ksDrift]] is the
+    * exact sup-distance; PSI is what model-monitoring dashboards
+    * actually alarm on, and its per-bin terms SAY WHERE the shift is.
+    *
+    * Edges come from the reference's distributed value ranks (the
+    * range-exchange + driver-offset pass; the value at a target rank is
+    * tie-invariant) and ship as plan literals; bin assignment is a pure
+    * projection (Σ v > e_j); per-bin counts map-side combine; both
+    * proportions are Laplace-smoothed ((c + 0.5)/(n + bins/2) — empty
+    * CURRENT bins otherwise put ±∞ in the log). Returns one row per bin
+    * (bin, ref_cnt, cur_cnt, p_ref, p_cur) with the constant `psi`
+    * (bin-sorted fold). */
+  def psi(reference: DataFrame, current: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val spark = reference.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val parted = reference
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(p, col("__v").asc)
+      .sortWithinPartitions("__v")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val partials = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = partials.map(_._2).sum
+    require(n >= bins, s"reference needs >= $bins rows, got $n")
+    val offR = partials.map(_._1)
+      .zip(partials.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val win = Window.partitionBy("__pid").orderBy(col("__v").asc)
+    val ranked = parted.select(col("__v"),
+      (row_number().over(win).cast("long") +
+        element_at(typedLit(offR), col("__pid"))).as("__rank"))
+    val targets = (1 until bins).map(j => (n * j) / bins)
+    val edges = ranked.filter(col("__rank").isInCollection(targets))
+      .collect().map(r => (r.getLong(1), r.getDouble(0)))
+      .sortBy(_._1).map(_._2).toSeq
+    def binOf(v: Column): Column =
+      edges.foldLeft(lit(0))((acc, e) =>
+        acc + when(v > lit(e), 1).otherwise(0))
+    def binCounts(df: DataFrame, cName: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .select(binOf(col("__v")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cName))
+    import spark.implicits._
+    val spine = (0 until bins).toDF("bin")
+    val joined = spine
+      .join(binCounts(reference, "ref_cnt"), Seq("bin"), "left")
+      .join(binCounts(current, "cur_cnt"), Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+      .localCheckpoint(false)
+    val totals = joined.agg(sum("ref_cnt").as("__na"),
+      sum("cur_cnt").as("__nb"))
+    val half = lit(bins * 0.5)
+    val pa = (col("ref_cnt").cast("double") + lit(0.5)) /
+      (col("__na").cast("double") + half)
+    val pb = (col("cur_cnt").cast("double") + lit(0.5)) /
+      (col("__nb").cast("double") + half)
+    val scored = joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        pa.as("p_ref"), pb.as("p_cur"),
+        ((pa - pb) * log(pa / pb)).as("__term"))
+      .localCheckpoint(false)
+    val psiRow = scored.agg(
+      aggregate(sort_array(collect_list(struct(col("bin"), col("__term")))),
+        lit(0.0), (acc, x) => acc + x.getField("__term")).as("psi"))
+    scored.crossJoin(broadcast(psiRow))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        col("p_ref"), col("p_cur"), col("psi"))
+      .orderBy("bin")
+  }
 }

@@ -250,4 +250,26 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9)
     assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-9)
   }
+
+  // ── PSI ──────────────────────────────────────────────────────────────
+
+  test("psi: identical distributions score ~0, shifted distribution alarms") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val sameOut = Profiling.psi(ref, ref, "v", bins = 10).collect()
+    assert(sameOut.length === 10)
+    assert(sameOut.forall(_.getDouble(5) < 1e-9))   // psi ~ 0
+    // equal-population reference bins: 100 per bin
+    assert(sameOut.forall(_.getLong(1) === 100L))
+    // hard shift: current entirely above the reference range
+    val cur = (2000 to 2500).map(_.toDouble).toDF("v")
+    val shifted = Profiling.psi(ref, cur, "v", bins = 10).first().getDouble(5)
+    assert(shifted > 0.25, s"hard shift must alarm, psi=$shifted")
+  }
+
+  test("psi: empty current bins survive via smoothing (finite psi)") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = Seq(50.0, 51.0, 52.0).toDF("v")   // most bins empty
+    val out = Profiling.psi(ref, cur, "v", bins = 10).collect()
+    assert(out.forall(r => !r.getDouble(5).isInfinite && !r.getDouble(5).isNaN))
+  }
 }
