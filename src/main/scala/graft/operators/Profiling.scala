@@ -552,4 +552,63 @@ object Profiling {
         col("p_ref"), col("p_cur"), col("psi"))
       .orderBy("bin")
   }
+
+  /** The MERGEABLE subset of [[profileTable]] — (column, n_rows,
+    * n_nulls, min_num, max_num, min_str, max_str, len_sum), every field
+    * combinable by sum/min/max: the incremental-profile state
+    * [[graft.streaming.Streaming.streamingProfileIngest]] maintains
+    * across micro-batches. Distinct counts are deliberately absent
+    * (not mergeable exactly — `streamingHllIngest` is the incremental
+    * distinct story); derive avg_len as len_sum/(n_rows−n_nulls) at
+    * read time. */
+  def profileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileStats needs at least one column")
+    val schema = df.schema
+    def isNumeric(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      val dt = schema(c).dataType
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+        (if (isNumeric(dt)) Seq(
+          min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))
+        else Seq(
+          min(col(c)).cast("string").as(s"__mins_$c"),
+          max(col(c)).cast("string").as(s"__maxs_$c"))) ++
+        (if (dt == StringType)
+          Seq(coalesce(sum(length(col(c)).cast("long")), lit(0L))
+            .as(s"__len_$c"))
+        else Seq.empty)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      val dt = schema(c).dataType
+      val (mn, mx, ms, mxs) =
+        if (isNumeric(dt))
+          (col(s"__min_$c"), col(s"__max_$c"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        else (lit(null).cast("double"), lit(null).cast("double"),
+          col(s"__mins_$c"), col(s"__maxs_$c"))
+      val lenSum = if (dt == StringType) col(s"__len_$c") else lit(0L)
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        mn.as("min_num"), mx.as("max_num"),
+        ms.as("min_str"), mxs.as("max_str"), lenSum.as("len_sum"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  /** Combine profile-stats frames column-wise: sums add, mins/maxs
+    * fold — the merge [[profileStats]] is designed around. */
+  def mergeProfileStats(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "nothing to merge")
+    frames.reduce(_ unionByName _)
+      .groupBy("column")
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        min("min_num").as("min_num"), max("max_num").as("max_num"),
+        min("min_str").as("min_str"), max("max_str").as("max_str"),
+        sum("len_sum").as("len_sum"))
+  }
 }

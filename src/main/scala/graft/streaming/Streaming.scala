@@ -286,6 +286,54 @@ object Streaming {
         }
       }
 
+  /** Micro-batch incremental table profile: each batch's MERGEABLE
+    * per-column stats ([[graft.operators.Profiling.profileStats]] —
+    * counts/nulls sum, mins/maxs fold, length sums add) merge into a
+    * persisted column-count-sized frame — "live data-quality dashboard
+    * over the ingest" without ever rescanning history. Distinct counts
+    * are deliberately absent (not mergeable exactly; pair with
+    * [[streamingHllIngest]]). Counter merges are NOT idempotent, so the
+    * CMS replay guard applies: a redelivered batchId is skipped. Same
+    * versioned-dir + ATOMIC_MOVE pointer layout as the other ingests. */
+  def streamingProfileIngest(
+      stream: DataFrame,
+      cols: Seq[String],
+      dir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val spark = batch.sparkSession
+        Files.createDirectories(Paths.get(dir))
+        val (prior, lastId) = readVersioned(spark, dir)
+        if (batchId != lastId && !batch.isEmpty) {
+          val bs = graft.operators.Profiling.profileStats(batch, cols)
+          val merged = prior match {
+            case Some(p) =>
+              graft.operators.Profiling.mergeProfileStats(Seq(p, bs))
+            case None => bs
+          }
+          val vdir = s"$dir/v$batchId"
+          merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+          val tmp = Paths.get(s"$dir/.latest.tmp-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+          Files.move(tmp, Paths.get(s"$dir/LATEST"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          val d = new java.io.File(dir)
+          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+            if (f.isDirectory && f.getName.startsWith("v") &&
+                f.getName != s"v$batchId")
+              scala.util.Try {
+                val walk = Files.walk(f.toPath)
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(p => { Files.deleteIfExists(p); () })
+                finally walk.close()
+              }: Unit
+          }
+          ()
+        }
+      }
+
   /** Micro-batch HyperLogLog ingest: batch registers MERGE into the
     * persisted register frame by cell-wise MAX — unlike the CMS counter
     * grid, max-merge is IDEMPOTENT, so a redelivered batch cannot corrupt

@@ -320,4 +320,51 @@ class StreamingSpec extends SparkSpec {
       .collect()(0).getLong(1)
     assert(est === 2L)
   }
+
+  test("streamingProfileIngest: merged stats equal the one-shot profile; replay skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val dir = tmpDir("stream_prof_")
+    // one SHARED checkpoint: batch ids advance across ingests (a fresh
+    // checkpoint would restart at 0 and the replay guard would skip it)
+    val ckpt = tmpDir("ckpt_p1_")
+    def ingest() = Streaming.streamingProfileIngest(
+        mem.toDF.toDF("id", "s", "x"), Seq("id", "s", "x"), dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    mem.addData((1L, "aa", 1.5), (2L, "bbbb", -2.0))
+    ingest()
+    mem.addData((3L, "c", 9.0))
+    ingest()
+
+    val (stats, _) = Streaming.readVersioned(spark, dir)
+    val got = stats.get.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+        r.getLong(7))).toMap
+    val oneShot = graft.operators.Profiling.profileStats(
+        Seq((1L, "aa", 1.5), (2L, "bbbb", -2.0), (3L, "c", 9.0))
+          .toDF("id", "s", "x"), Seq("id", "s", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          r.getLong(7))).toMap
+    assert(got === oneShot)
+    assert(got("x")._3 === Some(-2.0) && got("x")._4 === Some(9.0))
+    assert(got("s")._5 === 7L)   // "aa" + "bbbb" + "c"
+    // redelivered batch id (checkpoint-recovery shape: single-batch
+    // store, rerun with a fresh checkpoint redelivers batch 0) is
+    // skipped by the equality guard - the CMS replay contract
+    val mem2 = MemoryStream[(Long, String, Double)]
+    val dir2 = tmpDir("stream_prof_replay_")
+    mem2.addData((1L, "aa", 1.5))
+    def replay(ck: String) = Streaming.streamingProfileIngest(
+        mem2.toDF.toDF("id", "s", "x"), Seq("id", "s", "x"), dir2)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    replay(tmpDir("ckpt_p2a_"))
+    replay(tmpDir("ckpt_p2b_"))
+    val (after, _) = Streaming.readVersioned(spark, dir2)
+    assert(after.get.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap.values.toSet === Set(1L))  // not double-counted
+  }
 }
