@@ -1315,6 +1315,29 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: 2-hop harmonic centrality — deg + ½·|N₂| via distinct
+    //    wedge endpoints minus neighbors (the crawl-prior in its cheapest
+    //    faithful form) (oracle: DuckDB replays wedges, anti-joins, and
+    //    the ranking) ──────────────────────────────────────────────────────
+    "q154_harmonic2" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.harmonicCentrality2(edges, "item_a", "item_b", topK = 20)
+        .select(col("rank"), col("node"), col("degree"), col("n2"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("rank")
+    }),
+    // ── scale: local clustering coefficients — 2·tri/(d·(d−1)) per node
+    //    on the shared degree-ordered triangle machinery (hubs vs tight
+    //    communities) (oracle: DuckDB replays triangles, degrees, cc) ──────
+    "q155_clustering_coeff" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.clusteringCoefficients(edges, "item_a", "item_b", topK = 20)
+        .select(col("rank"), col("node"), col("degree"), col("triangles"),
+          round(col("cc"), 6).as("cc"))
+        .orderBy("rank")
+    }),
     // ── scale: PSI drift score — reference-decile binned
     //    (p_ref−p_cur)·ln(p_ref/p_cur), the model-monitoring standard;
     //    edges from distributed reference ranks as plan literals (oracle:
@@ -2076,6 +2099,17 @@ object SparkEntry {
             round(col("entropy"), 6).as("entropy"),
             round(col("norm_entropy"), 6).as("norm_entropy"))
           .orderBy("group")
+      }),
+      // q154 benches the PRODUCTION capped path (middle-degree cap 100 —
+      // the q144 convention; the exact 2-hop set is the oracle gate)
+      "q154_harmonic2" -> ((s, dir) => {
+        val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey")
+        () => Graph.harmonicCentrality2(edges, "item_a", "item_b",
+            topK = 20, maxMiddleDegree = 100)
+          .select(col("rank"), col("node"), col("degree"), col("n2"),
+            round(col("harmonic"), 6).as("harmonic"))
+          .orderBy("rank")
       }),
       // q144 benches the PRODUCTION capped path (middle-degree cap 100 —
       // the bounded-recall scale lever; the exact path is the oracle gate)
@@ -3167,6 +3201,59 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q154_harmonic2" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.it AS x, b2.it AS y
+        |     FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it),
+        |adj AS MATERIALIZED (SELECT x AS m, y AS n FROM e
+        |      UNION ALL SELECT y AS m, x AS n FROM e),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |th AS MATERIALIZED (SELECT DISTINCT a1.n AS a, a2.n AS z
+        |      FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n <> a2.n),
+        |n2 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS n2
+        |       FROM th
+        |       LEFT JOIN e e1 ON th.a = e1.x AND th.z = e1.y
+        |       LEFT JOIN e e2 ON th.a = e2.y AND th.z = e2.x
+        |       WHERE e1.x IS NULL AND e2.x IS NULL
+        |       GROUP BY 1),
+        |h AS (SELECT deg.n AS node, deg.d AS degree,
+        |        coalesce(n2.n2, 0) AS n2,
+        |        CAST(deg.d AS DOUBLE) + (CAST(0.5 AS DOUBLE) *
+        |          CAST(coalesce(n2.n2, 0) AS DOUBLE)) AS harmonic
+        |      FROM deg LEFT JOIN n2 ON deg.n = n2.node)
+        |SELECT CAST(row_number() OVER (ORDER BY harmonic DESC, node) AS INT)
+        |    AS rank,
+        |  node, degree, n2, round(harmonic, 6) AS harmonic
+        |FROM h QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+    "q155_clustering_coeff" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.it AS x, b2.it AS y
+        |     FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it),
+        |adj AS (SELECT x AS m, y AS n FROM e
+        |        UNION ALL SELECT y AS m, x AS n FROM e),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |t AS (SELECT e1.x AS x, e1.y AS y, e2.y AS z
+        |      FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |nodes AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        |          UNION ALL SELECT z FROM t),
+        |c AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |      FROM nodes GROUP BY 1),
+        |s AS (SELECT deg.n AS node, deg.d AS degree,
+        |        coalesce(c.triangles, 0) AS triangles,
+        |        CASE WHEN deg.d < 2 THEN CAST(0.0 AS DOUBLE)
+        |             ELSE (CAST(2.0 AS DOUBLE) *
+        |                   CAST(coalesce(c.triangles, 0) AS DOUBLE)) /
+        |                  (CAST(deg.d AS DOUBLE) *
+        |                   (CAST(deg.d AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+        |        END AS cc
+        |      FROM deg LEFT JOIN c ON deg.n = c.node)
+        |SELECT CAST(row_number() OVER (ORDER BY cc DESC, node) AS INT)
+        |    AS rank,
+        |  node, degree, triangles, round(cc, 6) AS cc
+        |FROM s QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
     "q153_psi" ->
       """WITH ref AS (SELECT o_totalprice AS v FROM orders
         |     WHERE o_orderdate < TIMESTAMP '1995-06-01'

@@ -234,18 +234,30 @@ object Graph {
     * into its three corners; the global total derives as Σ/3 from the
     * node-sized counts frame (no second pass over the triangle
     * stream). */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
-      topK: Int = 10): DataFrame = {
-    require(topK >= 1, s"topK must be >= 1, got $topK")
-    val e = edges
+  /** Canonicalized undirected edge frame (x < y, self-loops dropped,
+    * multi-edges collapsed), lazily checkpointed — the shared input of
+    * the triangle/clustering/harmonic family. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("x"),
         greatest(col(srcCol), col(dstCol)).as("y"))
       .filter(col("x") < col("y"))
       .distinct()
       .localCheckpoint(false)
-    val deg = Ops.broadcastIfSmall(
+
+  /** Undirected degree per node over a canonical edge frame,
+    * broadcast-gated. */
+  private def nodeDegrees(e: DataFrame): DataFrame =
+    Ops.broadcastIfSmall(
       e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d")))
+
+  /** Per-node triangle participation (node, triangles) over a canonical
+    * edge frame — the degree-ordered compact-forward enumeration
+    * documented on [[triangleCounts]]. Checkpointed (node-sized). */
+  private[graft] def nodeTriangles(e: DataFrame): DataFrame = {
+    val deg = nodeDegrees(e)
     // orient low-(degree, id) → high: (u, v) with (du, u) < (dv, v);
     // carry the dst order key for the wedge comparison
     val oriented = e
@@ -269,10 +281,16 @@ object Graph {
       .join(oriented.select(col("u").as("v"), col("v").as("w")),
         Seq("v", "w"))
       .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
-    val counts = tris
+    tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
       .localCheckpoint(false)
+  }
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = nodeTriangles(canonicalEdges(edges, srcCol, dstCol))
     val total = counts.agg(
       (coalesce(sum("triangles"), lit(0L)) / lit(3)).cast("long").as("total"))
     counts
@@ -384,5 +402,84 @@ object Graph {
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
       .limit(topK)
+  }
+
+  /** Local clustering coefficient: cc(v) = 2·triangles(v)/(d·(d−1)) —
+    * how much of each node's neighborhood is itself connected
+    * (cc ≈ 1: tight community; cc ≈ 0 at high degree: a hub or a link
+    * farm — the per-node refinement of [[triangleCounts]]'s global
+    * view). Nodes with degree < 2 have no possible triangles and report
+    * cc = 0. Top-`k` by (cc desc, node asc); exact-long inputs, one
+    * division. Rides the shared degree-ordered triangle machinery. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = nodeDegrees(e)
+    val tri = nodeTriangles(e)
+    val scored = deg.select(col("n").as("node"), col("d"))
+      .join(tri, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("cc",
+        when(col("d") < 2L, lit(0.0))
+          .otherwise((lit(2.0) * col("triangles").cast("double")) /
+            (col("d").cast("double") * (col("d").cast("double") - lit(1.0)))))
+    scored.orderBy(col("cc").desc, col("node").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cc").desc, col("node").asc)))
+      .select(col("rank"), col("node"), col("d").as("degree"),
+        col("triangles"), col("cc"))
+      .orderBy("rank")
+  }
+
+  /** Two-hop-truncated harmonic centrality: h₂(v) = deg(v) + ½·|N₂(v)|
+    * (neighbors at distance 1 count 1, distance-2 nodes count ½ — the
+    * exact harmonic sum truncated where a bounded computation is still
+    * possible without full BFS). The standard crawl/host quality prior
+    * in its cheapest faithful form: hubs of well-connected regions rank
+    * above equally-sized hubs of leaf sprays.
+    *
+    * Shape: |N₂| comes from DISTINCT wedge endpoints (adjacency
+    * self-joined on the middle, endpoints ≠, work Σ deg² — the q144
+    * pair set) minus direct neighbors (anti-join) minus self; degrees
+    * broadcast. `maxMiddleDegree` is the same bounded-recall production
+    * lever as [[linkPrediction]] (a hub middle connects everything to
+    * everything at distance 2 — dropping it undercounts |N₂| only
+    * through that hub). Top-`k` by (h desc, node asc). */
+  def harmonicCentrality2(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20, maxMiddleDegree: Int = 0): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxMiddleDegree >= 0, "maxMiddleDegree must be >= 0 (0 = exact)")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = nodeDegrees(e)
+    val adj = e.select(col("x").as("m"), col("y").as("n"))
+      .unionAll(e.select(col("y").as("m"), col("x").as("n")))
+    val mids =
+      if (maxMiddleDegree == 0) adj
+      else adj.join(deg.select(col("n").as("m"), col("d").as("__dm")), Seq("m"))
+        .filter(col("__dm") <= maxMiddleDegree).drop("__dm")
+    val twoHop = mids.select(col("m"), col("n").as("a"))
+      .join(mids.select(col("m"), col("n").as("z")), Seq("m"))
+      .filter(col("a") =!= col("z"))
+      .select(col("a"), col("z")).distinct()
+    val n2 = twoHop
+      .join(e.select(col("x").as("a"), col("y").as("z")),
+        Seq("a", "z"), "left_anti")
+      .join(e.select(col("y").as("a"), col("x").as("z")),
+        Seq("a", "z"), "left_anti")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("n2"))
+    deg.select(col("n").as("node"), col("d"))
+      .join(n2, Seq("node"), "left")
+      .withColumn("n2", coalesce(col("n2"), lit(0L)))
+      .withColumn("harmonic",
+        col("d").cast("double") + (lit(0.5) * col("n2").cast("double")))
+      .orderBy(col("harmonic").desc, col("node").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("harmonic").desc, col("node").asc)))
+      .select(col("rank"), col("node"), col("d").as("degree"), col("n2"),
+        col("harmonic"))
+      .orderBy("rank")
   }
 }

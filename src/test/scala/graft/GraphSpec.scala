@@ -250,4 +250,48 @@ class GraphSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)))
     assert(!capped.contains((1L, 3L)) && !capped.contains((2L, 3L)))
   }
+
+  // ── clustering coefficient ─────────────────────────────────────────────
+
+  test("clusteringCoefficients: K4 nodes cc 1, bridge node lower, pendant 0") {
+    // K4 {1,2,3,4} + pendant 5 on node 4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val out = Graph.clusteringCoefficients(edges, "s", "d", topK = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))        // fully clustered
+    assert(out(4L)._1 === 4L && out(4L)._2 === 3L)
+    assert(out(4L)._3 === 0.5)                 // 2*3/(4*3)
+    assert(out(5L) === ((1L, 0L, 0.0)))        // degree-1 pendant
+  }
+
+  // ── 2-hop harmonic centrality ──────────────────────────────────────────
+
+  test("harmonicCentrality2: path graph hand values and ranking") {
+    // path 1-2-3-4-5: N2(3) = {1,5}, N2(1) = {3}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val out = Graph.harmonicCentrality2(edges, "s", "d", topK = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out(3L) === ((2L, 2L, 3.0)))        // 2 + 0.5*2
+    assert(out(1L) === ((1L, 1L, 1.5)))
+    // 2's neighbors are {1,3}; two-hop via 3 reaches only {4} -> h = 2.5
+    assert(out(2L) === ((2L, 1L, 2.5)))
+  }
+
+  test("harmonicCentrality2: middle-degree cap only removes hub-mediated reach") {
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (1L, 10L), (10L, 2L)).toDF("s", "d")
+    val exact = Graph.harmonicCentrality2(edges, "s", "d", topK = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val capped = Graph.harmonicCentrality2(edges, "s", "d", topK = 10,
+        maxMiddleDegree = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // node 3 reaches 1 and 2 only through the hub: capped n2 drops to 0
+    assert(exact(3L) === 2L)
+    assert(capped(3L) === 0L)
+    // node 1 still reaches 2 via the low-degree middle 10
+    assert(capped(1L) >= 1L)
+  }
 }
