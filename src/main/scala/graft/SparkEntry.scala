@@ -1315,6 +1315,27 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: dup-cluster size report — (size, n_clusters) incl. the
+    //    singleton clean fraction, the report a dedup run is judged by
+    //    (oracle: the q46 recursive-CTE components + size histogram) ───────
+    "q157_dup_cluster_sizes" -> ((s, dir) => {
+      val u = lshInputQ46(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(u, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
+      Dedup.dupClusterSizeReport(u, "doc_id", pairs)
+    }),
+    // ── scale: linear multi-touch attribution — each purchase splits one
+    //    credit unit across the trailing-window touches (Σ credit =
+    //    conversions exactly; zero-touch → "(direct)") (oracle: DuckDB
+    //    replays the window join, counts, and the sorted credit fold) ──────
+    "q156_attribution" -> ((s, dir) => {
+      Analytics.linearAttribution(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", conversionType = "purchase",
+          windowSeconds = 600L, deterministic = true)
+        .select(col("channel"), col("touched_conversions"),
+          round(col("credit"), 6).as("credit"))
+        .orderBy("channel")
+    }),
     // ── scale: 2-hop harmonic centrality — deg + ½·|N₂| via distinct
     //    wedge endpoints minus neighbors (the crawl-prior in its cheapest
     //    faithful form) (oracle: DuckDB replays wedges, anti-joins, and
@@ -3201,6 +3222,66 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q157_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    text || ' extra token and more extra' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+         |          AS toks FROM u)),
+         |e0 AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b FROM t a
+         |  JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      >= 0.55),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s),
+         |sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS size
+         |          FROM comp GROUP BY c),
+         |hist AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+         |         FROM sizes GROUP BY size
+         |         UNION ALL
+         |         SELECT 1 AS size,
+         |           (SELECT count(*) FROM u) - (SELECT count(*) FROM comp)
+         |             AS n_clusters)
+         |SELECT size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+         |FROM hist GROUP BY size ORDER BY size""".stripMargin,
+    "q156_attribution" ->
+      """WITH base AS (SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT)
+        |    AS tsu, event_id AS id, event_type AS t FROM events),
+        |conv AS (SELECT u, tsu AS cts, id AS cid FROM base
+        |         WHERE t = 'purchase'),
+        |touch AS (SELECT u, tsu AS tts, id AS tid, t AS channel FROM base
+        |          WHERE t <> 'purchase'),
+        |m AS MATERIALIZED (SELECT conv.cid, touch.channel, touch.tid
+        |     FROM conv JOIN touch ON conv.u = touch.u
+        |     WHERE touch.tts <= conv.cts
+        |       AND touch.tts > conv.cts - 600000000),
+        |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |att AS (SELECT m.channel AS channel, m.cid AS cid, m.tid AS tid,
+        |          CAST(1.0 AS DOUBLE) / CAST(cnt.n AS DOUBLE) AS credit
+        |        FROM m JOIN cnt USING (cid)
+        |        UNION ALL
+        |        SELECT '(direct)', conv.cid, -1, CAST(1.0 AS DOUBLE)
+        |        FROM conv LEFT JOIN cnt ON conv.cid = cnt.cid
+        |        WHERE cnt.cid IS NULL)
+        |SELECT channel,
+        |  CAST(count(DISTINCT cid) AS BIGINT) AS touched_conversions,
+        |  round(list_reduce(list(credit ORDER BY cid, tid),
+        |    (a, b) -> a + b), 6) AS credit
+        |FROM att GROUP BY channel ORDER BY channel""".stripMargin,
     "q154_harmonic2" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |           FROM lineitem),

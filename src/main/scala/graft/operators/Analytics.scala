@@ -716,4 +716,64 @@ object Analytics {
         col("__d").as("events"), col("survival"))
       .orderBy("t")
   }
+
+  /** Linear multi-touch attribution: every conversion event splits one
+    * unit of credit equally across the user's touch events in the
+    * trailing `windowSeconds`; conversions with NO preceding touch
+    * credit the synthetic "(direct)" channel — Σ credit over channels
+    * equals the conversion count exactly, the invariant that makes an
+    * attribution report auditable. The marketing/behavior question
+    * last-touch funnels can't answer: which channels PARTICIPATE in
+    * conversions.
+    *
+    * Shape: conversions and touches join per user under the window
+    * predicate (per-user work bounded by events-per-window — the
+    * interval-join contract); per-conversion touch counts are a
+    * conversion-keyed aggregate joined back; the per-channel credit sum
+    * folds (conversion, touch)-sorted when `deterministic` (gate),
+    * plain in production. Returns
+    * (channel, touched_conversions, credit). */
+  def linearAttribution(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, conversionType: String,
+      windowSeconds: Long, deterministic: Boolean = false): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0")
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val base = df.select(col(userCol).as("__u"), micros.as("__ts"),
+      col(tieCol).as("__id"), col(typeCol).as("__t"))
+    val conv = base.filter(col("__t") === conversionType)
+      .select(col("__u"), col("__ts").as("__cts"), col("__id").as("__cid"))
+    val touch = base.filter(col("__t") =!= conversionType)
+      .select(col("__u"), col("__ts").as("__tts"), col("__id").as("__tid"),
+        col("__t").as("channel"))
+    val winMicros = windowSeconds * 1000000L
+    // inner-join the window matches, THEN find zero-touch conversions by
+    // absence (a left join + window filter would also delete conversions
+    // whose user has touches but none in window — they must go direct)
+    val matched = conv.join(touch, Seq("__u"))
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - winMicros)
+      .localCheckpoint(false)
+    val counts = matched.groupBy("__cid").agg(count(lit(1)).as("__n"))
+    val direct = conv
+      .join(Ops.broadcastIfSmall(counts.select("__cid")), Seq("__cid"),
+        "left_anti")
+      .select(lit("(direct)").as("channel"), col("__cid"),
+        lit(-1L).as("__tid"), lit(1.0).as("__credit"))
+    val attributed = matched.join(Ops.broadcastIfSmall(counts), Seq("__cid"))
+      .select(col("channel"), col("__cid"), col("__tid"),
+        (lit(1.0) / col("__n").cast("double")).as("__credit"))
+      .unionByName(direct)
+    val agg =
+      if (deterministic)
+        attributed.groupBy("channel").agg(
+          countDistinct(col("__cid")).as("touched_conversions"),
+          aggregate(sort_array(collect_list(
+            struct(col("__cid"), col("__tid"), col("__credit")))),
+            lit(0.0), (acc, x) => acc + x.getField("__credit")).as("credit"))
+      else
+        attributed.groupBy("channel").agg(
+          countDistinct(col("__cid")).as("touched_conversions"),
+          sum("__credit").as("credit"))
+    agg.orderBy("channel")
+  }
 }

@@ -1664,4 +1664,30 @@ object Dedup {
       .filter(col("dist") <= tau)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Duplicate-cluster size report: the distribution "how big are the
+    * near-dup clusters?" — (size, n_clusters) including size-1
+    * singletons — the report a dedup run is judged by (a long tail of
+    * giant clusters means boilerplate; mass at size 2 means true
+    * near-dups; the singleton row is the clean fraction).
+    *
+    * Components come from [[connectedComponents]] over the candidate
+    * pairs (components are ≥ 2 nodes by construction); the singleton
+    * count derives from two driver-small counts (corpus minus paired).
+    * Output is at most max-cluster-size rows. */
+  def dupClusterSizeReport(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val comp = connectedComponents(pairs).localCheckpoint(false)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("size"))
+    val hist = sizes.groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    val totalDocs = df.select(col(idCol)).distinct().count()
+    val pairedDocs = comp.count()
+    import spark.implicits._
+    val singletons = Seq((1L, totalDocs - pairedDocs))
+      .toDF("size", "n_clusters")
+    hist.unionByName(singletons)
+      .groupBy("size").agg(sum("n_clusters").as("n_clusters"))
+      .orderBy("size")
+  }
 }

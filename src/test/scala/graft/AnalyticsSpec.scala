@@ -418,4 +418,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - 1.0 / 3.0) < 1e-15)   // 1 - 2/3
     assert(out(2L)._2 === 0.0)
   }
+
+  // ── linear attribution ─────────────────────────────────────────────────
+
+  test("linearAttribution: equal split, direct fallback, credit conservation") {
+    import java.sql.Timestamp
+    def t(sec: Int) = Timestamp.valueOf(
+      "2024-01-01 00:%02d:%02d".format(sec / 60, sec % 60))
+    val df = Seq(
+      // user 1: click + view inside the window, then purchase
+      (1L, t(10), 1L, "click"), (1L, t(20), 2L, "view"),
+      (1L, t(30), 3L, "purchase"),
+      // user 1: second purchase with only a view in window (click aged out)
+      (1L, t(700), 4L, "view"), (1L, t(750), 5L, "purchase"),
+      // user 2: purchase with NO touch in window (touch far earlier)
+      (2L, t(10), 6L, "click"), (2L, t(900), 7L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.linearAttribution(df, "user_id", "ts", "event_id",
+        "event_type", "purchase", windowSeconds = 120L, deterministic = true)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("click") === ((1L, 0.5)))
+    assert(out("view") === ((2L, 1.5)))         // 0.5 + 1.0
+    assert(out("(direct)") === ((1L, 1.0)))
+    // conservation: total credit equals the number of conversions
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-12)
+  }
 }

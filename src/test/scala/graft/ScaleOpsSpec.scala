@@ -822,4 +822,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"quantization must not join:\n$plan")
     assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
   }
+
+  // ── dup-cluster size report ────────────────────────────────────────────
+
+  test("dupClusterSizeReport: cluster histogram plus the singleton fraction") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // pairs: {1,2,3} one cluster, {4,5} another; 6 and 7 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusterSizeReport(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }
