@@ -1315,6 +1315,17 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: embedding-isolation outliers — lowest k-th-neighbor
+    //    cosine (noise/contamination candidates; SemDeDup's sparse-side
+    //    complement) (oracle: DuckDB replays the exact kNN ranking and
+    //    the min-of-top-k) ─────────────────────────────────────────────────
+    "q158_embedding_outliers" -> ((s, dir) => {
+      Similarity.embeddingOutliers(T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 5, topK = 20, numCentroids = 1)
+        .select(col("rank"), col("id"),
+          round(col("kth_cosine"), 6).as("kth_cosine"))
+        .orderBy("rank")
+    }),
     // ── scale: dup-cluster size report — (size, n_clusters) incl. the
     //    singleton clean fraction, the report a dedup run is judged by
     //    (oracle: the q46 recursive-CTE components + size histogram) ───────
@@ -3222,6 +3233,19 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q158_embedding_outliers" ->
+      """WITH p AS (SELECT q.vec_id AS id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q, embeddings c WHERE q.vec_id <> c.vec_id
+        |  QUALIFY rnk <= 5),
+        |iso AS (SELECT id, min(cos) AS kth FROM p GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY kth, id) AS INT) AS rank,
+        |  id, round(kth, 6) AS kth_cosine
+        |FROM iso QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
     "q157_dup_cluster_sizes" ->
       s"""WITH RECURSIVE u AS (
          |  SELECT doc_id, text FROM documents

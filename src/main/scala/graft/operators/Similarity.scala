@@ -345,6 +345,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Embedding-isolation outliers: score every vector by its cosine to
+    * its k-th nearest neighbor — a LOW k-th-neighbor similarity means
+    * nothing lives nearby: mislabeled content, encoding noise, or
+    * contamination candidates (the curation complement of SemDeDup,
+    * which hunts the over-DENSE regions). Returns the `topK` most
+    * isolated rows (rank, id, kth_cosine).
+    *
+    * Rides [[knnJoin]] (IVF-blocked at scale; `numCentroids = 1` is the
+    * exact small-corpus path) — the k-th-neighbor score is then one
+    * key-width min aggregate and a TakeOrdered. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, topK: Int = 20,
+      numCentroids: Int = AutoCentroids): DataFrame = {
+    require(k >= 1 && topK >= 1, s"k/topK must be >= 1, got $k/$topK")
+    val knn = knnJoin(df, idCol, vecCol, k, numCentroids)
+    knn.groupBy(col("query_id").as("id"))
+      .agg(min("cosine").as("kth_cosine"))
+      .orderBy(col("kth_cosine").asc, col("id").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("kth_cosine").asc, col("id").asc)))
+      .select(col("rank"), col("id"), col("kth_cosine"))
+      .orderBy("rank")
+  }
+
   // ── int8 scalar quantization ──────────────────────────────────────────
 
   /** Per-dimension min/max of the corpus, collected to the driver —

@@ -833,4 +833,17 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("embeddingOutliers: the planted isolate ranks first") {
+    // tight cluster around (1,0) plus one orthogonal isolate
+    val vecs = ((1L to 8L).map(i =>
+      (i, Array(1.0f, (i * 0.01f)))) :+ ((99L, Array(0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(vecs, "vec_id", "embedding",
+        k = 3, topK = 3, numCentroids = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.head._2 === 99L)                 // isolate first
+    assert(out.head._3 < 0.2)                   // nearly orthogonal to all
+    assert(out(1)._3 > 0.99)                    // cluster members are dense
+  }
 }
