@@ -1315,6 +1315,15 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: Zipf-slope fit — least-squares ln(freq) vs ln(rank) over
+    //    the vocabulary head, the one-number corpus-health metric (oracle:
+    //    DuckDB replays ranks, logs, and the rank-sorted regression sums) ──
+    "q159_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(T(s, dir, "documents").select("text"), "text",
+          fitTerms = 1000, deterministic = true)
+        .select(col("n_terms"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+    }),
     // ── scale: embedding-isolation outliers — lowest k-th-neighbor
     //    cosine (noise/contamination candidates; SemDeDup's sparse-side
     //    complement) (oracle: DuckDB replays the exact kNN ranking and
@@ -3233,6 +3242,31 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q159_zipf_slope" ->
+      """WITH c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |     FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |top AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT)
+        |          AS rank, c
+        |        FROM c QUALIFY rank <= 1000),
+        |pts AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+        |          ln(CAST(c AS DOUBLE)) AS y FROM top),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+        |        list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+        |        list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b)
+        |          AS sxy,
+        |        list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b)
+        |          AS sxx
+        |      FROM pts)
+        |SELECT n AS n_terms,
+        |  round(((CAST(n AS DOUBLE) * sxy) - (sx * sy)) /
+        |    ((CAST(n AS DOUBLE) * sxx) - (sx * sx)), 6) AS slope,
+        |  round((sy - ((((CAST(n AS DOUBLE) * sxy) - (sx * sy)) /
+        |    ((CAST(n AS DOUBLE) * sxx) - (sx * sx))) * sx)) /
+        |    CAST(n AS DOUBLE), 6) AS intercept
+        |FROM s""".stripMargin,
     "q158_embedding_outliers" ->
       """WITH p AS (SELECT q.vec_id AS id,
         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

@@ -690,4 +690,48 @@ object TextAnalysis {
         .otherwise((-col("__s")) / log(col("__v").cast("double")))
         .as("norm_entropy"))
   }
+
+  /** Zipf-slope fit: least-squares slope of ln(freq) against ln(rank)
+    * over the top `fitTerms` vocabulary terms — natural prose obeys
+    * Zipf's law (slope ≈ −1); templated/synthetic corpora bend the
+    * log-log line, making the slope a one-number corpus-health metric
+    * next to [[lexicalDiversity]]'s entropy.
+    *
+    * One scan to vocab counts; ranks ride the distributed
+    * rank-and-TakeOrdered cut to the bounded `fitTerms` head (fitting
+    * the head is the standard practice — the tail is hapax noise); the
+    * five regression sums fold rank-sorted when `deterministic` (gate),
+    * plain in production. ln parity per the q66/q106 precedent. Returns
+    * one row (n_terms, slope, intercept). */
+  def zipfSlope(df: DataFrame, textCol: String, fitTerms: Int = 1000,
+      deterministic: Boolean = false): DataFrame = {
+    require(fitTerms >= 2, s"fitTerms must be >= 2, got $fitTerms")
+    val spark = df.sparkSession
+    val counts = df
+      .select(explode(Dedup.tokensCol(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val top = counts.orderBy(col("__c").desc, col("__w").asc).limit(fitTerms)
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__c").desc, col("__w").asc)).cast("long"))
+      .select(col("__rank"),
+        log(col("__rank").cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+      .localCheckpoint(false)
+    def sumOf(e: Column, name: String): Column =
+      if (deterministic)
+        aggregate(sort_array(collect_list(struct(col("__rank"), e.as("__v")))),
+          lit(0.0), (acc, x) => acc + x.getField("__v")).as(name)
+      else sum(e).as(name)
+    val sums = top.agg(count(lit(1)).as("__n"),
+      sumOf(col("__x"), "__sx"), sumOf(col("__y"), "__sy"),
+      sumOf(col("__x") * col("__y"), "__sxy"),
+      sumOf(col("__x") * col("__x"), "__sxx"))
+    val nD = col("__n").cast("double")
+    val slope = ((nD * col("__sxy")) - (col("__sx") * col("__sy"))) /
+      ((nD * col("__sxx")) - (col("__sx") * col("__sx")))
+    sums.select(col("__n").as("n_terms"), slope.as("slope"),
+      ((col("__sy") - (slope * col("__sx"))) / nD).as("intercept"))
+  }
 }
