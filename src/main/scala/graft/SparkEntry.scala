@@ -2141,6 +2141,16 @@ object SparkEntry {
             round(col("norm_entropy"), 6).as("norm_entropy"))
           .orderBy("group")
       }),
+      // q158 benches the PRODUCTION IVF-blocked kNN (auto centroids; the
+      // numCentroids=1 exact path is the oracle gate)
+      "q158_embedding_outliers" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        () => Similarity.embeddingOutliers(e, "vec_id", "embedding",
+            k = 5, topK = 20)
+          .select(col("rank"), col("id"),
+            round(col("kth_cosine"), 6).as("kth_cosine"))
+          .orderBy("rank")
+      }),
       // q154 benches the PRODUCTION capped path (middle-degree cap 100 —
       // the q144 convention; the exact 2-hop set is the oracle gate)
       "q154_harmonic2" -> ((s, dir) => {
