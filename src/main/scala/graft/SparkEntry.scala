@@ -1315,6 +1315,21 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: dedup provenance — the (loser → winner) redirect map
+    //    behind keep-best ("why is my document gone, and who won?")
+    //    (oracle: the q70 component + quality-argmax replay emitting the
+    //    loser rows) ────────────────────────────────────────────────────────
+    "q160_dedup_provenance" -> ((s, dir) => {
+      val u = lshInputQ46(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(u, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
+      Dedup.dedupProvenance(u, "doc_id", pairs, "quality")
+        .select(col("loser"), col("winner"),
+          round(col("loser_score"), 6).as("loser_score"),
+          round(col("winner_score"), 6).as("winner_score"))
+        .orderBy("loser")
+    }),
     // ── scale: Zipf-slope fit — least-squares ln(freq) vs ln(rank) over
     //    the vocabulary head, the one-number corpus-health metric (oracle:
     //    DuckDB replays ranks, logs, and the rank-sorted regression sums) ──
@@ -3252,6 +3267,44 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q160_dedup_provenance" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    text || ' extra token and more extra' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+         |          AS toks FROM u)),
+         |e0 AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b FROM t a
+         |  JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      >= 0.55),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s),
+         |q AS (SELECT doc_id, ${qualitySql("text")} AS quality FROM u),
+         |sc AS (SELECT comp.id AS id, comp.c AS c, q.quality AS quality,
+         |         row_number() OVER (PARTITION BY comp.c
+         |           ORDER BY q.quality DESC, comp.id) AS rk
+         |       FROM comp JOIN q ON q.doc_id = comp.id),
+         |win AS (SELECT c, id AS winner, quality AS winner_score
+         |        FROM sc WHERE rk = 1)
+         |SELECT sc.id AS loser, win.winner AS winner,
+         |  round(sc.quality, 6) AS loser_score,
+         |  round(win.winner_score, 6) AS winner_score
+         |FROM sc JOIN win USING (c) WHERE sc.rk > 1
+         |ORDER BY loser""".stripMargin,
     "q159_zipf_slope" ->
       """WITH c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
         |    (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w

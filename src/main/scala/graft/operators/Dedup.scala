@@ -1690,4 +1690,33 @@ object Dedup {
       .groupBy("size").agg(sum("n_clusters").as("n_clusters"))
       .orderBy("size")
   }
+
+  /** Dedup provenance map: for every row a near-dup component DROPS,
+    * the (loser, winner, score_loser, score_winner) record of WHICH
+    * surviving row replaced it — the audit trail behind
+    * [[dedupByComponentsKeepBest]] ("why is my document gone, and who
+    * won?"), and the redirect table downstream references need when
+    * ids they point at were deduped away.
+    *
+    * Same shape as keep-best: components over paired ids only, the
+    * argmax window on the (id, score, component) projection; winners
+    * join back per component (component-sized both sides). */
+  def dedupProvenance(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val scored = df.select(col(idCol), col(scoreCol))
+      .join(Ops.broadcastIfSmall(comp), Seq(idCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("component").orderBy(col(scoreCol).desc, col(idCol))))
+      .localCheckpoint(false)
+    val winners = scored.filter(col("__rk") === 1)
+      .select(col("component"), col(idCol).as("winner"),
+        col(scoreCol).as("winner_score"))
+    scored.filter(col("__rk") > 1)
+      .select(col("component"), col(idCol).as("loser"),
+        col(scoreCol).as("loser_score"))
+      .join(Ops.broadcastIfSmall(winners), Seq("component"))
+      .select(col("loser"), col("winner"), col("loser_score"),
+        col("winner_score"))
+  }
 }

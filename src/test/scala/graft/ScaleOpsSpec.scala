@@ -846,4 +846,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.head._3 < 0.2)                   // nearly orthogonal to all
     assert(out(1)._3 > 0.99)                    // cluster members are dense
   }
+
+  test("dedupProvenance: losers map to their component winner; consistent with keep-best") {
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (4L, 1.0), (5L, 2.0))
+      .toDF("doc_id", "q")
+    // components {1,2,3} and {4,5}; winners: 2 (q 9) and 5 (q 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val prov = Dedup.dedupProvenance(docs, "doc_id", pairs, "q")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(prov === Map(
+      1L -> ((2L, 5.0, 9.0)), 3L -> ((2L, 7.0, 9.0)),
+      4L -> ((5L, 1.0, 2.0))))
+    // survivors = corpus minus provenance losers (the keep-best contract)
+    val kept = Dedup.dedupByComponentsKeepBest(docs, "doc_id", pairs, "q")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L) -- prov.keySet)
+  }
 }
