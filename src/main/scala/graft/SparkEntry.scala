@@ -1315,6 +1315,19 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: cross-source quantile normalization — each row mapped to
+    //    the POOLED value at its within-source percentile (batch-effect
+    //    correction, exact order statistics) (oracle: DuckDB replays both
+    //    rank machines and the target-rank arithmetic) ─────────────────────
+    "q161_quantile_normalize" -> ((s, dir) => {
+      Analytics.quantileNormalize(
+          T(s, dir, "orders").select("o_orderpriority", "o_orderkey",
+            "o_totalprice"),
+          "o_orderpriority", "o_orderkey", "o_totalprice")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("normalized"), 6).as("normalized"))
+        .orderBy("o_orderkey")
+    }),
     // ── scale: dedup provenance — the (loser → winner) redirect map
     //    behind keep-best ("why is my document gone, and who won?")
     //    (oracle: the q70 component + quality-argmax replay emitting the
@@ -3267,6 +3280,28 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q161_quantile_normalize" ->
+      """WITH d AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    o_totalprice AS v FROM orders),
+        |p AS (SELECT g, id,
+        |        row_number() OVER (PARTITION BY g ORDER BY v ASC, id ASC)
+        |          AS r,
+        |        count(*) OVER (PARTITION BY g) AS ng
+        |      FROM d),
+        |pp AS (SELECT g, id,
+        |         CASE WHEN ng = 1 THEN CAST(0.0 AS DOUBLE)
+        |              ELSE CAST(r - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
+        |         END AS pct
+        |       FROM p),
+        |gl AS (SELECT v, row_number() OVER (ORDER BY v ASC, g ASC, id ASC)
+        |         AS gr FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT pp.g AS o_orderpriority, pp.id AS o_orderkey,
+        |  round(gl.v, 6) AS normalized
+        |FROM pp JOIN gl ON gl.gr =
+        |  CAST(floor((pct * CAST((SELECT n FROM n) - 1 AS DOUBLE)) +
+        |    CAST(0.5 AS DOUBLE)) AS BIGINT) + 1
+        |ORDER BY o_orderkey""".stripMargin,
     "q160_dedup_provenance" ->
       s"""WITH RECURSIVE u AS (
          |  SELECT doc_id, text FROM documents

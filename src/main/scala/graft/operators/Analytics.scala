@@ -776,4 +776,39 @@ object Analytics {
           sum("__credit").as("credit"))
     agg.orderBy("channel")
   }
+
+  /** Cross-source quantile normalization: replace each row's value with
+    * the POOLED distribution's value at the row's within-source
+    * percentile — the batch-effect correction that makes scores from
+    * differently-calibrated sources comparable (a 0.8 from a lenient
+    * scorer and a 0.5 from a harsh one both map to their shared
+    * percentile's pooled value). Exact order statistics, no
+    * interpolation: within-source position via the pruned per-(range,
+    * group) rank machinery, pooled lookup via the distributed global
+    * row-number, target rank = ⌊pct·(N−1) + ½⌋ + 1 in integer-exact
+    * arithmetic after one exact double multiply. Returns
+    * (group, id, normalized). */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val prep = df.select(col(groupCol), col(idCol),
+      col(valueCol).cast("double").as("__v"))
+      .localCheckpoint(false)
+    // percentRankPerGroup ranks (score desc, id asc); negating the value
+    // makes that ascending-by-value with the same deterministic tie-break
+    val pct = Sampling.percentRankPerGroup(
+      prep.select(col(groupCol), col(idCol), (-col("__v")).as("__s")),
+      groupCol, idCol, "__s")
+    val n = prep.count()
+    require(n > 0, "no rows to normalize")
+    val pooled = Sampling.globalRowNumber(
+        prep.select(col("__v"), col(groupCol).as("__g2"),
+          col(idCol).as("__id2")),
+        "__grank", col("__v").asc, col("__g2").asc, col("__id2").asc)
+      .select(col("__grank"), col("__v").as("normalized"))
+    pct
+      .withColumn("__t",
+        floor((col("pct") * lit((n - 1).toDouble)) + lit(0.5)) + lit(1L))
+      .join(pooled, col("__t") === col("__grank"))
+      .select(col(groupCol), col(idCol), col("normalized"))
+  }
 }

@@ -444,4 +444,29 @@ class AnalyticsSpec extends SparkSpec {
     // conservation: total credit equals the number of conversions
     assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-12)
   }
+
+  // ── quantile normalization ─────────────────────────────────────────────
+
+  test("quantileNormalize: shifted sources map to identical pooled values") {
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 4L, 101.0), ("B", 5L, 102.0), ("B", 6L, 103.0))
+      .toDF("g", "id", "v")
+    val out = Analytics.quantileNormalize(df, "g", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // both sources land on the same pooled order statistics
+    val a = Seq(out(("A", 1L)), out(("A", 2L)), out(("A", 3L))).sorted
+    val b = Seq(out(("B", 4L)), out(("B", 5L)), out(("B", 6L))).sorted
+    assert(a === b)
+    assert(out(("A", 1L)) === 1.0 && out(("B", 4L)) === 1.0)  // both minima
+  }
+
+  test("quantileNormalize: a single source maps every value to itself") {
+    val df = (1L to 20L).map(i => ("only", i, (i * 3 % 17).toDouble))
+      .toDF("g", "id", "v")
+    val out = Analytics.quantileNormalize(df, "g", "id", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val orig = df.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out === orig)
+  }
 }
