@@ -1315,6 +1315,32 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: dedup threshold-calibration curve — verified-Jaccard
+    //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
+    //    landscape q53's single-threshold margin probe sits inside);
+    //    probe at the q25-proven banding config so candidate recall is
+    //    complete on this corpus (oracle: DuckDB brute-forces the pairs
+    //    and replays buckets + suffix sums) ─────────────────────────────────
+    "q163_threshold_curve" -> ((s, dir) => {
+      Dedup.thresholdCurve(lshInputQ25(s, dir), "doc_id", "text",
+          probeThreshold = 0.55, bins = 20, shingleSize = 3,
+          bands = 16, rowsPerBand = 2)
+        .select(col("bucket"), round(col("t_lo"), 6).as("t_lo"),
+          col("n_pairs"), col("n_at_or_above"))
+        .orderBy("bucket")
+    }),
+    // ── scale: per-group min-max scaling — the linear feature-scaling
+    //    companion to q161's rank-based normalization (oracle: DuckDB
+    //    replays stats and the fixed-paren projection) ─────────────────────
+    "q162_minmax_scale" -> ((s, dir) => {
+      Analytics.minMaxScalePerGroup(
+          T(s, dir, "orders").select("o_orderpriority", "o_orderkey",
+            "o_totalprice"),
+          "o_orderpriority", "o_orderkey", "o_totalprice")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("scaled"), 6).as("scaled"))
+        .orderBy("o_orderkey")
+    }),
     // ── scale: cross-source quantile normalization — each row mapped to
     //    the POOLED value at its within-source percentile (batch-effect
     //    correction, exact order statistics) (oracle: DuckDB replays both
@@ -3280,6 +3306,41 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q163_threshold_curve" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+         |          AS toks FROM u)),
+         |p AS (
+         |  SELECT len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+         |k AS (SELECT LEAST(CAST(floor(j * 20) AS INT), 19) AS bucket,
+         |        CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM p WHERE j >= 0.55 GROUP BY 1),
+         |spine AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS bucket),
+         |f AS (SELECT spine.bucket AS bucket, coalesce(n_pairs, 0) AS n_pairs
+         |      FROM spine LEFT JOIN k USING (bucket))
+         |SELECT bucket, round(CAST(bucket AS DOUBLE) /
+         |    CAST(20.0 AS DOUBLE), 6) AS t_lo, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_at_or_above
+         |FROM f ORDER BY bucket""".stripMargin,
+    "q162_minmax_scale" ->
+      """WITH s AS (SELECT o_orderpriority AS g, min(o_totalprice) AS mn,
+        |    max(o_totalprice) AS mx FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, o.o_orderkey,
+        |  round(CASE WHEN s.mx = s.mn THEN CAST(0.0 AS DOUBLE)
+        |             ELSE (o.o_totalprice - s.mn) / (s.mx - s.mn) END, 6)
+        |    AS scaled
+        |FROM orders o JOIN s ON o.o_orderpriority = s.g
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q161_quantile_normalize" ->
       """WITH d AS (SELECT o_orderpriority AS g, o_orderkey AS id,
         |    o_totalprice AS v FROM orders),

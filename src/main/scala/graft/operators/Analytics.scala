@@ -811,4 +811,25 @@ object Analytics {
       .join(pooled, col("__t") === col("__grank"))
       .select(col(groupCol), col(idCol), col("normalized"))
   }
+
+  /** Per-group min-max scaling: value′ = (v − min_g)/(max_g − min_g) in
+    * [0, 1] — the linear feature-scaling companion to
+    * [[quantileNormalize]] (rank-based): linear preserves SHAPE within
+    * a source, rank-based equalizes shapes across sources. Constant
+    * groups scale to 0 (the 0/0 convention). One stats aggregate
+    * broadcast-gated, then a pure projection at fixed
+    * parenthesization. */
+  def minMaxScalePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = Ops.broadcastIfSmall(
+      df.groupBy(col(groupCol))
+        .agg(min(v).as("__mn"), max(v).as("__mx")))
+    df.select(col(groupCol), col(idCol), v.as("__v"))
+      .join(stats, Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        when(col("__mx") === col("__mn"), lit(0.0))
+          .otherwise((col("__v") - col("__mn")) / (col("__mx") - col("__mn")))
+          .as("scaled"))
+  }
 }

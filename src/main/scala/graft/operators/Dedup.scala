@@ -1719,4 +1719,43 @@ object Dedup {
       .select(col("loser"), col("winner"), col("loser_score"),
         col("winner_score"))
   }
+
+  /** Dedup threshold-calibration curve: histogram of VERIFIED Jaccard
+    * over the candidate pairs found at a deliberately-low probe
+    * threshold, with the cumulative "pairs surviving at ≥ t" column —
+    * the curve that answers "where should the production threshold
+    * sit?" before a corpus-wide dedup commits to one (q53's margin probe
+    * guards one chosen threshold; this maps the whole landscape).
+    *
+    * Buckets are 1/`bins`-wide on [0, 1] (index = min(⌊j·bins⌋,
+    * bins−1) — fixed-paren, engine-exact); the cumulative column is a
+    * suffix sum over the bins-sized frame. Only candidate pairs above
+    * the probe threshold appear — the curve is exact ABOVE the probe
+    * and unobserved below it, which is the honest contract (counting
+    * all O(n²) pairs is what banding exists to avoid). */
+  def thresholdCurve(df: DataFrame, idCol: String, textCol: String,
+      probeThreshold: Double = 0.3, bins: Int = 20,
+      shingleSize: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleSize,
+      bands, rowsPerBand, probeThreshold)
+    val counts = pairs
+      .select(least(floor(col("jaccard") * bins).cast("int"),
+        lit(bins - 1)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = (0 until bins).toDF("bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Long.MinValue, 0)
+    spine.join(counts, Seq("bucket"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("n_at_or_above", sum("n_pairs").over(w))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / lit(bins.toDouble)).as("t_lo"),
+        col("n_pairs"), col("n_at_or_above"))
+      .orderBy("bucket")
+  }
 }

@@ -469,4 +469,13 @@ class AnalyticsSpec extends SparkSpec {
     val orig = df.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(out === orig)
   }
+
+  test("minMaxScalePerGroup: per-group [0,1] range, constant group -> 0") {
+    val df = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("A", 3L, 15.0),
+      ("C", 4L, 7.0), ("C", 5L, 7.0)).toDF("g", "id", "v")
+    val out = Analytics.minMaxScalePerGroup(df, "g", "id", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(1L) === 0.0 && out(2L) === 1.0 && out(3L) === 0.5)
+    assert(out(4L) === 0.0 && out(5L) === 0.0)
+  }
 }

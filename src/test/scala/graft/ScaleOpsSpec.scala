@@ -863,4 +863,20 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 2L, 3L, 4L, 5L) -- prov.keySet)
   }
+
+  test("thresholdCurve: buckets, spine, and the survival column") {
+    // docsDf has exact dup pair (1,4) at j=1.0 and near pair around 0.5+
+    val out = Dedup.thresholdCurve(docsDf, "doc_id", "text",
+        probeThreshold = 0.4, bins = 10, shingleSize = 2,
+        bands = 16, rowsPerBand = 2)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out.size === 10)                      // full spine
+    assert(out(9)._2 >= 1L)                      // the j=1.0 exact pair
+    // survival is monotone non-increasing in bucket
+    val surv = (0 until 10).map(b => out(b)._3)
+    assert(surv === surv.sorted.reverse)
+    // bucket 0 survival counts every observed pair
+    assert(surv.head === out.values.map(_._2).sum)
+  }
 }
