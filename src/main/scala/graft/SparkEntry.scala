@@ -1315,6 +1315,26 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: parent–child totals reconciliation — exact-cents audit of
+    //    o_totalprice vs its line sums (orphans + deviation stats, all
+    //    longs) (oracle: DuckDB replays cents, sums, and deviations) ───────
+    "q164_reconcile_totals" -> ((s, dir) => {
+      Profiling.reconcileTotals(T(s, dir, "orders"), "o_orderkey",
+        "o_totalprice", T(s, dir, "lineitem"), "l_orderkey",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")))
+    }),
+    // ── scale: DAU/WAU stickiness — exact trailing-window distinct via
+    //    the bounded day fan-out of the (day, user) frame (q111's rolling
+    //    HLL is the sketch twin) (oracle: DuckDB replays days, fan-out,
+    //    and both distincts) ───────────────────────────────────────────────
+    "q165_stickiness" -> ((s, dir) => {
+      Analytics.stickiness(T(s, dir, "events"), "user_id", "ts",
+          windowDays = 7)
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("stickiness"), 6).as("stickiness"))
+        .orderBy("day")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3306,6 +3326,39 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q164_reconcile_totals" ->
+      """WITH p AS (SELECT o_orderkey AS pk,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |c AS (SELECT l_orderkey AS pk,
+        |        CAST(sum(CAST(round(((l_extendedprice *
+        |          (CAST(1.0 AS DOUBLE) - l_discount)) *
+        |          (CAST(1.0 AS DOUBLE) + l_tax)) * 100) AS BIGINT))
+        |          AS BIGINT) AS s
+        |      FROM lineitem GROUP BY 1),
+        |j AS (SELECT p.pk, c.s IS NULL AS orph,
+        |        CASE WHEN c.s IS NULL THEN 0 ELSE abs(p.pc - c.s) END AS dev
+        |      FROM p LEFT JOIN c USING (pk))
+        |SELECT CAST(count(*) AS BIGINT) AS n_parents,
+        |  CAST(sum(CASE WHEN orph THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphans,
+        |  CAST(sum(CASE WHEN NOT orph AND dev > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mismatched,
+        |  CAST(coalesce(max(dev), 0) AS BIGINT) AS max_dev_cents,
+        |  CAST(coalesce(sum(dev), 0) AS BIGINT) AS total_dev_cents
+        |FROM j""".stripMargin,
+    "q165_stickiness" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id AS u FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM du GROUP BY 1),
+        |f AS (SELECT DISTINCT day + i AS target, u FROM du
+        |      CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+        |wau AS (SELECT target, CAST(count(*) AS BIGINT) AS wau
+        |        FROM f GROUP BY 1)
+        |SELECT dau.day AS day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.target ORDER BY day""".stripMargin,
     "q163_threshold_curve" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents

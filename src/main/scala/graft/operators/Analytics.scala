@@ -832,4 +832,38 @@ object Analytics {
           .otherwise((col("__v") - col("__mn")) / (col("__mx") - col("__mn")))
           .as("scaled"))
   }
+
+  /** DAU/WAU stickiness: per day, the distinct active users that day
+    * over the distinct users of the trailing `windowDays` — the
+    * product-engagement ratio (1.0 = everyone active daily, 1/window =
+    * everyone shows up once a week). EXACT distinct (q111's rolling HLL
+    * is the sketch twin): the corpus collapses to the distinct
+    * (day, user) frame in one aggregate; each day fans out to the
+    * `windowDays` windows it covers (bounded ×window blowup of the
+    * already-tiny frame) and the window distinct is one more aggregate.
+    * Only observed days report. Returns (day, dau, wau, stickiness)
+    * with day = epoch days. */
+  def stickiness(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    // exact epoch-day: subtract the remainder first so the double
+    // division is of exact multiples (Column./ on longs promotes to
+    // double; a raw quotient could round across a midnight boundary)
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val d = lit(86400000000L)
+    val day = ((m - pmod(m, d)) / d).cast("long")
+    val du = df.select(day.as("__day"), col(userCol).as("__u")).distinct()
+      .localCheckpoint(false)
+    val dau = du.groupBy("__day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("__day"),
+        col("__day") + lit(windowDays - 1))).as("__target"), col("__u"))
+      .distinct()
+      .groupBy("__target").agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("__day") === col("__target"))
+      .select(col("__day").as("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
 }

@@ -611,4 +611,34 @@ object Profiling {
         min("min_str").as("min_str"), max("max_str").as("max_str"),
         sum("len_sum").as("len_sum"))
   }
+
+  /** Parent–child totals reconciliation: does every parent's stored
+    * total equal the sum of its child amounts? The classic warehouse
+    * audit ("does o_totalprice actually equal its line items?") that
+    * catches partial loads, double-applied discounts, and silent
+    * upstream recalculations. EXACT integer cents end-to-end: per-child
+    * amounts round to cents once, sums are order-free longs, deviations
+    * are absolute long differences — nothing to fold, nothing
+    * engine-dependent. Returns one row (n_parents, n_orphans,
+    * n_mismatched, max_dev_cents, total_dev_cents); `toleranceCents`
+    * exempts sub-tolerance rounding dust from the mismatch count. */
+  def reconcileTotals(parent: DataFrame, pkCol: String, totalCol: String,
+      child: DataFrame, fkCol: String, childAmount: Column,
+      toleranceCents: Long = 1L): DataFrame = {
+    val p = parent.select(col(pkCol).as("__pk"),
+      round(col(totalCol) * 100).cast("long").as("__pc"))
+    val c = child.select(col(fkCol).as("__pk"),
+      round(childAmount * 100).cast("long").as("__cc"))
+      .groupBy("__pk").agg(sum("__cc").as("__sum"))
+    p.join(c, Seq("__pk"), "left")
+      .select(col("__pk"), col("__sum").isNull.as("__orphan"),
+        when(col("__sum").isNull, lit(0L))
+          .otherwise(abs(col("__pc") - col("__sum"))).as("__dev"))
+      .agg(count(lit(1)).as("n_parents"),
+        sum(when(col("__orphan"), 1L).otherwise(0L)).as("n_orphans"),
+        sum(when(!col("__orphan") && col("__dev") > toleranceCents, 1L)
+          .otherwise(0L)).as("n_mismatched"),
+        coalesce(max("__dev"), lit(0L)).as("max_dev_cents"),
+        coalesce(sum("__dev"), lit(0L)).as("total_dev_cents"))
+  }
 }

@@ -478,4 +478,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L) === 0.0 && out(2L) === 1.0 && out(3L) === 0.5)
     assert(out(4L) === 0.0 && out(5L) === 0.0)
   }
+
+  // ── stickiness ─────────────────────────────────────────────────────────
+
+  test("stickiness: hand DAU/WAU with a trailing window") {
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // day 1: users {a, b}; day 2: {a}; day 8: {c} (outside day 1-2 window)
+    val df = Seq(("a", t(1)), ("b", t(1)), ("a", t(2)), ("a", t(2)),
+      ("c", t(8))).toDF("u", "ts")
+    val out = Analytics.stickiness(df, "u", "ts", windowDays = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val byDay = out.map { case (d, v) => (d - out.head._1) -> v }.toMap
+    assert(byDay(0L) === ((2L, 2L, 1.0)))      // day 1: dau 2, wau {a,b}
+    assert(byDay(1L) === ((1L, 2L, 0.5)))      // day 2: dau 1, wau {a,b}
+    assert(byDay(7L) === ((1L, 2L, 0.5)))      // day 8: {c} + a's day-2 visit
+  }
 }

@@ -272,4 +272,18 @@ class ProfilingSpec extends SparkSpec {
     val out = Profiling.psi(ref, cur, "v", bins = 10).collect()
     assert(out.forall(r => !r.getDouble(5).isInfinite && !r.getDouble(5).isNaN))
   }
+
+  // ── totals reconciliation ────────────────────────────────────────────
+
+  test("reconcileTotals: matches, orphans, mismatches, exact cents") {
+    val parents = Seq((1L, 10.00), (2L, 5.50), (3L, 9.99))
+      .toDF("pk", "total")
+    val children = Seq((1L, 4.00), (1L, 6.00),  // matches exactly
+      (2L, 5.00))                               // 50 cents short
+    .toDF("fk", "amt")                          // pk 3 has no children
+    val r = Profiling.reconcileTotals(parents, "pk", "total",
+      children, "fk", col("amt")).first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)) === ((3L, 1L, 1L, 50L, 50L)))
+  }
 }
