@@ -1335,6 +1335,41 @@ object SparkEntry {
           round(col("stickiness"), 6).as("stickiness"))
         .orderBy("day")
     }),
+    // ── scale: per-key EWMA smoothing — the monitoring smoother over
+    //    daily volumes, every step emitted from one deterministic fold
+    //    (oracle: DuckDB replays the fold per prefix via list_reduce) ──────
+    "q166_ewma" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .select(col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("__us"))
+        .withColumn("day", expr("__us DIV 86400000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      Analytics.ewmaPerKey(daily, "event_type", "day", "cnt", alpha = 0.3)
+        .select(col("event_type"), col("day"), col("v"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_type", "day")
+    }),
+    // ── scale: CUSUM changepoint scores — integer-exact closed form
+    //    (S = Y − min(0, running-min Y)), two window passes, no recursion
+    //    (oracle: DuckDB replays both windows) ──────────────────────────────
+    "q167_cusum" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .select(col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("__us"))
+        .withColumn("day", expr("__us DIV 86400000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      Analytics.cusum(daily, "event_type", "day", "cnt", k = 70L, h = 30L)
+        .orderBy("event_type", "day")
+    }),
+    // ── scale: small-files compaction plan — bin = exclusive-prefix-sum
+    //    DIV target over the file listing, the q80 distributed-cumsum
+    //    idiom + a bin rollup (oracle: DuckDB replays the cumsum) ──────────
+    "q168_compaction_plan" -> ((s, dir) => {
+      Layout.compactionPlan(
+          T(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", targetBytes = 10000L)
+        .orderBy("bin")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3359,6 +3394,43 @@ object SparkEntry {
         |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
         |    AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.target ORDER BY day""".stripMargin,
+    "q166_ewma" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, list(day ORDER BY day) AS ds,
+        |    list(CAST(cnt AS DOUBLE) ORDER BY day) AS xs FROM d GROUP BY 1)
+        |SELECT event_type, unnest(ds) AS day, unnest(xs) AS v,
+        |  unnest(list_transform(generate_series(1, len(xs)),
+        |    i -> round(list_reduce(xs[1:i],
+        |      (a, b) -> CAST(0.3 AS DOUBLE) * b + CAST(0.7 AS DOUBLE) * a),
+        |      6))) AS ewma
+        |FROM l ORDER BY event_type, day""".stripMargin,
+    "q167_cusum" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |y AS (SELECT event_type, day, cnt,
+        |    CAST(sum(cnt - 70) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS yy
+        |  FROM d)
+        |SELECT event_type, day, cnt,
+        |  CAST(yy - least(min(yy) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS BIGINT) AS cusum,
+        |  (yy - least(min(yy) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) > 30
+        |    AS flagged
+        |FROM y ORDER BY event_type, day""".stripMargin,
+    "q168_compaction_plan" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_chars AS excl
+        |  FROM documents)
+        |SELECT excl // 10000 AS bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS first_file, max(doc_id) AS last_file
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
     "q163_threshold_curve" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents

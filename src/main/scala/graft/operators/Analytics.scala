@@ -866,4 +866,59 @@ object Analytics {
           .as("stickiness"))
       .orderBy("day")
   }
+
+  /** Per-key exponentially-weighted moving average: the standard
+    * monitoring smoother (sₜ = α·xₜ + (1−α)·sₜ₋₁, s₁ = x₁) over an
+    * ordered series per key. EWMA is inherently sequential per key, so
+    * the shape is one shuffle by key + a per-key sorted left fold
+    * (the q66/q96 deterministic-fold idiom) that emits EVERY step, not
+    * just the final state — bit-identical across engines and
+    * partitionings because the fold order and parenthesization
+    * (α·x + β·acc, β precomputed on the driver) are fixed. Contract:
+    * one row per (key, ord) — pre-aggregate first (e.g. daily counts);
+    * per-key series must fit one task (time-series length, not corpus
+    * size). Returns (key, ord, v, ewma). */
+  def ewmaPerKey(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val aC = lit(alpha)
+    val bC = lit(1.0 - alpha)
+    val series = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("o"),
+        col(valueCol).cast("double").as("x")))).as("__s"))
+    val smoothed = aggregate(
+      col("__s"),
+      lit(Array.empty[Double]),
+      (acc: Column, r: Column) => concat(acc, array(
+        when(size(acc) === 0, r.getField("x"))
+          .otherwise(aC * r.getField("x") + bC * element_at(acc, -1)))))
+    series
+      .withColumn("__e", smoothed)
+      .select(col(keyCol),
+        posexplode(arrays_zip(col("__s"), col("__e"))).as(Seq("__i", "__z")))
+      .select(col(keyCol), col("__z.__s.o").as(ordCol),
+        col("__z.__s.x").as("v"), col("__z.__e").as("ewma"))
+  }
+
+  /** One-sided CUSUM changepoint scores over an ordered per-key series
+    * of LONG values (counts, cents): the classic drift detector
+    * (Sₜ = max(0, Sₜ₋₁ + xₜ − k), flag when Sₜ > h). Uses the
+    * closed form Sₜ = Yₜ − min(0, min_{j≤t} Yⱼ) with Y = running sum of
+    * (x − k), so the whole computation is two ordered-window passes of
+    * INTEGER arithmetic — exact in any engine, no recursion, no fold.
+    * `k` is the per-step allowance (set slightly above the in-control
+    * mean), `h` the alarm threshold. Returns the input plus
+    * (cusum, flagged). */
+  def cusum(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, k: Long, h: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__Y",
+        sum(col(valueCol).cast("long") - lit(k)).over(w))
+      .withColumn("cusum",
+        col("__Y") - least(min(col("__Y")).over(w), lit(0L)))
+      .withColumn("flagged", col("cusum") > lit(h))
+      .drop("__Y")
+  }
 }

@@ -74,4 +74,29 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** Small-files compaction plan: pack files (ordered by `fileCol`, so
+    * existing clustering is preserved) into output bins of
+    * ~`targetBytes` each — the planning step of the OPTIMIZE/compaction
+    * job every 100 TB table needs continuously. A file's bin is
+    * `exclusive-prefix-sum(bytes) div target`, a pure function of the
+    * data (stable across runs, engines, partitionings) computed with
+    * the [[Sampling.assignTokenShards]] distributed-cumsum idiom — one
+    * range exchange, never a one-task global window. A file larger than
+    * `targetBytes` gets a bin of its own plus whatever straddle the
+    * cumsum assigns — bins are a PLAN (merge these inputs into one
+    * output), so oversized inputs simply pass through. Returns one row
+    * per bin: (bin, n_files, total_bytes, first_file, last_file). */
+  def compactionPlan(df: DataFrame, fileCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    Sampling.assignTokenShards(
+        df.select(col(fileCol), col(bytesCol)), fileCol, bytesCol,
+        targetTokens = targetBytes)
+      .groupBy(col("shard_id").as("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("total_bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+  }
 }

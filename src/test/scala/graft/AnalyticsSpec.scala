@@ -495,4 +495,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(byDay(1L) === ((1L, 2L, 0.5)))      // day 2: dau 1, wau {a,b}
     assert(byDay(7L) === ((1L, 2L, 0.5)))      // day 8: {c} + a's day-2 visit
   }
+
+  // ── ewmaPerKey ─────────────────────────────────────────────────────────
+
+  test("ewmaPerKey: bit-identical to the driver-side recursion, every step") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- Seq("a", "b"); t <- 1L to 40L)
+      yield (k, t, rnd.nextInt(1000).toDouble)
+    val out = Analytics.ewmaPerKey(rows.toDF("k", "t", "v"), "k", "t", "v",
+        alpha = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    val alpha = 0.3; val beta = 1.0 - alpha
+    for (k <- Seq("a", "b")) {
+      val xs = rows.filter(_._1 == k).sortBy(_._2)
+      var s = 0.0
+      xs.zipWithIndex.foreach { case ((_, t, x), i) =>
+        s = if (i == 0) x else alpha * x + beta * s
+        assert(out((k, t)) === s, s"step ($k, $t)")   // exact, not approx
+      }
+    }
+    assert(out.size === 80)
+  }
+
+  test("ewmaPerKey: alpha=1 is the identity") {
+    val df = Seq(("k", 1L, 5.0), ("k", 2L, 9.0), ("k", 3L, 2.0))
+      .toDF("k", "t", "v")
+    val out = Analytics.ewmaPerKey(df, "k", "t", "v", alpha = 1.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out === Map(1L -> 5.0, 2L -> 9.0, 3L -> 2.0))
+  }
+
+  // ── cusum ──────────────────────────────────────────────────────────────
+
+  test("cusum: closed form equals the max(0, s + y) recursion, flags drift") {
+    val rnd = new scala.util.Random(11)
+    // in-control around 50 for 30 steps, then a +15 drift
+    val rows = for (k <- Seq("x", "y"); t <- 1L to 60L) yield {
+      val base = if (t <= 30) 50 else 65
+      (k, t, (base + rnd.nextInt(11) - 5).toLong)
+    }
+    val out = Analytics.cusum(rows.toDF("k", "t", "v"), "k", "t", "v",
+        k = 52L, h = 40L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    for (k <- Seq("x", "y")) {
+      var s = 0L
+      rows.filter(_._1 == k).sortBy(_._2).foreach { case (_, t, v) =>
+        s = math.max(0L, s + v - 52L)
+        assert(out((k, t)) === ((s, s > 40L)), s"step ($k, $t)")
+      }
+    }
+    // the drifted tail must alarm; the in-control head must not
+    assert(Seq("x", "y").forall(k => out((k, 60L))._2))
+    assert(Seq("x", "y").forall(k => !out((k, 20L))._2))
+  }
 }

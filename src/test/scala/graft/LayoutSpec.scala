@@ -60,4 +60,33 @@ class LayoutSpec extends SparkSpec {
     assert(spans.forall { case (sx, sy) => sx <= 7L && sy <= 7L },
       s"spans not quadrant-tight: ${spans.mkString(",")}")
   }
+
+  test("compactionPlan: equals the scanLeft reference plan, partitioning-invariant") {
+    val rnd = new scala.util.Random(3)
+    val files = (1L to 300L).map(f => (f, (rnd.nextInt(5000) + 1).toLong))
+    val target = 20000L
+    // driver reference: bin = exclusive prefix sum div target
+    val excl = files.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val ref = files.zip(excl)
+      .groupBy { case (_, e) => e / target }
+      .map { case (bin, fs) =>
+        bin -> ((fs.size.toLong, fs.map(_._1._2).sum,
+          fs.map(_._1._1).min, fs.map(_._1._1).max))
+      }
+    for (parts <- Seq(1, 7)) {
+      val out = Layout.compactionPlan(
+          files.toDF("f", "bytes").repartition(parts), "f", "bytes", target)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(out === ref, s"parts=$parts")
+    }
+    // bins cover consecutive files: every bin's first follows the prior last
+    val byBin = ref.toSeq.sortBy(_._1).map(_._2)
+    byBin.sliding(2).foreach {
+      case Seq((_, _, _, la), (_, _, fb, _)) => assert(fb === la + 1)
+      case _ =>
+    }
+  }
 }
