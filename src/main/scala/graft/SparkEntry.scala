@@ -1370,6 +1370,41 @@ object SparkEntry {
           "doc_id", "n_chars", targetBytes = 10000L)
         .orderBy("bin")
     }),
+    // ── scale: 2-D Pareto frontier — non-dominated rows via the
+    //    distributed running-max sweep, never a one-task global window
+    //    (oracle: DuckDB replays the preceding-max window) ─────────────────
+    "q169_pareto_frontier" -> ((s, dir) => {
+      Analytics.paretoFrontier2D(
+          T(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+          "p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    // ── scale: Cohen's kappa — chance-corrected rater agreement from the
+    //    contingency cells, exact-long statistics + one fixed-paren
+    //    division chain (oracle: DuckDB replays both raters, cells,
+    //    marginals, and the sorted pe fold) ─────────────────────────────────
+    "q170_cohens_kappa" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(
+        (TextAnalysis.tokenCount(col("text")) >= 56).as("rater_a"),
+        (size(array_distinct(split(trim(col("text")), "\\s+"))) >= 25)
+          .as("rater_b"))
+      Profiling.cohensKappa(d, "rater_a", "rater_b")
+        .select(col("n"), round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+    }),
+    // ── scale: Kish effective sample size per source — (Σw)²/Σw² on
+    //    exact long token weights, the information-content readout behind
+    //    weighted-mix decisions (oracle: DuckDB replays both sums and the
+    //    divisions) ─────────────────────────────────────────────────────────
+    "q171_effective_sample_size" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("w"))
+      Sampling.effectiveSampleSize(d, "source", "w")
+        .select(col("source"), col("n"), col("sum_w"), col("sum_w2"),
+          round(col("ess"), 6).as("ess"),
+          round(col("ess_ratio"), 6).as("ess_ratio"))
+        .orderBy("source")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3431,6 +3466,61 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
         |  min(doc_id) AS first_file, max(doc_id) AS last_file
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q169_pareto_frontier" ->
+      """WITH r AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+        |    p_retailprice FROM part),
+        |m AS (SELECT p_partkey, p_size, p_retailprice,
+        |    max(p_retailprice) OVER (ORDER BY p_size DESC,
+        |      p_retailprice DESC, p_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM r)
+        |SELECT p_partkey, p_size, p_retailprice FROM m
+        |WHERE pm IS NULL OR p_retailprice > pm ORDER BY p_partkey""".stripMargin,
+    "q170_cohens_kappa" ->
+      """WITH r AS (SELECT
+        |    ((CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END) >= 56)
+        |      AS a,
+        |    (len(list_distinct(string_split_regex(trim(text), '\s+'))) >= 25)
+        |      AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |          FROM r GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |dg AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS diag
+        |       FROM cells WHERE a = b),
+        |pe AS (SELECT list_reduce(
+        |    list(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+        |      ORDER BY CAST(ma.a AS VARCHAR)), (x, y) -> x + y) AS pn
+        |  FROM ma JOIN mb ON ma.a = mb.b)
+        |SELECT n, round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(pn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  round(CASE WHEN pn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
+        |    THEN NULL
+        |    ELSE (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - pn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (CAST(1.0 AS DOUBLE)
+        |        - pn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 6)
+        |    AS kappa
+        |FROM nn, dg, pe""".stripMargin,
+    "q171_effective_sample_size" ->
+      """WITH w AS (SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS w
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(w) AS BIGINT) AS sum_w,
+        |    CAST(sum(w * w) AS BIGINT) AS sum_w2
+        |  FROM w GROUP BY 1)
+        |SELECT source, n, sum_w, sum_w2,
+        |  round((CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE))
+        |    / CAST(sum_w2 AS DOUBLE), 6) AS ess,
+        |  round(((CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE))
+        |    / CAST(sum_w2 AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS ess_ratio
+        |FROM g ORDER BY source""".stripMargin,
     "q163_threshold_curve" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents

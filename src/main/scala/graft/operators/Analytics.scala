@@ -921,4 +921,50 @@ object Analytics {
       .withColumn("flagged", col("cusum") > lit(h))
       .drop("__Y")
   }
+
+  /** 2-D Pareto frontier (maximize BOTH columns): rows no other row
+    * dominates — the data-selection skyline ("longest docs at every
+    * quality level", "best quality at every length"). Classic sweep:
+    * ordered by (x desc, y desc, id asc), a row is on the frontier iff
+    * its y strictly exceeds every PRECEDING y (equal-x ties resolve
+    * correctly — the higher-y peer comes first and dominates; exact
+    * (x, y) duplicates keep the deterministic first-by-id
+    * representative). Scale shape: the sweep is a running max, so it
+    * runs in the [[Sampling.selectByTokenBudget]] distributed-cumsum
+    * idiom — range-repartition (the one corpus-wide exchange, frozen by
+    * a lazy checkpoint), per-range maxes collect to the driver (one row
+    * per partition) and prefix-max into per-range offsets, then a local
+    * window per range — never a one-task global window. Nulls in
+    * x/y are the caller's to drop. Returns (id, x, y) frontier rows. */
+  def paretoFrontier2D(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranked = df
+      .select(col(idCol), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .repartitionByRange(p, col("__x").desc, col("__y").desc,
+        col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val maxes = ranked.groupBy("__pid").agg(max(col("__y")).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    if (maxes.isEmpty)
+      return ranked.select(col(idCol), col("__x").as(xCol),
+        col("__y").as(yCol)).limit(0)
+    // offset of range r = max y over all STRICTLY EARLIER ranges
+    val offsets: Map[Int, Double] = maxes.map(_._1)
+      .zip(maxes.scanLeft(Double.NegativeInfinity)((a, b) =>
+        math.max(a, b._2)).dropRight(1))
+      .toMap
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__x").desc, col("__y").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranked
+      .withColumn("__pm", greatest(
+        coalesce(max(col("__y")).over(w), lit(Double.NegativeInfinity)),
+        element_at(typedLit(offsets), col("__pid"))))
+      .filter(col("__y") > col("__pm"))
+      .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
+  }
 }

@@ -641,4 +641,47 @@ object Profiling {
         coalesce(max("__dev"), lit(0L)).as("max_dev_cents"),
         coalesce(sum("__dev"), lit(0L)).as("total_dev_cents"))
   }
+
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * columns — the labeling-pipeline QA standard ("do my two annotators
+    * / heuristic raters actually agree beyond luck?"; ±1 perfect
+    * agreement/disagreement, 0 chance-level). One scan to the
+    * cell-cardinality contingency counts (the [[mutualInformation]]
+    * shape); marginals derive from cells; observed agreement p_o and
+    * expected-by-chance p_e are exact-long ratios divided ONCE at fixed
+    * parenthesization (the pe product terms fold category-sorted — at
+    * gate scale they are exact in a double; engine-identical either
+    * way). Degenerate designs (p_e = 1: both raters constant) report
+    * NULL kappa instead of the ANSI divide-by-zero (the q141 lesson).
+    * Returns one row (n, po, pe, kappa). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val ma = cells.groupBy("__a").agg(sum("__c").as("__ca"))
+    val mb = cells.groupBy("__b").agg(sum("__c").as("__cb"))
+    val n = cells.agg(sum("__c")).first().getLong(0)
+    require(n > 0, "no rows")
+    val diag = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum("__c"), lit(0L))).first().getLong(0)
+    // pe numerator: Σ_k rowTot_k · colTot_k over categories both rate —
+    // category-sorted fold of the category-cardinality-sized terms frame
+    val peNum = ma.join(mb, col("__a") === col("__b"))
+      .select(col("__a").as("__k"),
+        (col("__ca").cast("double") * col("__cb").cast("double")).as("__t"))
+      .agg(coalesce(aggregate(
+        sort_array(collect_list(struct(col("__k"), col("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t")), lit(0.0)))
+      .first().getDouble(0)
+    val nD = n.toDouble
+    val po = diag.toDouble / nD
+    val pe = peNum / (nD * nD)
+    val kappa: java.lang.Double =
+      if (pe == 1.0) null else (po - pe) / (1.0 - pe)
+    import df.sparkSession.implicits._
+    Seq((n, po, pe, Option(kappa).map(_.doubleValue())))
+      .toDF("n", "po", "pe", "kappa")
+  }
 }

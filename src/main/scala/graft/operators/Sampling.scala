@@ -721,4 +721,29 @@ object Sampling {
       .select(col("draw"), col("__id").as("id"), col("__w").as("w"), col("u"))
       .orderBy("draw")
   }
+
+  /** Kish effective sample size per group: ESS = (Σw)²/Σw² — how many
+    * EQUAL-weight samples a weighted group is actually worth (ESS ≪ n
+    * means a few whales dominate; upsampling a source 10× adds rows but
+    * not information). The curation readout for weighted mixes: report
+    * it next to every `temperatureMix`/`weightedDraws` decision.
+    * Contract: LONG weights (token counts, byte sizes) so both
+    * sufficient statistics are exact order-free long sums — one
+    * map-side-combined aggregate, group-cardinality output; the ONLY
+    * doubles are the final fixed-paren divisions ((Σw)² as a double —
+    * the long square would overflow first at corpus scale). All-zero
+    * groups report NULL (the q141 degenerate-design convention).
+    * Returns (group, n, sum_w, sum_w2, ess, ess_ratio). */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("long")
+    val ess = when(col("sum_w2") === 0L, lit(null).cast("double"))
+      .otherwise((col("sum_w").cast("double") * col("sum_w").cast("double")) /
+        col("sum_w2").cast("double"))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(w).as("sum_w"),
+        sum(w * w).as("sum_w2"))
+      .select(col(groupCol), col("n"), col("sum_w"), col("sum_w2"),
+        ess.as("ess"), (ess / col("n").cast("double")).as("ess_ratio"))
+  }
 }

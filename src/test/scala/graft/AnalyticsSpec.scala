@@ -551,4 +551,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(Seq("x", "y").forall(k => out((k, 60L))._2))
     assert(Seq("x", "y").forall(k => !out((k, 20L))._2))
   }
+
+  // ── paretoFrontier2D ───────────────────────────────────────────────────
+
+  test("paretoFrontier2D: equals brute-force dominance, partition-invariant") {
+    val rnd = new scala.util.Random(19)
+    val pts = (1L to 400L).map(i =>
+      (i, rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble))
+    // brute force: p survives iff no q dominates it (>= both, > one);
+    // exact (x, y) duplicates keep the lowest-id representative
+    val ref = pts.filter { case (i, x, y) =>
+      !pts.exists { case (j, qx, qy) => j != i &&
+        ((qx >= x && qy >= y && (qx > x || qy > y)) ||
+          (qx == x && qy == y && j < i))
+      }
+    }.map(_._1).toSet
+    for (parts <- Seq(1, 11)) {
+      val out = Analytics.paretoFrontier2D(
+          pts.toDF("id", "x", "y").repartition(parts), "id", "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      assert(out === ref, s"parts=$parts")
+    }
+  }
+
+  test("paretoFrontier2D: staircase golden with an equal-x tie") {
+    val df = Seq((1L, 5.0, 1.0), (2L, 3.0, 3.0), (3L, 1.0, 5.0),
+      (4L, 3.0, 2.0),   // dominated by id 2 at equal x
+      (5L, 2.0, 4.0)).toDF("id", "x", "y")
+    val out = Analytics.paretoFrontier2D(df, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L, 5L))
+  }
 }

@@ -286,4 +286,38 @@ class ProfilingSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getLong(4)) === ((3L, 1L, 1L, 50L, 50L)))
   }
+
+  // ── Cohen's kappa ────────────────────────────────────────────────────
+
+  test("cohensKappa: textbook 2x2 golden") {
+    // classic example: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = Profiling.cohensKappa(rows.toDF("a", "b"), "a", "b").first()
+    val po = 35.0 / 50.0
+    val pe = (25.0 * 30.0 + 25.0 * 20.0) / 2500.0
+    assert(r.getLong(0) === 50L)
+    assert(r.getDouble(1) === po)
+    assert(math.abs(r.getDouble(2) - pe) < 1e-12)
+    assert(math.abs(r.getDouble(3) - (po - pe) / (1.0 - pe)) < 1e-12)
+  }
+
+  test("cohensKappa: perfect agreement -> 1, constant raters -> NULL") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z"), ("x", "x"))
+      .toDF("a", "b")
+    assert(Profiling.cohensKappa(perfect, "a", "b").first().getDouble(3)
+      === 1.0)
+    // both raters constant: pe = 1, kappa undefined -> NULL (not a
+    // divide-by-zero error under ANSI)
+    val constant = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    assert(Profiling.cohensKappa(constant, "a", "b").first().isNullAt(3))
+  }
+
+  test("cohensKappa: independent raters land near zero") {
+    // a-label from i mod 2, b-label from i mod 3 parity: independent by
+    // construction over a full cycle of 6
+    val rows = (0 until 600).map(i => (i % 2 == 0, i % 3 == 0))
+    val r = Profiling.cohensKappa(rows.toDF("a", "b"), "a", "b").first()
+    assert(math.abs(r.getDouble(3)) < 1e-9, s"kappa=${r.getDouble(3)}")
+  }
 }

@@ -329,4 +329,29 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toList
     assert(a === b)
   }
+
+  // ── effective sample size ────────────────────────────────────────────
+
+  test("effectiveSampleSize: equal weights -> ess = n, whale -> ess near 1") {
+    val df = Seq.tabulate(10)(i => ("flat", i.toLong, 7L)) ++
+      // one whale carries ~all the mass
+      (("whale", 100L, 10000L) +: Seq.tabulate(9)(i => ("whale", 200L + i, 1L)))
+    val out = Sampling.effectiveSampleSize(
+        df.toDF("g", "id", "w").drop("id"), "g", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val (n, sw, sw2, ess, ratio) = out("flat")
+    assert((n, sw, sw2) === ((10L, 70L, 490L)))
+    assert(ess === 10.0 && ratio === 1.0)   // (70²)/490 exactly
+    val (wn, _, _, wess, wratio) = out("whale")
+    assert(wn === 10L && wess < 1.01 && wratio < 0.11,
+      s"whale group should collapse to ~1 effective sample, got $wess")
+  }
+
+  test("effectiveSampleSize: all-zero weights -> NULL, not divide-by-zero") {
+    val df = Seq(("z", 0L), ("z", 0L)).toDF("g", "w")
+    val r = Sampling.effectiveSampleSize(df, "g", "w").first()
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
 }
