@@ -1405,6 +1405,45 @@ object SparkEntry {
           round(col("ess_ratio"), 6).as("ess_ratio"))
         .orderBy("source")
     }),
+    // ── scale: multi-class confusion matrix — per-class TP/FP/FN +
+    //    precision/recall/F1 of the q23 language-ID against truth labels
+    //    (oracle: DuckDB replays the predictor, cells, and the fixed-paren
+    //    ratio chain) ───────────────────────────────────────────────────────
+    "q172_confusion_matrix" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("pred"))
+      Profiling.confusionMatrix(d, "lang", "pred")
+        .select(col("class"), col("tp"), col("fp"), col("fn"),
+          col("support"), round(col("precision"), 6).as("prec"),
+          round(col("recall"), 6).as("rec"), round(col("f1"), 6).as("f1"))
+        .orderBy("class")
+    }),
+    // ── scale: exact tie-aware ROC-AUC — integer midrank machinery on the
+    //    score-cardinality frame, distributed cumsum, one final division
+    //    (oracle: DuckDB replays the q22 scorer, midranks, and the
+    //    Mann-Whitney identity) ─────────────────────────────────────────────
+    "q173_auc" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(
+        round(TextAnalysis.qualityScore(col("text")), 6).as("score"),
+        (col("lang") === "en").as("label"))
+      Analytics.aucRoc(d, "score", "label")
+        .select(col("n"), col("n_pos"), col("n_neg"),
+          round(col("auc"), 6).as("auc"))
+    }),
+    // ── scale: calibration curve + ECE — per-confidence-bin predicted-vs-
+    //    empirical rates with the n-weighted |gap| rollup (oracle: DuckDB
+    //    replays the scorer, bins, sorted folds, and ECE) ──────────────────
+    "q174_calibration" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("score"),
+        (col("lang") === "en").as("label"))
+      Analytics.calibrationCurve(d, "doc_id", "score", "label", bins = 10,
+          deterministic = true)
+        .select(col("bin"), col("n"), col("pos"),
+          round(col("conf"), 6).as("conf"), round(col("acc"), 6).as("acc"),
+          round(col("gap"), 6).as("gap"), round(col("ece"), 6).as("ece"))
+        .orderBy("bin")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3521,6 +3560,75 @@ object SparkEntry {
         |  round(((CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE))
         |    / CAST(sum_w2 AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS ess_ratio
         |FROM g ORDER BY source""".stripMargin,
+    "q172_confusion_matrix" ->
+      s"""WITH $langPredSelectSql,
+         |cells AS (SELECT l, p, CAST(count(*) AS BIGINT) AS c
+         |          FROM pr GROUP BY 1, 2),
+         |cls AS (SELECT l AS class FROM cells
+         |        UNION SELECT p AS class FROM cells),
+         |tpx AS (SELECT l AS class, CAST(sum(c) AS BIGINT) AS tp
+         |        FROM cells WHERE l = p GROUP BY 1),
+         |pt AS (SELECT p AS class, CAST(sum(c) AS BIGINT) AS pt
+         |       FROM cells GROUP BY 1),
+         |lt AS (SELECT l AS class, CAST(sum(c) AS BIGINT) AS lt
+         |       FROM cells GROUP BY 1),
+         |j AS (SELECT cls.class AS class, coalesce(tpx.tp, 0) AS tp,
+         |        coalesce(pt.pt, 0) - coalesce(tpx.tp, 0) AS fp,
+         |        coalesce(lt.lt, 0) - coalesce(tpx.tp, 0) AS fn
+         |      FROM cls LEFT JOIN tpx USING (class)
+         |        LEFT JOIN pt USING (class) LEFT JOIN lt USING (class)),
+         |f AS (SELECT class, tp, fp, fn, tp + fn AS support,
+         |    CASE WHEN tp + fp = 0 THEN NULL
+         |      ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS p,
+         |    CASE WHEN tp + fn = 0 THEN NULL
+         |      ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS r
+         |  FROM j)
+         |SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(support AS BIGINT) AS support,
+         |  round(p, 6) AS prec, round(r, 6) AS rec,
+         |  round(CASE WHEN p IS NULL OR r IS NULL OR p + r = 0 THEN NULL
+         |    ELSE (CAST(2.0 AS DOUBLE) * p * r) / (p + r) END, 6) AS f1
+         |FROM f ORDER BY class""".stripMargin,
+    "q173_auc" ->
+      s"""WITH q AS (SELECT $qualitySql AS s, (lang = 'en') AS lbl
+         |  FROM documents),
+         |g AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM q GROUP BY 1),
+         |c AS (SELECT s, cnt, pos,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY s ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb
+         |  FROM g),
+         |t AS (SELECT CAST(sum(pos * (2 * cb + cnt + 1)) AS BIGINT) AS s2,
+         |    CAST(sum(pos) AS BIGINT) AS np,
+         |    CAST(sum(cnt - pos) AS BIGINT) AS nn
+         |  FROM c)
+         |SELECT np + nn AS n, np AS n_pos, nn AS n_neg,
+         |  round(CASE WHEN np = 0 OR nn = 0 THEN NULL ELSE
+         |    (CAST(s2 AS DOUBLE) - CAST(np * (np + 1) AS DOUBLE))
+         |    / CAST(2 * np * nn AS DOUBLE) END, 6) AS auc
+         |FROM t""".stripMargin,
+    "q174_calibration" ->
+      s"""WITH q AS (SELECT doc_id, $qualitySql AS s, (lang = 'en') AS lbl
+         |  FROM documents),
+         |b AS (SELECT doc_id, s, lbl,
+         |    least(CAST(floor(s * CAST(10.0 AS DOUBLE)) AS BIGINT), 9) AS bin
+         |  FROM q),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    list_reduce(list(s ORDER BY doc_id), (a, c) -> a + c) AS ssum
+         |  FROM b GROUP BY 1),
+         |nt AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM g),
+         |cur AS (SELECT bin, n, pos, ssum / CAST(n AS DOUBLE) AS conf,
+         |    CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc FROM g),
+         |e AS (SELECT list_reduce(
+         |    list((CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE)) * abs(acc - conf)
+         |      ORDER BY bin), (a, c) -> a + c) AS ece
+         |  FROM cur, nt)
+         |SELECT bin, n, pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
+         |  round(abs(acc - conf), 6) AS gap, round(e.ece, 6) AS ece
+         |FROM cur, e ORDER BY bin""".stripMargin,
     "q163_threshold_curve" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents
@@ -5377,6 +5485,39 @@ object SparkEntry {
   private val shingle3Sql: String =
     "list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), " +
       "i -> array_to_string(toks[i:i+2], ' ')) ELSE [array_to_string(toks, ' ')] END)"
+
+  /** The q22 quality score (rounded to 6, the gate convention) as a bare
+    * SQL expression over `text` — shared by the evaluation-tier oracles
+    * (q173 AUC, q174 calibration) that score documents with it. */
+  private val qualitySql: String =
+    """round(
+      |  least(length(text) / 500.0, 1.0) * 0.25 +
+      |  (CASE WHEN length(text) > 0 THEN
+      |     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+      |   ELSE 0.0 END) * 0.25 +
+      |  (1.0 - least((CASE WHEN length(text) > 0 THEN
+      |     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+      |   ELSE 0.0 END) * 10.0, 1.0)) * 0.25 +
+      |  least((CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 THEN
+      |     len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it)\b')) * 1.0
+      |       / len(string_split_regex(trim(text), '\s+'))
+      |   ELSE 0.0 END) * 4.0, 1.0) * 0.25, 6)""".stripMargin
+
+  /** The q23 language-ID prediction as a `scored` CTE + CASE chain,
+    * shared by the q172 confusion-matrix oracle. */
+  private def langPredSelectSql: String = {
+    val langs = graft.operators.TextAnalysis.markerLexicon.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val pat = "(?i)\\b(" +
+        graft.operators.TextAnalysis.markerLexicon(l).mkString("|") + ")\\b"
+      s"len(regexp_extract_all(text, '$pat')) AS s_$l"
+    }.mkString(", ")
+    val greatest = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN s_$l = $greatest THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    s"""scored AS (SELECT doc_id, lang, $scores FROM documents),
+       |pr AS (SELECT lang AS l, $caseChain AS p FROM scored)""".stripMargin
+  }
 
   /** The 64 per-bit majority votes of simhash as one SQL sum. Only bits
     * 0-59 can be set with the 60-bit portable hash (both engines agree the

@@ -967,4 +967,107 @@ object Analytics {
       .filter(col("__y") > col("__pm"))
       .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
   }
+
+  /** EXACT tie-aware ROC-AUC (Mann–Whitney with midranks): the
+    * threshold-free quality metric for a scorer against a binary label
+    * ("does the quality classifier actually rank good docs above bad
+    * ones?"). The corpus collapses to the score-cardinality frame
+    * (score, cnt, pos) in one map-side-combined aggregate; the
+    * rank machinery is INTEGER on that frame — each distinct score's
+    * doubled-midrank is 2·cntBelow + cnt + 1, so
+    * Σ_pos 2·midrank = Σ pos·(2·cntBelow + cnt + 1) is an exact long
+    * and AUC = (Σ − n₊(n₊+1)) / (2·n₊·n₋) divides ONCE. The
+    * cumulative-below pass runs in the distributed-cumsum idiom
+    * (range exchange on the score frame + driver prefix offsets), never
+    * a one-task window. Degenerate designs (single-class label) report
+    * NULL. Returns one row (n, n_pos, n_neg, auc). */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val byScore = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__lbl"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__lbl"), 1L).otherwise(0L)).as("__pos"))
+      .repartitionByRange(p, col("__s").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)   // freeze range boundaries (q79 lesson)
+    val sums = byScore.groupBy("__pid").agg(sum("__cnt").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    import spark.implicits._
+    if (sums.isEmpty)
+      return Seq.empty[(Long, Long, Long, Option[Double])]
+        .toDF("n", "n_pos", "n_neg", "auc")
+    val offsets: Map[Int, Long] = sums.map(_._1)
+      .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val w = Window.partitionBy("__pid").orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__cb",
+        coalesce(sum(col("__cnt")).over(w), lit(0L)) +
+          element_at(typedLit(offsets), col("__pid")))
+      .agg(
+        sum(col("__pos") * (lit(2L) * col("__cb") + col("__cnt") + lit(1L)))
+          .as("__s2"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"))
+      .select((col("n_pos") + col("n_neg")).as("n"), col("n_pos"),
+        col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("__s2").cast("double") -
+              (col("n_pos") * (col("n_pos") + lit(1L))).cast("double")) /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
+
+  /** Calibration curve + expected calibration error for a [0, 1] scorer
+    * against a binary label: per equal-width confidence bin, the mean
+    * predicted score (confidence) vs the empirical positive rate
+    * (accuracy), plus the n-weighted |gap| rollup
+    * ECE = Σ (n_b/N)·|acc_b − conf_b| — the standard "can I trust 0.9
+    * to mean 90%?" monitoring readout next to [[aucRoc]] (AUC measures
+    * ranking, calibration measures the probabilities themselves).
+    * Bin assignment is a pure projection (min(⌊s·bins⌋, bins−1));
+    * counts/positives are exact longs; the only FP aggregate is the
+    * per-bin score sum — id-sorted fold on the gate path
+    * (`deterministic = true`), plain map-side sum in production; ECE
+    * folds bin-sorted over the bins-sized frame. Returns one row per
+    * OBSERVED bin (bin, n, pos, conf, acc, gap) + the constant `ece`. */
+  def calibrationCurve(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, bins: Int, deterministic: Boolean = false): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val binned = df.select(col(idCol).as("__id"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__lbl"))
+      .withColumn("bin",
+        least(floor(col("__s") * lit(bins.toDouble)).cast("long"),
+          lit(bins - 1L)))
+    val scoreSum =
+      if (deterministic)
+        aggregate(sort_array(collect_list(struct(col("__id"), col("__s")))),
+          lit(0.0), (acc, x) => acc + x.getField("__s"))
+      else sum(col("__s"))
+    val perBin = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__lbl"), 1L).otherwise(0L)).as("pos"),
+        scoreSum.as("__ssum"))
+      .localCheckpoint(false)
+    val nTot = perBin.agg(sum("n")).first().getLong(0)
+    require(nTot > 0, "no rows")
+    val conf = col("__ssum") / col("n").cast("double")
+    val acc = col("pos").cast("double") / col("n").cast("double")
+    val curve = perBin.select(col("bin"), col("n"), col("pos"),
+      conf.as("conf"), acc.as("acc"), abs(acc - conf).as("gap"))
+    val ece = curve
+      .select(col("bin"),
+        ((col("n").cast("double") / lit(nTot.toDouble)) * col("gap"))
+          .as("__t"))
+      .agg(aggregate(sort_array(collect_list(struct(col("bin"), col("__t")))),
+        lit(0.0), (acc2, x) => acc2 + x.getField("__t")))
+      .first().getDouble(0)
+    curve.withColumn("ece", lit(ece))
+  }
 }

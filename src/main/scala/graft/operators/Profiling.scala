@@ -684,4 +684,57 @@ object Profiling {
     Seq((n, po, pe, Option(kappa).map(_.doubleValue())))
       .toDF("n", "po", "pe", "kappa")
   }
+
+  /** Multi-class confusion-matrix report: per class, TP/FP/FN/support
+    * and precision/recall/F1 — the classifier-evaluation readout (which
+    * languages does the language-ID confuse? which classes does the
+    * quality filter over-fire on?). One scan to the class²-bounded
+    * contingency cells; every count derives from cells (TP = diagonal,
+    * FP = predicted-total − TP, FN = actual-total − TP); classes are the
+    * UNION of observed truths and predictions, so a class the model
+    * never predicts (or invents) still reports. Exact longs; the three
+    * ratios are fixed-paren divisions with 0-denominator → NULL (the
+    * q141 convention). Returns (class, tp, fp, fn, support,
+    * precision, recall, f1). */
+  def confusionMatrix(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .select(col(labelCol).cast("string").as("__l"),
+        col(predCol).cast("string").as("__p"))
+      .groupBy("__l", "__p").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val classes = cells.select(col("__l").as("class"))
+      .union(cells.select(col("__p").as("class"))).distinct()
+    val tp = cells.filter(col("__l") === col("__p"))
+      .select(col("__l").as("class"), col("__c").as("tp"))
+    val predTot = cells.groupBy(col("__p").as("class"))
+      .agg(sum("__c").as("__pt"))
+    val lblTot = cells.groupBy(col("__l").as("class"))
+      .agg(sum("__c").as("__lt"))
+    val p = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val r = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    classes
+      .join(tp, Seq("class"), "left")
+      .join(predTot, Seq("class"), "left")
+      .join(lblTot, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("__pt"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("__lt"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("support", col("tp") + col("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+          .otherwise(p))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(r))
+      .withColumn("f1",
+        when(col("precision").isNull || col("recall").isNull ||
+            (col("precision") + col("recall")) === 0.0,
+          lit(null).cast("double"))
+          .otherwise((lit(2.0) * col("precision") * col("recall")) /
+            (col("precision") + col("recall"))))
+  }
 }

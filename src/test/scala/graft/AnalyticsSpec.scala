@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Analytics
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends SparkSpec {
@@ -572,6 +573,82 @@ class AnalyticsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(out === ref, s"parts=$parts")
     }
+  }
+
+  // ── aucRoc ─────────────────────────────────────────────────────────────
+
+  test("aucRoc: perfect 1.0, reversed 0.0, all-ties 0.5, degenerate NULL") {
+    def auc(rows: Seq[(Double, Boolean)]): Row =
+      Analytics.aucRoc(rows.toDF("s", "y"), "s", "y").first()
+    val perfect = (1 to 10).map(i => (i.toDouble, i > 5))
+    assert(auc(perfect).getDouble(3) === 1.0)
+    assert(auc(perfect.map { case (s, y) => (-s, y) }).getDouble(3) === 0.0)
+    assert(auc(Seq((1.0, true), (1.0, false), (1.0, true), (1.0, false)))
+      .getDouble(3) === 0.5)
+    assert(auc(Seq((1.0, true), (2.0, true))).isNullAt(3))
+  }
+
+  test("aucRoc: equals brute-force pair counting with ties, partition-invariant") {
+    val rnd = new scala.util.Random(23)
+    // coarse scores force ties across classes
+    val rows = (1 to 300).map { _ =>
+      val y = rnd.nextBoolean()
+      val s = (rnd.nextInt(12) + (if (y) rnd.nextInt(4) else 0)).toDouble
+      (s, y)
+    }
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = wins / (pos.size.toDouble * neg.size.toDouble)
+    for (parts <- Seq(1, 9)) {
+      val got = Analytics.aucRoc(rows.toDF("s", "y").repartition(parts),
+        "s", "y").first().getDouble(3)
+      assert(math.abs(got - expected) < 1e-12, s"parts=$parts got=$got")
+    }
+  }
+
+  // ── calibrationCurve ───────────────────────────────────────────────────
+
+  test("calibrationCurve: hand bins, gap, and ECE; top score lands in last bin") {
+    // bin 9: scores {0.9, 1.0}, one positive -> conf 0.95, acc 0.5
+    // bin 0: scores {0.0, 0.05}, none positive -> conf 0.025, acc 0.0
+    val df = Seq((1L, 0.9, true), (2L, 1.0, false),
+      (3L, 0.0, false), (4L, 0.05, false)).toDF("id", "s", "y")
+    val out = Analytics.calibrationCurve(df, "id", "s", "y", bins = 10,
+        deterministic = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.keySet === Set(0L, 9L))
+    val (n9, p9, c9, a9, g9, ece) = out(9L)
+    assert((n9, p9) === ((2L, 1L)) && c9 === 0.95 && a9 === 0.5)
+    assert(math.abs(g9 - 0.45) < 1e-12)
+    val (n0, p0, c0, a0, g0, _) = out(0L)
+    assert((n0, p0) === ((2L, 0L)) && c0 === 0.025 && a0 === 0.0)
+    assert(math.abs(g0 - 0.025) < 1e-12)
+    assert(math.abs(ece - (0.5 * 0.45 + 0.5 * 0.025)) < 1e-12)
+  }
+
+  test("calibrationCurve: deterministic ≡ production within 1e-9") {
+    val rnd = new scala.util.Random(31)
+    val df = (1L to 500L).map { i =>
+      val s = rnd.nextDouble()
+      (i, s, rnd.nextDouble() < s)   // perfectly calibrated generator
+    }.toDF("id", "s", "y")
+    val det = Analytics.calibrationCurve(df, "id", "s", "y", 10,
+      deterministic = true).collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(6)))).toMap
+    val prod = Analytics.calibrationCurve(df, "id", "s", "y", 10,
+      deterministic = false).collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(6)))).toMap
+    assert(det.keySet === prod.keySet)
+    det.foreach { case (b, (c, e)) =>
+      assert(math.abs(c - prod(b)._1) < 1e-9)
+      assert(math.abs(e - prod(b)._2) < 1e-9)
+    }
+    // a well-calibrated scorer has small ECE
+    assert(det.values.head._2 < 0.15)
   }
 
   test("paretoFrontier2D: staircase golden with an equal-x tie") {

@@ -313,6 +313,36 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.cohensKappa(constant, "a", "b").first().isNullAt(3))
   }
 
+  // ── confusion matrix ─────────────────────────────────────────────────
+
+  test("confusionMatrix: hand 3-class golden incl. never-predicted class") {
+    // truth: 3 a, 2 b, 1 c; model never predicts c, invents d
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "d"), ("c", "a"))
+    val out = Profiling.confusionMatrix(rows.toDF("y", "p"), "y", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") === ((2L, 1L, 1L, 3L)))   // tp=2, fp=c->a, fn=a->b
+    assert(out("b") === ((1L, 1L, 1L, 2L)))
+    assert(out("c") === ((0L, 0L, 1L, 1L)))   // never predicted
+    assert(out("d") === ((0L, 1L, 0L, 0L)))   // invented class
+  }
+
+  test("confusionMatrix: ratio semantics (exact values, NULL conventions)") {
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "d"), ("c", "a"))
+    val out = Profiling.confusionMatrix(rows.toDF("y", "p"), "y", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a: p = 2/3, r = 2/3, f1 = 2*(2/3)*(2/3)/(4/3) = 2/3
+    assert(math.abs(out("a").getDouble(5) - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(out("a").getDouble(7) - 2.0 / 3.0) < 1e-12)
+    // c is never predicted: precision NULL, recall 0
+    assert(out("c").isNullAt(5) && out("c").getDouble(6) === 0.0)
+    assert(out("c").isNullAt(7))   // p NULL -> f1 NULL
+    // d never occurs in truth: recall NULL
+    assert(out("d").getDouble(5) === 0.0 && out("d").isNullAt(6))
+  }
+
   test("cohensKappa: independent raters land near zero") {
     // a-label from i mod 2, b-label from i mod 3 parity: independent by
     // construction over a full cycle of 6
