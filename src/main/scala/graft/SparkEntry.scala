@@ -1444,6 +1444,28 @@ object SparkEntry {
           round(col("gap"), 6).as("gap"), round(col("ece"), 6).as("ece"))
         .orderBy("bin")
     }),
+    // ── scale: per-group winsorization — clamp into exact order-statistic
+    //    [p05, p95] bounds; comparisons only, no FP arithmetic (oracle:
+    //    DuckDB replays the rank bounds and the clamp) ─────────────────────
+    "q175_winsorize" -> ((s, dir) => {
+      Analytics.winsorizePerGroup(
+          T(s, dir, "events").select(col("event_type"), col("event_id"),
+            col("value")),
+          "event_type", "event_id", "value", lo = 0.05, hi = 0.95)
+        .orderBy("event_type", "event_id")
+    }),
+    // ── scale: chi-square independence + Cramér's V — the significance
+    //    companion to q151's MI; zero cells in closed form, only observed
+    //    cells enumerated (oracle: DuckDB replays cells, marginals, both
+    //    sorted folds, and the closed-form correction) ─────────────────────
+    "q176_chi_square" -> ((s, dir) => {
+      Profiling.chiSquareIndependence(
+          T(s, dir, "orders").select("o_orderpriority", "o_orderstatus"),
+          "o_orderpriority", "o_orderstatus", deterministic = true)
+        .select(col("n"), col("r"), col("c"), col("dof"),
+          round(col("chi2"), 6).as("chi2"),
+          round(col("cramers_v"), 6).as("cramers_v"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3629,6 +3651,55 @@ object SparkEntry {
          |SELECT bin, n, pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
          |  round(abs(acc - conf), 6) AS gap, round(e.ece, 6) AS ece
          |FROM cur, e ORDER BY bin""".stripMargin,
+    "q176_chi_square" ->
+      """WITH cells AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+        |    CAST(o_orderstatus AS VARCHAR) AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |t AS (SELECT cells.x, cells.y,
+        |    (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS e,
+        |    ((CAST(c AS DOUBLE) -
+        |      (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) / CAST(n AS DOUBLE))
+        |     * (CAST(c AS DOUBLE) -
+        |      (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    / ((CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      AS term
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn),
+        |f AS (SELECT
+        |    list_reduce(list(term ORDER BY x, y), (a, b) -> a + b) AS st,
+        |    list_reduce(list(e ORDER BY x, y), (a, b) -> a + b) AS se
+        |  FROM t),
+        |dims AS (SELECT (SELECT count(*) FROM mx) AS r,
+        |                (SELECT count(*) FROM my) AS c)
+        |SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+        |  round(st + (CAST(n AS DOUBLE) - se), 6) AS chi2,
+        |  round(CASE WHEN least(r - 1, c - 1) <= 0 THEN NULL
+        |    ELSE sqrt((st + (CAST(n AS DOUBLE) - se)) /
+        |      (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+        |    END, 6) AS cramers_v
+        |FROM f, nn, dims""".stripMargin,
+    "q175_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN rk = greatest(1, CAST(ceil(
+        |        CAST(0.05 AS DOUBLE) * n) AS BIGINT)) THEN value END) AS lo,
+        |    min(CASE WHEN rk = greatest(1, CAST(ceil(
+        |        CAST(0.95 AS DOUBLE) * n) AS BIGINT)) THEN value END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT e.event_type, e.event_id, e.value,
+        |  greatest(b.lo, least(b.hi, e.value)) AS winsorized
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q163_threshold_curve" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents

@@ -1023,6 +1023,33 @@ object Analytics {
           .as("auc"))
   }
 
+  /** Per-group winsorization: clamp each value into its group's
+    * [q_lo, q_hi] EXACT order-statistic bounds — outlier taming that
+    * keeps every row (where [[trimmedMeanPerGroup]] drops the tails,
+    * winsorizing caps them: the feature-preprocessing standard for
+    * heavy-tailed measures). The bounds ride
+    * [[discreteQuantilesPerGroup]]'s pruned per-(range, group) rank
+    * machinery (one range exchange, window work bounded by groups×2);
+    * the clamp itself is a pure projection after a broadcast-gated join
+    * of the group-sized bounds frame — NO floating-point arithmetic
+    * anywhere (comparisons only), so the output is trivially
+    * engine-exact. Returns (group, id, value, winsorized). */
+  def winsorizePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi,
+      s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val bounds = discreteQuantilesPerGroup(df, groupCol, idCol, valueCol,
+        Seq(lo, hi))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("q") === lo, col("value"))).as("__lo"),
+        min(when(col("q") === hi, col("value"))).as("__hi"))
+    df.select(col(groupCol), col(idCol), col(valueCol))
+      .join(Ops.broadcastIfSmall(bounds), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        greatest(col("__lo"), least(col("__hi"), col(valueCol)))
+          .as("winsorized"))
+  }
+
   /** Calibration curve + expected calibration error for a [0, 1] scorer
     * against a binary label: per equal-width confidence bin, the mean
     * predicted score (confidence) vs the empirical positive rate

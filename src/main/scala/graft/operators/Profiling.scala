@@ -685,6 +685,65 @@ object Profiling {
       .toDF("n", "po", "pe", "kappa")
   }
 
+  /** Pearson chi-square test of independence + Cramér's V between two
+    * categorical columns — the significance companion to
+    * [[mutualInformation]] (MI says how MUCH the columns share, χ²/V say
+    * whether the association is real and how strong on a [0, 1] scale
+    * comparable across tables). One scan to the cell-cardinality
+    * contingency counts; marginals derive from cells. Zero-observed
+    * cells are handled in CLOSED FORM: their (0−E)²/E collapses to E,
+    * and Σ_missing E = n − Σ_observed E — so only observed cells are
+    * ever enumerated (never the R×C cross product, which at corpus
+    * scale is mostly empty). Expected counts compute as
+    * (cx·cy as doubles)/n (a long product would overflow at 100 TB
+    * counts). Fixed parenthesization; on the gate path both folds run
+    * (x, y)-sorted, production uses plain sums (spec ≈ 1e-9). Cramér's
+    * V = √(χ²/(n·min(R−1, C−1))); a single-category axis reports NULL
+    * (the q141 degenerate-design convention). Returns one row
+    * (n, r, c, dof, chi2, cramers_v). */
+  def chiSquareIndependence(df: DataFrame, xCol: String, yCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val cells = df
+      .select(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val mx = cells.groupBy("__x").agg(sum("__c").as("__cx"))
+    val my = cells.groupBy("__y").agg(sum("__c").as("__cy"))
+    val n = cells.agg(sum("__c")).first().getLong(0)
+    require(n > 0, "no rows")
+    val r = mx.count()
+    val c = my.count()
+    val nD = n.toDouble
+    val e = (col("__cx").cast("double") * col("__cy").cast("double")) /
+      lit(nD)
+    val terms = cells
+      .join(Ops.broadcastIfSmall(mx), Seq("__x"))
+      .join(Ops.broadcastIfSmall(my), Seq("__y"))
+      .select(col("__x"), col("__y"), e.as("__e"),
+        (((col("__c").cast("double") - e) *
+          (col("__c").cast("double") - e)) / e).as("__t"))
+    def fold(termCol: String): Double = {
+      val agg0 =
+        if (deterministic)
+          terms.agg(aggregate(
+            sort_array(collect_list(struct(col("__x"), col("__y"),
+              col(termCol).as("__v")))),
+            lit(0.0), (acc, x) => acc + x.getField("__v")))
+        else terms.agg(sum(col(termCol)))
+      agg0.first().getDouble(0)
+    }
+    val chi2 = fold("__t") + (nD - fold("__e"))
+    val minDim = math.min(r - 1, c - 1)
+    val v: Option[Double] =
+      if (minDim <= 0) None
+      else Some(math.sqrt(chi2 / (nD * minDim.toDouble)))
+    val dof = (r - 1) * (c - 1)
+    import df.sparkSession.implicits._
+    Seq((n, r, c, dof, chi2, v)).toDF("n", "r", "c", "dof", "chi2",
+      "cramers_v")
+  }
+
   /** Multi-class confusion-matrix report: per class, TP/FP/FN/support
     * and precision/recall/F1 — the classifier-evaluation readout (which
     * languages does the language-ID confuse? which classes does the

@@ -282,6 +282,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("winsorizePerGroup clamps to exact per-group order-statistic bounds") {
+    val rows = (1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 7).map(i => ("b", (100 + i).toLong, i * 10.0))
+    val out = Analytics.winsorizePerGroup(rows.toDF("g", "id", "score"),
+        "g", "id", "score", lo = 0.05, hi = 0.95)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.size === rows.size) // every row kept
+    for ((g, vals) <- rows.groupBy(_._1)) {
+      val loB = refQuantile(vals.map(_._3), 0.05)
+      val hiB = refQuantile(vals.map(_._3), 0.95)
+      for ((_, id, v) <- vals) {
+        val (orig, w) = out((g, id))
+        assert(orig === v)
+        assert(w === math.max(loB, math.min(hiB, v)), s"$g/$id")
+      }
+    }
+    // group a [1..100]: p05=5, p95=95 → tails clamp, middle untouched
+    assert(out(("a", 1L))._2 === 5.0)
+    assert(out(("a", 100L))._2 === 95.0)
+    assert(out(("a", 50L))._2 === 50.0)
+  }
+
   test("robustOutliers flags modified-z outliers; MAD-0 groups flag nothing") {
     // group a: tight cluster around 10 with one extreme point
     val a = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) :+ (("a", 99L, 1000.0))

@@ -251,6 +251,43 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-9)
   }
 
+  // ── chi-square independence ──────────────────────────────────────────
+
+  test("chiSquareIndependence: product distribution -> chi2 exactly 0") {
+    // counts 10/20/30/60: every observed cell equals its expected count
+    val rows = Seq.fill(10)(("a", "u")) ++ Seq.fill(20)(("a", "v")) ++
+      Seq.fill(30)(("b", "u")) ++ Seq.fill(60)(("b", "v"))
+    val r = Profiling.chiSquareIndependence(rows.toDF("x", "y"), "x", "y",
+      deterministic = true).first()
+    assert(r.getLong(0) === 120L)
+    assert(r.getLong(3) === 1L)              // dof (2-1)(2-1)
+    assert(math.abs(r.getDouble(4)) < 1e-12) // chi2 = 0
+    assert(math.abs(r.getDouble(5)) < 1e-12) // V = 0
+  }
+
+  test("chiSquareIndependence: perfect 2x2 association -> chi2 = n, V = 1") {
+    // diagonal-only cells exercise the closed-form zero-cell correction
+    val rows = Seq.fill(50)(("a", "u")) ++ Seq.fill(50)(("b", "v"))
+    val r = Profiling.chiSquareIndependence(rows.toDF("x", "y"), "x", "y",
+      deterministic = true).first()
+    assert(math.abs(r.getDouble(4) - 100.0) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)
+  }
+
+  test("chiSquareIndependence: single-category axis -> NULL V; det ≈ prod") {
+    val degen = (1 to 30).map(i => (s"x${i % 3}", "only")).toDF("x", "y")
+    val r = Profiling.chiSquareIndependence(degen, "x", "y").first()
+    assert(r.getLong(3) === 0L)   // dof
+    assert(r.isNullAt(5))         // V undefined
+    val df = (1 to 500).map(i => (s"x${i % 7}", s"y${(i * i) % 5}"))
+      .toDF("x", "y")
+    val a = Profiling.chiSquareIndependence(df, "x", "y",
+      deterministic = true).first()
+    val b = Profiling.chiSquareIndependence(df, "x", "y").first()
+    assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-9)
+    assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9)
+  }
+
   // ── PSI ──────────────────────────────────────────────────────────────
 
   test("psi: identical distributions score ~0, shifted distribution alarms") {
