@@ -1466,6 +1466,18 @@ object SparkEntry {
           round(col("chi2"), 6).as("chi2"),
           round(col("cramers_v"), 6).as("cramers_v"))
     }),
+    // ── scale: multiset table fingerprint — order-independent checksum
+    //    for source/target reconciliation; (rowHash, multiplicity) pairs
+    //    XOR'd so value AND count changes both move it (oracle: DuckDB
+    //    replays hashes, multiplicities, and the XOR) ──────────────────────
+    "q177_table_fingerprint" -> ((s, dir) => {
+      val d = T(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      Profiling.tableFingerprint(d, Seq("o_orderpriority"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "cents"))
+        .orderBy("o_orderpriority")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3651,6 +3663,24 @@ object SparkEntry {
          |SELECT bin, n, pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
          |  round(abs(acc - conf), 6) AS gap, round(e.ece, 6) AS ece
          |FROM cur, e ORDER BY bin""".stripMargin,
+    "q177_table_fingerprint" ->
+      """WITH rh AS (
+        |  SELECT o_orderpriority AS g,
+        |    ('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || chr(1) ||
+        |      CAST(o_custkey AS VARCHAR) || chr(1) ||
+        |      o_orderstatus || chr(1) ||
+        |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        |    ), 1, 15))::UBIGINT AS h
+        |  FROM orders),
+        |hc AS (SELECT g, h, CAST(count(*) AS BIGINT) AS c
+        |       FROM rh GROUP BY 1, 2)
+        |SELECT g AS o_orderpriority, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_distinct_rows,
+        |  CAST(bit_xor(('0x' || substr(md5(
+        |      CAST(h AS VARCHAR) || ':' || CAST(c AS VARCHAR)
+        |    ), 1, 15))::UBIGINT) AS BIGINT) AS fingerprint
+        |FROM hc GROUP BY g ORDER BY g""".stripMargin,
     "q176_chi_square" ->
       """WITH cells AS (
         |  SELECT CAST(o_orderpriority AS VARCHAR) AS x,

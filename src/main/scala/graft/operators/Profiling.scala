@@ -685,6 +685,38 @@ object Profiling {
       .toDF("n", "po", "pe", "kappa")
   }
 
+  /** Order-independent MULTISET table fingerprint: "are these two copies
+    * of the table identical, without sorting either?" — the migration /
+    * replication / backfill reconciliation primitive (compare a 100 TB
+    * source and target with one checksum per side, no co-located sort,
+    * no row-by-row diff shuffle). Naive XOR-of-row-hashes cancels
+    * even-multiplicity duplicates ({R,R,S} ≡ {S}); this one first
+    * collapses rows to the dedup-sized (rowHash, multiplicity) frame,
+    * then XORs h60(rowHash:count) — any difference in any row's VALUE or
+    * MULTIPLICITY changes the fingerprint. Both aggregates map-side
+    * combine (count, then the commutative XOR); the only shuffle is
+    * key-width (group, rowHash). Row text: columns cast to string,
+    * null -> \u0000 sentinel BEFORE the \u0001-joined concat (concat_ws
+    * silently SKIPS nulls — null and empty would collide). Doubles
+    * should be pre-rounded to exact units by the caller (the q107 cents
+    * convention). Returns (group…, n_rows, n_distinct_rows,
+    * fingerprint). */
+  def tableFingerprint(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val rowStr = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val hc = df
+      .select(groupCols.map(col) :+ Dedup.md5Hash60(rowStr).as("__h"): _*)
+      .groupBy(groupCols.map(col) :+ col("__h"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__ph", Dedup.md5Hash60(concat(col("__h").cast("string"),
+        lit(":"), col("__c").cast("string"))))
+    hc.groupBy(groupCols.map(col): _*)
+      .agg(sum("__c").as("n_rows"), count(lit(1)).as("n_distinct_rows"),
+        bit_xor(col("__ph")).as("fingerprint"))
+  }
+
   /** Pearson chi-square test of independence + Cramér's V between two
     * categorical columns — the significance companion to
     * [[mutualInformation]] (MI says how MUCH the columns share, χ²/V say

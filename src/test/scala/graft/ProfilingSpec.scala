@@ -288,6 +288,43 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9)
   }
 
+  // ── table fingerprint ────────────────────────────────────────────────
+
+  test("tableFingerprint: order/partition-invariant; multiplicity-exact") {
+    val base = Seq(("g", 1L, "r"), ("g", 1L, "r"), ("g", 2L, "s"))
+    val fp = Profiling.tableFingerprint(base.toDF("grp", "id", "v"),
+        Seq("grp"), Seq("id", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    assert(fp._2 === 3L && fp._3 === 2L)
+    // same multiset, reversed order, different partitioning → identical
+    val fp2 = Profiling.tableFingerprint(
+        base.reverse.toDF("grp", "id", "v").repartition(7),
+        Seq("grp"), Seq("id", "v"))
+      .collect().map(r => r.getLong(3)).head
+    assert(fp2 === fp._4)
+    // the XOR-cancellation trap: {R,R,S} must differ from {S} AND from
+    // {T,T,S} (same counts, different duplicated row)
+    val justS = Profiling.tableFingerprint(
+        Seq(("g", 2L, "s")).toDF("grp", "id", "v"), Seq("grp"), Seq("id", "v"))
+      .collect().head.getLong(3)
+    val ttS = Profiling.tableFingerprint(
+        Seq(("g", 9L, "t"), ("g", 9L, "t"), ("g", 2L, "s"))
+          .toDF("grp", "id", "v"), Seq("grp"), Seq("id", "v"))
+      .collect().head.getLong(3)
+    assert(justS !== fp._4)
+    assert(ttS !== fp._4)
+    // null and empty string must not collide (concat_ws skips nulls —
+    // the pre-coalesce sentinel is what keeps them apart)
+    val withNull = Profiling.tableFingerprint(
+        Seq(("g", Option.empty[String])).toDF("grp", "v"), Seq("grp"), Seq("v"))
+      .collect().head.getLong(3)
+    val withEmpty = Profiling.tableFingerprint(
+        Seq(("g", Option(""))).toDF("grp", "v"), Seq("grp"), Seq("v"))
+      .collect().head.getLong(3)
+    assert(withNull !== withEmpty)
+  }
+
   // ── PSI ──────────────────────────────────────────────────────────────
 
   test("psi: identical distributions score ~0, shifted distribution alarms") {
