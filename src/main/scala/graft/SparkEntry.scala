@@ -1478,6 +1478,18 @@ object SparkEntry {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "cents"))
         .orderBy("o_orderpriority")
     }),
+    // ── scale: KMV bottom-k quantile sketch — the MERGEABLE quantile
+    //    estimator completing the sketch triad (CMS=heavy hitters,
+    //    HLL=distinct); sample is a pure function of (id, seed) (oracle:
+    //    DuckDB replays priorities, the bottom-k cut, and sample ranks) ────
+    "q178_kmv_quantiles" -> ((s, dir) => {
+      val sample = Sketches.kmvSample(
+        T(s, dir, "events").select(col("event_id"), col("value")),
+        "event_id", "value", k = 256, seed = 7L)
+      Sketches.kmvQuantiles(sample, "value", Seq(0.1, 0.5, 0.9, 0.99))
+        .select(col("q"), col("est"), col("sample_size"))
+        .orderBy("q")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3663,6 +3675,22 @@ object SparkEntry {
          |SELECT bin, n, pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
          |  round(abs(acc - conf), 6) AS gap, round(e.ece, 6) AS ece
          |FROM cur, e ORDER BY bin""".stripMargin,
+    "q178_kmv_quantiles" ->
+      """WITH h AS (
+        |  SELECT event_id, value,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':7'),
+        |      1, 15))::UBIGINT AS priority
+        |  FROM events),
+        |s AS (SELECT * FROM h ORDER BY priority ASC, event_id ASC
+        |      LIMIT 256),
+        |r AS (SELECT value, priority,
+        |    row_number() OVER (ORDER BY value ASC, priority ASC) AS rk,
+        |    count(*) OVER () AS m
+        |  FROM s),
+        |qs AS (SELECT unnest(CAST([0.1, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+        |SELECT q, value AS est, m AS sample_size
+        |FROM r JOIN qs ON rk = greatest(1, CAST(ceil(q * m) AS BIGINT))
+        |ORDER BY q""".stripMargin,
     "q177_table_fingerprint" ->
       """WITH rh AS (
         |  SELECT o_orderpriority AS g,

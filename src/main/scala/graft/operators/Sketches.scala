@@ -198,4 +198,64 @@ object Sketches {
     val present = daily.select(col("__day").as("day")).distinct()
     hllEstimateFromRegisters(merged.join(present, Seq("day")), Seq("day"), m)
   }
+
+  // ── KMV quantile sketch ────────────────────────────────────────────────
+
+  /** Bottom-k (KMV) sample: the `k` rows with the SMALLEST deterministic
+    * priority h60(id:seed) — a uniform random sample that is a pure
+    * function of (id, seed) and, crucially, MERGEABLE: bottom-k of a
+    * union ≡ bottom-k of the concatenated per-part bottom-k's (the min-k
+    * lattice), so shards/days/batches each keep k rows and any subset of
+    * them re-merges into a valid sample of their union. Completes the
+    * sketch triad: CMS = heavy hitters, HLL = distinct, KMV = quantiles.
+    * Plan: TakeOrderedAndProject (sort+limit), never a global sort.
+    * Returns (id, value, priority). */
+  def kmvSample(df: DataFrame, idCol: String, valueCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(idCol), col(valueCol),
+      Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"),
+        lit(seed.toString))).as("priority"))
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Merge bottom-k samples (outputs of [[kmvSample]] under the SAME
+    * seed): union, keep the k smallest priorities. The union is
+    * parts×k rows — driver-bounded however many parts merge. */
+  def kmvMergeSamples(parts: Seq[DataFrame], idCol: String,
+      k: Int): DataFrame = {
+    require(parts.nonEmpty, "need at least one part")
+    parts.reduce(_ unionByName _)
+      .dropDuplicates("priority", idCol) // re-merged overlapping shards
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Quantile ESTIMATES from a bottom-k sample: for each q, the sample
+    * value at ascending rank max(1, ceil(q·m)) (m = sample size) — the
+    * same discrete order-statistic convention as the exact
+    * `Analytics.discreteQuantilesPerGroup`, evaluated on k rows instead
+    * of the corpus. Error is the standard KMV/bottom-k sampling bound
+    * (≈ 1/√k on ranks); the estimate is DETERMINISTIC given (seed, k).
+    * Returns (q, est, sample_size). */
+  def kmvQuantiles(sample: DataFrame, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "qs must be quantiles in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    // the sample is ≤ k rows — a single-partition window over it is the
+    // intended shape (coalesce(1) makes that explicit, not accidental)
+    val ranked = sample.coalesce(1).select(col(valueCol),
+        row_number().over(Window.orderBy(col(valueCol).asc,
+          col("priority").asc)).as("__rk"),
+        count(lit(1)).over(Window.partitionBy()).as("__m"))
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val qf = qs.toDF("q")
+    ranked.join(broadcast(qf),
+        col("__rk") === greatest(lit(1L),
+          ceil(col("q") * col("__m")).cast("long")))
+      .select(col("q"), col(valueCol).as("est"), col("__m").as("sample_size"))
+  }
 }

@@ -73,6 +73,43 @@ class CurationSpec extends SparkSpec {
     assert(whole === merged)
   }
 
+  test("kmv: merge of shard bottom-ks == one-shot bottom-k, bit-exact") {
+    val a = (1 to 4000).map(i => (i.toLong, (i % 97).toDouble)).toDF("id", "v")
+    val b = (4001 to 9000).map(i => (i.toLong, (i % 89).toDouble)).toDF("id", "v")
+    val k = 128
+    val whole = Sketches.kmvSample(a.unionByName(b), "id", "v", k, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val merged = Sketches.kmvMergeSamples(
+        Seq(Sketches.kmvSample(a, "id", "v", k, seed = 5L),
+          Sketches.kmvSample(b, "id", "v", k, seed = 5L)), "id", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(merged === whole)
+    assert(whole.size === k)
+    // overlapping shards (re-delivered rows) also merge clean
+    val overlap = Sketches.kmvMergeSamples(
+        Seq(Sketches.kmvSample(a, "id", "v", k, seed = 5L),
+          Sketches.kmvSample(a.unionByName(b), "id", "v", k, seed = 5L)),
+        "id", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(overlap === whole)
+  }
+
+  test("kmv quantile estimates: near-exact on uniform data; deterministic") {
+    val df = (1 to 20000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val sample = Sketches.kmvSample(df, "id", "v", k = 512, seed = 11L)
+    val out = Sketches.kmvQuantiles(sample, "v", Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // rank error ~ 1/sqrt(k) ≈ 4.4%; allow 3x
+    for ((q, est) <- out)
+      assert(math.abs(est / 20000.0 - q) < 0.14, s"q=$q est=$est")
+    // pure function of (id, seed): re-run identical
+    val again = Sketches.kmvQuantiles(
+        Sketches.kmvSample(df.repartition(9), "id", "v", k = 512, seed = 11L),
+        "v", Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(again === out)
+  }
+
   test("hll estimate: within 3 sigma at n=2000, small-range at n=10, dup-invariant") {
     val big = (1 to 2000).map(i => ("g", s"item$i")).toDF("g", "v")
     val est = Sketches.hllEstimate(big, Seq("g"), "v", 256)

@@ -272,6 +272,15 @@ class PlanSpec extends SparkSpec {
       s"corpus-wide sort exchange:\n$plan")
   }
 
+  test("kmvSample: bottom-k is a heap (TakeOrderedAndProject), never a global sort") {
+    import graft.operators.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(Sketches.kmvSample(docs, "doc_id", "n_chars", 64, 3L))
+    assert(plan.contains("TakeOrderedAndProject"), s"no heap-based bottom-k:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-wide sort exchange:\n$plan")
+  }
+
   test("collocations: candidate cut joins the vocab frames, top-N is TakeOrdered") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
