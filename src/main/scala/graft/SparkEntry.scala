@@ -1490,6 +1490,19 @@ object SparkEntry {
         .select(col("q"), col("est"), col("sample_size"))
         .orderBy("q")
     }),
+    // ── scale: one-way ANOVA — does `value` genuinely differ across event
+    //    types beyond within-group noise; sufficient statistics in one
+    //    scan, sorted folds on the gate path (oracle: DuckDB replays both
+    //    fold levels and the F chain) ──────────────────────────────────────
+    "q179_anova" -> ((s, dir) => {
+      Analytics.anovaOneWay(
+          T(s, dir, "events").select(col("event_type"), col("event_id"),
+            col("value")),
+          "event_type", "event_id", "value", deterministic = true)
+        .select(col("k"), col("n"), round(col("ssb"), 6).as("ssb"),
+          round(col("ssw"), 6).as("ssw"), col("df1"), col("df2"),
+          round(col("f"), 6).as("f"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3675,6 +3688,34 @@ object SparkEntry {
          |SELECT bin, n, pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
          |  round(abs(acc - conf), 6) AS gap, round(e.ece, 6) AS ece
          |FROM cur, e ORDER BY bin""".stripMargin,
+    "q179_anova" ->
+      """WITH b AS (SELECT CAST(event_type AS VARCHAR) AS g, event_id AS id,
+        |    value AS v FROM events),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    list_reduce(list(v ORDER BY id), (a, c) -> a + c) AS sx,
+        |    list_reduce(list(v * v ORDER BY id), (a, c) -> a + c) AS sxx
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    list_reduce(list(sx ORDER BY g), (a, c) -> a + c) AS s
+        |  FROM pg),
+        |gm AS (SELECT s / CAST(n AS DOUBLE) AS grand FROM tot),
+        |terms AS (SELECT g,
+        |    sxx - ((sx * sx) / CAST(ng AS DOUBLE)) AS sswg,
+        |    CAST(ng AS DOUBLE) *
+        |      ((sx / CAST(ng AS DOUBLE) - grand) *
+        |       (sx / CAST(ng AS DOUBLE) - grand)) AS ssbg
+        |  FROM pg, gm),
+        |fs AS (SELECT
+        |    list_reduce(list(sswg ORDER BY g), (a, c) -> a + c) AS ssw,
+        |    list_reduce(list(ssbg ORDER BY g), (a, c) -> a + c) AS ssb
+        |  FROM terms)
+        |SELECT k, n, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+        |  k - 1 AS df1, n - k AS df2,
+        |  round(CASE WHEN k < 2 OR n <= k OR ssw = 0 THEN NULL
+        |    ELSE (ssb / CAST(k - 1 AS DOUBLE)) /
+        |         (ssw / CAST(n - k AS DOUBLE)) END, 6) AS f
+        |FROM fs, tot""".stripMargin,
     "q178_kmv_quantiles" ->
       """WITH h AS (
         |  SELECT event_id, value,

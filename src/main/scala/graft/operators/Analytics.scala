@@ -532,6 +532,65 @@ object Analytics {
       z.as("z"))
   }
 
+  /** One-way ANOVA F statistic: does a numeric measure genuinely differ
+    * ACROSS groups, beyond within-group noise? ("do quality scores differ
+    * by source", "does latency differ by region" — the k-group
+    * generalization of the two-arm [[proportionZTest]], and the
+    * significance companion to per-group means.) One map-side-combined
+    * scan to per-group sufficient statistics (n, Σx, Σx²), then all
+    * arithmetic runs on the groups-sized frame: SSW_g = Σx²_g −
+    * (Σx_g·Σx_g)/n_g, SSB_g = n_g·(mean_g − grand)², F =
+    * (SSB/(k−1))/(SSW/(n−k)). On the gate path the per-group sums fold
+    * id-sorted and the cross-group reductions fold group-sorted
+    * (bit-identical under any partitioning and replayable in SQL);
+    * production uses plain sums. Degenerate designs — k < 2, n ≤ k, or
+    * zero within-group variance — report NULL F (the q141 ANSI
+    * convention). Returns one row (k, n, ssb, ssw, df1, df2, f). */
+  def anovaOneWay(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, deterministic: Boolean = false): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+      col(idCol).as("__id"), v.as("__v"))
+    val perGroup =
+      if (deterministic)
+        base.groupBy("__g").agg(count(lit(1)).as("__n"),
+          aggregate(sort_array(collect_list(struct(col("__id"),
+            col("__v")))), lit(0.0),
+            (acc, x) => acc + x.getField("__v")).as("__sx"),
+          aggregate(sort_array(collect_list(struct(col("__id"),
+            (col("__v") * col("__v")).as("__v2")))), lit(0.0),
+            (acc, x) => acc + x.getField("__v2")).as("__sxx"))
+      else
+        base.groupBy("__g").agg(count(lit(1)).as("__n"),
+          sum(col("__v")).as("__sx"),
+          sum(col("__v") * col("__v")).as("__sxx"))
+    val g = perGroup.localCheckpoint(false)
+    def foldG(termCol: Column, name: String): Column =
+      if (deterministic)
+        aggregate(sort_array(collect_list(struct(col("__g"),
+          termCol.as("__t")))), lit(0.0),
+          (acc, x) => acc + x.getField("__t")).as(name)
+      else sum(termCol).as(name)
+    val totals = g.agg(count(lit(1)).as("k"), sum("__n").as("n"),
+      foldG(col("__sx"), "__s")).first()
+    val k = totals.getLong(0)
+    val n = totals.getLong(1)
+    val grand = totals.getDouble(2) / n.toDouble
+    val nD = col("__n").cast("double")
+    val meanG = col("__sx") / nD
+    val sswG = col("__sxx") - ((col("__sx") * col("__sx")) / nD)
+    val ssbG = nD * ((meanG - lit(grand)) * (meanG - lit(grand)))
+    val sums = g.agg(foldG(sswG, "ssw"), foldG(ssbG, "ssb")).first()
+    val ssw = sums.getDouble(0)
+    val ssb = sums.getDouble(1)
+    val f: Option[Double] =
+      if (k < 2 || n <= k || ssw == 0.0) None
+      else Some((ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble))
+    import df.sparkSession.implicits._
+    Seq((k, n, ssb, ssw, k - 1, n - k, f))
+      .toDF("k", "n", "ssb", "ssw", "df1", "df2", "f")
+  }
+
   /** Item co-occurrence mining ("parts ordered together"): support and
     * lift of every item pair that shares a basket, top-k by pair count.
     * The association-rule primitive behind related-content joins and

@@ -305,6 +305,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("a", 50L))._2 === 50.0)
   }
 
+  test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
+    // three groups with clearly separated means
+    val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
+      Seq(2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) => ("b", (10 + i).toLong, v) } ++
+      Seq(10.0, 11.0, 12.0).zipWithIndex.map { case (v, i) => ("c", (20 + i).toLong, v) }
+    val r = Analytics.anovaOneWay(rows.toDF("g", "id", "v"), "g", "id", "v",
+      deterministic = true).first()
+    // reference: means 2/3/11, grand 16/3; SSW = 2+2+2 = 6
+    val grand = rows.map(_._3).sum / 9.0
+    val ssbRef = Seq(2.0, 3.0, 11.0).map(m => 3.0 * (m - grand) * (m - grand)).sum
+    assert(r.getLong(0) === 3L && r.getLong(1) === 9L)
+    assert(math.abs(r.getDouble(3) - 6.0) < 1e-9)       // ssw
+    assert(math.abs(r.getDouble(2) - ssbRef) < 1e-9)    // ssb
+    assert(math.abs(r.getDouble(6) -
+      (ssbRef / 2.0) / (6.0 / 6.0)) < 1e-9)             // f
+    // single group -> NULL f
+    val one = Analytics.anovaOneWay(
+      (1 to 5).map(i => ("only", i.toLong, i.toDouble)).toDF("g", "id", "v"),
+      "g", "id", "v").first()
+    assert(one.isNullAt(6))
+    // zero within-group variance -> NULL f (constant groups)
+    val const = Analytics.anovaOneWay(
+      Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 3L, 9.0), ("b", 4L, 9.0))
+        .toDF("g", "id", "v"), "g", "id", "v").first()
+    assert(const.isNullAt(6))
+    // deterministic ≈ production on noisy data
+    val noisy = (1 to 400).map(i =>
+      (s"g${i % 5}", i.toLong, math.sin(i.toDouble) * 10 + (i % 5))).toDF("g", "id", "v")
+    val a = Analytics.anovaOneWay(noisy, "g", "id", "v", deterministic = true).first()
+    val b = Analytics.anovaOneWay(noisy, "g", "id", "v").first()
+    assert(math.abs(a.getDouble(6) - b.getDouble(6)) < 1e-9)
+  }
+
   test("robustOutliers flags modified-z outliers; MAD-0 groups flag nothing") {
     // group a: tight cluster around 10 with one extreme point
     val a = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) :+ (("a", 99L, 1000.0))
