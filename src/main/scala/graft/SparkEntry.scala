@@ -1813,6 +1813,24 @@ object SparkEntry {
           round(col("ndcg"), 6).as("ndcg"))
         .orderBy("query_id")
     }),
+    // ── scale: MRR + MAP@k — the order-sensitive retrieval-eval pair on
+    //    the q139 ranked/relevant construction; AP folds rank-sorted
+    //    (oracle: DuckDB replays the ranking, hit indices, and the fold) ───
+    "q180_mrr_map" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val ranked = Similarity.bruteForceTopK(e, queries, "vec_id",
+          "embedding", 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val rel = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(e.select(col("vec_id").as("doc_id"), col("label")), Seq("label"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select("query_id", "doc_id")
+      Ranking.evalMrrMap(ranked, rel, k = 10)
+        .select(col("query_id"), col("n_rel"), col("hits"),
+          round(col("rr"), 6).as("rr"), round(col("ap"), 6).as("ap"))
+        .orderBy("query_id")
+    }),
     // ── scale: Lorenz curve + Gini — token-mass concentration across
     //    docs on the distributed-cumsum idiom; Σ rank·w is an exact long
     //    (oracle: DuckDB replays ranks, cumsums, targets, and the
@@ -4325,6 +4343,39 @@ object SparkEntry {
         |  round(min(v), 6) AS lo, round(max(v), 6) AS hi
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q139_ranking_eval" -> rankingEvalOracleSql(k = 10),
+    "q180_mrr_map" ->
+      """WITH q AS (SELECT vec_id AS query_id, label,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |ranked AS (SELECT q.query_id, c.vec_id AS doc_id,
+        |             row_number() OVER (PARTITION BY q.query_id
+        |               ORDER BY list_cosine_similarity(
+        |                 CAST(c.embedding AS DOUBLE[]), q.qv) DESC, c.vec_id)
+        |               AS rank
+        |           FROM q, embeddings c WHERE c.vec_id <> q.query_id
+        |           QUALIFY rank <= 10),
+        |rel AS (SELECT q.query_id, c.vec_id AS doc_id
+        |        FROM q JOIN embeddings c
+        |          ON c.label = q.label AND c.vec_id <> q.query_id),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |         FROM rel GROUP BY 1),
+        |h AS (SELECT r.query_id, r.rank FROM ranked r
+        |      JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id),
+        |i AS (SELECT query_id, rank,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY rank)
+        |          AS hi
+        |      FROM h),
+        |d AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+        |        CAST(min(rank) AS BIGINT) AS first_rank,
+        |        list_reduce(list(CAST(hi AS DOUBLE) / CAST(rank AS DOUBLE)
+        |          ORDER BY rank), (a, b) -> a + b) AS apsum
+        |      FROM i GROUP BY 1)
+        |SELECT n.query_id, n.n_rel, coalesce(d.hits, 0) AS hits,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) /
+        |    CAST(d.first_rank AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS rr,
+        |  round(coalesce(d.apsum, CAST(0.0 AS DOUBLE)) /
+        |    CAST(least(n.n_rel, 10) AS DOUBLE), 6) AS ap
+        |FROM nrel n LEFT JOIN d USING (query_id) ORDER BY query_id""".stripMargin,
     "q138_lorenz_gini" ->
       """WITH d AS (SELECT doc_id AS id,
         |    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -206,6 +206,44 @@ object Ranking {
           .as("ndcg"))
   }
 
+  /** Reciprocal rank + average precision at `k` per query — the two
+    * retrieval-eval numbers [[evalRanking]]'s recall/NDCG don't give:
+    * RR = 1/rank-of-first-relevant ("how fast does the user hit
+    * something relevant"), AP@k = Σ_hits precision@rank / min(n_rel, k)
+    * (the order-sensitive precision summary; mean over queries = MAP).
+    * Shape: the corpus-sized work is the rank ≤ k filter + the relevance
+    * semi-join; everything after runs on ≤ k rows per query (the hit
+    * -index window is bounded by k, never corpus-wide). The AP sum folds
+    * rank-sorted — bit-identical under partitioning, SQL-replayable.
+    * No-hit queries report rr = 0, ap = 0 (not NULL: a ranking that
+    * surfaces nothing relevant scored, and scored zero). Returns
+    * (query_id, n_rel, hits, rr, ap). */
+  def evalMrrMap(ranked: DataFrame, relevant: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hits = ranked.filter(col("rank") <= k)
+      .join(relevant, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"))
+    val w = Window.partitionBy("query_id").orderBy(col("rank").asc)
+    val terms = hits.withColumn("__i", row_number().over(w))
+    val perQ = terms.groupBy("query_id").agg(
+      count(lit(1)).as("__hits"),
+      min(col("rank")).cast("long").as("__first"),
+      aggregate(sort_array(collect_list(struct(col("rank"),
+        (col("__i").cast("double") / col("rank").cast("double"))
+          .as("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t")).as("__apsum"))
+    val nrel = relevant.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    nrel.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0))
+          .as("rr"),
+        (coalesce(col("__apsum"), lit(0.0)) /
+          least(col("n_rel"), lit(k.toLong)).cast("double")).as("ap"))
+  }
+
   /** Maximal-marginal-relevance selection: greedily pick `k` rows that
     * are RELEVANT but not redundant —
     * score(i) = λ·rel(i) − (1−λ)·max_{s∈selected} cos(i, s) — the

@@ -176,4 +176,32 @@ class RankingSpec extends SparkSpec {
     val out = Ranking.evalRanking(ranked, rel, k = 3).first()
     assert(out.getLong(2) === 1L)   // only the rank-1 hit counts at k=3
   }
+
+  test("evalMrrMap: hand-computed RR and AP, zero-hit and late-hit cases") {
+    val ranked = Seq(
+      // query 1: hits at ranks 1 and 3 of relevant {10, 11, 12}
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      // query 2: no hits
+      (2L, 99L, 1), (2L, 98L, 2),
+      // query 3: first (and only) hit at rank 4
+      (3L, 90L, 1), (3L, 91L, 2), (3L, 92L, 3), (3L, 20L, 4))
+      .toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 50L),
+      (3L, 20L)).toDF("query_id", "doc_id")
+    val out = Ranking.evalMrrMap(ranked, rel, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, h1, rr1, ap1) = out(1L)
+    assert(n1 === 3L && h1 === 2L && rr1 === 1.0)
+    assert(math.abs(ap1 - (1.0 / 1.0 + 2.0 / 3.0) / 3.0) < 1e-15)
+    assert(out(2L) === ((1L, 0L, 0.0, 0.0)))
+    val (_, _, rr3, ap3) = out(3L)
+    assert(rr3 === 0.25)
+    assert(math.abs(ap3 - (1.0 / 4.0) / 1.0) < 1e-15)
+    // AP denominator clamps at k: n_rel > k never deflates a perfect run
+    val perfect = Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val bigRel = (1L to 5L).map(d => (9L, d)).toDF("query_id", "doc_id")
+    val p = Ranking.evalMrrMap(perfect, bigRel, k = 2).first()
+    assert(math.abs(p.getDouble(4) - 1.0) < 1e-15)
+  }
 }
