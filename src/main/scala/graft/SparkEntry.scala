@@ -1503,6 +1503,19 @@ object SparkEntry {
           round(col("ssw"), 6).as("ssw"), col("df1"), col("df2"),
           round(col("f"), 6).as("f"))
     }),
+    // ── scale: missing-id-range report — ingest-completeness audit via
+    //    the id−rank islands trick on the pruned per-(range, group) rank
+    //    core; the only window runs over the gaps-sized islands frame
+    //    (oracle: DuckDB replays ranks, islands, and the lag) ──────────────
+    "q181_id_gaps" -> ((s, dir) => {
+      // lineitem's order keys have real holes (the q164 orphan orders) —
+      // the audit this report exists to surface
+      Profiling.idGapReport(
+          T(s, dir, "lineitem").select(lit("lineitem").as("tbl"),
+            col("l_orderkey")),
+          "tbl", "l_orderkey")
+        .orderBy("gap_start")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3706,6 +3719,15 @@ object SparkEntry {
          |SELECT bin, n, pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
          |  round(abs(acc - conf), 6) AS gap, round(e.ece, 6) AS ece
          |FROM cur, e ORDER BY bin""".stripMargin,
+    "q181_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+        |r AS (SELECT id, id - row_number() OVER (ORDER BY id) AS a
+        |      FROM ids),
+        |isl AS (SELECT a, min(id) AS s, max(id) AS e FROM r GROUP BY 1),
+        |g AS (SELECT lag(e) OVER (ORDER BY s) AS pe, s FROM isl)
+        |SELECT 'lineitem' AS tbl, pe + 1 AS gap_start, s - 1 AS gap_end,
+        |  s - 1 - pe AS gap_len
+        |FROM g WHERE pe IS NOT NULL ORDER BY gap_start""".stripMargin,
     "q179_anova" ->
       """WITH b AS (SELECT CAST(event_type AS VARCHAR) AS g, event_id AS id,
         |    value AS v FROM events),

@@ -717,6 +717,42 @@ object Profiling {
         bit_xor(col("__ph")).as("fingerprint"))
   }
 
+  /** Missing-id-range report ("which chunks of the sequence never
+    * arrived?") — the ingest-completeness audit for supposedly-dense
+    * keys: partial loads, dropped files, and upstream filters show up as
+    * contiguous holes long before a row-count check moves. Per group,
+    * every maximal missing range strictly INSIDE [min(id), max(id)]
+    * (absence outside the observed span is indistinguishable from the
+    * sequence just ending). Shape: ids dedup to the distinct (group, id)
+    * frame, ascending per-group positions come from the pruned
+    * per-(range, group) rank machinery (one range exchange — NEVER a
+    * corpus-wide per-group window), and the gaps-and-islands step is
+    * pure arithmetic: id − rank is CONSTANT within a present-run, so
+    * islands are one key-width aggregate and the only window runs over
+    * the islands frame (gaps-sized, not corpus-sized). Returns
+    * (group, gap_start, gap_end, gap_len). */
+  def idGapReport(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(groupCol), col(idCol).cast("long").as("__id"))
+      .distinct()
+    val ranked = Sampling.topKPerGroup(
+      ids.withColumn("__neg", -col("__id")),
+      groupCol, "__id", "__neg", Long.MaxValue)
+    val islands = ranked
+      .select(col(groupCol), col("__id"),
+        (col("__id") - col("rank")).as("__a"))
+      .groupBy(col(groupCol), col("__a"))
+      .agg(min("__id").as("__start"), max("__id").as("__end"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__start").asc)
+    islands.withColumn("__prev_end", lag(col("__end"), 1).over(w))
+      .filter(col("__prev_end").isNotNull)
+      .select(col(groupCol),
+        (col("__prev_end") + lit(1L)).as("gap_start"),
+        (col("__start") - lit(1L)).as("gap_end"),
+        (col("__start") - lit(1L) - col("__prev_end")).as("gap_len"))
+  }
+
   /** Pearson chi-square test of independence + Cramér's V between two
     * categorical columns — the significance companion to
     * [[mutualInformation]] (MI says how MUCH the columns share, χ²/V say

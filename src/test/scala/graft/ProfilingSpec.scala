@@ -251,6 +251,24 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-9)
   }
 
+  // ── id gaps ──────────────────────────────────────────────────────────
+
+  test("idGapReport: maximal interior holes per group; dups and density clean") {
+    val rows = Seq("a" -> 1L, "a" -> 2L, "a" -> 3L, "a" -> 7L, "a" -> 8L,
+      "a" -> 10L, "a" -> 10L, // duplicate id must not corrupt islands
+      "b" -> 5L, "b" -> 6L, "b" -> 7L) // dense group: no gaps
+    val out = Profiling.idGapReport(rows.toDF("g", "id"), "g", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out === Set(("a", 4L, 6L, 3L), ("a", 9L, 9L, 1L)))
+    // partition-invariant
+    val again = Profiling.idGapReport(
+        rows.toDF("g", "id").repartition(7), "g", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(again === out)
+  }
+
   // ── chi-square independence ──────────────────────────────────────────
 
   test("chiSquareIndependence: product distribution -> chi2 exactly 0") {
