@@ -926,6 +926,48 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Day-of-week seasonality index: per ISO weekday, event count, mean
+    * value, and index = weekday mean / grand mean — the first question a
+    * volume-anomaly triage asks ("is Monday always like this?") and the
+    * denominator a seasonal-adjusted monitor divides by before alarming
+    * (q115's volume monitor is the unadjusted twin). Weekday comes from
+    * exact integer epoch-day arithmetic — ((day + 3) mod 7) + 1, Mon = 1
+    * (engine-independent where dayofweek() conventions differ) — using
+    * the q165 remainder-subtract division. One map-side-combined scan to
+    * the 7-row (dow, n, Σv) frame; the grand mean folds dow-sorted over
+    * those 7 rows on the gate path (two-level fold, the ANOVA idiom).
+    * Returns (dow, n, mean, index). */
+  def dayOfWeekIndex(df: DataFrame, tsCol: String, idCol: String,
+      valueCol: String, deterministic: Boolean = false): DataFrame = {
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val d = lit(86400000000L)
+    val day = ((m - pmod(m, d)) / d).cast("long")
+    val dow = (pmod(day + lit(3L), lit(7L)) + lit(1L)).cast("int")
+    val base = df.select(dow.as("__dow"), col(idCol).as("__id"),
+      col(valueCol).cast("double").as("__v"))
+    val perDow =
+      if (deterministic)
+        base.groupBy("__dow").agg(count(lit(1)).as("n"),
+          aggregate(sort_array(collect_list(struct(col("__id"),
+            col("__v")))), lit(0.0),
+            (acc, x) => acc + x.getField("__v")).as("__s"))
+      else
+        base.groupBy("__dow").agg(count(lit(1)).as("n"),
+          sum("__v").as("__s"))
+    val g = perDow.localCheckpoint(false)
+    def foldD(termCol: Column): Column =
+      if (deterministic)
+        aggregate(sort_array(collect_list(struct(col("__dow"),
+          termCol.as("__t")))), lit(0.0),
+          (acc, x) => acc + x.getField("__t"))
+      else sum(termCol)
+    val tot = g.agg(foldD(col("__s")).as("s"), sum("n").as("n")).first()
+    val grand = tot.getDouble(0) / tot.getLong(1).toDouble
+    g.select(col("__dow").as("dow"), col("n"),
+        (col("__s") / col("n").cast("double")).as("mean"),
+        ((col("__s") / col("n").cast("double")) / lit(grand)).as("idx"))
+  }
+
   /** Per-key exponentially-weighted moving average: the standard
     * monitoring smoother (sₜ = α·xₜ + (1−α)·sₜ₋₁, s₁ = x₁) over an
     * ordered series per key. EWMA is inherently sequential per key, so

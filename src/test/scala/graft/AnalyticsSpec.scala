@@ -305,6 +305,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("a", 50L))._2 === 50.0)
   }
 
+  test("dayOfWeekIndex: ISO weekday from epoch days; index vs grand mean") {
+    import java.sql.Timestamp
+    // 1970-01-01 = Thursday (4); 1970-01-05 = Monday (1)
+    def ts(day: Int, h: Int) = new Timestamp(
+      (day.toLong * 86400L + h * 3600L) * 1000L)
+    val rows = Seq(
+      (ts(0, 1), 1L, 10.0), (ts(0, 23), 2L, 20.0), // Thu mean 15
+      (ts(4, 0), 3L, 30.0),                        // Mon mean 30
+      (ts(11, 5), 4L, 20.0))                       // next Mon
+    val out = Analytics.dayOfWeekIndex(rows.toDF("t", "id", "v"), "t", "id",
+        "v", deterministic = true)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet === Set(4, 1))
+    val (n4, m4, i4) = out(4)
+    val (n1, m1, _) = out(1)
+    assert(n4 === 2L && m4 === 15.0)
+    assert(n1 === 2L && m1 === 25.0)
+    assert(math.abs(i4 - 15.0 / 20.0) < 1e-12) // grand mean 80/4 = 20
+    // deterministic ≈ production
+    val big = (1 to 300).map(i => (ts(i % 14, i % 24), i.toLong,
+      math.cos(i.toDouble) * 5 + 10)).toDF("t", "id", "v")
+    val a = Analytics.dayOfWeekIndex(big, "t", "id", "v",
+      deterministic = true).collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val b = Analytics.dayOfWeekIndex(big, "t", "id", "v")
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    for ((k, v) <- a) assert(math.abs(v - b(k)) < 1e-9)
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
