@@ -1516,6 +1516,32 @@ object SparkEntry {
           "tbl", "l_orderkey")
         .orderBy("gap_start")
     }),
+    // ── scale: day-of-week seasonality index — the seasonal denominator a
+    //    volume monitor divides by before alarming (q115's adjusted twin);
+    //    integer epoch-day weekday, two-level sorted folds (oracle: DuckDB
+    //    replays weekday arithmetic and both folds) ─────────────────────────
+    "q182_dow_index" -> ((s, dir) => {
+      Analytics.dayOfWeekIndex(T(s, dir, "events"), "ts", "event_id",
+          "value", deterministic = true)
+        .select(col("dow"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("idx"), 6).as("idx"))
+        .orderBy("dow")
+    }),
+    // ── scale: interval merge + coverage — per-user busy-time islands over
+    //    [ts, ts + floor(value) minutes] spans; the gaps-and-islands sweep
+    //    in the distributed-cumsum idiom (range exchange + per-(range, key)
+    //    prefix-max/prefix-count offsets, never a corpus-wide per-key
+    //    window). Integer micros end-to-end (oracle: DuckDB running-max
+    //    window replay) ───────────────────────────────────────────────────
+    "q183_interval_coverage" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val sCol = unix_micros(col("ts").cast("timestamp"))
+      val spans = ev.select(col("user_id"), sCol.as("s"),
+        (sCol + greatest(lit(1.0), floor(col("value"))).cast("long") *
+          lit(60000000L)).as("e"))
+      Intervals.coverageReport(spans, "user_id", "s", "e")
+        .orderBy("user_id")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3719,6 +3745,44 @@ object SparkEntry {
          |SELECT bin, n, pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
          |  round(abs(acc - conf), 6) AS gap, round(e.ece, 6) AS ece
          |FROM cur, e ORDER BY bin""".stripMargin,
+    "q182_dow_index" ->
+      """WITH b AS (SELECT
+        |    CAST(((epoch_us(ts) // 86400000000 + 3) % 7 + 1) AS INT)
+        |      AS dow,
+        |    event_id AS id, value AS v FROM events),
+        |pd AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list(v ORDER BY id), (a, c) -> a + c) AS s
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT list_reduce(list(s ORDER BY dow), (a, c) -> a + c)
+        |      AS st,
+        |    CAST(sum(n) AS BIGINT) AS nt FROM pd),
+        |gm AS (SELECT st / CAST(nt AS DOUBLE) AS grand FROM tot)
+        |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
+        |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
+        |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q183_interval_coverage" ->
+      """WITH b AS (SELECT user_id AS k, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(greatest(CAST(1.0 AS DOUBLE), floor(value))
+        |      AS BIGINT) * 60000000 AS e
+        |  FROM events),
+        |f AS (SELECT k, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |      THEN 1 ELSE 0 END AS f
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (SELECT k, s, e,
+        |    sum(f) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        |  FROM f),
+        |isl AS (SELECT k, iid, min(s) AS st, max(e) AS en,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM i GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(sum(c) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(en - st) AS BIGINT) AS covered,
+        |  CAST(max(en - st) AS BIGINT) AS max_island
+        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q181_id_gaps" ->
       """WITH ids AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
         |r AS (SELECT id, id - row_number() OVER (ORDER BY id) AS a
