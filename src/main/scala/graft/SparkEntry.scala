@@ -1542,6 +1542,18 @@ object SparkEntry {
       Intervals.coverageReport(spans, "user_id", "s", "e")
         .orderBy("user_id")
     }),
+    // ── scale: Poisson(1) bootstrap — B replicate means as ONE projection
+    //    + ONE map-side-combined aggregate (never B resample shuffles);
+    //    weights are integer comparisons of md5-60 hashes against
+    //    floor(CDF·2^60) long thresholds, bit-reproducible on any engine
+    //    (oracle: DuckDB replays hashes, thresholds, and the id-sorted
+    //    fold) ─────────────────────────────────────────────────────────────
+    "q184_bootstrap_means" -> ((s, dir) => {
+      Analytics.poissonBootstrapMeans(T(s, dir, "events"), "event_id",
+          "value", reps = 16, deterministic = true)
+        .select(col("rep"), col("n_eff"), round(col("wmean"), 6).as("wmean"))
+        .orderBy("rep")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3760,6 +3772,23 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q184_bootstrap_means" ->
+      s"""WITH r AS (SELECT unnest(range(0, 16)) AS rep),
+         |b AS (SELECT r.rep, CAST(e.event_id AS VARCHAR) AS id, e.value AS x,
+         |    ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+         |      CAST(r.rep AS VARCHAR) || ':bs'), 1, 15))::UBIGINT AS h
+         |  FROM events e, r),
+         |w AS (SELECT rep, id, x,
+         |    CAST(len(list_filter(
+         |      ${graft.operators.Analytics.poissonThresholds60
+                  .mkString("[", ", ", "]")},
+         |      t -> t <= h)) AS BIGINT) AS w
+         |  FROM b)
+         |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  round(list_reduce(list(CAST(w AS DOUBLE) * x ORDER BY id),
+         |      (a, c) -> a + c)
+         |    / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE), 6) AS wmean
+         |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
     "q183_interval_coverage" ->
       """WITH b AS (SELECT user_id AS k, epoch_us(ts) AS s,
         |    epoch_us(ts) + CAST(greatest(CAST(1.0 AS DOUBLE), floor(value))

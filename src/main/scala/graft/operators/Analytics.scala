@@ -968,6 +968,79 @@ object Analytics {
         ((col("__s") / col("n").cast("double")) / lit(grand)).as("idx"))
   }
 
+  /** Poisson(1) bootstrap replicate means — THE bootstrap that scales:
+    * instead of materializing B resamples-with-replacement (each a full
+    * shuffle of a 100 TB corpus), every row draws an independent
+    * Poisson(1) multiplicity per replicate — for large n the multinomial
+    * resample and the Poisson weights are indistinguishable (Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams", Google 2012)
+    * — so B replicates are ONE projection (explode of a B-literal range)
+    * + ONE map-side-combined aggregate; the shuffle carries B×partials,
+    * never the corpus. Weights are drawn DETERMINISTICALLY: the row's
+    * md5-60 hash of (id, replicate, salt) is compared against
+    * floor(CDF_Poisson(1)(k)·2^60) thresholds precomputed as exact long
+    * literals — pure integer comparisons, so replicate weights are a
+    * reproducible pure function of (id, rep) on any engine (the oracle
+    * replays them bit-for-bit in SQL; the CDF tail is truncated at
+    * k = 10, P(X > 10) ≈ 1e-8). Per replicate: n_eff = Σw (long) and
+    * wmean = Σ w·x / Σw, the Σ w·x folding id-sorted on the gate path
+    * (production plain sums, spec ≈ 1e-9). The replicate-means frame is
+    * B rows; [[bootstrapCI]] turns it into a percentile interval. */
+  def poissonBootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+      reps: Int = 16, salt: String = "bs",
+      deterministic: Boolean = false): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("double").as("__x"))
+      .withColumn("__rep",
+        explode(sequence(lit(0), lit(reps - 1))))
+    val h = Dedup.md5Hash60(concat(col("__id"), lit(":"),
+      col("__rep").cast("string"), lit(":" + salt)))
+    val thr = poissonThresholds60
+    val w = size(filter(
+      array(thr.map(lit): _*), t => t <= h)).cast("long")
+    val terms = base.select(col("__rep"), col("__id"), w.as("__w"),
+      (w.cast("double") * col("__x")).as("__wx"))
+    val agg =
+      if (deterministic)
+        terms.groupBy("__rep").agg(sum("__w").as("n_eff"),
+          aggregate(sort_array(collect_list(struct(col("__id"),
+            col("__wx")))), lit(0.0),
+            (acc, x) => acc + x.getField("__wx")).as("__s"))
+      else
+        terms.groupBy("__rep").agg(sum("__w").as("n_eff"),
+          sum("__wx").as("__s"))
+    agg.select(col("__rep").as("rep"), col("n_eff"),
+      when(col("n_eff") > 0L,
+        col("__s") / col("n_eff").cast("double")).as("wmean"))
+  }
+
+  /** Poisson-CDF(λ=1) thresholds scaled to the md5-60 hash space:
+    * T_k = floor(P(X ≤ k)·2^60) for k = 0..10 — a replicate weight is
+    * the count of thresholds ≤ hash. Exact long literals (the same
+    * values embed in the oracle SQL via toString). */
+  lazy val poissonThresholds60: Seq[Long] = {
+    val twoPow60 = math.pow(2.0, 60.0)
+    var term = math.exp(-1.0)
+    var cum = term
+    (0 to 10).map { k =>
+      if (k > 0) { term = term / k.toDouble; cum = cum + term }
+      math.floor(cum * twoPow60).toLong
+    }
+  }
+
+  /** Nearest-rank percentile CI over the B replicate means (driver-side —
+    * the frame is B rows by construction). Returns (lo, hi) at
+    * (α/2, 1−α/2) using the ceil(p·B) nearest-rank convention. */
+  def bootstrapCI(means: Seq[Double], alpha: Double = 0.05): (Double, Double) = {
+    require(means.nonEmpty, "no replicate means")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    val s = means.sorted
+    def atP(p: Double): Double =
+      s(math.max(0, math.min(s.size - 1, math.ceil(p * s.size).toInt - 1)))
+    (atP(alpha / 2.0), atP(1.0 - alpha / 2.0))
+  }
+
   /** Per-key exponentially-weighted moving average: the standard
     * monitoring smoother (sₜ = α·xₜ + (1−α)·sₜ₋₁, s₁ = x₁) over an
     * ordered series per key. EWMA is inherently sequential per key, so

@@ -334,6 +334,36 @@ class AnalyticsSpec extends SparkSpec {
     for ((k, v) <- a) assert(math.abs(v - b(k)) < 1e-9)
   }
 
+  test("poissonBootstrapMeans: deterministic weights, sane replicates, CI") {
+    val df = (1 to 2000).map(i => (i.toLong, 10.0 + (i % 7).toDouble))
+      .toDF("id", "v")
+    val out = Analytics.poissonBootstrapMeans(df, "id", "v", reps = 8,
+      deterministic = true).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size === 8)
+    // reproducible: second run bit-identical
+    val again = Analytics.poissonBootstrapMeans(df, "id", "v", reps = 8,
+      deterministic = true).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === again)
+    // Poisson(1) weights: n_eff within 4·sqrt(n) of n; means near truth
+    val truth = (1 to 2000).map(i => 10.0 + (i % 7).toDouble).sum / 2000.0
+    for ((_, (nEff, m)) <- out) {
+      assert(math.abs(nEff - 2000L) < 4 * math.sqrt(2000.0))
+      assert(math.abs(m - truth) < 0.2)
+    }
+    // deterministic fold ≈ production sums
+    val prod = Analytics.poissonBootstrapMeans(df, "id", "v", reps = 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    for ((k, (_, m)) <- out) assert(math.abs(m - prod(k)) < 1e-9)
+    // CI helper: nearest-rank golden
+    val (lo, hi) = Analytics.bootstrapCI(Seq(5.0, 1.0, 3.0, 2.0, 4.0), 0.2)
+    assert(lo === 1.0 && hi === 5.0) // ceil(.1*5)=1st, ceil(.9*5)=5th
+    val means = out.values.map(_._2).toSeq
+    val (l2, h2) = Analytics.bootstrapCI(means)
+    assert(l2 <= h2 && l2 >= means.min && h2 <= means.max)
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
