@@ -33,6 +33,31 @@ object SparkEntry {
     }
   }
 
+  /** q185's FK hypotheses: (childLabel, childTable, childCol, parentLabel,
+    * parentTable, parentCol) — the 7 true TPC-H FKs plus two negatives
+    * (p_size→n_nationkey: partial containment; o_orderkey→l_orderkey:
+    * full containment but non-unique parent). Shared by the query and the
+    * generated oracle SQL so both sides test the same hypothesis list. */
+  private val fkPairs: Seq[(String, String, String, String, String, String)] = Seq(
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey",
+      "orders.o_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey",
+      "part.p_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey",
+      "supplier.s_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey",
+      "customer.c_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey", "customer", "c_nationkey",
+      "nation.n_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey", "supplier", "s_nationkey",
+      "nation.n_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey", "nation", "n_regionkey",
+      "region.r_regionkey", "region", "r_regionkey"),
+    ("part.p_size", "part", "p_size",
+      "nation.n_nationkey", "nation", "n_nationkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey",
+      "lineitem.l_orderkey", "lineitem", "l_orderkey"))
+
   /** Scratch directories for store-backed queries, deleted recursively at
     * JVM exit — gate and bench runs construct these queries repeatedly
     * (each bench repetition re-primes its store), and undeleted
@@ -1553,6 +1578,17 @@ object SparkEntry {
           "value", reps = 16, deterministic = true)
         .select(col("rep"), col("n_eff"), round(col("wmean"), 6).as("wmean"))
         .orderBy("rep")
+    }),
+    // ── scale: FK-candidate discovery — containment + parent-uniqueness
+    //    over candidate column pairs (undocumented-lake joinability +
+    //    referential-integrity decay); per pair two key-ONLY distincts +
+    //    one broadcast semi-join, report is pairs-sized (oracle: DuckDB
+    //    scalar-subquery replay per pair) ───────────────────────────────────
+    "q185_fk_discovery" -> ((s, dir) => {
+      def t(n: String) = T(s, dir, n)
+      Profiling.fkCandidates(fkPairs.map { case (cl, ct, cc, pl, pt, pc) =>
+        (cl, t(ct), cc, pl, t(pt), pc)
+      }).orderBy("child", "parent")
     }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
@@ -3772,6 +3808,24 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q185_fk_discovery" -> {
+      val blocks = fkPairs.map { case (cl, ct, cc, pl, pt, pc) =>
+        s"""SELECT '$cl' AS child, '$pl' AS parent,
+           |  cd AS child_distinct, pd AS parent_distinct,
+           |  prows - pd AS parent_dup_rows, m AS matched,
+           |  cd - m AS orphans,
+           |  round(CAST(m AS DOUBLE) / CAST(cd AS DOUBLE), 6) AS containment
+           |FROM (SELECT
+           |  (SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL) AS cd,
+           |  (SELECT count(DISTINCT $pc) FROM $pt WHERE $pc IS NOT NULL) AS pd,
+           |  (SELECT count(*) FROM $pt WHERE $pc IS NOT NULL) AS prows,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $cc AS v FROM $ct
+           |     WHERE $cc IS NOT NULL) x
+           |   WHERE v IN (SELECT $pc FROM $pt)) AS m)""".stripMargin
+      }
+      blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY child, parent")
+    },
     "q184_bootstrap_means" ->
       s"""WITH r AS (SELECT unnest(range(0, 16)) AS rep),
          |b AS (SELECT r.rep, CAST(e.event_id AS VARCHAR) AS id, e.value AS x,

@@ -864,4 +864,48 @@ object Profiling {
           .otherwise((lit(2.0) * col("precision") * col("recall")) /
             (col("precision") + col("recall"))))
   }
+
+  /** Foreign-key candidate discovery: for each (child column → parent
+    * column) hypothesis, measure whether the data actually supports the
+    * relationship — the profiling step that turns an undocumented data
+    * lake into a joinable schema (and catches referential-integrity decay
+    * on every load). Per pair: distinct child values, distinct parent
+    * values, parent duplicate rows (a true FK target must be unique —
+    * containment 1.0 with parent_dup_rows > 0 means "joinable but
+    * fan-out"), matched = |child ∩ parent| via a semi-join of the two
+    * DISTINCT frames, orphans, and containment = matched/child_distinct.
+    * NULL child values are excluded (SQL FK semantics: NULL references
+    * nothing and violates nothing). Scale shape: per pair the work is two
+    * key-ONLY distincts + one semi-join with the parent side broadcast
+    * when small ([[Ops.broadcastIfSmall]]) — never a row-width shuffle;
+    * the report is pairs-sized. The plan stays lazy (one-row aggregates
+    * cross-joined), so all pairs evaluate in one job. */
+  def fkCandidates(
+      pairs: Seq[(String, DataFrame, String, String, DataFrame, String)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "no candidate pairs")
+    pairs.map { case (childLabel, child, cc, parentLabel, parent, pc) =>
+      val cd = child.select(col(cc).cast("string").as("__v"))
+        .filter(col("__v").isNotNull).distinct()
+        .localCheckpoint(false)
+      val pv = parent.select(col(pc).cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+      val pd = pv.distinct().localCheckpoint(false)
+      val childStats = cd.agg(count(lit(1)).as("child_distinct"))
+      val parentStats = pv.agg(count(lit(1)).as("__prows"))
+        .crossJoin(pd.agg(count(lit(1)).as("parent_distinct")))
+      val matched = cd.join(Ops.broadcastIfSmall(pd), Seq("__v"), "left_semi")
+        .agg(count(lit(1)).as("matched"))
+      childStats.crossJoin(parentStats).crossJoin(matched)
+        .select(lit(childLabel).as("child"), lit(parentLabel).as("parent"),
+          col("child_distinct"), col("parent_distinct"),
+          (col("__prows") - col("parent_distinct")).as("parent_dup_rows"),
+          col("matched"),
+          (col("child_distinct") - col("matched")).as("orphans"),
+          when(col("child_distinct") > 0L,
+            round(col("matched").cast(DoubleType) /
+              col("child_distinct").cast(DoubleType), 6))
+            .as("containment"))
+    }.reduce(_ unionByName _)
+  }
 }

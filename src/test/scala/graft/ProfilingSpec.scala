@@ -442,4 +442,26 @@ class ProfilingSpec extends SparkSpec {
     val r = Profiling.cohensKappa(rows.toDF("a", "b"), "a", "b").first()
     assert(math.abs(r.getDouble(3)) < 1e-9, s"kappa=${r.getDouble(3)}")
   }
+
+  test("fkCandidates: containment, orphans, parent uniqueness, null child") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(2L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 2L).toDF("pk")
+    val r = Profiling.fkCandidates(Seq(
+      ("c.fk", child, "fk", "p.pk", parent, "pk"))).first()
+    assert(r.getString(0) === "c.fk" && r.getString(1) === "p.pk")
+    assert(r.getLong(2) === 3L)  // child_distinct (null excluded)
+    assert(r.getLong(3) === 2L)  // parent_distinct
+    assert(r.getLong(4) === 1L)  // parent_dup_rows
+    assert(r.getLong(5) === 2L)  // matched
+    assert(r.getLong(6) === 1L)  // orphans
+    assert(r.getDouble(7) === 0.666667)
+    // a clean FK: containment 1.0, unique parent
+    val r2 = Profiling.fkCandidates(Seq(
+      ("c.fk", child, "fk", "u.pk", Seq(1L, 2L, 3L, 4L).toDF("pk"), "pk"),
+      ("c.fk", child, "fk", "p.pk", parent, "pk")))
+      .orderBy("parent").collect()
+    assert(r2.length === 2)
+    assert(r2(1).getDouble(7) === 1.0 && r2(1).getLong(4) === 0L)
+  }
 }
