@@ -1590,6 +1590,17 @@ object SparkEntry {
         (cl, t(ct), cc, pl, t(pt), pc)
       }).orderBy("child", "parent")
     }),
+    // ── scale: seasonal-naive backtest — week-over-week forecast error
+    //    (MAE/bias/MAPE/sMAPE) over daily volumes; the baseline every
+    //    forecaster must beat and the number that calibrates q115's
+    //    anomaly thresholds; ONE corpus scan to the days-sized frame
+    //    (oracle: DuckDB lag-join + day-sorted fold replay) ────────────────
+    "q186_seasonal_naive" -> ((s, dir) => {
+      Analytics.seasonalNaiveBacktest(T(s, dir, "events"), "ts", 7)
+        .select(col("days"), round(col("mae"), 6).as("mae"),
+          round(col("bias"), 6).as("bias"), round(col("mape"), 6).as("mape"),
+          round(col("smape"), 6).as("smape"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3808,6 +3819,29 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q186_seasonal_naive" ->
+      """WITH daily AS (SELECT
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT c.day AS day, c.n AS a, p.n AS f, c.n - p.n AS err
+        |  FROM daily c JOIN daily p ON c.day = p.day + 7),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS days,
+        |    CAST(sum(abs(err)) AS BIGINT) AS sae,
+        |    CAST(sum(err) AS BIGINT) AS se,
+        |    list_reduce(list(CAST(abs(err) AS DOUBLE) / CAST(a AS DOUBLE)
+        |      ORDER BY day), (x, y) -> x + y) AS sum_ape,
+        |    list_reduce(list((CAST(2.0 AS DOUBLE) * CAST(abs(err) AS DOUBLE))
+        |      / CAST(a + f AS DOUBLE) ORDER BY day), (x, y) -> x + y)
+        |      AS sum_sape
+        |  FROM s)
+        |SELECT days,
+        |  round(CAST(sae AS DOUBLE) / CAST(days AS DOUBLE), 6) AS mae,
+        |  round(CAST(se AS DOUBLE) / CAST(days AS DOUBLE), 6) AS bias,
+        |  round(sum_ape / CAST(days AS DOUBLE), 6) AS mape,
+        |  round(sum_sape / CAST(days AS DOUBLE), 6) AS smape
+        |FROM agg""".stripMargin,
     "q185_fk_discovery" -> {
       val blocks = fkPairs.map { case (cl, ct, cc, pl, pt, pc) =>
         s"""SELECT '$cl' AS child, '$pl' AS parent,

@@ -1029,6 +1029,55 @@ object Analytics {
     }
   }
 
+  /** Seasonal-naive volume backtest: forecast each day's event count with
+    * the count `periodDays` earlier (the week-over-week naive every
+    * forecasting benchmark must beat — if a fancy model can't beat this
+    * number, ship this number) and score MAE / bias / MAPE / sMAPE over
+    * the observed days. The [[dailyVolumeAnomalies]] monitor's q115
+    * counterpart asks "is today weird"; this asks "how predictable is
+    * this stream at horizon p" — the number that calibrates the
+    * monitor's thresholds. Days are exact integer epoch-day arithmetic
+    * (the q165 remainder-subtract division); the corpus is scanned ONCE
+    * into the days-sized daily frame (map-side-combined count, lazily
+    * checkpointed so the self-join at lag p does not rescan); unobserved
+    * days are excluded (no forecast, no actual). Error sums are integer;
+    * the MAPE/sMAPE double folds run day-sorted over the days-sized
+    * frame (always deterministic — no production split needed at this
+    * size). Returns one row (days, mae, bias, mape, smape). */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val d = lit(86400000000L)
+    val day = ((m - pmod(m, d)) / d).cast("long")
+    val daily = df.select(day.as("__day"))
+      .groupBy("__day").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val prev = daily.select((col("__day") + lit(periodDays.toLong)).as("__day"),
+      col("__n").as("__f"))
+    val scored = daily.join(prev, Seq("__day"))
+      .select(col("__day"), col("__n").as("__a"), col("__f"))
+      .withColumn("__err", col("__a") - col("__f"))
+    def foldDay(c: Column): Column =
+      aggregate(sort_array(collect_list(struct(col("__day"), c.as("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t"))
+    val ape = abs(col("__err")).cast("double") / col("__a").cast("double")
+    val sape = (lit(2.0) * abs(col("__err")).cast("double")) /
+      (col("__a") + col("__f")).cast("double")
+    scored.agg(count(lit(1)).as("days"),
+        sum(abs(col("__err"))).as("__sae"), sum(col("__err")).as("__se"),
+        foldDay(ape).as("__sumApe"), foldDay(sape).as("__sumSape"))
+      .select(col("days"),
+        when(col("days") > 0L, col("__sae").cast("double") /
+          col("days").cast("double")).as("mae"),
+        when(col("days") > 0L, col("__se").cast("double") /
+          col("days").cast("double")).as("bias"),
+        when(col("days") > 0L, col("__sumApe") /
+          col("days").cast("double")).as("mape"),
+        when(col("days") > 0L, col("__sumSape") /
+          col("days").cast("double")).as("smape"))
+  }
+
   /** Nearest-rank percentile CI over the B replicate means (driver-side —
     * the frame is B rows by construction). Returns (lo, hi) at
     * (α/2, 1−α/2) using the ceil(p·B) nearest-rank convention. */

@@ -364,6 +364,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(l2 <= h2 && l2 >= means.min && h2 <= means.max)
   }
 
+  test("seasonalNaiveBacktest: week-over-week errors on a known series") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = new Timestamp(
+      (day.toLong * 86400L + h * 3600L) * 1000L)
+    // day i (0..9) has i+1 events → scored days 7,8,9: a=8,9,10 f=1,2,3
+    val rows = (0 to 9).flatMap(i => (0 to i).map(h => ts(i, h)))
+    val r = Analytics.seasonalNaiveBacktest(rows.map(Tuple1(_)).toDF("t"),
+      "t", 7).first()
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 7.0)   // mae
+    assert(r.getDouble(2) === 7.0)   // bias
+    val mape = (7.0 / 8.0 + 7.0 / 9.0 + 7.0 / 10.0) / 3.0
+    assert(math.abs(r.getDouble(3) - mape) < 1e-12)
+    val smape = (14.0 / 9.0 + 14.0 / 11.0 + 14.0 / 13.0) / 3.0
+    assert(math.abs(r.getDouble(4) - smape) < 1e-12)
+    // unobserved lag days are excluded, not scored as zero
+    val gappy = Seq(ts(0, 1), ts(7, 1), ts(8, 2)).map(Tuple1(_)).toDF("t")
+    assert(Analytics.seasonalNaiveBacktest(gappy, "t", 7)
+      .first().getLong(0) === 1L)
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
