@@ -1601,6 +1601,27 @@ object SparkEntry {
           round(col("bias"), 6).as("bias"), round(col("mape"), 6).as("mape"),
           round(col("smape"), 6).as("smape"))
     }),
+    // ── scale: SymSpell typo detection — rare tokens one edit from a
+    //    frequent term + best correction, via symmetric-delete variant
+    //    blocking (equi-join on {self}∪{1-deletions}, never vocab²);
+    //    deterministic typo injection (drop 2nd char / substitute 3rd on
+    //    sparse part keys) so the operator must RECOVER the corrections
+    //    (oracle: DuckDB replays injection, variants, verify, and argmax) ──
+    "q187_typo_suggest" -> ((s, dir) => {
+      val p = T(s, dir, "part")
+      val name = col("p_name")
+      val corrupted = p.select(
+        when(pmod(col("p_partkey"), lit(499L)) === 0L,
+          concat(name.substr(lit(1), lit(1)),
+            name.substr(lit(3), length(name))))
+        .when(pmod(col("p_partkey"), lit(503L)) === 0L,
+          concat(name.substr(lit(1), lit(2)), lit("x"),
+            name.substr(lit(4), length(name))))
+        .otherwise(name).as("text"))
+      TextAnalysis.typoSuggestions(corrupted, "text",
+          minFreq = 5L, maxRareFreq = 2L, minLen = 4)
+        .orderBy("token")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3819,6 +3840,37 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q187_typo_suggest" ->
+      """WITH d AS (SELECT CASE
+        |    WHEN p_partkey % 499 = 0
+        |      THEN substr(p_name, 1, 1) || substr(p_name, 3)
+        |    WHEN p_partkey % 503 = 0
+        |      THEN substr(p_name, 1, 2) || 'x' || substr(p_name, 4)
+        |    ELSE p_name END AS text FROM part),
+        |toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS t
+        |  FROM d WHERE length(trim(text)) > 0),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |rare AS (SELECT t, cnt FROM c WHERE cnt <= 2 AND length(t) >= 4),
+        |freq AS (SELECT t, cnt FROM c WHERE cnt >= 5),
+        |rv AS (SELECT t, cnt, unnest(list_distinct(list_append(
+        |    list_transform(range(length(t)), i ->
+        |      substr(t, 1, CAST(i AS INT)) || substr(t, CAST(i + 2 AS INT))),
+        |    t))) AS v FROM rare),
+        |fv AS (SELECT t, cnt, unnest(list_distinct(list_append(
+        |    list_transform(range(length(t)), i ->
+        |      substr(t, 1, CAST(i AS INT)) || substr(t, CAST(i + 2 AS INT))),
+        |    t))) AS v FROM freq),
+        |pairs AS (SELECT DISTINCT rv.t AS rt, rv.cnt AS rc,
+        |    fv.t AS ft, fv.cnt AS fc
+        |  FROM rv JOIN fv USING (v)
+        |  WHERE levenshtein(rv.t, fv.t) = 1),
+        |best AS (SELECT rt, rc, ft, fc,
+        |    row_number() OVER (PARTITION BY rt ORDER BY fc DESC, ft) AS rn
+        |  FROM pairs)
+        |SELECT rt AS token, rc AS cnt, ft AS suggestion,
+        |  fc AS suggestion_cnt
+        |FROM best WHERE rn = 1 ORDER BY token""".stripMargin,
     "q186_seasonal_naive" ->
       """WITH daily AS (SELECT
         |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000

@@ -734,4 +734,49 @@ object TextAnalysis {
     sums.select(col("__n").as("n_terms"), slope.as("slope"),
       ((col("__sy") - (slope * col("__sx"))) / nD).as("intercept"))
   }
+
+  /** SymSpell-style typo detection: rare tokens that sit one edit away
+    * from a frequent vocabulary term, with the best correction — the OCR/
+    * scrape-noise report a corpus-cleaning pass reads before deciding on
+    * normalization rules. The naive approach is a rare×frequent
+    * levenshtein cross join (vocab² — dead at scale); the SymSpell
+    * blocking insight (Garbe's symmetric-delete algorithm) is that two
+    * strings within edit distance 1 SHARE a member of their
+    * {self} ∪ {1-deletions} variant sets, so candidates come from an
+    * equi-join on variant keys — |token|× vocab-sized, never quadratic —
+    * and only candidates pay the levenshtein verify (exact, distance
+    * = 1; the blocking can only over-generate, never miss). All work is
+    * vocabulary-sized after ONE corpus token-count scan (lazily
+    * checkpointed, both tiers slice it); the rare side's variants
+    * broadcast. Best correction per typo = max frequency, ties to the
+    * lexicographic first. Returns (token, cnt, suggestion,
+    * suggestion_cnt). */
+  def typoSuggestions(df: DataFrame, textCol: String, minFreq: Long = 5L,
+      maxRareFreq: Long = 2L, minLen: Int = 4): DataFrame = {
+    require(maxRareFreq < minFreq,
+      s"rare/frequent tiers must be disjoint: $maxRareFreq >= $minFreq")
+    val counts = df.filter(length(trim(col(textCol))) > 0)
+      .select(explode(Dedup.tokensCol(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    def variants(t: Column): Column = array_distinct(concat(array(t),
+      transform(sequence(lit(0), length(t) - lit(1)),
+        i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t))))))
+    val rv = counts
+      .filter(col("cnt") <= maxRareFreq && length(col("token")) >= minLen)
+      .select(col("token").as("__rt"), col("cnt").as("__rc"),
+        explode(variants(col("token"))).as("__v"))
+    val fv = counts.filter(col("cnt") >= minFreq)
+      .select(col("token").as("__ft"), col("cnt").as("__fc"),
+        explode(variants(col("token"))).as("__v"))
+    fv.join(Ops.broadcastIfSmall(rv), Seq("__v"))
+      .select("__rt", "__rc", "__ft", "__fc").distinct()
+      .filter(levenshtein(col("__rt"), col("__ft")) === 1)
+      .groupBy(col("__rt").as("token"), col("__rc").as("cnt"))
+      .agg(min(struct((-col("__fc")).as("nc"), col("__ft").as("t"),
+        col("__fc").as("c"))).as("__b"))
+      .select(col("token"), col("cnt"),
+        col("__b").getField("t").as("suggestion"),
+        col("__b").getField("c").as("suggestion_cnt"))
+  }
 }
