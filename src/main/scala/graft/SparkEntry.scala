@@ -1622,6 +1622,17 @@ object SparkEntry {
           minFreq = 5L, maxRareFreq = 2L, minLen = 4)
         .orderBy("token")
     }),
+    // ── scale: Mann–Whitney U — nonparametric "is one group systematically
+    //    larger" (the q141 z-test without normality; KS's location-focused
+    //    complement); ranks never materialize per row — distinct-value
+    //    frame + distributed-cumsum prefix gives exact average ranks under
+    //    ties, tie-corrected σ² (oracle: DuckDB window-rank replay) ─────────
+    "q188_mann_whitney" -> ((s, dir) => {
+      Analytics.mannWhitneyU(T(s, dir, "events"), "event_type", "value",
+          "click", "view", deterministic = true)
+        .select(col("n_a"), col("n_b"), round(col("u_a"), 6).as("u_a"),
+          round(col("u_b"), 6).as("u_b"), round(col("z"), 6).as("z"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3840,6 +3851,44 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q188_mann_whitney" ->
+      """WITH x AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(count(*) FILTER (g = 'click') AS BIGINT) AS a
+        |  FROM x GROUP BY 1),
+        |cum AS (SELECT v, t, a,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c
+        |  FROM vals),
+        |r AS (SELECT v, t, a,
+        |    CAST(a AS DOUBLE) * (CAST(c AS DOUBLE) +
+        |      (CAST(t AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |        CAST(2.0 AS DOUBLE)) AS ar
+        |  FROM cum),
+        |f AS (SELECT
+        |    list_reduce(list(ar ORDER BY v), (x, y) -> x + y) AS ra,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie,
+        |    CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(t - a) AS BIGINT) AS n_b
+        |  FROM r),
+        |g AS (SELECT n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
+        |    ra, CAST(tie AS DOUBLE) AS tied
+        |  FROM f),
+        |h AS (SELECT n_a, n_b, nad, nbd, nd, tied,
+        |    ra - (nad * (nad + CAST(1.0 AS DOUBLE))) / CAST(2.0 AS DOUBLE)
+        |      AS ua
+        |  FROM g)
+        |SELECT n_a, n_b, round(ua, 6) AS u_a,
+        |  round((nad * nbd) - ua, 6) AS u_b,
+        |  round((ua - (nad * nbd) / CAST(2.0 AS DOUBLE)) /
+        |    sqrt(((nad * nbd) / CAST(12.0 AS DOUBLE)) *
+        |      ((nd + CAST(1.0 AS DOUBLE)) -
+        |        tied / (nd * (nd - CAST(1.0 AS DOUBLE))))), 6) AS z
+        |FROM h""".stripMargin,
     "q187_typo_suggest" ->
       """WITH d AS (SELECT CASE
         |    WHEN p_partkey % 499 = 0

@@ -1078,6 +1078,84 @@ object Analytics {
           col("days").cast("double")).as("smape"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) test: do two groups differ in
+    * LOCATION without assuming normality — the nonparametric sibling of
+    * the q141 z-test (which compares means and is blind under heavy
+    * tails) and the distributional complement to q132's KS (KS asks "any
+    * difference", U asks "is one systematically larger"). Ranks never
+    * materialize per row: ONE map-side-combined scan collapses the two
+    * samples to the distinct-VALUE frame (value, t = total count, a =
+    * group-A count); the exclusive prefix C(v) = Σ t over values < v
+    * runs in the distributed-cumsum idiom (range exchange on value,
+    * per-range sums to the driver, partition-local window) — so tied
+    * values get the textbook average rank C + (t+1)/2 exactly, at any
+    * scale. U_A = Σ a·r − n_A(n_A+1)/2; the normal approximation uses
+    * the tie-corrected variance σ² = (n_A·n_B/12)·((N+1) − Σ(t³−t)/
+    * (N(N−1))). The Σ a·r double fold runs value-sorted on the gate path
+    * (production plain sums, spec ≈ 1e-9); the tie term is a pure
+    * integer sum. Degenerate (σ² = 0, a group empty) → NULL z (the q141
+    * convention). Returns (n_a, n_b, u_a, u_b, z). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String,
+      deterministic: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val two = df
+      .filter(col(groupCol).cast("string").isin(groupA, groupB))
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+    val vals = two.groupBy("__v")
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__a"))
+      .repartitionByRange(p, col("__v").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val sums = vals.groupBy("__pid").agg(sum("__t").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (sums.isEmpty)
+      return spark.range(1).select(lit(0L).as("n_a"), lit(0L).as("n_b"),
+        lit(null).cast("double").as("u_a"),
+        lit(null).cast("double").as("u_b"),
+        lit(null).cast("double").as("z"))
+    val offsets = sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2).dropRight(1))
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, off).otherwise(acc)
+    }
+    val cLocal = sum(col("__t")).over(
+      Window.partitionBy("__pid").orderBy(col("__v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val rank = (offCol + coalesce(cLocal, lit(0L))).cast("double") +
+      ((col("__t").cast("double") + lit(1.0)) / lit(2.0))
+    val terms = vals.withColumn("__ar", col("__a").cast("double") * rank)
+    val folded =
+      if (deterministic)
+        terms.agg(
+          aggregate(sort_array(collect_list(struct(col("__v"),
+            col("__ar").as("__x")))), lit(0.0),
+            (acc, x) => acc + x.getField("__x")).as("__ra"),
+          sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"),
+          sum("__a").as("n_a"), sum(col("__t") - col("__a")).as("n_b"))
+      else
+        terms.agg(sum("__ar").as("__ra"),
+          sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"),
+          sum("__a").as("n_a"), sum(col("__t") - col("__a")).as("n_b"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val ua = col("__ra") - (naD * (naD + lit(1.0))) / lit(2.0)
+    val mu = (naD * nbD) / lit(2.0)
+    val sig2 = ((naD * nbD) / lit(12.0)) *
+      ((nD + lit(1.0)) - col("__tie").cast("double") / (nD * (nD - lit(1.0))))
+    folded
+      .withColumn("u_a", when(col("n_a") > 0L && col("n_b") > 0L, ua))
+      .withColumn("u_b", when(col("n_a") > 0L && col("n_b") > 0L,
+        (naD * nbD) - col("u_a")))
+      .withColumn("z", when(col("n_a") > 0L && col("n_b") > 0L,
+        when(sig2 > 0.0, (col("u_a") - mu) / sqrt(sig2))))
+      .select("n_a", "n_b", "u_a", "u_b", "z")
+  }
+
   /** Nearest-rank percentile CI over the B replicate means (driver-side —
     * the frame is B rows by construction). Returns (lo, hi) at
     * (α/2, 1−α/2) using the ceil(p·B) nearest-rank convention. */

@@ -385,6 +385,31 @@ class AnalyticsSpec extends SparkSpec {
       .first().getLong(0) === 1L)
   }
 
+  test("mannWhitneyU: textbook ranks with ties; degenerate NULL z") {
+    // A=[1,2,3] B=[2,4]: ranks 1, 2.5(avg tie), 2.5, 4, 5 → RA=7.5,
+    // UA=1.5, UB=4.5, tie term 6, z = -1.5/sqrt(0.5*(6-6/20))
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+    val r = Analytics.mannWhitneyU(rows.toDF("g", "v"), "g", "v", "a", "b",
+      deterministic = true).first()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.5 && r.getDouble(3) === 4.5)
+    assert(math.abs(r.getDouble(4) - (-1.5 / math.sqrt(2.85))) < 1e-12)
+    // all-tied values → zero variance → NULL z, U still defined
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val rf = Analytics.mannWhitneyU(flat, "g", "v", "a", "b").first()
+    assert(rf.getDouble(2) === 1.0 && rf.isNullAt(4)) // = nA·nB/2: no info
+    // missing group → NULLs
+    val only = Analytics.mannWhitneyU(flat, "g", "v", "a", "zzz").first()
+    assert(only.getLong(1) === 0L && only.isNullAt(2) && only.isNullAt(4))
+    // deterministic fold ≈ production over a larger tied sample
+    val big = (1 to 4000).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i % 97).toDouble)).toDF("g", "v")
+    val d = Analytics.mannWhitneyU(big, "g", "v", "a", "b",
+      deterministic = true).first()
+    val pr = Analytics.mannWhitneyU(big, "g", "v", "a", "b").first()
+    assert(math.abs(d.getDouble(4) - pr.getDouble(4)) < 1e-9)
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
