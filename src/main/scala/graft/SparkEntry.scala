@@ -1633,6 +1633,21 @@ object SparkEntry {
         .select(col("n_a"), col("n_b"), round(col("u_a"), 6).as("u_a"),
           round(col("u_b"), 6).as("u_b"), round(col("z"), 6).as("z"))
     }),
+    // ── scale: HITS hubs/authorities — mutually-reinforcing scores on the
+    //    buyer→seller bipartite graph (which customers concentrate buying
+    //    power / which suppliers concentrate demand — what PageRank's one
+    //    score conflates); two shuffles per round, lazy broadcast norms
+    //    (oracle: rounds unrolled as MATERIALIZED CTEs) ─────────────────────
+    "q189_hits" -> ((s, dir) => {
+      val el = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      Graph.hits(el, "a", "b", rounds = 3, deterministic = true)
+        .select(col("node"), col("kind"), round(col("score"), 6).as("score"))
+        .orderBy("kind", "node")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3545,6 +3560,7 @@ object SparkEntry {
     "q96_lr_train" -> lrTrainOracleSql(rounds = 3, buckets = 256, lr = 0.5),
     "q98_kmeans_train" -> kmeansOracleSql(k = 4, rounds = 3, dims = 64),
     "q101_pagerank" -> pageRankOracleSql(rounds = 3, damping = 0.85),
+    "q189_hits" -> hitsOracleSql(rounds = 3),
     "q105_label_prop" -> lpaOracleSql(rounds = 4),
     "q110_trustrank" -> pprOracleSql(rounds = 3, damping = 0.85),
     "q115_volume_anomalies" ->
@@ -5825,6 +5841,42 @@ object SparkEntry {
     * side's sort_array fold, so ranks are bit-identical round over round
     * ((1 − damping) embeds as the exact double the Scala side computes);
     * final ranks round to 6. */
+  /** The q189 HITS loop unrolled in SQL. Raw-score and normalized CTEs
+    * are referenced twice each (norm + divide / two consumers), so they
+    * are MATERIALIZED — DuckDB inlines CTEs by default and the reference
+    * count would otherwise grow geometrically with rounds. Folds ORDER BY
+    * the counterpart key exactly as the deterministic Spark path. */
+  private def hitsOracleSql(rounds: Int): String = {
+    val header =
+      s"""WITH el AS (
+         |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+         |    's' || l_suppkey::VARCHAR AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h
+         |  FROM el),""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT e.dst AS node,
+         |    list_reduce(list(h.h ORDER BY e.src), (x, y) -> x + y) AS a
+         |  FROM el e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+         |an$k AS (SELECT sqrt(list_reduce(list(a * a ORDER BY node),
+         |    (x, y) -> x + y)) AS nrm FROM ar$k),
+         |a$k AS MATERIALIZED (SELECT node, a / nrm AS a FROM ar$k, an$k),
+         |hr$k AS MATERIALIZED (SELECT e.src AS node,
+         |    list_reduce(list(a.a ORDER BY e.dst), (x, y) -> x + y) AS h
+         |  FROM el e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+         |hn$k AS (SELECT sqrt(list_reduce(list(h * h ORDER BY node),
+         |    (x, y) -> x + y)) AS nrm FROM hr$k),
+         |h$k AS MATERIALIZED (SELECT node, h / nrm AS h FROM hr$k, hn$k),""".stripMargin
+    }.mkString("\n").stripSuffix(",")
+    s"""$header
+       |$roundCtes
+       |SELECT node, kind, score FROM (
+       |  SELECT node, 'hub' AS kind, round(h, 6) AS score FROM h$rounds
+       |  UNION ALL
+       |  SELECT node, 'auth' AS kind, round(a, 6) AS score FROM a$rounds)
+       |ORDER BY kind, node""".stripMargin
+  }
+
   private def pageRankOracleSql(rounds: Int, damping: Double): String = {
     val base = (1.0 - damping).toString
     val header =

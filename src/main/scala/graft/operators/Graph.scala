@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -481,5 +481,64 @@ object Graph {
       .select(col("rank"), col("node"), col("d").as("degree"), col("n2"),
         col("harmonic"))
       .orderBy("rank")
+  }
+
+  /** HITS (Kleinberg): mutually-reinforcing hub and authority scores on a
+    * DIRECTED (typically bipartite) graph — "which customers concentrate
+    * buying power, which suppliers concentrate demand" on a buyer→seller
+    * edge list, the question PageRank's single score conflates. Per
+    * round: auth(v) = Σ_{u→v} hub(u), then L2-normalize; hub(u) =
+    * Σ_{u→v} auth(v), then L2-normalize (the textbook two-phase update —
+    * hubs read the CURRENT round's authorities). Each phase is one
+    * hash-join + key-width aggregate; normalization denominators are
+    * one-row aggregate frames cross-joined back (lazy, broadcast — no
+    * per-round driver action), so a round is two shuffles however large
+    * the graph. Duplicate edges collapse. On the gate path every double
+    * sum (contributions AND the squared-norm totals) folds sorted by the
+    * counterpart/node key; production uses plain sums (spec ≈ 1e-9).
+    * Returns (node, kind ∈ {hub, auth}, score) — nodes appear under the
+    * kind(s) they have edges for. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, rounds: Int,
+      deterministic: Boolean = false,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    def fold(keyCol: String, termCol: Column): Column =
+      if (deterministic)
+        aggregate(sort_array(collect_list(struct(col(keyCol),
+          termCol.as("__t")))), lit(0.0),
+          (acc, x) => acc + x.getField("__t"))
+      else sum(termCol)
+    def l2normalize(df: DataFrame, score: String): DataFrame = {
+      val n = df.agg(sqrt(fold("node", col(score) * col(score)))
+        .as("__norm"))
+      df.crossJoin(broadcast(n))
+        .select(col("node"), (col(score) / col("__norm")).as(score))
+    }
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (r <- 1 to rounds) {
+      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(fold("src", col("h")).as("a"))
+      auth = l2normalize(araw, "a")
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(fold("dst", col("a")).as("h"))
+      hub = l2normalize(hraw, "h")
+      if (r % checkpointInterval == 0 && r < rounds) {
+        hub = hub.localCheckpoint(true)
+        auth = auth.localCheckpoint(true)
+      }
+    }
+    val out = hub.select(col("node"), lit("hub").as("kind"),
+        col("h").as("score"))
+      .unionByName(auth.select(col("node"), lit("auth").as("kind"),
+        col("a").as("score")))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
   }
 }

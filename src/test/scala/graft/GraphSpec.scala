@@ -294,4 +294,32 @@ class GraphSpec extends SparkSpec {
     // node 1 still reaches 2 via the low-degree middle 10
     assert(capped(1L) >= 1L)
   }
+
+  test("hits: one-round hand golden, duplicate edges collapse, det ≈ prod") {
+    import spark.implicits._
+    // h1→{a1,a2}, h2→{a1}: auth raw (2,1)/√5; hub raw (3,2)/√5 → /√13
+    val e = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h1", "a1"))
+      .toDF("s", "d")
+    val r1 = Graph.hits(e, "s", "d", rounds = 1, deterministic = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(r1(("a1", "auth")) - 2.0 / math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(r1(("a2", "auth")) - 1.0 / math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(r1(("h1", "hub")) - 3.0 / math.sqrt(13.0)) < 1e-12)
+    assert(math.abs(r1(("h2", "hub")) - 2.0 / math.sqrt(13.0)) < 1e-12)
+    // larger random-ish bipartite graph: det ≈ prod after 3 rounds
+    val big = (1 to 400).map(i => (s"u${i % 37}", s"v${(i * 7) % 23}"))
+      .toDF("s", "d")
+    val det = Graph.hits(big, "s", "d", rounds = 3, deterministic = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val prod = Graph.hits(big, "s", "d", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(det.size === prod.size)
+    for ((k, v) <- det) assert(math.abs(v - prod(k)) < 1e-9)
+    // L2 norms are 1 per side
+    val hubNorm = det.collect { case ((_, "hub"), v) => v * v }.sum
+    assert(math.abs(hubNorm - 1.0) < 1e-9)
+  }
 }
