@@ -1648,6 +1648,20 @@ object SparkEntry {
         .select(col("node"), col("kind"), round(col("score"), 6).as("score"))
         .orderBy("kind", "node")
     }),
+    // ── scale: contrastive negative sampling — k non-positive, non-self
+    //    corpus items per query as a pure function of (query, slot, salt):
+    //    hash→dense-position draws with bounded over-draw, one equi-join
+    //    to the key-only index, per-query windows over ≤ k·overDraw rows
+    //    (oracle: DuckDB replays index, hashes, rejections, and ranks) ─────
+    "q190_negative_samples" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val positives = docs
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id").as("q"), (col("doc_id") + lit(1L)).as("p"))
+      Sampling.negativeSamples(docs, "doc_id", positives, "q", "p",
+          k = 5, overDraw = 3)
+        .orderBy("q", "rank")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3867,6 +3881,34 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q190_negative_samples" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        |idx AS (SELECT doc_id AS neg_id,
+        |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
+        |  FROM ids),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+        |qs AS (SELECT DISTINCT doc_id AS q FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |excl AS (SELECT doc_id AS q, doc_id + 1 AS e FROM documents
+        |    WHERE doc_id % 10 = 0
+        |  UNION SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 = 0),
+        |draws AS (SELECT q, unnest(range(0, 15)) AS slot FROM qs),
+        |hpos AS (SELECT q, slot,
+        |    CAST(('0x' || substr(md5(CAST(q AS VARCHAR) || ':' ||
+        |      CAST(slot AS VARCHAR) || ':neg'), 1, 15))::UBIGINT AS BIGINT)
+        |      % (SELECT n FROM nn) AS pos
+        |  FROM draws),
+        |cand AS (SELECT q, neg_id, CAST(min(slot) AS BIGINT) AS slot
+        |  FROM hpos JOIN idx USING (pos) GROUP BY q, neg_id),
+        |filt AS (SELECT c.q, c.neg_id, c.slot FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM excl x
+        |    WHERE x.q = c.q AND x.e = c.neg_id)),
+        |rk AS (SELECT q, neg_id, slot,
+        |    CAST(row_number() OVER (PARTITION BY q
+        |      ORDER BY slot, neg_id) AS BIGINT) AS rank
+        |  FROM filt)
+        |SELECT q, neg_id, slot, rank FROM rk
+        |WHERE rank <= 5 ORDER BY q, rank""".stripMargin,
     "q188_mann_whitney" ->
       """WITH x AS (SELECT event_type AS g, value AS v FROM events
         |  WHERE event_type IN ('click', 'view')),

@@ -531,6 +531,58 @@ object Sampling {
     * pays), per-range counts → driver prefix offsets, local window +
     * offset. Ties must be broken by the caller's sortCols (include a
     * unique id last) or positions are nondeterministic. */
+  /** Deterministic in-corpus negative sampling for contrastive training:
+    * for every query, k corpus items that are NOT the query and NOT one
+    * of its positives — the data a bi-encoder/embedding trainer consumes
+    * by the billion, reproducible across reruns and engines because every
+    * draw is a pure function of (query, slot, salt). Draw slot s maps to
+    * corpus position md5-60(q:s:salt) mod n over the [[globalRowNumber]]
+    * dense index (uniform over the corpus, no RNG state); k·overDraw
+    * slots are drawn so that collision/self/positive rejections still
+    * leave ≥ k survivors with overwhelming probability (shortfall is
+    * possible only when positives+draws approach the corpus size — the
+    * caller sees fewer rows, never wrong rows). Survivors dedup to the
+    * smallest slot per (q, candidate), then rank by (slot, id) and keep
+    * k. Scale shape: draws are queries×(k·overDraw) rows joined to the
+    * key-only (position, id) index — one equi-join, no per-query corpus
+    * work; the final rank window partitions by query over ≤ k·overDraw
+    * rows each. Queries and corpus ids must share an id space (the
+    * exclusion list is (q, positive) ∪ (q, q)). Returns
+    * (q, neg_id, slot, rank). */
+  def negativeSamples(corpus: DataFrame, idCol: String,
+      positives: DataFrame, qCol: String, posCol: String, k: Int,
+      overDraw: Int = 3, salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(overDraw >= 1, s"overDraw must be >= 1, got $overDraw")
+    import org.apache.spark.sql.expressions.Window
+    val idx = globalRowNumber(
+        corpus.select(col(idCol).as("__cid")).distinct(),
+        "__rn", col("__cid").asc)
+      .localCheckpoint(false)
+    val nFrame = idx.agg(count(lit(1)).as("__n"))
+    val draws = positives.select(col(qCol).as("__q")).distinct()
+      .crossJoin(broadcast(nFrame))
+      .select(col("__q"), col("__n"),
+        explode(sequence(lit(0), lit(k * overDraw - 1))).as("slot"))
+      .withColumn("__pos", pmod(Dedup.md5Hash60(
+        concat(col("__q").cast("string"), lit(":"),
+          col("slot").cast("string"), lit(":" + salt))), col("__n")))
+    val excl = positives
+      .select(col(qCol).as("__q"), col(posCol).as("neg_id"))
+      .unionByName(positives.select(col(qCol).as("__q"),
+        col(qCol).as("neg_id")))
+      .distinct()
+    draws.join(idx, draws("__pos") === idx("__rn") - lit(1L))
+      .groupBy(col("__q"), col("__cid").as("neg_id"))
+      .agg(min("slot").as("slot"))
+      .join(excl, Seq("__q", "neg_id"), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__q")
+          .orderBy(col("slot").asc, col("neg_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("q"), col("neg_id"), col("slot"), col("rank"))
+  }
+
   def globalRowNumber(df: DataFrame, outCol: String, sortCols: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession

@@ -354,4 +354,35 @@ class SamplingSpec extends SparkSpec {
     val r = Sampling.effectiveSampleSize(df, "g", "w").first()
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("negativeSamples: k per query, exclusions honored, reproducible") {
+    val corpus = (1L to 100L).map(Tuple1(_)).toDF("id")
+    val positives = Seq((10L, 11L), (20L, 21L)).toDF("q", "p")
+    val out = Sampling.negativeSamples(corpus, "id", positives, "q", "p",
+      k = 5, overDraw = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === Set(10L, 20L))
+    for ((q, rows) <- byQ) {
+      assert(rows.length === 5)
+      assert(rows.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // never the query itself or its positive
+      assert(!rows.exists(_._2 == q))
+      assert(!rows.exists(r => r._2 == q + 1))
+      // candidates are corpus members
+      assert(rows.forall(r => r._2 >= 1L && r._2 <= 100L))
+      // distinct negatives
+      assert(rows.map(_._2).distinct.length === 5)
+    }
+    // bit-reproducible
+    val again = Sampling.negativeSamples(corpus, "id", positives, "q", "p",
+      k = 5, overDraw = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSet === again.toSet)
+    // salt changes the draw
+    val salted = Sampling.negativeSamples(corpus, "id", positives, "q", "p",
+      k = 5, overDraw = 3, salt = "other").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted !== out.map(r => (r._1, r._2)).toSet)
+  }
 }
