@@ -1662,6 +1662,19 @@ object SparkEntry {
           k = 5, overDraw = 3)
         .orderBy("q", "rank")
     }),
+    // ── scale: kNN label-noise audit — rows whose embedding neighborhood
+    //    votes against their label (cleanlab-style mislabel candidates);
+    //    neighborhoods from the IVF-blocked knnJoin (never all-pairs),
+    //    labels join back key-only (oracle: the q72 IVF replay + label
+    //    aggregation) ───────────────────────────────────────────────────────
+    "q191_label_noise" -> ((s, dir) => {
+      Similarity.labelNoiseReport(T(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5, numCentroids = 16,
+          seedHash = Dedup.md5Hash60, threshold = 0.6)
+        .select(col("vec_id"), col("label"), col("n_neighbors"),
+          col("disagree"), round(col("disagree_frac"), 6).as("disagree_frac"))
+        .orderBy("vec_id")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3241,42 +3254,27 @@ object SparkEntry {
         |SELECT doc_id, trim(regexp_replace(x, '[\x00-\x20]+', ' ', 'g')) AS clean
         |FROM s3 ORDER BY doc_id""".stripMargin,
     "q72_knn_join" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |seeds AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
-         |  FROM (SELECT vec_id, v FROM e
-         |        QUALIFY row_number()
-         |          OVER (ORDER BY ${h60Sql("vec_id::VARCHAR")}, vec_id) <= 16)),
-         |a0 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, seeds.cid, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, seeds.cvec) /
-         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(seeds.cvec, seeds.cvec)))
-         |        DESC, seeds.cid) AS rn
-         |    FROM e, seeds) WHERE rn = 1),
-         |m AS (
-         |  SELECT a0.cid, t.i, CAST(avg(e.v[t.i]) AS FLOAT) AS mv
-         |  FROM a0 JOIN e USING (vec_id), range(1, 65) AS t(i) GROUP BY a0.cid, t.i),
-         |cents AS (SELECT cid, CAST(list(mv ORDER BY i) AS DOUBLE[]) AS cvec FROM m GROUP BY cid),
-         |a2 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, cents.cid, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, cents.cvec) /
-         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))
-         |        DESC, cents.cid) AS rn
-         |    FROM e, cents) WHERE rn = 1),
-         |p AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    list_dot_product(ea.v, eb.v) /
-         |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
-         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
-         |  JOIN e ea ON ea.vec_id = a.vec_id
-         |  JOIN e eb ON eb.vec_id = b.vec_id),
-         |r AS (SELECT query_id, neighbor_id,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |      FROM p)
+      s"""$ivfKnnOracleCtes
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "q191_label_noise" ->
+      s"""$ivfKnnOracleCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |j AS (SELECT r.query_id, ql.label AS ql, nl.label AS nl
+         |  FROM r JOIN lab ql ON ql.vec_id = r.query_id
+         |  JOIN lab nl ON nl.vec_id = r.neighbor_id
+         |  WHERE r.rank <= 5),
+         |a AS (SELECT query_id AS vec_id, ql AS label,
+         |    CAST(count(*) AS BIGINT) AS n_neighbors,
+         |    CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS disagree
+         |  FROM j GROUP BY 1, 2)
+         |SELECT vec_id, label, n_neighbors, disagree,
+         |  round(CAST(disagree AS DOUBLE) / CAST(n_neighbors AS DOUBLE), 6)
+         |    AS disagree_frac
+         |FROM a
+         |WHERE CAST(disagree AS DOUBLE) / CAST(n_neighbors AS DOUBLE) >= 0.6
+         |ORDER BY vec_id""".stripMargin,
     "q74_neardup_ingest" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
          |hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 2 = 0),
@@ -5883,6 +5881,47 @@ object SparkEntry {
     * side's sort_array fold, so ranks are bit-identical round over round
     * ((1 − damping) embeds as the exact double the Scala side computes);
     * final ranks round to 6. */
+  /** The q72/q191 IVF-kNN replay prefix: seed selection by hash rank, one
+    * Lloyd refinement round, final assignment, within-cell cosine pairs,
+    * per-query ranks — ends at CTE `r` (query_id, neighbor_id, rank), so
+    * consumers append either a rank cut (q72) or label aggregation
+    * (q191). k-independent: the rank cut happens in the consumer. */
+  private lazy val ivfKnnOracleCtes: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+       |  FROM (SELECT vec_id, v FROM e
+       |        QUALIFY row_number()
+       |          OVER (ORDER BY ${h60Sql("vec_id::VARCHAR")}, vec_id) <= 16)),
+       |a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, seeds.cid, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, seeds.cvec) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(seeds.cvec, seeds.cvec)))
+       |        DESC, seeds.cid) AS rn
+       |    FROM e, seeds) WHERE rn = 1),
+       |m AS (
+       |  SELECT a0.cid, t.i, CAST(avg(e.v[t.i]) AS FLOAT) AS mv
+       |  FROM a0 JOIN e USING (vec_id), range(1, 65) AS t(i) GROUP BY a0.cid, t.i),
+       |cents AS (SELECT cid, CAST(list(mv ORDER BY i) AS DOUBLE[]) AS cvec FROM m GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cents.cid, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, cents.cvec) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))
+       |        DESC, cents.cid) AS rn
+       |    FROM e, cents) WHERE rn = 1),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(ea.v, eb.v) /
+       |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+       |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM p)""".stripMargin
+
   /** The q189 HITS loop unrolled in SQL. Raw-score and normalized CTEs
     * are referenced twice each (norm + divide / two consumers), so they
     * are MATERIALIZED — DuckDB inlines CTEs by default and the reference

@@ -444,4 +444,44 @@ object Similarity {
               (v, dq) => (v.cast(DoubleType) - dq) * (v.cast(DoubleType) - dq)),
             lit(0.0), (acc, e) => acc + e) / lit(dim.toDouble), 6).as("mse"))
   }
+
+  /** kNN label-noise detection (Confident-Learning-style neighborhood
+    * vote): rows whose k nearest neighbors in embedding space mostly
+    * carry a DIFFERENT label are mislabel candidates — the audit a
+    * classifier-training pipeline runs before trusting its labels, and
+    * the cheapest high-precision mislabel finder that needs no model
+    * (Northcutt et al.'s cleanlab reports the same signal from
+    * neighborhood agreement). Neighborhoods come from [[knnJoin]] — the
+    * IVF-blocked path, never an all-pairs scan — and labels join back as
+    * a key-ONLY (id, label) frame on each side of the pair list (pairs
+    * are corpus×k rows, the only frame this ever aggregates). Flags rows
+    * with disagreement ≥ `threshold` (an exact rational disagree/n
+    * compared identically on any engine). Returns
+    * (vec_id, label, n_neighbors, disagree, disagree_frac). */
+  def labelNoiseReport(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numCentroids: Int = AutoCentroids,
+      targetClusterSize: Int = 4096,
+      seedHash: Column => Column = xxhash64(_),
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    val knn = knnJoin(df.select(col(idCol), col(vecCol)), idCol, vecCol,
+      k, numCentroids, targetClusterSize, seedHash)
+    val labels = df.select(col(idCol), col(labelCol)).localCheckpoint(false)
+    val ql = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    val nl = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val frac = col("disagree").cast(DoubleType) /
+      col("n_neighbors").cast(DoubleType)
+    knn.join(graft.operators.Ops.broadcastIfSmall(ql), "query_id")
+      .join(graft.operators.Ops.broadcastIfSmall(nl), "neighbor_id")
+      .groupBy(col("query_id"), col("__ql"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nl") =!= col("__ql"), 1L).otherwise(0L))
+          .as("disagree"))
+      .filter(frac >= threshold)
+      .select(col("query_id").as(idCol), col("__ql").as(labelCol),
+        col("n_neighbors"), col("disagree"), frac.as("disagree_frac"))
+  }
 }

@@ -879,4 +879,21 @@ class ScaleOpsSpec extends SparkSpec {
     // bucket 0 survival counts every observed pair
     assert(surv.head === out.values.map(_._2).sum)
   }
+
+  test("labelNoiseReport flags the planted mislabel, not its clean peers") {
+    import spark.implicits._
+    // cluster A near (1,0): 5× label 0 + ONE labeled 9; cluster B near
+    // (0,1): 5× label 1. k=5, one centroid → exact neighborhoods.
+    val rows =
+      (0 to 4).map(i => (i.toLong, Array(1.0f, 0.001f * i), 0)) ++
+      Seq((5L, Array(1.0f, 0.01f), 9)) ++
+      (6 to 10).map(i => (i.toLong, Array(0.001f * i, 1.0f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseReport(df, "vec_id", "embedding",
+        "label", k = 5, numCentroids = 1, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet === Set(5L))
+    assert(out(5L) === ((5L, 1.0)))
+  }
 }
