@@ -1675,6 +1675,17 @@ object SparkEntry {
           col("disagree"), round(col("disagree_frac"), 6).as("disagree_frac"))
         .orderBy("vec_id")
     }),
+    // ── scale: distribution-matching downsample — the LARGEST hash-
+    //    deterministic subset hitting target language proportions (closed-
+    //    form LP: binding stratum keeps all, others downsample); thresholds
+    //    are floor(rate·1e6) longs with fixed parenthesization (oracle:
+    //    DuckDB recomputes counts, c, thresholds, and the hash coin) ───────
+    "q192_match_distribution" -> ((s, dir) => {
+      Sampling.matchDistribution(T(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3879,6 +3890,23 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q192_match_distribution" ->
+      s"""WITH t(lang, ts) AS (VALUES
+         |    ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.4 AS DOUBLE)),
+         |    ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE))),
+         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS ns FROM documents
+         |  WHERE lang IN (SELECT lang FROM t) GROUP BY 1),
+         |nt AS (SELECT CAST(sum(ns) AS BIGINT) AS ntot FROM n),
+         |c AS (SELECT min(CAST(ns AS DOUBLE) /
+         |    (ts * CAST(ntot AS DOUBLE))) AS c
+         |  FROM n JOIN t USING (lang), nt),
+         |th AS (SELECT lang, CAST(floor((((c * ts) * CAST(ntot AS DOUBLE)) /
+         |    CAST(ns AS DOUBLE)) * 1000000.0) AS BIGINT) AS thr
+         |  FROM n JOIN t USING (lang), nt, c)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS kept
+         |FROM documents d JOIN th ON d.lang = th.lang
+         |WHERE ${h60Sql("d.doc_id::VARCHAR")} % 1000000 < th.thr
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q190_negative_samples" ->
       """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
         |idx AS (SELECT doc_id AS neg_id,

@@ -531,6 +531,48 @@ object Sampling {
     * pays), per-range counts → driver prefix offsets, local window +
     * offset. Ties must be broken by the caller's sortCols (include a
     * unique id last) or positions are nondeterministic. */
+  /** Distribution-matching downsample: the LARGEST deterministic subset
+    * whose strata follow the target proportions — "make the corpus 40% en
+    * / 20% de / 20% fr / 20% es" without hand-deriving per-language
+    * rates. From one stratum-count scan the driver solves the LP in
+    * closed form: the binding stratum is the one scarcest relative to
+    * its target (c = min_s n_s/(t_s·N)), it keeps (almost) everything,
+    * and every other stratum downsamples to rate_s = c·t_s·N/n_s —
+    * any larger output would violate some proportion. Acceptance is the
+    * [[hashBucket]] coin (pure function of the key), so the sample is
+    * reproducible and engines replay it exactly: thresholds are
+    * floor(rate·1e6) longs computed with a FIXED parenthesization that
+    * the oracle mirrors. Strata outside the target drop entirely; every
+    * target stratum must be present (an absent stratum makes the target
+    * unsatisfiable — fail loudly rather than return empty). Proportions
+    * are exact in expectation; realized counts wobble within binomial
+    * noise like every hash sample. */
+  def matchDistribution(df: DataFrame, strataCol: String, keyCol: String,
+      target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty, "empty target")
+    require(target.values.forall(t => t > 0.0), "target proportions must be > 0")
+    require(math.abs(target.values.sum - 1.0) < 1e-9,
+      s"target proportions must sum to 1, got ${target.values.sum}")
+    val counts = df
+      .filter(col(strataCol).cast("string").isin(target.keys.toSeq: _*))
+      .groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = target.keys.filter(s => counts.getOrElse(s, 0L) == 0L)
+    require(missing.isEmpty,
+      s"target strata absent from the data: ${missing.mkString(", ")}")
+    val ntD = counts.values.sum.toDouble
+    val c = target.map { case (s, t) => counts(s).toDouble / (t * ntD) }.min
+    val thr: Map[String, Long] = target.map { case (s, t) =>
+      s -> math.floor(((c * t) * ntD) / counts(s).toDouble * 1000000.0).toLong
+    }
+    val thrCol = target.keys.toSeq.sorted.foldLeft(lit(0L): Column) {
+      (acc, s) => when(col(strataCol).cast("string") === s, lit(thr(s)))
+        .otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < thrCol)
+  }
+
   /** Deterministic in-corpus negative sampling for contrastive training:
     * for every query, k corpus items that are NOT the query and NOT one
     * of its positives — the data a bi-encoder/embedding trainer consumes

@@ -355,6 +355,30 @@ class SamplingSpec extends SparkSpec {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("matchDistribution: binding stratum keeps all, others downsample") {
+    val df = ((1 to 100).map(i => (s"k$i", "a")) ++
+      (101 to 150).map(i => (s"k$i", "b")) ++
+      (151 to 160).map(i => (s"k$i", "junk"))).toDF("id", "s")
+    val out = Sampling.matchDistribution(df, "s", "id",
+      Map("a" -> 0.5, "b" -> 0.5))
+    val kept = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b is binding (50 vs target 75): rate 1.0 keeps all; a at rate 0.5
+    assert(kept("b") === 50L)
+    assert(kept("a") > 25L && kept("a") < 75L)
+    // non-target stratum fully dropped
+    assert(!kept.contains("junk"))
+    // deterministic
+    val again = Sampling.matchDistribution(df, "s", "id",
+      Map("a" -> 0.5, "b" -> 0.5)).collect().map(_.getString(0)).sorted
+    assert(again.toSeq === out.collect().map(_.getString(0)).sorted.toSeq)
+    // absent target stratum fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.matchDistribution(df, "s", "id",
+        Map("a" -> 0.5, "nope" -> 0.5))
+    }
+  }
+
   test("negativeSamples: k per query, exclusions honored, reproducible") {
     val corpus = (1L to 100L).map(Tuple1(_)).toDF("id")
     val positives = Seq((10L, 11L), (20L, 21L)).toDF("q", "p")
