@@ -1686,6 +1686,15 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("kept"))
         .orderBy("lang")
     }),
+    // ── scale: conversion-latency percentiles — first signup → first
+    //    subsequent purchase, exact long-micros latencies, nearest-rank
+    //    crossings via the weightedQuantiles machinery (q113's timing
+    //    half) (oracle: DuckDB replays firsts, min-after, and crossings) ───
+    "q193_conversion_latency" -> ((s, dir) => {
+      Analytics.conversionLatency(T(s, dir, "events"), "user_id", "ts",
+          "event_type", "signup", "purchase", Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3890,6 +3899,28 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q193_conversion_latency" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS m, event_type
+        |  FROM events),
+        |f AS (SELECT u, min(m) AS f FROM ev WHERE event_type = 'signup'
+        |  GROUP BY 1),
+        |lat AS (SELECT e.u, min(e.m - f.f) AS lat
+        |  FROM ev e JOIN f ON e.u = f.u
+        |  WHERE e.event_type = 'purchase' AND e.m > f.f GROUP BY 1),
+        |r AS (SELECT lat, u,
+        |    CAST(row_number() OVER (ORDER BY lat, u) AS BIGINT) AS cum
+        |  FROM lat),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS w FROM lat),
+        |qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |  (CAST(0.99 AS DOUBLE))),
+        |pick AS (SELECT q, lat AS latency_us FROM qs, tot, r
+        |  WHERE cum >= q * CAST(w AS DOUBLE)
+        |    AND cum - 1 < q * CAST(w AS DOUBLE)),
+        |c AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_started,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lat) AS n_converted)
+        |SELECT q, latency_us, n_started, n_converted FROM pick, c
+        |ORDER BY q""".stripMargin,
     "q192_match_distribution" ->
       s"""WITH t(lang, ts) AS (VALUES
          |    ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.4 AS DOUBLE)),

@@ -1156,6 +1156,41 @@ object Analytics {
       .select("n_a", "n_b", "u_a", "u_b", "z")
   }
 
+  /** Conversion-latency percentiles: how long users take from their first
+    * `fromType` event to the first `toType` event AFTER it — the timing
+    * half of the funnel story (q113 counts who converts; this says how
+    * fast, which is what an SLA or a "nudge at hour N" campaign needs).
+    * Latencies are exact long micros end-to-end; percentiles are the
+    * EXACT crossing rows of [[Sampling.weightedQuantiles]] at weight 1
+    * (nearest-rank, replayable — no interpolation convention to
+    * cross-engine-match). One normalized event scan (lazily checkpointed,
+    * both phases slice it), first-event frame is users-sized and
+    * broadcast when small, and min(m − f) folds the "first completion
+    * after start" into one map-side-combined aggregate. Returns one row
+    * per quantile: (q, latency_us, n_started, n_converted). */
+  def conversionLatency(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String,
+      qs: Seq[Double]): DataFrame = {
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val ev = df.select(col(userCol).as("__u"), m.as("__m"),
+        col(typeCol).cast("string").as("__t"))
+      .localCheckpoint(false)
+    val firsts = ev.filter(col("__t") === fromType)
+      .groupBy("__u").agg(min("__m").as("__f"))
+      .localCheckpoint(false)
+    val lats = ev.filter(col("__t") === toType)
+      .join(Ops.broadcastIfSmall(firsts), Seq("__u"))
+      .filter(col("__m") > col("__f"))
+      .groupBy("__u").agg(min(col("__m") - col("__f")).as("__lat"))
+      .localCheckpoint(false)
+    val counts = firsts.agg(count(lit(1)).as("n_started"))
+      .crossJoin(lats.agg(count(lit(1)).as("n_converted")))
+    Sampling.weightedQuantiles(lats.withColumn("__w", lit(1L)),
+        "__u", "__lat", "__w", qs)
+      .select(col("q"), col("value").as("latency_us"))
+      .crossJoin(broadcast(counts))
+  }
+
   /** Nearest-rank percentile CI over the B replicate means (driver-side —
     * the frame is B rows by construction). Returns (lo, hi) at
     * (α/2, 1−α/2) using the ceil(p·B) nearest-rank convention. */

@@ -410,6 +410,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(d.getDouble(4) - pr.getDouble(4)) < 1e-9)
   }
 
+  test("conversionLatency: first-from → first-to-AFTER, exact crossings") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val rows = Seq(
+      ("A", ts(10), "signup"), ("A", ts(5), "purchase"),  // pre-signup buy ignored
+      ("A", ts(30), "purchase"), ("A", ts(40), "purchase"), // first AFTER wins
+      ("B", ts(100), "signup"), ("B", ts(110), "purchase"),
+      ("C", ts(50), "signup"),                             // never converts
+      ("D", ts(60), "purchase"))                           // never starts
+    val out = Analytics.conversionLatency(rows.toDF("u", "t", "e"),
+      "u", "t", "e", "signup", "purchase", Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0.5) === ((10000000L, 3L, 2L)))  // 10 s in µs; lower of {10,20}
+    assert(out(1.0) === ((20000000L, 3L, 2L)))
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
