@@ -1695,6 +1695,17 @@ object SparkEntry {
           "event_type", "signup", "purchase", Seq(0.5, 0.9, 0.99))
         .orderBy("q")
     }),
+    // ── scale: k-anonymity / l-diversity audit — re-identification risk of
+    //    quasi-identifier groups before a release (the indirect-identifier
+    //    counterpart to q48's PII redaction); two-level aggregation keeps
+    //    distinct-sensitive a plain count (oracle: DuckDB replay) ───────────
+    "q194_k_anonymity" -> ((s, dir) => {
+      Profiling.kAnonymityReport(T(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10L, l = 3L)
+        .select(col("n_rows"), col("n_groups"), col("risky_groups"),
+          col("risky_rows"), round(col("risky_frac"), 6).as("risky_frac"),
+          col("min_ldiversity"), col("low_diversity_groups"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3899,6 +3910,28 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q194_k_anonymity" ->
+      """WITH pairs AS (SELECT c_nationkey, c_mktsegment, c_acctbal,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS l
+        |  FROM pairs GROUP BY 1, 2),
+        |s AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS risky_groups,
+        |    CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |      AS risky_rows,
+        |    CAST(min(l) AS BIGINT) AS min_ldiversity,
+        |    CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS low_diversity_groups
+        |  FROM g)
+        |SELECT n_rows, n_groups, risky_groups, risky_rows,
+        |  round(CAST(risky_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS risky_frac,
+        |  min_ldiversity, low_diversity_groups
+        |FROM s""".stripMargin,
     "q193_conversion_latency" ->
       """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS m, event_type
         |  FROM events),

@@ -865,6 +865,43 @@ object Profiling {
             (col("precision") + col("recall"))))
   }
 
+  /** k-anonymity / l-diversity audit: before a table ships outside the
+    * trust boundary, how many rows sit in a quasi-identifier group
+    * smaller than k (re-identifiable by joining public attributes —
+    * Sweeney's k-anonymity), and do any groups carry fewer than l
+    * distinct sensitive values (attribute disclosure even at size ≥ k —
+    * Machanavajjhala's l-diversity)? The privacy counterpart to q48's
+    * PII redaction: redaction hides direct identifiers, this audits the
+    * INDIRECT ones. Two-level aggregation — (QI, sensitive) pair counts,
+    * then per-QI-group (n, distinct-sensitive) — so the distinct count
+    * is a plain second-level count, never a per-group set materialization;
+    * everything after the first map-side-combined scan is groups-sized.
+    * NULL quasi-identifier values form their own group (they bucket
+    * together on release, so they re-identify together). Returns one row
+    * (n_rows, n_groups, risky_groups, risky_rows, risky_frac,
+    * min_ldiversity, low_diversity_groups). */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1L && l >= 1L, s"k and l must be >= 1, got k=$k l=$l")
+    val qi = quasiCols.map(col)
+    val pairs = df.groupBy((qi :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = pairs.groupBy(qi: _*)
+      .agg(sum("__c").as("__n"), count(lit(1)).as("__l"))
+    groups.agg(
+        sum("__n").as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("risky_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("risky_rows"),
+        min("__l").as("min_ldiversity"),
+        sum(when(col("__l") < l, 1L).otherwise(0L))
+          .as("low_diversity_groups"))
+      .withColumn("risky_frac",
+        col("risky_rows").cast(DoubleType) / col("n_rows").cast(DoubleType))
+      .select("n_rows", "n_groups", "risky_groups", "risky_rows",
+        "risky_frac", "min_ldiversity", "low_diversity_groups")
+  }
+
   /** Foreign-key candidate discovery: for each (child column → parent
     * column) hypothesis, measure whether the data actually supports the
     * relationship — the profiling step that turns an undocumented data

@@ -443,6 +443,24 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3)) < 1e-9, s"kappa=${r.getDouble(3)}")
   }
 
+  test("kAnonymityReport: risky groups, l-diversity, nulls group together") {
+    // (qi1, qi2) groups: (x,1)×3 rows 2 sensitive vals; (y,1)×1 row;
+    // (null,2)×2 rows 1 sensitive val
+    val rows = Seq(
+      (Some("x"), 1, "s1"), (Some("x"), 1, "s1"), (Some("x"), 1, "s2"),
+      (Some("y"), 1, "s9"),
+      (None, 2, "s5"), (None, 2, "s5"))
+    val r = Profiling.kAnonymityReport(rows.toDF("a", "b", "sv"),
+      Seq("a", "b"), "sv", k = 2L, l = 2L).first()
+    assert(r.getLong(0) === 6L)  // n_rows
+    assert(r.getLong(1) === 3L)  // n_groups (null group counted once)
+    assert(r.getLong(2) === 1L)  // risky_groups: (y,1) of size 1
+    assert(r.getLong(3) === 1L)  // risky_rows
+    assert(math.abs(r.getDouble(4) - 1.0 / 6.0) < 1e-12)
+    assert(r.getLong(5) === 1L)  // min l-diversity
+    assert(r.getLong(6) === 2L)  // groups with < 2 sensitive values
+  }
+
   test("fkCandidates: containment, orphans, parent uniqueness, null child") {
     val child = Seq(Some(1L), Some(2L), Some(3L), Some(2L), None)
       .toDF("fk")
