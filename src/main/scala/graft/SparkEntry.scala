@@ -1706,6 +1706,17 @@ object SparkEntry {
           col("risky_rows"), round(col("risky_frac"), 6).as("risky_frac"),
           col("min_ldiversity"), col("low_diversity_groups"))
     }),
+    // ── scale: ε-DP noisy count release — Laplace(1/ε) noise from the
+    //    group key's hash (deterministic release-once semantics: reruns
+    //    cannot average the noise away); true counts never emitted
+    //    (oracle: DuckDB replays hash → uniform → inverse CDF) ─────────────
+    "q195_dp_counts" -> ((s, dir) => {
+      Profiling.dpNoisyCounts(T(s, dir, "events"), Seq("user_id"),
+          epsilon = 1.0)
+        .select(col("user_id"),
+          round(col("noisy_count"), 6).as("noisy_count"))
+        .orderBy("user_id")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3910,6 +3921,21 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q195_dp_counts" ->
+      s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT user_id, n,
+         |    ((CAST(${h60Sql("user_id::VARCHAR || ':dp'")} AS DOUBLE)
+         |      * CAST(2.0 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) /
+         |      CAST(2305843009213693952 AS DOUBLE) AS u
+         |  FROM c)
+         |SELECT user_id, round(CAST(n AS DOUBLE) +
+         |  CASE WHEN u < 0.5
+         |    THEN CAST(1.0 AS DOUBLE) * ln(CAST(2.0 AS DOUBLE) * u)
+         |    ELSE -(CAST(1.0 AS DOUBLE) * ln(CAST(2.0 AS DOUBLE) *
+         |      (CAST(1.0 AS DOUBLE) - u)))
+         |  END, 6) AS noisy_count
+         |FROM h ORDER BY user_id""".stripMargin,
     "q194_k_anonymity" ->
       """WITH pairs AS (SELECT c_nationkey, c_mktsegment, c_acctbal,
         |    CAST(count(*) AS BIGINT) AS c

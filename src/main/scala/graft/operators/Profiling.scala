@@ -865,6 +865,39 @@ object Profiling {
             (col("precision") + col("recall"))))
   }
 
+  /** ε-differentially-private count release: per-group counts + Laplace
+    * (sensitivity 1 / ε) noise — the mechanism that lets per-user or
+    * per-segment statistics about a private table ship outside the trust
+    * boundary with a provable guarantee (Dwork et al.), and the release
+    * path that complements [[kAnonymityReport]]'s audit. The noise is
+    * DETERMINISTIC: the uniform draw is (2h + 1)/2^61 from the group
+    * key's md5-60 hash (never exactly 0 or 1, so the log never sees 0),
+    * pushed through the Laplace inverse CDF — the release is
+    * reproducible and engine-replayable while remaining a fixed sample
+    * of the mechanism's distribution across keys. (Determinism trades
+    * the classic fresh-randomness-per-query guarantee for release-once
+    * semantics: re-running CANNOT average the noise away — the property
+    * a data-release pipeline actually wants.) One map-side-combined
+    * count scan; noise is a pure projection. True counts are NOT in the
+    * output. Returns (groupCols…, noisy_count). */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      salt: String = "dp"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0.0, s"epsilon must be > 0, got $epsilon")
+    val b = 1.0 / epsilon
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val keyStr = concat_ws(":",
+      groupCols.map(c => col(c).cast(StringType)) :+ lit(salt): _*)
+    val h = Dedup.md5Hash60(keyStr)
+    val u = ((h.cast(DoubleType) * lit(2.0)) + lit(1.0)) /
+      lit(2305843009213693952.0) // 2^61, exact
+    val noise = when(u < 0.5, lit(b) * log(lit(2.0) * u))
+      .otherwise(-(lit(b) * log(lit(2.0) * (lit(1.0) - u))))
+    counts.select(groupCols.map(col) :+
+      (col("__n").cast(DoubleType) + noise).as("noisy_count"): _*)
+  }
+
   /** k-anonymity / l-diversity audit: before a table ships outside the
     * trust boundary, how many rows sit in a quasi-identifier group
     * smaller than k (re-identifiable by joining public attributes —

@@ -443,6 +443,24 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3)) < 1e-9, s"kappa=${r.getDouble(3)}")
   }
 
+  test("dpNoisyCounts: deterministic Laplace, centered, epsilon-scaled") {
+    val df = (1 to 5000).map(i => (s"g${i % 500}", i)).toDF("g", "x")
+    def run(eps: Double) = Profiling.dpNoisyCounts(df, Seq("g"), eps)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a = run(1.0)
+    assert(a.size === 500)
+    assert(a === run(1.0)) // bit-reproducible
+    val noise = a.map { case (_, v) => v - 10.0 } // every group has 10 rows
+    // centered and bounded: Laplace(1) over 500 draws
+    assert(math.abs(noise.sum / noise.size) < 0.5)
+    assert(noise.forall(n => math.abs(n) < 45.0))
+    assert(noise.count(n => math.abs(n) > 0.001) > 450) // actually noisy
+    // epsilon ↓ → noise ∝ 1/ε (same uniforms, scaled inverse CDF)
+    val loose = run(0.1)
+    val ratio = a.map { case (k, v) => (loose(k) - 10.0) / (v - 10.0) }
+    assert(ratio.forall(r => math.abs(r - 10.0) < 1e-6))
+  }
+
   test("kAnonymityReport: risky groups, l-diversity, nulls group together") {
     // (qi1, qi2) groups: (x,1)×3 rows 2 sensitive vals; (y,1)×1 row;
     // (null,2)×2 rows 1 sensitive val
