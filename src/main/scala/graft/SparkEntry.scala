@@ -1717,6 +1717,49 @@ object SparkEntry {
           round(col("noisy_count"), 6).as("noisy_count"))
         .orderBy("user_id")
     }),
+    // ── scale: Good–Turing unseen mass + Chao1 — how much probability
+    //    mass the corpus has never seen and how big the true vocabulary
+    //    is, from one token-count scan (tail injected via unique customer
+    //    names over the frequent doc vocab) (oracle: DuckDB replay) ────────
+    "q196_unseen_mass" -> ((s, dir) => {
+      val corpus = T(s, dir, "documents").select(col("text"))
+        .unionByName(T(s, dir, "customer").select(col("c_name").as("text")))
+      TextAnalysis.unseenMassEstimate(corpus, "text")
+        .select(col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+          round(col("unseen_mass"), 6).as("unseen_mass"),
+          round(col("chao1"), 6).as("chao1"))
+    }),
+    // ── scale: inter-arrival burstiness — Goh–Barabási B per user over
+    //    consecutive-event gaps (heartbeat −1 / Poisson 0 / bursty +1),
+    //    the per-entity refinement of q115; exact long Σgap, (ts, id)-
+    //    sorted Σgap² fold (oracle: DuckDB lag + fold replay) ──────────────
+    "q197_burstiness" -> ((s, dir) => {
+      Analytics.interArrivalStats(T(s, dir, "events"), "user_id", "ts",
+          "event_id", deterministic = true)
+        // mean in SECONDS: round(x, 6) at the raw-micros magnitude (~4e10)
+        // is not engine-portable (scaling by 1e6 exceeds 2^53)
+        .select(col("user_id"), col("n_gaps"),
+          round(col("mean_us") / lit(1000000.0), 6).as("mean_s"),
+          round(col("burstiness"), 6).as("burstiness"))
+        .orderBy("user_id")
+    }),
+    // ── scale: per-group OLS trend lines — slope/intercept/R² of value
+    //    over day for EVERY event type in one sufficient-stats pass (the
+    //    grouped q96; "is the metric drifting per segment") (oracle:
+    //    DuckDB replays the id-sorted folds and the closed form) ───────────
+    "q198_group_trends" -> ((s, dir) => {
+      val m = unix_micros(col("ts").cast("timestamp"))
+      val d = lit(86400000000L)
+      val ev = T(s, dir, "events").withColumn("day",
+        ((m - pmod(m, d)) / d).cast("long"))
+      Analytics.groupTrends(ev, "event_type", "event_id", "day", "value",
+          deterministic = true)
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("event_type")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3921,6 +3964,77 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q198_group_trends" ->
+      """WITH b AS (SELECT event_type AS g, event_id AS id,
+        |    CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)
+        |      // 86400000000 AS DOUBLE) AS x,
+        |    value AS y
+        |  FROM events),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list(x ORDER BY id), (p, q) -> p + q) AS sx,
+        |    list_reduce(list(y ORDER BY id), (p, q) -> p + q) AS sy,
+        |    list_reduce(list(x * y ORDER BY id), (p, q) -> p + q) AS sxy,
+        |    list_reduce(list(x * x ORDER BY id), (p, q) -> p + q) AS sxx,
+        |    list_reduce(list(y * y ORDER BY id), (p, q) -> p + q) AS syy
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT g, n,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    sx, sy FROM a)
+        |SELECT g AS event_type, n,
+        |  round(CASE WHEN dx > 0 THEN num / dx END, 6) AS slope,
+        |  round(CASE WHEN dx > 0
+        |    THEN (sy - (num / dx) * sx) / CAST(n AS DOUBLE) END, 6)
+        |    AS intercept,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN (num * num) / (dx * dy) END, 6) AS r2
+        |FROM d ORDER BY event_type""".stripMargin,
+    "q197_burstiness" ->
+      """WITH b AS (SELECT user_id AS k, epoch_us(ts) AS m, event_id AS id
+        |  FROM events),
+        |g AS (SELECT k, m, id,
+        |    m - lag(m) OVER (PARTITION BY k ORDER BY m, id) AS gp
+        |  FROM b),
+        |gg AS (SELECT k, m, id, gp FROM g WHERE gp IS NOT NULL),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gp) AS BIGINT) AS s,
+        |    list_reduce(list(CAST(gp AS DOUBLE) * CAST(gp AS DOUBLE)
+        |      ORDER BY m, id), (x, y) -> x + y) AS s2
+        |  FROM gg GROUP BY 1),
+        |d AS (SELECT k, n_gaps,
+        |    CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    sqrt(greatest(s2 / CAST(n_gaps AS DOUBLE) -
+        |      (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) *
+        |      (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+        |      CAST(0.0 AS DOUBLE))) AS sd
+        |  FROM a)
+        |SELECT k AS user_id, n_gaps,
+        |  round(mu / CAST(1000000.0 AS DOUBLE), 6) AS mean_s,
+        |  round(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END, 6)
+        |    AS burstiness
+        |FROM d ORDER BY user_id""".stripMargin,
+    "q196_unseen_mass" ->
+      """WITH corpus AS (SELECT text FROM documents
+        |  UNION ALL SELECT c_name AS text FROM customer),
+        |toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS token
+        |  FROM corpus WHERE length(trim(text)) > 0),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1),
+        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM c)
+        |SELECT n_tokens, vocab, n1, n2,
+        |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS unseen_mass,
+        |  round(CAST(vocab AS DOUBLE) +
+        |    (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+        |    / (CAST(2.0 AS DOUBLE) * (CAST(n2 AS DOUBLE) +
+        |      CAST(1.0 AS DOUBLE))), 6) AS chao1
+        |FROM s""".stripMargin,
     "q195_dp_counts" ->
       s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
          |  FROM events GROUP BY 1),

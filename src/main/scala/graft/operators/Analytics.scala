@@ -1191,6 +1191,89 @@ object Analytics {
       .crossJoin(broadcast(counts))
   }
 
+  /** Inter-arrival burstiness per key (Goh–Barabási B = (σ−μ)/(σ+μ) over
+    * consecutive-event gaps): the one number that separates a steady
+    * heartbeat (B → −1), a Poisson stream (B → 0), and bursty human/
+    * incident traffic (B → 1) — what a rate-limiter or capacity planner
+    * needs BEFORE trusting any mean-rate number, and the per-entity
+    * refinement of q115's global volume view. Gaps come from one lag
+    * window per key ordered (ts, id) (total order under timestamp ties;
+    * the q33/q166 per-key-window precedent — keys parallelize, one key's
+    * events co-locate); Σgap stays an exact long, Σgap² runs as a double
+    * fold sorted by (ts, id) on the gate path (production plain sums,
+    * spec ≈ 1e-9). σ is the population std from sufficient stats with
+    * the variance clamped at 0 (guards the −1e-16 rounding tail before
+    * sqrt). Keys need ≥ 2 events (≥ 1 gap); σ+μ = 0 (all gaps zero) →
+    * NULL burstiness. Returns (key, n_gaps, mean_us, burstiness). */
+  def interArrivalStats(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, deterministic: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val base = df.select(col(keyCol).as("__k"), m.as("__m"),
+      col(idCol).as("__id"))
+    val w = Window.partitionBy("__k").orderBy(col("__m").asc, col("__id").asc)
+    val gaps = base.withColumn("__prev", lag(col("__m"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__k"), col("__m"), col("__id"),
+        (col("__m") - col("__prev")).as("__g"))
+    val g2 = col("__g").cast("double") * col("__g").cast("double")
+    val agg =
+      if (deterministic)
+        gaps.groupBy("__k").agg(count(lit(1)).as("n_gaps"),
+          sum("__g").as("__s"),
+          aggregate(sort_array(collect_list(struct(col("__m"), col("__id"),
+            g2.as("__t")))), lit(0.0),
+            (acc, x) => acc + x.getField("__t")).as("__s2"))
+      else
+        gaps.groupBy("__k").agg(count(lit(1)).as("n_gaps"),
+          sum("__g").as("__s"), sum(g2).as("__s2"))
+    val nD = col("n_gaps").cast("double")
+    val mu = col("__s").cast("double") / nD
+    val sd = sqrt(greatest(col("__s2") / nD - mu * mu, lit(0.0)))
+    agg.select(col("__k").as(keyCol), col("n_gaps"), mu.as("mean_us"),
+      when(sd + mu > 0.0, (sd - mu) / (sd + mu)).as("burstiness"))
+  }
+
+  /** Per-group OLS trend lines: slope, intercept, and R² of y over x for
+    * EVERY group in one pass — "is quality drifting per source", "is
+    * spend trending per segment" — the grouped generalization of q96's
+    * single regression, built the q179 way: one map-side-combined scan
+    * to per-group sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²), then
+    * closed-form OLS on the groups-sized frame. On the gate path every
+    * double sum folds id-sorted (production plain sums, spec ≈ 1e-9);
+    * all derived quantities use a FIXED parenthesization the oracle
+    * mirrors. Zero x-variance (vertical line) → NULL slope/intercept/R²;
+    * zero y-variance with x-variance → slope 0, R² NULL (the fit is
+    * exact but "variance explained" is undefined). Returns
+    * (group, n, slope, intercept, r2). */
+  def groupTrends(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val base = df.select(col(groupCol).as("__grp"), col(idCol).as("__id"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    def fold(termCol: Column): Column =
+      if (deterministic)
+        aggregate(sort_array(collect_list(struct(col("__id"),
+          termCol.as("__t")))), lit(0.0),
+          (acc, x) => acc + x.getField("__t"))
+      else sum(termCol)
+    val agg = base.groupBy("__grp").agg(count(lit(1)).as("n"),
+      fold(col("__x")).as("__sx"), fold(col("__y")).as("__sy"),
+      fold(col("__x") * col("__y")).as("__sxy"),
+      fold(col("__x") * col("__x")).as("__sxx"),
+      fold(col("__y") * col("__y")).as("__syy"))
+    val nD = col("n").cast("double")
+    val dx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val dy = nD * col("__syy") - col("__sy") * col("__sy")
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val slope = num / dx
+    agg.select(col("__grp").as(groupCol), col("n"),
+      when(dx > 0.0, slope).as("slope"),
+      when(dx > 0.0, (col("__sy") - slope * col("__sx")) / nD)
+        .as("intercept"),
+      when(dx > 0.0 && dy > 0.0, (num * num) / (dx * dy)).as("r2"))
+  }
+
   /** Nearest-rank percentile CI over the B replicate means (driver-side —
     * the frame is B rows by construction). Returns (lo, hi) at
     * (α/2, 1−α/2) using the ceil(p·B) nearest-rank convention. */

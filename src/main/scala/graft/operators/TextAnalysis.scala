@@ -735,6 +735,34 @@ object TextAnalysis {
       ((col("__sy") - (slope * col("__sx"))) / nD).as("intercept"))
   }
 
+  /** Good–Turing unseen-mass + Chao1 vocabulary estimate: from the token
+    * frequency spectrum alone, how much probability mass belongs to
+    * words the corpus has NEVER seen (Good–Turing: P₀ = n₁/N — the
+    * singleton fraction) and how large the true vocabulary likely is
+    * (bias-corrected Chao1: V + n₁(n₁−1)/(2(n₂+1)), finite even when no
+    * doubletons exist). The coverage answer a tokenizer/vocab decision
+    * needs — "will 50k merges cover this corpus, or is its tail still
+    * growing" — from sufficient statistics that are ONE token-count scan
+    * + one aggregate over the vocabulary frame; every statistic is an
+    * integer until the two final divisions (fixed parenthesization).
+    * Returns one row (n_tokens, vocab, n1, n2, unseen_mass, chao1). */
+  def unseenMassEstimate(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.filter(length(trim(col(textCol))) > 0)
+      .select(explode(Dedup.tokensCol(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val s = counts.agg(sum("cnt").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("n2"))
+    val n1D = col("n1").cast(DoubleType)
+    val n2D = col("n2").cast(DoubleType)
+    s.select(col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+      (n1D / col("n_tokens").cast(DoubleType)).as("unseen_mass"),
+      (col("vocab").cast(DoubleType) +
+        (n1D * (n1D - lit(1.0))) / (lit(2.0) * (n2D + lit(1.0))))
+        .as("chao1"))
+  }
+
   /** SymSpell-style typo detection: rare tokens that sit one edit away
     * from a frequent vocabulary term, with the best correction — the OCR/
     * scrape-noise report a corpus-cleaning pass reads before deciding on

@@ -427,6 +427,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1.0) === ((20000000L, 3L, 2L)))
   }
 
+  test("interArrivalStats: heartbeat -1, bursty positive, singletons drop") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val rows =
+      Seq(0L, 10L, 20L, 30L).zipWithIndex.map { case (t, i) =>
+        ("steady", ts(t), i.toLong) } ++
+      Seq(0L, 1L, 2L, 3L, 100L).zipWithIndex.map { case (t, i) =>
+        ("bursty", ts(t), (10 + i).toLong) } ++
+      Seq(("single", ts(5L), 99L))
+    val out = Analytics.interArrivalStats(rows.toDF("k", "t", "id"),
+      "k", "t", "id", deterministic = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) Double.NaN
+          else r.getDouble(3))).toMap
+    assert(!out.contains("single"))
+    // steady: equal gaps → sigma 0 → B = -1
+    assert(out("steady")._1 === 3L && out("steady")._2 === 1e7)
+    assert(out("steady")._3 === -1.0)
+    // bursty gaps (s): 1,1,1,97 → positive B
+    val gaps = Seq(1.0, 1.0, 1.0, 97.0).map(_ * 1e6)
+    val mu = gaps.sum / 4.0
+    val sd = math.sqrt(gaps.map(g => g * g).sum / 4.0 - mu * mu)
+    assert(math.abs(out("bursty")._3 - (sd - mu) / (sd + mu)) < 1e-9)
+    assert(out("bursty")._3 > 0.2)
+  }
+
+  test("groupTrends: exact line, degenerate groups, det ≈ prod") {
+    val rows =
+      (1 to 10).map(i => ("line", i.toLong, i.toDouble, 2.0 * i + 1.0)) ++
+      (1 to 5).map(i => ("flaty", 100L + i, i.toDouble, 7.0)) ++
+      (1 to 5).map(i => ("flatx", 200L + i, 3.0, i.toDouble))
+    val out = Analytics.groupTrends(rows.toDF("g", "id", "x", "y"),
+      "g", "id", "x", "y", deterministic = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val line = out("line")
+    assert(math.abs(line.getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(line.getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(line.getDouble(4) - 1.0) < 1e-9)
+    val fy = out("flaty")
+    assert(fy.getDouble(2) === 0.0 && fy.getDouble(3) === 7.0 &&
+      fy.isNullAt(4))
+    val fx = out("flatx")
+    assert(fx.isNullAt(2) && fx.isNullAt(3) && fx.isNullAt(4))
+    val big = (1 to 3000).map(i =>
+      ("g" + i % 3, i.toLong, (i % 41).toDouble,
+        math.sin(i.toDouble) + (i % 41) * 0.5))
+    val d = Analytics.groupTrends(big.toDF("g", "id", "x", "y"), "g", "id",
+      "x", "y", deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val p = Analytics.groupTrends(big.toDF("g", "id", "x", "y"), "g", "id",
+      "x", "y").collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for ((k, v) <- d) assert(math.abs(v - p(k)) < 1e-9)
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
