@@ -1760,6 +1760,35 @@ object SparkEntry {
           round(col("r2"), 6).as("r2"))
         .orderBy("event_type")
     }),
+    // ── scale: consecutive-day activity streaks — longest run / run count
+    //    per user via the rank-anchor island identity over the pruned
+    //    per-(range, key) rank core (the q181 idiom — never a corpus-wide
+    //    per-key window) (oracle: DuckDB row_number islands replay) ────────
+    "q201_activity_streaks" -> ((s, dir) => {
+      Analytics.activityStreaks(T(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id")
+    }),
+    // ── scale: HHI concentration — Σ share² of the source mix per
+    //    language (1/HHI = effective source count; the diversification
+    //    twin of q138's Gini); cells-frame arithmetic, category-sorted
+    //    fold at gate (oracle: DuckDB shares + fold replay) ────────────────
+    "q202_concentration" -> ((s, dir) => {
+      Analytics.concentrationIndex(T(s, dir, "documents"), "lang", "source",
+          deterministic = true)
+        .select(col("lang"), col("n"), col("n_cats"),
+          round(col("top_share"), 6).as("top_share"),
+          round(col("hhi"), 6).as("hhi"))
+        .orderBy("lang")
+    }),
+    // ── scale: prefix-cache savings — tokens a KV-cache-reusing server
+    //    skips at probe depths 4/8/16 over shared document prefixes (the
+    //    batch-by-prefix scheduler decision number); one tokenization
+    //    pass, key-width prefix groupBys (oracle: DuckDB slice replay) ─────
+    "q203_prefix_cache" -> ((s, dir) => {
+      TextAnalysis.prefixCacheReport(T(s, dir, "documents"), "text",
+          Seq(4, 8, 16))
+        .orderBy("depth")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -2364,6 +2393,46 @@ object SparkEntry {
         .select(col("l_orderkey"), col("revenue_cents"),
           col("o_orderdate"), col("o_orderpriority"))
     }),
+    // ── scale: TPC-H Q10 shape (returned-item revenue) — who cost us the
+    //    most in returns last quarter: 4-way join, broadcast nation dim,
+    //    exact cents, top-20 via TakeOrderedAndProject (oracle: DuckDB
+    //    runs the same SQL) ─────────────────────────────────────────────────
+    "q199_tpch_q10" -> ((s, dir) => {
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("1998-04-01"))
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * lit(100.0)).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue_cents", "c_acctbal", "n_name")
+    }),
+    // ── scale: TPC-H Q18 shape (large-volume customers) — orders whose
+    //    line quantities exceed a threshold, with their customers; the
+    //    HAVING subquery becomes an aggregate + semi-shaped join (oracle:
+    //    DuckDB runs the same SQL) ──────────────────────────────────────────
+    "q200_tpch_q18" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300L)
+      T(s, dir, "orders")
+        .join(Ops.broadcastIfSmall(big), col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice") * lit(100.0)).cast("long")
+            .as("totalprice_cents"),
+          col("total_qty"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
+    }),
     // ── scale: TPC-H Q5 shape (local supplier volume) — six-way star join
     //    where customer and supplier share a nation, revenue per nation in
     //    exact cents (oracle: DuckDB runs the same SQL) ───────────────────
@@ -2628,6 +2697,61 @@ object SparkEntry {
     * override run the `queries` entry entirely inside the timed region. */
   def benchQueries: Map[String, (SparkSession, String) => () => DataFrame] = {
     val overrides: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+      // q182/q184/q188/q189/q197/q198 bench the PRODUCTION path: plain
+      // map-side-combined sums (the sorted folds exist so the SQL oracle
+      // can replay the gate run bit-exactly)
+      "q182_dow_index" -> ((s, dir) => {
+        val ev = T(s, dir, "events")
+        () => Analytics.dayOfWeekIndex(ev, "ts", "event_id", "value")
+          .select(col("dow"), col("n"), round(col("mean"), 6).as("mean"),
+            round(col("idx"), 6).as("idx"))
+          .orderBy("dow")
+      }),
+      "q184_bootstrap_means" -> ((s, dir) => {
+        val ev = T(s, dir, "events")
+        () => Analytics.poissonBootstrapMeans(ev, "event_id", "value",
+            reps = 16)
+          .select(col("rep"), col("n_eff"), round(col("wmean"), 6).as("wmean"))
+          .orderBy("rep")
+      }),
+      "q188_mann_whitney" -> ((s, dir) => {
+        val ev = T(s, dir, "events")
+        () => Analytics.mannWhitneyU(ev, "event_type", "value",
+            "click", "view")
+          .select(col("n_a"), col("n_b"), round(col("u_a"), 6).as("u_a"),
+            round(col("u_b"), 6).as("u_b"), round(col("z"), 6).as("z"))
+      }),
+      "q189_hits" -> ((s, dir) => {
+        val el = T(s, dir, "orders")
+          .join(T(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+        () => Graph.hits(el, "a", "b", rounds = 3)
+          .select(col("node"), col("kind"), round(col("score"), 6).as("score"))
+          .orderBy("kind", "node")
+      }),
+      "q197_burstiness" -> ((s, dir) => {
+        val ev = T(s, dir, "events")
+        () => Analytics.interArrivalStats(ev, "user_id", "ts", "event_id")
+          .select(col("user_id"), col("n_gaps"),
+            round(col("mean_us") / lit(1000000.0), 6).as("mean_s"),
+            round(col("burstiness"), 6).as("burstiness"))
+          .orderBy("user_id")
+      }),
+      "q198_group_trends" -> ((s, dir) => {
+        val m = unix_micros(col("ts").cast("timestamp"))
+        val d = lit(86400000000L)
+        val ev = T(s, dir, "events").withColumn("day",
+          ((m - pmod(m, d)) / d).cast("long"))
+        () => Analytics.groupTrends(ev, "event_type", "event_id", "day",
+            "value")
+          .select(col("event_type"), col("n"),
+            round(col("slope"), 6).as("slope"),
+            round(col("intercept"), 6).as("intercept"),
+            round(col("r2"), 6).as("r2"))
+          .orderBy("event_type")
+      }),
       // q106 benches the PRODUCTION path: plain map-side-combined sums
       // (the word-sorted fold exists so the SQL oracle can replay it)
       "q106_source_divergence" -> ((s, dir) => {
@@ -3964,6 +4088,77 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q201_activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id AS k,
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+        |      AS day
+        |  FROM events),
+        |r AS (SELECT k, day,
+        |    day - row_number() OVER (PARTITION BY k ORDER BY day) AS a
+        |  FROM days),
+        |i AS (SELECT k, a, CAST(count(*) AS BIGINT) AS len
+        |  FROM r GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS max_streak
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q202_concentration" ->
+      """WITH cells AS (SELECT lang AS g, source AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+        |s AS (SELECT g, c, n, t,
+        |    CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS sh
+        |  FROM cells JOIN t USING (g))
+        |SELECT g AS lang, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_cats,
+        |  round(CAST(max(n) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6)
+        |    AS top_share,
+        |  round(list_reduce(list(sh * sh ORDER BY c), (x, y) -> x + y), 6)
+        |    AS hhi
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q203_prefix_cache" -> {
+      val blocks = Seq(4, 8, 16).map { d =>
+        s"""SELECT $d AS depth,
+           |  CAST(coalesce(sum(n), 0) AS BIGINT) AS eligible_docs,
+           |  CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS shared_groups,
+           |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS dup_docs,
+           |  CAST(coalesce(sum((n - 1) * $d), 0) AS BIGINT) AS tokens_saved
+           |FROM (SELECT array_to_string(toks[1:$d], ' ') AS p,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM tt WHERE len(toks) >= $d GROUP BY 1)""".stripMargin
+      }
+      s"""WITH tt AS (SELECT string_split_regex(trim(lower(text)), '\\s+')
+         |    AS toks
+         |  FROM documents WHERE length(trim(text)) > 0)
+         |${blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY depth")}""".stripMargin
+    },
+    "q199_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1998-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q200_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100.0) AS BIGINT) AS totalprice_cents,
+        |  total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
     "q198_group_trends" ->
       """WITH b AS (SELECT event_type AS g, event_id AS id,
         |    CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)

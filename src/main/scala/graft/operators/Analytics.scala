@@ -996,9 +996,11 @@ object Analytics {
         explode(sequence(lit(0), lit(reps - 1))))
     val h = Dedup.md5Hash60(concat(col("__id"), lit(":"),
       col("__rep").cast("string"), lit(":" + salt)))
-    val thr = poissonThresholds60
-    val w = size(filter(
-      array(thr.map(lit): _*), t => t <= h)).cast("long")
+    // branchless threshold count — NOT filter()/aggregate() HOFs, which
+    // are CodegenFallback and drop the whole projection out of
+    // whole-stage codegen (measured 18 s → ~2 s at sf0.1 for this stage)
+    val w = poissonThresholds60
+      .map(t => (lit(t) <= h).cast("long")).reduce(_ + _)
     val terms = base.select(col("__rep"), col("__id"), w.as("__w"),
       (w.cast("double") * col("__x")).as("__wx"))
     val agg =
@@ -1272,6 +1274,75 @@ object Analytics {
       when(dx > 0.0, (col("__sy") - slope * col("__sx")) / nD)
         .as("intercept"),
       when(dx > 0.0 && dy > 0.0, (num * num) / (dx * dy)).as("r2"))
+  }
+
+  /** Consecutive-day activity streaks per key: longest run, run count,
+    * and active-day total — the engagement metric behind "7-day streak"
+    * product mechanics and the cohort-health number DAU curves hide.
+    * Exact integer epoch days; distinct (key, day) collapses multiple
+    * daily events first (key-width frame); runs come from the rank-anchor
+    * island identity (day − ascending-rank is constant within a
+    * consecutive run — the q181 idiom) over the PRUNED per-(range, key)
+    * rank core, never a corpus-wide per-key window; islands are one
+    * key-width aggregate. ≤ 100k keys (the rank-core contract). Returns
+    * (key, n_days, n_streaks, max_streak). */
+  def activityStreaks(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val d = lit(86400000000L)
+    val days = df.select(col(keyCol).as("__k"),
+        ((m - pmod(m, d)) / d).cast("long").as("__day"))
+      .distinct()
+    val ranked = Sampling.topKPerGroup(
+      days.withColumn("__neg", -col("__day")),
+      "__k", "__day", "__neg", Long.MaxValue)
+    ranked
+      .select(col("__k"), col("__day"), (col("__day") - col("rank")).as("__a"))
+      .groupBy("__k", "__a").agg(count(lit(1)).as("__len"))
+      .groupBy("__k").agg(sum("__len").as("n_days"),
+        count(lit(1)).as("n_streaks"), max("__len").as("max_streak"))
+      .select(col("__k").as(keyCol), col("n_days"), col("n_streaks"),
+        col("max_streak"))
+  }
+
+  /** Herfindahl–Hirschman concentration per group: HHI = Σ share² over a
+    * categorical mix (1/k_eff — its reciprocal is the "effective number
+    * of categories"), plus the top share — the one-number answer to "is
+    * this corpus dominated by a single source / is this user's activity
+    * all one event type", which drives diversification decisions the
+    * way q138's Gini drives inequality ones. One map-side (group, cat)
+    * count scan; shares are exact rationals over the group totals; the
+    * Σ share² double fold runs category-sorted on the gate path
+    * (production plain sums, spec ≈ 1e-9). Returns
+    * (group, n, n_cats, top_share, hhi). */
+  def concentrationIndex(df: DataFrame, groupCol: String, catCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val cells = df.select(col(groupCol).as("__grp"),
+        col(catCol).cast("string").as("__c"))
+      .groupBy("__grp", "__c").agg(count(lit(1)).as("__n"))
+    val share = col("__n").cast("double") / col("__t").cast("double")
+    val withTot = cells
+      .withColumn("__t",
+        sum("__n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__grp")))
+    val term = share * share
+    val agg =
+      if (deterministic)
+        withTot.groupBy("__grp").agg(sum("__n").as("n"),
+          count(lit(1)).as("n_cats"),
+          (max(col("__n")).cast("double") / max(col("__t")).cast("double"))
+            .as("top_share"),
+          aggregate(sort_array(collect_list(struct(col("__c"),
+            term.as("__h")))), lit(0.0),
+            (acc, x) => acc + x.getField("__h")).as("hhi"))
+      else
+        withTot.groupBy("__grp").agg(sum("__n").as("n"),
+          count(lit(1)).as("n_cats"),
+          (max(col("__n")).cast("double") / max(col("__t")).cast("double"))
+            .as("top_share"),
+          sum(term).as("hhi"))
+    agg.select(col("__grp").as(groupCol), col("n"), col("n_cats"),
+      col("top_share"), col("hhi"))
   }
 
   /** Nearest-rank percentile CI over the B replicate means (driver-side —

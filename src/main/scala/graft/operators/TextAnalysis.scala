@@ -735,6 +735,40 @@ object TextAnalysis {
       ((col("__sy") - (slope * col("__sx"))) / nD).as("intercept"))
   }
 
+  /** Prefix-cache savings report: how many tokens an inference server
+    * with prefix (KV-cache) reuse would skip at each probe depth — docs
+    * sharing their first d tokens pay the prefix ONCE per group, so
+    * savings = Σ_groups (size − 1)·d. The number that decides whether
+    * request batching by shared prefix (template-heavy corpora: system
+    * prompts, boilerplate headers, few-shot prefixes) is worth the
+    * scheduler complexity. One tokenization projection; per depth a
+    * key-width groupBy on the space-joined d-token prefix (tokens cannot
+    * contain spaces — the tokenizer splits on \s+ — so the join key is
+    * collision-free); the report is depths-sized. Integer arithmetic
+    * end-to-end. Returns (depth, eligible_docs, shared_groups, dup_docs,
+    * tokens_saved). */
+  def prefixCacheReport(df: DataFrame, textCol: String,
+      depths: Seq[Int]): DataFrame = {
+    require(depths.nonEmpty && depths.forall(_ >= 1),
+      "depths must be non-empty positive")
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(Dedup.tokensCol(col(textCol)).as("__toks"))
+      .localCheckpoint(false)
+    depths.map { d =>
+      val prefix = concat_ws(" ", slice(col("__toks"), 1, d))
+      toks.filter(size(col("__toks")) >= d)
+        .select(prefix.as("__p"))
+        .groupBy("__p").agg(count(lit(1)).as("__n"))
+        .agg(lit(d).as("depth"),
+          coalesce(sum("__n"), lit(0L)).as("eligible_docs"),
+          coalesce(sum(when(col("__n") >= 2L, 1L).otherwise(0L)), lit(0L))
+            .as("shared_groups"),
+          coalesce(sum(col("__n") - lit(1L)), lit(0L)).as("dup_docs"),
+          coalesce(sum((col("__n") - lit(1L)) * lit(d.toLong)), lit(0L))
+            .as("tokens_saved"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Good–Turing unseen-mass + Chao1 vocabulary estimate: from the token
     * frequency spectrum alone, how much probability mass belongs to
     * words the corpus has NEVER seen (Good–Turing: P₀ = n₁/N — the

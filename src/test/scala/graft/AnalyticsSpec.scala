@@ -481,6 +481,39 @@ class AnalyticsSpec extends SparkSpec {
     for ((k, v) <- d) assert(math.abs(v - p(k)) < 1e-9)
   }
 
+  test("activityStreaks: islands from days, multi-events collapse") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = new Timestamp(
+      (day.toLong * 86400L + h * 3600L) * 1000L)
+    val rows = Seq(
+      ("u", ts(0, 1)), ("u", ts(0, 9)), ("u", ts(1, 2)), ("u", ts(2, 5)),
+      ("u", ts(5, 0)),
+      ("u", ts(7, 3)), ("u", ts(8, 4)),
+      ("v", ts(3, 3)))
+    val out = Analytics.activityStreaks(rows.toDF("k", "t"), "k", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("u") === ((6L, 3L, 3L)))
+    assert(out("v") === ((1L, 1L, 1L)))
+  }
+
+  test("concentrationIndex: HHI shares, single-cat = 1, det ≈ prod") {
+    val rows = Seq(("g", "a"), ("g", "a"), ("g", "a"), ("g", "b"),
+      ("solo", "x"), ("solo", "x"))
+    val out = Analytics.concentrationIndex(rows.toDF("g", "c"), "g", "c",
+      deterministic = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("g") === ((4L, 2L, 0.75, 0.625)))
+    assert(out("solo") === ((2L, 1L, 1.0, 1.0)))
+    val big = (1 to 2000).map(i => ("g" + i % 7, "c" + i % 13)).toDF("g", "c")
+    val d = Analytics.concentrationIndex(big, "g", "c", deterministic = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val p = Analytics.concentrationIndex(big, "g", "c")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    for ((k, v) <- d) assert(math.abs(v - p(k)) < 1e-12)
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
