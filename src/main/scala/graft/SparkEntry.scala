@@ -1789,6 +1789,47 @@ object SparkEntry {
           Seq(4, 8, 16))
         .orderBy("depth")
     }),
+    // ── scale: horizon conversion rates — fraction converting within
+    //    1/7/30 days (q193's other axis: fix the time, read the rate);
+    //    horizons-sized aggregate over the latency frame (oracle: DuckDB
+    //    replays firsts, latencies, horizon sums) ───────────────────────────
+    "q204_conversion_rates" -> ((s, dir) => {
+      Analytics.conversionRates(T(s, dir, "events"), "user_id", "ts",
+          "event_type", "signup", "purchase",
+          Seq(86400000000L, 604800000000L, 2592000000000L))
+        .select(col("horizon_us"), col("converted_within"),
+          col("n_started"), round(col("rate"), 6).as("rate"))
+        .orderBy("horizon_us")
+    }),
+    // ── scale: matryoshka truncation QA — cosine error of dim-8/16/32
+    //    prefixes vs the full vector over ALL consecutive id pairs
+    //    (corpus-linear, never quadratic); the serve-the-prefix decision
+    //    (oracle: DuckDB list-slice dot products + id-sorted folds) ────────
+    "q205_truncation_quality" -> ((s, dir) => {
+      Similarity.truncationQuality(T(s, dir, "embeddings"), "vec_id",
+          "embedding", Seq(8, 16, 32), deterministic = true)
+        .select(col("dim"), col("n_pairs"),
+          round(col("mean_abs_err"), 6).as("mean_abs_err"),
+          round(col("max_abs_err"), 6).as("max_abs_err"))
+        .orderBy("dim")
+    }),
+    // ── scale: freshness report — per-segment last-write age vs the
+    //    stream's own frontier + recent-volume counts (dead-upstream
+    //    detection, deterministic: no wall clock) (oracle: DuckDB replay) ──
+    "q206_freshness" -> ((s, dir) => {
+      Profiling.freshnessReport(T(s, dir, "events"), "event_type", "ts",
+          Seq(7, 30))
+        .orderBy("event_type")
+    }),
+    // ── scale: peak sliding-window rate — max events in any 1h window per
+    //    user (what a rate limiter is sized against; q197 says bursts
+    //    exist, this says how tall); RANGE window per key (oracle: DuckDB
+    //    RANGE window replay) ──────────────────────────────────────────────
+    "q207_peak_rate" -> ((s, dir) => {
+      Analytics.peakRate(T(s, dir, "events"), "user_id", "ts",
+          3600000000L)
+        .orderBy("user_id")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4088,6 +4129,71 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q204_conversion_rates" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS m, event_type
+        |  FROM events),
+        |f AS (SELECT u, min(m) AS f FROM ev WHERE event_type = 'signup'
+        |  GROUP BY 1),
+        |lat AS (SELECT e.u, min(e.m - f.f) AS lat
+        |  FROM ev e JOIN f ON e.u = f.u
+        |  WHERE e.event_type = 'purchase' AND e.m > f.f GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_started FROM f),
+        |h(hus) AS (VALUES (86400000000), (604800000000), (2592000000000))
+        |SELECT h.hus AS horizon_us,
+        |  CAST(sum(CASE WHEN l.lat <= h.hus THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS converted_within,
+        |  (SELECT n_started FROM st) AS n_started,
+        |  round(CAST(sum(CASE WHEN l.lat <= h.hus THEN 1 ELSE 0 END)
+        |      AS DOUBLE) /
+        |    CAST((SELECT n_started FROM st) AS DOUBLE), 6) AS rate
+        |FROM h, lat l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q205_truncation_quality" -> {
+      def cosSql(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+          s"sqrt(list_dot_product($b, $b)))"
+      val blocks = Seq(8, 16, 32).map { d =>
+        val (va, vb) = (s"va[1:$d]", s"vb[1:$d]")
+        s"""SELECT $d AS dim, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(list_reduce(list(abs(cf - ${cosSql(va, vb)})
+           |      ORDER BY ida), (x, y) -> x + y) /
+           |    CAST(count(*) AS DOUBLE), 6) AS mean_abs_err,
+           |  round(max(abs(cf - ${cosSql(va, vb)})), 6) AS max_abs_err
+           |FROM c
+           |WHERE list_dot_product($va, $va) > 0
+           |  AND list_dot_product($vb, $vb) > 0""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |idx AS (SELECT vec_id, v,
+         |    CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rn
+         |  FROM e),
+         |p AS (SELECT a.vec_id AS ida, a.v AS va, b.v AS vb
+         |  FROM idx a JOIN idx b ON b.rn = a.rn + 1),
+         |c AS MATERIALIZED (SELECT ida, va, vb,
+         |    ${cosSql("va", "vb")} AS cf
+         |  FROM p)
+         |${blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) ORDER BY dim")}""".stripMargin
+    },
+    "q206_freshness" ->
+      """WITH b AS (SELECT event_type AS g, epoch_us(ts) AS m FROM events),
+        |f AS (SELECT max(m) AS gmax FROM b)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(max(m) AS BIGINT) AS last_ts_us,
+        |  CAST((SELECT gmax FROM f) - max(m) AS BIGINT) AS age_us,
+        |  CAST(sum(CASE WHEN m > (SELECT gmax FROM f) - 604800000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fresh_7d,
+        |  CAST(sum(CASE WHEN m > (SELECT gmax FROM f) - 2592000000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fresh_30d
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q207_peak_rate" ->
+      """WITH b AS (SELECT user_id AS k, epoch_us(ts) AS m FROM events),
+        |c AS (SELECT k, count(*) OVER (PARTITION BY k ORDER BY m
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS c
+        |  FROM b)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(c) AS BIGINT) AS peak
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q201_activity_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id AS k,
         |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000

@@ -1173,6 +1173,21 @@ object Analytics {
   def conversionLatency(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, fromType: String, toType: String,
       qs: Seq[Double]): DataFrame = {
+    val (firsts, lats) = conversionCore(df, userCol, tsCol, typeCol,
+      fromType, toType)
+    val counts = firsts.agg(count(lit(1)).as("n_started"))
+      .crossJoin(lats.agg(count(lit(1)).as("n_converted")))
+    Sampling.weightedQuantiles(lats.withColumn("__w", lit(1L)),
+        "__u", "__lat", "__w", qs)
+      .select(col("q"), col("value").as("latency_us"))
+      .crossJoin(broadcast(counts))
+  }
+
+  /** Shared funnel-timing core: per-user first `fromType` micros and the
+    * per-converted-user first-completion-AFTER-start latency. */
+  private def conversionCore(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String)
+      : (DataFrame, DataFrame) = {
     val m = unix_micros(col(tsCol).cast("timestamp"))
     val ev = df.select(col(userCol).as("__u"), m.as("__m"),
         col(typeCol).cast("string").as("__t"))
@@ -1185,12 +1200,36 @@ object Analytics {
       .filter(col("__m") > col("__f"))
       .groupBy("__u").agg(min(col("__m") - col("__f")).as("__lat"))
       .localCheckpoint(false)
-    val counts = firsts.agg(count(lit(1)).as("n_started"))
-      .crossJoin(lats.agg(count(lit(1)).as("n_converted")))
-    Sampling.weightedQuantiles(lats.withColumn("__w", lit(1L)),
-        "__u", "__lat", "__w", qs)
-      .select(col("q"), col("value").as("latency_us"))
-      .crossJoin(broadcast(counts))
+    (firsts, lats)
+  }
+
+  /** Horizon conversion rates: of users who started, what fraction
+    * converted within 1 day / 7 days / N — the funnel-velocity table a
+    * growth review reads next to [[conversionLatency]]'s percentiles
+    * (same core, opposite axis: fix the time, read the fraction). One
+    * horizons-sized aggregate over the per-user latency frame; rates
+    * are exact rationals. Returns one row per horizon:
+    * (horizon_us, converted_within, n_started, rate). */
+  def conversionRates(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String,
+      horizonsMicros: Seq[Long]): DataFrame = {
+    require(horizonsMicros.nonEmpty && horizonsMicros.forall(_ > 0L),
+      "horizons must be positive")
+    val (firsts, lats) = conversionCore(df, userCol, tsCol, typeCol,
+      fromType, toType)
+    val started = firsts.agg(count(lit(1)).as("n_started"))
+    val aggs = horizonsMicros.map(h =>
+      sum(when(col("__lat") <= h, 1L).otherwise(0L)).as(s"__c$h"))
+    val agg = lats.agg(aggs.head, aggs.tail: _*)
+    val wide = agg.crossJoin(started)
+    horizonsMicros.map { h =>
+      wide.select(lit(h).as("horizon_us"),
+        coalesce(col(s"__c$h"), lit(0L)).as("converted_within"),
+        col("n_started"),
+        when(col("n_started") > 0L,
+          coalesce(col(s"__c$h"), lit(0L)).cast("double") /
+            col("n_started").cast("double")).as("rate"))
+    }.reduce(_ unionByName _)
   }
 
   /** Inter-arrival burstiness per key (Goh–Barabási B = (σ−μ)/(σ+μ) over
@@ -1343,6 +1382,31 @@ object Analytics {
           sum(term).as("hhi"))
     agg.select(col("__grp").as(groupCol), col("n"), col("n_cats"),
       col("top_share"), col("hhi"))
+  }
+
+  /** Peak sliding-window rate per key: the maximum number of events any
+    * `windowMicros`-wide window ever contained — the number a rate
+    * limiter, quota, or capacity plan is actually sized against (means
+    * hide the burst; q197's burstiness says bursts EXIST, this says how
+    * tall they get). Exact: the peak of a sliding count is always
+    * attained at an event time, so count-over-RANGE(-w, 0) per key
+    * ordered by micros, then max — one shuffle on the key, range frames
+    * are event-sorted within the key's partition (the q33/q166 per-key-
+    * window precedent). Ties in ts are fine: RANGE frames include all
+    * rows at the boundary value on both engines. Returns
+    * (key, n_events, peak). */
+  def peakRate(df: DataFrame, keyCol: String, tsCol: String,
+      windowMicros: Long): DataFrame = {
+    require(windowMicros > 0L, s"window must be positive, got $windowMicros")
+    import org.apache.spark.sql.expressions.Window
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val w = Window.partitionBy("__k").orderBy(col("__m"))
+      .rangeBetween(-windowMicros, 0L)
+    df.select(col(keyCol).as("__k"), m.as("__m"))
+      .withColumn("__c", count(lit(1)).over(w))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n_events"), max("__c").as("peak"))
+      .select(col("__k").as(keyCol), col("n_events"), col("peak"))
   }
 
   /** Nearest-rank percentile CI over the B replicate means (driver-side —

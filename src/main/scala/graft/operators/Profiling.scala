@@ -865,6 +865,38 @@ object Profiling {
             (col("precision") + col("recall"))))
   }
 
+  /** Data-freshness report per group: when did each segment last write,
+    * how stale is it against the stream's own frontier, and how much of
+    * its volume is recent — the "is src_14 stuck since Tuesday" check
+    * that catches a dead upstream long before a row count drifts
+    * (staleness is measured against the GLOBAL max ts, not wall clock,
+    * so the report is deterministic and replayable). One corpus scan
+    * with the frontier cross-joined in as a lazy broadcast one-row
+    * frame; all integers (micros). Returns (group, n_rows, last_ts_us,
+    * age_us, fresh_<d>d… one count column per horizon). */
+  def freshnessReport(df: DataFrame, groupCol: String, tsCol: String,
+      horizonsDays: Seq[Int]): DataFrame = {
+    require(horizonsDays.nonEmpty && horizonsDays.forall(_ >= 1),
+      "horizons must be positive days")
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val base = df.select(col(groupCol).as("__grp"), m.as("__m"))
+      .localCheckpoint(false)
+    val frontier = base.agg(max("__m").as("__gmax"))
+    val aggs =
+      Seq(count(lit(1)).as("n_rows"), max("__m").as("last_ts_us")) ++
+      horizonsDays.map(d =>
+        sum(when(col("__m") > col("__gmax") - lit(d.toLong * 86400000000L),
+          1L).otherwise(0L)).as(s"fresh_${d}d"))
+    base.crossJoin(broadcast(frontier))
+      .groupBy("__grp")
+      .agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(frontier))
+      .withColumn("age_us", col("__gmax") - col("last_ts_us"))
+      .select(Seq(col("__grp").as(groupCol), col("n_rows"),
+        col("last_ts_us"), col("age_us")) ++
+        horizonsDays.map(d => col(s"fresh_${d}d")): _*)
+  }
+
   /** ε-differentially-private count release: per-group counts + Laplace
     * (sensitivity 1 / ε) noise — the mechanism that lets per-user or
     * per-segment statistics about a private table ship outside the trust

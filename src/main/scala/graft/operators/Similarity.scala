@@ -445,6 +445,58 @@ object Similarity {
             lit(0.0), (acc, e) => acc + e) / lit(dim.toDouble), 6).as("mse"))
   }
 
+  /** Matryoshka truncation quality: how much cosine structure survives
+    * when embeddings are cut to their first d dimensions — the
+    * measurement behind "can we serve the 8-dim prefix and re-rank with
+    * the full vector" (MRL-style embeddings make the prefix meaningful;
+    * this op tells you whether YOURS do). Pairs are ALL consecutive
+    * id-ordered rows (deterministic, corpus-linear — n−1 pairs of
+    * 64-dim dots, never quadratic) via the [[Sampling.globalRowNumber]]
+    * dense index; per probe dim: mean/max |cos_full − cos_d|, the mean
+    * folding pair-id-sorted on the gate path (production plain sums,
+    * spec ≈ 1e-9). Degenerate zero-norm truncations drop the pair for
+    * that dim (filtered identically by the oracle). Returns one row per
+    * dim: (dim, n_pairs, mean_abs_err, max_abs_err). */
+  def truncationQuality(df: DataFrame, idCol: String, vecCol: String,
+      dims: Seq[Int], deterministic: Boolean = false): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
+    import graft.functions.VectorOps.vector_dot
+    val idx = Sampling.globalRowNumber(
+        df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        "__rn", col("__id").asc)
+      .localCheckpoint(false)
+    val pairs = idx.select(col("__id").as("__ida"), col("__v").as("__va"),
+        (col("__rn") + lit(1L)).as("__rn"))
+      .join(idx.select(col("__v").as("__vb"), col("__rn")), Seq("__rn"))
+      .localCheckpoint(false)
+    def cosAt(d: Option[Int]): Column = {
+      def cut(c: Column) = d.map(dd => slice(c, 1, dd)).getOrElse(c)
+      val (a, b) = (cut(col("__va")), cut(col("__vb")))
+      vector_dot(a, b) /
+        (sqrt(vector_dot(a, a)) * sqrt(vector_dot(b, b)))
+    }
+    dims.map { d =>
+      def cut(c: Column) = slice(c, 1, d)
+      val ok = vector_dot(cut(col("__va")), cut(col("__va"))) > 0.0 &&
+        vector_dot(cut(col("__vb")), cut(col("__vb"))) > 0.0
+      val err = abs(cosAt(None) - cosAt(Some(d)))
+      val base = pairs.filter(ok).select(col("__ida"), err.as("__e"))
+      val agg =
+        if (deterministic)
+          base.agg(count(lit(1)).as("n_pairs"),
+            aggregate(sort_array(collect_list(struct(col("__ida"),
+              col("__e").as("__t")))), lit(0.0),
+              (acc, x) => acc + x.getField("__t")).as("__s"),
+            max("__e").as("max_abs_err"))
+        else
+          base.agg(count(lit(1)).as("n_pairs"), sum("__e").as("__s"),
+            max("__e").as("max_abs_err"))
+      agg.select(lit(d).as("dim"), col("n_pairs"),
+        (col("__s") / col("n_pairs").cast(DoubleType)).as("mean_abs_err"),
+        col("max_abs_err"))
+    }.reduce(_ unionByName _)
+  }
+
   /** kNN label-noise detection (Confident-Learning-style neighborhood
     * vote): rows whose k nearest neighbors in embedding space mostly
     * carry a DIFFERENT label are mislabel candidates — the audit a

@@ -514,6 +514,35 @@ class AnalyticsSpec extends SparkSpec {
     for ((k, v) <- d) assert(math.abs(v - p(k)) < 1e-12)
   }
 
+  test("conversionRates: horizon cuts over the latency frame") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val rows = Seq(
+      ("A", ts(10), "signup"), ("A", ts(30), "purchase"),   // lat 20 s
+      ("B", ts(100), "signup"), ("B", ts(110), "purchase"), // lat 10 s
+      ("C", ts(50), "signup"))
+    val out = Analytics.conversionRates(rows.toDF("u", "t", "e"),
+      "u", "t", "e", "signup", "purchase", Seq(15000000L, 60000000L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(15000000L) === ((1L, 3L, 1.0 / 3.0)))
+    assert(out(60000000L) === ((2L, 3L, 2.0 / 3.0)))
+  }
+
+  test("peakRate: sliding RANGE count, boundary inclusive, ts ties") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val rows = Seq(("u", ts(0)), ("u", ts(30)), ("u", ts(61)),
+      ("u", ts(200)), ("v", ts(5)), ("v", ts(5)))
+    val out = Analytics.peakRate(rows.toDF("k", "t"), "k", "t", 60000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // windows at 30 ([0,30]→2) and 61 ([1,61]→2) both peak at 2
+    assert(out("u") === ((4L, 2L)))
+    // identical timestamps share one RANGE frame → both counted
+    assert(out("v") === ((2L, 2L)))
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++

@@ -443,6 +443,21 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3)) < 1e-9, s"kappa=${r.getDouble(3)}")
   }
 
+  test("freshnessReport: frontier ages and horizon counts") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
+    val rows = Seq(("live", ts(100)), ("live", ts(99)), ("live", ts(80)),
+      ("stale", ts(90)), ("stale", ts(60)))
+    val r = Profiling.freshnessReport(rows.toDF("g", "t"), "g", "t",
+      Seq(7, 30)).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toMap
+    val day = 86400000000L
+    // frontier = day 100
+    assert(r("live") === ((3L, 0L, 2L, 3L)))        // ages 0; 7d: 100,99
+    assert(r("stale") === ((2L, 10L * day, 0L, 1L))) // 7d: none; 30d: 90
+  }
+
   test("dpNoisyCounts: deterministic Laplace, centered, epsilon-scaled") {
     val df = (1 to 5000).map(i => (s"g${i % 500}", i)).toDF("g", "x")
     def run(eps: Double) = Profiling.dpNoisyCounts(df, Seq("g"), eps)

@@ -880,6 +880,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(surv.head === out.values.map(_._2).sum)
   }
 
+  test("truncationQuality: prefix cosine error, zero-norm pair dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)),   // pair (1,2): cf = 0.6, d=1 cos = 1
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.0f, 1.0f)))   // pair (2,3): d=1 norm of [0.0] = 0 → drop
+    val out = Similarity.truncationQuality(rows.toDF("id", "v"), "id", "v",
+      Seq(1, 2), deterministic = true).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val (n1, m1, x1) = out(1)
+    assert(n1 === 1L) // zero-norm pair dropped at d=1
+    assert(math.abs(m1 - 0.4) < 1e-6 && math.abs(x1 - 0.4) < 1e-6)
+    val (n2, m2, _) = out(2)
+    assert(n2 === 2L && math.abs(m2) < 1e-12) // d=2 is the full vector
+  }
+
   test("labelNoiseReport flags the planted mislabel, not its clean peers") {
     import spark.implicits._
     // cluster A near (1,0): 5× label 0 + ONE labeled 9; cluster B near
