@@ -1830,6 +1830,28 @@ object SparkEntry {
           3600000000L)
         .orderBy("user_id")
     }),
+    // ── scale: exact-count stratified sample — exactly k rows per
+    //    stratum by hash rank (an eval set wants 100 per language, not
+    //    100 ± binomial noise); the pruned per-(range, group) rank core
+    //    (oracle: DuckDB window-rank replay of the hash permutation) ───────
+    "q208_exact_stratified" -> ((s, dir) => {
+      Sampling.exactStratifiedSample(T(s, dir, "documents"), "lang",
+          "doc_id", k = 30L)
+        .orderBy("lang", "rank")
+    }),
+    // ── scale: vocabulary growth curve — per ingest batch: distinct
+    //    tokens, NEW tokens, cumulative vocab (the empirical Heaps
+    //    trajectory; a new-token spike = domain shift or encoding bug);
+    //    key-width first-seen aggregate (oracle: DuckDB replay) ────────────
+    "q209_vocab_growth" -> ((s, dir) => {
+      val corpus = T(s, dir, "documents")
+        .select(expr("doc_id div 50").as("batch"), col("text"))
+        .unionByName(T(s, dir, "customer")
+          .select(expr("c_custkey div 150").as("batch"),
+            col("c_name").as("text")))
+      TextAnalysis.vocabGrowth(corpus, "text", "batch")
+        .orderBy("batch")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4129,6 +4151,36 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q208_exact_stratified" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |    ${h60Sql("doc_id::VARCHAR")} % 1000000 AS hb
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY hb DESC, doc_id) AS BIGINT) AS rank
+         |  FROM h)
+         |SELECT lang, doc_id, rank FROM r WHERE rank <= 30
+         |ORDER BY lang, rank""".stripMargin,
+    "q209_vocab_growth" ->
+      """WITH corpus AS (
+        |  SELECT doc_id // 50 AS b, text FROM documents
+        |  UNION ALL
+        |  SELECT c_custkey // 150 AS b, c_name AS text FROM customer),
+        |pairs AS (SELECT DISTINCT b, t FROM (
+        |  SELECT b, unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS t
+        |  FROM corpus WHERE length(trim(text)) > 0)),
+        |pb AS (SELECT b, CAST(count(*) AS BIGINT) AS batch_vocab
+        |  FROM pairs GROUP BY 1),
+        |fs AS (SELECT min(b) AS b FROM pairs GROUP BY t),
+        |nw AS (SELECT b, CAST(count(*) AS BIGINT) AS new_tokens
+        |  FROM fs GROUP BY 1)
+        |SELECT pb.b AS batch, pb.batch_vocab,
+        |  CAST(coalesce(nw.new_tokens, 0) AS BIGINT) AS new_tokens,
+        |  CAST(sum(coalesce(nw.new_tokens, 0)) OVER (ORDER BY pb.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM pb LEFT JOIN nw ON pb.b = nw.b ORDER BY batch""".stripMargin,
     "q204_conversion_rates" ->
       """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS m, event_type
         |  FROM events),

@@ -531,6 +531,27 @@ object Sampling {
     * pays), per-range counts → driver prefix offsets, local window +
     * offset. Ties must be broken by the caller's sortCols (include a
     * unique id last) or positions are nondeterministic. */
+  /** EXACT-count stratified sample: exactly k rows per stratum (not a
+    * rate — an eval set wants "100 eval docs per language", and a hash
+    * RATE delivers 100 ± binomial noise). Rows rank by their md5-60 key
+    * hash within the stratum (a deterministic uniform permutation — no
+    * RNG state, engines replay it) and the top k survive, via the pruned
+    * per-(range, group) rank core — never a corpus-wide per-group
+    * window. Strata with < k rows keep everything. ≤ 100k strata (the
+    * rank-core contract). Ties: the hash is collision-free per key for
+    * practical purposes, and the rank orders (hash desc, id asc) so even
+    * a collision resolves deterministically. Returns the selected rows'
+    * (stratum, id, rank). */
+  def exactStratifiedSample(df: DataFrame, strataCol: String,
+      keyCol: String, k: Long): DataFrame = {
+    require(k >= 1L, s"k must be >= 1, got $k")
+    topKPerGroup(
+      df.select(col(strataCol), col(keyCol))
+        .withColumn("__h", hashBucket(col(keyCol))),
+      strataCol, keyCol, "__h", k)
+      .select(col(strataCol), col(keyCol), col("rank"))
+  }
+
   /** Distribution-matching downsample: the LARGEST deterministic subset
     * whose strata follow the target proportions — "make the corpus 40% en
     * / 20% de / 20% fr / 20% es" without hand-deriving per-language

@@ -735,6 +735,36 @@ object TextAnalysis {
       ((col("__sy") - (slope * col("__sx"))) / nD).as("intercept"))
   }
 
+  /** Vocabulary growth curve per ingest batch: distinct tokens used, NEW
+    * tokens (first seen in this batch), and the cumulative vocabulary —
+    * the empirical Heaps curve that tells a corpus program whether the
+    * tail is saturating ([[unseenMassEstimate]] gives the single-number
+    * estimate; this shows the trajectory, and a batch whose new-token
+    * count spikes is a domain shift or an encoding bug). First-seen is
+    * min(batch) per token — a key-width aggregate over the distinct
+    * (batch, token) frame, never a scan-per-batch; the cumulative sum
+    * windows over the batches-sized frame (single partition — bounded by
+    * batch count, not corpus). Returns
+    * (batch, batch_vocab, new_tokens, cum_vocab). */
+  def vocabGrowth(df: DataFrame, textCol: String,
+      batchCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(batchCol).cast("long").as("__b"),
+        explode(Dedup.tokensCol(col(textCol))).as("__t"))
+      .distinct().localCheckpoint(false)
+    val perBatch = pairs.groupBy("__b").agg(count(lit(1)).as("batch_vocab"))
+    val firstSeen = pairs.groupBy("__t").agg(min("__b").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__new"))
+    perBatch.join(firstSeen, Seq("__b"), "left")
+      .withColumn("new_tokens", coalesce(col("__new"), lit(0L)))
+      .withColumn("cum_vocab",
+        sum("new_tokens").over(Window.orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__b").as("batch"), col("batch_vocab"),
+        col("new_tokens"), col("cum_vocab"))
+  }
+
   /** Prefix-cache savings report: how many tokens an inference server
     * with prefix (KV-cache) reuse would skip at each probe depth — docs
     * sharing their first d tokens pay the prefix ONCE per group, so

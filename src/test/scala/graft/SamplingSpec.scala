@@ -355,6 +355,21 @@ class SamplingSpec extends SparkSpec {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("exactStratifiedSample: exactly k per stratum, short strata whole") {
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      Seq(("b", 100L), ("b", 101L))).toDF("s", "id")
+    val out = Sampling.exactStratifiedSample(df, "s", "id", 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byS = out.groupBy(_._1)
+    assert(byS("a").length === 3 && byS("b").length === 2)
+    assert(byS("a").map(_._3).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(out.forall { case (_, id, _) => id <= 10L || id >= 100L })
+    // deterministic permutation: same selection on rerun
+    val again = Sampling.exactStratifiedSample(df, "s", "id", 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === again.toSet)
+  }
+
   test("matchDistribution: binding stratum keeps all, others downsample") {
     val df = ((1 to 100).map(i => (s"k$i", "a")) ++
       (101 to 150).map(i => (s"k$i", "b")) ++
