@@ -1852,6 +1852,40 @@ object SparkEntry {
       TextAnalysis.vocabGrowth(corpus, "text", "batch")
         .orderBy("batch")
     }),
+    // ── scale: top session paths — most common event-type sequences per
+    //    session (order matters; q113's funnel can't see it); per-session
+    //    bounded sorted collect, TakeOrderedAndProject top-k (oracle:
+    //    DuckDB sessionize + ordered-list replay) ───────────────────────────
+    "q210_top_paths" -> ((s, dir) => {
+      Analytics.topSessionPaths(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", gapSeconds = 600L, maxLen = 4, k = 20)
+    }),
+    // ── scale: LSH parameter planner — p(s) = 1 − (1 − s^r)^b per config
+    //    (the table that justifies q25's (16, 2)); powers as left-assoc
+    //    multiplication chains, bit-identical cross-engine (oracle: DuckDB
+    //    evaluates the same chains) ─────────────────────────────────────────
+    "q211_lsh_planner" -> ((s, dir) => {
+      Dedup.lshDetectionCurve(s, Seq((16, 2), (8, 4)))
+        .select(round(col("s"), 6).as("s"),
+          round(col("p_b16_r2"), 6).as("p_b16_r2"),
+          round(col("p_b8_r4"), 6).as("p_b8_r4"))
+        .orderBy("s")
+    }),
+    // ── scale: cast-quarantine audit — per column→type, non-null values a
+    //    lossless cast would drop (the silent coerce-to-null made visible
+    //    BEFORE the type flip); one scan, one multi-aggregate (oracle:
+    //    DuckDB TRY_CAST replay incl. the deterministic mixed column) ──────
+    "q212_cast_quarantine" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("mixed",
+        when(pmod(col("event_id"), lit(3L)) === 0L, col("event_type"))
+          .otherwise(col("event_id").cast("string")))
+      Profiling.castQuarantineReport(ev, Seq(
+          "mixed" -> "BIGINT", "event_type" -> "BIGINT", "value" -> "INT"))
+        .select(col("column_name"), col("target_type"), col("n_rows"),
+          col("n_nonnull"), col("n_cast_fail"),
+          round(col("fail_frac"), 6).as("fail_frac"))
+        .orderBy("column_name")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4151,6 +4185,70 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q210_top_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |    CASE WHEN date_diff('second',
+        |        lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 600
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM marked),
+        |paths AS (SELECT user_id, seq,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:4], '>')
+        |      AS path
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY sessions DESC, path LIMIT 20""".stripMargin,
+    "q211_lsh_planner" -> {
+      def chain(x: String, n: Int) = Seq.fill(n)(x).mkString(" * ")
+      def p(b: Int, r: Int) = {
+        val base = s"(1.0 - (${chain("s", r)}))"
+        s"round(1.0 - (${chain(base, b)}), 6)"
+      }
+      s"""WITH g AS (SELECT unnest(range(1, 20)) AS i),
+         |b AS (SELECT CAST(i AS DOUBLE) / CAST(20.0 AS DOUBLE) AS s FROM g)
+         |SELECT round(s, 6) AS s,
+         |  ${p(16, 2)} AS p_b16_r2,
+         |  ${p(8, 4)} AS p_b8_r4
+         |FROM b ORDER BY s""".stripMargin
+    },
+    "q212_cast_quarantine" ->
+      """WITH ev AS (SELECT *, CASE WHEN event_id % 3 = 0 THEN event_type
+        |    ELSE CAST(event_id AS VARCHAR) END AS mixed FROM events),
+        |w AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN mixed IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_m,
+        |    CAST(sum(CASE WHEN mixed IS NOT NULL
+        |      AND TRY_CAST(mixed AS BIGINT) IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f_m,
+        |    CAST(sum(CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_e,
+        |    CAST(sum(CASE WHEN event_type IS NOT NULL
+        |      AND TRY_CAST(event_type AS BIGINT) IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f_e,
+        |    CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_v,
+        |    CAST(sum(CASE WHEN value IS NOT NULL
+        |      AND TRY_CAST(value AS INT) IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f_v
+        |  FROM ev)
+        |SELECT * FROM (
+        |  SELECT 'event_type' AS column_name, 'BIGINT' AS target_type,
+        |    n AS n_rows, nn_e AS n_nonnull, f_e AS n_cast_fail,
+        |    round(CAST(f_e AS DOUBLE) / CAST(nn_e AS DOUBLE), 6) AS fail_frac
+        |  FROM w
+        |  UNION ALL
+        |  SELECT 'mixed', 'BIGINT', n, nn_m, f_m,
+        |    round(CAST(f_m AS DOUBLE) / CAST(nn_m AS DOUBLE), 6) FROM w
+        |  UNION ALL
+        |  SELECT 'value', 'INT', n, nn_v, f_v,
+        |    round(CAST(f_v AS DOUBLE) / CAST(nn_v AS DOUBLE), 6) FROM w
+        |) ORDER BY column_name""".stripMargin,
     "q208_exact_stratified" ->
       s"""WITH h AS (SELECT lang, doc_id,
          |    ${h60Sql("doc_id::VARCHAR")} % 1000000 AS hb

@@ -33,6 +33,31 @@ object Analytics {
       .drop("__new")
   }
 
+  /** Top session paths: the most common event-type sequences per session
+    * (first `maxLen` events), ranked by frequency — the "how do users
+    * actually reach purchase" view that per-event funnels (q113) can't
+    * show because order matters. Builds on [[sessionize]]; each
+    * session's path assembles from ONE sorted collect over the session's
+    * own rows ((ts, id)-ordered for tie determinism, bounded by session
+    * size), the path table aggregates session-count-sized, and the final
+    * top-k is a TakeOrderedAndProject, never a global sort. Returns
+    * (path, sessions) — top k by (count desc, path asc). */
+  def topSessionPaths(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSeconds: Long, maxLen: Int,
+      k: Int): DataFrame = {
+    require(maxLen >= 1 && k >= 1, "maxLen and k must be >= 1")
+    val sess = sessionize(df, keyCol, tsCol, gapSeconds)
+    val ordered = sort_array(collect_list(struct(col(tsCol), col(idCol),
+      col(typeCol).cast("string").as("__ty"))))
+    sess.groupBy(col(keyCol), col("session_seq"))
+      .agg(concat_ws(">",
+        slice(transform(ordered, x => x.getField("__ty")), 1, maxLen))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("sessions"))
+      .orderBy(col("sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Per-session rollup on a sessionized frame. */
   def sessionStats(sessionized: DataFrame, keyCol: String, tsCol: String): DataFrame =
     sessionized.groupBy(col(keyCol), col("session_seq"))

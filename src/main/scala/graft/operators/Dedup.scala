@@ -1758,4 +1758,29 @@ object Dedup {
         col("n_pairs"), col("n_at_or_above"))
       .orderBy("bucket")
   }
+
+  /** LSH parameter-planner curve: detection probability
+    * p(s) = 1 − (1 − s^r)^b at each similarity s for each candidate
+    * (bands, rowsPerBand) config — the table that justifies q25's
+    * (16, 2) before anyone runs a byte of data, and the first thing to
+    * recompute when a threshold moves. Pure closed-form math over an
+    * s-grid (i/gridSteps for i = 1..gridSteps−1); powers expand as
+    * LEFT-ASSOCIATIVE multiplication chains so the doubles are
+    * bit-identical on any engine (no pow()). Returns one row per s with
+    * one probability column per config (p_b<bands>_r<rows>). */
+  def lshDetectionCurve(spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)], gridSteps: Int = 20): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b >= 1 && r >= 1 },
+      "configs must be non-empty positive (bands, rowsPerBand)")
+    require(gridSteps >= 2, "gridSteps must be >= 2")
+    val s = col("id").cast("double") / lit(gridSteps.toDouble)
+    val cols = configs.map { case (b, r) =>
+      val sr = Seq.fill(r)(s).reduce(_ * _)
+      val base = lit(1.0) - sr
+      val pb = Seq.fill(b)(base).reduce(_ * _)
+      (lit(1.0) - pb).as(s"p_b${b}_r$r")
+    }
+    spark.range(1, gridSteps.toLong)
+      .select((Seq(s.as("s")) ++ cols): _*)
+  }
 }

@@ -865,6 +865,39 @@ object Profiling {
             (col("precision") + col("recall"))))
   }
 
+  /** Cast-quarantine report: per (column → target type), how many
+    * non-null raw values would fail a lossless cast — the row-level
+    * error-channel audit an ingest pipeline runs BEFORE flipping a
+    * column's type (the reader family's coerce-to-null made the failures
+    * silent; this counts them and tells you whether the type change is a
+    * schema fix or a data loss). One scan, all columns audited in a
+    * single multi-aggregate (try_cast is a pure projection); fail counts
+    * are exact integers, fail_frac an exact rational. Returns one row
+    * per audited column: (column, target_type, n_rows, n_nonnull,
+    * n_cast_fail, fail_frac). */
+  def castQuarantineReport(df: DataFrame,
+      targetTypes: Seq[(String, String)]): DataFrame = {
+    require(targetTypes.nonEmpty, "no columns to audit")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ targetTypes.flatMap {
+      case (c, t) =>
+        val raw = col(c)
+        val casted = expr(s"try_cast(`$c` AS $t)")
+        Seq(
+          sum(when(raw.isNotNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+          sum(when(raw.isNotNull && casted.isNull, 1L).otherwise(0L))
+            .as(s"__f_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    targetTypes.map { case (c, t) =>
+      wide.select(lit(c).as("column_name"), lit(t).as("target_type"),
+        col("__n").as("n_rows"), col(s"__nn_$c").as("n_nonnull"),
+        col(s"__f_$c").as("n_cast_fail"),
+        when(col(s"__nn_$c") > 0L,
+          col(s"__f_$c").cast(DoubleType) / col(s"__nn_$c").cast(DoubleType))
+          .as("fail_frac"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Data-freshness report per group: when did each segment last write,
     * how stale is it against the stream's own frontier, and how much of
     * its volume is recent — the "is src_14 stuck since Tuesday" check

@@ -543,6 +543,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("v") === ((2L, 2L)))
   }
 
+  test("topSessionPaths: ordered paths per session, maxLen truncation") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val rows = Seq(
+      ("u", ts(0), 1L, "click"), ("u", ts(10), 2L, "view"),
+      ("u", ts(20), 3L, "purchase"),
+      ("u", ts(5000), 4L, "view"), // new session after the gap
+      ("v", ts(0), 5L, "click"), ("v", ts(1), 6L, "view"),
+      ("v", ts(2), 7L, "purchase"),
+      ("w", ts(0), 8L, "a"), ("w", ts(1), 9L, "b"), ("w", ts(2), 10L, "c"),
+      ("w", ts(3), 11L, "d"), ("w", ts(4), 12L, "e")) // truncates to 4
+    val out = Analytics.topSessionPaths(rows.toDF("k", "t", "id", "e"),
+      "k", "t", "id", "e", 600L, 4, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("click>view>purchase") === 2L)
+    assert(out("view") === 1L)
+    assert(out("a>b>c>d") === 1L) // 5th event truncated
+    assert(out.size === 3)
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Profiling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkSpec {
@@ -878,6 +878,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(surv === surv.sorted.reverse)
     // bucket 0 survival counts every observed pair
     assert(surv.head === out.values.map(_._2).sum)
+  }
+
+  test("lshDetectionCurve: closed-form p(s) via multiplication chains") {
+    val out = Dedup.lshDetectionCurve(spark, Seq((1, 1), (2, 1)),
+      gridSteps = 4).collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.keySet === Set(0.25, 0.5, 0.75))
+    for ((s, (p11, p21)) <- out) {
+      assert(math.abs(p11 - s) < 1e-15)             // b=1, r=1 → p = s
+      assert(math.abs(p21 - (1.0 - (1.0 - s) * (1.0 - s))) < 1e-15)
+    }
+  }
+
+  test("castQuarantineReport: non-null cast failures per column") {
+    import spark.implicits._
+    val df = Seq((Some("1"), "7"), (Some("x"), "8"), (None, "oops"))
+      .toDF("a", "b")
+    val out = Profiling.castQuarantineReport(df,
+      Seq("a" -> "BIGINT", "b" -> "BIGINT")).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    assert(out("a") === ((3L, 2L, 1L, 0.5)))       // "x" fails, null skipped
+    assert(out("b") === ((3L, 3L, 1L, 1.0 / 3.0))) // "oops" fails
   }
 
   test("truncationQuality: prefix cosine error, zero-norm pair dropped") {
