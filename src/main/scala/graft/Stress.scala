@@ -248,6 +248,49 @@ object Stress {
       println("[stress]   windows=" + Bench.force(Analytics.windowedCounts(
         events, "ts", "1 hour", Seq("event_type"))))
     }
+    // round-8 additions — replicate USERS too (shifted user_id) so the
+    // per-key idioms scale in key count, not just rows-per-key
+    val eventsU = replicate(events0, "event_id", 1000000000L)
+      .withColumn("user_id",
+        col("user_id") + (col("event_id") / lit(1000000000L))
+          .cast("long") * lit(100000L))
+    time(s"intervalCoverage ${factor}x users") {
+      val sCol = unix_micros(col("ts"))
+      val spans = eventsU.select(col("user_id"), sCol.as("s"),
+        (sCol + lit(60000000L)).as("e"))
+      println("[stress]   keys=" + Bench.force(
+        Intervals.coverageReport(spans, "user_id", "s", "e")))
+    }
+    time(s"poissonBootstrap 16 reps ${factor}x") {
+      println("[stress]   reps=" + Bench.force(
+        Analytics.poissonBootstrapMeans(events, "event_id", "value", 16)))
+    }
+    time(s"mannWhitneyU ${factor}x") {
+      println("[stress]   rows=" + Bench.force(Analytics.mannWhitneyU(
+        events, "event_type", "value", "click", "view")))
+    }
+    time(s"activityStreaks ${factor}x users") {
+      println("[stress]   keys=" + Bench.force(
+        Analytics.activityStreaks(eventsU, "user_id", "ts")))
+    }
+    time(s"peakRate ${factor}x users") {
+      println("[stress]   keys=" + Bench.force(
+        Analytics.peakRate(eventsU, "user_id", "ts", 3600000000L)))
+    }
+    time(s"topSessionPaths ${factor}x users") {
+      println("[stress]   paths=" + Bench.force(Analytics.topSessionPaths(
+        eventsU, "user_id", "ts", "event_id", "event_type", 600L, 4, 20)))
+    }
+    time(s"hits 3 rounds ${factor}x edges") {
+      val el = replicate(
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("a"), col("l_suppkey").as("b")),
+        "a", 10000000L)
+      println("[stress]   nodes=" + Bench.force(
+        Graph.hits(el, "a", "b", rounds = 3)))
+    }
 
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = replicate(emb0, "vec_id", 1000000L).cache()
