@@ -1886,6 +1886,40 @@ object SparkEntry {
           round(col("fail_frac"), 6).as("fail_frac"))
         .orderBy("column_name")
     }),
+    // ── scale: offline changepoint — first binary-segmentation split per
+    //    stream (WHEN did the level shift; q167 says THAT it drifted);
+    //    key×days frame windows, exact counts (oracle: DuckDB replay) ──────
+    "q213_changepoint" -> ((s, dir) => {
+      Analytics.changepointSplit(T(s, dir, "events"), "event_type", "ts")
+        .select(col("event_type"), col("split_day"),
+          round(col("deviation"), 6).as("deviation"),
+          round(col("mean_before"), 6).as("mean_before"),
+          round(col("mean_after"), 6).as("mean_after"))
+        .orderBy("event_type")
+    }),
+    // ── scale: eval-canary scan — verbatim benchmark-canary hits per
+    //    source BEFORE training (one corpus pass, one codegen'd contains
+    //    per canary, melted at the end) (oracle: DuckDB contains replay) ───
+    "q214_canary_scan" -> ((s, dir) => {
+      TextAnalysis.canaryScan(T(s, dir, "documents"), "text", "source",
+          Seq("slow fast table", "customer query", "canary-absent-guid"))
+        .orderBy("canary", "source")
+    }),
+    // ── scale: Simpson's-paradox audit — do within-group trends oppose
+    //    the pooled trend (aggregation bias before acting on a rollup);
+    //    rides q198's sufficient-stats passes (oracle: DuckDB sign replay) ─
+    "q215_simpson_check" -> ((s, dir) => {
+      val m = unix_micros(col("ts").cast("timestamp"))
+      val d = lit(86400000000L)
+      val ev = T(s, dir, "events").withColumn("day",
+        ((m - pmod(m, d)) / d).cast("long"))
+      Analytics.simpsonCheck(ev, "event_type", "event_id", "day", "value",
+          deterministic = true)
+        .select(col("n_groups"), round(col("pooled_slope"), 6)
+          .as("pooled_slope"), col("groups_opposing"),
+          round(col("opposing_weight"), 6).as("opposing_weight"),
+          col("paradox"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -2848,6 +2882,18 @@ object SparkEntry {
             round(col("intercept"), 6).as("intercept"),
             round(col("r2"), 6).as("r2"))
           .orderBy("event_type")
+      }),
+      "q215_simpson_check" -> ((s, dir) => {
+        val m = unix_micros(col("ts").cast("timestamp"))
+        val d = lit(86400000000L)
+        val ev = T(s, dir, "events").withColumn("day",
+          ((m - pmod(m, d)) / d).cast("long"))
+        () => Analytics.simpsonCheck(ev, "event_type", "event_id", "day",
+            "value")
+          .select(col("n_groups"), round(col("pooled_slope"), 6)
+            .as("pooled_slope"), col("groups_opposing"),
+            round(col("opposing_weight"), 6).as("opposing_weight"),
+            col("paradox"))
       }),
       // q106 benches the PRODUCTION path: plain map-side-combined sums
       // (the word-sorted fold exists so the SQL oracle can replay it)
@@ -4185,6 +4231,82 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q213_changepoint" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT k, day, v,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY day)
+        |      AS BIGINT) AS i,
+        |    CAST(sum(v) OVER (PARTITION BY k ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(sum(v) OVER (PARTITION BY k) AS BIGINT) AS tot
+        |  FROM daily),
+        |s AS (SELECT *, abs(CAST(cum AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |    (CAST(i AS DOUBLE) / CAST(n AS DOUBLE))) AS dev
+        |  FROM c WHERE n >= 2 AND i < n),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY dev DESC, day) AS r FROM s)
+        |SELECT k AS event_type, day AS split_day,
+        |  round(dev, 6) AS deviation,
+        |  round(CAST(cum AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_before,
+        |  round(CAST(tot - cum AS DOUBLE) / CAST(n - i AS DOUBLE), 6)
+        |    AS mean_after
+        |FROM b WHERE r = 1 ORDER BY event_type""".stripMargin,
+    "q214_canary_scan" ->
+      """WITH w AS (SELECT source,
+        |    CAST(sum(CASE WHEN contains(text, 'slow fast table')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN contains(text, 'customer query')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN contains(text, 'canary-absent-guid')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM documents GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'slow fast table' AS canary, source, c0 AS n_docs FROM w
+        |  UNION ALL
+        |  SELECT 'customer query', source, c1 FROM w
+        |  UNION ALL
+        |  SELECT 'canary-absent-guid', source, c2 FROM w)
+        |WHERE n_docs > 0 ORDER BY canary, source""".stripMargin,
+    "q215_simpson_check" ->
+      """WITH b AS (SELECT event_type AS g, event_id AS id,
+        |    CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)
+        |      // 86400000000 AS DOUBLE) AS x,
+        |    value AS y
+        |  FROM events),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list(x ORDER BY id), (p, q) -> p + q) AS sx,
+        |    list_reduce(list(y ORDER BY id), (p, q) -> p + q) AS sy,
+        |    list_reduce(list(x * y ORDER BY id), (p, q) -> p + q) AS sxy,
+        |    list_reduce(list(x * x ORDER BY id), (p, q) -> p + q) AS sxx
+        |  FROM b GROUP BY 1),
+        |per AS (SELECT g, n,
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+        |  FROM a WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0),
+        |ap AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list(x ORDER BY id), (p, q) -> p + q) AS sx,
+        |    list_reduce(list(y ORDER BY id), (p, q) -> p + q) AS sy,
+        |    list_reduce(list(x * y ORDER BY id), (p, q) -> p + q) AS sxy,
+        |    list_reduce(list(x * x ORDER BY id), (p, q) -> p + q) AS sxx
+        |  FROM b),
+        |pooled AS (SELECT
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      (CAST(n AS DOUBLE) * sxx - sx * sx) AS ps
+        |  FROM ap)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  round(max(ps), 6) AS pooled_slope,
+        |  CAST(sum(CASE WHEN slope * ps < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_opposing,
+        |  round(CAST(sum(CASE WHEN slope * ps < 0 THEN n ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS opposing_weight,
+        |  CAST(sum(CASE WHEN slope * ps < 0 THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE) > 0.5 AS paradox
+        |FROM per, pooled""".stripMargin,
     "q210_top_paths" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,

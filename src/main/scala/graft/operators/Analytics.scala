@@ -58,6 +58,85 @@ object Analytics {
       .limit(k)
   }
 
+  /** Offline changepoint (first binary-segmentation split) per key over
+    * the daily series: the day where the cumulative sum deviates most
+    * from the even-trend line — "WHEN did this stream's level shift",
+    * the follow-up question to q167's CUSUM alarm (which says THAT it
+    * drifted) and q115's anomaly flags (which say single days). Per key:
+    * daily counts (ONE map-side-combined corpus scan to the key×days
+    * frame), cumulative + deviation |cum_d − total·(i/D)| via windows
+    * over that bounded frame, argmax with earliest-day tie-break, and
+    * the before/after means that quantify the shift. Exact integer
+    * counts; the deviation/means are fixed-parenthesization rationals.
+    * Keys with < 2 days emit nothing (no interior split exists).
+    * Returns (key, split_day, deviation, mean_before, mean_after) —
+    * split_day is the LAST day of the left segment. */
+  def changepointSplit(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val d = lit(86400000000L)
+    val daily = df.select(col(keyCol).as("__k"),
+        ((m - pmod(m, d)) / d).cast("long").as("__day"))
+      .groupBy("__k", "__day").agg(count(lit(1)).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy(col("__day").asc)
+    val wAll = Window.partitionBy("__k")
+    val cum = daily
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__cum", sum("__v").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum("__v").over(wAll))
+    val dev = abs(col("__cum").cast("double") -
+      col("__tot").cast("double") *
+        (col("__i").cast("double") / col("__n").cast("double")))
+    val scored = cum.filter(col("__n") >= 2L && col("__i") < col("__n"))
+      .withColumn("__dev", dev)
+    val best = scored
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__k")
+          .orderBy(col("__dev").desc, col("__day").asc)))
+      .filter(col("__r") === 1)
+    best.select(col("__k").as(keyCol), col("__day").as("split_day"),
+      col("__dev").as("deviation"),
+      (col("__cum").cast("double") / col("__i").cast("double"))
+        .as("mean_before"),
+      ((col("__tot") - col("__cum")).cast("double") /
+        (col("__n") - col("__i")).cast("double")).as("mean_after"))
+  }
+
+  /** Simpson's-paradox audit: does the pooled x→y trend point the OTHER
+    * way from the within-group trends — the aggregation-bias check every
+    * metric rollup should pass before anyone acts on the pooled number
+    * (Simpson 1951; the classic Berkeley-admissions failure). Reuses
+    * [[groupTrends]]' sufficient-statistics pass per group plus one
+    * pooled pass; the comparison is slope SIGNS on the groups-sized
+    * frame. Returns one row: (n_groups, pooled_slope, groups_opposing,
+    * opposing_weight — the row fraction living in opposing groups,
+    * paradox — true when a weighted majority opposes the pooled sign).
+    * Zero-x-variance groups are excluded from the vote. */
+  def simpsonCheck(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val per = groupTrends(df, groupCol, idCol, xCol, yCol, deterministic)
+      .filter(col("slope").isNotNull).localCheckpoint(false)
+    val pooled = groupTrends(
+      df.select(lit("__all").as("__g"), col(idCol), col(xCol), col(yCol)),
+      "__g", idCol, xCol, yCol, deterministic)
+      .select(col("slope").as("__ps"))
+    val opposing = when(col("slope") * col("__ps") < 0.0, 1L).otherwise(0L)
+    per.crossJoin(broadcast(pooled))
+      .agg(count(lit(1)).as("n_groups"), max("__ps").as("pooled_slope"),
+        sum(opposing).as("groups_opposing"),
+        sum(when(col("slope") * col("__ps") < 0.0, col("n"))
+          .otherwise(0L)).as("__opp_n"),
+        sum("n").as("__tot_n"))
+      .select(col("n_groups"), col("pooled_slope"), col("groups_opposing"),
+        (col("__opp_n").cast("double") / col("__tot_n").cast("double"))
+          .as("opposing_weight"),
+        (col("__opp_n").cast("double") / col("__tot_n").cast("double") >
+          lit(0.5)).as("paradox"))
+  }
+
   /** Per-session rollup on a sessionized frame. */
   def sessionStats(sessionized: DataFrame, keyCol: String, tsCol: String): DataFrame =
     sessionized.groupBy(col(keyCol), col("session_seq"))

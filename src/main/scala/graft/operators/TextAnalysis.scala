@@ -735,6 +735,33 @@ object TextAnalysis {
       ((col("__sy") - (slope * col("__sx"))) / nD).as("intercept"))
   }
 
+  /** Eval-canary scan: per (canary string, source), how many documents
+    * contain it verbatim — the eval-integrity check a training-data
+    * release runs so benchmark canaries (GUID strings planted in eval
+    * sets exactly to be grepped for) and known leaked strings are caught
+    * per-source BEFORE training, not in a post-hoc contamination paper.
+    * The canary list is release-small (parameters, not data), so the
+    * scan is ONE corpus pass with one codegen'd `contains` per canary
+    * folded into a single per-source aggregate, melted to
+    * (canary, source, n_docs) rows at the end — no per-canary scans, no
+    * join. Substring semantics, case-sensitive (canaries are exact).
+    * Sources with zero hits for a canary are omitted. */
+  def canaryScan(df: DataFrame, textCol: String, sourceCol: String,
+      canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "no canaries to scan for")
+    require(canaries.forall(_.nonEmpty), "empty canary string")
+    val aggs = canaries.zipWithIndex.map { case (c, i) =>
+      sum(when(col(textCol).contains(lit(c)), 1L).otherwise(0L))
+        .as(s"__c$i")
+    }
+    val wide = df.groupBy(col(sourceCol).as("source"))
+      .agg(aggs.head, aggs.tail: _*)
+    canaries.zipWithIndex.map { case (c, i) =>
+      wide.select(lit(c).as("canary"), col("source"),
+        col(s"__c$i").as("n_docs"))
+    }.reduce(_ unionByName _).filter(col("n_docs") > 0L)
+  }
+
   /** Vocabulary growth curve per ingest batch: distinct tokens used, NEW
     * tokens (first seen in this batch), and the cumulative vocabulary —
     * the empirical Heaps curve that tells a corpus program whether the

@@ -563,6 +563,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("changepointSplit: max cumsum deviation, level shift recovered") {
+    import java.sql.Timestamp
+    def ts(day: Int, j: Int) = new Timestamp(
+      (day.toLong * 86400L + j * 60L) * 1000L)
+    // counts per day: 1,1,1,5,5,5 → split after day 2 (dev 6), means 1 → 5
+    val rows = (0 to 2).map(d => ("k", ts(d, 0))) ++
+      (3 to 5).flatMap(d => (0 until 5).map(j => ("k", ts(d, j)))) ++
+      Seq(("single", ts(0, 0))) // one day → no interior split
+    val out = Analytics.changepointSplit(rows.toDF("k", "t"), "k", "t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(!out.contains("single"))
+    val (day, dev, mb, ma) = out("k")
+    assert(day === 2L && dev === 6.0 && mb === 1.0 && ma === 5.0)
+  }
+
+  test("simpsonCheck: within-group trends oppose the pooled trend") {
+    val rows = Seq(
+      ("g1", 1L, 0.0, 10.0), ("g1", 2L, 1.0, 9.0),
+      ("g2", 3L, 10.0, 30.0), ("g2", 4L, 11.0, 29.0))
+    val r = Analytics.simpsonCheck(rows.toDF("g", "id", "x", "y"),
+      "g", "id", "x", "y", deterministic = true).first()
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) > 0.0)       // pooled trend up
+    assert(r.getLong(2) === 2L)        // both groups trend down
+    assert(r.getDouble(3) === 1.0 && r.getBoolean(4))
+    // aligned data: no paradox
+    val ok = (1 to 40).map(i => ("g" + i % 2, i.toLong, i.toDouble,
+      2.0 * i)).toDF("g", "id", "x", "y")
+    val r2 = Analytics.simpsonCheck(ok, "g", "id", "x", "y").first()
+    assert(r2.getLong(2) === 0L && !r2.getBoolean(4))
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
