@@ -1920,6 +1920,17 @@ object SparkEntry {
           round(col("opposing_weight"), 6).as("opposing_weight"),
           col("paradox"))
     }),
+    // ── scale: per-dim embedding stats — coordinate means/stds, the
+    //    anisotropy check before trusting cosine (a dominant dim measures
+    //    the artifact, not the content); one posexplode, per-dim
+    //    sufficient stats (oracle: DuckDB ordinality + fold replay) ────────
+    "q218_dimension_stats" -> ((s, dir) => {
+      Similarity.dimensionStats(T(s, dir, "embeddings"), "vec_id",
+          "embedding", deterministic = true)
+        .select(col("dim"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"))
+        .orderBy("dim")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -2563,6 +2574,34 @@ object SparkEntry {
           col("total_qty"))
         .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
         .limit(100)
+    }),
+    // ── scale: TPC-H Q6 (forecast-revenue filter) — the pure scan-side
+    //    query: every predicate pushes to the parquet reader, one
+    //    map-side-combined cents sum (oracle: DuckDB same SQL) ─────────────
+    "q216_tpch_q6" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_shipdate") < lit("1999-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24.0)
+        .agg(sum(round((col("l_extendedprice") * col("l_discount"))
+          * lit(100.0)).cast("long")).as("revenue_cents"))
+    }),
+    // ── scale: TPC-H Q14 (promo revenue share) — join to the part dim,
+    //    conditional cents sums, exact-cents numerator/denominator
+    //    (oracle: DuckDB same SQL) ──────────────────────────────────────────
+    "q217_tpch_q14" -> ((s, dir) => {
+      val rev = round((col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))) * lit(100.0)).cast("long")
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-03-01") &&
+          col("l_shipdate") < lit("1998-04-01"))
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+          .as("promo_cents"), sum(rev).as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          round(col("promo_cents").cast("double") /
+            col("total_cents").cast("double"), 6).as("promo_share"))
     }),
     // ── scale: TPC-H Q5 shape (local supplier volume) — six-way star join
     //    where customer and supplier share a nation, revenue per nation in
@@ -4231,6 +4270,42 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q216_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round((l_extendedprice * l_discount) * 100.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q217_tpch_q14" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0)
+        |      AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1998-03-01' AND l_shipdate < '1998-04-01'),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |      AS BIGINT) AS promo_cents,
+        |    CAST(sum(rev) AS BIGINT) AS total_cents
+        |  FROM j)
+        |SELECT promo_cents, total_cents,
+        |  round(CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+        |    AS promo_share
+        |FROM a""".stripMargin,
+    "q218_dimension_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, CAST(t.i AS INT) AS dim, v[t.i] AS val
+        |  FROM e, range(1, 65) AS t(i)),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y) AS s,
+        |    list_reduce(list(val * val ORDER BY vec_id), (x, y) -> x + y)
+        |      AS s2
+        |  FROM d GROUP BY 1)
+        |SELECT dim, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
+        |  round(sqrt(greatest(s2 / CAST(n AS DOUBLE) -
+        |    (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)),
+        |    CAST(0.0 AS DOUBLE))), 6) AS std
+        |FROM a ORDER BY dim""".stripMargin,
     "q213_changepoint" ->
       """WITH daily AS (SELECT event_type AS k,
         |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000

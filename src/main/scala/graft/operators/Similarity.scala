@@ -445,6 +445,36 @@ object Similarity {
             lit(0.0), (acc, e) => acc + e) / lit(dim.toDouble), 6).as("mse"))
   }
 
+  /** Per-dimension embedding statistics: mean and std of every
+    * coordinate — the anisotropy health check run before trusting cosine
+    * at all (a dominant dimension or a shifted mean makes cosine measure
+    * the artifact, not the content; the cure is exactly the per-dim
+    * center/scale this reports). One posexplode to the (id, dim, value)
+    * frame, per-dim sufficient stats (Σv exact-ordered at gate, Σv² the
+    * same; production plain sums, spec ≈ 1e-9), std from the clamped
+    * variance. Dims are 1-based (the SQL ordinality convention).
+    * Returns (dim, n, mean, std). */
+  def dimensionStats(df: DataFrame, idCol: String, vecCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__d0", "__v")))
+      .select(col("__id"), (col("__d0") + 1).as("dim"),
+        col("__v").cast(DoubleType).as("__v"))
+    def fold(termCol: Column): Column =
+      if (deterministic)
+        aggregate(sort_array(collect_list(struct(col("__id"),
+          termCol.as("__t")))), lit(0.0),
+          (acc, x) => acc + x.getField("__t"))
+      else sum(termCol)
+    val agg = base.groupBy("dim").agg(count(lit(1)).as("n"),
+      fold(col("__v")).as("__s"),
+      fold(col("__v") * col("__v")).as("__s2"))
+    val nD = col("n").cast(DoubleType)
+    val mean = col("__s") / nD
+    agg.select(col("dim"), col("n"), mean.as("mean"),
+      sqrt(greatest(col("__s2") / nD - mean * mean, lit(0.0))).as("std"))
+  }
+
   /** Matryoshka truncation quality: how much cosine structure survives
     * when embeddings are cut to their first d dimensions — the
     * measurement behind "can we serve the 8-dim prefix and re-rank with

@@ -903,6 +903,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out("b") === ((3L, 3L, 1L, 1.0 / 3.0))) // "oops" fails
   }
 
+  test("dimensionStats: per-coordinate mean/std, 1-based dims") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("id", "v")
+    val out = Similarity.dimensionStats(df, "id", "v", deterministic = true)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out(1) === ((2L, 2.0, 1.0)))
+    assert(out(2) === ((2L, 3.0, 1.0)))
+    val p = Similarity.dimensionStats(df, "id", "v").collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(math.abs(p(1) - 1.0) < 1e-12)
+  }
+
   test("truncationQuality: prefix cosine error, zero-norm pair dropped") {
     import spark.implicits._
     val rows = Seq(
