@@ -1931,6 +1931,33 @@ object SparkEntry {
           round(col("std"), 6).as("std"))
         .orderBy("dim")
     }),
+    // ── scale: context-truncation loss — docs/tokens lost at candidate
+    //    context limits (the training context-budget table); one lengths-
+    //    only scan, limits-sized output (oracle: DuckDB replay) ────────────
+    "q219_truncation_loss" -> ((s, dir) => {
+      TextAnalysis.truncationLossReport(T(s, dir, "documents"), "text",
+          Seq(32, 64, 128))
+        .select(col("limit").as("ctx_limit"), col("n_docs"),
+          col("docs_over"), col("tokens_total"), col("tokens_lost"),
+          round(col("loss_frac"), 6).as("loss_frac"))
+        .orderBy("ctx_limit")
+    }),
+    // ── scale: dataset-mixture plan — per-source token targets, epoch
+    //    repeats, and repeat-budget caps for a target mixture (the
+    //    books/web/code planning table, shortfalls caught BEFORE
+    //    training); one token-count scan + source-frame arithmetic
+    //    (oracle: DuckDB replays counts and the closed form) ───────────────
+    "q220_mixture_plan" -> ((s, dir) => {
+      Sampling.mixturePlan(T(s, dir, "documents"), "source", "text",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          budgetTokens = 10000L, maxRepeat = 2.0)
+        .select(col("source"), col("tokens_have"),
+          round(col("weight"), 6).as("weight"),
+          round(col("tokens_target"), 6).as("tokens_target"),
+          round(col("repeats"), 6).as("repeats"), col("capped"),
+          round(col("tokens_planned"), 6).as("tokens_planned"))
+        .orderBy("source")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4270,6 +4297,54 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q219_truncation_loss" -> {
+      val blocks = Seq(32, 64, 128).map { l =>
+        s"""SELECT $l AS ctx_limit,
+           |  (SELECT n_docs FROM t) AS n_docs,
+           |  CAST(sum(CASE WHEN n > $l THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS docs_over,
+           |  (SELECT tokens_total FROM t) AS tokens_total,
+           |  CAST(sum(CASE WHEN n > $l THEN n - $l ELSE 0 END) AS BIGINT)
+           |    AS tokens_lost,
+           |  round(CAST(sum(CASE WHEN n > $l THEN n - $l ELSE 0 END)
+           |      AS DOUBLE) /
+           |    CAST((SELECT tokens_total FROM t) AS DOUBLE), 6)
+           |    AS loss_frac
+           |FROM lens""".stripMargin
+      }
+      s"""WITH lens AS (SELECT
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS BIGINT) AS n
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS tokens_total FROM lens)
+         |${blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY ctx_limit")}""".stripMargin
+    },
+    "q220_mixture_plan" ->
+      """WITH t(source, w) AS (VALUES
+        |    ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |    ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+        |have AS (SELECT source,
+        |    CAST(sum(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT)) AS BIGINT) AS tokens_have
+        |  FROM documents
+        |  WHERE source IN (SELECT source FROM t)
+        |    AND length(trim(text)) > 0
+        |  GROUP BY 1),
+        |p AS (SELECT h.source, h.tokens_have, t.w AS weight,
+        |    t.w * CAST(10000 AS DOUBLE) AS tokens_target,
+        |    (t.w * CAST(10000 AS DOUBLE)) /
+        |      CAST(h.tokens_have AS DOUBLE) AS raw
+        |  FROM have h JOIN t ON h.source = t.source)
+        |SELECT source, tokens_have, round(weight, 6) AS weight,
+        |  round(tokens_target, 6) AS tokens_target,
+        |  round(CASE WHEN raw > 2.0 THEN CAST(2.0 AS DOUBLE) ELSE raw END,
+        |    6) AS repeats,
+        |  raw > 2.0 AS capped,
+        |  round((CASE WHEN raw > 2.0 THEN CAST(2.0 AS DOUBLE) ELSE raw END)
+        |    * CAST(tokens_have AS DOUBLE), 6) AS tokens_planned
+        |FROM p ORDER BY source""".stripMargin,
     "q216_tpch_q6" ->
       """SELECT CAST(sum(CAST(round((l_extendedprice * l_discount) * 100.0)
         |    AS BIGINT)) AS BIGINT) AS revenue_cents

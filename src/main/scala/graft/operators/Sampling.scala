@@ -531,6 +531,52 @@ object Sampling {
     * pays), per-range counts → driver prefix offsets, local window +
     * offset. Ties must be broken by the caller's sortCols (include a
     * unique id last) or positions are nondeterministic. */
+  /** Dataset-mixture plan: given target mixture WEIGHTS and a total
+    * token BUDGET, how many tokens each source must contribute and how
+    * many epochs (repeats) of it that means — the planning table behind
+    * every "books 30% / web 60% / code 10%" run, and the place where
+    * over-asked sources get caught BEFORE training (a source whose
+    * allocation needs more than `maxRepeat` epochs caps there and the
+    * shortfall is reported, the Chinchilla-style repeat-budget
+    * discipline). One token-count scan per the shared tokenizer; the
+    * plan arithmetic is source-frame-sized exact rationals with fixed
+    * parenthesization. Returns one row per target source:
+    * (source, tokens_have, weight, tokens_target, repeats, capped,
+    * tokens_planned). */
+  def mixturePlan(df: DataFrame, sourceCol: String, textCol: String,
+      weights: Map[String, Double], budgetTokens: Long,
+      maxRepeat: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty, "empty mixture")
+    require(weights.values.forall(_ > 0.0), "weights must be > 0")
+    require(math.abs(weights.values.sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.values.sum}")
+    require(budgetTokens > 0L && maxRepeat > 0.0,
+      "budget and maxRepeat must be positive")
+    val have = df
+      .filter(col(sourceCol).cast("string")
+        .isin(weights.keys.toSeq: _*) &&
+        length(trim(col(textCol))) > 0)
+      .select(col(sourceCol).cast("string").as("source"),
+        size(graft.operators.Dedup.tokensCol(col(textCol))).cast("long")
+          .as("__n"))
+      .groupBy("source").agg(sum("__n").as("tokens_have"))
+    val weightCol = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(Double.NaN): Column) { case (acc, (s, w)) =>
+        when(col("source") === s, lit(w)).otherwise(acc)
+      }
+    val target = col("weight") * lit(budgetTokens.toDouble)
+    val rawRepeat = target / col("tokens_have").cast("double")
+    have.withColumn("weight", weightCol)
+      .withColumn("tokens_target", target)
+      .withColumn("capped", rawRepeat > lit(maxRepeat))
+      .withColumn("repeats",
+        when(col("capped"), lit(maxRepeat)).otherwise(rawRepeat))
+      .withColumn("tokens_planned",
+        col("repeats") * col("tokens_have").cast("double"))
+      .select("source", "tokens_have", "weight", "tokens_target",
+        "repeats", "capped", "tokens_planned")
+  }
+
   /** EXACT-count stratified sample: exactly k rows per stratum (not a
     * rate — an eval set wants "100 eval docs per language", and a hash
     * RATE delivers 100 ± binomial noise). Rows rank by their md5-60 key

@@ -735,6 +735,40 @@ object TextAnalysis {
       ((col("__sy") - (slope * col("__sx"))) / nD).as("intercept"))
   }
 
+  /** Context-truncation loss report: at each candidate context limit L,
+    * how many documents exceed it and how many tokens fall off the end
+    * (Σ max(0, n_tok − L)) — the table that decides a training context
+    * budget ("8k loses 0.4% of tokens, 2k loses 11%") and prices long-
+    * context training against [[prefixCacheReport]]-style serving wins.
+    * ONE tokenized-length scan (lengths only — the text never shuffles),
+    * limits-sized aggregate output, integers end-to-end. Returns one row
+    * per limit: (limit, n_docs, docs_over, tokens_total, tokens_lost,
+    * loss_frac). */
+  def truncationLossReport(df: DataFrame, textCol: String,
+      limits: Seq[Int]): DataFrame = {
+    require(limits.nonEmpty && limits.forall(_ >= 1),
+      "limits must be positive")
+    val lens = df.filter(length(trim(col(textCol))) > 0)
+      .select(size(Dedup.tokensCol(col(textCol))).cast("long").as("__n"))
+      .localCheckpoint(false)
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum("__n").as("tokens_total")) ++ limits.flatMap { l =>
+      Seq(sum(when(col("__n") > l, 1L).otherwise(0L)).as(s"__o$l"),
+        sum(when(col("__n") > l, col("__n") - l).otherwise(0L))
+          .as(s"__l$l"))
+    }
+    val wide = lens.agg(aggs.head, aggs.tail: _*)
+    limits.map { l =>
+      wide.select(lit(l).as("limit"), col("n_docs"),
+        coalesce(col(s"__o$l"), lit(0L)).as("docs_over"),
+        coalesce(col("tokens_total"), lit(0L)).as("tokens_total"),
+        coalesce(col(s"__l$l"), lit(0L)).as("tokens_lost"),
+        when(col("tokens_total") > 0L,
+          coalesce(col(s"__l$l"), lit(0L)).cast("double") /
+            col("tokens_total").cast("double")).as("loss_frac"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Eval-canary scan: per (canary string, source), how many documents
     * contain it verbatim — the eval-integrity check a training-data
     * release runs so benchmark canaries (GUID strings planted in eval
