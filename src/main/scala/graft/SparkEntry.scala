@@ -1958,6 +1958,46 @@ object SparkEntry {
           round(col("tokens_planned"), 6).as("tokens_planned"))
         .orderBy("source")
     }),
+    // ── scale: degree power-law fit — "is this graph scale-free": ln-ln
+    //    OLS on the degree histogram (justifies the family's hub caps);
+    //    key-only degree shuffles, histogram-sized fit (oracle: DuckDB
+    //    degree + fold replay) ─────────────────────────────────────────────
+    "q221_degree_powerlaw" -> ((s, dir) => {
+      val el = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      Graph.degreePowerLaw(el, "a", "b", deterministic = true)
+        .select(col("n_nodes"), col("n_degrees"), col("max_degree"),
+          round(col("slope"), 6).as("slope"), round(col("r2"), 6).as("r2"))
+    }),
+    // ── scale: seasonally-adjusted anomalies — daily volumes scored
+    //    against their weekday's own mean (q115 flags raw outliers, q182
+    //    measures the seasonality, this divides it out before alarming);
+    //    days-sized frames throughout (oracle: DuckDB replay) ──────────────
+    "q222_seasonal_anomalies" -> ((s, dir) => {
+      Analytics.seasonalAnomalies(T(s, dir, "events"), "ts", 2.0)
+        .select(col("day"), col("dow"), col("n"),
+          round(col("expected"), 6).as("expected"),
+          round(col("z"), 6).as("z"))
+        .orderBy("day")
+    }),
+    // ── scale: numeric mutual information — equal-frequency bins (the
+    //    q140 integer formula) feeding the exact categorical MI: catches
+    //    the nonlinear dependence q133's correlation reads as zero
+    //    (oracle: DuckDB rank + bin replay into the shared MI tail) ────────
+    "q223_numeric_mi" -> ((s, dir) => {
+      val m = unix_micros(col("ts").cast("timestamp"))
+      val d = lit(86400000000L)
+      val ev = T(s, dir, "events").withColumn("day",
+        ((m - pmod(m, d)) / d).cast("long"))
+      Profiling.numericMI(ev, "event_id", "value", "day", bins = 8,
+          deterministic = true)
+        .select(col("n"), round(col("mi"), 6).as("mi"),
+          round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+          round(col("nmi"), 6).as("nmi"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4297,6 +4337,86 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q221_degree_powerlaw" ->
+      """WITH el AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,
+        |    's' || l_suppkey::VARCHAR AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM el
+        |  UNION ALL SELECT b, a FROM el)),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |  FROM edges GROUP BY 1),
+        |hist AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM deg GROUP BY 1),
+        |b AS (SELECT d AS id, ln(CAST(d AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM hist),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list(x ORDER BY id), (p, q) -> p + q) AS sx,
+        |    list_reduce(list(y ORDER BY id), (p, q) -> p + q) AS sy,
+        |    list_reduce(list(x * y ORDER BY id), (p, q) -> p + q) AS sxy,
+        |    list_reduce(list(x * x ORDER BY id), (p, q) -> p + q) AS sxx,
+        |    list_reduce(list(y * y ORDER BY id), (p, q) -> p + q) AS syy
+        |  FROM b),
+        |d2 AS (SELECT n,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num
+        |  FROM a)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hist) AS n_degrees,
+        |  (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+        |  round(CASE WHEN dx > 0 THEN num / dx END, 6) AS slope,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN (num * num) / (dx * dy) END, 6) AS r2
+        |FROM d2""".stripMargin,
+    "q222_seasonal_anomalies" ->
+      """WITH daily AS (SELECT
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT day, n, CAST((day + 3) % 7 + 1 AS INT) AS dow
+        |  FROM daily),
+        |dm AS (SELECT dow,
+        |    list_reduce(list(CAST(n AS DOUBLE) ORDER BY day),
+        |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS expected
+        |  FROM d2 GROUP BY 1),
+        |r AS (SELECT day, dow, n, expected,
+        |    CAST(n AS DOUBLE) - expected AS res
+        |  FROM d2 JOIN dm USING (dow)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS c,
+        |    list_reduce(list(res ORDER BY day), (x, y) -> x + y) AS s,
+        |    list_reduce(list(res * res ORDER BY day), (x, y) -> x + y)
+        |      AS s2
+        |  FROM r),
+        |g AS (SELECT day, dow, n, expected, res,
+        |    s / CAST(c AS DOUBLE) AS mu,
+        |    sqrt(greatest(s2 / CAST(c AS DOUBLE) -
+        |      (s / CAST(c AS DOUBLE)) * (s / CAST(c AS DOUBLE)),
+        |      CAST(0.0 AS DOUBLE))) AS sd
+        |  FROM r, st)
+        |SELECT day, dow, n, round(expected, 6) AS expected,
+        |  round((res - mu) / sd, 6) AS z
+        |FROM g WHERE sd > 0 AND abs((res - mu) / sd) > 2.0
+        |ORDER BY day""".stripMargin,
+    "q223_numeric_mi" ->
+      s"""WITH base AS (SELECT event_id AS id, value AS xv,
+         |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+         |      AS yv
+         |  FROM events),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM base),
+         |rx AS (SELECT id, CAST(row_number() OVER (ORDER BY xv, id)
+         |    AS BIGINT) AS r FROM base),
+         |ry AS (SELECT id, CAST(row_number() OVER (ORDER BY yv, id)
+         |    AS BIGINT) AS r FROM base),
+         |lab AS (SELECT
+         |    CAST(((rx.r - 1) * 8) // (SELECT n0 FROM nn) AS VARCHAR) AS x,
+         |    CAST(((ry.r - 1) * 8) // (SELECT n0 FROM nn) AS VARCHAR) AS y
+         |  FROM rx JOIN ry USING (id)),
+         |cells AS (SELECT x, y, count(*) AS c FROM lab GROUP BY 1, 2),
+         |$miOracleTail""".stripMargin,
     "q219_truncation_loss" -> {
       val blocks = Seq(32, 64, 128).map { l =>
         s"""SELECT $l AS ctx_limit,
@@ -5449,34 +5569,10 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON b.t <= a.t
         |GROUP BY a.t ORDER BY t""".stripMargin,
     "q151_mutual_information" ->
-      """WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS x,
-        |    CAST(l_linestatus AS VARCHAR) AS y, count(*) AS c
-        |  FROM lineitem GROUP BY 1, 2),
-        |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
-        |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
-        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
-        |j AS (SELECT cells.x AS x, cells.y AS y, c, cx, cy,
-        |        CAST((SELECT n FROM n) AS DOUBLE) AS nd
-        |      FROM cells JOIN mx USING (x) JOIN my USING (y)),
-        |mi AS (SELECT list_reduce(list(
-        |         (CAST(c AS DOUBLE) / nd) * ln((CAST(c AS DOUBLE) / nd) /
-        |           ((CAST(cx AS DOUBLE) / nd) * (CAST(cy AS DOUBLE) / nd)))
-        |         ORDER BY x, y), (a, b) -> a + b) AS mi FROM j),
-        |hx AS (SELECT -list_reduce(list(
-        |         (CAST(cx AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) *
-        |         ln(CAST(cx AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
-        |         ORDER BY x), (a, b) -> a + b) AS h FROM mx),
-        |hy AS (SELECT -list_reduce(list(
-        |         (CAST(cy AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) *
-        |         ln(CAST(cy AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
-        |         ORDER BY y), (a, b) -> a + b) AS h FROM my)
-        |SELECT (SELECT n FROM n) AS n, round((SELECT mi FROM mi), 6) AS mi,
-        |  round((SELECT h FROM hx), 6) AS h_x,
-        |  round((SELECT h FROM hy), 6) AS h_y,
-        |  round(CASE WHEN (SELECT h FROM hx) > 0 AND (SELECT h FROM hy) > 0
-        |    THEN (SELECT mi FROM mi) /
-        |      sqrt((SELECT h FROM hx) * (SELECT h FROM hy))
-        |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS nmi""".stripMargin,
+      s"""WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS x,
+         |    CAST(l_linestatus AS VARCHAR) AS y, count(*) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |$miOracleTail""".stripMargin,
     "q148_join_cardinality" ->
       """WITH ca AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
         |            FROM lineitem GROUP BY 1),
@@ -6836,6 +6932,37 @@ object SparkEntry {
     * side's sort_array fold, so ranks are bit-identical round over round
     * ((1 − damping) embeds as the exact double the Scala side computes);
     * final ranks round to 6. */
+  /** The q151/q223 MI replay tail: consumes a CTE `cells(x, y, c)` and
+    * produces (n, mi, h_x, h_y, nmi) with (x, y)-sorted folds — shared
+    * so the categorical and binned-numeric gates replay identical
+    * arithmetic. */
+  private lazy val miOracleTail: String =
+    """mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+      |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      |j AS (SELECT cells.x AS x, cells.y AS y, c, cx, cy,
+      |        CAST((SELECT n FROM n) AS DOUBLE) AS nd
+      |      FROM cells JOIN mx USING (x) JOIN my USING (y)),
+      |mi AS (SELECT list_reduce(list(
+      |         (CAST(c AS DOUBLE) / nd) * ln((CAST(c AS DOUBLE) / nd) /
+      |           ((CAST(cx AS DOUBLE) / nd) * (CAST(cy AS DOUBLE) / nd)))
+      |         ORDER BY x, y), (a, b) -> a + b) AS mi FROM j),
+      |hx AS (SELECT -list_reduce(list(
+      |         (CAST(cx AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) *
+      |         ln(CAST(cx AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+      |         ORDER BY x), (a, b) -> a + b) AS h FROM mx),
+      |hy AS (SELECT -list_reduce(list(
+      |         (CAST(cy AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) *
+      |         ln(CAST(cy AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+      |         ORDER BY y), (a, b) -> a + b) AS h FROM my)
+      |SELECT (SELECT n FROM n) AS n, round((SELECT mi FROM mi), 6) AS mi,
+      |  round((SELECT h FROM hx), 6) AS h_x,
+      |  round((SELECT h FROM hy), 6) AS h_y,
+      |  round(CASE WHEN (SELECT h FROM hx) > 0 AND (SELECT h FROM hy) > 0
+      |    THEN (SELECT mi FROM mi) /
+      |      sqrt((SELECT h FROM hx) * (SELECT h FROM hy))
+      |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS nmi""".stripMargin
+
   /** The q72/q191 IVF-kNN replay prefix: seed selection by hash rank, one
     * Lloyd refinement round, final assignment, within-cell cosine pairs,
     * per-query ranks — ends at CTE `r` (query_id, neighbor_id, rank), so

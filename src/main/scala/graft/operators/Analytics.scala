@@ -104,6 +104,48 @@ object Analytics {
         (col("__n") - col("__i")).cast("double")).as("mean_after"))
   }
 
+  /** Seasonally-adjusted volume anomalies: daily counts scored against
+    * their WEEKDAY's own mean — the adjustment that stops every Monday
+    * from alarming (q115 flags raw outliers; [[dayOfWeekIndex]] measures
+    * the seasonality; this op closes the loop by dividing it out before
+    * flagging). Per day: expected = weekday mean, residual = n −
+    * expected, z = (residual − mean_residual)/σ_residual over all days;
+    * |z| > threshold flags. All frames are days-sized after ONE
+    * map-side daily-count scan; the double folds run day-sorted (always
+    * deterministic at this size). Returns flagged days only:
+    * (day, dow, n, expected, z). */
+  def seasonalAnomalies(df: DataFrame, tsCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold > 0.0, "threshold must be positive")
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val dUs = lit(86400000000L)
+    val day = ((m - pmod(m, dUs)) / dUs).cast("long")
+    val dow = (pmod(col("day") + lit(3L), lit(7L)) + lit(1L)).cast("int")
+    val daily = df.select(day.as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", dow)
+      .localCheckpoint(false)
+    def foldDay(c: Column): Column =
+      aggregate(sort_array(collect_list(struct(col("day"), c.as("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t"))
+    val dowMeans = daily.groupBy("dow")
+      .agg((foldDay(col("n").cast("double")) /
+        count(lit(1)).cast("double")).as("expected"))
+    val resid = daily.join(broadcast(dowMeans), Seq("dow"))
+      .withColumn("__r", col("n").cast("double") - col("expected"))
+      .localCheckpoint(false)
+    val stats = resid.agg(count(lit(1)).as("__c"),
+      foldDay(col("__r")).as("__s"),
+      foldDay(col("__r") * col("__r")).as("__s2"))
+    val cD = col("__c").cast("double")
+    val mu = col("__s") / cD
+    val sd = sqrt(greatest(col("__s2") / cD - mu * mu, lit(0.0)))
+    resid.crossJoin(broadcast(stats))
+      .withColumn("z", when(sd > 0.0, (col("__r") - mu) / sd))
+      .filter(col("z").isNotNull && abs(col("z")) > zThreshold)
+      .select(col("day"), col("dow"), col("n"), col("expected"), col("z"))
+  }
+
   /** Simpson's-paradox audit: does the pooled x→y trend point the OTHER
     * way from the within-group trends — the aggregation-bias check every
     * metric rollup should pass before anyone acts on the pooled number

@@ -483,6 +483,35 @@ object Graph {
       .orderBy("rank")
   }
 
+  /** Degree power-law fit: ln(count) over ln(degree) OLS on the degree
+    * HISTOGRAM — the one-number "is this graph scale-free" check behind
+    * every hub-handling decision in this family (the q144/q154
+    * middle-degree caps, q142's ordering choice: they pay off exactly
+    * when this slope is steep and hubs are real; a near-uniform graph
+    * reads a flat, ill-fit slope). Degrees come from the deduped
+    * undirected edge frame (key-only shuffles); the histogram is
+    * degrees-sized and the fit runs on it via [[Analytics.groupTrends]]'
+    * sufficient statistics (deg-sorted folds at gate). Returns one row
+    * (n_nodes, n_degrees, max_degree, slope, r2) — slope ≈ −α. */
+  def degreePowerLaw(edges: DataFrame, srcCol: String, dstCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val e = bidirect(edges, srcCol, dstCol).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+      .localCheckpoint(false)
+    val hist = deg.groupBy("__d").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false)
+    val fit = Analytics.groupTrends(
+      hist.select(lit("g").as("__g"), col("__d").as("__id"),
+        log(col("__d").cast("double")).as("__x"),
+        log(col("__cnt").cast("double")).as("__y")),
+      "__g", "__id", "__x", "__y", deterministic)
+    val counts = deg.agg(count(lit(1)).as("n_nodes"),
+      max("__d").as("max_degree"))
+      .crossJoin(hist.agg(count(lit(1)).as("n_degrees")))
+    counts.crossJoin(broadcast(fit.select(col("slope"), col("r2"))))
+      .select("n_nodes", "n_degrees", "max_degree", "slope", "r2")
+  }
+
   /** HITS (Kleinberg): mutually-reinforcing hub and authority scores on a
     * DIRECTED (typically bipartite) graph — "which customers concentrate
     * buying power, which suppliers concentrate demand" on a buyer→seller

@@ -898,6 +898,36 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Mutual information between two NUMERIC columns via equal-frequency
+    * binning: the dependence detector that catches what q133's Pearson
+    * correlation cannot — nonlinear and non-monotone relationships
+    * (a U-shaped value-vs-time pattern reads corr ≈ 0 but MI ≫ 0).
+    * Each column ranks globally ((value, id) order — deterministic under
+    * ties) through [[Sampling.globalRowNumber]]'s one-range-exchange
+    * idiom and buckets by the q140 integer formula ((rank−1)·bins) div n
+    * (equal-population, no double-boundary parity risk); the bucket
+    * labels then feed the exact categorical [[mutualInformation]]. Two
+    * range exchanges + one id join; everything after is bins²-sized.
+    * Returns (n, mi, h_x, h_y, nmi). */
+  def numericMI(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      bins: Int, deterministic: Boolean = false): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val base = df.select(col(idCol).as("__id"),
+        col(xCol).cast(DoubleType).as("__x"),
+        col(yCol).cast(DoubleType).as("__y"))
+      .localCheckpoint(false)
+    val n = base.count()
+    require(n > 0, "no rows")
+    def labels(vCol: String, out: String): DataFrame =
+      Sampling.globalRowNumber(base.select(col("__id"), col(vCol)),
+          "__r", col(vCol).asc, col("__id").asc)
+        .select(col("__id"),
+          expr(s"((__r - 1L) * ${bins}L) div ${n}L").cast(StringType)
+            .as(out))
+    labels("__x", "__bx").join(labels("__y", "__by"), Seq("__id"))
+      .transform(d => mutualInformation(d, "__bx", "__by", deterministic))
+  }
+
   /** Data-freshness report per group: when did each segment last write,
     * how stale is it against the stream's own frontier, and how much of
     * its volume is recent — the "is src_14 stuck since Tuesday" check

@@ -596,6 +596,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r2.getLong(2) === 0L && !r2.getBoolean(4))
   }
 
+  test("seasonalAnomalies: spike flagged, flat series emits nothing") {
+    import java.sql.Timestamp
+    def ts(day: Int, j: Int) = new Timestamp(
+      (day.toLong * 86400L + j * 60L) * 1000L)
+    // 21 days × 10 events, day 10 has 30 → only that day should flag
+    val rows = (0 to 20).flatMap { d =>
+      val c = if (d == 10) 30 else 10
+      (0 until c).map(j => Tuple1(ts(d, j)))
+    }
+    val out = Analytics.seasonalAnomalies(rows.toDF("t"), "t", 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out.keySet === Set(10L))
+    assert(out(10L) > 2.0)
+    // perfectly flat → zero residual variance → guard yields no rows
+    val flat = (0 to 13).flatMap(d =>
+      (0 until 5).map(j => Tuple1(ts(d, j)))).toDF("t")
+    assert(Analytics.seasonalAnomalies(flat, "t", 2.0).count() === 0L)
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++

@@ -295,6 +295,17 @@ class GraphSpec extends SparkSpec {
     assert(capped(1L) >= 1L)
   }
 
+  test("degreePowerLaw: star graph fits slope -1 exactly") {
+    import spark.implicits._
+    // star: a—{b,c,d} → degrees a:3, b/c/d:1 → hist {1:3, 3:1} →
+    // ln-ln points (0, ln3), (ln3, 0): slope -1, r2 1
+    val e = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("a", "b")).toDF("s", "d")
+    val r = Graph.degreePowerLaw(e, "s", "d", deterministic = true).first()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L && r.getLong(2) === 3L)
+    assert(math.abs(r.getDouble(3) - (-1.0)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
+
   test("hits: one-round hand golden, duplicate edges collapse, det ≈ prod") {
     import spark.implicits._
     // h1→{a1,a2}, h2→{a1}: auth raw (2,1)/√5; hub raw (3,2)/√5 → /√13

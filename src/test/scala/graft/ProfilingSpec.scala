@@ -443,6 +443,21 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3)) < 1e-9, s"kappa=${r.getDouble(3)}")
   }
 
+  test("numericMI: perfect dependence saturates, noise stays low") {
+    val dep = (1 to 64).map(i => (i.toLong, i.toDouble, i.toDouble * 2.0))
+      .toDF("id", "x", "y")
+    val r = Profiling.numericMI(dep, "id", "x", "y", bins = 4,
+      deterministic = true).first()
+    // monotone map → identical bins → MI = H = ln 4, NMI = 1
+    assert(math.abs(r.getDouble(1) - math.log(4.0)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
+    // decorrelated pattern → NMI well below 1
+    val mix = (1 to 64).map(i => (i.toLong, i.toDouble,
+      ((i * 29) % 64).toDouble)).toDF("id", "x", "y")
+    val r2 = Profiling.numericMI(mix, "id", "x", "y", bins = 4)
+    assert(r2.first().getDouble(4) < 0.5)
+  }
+
   test("freshnessReport: frontier ages and horizon counts") {
     import java.sql.Timestamp
     def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
