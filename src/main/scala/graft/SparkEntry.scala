@@ -1998,6 +1998,46 @@ object SparkEntry {
           round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
           round(col("nmi"), 6).as("nmi"))
     }),
+    // ── scale: monthly ship-lag percentiles — order→ship latency p50/p90
+    //    per month via the per-group exact-crossing quantile machinery
+    //    (operational BI on the TPC-H shape) (oracle: DuckDB rank
+    //    crossings per month) ──────────────────────────────────────────────
+    "q224_ship_lag" -> ((s, dir) => {
+      def dayOf(c: org.apache.spark.sql.Column) = {
+        val m = unix_micros(c.cast("timestamp"))
+        ((m - pmod(m, lit(86400000000L))) / lit(86400000000L)).cast("long")
+      }
+      val j = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")).as("rid"),
+          (dayOf(col("l_shipdate")) - dayOf(col("o_orderdate")))
+            .as("lag_days"))
+        .withColumn("__w", lit(1L))
+        .localCheckpoint(false)
+      val stats = j.groupBy("month").agg(count(lit(1)).as("n"))
+      Sampling.weightedQuantilesPerGroup(j, "month", "rid", "lag_days",
+          "__w", Seq(0.5, 0.9))
+        .join(stats, Seq("month"))
+        .select(col("month"), col("q"), col("value").as("lag_days"),
+          col("n"))
+        .orderBy("month", "q")
+    }),
+    // ── scale: snapshot diff report — added/removed/changed/unchanged
+    //    between two pk-unique generations ("what did this load DO";
+    //    full-reload-as-increment tell: removed ≈ n_old); key+hash-width
+    //    full-outer join (oracle: DuckDB direct column comparison) ─────────
+    "q225_snapshot_diff" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val oldGen = o.filter(pmod(col("o_orderkey"), lit(101L)) =!= 0L)
+      val newGen = o
+        .filter(pmod(col("o_orderkey"), lit(97L)) =!= 0L)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(89L)) === 0L,
+            col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+      Snapshot.diffReport(oldGen, newGen, Seq("o_orderkey"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4337,6 +4377,57 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q224_ship_lag" ->
+      """WITH j AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) AS rid,
+        |    ((epoch_us(l_shipdate) - epoch_us(l_shipdate) % 86400000000)
+        |      // 86400000000) -
+        |    ((epoch_us(o_orderdate) - epoch_us(o_orderdate) % 86400000000)
+        |      // 86400000000) AS lag
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |r AS (SELECT month, lag, rid,
+        |    CAST(row_number() OVER (PARTITION BY month ORDER BY lag, rid)
+        |      AS BIGINT) AS cum
+        |  FROM j),
+        |w AS (SELECT month, CAST(count(*) AS BIGINT) AS wt
+        |  FROM j GROUP BY 1),
+        |qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+        |SELECT r.month, q, lag AS lag_days, wt AS n
+        |FROM r JOIN w USING (month), qs
+        |WHERE cum >= q * CAST(wt AS DOUBLE)
+        |  AND cum - 1 < q * CAST(wt AS DOUBLE)
+        |ORDER BY month, q""".stripMargin,
+    "q225_snapshot_diff" ->
+      """WITH oldg AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0),
+        |newg AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |j AS (SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+        |    CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |      OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |      OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |      OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |    THEN 1 ELSE 0 END AS diff
+        |  FROM oldg o FULL OUTER JOIN newg n
+        |    ON o.o_orderkey = n.o_orderkey)
+        |SELECT
+        |  CAST(sum(CASE WHEN ko IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_old,
+        |  CAST(sum(CASE WHEN kn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN ko IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS added,
+        |  CAST(sum(CASE WHEN kn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS removed,
+        |  CAST(sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+        |    AND diff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |  CAST(sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+        |    AND diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+        |FROM j""".stripMargin,
     "q221_degree_powerlaw" ->
       """WITH el AS (
         |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,

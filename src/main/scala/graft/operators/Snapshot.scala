@@ -367,4 +367,36 @@ object Snapshot {
       .select(col(keyCol), col(valueCol), col("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Snapshot diff report: added / removed / changed / unchanged row
+    * counts between two pk-unique generations — the one-line answer to
+    * "what did this load actually do", and the audit that catches a
+    * full-reload masquerading as an increment (changed ≈ 0, removed ≈
+    * n_old is the tell). Each side collapses to (pk, row-hash over the
+    * data columns — the [[rowHash]] Python-str parity hash) so the
+    * full-outer join ships key+hash width, never rows; the report is one
+    * aggregate over it. Inputs must be pk-unique (dedup first — the
+    * q07 keep-last convention). Data columns are the two schemas'
+    * intersection minus the pk. Returns one row
+    * (n_old, n_new, added, removed, changed, unchanged). */
+  def diffReport(oldDf: DataFrame, newDf: DataFrame,
+      pk: Seq[String]): DataFrame = {
+    require(pk.nonEmpty, "need a primary key")
+    val dataCols = oldDf.columns.filterNot(pk.contains)
+      .intersect(newDf.columns).toSeq
+    require(dataCols.nonEmpty, "no common non-pk columns to compare")
+    val ha = oldDf.select(pk.map(col) :+
+      rowHash(oldDf, dataCols).as("__ho"): _*)
+    val hb = newDf.select(pk.map(col) :+
+      rowHash(newDf, dataCols).as("__hn"): _*)
+    ha.join(hb, pk, "full_outer").agg(
+      sum(when(col("__ho").isNotNull, 1L).otherwise(0L)).as("n_old"),
+      sum(when(col("__hn").isNotNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("__ho").isNull, 1L).otherwise(0L)).as("added"),
+      sum(when(col("__hn").isNull, 1L).otherwise(0L)).as("removed"),
+      sum(when(col("__ho").isNotNull && col("__hn").isNotNull &&
+        col("__ho") =!= col("__hn"), 1L).otherwise(0L)).as("changed"),
+      sum(when(col("__ho").isNotNull && col("__hn").isNotNull &&
+        col("__ho") === col("__hn"), 1L).otherwise(0L)).as("unchanged"))
+  }
 }

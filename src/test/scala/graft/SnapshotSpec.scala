@@ -241,4 +241,17 @@ class SnapshotSpec extends SparkSpec {
     // id 1 (A) observed first, then B: A closed, B current
     assert(out.toSet === Set(("A", false), ("B", true)))
   }
+
+  test("diffReport: added/removed/changed/unchanged between generations") {
+    val oldGen = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)).toDF("id", "s", "v")
+    val newGen = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 99.0),
+      (4L, "d", 40.0), (6L, "f", 60.0)).toDF("id", "s", "v")
+    val r = Snapshot.diffReport(oldGen, newGen, Seq("id")).first()
+    assert(r.getLong(0) === 5L && r.getLong(1) === 5L) // n_old, n_new
+    assert(r.getLong(2) === 1L)  // added: 6
+    assert(r.getLong(3) === 1L)  // removed: 5
+    assert(r.getLong(4) === 1L)  // changed: 3
+    assert(r.getLong(5) === 3L)  // unchanged
+  }
 }
