@@ -2038,6 +2038,27 @@ object SparkEntry {
             col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
       Snapshot.diffReport(oldGen, newGen, Seq("o_orderkey"))
     }),
+    // ── scale: session association rules — market-basket over sessionized
+    //    event types (support/confidence/lift); distinct (session, type)
+    //    rows, type²-sized tail (oracle: DuckDB sessionize + pair replay) ──
+    "q226_association_rules" -> ((s, dir) => {
+      Analytics.sessionAssociationRules(T(s, dir, "events"), "user_id",
+          "ts", "event_type", gapSeconds = 600L)
+        .select(col("antecedent"), col("consequent"), col("n_sessions"),
+          col("n_both"), round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("antecedent", "consequent")
+    }),
+    // ── scale: Markov next-event self-eval — the predictability baseline
+    //    any sequence model must beat, per state (oracle: DuckDB lag +
+    //    argmax replay) ────────────────────────────────────────────────────
+    "q227_markov_eval" -> ((s, dir) => {
+      Analytics.markovSelfEval(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .select(col("state"), col("n_transitions"), col("predicted"),
+          col("hits"), round(col("accuracy"), 6).as("accuracy"))
+        .orderBy("state")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4377,6 +4398,61 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q226_association_rules" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    CASE WHEN date_diff('second',
+        |        lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 600
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, event_type,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM marked),
+        |st AS (SELECT DISTINCT user_id, seq, event_type FROM sessions),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT user_id, seq FROM st)),
+        |singles AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS c
+        |  FROM st GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS antecedent,
+        |    b.event_type AS consequent, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.seq = b.seq
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, (SELECT n FROM nn) AS n_sessions,
+        |  n_both,
+        |  round(CAST(n_both AS DOUBLE) / CAST(ca.c AS DOUBLE), 6)
+        |    AS confidence,
+        |  round((CAST(n_both AS DOUBLE) * CAST((SELECT n FROM nn) AS DOUBLE))
+        |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN singles ca ON ca.t = antecedent
+        |JOIN singles cb ON cb.t = consequent
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "q227_markov_eval" ->
+      """WITH seqd AS (SELECT user_id, epoch_us(ts) AS m, event_id,
+        |    event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |trans AS (SELECT event_type AS state, nxt,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM seqd WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |pred AS (SELECT state, nxt AS predicted FROM (
+        |  SELECT state, nxt,
+        |    row_number() OVER (PARTITION BY state ORDER BY c DESC, nxt)
+        |      AS r
+        |  FROM trans) WHERE r = 1)
+        |SELECT t.state, CAST(sum(c) AS BIGINT) AS n_transitions,
+        |  max(p.predicted) AS predicted,
+        |  CAST(sum(CASE WHEN t.nxt = p.predicted THEN c ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  round(CAST(sum(CASE WHEN t.nxt = p.predicted THEN c ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS accuracy
+        |FROM trans t JOIN pred p ON t.state = p.state
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q224_ship_lag" ->
       """WITH j AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |    CAST(l_orderkey AS VARCHAR) || ':' ||

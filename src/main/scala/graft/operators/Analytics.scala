@@ -179,6 +179,86 @@ object Analytics {
           lit(0.5)).as("paradox"))
   }
 
+  /** Session-level association rules: for every ordered event-type pair
+    * A→B, the support (sessions containing both), confidence
+    * P(B ∈ session | A ∈ session), and lift — market-basket analysis
+    * where the basket is a [[sessionize]] session ("users who hit
+    * errors in a session also purchase 0.6× as often as baseline").
+    * Scale shape: sessions collapse to DISTINCT (session, type) rows
+    * (bounded by types-per-session, not events), the pair join is
+    * session-keyed with type-domain fan-out, and everything after is
+    * type²-sized. Exact rationals; lift = (n_ab·N)/(n_a·n_b) in fixed
+    * parenthesization. Returns (antecedent, consequent, n_sessions,
+    * n_both, confidence, lift). */
+  def sessionAssociationRules(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, gapSeconds: Long): DataFrame = {
+    val st = sessionize(df, keyCol, tsCol, gapSeconds)
+      .select(col(keyCol).as("__k"), col("session_seq").as("__q"),
+        col(typeCol).cast("string").as("__t"))
+      .distinct().localCheckpoint(false)
+    val nFrame = st.select("__k", "__q").distinct()
+      .agg(count(lit(1)).as("__n"))
+    val singles = st.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val pairs = st.join(
+        st.select(col("__k"), col("__q"), col("__t").as("__t2")),
+        Seq("__k", "__q"))
+      .filter(col("__t") =!= col("__t2"))
+      .groupBy(col("__t").as("antecedent"), col("__t2").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(Ops.broadcastIfSmall(singles
+        .select(col("__t").as("antecedent"), col("__c").as("__ca"))),
+        Seq("antecedent"))
+      .join(Ops.broadcastIfSmall(singles
+        .select(col("__t").as("consequent"), col("__c").as("__cb"))),
+        Seq("consequent"))
+      .crossJoin(broadcast(nFrame))
+      .select(col("antecedent"), col("consequent"),
+        col("__n").as("n_sessions"), col("n_both"),
+        (col("n_both").cast("double") / col("__ca").cast("double"))
+          .as("confidence"),
+        ((col("n_both").cast("double") * col("__n").cast("double")) /
+          (col("__ca").cast("double") * col("__cb").cast("double")))
+          .as("lift"))
+  }
+
+  /** Markov next-event model self-evaluation: train the first-order
+    * "most likely next event type" table on the corpus and measure its
+    * hit rate on the same transitions — the baseline any sequence model
+    * must beat, and per-state the answer to "how predictable is what
+    * users do after X". Transitions come from one lag window per key
+    * ordered (ts, id) (the established per-key precedent); counts,
+    * argmax (max count, ties lexicographic — deterministic), and the
+    * accuracy join are all type-domain-sized after the one transition
+    * scan. Returns per state: (state, n_transitions, predicted, hits,
+    * accuracy). */
+  def markovSelfEval(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val w = Window.partitionBy("__k").orderBy(col("__m").asc, col("__id").asc)
+    val trans = df.select(col(keyCol).as("__k"), m.as("__m"),
+        col(idCol).as("__id"), col(typeCol).cast("string").as("__t"))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__t").as("state"), col("__next"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val predicted = trans.groupBy("state")
+      .agg(min(struct((-col("__c")).as("nc"), col("__next").as("t")))
+        .as("__b"))
+      .select(col("state"), col("__b").getField("t").as("predicted"))
+    trans.join(Ops.broadcastIfSmall(predicted), Seq("state"))
+      .groupBy("state")
+      .agg(sum("__c").as("n_transitions"),
+        max("predicted").as("predicted"),
+        sum(when(col("__next") === col("predicted"), col("__c"))
+          .otherwise(0L)).as("hits"))
+      .withColumn("accuracy",
+        col("hits").cast("double") / col("n_transitions").cast("double"))
+  }
+
   /** Per-session rollup on a sessionized frame. */
   def sessionStats(sessionized: DataFrame, keyCol: String, tsCol: String): DataFrame =
     sessionized.groupBy(col(keyCol), col("session_seq"))

@@ -615,6 +615,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.seasonalAnomalies(flat, "t", 2.0).count() === 0L)
   }
 
+  test("sessionAssociationRules: support, confidence, lift over baskets") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val rows = Seq( // u: {a,b} then (after gap) {a}; v: {a,b,c}
+      ("u", ts(0), "a"), ("u", ts(10), "b"),
+      ("u", ts(5000), "a"),
+      ("v", ts(0), "a"), ("v", ts(1), "b"), ("v", ts(2), "c"))
+    val out = Analytics.sessionAssociationRules(rows.toDF("k", "t", "e"),
+      "k", "t", "e", 600L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // singles: a=3 sessions, b=2, c=1; N=3
+    assert(out(("a", "b")) === ((3L, 2L, 2.0 / 3.0, 1.0)))
+    assert(out(("b", "a")) === ((3L, 2L, 1.0, 1.0)))
+    assert(out(("b", "c"))._4 === 1.5) // 1·3/(2·1)
+    assert(!out.contains(("a", "a")))
+  }
+
+  test("markovSelfEval: argmax next-state table and its hit rate") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val rows = Seq(
+      ("u", ts(0), 1L, "a"), ("u", ts(1), 2L, "b"), ("u", ts(2), 3L, "a"),
+      ("u", ts(3), 4L, "b"), ("u", ts(4), 5L, "a"),
+      ("v", ts(0), 6L, "a"), ("v", ts(1), 7L, "c"))
+    val out = Analytics.markovSelfEval(rows.toDF("k", "t", "id", "e"),
+      "k", "t", "id", "e").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a") === ((3L, "b", 2L, 2.0 / 3.0)))
+    assert(out("b") === ((2L, "a", 2L, 1.0)))
+    assert(!out.contains("c")) // terminal state: no outgoing transitions
+  }
+
   test("anovaOneWay matches the textbook decomposition; degenerates NULL") {
     // three groups with clearly separated means
     val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
