@@ -2059,6 +2059,16 @@ object SparkEntry {
           col("hits"), round(col("accuracy"), 6).as("accuracy"))
         .orderBy("state")
     }),
+    // ── scale: nearest-centroid label confusion — one centroid per label
+    //    (float-rounded means, the q72 parity convention), cosine assign
+    //    via the fused NearestCentroid expression, labels²-sized cells
+    //    ("are these labels separable at all") (oracle: DuckDB centroid +
+    //    cosine-rank replay) ───────────────────────────────────────────────
+    "q228_centroid_confusion" -> ((s, dir) => {
+      Similarity.labelCentroidConfusion(T(s, dir, "embeddings"), "vec_id",
+          "embedding", "label")
+        .orderBy("label", "predicted")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4398,6 +4408,25 @@ object SparkEntry {
         |SELECT dow, n, round(s / CAST(n AS DOUBLE), 6) AS mean,
         |  round((s / CAST(n AS DOUBLE)) / grand, 6) AS idx
         |FROM pd, gm ORDER BY dow""".stripMargin,
+    "q228_centroid_confusion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |m AS (SELECT label, t.i, CAST(avg(e.v[t.i]) AS FLOAT) AS mv
+        |  FROM e, range(1, 65) AS t(i) GROUP BY label, t.i),
+        |cents AS (SELECT label AS cl,
+        |    CAST(list(mv ORDER BY i) AS DOUBLE[]) AS cvec
+        |  FROM m GROUP BY label),
+        |a AS (SELECT vec_id, label, cl FROM (
+        |  SELECT e.vec_id, e.label, cents.cl,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, cents.cvec) /
+        |        sqrt(list_dot_product(cents.cvec, cents.cvec))
+        |        DESC, cents.cl) AS rn
+        |  FROM e, cents) WHERE rn = 1)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(cl AS BIGINT)
+        |    AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM a GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin,
     "q226_association_rules" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,

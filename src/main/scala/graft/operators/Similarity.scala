@@ -445,6 +445,39 @@ object Similarity {
             lit(0.0), (acc, e) => acc + e) / lit(dim.toDouble), 6).as("mse"))
   }
 
+  /** Nearest-centroid classifier confusion: train one centroid per label
+    * (per-dim means, float-rounded — the q72 parity convention), assign
+    * every vector to its nearest centroid by cosine, and report the
+    * label×predicted confusion cells — the 30-second "are these labels
+    * even linearly separable in embedding space" answer that decides
+    * whether a classifier project is worth starting, and the diagonal's
+    * complement names the confusable label pairs. ONE posexplode pass to
+    * label×dim centroid cells (driver-small), assignment via the fused
+    * [[graft.functions.NearestCentroid]] expression (constant codegen
+    * size at any label count, ties to the lowest label), cells are
+    * labels²-sized. Returns (label, predicted, n). */
+  def labelCentroidConfusion(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol),
+        col(labelCol).cast(LongType).as("__lbl"))
+      .localCheckpoint(false)
+    val perDim = base
+      .select(col("__lbl"), posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+      .groupBy("__lbl", "__pos")
+      .agg(avg(col("__val").cast(DoubleType)).as("__avg"))
+      .collect()
+    val cens: Seq[(Long, Seq[Float], Double)] =
+      perDim.groupBy(_.getLong(0)).toSeq.map { case (l, cells) =>
+        val vec = cells.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        var nrm = 0.0
+        vec.foreach(v => nrm += v.toDouble * v.toDouble)
+        (l, vec, math.sqrt(nrm))
+      }.sortBy(_._1)
+    assignSeq(base, cens, vecCol)
+      .groupBy(col("__lbl").as("label"), col("centroid_id").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-dimension embedding statistics: mean and std of every
     * coordinate — the anisotropy health check run before trusting cosine
     * at all (a dominant dimension or a shifted mean makes cosine measure

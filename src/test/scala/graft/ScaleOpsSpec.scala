@@ -903,6 +903,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out("b") === ((3L, 3L, 1L, 1.0 / 3.0))) // "oops" fails
   }
 
+  test("labelCentroidConfusion: separable clusters sit on the diagonal") {
+    import spark.implicits._
+    // two tight clusters, one planted cross-label point
+    val rows =
+      (0 to 4).map(i => (i.toLong, Array(1.0f, 0.001f * i), 0)) ++
+      (5 to 9).map(i => (i.toLong, Array(0.001f * i, 1.0f), 1)) ++
+      Seq((10L, Array(0.0f, 1.0f), 0)) // labeled 0 but lives in cluster 1
+    val out = Similarity.labelCentroidConfusion(rows.toDF("id", "v", "l"),
+      "id", "v", "l").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) === 5L)
+    assert(out((0L, 1L)) === 1L) // the planted point crosses over
+    assert(out((1L, 1L)) === 5L)
+    assert(!out.contains((1L, 0L)))
+  }
+
   test("dimensionStats: per-coordinate mean/std, 1-based dims") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
