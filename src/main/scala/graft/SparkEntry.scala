@@ -2069,6 +2069,42 @@ object SparkEntry {
           "embedding", "label")
         .orderBy("label", "predicted")
     }),
+    // ── scale: Spearman rank-correlation matrix — tie-aware exact
+    //    midranks via the distributed-cumsum idiom, DECIMAL(38,0) rank
+    //    sums (≡ DuckDB HUGEINT), one fixed-paren double formula
+    //    (oracle: DuckDB replays ranks, sums, and the formula) ───────────
+    "q229_spearman" -> ((s, dir) => {
+      Profiling.spearmanMatrix(
+          T(s, dir, "lineitem").select("l_quantity", "l_extendedprice",
+            "l_discount", "l_tax"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"), col("n"),
+          round(col("spearman"), 6).as("spearman"))
+        .orderBy("col_a", "col_b")
+    }),
+    // ── scale: multi-source BFS hop levels — crawl depth from a trusted
+    //    seed frontier over the bidirected customer–supplier graph;
+    //    frontier-only joins, integer-exact (oracle: DuckDB replays the
+    //    rounds as unrolled MATERIALIZED CTEs) ────────────────────────────
+    "q230_bfs_levels" -> ((s, dir) => {
+      val el = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      val seeds = T(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      Graph.bfsLevels(Graph.bidirect(el, "a", "b"), "src", "dst",
+          seeds, "node", maxHops = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("node").startsWith("c"), 1L).otherwise(0L))
+            .as("n_cust"),
+          sum(when(col("node").startsWith("s"), 1L).otherwise(0L))
+            .as("n_supp"))
+        .orderBy("dist")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4427,6 +4463,8 @@ object SparkEntry {
         |    AS predicted,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM a GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin,
+    "q229_spearman" -> spearmanOracleSql,
+    "q230_bfs_levels" -> bfsLevelsOracleSql(maxHops = 3),
     "q226_association_rules" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
@@ -7549,6 +7587,85 @@ object SparkEntry {
        |  FROM src)
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** q229 Spearman oracle: per-column doubled midranks
+    * (2·cntBelow + cnt + 1, exact integers) replayed over value-grouped
+    * windows; HUGEINT sums ≡ the operator's DECIMAL(38,0) sums; the same
+    * fixed-parenthesization double formula per pair. */
+  private def spearmanOracleSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rankCtes = cols.map { c =>
+      s"""g_$c AS (SELECT CAST($c AS DOUBLE) AS v,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1),
+         |r_$c AS (SELECT v, 2 * COALESCE(CAST(sum(c) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) + c + 1 AS r
+         |  FROM g_$c)""".stripMargin
+    }.mkString(",\n")
+    val joins = cols
+      .map(c => s"JOIN r_$c ON CAST(lineitem.$c AS DOUBLE) = r_$c.v")
+      .mkString("\n  ")
+    val rankSel = cols.map(c => s"r_$c.r AS rk_$c").mkString(", ")
+    val stats = (Seq("CAST(count(*) AS BIGINT) AS n") ++
+      cols.flatMap(c => Seq(
+        s"sum(rk_$c) AS s_$c",
+        s"sum(rk_$c * rk_$c) AS q_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        s"sum(rk_$a * rk_$b) AS p_${a}_$b"
+      }).mkString(",\n    ")
+    val rows = cols.combinations(2).map { case Seq(a, b) =>
+      val r = s"((CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)) - " +
+        s"(CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))) / " +
+        s"(sqrt((CAST(n AS DOUBLE) * CAST(q_$a AS DOUBLE)) - " +
+        s"(CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))) * " +
+        s"sqrt((CAST(n AS DOUBLE) * CAST(q_$b AS DOUBLE)) - " +
+        s"(CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))))"
+      s"SELECT '$a' AS col_a, '$b' AS col_b, n, round($r, 6) AS spearman" +
+        " FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $rankCtes,
+       |j AS MATERIALIZED (SELECT $rankSel
+       |  FROM lineitem
+       |  $joins),
+       |s AS MATERIALIZED (SELECT
+       |    $stats
+       |  FROM j)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** q230 BFS oracle: the frontier rounds unrolled — f_h = distinct
+    * neighbors of f_{h−1} not yet visited, v_h = v_{h−1} ∪ (f_h, h);
+    * every CTE MATERIALIZED (multi-referenced, the q131 inlining
+    * lesson). Integer-exact throughout. */
+  private def bfsLevelsOracleSql(maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { h =>
+      val p = h - 1
+      s"""f$h AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+         |  FROM e JOIN f$p ON e.src = f$p.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v$p)),
+         |v$h AS MATERIALIZED (SELECT node, dist FROM v$p
+         |  UNION ALL SELECT node, $h AS dist FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH el AS MATERIALIZED (SELECT DISTINCT
+       |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM el
+       |  UNION SELECT b AS src, a AS dst FROM el),
+       |f0 AS MATERIALIZED (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR)
+       |    AS node FROM supplier WHERE s_suppkey % 10 = 0),
+       |v0 AS MATERIALIZED (SELECT node, 0 AS dist FROM f0),
+       |$rounds
+       |SELECT CAST(dist AS INTEGER) AS dist,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cust,
+       |  CAST(sum(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_supp
+       |FROM v$maxHops GROUP BY 1 ORDER BY dist""".stripMargin
   }
 
   /** q143 k-core oracle: the peeling rounds unrolled — per round, edges

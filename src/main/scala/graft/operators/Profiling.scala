@@ -361,6 +361,85 @@ object Profiling {
     row.select(explode(array(pairs: _*)).as("p")).select("p.*")
   }
 
+  /** Exact tie-aware Spearman rank-correlation matrix: Pearson over
+    * average ranks (midranks), the monotone-association complement to
+    * [[integerCorrelationMatrix]]'s linear Pearson — the profiling answer
+    * to "are these columns related at all, linearly or not?" that is also
+    * robust to the heavy-tailed magnitudes Pearson is dominated by.
+    *
+    * Exactness without a global sort: each column collapses to its
+    * value-cardinality frame (v, cnt) in one map-side-combined aggregate;
+    * cumulative counts-below run in the distributed-cumsum idiom (range
+    * exchange over the VALUE frame + driver prefix offsets — never a
+    * one-task window); the DOUBLED midrank 2·cntBelow + cnt + 1 is an
+    * exact integer shared by every row with that value (doubling both
+    * rank vectors leaves Pearson unchanged), and rows get their ranks
+    * back through a key-width value join. All sufficient statistics
+    * (Σr, Σr², Σr·r') are DECIMAL(38,0) sums of exact long terms —
+    * order-independent and engine-exact at any row count (a 128-bit sum
+    * matches DuckDB's HUGEINT) — and the final correlation computes in
+    * doubles at one fixed parenthesization. Per-term contract: the long
+    * product (2n+1)² must fit a signed long, i.e. n < ~1.5e9 rows; shard
+    * beyond that. Returns (col_a, col_b, n, spearman). */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    // complete-case convention: a row with ANY null drops before ranking
+    // (ranks must come from the same row set the sums fold over, or the
+    // value-join silently mis-offsets every rank above the null)
+    val base = df
+      .select(cols.map(c => col(c).cast("double").as(s"__v_$c")): _*)
+      .na.drop()
+      .localCheckpoint(false) // one corpus scan feeds k rank passes + join
+    // (value -> doubled midrank) frame for one column
+    def ranks(cName: String): DataFrame = {
+      val byV = base.select(col(s"__v_$cName").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+        .repartitionByRange(p, col("__v").asc)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(false) // freeze range boundaries (q79 lesson)
+      val sums = byV.groupBy("__pid").agg(sum("__cnt").as("__t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets: Map[Int, Long] = sums.map(_._1)
+        .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__pid").orderBy(col("__v").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      byV.withColumn("__cb",
+          coalesce(sum(col("__cnt")).over(w), lit(0L)) +
+            element_at(typedLit(offsets), col("__pid")))
+        .select(col("__v").as(s"__v_$cName"),
+          (lit(2L) * col("__cb") + col("__cnt") + lit(1L)).as(s"__r_$cName"))
+    }
+    var rows = base
+    for (c <- cols) rows = rows.join(ranks(c), Seq(s"__v_$c"))
+    val dec = DecimalType(38, 0)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.flatMap { c =>
+        val r = col(s"__r_$c")
+        Seq(sum(r.cast(dec)).as(s"__s_$c"),
+          sum((r * r).cast(dec)).as(s"__q_$c"))
+      } ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum((col(s"__r_$a") * col(s"__r_$b")).cast(dec)).as(s"__p_${a}_$b")
+      }.toSeq
+    val row = rows.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      val nD = col("__n").cast("double")
+      val sx = col(s"__s_$a").cast("double")
+      val sy = col(s"__s_$b").cast("double")
+      val sxx = col(s"__q_$a").cast("double")
+      val syy = col(s"__q_$b").cast("double")
+      val sxy = col(s"__p_${a}_$b").cast("double")
+      val r = ((nD * sxy) - (sx * sy)) /
+        (sqrt((nD * sxx) - (sx * sx)) * sqrt((nD * syy) - (sy * sy)))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n"), r.as("spearman"))
+    }.toSeq
+    row.select(explode(array(pairs: _*)).as("p")).select("p.*")
+  }
+
   /** Shuffle-key skew diagnostic: the top-`k` heaviest values of
     * `keyCol` with their row share, plus corpus-level constants — number
     * of distinct keys, mean rows per key, and `skew` = max/mean ratio

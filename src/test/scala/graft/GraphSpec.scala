@@ -333,4 +333,32 @@ class GraphSpec extends SparkSpec {
     val hubNorm = det.collect { case ((_, "hub"), v) => v * v }.sum
     assert(math.abs(hubNorm - 1.0) < 1e-9)
   }
+
+  test("bfsLevels: hop distances on a hand graph, early exit, isolated seed") {
+    // a-b-c-d chain plus an off-chain e-f edge and an isolated seed z
+    val el = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
+      .toDF("s", "t")
+    val edges = Graph.bidirect(el, "s", "t")
+    val seeds = Seq("a", "z").toDF("node")
+    val got = Graph.bfsLevels(edges, "src", "dst", seeds, "node", maxHops = 5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("a" -> 0, "z" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    // maxHops truncation: same graph, one hop only
+    val one = Graph.bfsLevels(edges, "src", "dst", seeds, "node", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(one === Map("a" -> 0, "z" -> 0, "b" -> 1))
+    // maxHops = 0 returns just the seeds
+    val zero = Graph.bfsLevels(edges, "src", "dst", seeds, "node", maxHops = 0)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(zero === Map("a" -> 0, "z" -> 0))
+  }
+
+  test("bfsLevels: a node reachable two ways reports the MINIMUM hop count") {
+    // a->b->c and a->c directly: c must be dist 1, not 2
+    val el = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "t")
+    val got = Graph.bfsLevels(el, "s", "t",
+        Seq("a").toDF("node"), "node", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 1))
+  }
 }

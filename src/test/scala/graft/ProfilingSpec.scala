@@ -530,4 +530,49 @@ class ProfilingSpec extends SparkSpec {
     assert(r2.length === 2)
     assert(r2(1).getDouble(7) === 1.0 && r2(1).getLong(4) === 0L)
   }
+
+  /** Tie-aware reference: Pearson over doubled midranks. */
+  private def refSpearman(x: Seq[Double], y: Seq[Double]): Double = {
+    def ranks(v: Seq[Double]): Seq[Double] = v.map { a =>
+      2.0 * v.count(_ < a) + v.count(_ == a) + 1.0
+    }
+    val (rx, ry) = (ranks(x), ranks(y))
+    val n = x.size.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxx = rx.map(a => a * a).sum
+    val syy = ry.map(a => a * a).sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    ((n * sxy) - (sx * sy)) /
+      (math.sqrt((n * sxx) - (sx * sx)) * math.sqrt((n * syy) - (sy * sy)))
+  }
+
+  test("spearmanMatrix: monotone transform gives 1, reversal gives -1") {
+    val xs = Seq(1.0, 3.0, 7.0, 12.0, 30.0, 55.0)
+    val df = xs.map(v => (v, v * v * v + 2.0, -v)).toDF("x", "y", "z")
+    val out = Profiling.spearmanMatrix(df, Seq("x", "y", "z")).collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(math.abs(m(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(m(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(m(("y", "z")) + 1.0) < 1e-12)
+    assert(out.forall(_.getLong(2) === 6L))
+  }
+
+  test("spearmanMatrix: midrank ties match the hand reference") {
+    val x = Seq(1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 9.0)
+    val y = Seq(5.0, 1.0, 4.0, 4.0, 2.0, 8.0, 3.0)
+    val df = x.zip(y).toDF("x", "y")
+    val got = Profiling.spearmanMatrix(df, Seq("x", "y"))
+      .collect().head.getDouble(3)
+    assert(math.abs(got - refSpearman(x, y)) < 1e-12)
+  }
+
+  test("spearmanMatrix: complete-case drops any-null rows before ranking") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 2.0), (2.0, 3.0), (null, 9.0), (3.0, null), (4.0, 5.0))
+      .toDF("x", "y")
+    val r = Profiling.spearmanMatrix(df, Seq("x", "y")).collect().head
+    assert(r.getLong(2) === 3L)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
 }
