@@ -2105,6 +2105,113 @@ object SparkEntry {
             .as("n_supp"))
         .orderBy("dist")
     }),
+    // ── scale: TPC-H Q4 shape (order-priority checking) — EXISTS becomes
+    //    a left-semi join whose condition spans both tables (late ship:
+    //    l_shipdate > o_orderdate + 30 days; this schema has no
+    //    commitdate/receiptdate); integer counts (oracle: DuckDB runs the
+    //    same SQL with a real EXISTS) ─────────────────────────────────────
+    "q231_tpch_q4" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // ── scale: TPC-H Q13 shape (customer order-count distribution) — the
+    //    LEFT JOIN with the filter in the ON clause (zero-order customers
+    //    must survive), then a distribution over the per-customer counts;
+    //    integer-exact (oracle: DuckDB same SQL) ──────────────────────────
+    "q232_tpch_q13" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select("o_custkey", "o_orderkey",
+        "o_orderstatus")
+      T(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderstatus") =!= "F", "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // ── scale: TPC-H Q17 shape (small-quantity revenue) — the correlated
+    //    per-part AVG subquery becomes one per-part aggregate broadcast
+    //    back; the threshold l_quantity < 0.5·avg compares EXACTLY as
+    //    2·qty·cnt < sum (quantities are integer-valued — no cross-engine
+    //    double-avg boundary risk); exact cents (oracle: DuckDB same
+    //    integer form) ─────────────────────────────────────────────────────
+    "q233_tpch_q17" -> ((s, dir) => {
+      val parts = T(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4" && col("p_size") <= 10)
+        .select("p_partkey")
+      val li = T(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * lit(100.0)).cast("long")
+            .as("price_cents"))
+      val stats = li.groupBy(col("l_partkey").as("sp_partkey"))
+        .agg(count(lit(1)).as("p_cnt"), sum("qty").as("p_sum_qty"))
+      li.join(Ops.broadcastIfSmall(stats),
+          col("l_partkey") === col("sp_partkey"))
+        .filter(lit(2L) * col("qty") * col("p_cnt") < col("p_sum_qty"))
+        .agg(sum("price_cents").as("total_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // ── scale: TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    //    EXISTS(other supplier) / NOT EXISTS(other LATE supplier) pair
+    //    becomes a semi-join + an anti-join on (orderkey, suppkey≠), both
+    //    key-width; late = shipped >30 days after order (this schema's
+    //    receiptdate stand-in); integer counts, top-20 via
+    //    TakeOrderedAndProject (oracle: DuckDB real EXISTS forms) ──────────
+    "q234_tpch_q21" -> ((s, dir) => {
+      val oF = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey",
+        "l_shipdate")
+      val late = li.join(oF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") +
+          expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      late
+        .join(li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(broadcast(T(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+    // ── scale: TPC-H Q22 shape (global-sales opportunity) — the scalar
+    //    AVG-of-positive-balances subquery becomes a broadcast 1-row cross
+    //    join compared EXACTLY as cents·cnt > sum_cents (no double-avg
+    //    boundary risk); lapsed customers (no order since 2000) via
+    //    left-anti — every synthetic customer HAS orders, so the classic
+    //    never-ordered form is degenerate here; mktsegment stands in for
+    //    the phone country code (oracle: DuckDB same integer form) ─────────
+    "q235_tpch_q22" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .withColumn("cents", round(col("c_acctbal") * lit(100.0)).cast("long"))
+      val posAvg = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum("cents").as("pos_sum"), count(lit(1)).as("pos_cnt"))
+      cust.crossJoin(broadcast(posAvg))
+        .filter(col("cents") * col("pos_cnt") > col("pos_sum"))
+        .join(T(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), sum("cents").as("totacctbal_cents"))
+        .orderBy("c_mktsegment")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4465,6 +4572,72 @@ object SparkEntry {
         |FROM a GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin,
     "q229_spearman" -> spearmanOracleSql,
     "q230_bfs_levels" -> bfsLevelsOracleSql(maxHops = 3),
+    "q231_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q232_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q233_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4' AND p_size <= 10),
+        |stats AS (
+        |  SELECT l_partkey AS sp_partkey, CAST(count(*) AS BIGINT) AS p_cnt,
+        |    sum(qty) AS p_sum_qty
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM li JOIN stats ON l_partkey = sp_partkey
+        |WHERE 2 * qty * p_cnt < p_sum_qty""".stripMargin,
+    "q234_tpch_q21" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    "q235_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents
+        |  FROM customer),
+        |pos AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS pos_sum,
+        |    CAST(count(*) AS BIGINT) AS pos_cnt
+        |  FROM cust WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust CROSS JOIN pos
+        |WHERE cents * pos_cnt > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q226_association_rules" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
