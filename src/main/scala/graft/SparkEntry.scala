@@ -2212,6 +2212,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum("cents").as("totacctbal_cents"))
         .orderBy("c_mktsegment")
     }),
+    // ── scale: sparse TF-IDF cosine similarity join — the WEIGHTED
+    //    near-dup complement (MinHash scores shingle-SET overlap; this
+    //    scores shared distinctive mass, so rare-phrase overlap outranks
+    //    boilerplate overlap); df-pruned vectors, ONE term self-join
+    //    (Σ df² ≤ maxDf·nnz — linear at fixed maxDf), term-sorted folds
+    //    (oracle: DuckDB replays weights, norms, and the folds) ───────────
+    "q236_sparse_cosine" -> ((s, dir) => {
+      Ranking.tfidfCosinePairs(T(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.3, maxDf = 50L)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3157,6 +3170,17 @@ object SparkEntry {
           .select(col("dow"), col("n"), round(col("mean"), 6).as("mean"),
             round(col("idx"), 6).as("idx"))
           .orderBy("dow")
+      }),
+      // q236 benches the PRODUCTION path (plain map-side-combined sums);
+      // the term-sorted folds exist so the SQL oracle replays the gate
+      // run bit-exactly
+      "q236_sparse_cosine" -> ((s, dir) => {
+        () => Ranking.tfidfCosinePairs(T(s, dir, "documents"), "doc_id",
+            "text", shingleSize = 3, threshold = 0.3, maxDf = 50L,
+            deterministic = false)
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
       }),
       "q184_bootstrap_means" -> ((s, dir) => {
         val ev = T(s, dir, "events")
@@ -4638,6 +4662,38 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q236_sparse_cosine" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS term FROM t),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM g GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1 HAVING count(*) <= 50),
+        |w AS (SELECT doc_id, term, tf * ln(n.nd / CAST(df AS DOUBLE)) AS w, df
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |norms AS (SELECT doc_id,
+        |    sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b)) AS nrm
+        |  FROM w GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.term AS term,
+        |    a.w * b.w AS p
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  WHERE a.df >= 2),
+        |d AS (SELECT id_a, id_b,
+        |    list_reduce(list(p ORDER BY term), (a, b) -> a + b) AS dot,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM p GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |  round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |FROM d JOIN norms na ON na.doc_id = id_a
+        |JOIN norms nb ON nb.doc_id = id_b
+        |WHERE dot / (na.nrm * nb.nrm) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q226_association_rules" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,

@@ -315,4 +315,92 @@ object Ranking {
       .map { case ((id, rel, s), r) => (r + 1L, id, rel, s) }
       .toDF("rank", "id", "rel", "mmr")
   }
+
+  /** Sparse TF-IDF cosine similarity join: all document pairs whose
+    * df-pruned tf-idf shingle vectors have cosine ≥ `threshold` — the
+    * WEIGHTED complement to the set-based near-dup family (MinHash
+    * Jaccard treats a doc as a shingle SET; this scores how much of each
+    * document's distinctive mass two docs share, so a pair dominated by
+    * rare shared phrasing ranks above one sharing only boilerplate).
+    *
+    * Scale shape — no candidate stage and no all-pairs anywhere:
+    *  - terms with df > `maxDf` are REMOVED from the vectors (classic
+    *    stopword/df pruning: their idf weight ln(N/df) is the smallest in
+    *    the corpus, and at 100 TB a hub shingle would otherwise generate
+    *    df² join rows). The recall contract is explicit: similarity
+    *    carried ONLY by ubiquitous shingles is unobserved by design.
+    *  - the pair products come from ONE self-join of the (id, term,
+    *    weight) frame on the term key, so the join output is
+    *    Σ_terms df² ≤ maxDf · nnz rows — LINEAR in corpus size at fixed
+    *    maxDf — and aggregates per pair with map-side combine. df=1 terms
+    *    stay in the norms (they dilute cosine exactly as they should) but
+    *    never reach the join (they cannot be shared).
+    *  - the tokenize scan runs once (checkpointed tf frame feeds the
+    *    df counts, weights, norms and both join sides).
+    *
+    * `deterministic = true` (the gate path) folds each pair's products
+    * and each doc's squared weights term-sorted, so the doubles are
+    * bit-identical under repartitioning and a SQL oracle replays them;
+    * production uses plain map-side-combined sums.
+    *
+    * Returns (id_a, id_b, n_shared, cosine), id_a < id_b. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double, maxDf: Long,
+      deterministic: Boolean = true): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val tf = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.Shingles.word_shingles(
+          Dedup.tokensCol(col(textCol)), shingleSize, distinct = false))
+          .as("__term"))
+      .groupBy("__id", "__term")
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false)
+    val nDocs = tf.select(countDistinct(col("__id"))).first().getLong(0)
+    if (nDocs == 0L) {
+      import df.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("id_a", "id_b", "n_shared", "cosine")
+    }
+    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val w = tf.join(Ops.broadcastIfSmall(dfreq), Seq("__term"))
+      .withColumn("__w", col("__tf").cast("double") *
+        log(lit(nDocs.toDouble) / col("__df").cast("double")))
+      .select(col("__id"), col("__term"), col("__w"), col("__df"))
+      .localCheckpoint(false)
+    val norms = (if (deterministic)
+        w.groupBy("__id").agg(aggregate(
+          sort_array(collect_list(struct(col("__term"),
+            (col("__w") * col("__w")).as("__w2")))),
+          lit(0.0), (acc, x) => acc + x.getField("__w2")).as("__sq"))
+      else w.groupBy("__id").agg(sum(col("__w") * col("__w")).as("__sq")))
+      .select(col("__id"), sqrt(col("__sq")).as("__norm"))
+    val shared = w.filter(col("__df") >= 2L)
+    val prods = shared
+      .select(col("__term"), col("__id").as("id_a"), col("__w").as("__wa"))
+      .join(shared.select(col("__term"), col("__id").as("id_b"),
+        col("__w").as("__wb")), Seq("__term"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__term"),
+        (col("__wa") * col("__wb")).as("__p"))
+    val dots = (if (deterministic)
+        prods.groupBy("id_a", "id_b").agg(
+          aggregate(sort_array(collect_list(struct(col("__term"), col("__p")))),
+            lit(0.0), (acc, x) => acc + x.getField("__p")).as("__dot"),
+          count(lit(1)).as("n_shared"))
+      else prods.groupBy("id_a", "id_b").agg(sum(col("__p")).as("__dot"),
+        count(lit(1)).as("n_shared")))
+    dots
+      .join(Ops.broadcastIfSmall(
+        norms.select(col("__id").as("id_a"), col("__norm").as("__na"))), Seq("id_a"))
+      .join(Ops.broadcastIfSmall(
+        norms.select(col("__id").as("id_b"), col("__norm").as("__nb"))), Seq("id_b"))
+      .withColumn("cosine", col("__dot") / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "n_shared", "cosine")
+  }
 }

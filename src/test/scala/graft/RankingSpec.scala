@@ -204,4 +204,62 @@ class RankingSpec extends SparkSpec {
     val p = Ranking.evalMrrMap(perfect, bigRel, k = 2).first()
     assert(math.abs(p.getDouble(4) - 1.0) < 1e-15)
   }
+
+  /** Hand tf-idf cosine over df-pruned unigram vectors (shingleSize=1
+    * keeps the reference arithmetic readable). */
+  private def refCosine(a: Map[String, Long], b: Map[String, Long],
+      dfreq: Map[String, Long], n: Long, maxDf: Long): (Long, Double) = {
+    def w(m: Map[String, Long]): Map[String, Double] = m.collect {
+      case (t, tf) if dfreq(t) <= maxDf =>
+        t -> tf.toDouble * math.log(n.toDouble / dfreq(t).toDouble)
+    }
+    val (wa, wb) = (w(a), w(b))
+    def nrm(m: Map[String, Double]) =
+      math.sqrt(m.toSeq.sortBy(_._1).foldLeft(0.0)((s, kv) => s + kv._2 * kv._2))
+    val sharedTerms = wa.keySet.intersect(wb.keySet).toSeq.sorted
+    val dot = sharedTerms.foldLeft(0.0)((s, t) => s + wa(t) * wb(t))
+    (sharedTerms.size.toLong, dot / (nrm(wa) * nrm(wb)))
+  }
+
+  test("tfidfCosinePairs: hand reference on unigram vectors, df pruning") {
+    // "common" appears in all 4 docs; maxDf=3 prunes it from every vector
+    val d = Seq(
+      (1L, "common alpha beta alpha"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common delta epsilon"),
+      (4L, "common zeta eta theta")).toDF("doc_id", "text")
+    val counts = Map(
+      1L -> Map("common" -> 1L, "alpha" -> 2L, "beta" -> 1L),
+      2L -> Map("common" -> 1L, "alpha" -> 1L, "beta" -> 1L, "gamma" -> 1L),
+      3L -> Map("common" -> 1L, "delta" -> 1L, "epsilon" -> 1L),
+      4L -> Map("common" -> 1L, "zeta" -> 1L, "eta" -> 1L, "theta" -> 1L))
+    val dfreq = counts.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val got = Ranking.tfidfCosinePairs(d, "doc_id", "text",
+        shingleSize = 1, threshold = 0.01, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // only (1,2) share a non-pruned term (alpha, beta)
+    assert(got.keySet === Set((1L, 2L)))
+    val (ns, cos) = refCosine(counts(1L), counts(2L), dfreq, 4L, 3L)
+    assert(got((1L, 2L))._1 === ns)
+    assert(math.abs(got((1L, 2L))._2 - cos) < 1e-12)
+  }
+
+  test("tfidfCosinePairs: deterministic fold is partition-invariant and ≈ production") {
+    val d = (1L to 40L).map { i =>
+      val shared = if (i % 2 == 0) "x y z w v" else "p q r s t"
+      (i, s"$shared tok$i tok${i + 1} tok${i + 2} u${i % 5}")
+    }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, det: Boolean) =
+      Ranking.tfidfCosinePairs(df, "doc_id", "text",
+          shingleSize = 2, threshold = 0.05, maxDf = 30L, deterministic = det)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val a = run(d.repartition(1), det = true)
+    val b = run(d.repartition(7), det = true)
+    assert(a.nonEmpty && a === b)
+    val prod = run(d, det = false)
+    assert(prod.keySet === a.keySet)
+    assert(a.forall { case (k, v) => math.abs(prod(k) - v) < 1e-9 })
+  }
 }
