@@ -2225,6 +2225,51 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    // ── scale: pivot cross-tab — event-type × day-of-week counts through
+    //    Spark's RelationalGroupedDataset.pivot with EXPLICIT values (no
+    //    extra domain-discovery pass — at 100 TB the silent two-pass
+    //    default is the trap); integer-exact, q182's timezone-free dow
+    //    (oracle: DuckDB CASE sums) ────────────────────────────────────────
+    "q237_pivot_crosstab" -> ((s, dir) => {
+      val m = unix_micros(col("ts").cast("timestamp"))
+      val d = lit(86400000000L)
+      val day = ((m - pmod(m, d)) / d).cast("long")
+      val dow = (pmod(day + lit(3L), lit(7L)) + lit(1L)).cast("int")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      T(s, dir, "events")
+        .select(dow.as("dow"), col("event_type"))
+        .groupBy("dow")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .withColumn("total",
+          types.map(col).reduceLeft(_ + _))
+        .orderBy("dow")
+    }),
+    // ── scale: bounded weighted shortest paths (Bellman–Ford rounds) —
+    //    min ship-lag-days edge weights over the customer–supplier graph,
+    //    cheapest reach from the seed suppliers within 3 relaxations;
+    //    node-sized state, integer-exact (oracle: DuckDB unrolled
+    //    MATERIALIZED min-plus CTEs) ───────────────────────────────────────
+    "q238_shortest_paths" -> ((s, dir) => {
+      val el = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("lag_days"))
+      val edges = el.unionByName(el.select(col("b").as("a"),
+        col("a").as("b"), col("lag_days")))
+      val seeds = T(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      Graph.boundedShortestPaths(edges, "a", "b", "lag_days",
+          seeds, "node", rounds = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4662,6 +4707,23 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q237_pivot_crosstab" ->
+      """SELECT CAST(((epoch_us(ts) // 86400000000 + 3) % 7 + 1) AS INT)
+        |    AS dow,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type IN ('click', 'error', 'purchase',
+        |    'signup', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS total
+        |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q238_shortest_paths" -> shortestPathsOracleSql(rounds = 3),
     "q236_sparse_cosine" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -7895,6 +7957,40 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_supp
        |FROM v$maxHops GROUP BY 1 ORDER BY dist""".stripMargin
+  }
+
+  /** q238 bounded-shortest-path oracle: Bellman–Ford relaxations unrolled
+    * — d_k = per-node min over (d_{k−1} ∪ edges⋈d_{k−1} min-plus);
+    * parallel edges pre-collapsed to their min weight; every CTE
+    * MATERIALIZED (multi-referenced, the q131 inlining lesson).
+    * Integer-exact throughout. */
+  private def shortestPathsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""d$k AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         |  FROM (SELECT node, dist FROM d$p
+         |    UNION ALL
+         |    SELECT e.dst AS node, d$p.dist + e.w AS dist
+         |    FROM e JOIN d$p ON e.src = d$p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH el AS MATERIALIZED (SELECT
+       |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS b,
+       |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+       |  FROM (SELECT a AS src, b AS dst, w FROM el
+       |    UNION ALL SELECT b AS src, a AS dst, w FROM el)
+       |  GROUP BY 1, 2),
+       |d0 AS MATERIALIZED (SELECT DISTINCT
+       |    's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT)
+       |      AS dist
+       |  FROM supplier WHERE s_suppkey % 10 = 0),
+       |$steps
+       |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM d$rounds GROUP BY 1 ORDER BY dist""".stripMargin
   }
 
   /** q143 k-core oracle: the peeling rounds unrolled — per round, edges

@@ -623,4 +623,42 @@ object Graph {
     e.unpersist(false)
     state
   }
+
+  /** Bounded-round weighted shortest distances (Bellman–Ford over the
+    * min-plus semiring): the cheapest-cost reach of every node within
+    * `rounds` edge relaxations of a seed set — [[bfsLevels]]'s weighted
+    * twin ("how FAST can an order route through the supply network",
+    * where BFS only answers "how many hops").
+    *
+    * Scale shape: parallel edges collapse to their min weight once, the
+    * edge frame persists, and each round is ONE equi-join (edges ⋈
+    * current distances on src) + a per-node min aggregate — state stays
+    * node-sized, the join key-width, and every round localCheckpoints so
+    * the lazy plan never nests (the HITS 2^rounds lesson). `rounds` is a
+    * horizon, not a convergence knob: distances needing more than
+    * `rounds` hops are honestly absent, matching the unrolled-CTE oracle
+    * round for round. Integer weights end-to-end — no det/prod split.
+    * Returns (node, dist), seeds at 0. */
+  def boundedShortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist").as("__d")), "src")
+        .select(col("dst").as("node"), (col("__d") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    dist
+  }
 }

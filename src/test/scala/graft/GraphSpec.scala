@@ -361,4 +361,26 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got === Map("a" -> 0, "b" -> 1, "c" -> 1))
   }
+
+  test("boundedShortestPaths: cheaper 2-hop path beats direct edge; horizon truncates") {
+    // a->c direct costs 10; a->b->c costs 3; d needs 3 hops (cost 4)
+    val el = Seq(("a", "c", 10L), ("a", "b", 1L), ("b", "c", 2L),
+      ("c", "d", 1L)).toDF("s", "t", "w")
+    def run(rounds: Int) = Graph.boundedShortestPaths(el, "s", "t", "w",
+        Seq("a").toDF("node"), "node", rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(3) === Map("a" -> 0L, "b" -> 1L, "c" -> 3L, "d" -> 4L))
+    // one round: only direct relaxations, so c keeps the 10-cost edge
+    assert(run(1) === Map("a" -> 0L, "b" -> 1L, "c" -> 10L))
+    assert(run(0) === Map("a" -> 0L))
+  }
+
+  test("boundedShortestPaths: parallel edges collapse to min; multi-seed takes the nearest") {
+    val el = Seq(("a", "b", 5L), ("a", "b", 2L), ("z", "b", 1L))
+      .toDF("s", "t", "w")
+    val got = Graph.boundedShortestPaths(el, "s", "t", "w",
+        Seq("a", "z").toDF("node"), "node", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "z" -> 0L, "b" -> 1L))
+  }
 }
