@@ -2270,6 +2270,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
     }),
+    // ── scale: unpivot/melt report — wide→long through Dataset.unpivot
+    //    (one streamed Expand, never a per-column UNION of corpus scans);
+    //    exact integer cents per melted measure (oracle: DuckDB UNION ALL
+    //    replay) ──────────────────────────────────────────────────────────
+    "q239_unpivot_melt" -> ((s, dir) => {
+      val measures = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey") +: measures.map(c =>
+          round(col(c) * lit(100.0)).cast("long").as(c)): _*)
+        .unpivot(Array(col("l_orderkey")), measures.map(col).toArray,
+          "variable", "cents")
+        .groupBy("variable")
+        .agg(count(lit(1)).as("n"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"), sum("cents").as("sum_cents"))
+        .orderBy("variable")
+    }),
+    // ── scale: rank-biased overlap between the two q92 rankers — the
+    //    "is the hybrid fusion doing real work" diagnostic; after the two
+    //    top-50 rankings everything is one ≤50-row join + a literal-table
+    //    fold (oracle: DuckDB replays both rankers and the shared weight
+    //    literals) ─────────────────────────────────────────────────────────
+    "q240_rbo" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val e = T(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble).toSeq
+      val lex = Ranking.topNRanks(
+        Ranking.bm25(d, "doc_id", "text", Seq("join", "merge", "filter")),
+        "doc_id", "bm25", 50, "rank_lex")
+      val sem = Ranking.topNRanks(
+        e.select(col("vec_id").as("doc_id"),
+          Similarity.cosine(col("embedding"),
+            array(qv.map(lit): _*)).as("__cos")),
+        "doc_id", "__cos", 50, "rank_sem")
+      Ranking.rankBiasedOverlap(lex, sem, "doc_id", "rank_lex", "rank_sem",
+          p = 0.9, k = 50)
+        .select(col("n_shared"), round(col("rbo"), 6).as("rbo"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4724,6 +4763,21 @@ object SparkEntry {
         |    'signup', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS total
         |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
     "q238_shortest_paths" -> shortestPathsOracleSql(rounds = 3),
+    "q239_unpivot_melt" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS variable,
+        |    CAST(round(l_quantity * 100.0) AS BIGINT) AS cents FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice',
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_discount',
+        |    CAST(round(l_discount * 100.0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_tax',
+        |    CAST(round(l_tax * 100.0) AS BIGINT) FROM lineitem)
+        |SELECT variable, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
+    "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q236_sparse_cosine" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -7957,6 +8011,54 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_supp
        |FROM v$maxHops GROUP BY 1 ORDER BY dist""".stripMargin
+  }
+
+  /** q240 RBO oracle: q92's two ranker replays (BM25 term-sorted fold,
+    * embedding cosine) joined on the shared prefix; the per-depth weight
+    * table comes VERBATIM from `Ranking.rboWeights` as a literal array
+    * (the q139 shared-literal convention — no cross-engine pow/suffix-sum
+    * parity to defend), id-sorted fold, (1−p) as the same IEEE literal
+    * Spark computes. */
+  private def rboOracleSql(p: Double, k: Int): String = {
+    val w = operators.Ranking.rboWeights(p, k)
+    val arr = w.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val oneMinusP = java.lang.Double.toString(1.0 - p)
+    s"""WITH t0 AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t0),
+       |t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t0),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+       |       WHERE term IN ('join', 'merge', 'filter') GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |c AS (SELECT tf.doc_id, tf.term,
+       |        ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |          * tf.tf * 2.2
+       |          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS c
+       |      FROM tf JOIN dfreq USING (term) CROSS JOIN st),
+       |bm AS (SELECT doc_id,
+       |         list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS bm
+       |       FROM c GROUP BY doc_id),
+       |lex AS (SELECT doc_id, CAST(row_number()
+       |          OVER (ORDER BY bm DESC, doc_id) AS INTEGER) AS rank_lex
+       |        FROM bm QUALIFY rank_lex <= $k),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE vec_id = 0),
+       |sem0 AS (SELECT vec_id AS doc_id,
+       |           list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.v)
+       |             AS cs
+       |         FROM embeddings, qv),
+       |sem AS (SELECT doc_id, CAST(row_number()
+       |          OVER (ORDER BY cs DESC, doc_id) AS INTEGER) AS rank_sem
+       |        FROM sem0 QUALIFY rank_sem <= $k),
+       |wt AS (SELECT $arr AS warr),
+       |j AS (SELECT lex.doc_id AS id,
+       |        greatest(rank_lex, rank_sem) AS m
+       |      FROM lex JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_shared,
+       |  round($oneMinusP * list_reduce(
+       |    list(wt.warr[j.m + 1] ORDER BY j.id), (a, b) -> a + b), 6) AS rbo
+       |FROM j CROSS JOIN wt""".stripMargin
   }
 
   /** q238 bounded-shortest-path oracle: Bellman–Ford relaxations unrolled

@@ -116,7 +116,7 @@ object Ranking {
     * per-partition heap + driver merge — never a full sort), and the
     * row_number window then orders a frame already bounded at `n` rows,
     * so the single-partition window is O(n), not O(corpus). */
-  private def topNRanks(scored: DataFrame, idCol: String, scoreCol: String,
+  def topNRanks(scored: DataFrame, idCol: String, scoreCol: String,
       n: Int, rankName: String): DataFrame = {
     val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
     scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(n)
@@ -314,6 +314,57 @@ object Ranking {
     selected.toSeq.zipWithIndex
       .map { case ((id, rel, s), r) => (r + 1L, id, rel, s) }
       .toDF("rank", "id", "rel", "mmr")
+  }
+
+  /** The RBO per-depth contribution table: W(m) = Σ_{d=m..k} p^{d−1}/d,
+    * so a doc first covered by both rankings at depth m (= max of its two
+    * ranks) contributes exactly its share of every deeper overlap term.
+    * Powers expand as LEFT-ASSOCIATIVE multiplication chains and the
+    * suffix sum folds from d=k down — fixed arithmetic shared verbatim
+    * (as literals) with the SQL replay, the q139/q211 convention. */
+  private[graft] def rboWeights(p: Double, k: Int): Array[Double] = {
+    val t = new Array[Double](k + 1)
+    var pw = 1.0
+    var d = 1
+    while (d <= k) { t(d) = pw / d; pw = pw * p; d += 1 }
+    val w = new Array[Double](k + 1)
+    d = k
+    while (d >= 1) { w(d) = t(d) + (if (d == k) 0.0 else w(d + 1)); d -= 1 }
+    w
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two top-`k`
+    * rankings — the retrieval-diagnostics number for "how differently do
+    * these two rankers see the corpus" (e.g. BM25 vs embedding cosine:
+    * low RBO = the hybrid fusion is doing real work; RBO ≈ 1 = one
+    * ranker is redundant). Top-weighted, unlike recall@k overlap: an
+    * agreement at rank 1 counts for far more than one at rank 50.
+    *
+    * This is the truncated RBO_min on the observed prefixes (no
+    * extrapolation past k — honestly a lower bound). Each id present in
+    * BOTH rankings enters every overlap term from depth max(rank_a,
+    * rank_b) onward, so RBO = (1−p) · Σ_shared W(max) with W the
+    * driver-literal suffix table from [[rboWeights]] — the whole
+    * computation after the two input rankings is one inner join of two
+    * ≤k-row frames plus an id-sorted fold of ≤k literal lookups.
+    * Returns one row: (n_shared, rbo). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      rankColA: String, rankColB: String, p: Double, k: Int): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = rboWeights(p, k).toSeq
+    val joined = a.select(col(idCol).as("__id"), col(rankColA).as("__ra"))
+      .filter(col("__ra") <= k)
+      .join(b.select(col(idCol).as("__id"), col(rankColB).as("__rb"))
+        .filter(col("__rb") <= k), Seq("__id"))
+      .select(col("__id"),
+        element_at(typedLit(w),
+          (greatest(col("__ra"), col("__rb")) + lit(1)).cast("int"))
+          .as("__w"))
+    joined.agg(count(lit(1)).as("n_shared"),
+      (lit(1.0 - p) * aggregate(
+        sort_array(collect_list(struct(col("__id"), col("__w")))),
+        lit(0.0), (acc, x) => acc + x.getField("__w"))).as("rbo"))
   }
 
   /** Sparse TF-IDF cosine similarity join: all document pairs whose

@@ -205,6 +205,37 @@ class RankingSpec extends SparkSpec {
     assert(math.abs(p.getDouble(4) - 1.0) < 1e-15)
   }
 
+  /** Definition-form RBO_min: (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d. */
+  private def refRbo(a: Seq[Long], b: Seq[Long], p: Double, k: Int): Double = {
+    var s = 0.0
+    var pw = 1.0
+    for (d <- 1 to k) {
+      val ov = a.take(d).toSet.intersect(b.take(d).toSet).size
+      s += pw * ov / d
+      pw *= p
+    }
+    (1.0 - p) * s
+  }
+
+  test("rankBiasedOverlap: identical lists hit 1−p^k, disjoint hit 0, hand case matches") {
+    def ranked(ids: Seq[Long], name: String) =
+      ids.zipWithIndex.map { case (id, i) => (id, i + 1) }.toDF("id", name)
+    val k = 5
+    val same = Ranking.rankBiasedOverlap(
+      ranked(Seq(1L, 2L, 3L, 4L, 5L), "ra"), ranked(Seq(1L, 2L, 3L, 4L, 5L), "rb"),
+      "id", "ra", "rb", p = 0.9, k = k).first()
+    assert(same.getLong(0) === 5L)
+    assert(math.abs(same.getDouble(1) - (1.0 - math.pow(0.9, k))) < 1e-12)
+    val disj = Ranking.rankBiasedOverlap(
+      ranked(Seq(1L, 2L, 3L), "ra"), ranked(Seq(7L, 8L, 9L), "rb"),
+      "id", "ra", "rb", p = 0.9, k = 3).first()
+    assert(disj.getLong(0) === 0L && disj.getDouble(1) === 0.0)
+    val (la, lb) = (Seq(1L, 2L, 3L, 4L), Seq(3L, 1L, 9L, 2L))
+    val hand = Ranking.rankBiasedOverlap(ranked(la, "ra"), ranked(lb, "rb"),
+      "id", "ra", "rb", p = 0.8, k = 4).first()
+    assert(math.abs(hand.getDouble(1) - refRbo(la, lb, 0.8, 4)) < 1e-12)
+  }
+
   /** Hand tf-idf cosine over df-pruned unigram vectors (shingleSize=1
     * keeps the reference arithmetic readable). */
   private def refCosine(a: Map[String, Long], b: Map[String, Long],
