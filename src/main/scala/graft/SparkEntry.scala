@@ -2309,6 +2309,22 @@ object SparkEntry {
           p = 0.9, k = 50)
         .select(col("n_shared"), round(col("rbo"), 6).as("rbo"))
     }),
+    // ── scale: CUBE report — all four grouping sets over
+    //    (returnflag, linestatus) in ONE Expand pass (q107 ROLLUP's
+    //    completion; the naive alternative is 4 scans + UNION), with
+    //    GROUPING() markers so subtotal-null is distinguishable from
+    //    data-null; exact cents (oracle: DuckDB GROUP BY CUBE) ────────────
+    "q241_cube_report" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_cents"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4778,6 +4794,15 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
+    "q241_cube_report" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q236_sparse_cosine" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
