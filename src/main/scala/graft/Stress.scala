@@ -590,6 +590,75 @@ object Stress {
       .withColumn("vec_id", col("vec_id") + col("__rep") * 1000000L)
       .drop("__rep").cache()
     println(s"[stress] embeddings: ${eBig.count()} rows")
+    // round-8 additions ──────────────────────────────────────────────────
+    // spearman: per-replica value jitter grows the VALUE-cardinality rank
+    // frames linearly with the corpus (replication without jitter would
+    // leave them constant-size and stress nothing)
+    val liJit = spark.range(factor).toDF("__rep")
+      .crossJoin(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+      .select(
+        (col("l_quantity") + col("__rep") * lit(0.001)).as("q"),
+        (col("l_extendedprice") + col("__rep") * lit(0.001)).as("p"),
+        (col("l_discount") + col("__rep") * lit(0.001)).as("d"),
+        (col("l_tax") + col("__rep") * lit(0.001)).as("t"))
+      .cache()
+    println(s"[stress] lineitem jittered: ${liJit.count()} rows")
+    time(s"spearmanMatrix ${factor}x (4 cols, jittered value frames)") {
+      println("[stress]   rows=" + Bench.force(
+        Profiling.spearmanMatrix(liJit, Seq("q", "p", "d", "t"))))
+    }
+    liJit.unpersist()
+    // sparse cosine: per-replica token prefix makes the sub-corpora
+    // vocabulary-DISJOINT, so true pair counts (and the Σ df² ≤ maxDf·nnz
+    // product bound) scale linearly; un-prefixed replication would be an
+    // inherently quadratic near-dup corpus, which measures output size,
+    // not the operator
+    val docsPfx = spark.range(factor).toDF("__rep").crossJoin(docs0)
+      .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        array_join(transform(split(trim(lower(col("text"))), "\\s+"),
+          t => concat(lit("r"), col("__rep"), lit("_"), t)), " ").as("text"))
+      .cache()
+    println(s"[stress] documents prefixed: ${docsPfx.count()} rows")
+    time(s"tfidfCosinePairs ${factor}x disjoint vocab (t=0.3, maxDf=50, production)") {
+      println("[stress]   rows=" + Bench.force(Ranking.tfidfCosinePairs(
+        docsPfx, "doc_id", "text", shingleSize = 3, threshold = 0.3,
+        maxDf = 50L, deterministic = false)))
+    }
+    docsPfx.unpersist()
+    // BFS / SSSP: shifted keys make factor disjoint graphs — node-sized
+    // state and frontier joins must scale linearly in rounds x edges
+    val oBig2 = spark.range(factor).toDF("__rep")
+      .crossJoin(spark.read.parquet(s"$sfDir/orders.parquet"))
+    val liBig2 = spark.range(factor).toDF("__rep")
+      .crossJoin(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    val elG = oBig2.alias("o")
+      .join(liBig2.alias("l"),
+        col("o.__rep") === col("l.__rep") &&
+          col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o.__rep"), lit("_"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("o.__rep"), lit("_"), col("l_suppkey")).as("b"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("w"))
+      .cache()
+    println(s"[stress] graph edges: ${elG.count()} rows")
+    val seedsG = spark.range(factor).toDF("__rep")
+      .crossJoin(spark.read.parquet(s"$sfDir/supplier.parquet")
+        .filter(col("s_suppkey") % 10 === 0))
+      .select(concat(lit("s"), col("__rep"), lit("_"), col("s_suppkey"))
+        .as("node"))
+    time(s"bfsLevels ${factor}x disjoint graphs (3 hops)") {
+      println("[stress]   rows=" + Bench.force(Graph.bfsLevels(
+        Graph.bidirect(elG.select("a", "b"), "a", "b"), "src", "dst",
+        seedsG, "node", maxHops = 3)))
+    }
+    time(s"boundedShortestPaths ${factor}x disjoint graphs (3 rounds)") {
+      val bidir = elG.unionByName(
+        elG.select(col("b").as("a"), col("a").as("b"), col("w")))
+      println("[stress]   rows=" + Bench.force(Graph.boundedShortestPaths(
+        bidir, "a", "b", "w", seedsG, "node", rounds = 3)))
+    }
+    elG.unpersist()
     time(s"quantizeInt8Report ${factor}x") {
       println("[stress]   rows=" + Bench.force(
         Similarity.quantizeInt8Report(eBig, "vec_id", "embedding")))
