@@ -2325,6 +2325,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
+    // ── scale: leakage-free grouped split — every doc of a SOURCE lands
+    //    in the same fold (row-keyed q122 can put near-identical docs from
+    //    one domain on both sides of train/test; group-keyed assignment
+    //    makes that structurally impossible); one pure-projection pass,
+    //    exact per-fold report (oracle: DuckDB md5-bucket + CASE replay) ──
+    "q242_grouped_split" -> ((s, dir) => {
+      Sampling.groupedSplitAssign(
+          T(s, dir, "documents").select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("w")),
+          "source", Seq(0.8, 0.1, 0.1))
+        .groupBy("fold")
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"), sum("w").as("n_tokens"))
+        .orderBy("fold")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4794,6 +4809,18 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
+    "q242_grouped_split" ->
+      """WITH a AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS w,
+        |    ('0x' || substr(md5(source), 1, 15))::UBIGINT % 1000000 AS b
+        |  FROM documents),
+        |f AS (SELECT CASE WHEN b < 800000 THEN 0 WHEN b < 900000 THEN 1
+        |    ELSE 2 END AS fold, source, w FROM a)
+        |SELECT fold, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_tokens
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
     "q241_cube_report" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS BIGINT) AS n_items,

@@ -833,6 +833,30 @@ object Sampling {
     }.toSeq
   }
 
+  /** Leakage-free grouped split: every row of a GROUP (source, domain,
+    * dedup cluster, user…) lands in the SAME fold, assigned by the
+    * group-key hash — the eval-integrity split ([[hashSplit]] keyed per
+    * row can put two near-identical docs from one crawl domain on both
+    * sides of a train/test boundary; splitting by the group key makes
+    * that structurally impossible). Same hash, bounds, and
+    * null-to-fold-0 contract as [[hashSplit]]; a group keeps its fold
+    * forever (no leakage across reruns or growing data).
+    *
+    * One pass: fold is a CASE over the hash bucket — a pure projection,
+    * no join, no per-fold scans. Returns the input + `fold` (int). */
+  def groupedSplitAssign(df: DataFrame, groupCol: String,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val bounds = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).toLong)
+    val bucket = hashBucket(col(groupCol))
+    val fold = bounds.tail.init.zipWithIndex.foldRight(
+      lit(weights.size - 1): Column) { case ((hi, i), rest) =>
+      when(bucket < lit(hi), lit(i)).otherwise(rest)
+    }
+    df.withColumn("fold", fold)
+  }
+
   /** Weighted sampling WITH replacement: `k` independent draws, each
     * selecting a row with probability ∝ weight — multinomial corpus
     * mixing ("draw 100k docs proportional to token mass"), where

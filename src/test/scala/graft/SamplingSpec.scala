@@ -424,4 +424,24 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(salted !== out.map(r => (r._1, r._2)).toSet)
   }
+
+  test("groupedSplitAssign: one fold per group, hashSplit-consistent, null to fold 0") {
+    val rows = (1L to 200L).map(i => (s"g${i % 23}", i)).toDF("grp", "id")
+    val out = Sampling.groupedSplitAssign(rows, "grp", Seq(0.8, 0.1, 0.1))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // leakage-free: every group maps to exactly one fold
+    val perGroup = out.groupBy(_._1).view.mapValues(_.map(_._3).distinct).toMap
+    assert(perGroup.values.forall(_.size === 1))
+    // fold assignment agrees with the hashSplit filters on the group key
+    val folds = Sampling.hashSplit(rows.select("grp").distinct(), "grp",
+      Seq(0.8, 0.1, 0.1))
+    val viaFilters = folds.zipWithIndex.flatMap { case (f, i) =>
+      f.collect().map(_.getString(0) -> i)
+    }.toMap
+    assert(perGroup.map { case (g, fs) => g -> fs.head } === viaFilters)
+    // null group key lands in fold 0 (the hashBucket null contract)
+    val withNull = Seq((null: String, 1L)).toDF("grp", "id")
+    assert(Sampling.groupedSplitAssign(withNull, "grp", Seq(0.5, 0.5))
+      .first().getInt(2) === 0)
+  }
 }
