@@ -2340,6 +2340,34 @@ object SparkEntry {
           count(lit(1)).as("n_docs"), sum("w").as("n_tokens"))
         .orderBy("fold")
     }),
+    // ── scale: multi-phrase hit join — token-boundary phrase counts per
+    //    source via ONE shingle explode + a hash-set membership (InSet),
+    //    O(tokens) at ANY phrase-list size where q214's per-pattern
+    //    contains is O(patterns·chars); only hit rows shuffle (oracle:
+    //    DuckDB shingle + IN replay) ───────────────────────────────────────
+    "q243_phrase_hits" -> ((s, dir) => {
+      TextAnalysis.phraseHits(T(s, dir, "documents"), "text", "source",
+          Seq("window fast query", "stream table hash", "big data merge",
+            "definitely absent phrase"))
+        .orderBy("phrase", "source")
+    }),
+    // ── scale: watermark-lateness audit — events dropped per candidate
+    //    withWatermark delay (the measured buffer-vs-loss trade); arrival
+    //    modeled as event time + deterministic 0–10 min md5 jitter (the
+    //    synthetic stream arrives perfectly ordered — zero lateness
+    //    everywhere — so the jitter is the probe, the operator the
+    //    artifact); running max in the distributed prefix-MAX idiom
+    //    (oracle: DuckDB window + jitter replay) ──────────────────────────
+    "q244_watermark_audit" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("ts"),
+        (unix_micros(col("ts").cast("timestamp")) +
+          pmod(Dedup.md5Hash60(col("event_id")), lit(600000000L))).as("arr"))
+      Analytics.watermarkAudit(ev, "ts", "arr", "event_id",
+          Seq(0L, 60000000L, 300000000L, 480000000L, 600000000L))
+        .select(col("delay_us"), col("n_dropped"),
+          round(col("frac_dropped"), 6).as("frac_dropped"))
+        .orderBy("delay_us")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4809,6 +4837,36 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
+    "q244_watermark_audit" ->
+      """WITH a AS (SELECT event_id, epoch_us(ts) AS tsu,
+        |    epoch_us(ts) + CAST(('0x' || substr(md5(event_id::VARCHAR), 1,
+        |      15))::UBIGINT % 600000000 AS BIGINT) AS arr
+        |  FROM events),
+        |r AS (SELECT tsu, max(tsu) OVER (ORDER BY arr, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+        |  FROM a),
+        |l AS (SELECT rm - tsu AS late FROM r),
+        |d AS (SELECT unnest(CAST([0, 60000000, 300000000, 480000000,
+        |    600000000] AS BIGINT[])) AS delay_us),
+        |s AS (SELECT delay_us,
+        |    CAST(sum(CASE WHEN late > delay_us THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM l CROSS JOIN d GROUP BY delay_us)
+        |SELECT delay_us, n_dropped,
+        |  round(CAST(n_dropped AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS frac_dropped
+        |FROM s ORDER BY delay_us""".stripMargin,
+    "q243_phrase_hits" ->
+      s"""WITH t AS (SELECT source,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (SELECT source, unnest($shingle3Sql) AS phrase FROM t)
+         |SELECT phrase, source, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM g
+         |WHERE phrase IN ('window fast query', 'stream table hash',
+         |  'big data merge', 'definitely absent phrase')
+         |GROUP BY 1, 2 ORDER BY phrase, source""".stripMargin,
     "q242_grouped_split" ->
       """WITH a AS (SELECT source,
         |    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1877,4 +1877,62 @@ object Analytics {
       .first().getDouble(0)
     curve.withColumn("ece", lit(ece))
   }
+
+  /** Watermark-lateness audit: for each candidate watermark delay, how
+    * many events a streaming job with that delay would DROP — the
+    * measured input to `withWatermark` tuning (too small silently loses
+    * data, too large bloats every stateful operator's buffers; this
+    * table prices the trade on the real stream before committing).
+    *
+    * An event's lateness is `runningMax(event time in ARRIVAL order) −
+    * its event time` — exactly the quantity Structured Streaming's
+    * watermark compares against the delay. The running max runs in the
+    * distributed-cumsum idiom specialized to max: one range exchange on
+    * (arrival, tiebreak), per-partition window, driver PREFIX-MAX
+    * offsets (a partitions-sized collect) — never a one-task global
+    * window; max is order-insensitive across the prefix so only the
+    * within-partition order needs the explicit deterministic tiebreak.
+    * All delays evaluate in ONE wide aggregate over the lateness frame
+    * (the q219 idiom). Integer micros end-to-end; the only doubles are
+    * the final fractions. Returns (delay_us, n_dropped, frac_dropped),
+    * one row per candidate delay. */
+  def watermarkAudit(df: DataFrame, tsCol: String, arrivalCol: String,
+      tieCol: String, delaysUs: Seq[Long]): DataFrame = {
+    require(delaysUs.nonEmpty, "no candidate delays")
+    require(delaysUs.forall(_ >= 0), "delays must be >= 0")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(arrivalCol).cast("long").as("__arr"),
+        col(tieCol).as("__tb"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__ts"))
+      .repartitionByRange(p, col("__arr").asc, col("__tb").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // freeze range boundaries (q79 lesson)
+    val maxes = base.groupBy("__pid").agg(max("__ts").as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix: Map[Int, Long] = {
+      var run = Long.MinValue
+      maxes.map { case (pid, m) =>
+        val out = pid -> run; run = math.max(run, m); out
+      }.toMap
+    }
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("__arr").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val late = base
+      .withColumn("__rm", greatest(max(col("__ts")).over(w),
+        element_at(typedLit(prefix), col("__pid"))))
+      .select((col("__rm") - col("__ts")).as("__late"))
+    val aggs = (count(lit(1)).as("__n") +:
+      delaysUs.zipWithIndex.map { case (d, i) =>
+        sum(when(col("__late") > lit(d), 1L).otherwise(0L)).as(s"__d$i")
+      })
+    val row = late.agg(aggs.head, aggs.tail: _*)
+    val pairs = delaysUs.zipWithIndex.map { case (d, i) =>
+      struct(lit(d).as("delay_us"), col(s"__d$i").as("n_dropped"),
+        (col(s"__d$i").cast("double") / col("__n").cast("double"))
+          .as("frac_dropped"))
+    }
+    row.select(explode(array(pairs: _*)).as("p")).select("p.*")
+  }
 }

@@ -932,4 +932,39 @@ object TextAnalysis {
         col("__b").getField("t").as("suggestion"),
         col("__b").getField("c").as("suggestion_cnt"))
   }
+
+  /** Multi-phrase hit counts per source: how many docs of each source
+    * contain each phrase, matched on TOKEN boundaries through the shared
+    * shingle machinery — [[canaryScan]]'s scale path. canaryScan compiles
+    * one `contains` per pattern into the scan (right for a handful of
+    * exact canaries; O(patterns · corpus chars) and a 10k-pattern filter
+    * list would blow up the projection). Here the doc explodes ONCE into
+    * its distinct n-gram shingles and the phrase list becomes a single
+    * hash-set membership test (Catalyst turns a large IN into InSet), so
+    * cost is O(tokens) regardless of phrase-list size and only HIT rows
+    * ever reach the shuffle.
+    *
+    * Phrases normalize through the tokenizer's own convention
+    * (trim/lower/whitespace-split) so a phrase matches exactly when its
+    * token sequence appears. One pass per DISTINCT phrase token-length
+    * (mixed lists group by length). Zero-hit (phrase, source) cells are
+    * omitted, the q214 convention. Returns (phrase, source, n_docs). */
+  def phraseHits(df: DataFrame, textCol: String, sourceCol: String,
+      phrases: Seq[String]): DataFrame = {
+    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .mkString(" ")).filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "no non-empty phrases to scan for")
+    val toks = df.select(col(sourceCol).as("source"),
+      Dedup.tokensCol(col(textCol)).as("__toks"))
+    norm.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+      .map { case (n, ps) =>
+        toks.select(col("source"),
+            explode(graft.functions.Shingles.word_shingles(col("__toks"), n,
+              distinct = true)).as("phrase"))
+          .filter(col("phrase").isin(ps: _*))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("phrase", "source")
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -1059,4 +1059,23 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(out === Set(1L, 2L, 3L, 5L))
   }
+
+  test("watermarkAudit: hand lateness, delay thresholds, partition-invariant") {
+    // (event time µs, arrival µs): e3 arrives 100µs late behind e2's max,
+    // e5 arrives 20µs behind e4's
+    val rows = Seq(
+      (1L, 100L, 100L), (2L, 300L, 400L), (3L, 200L, 450L),
+      (4L, 500L, 460L), (5L, 480L, 470L))
+      .toDF("id", "tsu", "arr")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.watermarkAudit(df, "ts", "arr", "id", Seq(0L, 50L, 1000L))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val got = run(rows)
+    assert(got(0L) === ((2L, 0.4)))    // lateness 100 and 20 both > 0
+    assert(got(50L) === ((1L, 0.2)))   // only the 100µs event drops
+    assert(got(1000L) === ((0L, 0.0)))
+    assert(run(rows.repartition(7)) === got)
+  }
 }
