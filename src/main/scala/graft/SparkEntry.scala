@@ -2368,6 +2368,21 @@ object SparkEntry {
           round(col("frac_dropped"), 6).as("frac_dropped"))
         .orderBy("delay_us")
     }),
+    // ── scale: embedding-space source divergence — pairwise cosine/L2
+    //    between per-source mean-embedding centroids (q106's embedding
+    //    twin: same vocabulary can hide drifted semantics); one posexplode
+    //    pass to groups×dims cells, float-rounded centroids (q72/q228
+    //    parity), driver dim-ascending folds (oracle: DuckDB replays
+    //    cells, REAL rounding, and the folds) ─────────────────────────────
+    "q245_centroid_divergence" -> ((s, dir) => {
+      val joined = T(s, dir, "embeddings")
+        .join(T(s, dir, "documents").select("doc_id", "source"),
+          col("vec_id") === col("doc_id"))
+      Similarity.centroidDivergence(joined, "embedding", "source")
+        .select(col("source_a"), col("source_b"),
+          round(col("cosine"), 6).as("cosine"), round(col("l2"), 6).as("l2"))
+        .orderBy("source_a", "source_b")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4837,6 +4852,26 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
+    "q245_centroid_divergence" ->
+      """WITH j AS (SELECT d.source AS g, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |cell AS (SELECT g, CAST(t.i AS INT) AS dim,
+        |    CAST(CAST(avg(v[t.i]) AS REAL) AS DOUBLE) AS cv
+        |  FROM j, range(1, 65) AS t(i) GROUP BY 1, 2),
+        |p AS (SELECT a.g AS source_a, b.g AS source_b, a.dim AS dim,
+        |    a.cv * b.cv AS ab, a.cv * a.cv AS aa, b.cv * b.cv AS bb,
+        |    (a.cv - b.cv) * (a.cv - b.cv) AS d2
+        |  FROM cell a JOIN cell b ON a.dim = b.dim AND a.g < b.g),
+        |s AS (SELECT source_a, source_b,
+        |    list_reduce(list(ab ORDER BY dim), (x, y) -> x + y) AS dot,
+        |    list_reduce(list(aa ORDER BY dim), (x, y) -> x + y) AS na2,
+        |    list_reduce(list(bb ORDER BY dim), (x, y) -> x + y) AS nb2,
+        |    list_reduce(list(d2 ORDER BY dim), (x, y) -> x + y) AS dd
+        |  FROM p GROUP BY 1, 2)
+        |SELECT source_a, source_b,
+        |  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine,
+        |  round(sqrt(dd), 6) AS l2
+        |FROM s ORDER BY source_a, source_b""".stripMargin,
     "q244_watermark_audit" ->
       """WITH a AS (SELECT event_id, epoch_us(ts) AS tsu,
         |    epoch_us(ts) + CAST(('0x' || substr(md5(event_id::VARCHAR), 1,

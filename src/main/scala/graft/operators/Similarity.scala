@@ -599,4 +599,52 @@ object Similarity {
       .select(col("query_id").as(idCol), col("__ql").as(labelCol),
         col("n_neighbors"), col("disagree"), frac.as("disagree_frac"))
   }
+
+  /** Embedding-space source divergence: pairwise cosine + L2 distance
+    * between per-group mean-embedding centroids — the embedding twin of
+    * the token-level Jensen–Shannon report (q106): two crawls can share a
+    * vocabulary yet sit in different semantic regions, and this is the
+    * 30-second "which corpora drifted" matrix that says so.
+    *
+    * ONE posexplode pass to (group, dim) centroid cells — a groups×dims
+    * frame, driver-small at any corpus size; centroids round to FLOAT
+    * (the q72/q228 parity convention: float rounding absorbs the
+    * fold-order ulps of the distributed avg) and all pairwise math runs
+    * in the driver as fixed dim-ascending folds over exact
+    * float→double values, so a SQL replay is bit-identical. Returns
+    * (source_a, source_b, cosine, l2), groups²/2 rows, a < b. */
+  def centroidDivergence(df: DataFrame, vecCol: String,
+      groupCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val perDim = df
+      .select(col(groupCol).cast(StringType).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+      .groupBy("__g", "__pos")
+      .agg(avg(col("__val").cast(DoubleType)).as("__avg"))
+      .collect()
+    val cens: Seq[(String, Array[Float])] = perDim.groupBy(_.getString(0))
+      .toSeq.map { case (g, cells) =>
+        g -> cells.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+      }.sortBy(_._1)
+    def fold(a: Array[Float], b: Array[Float])(f: (Double, Double) => Double): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += f(a(i).toDouble, b(i).toDouble); i += 1 }
+      s
+    }
+    val rows = for {
+      i <- cens.indices
+      j <- (i + 1) until cens.size
+    } yield {
+      val (ga, va) = cens(i)
+      val (gb, vb) = cens(j)
+      val dot = fold(va, vb)(_ * _)
+      val na = math.sqrt(fold(va, va)(_ * _))
+      val nb = math.sqrt(fold(vb, vb)(_ * _))
+      val l2 = math.sqrt(fold(va, vb)((x, y) => (x - y) * (x - y)))
+      (ga, gb, dot / (na * nb), l2)
+    }
+    import spark.implicits._
+    rows.toDF("source_a", "source_b", "cosine", "l2")
+  }
 }

@@ -966,4 +966,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.keySet === Set(5L))
     assert(out(5L) === ((5L, 1.0)))
   }
+
+  test("centroidDivergence: identical groups cos 1 / l2 0, orthogonal groups cos 0") {
+    val rows = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 0.0f)),
+      ("b", Seq(0.0f, 2.0f)), ("b", Seq(0.0f, 4.0f)),
+      ("c", Seq(1.0f, 0.0f)), ("c", Seq(3.0f, 0.0f)))
+      .toDF("src", "v")
+    val out = Similarity.centroidDivergence(rows, "v", "src")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(("a", "c"))._1 === 1.0 && out(("a", "c"))._2 === 0.0)
+    assert(out(("a", "b"))._1 === 0.0)
+    assert(math.abs(out(("a", "b"))._2 - math.sqrt(4.0 + 9.0)) < 1e-12)
+    assert(out.size === 3)
+  }
 }
