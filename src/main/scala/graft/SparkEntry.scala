@@ -2383,6 +2383,19 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), round(col("l2"), 6).as("l2"))
         .orderBy("source_a", "source_b")
     }),
+    // ── scale: clustering-quality report — simplified silhouette per
+    //    q98-trained cluster (the evaluation half of the clustering tier;
+    //    centroid form, no point×point work); ONE posexplode join against
+    //    the broadcast centroid cells, per-id sorted k-array (oracle:
+    //    DuckDB replays the kmeans chain + dist folds + means) ────────────
+    "q246_silhouette" -> ((s, dir) => {
+      Training.clusteringQualityReport(T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 4, rounds = 3, deterministic = true)
+        .select(col("cluster"), col("n"),
+          round(col("mean_dist"), 6).as("mean_dist"),
+          round(col("mean_silhouette"), 6).as("mean_silhouette"))
+        .orderBy("cluster")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4852,6 +4865,7 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
+    "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q245_centroid_divergence" ->
       """WITH j AS (SELECT d.source AS g, CAST(e.embedding AS DOUBLE[]) AS v
         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
@@ -7904,7 +7918,11 @@ object SparkEntry {
     * Scala side's augmented NearestCentroid loop: 64 index-order products
     * folded, then + (−(Σc²/2.0)) — the same op sequence, so assignments
     * and the id-sorted means are bit-identical round over round. */
-  private def kmeansOracleSql(k: Int, rounds: Int, dims: Int): String = {
+  /** The q98 k-means round replay as a reusable WITH-chain prefix
+    * (ends at CTE `c<rounds>` = the final centroids) — shared by the
+    * training gate (q98) and the silhouette report built on the same
+    * centroids (q246). */
+  private def kmeansCtes(k: Int, rounds: Int, dims: Int): String = {
     val d1 = dims + 1
     val header =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
@@ -7930,12 +7948,47 @@ object SparkEntry {
          |        FROM c${r - 1} p LEFT JOIN (SELECT cluster, list(v ORDER BY dim) AS x
          |                                    FROM m$r GROUP BY cluster) n
          |          USING (cluster)),""".stripMargin
-    }.mkString("\n").stripSuffix(",")
-    s"""$header
-       |$roundCtes
+    }.mkString("\n")
+    s"$header\n$roundCtes"
+  }
+
+  private def kmeansOracleSql(k: Int, rounds: Int, dims: Int): String = {
+    val d1 = dims + 1
+    s"""${kmeansCtes(k, rounds, dims).stripSuffix(",")}
        |SELECT cluster, d.i AS dim, round(x[d.i], 6) AS value
        |FROM c$rounds CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) d
        |ORDER BY cluster, dim""".stripMargin
+  }
+
+  /** q246 silhouette oracle: the same k-means chain, then per-point
+    * dist² to every centroid (dim-ascending folds), a = nearest (own)
+    * cluster, b = second-nearest, simplified silhouette (b−a)/max(a,b),
+    * per-cluster id-sorted mean folds. Tie convention (dist², cluster)
+    * matches the Scala sort_array struct order. */
+  private def silhouetteOracleSql(k: Int, rounds: Int, dims: Int): String = {
+    val d1 = dims + 1
+    s"""${kmeansCtes(k, rounds, dims)}
+       |pc AS (SELECT e.vec_id, c.cluster,
+       |    list_reduce(list_transform(range(1, $d1),
+       |      i -> (e.x[i] - c.x[i]) * (e.x[i] - c.x[i])), (p, q) -> p + q)
+       |      AS d2
+       |  FROM e CROSS JOIN c$rounds c),
+       |r AS (SELECT vec_id, cluster, d2, row_number()
+       |    OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |  FROM pc),
+       |ab AS (SELECT r1.vec_id, r1.cluster, sqrt(r1.d2) AS a, sqrt(r2.d2) AS b
+       |  FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id
+       |  WHERE r1.rn = 1 AND r2.rn = 2),
+       |sil AS (SELECT vec_id, cluster, a,
+       |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+       |         ELSE (b - a) / greatest(a, b) END AS s
+       |  FROM ab)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |  round(list_reduce(list(a ORDER BY vec_id), (p, q) -> p + q)
+       |    / CAST(count(*) AS DOUBLE), 6) AS mean_dist,
+       |  round(list_reduce(list(s ORDER BY vec_id), (p, q) -> p + q)
+       |    / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+       |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
   /** HLL ρ as a descending threshold CASE over `vExpr` (a 60−log2(m)-bit

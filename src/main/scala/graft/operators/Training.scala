@@ -293,4 +293,64 @@ object Training {
         Importance.featureVector(col(textCol), buckets, hashKind),
         wArr, lit(0.0) + lit(bias))))).as("score"))
   }
+
+  /** Clustering-quality report: simplified silhouette per cluster over a
+    * fresh [[trainKMeans]] run — the EVALUATION half of the clustering
+    * tier (q98 trains; this says whether the clusters mean anything
+    * before anyone routes curation decisions through them). Simplified
+    * silhouette (Hruschka et al.): a = distance to OWN centroid, b =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b) — the
+    * centroid form of the classic score, computable without any
+    * point-to-point pair work (full silhouette is inherently quadratic;
+    * this is the standard corpus-scale substitute).
+    *
+    * Shape: centroids are a k×dims driver literal; distances come from
+    * ONE posexplode join against the broadcast centroid-cell frame —
+    * (corpus·k) rows keyed (id, cluster), never point×point; per-id the
+    * k distances collapse via one sorted k-array (own = smallest,
+    * nearest-other = second — ties to the lowest cluster, the SQL
+    * (d2, cluster) order). `deterministic` folds dim-sorted /
+    * id-sorted for the oracle replay; production uses plain sums.
+    * Returns (cluster, n, mean_dist, mean_silhouette). */
+  def clusteringQualityReport(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 3, deterministic: Boolean = false): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cens = trainKMeans(df, idCol, vecCol, k, rounds, deterministic)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    val cells = broadcast(cens.toDF("__c", "__dim", "__cv"))
+    val e = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__d0", "__v")))
+      .select(col("__id"), (col("__d0") + 1).as("__dim"), col("__v"))
+    val terms = e.join(cells, Seq("__dim"))
+      .select(col("__id"), col("__c"), col("__dim"),
+        ((col("__v") - col("__cv")) * (col("__v") - col("__cv"))).as("__t"))
+    val d2 =
+      if (deterministic)
+        terms.groupBy("__id", "__c").agg(aggregate(
+          sort_array(collect_list(struct(col("__dim"), col("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("__d2"))
+      else terms.groupBy("__id", "__c").agg(sum("__t").as("__d2"))
+    val perId = d2.groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__d2"), col("__c"))))
+        .as("__arr"))
+      .select(col("__id"),
+        col("__arr").getItem(0).getField("__c").as("cluster"),
+        sqrt(col("__arr").getItem(0).getField("__d2")).as("__a"),
+        sqrt(col("__arr").getItem(1).getField("__d2")).as("__b"))
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+          .otherwise((col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b"))))
+    def meanOf(c: String): org.apache.spark.sql.Column =
+      if (deterministic)
+        aggregate(sort_array(collect_list(struct(col("__id"), col(c)))),
+          lit(0.0), (acc, x) => acc + x.getField(c)) /
+          count(lit(1)).cast("double")
+      else sum(col(c)) / count(lit(1)).cast("double")
+    perId.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), meanOf("__a").as("mean_dist"),
+        meanOf("__s").as("mean_silhouette"))
+  }
 }

@@ -632,4 +632,30 @@ class CurationSpec extends SparkSpec {
     val plain = run(4, det = false)
     a.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-12, s"pair $k") }
   }
+
+  test("clusteringQualityReport: separated blobs score near 1, hand distances, det ≈ prod") {
+    import graft.operators.Training
+    // two tight blobs; seeds (ids 1, 2) both sit in the left blob and the
+    // rounds pull c1 to the right blob
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)),
+      (3L, Seq(10.0, 0.0)), (4L, Seq(10.2, 0.0)))
+      .toDF("vec_id", "embedding")
+    def run(det: Boolean) =
+      Training.clusteringQualityReport(df, "vec_id", "embedding",
+          k = 2, rounds = 3, deterministic = det)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val out = run(det = true)
+    assert(out.keySet === Set(0, 1))
+    assert(out.values.forall(_._1 === 2L))
+    // converged centroids (0.1, 0) and (10.1, 0): every point is 0.1 away
+    assert(out.values.forall(v => math.abs(v._2 - 0.1) < 1e-9))
+    assert(out.values.forall(_._3 > 0.9))
+    val prod = run(det = false)
+    out.foreach { case (k, (n, d, s)) =>
+      assert(prod(k)._1 === n)
+      assert(math.abs(prod(k)._2 - d) < 1e-9 && math.abs(prod(k)._3 - s) < 1e-9)
+    }
+  }
 }
