@@ -2396,6 +2396,46 @@ object SparkEntry {
           round(col("mean_silhouette"), 6).as("mean_silhouette"))
         .orderBy("cluster")
     }),
+    // ── scale: functional-dependency audit — which within-table
+    //    "X determines Y" contracts actually hold (q185's single-table
+    //    sibling; an almost-holding FD is the classic dirty-data tell);
+    //    one det-keyed exact aggregate per hypothesis over a shared
+    //    projection, NULL dependents count as a value (oracle: DuckDB
+    //    per-hypothesis replay) ───────────────────────────────────────────
+    "q247_fd_audit" -> ((s, dir) => {
+      Profiling.fdAudit(T(s, dir, "orders"), Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_orderkey" -> "o_totalprice",
+          "o_custkey" -> "o_orderpriority",
+          "o_orderstatus" -> "o_orderpriority"))
+        .select(col("determinant"), col("dependent"), col("n_keys"),
+          col("n_violating_keys"),
+          round(col("violation_frac"), 6).as("violation_frac"), col("holds"))
+        .orderBy("determinant", "dependent")
+    }),
+    // ── scale: period-over-period growth — weekly counts per event type
+    //    with previous-period deltas (the trend view next to q115's
+    //    anomaly flags and q182's seasonality); timezone-free integer
+    //    period arithmetic, lag over the periods-sized frame only, first
+    //    period honestly NULL (oracle: DuckDB window replay) ──────────────
+    "q248_period_growth" -> ((s, dir) => {
+      Profiling.periodGrowth(T(s, dir, "events"), "ts", "event_type",
+          periodUs = 604800000000L)
+        .select(col("grp"), col("period_start_us"), col("n"), col("prev_n"),
+          round(col("growth"), 6).as("growth"))
+        .orderBy("grp", "period_start_us")
+    }),
+    // ── scale: dataset card — the one-table corpus summary (size, source
+    //    breadth, token mass, quality level, exact-dup rate, length
+    //    percentiles) composed from individually-gated machinery
+    //    (q20/q21/q22/q103); one checkpointed scan + one wide aggregate +
+    //    the range-pruned rank pass (oracle: DuckDB replays every metric) ─
+    "q249_dataset_card" -> ((s, dir) => {
+      Profiling.datasetCard(T(s, dir, "documents"), "doc_id", "text",
+          "source")
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy("metric")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4866,6 +4906,57 @@ object SparkEntry {
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
+    "q249_dataset_card" ->
+      s"""WITH b AS (SELECT doc_id, text, source,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+         |    $qualitySql AS q
+         |  FROM documents),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+         |    list_reduce(list(q ORDER BY doc_id), (a, c) -> a + c) AS qsum
+         |  FROM b),
+         |r AS (SELECT w, row_number() OVER (ORDER BY w ASC, doc_id ASC)
+         |      AS rk,
+         |    count(*) OVER () AS n
+         |  FROM b),
+         |p AS (SELECT q, w FROM r
+         |  JOIN (SELECT unnest(CAST([0.5, 0.9] AS DOUBLE[])) AS q) qs
+         |    ON rk = greatest(1, CAST(ceil(q * n) AS BIGINT)))
+         |SELECT 'exact_dup_frac' AS metric,
+         |  round(1.0 - CAST(n_texts AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS value FROM s
+         |UNION ALL SELECT 'mean_quality',
+         |  round(qsum / CAST(n_docs AS DOUBLE), 6) FROM s
+         |UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM s
+         |UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s
+         |UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM s
+         |UNION ALL SELECT 'token_p50',
+         |  CAST((SELECT w FROM p WHERE q = 0.5) AS DOUBLE)
+         |UNION ALL SELECT 'token_p90',
+         |  CAST((SELECT w FROM p WHERE q = 0.9) AS DOUBLE)
+         |ORDER BY metric""".stripMargin,
+    "q247_fd_audit" -> fdAuditOracleSql(Seq(
+      "o_orderkey" -> "o_custkey",
+      "o_orderkey" -> "o_totalprice",
+      "o_custkey" -> "o_orderpriority",
+      "o_orderstatus" -> "o_orderpriority")),
+    "q248_period_growth" ->
+      """WITH c AS (SELECT event_type AS grp,
+        |    CAST(epoch_us(ts) - epoch_us(ts) % 604800000000 AS BIGINT)
+        |      AS period_start_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, period_start_us, n,
+        |    lag(n) OVER (PARTITION BY grp ORDER BY period_start_us)
+        |      AS prev_n
+        |  FROM c)
+        |SELECT grp, period_start_us, n, prev_n,
+        |  round(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6)
+        |    AS growth
+        |FROM g ORDER BY grp, period_start_us""".stripMargin,
     "q245_centroid_divergence" ->
       """WITH j AS (SELECT d.source AS g, CAST(e.embedding AS DOUBLE[]) AS v
         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
@@ -8210,6 +8301,24 @@ object SparkEntry {
        |    AS n_supp
        |FROM v$maxHops GROUP BY 1 ORDER BY dist""".stripMargin
   }
+
+  /** q247 FD-audit oracle: per hypothesis, the determinant-keyed exact
+    * distinct count (+1 if a NULL dependent exists — NULL counts as a
+    * value, matching the operator) rolled up to violation counts. */
+  private def fdAuditOracleSql(hs: Seq[(String, String)]): String =
+    hs.map { case (det, dep) =>
+      s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating_keys,
+         |  round(CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS violation_frac,
+         |  (sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) = 0) AS holds
+         |FROM (SELECT $det AS k,
+         |    count(DISTINCT $dep) +
+         |      max(CASE WHEN $dep IS NULL THEN 1 ELSE 0 END) AS vals
+         |  FROM orders GROUP BY 1)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent")
 
   /** q240 RBO oracle: q92's two ranker replays (BM25 term-sorted fold,
     * embedding cosine) joined on the shared prefix; the per-depth weight

@@ -1152,4 +1152,113 @@ object Profiling {
             .as("containment"))
     }.reduce(_ unionByName _)
   }
+
+  /** Functional-dependency audit: for each hypothesis determinant →
+    * dependent, how many determinant values map to MORE than one
+    * dependent value — the single-table sibling of [[fkCandidates]]
+    * (q185 discovers cross-table references; this verifies within-table
+    * contracts like "order key determines customer" before a pipeline
+    * quietly relies on them in a dedup key, a pick-first merge, or a
+    * dimension model). An FD that "almost holds" (violation_frac just
+    * above 0) is the classic dirty-data tell worth a quarantine rule.
+    *
+    * Per hypothesis: ONE aggregate keyed on the determinant (exact
+    * countDistinct of the dependent per key — key-width shuffle), then a
+    * hypotheses-sized rollup; the input projects to just the referenced
+    * columns. NULL dependents count as a value of their own (a key
+    * mapping to {x, NULL} is a real violation); NULL determinants group
+    * together like any other key. Integer-exact.
+    * Returns (determinant, dependent, n_keys, n_violating_keys,
+    * violation_frac, holds). */
+  def fdAudit(df: DataFrame,
+      hypotheses: Seq[(String, String)]): DataFrame = {
+    require(hypotheses.nonEmpty, "no FD hypotheses")
+    val cols0 = hypotheses.flatMap(h => Seq(h._1, h._2)).distinct
+    val base = df.select(cols0.map(col): _*).localCheckpoint(false)
+    hypotheses.map { case (det, dep) =>
+      base.groupBy(col(det).as("__k"))
+        .agg(countDistinct(col(dep)).as("__nd"),
+          max(when(col(dep).isNull, 1L).otherwise(0L)).as("__hasNull"))
+        .select(col("__k"), (col("__nd") + col("__hasNull")).as("__vals"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__vals") > 1L, 1L).otherwise(0L))
+            .as("n_violating_keys"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("n_violating_keys"),
+          (col("n_violating_keys").cast(DoubleType) /
+            col("n_keys").cast(DoubleType)).as("violation_frac"),
+          (col("n_violating_keys") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Dataset card: the one-table corpus summary a training run's
+    * documentation starts from — size, source breadth, token mass,
+    * quality level, exact-duplicate rate, and length percentiles, in one
+    * (metric, value) frame. Every number rides machinery that is
+    * individually gated elsewhere (tokenCount q21, qualityScore q22,
+    * exact-dup counting q20, order-statistic quantiles q103), composed
+    * into a single report: one checkpointed projection scan feeds one
+    * wide aggregate (count / sums / exact distincts / the id-sorted
+    * quality fold) plus the range-pruned rank pass for the token
+    * percentiles. Returns (metric, value), metrics sorted. */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+        col(sourceCol).as("__src"),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("__w"),
+        round(TextAnalysis.qualityScore(col(textCol)), 6).as("__q"))
+      .localCheckpoint(false)
+    val s = base.agg(count(lit(1)).as("n_docs"), sum("__w").as("n_tokens"),
+        countDistinct(col("__src")).as("n_sources"),
+        countDistinct(col("__text")).as("n_texts"),
+        aggregate(sort_array(collect_list(struct(col("__id"), col("__q")))),
+          lit(0.0), (acc, x) => acc + x.getField("__q")).as("__qsum"))
+      .first()
+    val (nDocs, nTokens, nSources, nTexts, qsum) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getDouble(4))
+    val qvals = Analytics.discreteQuantilesPerGroup(
+        base.withColumn("__all", lit("all")), "__all", "__id", "__w",
+        Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    Seq(
+      ("exact_dup_frac", 1.0 - nTexts.toDouble / nDocs.toDouble),
+      ("mean_quality", qsum / nDocs.toDouble),
+      ("n_docs", nDocs.toDouble),
+      ("n_sources", nSources.toDouble),
+      ("n_tokens", nTokens.toDouble),
+      ("token_p50", qvals(0.5).toDouble),
+      ("token_p90", qvals(0.9).toDouble))
+      .toDF("metric", "value")
+  }
+
+  /** Period-over-period growth report: counts per (period, group) with
+    * the previous period's count and the relative change — the
+    * month-over-month table every ingest/ops review starts from (q115
+    * flags single anomalous days; q182 isolates weekday seasonality;
+    * this is the trend view). Periods truncate from integer epoch-micros
+    * arithmetic when `periodUs` is given (timezone-free, the q182
+    * convention). The lag window runs per GROUP over the periods-sized
+    * aggregate — never over raw rows. First period reports NULL growth
+    * (no fabricated 0%); a prev of 0 cannot occur (count ≥ 1 rows).
+    * Integer counts; the only double is the final ratio.
+    * Returns (group, period_start_us, n, prev_n, growth). */
+  def periodGrowth(df: DataFrame, tsCol: String, groupCol: String,
+      periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be > 0, got $periodUs")
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        (m - pmod(m, lit(periodUs))).as("period_start_us"))
+      .groupBy("grp", "period_start_us")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("period_start_us").asc)
+    counts
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("growth",
+        (col("n") - col("prev_n")).cast(DoubleType) /
+          col("prev_n").cast(DoubleType))
+  }
 }

@@ -567,6 +567,61 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(got - refSpearman(x, y)) < 1e-12)
   }
 
+  test("fdAudit: holding and violating FDs, NULL dependent is a value") {
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"),   // key 1: one dep value — fine
+      (2L, "b", "x"), (2L, "c", "x"),   // key 2: two deps — violates k->d2
+      (3L, "d", null), (3L, "d", "x"))  // key 3: {x, NULL} — violates k->d3
+      .toDF("k", "d2", "d3")
+    val out = Profiling.fdAudit(df, Seq("k" -> "d2", "k" -> "d3", "d2" -> "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(out(("k", "d2")) === ((3L, 1L, false)))
+    assert(out(("k", "d3")) === ((3L, 1L, false)))
+    // every d2 value maps to exactly one k — holds
+    assert(out(("d2", "k")) === ((4L, 0L, true)))
+  }
+
+  test("periodGrowth: weekly counts, hand growth, first period NULL") {
+    val us = 604800000000L // one week
+    val rows = Seq(
+      ("a", 0L), ("a", 1L),             // week 0: 2
+      ("a", us), ("a", us + 5L), ("a", us + 9L), // week 1: 3
+      ("a", 2 * us),                    // week 2: 1
+      ("b", 0L))                        // b week 0: 1
+      .toDF("grp", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+    val out = Profiling.periodGrowth(rows, "ts", "grp", us)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    assert(out(("a", 0L))._1 === 2L && out(("a", 0L))._2 === -1L)
+    assert(out(("a", 0L))._3.isNaN)
+    assert(out(("a", us)) === ((3L, 2L, 0.5)))
+    assert(out(("a", 2 * us)) === ((1L, 3L, (1.0 - 3.0) / 3.0)))
+    assert(out(("b", 0L))._1 === 1L)
+  }
+
+  test("datasetCard: hand metrics on a tiny corpus") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha beta gamma", "s1"), // exact duplicate of doc 1
+      (3L, "one two", "s2"),
+      (4L, "a b c d e f", "s2")).toDF("doc_id", "text", "source")
+    val out = Profiling.datasetCard(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("n_docs") === 4.0)
+    assert(out("n_tokens") === 14.0)
+    assert(out("n_sources") === 2.0)
+    assert(out("exact_dup_frac") === 0.25)
+    assert(out("token_p50") === 3.0) // ranks of [2,3,3,6]: ceil(0.5·4)=2 → 3
+    assert(out("token_p90") === 6.0)
+    val meanQ = docs.select(TextAnalysis.qualityScore(col("text")))
+      .collect().map(_.getDouble(0)).sum / 4.0
+    assert(math.abs(out("mean_quality") - meanQ) < 1e-12)
+  }
+
   test("spearmanMatrix: complete-case drops any-null rows before ranking") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (1.0, 2.0), (2.0, 3.0), (null, 9.0), (3.0, null), (4.0, 5.0))
