@@ -2436,6 +2436,21 @@ object SparkEntry {
         .select(col("metric"), round(col("value"), 6).as("value"))
         .orderBy("metric")
     }),
+    // ── scale: weighted per-group sampling — "5 docs per source ∝ token
+    //    mass" with the DLT unbiased ŵ = max(w, τ_g) estimator (the last
+    //    cell of the sampling matrix: q47 uniform global, q100 uniform
+    //    per group, q99 weighted global); range-pruned per-group ranks,
+    //    estimator on the (groups·(k+1))-bounded frame (oracle: DuckDB
+    //    replays hash → priority → per-group rank → τ) ────────────────────
+    "q250_group_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSamplePerGroup(
+          T(s, dir, "documents").select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("w0")),
+          "source", "doc_id", "w0", k = 5, seed = 7L)
+        .select(col("source"), col("doc_id"), col("w"), col("pick"),
+          round(col("est_w"), 6).as("est_w"))
+        .orderBy("source", "pick")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4906,6 +4921,26 @@ object SparkEntry {
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
+    "q250_group_weighted_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE)
+        |      AS w
+        |  FROM documents),
+        |p AS (SELECT source, doc_id, w,
+        |    w / ((('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))
+        |      ::UBIGINT + 1)::DOUBLE / 1152921504606846976.0) AS priority
+        |  FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY priority DESC, doc_id ASC) AS rk
+        |  FROM p),
+        |tau AS (SELECT source,
+        |    coalesce(max(CASE WHEN rk = 6 THEN priority END), 0.0) AS tau
+        |  FROM r GROUP BY source)
+        |SELECT r.source, doc_id, w, CAST(rk AS BIGINT) AS pick,
+        |  round(greatest(w, tau), 6) AS est_w
+        |FROM r JOIN tau USING (source)
+        |WHERE rk <= 5 ORDER BY source, pick""".stripMargin,
     "q249_dataset_card" ->
       s"""WITH b AS (SELECT doc_id, text, source,
          |    CASE WHEN length(trim(text)) = 0 THEN 0

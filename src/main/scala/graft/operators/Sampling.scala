@@ -386,6 +386,46 @@ object Sampling {
       .drop("__rn", "__tau")
   }
 
+  /** Weighted sample of `k` rows per GROUP without replacement —
+    * [[prioritySampleK]]'s per-group form, filling the last cell of the
+    * sampling matrix (uniform global = hashSample, uniform per group =
+    * sampleKPerGroup, weighted global = prioritySampleK): "1000 docs per
+    * source ∝ token mass" with the same Duffield–Lund–Thorup unbiased
+    * ŵ = max(w, τ_g) estimator, τ_g the group's (k+1)-th priority.
+    *
+    * Shape: the priority projection is pure; ranking rides
+    * [[topKPerGroup]]'s range-pruned per-(range, group) machinery asked
+    * for k+1 rows (never a one-task-per-group window); τ and the
+    * estimator then compute on the (groups·(k+1))-bounded kept frame.
+    * Same ≤100k-group contract and (id, seed) determinism as the rest of
+    * the family. Returns (group, id, w, pick, est_w). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, seed: Long = 0L,
+      partitions: Int = 0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"),
+      lit(seed))) + 1).cast("double") / lit(1.152921504606846976e18)
+    val pr = df
+      .select(col(groupCol), col(idCol), col(weightCol).cast("double").as("__w"))
+      .withColumn("__priority", col("__w") / u)
+    val kept = topKPerGroup(
+      pr.select(col(groupCol), col(idCol), col("__priority")),
+      groupCol, idCol, "__priority", k + 1L, partitions)
+    val wG = Window.partitionBy(groupCol)
+    kept
+      .join(pr.select(col(groupCol), col(idCol), col("__w")),
+        Seq(groupCol, idCol))
+      .withColumn("__gcnt", count(lit(1)).over(wG))
+      .withColumn("__tau",
+        when(col("__gcnt") === k + 1, min(col("__priority")).over(wG))
+          .otherwise(lit(0.0)))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("__w").as("w"),
+        col("rank").as("pick"),
+        greatest(col("__w"), col("__tau")).as("est_w"))
+  }
+
   /** EXACT weighted quantiles: the q-quantile is the score of the FIRST
     * row (score asc, id asc) whose inclusive cumulative WEIGHT reaches
     * q·W — "the median quality BY TOKEN MASS", which is what a corpus

@@ -425,6 +425,44 @@ class SamplingSpec extends SparkSpec {
     assert(salted !== out.map(r => (r._1, r._2)).toSet)
   }
 
+  test("weightedSamplePerGroup: hand replay, small-group exhaustive, partition-invariant") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val k = 2
+    val seed = 3L
+    // group a: 5 rows (τ from the 3rd priority); group b: 2 rows (exhaustive)
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 1.0), ("a", 3L, 50.0), ("a", 4L, 5.0),
+      ("a", 5L, 2.0), ("b", 6L, 7.0), ("b", 7L, 3.0)).toDF("g", "id", "w")
+    def ref: Map[(String, Long), (Long, Double)] = {
+      val pr = Seq(("a", 1L, 10.0), ("a", 2L, 1.0), ("a", 3L, 50.0),
+        ("a", 4L, 5.0), ("a", 5L, 2.0), ("b", 6L, 7.0), ("b", 7L, 3.0))
+        .map { case (g, id, w) =>
+          val u = (h60(s"$id:$seed") + 1).toDouble / 1.152921504606846976e18
+          (g, id, w, w / u)
+        }
+      pr.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(r => (-r._4, r._3))
+        val tau = if (sorted.size > k) sorted(k)._4 else 0.0
+        sorted.take(k).zipWithIndex.map { case ((_, id, w, _), i) =>
+          (g, id) -> ((i + 1).toLong, math.max(w, tau))
+        }
+      }.toMap
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSamplePerGroup(df, "g", "id", "w", k, seed)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+    val got = run(rows)
+    assert(got === ref)
+    // group b is exhaustive (2 rows, k=2): τ = 0, est_w = w
+    assert(got(("b", 6L))._2 === 7.0 && got(("b", 7L))._2 === 3.0)
+    assert(run(rows.repartition(5)) === got)
+  }
+
   test("groupedSplitAssign: one fold per group, hashSplit-consistent, null to fold 0") {
     val rows = (1L to 200L).map(i => (s"g${i % 23}", i)).toDF("grp", "id")
     val out = Sampling.groupedSplitAssign(rows, "grp", Seq(0.8, 0.1, 0.1))
