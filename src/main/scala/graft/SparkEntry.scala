@@ -2451,6 +2451,30 @@ object SparkEntry {
           round(col("est_w"), 6).as("est_w"))
         .orderBy("source", "pick")
     }),
+    // ── scale: burst collapse — retry storms / double-submits collapsed
+    //    to one representative event per (user, type) burst before any
+    //    count metric (islands semantics, explicit (ts, id) tie order);
+    //    integer micros (oracle: DuckDB lag replay) ───────────────────────
+    "q251_burst_collapse" -> ((s, dir) => {
+      Analytics.collapseBursts(T(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id",
+          gapUs = 600000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_first"), 1L).otherwise(0L)).as("n_bursts"))
+        .withColumn("drop_frac",
+          round((col("n_events") - col("n_bursts")).cast("double") /
+            col("n_events").cast("double"), 6))
+        .orderBy("event_type")
+    }),
+    // ── scale: user growth curve — per-day actives, first-seen news, and
+    //    the cumulative user count (q112's corpus-level trajectory);
+    //    exact integers, cumsum over the DAYS-sized frame only (oracle:
+    //    DuckDB replay) ────────────────────────────────────────────────────
+    "q252_user_growth" -> ((s, dir) => {
+      Analytics.userGrowthCurve(T(s, dir, "events"), "ts", "user_id")
+        .orderBy("day")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4921,6 +4945,37 @@ object SparkEntry {
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
+    "q251_burst_collapse" ->
+      """WITH a AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT event_type,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY us, event_id) IS NULL
+        |      OR us - lag(us) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY us, event_id) > 600000000
+        |      THEN 1 ELSE 0 END AS first
+        |  FROM a)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(first) AS BIGINT) AS n_bursts,
+        |  round(CAST(count(*) - sum(first) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS drop_frac
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q252_user_growth" ->
+      """WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    user_id AS u
+        |  FROM events),
+        |act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM (SELECT DISTINCT day, u FROM b) GROUP BY day),
+        |fs AS (SELECT u, min(day) AS day FROM b GROUP BY u),
+        |nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY day)
+        |SELECT act.day, n_active, coalesce(n_new, 0) AS n_new,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY act.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM act LEFT JOIN nw USING (day)
+        |ORDER BY act.day""".stripMargin,
     "q250_group_weighted_sample" ->
       """WITH d AS (SELECT source, doc_id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

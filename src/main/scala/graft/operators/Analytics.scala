@@ -1878,6 +1878,57 @@ object Analytics {
     curve.withColumn("ece", lit(ece))
   }
 
+  /** Burst collapse (retry-storm dedup): annotate each row with its burst
+    * — maximal runs of same-key events separated by gaps ≤ `gapUs` — and
+    * whether it is the burst's FIRST row. Collapsing retried clicks,
+    * double-submits, and sensor chatter to one representative event is
+    * the standard pre-aggregation step before any count-based metric
+    * (a retry storm otherwise reads as engagement). Semantics are
+    * explicitly gap-to-PREVIOUS-EVENT (the [[sessionize]] islands
+    * convention with an explicit (ts, id) tie order), not
+    * gap-to-last-kept token debouncing — the islands form is stateless,
+    * window-expressible, and SQL-replayable. One shuffle by key;
+    * integer-micros arithmetic. Adds (is_first, burst_seq). */
+  def collapseBursts(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, gapUs: Long): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(gapUs >= 0, s"gapUs must be >= 0, got $gapUs")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__us").asc, col(idCol).asc)
+    df.withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("is_first",
+        lag(col("__us"), 1).over(w).isNull ||
+          (col("__us") - lag(col("__us"), 1).over(w)) > gapUs)
+      .withColumn("burst_seq",
+        sum(when(col("is_first"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__us")
+  }
+
+  /** User growth curve: per day, the distinct active users, the NEW
+    * users (first ever seen that day), and the cumulative user count —
+    * the acquisition-vs-activity report (q112's cohort retention slices
+    * the same first-seen frame by cohort; this is the corpus-level
+    * trajectory). Exact integers end-to-end: actives from one
+    * (day, user)-distinct aggregate, news from the user-keyed min-day
+    * frame, the cumulative sum over the DAYS-sized frame only (the
+    * unpartitioned window is bounded by the calendar, not the corpus).
+    * Returns (day, n_active, n_new, cum_users). */
+  def userGrowthCurve(df: DataFrame, tsCol: String,
+      userCol: String): DataFrame = {
+    val day = date_trunc("day", col(tsCol).cast("timestamp")).cast("date")
+    val base = df.select(day.as("day"), col(userCol).as("__u"))
+    val active = base.distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_active"))
+    val news = base.groupBy("__u").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val wCum = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(news, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(wCum))
+  }
+
   /** Watermark-lateness audit: for each candidate watermark delay, how
     * many events a streaming job with that delay would DROP — the
     * measured input to `withWatermark` tuning (too small silently loses

@@ -1060,6 +1060,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Set(1L, 2L, 3L, 5L))
   }
 
+  test("collapseBursts: islands split on gap, first flagged, keys isolated") {
+    // user 1 type a: events at 0s, 5s, 30s with gap 10s → bursts {0,5}, {30}
+    // user 1 type b: 6s — its own burst (key isolation from type a)
+    val rows = Seq(
+      (1L, "a", 10L, 0L), (1L, "a", 11L, 5000000L), (1L, "a", 12L, 30000000L),
+      (1L, "b", 13L, 6000000L), (2L, "a", 14L, 1000000L))
+      .toDF("user_id", "event_type", "event_id", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+    val out = Analytics.collapseBursts(rows, Seq("user_id", "event_type"),
+        "ts", "event_id", gapUs = 10000000L)
+      .collect().map(r => r.getLong(2) ->
+        (r.getBoolean(5), r.getLong(6))).toMap
+    assert(out(10L) === ((true, 1L)))
+    assert(out(11L) === ((false, 1L))) // 5s after previous: same burst
+    assert(out(12L) === ((true, 2L)))  // 25s gap: new burst
+    assert(out(13L) === ((true, 1L)))
+    assert(out(14L) === ((true, 1L)))
+  }
+
+  test("userGrowthCurve: actives, news, and cumulative on a hand timeline") {
+    val day = 86400000000L
+    val rows = Seq(
+      (1L, 0L), (2L, 1L),               // day 0: users 1, 2 (both new)
+      (1L, day), (3L, day + 5L),        // day 1: 1 returns, 3 new
+      (2L, 3 * day))                    // day 3: 2 returns, none new
+      .toDF("user_id", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+    val out = Analytics.userGrowthCurve(rows, "ts", "user_id")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("1970-01-01") === ((2L, 2L, 2L)))
+    assert(out("1970-01-02") === ((2L, 1L, 3L)))
+    assert(out("1970-01-04") === ((1L, 0L, 3L)))
+    assert(out.size === 3)
+  }
+
   test("watermarkAudit: hand lateness, delay thresholds, partition-invariant") {
     // (event time µs, arrival µs): e3 arrives 100µs late behind e2's max,
     // e5 arrives 20µs behind e4's
