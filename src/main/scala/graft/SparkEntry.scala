@@ -2475,6 +2475,22 @@ object SparkEntry {
       Analytics.userGrowthCurve(T(s, dir, "events"), "ts", "user_id")
         .orderBy("day")
     }),
+    // ── scale: per-slice accuracy with Wilson intervals — the
+    //    disaggregated-eval report (aggregate accuracy hides a small
+    //    badly-served slice; Wilson says which gaps are signal at tiny
+    //    per-slice n); langId vs true lang, sliced by source; one integer
+    //    aggregate + fixed-paren formulas (oracle: DuckDB replays scorer,
+    //    counts, and the shared z literals) ────────────────────────────────
+    "q253_slice_accuracy" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("source"), col("lang"),
+        TextAnalysis.langId(col("text")).as("pred"))
+      Profiling.sliceAccuracy(d, "source", "lang", "pred")
+        .select(col("slice"), col("n"), col("n_correct"),
+          round(col("acc"), 6).as("acc"),
+          round(col("wilson_lo"), 6).as("wilson_lo"),
+          round(col("wilson_hi"), 6).as("wilson_hi"))
+        .orderBy("slice")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4945,6 +4961,7 @@ object SparkEntry {
         |FROM m GROUP BY variable ORDER BY variable""".stripMargin,
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
+    "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
     "q251_burst_collapse" ->
       """WITH a AS (SELECT user_id, event_type, event_id,
         |    epoch_us(ts) AS us
@@ -8390,6 +8407,41 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_supp
        |FROM v$maxHops GROUP BY 1 ORDER BY dist""".stripMargin
+  }
+
+  /** q253 slice-accuracy oracle: the q172 lang scorer carried with its
+    * source, one integer aggregate per slice, then the Wilson formulas
+    * at the EXACT parenthesization `Profiling.sliceAccuracy` computes,
+    * with z/z² as shared IEEE literals. */
+  private def sliceAccuracyOracleSql(z: Double): String = {
+    val langs = graft.operators.TextAnalysis.markerLexicon.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val pat = "(?i)\\b(" +
+        graft.operators.TextAnalysis.markerLexicon(l).mkString("|") + ")\\b"
+      s"len(regexp_extract_all(text, '$pat')) AS s_$l"
+    }.mkString(", ")
+    val greatest = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN s_$l = $greatest THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    val zS = java.lang.Double.toString(z)
+    val z2S = java.lang.Double.toString(z * z)
+    val denom = s"(1.0 + ($z2S / nd))"
+    val center = s"((ph + ($z2S / (2.0 * nd))) / $denom)"
+    val half = s"(($zS * sqrt(((ph * (1.0 - ph)) / nd) + " +
+      s"($z2S / ((4.0 * nd) * nd)))) / $denom)"
+    s"""WITH scored AS (SELECT source, lang, $scores FROM documents),
+       |pr AS (SELECT source AS slice, lang AS l, $caseChain AS p
+       |  FROM scored),
+       |a AS (SELECT slice, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN l = p THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_correct
+       |  FROM pr GROUP BY slice),
+       |b AS (SELECT slice, n, n_correct, CAST(n AS DOUBLE) AS nd,
+       |    CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS ph FROM a)
+       |SELECT slice, n, n_correct, round(ph, 6) AS acc,
+       |  round($center - $half, 6) AS wilson_lo,
+       |  round($center + $half, 6) AS wilson_hi
+       |FROM b ORDER BY slice""".stripMargin
   }
 
   /** q247 FD-audit oracle: per hypothesis, the determinant-keyed exact

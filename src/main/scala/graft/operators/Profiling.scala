@@ -1191,6 +1191,36 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Disaggregated evaluation: accuracy per slice with a Wilson score
+    * interval — the "is the model only good on the dominant slice"
+    * report (an aggregate accuracy hides a slice that is both small and
+    * badly served; the Wilson interval says which slice gaps are signal
+    * and which are small-n noise — it stays inside [0,1] and behaves at
+    * the tiny per-slice counts where the normal interval breaks).
+    *
+    * One slice-keyed integer aggregate; every double after it is a
+    * fixed-parenthesization formula over (n, n_correct), so a SQL replay
+    * is bit-identical with shared z/z² literals. NULL label or pred
+    * counts as incorrect (CASE-ELSE semantics, both engines). Returns
+    * (slice, n, n_correct, acc, wilson_lo, wilson_hi). */
+  def sliceAccuracy(df: DataFrame, sliceCol: String, labelCol: String,
+      predCol: String, z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be > 0, got $z")
+    val z2 = z * z
+    val agg = df.groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L))
+          .as("n_correct"))
+    val nd = col("n").cast(DoubleType)
+    val ph = col("n_correct").cast(DoubleType) / nd
+    val denom = lit(1.0) + (lit(z2) / nd)
+    val center = (ph + (lit(z2) / (lit(2.0) * nd))) / denom
+    val half = (lit(z) * sqrt(((ph * (lit(1.0) - ph)) / nd) +
+      (lit(z2) / ((lit(4.0) * nd) * nd)))) / denom
+    agg.select(col("slice"), col("n"), col("n_correct"), ph.as("acc"),
+      (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+  }
+
   /** Dataset card: the one-table corpus summary a training run's
     * documentation starts from — size, source breadth, token mass,
     * quality level, exact-duplicate rate, and length percentiles, in one

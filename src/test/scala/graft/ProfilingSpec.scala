@@ -602,6 +602,35 @@ class ProfilingSpec extends SparkSpec {
     assert(out(("b", 0L))._1 === 1L)
   }
 
+  test("sliceAccuracy: hand Wilson interval, null pred counts incorrect") {
+    /** Textbook Wilson (z = 1.96). */
+    def wilson(c: Long, n: Long): (Double, Double) = {
+      val (z, z2) = (1.96, 1.96 * 1.96)
+      val nd = n.toDouble
+      val ph = c.toDouble / nd
+      val denom = 1.0 + (z2 / nd)
+      val center = (ph + (z2 / (2.0 * nd))) / denom
+      val half = (z * math.sqrt(((ph * (1.0 - ph)) / nd) +
+        (z2 / ((4.0 * nd) * nd)))) / denom
+      (center - half, center + half)
+    }
+    val df = Seq(
+      ("s1", "en", "en"), ("s1", "en", "de"), ("s1", "de", "de"),
+      ("s1", "fr", "fr"), ("s2", "en", null))
+      .toDF("src", "label", "pred")
+    val out = Profiling.sliceAccuracy(df, "src", "label", "pred")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val (lo1, hi1) = wilson(3, 4)
+    assert(out("s1")._1 === 4L && out("s1")._2 === 3L)
+    assert(out("s1")._3 === 0.75)
+    assert(math.abs(out("s1")._4 - lo1) < 1e-12)
+    assert(math.abs(out("s1")._5 - hi1) < 1e-12)
+    // null pred is incorrect; interval stays within [0, 1]
+    assert(out("s2")._2 === 0L && out("s2")._4 >= 0.0)
+  }
+
   test("datasetCard: hand metrics on a tiny corpus") {
     import graft.operators.TextAnalysis
     val docs = Seq(
