@@ -2491,6 +2491,20 @@ object SparkEntry {
           round(col("wilson_hi"), 6).as("wilson_hi"))
         .orderBy("slice")
     }),
+    // ── scale: transition dwell-time matrix — q114 gives the transition
+    //    PROBABILITIES, this gives the DURATIONS (where a funnel
+    //    intervention goes); exact micros totals (longs — no fold
+    //    discipline), types²-sized output, the only doubles are the final
+    //    divisions (oracle: DuckDB lag replay) ────────────────────────────
+    "q254_dwell_matrix" -> ((s, dir) => {
+      Analytics.dwellMatrix(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("mean_gap_s"), 6).as("mean_gap_s"),
+          round(col("min_gap_s"), 6).as("min_gap_s"),
+          round(col("max_gap_s"), 6).as("max_gap_s"))
+        .orderBy("from_type", "to_type")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4962,6 +4976,27 @@ object SparkEntry {
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
+    "q254_dwell_matrix" ->
+      """WITH a AS (SELECT user_id, event_id, event_type AS to_type,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (SELECT
+        |    lag(to_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS from_type,
+        |    to_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS gap
+        |  FROM a),
+        |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(gap) AS BIGINT) AS total,
+        |    CAST(min(gap) AS BIGINT) AS mn, CAST(max(gap) AS BIGINT) AS mx
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round((CAST(total AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0, 6)
+        |    AS mean_gap_s,
+        |  round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_gap_s,
+        |  round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
     "q251_burst_collapse" ->
       """WITH a AS (SELECT user_id, event_type, event_id,
         |    epoch_us(ts) AS us

@@ -1929,6 +1929,34 @@ object Analytics {
       .withColumn("cum_users", sum(col("n_new")).over(wCum))
   }
 
+  /** Transition dwell-time matrix: for each (from-type → to-type) pair,
+    * how LONG users take between the two events — q114's transition
+    * matrix gives the probabilities, this gives the durations (the
+    * "users stall 40 minutes between signup and purchase" number that
+    * decides where a funnel intervention goes). One lag window per user
+    * (ts, id)-ordered, then a types²-bounded integer aggregate: n, total
+    * gap as exact micros (a long — no fold discipline needed), min/max,
+    * and the only double is the final mean-seconds division.
+    * Returns (from_type, to_type, n, mean_gap_s, min_gap_s, max_gap_s). */
+  def dwellMatrix(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    df.select(col(userCol), col(idCol), col(typeCol).as("to_type"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"), sum("__gap").as("__total"),
+        min("__gap").as("__min"), max("__gap").as("__max"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        ((col("__total").cast("double") / col("n").cast("double")) /
+          lit(1000000.0)).as("mean_gap_s"),
+        (col("__min").cast("double") / lit(1000000.0)).as("min_gap_s"),
+        (col("__max").cast("double") / lit(1000000.0)).as("max_gap_s"))
+  }
+
   /** Watermark-lateness audit: for each candidate watermark delay, how
     * many events a streaming job with that delay would DROP — the
     * measured input to `withWatermark` tuning (too small silently loses

@@ -1096,6 +1096,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("dwellMatrix: hand gaps, per-user isolation, first event dropped") {
+    // user 1: a@0 → b@10s → a@40s; user 2: a@5s → b@11s
+    val rows = Seq(
+      (1L, 10L, "a", 0L), (1L, 11L, "b", 10000000L),
+      (1L, 12L, "a", 40000000L),
+      (2L, 13L, "a", 5000000L), (2L, 14L, "b", 11000000L))
+      .toDF("user_id", "event_id", "event_type", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+    val out = Analytics.dwellMatrix(rows, "user_id", "ts", "event_id",
+        "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // a→b: user1 10s, user2 6s → n=2, mean 8s, min 6, max 10
+    assert(out(("a", "b")) === ((2L, 8.0, 6.0, 10.0)))
+    // b→a: user1 30s
+    assert(out(("b", "a")) === ((1L, 30.0, 30.0, 30.0)))
+    assert(out.size === 2)
+  }
+
   test("watermarkAudit: hand lateness, delay thresholds, partition-invariant") {
     // (event time µs, arrival µs): e3 arrives 100µs late behind e2's max,
     // e5 arrives 20µs behind e4's
