@@ -2505,6 +2505,31 @@ object SparkEntry {
           round(col("max_gap_s"), 6).as("max_gap_s"))
         .orderBy("from_type", "to_type")
     }),
+    // ── scale: coherent star-schema sample — sample by the JOIN KEY
+    //    (hash of orderkey on BOTH tables), so the 10% slice keeps
+    //    referential integrity (row-keyed sampling orphans ~90% of
+    //    lineitems); the report proves zero orphans and shows the
+    //    scaled-up revenue estimate against truth (oracle: DuckDB
+    //    md5-bucket replay) ────────────────────────────────────────────────
+    "q255_coherent_sample" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val so = Sampling.hashSample(T(s, dir, "orders")
+        .select("o_orderkey"), "o_orderkey", 0.1)
+      val sl = Sampling.hashSample(li, "l_orderkey", 0.1)
+      val cents = round(col("l_extendedprice") * lit(100.0)).cast("long")
+      val sampled = sl.agg(count(lit(1)).as("n_items_sampled"),
+        sum(cents).as("rev_sampled_cents"))
+      val orphans = sl
+        .join(so, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val totals = li.agg(count(lit(1)).as("n_items_total"),
+        sum(cents).as("rev_total_cents"))
+      val nOrders = so.agg(count(lit(1)).as("n_orders_sampled"))
+      nOrders.crossJoin(sampled).crossJoin(orphans).crossJoin(totals)
+        .withColumn("est_ratio",
+          round((col("rev_sampled_cents").cast("double") * lit(10.0)) /
+            col("rev_total_cents").cast("double"), 6))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -4976,6 +5001,29 @@ object SparkEntry {
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
+    "q255_coherent_sample" ->
+      """WITH so AS (SELECT o_orderkey FROM orders
+        |  WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::UBIGINT
+        |    % 1000000 < 100000),
+        |sl AS (SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::UBIGINT
+        |    % 1000000 < 100000),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_items_sampled,
+        |    CAST(sum(cents) AS BIGINT) AS rev_sampled_cents FROM sl),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM sl
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM so)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_items_total,
+        |    CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+        |      AS BIGINT) AS rev_total_cents
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders_sampled FROM so)
+        |SELECT n_orders_sampled, n_items_sampled, rev_sampled_cents,
+        |  n_orphans, n_items_total, rev_total_cents,
+        |  round((CAST(rev_sampled_cents AS DOUBLE) * 10.0)
+        |    / CAST(rev_total_cents AS DOUBLE), 6) AS est_ratio
+        |FROM n CROSS JOIN s CROSS JOIN orph CROSS JOIN t""".stripMargin,
     "q254_dwell_matrix" ->
       """WITH a AS (SELECT user_id, event_id, event_type AS to_type,
         |    epoch_us(ts) AS us
