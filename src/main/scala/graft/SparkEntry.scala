@@ -2530,6 +2530,25 @@ object SparkEntry {
           round((col("rev_sampled_cents").cast("double") * lit(10.0)) /
             col("rev_total_cents").cast("double"), 6))
     }),
+    // ── scale: persistent IVF vector index — the incremental-similarity
+    //    tier's vector cell (exact→Bloom, token→LSH postings, char→FastSS
+    //    variants, vectors→THIS): frozen centroids, cell-bucketed
+    //    postings, two incremental adds, probe I/O ∝ batch × probed
+    //    cells; gate probes nProbe = all cells (complete recall), so the
+    //    oracle is plain brute force (oracle: DuckDB q27-style scan) ──────
+    "q256_vector_index" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val idx = new VectorIndex(s, tmpWorkDir("gs_vecidx_"), numBuckets = 16)
+      val first = e.filter(col("vec_id") % 2 === 0)
+      idx.initialize(first, "vec_id", "embedding", numCentroids = 8)
+      idx.add(first, "vec_id", "embedding")
+      idx.add(e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      idx.probe(e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3486,6 +3505,22 @@ object SparkEntry {
           .select(col("id_a"), col("id_b"), col("n_shared"),
             round(col("cosine"), 6).as("cosine"))
           .orderBy("id_a", "id_b")
+      }),
+      // q256 measures a store lifecycle: initialization + the two adds
+      // are test setup (the q08/q38 convention) — the timed region is
+      // exactly one probe against the persisted index
+      "q256_vector_index" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val idx = new VectorIndex(s, tmpWorkDir("gs_vecidx_"), numBuckets = 16)
+        val first = e.filter(col("vec_id") % 2 === 0)
+        idx.initialize(first, "vec_id", "embedding", numCentroids = 8)
+        idx.add(first, "vec_id", "embedding")
+        idx.add(e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        () => idx.probe(e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nProbe = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("query_id", "rank")
       }),
       "q184_bootstrap_means" -> ((s, dir) => {
         val ev = T(s, dir, "events")
@@ -5001,6 +5036,17 @@ object SparkEntry {
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
+    "q256_vector_index" ->
+      """SELECT q.vec_id AS query_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank,
+        |  c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q255_coherent_sample" ->
       """WITH so AS (SELECT o_orderkey FROM orders
         |  WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::UBIGINT

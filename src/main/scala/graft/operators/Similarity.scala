@@ -206,7 +206,7 @@ object Similarity {
   /** Centroids materialized driver-side: (centroid_id, vector, norm),
     * sorted by centroid_id so argmin tie-breaking is deterministic
     * (lowest id wins, matching the old (distance, centroid_id) ordering). */
-  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Float], Double)] =
+  private[operators] def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Float], Double)] =
     centroids.select(col("centroid_id").cast(LongType), col("centroid"),
         vector_norm(col("centroid")).as("__n"))
       .collect()
@@ -235,7 +235,7 @@ object Similarity {
     * when composed with downstream operators (join + norm), silently
     * deoptimizing whole stages to the bytecode interpreter at ~10× cost —
     * see NearestCentroid's scaladoc for the mechanism. */
-  private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
     assignSeq(corpus, collectCentroids(centroids), vecCol)
 
   private def assignSeq(corpus: DataFrame, cens: Seq[(Long, Seq[Float], Double)],
