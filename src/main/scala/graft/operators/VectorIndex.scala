@@ -90,11 +90,44 @@ class VectorIndex(
     }
   }
 
+  /** Vector-gated ingest: index ONLY the batch vectors with no history
+    * neighbor at cosine ≥ `threshold` (semantic-novelty gating — the
+    * embedding analogue of [[NearDupIndex.ingest]]); returns the novel
+    * rows, materialized. Idempotent under batch redelivery: re-adding an
+    * unchanged (vec_id, vector) upserts the identical posting, and a
+    * redelivered near-dup of an ALREADY-INDEXED other id is suppressed by
+    * its history match. `threshold` is judged at the given `nProbe` —
+    * the usual bounded-recall lever (gate-style full-probe for exact
+    * gating, small nProbe for cheap gating at scale). */
+  def ingest(batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int): DataFrame = {
+    val b = batch.localCheckpoint(true)
+    val novel =
+      if (!store.exists(Postings)) b
+      else {
+        val hits = probeImpl(b, idCol, vecCol, k = 1, nProbe,
+            excludeSelf = false)
+          .filter(col("cosine") >= threshold)
+          .select(col("query_id").as("__hit"))
+        b.join(hits, col(idCol) === col("__hit"), "left_anti")
+          .localCheckpoint(true)
+      }
+    add(novel, idCol, vecCol)
+    novel
+  }
+
   /** Top-`k` indexed neighbors of each query vector, probing the
     * `nProbe` nearest cells: (query_id, rank, neighbor_id, cosine).
     * Self-matches (same id) are excluded. */
   def probe(queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int): DataFrame =
+    probeImpl(queries, idCol, vecCol, k, nProbe, excludeSelf = true)
+
+  /** [[probe]] with self-matches kept — what [[ingest]]'s restart
+    * contract needs (a redelivered id must match its own indexed copy at
+    * cosine 1 and be suppressed). */
+  private def probeImpl(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, excludeSelf: Boolean): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"k/nProbe must be >= 1, got $k/$nProbe")
     val cens = Similarity.collectCentroids(centroidsDf)
     val censLit = array(cens.map { case (cid, vec, nrm) =>
@@ -120,9 +153,11 @@ class VectorIndex(
       .select(col("query_id"), col("__sc.cid").as("centroid_id"))
     val postings = store.readForKeys(Postings,
       cells.select("centroid_id").distinct(), Seq("centroid_id"))
-    val scored = cells.join(postings, Seq("centroid_id"))
+    val scored0 = cells.join(postings, Seq("centroid_id"))
       .join(q, Seq("query_id"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val scored = (if (excludeSelf)
+        scored0.filter(col("query_id") =!= col("vec_id"))
+      else scored0)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (vector_dot(col("__qv"), col("embedding")) /
           (col("__qn") * vector_norm(col("embedding")))).as("cosine"))

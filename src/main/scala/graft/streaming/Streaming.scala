@@ -78,6 +78,29 @@ object Streaming {
           onNovel(idx.ingest(batch, idCol, strCol))
       }
 
+  /** Micro-batch semantic-novelty ingest: the [[streamingFuzzyIngest]]
+    * contract in embedding space — each batch probes the persistent IVF
+    * index ([[graft.operators.VectorIndex]]) against every vector ever
+    * ingested; only vectors with no history neighbor at cosine ≥
+    * `threshold` are indexed and handed to `onNovel`. Restart-safe: a
+    * redelivered batch's unchanged vectors upsert idempotently and its
+    * near-dups of already-indexed ids are suppressed by their history
+    * match. The index must be [[graft.operators.VectorIndex.initialize]]d
+    * before the stream starts (frozen-centroid contract). */
+  def streamingVectorIngest(
+      stream: DataFrame,
+      idx: graft.operators.VectorIndex,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nProbe: Int)(onNovel: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onNovel(idx.ingest(batch, idCol, vecCol, threshold, nProbe))
+      }
+
   /** Event-time tumbling-window counts with late-data watermark. */
   def windowedCounts(
       events: DataFrame,

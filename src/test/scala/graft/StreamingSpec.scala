@@ -85,6 +85,44 @@ class StreamingSpec extends SparkSpec {
     assert(novel.isEmpty)
   }
 
+  test("streamingVectorIngest admits only semantically novel vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = new graft.operators.VectorIndex(spark, tmpDir("stream_vix_"),
+      numBuckets = 8)
+    // frozen-centroid contract: initialize from a representative batch
+    // BEFORE the stream starts
+    val seed = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f)),
+      (102L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    idx.initialize(seed, "vec_id", "embedding", numCentroids = 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val novel = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit =
+      Streaming.streamingVectorIngest(
+          mem.toDF.toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+          threshold = 0.99, nProbe = 2) { nv =>
+          novel ++= nv.select("vec_id").collect().map(_.getLong(0)): Unit
+        }
+        .option("checkpointLocation", tmpDir("ckpt_vix_"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    mem.addData((1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)))
+    run()
+    assert(novel.sorted.toSeq === Seq(1L, 2L))
+    novel.clear()
+    // a near-copy of vector 1 (cosine ≈ 1) is rejected; an orthogonal
+    // direction is admitted
+    mem.addData((3L, Seq(0.999f, 0.001f, 0.0f)), (4L, Seq(0.0f, 0.0f, 1.0f)))
+    run()
+    assert(novel.sorted.toSeq === Seq(4L))
+    // redelivered content is suppressed by its own indexed copy
+    novel.clear()
+    mem.addData((5L, Seq(0.0f, 0.0f, 1.0f)))
+    run()
+    assert(novel.isEmpty)
+  }
+
   test("windowedCounts aggregates into event-time tumbling windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
