@@ -667,6 +667,24 @@ object Stress {
       println("[stress]   rows=" + Bench.force(
         Training.topPrincipalComponent(eBig, "vec_id", "embedding", rounds = 3)))
     }
+    // persistent IVF index: add is one assignment pass + bucketed upsert;
+    // probe cost ∝ batch × cell size = batch × n/√n (sqrt-centroid
+    // sizing) — SUBLINEAR in history, never a rescan
+    time(s"vectorIndex init+add ${factor}x history (sqrt centroids)") {
+      val dir = java.nio.file.Files.createTempDirectory("stress_vix").toString
+      val idx = new VectorIndex(spark, dir, numBuckets = 32)
+      val nc = Similarity.sqrtCentroids(eBig.count())
+      idx.initialize(eBig, "vec_id", "embedding", nc)
+      idx.add(eBig, "vec_id", "embedding")
+      sys.props.put("stress.vix.dir", dir)
+    }
+    time(s"vectorIndex probe 100 queries vs ${factor}x history (nProbe=4)") {
+      val idx = new VectorIndex(spark, sys.props("stress.vix.dir"),
+        numBuckets = 32)
+      println("[stress]   rows=" + Bench.force(idx.probe(
+        eBig.filter(col("vec_id") % 997 === 0).limit(100),
+        "vec_id", "embedding", k = 5, nProbe = 4)))
+    }
     eBig.unpersist()
     docsTail.unpersist()
     spark.stop()
