@@ -2549,6 +2549,101 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
+    // ── scale: TPC-H Q7 shape (volume shipping) — two nation-dim joins
+    //    on DIFFERENT sides of the fact with a symmetric OR pair filter;
+    //    year from the shipdate; exact cents (oracle: DuckDB same SQL) ────
+    "q257_tpch_q7" -> ((s, dir) => {
+      val n1 = broadcast(T(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(T(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation")))
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("nk1"))
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("nk2"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * lit(100.0)).cast("long")).as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // ── scale: TPC-H Q8 shape (national market share) — region-filtered
+    //    market, the share as a conditional-sum / total-sum division over
+    //    exact cents (oracle: DuckDB same SQL) ─────────────────────────────
+    "q258_tpch_q8" -> ((s, dir) => {
+      val rk = broadcast(T(s, dir, "nation")
+        .join(T(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("crk")))
+      val sn = broadcast(T(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val cents = round((col("l_extendedprice") * (lit(1.0) -
+        col("l_discount"))) * lit(100.0)).cast("long")
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(rk, col("c_nationkey") === col("crk"))
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_5", cents)
+            .otherwise(0L)).as("nation_cents"),
+          sum(cents).as("total_cents"))
+        .withColumn("mkt_share",
+          round(col("nation_cents").cast("double") /
+            col("total_cents").cast("double"), 6))
+        .orderBy("o_year")
+    }),
+    // ── scale: TPC-H Q15 shape (top supplier) — the revenue view + scalar
+    //    max becomes one aggregate re-joined through a broadcast 1-row
+    //    frame; exact cents make the max tie-exact (oracle: DuckDB same
+    //    SQL) ───────────────────────────────────────────────────────────────
+    "q259_tpch_q15" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * lit(100.0)).cast("long")).as("total_revenue_cents"))
+      val mx = rev.agg(max("total_revenue_cents").as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue_cents") === col("__mx"))
+        .join(broadcast(T(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+        .orderBy("s_suppkey")
+    }),
+    // ── scale: TPC-H Q19 shape (disjunctive predicate revenue) — three
+    //    OR'd brand/size/quantity branches in ONE scan-side filter (the
+    //    optimizer must not expand to three scans); exact cents (oracle:
+    //    DuckDB same SQL) ──────────────────────────────────────────────────
+    "q260_tpch_q19" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+      val branch = (col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+      li.filter(branch)
+        .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * lit(100.0)).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -5036,6 +5131,73 @@ object SparkEntry {
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
+    "q257_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q258_tpch_q8" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+        |    CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END)
+        |    AS BIGINT) AS nation_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents
+        |      ELSE 0 END) AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q259_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+        |      * 100.0) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(total_revenue_cents) AS m FROM rev)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
+        |WHERE total_revenue_cents = mx.m
+        |ORDER BY s_suppkey""".stripMargin,
+    "q260_tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q256_vector_index" ->
       """SELECT q.vec_id AS query_id,
         |  row_number() OVER (PARTITION BY q.vec_id
