@@ -2644,6 +2644,26 @@ object SparkEntry {
           * lit(100.0)).cast("long")).as("revenue_cents"),
           count(lit(1)).as("n_rows"))
     }),
+    // ── scale: persistent Hamming index — the signature-source-agnostic
+    //    incremental cell (text SimHash / image dHash / audio fingerprints
+    //    all route here): 16-bit-chunk pigeonhole postings, probe I/O ∝
+    //    batch + collisions, complete recall at maxDist ≤ 3 with the cap
+    //    unbound at gate; two incremental adds, incoming = exact-copy
+    //    variants (oracle: DuckDB replays the md5 simhash and brute-forces
+    //    incoming × history hamming) ──────────────────────────────────────
+    "q261_hamming_index" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val sig = Dedup.simhash(d, "doc_id", "text",
+        tokenHash = Dedup.md5Hash60).localCheckpoint(true)
+      val idx = new HammingIndex(s, tmpWorkDir("gs_hamix_"), maxDist = 3,
+        numBuckets = 16, maxBucketSize = 100000)
+      idx.add(sig.filter(col("doc_id") % 2 === 0), "doc_id", "simhash")
+      idx.add(sig.filter(col("doc_id") % 2 =!= 0), "doc_id", "simhash")
+      val incoming = sig.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("simhash"))
+      idx.probe(incoming, "doc_id", "simhash")
+        .orderBy("inc_id", "hist_id")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3616,6 +3636,22 @@ object SparkEntry {
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
           .orderBy("query_id", "rank")
+      }),
+      // q261 measures a store lifecycle: signature computation + the two
+      // adds are setup — the timed region is one probe
+      "q261_hamming_index" -> ((s, dir) => {
+        val d = T(s, dir, "documents").select("doc_id", "text")
+        val sig = Dedup.simhash(d, "doc_id", "text",
+          tokenHash = Dedup.md5Hash60).localCheckpoint(true)
+        val idx = new HammingIndex(s, tmpWorkDir("gs_hamix_"), maxDist = 3,
+          numBuckets = 16, maxBucketSize = 100000)
+        idx.add(sig.filter(col("doc_id") % 2 === 0), "doc_id", "simhash")
+        idx.add(sig.filter(col("doc_id") % 2 =!= 0), "doc_id", "simhash")
+        val incoming = sig.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("simhash"))
+          .localCheckpoint(true)
+        () => idx.probe(incoming, "doc_id", "simhash")
+          .orderBy("inc_id", "hist_id")
       }),
       "q184_bootstrap_means" -> ((s, dir) => {
         val ev = T(s, dir, "events")
@@ -5131,6 +5167,20 @@ object SparkEntry {
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
+    "q261_hamming_index" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${h60Sql("t")}::BIGINT AS h
+         |  FROM (SELECT doc_id,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |    FROM documents)),
+         |sigh AS (SELECT doc_id, $simhashBitsSql AS s FROM tok
+         |  GROUP BY doc_id),
+         |sigi AS (SELECT doc_id + 100000 AS inc_id, s FROM sigh
+         |  WHERE doc_id % 10 = 0)
+         |SELECT i.inc_id, h.doc_id AS hist_id,
+         |  bit_count(xor(i.s, h.s)) AS hamming
+         |FROM sigi i JOIN sigh h ON bit_count(xor(i.s, h.s)) <= 3
+         |ORDER BY inc_id, hist_id""".stripMargin,
     "q257_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
