@@ -101,6 +101,26 @@ object Streaming {
           onNovel(idx.ingest(batch, idCol, vecCol, threshold, nProbe))
       }
 
+  /** Micro-batch Hamming-gated ingest: the signature-level contract —
+    * each batch of 64-bit signatures (text SimHash, image dHash, audio
+    * fingerprints) probes the persistent chunk-pigeonhole index
+    * ([[graft.operators.HammingIndex]]) against everything ever
+    * ingested; only signatures with no history match within the index's
+    * maxDist are indexed and handed to `onNovel`. This is the streaming
+    * multimodal crawl-dedup front door (decode → hash → this).
+    * Restart-safe: a redelivered id matches its own copy at hamming 0. */
+  def streamingHammingIngest(
+      stream: DataFrame,
+      idx: graft.operators.HammingIndex,
+      idCol: String,
+      sigCol: String)(onNovel: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onNovel(idx.ingest(batch, idCol, sigCol))
+      }
+
   /** Event-time tumbling-window counts with late-data watermark. */
   def windowedCounts(
       events: DataFrame,

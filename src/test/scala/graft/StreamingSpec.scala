@@ -123,6 +123,35 @@ class StreamingSpec extends SparkSpec {
     assert(novel.isEmpty)
   }
 
+  test("streamingHammingIngest admits only signatures beyond maxDist of history") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = new graft.operators.HammingIndex(spark, tmpDir("stream_hmix_"),
+      maxDist = 1, numBuckets = 8)
+    val mem = MemoryStream[(Long, Long)]
+    val novel = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit =
+      Streaming.streamingHammingIngest(
+          mem.toDF.toDF("id", "sig"), idx, "id", "sig") { nv =>
+          novel ++= nv.select("id").collect().map(_.getLong(0)): Unit
+        }
+        .option("checkpointLocation", tmpDir("ckpt_hmix_"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    mem.addData((1L, 0x1111L), (2L, 0xFF00FF00L))
+    run()
+    assert(novel.sorted.toSeq === Seq(1L, 2L))
+    novel.clear()
+    // one-bit variant rejected; a far signature admitted
+    mem.addData((3L, 0x1110L), (4L, 0xABC000DEFL))
+    run()
+    assert(novel.sorted.toSeq === Seq(4L))
+    // redelivered content matches its own copy at hamming 0
+    novel.clear()
+    mem.addData((5L, 0xABC000DEFL))
+    run()
+    assert(novel.isEmpty)
+  }
+
   test("windowedCounts aggregates into event-time tumbling windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
