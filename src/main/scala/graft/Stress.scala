@@ -686,6 +686,27 @@ object Stress {
         "vec_id", "embedding", k = 5, nProbe = 4)))
     }
     eBig.unpersist()
+    // persistent Hamming index: probe I/O ∝ batch + chunk collisions —
+    // history never rescanned (flat-ish probe as history grows)
+    val sigBig = spark.range(factor).toDF("__rep")
+      .crossJoin(spark.range(50000).toDF("__i"))
+      .select((col("__i") + col("__rep") * 1000000L).as("id"),
+        xxhash64(col("__i") + col("__rep") * 1000000L).as("sig"))
+      .cache()
+    println(s"[stress] signatures: ${sigBig.count()} rows")
+    time(s"hammingIndex add ${factor}x history") {
+      val dir = java.nio.file.Files.createTempDirectory("stress_hmix").toString
+      val idx = new HammingIndex(spark, dir, maxDist = 3, numBuckets = 32)
+      idx.add(sigBig, "id", "sig")
+      sys.props.put("stress.hmix.dir", dir)
+    }
+    time(s"hammingIndex probe 1000 sigs vs ${factor}x history") {
+      val idx = new HammingIndex(spark, sys.props("stress.hmix.dir"),
+        maxDist = 3, numBuckets = 32)
+      println("[stress]   rows=" + Bench.force(idx.probe(
+        sigBig.filter(col("id") % 997 === 0).limit(1000), "id", "sig")))
+    }
+    sigBig.unpersist()
     docsTail.unpersist()
     spark.stop()
   }
