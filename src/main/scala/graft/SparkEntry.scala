@@ -2664,6 +2664,44 @@ object SparkEntry {
       idx.probe(incoming, "doc_id", "simhash")
         .orderBy("inc_id", "hist_id")
     }),
+    // ── scale: explicit GROUPING SETS through the spark.sql entry point
+    //    — the four report granularities (type×dow, type, dow, grand) in
+    //    ONE Expand pass where the naive form is four scans; q237/q241's
+    //    completion on the SQL surface; integer-exact, q182's dow
+    //    (oracle: DuckDB same GROUPING SETS) ───────────────────────────────
+    "q262_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "events").createOrReplaceTempView("events_gs")
+      s.sql("""
+        WITH b AS (SELECT event_type,
+            CAST((unix_micros(ts) div 86400000000 + 3) % 7 + 1 AS INT)
+              AS dow
+          FROM events_gs)
+        SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+          CAST(grouping(event_type) AS INT) AS g_type,
+          CAST(grouping(dow) AS INT) AS g_dow
+        FROM b GROUP BY GROUPING SETS ((event_type, dow), (event_type),
+          (dow), ())
+        ORDER BY g_type, g_dow, event_type NULLS FIRST, dow NULLS FIRST""")
+    }),
+    // ── scale: contribution (percent-of-parent) report — each nation-year
+    //    revenue with its share of the nation's total: the rollup-ratio
+    //    view q107's subtotals feed; exact cents both levels, one division
+    //    (oracle: DuckDB window replay) ────────────────────────────────────
+    "q263_contribution" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * lit(100.0)).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("n_name")
+      rev.withColumn("nation_cents", sum("cents").over(w))
+        .withColumn("share", round(col("cents").cast("double") /
+          col("nation_cents").cast("double"), 6))
+        .orderBy("n_name", "o_year")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -5167,6 +5205,34 @@ object SparkEntry {
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
+    "q262_grouping_sets" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS INT) AS dow
+        |  FROM events)
+        |SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(event_type) AS INT) AS g_type,
+        |  CAST(GROUPING(dow) AS INT) AS g_dow
+        |FROM b GROUP BY GROUPING SETS ((event_type, dow), (event_type),
+        |  (dow), ())
+        |ORDER BY g_type, g_dow, event_type NULLS FIRST,
+        |  dow NULLS FIRST""".stripMargin,
+    "q263_contribution" ->
+      """WITH rev AS (
+        |  SELECT n_name, year(o_orderdate) AS o_year,
+        |    CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+        |      * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, o_year, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY n_name) AS BIGINT)
+        |    AS nation_cents,
+        |  round(CAST(cents AS DOUBLE) /
+        |    CAST(sum(cents) OVER (PARTITION BY n_name) AS DOUBLE), 6)
+        |    AS share
+        |FROM rev ORDER BY n_name, o_year""".stripMargin,
     "q261_hamming_index" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ${h60Sql("t")}::BIGINT AS h
