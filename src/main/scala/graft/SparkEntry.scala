@@ -2702,6 +2702,43 @@ object SparkEntry {
           col("nation_cents").cast("double"), 6))
         .orderBy("n_name", "o_year")
     }),
+    // ── scale: lang-ID confidence margins — per source: docs whose top
+    //    two language scores are ≤ 1 marker apart (the "don't trust this
+    //    label" slice q253's accuracy can't see) plus the mean margin;
+    //    marker scores are INTEGER counts so everything but the final
+    //    mean is exact (oracle: DuckDB replays the marker scorer and the
+    //    top-2 arithmetic) ─────────────────────────────────────────────────
+    "q264_langid_margin" -> ((s, dir) => {
+      val langs = TextAnalysis.markerLexicon.keys.toSeq.sorted
+      val scores = langs.map(l => TextAnalysis.langScore(col("text"), l))
+      val arr = sort_array(array(scores: _*), asc = false)
+      val margin = (arr.getItem(0) - arr.getItem(1)).cast("long")
+      T(s, dir, "documents")
+        .select(col("source"), margin.as("__m"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__m") <= 1L, 1L).otherwise(0L)).as("n_low_margin"),
+          round(sum(col("__m")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_margin"))
+        .orderBy("source")
+    }),
+    // ── scale: snapshot time travel — read the store AS OF the first
+    //    committed version after a second-generation upsert changed and
+    //    added rows (the audit/debug read every incremental pipeline
+    //    eventually needs); versioned manifests make it one pinned read
+    //    (oracle: DuckDB reconstructs generation 1 directly) ──────────────
+    "q265_time_travel" -> ((s, dir) => {
+      val store = new BucketedSnapshotStore(s, tmpWorkDir("gs_tt_"),
+        numBuckets = 16)
+      val d = T(s, dir, "documents").select("doc_id", "source", "n_chars")
+      store.write("docs", d.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
+      val v1 = store.manifestVersion("docs").get
+      store.upsert("docs",
+        d.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000000L),
+        Seq("doc_id"))
+      store.readAt("docs", v1).get.orderBy("doc_id")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -5205,6 +5242,10 @@ object SparkEntry {
     "q240_rbo" -> rboOracleSql(p = 0.9, k = 50),
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
+    "q264_langid_margin" -> langidMarginOracleSql,
+    "q265_time_travel" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
     "q262_grouping_sets" ->
       """WITH b AS (SELECT event_type,
         |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS INT) AS dow
@@ -8814,6 +8855,28 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_supp
        |FROM v$maxHops GROUP BY 1 ORDER BY dist""".stripMargin
+  }
+
+  /** q264 lang-margin oracle: the q172 marker scorer's integer counts,
+    * top-2 margin via a descending sort of the fixed score list —
+    * everything but the final mean is integer-exact. */
+  private def langidMarginOracleSql: String = {
+    val langs = graft.operators.TextAnalysis.markerLexicon.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val pat = "(?i)\\b(" +
+        graft.operators.TextAnalysis.markerLexicon(l).mkString("|") + ")\\b"
+      s"len(regexp_extract_all(text, '$pat'))"
+    }.mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT source,
+       |    CAST(list_sort($scores, 'DESC')[1]
+       |      - list_sort($scores, 'DESC')[2] AS BIGINT) AS mg
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN mg <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_low_margin,
+       |  round(CAST(sum(mg) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS mean_margin
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** q253 slice-accuracy oracle: the q172 lang scorer carried with its
