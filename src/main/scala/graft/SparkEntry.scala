@@ -2739,6 +2739,20 @@ object SparkEntry {
         Seq("doc_id"))
       store.readAt("docs", v1).get.orderBy("doc_id")
     }),
+    // ── scale: decile lift curve — per score-decile positive rate vs the
+    //    overall rate (q173's AUC says the ordering works; this says what
+    //    acting on the top slice BUYS); exact ranks + integer-product
+    //    lift, one division (oracle: DuckDB replays scorer, ranks, the
+    //    integer-div buckets, and the products) ───────────────────────────
+    "q266_lift_curve" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("score"),
+        (col("lang") === "en").as("label"))
+      Analytics.liftCurve(d, "doc_id", "score", "label", bins = 10)
+        .select(col("bucket"), col("cnt"), col("n_pos"),
+          round(col("rate"), 6).as("rate"), round(col("lift"), 6).as("lift"))
+        .orderBy("bucket")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -5243,6 +5257,24 @@ object SparkEntry {
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
     "q264_langid_margin" -> langidMarginOracleSql,
+    "q266_lift_curve" ->
+      s"""WITH d AS (SELECT doc_id, $qualitySql AS score,
+         |    (lang = 'en') AS label FROM documents),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |      AS rk,
+         |    count(*) OVER () AS n
+         |  FROM d),
+         |b AS (SELECT ((rk - 1) * 10) // n AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM r GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tn,
+         |    CAST(sum(n_pos) AS BIGINT) AS tp FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, cnt, n_pos,
+         |  round(CAST(n_pos AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS rate,
+         |  round(CAST(n_pos * tn AS DOUBLE) / CAST(cnt * tp AS DOUBLE), 6)
+         |    AS lift
+         |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin,
     "q265_time_travel" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,

@@ -1957,6 +1957,40 @@ object Analytics {
         (col("__max").cast("double") / lit(1000000.0)).as("max_gap_s"))
   }
 
+  /** Decile lift curve: rank rows by score descending, cut into
+    * equal-population bins (bucket 0 = the top scores), and report each
+    * bin's positive rate against the overall rate — the
+    * "does the top decile really hold 3× the positives" table that
+    * q173's single-number AUC and q174's calibration curve don't show
+    * (AUC says the ORDERING works; lift says what acting on a top slice
+    * actually buys). Exact global ranks (the q140 integer-div bucket
+    * formula — never a double quotient at a boundary), integer counts,
+    * and lift computed as (pos·total_n)/(cnt·total_pos) — integer
+    * products, ONE final division. Returns
+    * (bucket, cnt, n_pos, rate, lift). */
+  def liftCurve(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val ranked = Sampling.globalRowNumber(
+      df.select(col(idCol).as("__id"), col(scoreCol).cast("double").as("__v"),
+        col(labelCol).cast("boolean").as("__l")),
+      "__rank", col("__v").desc, col("__id").asc)
+      .localCheckpoint(false)
+    val n = ranked.count()
+    require(n > 0, "no rows to bin")
+    val b = ranked
+      .withColumn("bucket", expr(s"((__rank - 1L) * ${bins}L) div ${n}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"))
+    val totals = b.agg(sum("cnt").as("__tn"), sum("n_pos").as("__tp"))
+    b.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("cnt"), col("n_pos"),
+        (col("n_pos").cast("double") / col("cnt").cast("double")).as("rate"),
+        ((col("n_pos") * col("__tn")).cast("double") /
+          (col("cnt") * col("__tp")).cast("double")).as("lift"))
+  }
+
   /** Watermark-lateness audit: for each candidate watermark delay, how
     * many events a streaming job with that delay would DROP — the
     * measured input to `withWatermark` tuning (too small silently loses

@@ -1116,6 +1116,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("liftCurve: perfect separation gives top-bin lift = 1/base-rate, counts exact") {
+    // 20 rows, top 5 scores are the only positives; 4 bins of 5
+    val rows = (1L to 20L).map(i => (i, 100.0 - i, i <= 5))
+      .toDF("id", "score", "label")
+    val out = Analytics.liftCurve(rows, "id", "score", "label", bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out.values.forall(_._1 === 5L))
+    // base rate 5/20 = 0.25 → top-bin lift = 1.0/0.25 = 4
+    assert(out(0L) === ((5L, 5L, 1.0, 4.0)))
+    assert(out(1L)._2 === 0L && out(1L)._4 === 0.0)
+  }
+
   test("watermarkAudit: hand lateness, delay thresholds, partition-invariant") {
     // (event time µs, arrival µs): e3 arrives 100µs late behind e2's max,
     // e5 arrives 20µs behind e4's
