@@ -2753,6 +2753,26 @@ object SparkEntry {
           round(col("rate"), 6).as("rate"), round(col("lift"), 6).as("lift"))
         .orderBy("bucket")
     }),
+    // ── scale: duplicate token mass — how many training tokens are
+    //    exact-duplicate re-reads (the compute-waste number a dedup run
+    //    is justified by, per source): one tokenize scan, text-keyed
+    //    exact grouping, integer-exact masses (oracle: DuckDB replay) ─────
+    "q267_dup_token_mass" -> ((s, dir) => {
+      val perText = T(s, dir, "documents")
+        .select(col("source"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+        .groupBy("source", "text")
+        .agg(count(lit(1)).as("copies"), first(col("w")).as("w"))
+      perText.groupBy("source")
+        .agg(sum(col("copies")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("copies") * col("w")).as("tokens_total"),
+          sum(col("w")).as("tokens_unique"))
+        .withColumn("dup_token_frac",
+          round((col("tokens_total") - col("tokens_unique")).cast("double") /
+            col("tokens_total").cast("double"), 6))
+        .orderBy("source")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -5257,6 +5277,20 @@ object SparkEntry {
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
     "q264_langid_margin" -> langidMarginOracleSql,
+    "q267_dup_token_mass" ->
+      """WITH pt AS (SELECT source, text,
+        |    CAST(count(*) AS BIGINT) AS copies,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS w
+        |  FROM documents GROUP BY source, text)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(copies * w) AS BIGINT) AS tokens_total,
+        |  CAST(sum(w) AS BIGINT) AS tokens_unique,
+        |  round(CAST(sum(copies * w) - sum(w) AS DOUBLE)
+        |    / CAST(sum(copies * w) AS DOUBLE), 6) AS dup_token_frac
+        |FROM pt GROUP BY source ORDER BY source""".stripMargin,
     "q266_lift_curve" ->
       s"""WITH d AS (SELECT doc_id, $qualitySql AS score,
          |    (lang = 'en') AS label FROM documents),
