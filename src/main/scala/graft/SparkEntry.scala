@@ -2773,6 +2773,33 @@ object SparkEntry {
             col("tokens_total").cast("double"), 6))
         .orderBy("source")
     }),
+    // ── scale: cohort cumulative value — purchase cents per (signup
+    //    cohort week, age week) with the running cumulative (the LTV
+    //    table; q112's retention counts say who came back, this says what
+    //    they were worth); exact cents, first-seen from a user-keyed min,
+    //    cumsum over the cohorts×ages-sized frame only (oracle: DuckDB
+    //    replay) ───────────────────────────────────────────────────────────
+    "q268_cohort_value" -> ((s, dir) => {
+      val wk = lit(604800000000L)
+      val m = unix_micros(col("ts").cast("timestamp"))
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          ((m - pmod(m, wk)) / wk).cast("long").as("week"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val cents = round(col("value") * lit(100.0)).cast("long")
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(Ops.broadcastIfSmall(cohort), Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week"))
+          .as("age_weeks"))
+        .agg(sum(cents).as("purchase_cents"),
+          countDistinct(col("user_id")).as("n_buyers"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort_week").orderBy(col("age_weeks").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      cells.withColumn("cum_cents", sum(col("purchase_cents")).over(w))
+        .orderBy("cohort_week", "age_weeks")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -5277,6 +5304,25 @@ object SparkEntry {
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
     "q264_langid_margin" -> langidMarginOracleSql,
+    "q268_cohort_value" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    CAST((epoch_us(ts) - epoch_us(ts) % 604800000000)
+        |      // 604800000000 AS BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |cells AS (SELECT cohort_week, week - cohort_week AS age_weeks,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS purchase_cents,
+        |    CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_buyers
+        |  FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, age_weeks, purchase_cents, n_buyers,
+        |  CAST(sum(purchase_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY age_weeks
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM cells ORDER BY cohort_week, age_weeks""".stripMargin,
     "q267_dup_token_mass" ->
       """WITH pt AS (SELECT source, text,
         |    CAST(count(*) AS BIGINT) AS copies,
