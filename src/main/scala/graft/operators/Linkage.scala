@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.functions.StringSim
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution: multi-pass blocking + Fellegi–Sunter
+  * match scoring over the candidate pairs.
+  *
+  * The reference has no linkage surface; this is a scale extension in the
+  * same spirit as the dedup tier — near-dup finds *redundant text*, linkage
+  * finds *records describing the same real-world entity* across two dirty
+  * feeds (the classic warehouse problem behind `merge_id_from_snapshot`-style
+  * id reconciliation once the ids themselves are unreliable).
+  *
+  * Scale shape:
+  *   - Blocking is the recall lever: each pass keys every record by a cheap
+  *     deterministic expression (name suffix, phone prefix, …) and only
+  *     within-block pairs are ever generated — the full n² space is never
+  *     touched. Pair generation reuses the fused LSH machinery
+  *     ([[graft.functions.BucketPairs]] via `Dedup.bucketCandidatePairs`):
+  *     ONE exchange per pass frame, singleton blocks dropped before any
+  *     pair work, hot blocks capped in-expression (bounded recall on
+  *     degenerate keys — the capBuckets convention; gates size the cap
+  *     above every real block so the oracle replays uncapped).
+  *   - Scoring is a pure projection over the pair frame: per field, an
+  *     agreement LEVEL (2 exact, 1 fuzzy-above-threshold via the codegen'd
+  *     [[graft.functions.JaroWinkler]], 0 disagree, NULL missing) and the
+  *     corresponding log-likelihood weight — log2(m/u) for agreement,
+  *     log2((1−m)/(1−u)) for disagreement — as MICRO-scaled integer
+  *     literals, so the total score is an exact long sum (cross-engine
+  *     replayable; the q139/q211 shared-literal convention).
+  *   - The two attribute joins (pairs → a-side, pairs → b-side) shuffle on
+  *     the entity id — key-partitioned equi-joins, no broadcast of the
+  *     corpus-sized entity frame.
+  */
+object Linkage {
+
+  /** One field comparison of the Fellegi–Sunter score.
+    * `fuzzyThreshold = None` → exact-only (levels 2/0/NULL, `wFuzzyMicro`
+    * unused). Weights are micro-scaled log2-likelihood-ratio integers —
+    * see [[fsWeightMicro]]. */
+  final case class FieldSpec(
+      name: String,
+      column: String,
+      fuzzyThreshold: Option[Double],
+      wExactMicro: Long,
+      wFuzzyMicro: Long,
+      wDisagreeMicro: Long)
+
+  /** log2(m/u) in micro-units: the agreement weight of a field whose
+    * probability of agreeing is `m` among true matches and `u` among
+    * non-matches. Disagreement weight = fsWeightMicro(1−m, 1−u). */
+  def fsWeightMicro(m: Double, u: Double): Long =
+    math.round(math.log(m / u) / math.log(2.0) * 1e6)
+
+  /** Candidate pairs (id_a < id_b) from the union of blocking passes.
+    * Each pass contributes within-block pairs; the union is deduplicated
+    * (a pair found by two passes emits once). NULL block keys never
+    * block (a missing attribute should not create a giant NULL block). */
+  def blockedPairs(
+      entities: DataFrame,
+      idCol: String,
+      blockKeys: Seq[Column],
+      maxBlockSize: Int = 4096): DataFrame = {
+    val passes = blockKeys.zipWithIndex.map { case (k, i) =>
+      entities
+        .select(lit(i).as("__pass"), k.cast("string").as("__bk"),
+          col(idCol).cast("long").as("__id"))
+        .filter(col("__bk").isNotNull)
+    }
+    Dedup.bucketCandidatePairs(
+      passes.reduce(_ unionAll _), Seq("__pass", "__bk"), "__id", maxBlockSize)
+  }
+
+  /** Agreement level of one field over `a_<col>` / `b_<col>`:
+    * NULL if either side is missing, 2 on exact equality, 1 when
+    * Jaro–Winkler ≥ the field threshold (fuzzy fields only), else 0. */
+  private def levelCol(f: FieldSpec): Column = {
+    val a = col("a_" + f.column)
+    val b = col("b_" + f.column)
+    val base = f.fuzzyThreshold match {
+      case Some(t) =>
+        when(a === b, lit(2))
+          .when(StringSim.jaro_winkler(a, b) >= lit(t), lit(1))
+          .otherwise(lit(0))
+      case None => when(a === b, lit(2)).otherwise(lit(0))
+    }
+    when(a.isNull || b.isNull, lit(null)).otherwise(base)
+  }
+
+  private def weightCol(f: FieldSpec): Column = {
+    val lvl = col("lvl_" + f.name)
+    when(lvl.isNull, lit(0L))
+      .when(lvl === 2, lit(f.wExactMicro))
+      .when(lvl === 1, lit(f.wFuzzyMicro))
+      .otherwise(lit(f.wDisagreeMicro))
+  }
+
+  /** Score every candidate pair: joins the entity attributes to both sides
+    * (prefixed `a_` / `b_`), adds one `lvl_<field>` column per field and
+    * the exact integer `score_micro` sum. `carry` columns ride along
+    * prefixed (e.g. a ground-truth key for evaluation). */
+  def matchScores(
+      entities: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      fields: Seq[FieldSpec],
+      carry: Seq[String] = Nil): DataFrame = {
+    val attrs = (fields.map(_.column) ++ carry).distinct
+    def side(prefix: String, joinKey: String): DataFrame =
+      entities.select((col(idCol).cast("long").as(joinKey) +:
+        attrs.map(c => col(c).as(prefix + c))): _*)
+    val joined = pairs
+      .join(side("a_", "__ida"), col("id_a") === col("__ida"))
+      .join(side("b_", "__idb"), col("id_b") === col("__idb"))
+      .drop("__ida", "__idb")
+    val withLevels = fields.foldLeft(joined)((d, f) =>
+      d.withColumn("lvl_" + f.name, levelCol(f)))
+    withLevels.withColumn("score_micro",
+      fields.map(weightCol).reduce(_ + _))
+  }
+
+  /** Score-distribution report: bucket the micro score by `bucketMicro`
+    * (floor division via exact-double floor — negative scores bucket
+    * correctly on both engines) with pair counts and true-match counts. */
+  def scoreHistogram(scored: DataFrame, truth: Column, bucketMicro: Long): DataFrame =
+    scored
+      .withColumn("bucket",
+        floor(col("score_micro").cast("double") / lit(bucketMicro.toDouble))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(truth, 1L).otherwise(0L)).as("n_true"))
+      .orderBy("bucket")
+
+  /** Blocking-quality report: per pass (and for the deduplicated union of
+    * all passes, labeled `union`) the candidate-pair count, how many true
+    * pairs (same `truthCol`) it found, pair completeness against the exact
+    * total of true pairs (Σ C(g,2) over truth groups — computable without
+    * any pair enumeration), and the reduction ratio against the full
+    * C(n,2) comparison space. The measured input to the "which blocking
+    * keys, how many passes" decision — the linkage twin of the q126
+    * key-skew report. */
+  def blockingQualityReport(
+      entities: DataFrame,
+      idCol: String,
+      truthCol: String,
+      blockKeys: Seq[Column],
+      maxBlockSize: Int = 4096): DataFrame = {
+    val truth = entities.select(col(idCol).cast("long").as("__tid"),
+      col(truthCol).as("__truth"))
+    def tagged(label: String, pairs: DataFrame): DataFrame =
+      pairs.select(lit(label).as("pass"), col("id_a"), col("id_b"))
+    val perPass = blockKeys.zipWithIndex.map { case (k, i) =>
+      tagged(s"block_$i", blockedPairs(entities, idCol, Seq(k), maxBlockSize))
+    }
+    val all = tagged("union", blockedPairs(entities, idCol, blockKeys, maxBlockSize))
+    val pairs = (perPass :+ all).reduce(_ unionAll _)
+      .join(truth.withColumnRenamed("__tid", "id_a")
+        .withColumnRenamed("__truth", "__ta"), Seq("id_a"))
+      .join(truth.withColumnRenamed("__tid", "id_b")
+        .withColumnRenamed("__truth", "__tb"), Seq("id_b"))
+    val counts = pairs.groupBy("pass")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__ta") === col("__tb"), 1L).otherwise(0L)).as("n_true"))
+    // exact totals without pair enumeration: n rows → C(n,2) space;
+    // Σ C(g,2) over truth groups → total true pairs
+    val totals = truth
+      .groupBy("__truth").agg(count(lit(1)).as("__g"))
+      .agg(sum(col("__g")).as("__n"),
+        sum(col("__g") * (col("__g") - 1) / 2).cast("long").as("total_true"))
+      .select(col("__n"), (col("__n") * (col("__n") - 1) / 2).cast("long")
+        .as("total_space"), col("total_true"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("pass"), col("n_pairs"), col("n_true"), col("total_true"),
+        round(col("n_true").cast("double") / col("total_true").cast("double"), 6)
+          .as("completeness"),
+        round(lit(1.0) - col("n_pairs").cast("double") /
+          col("total_space").cast("double"), 6).as("reduction"))
+      .orderBy("pass")
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.StringSim
+import graft.operators.Linkage
+import graft.operators.Linkage.FieldSpec
+import org.apache.spark.sql.functions._
+
+/** Record-linkage tier: Jaro–Winkler parity goldens (values verified
+  * bit-for-bit against DuckDB's jaro_winkler_similarity during
+  * development), blocking, Fellegi–Sunter scoring, and the
+  * blocking-quality report. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    StringSim.jaroWinklerBytes(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  test("jaroWinkler matches the DuckDB-verified goldens") {
+    assert(jw("martha", "marhta") === 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") === 0.8133333333333332)
+    assert(jw("duane", "dwayne") === 0.8400000000000001)
+    assert(jw("crate", "trace") === 0.7333333333333334)
+    // boost threshold: jaro = 0.611… ≤ 0.7 → NO prefix boost (DuckDB reads
+    // 0.611…, a boost-always implementation would read 0.65)
+    val jaro611 = (1.0 / 3 + 1.0 / 2 + 1.0) / 3.0
+    assert(jw("6bd", "6d") === jaro611)
+    assert(jw("6bd", "6d") !== jaro611 + 0.1 * (1.0 - jaro611))
+    // empty sides: 0.0 even for '' vs '' (m = 0 → 0, the DuckDB convention)
+    assert(jw("", "") === 0.0)
+    assert(jw("abc", "") === 0.0)
+    assert(jw("a", "a") === 1.0)
+    assert(jw("ab", "ba") === 0.0) // window 0 at these lengths: no matches
+  }
+
+  test("JaroWinkler expression: codegen path equals the static helper") {
+    val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""),
+      ("Customer#000000001", "Customer#000000010"))
+      .toDF("a", "b")
+    val out = df.select(StringSim.jaro_winkler(col("a"), col("b")).as("s"))
+      .as[Double].collect()
+    val exp = Seq("martha" -> "marhta", "dixon" -> "dicksonx", "" -> "",
+      "Customer#000000001" -> "Customer#000000010")
+      .map { case (a, b) => jw(a, b) }
+    assert(out.toSeq === exp)
+    // null propagates
+    val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(StringSim.jaro_winkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  private val entities = Seq(
+    // (id, name, phone, truth): 1/2 same person (fuzzy name, same phone),
+    // 3 unrelated sharing 1's phone prefix, 4/5 exact-name pair, 6 loner
+    (1L, "martha stone", "25-989-741", 100L),
+    (2L, "marhta stone", "25-989-741", 100L),
+    (3L, "zelda quartz", "25-989-999", 101L),
+    (4L, "alan turing", "11-111-111", 102L),
+    (5L, "alan turing", "11-111-112", 102L),
+    (6L, "ada lovelace", "99-000-000", 103L))
+    .toDF("id", "name", "phone", "ckey")
+
+  test("blockedPairs: union of passes, deduplicated, null keys dropped") {
+    val pairs = Linkage.blockedPairs(entities, "id",
+      Seq(substring(col("name"), 1, 4), substring(col("phone"), 1, 6)))
+      .as[(Long, Long)].collect().toSet
+    // name-prefix pass: (1,2) via "mart"? no — "mart" vs "marh" differ;
+    // (4,5) via "alan". phone pass: (1,2), (1,3), (2,3) via "25-989".
+    assert(pairs === Set((4L, 5L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("matchScores levels and exact integer score") {
+    val fields = Seq(
+      FieldSpec("name", "name", Some(0.85), 4000000L, 2500000L, -3000000L),
+      FieldSpec("phone", "phone", Some(0.90), 5000000L, 3000000L, -4000000L))
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Linkage.matchScores(entities, "id", pairs, fields, carry = Seq("ckey"))
+      .select("id_a", "id_b", "lvl_name", "lvl_phone", "score_micro")
+      .as[(Long, Long, Option[Int], Option[Int], Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // (1,2): name fuzzy (jw(martha stone, marhta stone) ≥ .85), phone exact
+    def phoneLvl(a: String, b: String): (Int, Long) =
+      if (a == b) (2, 5000000L)
+      else if (jw(a, b) >= 0.90) (1, 3000000L)
+      else (0, -4000000L)
+    val (p13, w13) = phoneLvl("25-989-741", "25-989-999")
+    val (p45, w45) = phoneLvl("11-111-111", "11-111-112")
+    assert(out === Seq(
+      (1L, 2L, Some(1), Some(2), 2500000L + 5000000L),
+      (1L, 3L, Some(0), Some(p13), -3000000L + w13),
+      (4L, 5L, Some(2), Some(p45), 4000000L + w45)))
+  }
+
+  test("matchScores: missing attribute → NULL level, zero weight") {
+    val ents = Seq((1L, Some("abc"), 7L), (2L, None: Option[String], 7L))
+      .toDF("id", "name", "ckey")
+    val fields = Seq(FieldSpec("name", "name", Some(0.9), 10L, 5L, -5L))
+    val out = Linkage.matchScores(ents, "id", Seq((1L, 2L)).toDF("id_a", "id_b"), fields)
+      .select("lvl_name", "score_micro").as[(Option[Int], Long)].collect()
+    assert(out.toSeq === Seq((None, 0L)))
+  }
+
+  test("scoreHistogram buckets negatives correctly (floor, not truncate)") {
+    val scored = Seq((1L, 2L, -2500000L, 100L, 100L), (3L, 4L, 2500000L, 1L, 2L))
+      .toDF("id_a", "id_b", "score_micro", "a_ckey", "b_ckey")
+    val out = Linkage.scoreHistogram(scored, col("a_ckey") === col("b_ckey"),
+        bucketMicro = 2000000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((-2L, 1L, 1L), (1L, 1L, 0L)))
+  }
+
+  test("blockingQualityReport: per-pass and union completeness/reduction") {
+    val rep = Linkage.blockingQualityReport(entities, "id", "ckey",
+        Seq(substring(col("name"), 1, 4), substring(col("phone"), 1, 6)))
+      .select("pass", "n_pairs", "n_true", "total_true", "completeness", "reduction")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // truth groups: {1,2}, {4,5} → total_true = 2; space = C(6,2) = 15
+    assert(rep("block_0")._2 === 1L) // (4,5)
+    assert(rep("block_0")._3 === 1L)
+    assert(rep("block_1")._2 === 4L) // (1,2)(1,3)(2,3) via "25-989", (4,5) via "11-111"
+    assert(rep("block_1")._3 === 2L)
+    assert(rep("union")._2 === 4L)
+    assert(rep("union")._3 === 2L)
+    assert(rep("union")._4 === 2L)
+    assert(rep("union")._5 === 1.0)
+    assert(rep("union")._6 === math.rint((1.0 - 4.0 / 15.0) * 1e6) / 1e6)
+  }
+}
