@@ -103,6 +103,112 @@ object SparkEntry {
       |"metadata": [{"breadcrumb": [], "metadata": {"table-key-properties": ["event_id"]}}]}]}
       |""".stripMargin
 
+  /** q269/q270's two dirty feeds: system A = customer attributes verbatim;
+    * system B = the same entities with deterministic md5-driven dirt (a
+    * char deleted from 1/3 of names and 1/5 of phones at an md5-chosen
+    * position, 1/7 of addresses truncated) and 1/11 of rows absent.
+    * id = 2·custkey + side, so cross-system pairs are id-parity pairs.
+    * Every edit is substr-concat arithmetic the oracle replays verbatim. */
+  private def linkageEntities(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val c = T(s, dir, "customer")
+    val k = col("c_custkey")
+    def h(salt: String): Column =
+      Dedup.md5Hash60(concat(k.cast("string"), lit(salt)))
+    // the testdata customer table carries no phone/address — synthesize a
+    // deterministic phone-shaped attribute from md5 hex (both engines
+    // construct it identically; the DIRT machinery is what's under test)
+    val phHex = md5(concat(k.cast("string"), lit("ph")))
+    val phone = concat_ws("-", substring(phHex, 1, 4),
+      substring(phHex, 5, 4), substring(phHex, 9, 4))
+    val cents = round(col("c_acctbal") * lit(100.0)).cast("long")
+    val pn = (pmod(h("n"), (length(col("c_name")) - lit(3)).cast("long")) +
+      lit(3L)).cast("int")
+    val dirtyName = when(pmod(k, lit(3)) === 0,
+      concat(col("c_name").substr(lit(1), pn - 1),
+        col("c_name").substr(pn + 1, lit(200))))
+      .otherwise(col("c_name"))
+    val pp = (pmod(h("p"), lit(8L)) + lit(1L)).cast("int")
+    val dirtyPhone = when(pmod(k, lit(5)) === 0,
+      concat(phone.substr(lit(1), pp - 1), phone.substr(pp + 1, lit(200))))
+      .otherwise(phone)
+    val dirtyBal = when(pmod(k, lit(7)) === 0, cents + 1L).otherwise(cents)
+    val a = c.select((k * 2).cast("long").as("id"), k.as("ckey"),
+      col("c_name").as("name"), phone.as("phone"), cents.as("bal"),
+      col("c_mktsegment").as("seg"))
+    val b = c.filter(pmod(k, lit(11)) =!= 0)
+      .select((k * 2 + 1).cast("long").as("id"), k.as("ckey"),
+        dirtyName.as("name"), dirtyPhone.as("phone"), dirtyBal.as("bal"),
+        col("c_mktsegment").as("seg"))
+    a.unionAll(b)
+  }
+
+  /** Two blocking passes: name suffix (breaks when the name was dirtied —
+    * the deletion shifts the suffix) and phone country-code prefix (breaks
+    * when the phone deletion landed in the first 3 chars) — deliberately
+    * imperfect so the q270 completeness numbers are non-trivial. */
+  private def linkageBlockKeys(): Seq[org.apache.spark.sql.Column] = Seq(
+    expr("substring(name, length(name) - 5, 6)"),
+    substring(col("phone"), 1, 3))
+
+  /** Fellegi–Sunter field weights (micro-scaled log2 m/u literals, shared
+    * verbatim with the oracle SQL — the q139/q211 convention). */
+  private val linkageFields: Seq[Linkage.FieldSpec] = Seq(
+    Linkage.FieldSpec("name", "name", Some(0.85),
+      Linkage.fsWeightMicro(0.70, 0.0005), Linkage.fsWeightMicro(0.28, 0.002),
+      Linkage.fsWeightMicro(0.02, 0.9975)),
+    Linkage.FieldSpec("phone", "phone", Some(0.80),
+      Linkage.fsWeightMicro(0.78, 0.0002), Linkage.fsWeightMicro(0.20, 0.001),
+      Linkage.fsWeightMicro(0.02, 0.9988)),
+    Linkage.FieldSpec("bal", "bal", None,
+      Linkage.fsWeightMicro(0.86, 0.00002), 0L,
+      Linkage.fsWeightMicro(0.14, 0.99998)),
+    Linkage.FieldSpec("seg", "seg", None,
+      Linkage.fsWeightMicro(0.98, 0.2), 0L, Linkage.fsWeightMicro(0.02, 0.8)))
+
+  /** Shared oracle CTEs for q269/q270: the dirty-feed construction, both
+    * blocking passes, and the deduplicated pair union — replaying
+    * [[linkageEntities]] / [[linkageBlockKeys]] verbatim (md5-60 position
+    * hashes, substr-concat deletions, id = 2k + side). */
+  private def linkageCtes: String =
+    """c0 AS (SELECT c_custkey AS k, c_name, c_mktsegment,
+      |    CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents,
+      |    md5(c_custkey::VARCHAR || 'ph') AS phhex FROM customer),
+      |c AS (SELECT k, c_name, c_mktsegment, cents,
+      |    substr(phhex, 1, 4) || '-' || substr(phhex, 5, 4) || '-' ||
+      |      substr(phhex, 9, 4) AS ph FROM c0),
+      |d AS (SELECT k,
+      |    CAST(('0x' || substr(md5(k::VARCHAR || 'n'), 1, 15)) AS BIGINT)
+      |      % (length(c_name) - 3) + 3 AS pn,
+      |    CAST(('0x' || substr(md5(k::VARCHAR || 'p'), 1, 15)) AS BIGINT)
+      |      % 8 + 1 AS pp,
+      |    c_name, c_mktsegment, cents, ph FROM c),
+      |u AS (
+      |  SELECT k * 2 AS id, k AS ckey, c_name AS name, ph AS phone,
+      |    cents AS bal, c_mktsegment AS seg FROM c
+      |  UNION ALL
+      |  SELECT k * 2 + 1, k,
+      |    CASE WHEN k % 3 = 0
+      |      THEN substr(c_name, 1, CAST(pn - 1 AS INT)) ||
+      |        substr(c_name, CAST(pn + 1 AS INT), 200)
+      |      ELSE c_name END,
+      |    CASE WHEN k % 5 = 0
+      |      THEN substr(ph, 1, CAST(pp - 1 AS INT)) ||
+      |        substr(ph, CAST(pp + 1 AS INT), 200)
+      |      ELSE ph END,
+      |    CASE WHEN k % 7 = 0 THEN cents + 1 ELSE cents END,
+      |    c_mktsegment
+      |  FROM d WHERE k % 11 <> 0),
+      |bk AS (
+      |  SELECT 0 AS pass, substr(name, length(name) - 5, 6) AS bkey, id
+      |  FROM u
+      |  UNION ALL SELECT 1, substr(phone, 1, 3), id FROM u),
+      |pairs AS (
+      |  SELECT DISTINCT least(x.id, y.id) AS id_a,
+      |    greatest(x.id, y.id) AS id_b
+      |  FROM bk x JOIN bk y
+      |    ON x.pass = y.pass AND x.bkey = y.bkey AND x.id < y.id)""".stripMargin
+
   /** Flagship pipeline on sf=0.001: synthesize a nested python-literal
     * column → explode to rows → mapping DSL with a lookup pick.
     * Avoids the events table (its ns timestamps need a session conf the
@@ -2800,6 +2906,30 @@ object SparkEntry {
       cells.withColumn("cum_cents", sum(col("purchase_cents")).over(w))
         .orderBy("cohort_week", "age_weeks")
     }),
+    // ── scale: record linkage — Fellegi–Sunter match-score histogram over
+    //    blocked candidate pairs between a clean feed and a deterministic
+    //    dirty re-key of it (md5-driven char deletions / truncations);
+    //    fuzzy agreement via the codegen'd JaroWinkler expression (bit-
+    //    exact vs DuckDB's jaro_winkler_similarity), weights as shared
+    //    micro-integer literals → exact long score sums (oracle: DuckDB
+    //    replays the dirt, both blocking passes, JW levels and the
+    //    histogram) ──────────────────────────────────────────────────────
+    "q269_er_match_scores" -> ((s, dir) => {
+      val ents = linkageEntities(s, dir)
+      val pairs = Linkage.blockedPairs(ents, "id", linkageBlockKeys(), 4096)
+        .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+      Linkage.scoreHistogram(
+        Linkage.matchScores(ents, "id", pairs, linkageFields, carry = Seq("ckey")),
+        col("a_ckey") === col("b_ckey"), bucketMicro = 2000000L)
+    }),
+    // ── scale: blocking-quality report — per blocking pass (and the
+    //    deduplicated union) candidate-pair count, true pairs found, pair
+    //    completeness vs the exact Σ C(g,2) truth total, and reduction
+    //    ratio vs C(n,2) — the measured input to the "which blocking keys"
+    //    decision (oracle: DuckDB replays passes and totals) ──────────────
+    "q270_blocking_quality" -> ((s, dir) =>
+      Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
+        linkageBlockKeys())),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -5304,6 +5434,60 @@ object SparkEntry {
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
     "q264_langid_margin" -> langidMarginOracleSql,
+    "q269_er_match_scores" -> {
+      def fuzzy(f: Linkage.FieldSpec): String =
+        s"""CASE WHEN a_${f.column} = b_${f.column} THEN ${f.wExactMicro}
+           |      WHEN jaro_winkler_similarity(a_${f.column}, b_${f.column})
+           |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
+           |      ELSE ${f.wDisagreeMicro} END""".stripMargin
+      val Seq(fName, fPhone, fBal, fSeg) = linkageFields
+      s"""WITH $linkageCtes,
+         |j AS (SELECT p.id_a, p.id_b, ua.ckey AS a_ckey, ub.ckey AS b_ckey,
+         |    ua.name AS a_name, ub.name AS b_name, ua.bal AS a_bal,
+         |    ub.bal AS b_bal, ua.phone AS a_phone, ub.phone AS b_phone,
+         |    ua.seg AS a_seg, ub.seg AS b_seg
+         |  FROM pairs p JOIN u ua ON ua.id = p.id_a JOIN u ub ON ub.id = p.id_b
+         |  WHERE p.id_a % 2 <> p.id_b % 2),
+         |sc AS (SELECT a_ckey, b_ckey,
+         |    (${fuzzy(fName)}
+         |     + ${fuzzy(fPhone)}
+         |     + CASE WHEN a_bal = b_bal THEN ${fBal.wExactMicro}
+         |         ELSE ${fBal.wDisagreeMicro} END
+         |     + CASE WHEN a_seg = b_seg THEN ${fSeg.wExactMicro}
+         |         ELSE ${fSeg.wDisagreeMicro} END) AS score_micro
+         |  FROM j)
+         |SELECT CAST(floor(score_micro / 2000000.0) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true
+         |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    "q270_blocking_quality" ->
+      s"""WITH $linkageCtes,
+         |pb AS (
+         |  SELECT 'block_0' AS pass, x.id AS ia, y.id AS ib
+         |  FROM bk x JOIN bk y ON x.pass = 0 AND y.pass = 0
+         |    AND x.bkey = y.bkey AND x.id < y.id
+         |  UNION ALL
+         |  SELECT 'block_1', x.id, y.id
+         |  FROM bk x JOIN bk y ON x.pass = 1 AND y.pass = 1
+         |    AND x.bkey = y.bkey AND x.id < y.id
+         |  UNION ALL SELECT 'union', id_a, id_b FROM pairs),
+         |jt AS (SELECT pb.pass, ua.ckey AS ta, ub.ckey AS tb
+         |  FROM pb JOIN u ua ON ua.id = pb.ia JOIN u ub ON ub.id = pb.ib),
+         |cnt AS (SELECT pass, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN ta = tb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true
+         |  FROM jt GROUP BY pass),
+         |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n,
+         |    CAST(sum(g * (g - 1) // 2) AS BIGINT) AS total_true
+         |  FROM (SELECT count(*) AS g FROM u GROUP BY ckey))
+         |SELECT pass, n_pairs, n_true, total_true,
+         |  round(CAST(n_true AS DOUBLE) / CAST(total_true AS DOUBLE), 6)
+         |    AS completeness,
+         |  round(1.0 - CAST(n_pairs AS DOUBLE)
+         |    / CAST(n * (n - 1) // 2 AS DOUBLE), 6) AS reduction
+         |FROM cnt CROSS JOIN tot ORDER BY pass""".stripMargin,
     "q268_cohort_value" ->
       """WITH ev AS (SELECT user_id, event_type, value,
         |    CAST((epoch_us(ts) - epoch_us(ts) % 604800000000)
