@@ -2930,6 +2930,23 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: persistent winnowing span index — "does this doc QUOTE
+    //    anything ever crawled?" against a fingerprint-bucketed postings
+    //    store (probe I/O ∝ batch, history never rescanned); the sixth
+    //    cell of the incremental-similarity matrix (exact/token/char/
+    //    vector/signature/SPAN). History = odd doc_ids, probe = even;
+    //    md5-60 fingerprints so the oracle replays the whole winnow
+    //    (oracle: DuckDB replays the q43 machinery + postings join) ───────
+    "q271_span_index" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val idx = new SpanIndex(s, tmpWorkDir("gs_spanix_"), k = 5, window = 4,
+        minShared = 3, numBuckets = 16, maxPostings = 500,
+        hashKind = "md5_60")
+      idx.add(d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      idx.probe(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy("inc_id", "hist_id")
+    }),
     // ── scale: dedup threshold-calibration curve — verified-Jaccard
     //    histogram + pairs-surviving-at-≥t over the candidate pairs (the
     //    landscape q53's single-threshold margin probe sits inside);
@@ -3886,6 +3903,19 @@ object SparkEntry {
           .select(col("id_a"), col("id_b"), col("n_shared"),
             round(col("cosine"), 6).as("cosine"))
           .orderBy("id_a", "id_b")
+      }),
+      // q271 measures a store lifecycle: history indexing is test setup
+      // (the q08/q38/q256 convention) — the timed region is exactly one
+      // probe against the persisted fingerprint postings, on the
+      // PRODUCTION hash (xxhash64; md5-60 exists for the oracle replay)
+      "q271_span_index" -> ((s, dir) => {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val idx = new SpanIndex(s, tmpWorkDir("gs_spanix_"), k = 5,
+          window = 4, minShared = 3, numBuckets = 16, maxPostings = 500)
+        idx.add(d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        val probeDocs = d.filter(col("doc_id") % 2 === 0)
+        () => idx.probe(probeDocs, "doc_id", "text")
       }),
       // q256 measures a store lifecycle: initialization + the two adds
       // are test setup (the q08/q38 convention) — the timed region is
@@ -5462,6 +5492,35 @@ object SparkEntry {
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
     },
+    "q271_span_index" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+        |    THEN list_transform(range(1, len(toks) - 3),
+        |      i -> array_to_string(toks[i:i+4], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END AS grams FROM t),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |    x -> ('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT) AS hs
+        |  FROM g),
+        |fp AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 3, 1) + 1),
+        |      j -> list_min(hs[j:j+3]))) AS fps FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+        |hist AS (SELECT f, doc_id AS hist_id FROM e WHERE doc_id % 2 = 1),
+        |okh AS (SELECT f, hist_id FROM (
+        |    SELECT f, hist_id, count(*) OVER (PARTITION BY f) AS m FROM hist)
+        |  WHERE m <= 500),
+        |inc AS (SELECT f, doc_id AS inc_id FROM e WHERE doc_id % 2 = 0),
+        |sh AS (SELECT inc_id, hist_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM inc JOIN okh USING (f) GROUP BY 1, 2 HAVING count(*) >= 3),
+        |n AS (SELECT doc_id AS inc_id, len(fps) AS nf FROM fp)
+        |SELECT inc_id, hist_id, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / CAST(nf AS DOUBLE), 6)
+        |    AS containment
+        |FROM sh JOIN n USING (inc_id)
+        |ORDER BY inc_id, hist_id""".stripMargin,
     "q270_blocking_quality" ->
       s"""WITH $linkageCtes,
          |pb AS (

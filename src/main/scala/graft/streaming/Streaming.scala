@@ -109,6 +109,26 @@ object Streaming {
     * maxDist are indexed and handed to `onNovel`. This is the streaming
     * multimodal crawl-dedup front door (decode → hash → this).
     * Restart-safe: a redelivered id matches its own copy at hamming 0. */
+  /** Micro-batch quote-gated ingest: the span-level contract — each batch
+    * probes the persistent winnowing-fingerprint index
+    * ([[graft.operators.SpanIndex]]) against every document ever ingested;
+    * only docs sharing < minShared fingerprints with all of history are
+    * indexed and handed to `onNovel`. Restart-safe for every doc with ≥
+    * minShared fingerprints (a redelivered id matches its own copy at
+    * containment 1.0); zero-fingerprint docs re-admit idempotently
+    * (SpanIndex class caveats). */
+  def streamingSpanIngest(
+      stream: DataFrame,
+      idx: graft.operators.SpanIndex,
+      idCol: String,
+      textCol: String)(onNovel: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onNovel(idx.ingest(batch, idCol, textCol))
+      }
+
   def streamingHammingIngest(
       stream: DataFrame,
       idx: graft.operators.HammingIndex,
