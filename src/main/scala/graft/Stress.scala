@@ -707,6 +707,33 @@ object Stress {
         sigBig.filter(col("id") % 997 === 0).limit(1000), "id", "sig")))
     }
     sigBig.unpersist()
+    // persistent span index: probe reads only the batch's fingerprint
+    // buckets — history never rescanned. Replicas get a per-replica token
+    // suffix so their k-gram vocabularies are DISJOINT: the history
+    // genuinely grows instead of multiplying each probe match factor×
+    // (the q236 vocabulary-disjoint replication lesson)
+    val spanDocs = spark.range(factor).toDF("__rep")
+      .crossJoin(docs0)
+      .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        array_join(transform(split(lower(trim(col("text"))), "\\s+"),
+          t => concat(t, lit("r"), col("__rep"))), " ").as("text"))
+      .cache()
+    println(s"[stress] span docs: ${spanDocs.count()} rows")
+    time(s"spanIndex add ${factor}x history") {
+      val dir = java.nio.file.Files.createTempDirectory("stress_spix").toString
+      val idx = new SpanIndex(spark, dir, minShared = 3, numBuckets = 32,
+        maxPostings = 500)
+      idx.add(spanDocs, "doc_id", "text")
+      sys.props.put("stress.spix.dir", dir)
+    }
+    time(s"spanIndex probe 500 docs vs ${factor}x history") {
+      val idx = new SpanIndex(spark, sys.props("stress.spix.dir"),
+        minShared = 3, numBuckets = 32, maxPostings = 500)
+      println("[stress]   rows=" + Bench.force(idx.probe(
+        spanDocs.filter(col("doc_id") < 1000000L && col("doc_id") % 97 === 0)
+          .limit(500), "doc_id", "text")))
+    }
+    spanDocs.unpersist()
     docsTail.unpersist()
     spark.stop()
   }
