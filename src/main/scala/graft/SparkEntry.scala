@@ -2930,6 +2930,49 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: detector-ensemble agreement — the four near-dup detectors
+    //    (exact / minhash-Jaccard / simhash-Hamming / containment) over
+    //    ONE shared corpus (base ∪ near-copies ∪ 25-token quotes), as a
+    //    pair-set agreement matrix: diagonal = per-detector pair counts,
+    //    off-diagonal = set intersections. The "which detector catches
+    //    what" report behind choosing a dedup stack — exact⊂all, quotes
+    //    visible ONLY to containment, the extra-token copies to
+    //    jaccard/hamming but not exact (oracle: DuckDB brute-forces all
+    //    four detectors and replays the matrix) ───────────────────────────
+    "q272_detector_agreement" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val near = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val quotes = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(Dedup.tokensCol(col("text")), 1, 25)).as("text"))
+      val u = d.unionByName(near).unionByName(quotes).localCheckpoint(true)
+      def norm(p: DataFrame): DataFrame =
+        p.select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+      val exact = Linkage.blockedPairs(u, "doc_id", Seq(md5(col("text"))),
+        maxBlockSize = 1000000)
+      val jac = norm(Dedup.minhashNearDupPairs(u, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55))
+      val ham = norm(Dedup.simhashNearDupPairs(u, "doc_id", "text",
+        maxDist = 3, tokenHash = Dedup.md5Hash60))
+      val cont = norm(Dedup.containmentPairs(u, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9))
+      val tagged = exact
+        .select(lit("exact").as("det"), col("id_a"), col("id_b"))
+        .unionAll(jac.select(lit("jaccard").as("det"), col("id_a"), col("id_b")))
+        .unionAll(ham.select(lit("hamming").as("det"), col("id_a"), col("id_b")))
+        .unionAll(cont.select(lit("containment").as("det"), col("id_a"),
+          col("id_b")))
+        .localCheckpoint(true)
+      tagged.withColumnRenamed("det", "det_a")
+        .join(tagged.withColumnRenamed("det", "det_b"), Seq("id_a", "id_b"))
+        .filter(col("det_a") <= col("det_b"))
+        .groupBy("det_a", "det_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("det_a", "det_b")
+    }),
     // ── scale: persistent winnowing span index — "does this doc QUOTE
     //    anything ever crawled?" against a fingerprint-bucketed postings
     //    store (probe I/O ∝ batch, history never rescanned); the sixth
@@ -5492,6 +5535,47 @@ object SparkEntry {
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
     },
+    "q272_detector_agreement" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    array_to_string(string_split_regex(trim(lower(text)),
+         |      '\\s+')[1:25], ' ') AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tk AS (SELECT doc_id, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u),
+         |sh AS (SELECT doc_id, $shingle3Sql AS sh FROM tk),
+         |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text),
+         |sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(a.sh) AS na, len(b.sh) AS nb,
+         |    len(list_intersect(a.sh, b.sh)) AS inter
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |jp AS (SELECT id_a, id_b FROM sp
+         |  WHERE inter * 1.0 / (na + nb - inter) >= 0.55),
+         |cp AS (SELECT id_a, id_b FROM sp
+         |  WHERE inter * 1.0 / least(na, nb) >= 0.9),
+         |tok AS (SELECT doc_id, ${h60Sql("t")}::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk)),
+         |sig AS (SELECT doc_id, $simhashBitsSql AS s FROM tok
+         |  GROUP BY doc_id),
+         |hp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+         |tg AS (
+         |  SELECT 'exact' AS det, id_a, id_b FROM ex
+         |  UNION ALL SELECT 'jaccard', id_a, id_b FROM jp
+         |  UNION ALL SELECT 'hamming', id_a, id_b FROM hp
+         |  UNION ALL SELECT 'containment', id_a, id_b FROM cp)
+         |SELECT x.det AS det_a, y.det AS det_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM tg x JOIN tg y ON x.id_a = y.id_a AND x.id_b = y.id_b
+         |  AND x.det <= y.det
+         |GROUP BY 1, 2 ORDER BY det_a, det_b""".stripMargin,
     "q271_span_index" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks
