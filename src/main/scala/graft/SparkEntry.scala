@@ -2930,6 +2930,25 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: entity resolution end-to-end — accepted matches (score ≥
+    //    10 bits, the q269 histogram's clean separating band) → connected
+    //    components → one golden-record cluster id per entity (singletons
+    //    map to themselves): the full Fellegi–Sunter → CC pipeline a
+    //    master-data system runs (oracle: DuckDB replays scoring + a
+    //    recursive-CTE min-id component closure) ──────────────────────────
+    "q273_er_resolution" -> ((s, dir) => {
+      val ents = linkageEntities(s, dir)
+      val pairs = Linkage.blockedPairs(ents, "id", linkageBlockKeys(), 4096)
+        .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+      val matches = Linkage.matchScores(ents, "id", pairs, linkageFields)
+        .filter(col("score_micro") >= 10000000L)
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(matches)
+      ents.select(col("id")).join(cc, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("cluster_id"))
+        .orderBy("id")
+    }),
     // ── scale: detector-ensemble agreement — the four near-dup detectors
     //    (exact / minhash-Jaccard / simhash-Hamming / containment) over
     //    ONE shared corpus (base ∪ near-copies ∪ 25-token quotes), as a
@@ -5534,6 +5553,34 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    "q273_er_resolution" -> {
+      def fz(f: Linkage.FieldSpec): String =
+        s"""CASE WHEN ua.${f.column} = ub.${f.column} THEN ${f.wExactMicro}
+           |      WHEN jaro_winkler_similarity(ua.${f.column}, ub.${f.column})
+           |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
+           |      ELSE ${f.wDisagreeMicro} END""".stripMargin
+      val Seq(fName, fPhone, fBal, fSeg) = linkageFields
+      s"""WITH RECURSIVE $linkageCtes,
+         |m AS (SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN u ua ON ua.id = p.id_a JOIN u ub ON ub.id = p.id_b
+         |  WHERE p.id_a % 2 <> p.id_b % 2
+         |    AND (${fz(fName)}
+         |     + ${fz(fPhone)}
+         |     + CASE WHEN ua.bal = ub.bal THEN ${fBal.wExactMicro}
+         |         ELSE ${fBal.wDisagreeMicro} END
+         |     + CASE WHEN ua.seg = ub.seg THEN ${fSeg.wExactMicro}
+         |         ELSE ${fSeg.wDisagreeMicro} END) >= 10000000),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM m
+         |  UNION SELECT id_b, id_a FROM m),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s)
+         |SELECT u.id, coalesce(comp.c, u.id) AS cluster_id
+         |FROM u LEFT JOIN comp ON comp.id = u.id
+         |ORDER BY u.id""".stripMargin
     },
     "q272_detector_agreement" ->
       s"""WITH u AS (
