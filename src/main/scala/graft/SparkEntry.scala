@@ -2930,6 +2930,31 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: time-respecting reachability — earliest-arrival contagion
+    //    over the customer↔supplier interaction graph (an edge is an order
+    //    line dated o_orderdate; a hop is traversable only at ts ≥ the
+    //    arrival time, which static reachability ignores). Delta-frontier
+    //    rounds, node-sized state, integer epoch days (oracle: DuckDB
+    //    replays 3 unrolled full-state rounds — provably round-identical
+    //    to the delta form) ────────────────────────────────────────────────
+    "q274_temporal_reach" -> ((s, dir) => {
+      val e0 = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey",
+          "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("d"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("s").as("dst"), col("d"))
+        .unionAll(e0.select(col("s").as("src"), col("c").as("dst"), col("d")))
+      val seeds = T(s, dir, "supplier").filter(col("s_suppkey") <= 2)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      Graph.temporalReachability(edges, "src", "dst", "d", seeds, "node",
+          seedT = 0L, rounds = 3)
+        .select(col("node").cast("long").as("node"),
+          col("reach_t").as("reach_day"))
+        .orderBy("node")
+    }),
     // ── scale: entity resolution end-to-end — accepted matches (score ≥
     //    10 bits, the q269 histogram's clean separating band) → connected
     //    components → one golden-record cluster id per entity (singletons
@@ -5553,6 +5578,30 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    "q274_temporal_reach" -> {
+      def round(k: Int): String =
+        s"""r$k AS MATERIALIZED (
+           |  SELECT node, min(t) AS t FROM (
+           |    SELECT node, t FROM r${k - 1}
+           |    UNION ALL
+           |    SELECT ed.dst AS node, CAST(ed.d AS BIGINT) AS t
+           |    FROM r${k - 1} JOIN ed ON ed.src = r${k - 1}.node
+           |      AND ed.d >= r${k - 1}.t)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS c,
+         |    l_suppkey * 2 + 1 AS s,
+         |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS d
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT c AS src, s AS dst, d FROM e
+         |  UNION ALL SELECT s, c, d FROM e),
+         |r0 AS (SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS t
+         |  FROM supplier WHERE s_suppkey <= 2),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(node AS BIGINT) AS node, t AS reach_day
+         |FROM r3 ORDER BY node""".stripMargin
     },
     "q273_er_resolution" -> {
       def fz(f: Linkage.FieldSpec): String =

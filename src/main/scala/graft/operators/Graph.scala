@@ -647,6 +647,62 @@ object Graph {
     * are honestly absent, matching the unrolled-CTE oracle round for
     * round. Integer weights end-to-end — no det/prod split.
     * Returns (node, dist), seeds at 0. */
+  /** Time-respecting earliest-arrival reachability within `rounds`
+    * temporal hops of a seed set: an edge (src, dst, ts) is traversable
+    * only when ts ≥ the arrival time at src — the defining temporal-path
+    * constraint (contagion/information cannot ride an interaction that
+    * happened before it arrived; static reachability over-reports by
+    * ignoring edge ORDER). [[boundedShortestPaths]]'s temporal twin:
+    * relaxation candidate = edge ts (arrival AT the interaction), per-node
+    * min; the delta frontier is round-for-round identical to full
+    * relaxation by the same argument (a non-improved src's ALLOWED edge
+    * set is unchanged — its out-relaxations were all applied the round
+    * after it last improved; an improvement strictly widens the ts ≥
+    * arrival set, and the frontier carries exactly the improved nodes).
+    * Parallel edges keep their distinct timestamps (they become available
+    * at different arrival times — collapsing to a global min would break
+    * the constraint). Integer timestamps end-to-end.
+    * Returns (node, reach_t); seeds start at `seedT`. */
+  def temporalReachability(edges: DataFrame, srcCol: String, dstCol: String,
+      tsCol: String, seeds: DataFrame, seedCol: String, seedT: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(tsCol).cast("long").as("t"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var reach = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("reach_t", lit(seedT)).localCheckpoint(true)
+    var frontier = reach
+    var r = 1
+    var done = rounds == 0
+    while (!done) {
+      val candidates = e
+        .join(frontier.select(col("node").as("src"),
+          col("reach_t").as("__t")), "src")
+        .filter(col("t") >= col("__t"))
+        .groupBy(col("dst").as("node")).agg(min("t").as("reach_t"))
+      val improved = candidates
+        .join(reach.select(col("node"), col("reach_t").as("__cur")),
+          Seq("node"), "left")
+        .filter(col("__cur").isNull || col("reach_t") < col("__cur"))
+        .select("node", "reach_t")
+        .localCheckpoint(true)
+      val exhausted = improved.isEmpty
+      if (exhausted || r == rounds) done = true
+      if (!exhausted) {
+        reach = reach.join(improved.select("node"), Seq("node"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      r += 1
+    }
+    e.unpersist(false)
+    reach
+  }
+
   def boundedShortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, seeds: DataFrame, seedCol: String,
       rounds: Int): DataFrame = {

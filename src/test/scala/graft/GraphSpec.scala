@@ -383,4 +383,34 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 0L, "z" -> 0L, "b" -> 1L))
   }
+
+  test("temporalReachability honors the ts >= arrival constraint") {
+    // 1 reaches 2 at t=5; the 2→3 edge happened at t=3 < 5 → 3 stays
+    // unreachable (static BFS would report it); 2→4 at t=9 is fine
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 9L))
+      .toDF("src", "dst", "ts")
+    val out = Graph.temporalReachability(edges, "src", "dst", "ts",
+        Seq(1L).toDF("node"), "node", seedT = 0L, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 5L, 4L -> 9L))
+  }
+
+  test("temporalReachability: an earlier parallel edge re-opens a path") {
+    // parallel edges keep distinct timestamps: arriving at 2 via the t=2
+    // copy makes the t=3 edge to 3 traversable
+    val edges = Seq((1L, 2L, 5L), (1L, 2L, 2L), (2L, 3L, 3L))
+      .toDF("src", "dst", "ts")
+    val out = Graph.temporalReachability(edges, "src", "dst", "ts",
+        Seq(1L).toDF("node"), "node", seedT = 0L, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("temporalReachability rounds is a hop horizon") {
+    val edges = Seq((1L, 2L, 5L), (2L, 4L, 9L)).toDF("src", "dst", "ts")
+    val out = Graph.temporalReachability(edges, "src", "dst", "ts",
+        Seq(1L).toDF("node"), "node", seedT = 0L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 5L))
+  }
 }
