@@ -2930,6 +2930,19 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: windowed skip-gram collocations — q102's window-±3
+    //    generalization (word2vec-style co-occurrence statistics; adjacent
+    //    bigrams miss "neural … network" with an intervening token);
+    //    in-row pair generation from the token array (no positional
+    //    self-join), q102's log-free monotone lift with fixed
+    //    parenthesization (oracle: DuckDB positional self-join replay) ─────
+    "q275_skipgram_collocations" -> ((s, dir) => {
+      TextAnalysis.skipgramCollocations(
+          T(s, dir, "documents").select("text"), "text",
+          window = 3, minCount = 5L, topN = 100)
+        .select(col("term_a"), col("term_b"), col("pair_count"),
+          round(col("lift"), 6).as("lift"))
+    }),
     // ── scale: time-respecting reachability — earliest-arrival contagion
     //    over the customer↔supplier interaction graph (an edge is an order
     //    line dated o_orderdate; a hop is traversable only at ts ≥ the
@@ -5579,6 +5592,33 @@ object SparkEntry {
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
     },
+    "q275_skipgram_collocations" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(toks) AS w,
+        |    generate_subscripts(toks, 1) AS i FROM t),
+        |pp AS (SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3
+        |  WHERE a.w <> '' AND b.w <> ''),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos
+        |  WHERE w <> '' GROUP BY w),
+        |co AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS c_ab FROM pp
+        |  GROUP BY wa, wb),
+        |tot AS (SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS t,
+        |    CAST((SELECT sum(c_ab) FROM co) AS DOUBLE) AS p)
+        |SELECT wa AS term_a, wb AS term_b, c_ab AS pair_count,
+        |  round(((CAST(c_ab AS DOUBLE) * t) * t) /
+        |    ((p * ua.c) * ub.c), 6) AS lift
+        |FROM co
+        |JOIN uni ua ON ua.w = wa
+        |JOIN uni ub ON ub.w = wb
+        |CROSS JOIN tot
+        |WHERE c_ab >= 5
+        |ORDER BY ((CAST(c_ab AS DOUBLE) * t) * t) / ((p * ua.c) * ub.c)
+        |  DESC, term_a, term_b
+        |LIMIT 100""".stripMargin,
     "q274_temporal_reach" -> {
       def round(k: Int): String =
         s"""r$k AS MATERIALIZED (

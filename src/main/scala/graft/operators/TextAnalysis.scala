@@ -639,6 +639,58 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Windowed skip-gram co-occurrence with LIFT — [[collocations]]'s
+    * window-±`window` generalization (adjacent-only misses "neural …
+    * network" with an intervening token; word2vec-style statistics need
+    * the window). Pairs are generated IN-ROW from the token array (the
+    * q135 no-self-join idiom): for each offset d ≤ window, zip the array
+    * against its d-shifted self — one explode, no positional self-join,
+    * O(tokens·window) rows. Pairs are unordered (least/greatest
+    * normalization). Lift keeps q102's log-free monotone PMI form and its
+    * fixed parenthesization (the cross-engine double contract); unigram
+    * totals are driver literals shared with the oracle. */
+  def skipgramCollocations(df: DataFrame, textCol: String, window: Int = 3,
+      minCount: Long = 5L, topN: Int = 100): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1L && topN >= 1, "minCount and topN must be >= 1")
+    val base = df.select(Dedup.tokensCol(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    val pairs = base.select(explode(flatten(transform(
+        sequence(lit(1), lit(window)),
+        d => zip_with(
+          slice(col("__toks"), lit(1), greatest(n - d, lit(0))),
+          slice(col("__toks"), d + lit(1), greatest(n - d, lit(0))),
+          (a, b) => struct(least(a, b).as("wa"), greatest(a, b).as("wb"))))))
+        .as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .filter(col("wa") =!= "" && col("wb") =!= "")
+    val uni = base.select(explode(col("__toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val co = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    val totT = uni.agg(sum("c")).collect()(0)
+    val totP = co.agg(sum("c_ab")).collect()(0)
+    if (totT.isNullAt(0) || totP.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("term_a"), lit("").as("term_b"),
+          lit(0L).as("pair_count"), lit(0.0).as("lift")).limit(0)
+    val t = lit(totT.getLong(0).toDouble)
+    val p = lit(totP.getLong(0).toDouble)
+    co.filter(col("c_ab") >= minCount)
+      .join(Ops.broadcastIfSmall(
+        uni.select(col("w").as("wa"), col("c").as("c_a"))), Seq("wa"))
+      .join(Ops.broadcastIfSmall(
+        uni.select(col("w").as("wb"), col("c").as("c_b"))), Seq("wb"))
+      .select(col("wa").as("term_a"), col("wb").as("term_b"),
+        col("c_ab").as("pair_count"),
+        (((col("c_ab").cast(DoubleType) * t) * t) /
+          ((p * col("c_a")) * col("c_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+      .limit(topN)
+  }
+
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))

@@ -152,4 +152,53 @@ class LmVocabSpec extends SparkSpec {
     assert(top1.length === 1)
     assert(TextAnalysis.collocations(Seq("   ").toDF("text"), "text").count() === 0L)
   }
+
+  /** Brute-force windowed co-occurrence reference with the q102 lift
+    * parenthesization. */
+  private def refSkipgrams(texts: Seq[String], window: Int, minCount: Long)
+      : Seq[(String, String, Long, Double)] = {
+    val docs = texts.map(_.trim.toLowerCase.split("\\s+").toSeq)
+    val uni = docs.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = docs.flatMap { ts =>
+      for {
+        i <- ts.indices
+        d <- 1 to window
+        if i + d < ts.size
+        if ts(i).nonEmpty && ts(i + d).nonEmpty
+      } yield {
+        val (a, b) = (ts(i), ts(i + d))
+        if (a <= b) (a, b) else (b, a)
+      }
+    }
+    val co = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = uni.values.sum.toDouble
+    val p = pairs.size.toDouble
+    co.toSeq.collect { case ((a, b), cab) if cab >= minCount =>
+      (a, b, cab, ((cab.toDouble * t) * t) / ((p * uni(a)) * uni(b)))
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }
+  }
+
+  test("skipgramCollocations: window pairs match the brute-force reference") {
+    val texts = Seq("neural deep network model", "neural network wins",
+      "deep neural network", "a b c d e", "a c e b d")
+    val out = TextAnalysis.skipgramCollocations(texts.toDF("text"), "text",
+        window = 2, minCount = 2L, topN = 50)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === refSkipgrams(texts, 2, 2L).take(50))
+    // "neural network" co-occurs 3x within window 2 (twice adjacent, once
+    // skipping "deep") — adjacent-only q102 would count 2
+    val nn = out.find(r => r._1 == "network" && r._2 == "neural")
+    assert(nn.exists(_._3 === 3L))
+  }
+
+  test("skipgramCollocations: window 1 equals unordered adjacency; empty corpus empty") {
+    val texts = Seq("x y x y", "y x", "solo")
+    val got = TextAnalysis.skipgramCollocations(texts.toDF("text"), "text",
+        window = 1, minCount = 1L, topN = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === refSkipgrams(texts, 1, 1L).map(r => (r._1, r._2, r._3)))
+    assert(TextAnalysis.skipgramCollocations(Seq("   ").toDF("text"), "text")
+      .count() === 0L)
+  }
 }
