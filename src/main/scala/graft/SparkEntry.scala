@@ -209,6 +209,33 @@ object SparkEntry {
       |  FROM bk x JOIN bk y
       |    ON x.pass = y.pass AND x.bkey = y.bkey AND x.id < y.id)""".stripMargin
 
+  /** [[linkageCtes]] extended through the Fellegi–Sunter scoring of every
+    * cross-system candidate pair (`sc`: a_ckey, b_ckey, score_micro) —
+    * shared by the q269 histogram and q277 operating-curve oracles. */
+  private def linkageScoredCtes: String = {
+    def fuzzy(f: Linkage.FieldSpec): String =
+      s"""CASE WHEN a_${f.column} = b_${f.column} THEN ${f.wExactMicro}
+         |      WHEN jaro_winkler_similarity(a_${f.column}, b_${f.column})
+         |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
+         |      ELSE ${f.wDisagreeMicro} END""".stripMargin
+    val Seq(fName, fPhone, fBal, fSeg) = linkageFields
+    s"""$linkageCtes,
+       |j AS (SELECT p.id_a, p.id_b, ua.ckey AS a_ckey, ub.ckey AS b_ckey,
+       |    ua.name AS a_name, ub.name AS b_name, ua.bal AS a_bal,
+       |    ub.bal AS b_bal, ua.phone AS a_phone, ub.phone AS b_phone,
+       |    ua.seg AS a_seg, ub.seg AS b_seg
+       |  FROM pairs p JOIN u ua ON ua.id = p.id_a JOIN u ub ON ub.id = p.id_b
+       |  WHERE p.id_a % 2 <> p.id_b % 2),
+       |sc AS (SELECT a_ckey, b_ckey,
+       |    (${fuzzy(fName)}
+       |     + ${fuzzy(fPhone)}
+       |     + CASE WHEN a_bal = b_bal THEN ${fBal.wExactMicro}
+       |         ELSE ${fBal.wDisagreeMicro} END
+       |     + CASE WHEN a_seg = b_seg THEN ${fSeg.wExactMicro}
+       |         ELSE ${fSeg.wDisagreeMicro} END) AS score_micro
+       |  FROM j)""".stripMargin
+  }
+
   /** Flagship pipeline on sf=0.001: synthesize a nested python-literal
     * column → explode to rows → mapping DSL with a lookup pick.
     * Avoids the events table (its ns timestamps need a session conf the
@@ -2930,6 +2957,38 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: sorted-neighborhood blocking — candidate pairs = records
+    //    within 10 positions of each other in global name order; the
+    //    classic complement to key blocking (bounds every record's
+    //    candidates; dirty sort keys are the honest recall trade). Global
+    //    rank via the distributed-cumsum idiom, rank-band self-join —
+    //    never all-pairs (oracle: DuckDB row_number + distance join) ───────
+    "q276_sorted_neighborhood" -> ((s, dir) => {
+      val ents = linkageEntities(s, dir)
+      val truth = ents.select(col("id").as("__tid"), col("ckey"))
+      Linkage.sortedNeighborhoodPairs(ents, "id", col("name"), window = 10)
+        .join(truth.select(col("__tid").as("id_a"), col("ckey").as("__ta")),
+          "id_a")
+        .join(truth.select(col("__tid").as("id_b"), col("ckey").as("__tb")),
+          "id_b")
+        .groupBy("dist").agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__ta") === col("__tb"), 1L).otherwise(0L))
+            .as("n_true"))
+        .orderBy("dist")
+    }),
+    // ── scale: ER threshold operating curve — per score bucket
+    //    (descending), cumulative pairs/true-matches/precision of "accept
+    //    at or above": the table the q273 threshold was chosen from
+    //    (oracle: DuckDB replays scoring + suffix-sum windows) ─────────────
+    "q277_er_curve" -> ((s, dir) => {
+      val ents = linkageEntities(s, dir)
+      val pairs = Linkage.blockedPairs(ents, "id", linkageBlockKeys(), 4096)
+        .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+      Linkage.scoreCurve(
+        Linkage.matchScores(ents, "id", pairs, linkageFields,
+          carry = Seq("ckey")),
+        col("a_ckey") === col("b_ckey"), bucketMicro = 2000000L)
+    }),
     // ── scale: windowed skip-gram collocations — q102's window-±3
     //    generalization (word2vec-style co-occurrence statistics; adjacent
     //    bigrams miss "neural … network" with an intervening token);
@@ -5564,34 +5623,42 @@ object SparkEntry {
     "q246_silhouette" -> silhouetteOracleSql(k = 4, rounds = 3, dims = 64),
     "q253_slice_accuracy" -> sliceAccuracyOracleSql(z = 1.96),
     "q264_langid_margin" -> langidMarginOracleSql,
-    "q269_er_match_scores" -> {
-      def fuzzy(f: Linkage.FieldSpec): String =
-        s"""CASE WHEN a_${f.column} = b_${f.column} THEN ${f.wExactMicro}
-           |      WHEN jaro_winkler_similarity(a_${f.column}, b_${f.column})
-           |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
-           |      ELSE ${f.wDisagreeMicro} END""".stripMargin
-      val Seq(fName, fPhone, fBal, fSeg) = linkageFields
-      s"""WITH $linkageCtes,
-         |j AS (SELECT p.id_a, p.id_b, ua.ckey AS a_ckey, ub.ckey AS b_ckey,
-         |    ua.name AS a_name, ub.name AS b_name, ua.bal AS a_bal,
-         |    ub.bal AS b_bal, ua.phone AS a_phone, ub.phone AS b_phone,
-         |    ua.seg AS a_seg, ub.seg AS b_seg
-         |  FROM pairs p JOIN u ua ON ua.id = p.id_a JOIN u ub ON ub.id = p.id_b
-         |  WHERE p.id_a % 2 <> p.id_b % 2),
-         |sc AS (SELECT a_ckey, b_ckey,
-         |    (${fuzzy(fName)}
-         |     + ${fuzzy(fPhone)}
-         |     + CASE WHEN a_bal = b_bal THEN ${fBal.wExactMicro}
-         |         ELSE ${fBal.wDisagreeMicro} END
-         |     + CASE WHEN a_seg = b_seg THEN ${fSeg.wExactMicro}
-         |         ELSE ${fSeg.wDisagreeMicro} END) AS score_micro
-         |  FROM j)
+    "q269_er_match_scores" ->
+      s"""WITH $linkageScoredCtes
          |SELECT CAST(floor(score_micro / 2000000.0) AS BIGINT) AS bucket,
          |  CAST(count(*) AS BIGINT) AS n_pairs,
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
-         |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
-    },
+         |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q277_er_curve" ->
+      s"""WITH $linkageScoredCtes,
+         |h AS (SELECT CAST(floor(score_micro / 2000000.0) AS BIGINT)
+         |      AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_true
+         |  FROM sc GROUP BY 1),
+         |cm AS (SELECT bucket, n_pairs, n_true,
+         |    CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_pairs,
+         |    CAST(sum(n_true) OVER (ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_true
+         |  FROM h)
+         |SELECT bucket, n_pairs, n_true, cum_pairs, cum_true,
+         |  round(CAST(cum_true AS DOUBLE) / CAST(cum_pairs AS DOUBLE), 6)
+         |    AS precision
+         |FROM cm ORDER BY bucket DESC""".stripMargin,
+    "q276_sorted_neighborhood" ->
+      s"""WITH $linkageCtes,
+         |r AS (SELECT id, ckey,
+         |    row_number() OVER (ORDER BY name, id) AS rn FROM u)
+         |SELECT b.rn - a.rn AS dist, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.ckey = b.ckey THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true
+         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 10
+         |GROUP BY 1 ORDER BY dist""".stripMargin,
     "q275_skipgram_collocations" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -134,6 +134,61 @@ object Linkage {
         sum(when(truth, 1L).otherwise(0L)).as("n_true"))
       .orderBy("bucket")
 
+  /** Sorted-neighborhood blocking: candidate pairs = records within
+    * `window` positions of each other in the global (sortKey, id) order —
+    * the classic complement to key blocking (a hot key floods a block;
+    * sorted neighborhood bounds EVERY record's candidates at `window`,
+    * trading recall for records whose dirty sort keys land them far
+    * apart). Output (id_a, id_b, dist) with 1 ≤ dist ≤ window, id order =
+    * rank order.
+    *
+    * Scale shape: one range exchange for the global rank
+    * ([[Sampling.globalRowNumber]]'s distributed-cumsum idiom — no
+    * single-partition window), then a rank-band self-join: the probe side
+    * replicates into its own and the previous band (2× key-width rows),
+    * pairs filter to the exact distance — never an all-pairs product. */
+  def sortedNeighborhoodPairs(
+      entities: DataFrame,
+      idCol: String,
+      sortKey: Column,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ranked = Sampling.globalRowNumber(
+      entities.select(col(idCol).cast("long").as("__id"), sortKey.as("__k")),
+      "__rn", col("__k"), col("__id"))
+    val a = ranked.select(col("__id").as("id_a"), col("__rn").as("__ra"),
+      (col("__rn") / window).cast("long").as("__blk"))
+    val b0 = ranked.select(col("__id").as("id_b"), col("__rn").as("__rb"))
+    val b = b0.withColumn("__blk", (col("__rb") / window).cast("long"))
+      .unionAll(b0.withColumn("__blk",
+        (col("__rb") / window).cast("long") - 1))
+    a.join(b, "__blk")
+      .filter(col("__rb") - col("__ra") >= 1 &&
+        col("__rb") - col("__ra") <= window)
+      .select(col("id_a"), col("id_b"),
+        (col("__rb") - col("__ra")).as("dist"))
+  }
+
+  /** Threshold-operating curve over scored pairs: per score bucket
+    * (descending), the cumulative pair/true-match counts and precision of
+    * "accept everything at or above this bucket" — the table an ER
+    * threshold is actually chosen from (q269's histogram says where the
+    * mass sits; this says what each cut costs). Suffix sums run over the
+    * BUCKETS-sized frame (tens of rows — the unpartitioned window is an
+    * aggregate over an already-reduced frame, not a corpus window). */
+  def scoreCurve(scored: DataFrame, truth: Column, bucketMicro: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scoreHistogram(scored, truth, bucketMicro)
+      .select(col("bucket"), col("n_pairs"), col("n_true"),
+        sum("n_pairs").over(w).as("cum_pairs"),
+        sum("n_true").over(w).as("cum_true"))
+      .withColumn("precision",
+        round(col("cum_true").cast("double") / col("cum_pairs").cast("double"), 6))
+      .orderBy(col("bucket").desc)
+  }
+
   /** Blocking-quality report: per pass (and for the deduplicated union of
     * all passes, labeled `union`) the candidate-pair count, how many true
     * pairs (same `truthCol`) it found, pair completeness against the exact

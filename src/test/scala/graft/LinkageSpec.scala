@@ -109,6 +109,38 @@ class LinkageSpec extends SparkSpec {
     assert(out === Seq((-2L, 1L, 1L), (1L, 1L, 0L)))
   }
 
+  test("sortedNeighborhoodPairs: exact window pairs in global key order") {
+    val ents = Seq((10L, "aa"), (20L, "ab"), (30L, "ac"), (40L, "zz"),
+      (50L, "ad")).toDF("id", "k")
+    val pairs = Linkage.sortedNeighborhoodPairs(ents, "id", col("k"), window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // sort order: aa(10) ab(20) ac(30) ad(50) zz(40)
+    assert(pairs === Set(
+      (10L, 20L, 1L), (10L, 30L, 2L), (20L, 30L, 1L), (20L, 50L, 2L),
+      (30L, 50L, 1L), (30L, 40L, 2L), (50L, 40L, 1L)))
+    // the dirty-key trade: "zz" sits far from everything — a true match
+    // whose sort key is corrupted beyond the window is honestly missed
+    val w1 = Linkage.sortedNeighborhoodPairs(ents, "id", col("k"), window = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w1 === Set((10L, 20L, 1L), (20L, 30L, 1L), (30L, 50L, 1L),
+      (50L, 40L, 1L)))
+  }
+
+  test("scoreCurve: descending cumulative precision") {
+    val scored = Seq(
+      (1L, 2L, 5000000L, 7L, 7L), (3L, 4L, 4500000L, 8L, 9L),
+      (5L, 6L, 1000000L, 1L, 1L), (7L, 8L, -3000000L, 2L, 3L))
+      .toDF("id_a", "id_b", "score_micro", "a_ckey", "b_ckey")
+    val out = Linkage.scoreCurve(scored, col("a_ckey") === col("b_ckey"),
+        bucketMicro = 2000000L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // buckets: 2 (two pairs: one true one false), 0 (one true), -2 (false)
+    assert(out === Seq(
+      (2L, 2L, 1L, 2L, 1L, 0.5),
+      (0L, 1L, 1L, 3L, 2L, math.rint(2.0 / 3.0 * 1e6) / 1e6),
+      (-2L, 1L, 0L, 4L, 2L, 0.5)))
+  }
+
   test("blockingQualityReport: per-pass and union completeness/reduction") {
     val rep = Linkage.blockingQualityReport(entities, "id", "ckey",
         Seq(substring(col("name"), 1, 4), substring(col("phone"), 1, 6)))
