@@ -309,6 +309,25 @@ object SparkEntry {
     * `TextAnalysis.trainBpeMerges`' scan exactly (and BpeTokenCount's
     * application convention). */
   private[graft] def bpeTrainOracleSql(numMerges: Int): String = {
+    val finalSel = (1 to numMerges)
+      .map(r => s"SELECT $r AS rank, l AS merge_left, r AS merge_right FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainCtes(numMerges, carryWord = false)}
+       |SELECT CAST(rank AS BIGINT) AS rank, merge_left, merge_right FROM (
+       |$finalSel
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** The q87 training CTE chain (`w`, `s0`, and per round `p_r`/`b_r`/
+    * `s_r`). With `carryWord` the word itself rides through every
+    * re-segmentation, so `s<numMerges>` maps each distinct corpus word to
+    * its FINAL segmentation — which is exactly what `BpeTokenCount`
+    * produces for training-corpus words (training applies merges in rank
+    * order with the same greedy left-to-right scan), giving the q278
+    * fertility oracle its word → piece-count table without unrolling
+    * application separately. */
+  private def bpeTrainCtes(numMerges: Int, carryWord: Boolean): String = {
+    val wc = if (carryWord) "word, " else ""
     val rounds = (1 to numMerges).map { r =>
       val prev = s"s${r - 1}"
       s"""p$r AS (
@@ -319,36 +338,30 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$r AS (SELECT l, r FROM p$r ORDER BY c DESC, l ASC, r ASC LIMIT 1),
          |s$r AS (
-         |  SELECT list_filter(list_transform(range(1, len(syms) + 1), i ->
+         |  SELECT ${wc}list_filter(list_transform(range(1, len(syms) + 1), i ->
          |      CASE WHEN mg[i] THEN syms[i] || syms[i+1]
          |           WHEN i > 1 AND coalesce(mg[i-1], false) THEN NULL
          |           ELSE syms[i] END), x -> x IS NOT NULL) AS syms, f
          |  FROM (
-         |    SELECT syms, f,
+         |    SELECT ${wc}syms, f,
          |      list_transform(range(1, len(syms) + 1), i ->
          |        coalesce(mt[i], false) AND
          |        ((i - coalesce(list_max(list_filter(range(1, i + 1),
          |            j -> NOT coalesce(mt[j], true))), 0)) % 2 = 1)) AS mg
          |    FROM (
-         |      SELECT syms, f,
+         |      SELECT ${wc}syms, f,
          |        list_transform(range(1, len(syms)), i ->
          |          syms[i] = b.l AND syms[i+1] = b.r) AS mt
          |      FROM $prev CROSS JOIN b$r b) q1) q2)""".stripMargin
     }
-    val finalSel = (1 to numMerges)
-      .map(r => s"SELECT $r AS rank, l AS merge_left, r AS merge_right FROM b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT word, count(*) AS f FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
        |    FROM documents)
        |  WHERE word <> '' GROUP BY word),
-       |s0 AS (SELECT list_transform(range(1, length(word) + 1),
+       |s0 AS (SELECT ${wc}list_transform(range(1, length(word) + 1),
        |         i -> word[i:i]) AS syms, f FROM w),
-       |${rounds.mkString(",\n")}
-       |SELECT CAST(rank AS BIGINT) AS rank, merge_left, merge_right FROM (
-       |$finalSel
-       |) ORDER BY rank""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 
   private def lshInputQ25(s: SparkSession, dir: String): DataFrame = {
@@ -2957,6 +2970,28 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: tokenizer fertility per source — train the BPE merge table
+    //    ON the corpus (q87's trainer), apply it with q60's counter, and
+    //    report BPE-tokens-per-word per source: the tokenizer-efficiency
+    //    number a vocab decision is judged by (high fertility = the
+    //    tokenizer fragments that source's words). Training cost is
+    //    vocabulary-sized after one corpus pass; application is a pure
+    //    projection (oracle: DuckDB replays TRAINING with the word carried
+    //    through re-segmentation — the final seg table IS application for
+    //    corpus words, no separate unroll) ─────────────────────────────────
+    "q278_bpe_fertility" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("source", "text")
+      val merges = TextAnalysis.trainBpeMerges(d, "text", numMerges = 8,
+        minPairCount = 1L)
+      d.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+          TextAnalysis.bpeTokenCount(col("text"), merges).cast("long").as("b"))
+        .groupBy("source")
+        .agg(sum(col("w")).as("n_words"), sum(col("b")).as("n_bpe_tokens"))
+        .withColumn("fertility", round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6))
+        .orderBy("source")
+    }),
     // ── scale: sorted-neighborhood blocking — candidate pairs = records
     //    within 10 positions of each other in global name order; the
     //    classic complement to key blocking (bounds every record's
@@ -5630,6 +5665,19 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q278_bpe_fertility" ->
+      s"""WITH ${bpeTrainCtes(8, carryWord = true)},
+         |seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS np FROM s8),
+         |occ AS (SELECT source,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         |  FROM documents),
+         |o2 AS (SELECT source, word FROM occ WHERE word <> '')
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(np) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS fertility
+         |FROM o2 JOIN seg USING (word)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q277_er_curve" ->
       s"""WITH $linkageScoredCtes,
          |h AS (SELECT CAST(floor(score_micro / 2000000.0) AS BIGINT)
