@@ -2970,6 +2970,22 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: persistent ER index — system A seeds the golden-record
+    //    store, system B ingests against it: blocking-key postings probe
+    //    (I/O ∝ batch), Fellegi–Sunter scoring vs candidates only,
+    //    attach-to-best-cluster at ≥ 10 bits or found a new one; the
+    //    SEVENTH incremental cell (entity/golden-record modality)
+    //    (oracle: DuckDB replays B-vs-A blocking, scoring, and the
+    //    max-score/min-id argmax) ──────────────────────────────────────────
+    "q279_er_index" -> ((s, dir) => {
+      val ents = linkageEntities(s, dir)
+      val idx = new ErIndex(s, tmpWorkDir("gs_erix_"), linkageFields,
+        linkageBlockKeys(), scoreThresholdMicro = 10000000L, numBuckets = 16)
+      idx.ingest(ents.filter(col("id") % 2 === 0), "id")
+      idx.ingest(ents.filter(col("id") % 2 === 1), "id")
+        .select(col("inc_id"), col("cluster"), col("matched"))
+        .orderBy("inc_id")
+    }),
     // ── scale: tokenizer fertility per source — train the BPE merge table
     //    ON the corpus (q87's trainer), apply it with q60's counter, and
     //    report BPE-tokens-per-word per source: the tokenizer-efficiency
@@ -5665,6 +5681,36 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q279_er_index" -> {
+      def fz(f: Linkage.FieldSpec): String =
+        s"""CASE WHEN ui.${f.column} = uh.${f.column} THEN ${f.wExactMicro}
+           |      WHEN jaro_winkler_similarity(ui.${f.column}, uh.${f.column})
+           |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
+           |      ELSE ${f.wDisagreeMicro} END""".stripMargin
+      val Seq(fName, fPhone, fBal, fSeg) = linkageFields
+      s"""WITH $linkageCtes,
+         |cand AS (SELECT DISTINCT b.id AS inc_id, a.id AS hist_id
+         |  FROM bk b JOIN bk a ON b.pass = a.pass AND b.bkey = a.bkey
+         |  WHERE b.id % 2 = 1 AND a.id % 2 = 0),
+         |sc AS (SELECT c.inc_id, c.hist_id,
+         |    (${fz(fName)}
+         |     + ${fz(fPhone)}
+         |     + CASE WHEN ui.bal = uh.bal THEN ${fBal.wExactMicro}
+         |         ELSE ${fBal.wDisagreeMicro} END
+         |     + CASE WHEN ui.seg = uh.seg THEN ${fSeg.wExactMicro}
+         |         ELSE ${fSeg.wDisagreeMicro} END) AS score
+         |  FROM cand c JOIN u ui ON ui.id = c.inc_id
+         |  JOIN u uh ON uh.id = c.hist_id),
+         |best AS (SELECT inc_id, hist_id,
+         |    row_number() OVER (PARTITION BY inc_id
+         |      ORDER BY score DESC, hist_id ASC) AS rn
+         |  FROM sc WHERE score >= 10000000)
+         |SELECT u.id AS inc_id, coalesce(b.hist_id, u.id) AS cluster,
+         |  b.hist_id IS NOT NULL AS matched
+         |FROM u LEFT JOIN (SELECT inc_id, hist_id FROM best WHERE rn = 1) b
+         |  ON b.inc_id = u.id
+         |WHERE u.id % 2 = 1 ORDER BY inc_id""".stripMargin
+    },
     "q278_bpe_fertility" ->
       s"""WITH ${bpeTrainCtes(8, carryWord = true)},
          |seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS np FROM s8),

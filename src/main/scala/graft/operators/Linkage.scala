@@ -106,14 +106,30 @@ object Linkage {
       idCol: String,
       pairs: DataFrame,
       fields: Seq[FieldSpec],
-      carry: Seq[String] = Nil): DataFrame = {
-    val attrs = (fields.map(_.column) ++ carry).distinct
-    def side(prefix: String, joinKey: String): DataFrame =
-      entities.select((col(idCol).cast("long").as(joinKey) +:
+      carry: Seq[String] = Nil): DataFrame =
+    matchScoresAcross(entities, entities, idCol, pairs, fields, carry, carry)
+
+  /** [[matchScores]] with the two pair sides drawn from DIFFERENT frames
+    * (`id_a` resolves in `left`, `id_b` in `right`) — what an incremental
+    * probe needs, where the incoming batch and the indexed history are
+    * separate frames whose id spaces may overlap (redelivery). */
+  def matchScoresAcross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      fields: Seq[FieldSpec],
+      carryLeft: Seq[String] = Nil,
+      carryRight: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, prefix: String, joinKey: String,
+        carry: Seq[String]): DataFrame = {
+      val attrs = (fields.map(_.column) ++ carry).distinct
+      df.select((col(idCol).cast("long").as(joinKey) +:
         attrs.map(c => col(c).as(prefix + c))): _*)
+    }
     val joined = pairs
-      .join(side("a_", "__ida"), col("id_a") === col("__ida"))
-      .join(side("b_", "__idb"), col("id_b") === col("__idb"))
+      .join(side(left, "a_", "__ida", carryLeft), col("id_a") === col("__ida"))
+      .join(side(right, "b_", "__idb", carryRight), col("id_b") === col("__idb"))
       .drop("__ida", "__idb")
     val withLevels = fields.foldLeft(joined)((d, f) =>
       d.withColumn("lvl_" + f.name, levelCol(f)))

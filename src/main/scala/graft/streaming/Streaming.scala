@@ -109,6 +109,26 @@ object Streaming {
     * maxDist are indexed and handed to `onNovel`. This is the streaming
     * multimodal crawl-dedup front door (decode → hash → this).
     * Restart-safe: a redelivered id matches its own copy at hamming 0. */
+  /** Micro-batch entity-resolution ingest: each batch of records probes
+    * the persistent golden-record index ([[graft.operators.ErIndex]])
+    * through its blocking keys, attaches to the best-scoring history
+    * cluster at or above the index threshold (or founds a new cluster),
+    * is persisted, and the assignment is handed to `onAssign` — the
+    * streaming master-data upsert. Restart-safe: a redelivered record's
+    * all-exact self-match returns its own stored cluster and the same-pk
+    * upserts are no-ops. Within-batch duplicates found separate clusters
+    * (ErIndex class caveats — run batch linkage first if that matters). */
+  def streamingErIngest(
+      stream: DataFrame,
+      idx: graft.operators.ErIndex,
+      idCol: String)(onAssign: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onAssign(idx.ingest(batch, idCol))
+      }
+
   /** Micro-batch quote-gated ingest: the span-level contract — each batch
     * probes the persistent winnowing-fingerprint index
     * ([[graft.operators.SpanIndex]]) against every document ever ingested;
