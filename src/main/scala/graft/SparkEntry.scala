@@ -2970,6 +2970,26 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: Bloom-pruned fact⋈dim join — a 1%-fpp filter built from
+    //    the filtered dim's keys kills non-matching fact rows BEFORE the
+    //    exchange (at 100 TB the shuffle is the cost, and the filter is
+    //    ~1.2 MB per million build keys); result-identical to the plain
+    //    join for inner/semi semantics — which is exactly what the oracle
+    //    checks (the bloom is invisible in the result) ─────────────────────
+    "q280_bloom_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+      val ords = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey").as("okey"))
+      val cents = round((col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))) * lit(100.0)).cast("long")
+      Ops.bloomPrunedJoin(li, ords, Seq("okey"))
+        .groupBy("okey")
+        .agg(sum(cents).as("rev_cents"), count(lit(1)).as("n_lines"))
+        .orderBy("okey")
+    }),
     // ── scale: persistent ER index — system A seeds the golden-record
     //    store, system B ingests against it: blocking-key postings probe
     //    (I/O ∝ batch), Fellegi–Sunter scoring vs candidates only,
@@ -5681,6 +5701,14 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q280_bloom_join" ->
+      """SELECT l_orderkey AS okey,
+        |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+        |    * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY 1 ORDER BY okey""".stripMargin,
     "q279_er_index" -> {
       def fz(f: Linkage.FieldSpec): String =
         s"""CASE WHEN ui.${f.column} = uh.${f.column} THEN ${f.wExactMicro}

@@ -7,7 +7,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -122,6 +122,53 @@ object BloomBankCache {
       try BloomFilter.readFrom(in) finally in.close()
     })
   private[graft] def clear(): Unit = cache.clear()
+}
+
+/** `might_contain` over ONE serialized filter (the join-pruning probe —
+  * [[graft.operators.Ops.bloomPrunedJoin]]): the filter bytes ride the
+  * expression into each task and deserialize once per JVM via a
+  * bytes-keyed cache. For multi-GB banks use [[BloomBankMightContain]]
+  * (lazy per-bucket sidecar loads); this single-filter form is for the
+  * classic dim-side filter (~1.2 MB per million keys at 1% fpp).
+  * CodegenFallback: per-row work is k bit-probes. */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val filter =
+    BloomSingleCache.get(filterBytes)
+
+  override protected def nullSafeEval(h: Any): Any =
+    filter.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
+object BloomSingleCache {
+  /** Per-JVM deserialized-filter cache keyed by content hash + length
+    * (bytes are immutable once built). */
+  private val cache = TrieMap.empty[(Int, Int), BloomFilter]
+  def get(bytes: Array[Byte]): BloomFilter =
+    cache.getOrElseUpdate(
+      (java.util.Arrays.hashCode(bytes), bytes.length),
+      BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
+  private[graft] def clear(): Unit = cache.clear()
+}
+
+object Bloom {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.bridge
+
+  /** Distributed filter build over a pre-hashed long key column. */
+  def bloom_agg(hashed: Column, expectedItems: Long, fpp: Double): Column =
+    bridge.column(BloomAggregate(bridge.expression(hashed), expectedItems, fpp)
+      .toAggregateExpression())
+
+  /** Probe a serialized filter with a pre-hashed long key column. */
+  def might_contain(hashed: Column, filterBytes: Array[Byte]): Column =
+    bridge.column(BloomMightContain(bridge.expression(hashed), filterBytes))
 }
 
 /** `might_contain` over a per-bucket filter bank: looks up the row's

@@ -85,4 +85,37 @@ object Ops {
 
   def processCustomFields(df: DataFrame, cols: Seq[String], outCol: String = "custom_fields"): DataFrame =
     df.withColumn(outCol, customFieldsArray(cols.toIndexedSeq))
+
+  /** Equi-join with a Bloom pre-filter built from the SMALL side's keys
+    * and pushed into the big side's scan: rows whose key cannot be in the
+    * small side die at the filter — before the exchange — so the shuffle
+    * carries only (potential) matches. The classic fact⋈filtered-dim
+    * pruning idiom: at 100 TB the shuffle, not the join, is the cost, and
+    * a 1% fpp filter is ~1.2 MB per million build keys.
+    *
+    * Restricted to `inner` / `left_semi`: a false positive merely rides
+    * to the join and drops there (result-identical to the plain join,
+    * spec-asserted); under outer/anti semantics pruning would CHANGE the
+    * result, so those are rejected. Build and probe hash with the same
+    * `xxhash64` expression (no cross-side hash drift); the build is one
+    * distributed aggregate — only filter bitmaps cross the shuffle. The
+    * small side's count sizes the filter (undersizing degrades fpp,
+    * never correctness). */
+  def bloomPrunedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloom pruning preserves only inner/left_semi semantics, got $joinType")
+    require(keys.nonEmpty, "keys must be non-empty")
+    val h = xxhash64(keys.map(col): _*)
+    val expected = math.max(small.count(), 1L)
+    val bytes = small
+      .select(graft.functions.Bloom.bloom_agg(h, expected, fpp).as("__b"))
+      .head.getAs[Array[Byte]](0)
+    big.filter(graft.functions.Bloom.might_contain(h, bytes))
+      .join(small, keys, joinType)
+  }
 }

@@ -152,4 +152,38 @@ class BloomSpec extends SparkSpec {
     assert(again.count() === 0)
     assert(store.read("d").get.filter(col("doc_id") === 120).first().getInt(2) === 1200)
   }
+
+  test("bloomPrunedJoin: result-identical to the plain join, and it prunes") {
+    val big = (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val small = Seq((10L, "a"), (500L, "b"), (1999L, "c"), (777L, "d"))
+      .toDF("k", "w")
+    val plain = big.join(small, Seq("k"), "inner")
+      .collect().map(_.toSeq).toSet
+    val pruned = graft.operators.Ops.bloomPrunedJoin(big, small, Seq("k"))
+    assert(pruned.collect().map(_.toSeq).toSet === plain)
+    // the pre-filter actually removes rows before the join (fpp 1% on 4
+    // keys over 2000 rows: expect ~4 + a handful of FPs surviving)
+    val h = xxhash64(col("k"))
+    val bytes = small.select(graft.functions.Bloom.bloom_agg(h, 4L, 0.01))
+      .head.getAs[Array[Byte]](0)
+    val survivors = big
+      .filter(graft.functions.Bloom.might_contain(h, bytes)).count()
+    assert(survivors >= 4L && survivors < 200L)
+    // semi form
+    val semi = graft.operators.Ops.bloomPrunedJoin(big, small.select("k"),
+      Seq("k"), joinType = "left_semi")
+    assert(semi.select("k").as[Long].collect().toSet ===
+      Set(10L, 500L, 1999L, 777L))
+  }
+
+  test("bloomPrunedJoin: empty build side and illegal join types") {
+    val big = (1L to 50L).toDF("k")
+    val empty = Seq.empty[(Long, String)].toDF("k", "w")
+    assert(graft.operators.Ops.bloomPrunedJoin(big, empty, Seq("k"))
+      .count() === 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ops.bloomPrunedJoin(big, empty, Seq("k"),
+        joinType = "left_outer")
+    }
+  }
 }
