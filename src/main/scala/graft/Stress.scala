@@ -734,6 +734,40 @@ object Stress {
           .limit(500), "doc_id", "text")))
     }
     spanDocs.unpersist()
+    // persistent ER index: probe reads only the batch's blocking-key
+    // buckets + candidate attribute rows — history never rescanned.
+    // Replicas get disjoint names/ids (per-replica suffix) so blocks stay
+    // constant-size as history grows
+    val erFields = Seq(
+      graft.operators.Linkage.FieldSpec("name", "name", Some(0.85),
+        4000000L, 2500000L, -3000000L),
+      graft.operators.Linkage.FieldSpec("seg", "seg", None,
+        2000000L, 0L, -1000000L))
+    val erEnts = spark.range(factor).toDF("__rep")
+      .crossJoin(spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey", "c_name", "c_mktsegment"))
+      .select((col("c_custkey") + col("__rep") * 10000000L).as("id"),
+        concat(col("c_name"), lit(" r"), col("__rep")).as("name"),
+        col("c_mktsegment").as("seg"))
+      .cache()
+    println(s"[stress] er entities: ${erEnts.count()} rows")
+    time(s"erIndex ingest ${factor}x history") {
+      val dir = java.nio.file.Files.createTempDirectory("stress_erix").toString
+      val idx = new ErIndex(spark, dir, erFields,
+        Seq(expr("substring(name, length(name) - 7, 8)")),
+        scoreThresholdMicro = 3000000L, numBuckets = 32)
+      idx.ingest(erEnts, "id")
+      sys.props.put("stress.erix.dir", dir)
+    }
+    time(s"erIndex resolve 1000 records vs ${factor}x history") {
+      val idx = new ErIndex(spark, sys.props("stress.erix.dir"), erFields,
+        Seq(expr("substring(name, length(name) - 7, 8)")),
+        scoreThresholdMicro = 3000000L, numBuckets = 32)
+      println("[stress]   rows=" + Bench.force(idx.resolve(
+        erEnts.filter(col("id") < 10000000L && col("id") % 97 === 0)
+          .limit(1000), "id")))
+    }
+    erEnts.unpersist()
     docsTail.unpersist()
     spark.stop()
   }

