@@ -4147,6 +4147,18 @@ object SparkEntry {
         val probeDocs = d.filter(col("doc_id") % 2 === 0)
         () => idx.probe(probeDocs, "doc_id", "text")
       }),
+      // q279 measures a store lifecycle: seeding system A is test setup
+      // (the q08/q38/q256 convention) — the timed region is one resolve
+      // of the B batch against the persisted golden records
+      "q279_er_index" -> ((s, dir) => {
+        val ents = linkageEntities(s, dir)
+        val idx = new ErIndex(s, tmpWorkDir("gs_erix_"), linkageFields,
+          linkageBlockKeys(), scoreThresholdMicro = 10000000L,
+          numBuckets = 16)
+        idx.ingest(ents.filter(col("id") % 2 === 0), "id")
+        val b = ents.filter(col("id") % 2 === 1)
+        () => idx.resolve(b, "id")
+      }),
       // q256 measures a store lifecycle: initialization + the two adds
       // are test setup (the q08/q38 convention) — the timed region is
       // exactly one probe against the persisted index
