@@ -2970,6 +2970,27 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: SCD2 MERGE — apply a fresh batch to the dimension table
+    //    q145's scd2Intervals derives (the incremental half of the SCD2
+    //    story: close changed versions, open new ones, no-op repeats,
+    //    ignore late-vs-open observations under the monotone-load
+    //    contract); key-width joins against current rows only, closed
+    //    history rides through untouched (oracle: DuckDB replays intervals
+    //    on the first 20 days + the merge CASEs for the rest) ──────────────
+    "q281_scd2_apply" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        col("event_type"))
+      val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+      val dim = Snapshot.scd2Intervals(ev.filter(col("ts") < cut),
+        "user_id", "ts", "event_id", "event_type")
+      Snapshot.scd2Apply(dim, ev.filter(col("ts") >= cut),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_to").cast("string").as("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
     // ── scale: Bloom-pruned fact⋈dim join — a 1%-fpp filter built from
     //    the filtered dim's keys kills non-matching fact rows BEFORE the
     //    exchange (at 100 TB the shuffle is the cost, and the filter is
@@ -5713,6 +5734,53 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q281_scd2_apply" ->
+      """WITH f AS (SELECT user_id, ts, event_id, event_type,
+        |        CASE WHEN lag(event_type) OVER w IS NULL
+        |               OR lag(event_type) OVER w <> event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, ts, event_type,
+        |        sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM f),
+        |g AS (SELECT user_id, run, min(ts) AS valid_from,
+        |        min(event_type) AS event_type
+        |      FROM r GROUP BY 1, 2),
+        |dim AS (SELECT user_id, event_type, valid_from,
+        |        lead(valid_from) OVER (PARTITION BY user_id
+        |          ORDER BY valid_from, run) AS valid_to
+        |      FROM g),
+        |bb AS (SELECT user_id, event_type AS nv, ts AS nt FROM (
+        |    SELECT user_id, event_type, ts, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-21 00:00:00')
+        |  WHERE rn = 1),
+        |cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+        |hist AS (SELECT user_id, event_type, valid_from, valid_to,
+        |    false AS is_current FROM dim WHERE valid_to IS NOT NULL),
+        |j AS (SELECT coalesce(c.user_id, b.user_id) AS user_id,
+        |    c.event_type, c.valid_from, b.nv, b.nt
+        |  FROM cur c FULL OUTER JOIN bb b ON c.user_id = b.user_id),
+        |keepc AS (SELECT user_id, event_type, valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM j WHERE event_type IS NOT NULL AND (nt IS NULL
+        |    OR nv IS NOT DISTINCT FROM event_type OR nt <= valid_from)),
+        |chg2 AS (SELECT * FROM j WHERE nt IS NOT NULL
+        |  AND (event_type IS NULL
+        |       OR (nv IS DISTINCT FROM event_type AND nt > valid_from))),
+        |closed AS (SELECT user_id, event_type, valid_from, nt AS valid_to,
+        |    false AS is_current FROM chg2 WHERE event_type IS NOT NULL),
+        |opened AS (SELECT user_id, nv AS event_type, nt AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM chg2),
+        |allr AS (SELECT * FROM hist UNION ALL SELECT * FROM keepc
+        |  UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened)
+        |SELECT user_id, event_type,
+        |  CAST(valid_from AS VARCHAR) AS valid_from,
+        |  CAST(valid_to AS VARCHAR) AS valid_to, is_current
+        |FROM allr ORDER BY user_id, valid_from, event_type""".stripMargin,
     "q280_bloom_join" ->
       """SELECT l_orderkey AS okey,
         |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))

@@ -368,6 +368,61 @@ object Snapshot {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** SCD2 MERGE: apply a batch of fresh observations to the dimension
+    * table [[scd2Intervals]] produces — the incremental half of the
+    * slowly-changing-dimension story (scd2Intervals derives history from
+    * a full log; this maintains it load by load without re-deriving).
+    *
+    * Per key (batch deduplicated keep-last by (ts, tie) desc):
+    *  - no current row → open a new current version at the batch ts;
+    *  - current value unchanged (null-safe) → no-op;
+    *  - current value differs AND the batch ts is strictly after the
+    *    current version's valid_from → close the current row
+    *    (valid_to = batch ts) and open the new version;
+    *  - batch ts ≤ current valid_from → IGNORED: the monotone-load
+    *    contract (standard SCD2); late data older than the open version
+    *    cannot close it without inverting intervals — route genuine
+    *    backfills through scd2Intervals on the full log instead.
+    * Historic (closed) rows pass through untouched.
+    *
+    * Scale shape: one key-width keep-last over the batch, one key-keyed
+    * full-outer join against ONLY the current rows (one per key), and
+    * the closed history rides through as a union — never re-shuffled,
+    * never rewritten. Returns the same (key, value, valid_from,
+    * valid_to, is_current) schema it consumes. */
+  def scd2Apply(current: DataFrame, batch: DataFrame, keyCol: String,
+      valueCol: String, tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__nt").desc, col("__tie").desc)
+    val b = batch
+      .select(col(keyCol), col(valueCol).as("__nv"), col(tsCol).as("__nt"),
+        col(tieCol).as("__tie"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__nv"), col("__nt"))
+    val outCols = Seq(col(keyCol), col(valueCol), col("valid_from"),
+      col("valid_to"), col("is_current"))
+    val cur = current.filter(col("is_current"))
+    val hist = current.filter(!col("is_current")).select(outCols: _*)
+    val j = cur.join(b, Seq(keyCol), "full_outer")
+    val change = col("__nt").isNotNull && (col(valueCol).isNull ||
+      (!(col("__nv") <=> col(valueCol)) && col("__nt") > col("valid_from")))
+    val keepCur = j
+      .filter(col(valueCol).isNotNull && (col("__nt").isNull ||
+        (col("__nv") <=> col(valueCol)) || col("__nt") <= col("valid_from")))
+      .select(outCols: _*)
+    val closed = j.filter(change && col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol), col("valid_from"),
+        col("__nt").as("valid_to"), lit(false).as("is_current"))
+    val tsType = current.schema("valid_to").dataType
+    val opened = j.filter(change)
+      .select(col(keyCol), col("__nv").as(valueCol),
+        col("__nt").as("valid_from"),
+        lit(null).cast(tsType).as("valid_to"), lit(true).as("is_current"))
+    hist.unionByName(keepCur).unionByName(closed).unionByName(opened)
+  }
+
   /** Snapshot diff report: added / removed / changed / unchanged row
     * counts between two pk-unique generations — the one-line answer to
     * "what did this load actually do", and the audit that catches a

@@ -254,4 +254,52 @@ class SnapshotSpec extends SparkSpec {
     assert(r.getLong(4) === 1L)  // changed: 3
     assert(r.getLong(5) === 3L)  // unchanged
   }
+
+  test("scd2Apply: close/open, no-op, new key, late batch ignored, history untouched") {
+    import spark.implicits._
+    // dim: A current x since 10 (with a closed v-run before it);
+    // B current y since 20; C absent; D current d since 50
+    val dim = Seq(
+      ("A", "v", 1L, Some(10L), false),
+      ("A", "x", 10L, None, true),
+      ("B", "y", 20L, None, true),
+      ("D", "d", 50L, None, true))
+      .toDF("k", "value", "valid_from", "valid_to", "is_current")
+      .select(col("k"), col("value"), col("valid_from"),
+        col("valid_to").cast("long").as("valid_to"), col("is_current"))
+    // batch: A same value (no-op); B changes twice in-batch (keep-last z);
+    // C new key; D a LATE observation (ts 40 < valid_from 50) → ignored
+    val batch = Seq(
+      ("A", "x", 30L, 1L),
+      ("B", "z1", 25L, 1L), ("B", "z", 26L, 2L),
+      ("C", "c", 33L, 1L),
+      ("D", "dd", 40L, 1L))
+      .toDF("k", "value", "ts", "tie")
+    val out = Snapshot.scd2Apply(dim, batch, "k", "value", "ts", "tie")
+      .as[(String, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(out === Set(
+      ("A", "v", 1L, Some(10L), false),   // history untouched
+      ("A", "x", 10L, None, true),        // no-op
+      ("B", "y", 20L, Some(26L), false),  // closed at the keep-last ts
+      ("B", "z", 26L, None, true),        // opened (z, not z1)
+      ("C", "c", 33L, None, true),        // new key
+      ("D", "d", 50L, None, true)))       // late batch ignored
+  }
+
+  test("scd2Apply composes: apply(intervals(first), rest) = intervals(all) under monotone loads") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "a"), (1L, 3L, 300L, "b"),
+      (2L, 4L, 150L, "p"), (2L, 5L, 250L, "q"), (3L, 6L, 320L, "m"))
+      .toDF("k", "tie", "ts", "value")
+    val cut = 260L
+    val dim = Snapshot.scd2Intervals(log.filter(col("ts") < cut),
+      "k", "ts", "tie", "value")
+    val applied = Snapshot
+      .scd2Apply(dim, log.filter(col("ts") >= cut), "k", "value", "ts", "tie")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val full = Snapshot.scd2Intervals(log, "k", "ts", "tie", "value")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(applied === full)
+  }
 }
