@@ -2970,6 +2970,18 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: trigram substring search — raw `contains` over the corpus
+    //    through a character-trigram pre-filter (grep-over-100-TB; the
+    //    q243 phrase join can't see substrings crossing token boundaries
+    //    or punctuation): candidates must hold EVERY needle trigram, then
+    //    exact contains verifies — pruning is result-invisible, which is
+    //    exactly what the oracle checks (brute-force contains) ─────────────
+    "q282_substring_search" -> ((s, dir) => {
+      TextAnalysis.substringSearch(
+          T(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+          Seq("merge batch", "scan slow", "tab", "zzqx"))
+        .orderBy("needle", "doc_id")
+    }),
     // ── scale: SCD2 MERGE — apply a fresh batch to the dimension table
     //    q145's scd2Intervals derives (the incremental half of the SCD2
     //    story: close changed versions, open new ones, no-op repeats,
@@ -5734,6 +5746,12 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q282_substring_search" ->
+      """SELECT d.doc_id, n.needle
+        |FROM documents d CROSS JOIN (VALUES ('merge batch'), ('scan slow'),
+        |  ('tab'), ('zzqx')) n(needle)
+        |WHERE contains(d.text, n.needle)
+        |ORDER BY n.needle, d.doc_id""".stripMargin,
     "q281_scd2_apply" ->
       """WITH f AS (SELECT user_id, ts, event_id, event_type,
         |        CASE WHEN lag(event_type) OVER w IS NULL

@@ -691,6 +691,67 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Literal substring search over the corpus through a character-trigram
+    * pre-filter — the grep-over-100-TB primitive (the q243 phrase join
+    * answers tokenized phrase hits; this answers raw `contains`, which
+    * tokenization can't: substrings crossing token boundaries,
+    * punctuation, partial words).
+    *
+    * A document can contain the needle only if it contains EVERY trigram
+    * of the needle, so candidates = docs whose distinct-trigram postings
+    * cover the needle's full trigram set (one explode + an InSet
+    * membership filter over the union of all needles' trigrams + a
+    * per-(doc, needle) count == needed check), then the exact `contains`
+    * verifies. The pruning is result-invisible (false candidates die at
+    * the verify — the bloomPrunedJoin convention); needles shorter than 3
+    * chars have no trigrams and fall back to an honest full-scan verify.
+    * O(chars) explode, needle-trigram postings only ever shuffle (the
+    * InSet filter kills everything else at the scan). */
+  def substringSearch(df: DataFrame, idCol: String, textCol: String,
+      needles: Seq[String]): DataFrame = {
+    require(needles.nonEmpty, "needles must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (indexable, tiny) = needles.distinct.partition(_.length >= 3)
+    def verified(cands: DataFrame): DataFrame =
+      cands.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+        .filter(col(textCol).contains(col("needle")))
+        .select(col(idCol), col("needle"))
+    val fromIndex = if (indexable.isEmpty) None else {
+      val needleGrams = indexable.flatMap(n =>
+        n.sliding(3).distinct.map(g => (n, g))).toDF("needle", "gram")
+      val needed = needleGrams.groupBy("needle")
+        .agg(count(lit(1)).as("__need"))
+      val wanted = needleGrams.select("gram").distinct()
+        .as[String].collect().toSet
+      // doc-side postings: distinct char trigrams, pruned to the wanted
+      // set IN the explode projection (nothing else survives the scan)
+      val docGrams = df
+        .select(col(idCol),
+          explode(array_distinct(expr(
+            s"transform(sequence(1, greatest(length($textCol) - 2, 0)), " +
+              s"i -> substring($textCol, i, 3))"))).as("gram"))
+        .filter(col("gram").isInCollection(wanted))
+      val cands = docGrams
+        .join(Ops.broadcastIfSmall(needleGrams), Seq("gram"))
+        .groupBy(col(idCol), col("needle"))
+        .agg(count(lit(1)).as("__have"))
+        .join(Ops.broadcastIfSmall(needed), Seq("needle"))
+        .filter(col("__have") === col("__need"))
+        .select(col(idCol), col("needle"))
+      Some(verified(cands))
+    }
+    val fromTiny = if (tiny.isEmpty) None else
+      Some(verified(df.select(col(idCol))
+        .crossJoin(tiny.toDF("needle"))))
+    (fromIndex, fromTiny) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _                  => throw new IllegalStateException("unreachable")
+    }
+  }
+
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))
