@@ -342,4 +342,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.indexOf("HashAggregate", i) >= 0,
       s"no map-side partial aggregate under the exchange:\n$plan")
   }
+
+  test("bloomPrunedJoin: the bloom filter sits below the join, on the big side") {
+    val big = spark.range(10000).select(col("id").as("k"),
+      (col("id") * 2).as("v"))
+    val small = spark.range(50).select((col("id") * 100).as("k"))
+    val plan = physical(
+      graft.operators.Ops.bloomPrunedJoin(big, small, Seq("k")))
+    val f = plan.indexOf("bloom_might_contain")
+    val j = plan.indexOf("Join")
+    assert(f >= 0, s"no bloom filter in plan:\n$plan")
+    assert(j >= 0 && f > j,
+      s"bloom filter not below the join (tree prints top-down):\n$plan")
+  }
+
+  test("substringSearch (indexable needles): no cartesian product") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("some text payload number "), col("id")).as("text"))
+    val plan = physical(graft.operators.TextAnalysis.substringSearch(
+      docs, "doc_id", "text", Seq("payload num", "text pay")))
+    assert(!plan.contains("CartesianProduct"),
+      s"substring search plans a cartesian:\n$plan")
+  }
+
+  test("sortedNeighborhoodPairs: no single-partition exchange (global rank is distributed)") {
+    val ents = spark.range(5000).select(col("id"),
+      concat(lit("k"), col("id") % 977).as("name"))
+    val plan = physical(graft.operators.Linkage.sortedNeighborhoodPairs(
+      ents, "id", col("name"), window = 5))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global-rank path collapses to one partition:\n$plan")
+  }
 }
