@@ -2970,6 +2970,49 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: corrupt-media decode audit — the error path of the real
+    //    codec plumbing, end-to-end: deliberately truncated (valid magic,
+    //    dead header) and magic-wiped payloads must degrade to
+    //    "not decodable" / octet-stream, never fail the task; report =
+    //    (sniffed mime, decodable, n). The oracle derives the expected
+    //    classes from the corruption arithmetic — Spark matches only if
+    //    the JDK codec actually survives and classifies the damage ────────
+    "q283_media_audit" -> ((s, dir) => {
+      val media = Multimodal.synthesizeImages(
+        T(s, dir, "part").filter(col("p_partkey") <= 600), "p_partkey")
+      val k = col("media_id")
+      val corrupted = media.withColumn("payload",
+        when(pmod(k, lit(13)) === 0, expr("substring(payload, 1, 10)"))
+          .when(pmod(k, lit(17)) === 0, concat(lit(Array.fill[Byte](8)(0)),
+            expr("substring(payload, 9, 1000000)")))
+          .otherwise(col("payload")))
+      Multimodal.decodeMeta(corrupted, codec = Multimodal.ImageCodec)
+        .groupBy(col("decoded_meta.mime").as("mime"),
+          col("decoded_meta.width").isNotNull.as("decodable"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("mime", "decodable")
+    }),
+    // ── scale: deterministic token-dropout augmentation — drop token i of
+    //    doc d iff md5(id:pos:seed) ≡ 0 (mod 10): augmentation as a pure
+    //    function of (id, position, seed) — reproducible per epoch,
+    //    shardable anywhere; the per-source report carries an exact
+    //    md5-checksum of every augmented text, so the oracle verifies the
+    //    RECONSTRUCTED strings, not just counts ────────────────────────────
+    "q284_token_dropout" -> ((s, dir) => {
+      val aug = TextAnalysis.tokenDropout(
+        T(s, dir, "documents").select("doc_id", "source", "text"),
+        "doc_id", "text", dropOneIn = 10, seed = 7L)
+      aug.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_before"),
+          sum(col("n_kept")).as("tokens_after"),
+          sum(pmod(Dedup.md5Hash60(col("aug_text")), lit(1000000000000L)))
+            .cast("long").as("checksum"))
+        .withColumn("drop_frac",
+          round((col("tokens_before") - col("tokens_after")).cast("double") /
+            col("tokens_before").cast("double"), 6))
+        .orderBy("source")
+    }),
     // ── scale: trigram substring search — raw `contains` over the corpus
     //    through a character-trigram pre-filter (grep-over-100-TB; the
     //    q243 phrase join can't see substrings crossing token boundaries
@@ -5746,6 +5789,39 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q283_media_audit" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN p_partkey % 13 = 0 THEN 'image/png'
+        |         WHEN p_partkey % 17 = 0 THEN 'application/octet-stream'
+        |         ELSE 'image/png' END AS mime,
+        |    CASE WHEN p_partkey % 13 = 0 OR p_partkey % 17 = 0
+        |         THEN false ELSE true END AS decodable
+        |  FROM part WHERE p_partkey <= 600)
+        |SELECT mime, decodable, CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1, 2 ORDER BY mime, decodable""".stripMargin,
+    "q284_token_dropout" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, unnest(toks) AS w,
+        |    generate_subscripts(toks, 1) AS i FROM t),
+        |kept AS (SELECT doc_id, source, w, i FROM p
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR
+        |    || ':7'), 1, 15))::BIGINT % 10 <> 0),
+        |agg AS (SELECT t.doc_id, t.source, len(t.toks) AS n_tokens,
+        |    coalesce(k.n_kept, 0) AS n_kept, coalesce(k.aug, '') AS aug
+        |  FROM t LEFT JOIN (
+        |    SELECT doc_id, count(*) AS n_kept,
+        |      string_agg(w, ' ' ORDER BY i) AS aug
+        |    FROM kept GROUP BY doc_id) k ON k.doc_id = t.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+        |  CAST(sum(n_kept) AS BIGINT) AS tokens_after,
+        |  CAST(sum(('0x' || substr(md5(aug), 1, 15))::BIGINT
+        |    % 1000000000000) AS BIGINT) AS checksum,
+        |  round(CAST(sum(n_tokens) - sum(n_kept) AS DOUBLE)
+        |    / CAST(sum(n_tokens) AS DOUBLE), 6) AS drop_frac
+        |FROM agg GROUP BY source ORDER BY source""".stripMargin,
     "q282_substring_search" ->
       """SELECT d.doc_id, n.needle
         |FROM documents d CROSS JOIN (VALUES ('merge batch'), ('scan slow'),

@@ -752,6 +752,26 @@ object TextAnalysis {
     }
   }
 
+  /** Deterministic token-dropout augmentation: token i of doc d drops iff
+    * md5_60(id:position:seed) ≡ 0 (mod dropOneIn) — augmentation as a
+    * PURE FUNCTION of (id, position, seed), so every epoch's view is
+    * reproducible (re-seed per epoch), shardable anywhere, and
+    * SQL-replayable (the q86/q122 determinism convention applied to data
+    * augmentation instead of ordering). One projection, no shuffle.
+    * Positions are 1-based (the SQL `generate_subscripts` convention). */
+  def tokenDropout(df: DataFrame, idCol: String, textCol: String,
+      dropOneIn: Int = 10, seed: Long = 7L): DataFrame = {
+    require(dropOneIn >= 2, s"dropOneIn must be >= 2, got $dropOneIn")
+    val toks = Dedup.tokensCol(col(textCol))
+    val kept = filter(toks, (_: Column, i: Column) =>
+      pmod(Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"),
+        (i + 1).cast("string"), lit(":"), lit(seed.toString))),
+        lit(dropOneIn.toLong)) =!= 0)
+    df.withColumn("aug_text", concat_ws(" ", kept))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+  }
+
   /** All analysis columns at once over a documents frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))
