@@ -2970,6 +2970,28 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: split-leakage audit — near-dup pairs CROSSING a train/
+    //    val/test hash split (a near-copy of a training doc sitting in
+    //    test silently inflates eval; the q242 grouped split prevents it
+    //    by construction, this MEASURES it for any split): leak matrix
+    //    (fold_lo, fold_hi, n_pairs), off-diagonal = contamination
+    //    (oracle: DuckDB brute-forces the pairs + replays the fold CASE) ───
+    "q285_split_leakage" -> ((s, dir) => {
+      val corpus = lshInputQ25(s, dir)
+      val folds = Sampling.groupedSplitAssign(corpus.select("doc_id"),
+        "doc_id", Seq(0.8, 0.1, 0.1))
+      val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
+      pairs
+        .join(folds.select(col("doc_id").as("id_a"), col("fold").as("__fa")),
+          "id_a")
+        .join(folds.select(col("doc_id").as("id_b"), col("fold").as("__fb")),
+          "id_b")
+        .groupBy(least(col("__fa"), col("__fb")).as("fold_lo"),
+          greatest(col("__fa"), col("__fb")).as("fold_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("fold_lo", "fold_hi")
+    }),
     // ── scale: corrupt-media decode audit — the error path of the real
     //    codec plumbing, end-to-end: deliberately truncated (valid magic,
     //    dead header) and magic-wiped payloads must degrade to
@@ -5789,6 +5811,35 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q285_split_leakage" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)),
+         |    '\\s+') AS toks FROM u)),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    >= 0.55),
+         |f AS (SELECT doc_id,
+         |    CASE WHEN b < 800000 THEN 0 WHEN b < 900000 THEN 1 ELSE 2 END
+         |      AS fold
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+         |        % 1000000 AS b
+         |    FROM u))
+         |SELECT least(fa.fold, fb.fold) AS fold_lo,
+         |  greatest(fa.fold, fb.fold) AS fold_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p JOIN f fa ON fa.doc_id = p.id_a
+         |JOIN f fb ON fb.doc_id = p.id_b
+         |GROUP BY 1, 2 ORDER BY fold_lo, fold_hi""".stripMargin,
     "q283_media_audit" ->
       """WITH c AS (SELECT
         |    CASE WHEN p_partkey % 13 = 0 THEN 'image/png'
