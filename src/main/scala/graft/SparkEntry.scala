@@ -2970,6 +2970,36 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: quality-rules filter report — the Gopher-style heuristic
+    //    rule table (length band, alpha ratio, stopword floor, punctuation
+    //    ceiling) as per-source pass/fail counts with per-rule failure
+    //    attribution; every ratio test is a CROSS-MULTIPLIED INTEGER
+    //    comparison (letters·10 ≥ chars·6), so there is no double-boundary
+    //    parity risk anywhere (oracle: DuckDB replays the q22-parity
+    //    component expressions + the same integer rules) ───────────────────
+    "q286_quality_rules" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("source", "text")
+      val chars = length(col("text")).cast("long")
+      val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("long")
+      val puncts = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+        .cast("long")
+      val stops = regexp_count(col("text"),
+        lit("(?i)\\b(the|and|of|to|a|in|is|it)\\b")).cast("long")
+      val toks = TextAnalysis.tokenCount(col("text")).cast("long")
+      val r1 = toks.between(20L, 2000L)
+      val r2 = letters * 10 >= chars * 6
+      val r3 = stops >= 2L
+      val r4 = puncts * 10 <= chars
+      def fails(r: org.apache.spark.sql.Column) =
+        sum(when(!r, 1L).otherwise(0L))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(r1 && r2 && r3 && r4, 1L).otherwise(0L)).as("n_pass"),
+          fails(r1).as("fail_len"), fails(r2).as("fail_alpha"),
+          fails(r3).as("fail_stop"), fails(r4).as("fail_punct"))
+        .orderBy("source")
+    }),
     // ── scale: split-leakage audit — near-dup pairs CROSSING a train/
     //    val/test hash split (a near-copy of a training doc sitting in
     //    test silently inflates eval; the q242 grouped split prevents it
@@ -5811,6 +5841,34 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q286_quality_rules" ->
+      """WITH c AS (SELECT source,
+        |    length(text) AS chars,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS puncts,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(the|and|of|to|a|in|is|it)\b')) AS stops,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |r AS (SELECT source,
+        |    (toks BETWEEN 20 AND 2000) AS r1,
+        |    (letters * 10 >= chars * 6) AS r2,
+        |    (stops >= 2) AS r3,
+        |    (puncts * 10 <= chars) AS r4
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_len,
+        |  CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_alpha,
+        |  CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_stop,
+        |  CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_punct
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q285_split_leakage" ->
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents
