@@ -2970,6 +2970,37 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: dedup cascade — the cost-ordered detector stack as ONE
+    //    gated report: exact (hash semi-join) → Hamming ≤ 3 (pigeonhole)
+    //    → verified Jaccard ≥ 0.55 (banded LSH), each stage seeing only
+    //    the previous stage's survivors; batch = exact copies ∪
+    //    extra-token near-copies ∪ 60%-prefix truncations ∪ 10-token
+    //    quotes of the history (oracle: DuckDB replays all three stages
+    //    with the staged survivor semantics) ──────────────────────────────
+    "q287_dedup_cascade" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val toks = Dedup.tokensCol(col("text"))
+      val k = col("doc_id")
+      val batch = d.filter(pmod(k, lit(10)) === 0)
+        .select((k + 100000).as("doc_id"), col("text"))
+        .unionAll(d.filter(pmod(k, lit(7)) === 0)
+          .select((k + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra token")).as("text")))
+        .unionAll(d.filter(pmod(k, lit(13)) === 0)
+          .select((k + 300000).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1),
+              greatest(floor(size(toks) * 3 / 5).cast("int"), lit(1))))
+              .as("text")))
+        .unionAll(d.filter(pmod(k, lit(11)) === 0)
+          .select((k + 400000).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), least(lit(10), size(toks))))
+              .as("text")))
+      Dedup.cascadeNoveltyReport(d, batch, "doc_id", "text",
+          maxDist = 3, threshold = 0.55, bands = 16, rowsPerBand = 2,
+          tokenHash = Dedup.md5Hash60)
+        .orderBy("stage")
+    }),
     // ── scale: quality-rules filter report — the Gopher-style heuristic
     //    rule table (length band, alpha ratio, stopword floor, punctuation
     //    ceiling) as per-source pass/fail counts with per-rule failure
@@ -5841,6 +5872,62 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q287_dedup_cascade" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |b0 AS (
+         |  SELECT doc_id + 100000 AS id, text FROM documents
+         |  WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' extra token' FROM documents
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |    array_to_string(toks[1:greatest(len(toks) * 3 // 5, 1)], ' ')
+         |  FROM base WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000,
+         |    array_to_string(toks[1:least(10, len(toks))], ' ')
+         |  FROM base WHERE doc_id % 11 = 0),
+         |s1 AS (SELECT id, text FROM b0
+         |  WHERE text NOT IN (SELECT text FROM documents)),
+         |th AS (SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT id, text FROM s1),
+         |tok AS (SELECT id, ${h60Sql("t")}::BIGINT AS h
+         |  FROM (SELECT id, unnest(string_split_regex(trim(lower(text)),
+         |    '\\s+')) AS t FROM th)),
+         |sig AS (SELECT id, $simhashBitsSql AS s FROM tok GROUP BY id),
+         |hd AS (SELECT a.id FROM sig a JOIN sig h
+         |  ON h.id < 100000 AND a.id >= 100000
+         |    AND bit_count(xor(a.s, h.s)) <= 3
+         |  GROUP BY a.id),
+         |s2 AS (SELECT * FROM s1 WHERE id NOT IN (SELECT id FROM hd)),
+         |tj AS (SELECT doc_id AS id, toks FROM base
+         |  UNION ALL SELECT id,
+         |    string_split_regex(trim(lower(text)), '\\s+') FROM s2),
+         |sh AS (SELECT id, $shingle3Sql AS sh FROM
+         |  (SELECT id, toks FROM tj)),
+         |jd AS (SELECT a.id FROM sh a JOIN sh h
+         |  ON h.id < 100000 AND a.id >= 100000
+         |    AND len(list_intersect(a.sh, h.sh)) * 1.0 /
+         |      (len(a.sh) + len(h.sh) - len(list_intersect(a.sh, h.sh)))
+         |      >= 0.55
+         |  GROUP BY a.id),
+         |s3 AS (SELECT * FROM s2 WHERE id NOT IN (SELECT id FROM jd)),
+         |n AS (SELECT (SELECT count(*) FROM b0) AS n0,
+         |    (SELECT count(*) FROM s1) AS n1,
+         |    (SELECT count(*) FROM s2) AS n2,
+         |    (SELECT count(*) FROM s3) AS n3)
+         |SELECT stage, CAST(n_in AS BIGINT) AS n_in,
+         |  CAST(n_dropped AS BIGINT) AS n_dropped,
+         |  CAST(n_out AS BIGINT) AS n_out
+         |FROM (
+         |  SELECT '1_exact' AS stage, n0 AS n_in, n0 - n1 AS n_dropped,
+         |    n1 AS n_out FROM n
+         |  UNION ALL SELECT '2_hamming', n1, n1 - n2, n2 FROM n
+         |  UNION ALL SELECT '3_minhash', n2, n2 - n3, n3 FROM n)
+         |ORDER BY stage""".stripMargin,
     "q286_quality_rules" ->
       """WITH c AS (SELECT source,
         |    length(text) AS chars,

@@ -1783,4 +1783,72 @@ object Dedup {
     spark.range(1, gridSteps.toLong)
       .select((Seq(s.as("s")) ++ cols): _*)
   }
+
+  /** Cost-ordered dedup CASCADE report: gate an incoming batch against a
+    * history through the three detector tiers in ascending cost — exact
+    * (one text-hash semi-join), then Hamming/SimHash (chunk-pigeonhole
+    * blocking), then verified MinHash-Jaccard (banded LSH) — each stage
+    * seeing only the previous stage's survivors. This is the production
+    * stack's SHAPE (the cheap detector kills the bulk before the
+    * expensive one runs); the incremental stores ([[BucketedSnapshotStore.
+    * incrementalNew]], [[graft.operators.HammingIndex]],
+    * [[NearDupIndex]]) are its persistent counterparts, this is the
+    * batch-vs-batch form with the full report.
+    *
+    * Requires batch ids disjoint from history ids. Returns one row per
+    * stage: (stage, n_in, n_dropped, n_out) — counts are report-sized
+    * driver aggregates (the collocations-totals convention). */
+  def cascadeNoveltyReport(
+      history: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      threshold: Double = 0.55,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = null): DataFrame = {
+    val spark = history.sparkSession
+    import spark.implicits._
+    val hIds = history.select(col(idCol).cast("long").as("__hid")).distinct()
+      .localCheckpoint(true)
+    val u = history.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+      .localCheckpoint(true)
+    // stage 1: exact text match against history (hash-width semi-join)
+    val histHashes = history.select(md5(col(textCol)).as("__h")).distinct()
+    val s0 = batch.select(col(idCol), col(textCol))
+    val s1 = s0.join(histHashes, md5(s0(textCol)) === histHashes("__h"),
+      "left_anti").localCheckpoint(true)
+    // a batch id survives a pair-based stage unless some pair links it to
+    // a HISTORY id
+    def dropByPairs(survivors: DataFrame, pairs: DataFrame): DataFrame = {
+      val und = pairs.select(col("id_a").as("__x"), col("id_b").as("__y"))
+        .unionAll(pairs.select(col("id_b").as("__x"), col("id_a").as("__y")))
+      val dropIds = und
+        .join(hIds.withColumnRenamed("__hid", "__y"), Seq("__y"), "left_semi")
+        .select(col("__x").cast("long").as("__d")).distinct()
+      survivors.join(dropIds,
+        survivors(idCol).cast("long") === dropIds("__d"), "left_anti")
+        .localCheckpoint(true)
+    }
+    // stage 2: Hamming ≤ maxDist (computed over history ∪ stage-1
+    // survivors only — earlier drops never reach the signature pass)
+    val u2 = history.select(col(idCol), col(textCol))
+      .unionByName(s1).localCheckpoint(true)
+    val s2 = dropByPairs(s1,
+      simhashNearDupPairs(u2, idCol, textCol, maxDist, tokenHash = tokenHash))
+    // stage 3: verified Jaccard ≥ threshold over history ∪ survivors
+    val u3 = history.select(col(idCol), col(textCol))
+      .unionByName(s2).localCheckpoint(true)
+    val s3 = dropByPairs(s2,
+      minhashNearDupPairs(u3, idCol, textCol, shingleSize = 3, bands = bands,
+        rowsPerBand = rowsPerBand, threshold = threshold))
+    val (n0, n1, n2, n3) = (s0.count(), s1.count(), s2.count(), s3.count())
+    Seq(
+      ("1_exact", n0, n0 - n1, n1),
+      ("2_hamming", n1, n1 - n2, n2),
+      ("3_minhash", n2, n2 - n3, n3))
+      .toDF("stage", "n_in", "n_dropped", "n_out")
+  }
 }
