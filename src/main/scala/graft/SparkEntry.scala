@@ -2970,6 +2970,24 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: incremental connected components — fold pair batches into
+    //    a persistent (id, component) map via the COMPONENT-level graph
+    //    (bounded by the batch's labels, never the corpus; edge history
+    //    never stored): the gate feeds the near-dup pairs in two arbitrary
+    //    halves and the oracle computes the FULL transitive closure —
+    //    passing means merged ≡ full recompute, the operator's defining
+    //    invariant (oracle: q46 recursive-CTE closure) ─────────────────────
+    "q288_cc_merge" -> ((s, dir) => {
+      val u = lshInputQ46(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(u, "doc_id", "text",
+          shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val p1 = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 0)
+      val p2 = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 1)
+      val empty = s.range(0).select(col("id"), col("id").as("component"))
+      Dedup.mergeComponents(Dedup.mergeComponents(empty, p1), p2)
+        .orderBy("id")
+    }),
     // ── scale: dedup cascade — the cost-ordered detector stack as ONE
     //    gated report: exact (hash semi-join) → Hamming ≤ 3 (pigeonhole)
     //    → verified Jaccard ≥ 0.55 (banded LSH), each stage seeing only
@@ -5872,6 +5890,33 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q288_cc_merge" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    text || ' extra token and more extra' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)),
+         |    '\\s+') AS toks FROM u)),
+         |e0 AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    >= 0.55),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s)
+         |SELECT id, c AS component FROM comp ORDER BY id""".stripMargin,
     "q287_dedup_cascade" ->
       s"""WITH base AS (SELECT doc_id, text,
          |    string_split_regex(trim(lower(text)), '\\s+') AS toks

@@ -1784,6 +1784,45 @@ object Dedup {
       .select((Seq(s.as("s")) ++ cols): _*)
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * pairs into an existing (id, component) map without recomputing
+    * components over the full edge history. Each batch endpoint maps to
+    * its current component (itself if unseen); the batch then induces a
+    * COMPONENT-level graph — pairs of current labels — whose connected
+    * components (a frame bounded by the batch's distinct labels, not the
+    * corpus) decide which old components merge; one key-width relabel
+    * join updates the node-sized state. Labels stay canonical min-ids
+    * (every stored label is the min id of its nodes, and a merge takes
+    * the min of merged labels), so the result is IDENTICAL to a full
+    * recompute over all edges ever seen — spec-asserted, including
+    * chains that only connect through several batches. The edge history
+    * itself is never stored or rescanned. */
+  def mergeComponents(
+      state: DataFrame,
+      newPairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val st = state.select(col("id"), col("component")).localCheckpoint(true)
+    val nodes = newPairs.select(col(idA).as("id"))
+      .union(newPairs.select(col(idB).as("id"))).distinct()
+    val mapped = nodes.join(st, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("__c0"))
+      .localCheckpoint(true)
+    val compEdges = newPairs
+      .join(mapped.select(col("id").as(idA), col("__c0").as("__ca")), Seq(idA))
+      .join(mapped.select(col("id").as(idB), col("__c0").as("__cb")), Seq(idB))
+      .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val relabel = connectedComponents(compEdges)
+      .select(col("id").as("__old"), col("component").as("__new"))
+    val full = st.unionByName(
+      mapped.join(st.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("__c0").as("component")))
+    full.join(relabel, full("component") === relabel("__old"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("component")).as("component"))
+  }
+
   /** Cost-ordered dedup CASCADE report: gate an incoming batch against a
     * history through the three detector tiers in ascending cost — exact
     * (one text-hash semi-join), then Hamming/SimHash (chunk-pigeonhole

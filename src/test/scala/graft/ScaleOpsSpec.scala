@@ -982,4 +982,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(out(("a", "b"))._2 - math.sqrt(4.0 + 9.0)) < 1e-12)
     assert(out.size === 3)
   }
+
+  test("mergeComponents: batch folds equal a full recompute, across batches") {
+    import spark.implicits._
+    // batch 1: {1-2}, {5-6}; batch 2 bridges 2-5 (merging the two comps
+    // only THROUGH the component-level graph) and adds fresh {8-9}
+    val b1 = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val b2 = Seq((2L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val s1 = Dedup.mergeComponents(
+      spark.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("component"))
+        .limit(0), b1)
+    assert(s1.as[(Long, Long)].collect().toSet ===
+      Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
+    val s2 = Dedup.mergeComponents(s1, b2)
+    val full = Dedup.connectedComponents(b1.unionAll(b2))
+    assert(s2.as[(Long, Long)].collect().toSet ===
+      full.as[(Long, Long)].collect().toSet)
+    assert(s2.as[(Long, Long)].collect().toSet ===
+      Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (8L, 8L), (9L, 8L)))
+    // a third batch that merges three existing comps through one new node
+    val b3 = Seq((6L, 100L), (100L, 9L)).toDF("id_a", "id_b")
+    val s3 = Dedup.mergeComponents(s2, b3)
+    val full3 = Dedup.connectedComponents(b1.unionAll(b2).unionAll(b3))
+    assert(s3.as[(Long, Long)].collect().toSet ===
+      full3.as[(Long, Long)].collect().toSet)
+  }
 }
