@@ -2970,6 +2970,26 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: dedup-aware token budget — the curation flow end-to-end:
+    //    near-dup pairs → components → keep-best representative per
+    //    cluster → THEN budget-select by quality, so a duplicated
+    //    document charges the budget once (budgeting before dedup
+    //    overfills the budget with copies of whatever scores well)
+    //    (oracle: q70's closure + keep-best replay feeding q79's cumsum) ───
+    "q289_dedup_budget" -> ((s, dir) => {
+      val u = lshInputQ46(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("ntok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val pairs = Dedup.minhashNearDupPairs(u, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)
+      val winners = Dedup.dedupByComponentsKeepBest(u, "doc_id", pairs,
+        "quality")
+      Sampling.selectByTokenBudget(
+          winners.select(col("doc_id"), round(col("quality"), 6).as("quality"),
+            col("ntok")),
+          "doc_id", "ntok", "quality", budget = 40000L)
+        .orderBy("doc_id")
+    }),
     // ── scale: incremental connected components — fold pair batches into
     //    a persistent (id, component) map via the COMPONENT-level graph
     //    (bounded by the batch's labels, never the corpus; edge history
@@ -5890,6 +5910,48 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN a_ckey = b_ckey THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true
          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q289_dedup_budget" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    text || ' extra token and more extra' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, $shingle3Sql AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)),
+         |    '\\s+') AS toks FROM u)),
+         |e0 AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    >= 0.55),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s),
+         |q AS (SELECT doc_id, ${qualitySql.replace("\n", "\n  ")} AS quality,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         |      AS ntok
+         |  FROM u),
+         |win AS (SELECT comp.id, row_number() OVER (PARTITION BY comp.c
+         |          ORDER BY q.quality DESC, comp.id) AS rk
+         |        FROM comp JOIN q ON q.doc_id = comp.id),
+         |keep AS (SELECT doc_id FROM u
+         |  WHERE doc_id NOT IN (SELECT id FROM comp)
+         |     OR doc_id IN (SELECT id FROM win WHERE rk = 1)),
+         |c AS (SELECT q.doc_id, q.quality, q.ntok,
+         |    sum(q.ntok) OVER (ORDER BY q.quality DESC, q.doc_id) AS cum_tok
+         |  FROM q JOIN keep ON keep.doc_id = q.doc_id)
+         |SELECT doc_id, quality, ntok, CAST(cum_tok AS BIGINT) AS cum_tok
+         |FROM c WHERE cum_tok <= 40000 ORDER BY doc_id""".stripMargin,
     "q288_cc_merge" ->
       s"""WITH RECURSIVE u AS (
          |  SELECT doc_id, text FROM documents
