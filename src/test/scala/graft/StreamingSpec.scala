@@ -152,6 +152,78 @@ class StreamingSpec extends SparkSpec {
     assert(novel.isEmpty)
   }
 
+  test("streamingSpanIngest admits only docs with no history span match") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = new graft.operators.SpanIndex(spark, tmpDir("stream_spix_"),
+      minShared = 2, numBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val novel = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit =
+      Streaming.streamingSpanIngest(
+          mem.toDF.toDF("doc_id", "text"), idx, "doc_id", "text") { nv =>
+          novel ++= nv.select("doc_id").collect().map(_.getLong(0)): Unit
+        }
+        .option("checkpointLocation", tmpDir("ckpt_spix_"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    def words(p: String, n: Int): String =
+      (0 until n).map(i => s"$p$i").mkString(" ")
+    mem.addData((1L, words("alpha", 40)), (2L, words("beta", 40)))
+    run()
+    assert(novel.sorted.toSeq === Seq(1L, 2L))
+    novel.clear()
+    // a doc quoting a 20-token run of doc 1 is gated; fresh text admits
+    mem.addData(
+      (3L, words("pre", 10) + " " + (10 until 30).map(i => s"alpha$i").mkString(" ")),
+      (4L, words("gamma", 40)))
+    run()
+    assert(novel.sorted.toSeq === Seq(4L))
+    // redelivery: 4 matches its own copy at containment 1.0
+    novel.clear()
+    mem.addData((5L, words("gamma", 40)))
+    run()
+    assert(novel.isEmpty)
+  }
+
+  test("streamingErIngest attaches to history clusters and is restart-stable") {
+    implicit val sqlCtx = spark.sqlContext
+    val fields = Seq(
+      graft.operators.Linkage.FieldSpec("name", "name", Some(0.85),
+        4000000L, 2500000L, -3000000L))
+    val idx = new graft.operators.ErIndex(spark, tmpDir("stream_erix_"),
+      fields, Seq(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("name"), 1, 3)),
+      scoreThresholdMicro = 2000000L, numBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    // stable checkpoint: each run consumes only NEW offsets
+    val ckpt = tmpDir("ckpt_erix_")
+    def run(): Unit =
+      Streaming.streamingErIngest(
+          mem.toDF.toDF("id", "name"), idx, "id") { as =>
+          seen ++= as.select("inc_id", "cluster", "matched").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    mem.addData((1L, "martha stone"), (2L, "alan turing"))
+    run()
+    assert(seen.sortBy(_._1).toSeq === Seq((1L, 1L, false), (2L, 2L, false)))
+    seen.clear()
+    // typo'd martha attaches to cluster 1
+    mem.addData((10L, "marhta stone"))
+    run()
+    assert(seen.toSeq === Seq((10L, 1L, true)))
+    seen.clear()
+    // redelivered records re-receive their STORED clusters (the all-exact
+    // self-match) and the same-pk upserts are no-ops
+    mem.addData((10L, "marhta stone"), (1L, "martha stone"))
+    run()
+    assert(seen.sortBy(_._1).toSeq ===
+      Seq((1L, 1L, true), (10L, 1L, true)))
+  }
+
   test("windowedCounts aggregates into event-time tumbling windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
