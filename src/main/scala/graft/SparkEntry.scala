@@ -166,6 +166,22 @@ object SparkEntry {
     Linkage.FieldSpec("seg", "seg", None,
       Linkage.fsWeightMicro(0.98, 0.2), 0L, Linkage.fsWeightMicro(0.02, 0.8)))
 
+  /** The q273 resolution: accepted matches (≥ 10 bits) → connected
+    * components → (id, cluster_id) for every entity — shared by the q273
+    * gate and the q290 pairwise-quality evaluation. */
+  private def erResolvedClusters(s: SparkSession, dir: String): DataFrame = {
+    val ents = linkageEntities(s, dir)
+    val pairs = Linkage.blockedPairs(ents, "id", linkageBlockKeys(), 4096)
+      .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+    val matches = Linkage.matchScores(ents, "id", pairs, linkageFields)
+      .filter(col("score_micro") >= 10000000L)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(matches)
+    ents.select(col("id")).join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster_id"))
+  }
+
   /** Shared oracle CTEs for q269/q270: the dirty-feed construction, both
     * blocking passes, and the deduplicated pair union — replaying
     * [[linkageEntities]] / [[linkageBlockKeys]] verbatim (md5-60 position
@@ -3301,18 +3317,35 @@ object SparkEntry {
     //    map to themselves): the full Fellegi–Sunter → CC pipeline a
     //    master-data system runs (oracle: DuckDB replays scoring + a
     //    recursive-CTE min-id component closure) ──────────────────────────
-    "q273_er_resolution" -> ((s, dir) => {
-      val ents = linkageEntities(s, dir)
-      val pairs = Linkage.blockedPairs(ents, "id", linkageBlockKeys(), 4096)
-        .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
-      val matches = Linkage.matchScores(ents, "id", pairs, linkageFields)
-        .filter(col("score_micro") >= 10000000L)
-        .select("id_a", "id_b")
-      val cc = Dedup.connectedComponents(matches)
-      ents.select(col("id")).join(cc, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("component"), col("id")).as("cluster_id"))
-        .orderBy("id")
+    "q273_er_resolution" -> ((s, dir) =>
+      erResolvedClusters(s, dir).orderBy("id")),
+    // ── scale: ER pairwise quality — precision/recall/F1 of the q273
+    //    resolution against ground truth, computed ENTIRELY from
+    //    contingency counts (Σ C(m,2) over clusters, truth groups, and
+    //    cluster×truth cells — no pair enumeration at any corpus size);
+    //    the standard pair-counting clustering evaluation (oracle: DuckDB
+    //    replays the resolution + the three C(·,2) sums) ───────────────────
+    "q290_er_pair_metrics" -> ((s, dir) => {
+      val withTruth = erResolvedClusters(s, dir)
+        .join(linkageEntities(s, dir).select(col("id"), col("ckey")), "id")
+      val pred = withTruth.groupBy("cluster_id")
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(col("m") * (col("m") - 1) / 2).cast("long").as("pred_pairs"))
+      val truth = withTruth.groupBy("ckey")
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(col("m") * (col("m") - 1) / 2).cast("long").as("true_pairs"))
+      val tp = withTruth.groupBy("cluster_id", "ckey")
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(col("m") * (col("m") - 1) / 2).cast("long").as("tp_pairs"))
+      pred.crossJoin(truth).crossJoin(tp)
+        .select(col("pred_pairs"), col("true_pairs"), col("tp_pairs"),
+          round(col("tp_pairs").cast("double") /
+            col("pred_pairs").cast("double"), 6).as("precision"),
+          round(col("tp_pairs").cast("double") /
+            col("true_pairs").cast("double"), 6).as("recall"),
+          round(lit(2.0) * col("tp_pairs").cast("double") /
+            (col("pred_pairs") + col("true_pairs")).cast("double"), 6)
+            .as("f1"))
     }),
     // ── scale: detector-ensemble agreement — the four near-dup detectors
     //    (exact / minhash-Jaccard / simhash-Hamming / containment) over
@@ -6308,6 +6341,47 @@ object SparkEntry {
          |${round(3)}
          |SELECT CAST(node AS BIGINT) AS node, t AS reach_day
          |FROM r3 ORDER BY node""".stripMargin
+    },
+    "q290_er_pair_metrics" -> {
+      def fz(f: Linkage.FieldSpec): String =
+        s"""CASE WHEN ua.${f.column} = ub.${f.column} THEN ${f.wExactMicro}
+           |      WHEN jaro_winkler_similarity(ua.${f.column}, ub.${f.column})
+           |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
+           |      ELSE ${f.wDisagreeMicro} END""".stripMargin
+      val Seq(fName, fPhone, fBal, fSeg) = linkageFields
+      s"""WITH RECURSIVE $linkageCtes,
+         |m AS (SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN u ua ON ua.id = p.id_a JOIN u ub ON ub.id = p.id_b
+         |  WHERE p.id_a % 2 <> p.id_b % 2
+         |    AND (${fz(fName)}
+         |     + ${fz(fPhone)}
+         |     + CASE WHEN ua.bal = ub.bal THEN ${fBal.wExactMicro}
+         |         ELSE ${fBal.wDisagreeMicro} END
+         |     + CASE WHEN ua.seg = ub.seg THEN ${fSeg.wExactMicro}
+         |         ELSE ${fSeg.wDisagreeMicro} END) >= 10000000),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM m
+         |  UNION SELECT id_b, id_a FROM m),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s),
+         |res AS (SELECT u.id, coalesce(comp.c, u.id) AS cl, u.id // 2 AS ck
+         |  FROM u LEFT JOIN comp ON comp.id = u.id),
+         |p1 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS pred_pairs
+         |  FROM (SELECT count(*) AS m FROM res GROUP BY cl)),
+         |p2 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS true_pairs
+         |  FROM (SELECT count(*) AS m FROM res GROUP BY ck)),
+         |p3 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS tp_pairs
+         |  FROM (SELECT count(*) AS m FROM res GROUP BY cl, ck))
+         |SELECT pred_pairs, true_pairs, tp_pairs,
+         |  round(CAST(tp_pairs AS DOUBLE) / CAST(pred_pairs AS DOUBLE), 6)
+         |    AS precision,
+         |  round(CAST(tp_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE), 6)
+         |    AS recall,
+         |  round(2.0 * CAST(tp_pairs AS DOUBLE)
+         |    / CAST(pred_pairs + true_pairs AS DOUBLE), 6) AS f1
+         |FROM p1 CROSS JOIN p2 CROSS JOIN p3""".stripMargin
     },
     "q273_er_resolution" -> {
       def fz(f: Linkage.FieldSpec): String =
