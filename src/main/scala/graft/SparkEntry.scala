@@ -166,6 +166,43 @@ object SparkEntry {
     Linkage.FieldSpec("seg", "seg", None,
       Linkage.fsWeightMicro(0.98, 0.2), 0L, Linkage.fsWeightMicro(0.02, 0.8)))
 
+  /** q291/q292: ANSI texts shared verbatim between the Spark query (via
+    * spark.sql) and the DuckDB oracle — the window-function and
+    * set-operation surface demonstrated as raw SQL, not DataFrame code.
+    * Every window is fully tiebroken; percent_rank/cume_dist are exact
+    * rank-derived rationals rounded at 6. */
+  private val windowSuiteSql: String =
+    """SELECT o_orderkey,
+      |  ntile(7) OVER w AS tile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  lag(o_orderkey, 1) OVER w AS prev_key,
+      |  lead(o_orderkey, 2) OVER w AS next2_key,
+      |  first_value(o_orderkey) OVER w AS first_key,
+      |  nth_value(o_orderkey, 3) OVER w AS third_key
+      |FROM orders
+      |WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val setOpsSql: String =
+    """WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL SELECT o_orderkey FROM orders
+      |  WHERE o_orderkey % 4 = 0),
+      |b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT
+      |  SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'intersect_all', k FROM (SELECT k FROM a INTERSECT ALL
+      |  SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'except', k FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+      |UNION ALL
+      |SELECT 'except_all', k FROM (SELECT k FROM a EXCEPT ALL
+      |  SELECT k FROM b)
+      |ORDER BY op, k""".stripMargin
+
   /** The q273 resolution: accepted matches (≥ 10 bits) → connected
     * components → (id, cluster_id) for every entity — shared by the q273
     * gate and the q290 pairwise-quality evaluation. */
@@ -2986,6 +3023,23 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── SQL surface: ranking/navigation window suite through the
+    //    spark.sql entry point — ntile, percent_rank, cume_dist (exact
+    //    rank-derived rationals), lag/lead, first_value and nth_value
+    //    over one fully-tiebroken frame; the same ANSI text runs on both
+    //    engines (oracle: verbatim) ────────────────────────────────────────
+    "q291_window_suite" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(windowSuiteSql)
+    }),
+    // ── SQL surface: set operations — INTERSECT / EXCEPT with DISTINCT
+    //    and ALL multiplicities over deliberately-overlapping multisets
+    //    (duplicated even keys vs %3 keys); the same ANSI text runs on
+    //    both engines (oracle: verbatim) ───────────────────────────────────
+    "q292_set_ops" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(setOpsSql)
+    }),
     // ── scale: dedup-aware token budget — the curation flow end-to-end:
     //    near-dup pairs → components → keep-best representative per
     //    cluster → THEN budget-select by quality, so a duplicated
@@ -6342,6 +6396,8 @@ object SparkEntry {
          |SELECT CAST(node AS BIGINT) AS node, t AS reach_day
          |FROM r3 ORDER BY node""".stripMargin
     },
+    "q291_window_suite" -> windowSuiteSql,
+    "q292_set_ops" -> setOpsSql,
     "q290_er_pair_metrics" -> {
       def fz(f: Linkage.FieldSpec): String =
         s"""CASE WHEN ua.${f.column} = ub.${f.column} THEN ${f.wExactMicro}
