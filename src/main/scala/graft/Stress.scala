@@ -768,6 +768,29 @@ object Stress {
           .limit(1000), "id")))
     }
     erEnts.unpersist()
+    // incremental CC: fold a chain-heavy edge set in 4 batches vs one
+    // full recompute — the merge must stay batch-bounded (component-level
+    // graph), not re-pay the full closure per fold
+    val ccMergeEdges = spark.range(factor * 50000L)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .filter(col("id_b") % 1000 =!= 0) // break into 1000-node chains
+      .cache()
+    println(s"[stress] cc edges: ${ccMergeEdges.count()} rows")
+    time(s"ccMerge 4 sequential folds ${factor}x") {
+      var state = spark.range(0).select(col("id"), col("id").as("component"))
+      var i = 0L
+      while (i < 4) {
+        state = Dedup.mergeComponents(state,
+          ccMergeEdges.filter(pmod(col("id_a"), lit(4L)) === i))
+        i += 1
+      }
+      println("[stress]   nodes=" + Bench.force(state))
+    }
+    time(s"ccFull one-shot recompute ${factor}x") {
+      println("[stress]   nodes=" + Bench.force(
+        Dedup.connectedComponents(ccMergeEdges)))
+    }
+    ccMergeEdges.unpersist()
     docsTail.unpersist()
     spark.stop()
   }
