@@ -3023,6 +3023,25 @@ object SparkEntry {
     "q270_blocking_quality" -> ((s, dir) =>
       Linkage.blockingQualityReport(linkageEntities(s, dir), "id", "ckey",
         linkageBlockKeys())),
+    // ── scale: golden-record survivorship — after resolution (q273),
+    //    each cluster's canonical field values under the system-of-record
+    //    rule (lowest id supplies the value — one struct-min aggregate,
+    //    no window) plus per-field variant counts exposing conflicts;
+    //    the last step of the MDM pipeline (oracle: DuckDB replays the
+    //    resolution + arg_min/COUNT DISTINCT) ──────────────────────────────
+    "q293_er_survivorship" -> ((s, dir) => {
+      erResolvedClusters(s, dir)
+        .join(linkageEntities(s, dir), "id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(col("id"), col("name"))).getField("name")
+            .as("canonical_name"),
+          countDistinct(col("name")).as("name_variants"),
+          min(struct(col("id"), col("bal"))).getField("bal")
+            .as("canonical_bal"),
+          countDistinct(col("bal")).as("bal_variants"))
+        .orderBy("cluster_id")
+    }),
     // ── SQL surface: ranking/navigation window suite through the
     //    spark.sql entry point — ntile, percent_rank, cume_dist (exact
     //    rank-derived rationals), lag/lead, first_value and nth_value
@@ -6395,6 +6414,40 @@ object SparkEntry {
          |${round(3)}
          |SELECT CAST(node AS BIGINT) AS node, t AS reach_day
          |FROM r3 ORDER BY node""".stripMargin
+    },
+    "q293_er_survivorship" -> {
+      def fz(f: Linkage.FieldSpec): String =
+        s"""CASE WHEN ua.${f.column} = ub.${f.column} THEN ${f.wExactMicro}
+           |      WHEN jaro_winkler_similarity(ua.${f.column}, ub.${f.column})
+           |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
+           |      ELSE ${f.wDisagreeMicro} END""".stripMargin
+      val Seq(fName, fPhone, fBal, fSeg) = linkageFields
+      s"""WITH RECURSIVE $linkageCtes,
+         |m AS (SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN u ua ON ua.id = p.id_a JOIN u ub ON ub.id = p.id_b
+         |  WHERE p.id_a % 2 <> p.id_b % 2
+         |    AND (${fz(fName)}
+         |     + ${fz(fPhone)}
+         |     + CASE WHEN ua.bal = ub.bal THEN ${fBal.wExactMicro}
+         |         ELSE ${fBal.wDisagreeMicro} END
+         |     + CASE WHEN ua.seg = ub.seg THEN ${fSeg.wExactMicro}
+         |         ELSE ${fSeg.wDisagreeMicro} END) >= 10000000),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM m
+         |  UNION SELECT id_b, id_a FROM m),
+         |r(s, d) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM r JOIN edges e ON e.a = r.d),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS c FROM r GROUP BY s),
+         |res AS (SELECT u.id, coalesce(comp.c, u.id) AS cluster_id,
+         |    u.name, u.bal
+         |  FROM u LEFT JOIN comp ON comp.id = u.id)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  arg_min(name, id) AS canonical_name,
+         |  CAST(count(DISTINCT name) AS BIGINT) AS name_variants,
+         |  arg_min(bal, id) AS canonical_bal,
+         |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
+         |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
     "q291_window_suite" -> windowSuiteSql,
     "q292_set_ops" -> setOpsSql,
