@@ -3042,6 +3042,44 @@ object SparkEntry {
           countDistinct(col("bal")).as("bal_variants"))
         .orderBy("cluster_id")
     }),
+    // ── scale: CAPPED link prediction — the maxMiddleDegree=100
+    //    bounded-recall path users actually run at scale (q144 gates the
+    //    exact path; this gates the production lever: wedges only through
+    //    middles of degree ≤ cap, jaccard denominators stay UNcapped)
+    //    (oracle: DuckDB replays the same cap arithmetic) ─────────────────
+    "q294_link_prediction_capped" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.linkPrediction(edges, "item_a", "item_b", topK = 20,
+          maxMiddleDegree = 100)
+        .select(col("a").as("item_a"), col("b").as("item_b"), col("common"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("item_a", "item_b")
+    }),
+    // ── scale: CAPPED 2-hop harmonic centrality — same bounded-recall
+    //    convention for q154's production path (N₂ reached only through
+    //    degree-≤-cap middles; the degree term stays exact) ───────────────
+    "q295_harmonic2_capped" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.harmonicCentrality2(edges, "item_a", "item_b", topK = 20,
+          maxMiddleDegree = 100)
+        .select(col("rank"), col("node"), col("degree"), col("n2"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("rank")
+    }),
+    // ── scale: Markov stationary distribution — where the user journey
+    //    settles: 3 power-iteration rounds over q114's transition matrix
+    //    (ONE corpus pass; every round is TYPE-cardinality arithmetic);
+    //    dangling types self-loop so mass stays exactly 1 (oracle: DuckDB
+    //    replays counts + 3 unrolled MATERIALIZED rounds, from-sorted
+    //    folds) ────────────────────────────────────────────────────────────
+    "q296_stationary_dist" -> ((s, dir) => {
+      Analytics.stationaryDistribution(T(s, dir, "events"), "user_id",
+          "ts", "event_type", "event_id", rounds = 3, deterministic = true)
+        .select(col("t"), round(col("pi"), 6).as("pi"))
+        .orderBy("t")
+    }),
     // ── SQL surface: ranking/navigation window suite through the
     //    spark.sql entry point — ntile, percent_rank, cume_dist (exact
     //    rank-derived rationals), lag/lead, first_value and nth_value
@@ -4425,6 +4463,15 @@ object SparkEntry {
           .select(col("dow"), col("n"), round(col("mean"), 6).as("mean"),
             round(col("idx"), 6).as("idx"))
           .orderBy("dow")
+      }),
+      // q296 benches the PRODUCTION path (plain sums over the types-sized
+      // matrix; the from-sorted fold exists for the SQL replay)
+      "q296_stationary_dist" -> ((s, dir) => {
+        val ev = T(s, dir, "events")
+        () => Analytics.stationaryDistribution(ev, "user_id", "ts",
+            "event_type", "event_id", rounds = 3)
+          .select(col("t"), round(col("pi"), 6).as("pi"))
+          .orderBy("t")
       }),
       // q236 benches the PRODUCTION path (plain map-side-combined sums);
       // the term-sorted folds exist so the SQL oracle replays the gate
@@ -6449,6 +6496,96 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q296_stationary_dist" -> {
+      def rnd(k: Int): String =
+        s"""r$k AS MATERIALIZED (
+           |  SELECT ty.t,
+           |    coalesce(inf.v, 0.0) + coalesce(slf.v, 0.0) AS pi
+           |  FROM ty
+           |  LEFT JOIN (SELECT m.t2 AS t,
+           |      list_reduce(
+           |        list((p.pi * CAST(m.n AS DOUBLE)) / CAST(m.tot AS DOUBLE)
+           |             ORDER BY m.f),
+           |        (a, b) -> a + b) AS v
+           |    FROM m JOIN r${k - 1} p ON p.t = m.f GROUP BY m.t2) inf
+           |    ON inf.t = ty.t
+           |  LEFT JOIN (SELECT p.t, p.pi AS v FROM r${k - 1} p
+           |    WHERE p.t NOT IN (SELECT f FROM m)) slf
+           |    ON slf.t = ty.t)""".stripMargin
+      s"""WITH p0 AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |c AS (SELECT prev AS f, event_type AS t2,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM p0 WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tt AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |m AS MATERIALIZED (SELECT c.f, c.t2, c.n, tt.tot
+         |     FROM c JOIN tt USING (f)),
+         |ty AS MATERIALIZED (SELECT DISTINCT t FROM
+         |     (SELECT f AS t FROM m UNION ALL SELECT t2 FROM m)),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM ty),
+         |r0 AS MATERIALIZED (SELECT t, 1.0 / (SELECT nt FROM nt) AS pi
+         |     FROM ty),
+         |${rnd(1)},
+         |${rnd(2)},
+         |${rnd(3)}
+         |SELECT t, round(pi, 6) AS pi FROM r3 ORDER BY t""".stripMargin
+    },
+    "q294_link_prediction_capped" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.it AS x, b2.it AS y
+        |     FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it),
+        |adj AS MATERIALIZED (SELECT x AS m, y AS n FROM e
+        |      UNION ALL SELECT y AS m, x AS n FROM e),
+        |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |      FROM adj GROUP BY 1),
+        |mids AS MATERIALIZED (SELECT adj.m, adj.n FROM adj
+        |      JOIN deg dm ON adj.m = dm.n WHERE dm.d <= 100),
+        |cm AS (SELECT a1.n AS a, a2.n AS b, CAST(count(*) AS BIGINT) AS common
+        |       FROM mids a1 JOIN mids a2 ON a1.m = a2.m AND a1.n < a2.n
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT cm.a, cm.b, cm.common FROM cm
+        |         LEFT JOIN e ON cm.a = e.x AND cm.b = e.y
+        |         WHERE e.x IS NULL),
+        |sc AS (SELECT a, b, common,
+        |         CAST(common AS DOUBLE) /
+        |           CAST((da.d + db.d) - common AS DOUBLE) AS j
+        |       FROM cand JOIN deg da ON cand.a = da.n
+        |              JOIN deg db ON cand.b = db.n),
+        |top AS (SELECT a, b, common, j FROM sc
+        |        QUALIFY row_number() OVER (ORDER BY j DESC, a, b) <= 20)
+        |SELECT a AS item_a, b AS item_b, common, round(j, 6) AS jaccard
+        |FROM top ORDER BY item_a, item_b""".stripMargin,
+    "q295_harmonic2_capped" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.it AS x, b2.it AS y
+        |     FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it),
+        |adj AS MATERIALIZED (SELECT x AS m, y AS n FROM e
+        |      UNION ALL SELECT y AS m, x AS n FROM e),
+        |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |      FROM adj GROUP BY 1),
+        |mids AS MATERIALIZED (SELECT adj.m, adj.n FROM adj
+        |      JOIN deg dm ON adj.m = dm.n WHERE dm.d <= 100),
+        |th AS MATERIALIZED (SELECT DISTINCT a1.n AS a, a2.n AS z
+        |      FROM mids a1 JOIN mids a2 ON a1.m = a2.m AND a1.n <> a2.n),
+        |n2 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS n2
+        |       FROM th
+        |       LEFT JOIN e e1 ON th.a = e1.x AND th.z = e1.y
+        |       LEFT JOIN e e2 ON th.a = e2.y AND th.z = e2.x
+        |       WHERE e1.x IS NULL AND e2.x IS NULL
+        |       GROUP BY 1),
+        |h AS (SELECT deg.n AS node, deg.d AS degree,
+        |        coalesce(n2.n2, 0) AS n2,
+        |        CAST(deg.d AS DOUBLE) + (CAST(0.5 AS DOUBLE) *
+        |          CAST(coalesce(n2.n2, 0) AS DOUBLE)) AS harmonic
+        |      FROM deg LEFT JOIN n2 ON deg.n = n2.node)
+        |SELECT CAST(row_number() OVER (ORDER BY harmonic DESC, node) AS INT)
+        |    AS rank,
+        |  node, degree, n2, round(harmonic, 6) AS harmonic
+        |FROM h QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
     "q291_window_suite" -> windowSuiteSql,
     "q292_set_ops" -> setOpsSql,
     "q290_er_pair_metrics" -> {
@@ -6895,7 +7032,8 @@ object SparkEntry {
          |    CAST(sum(w) AS BIGINT) AS n_tokens,
          |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          |    CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
-         |    list_reduce(list(q ORDER BY doc_id), (a, c) -> a + c) AS qsum
+         |    CAST(sum(CAST(round(q * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS qsum
          |  FROM b),
          |r AS (SELECT w, row_number() OVER (ORDER BY w ASC, doc_id ASC)
          |      AS rk,

@@ -792,6 +792,122 @@ object Stress {
     }
     ccMergeEdges.unpersist()
     docsTail.unpersist()
+
+    // ─────────────────────────────────────────────────────────────────────
+    // END-TO-END curation pipeline at REPL_FACTOR× — the whole flow a
+    // training-data run actually executes, composed in sequence with each
+    // stage consuming the previous stage's materialized survivors:
+    //   ingest/profile → quality rules → dedup cascade (exact→minhash) →
+    //   decontaminate → importance weights → token budget → pack → shard.
+    // Per-operator probes prove each stage's shape; THIS records the
+    // composition: per-stage wall time + shuffle read/write bytes (from a
+    // task-metrics listener), so a stage whose shuffle volume outgrows its
+    // input shows up even when wall time hides inside ambient noise.
+    // Stage name: "e2e" (STRESS_ONLY=e2e).
+    val meter = new E2eShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    def stage(name: String)(f: => Long): Unit = {
+      val (r0, w0) = meter.snapshot()
+      val t0 = System.nanoTime()
+      val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (r1, w1) = meter.snapshot()
+      println(f"[stress] e2e/$name: $secs%.2f s, rows=$n, " +
+        f"shuffleRead=${(r1 - r0) / 1e6}%.1f MB, shuffleWrite=${(w1 - w0) / 1e6}%.1f MB")
+    }
+    time(s"e2e pipeline ${factor}x") {
+      import org.apache.spark.storage.StorageLevel
+      def mat(df: DataFrame): DataFrame = {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+      }
+      var ingested: DataFrame = null
+      stage("1_ingest_profile") {
+        ingested = mat(docs.select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(20L)).as("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality")))
+        ingested.count()
+      }
+      var passed: DataFrame = null
+      stage("2_quality_rules") {
+        val chars = length(col("text")).cast("long")
+        val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+          .cast("long")
+        val keep = col("ntok").between(5L, 100000L) &&
+          (letters * 10L >= chars * 4L)
+        passed = mat(ingested.filter(keep))
+        passed.count()
+      }
+      var deduped: DataFrame = null
+      stage("3_dedup_cascade") {
+        val kept = Dedup.dedupPipeline(
+          passed.select("doc_id", "text"), "doc_id", "text",
+          assumeUniqueId = true)
+        deduped = mat(passed.join(kept.select("doc_id"), Seq("doc_id"),
+          "left_semi"))
+        deduped.count()
+      }
+      var clean: DataFrame = null
+      stage("4_decontaminate") {
+        val bench = docs0.limit(500).select(col("text").as("bench_text"))
+        val kept = Dedup.decontaminate(deduped.select("doc_id", "text"),
+          "doc_id", "text", bench, "bench_text", ngram = 13, minMatches = 1)
+        clean = mat(deduped.join(kept.select("doc_id"), Seq("doc_id"),
+          "left_semi"))
+        clean.count()
+      }
+      var weighted: DataFrame = null
+      stage("5_importance_weights") {
+        val target = docs0.limit(2000).select("doc_id", "text")
+        val w = Importance.importanceWeights(clean.select("doc_id", "text"),
+          target, "doc_id", "text")
+        weighted = mat(clean.join(w, Seq("doc_id"), "left")
+          .withColumn("logw", coalesce(col("logw"), lit(0.0))))
+        weighted.count()
+      }
+      var budgeted: DataFrame = null
+      stage("6_token_budget") {
+        // fixed budget: the dedup stage collapses replicas, so the
+        // survivor corpus is ~replication-invariant — a factor-scaled
+        // budget would keep everything and prune nothing
+        budgeted = mat(Sampling.selectByTokenBudget(
+          weighted.select("doc_id", "ntok", "quality"),
+          "doc_id", "ntok", "quality",
+          budget = 1000000L))
+        budgeted.count()
+      }
+      var packed: DataFrame = null
+      stage("7_pack") {
+        packed = mat(Analytics.packSequences(
+          budgeted.withColumn("stratum", pmod(col("doc_id"), lit(64L))),
+          "doc_id", "ntok", capacity = 2048L, strataCol = "stratum"))
+        packed.count()
+      }
+      stage("8_shard") {
+        val sharded = Sampling.assignTokenShards(
+          packed.select("doc_id", "ntok"), "doc_id", "ntok",
+          targetTokens = 100000L)
+        Bench.force(sharded)
+      }
+      Seq(ingested, passed, deduped, clean, weighted, budgeted, packed)
+        .foreach(df => if (df != null) df.unpersist(false))
+    }
     spark.stop()
   }
+}
+
+/** Accumulates shuffle read/write bytes across all tasks (e2e stage
+  * attribution: snapshot deltas around each stage). */
+class E2eShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+  private val read = new java.util.concurrent.atomic.AtomicLong
+  private val write = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+  def snapshot(): (Long, Long) = (read.get(), write.get())
 }

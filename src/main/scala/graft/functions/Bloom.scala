@@ -147,12 +147,18 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 }
 
 object BloomSingleCache {
-  /** Per-JVM deserialized-filter cache keyed by content hash + length
-    * (bytes are immutable once built). */
-  private val cache = TrieMap.empty[(Int, Int), BloomFilter]
+  /** Per-JVM deserialized-filter cache keyed by the FULL serialized
+    * bytes (content-equal immutable wrapper — the bytes never mutate
+    * once built). A 32-bit-hash key would let two same-length filters
+    * collide and silently probe the wrong filter, turning might_contain
+    * false negatives into dropped rows; full-content keying makes that
+    * structurally impossible at the cost of one array compare per
+    * cache hit. */
+  private val cache =
+    TrieMap.empty[scala.collection.immutable.ArraySeq[Byte], BloomFilter]
   def get(bytes: Array[Byte]): BloomFilter =
     cache.getOrElseUpdate(
-      (java.util.Arrays.hashCode(bytes), bytes.length),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes),
       BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
   private[graft] def clear(): Unit = cache.clear()
 }

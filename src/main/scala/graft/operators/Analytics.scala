@@ -546,6 +546,69 @@ object Analytics {
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 
+  /** Stationary distribution of the [[transitionMatrix]] Markov chain:
+    * where the user journey settles — π·P = π approximated by `rounds`
+    * power-iteration steps from the uniform start (the long-run share of
+    * attention per event type, the one-vector summary behind "which state
+    * dominates the funnel"). Dangling types (no outgoing transitions)
+    * keep their own mass (self-loop convention — total mass stays exactly
+    * 1; documented, spec-pinned on a synthetic absorbing chain).
+    *
+    * Scale shape: ONE corpus pass builds the (from, to, n, tot) matrix
+    * (the q114 keyed-lag window + a map-side-combined aggregate); every
+    * round after that is arithmetic over the TYPE-cardinality-sized
+    * matrix and the types-sized π — corpus size never re-enters. Each
+    * term is the fixed parenthesization ((π·n)/tot); the `deterministic`
+    * gate folds inflow from-type-sorted so the whole run is replayable as
+    * unrolled SQL CTEs; production takes plain sums over the types-sized
+    * frame. Returns (t, pi), one row per observed type. */
+  def stationaryDistribution(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, orderCol: String, rounds: Int,
+      deterministic: Boolean = false): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    val counts = df.select(col(keyCol), col(tsCol), col(typeCol), col(orderCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("from_type").agg(sum("n").as("tot"))
+    val m = counts.join(tot, Seq("from_type")).localCheckpoint(true)
+    val types = m.select(col("from_type").as("t"))
+      .unionAll(m.select(col("to_type").as("t")))
+      .distinct().localCheckpoint(true)
+    val nTypes = types.count()
+    val outTypes = m.select(col("from_type").as("t")).distinct()
+      .localCheckpoint(true)
+    var pi = types.withColumn("pi", lit(1.0 / nTypes)).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val flowing = m
+        .join(pi.select(col("t").as("from_type"), col("pi")), Seq("from_type"))
+        .select(col("to_type").as("t"), col("from_type"),
+          ((col("pi") * col("n").cast("double")) / col("tot").cast("double"))
+            .as("__c"))
+      val inflow =
+        if (deterministic)
+          flowing.groupBy("t").agg(
+            aggregate(sort_array(collect_list(struct(col("from_type"),
+              col("__c")))), lit(0.0),
+              (acc, x) => acc + x.getField("__c")).as("__in"))
+        else flowing.groupBy("t").agg(sum("__c").as("__in"))
+      val selfMass = pi.join(outTypes, Seq("t"), "left_anti")
+        .select(col("t"), col("pi").as("__s"))
+      pi = types
+        .join(inflow, Seq("t"), "left")
+        .join(selfMass, Seq("t"), "left")
+        .select(col("t"),
+          (coalesce(col("__in"), lit(0.0)) + coalesce(col("__s"), lit(0.0)))
+            .as("pi"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    pi
+  }
+
   /** Cohort retention matrix: users grouped by their FIRST-seen ISO week
     * (the cohort), then for each later week offset k, the fraction of the
     * cohort active in week cohort+k — the canonical product-analytics

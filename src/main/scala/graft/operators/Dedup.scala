@@ -1834,9 +1834,14 @@ object Dedup {
     * [[NearDupIndex]]) are its persistent counterparts, this is the
     * batch-vs-batch form with the full report.
     *
-    * Requires batch ids disjoint from history ids. Returns one row per
-    * stage: (stage, n_in, n_dropped, n_out) — counts are report-sized
-    * driver aggregates (the collocations-totals convention). */
+    * Requires batch ids disjoint from history ids — VALIDATED (one
+    * key-width semi-join isEmpty probe against the already-checkpointed
+    * id frame): an overlapping id would silently mis-attribute drops (a
+    * batch row can be "dropped" by a pair linking a history row that
+    * shares its id), producing a wrong report with no error. Returns one
+    * row per stage: (stage, n_in, n_dropped, n_out) — counts are
+    * report-sized driver aggregates (the collocations-totals
+    * convention). */
   def cascadeNoveltyReport(
       history: DataFrame,
       batch: DataFrame,
@@ -1851,6 +1856,11 @@ object Dedup {
     import spark.implicits._
     val hIds = history.select(col(idCol).cast("long").as("__hid")).distinct()
       .localCheckpoint(true)
+    val overlap = batch.select(col(idCol).cast("long").as("__hid"))
+      .join(hIds, Seq("__hid"), "left_semi")
+    require(overlap.isEmpty,
+      "cascadeNoveltyReport requires batch ids disjoint from history ids; " +
+        s"overlapping example: ${overlap.head.get(0)}")
     val u = history.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
       .localCheckpoint(true)

@@ -119,11 +119,20 @@ class ErIndex(
   }
 
   /** Resolve the batch, persist every record with its assigned cluster
-    * (ONE atomic upsert), and return the assignment. */
+    * (ONE atomic upsert), and return the assignment. The batch is
+    * deduplicated by id first (deterministic struct-min over the attr
+    * payload — the q293 system-of-record rule): upsert runs with
+    * assumeUniqueKeys = true, so an id appearing twice in one batch
+    * would otherwise commit duplicate (pass, bkey, id) postings and
+    * break the store's pk-unique invariant. */
   def ingest(batch: DataFrame, idCol: String): DataFrame = {
-    val assign = resolve(batch, idCol)
-    val withCluster = batch
-      .select((col(idCol).cast("long").as("__bid") +: attrCols.map(col)): _*)
+    val uniq = batch
+      .groupBy(col(idCol).cast("long").as("__bid"))
+      .agg(min(struct(attrCols.map(col): _*)).as("__a"))
+      .select(col("__bid") +: attrCols.map(c => col(s"__a.$c").as(c)): _*)
+      .localCheckpoint(false)
+    val assign = resolve(uniq, "__bid")
+    val withCluster = uniq
       .join(assign.select(col("inc_id").as("__bid"), col("cluster")), "__bid")
     store.upsert(Recs, keyed(withCluster, "__bid", Seq(col("cluster"))),
       Seq("pass", "bkey", "id"), assumeUniqueKeys = true)

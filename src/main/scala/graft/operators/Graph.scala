@@ -624,29 +624,6 @@ object Graph {
     state
   }
 
-  /** Bounded-round weighted shortest distances (Bellman–Ford over the
-    * min-plus semiring): the cheapest-cost reach of every node within
-    * `rounds` edge relaxations of a seed set — [[bfsLevels]]'s weighted
-    * twin ("how FAST can an order route through the supply network",
-    * where BFS only answers "how many hops").
-    *
-    * Scale shape: parallel edges collapse to their min weight once, the
-    * edge frame persists, and each round relaxes ONLY the delta frontier
-    * — the nodes whose distance improved last round. This is
-    * round-for-round IDENTICAL to classic Bellman–Ford (a node that did
-    * not improve already had all its out-relaxations applied the round
-    * after it last improved, so re-relaxing it can never beat what its
-    * neighbors hold) but the join shrinks with convergence instead of
-    * touching every settled region every round — the 20× stress probe
-    * read the full-state form superlinear (77 s) and this delta form
-    * linear. Per round: edges ⋈ frontier (key-width), a per-node min,
-    * one anti-join merge into the node-sized state; every frame
-    * localCheckpoints (the HITS 2^rounds lesson) and the loop exits
-    * early when no node improves. `rounds` is a horizon, not a
-    * convergence knob: distances needing more than `rounds` relaxations
-    * are honestly absent, matching the unrolled-CTE oracle round for
-    * round. Integer weights end-to-end — no det/prod split.
-    * Returns (node, dist), seeds at 0. */
   /** Time-respecting earliest-arrival reachability within `rounds`
     * temporal hops of a seed set: an edge (src, dst, ts) is traversable
     * only when ts ≥ the arrival time at src — the defining temporal-path
@@ -703,6 +680,29 @@ object Graph {
     reach
   }
 
+  /** Bounded-round weighted shortest distances (Bellman–Ford over the
+    * min-plus semiring): the cheapest-cost reach of every node within
+    * `rounds` edge relaxations of a seed set — [[bfsLevels]]'s weighted
+    * twin ("how FAST can an order route through the supply network",
+    * where BFS only answers "how many hops").
+    *
+    * Scale shape: parallel edges collapse to their min weight once, the
+    * edge frame persists, and each round relaxes ONLY the delta frontier
+    * — the nodes whose distance improved last round. This is
+    * round-for-round IDENTICAL to classic Bellman–Ford (a node that did
+    * not improve already had all its out-relaxations applied the round
+    * after it last improved, so re-relaxing it can never beat what its
+    * neighbors hold) but the join shrinks with convergence instead of
+    * touching every settled region every round — the 20× stress probe
+    * read the full-state form superlinear (77 s) and this delta form
+    * linear. Per round: edges ⋈ frontier (key-width), a per-node min,
+    * one anti-join merge into the node-sized state; every frame
+    * localCheckpoints (the HITS 2^rounds lesson) and the loop exits
+    * early when no node improves. `rounds` is a horizon, not a
+    * convergence knob: distances needing more than `rounds` relaxations
+    * are honestly absent, matching the unrolled-CTE oracle round for
+    * round. Integer weights end-to-end — no det/prod split.
+    * Returns (node, dist), seeds at 0. */
   def boundedShortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, seeds: DataFrame, seedCol: String,
       rounds: Int): DataFrame = {

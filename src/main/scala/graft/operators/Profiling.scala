@@ -1228,9 +1228,13 @@ object Profiling {
     * individually gated elsewhere (tokenCount q21, qualityScore q22,
     * exact-dup counting q20, order-statistic quantiles q103), composed
     * into a single report: one checkpointed projection scan feeds one
-    * wide aggregate (count / sums / exact distincts / the id-sorted
-    * quality fold) plus the range-pruned rank pass for the token
-    * percentiles. Returns (metric, value), metrics sorted. */
+    * wide aggregate plus the range-pruned rank pass for the token
+    * percentiles. Scale shape: the quality sum is an exact micro-integer
+    * long sum (`__q` is rounded to 6 dp, so `round(q·1e6)` is lossless
+    * and the plain sum is order-independent — no corpus-sized fold
+    * buffer), and the exact-dup distinct counts sha2-256 digests, never
+    * raw document text (the exactDedup convention — hash-width shuffle).
+    * Returns (metric, value), metrics sorted. */
   def datasetCard(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -1242,12 +1246,13 @@ object Profiling {
       .localCheckpoint(false)
     val s = base.agg(count(lit(1)).as("n_docs"), sum("__w").as("n_tokens"),
         countDistinct(col("__src")).as("n_sources"),
-        countDistinct(col("__text")).as("n_texts"),
-        aggregate(sort_array(collect_list(struct(col("__id"), col("__q")))),
-          lit(0.0), (acc, x) => acc + x.getField("__q")).as("__qsum"))
+        countDistinct(sha2(col("__text"), 256)).as("n_texts"),
+        sum(round(col("__q") * lit(1000000.0)).cast(LongType))
+          .as("__qsum_micro"))
       .first()
-    val (nDocs, nTokens, nSources, nTexts, qsum) =
-      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getDouble(4))
+    val (nDocs, nTokens, nSources, nTexts, qsumMicro) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4))
+    val qsum = qsumMicro.toDouble / 1000000.0
     val qvals = Analytics.discreteQuantilesPerGroup(
         base.withColumn("__all", lit("all")), "__all", "__id", "__w",
         Seq(0.5, 0.9))

@@ -403,16 +403,24 @@ object Snapshot {
       .select(col(keyCol), col("__nv"), col("__nt"))
     val outCols = Seq(col(keyCol), col(valueCol), col("valid_from"),
       col("valid_to"), col("is_current"))
+    // Row existence on each side of the full-outer join is detected via
+    // lit(true) marker columns, never via value/ts nullness: the tracked
+    // value can legitimately be NULL (the <=> comparisons below are
+    // null-safe for exactly that reason), so `valueCol IS NULL` would
+    // silently drop a NULL-valued current row with no batch arrival and
+    // leave it unclosed (duplicate open versions) when a change arrives.
     val cur = current.filter(col("is_current"))
+      .withColumn("__hasCur", lit(true))
     val hist = current.filter(!col("is_current")).select(outCols: _*)
-    val j = cur.join(b, Seq(keyCol), "full_outer")
-    val change = col("__nt").isNotNull && (col(valueCol).isNull ||
+    val j = cur.join(b.withColumn("__hasNew", lit(true)),
+      Seq(keyCol), "full_outer")
+    val change = col("__hasNew").isNotNull && (col("__hasCur").isNull ||
       (!(col("__nv") <=> col(valueCol)) && col("__nt") > col("valid_from")))
     val keepCur = j
-      .filter(col(valueCol).isNotNull && (col("__nt").isNull ||
+      .filter(col("__hasCur").isNotNull && (col("__hasNew").isNull ||
         (col("__nv") <=> col(valueCol)) || col("__nt") <= col("valid_from")))
       .select(outCols: _*)
-    val closed = j.filter(change && col(valueCol).isNotNull)
+    val closed = j.filter(change && col("__hasCur").isNotNull)
       .select(col(keyCol), col(valueCol), col("valid_from"),
         col("__nt").as("valid_to"), lit(false).as("is_current"))
     val tsType = current.schema("valid_to").dataType

@@ -241,6 +241,37 @@ class AnalyticsSpec extends SparkSpec {
       ("c", "d", 1L, 1.0)))
   }
 
+  test("stationaryDistribution: absorbing chain drains mass; totals stay 1") {
+    // one user walks a → b → c → c → c …: transitions a→b, b→c, c→c.
+    // P is a→b 1.0, b→c 1.0, c→c 1.0: c absorbs everything it receives;
+    // after 3 rounds from uniform (1/3 each): π(a)=0 (nothing flows in),
+    // π(b)=0 (a drained after round 1... round2 b gets a's 0), π(c)=1.
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "a", 1L),
+      (1L, ts("2024-01-01 00:00:02"), "b", 2L),
+      (1L, ts("2024-01-01 00:00:03"), "c", 3L),
+      (1L, ts("2024-01-01 00:00:04"), "c", 4L))
+      .toDF("user_id", "ts2", "t", "eid")
+    val out = Analytics.stationaryDistribution(rows, "user_id", "ts2",
+        "t", "eid", rounds = 3, deterministic = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(out("a")) < 1e-12)
+    assert(math.abs(out("b")) < 1e-12)
+    assert(math.abs(out("c") - 1.0) < 1e-12)
+    assert(math.abs(out.values.sum - 1.0) < 1e-12, "mass conserved")
+    // dangling type keeps its own mass (self-loop convention): a → b only;
+    // b has NO outgoing row, so b accumulates and holds everything
+    val dang = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "a", 1L),
+      (1L, ts("2024-01-01 00:00:02"), "b", 2L))
+      .toDF("user_id", "ts2", "t", "eid")
+    val d2 = Analytics.stationaryDistribution(dang, "user_id", "ts2",
+        "t", "eid", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(d2("a")) < 1e-12 && math.abs(d2("b") - 1.0) < 1e-12)
+    assert(math.abs(d2.values.sum - 1.0) < 1e-12)
+  }
+
   test("funnel counts users completing steps strictly in order") {
     val rows = Seq(
       (1L, "view", ts("2024-01-01 00:00:01")),

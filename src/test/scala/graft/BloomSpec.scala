@@ -31,6 +31,28 @@ class BloomSpec extends SparkSpec {
     assert(fps < 300, s"fp rate ${fps / 10000.0} far above the 0.01 target")
   }
 
+  test("filter cache keys on full content: same-length filters never collide") {
+    import graft.functions.BloomSingleCache
+    BloomSingleCache.clear()
+    // two filters with identical (expectedItems, fpp) → identical byte
+    // LENGTH but different contents; a hash-keyed cache could collide and
+    // silently probe the wrong filter (false negatives = dropped rows)
+    val fa = spark.range(0, 1000).select(xxhash64(col("id")).as("h"))
+    val fb = spark.range(50000, 51000).select(xxhash64(col("id")).as("h"))
+    def bytesOf(df: DataFrame): Array[Byte] =
+      df.select(bridge.column(BloomAggregate(bridge.expression(col("h")),
+          2000L, 0.01).toAggregateExpression()).as("b"))
+        .first().getAs[Array[Byte]](0)
+    val (ba, bb) = (bytesOf(fa), bytesOf(fb))
+    assert(ba.length === bb.length && !java.util.Arrays.equals(ba, bb))
+    val ga = BloomSingleCache.get(ba)
+    val gb = BloomSingleCache.get(bb)
+    assert(!(ga eq gb), "distinct contents must map to distinct filters")
+    val h = spark.range(50000, 51000).select(xxhash64(col("id")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(h.forall(gb.mightContainLong), "no false negatives on b's keys")
+  }
+
   test("bloom aggregate bytes are partitioning- and order-invariant") {
     val base = spark.range(5000).select(xxhash64(col("id")).as("h"))
     val one = base.repartition(1)

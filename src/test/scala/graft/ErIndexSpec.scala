@@ -96,4 +96,25 @@ class ErIndexSpec extends SparkSpec {
       .select("matched").as[Boolean].collect().toSeq
     assert(got === Seq(false))
   }
+
+  test("a batch repeating an id keeps the store pk-unique (struct-min pick)") {
+    val idx = mkIdx()
+    // id 7 appears twice with different attrs: upsert runs with
+    // assumeUniqueKeys = true, so without the ingest-side dedup this
+    // would commit duplicate (pass, bkey, id) postings
+    val dup = Seq((7L, "martha stone", "oslo"), (7L, "zz variant", "paris"),
+      (8L, "alan turing", "york")).toDF("id", "name", "city")
+    val got = idx.ingest(dup, "id")
+    // one assignment row per unique id, deterministic struct-min attrs
+    assert(got.select("inc_id").as[Long].collect().sorted.toSeq
+      === Seq(7L, 8L))
+    val ents = idx.entities().get
+      .select("id", "name", "city").as[(Long, String, String)]
+      .collect().toSet
+    assert(ents === Set((7L, "martha stone", "oslo"),
+      (8L, "alan turing", "york")))
+    // store invariant: no duplicate (pass, bkey, id) postings committed
+    val recs = idx.entities().get
+    assert(recs.count() === recs.select("id").distinct().count())
+  }
 }

@@ -1007,4 +1007,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(s3.as[(Long, Long)].collect().toSet ===
       full3.as[(Long, Long)].collect().toSet)
   }
+
+  test("cascadeNoveltyReport rejects a batch sharing ids with history") {
+    import spark.implicits._
+    // an overlapping id would silently mis-attribute drops (a batch row
+    // "dropped" by a pair linking the history row that shares its id) —
+    // the documented precondition is now validated, not just documented
+    val history = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val badBatch = Seq((2L, "totally new text here"), (3L, "another doc"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cascadeNoveltyReport(history, badBatch, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("disjoint"))
+    // disjoint ids still work
+    val okBatch = Seq((3L, "alpha beta gamma"), (4L, "fresh unique words"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.cascadeNoveltyReport(history, okBatch, "doc_id", "text")
+      .orderBy("stage")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rep.head._1 === "1_exact" && rep.head._2 === 2L)
+    assert(rep.head._3 === 1L) // the exact copy of history id 1 drops
+  }
 }

@@ -286,6 +286,34 @@ class SnapshotSpec extends SparkSpec {
       ("D", "d", 50L, None, true)))       // late batch ignored
   }
 
+  test("scd2Apply: NULL tracked values are real rows, not absence markers") {
+    import spark.implicits._
+    // A: current row whose VALUE is NULL, no batch arrival → must survive
+    //    untouched (the old valueCol-isNull sentinel silently dropped it);
+    // B: current NULL value, batch changes it → close the NULL row, open;
+    // C: current "c", batch sets it to NULL (a real change to NULL).
+    val dim = Seq[(String, Option[String], Long, Option[Long], Boolean)](
+      ("A", None, 10L, None, true),
+      ("B", None, 20L, None, true),
+      ("C", Some("c"), 30L, None, true))
+      .toDF("k", "value", "valid_from", "valid_to", "is_current")
+      .select(col("k"), col("value"), col("valid_from"),
+        col("valid_to").cast("long").as("valid_to"), col("is_current"))
+    val batch = Seq[(String, Option[String], Long, Long)](
+      ("B", Some("b2"), 25L, 1L),
+      ("C", None, 35L, 1L))
+      .toDF("k", "value", "ts", "tie")
+    val out = Snapshot.scd2Apply(dim, batch, "k", "value", "ts", "tie")
+      .as[(String, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(out === Set(
+      ("A", None, 10L, None, true),          // untouched, not dropped
+      ("B", None, 20L, Some(25L), false),    // NULL row closed, not dup'd
+      ("B", Some("b2"), 25L, None, true),
+      ("C", Some("c"), 30L, Some(35L), false),
+      ("C", None, 35L, None, true)))         // change TO NULL opens
+  }
+
   test("scd2Apply composes: apply(intervals(first), rest) = intervals(all) under monotone loads") {
     import spark.implicits._
     val log = Seq(
