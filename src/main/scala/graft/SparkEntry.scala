@@ -3068,6 +3068,48 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: data-skipping pruning report — BEFORE paying for the
+    //    re-layout, measure per-probe skippable-partition fractions under
+    //    the candidate zorder layout vs the natural linear sort (exact
+    //    rank-bucket partitions stand in for files; per-partition min/max
+    //    stand in for footer stats) (oracle: DuckDB replays the Morton
+    //    key, ranks, buckets, stats, and the overlap counting) ────────────
+    "q298_pruning_report" -> ((s, dir) => {
+      import s.implicits._
+      val li = T(s, dir, "lineitem")
+        .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+      val probes = Seq(
+        (0L, "l_partkey", 100L, 120L),
+        (1L, "l_suppkey", 50L, 55L),
+        (2L, "l_partkey", 1L, 400L),
+        (3L, "l_suppkey", 300L, 310L))
+        .toDF("probe_id", "col_name", "lo", "hi")
+      Layout.pruningReport(li, "rid", Seq("l_partkey", "l_suppkey"),
+          partitions = 32, probes = probes)
+        .orderBy("layout", "probe_id")
+    }),
+    // ── scale: reciprocal best match — one-to-one catalog reconciliation
+    //    between the two dirty feeds (mutual argmax over the ≥-threshold
+    //    blocked candidates; max score, ties to smallest partner id):
+    //    each record matches AT MOST one partner, the assignment every
+    //    two-system migration needs where q273's clusters allow fan-in
+    //    (oracle: DuckDB replays scoring + both argmax windows + the
+    //    agreement join) ───────────────────────────────────────────────────
+    "q297_reciprocal_match" -> ((s, dir) => {
+      val ents = linkageEntities(s, dir)
+      val raw = Linkage.blockedPairs(ents, "id", linkageBlockKeys(), 4096)
+        .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+      // orient: id_a = system A (even ids), id_b = system B (odd ids)
+      val oriented = raw.select(
+        when(pmod(col("id_a"), lit(2L)) === 0, col("id_a"))
+          .otherwise(col("id_b")).as("id_a"),
+        when(pmod(col("id_a"), lit(2L)) === 0, col("id_b"))
+          .otherwise(col("id_a")).as("id_b"))
+      val scored = Linkage.matchScores(ents, "id", oriented, linkageFields)
+        .select("id_a", "id_b", "score_micro")
+      Linkage.reciprocalBestMatch(scored, minScoreMicro = 3000000L)
+        .orderBy("id_a")
+    }),
     // ── scale: Markov stationary distribution — where the user journey
     //    settles: 3 power-iteration rounds over q114's transition matrix
     //    (ONE corpus pass; every round is TYPE-cardinality arithmetic);
@@ -6495,6 +6537,81 @@ object SparkEntry {
          |  arg_min(bal, id) AS canonical_bal,
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+    "q298_pruning_report" ->
+      s"""WITH s AS (SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+         |             min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+         |           FROM lineitem),
+         |base AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+         |           l_partkey, l_suppkey FROM lineitem),
+         |b AS (SELECT rid, l_partkey, l_suppkey,
+         |        ((l_partkey - mn0) * 65536) // (mx0 - mn0 + 1) AS b0,
+         |        ((l_suppkey - mn1) * 65536) // (mx1 - mn1 + 1) AS b1
+         |      FROM base CROSS JOIN s),
+         |z AS (SELECT rid, l_partkey, l_suppkey,
+         |        CAST(${zInterleaveSql(2, 16)} AS BIGINT) AS k FROM b),
+         |rz AS (SELECT l_partkey, l_suppkey,
+         |         row_number() OVER (ORDER BY k, rid) AS rk,
+         |         count(*) OVER () AS n FROM z),
+         |pz AS (SELECT ((rk - 1) * 32) // n AS p, l_partkey, l_suppkey
+         |       FROM rz),
+         |rl AS (SELECT l_partkey, l_suppkey,
+         |         row_number() OVER (ORDER BY l_partkey, rid) AS rk,
+         |         count(*) OVER () AS n FROM base),
+         |pl AS (SELECT ((rk - 1) * 32) // n AS p, l_partkey, l_suppkey
+         |       FROM rl),
+         |st AS (
+         |  SELECT 'zorder' AS layout, p, 'l_partkey' AS col_name,
+         |    min(l_partkey) AS mn, max(l_partkey) AS mx FROM pz GROUP BY p
+         |  UNION ALL SELECT 'zorder', p, 'l_suppkey',
+         |    min(l_suppkey), max(l_suppkey) FROM pz GROUP BY p
+         |  UNION ALL SELECT 'linear', p, 'l_partkey',
+         |    min(l_partkey), max(l_partkey) FROM pl GROUP BY p
+         |  UNION ALL SELECT 'linear', p, 'l_suppkey',
+         |    min(l_suppkey), max(l_suppkey) FROM pl GROUP BY p),
+         |pr AS (SELECT * FROM (VALUES
+         |    (0, 'l_partkey', 100, 120), (1, 'l_suppkey', 50, 55),
+         |    (2, 'l_partkey', 1, 400), (3, 'l_suppkey', 300, 310))
+         |  AS t(probe_id, col_name, lo, hi))
+         |SELECT layout, CAST(probe_id AS BIGINT) AS probe_id,
+         |  st.col_name, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+         |  CAST(count(*) AS BIGINT) AS n_partitions,
+         |  CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_skipped,
+         |  round(CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS skip_frac
+         |FROM st JOIN pr ON st.col_name = pr.col_name
+         |GROUP BY layout, probe_id, st.col_name, lo, hi
+         |ORDER BY layout, probe_id""".stripMargin,
+    "q297_reciprocal_match" -> {
+      def fuzzy(f: Linkage.FieldSpec): String =
+        s"""CASE WHEN ua.${f.column} = ub.${f.column} THEN ${f.wExactMicro}
+           |      WHEN jaro_winkler_similarity(ua.${f.column}, ub.${f.column})
+           |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
+           |      ELSE ${f.wDisagreeMicro} END""".stripMargin
+      val Seq(fName, fPhone, fBal, fSeg) = linkageFields
+      s"""WITH $linkageCtes,
+         |o AS (SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS ida,
+         |             CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS idb
+         |      FROM pairs WHERE id_a % 2 <> id_b % 2),
+         |s AS (SELECT o.ida, o.idb,
+         |    (${fuzzy(fName)}
+         |     + ${fuzzy(fPhone)}
+         |     + CASE WHEN ua.bal = ub.bal THEN ${fBal.wExactMicro}
+         |         ELSE ${fBal.wDisagreeMicro} END
+         |     + CASE WHEN ua.seg = ub.seg THEN ${fSeg.wExactMicro}
+         |         ELSE ${fSeg.wDisagreeMicro} END) AS sc
+         |  FROM o JOIN u ua ON ua.id = o.ida JOIN u ub ON ub.id = o.idb),
+         |f AS (SELECT * FROM s WHERE sc >= 3000000),
+         |ra AS (SELECT ida, idb, sc, row_number() OVER (PARTITION BY ida
+         |         ORDER BY sc DESC, idb ASC) AS r FROM f),
+         |rb AS (SELECT ida, idb, row_number() OVER (PARTITION BY idb
+         |         ORDER BY sc DESC, ida ASC) AS r FROM f)
+         |SELECT ra.ida AS id_a, ra.idb AS id_b,
+         |  CAST(ra.sc AS BIGINT) AS score_micro
+         |FROM ra JOIN rb ON ra.ida = rb.ida AND ra.idb = rb.idb
+         |  AND rb.r = 1
+         |WHERE ra.r = 1 ORDER BY id_a""".stripMargin
     },
     "q296_stationary_dist" -> {
       def rnd(k: Int): String =

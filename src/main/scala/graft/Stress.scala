@@ -804,6 +804,14 @@ object Stress {
     // task-metrics listener), so a stage whose shuffle volume outgrows its
     // input shows up even when wall time hides inside ambient noise.
     // Stage name: "e2e" (STRESS_ONLY=e2e).
+    // q249 fix probe: the card must be scan-bound (micro-integer sum +
+    // sha2 distinct — no corpus-sized aggregation buffer anywhere)
+    time(s"datasetCard ${factor}x") {
+      println("[stress]   rows=" + Bench.force(Profiling.datasetCard(
+        docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string")),
+        "doc_id", "text", "source")))
+    }
+
     val meter = new E2eShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     def stage(name: String)(f: => Long): Unit = {

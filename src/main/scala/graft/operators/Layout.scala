@@ -75,6 +75,68 @@ object Layout {
       .drop("__zkey")
   }
 
+  /** Data-skipping effectiveness report: BEFORE paying for a re-layout,
+    * measure how many partitions each candidate layout would let a
+    * min-max-pruning reader skip for a set of probe predicates — the
+    * number the [[layoutByZorder]] decision is actually made on.
+    * Evaluates TWO layouts side by side: `zorder` (the Morton key over
+    * `cols`) and `linear` (the natural single-column sort on
+    * `cols.head`), each cut into `partitions` equal-population partitions
+    * by EXACT global rank (the q140 integer-div bucket — deterministic
+    * and engine-replayable where a sampled range exchange is not), with
+    * per-partition min/max per layout column standing in for the parquet
+    * footer stats the real reader prunes on.
+    *
+    * `probes` is a (probe_id, col_name, lo, hi) frame — one inclusive
+    * long range per row, on one column. A partition is skippable for a
+    * probe iff its [min, max] for that column misses [lo, hi] entirely.
+    *
+    * Scale shape: one pure key projection per layout, the ONE range
+    * exchange any global order pays (inside globalRowNumber's
+    * distributed-cumsum idiom), a partitions×cols stats aggregate
+    * (map-side combined), and a probes×partitions-sized join — the
+    * corpus is scanned twice (once per candidate layout), everything
+    * downstream is report-sized. Returns
+    * (layout, probe_id, col_name, lo, hi, n_partitions, n_skipped,
+    * skip_frac). */
+  def pruningReport(df: DataFrame, idCol: String, cols: Seq[String],
+      partitions: Int, probes: DataFrame, bits: Int = 16): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    def statsFor(layout: String, keyed: DataFrame, keyCol: String): DataFrame = {
+      val ranked = Sampling.globalRowNumber(
+        keyed.select(col(idCol).as("__id") +: col(keyCol).as("__k") +:
+          cols.map(c => col(c).cast("long").as(c)): _*),
+        "__rank", col("__k").asc, col("__id").asc)
+        .localCheckpoint(false)
+      val n = ranked.count()
+      require(n > 0, "no rows to lay out")
+      val binned = ranked.withColumn("__p",
+        expr(s"((__rank - 1L) * ${partitions}L) div ${n}L"))
+      val statAggs = cols.flatMap(c =>
+        Seq(min(col(c)).as("__mn_" + c), max(col(c)).as("__mx_" + c)))
+      val wide = binned.groupBy("__p").agg(statAggs.head, statAggs.tail: _*)
+      cols.map(c => wide.select(lit(layout).as("layout"), col("__p"),
+          lit(c).as("col_name"), col("__mn_" + c).as("__mn"),
+          col("__mx_" + c).as("__mx")))
+        .reduce(_ unionAll _)
+    }
+    val statsZ = statsFor("zorder",
+      zorderKey(df, cols, "__zkey", bits), "__zkey")
+    val statsL = statsFor("linear",
+      df.withColumn("__lin", col(cols.head).cast("long")), "__lin")
+    val stats = statsZ.unionAll(statsL).localCheckpoint(true)
+    val p = probes.select(col("probe_id"), col("col_name"),
+      col("lo").cast("long").as("lo"), col("hi").cast("long").as("hi"))
+    stats.join(broadcast(p), Seq("col_name"))
+      .groupBy("layout", "probe_id", "col_name", "lo", "hi")
+      .agg(count(lit(1)).as("n_partitions"),
+        sum(when(col("__mx") < col("lo") || col("__mn") > col("hi"), 1L)
+          .otherwise(0L)).as("n_skipped"))
+      .withColumn("skip_frac",
+        round(col("n_skipped").cast("double") /
+          col("n_partitions").cast("double"), 6))
+  }
+
   /** Small-files compaction plan: pack files (ordered by `fileCol`, so
     * existing clustering is preserved) into output bins of
     * ~`targetBytes` each — the planning step of the OPTIMIZE/compaction

@@ -205,6 +205,42 @@ object Linkage {
       .orderBy(col("bucket").desc)
   }
 
+  /** Reciprocal best match: the one-to-one assignment between two record
+    * sets (catalog reconciliation — each left record may match at most one
+    * right record and vice versa; the greedy standard that beats a global
+    * assignment solver at corpus scale). A pair (a, b) survives iff b is
+    * a's best-scoring candidate AND a is b's best — mutual argmax, with
+    * deterministic tie-breaks (max score, ties to the smallest partner
+    * id), evaluated over the candidates AT OR ABOVE `minScoreMicro`
+    * (filter first: a below-threshold best must not block a reciprocal
+    * second-best — the threshold defines the candidate universe).
+    *
+    * Input is a scored candidate frame (id_a, id_b, score_micro) — the
+    * [[blockedPairs]] → [[matchScores]] output with id_a from the left
+    * system and id_b from the right. Scale shape: one filter + two
+    * row_number windows partitioned by the high-cardinality id keys +
+    * one key-width semi-join — no self-joins, nothing corpus-quadratic.
+    * Returns (id_a, id_b, score_micro), one row per matched pair; records
+    * with no reciprocal partner are simply absent (anti-join the ids to
+    * get the unmatched report). */
+  def reciprocalBestMatch(scored: DataFrame,
+      minScoreMicro: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = scored.filter(col("score_micro") >= minScoreMicro)
+      .localCheckpoint(false)
+    val bestForA = f.withColumn("__ra", row_number().over(
+        Window.partitionBy("id_a")
+          .orderBy(col("score_micro").desc, col("id_b").asc)))
+      .filter(col("__ra") === 1).drop("__ra")
+    val bestForB = f.withColumn("__rb", row_number().over(
+        Window.partitionBy("id_b")
+          .orderBy(col("score_micro").desc, col("id_a").asc)))
+      .filter(col("__rb") === 1)
+      .select("id_a", "id_b")
+    bestForA.join(bestForB, Seq("id_a", "id_b"), "left_semi")
+      .select("id_a", "id_b", "score_micro")
+  }
+
   /** Blocking-quality report: per pass (and for the deduplicated union of
     * all passes, labeled `union`) the candidate-pair count, how many true
     * pairs (same `truthCol`) it found, pair completeness against the exact

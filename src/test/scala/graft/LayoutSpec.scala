@@ -61,6 +61,32 @@ class LayoutSpec extends SparkSpec {
       s"spans not quadrant-tight: ${spans.mkString(",")}")
   }
 
+  test("pruningReport: zorder prunes both dims, linear only its sort column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 32×32 grid: x = id % 32, y = id div 32; 16 equal partitions of 64
+    // rows. Linear (sorted by x) partitions each own exactly 2 x-values
+    // and ALL y-values; zorder keeps both dims compact.
+    val grid = spark.range(1024).select(col("id"),
+      pmod(col("id"), lit(32L)).as("x"), (col("id") / 32).cast("long").as("y"))
+    val probes = Seq(
+      (0L, "x", 0L, 1L),   // linear: only partition 0 holds x∈[0,1]
+      (1L, "y", 0L, 1L))   // linear: every partition holds y∈[0,1]
+      .toDF("probe_id", "col_name", "lo", "hi")
+    val rep = graft.operators.Layout.pruningReport(grid, "id", Seq("x", "y"),
+        partitions = 16, probes = probes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(5), r.getLong(6))).toMap
+    assert(rep.values.forall(_._1 === 16L), "16 partitions everywhere")
+    assert(rep(("linear", 0L))._2 === 15L) // x∈[0,1] lives in partition 0
+    assert(rep(("linear", 1L))._2 === 0L)  // y spans every linear partition
+    // zorder: y∈[0,1] is 1/16 of the curve → most partitions skippable
+    assert(rep(("zorder", 1L))._2 >= 8L,
+      s"zorder should prune off-column probes, got ${rep(("zorder", 1L))._2}")
+    assert(rep(("zorder", 0L))._2 >= 8L)
+  }
+
   test("compactionPlan: equals the scanLeft reference plan, partitioning-invariant") {
     val rnd = new scala.util.Random(3)
     val files = (1L to 300L).map(f => (f, (rnd.nextInt(5000) + 1).toLong))

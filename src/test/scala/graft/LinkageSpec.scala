@@ -158,4 +158,36 @@ class LinkageSpec extends SparkSpec {
     assert(rep("union")._5 === 1.0)
     assert(rep("union")._6 === math.rint((1.0 - 4.0 / 15.0) * 1e6) / 1e6)
   }
+
+  test("reciprocalBestMatch: mutual argmax only, deterministic ties, threshold-first") {
+    // a=1: best is b=2 (10 > 8); b=2: best is a=1 (10 > 9) → (1,2) matches.
+    // a=3's best is b=2, but 2 prefers 1 → 3 unmatched; b=4's best is a=1,
+    // but 1 prefers 2 → 4 unmatched. One-to-one by construction.
+    val scored = Seq(
+      (1L, 2L, 10000000L), (1L, 4L, 8000000L),
+      (3L, 2L, 9000000L), (3L, 4L, 2000000L))
+      .toDF("id_a", "id_b", "score_micro")
+    val out = Linkage.reciprocalBestMatch(scored)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 10000000L)))
+    // threshold-first: dropping (1,2) below the floor frees 2 for a=3 AND
+    // 4 for a=1 — the argmax runs over the accepted universe, so a
+    // below-threshold best must not block a reciprocal second-best
+    val out2 = Linkage.reciprocalBestMatch(scored, minScoreMicro = 9500000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out2 === Set((1L, 2L, 10000000L)))
+    val out3 = Linkage.reciprocalBestMatch(
+        scored.filter(!(col("id_a") === 1L && col("id_b") === 2L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out3 === Set((3L, 2L, 9000000L), (1L, 4L, 8000000L)))
+    // tie on score: partner with the smallest id wins on BOTH sides
+    val tied = Seq(
+      (1L, 2L, 5000000L), (1L, 4L, 5000000L),
+      (3L, 2L, 5000000L))
+      .toDF("id_a", "id_b", "score_micro")
+    val t = Linkage.reciprocalBestMatch(tied)
+      .as[(Long, Long, Long)].collect().toSet
+    // a=1 ties 2/4 → picks 2; b=2 ties 1/3 → picks 1 → (1,2); 3 and 4 out
+    assert(t === Set((1L, 2L, 5000000L)))
+  }
 }
