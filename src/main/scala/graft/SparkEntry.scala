@@ -3068,6 +3068,23 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: robust per-group trend (sampled Theil–Sen) — the median
+    //    slope a bad ingest day cannot drag (q198 OLS's outlier-proof
+    //    sibling); deterministic md5 pairing, exact order-statistic
+    //    medians, no fold-order surface anywhere (oracle: DuckDB replays
+    //    hash, ranks, pairing, slopes, and both medians) ──────────────────
+    "q299_robust_trend" -> ((s, dir) => {
+      val m = unix_micros(col("ts").cast("timestamp"))
+      val d = lit(86400000000L)
+      val ev = T(s, dir, "events").withColumn("day",
+        ((m - pmod(m, d)) / d).cast("long"))
+      Analytics.robustTrendPerGroup(ev, "event_type", "event_id", "day",
+          "value")
+        .select(col("event_type"), col("n_pairs"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+        .orderBy("event_type")
+    }),
     // ── scale: data-skipping pruning report — BEFORE paying for the
     //    re-layout, measure per-probe skippable-partition fractions under
     //    the candidate zorder layout vs the natural linear sort (exact
@@ -6538,6 +6555,47 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q299_robust_trend" ->
+      """WITH b AS (SELECT event_type AS g, event_id AS id,
+        |    CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)
+        |      // 86400000000 AS DOUBLE) AS x,
+        |    value AS y
+        |  FROM events),
+        |h AS (SELECT g, id, x, y,
+        |    CAST(('0x' || substr(md5(g || ':' || CAST(id AS VARCHAR)
+        |      || ':rt'), 1, 15)) AS BIGINT) AS hv
+        |  FROM b),
+        |r AS (SELECT g, id, x, y,
+        |    row_number() OVER (PARTITION BY g ORDER BY hv DESC, id ASC)
+        |      AS rk
+        |  FROM h),
+        |p AS (SELECT g, (rk - 1) // 2 AS pair, x, y, rk FROM r),
+        |e AS (SELECT g, pair, count(*) AS n,
+        |    arg_min(x, rk) AS x1, arg_min(y, rk) AS y1,
+        |    arg_max(x, rk) AS x2, arg_max(y, rk) AS y2
+        |  FROM p GROUP BY 1, 2 HAVING count(*) = 2),
+        |s AS (SELECT g, pair, (y2 - y1) / (x2 - x1) AS sl
+        |      FROM e WHERE x2 <> x1),
+        |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM s GROUP BY 1),
+        |rs AS (SELECT g, sl,
+        |    row_number() OVER (PARTITION BY g ORDER BY sl ASC, pair ASC)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n FROM s),
+        |sm AS (SELECT g, sl AS slope FROM rs
+        |       WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+        |res AS (SELECT b.g, b.id, b.y - (sm.slope * b.x) AS r
+        |        FROM b JOIN sm ON b.g = sm.g),
+        |rr AS (SELECT g, r,
+        |    row_number() OVER (PARTITION BY g ORDER BY r ASC, id ASC)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n FROM res),
+        |im AS (SELECT g, r AS intercept FROM rr
+        |       WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+        |SELECT np.g AS event_type, n_pairs, round(sm.slope, 6) AS slope,
+        |  round(im.intercept, 6) AS intercept
+        |FROM np JOIN sm ON np.g = sm.g JOIN im ON np.g = im.g
+        |ORDER BY event_type""".stripMargin,
     "q298_pruning_report" ->
       s"""WITH s AS (SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
          |             min(l_suppkey) AS mn1, max(l_suppkey) AS mx1

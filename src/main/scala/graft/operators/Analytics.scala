@@ -546,6 +546,67 @@ object Analytics {
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 
+  /** Robust per-group trend — sampled Theil–Sen: the slope a few extreme
+    * days cannot drag (OLS q198's outlier-proof sibling; one bad ingest
+    * day flips an OLS slope sign, a median slope shrugs). Exact Theil–Sen
+    * medians ALL C(n,2) pair slopes — inherently quadratic — so the scale
+    * path pairs each row with exactly one partner under a deterministic
+    * md5 shuffle (a pure function of (group, id, salt): reproducible,
+    * engine-replayable, re-seedable) and takes the EXACT median of the
+    * n/2 pair slopes, then the exact median residual as the intercept.
+    * No `deterministic` flag needed: slopes are per-pair projections and
+    * both medians are order statistics — nothing is fold-order-sensitive.
+    *
+    * Scale shape: the per-group shuffle rank rides the range-pruned
+    * per-(range, group) rank core (never a corpus-wide per-key window);
+    * pair endpoints collapse via min/max-struct aggregates (no lists);
+    * both medians are [[discreteQuantilesPerGroup]] (range-pruned, the
+    * q103 machinery). Pairs with equal x are skipped (vertical slope);
+    * odd rows leave one unpaired singleton per group, also skipped.
+    * Returns (group, n_pairs, slope, intercept). */
+  def robustTrendPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String, salt: String = "rt",
+      partitions: Int = 0): DataFrame = {
+    val base = df.select(col(groupCol).as("__rtg"), col(idCol).as("__rtid"),
+        col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .withColumn("__h", Dedup.md5Hash60(
+        concat_ws(":", col("__rtg"), col("__rtid"), lit(salt))))
+      .localCheckpoint(false)
+    val ranked = Sampling.topFractionPerGroup(base, "__rtg", "__rtid", "__h",
+      frac = 1.0, partitions = partitions)
+    val withPair = base
+      .join(ranked.select(col("__rtg"), col("__rtid"), col("rank")),
+        Seq("__rtg", "__rtid"))
+      .withColumn("__pair", expr("(rank - 1) div 2"))
+    val ends = withPair.groupBy("__rtg", "__pair").agg(
+        count(lit(1)).as("__n"),
+        min(struct(col("rank"), col("__x"), col("__y"))).as("__a"),
+        max(struct(col("rank"), col("__x"), col("__y"))).as("__b"))
+      .filter(col("__n") === 2)
+    val slopes = ends
+      .filter(col("__b.__x") =!= col("__a.__x"))
+      .select(col("__rtg"), col("__pair"),
+        ((col("__b.__y") - col("__a.__y")) /
+          (col("__b.__x") - col("__a.__x"))).as("__s"))
+      .localCheckpoint(false)
+    val nPairs = slopes.groupBy("__rtg").agg(count(lit(1)).as("n_pairs"))
+    val slopeMed = discreteQuantilesPerGroup(slopes, "__rtg", "__pair", "__s",
+        Seq(0.5), partitions)
+      .select(col("__rtg"), col("value").as("slope"))
+    val resid = base
+      .join(Ops.broadcastIfSmall(slopeMed), Seq("__rtg"))
+      .select(col("__rtg"), col("__rtid"),
+        (col("__y") - (col("slope") * col("__x"))).as("__r"))
+    val interceptMed = discreteQuantilesPerGroup(resid, "__rtg", "__rtid", "__r",
+        Seq(0.5), partitions)
+      .select(col("__rtg"), col("value").as("intercept"))
+    nPairs
+      .join(slopeMed, Seq("__rtg"))
+      .join(interceptMed, Seq("__rtg"))
+      .select(col("__rtg").as(groupCol), col("n_pairs"), col("slope"),
+        col("intercept"))
+  }
+
   /** Stationary distribution of the [[transitionMatrix]] Markov chain:
     * where the user journey settles — π·P = π approximated by `rounds`
     * power-iteration steps from the uniform start (the long-run share of

@@ -241,6 +241,25 @@ class AnalyticsSpec extends SparkSpec {
       ("c", "d", 1L, 1.0)))
   }
 
+  test("robustTrendPerGroup: outlier-proof slope; deterministic and exact on a planted line") {
+    import spark.implicits._
+    // 21 points on y = 2x + 3 plus ONE wild outlier: every md5-pairing of
+    // two on-line points gives slope exactly 2; at most one pair touches
+    // the outlier, so the median of ~10 slopes is exactly 2 and the
+    // median residual is exactly 3 — OLS on the same data reads ~2.9
+    val clean = (0 until 21).map(i => ("m", i.toLong, i.toDouble, 2.0 * i + 3.0))
+    val rows = (clean :+ (("m", 99L, 10.0, 500.0))).toDF("g", "id", "x", "y")
+    val out = Analytics.robustTrendPerGroup(rows, "g", "id", "x", "y")
+      .collect().head
+    assert(out.getLong(1) >= 9L)              // ~11 pairs, few skipped
+    assert(out.getDouble(2) === 2.0)          // exact: median pair slope
+    assert(out.getDouble(3) === 3.0)          // exact: median residual
+    // re-seedable: a different salt re-pairs but the planted line holds
+    val out2 = Analytics.robustTrendPerGroup(rows, "g", "id", "x", "y",
+      salt = "other").collect().head
+    assert(out2.getDouble(2) === 2.0 && out2.getDouble(3) === 3.0)
+  }
+
   test("stationaryDistribution: absorbing chain drains mass; totals stay 1") {
     // one user walks a → b → c → c → c …: transitions a→b, b→c, c→c.
     // P is a→b 1.0, b→c 1.0, c→c 1.0: c absorbs everything it receives;
