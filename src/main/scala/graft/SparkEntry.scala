@@ -203,6 +203,22 @@ object SparkEntry {
       |  SELECT k FROM b)
       |ORDER BY op, k""".stripMargin
 
+  /** q297/q302's oriented cross-system scored candidates: blocked pairs
+    * across the id-parity systems, id_a = system A (even ids), id_b =
+    * system B (odd ids), Fellegi–Sunter scored. */
+  private def crossSystemScored(s: SparkSession, dir: String): DataFrame = {
+    val ents = linkageEntities(s, dir)
+    val raw = Linkage.blockedPairs(ents, "id", linkageBlockKeys(), 4096)
+      .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+    val oriented = raw.select(
+      when(pmod(col("id_a"), lit(2L)) === 0, col("id_a"))
+        .otherwise(col("id_b")).as("id_a"),
+      when(pmod(col("id_a"), lit(2L)) === 0, col("id_b"))
+        .otherwise(col("id_a")).as("id_b"))
+    Linkage.matchScores(ents, "id", oriented, linkageFields)
+      .select("id_a", "id_b", "score_micro")
+  }
+
   /** The q273 resolution: accepted matches (≥ 10 bits) → connected
     * components → (id, cluster_id) for every entity — shared by the q273
     * gate and the q290 pairwise-quality evaluation. */
@@ -3068,6 +3084,40 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: null co-missingness matrix — per column pair, the 2×2
+    //    missing/present contingency + φ ("do these columns go missing
+    //    TOGETHER?" — the upstream-join fingerprint per-column null
+    //    counts can't see); one scan, one single-row aggregate of exact
+    //    long cells, driver pivot; nulls planted deterministically (the
+    //    q55 convention — the synthetic feed has none) (oracle: DuckDB
+    //    replays indicators, cells, and φ) ─────────────────────────────────
+    "q300_null_comiss" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"),
+        when(pmod(col("event_id"), lit(7L)) === 0, lit(null).cast("string"))
+          .otherwise(col("props")).as("props"),
+        when(pmod(col("event_id"), lit(14L)) === 0 ||
+            pmod(col("event_id"), lit(5L)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        when(pmod(col("event_id"), lit(11L)) === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")).as("event_type"))
+      Profiling.nullCoMissingness(ev, Seq("props", "value", "event_type"))
+        .orderBy("col_a", "col_b")
+    }),
+    // ── scale: Neyman allocation — per-stratum sample budget n_h ∝
+    //    N_h·σ_h (the sampling-design report q100/q250's samplers
+    //    consume); exact long/DECIMAL(38,0) sufficient statistics, double
+    //    arithmetic only on the strata-sized frame (oracle: DuckDB
+    //    HUGEINT sums + the same fixed parenthesization) ───────────────────
+    "q301_neyman_alloc" -> ((s, dir) => {
+      Sampling.neymanAllocation(
+          T(s, dir, "events").select("event_type", "value"),
+          "event_type", "value", totalN = 1000L)
+        .select(col("stratum"), col("n_rows"),
+          round(col("std"), 6).as("std"),
+          round(col("weight"), 4).as("weight"),
+          round(col("alloc"), 6).as("alloc"))
+        .orderBy("stratum")
+    }),
     // ── scale: robust per-group trend (sampled Theil–Sen) — the median
     //    slope a bad ingest day cannot drag (q198 OLS's outlier-proof
     //    sibling); deterministic md5 pairing, exact order-statistic
@@ -3113,19 +3163,25 @@ object SparkEntry {
     //    (oracle: DuckDB replays scoring + both argmax windows + the
     //    agreement join) ───────────────────────────────────────────────────
     "q297_reciprocal_match" -> ((s, dir) => {
-      val ents = linkageEntities(s, dir)
-      val raw = Linkage.blockedPairs(ents, "id", linkageBlockKeys(), 4096)
-        .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
-      // orient: id_a = system A (even ids), id_b = system B (odd ids)
-      val oriented = raw.select(
-        when(pmod(col("id_a"), lit(2L)) === 0, col("id_a"))
-          .otherwise(col("id_b")).as("id_a"),
-        when(pmod(col("id_a"), lit(2L)) === 0, col("id_b"))
-          .otherwise(col("id_a")).as("id_b"))
-      val scored = Linkage.matchScores(ents, "id", oriented, linkageFields)
-        .select("id_a", "id_b", "score_micro")
-      Linkage.reciprocalBestMatch(scored, minScoreMicro = 3000000L)
+      Linkage.reciprocalBestMatch(crossSystemScored(s, dir),
+          minScoreMicro = 3000000L)
         .orderBy("id_a")
+    }),
+    // ── scale: match-disposition report — WHY each left record did or
+    //    didn't match after the q297 reconciliation (matched / lost_tie /
+    //    below_threshold / no_candidate): the unmatched tail localizes
+    //    whether blocking keys or the threshold need fixing (oracle:
+    //    DuckDB replays the q297 pipeline + the CASE classification) ──────
+    "q302_match_disposition" -> ((s, dir) => {
+      val scored = crossSystemScored(s, dir)
+      val matches = Linkage.reciprocalBestMatch(scored,
+        minScoreMicro = 3000000L)
+      val leftIds = linkageEntities(s, dir)
+        .filter(pmod(col("id"), lit(2L)) === 0)
+      Linkage.matchDisposition(leftIds, "id", scored, matches,
+          minScoreMicro = 3000000L)
+        .groupBy("disposition").agg(count(lit(1)).as("n"))
+        .orderBy("disposition")
     }),
     // ── scale: Markov stationary distribution — where the user journey
     //    settles: 3 power-iteration rounds over q114's transition matrix
@@ -6554,6 +6610,101 @@ object SparkEntry {
          |  arg_min(bal, id) AS canonical_bal,
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+    "q300_null_comiss" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS np,
+        |    CASE WHEN event_id % 14 = 0 OR event_id % 5 = 0
+        |      THEN 1 ELSE 0 END AS nv,
+        |    CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS nt
+        |  FROM events),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(np * nv) AS BIGINT) AS b1,
+        |    CAST(sum(np * (1 - nv)) AS BIGINT) AS oa1,
+        |    CAST(sum((1 - np) * nv) AS BIGINT) AS ob1,
+        |    CAST(sum(np * nt) AS BIGINT) AS b2,
+        |    CAST(sum(np * (1 - nt)) AS BIGINT) AS oa2,
+        |    CAST(sum((1 - np) * nt) AS BIGINT) AS ob2,
+        |    CAST(sum(nv * nt) AS BIGINT) AS b3,
+        |    CAST(sum(nv * (1 - nt)) AS BIGINT) AS oa3,
+        |    CAST(sum((1 - nv) * nt) AS BIGINT) AS ob3
+        |  FROM b),
+        |p AS (
+        |  SELECT 'props' AS col_a, 'value' AS col_b, n,
+        |    b1 AS bn, oa1 AS oa, ob1 AS ob FROM s
+        |  UNION ALL SELECT 'props', 'event_type', n, b2, oa2, ob2 FROM s
+        |  UNION ALL SELECT 'value', 'event_type', n, b3, oa3, ob3 FROM s),
+        |f AS (SELECT col_a, col_b, n, bn, oa, ob,
+        |        n - bn - oa - ob AS neither FROM p)
+        |SELECT col_a, col_b, n, bn AS both_null, oa AS only_a,
+        |  ob AS only_b, neither,
+        |  CASE WHEN sqrt(CAST(bn + oa AS DOUBLE) * CAST(ob + neither AS
+        |      DOUBLE) * CAST(bn + ob AS DOUBLE) * CAST(oa + neither AS
+        |      DOUBLE)) = 0 THEN NULL
+        |    ELSE round((CAST(bn AS DOUBLE) * CAST(neither AS DOUBLE)
+        |      - CAST(oa AS DOUBLE) * CAST(ob AS DOUBLE))
+        |      / sqrt(CAST(bn + oa AS DOUBLE) * CAST(ob + neither AS
+        |        DOUBLE) * CAST(bn + ob AS DOUBLE) * CAST(oa + neither AS
+        |        DOUBLE)), 6) END AS phi
+        |FROM f ORDER BY col_a, col_b""".stripMargin,
+    "q301_neyman_alloc" ->
+      """WITH b AS (SELECT event_type AS stratum,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |s AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |        CAST(sum(v) AS BIGINT) AS sv,
+        |        sum(CAST(v AS HUGEINT) * v) AS ss
+        |      FROM b GROUP BY 1),
+        |d AS (SELECT stratum, n_rows,
+        |        CASE WHEN n_rows > 1 THEN
+        |          sqrt((CAST(n_rows AS DOUBLE) * CAST(ss AS DOUBLE)
+        |            - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |            / (CAST(n_rows AS DOUBLE)
+        |               * CAST(n_rows - 1 AS DOUBLE))) / 1000000.0
+        |        ELSE 0.0 END AS std
+        |      FROM s),
+        |w AS (SELECT stratum, n_rows, std,
+        |        CAST(n_rows AS DOUBLE) * std AS weight FROM d),
+        |t AS (SELECT sum(weight) AS ws FROM w)
+        |SELECT stratum, n_rows, round(std, 6) AS std,
+        |  round(weight, 4) AS weight,
+        |  round(CASE WHEN (SELECT ws FROM t) > 0.0
+        |    THEN (1000.0 * weight) / (SELECT ws FROM t)
+        |    ELSE 0.0 END, 6) AS alloc
+        |FROM w ORDER BY stratum""".stripMargin,
+    "q302_match_disposition" -> {
+      def fuzzy(f: Linkage.FieldSpec): String =
+        s"""CASE WHEN ua.${f.column} = ub.${f.column} THEN ${f.wExactMicro}
+           |      WHEN jaro_winkler_similarity(ua.${f.column}, ub.${f.column})
+           |        >= ${f.fuzzyThreshold.get} THEN ${f.wFuzzyMicro}
+           |      ELSE ${f.wDisagreeMicro} END""".stripMargin
+      val Seq(fName, fPhone, fBal, fSeg) = linkageFields
+      s"""WITH $linkageCtes,
+         |o AS (SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS ida,
+         |             CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS idb
+         |      FROM pairs WHERE id_a % 2 <> id_b % 2),
+         |s AS (SELECT o.ida, o.idb,
+         |    (${fuzzy(fName)}
+         |     + ${fuzzy(fPhone)}
+         |     + CASE WHEN ua.bal = ub.bal THEN ${fBal.wExactMicro}
+         |         ELSE ${fBal.wDisagreeMicro} END
+         |     + CASE WHEN ua.seg = ub.seg THEN ${fSeg.wExactMicro}
+         |         ELSE ${fSeg.wDisagreeMicro} END) AS sc
+         |  FROM o JOIN u ua ON ua.id = o.ida JOIN u ub ON ub.id = o.idb),
+         |f AS (SELECT * FROM s WHERE sc >= 3000000),
+         |ra AS (SELECT ida, idb, sc, row_number() OVER (PARTITION BY ida
+         |         ORDER BY sc DESC, idb ASC) AS r FROM f),
+         |rb AS (SELECT ida, idb, row_number() OVER (PARTITION BY idb
+         |         ORDER BY sc DESC, ida ASC) AS r FROM f),
+         |mm AS (SELECT ra.ida FROM ra JOIN rb ON ra.ida = rb.ida
+         |         AND ra.idb = rb.idb AND rb.r = 1 WHERE ra.r = 1),
+         |cl AS (SELECT u.id AS ida,
+         |    CASE WHEN u.id IN (SELECT ida FROM mm) THEN 'matched'
+         |         WHEN u.id IN (SELECT ida FROM f) THEN 'lost_tie'
+         |         WHEN u.id IN (SELECT ida FROM s) THEN 'below_threshold'
+         |         ELSE 'no_candidate' END AS disposition
+         |  FROM u WHERE u.id % 2 = 0)
+         |SELECT disposition, CAST(count(*) AS BIGINT) AS n
+         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q299_robust_trend" ->
       """WITH b AS (SELECT event_type AS g, event_id AS id,

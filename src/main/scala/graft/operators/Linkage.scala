@@ -241,6 +241,36 @@ object Linkage {
       .select("id_a", "id_b", "score_micro")
   }
 
+  /** Match-disposition report: WHY each left record did or didn't match —
+    * the operational answer after a [[reciprocalBestMatch]] run
+    * ("matched" / "lost_tie": had an accepted candidate but reciprocity
+    * went elsewhere / "below_threshold": candidates exist, all under the
+    * floor / "no_candidate": blocking never produced a pair). The
+    * unmatched tail is where blocking keys get fixed and thresholds get
+    * re-argued; a single match RATE can't localize which.
+    *
+    * Scale shape: three key-only distinct frames + three left joins on
+    * the id — key-width end to end. Returns (id_a, disposition), one row
+    * per left id. */
+  def matchDisposition(leftIds: DataFrame, idCol: String, scored: DataFrame,
+      matches: DataFrame, minScoreMicro: Long): DataFrame = {
+    val ids = leftIds.select(col(idCol).cast("long").as("id_a")).distinct()
+    val matched = matches.select(col("id_a")).distinct()
+      .withColumn("__m", lit(1))
+    val accepted = scored.filter(col("score_micro") >= minScoreMicro)
+      .select("id_a").distinct().withColumn("__k", lit(1))
+    val any = scored.select("id_a").distinct().withColumn("__c", lit(1))
+    ids
+      .join(matched, Seq("id_a"), "left")
+      .join(accepted, Seq("id_a"), "left")
+      .join(any, Seq("id_a"), "left")
+      .select(col("id_a"),
+        when(col("__m") === 1, lit("matched"))
+          .when(col("__k") === 1, lit("lost_tie"))
+          .when(col("__c") === 1, lit("below_threshold"))
+          .otherwise(lit("no_candidate")).as("disposition"))
+  }
+
   /** Blocking-quality report: per pass (and for the deduplicated union of
     * all passes, labeled `union`) the candidate-pair count, how many true
     * pairs (same `truthCol`) it found, pair completeness against the exact

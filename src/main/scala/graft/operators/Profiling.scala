@@ -1221,6 +1221,58 @@ object Profiling {
       (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
   }
 
+  /** Null co-missingness matrix: for every column pair, the 2×2
+    * missing/present contingency (both null / only A / only B / neither)
+    * and its φ coefficient — "do these columns go missing TOGETHER?"
+    * (a high φ is the fingerprint of an upstream join or source that
+    * drops whole blocks; per-column null COUNTS — q124 — can't see it).
+    *
+    * Scale shape: ONE scan projects k null-indicator ints, one
+    * single-row aggregate computes all k·(k−1)/2 cells as plain long
+    * sums (k is a column list — driver-bounded), and the driver pivots
+    * the row to pair format. φ is computed in doubles from the exact
+    * long cells with fixed parenthesization (the cross products overflow
+    * longs at petabyte row counts — the COUNTS stay exact, only the
+    * coefficient is floating); degenerate margins (a column always or
+    * never null) report NULL φ, not a divide-by-zero (the q141 ANSI
+    * lesson). Returns (col_a, col_b, n, both_null, only_a, only_b,
+    * neither, phi) for pairs in column-list order. */
+  def nullCoMissingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ind = df.select(cols.map(c =>
+      when(col(c).isNull, 1L).otherwise(0L).as("__n_" + c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("__n")) ++ pairs.flatMap { case (a, b) =>
+      val (na, nb) = (col("__n_" + a), col("__n_" + b))
+      Seq(sum(na * nb).as(s"__b_${a}_$b"),
+        sum(na * (lit(1L) - nb)).as(s"__oa_${a}_$b"),
+        sum((lit(1L) - na) * nb).as(s"__ob_${a}_$b"))
+    }
+    val row = ind.agg(aggs.head, aggs.tail: _*).first()
+    val n = row.getLong(0)
+    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val (b11, oa, ob) =
+        (row.getLong(1 + i * 3), row.getLong(2 + i * 3), row.getLong(3 + i * 3))
+      val neither = n - b11 - oa - ob
+      // φ = (n11·n00 − n10·n01) / √(r1·r0·c1·c0), margins of the 2×2
+      val (r1, r0, c1, c0) =
+        ((b11 + oa).toDouble, (ob + neither).toDouble,
+          (b11 + ob).toDouble, (oa + neither).toDouble)
+      val denom = math.sqrt(r1 * r0 * c1 * c0)
+      val phi =
+        if (denom == 0.0) None
+        else Some(math.rint(((b11.toDouble * neither.toDouble) -
+          (oa.toDouble * ob.toDouble)) / denom * 1e6) / 1e6)
+      (a, b, n, b11, oa, ob, neither, phi)
+    }
+    out.toDF("col_a", "col_b", "n", "both_null", "only_a", "only_b",
+      "neither", "phi")
+  }
+
   /** Dataset card: the one-table corpus summary a training run's
     * documentation starts from — size, source breadth, token mass,
     * quality level, exact-duplicate rate, and length percentiles, in one

@@ -732,6 +732,51 @@ object Sampling {
       .select(col("__q").as("q"), col("neg_id"), col("slot"), col("rank"))
   }
 
+  /** Neyman allocation: how many samples to draw from EACH stratum for a
+    * fixed total budget — n_h ∝ N_h·σ_h (big and noisy strata get more;
+    * uniform-rate sampling over-samples homogeneous sources and starves
+    * variable ones). The sampling-DESIGN report that q100/q250's
+    * per-group samplers consume.
+    *
+    * Scale shape: one scan aggregates per-stratum exact sufficient
+    * statistics — count and Σv as plain longs on micro-scaled integers,
+    * Σv² as DECIMAL(38,0) (per-row v² fits a long; the corpus sum does
+    * not — decimal sums are exact and order-independent, the q229
+    * HUGEINT convention). σ and the allocation are then doubles computed
+    * from exact integers with fixed parenthesization over the
+    * strata-cardinality frame (no det/prod split — nothing folds).
+    * Single-row strata get σ = 0 (no within-stratum evidence), zero
+    * weight. `alloc` is the real-valued Neyman share (round/ceil is the
+    * caller's integerization policy). Returns
+    * (stratum, n_rows, std, weight, alloc). */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      totalN: Long, microScale: Long = 1000000L): DataFrame = {
+    require(totalN >= 0L, s"totalN must be >= 0, got $totalN")
+    require(microScale >= 1L, s"microScale must be >= 1, got $microScale")
+    val v = round(col(valueCol) * lit(microScale.toDouble)).cast("long")
+    val stats = df.select(col(strataCol).as("stratum"), v.as("__v"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"), sum("__v").as("__sv"),
+        sum((col("__v").cast("decimal(19,0)") *
+          col("__v").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__ss"))
+    val nD = col("n_rows").cast("double")
+    val svD = col("__sv").cast("double")
+    val ssD = col("__ss").cast("double")
+    val varMicro = when(col("n_rows") > 1,
+      ((nD * ssD) - (svD * svD)) / (nD * (col("n_rows") - 1).cast("double")))
+      .otherwise(lit(0.0))
+    val withStd = stats
+      .withColumn("std", sqrt(varMicro) / lit(microScale.toDouble))
+      .withColumn("weight", nD * col("std"))
+      .localCheckpoint(true)
+    val wsum = withStd.agg(sum("weight")).first().getDouble(0)
+    withStd.select(col("stratum"), col("n_rows"), col("std"),
+      col("weight"),
+      (when(lit(wsum) > 0.0, (lit(totalN.toDouble) * col("weight")) / lit(wsum))
+        .otherwise(lit(0.0))).as("alloc"))
+  }
+
   def globalRowNumber(df: DataFrame, outCol: String, sortCols: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession

@@ -190,4 +190,23 @@ class LinkageSpec extends SparkSpec {
     // a=1 ties 2/4 → picks 2; b=2 ties 1/3 → picks 1 → (1,2); 3 and 4 out
     assert(t === Set((1L, 2L, 5000000L)))
   }
+
+  test("matchDisposition: all four dispositions, one each") {
+    // left ids 1, 3, 5, 7:
+    //  1 matches 2 reciprocally                       → matched
+    //  3 has an accepted candidate (2) but loses it   → lost_tie
+    //  5 has only a below-floor candidate             → below_threshold
+    //  7 never blocked into any pair                  → no_candidate
+    val scored = Seq(
+      (1L, 2L, 10000000L), (3L, 2L, 9000000L), (5L, 4L, 1000000L))
+      .toDF("id_a", "id_b", "score_micro")
+    val matches = Linkage.reciprocalBestMatch(scored,
+      minScoreMicro = 3000000L)
+    val left = Seq(1L, 3L, 5L, 7L).toDF("id")
+    val out = Linkage.matchDisposition(left, "id", scored, matches,
+        minScoreMicro = 3000000L)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "matched", 3L -> "lost_tie",
+      5L -> "below_threshold", 7L -> "no_candidate"))
+  }
 }

@@ -659,4 +659,33 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(2) === 3L)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("nullCoMissingness: perfect co-missingness, independence, degenerate margins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a and b go missing on EXACTLY the same rows (phi = 1); c never null
+    // (degenerate margin -> NULL phi, not a divide-by-zero)
+    val df = spark.range(100).select(
+      when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(lit("x")).as("a"),
+      when(col("id") % 4 === 0, lit(null).cast("double"))
+        .otherwise(lit(1.0)).as("b"),
+      lit("always").as("c"))
+    val out = graft.operators.Profiling
+      .nullCoMissingness(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(6), if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    assert(out(("a", "b")) === ((25L, 75L, Some(1.0))))
+    assert(out(("a", "c"))._3 === None) // c never null -> zero margin
+    assert(out(("b", "c"))._3 === None)
+    // independence: disjoint planted patterns give small |phi|
+    val ind = spark.range(1000).select(
+      when(col("id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(lit("x")).as("a"),
+      when(col("id") % 7 === 3, lit(null).cast("string"))
+        .otherwise(lit("y")).as("b"))
+    val phi = graft.operators.Profiling.nullCoMissingness(ind, Seq("a", "b"))
+      .collect().head.getDouble(7)
+    assert(math.abs(phi) < 0.2, s"independent patterns should read ~0, got $phi")
+  }
 }

@@ -482,4 +482,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.groupedSplitAssign(withNull, "grp", Seq(0.5, 0.5))
       .first().getInt(2) === 0)
   }
+
+  test("neymanAllocation: noisy strata get the budget, zero-variance strata get none") {
+    // A: 4 rows of {0, 2, 0, 2} → σ² = 4/3; B: 4 identical rows → σ = 0;
+    // C: single row → σ defined as 0 (no within-stratum evidence).
+    // Neyman: all 100 samples go to A.
+    val df = Seq(("A", 0.0), ("A", 2.0), ("A", 0.0), ("A", 2.0),
+      ("B", 5.0), ("B", 5.0), ("B", 5.0), ("B", 5.0), ("C", 9.0))
+      .toDF("src", "v")
+    val out = Sampling.neymanAllocation(df, "src", "v", totalN = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(out("A")._1 === 4L)
+    assert(math.abs(out("A")._2 - math.sqrt(4.0 / 3.0)) < 1e-9)
+    assert(math.abs(out("A")._3 - 100.0) < 1e-9)
+    assert(out("B")._2 === 0.0 && out("B")._3 === 0.0)
+    assert(out("C")._2 === 0.0 && out("C")._3 === 0.0)
+    // two noisy strata: allocation ∝ N_h·σ_h exactly
+    val two = Seq(("A", 0.0), ("A", 2.0),                 // N=2, σ=√2
+      ("B", 0.0), ("B", 2.0), ("B", 0.0), ("B", 2.0))     // N=4, σ=√(4/3)
+      .toDF("src", "v")
+    val t = Sampling.neymanAllocation(two, "src", "v", totalN = 90L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val (wa, wb) = (2.0 * math.sqrt(2.0), 4.0 * math.sqrt(4.0 / 3.0))
+    assert(math.abs(t("A") - 90.0 * wa / (wa + wb)) < 1e-6)
+    assert(math.abs(t("B") - 90.0 * wb / (wa + wb)) < 1e-6)
+  }
 }
