@@ -3084,6 +3084,19 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: per-group KMV quantiles — k-row mergeable bottom-k sample
+    //    of EVERY source in one pass (the per-group cell of the sketch
+    //    matrix: q90 CMS counts, q94/q111 HLL distinct, q178 global KMV),
+    //    then order-statistic estimates on the groups×k frame (oracle:
+    //    DuckDB replays hash, per-group bottom-k, and the rank selection) ──
+    "q303_group_kmv_quantiles" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"))
+      val sample = Sketches.kmvSamplePerGroup(d, "source", "doc_id", "ntok",
+        k = 64, seed = 7L)
+      Sketches.kmvQuantilesPerGroup(sample, Seq(0.5, 0.9))
+        .orderBy("group", "q")
+    }),
     // ── scale: null co-missingness matrix — per column pair, the 2×2
     //    missing/present contingency + φ ("do these columns go missing
     //    TOGETHER?" — the upstream-join fingerprint per-column null
@@ -6611,6 +6624,29 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q303_group_kmv_quantiles" ->
+      """WITH b AS (SELECT source AS grp, doc_id AS id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS DOUBLE) AS value,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+        |      1, 15)) AS BIGINT) AS pr
+        |  FROM documents),
+        |r AS (SELECT grp, id, value,
+        |    row_number() OVER (PARTITION BY grp ORDER BY pr ASC, id ASC)
+        |      AS rk
+        |  FROM b),
+        |s AS (SELECT grp, id, value FROM r WHERE rk <= 64),
+        |r2 AS (SELECT grp, id, value,
+        |    row_number() OVER (PARTITION BY grp
+        |                       ORDER BY value ASC, id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY grp) AS m
+        |  FROM s),
+        |qs AS (SELECT unnest(CAST([0.5, 0.9] AS DOUBLE[])) AS q)
+        |SELECT grp AS "group", q, value AS est,
+        |  CAST(m AS BIGINT) AS sample_size
+        |FROM r2 JOIN qs ON rk = greatest(1, CAST(ceil(q * m) AS BIGINT))
+        |ORDER BY "group", q""".stripMargin,
     "q300_null_comiss" ->
       """WITH b AS (SELECT
         |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS np,

@@ -220,6 +220,48 @@ object Sketches {
       .limit(k)
   }
 
+  /** Per-group bottom-k (KMV) sample: [[kmvSample]] for EVERY group in
+    * one pass — k-row uniform samples of each source/segment, mergeable
+    * per group under the same min-k lattice. Rides the range-pruned
+    * per-(range, group) rank core (never a corpus-wide per-key window);
+    * the hash priority is a pure function of (id, seed).
+    * Returns (group, id, value, priority). */
+  def kmvSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(col(groupCol).as("group"), col(idCol).as("id"),
+        col(valueCol).cast("double").as("value"))
+      .withColumn("priority", Dedup.md5Hash60(concat(
+        col("id").cast("string"), lit(":"), lit(seed.toString))))
+      .localCheckpoint(false)
+    val picked = Sampling.topKPerGroup(
+      base.withColumn("__negp", -col("priority")),
+      "group", "id", "__negp", k)
+    base.join(picked.select("group", "id"), Seq("group", "id"), "left_semi")
+  }
+
+  /** Per-group quantile ESTIMATES from [[kmvSamplePerGroup]]'s output:
+    * for each (group, q), the group's sample value at ascending rank
+    * max(1, ceil(q·m)) — the discrete order-statistic convention on the
+    * groups×k-bounded sample frame (the in-sample window is bounded by
+    * construction). Returns (group, q, est, sample_size). */
+  def kmvQuantilesPerGroup(sample: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "qs must be quantiles in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sample.select(col("group"), col("id"), col("value"))
+      .withColumn("__rk", row_number().over(Window.partitionBy("group")
+        .orderBy(col("value").asc, col("id").asc)))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("group")))
+    val spark = sample.sparkSession
+    import spark.implicits._
+    ranked.join(broadcast(qs.toDF("q")),
+        col("__rk") === greatest(lit(1L),
+          ceil(col("q") * col("__m")).cast("long")))
+      .select(col("group"), col("q"), col("value").as("est"),
+        col("__m").as("sample_size"))
+  }
+
   /** Merge bottom-k samples (outputs of [[kmvSample]] under the SAME
     * seed): union, keep the k smallest priorities. The union is
     * parts×k rows — driver-bounded however many parts merge. */

@@ -369,6 +369,64 @@ object Streaming {
         }
       }
 
+  /** Micro-batch incremental bottom-k (KMV) sample: every batch's rows
+    * enter the min-k lattice — keep the k smallest md5-priorities ever
+    * seen — so the persisted frame is always a valid uniform sample of
+    * EVERYTHING ingested (quantile estimates via
+    * [[graft.operators.Sketches.kmvQuantiles]]; the streaming cell of
+    * the sketch matrix: counts→CMS, distinct→HLL, column stats→profile,
+    * quantiles→THIS). Priorities are a pure function of (id, seed), so
+    * the merge is IDEMPOTENT by construction — a redelivered batch
+    * re-offers the same priorities and changes nothing — but the replay
+    * guard still skips duplicate batchIds (one write, not a no-op
+    * rewrite). State is ≤ k rows forever; the merge is a ≤ (k + batch)
+    * sort-limit. Same versioned-dir + ATOMIC_MOVE pointer layout as the
+    * other ingests. */
+  def streamingKmvIngest(
+      stream: DataFrame,
+      idCol: String,
+      valueCol: String,
+      k: Int,
+      seed: Long,
+      dir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val spark = batch.sparkSession
+        Files.createDirectories(Paths.get(dir))
+        val (prior, lastId) = readVersioned(spark, dir)
+        if (batchId != lastId && !batch.isEmpty) {
+          val bs = graft.operators.Sketches.kmvSample(
+            batch.select(col(idCol).as("id"),
+              col(valueCol).cast("double").as("value")),
+            "id", "value", k, seed)
+          val merged = prior match {
+            case Some(p) => graft.operators.Sketches.kmvMergeSamples(
+              Seq(p, bs), "id", k)
+            case None => bs
+          }
+          val vdir = s"$dir/v$batchId"
+          merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+          val tmp = Paths.get(s"$dir/.latest.tmp-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+          Files.move(tmp, Paths.get(s"$dir/LATEST"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          val d = new java.io.File(dir)
+          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+            if (f.isDirectory && f.getName.startsWith("v") &&
+                f.getName != s"v$batchId")
+              scala.util.Try {
+                val walk = Files.walk(f.toPath)
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(p => { Files.deleteIfExists(p); () })
+                finally walk.close()
+              }: Unit
+          }
+          ()
+        }
+      }
+
   /** Micro-batch incremental table profile: each batch's MERGEABLE
     * per-column stats ([[graft.operators.Profiling.profileStats]] —
     * counts/nulls sum, mins/maxs fold, length sums add) merge into a

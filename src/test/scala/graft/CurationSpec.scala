@@ -94,6 +94,30 @@ class CurationSpec extends SparkSpec {
     assert(overlap === whole)
   }
 
+  test("kmvSamplePerGroup: per-group bottom-k == per-group one-shot; estimates near-exact") {
+    // two groups with different sizes and scales
+    val df = ((1 to 3000).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 1000).map(i => ("b", 100000L + i, 10.0 * i)))
+      .toDF("g", "id", "v")
+    val sample = Sketches.kmvSamplePerGroup(df, "g", "id", "v",
+      k = 128, seed = 5L)
+    // per group, the picked ids must equal the group's own global
+    // bottom-k under the same (id, seed) hash
+    for (g <- Seq("a", "b")) {
+      val got = sample.filter(col("group") === g)
+        .collect().map(_.getLong(1)).toSet
+      val exp = Sketches.kmvSample(df.filter(col("g") === g)
+          .select(col("id"), col("v")), "id", "v", 128, seed = 5L)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === exp, s"group $g bottom-k mismatch")
+    }
+    // estimates land near the true per-group quantiles (1/sqrt(k) ranks)
+    val est = Sketches.kmvQuantilesPerGroup(sample, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(est("a") - 1500.0) < 300.0)
+    assert(math.abs(est("b") - 5000.0) < 3000.0)
+  }
+
   test("kmv quantile estimates: near-exact on uniform data; deterministic") {
     val df = (1 to 20000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val sample = Sketches.kmvSample(df, "id", "v", k = 512, seed = 11L)

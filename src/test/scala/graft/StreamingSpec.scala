@@ -440,6 +440,38 @@ class StreamingSpec extends SparkSpec {
     assert(sketch.isEmpty && id === -1L)
   }
 
+  test("streamingKmvIngest: merged bottom-k equals the one-shot sample of all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dir = tmpDir("stream_kmv_")
+    val ckpt = tmpDir("ckpt_kmv_")
+    def ingest() = Streaming.streamingKmvIngest(
+        mem.toDF.toDF("id", "v"), "id", "v", k = 10, seed = 7L, dir = dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    mem.addData((1L to 40L).map(i => (i, i.toDouble)): _*)
+    ingest()
+    mem.addData((41L to 100L).map(i => (i, i.toDouble)): _*)
+    ingest()
+
+    val (merged, lastId) = Streaming.readVersioned(spark, dir)
+    assert(lastId >= 0)
+    val got = merged.get.orderBy("priority")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShot = graft.operators.Sketches.kmvSample(
+        (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "value"),
+        "id", "value", k = 10, seed = 7L)
+      .orderBy("priority")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === oneShot, "min-k lattice: merge must equal one-shot")
+    // quantile estimates read straight off the persisted sample
+    val q = graft.operators.Sketches.kmvQuantiles(merged.get, "value",
+        Seq(0.5)).collect().head
+    assert(q.getDouble(1) >= 1.0 && q.getDouble(1) <= 100.0)
+    assert(q.getLong(2) === 10L)
+  }
+
   test("streamingCmsIngest skips a redelivered batch id (no double count)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
