@@ -3084,6 +3084,23 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: HLL audience overlap — |A|, |B|, |A∪B| (register max-merge)
+    //    and the inclusion–exclusion intersection + Jaccard, at sketch
+    //    cost with NO join between the raw sets (the compounding-error
+    //    caveat documented; negative reads clamp to 0) (oracle: DuckDB
+    //    replays registers for a/b/union and the same arithmetic) ──────────
+    "q304_hll_overlap" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Sketches.hllOverlap(
+          ev.filter(col("event_type") === "click").select("user_id"),
+          ev.filter(col("event_type") === "purchase").select("user_id"),
+          "user_id", m = 256)
+        .select(round(col("est_a"), 6).as("est_a"),
+          round(col("est_b"), 6).as("est_b"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("est_intersection"), 6).as("est_intersection"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
     // ── scale: per-group KMV quantiles — k-row mergeable bottom-k sample
     //    of EVERY source in one pass (the per-group cell of the sketch
     //    matrix: q90 CMS counts, q94/q111 HLL distinct, q178 global KMV),
@@ -6624,6 +6641,43 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q304_hll_overlap" ->
+      s"""WITH ha AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+         |    ::UBIGINT AS hv FROM events WHERE event_type = 'click'),
+         |hb AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+         |    ::UBIGINT AS hv FROM events WHERE event_type = 'purchase'),
+         |ra AS (SELECT hv & 255 AS bucket, max(${hllRhoSql("hv >> 8", 52)})
+         |       AS M FROM ha GROUP BY 1),
+         |rb AS (SELECT hv & 255 AS bucket, max(${hllRhoSql("hv >> 8", 52)})
+         |       AS M FROM hb GROUP BY 1),
+         |ru AS (SELECT bucket, max(M) AS M FROM
+         |       (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+         |regs AS (SELECT 'a' AS s, bucket, M FROM ra
+         |  UNION ALL SELECT 'b', bucket, M FROM rb
+         |  UNION ALL SELECT 'u', bucket, M FROM ru),
+         |e AS (SELECT s,
+         |        list_reduce(list(power(2.0, -M) ORDER BY bucket),
+         |          (a, b) -> a + b) + (256.0 - count(*)) AS z,
+         |        256.0 - count(*) AS v0
+         |      FROM regs GROUP BY 1),
+         |x AS (SELECT s,
+         |        CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z
+         |               <= 640.0 AND v0 > 0.0
+         |          THEN 256.0 * ln(256.0 / v0)
+         |          ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z
+         |        END AS est
+         |      FROM e),
+         |f AS (SELECT
+         |    (SELECT est FROM x WHERE s = 'a') AS ea,
+         |    (SELECT est FROM x WHERE s = 'b') AS eb,
+         |    (SELECT est FROM x WHERE s = 'u') AS eu)
+         |SELECT round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+         |  round(eu, 6) AS est_union,
+         |  round(greatest(0.0, (ea + eb) - eu), 6) AS est_intersection,
+         |  round(CASE WHEN eu > 0.0
+         |    THEN greatest(0.0, (ea + eb) - eu) / eu ELSE 0.0 END, 6)
+         |    AS jaccard
+         |FROM f""".stripMargin,
     "q303_group_kmv_quantiles" ->
       """WITH b AS (SELECT source AS grp, doc_id AS id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -804,6 +804,32 @@ object Stress {
     // task-metrics listener), so a stage whose shuffle volume outgrows its
     // input shows up even when wall time hides inside ambient noise.
     // Stage name: "e2e" (STRESS_ONLY=e2e).
+    // round-9 additions: each must stay linear-at-worst with corpus size
+    time(s"robustTrendPerGroup ${factor}x") {
+      val m = unix_micros(col("ts").cast("timestamp"))
+      val d = lit(86400000000L)
+      val ev = events.withColumn("day", ((m - pmod(m, d)) / d).cast("long"))
+      println("[stress]   rows=" + Bench.force(Analytics.robustTrendPerGroup(
+        ev, "event_type", "event_id", "day", "value")))
+    }
+    time(s"pruningReport ${factor}x") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+      val liRep = replicate(li, "rid", 100000000000L)
+      val probes = Seq((0L, "l_partkey", 100L, 120L),
+        (1L, "l_suppkey", 50L, 55L)).toDF("probe_id", "col_name", "lo", "hi")
+      println("[stress]   rows=" + Bench.force(Layout.pruningReport(
+        liRep, "rid", Seq("l_partkey", "l_suppkey"), 64, probes)))
+    }
+    time(s"kmvSamplePerGroup ${factor}x") {
+      println("[stress]   rows=" + Bench.force(
+        graft.operators.Sketches.kmvQuantilesPerGroup(
+          graft.operators.Sketches.kmvSamplePerGroup(
+            docs.withColumn("src", pmod(col("doc_id"), lit(20L))),
+            "src", "doc_id", "doc_id", k = 256, seed = 7L),
+          Seq(0.5, 0.9))))
+    }
+
     // q249 fix probe: the card must be scan-bound (micro-integer sum +
     // sha2 distinct — no corpus-sized aggregation buffer anywhere)
     time(s"datasetCard ${factor}x") {

@@ -199,6 +199,37 @@ object Sketches {
     hllEstimateFromRegisters(merged.join(present, Seq("day")), Seq("day"), m)
   }
 
+  /** Audience overlap via HLL inclusion–exclusion: distinct counts of
+    * two sets, their union (register MERGE — max per bucket, the
+    * mergeability that makes this free), the implied intersection
+    * |A| + |B| − |A∪B|, and the Jaccard estimate — "how much do these
+    * two audiences/corpora overlap?" at sketch cost, no join between
+    * the raw sets ever happens. Intersection error compounds (the
+    * standard HLL-overlap caveat: three ±1.04/√m estimates subtract),
+    * so small true overlaps can read slightly negative — clamped at 0,
+    * the convention every sketch-overlap system uses. Returns one row
+    * (est_a, est_b, est_union, est_intersection, jaccard). */
+  def hllOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+      m: Int = 256): DataFrame = {
+    val ra = hllRegisters(a.select(lit("a").as("__s"), col(valueCol)),
+      Seq("__s"), valueCol, m)
+    val rb = hllRegisters(b.select(lit("b").as("__s"), col(valueCol)),
+      Seq("__s"), valueCol, m)
+    val ru = ra.unionByName(rb)
+      .groupBy("bucket").agg(max(col("M")).as("M"))
+      .withColumn("__s", lit("u"))
+    val ests = hllEstimateFromRegisters(
+        ra.unionByName(rb).unionByName(ru.select("__s", "bucket", "M")),
+        Seq("__s"), m)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (ea, eb, eu) = (ests("a"), ests("b"), ests("u"))
+    val inter = math.max(0.0, (ea + eb) - eu)
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((ea, eb, eu, inter, if (eu > 0.0) inter / eu else 0.0))
+      .toDF("est_a", "est_b", "est_union", "est_intersection", "jaccard")
+  }
+
   // ── KMV quantile sketch ────────────────────────────────────────────────
 
   /** Bottom-k (KMV) sample: the `k` rows with the SMALLEST deterministic

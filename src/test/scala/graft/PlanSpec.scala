@@ -373,4 +373,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"global-rank path collapses to one partition:\n$plan")
   }
+
+  test("reciprocalBestMatch: id-keyed windows + semi-join, no cartesian") {
+    val scored = spark.range(5000).select(
+      (col("id") % 700).as("id_a"), (col("id") % 1100).as("id_b"),
+      (col("id") % 97 * 100000L).as("score_micro"))
+    val plan = physical(graft.operators.Linkage.reciprocalBestMatch(
+      scored, minScoreMicro = 100000L))
+    assert(!plan.contains("CartesianProduct"),
+      s"reciprocal match goes cartesian:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"argmax collapses to one partition:\n$plan")
+  }
+
+  test("robustTrendPerGroup: no cartesian, no single-partition rank exchange") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        (col("event_id") % 30).cast("double").as("x"), col("value").as("y"))
+    val plan = physical(graft.operators.Analytics.robustTrendPerGroup(
+      ev, "event_type", "event_id", "x", "y"))
+    assert(!plan.contains("CartesianProduct"),
+      s"robust trend goes cartesian:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-group rank collapses to one partition:\n$plan")
+  }
+
+  test("pruningReport: stats join broadcasts the probes, no cartesian") {
+    val grid = spark.range(2000).select(col("id"),
+      pmod(col("id"), lit(32L)).as("x"), (col("id") / 32).cast("long").as("y"))
+    val probes = Seq((0L, "x", 0L, 1L), (1L, "y", 0L, 1L))
+      .toDF("probe_id", "col_name", "lo", "hi")
+    val plan = physical(graft.operators.Layout.pruningReport(
+      grid, "id", Seq("x", "y"), partitions = 8, probes = probes))
+    assert(!plan.contains("CartesianProduct"),
+      s"pruning report goes cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probes not broadcast:\n$plan")
+  }
 }
