@@ -3084,6 +3084,24 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: sketch-error audit — q304's HLL overlap NEXT TO the exact
+    //    overlap (distinct frames + one key-width semi-join), with
+    //    relative errors: the calibration run a domain does once before
+    //    trusting sketch numbers everywhere (oracle: DuckDB computes the
+    //    exact side and replays the q304 register arithmetic) ──────────────
+    "q305_overlap_audit" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Sketches.hllOverlapAudit(
+          ev.filter(pmod(col("user_id"), lit(2L)) === 0).select("user_id"),
+          ev.filter(pmod(col("user_id"), lit(3L)) === 0).select("user_id"),
+          "user_id", m = 256)
+        .select(col("exact_a"), col("exact_b"), col("exact_intersection"),
+          round(col("est_a"), 6).as("est_a"),
+          round(col("est_b"), 6).as("est_b"),
+          round(col("est_intersection"), 6).as("est_intersection"),
+          round(col("rel_err_a"), 6).as("rel_err_a"),
+          round(col("rel_err_b"), 6).as("rel_err_b"))
+    }),
     // ── scale: HLL audience overlap — |A|, |B|, |A∪B| (register max-merge)
     //    and the inclusion–exclusion intersection + Jaccard, at sketch
     //    cost with NO join between the raw sets (the compounding-error
@@ -3092,8 +3110,8 @@ object SparkEntry {
     "q304_hll_overlap" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       Sketches.hllOverlap(
-          ev.filter(col("event_type") === "click").select("user_id"),
-          ev.filter(col("event_type") === "purchase").select("user_id"),
+          ev.filter(pmod(col("user_id"), lit(2L)) === 0).select("user_id"),
+          ev.filter(pmod(col("user_id"), lit(3L)) === 0).select("user_id"),
           "user_id", m = 256)
         .select(round(col("est_a"), 6).as("est_a"),
           round(col("est_b"), 6).as("est_b"),
@@ -6641,11 +6659,59 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q305_overlap_audit" ->
+      s"""WITH au AS (SELECT DISTINCT user_id FROM events
+         |    WHERE user_id % 2 = 0),
+         |bu AS (SELECT DISTINCT user_id FROM events
+         |    WHERE user_id % 3 = 0),
+         |ex AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM au) AS exact_a,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bu) AS exact_b,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM au
+         |     WHERE user_id IN (SELECT user_id FROM bu))
+         |      AS exact_intersection),
+         |ha AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+         |    ::UBIGINT AS hv FROM events WHERE user_id % 2 = 0),
+         |hb AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+         |    ::UBIGINT AS hv FROM events WHERE user_id % 3 = 0),
+         |ra AS (SELECT hv & 255 AS bucket, max(${hllRhoSql("hv >> 8", 52)})
+         |       AS M FROM ha GROUP BY 1),
+         |rb AS (SELECT hv & 255 AS bucket, max(${hllRhoSql("hv >> 8", 52)})
+         |       AS M FROM hb GROUP BY 1),
+         |ru AS (SELECT bucket, max(M) AS M FROM
+         |       (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+         |regs AS (SELECT 'a' AS s, bucket, M FROM ra
+         |  UNION ALL SELECT 'b', bucket, M FROM rb
+         |  UNION ALL SELECT 'u', bucket, M FROM ru),
+         |e AS (SELECT s,
+         |        list_reduce(list(power(2.0, -M) ORDER BY bucket),
+         |          (a, b) -> a + b) + (256.0 - count(*)) AS z,
+         |        256.0 - count(*) AS v0
+         |      FROM regs GROUP BY 1),
+         |x AS (SELECT s,
+         |        CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z
+         |               <= 640.0 AND v0 > 0.0
+         |          THEN 256.0 * ln(256.0 / v0)
+         |          ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z
+         |        END AS est
+         |      FROM e),
+         |f AS (SELECT
+         |    (SELECT est FROM x WHERE s = 'a') AS ea,
+         |    (SELECT est FROM x WHERE s = 'b') AS eb,
+         |    (SELECT est FROM x WHERE s = 'u') AS eu)
+         |SELECT exact_a, exact_b, exact_intersection,
+         |  round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+         |  round(greatest(0.0, (ea + eb) - eu), 6) AS est_intersection,
+         |  round((ea - CAST(exact_a AS DOUBLE)) / CAST(exact_a AS DOUBLE),
+         |    6) AS rel_err_a,
+         |  round((eb - CAST(exact_b AS DOUBLE)) / CAST(exact_b AS DOUBLE),
+         |    6) AS rel_err_b
+         |FROM ex CROSS JOIN f""".stripMargin,
     "q304_hll_overlap" ->
       s"""WITH ha AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
-         |    ::UBIGINT AS hv FROM events WHERE event_type = 'click'),
+         |    ::UBIGINT AS hv FROM events WHERE user_id % 2 = 0),
          |hb AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
-         |    ::UBIGINT AS hv FROM events WHERE event_type = 'purchase'),
+         |    ::UBIGINT AS hv FROM events WHERE user_id % 3 = 0),
          |ra AS (SELECT hv & 255 AS bucket, max(${hllRhoSql("hv >> 8", 52)})
          |       AS M FROM ha GROUP BY 1),
          |rb AS (SELECT hv & 255 AS bucket, max(${hllRhoSql("hv >> 8", 52)})

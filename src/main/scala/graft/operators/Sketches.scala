@@ -230,6 +230,31 @@ object Sketches {
       .toDF("est_a", "est_b", "est_union", "est_intersection", "jaccard")
   }
 
+  /** [[hllOverlap]] next to the EXACT overlap, in one report — the
+    * sketch-error audit run once per domain before trusting the sketch
+    * numbers everywhere: exact |A|, |B|, |A∩B| (distinct frames + one
+    * key-width semi-join — the thing the sketch exists to avoid at
+    * 100 TB, affordable as a calibration run) beside the register
+    * estimates and their relative errors. Returns one row
+    * (exact_a, exact_b, exact_intersection, est_a, est_b,
+    * est_intersection, rel_err_a, rel_err_b). */
+  def hllOverlapAudit(a: DataFrame, b: DataFrame, valueCol: String,
+      m: Int = 256): DataFrame = {
+    val da = a.select(col(valueCol)).distinct().localCheckpoint(false)
+    val db = b.select(col(valueCol)).distinct().localCheckpoint(false)
+    val (ea, eb) = (da.count(), db.count())
+    val ei = da.join(db, Seq(valueCol), "left_semi").count()
+    val est = hllOverlap(a, b, valueCol, m).first()
+    val (ha, hb, hi) = (est.getDouble(0), est.getDouble(1), est.getDouble(3))
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((ea, eb, ei, ha, hb, hi,
+        if (ea > 0) (ha - ea.toDouble) / ea.toDouble else 0.0,
+        if (eb > 0) (hb - eb.toDouble) / eb.toDouble else 0.0))
+      .toDF("exact_a", "exact_b", "exact_intersection", "est_a", "est_b",
+        "est_intersection", "rel_err_a", "rel_err_b")
+  }
+
   // ── KMV quantile sketch ────────────────────────────────────────────────
 
   /** Bottom-k (KMV) sample: the `k` rows with the SMALLEST deterministic
