@@ -3084,6 +3084,24 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: pair forensics — every detector's verdict for given pairs
+    //    in one row (shingles, Jaccard, containment, SimHash Hamming,
+    //    exact): "why did the dedup merge these two?"; corpus semi-joins
+    //    to the pair ids first, all metrics in-row (oracle: DuckDB replays
+    //    shingles, list_intersect, the md5-token simhash, and md5 text
+    //    equality) ──────────────────────────────────────────────────────────
+    "q306_pair_forensics" -> ((s, dir) => {
+      import s.implicits._
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val dupes = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val corpus = d.unionByName(dupes)
+      val probePairs = Seq((10L, 100010L), (20L, 100020L), (33L, 77L),
+        (40L, 100050L)).toDF("id_a", "id_b")
+      Dedup.pairForensics(corpus, probePairs, "doc_id", "text",
+          shingleSize = 3, tokenHash = Dedup.md5Hash60)
+        .orderBy("id_a", "id_b")
+    }),
     // ── scale: sketch-error audit — q304's HLL overlap NEXT TO the exact
     //    overlap (distinct frames + one key-width semi-join), with
     //    relative errors: the calibration run a domain does once before
@@ -6659,6 +6677,46 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q306_pair_forensics" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |pr AS (SELECT * FROM (VALUES (10, 100010), (20, 100020),
+         |    (33, 77), (40, 100050)) AS t(id_a, id_b)),
+         |ids AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+         |nd AS (SELECT u.* FROM u WHERE u.doc_id IN (SELECT id FROM ids)),
+         |t AS (SELECT doc_id, $shingle3Sql AS sh, md5(text) AS th
+         |      FROM (SELECT doc_id, text,
+         |        string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM nd)),
+         |tok AS (SELECT doc_id, ${h60Sql("t")}::BIGINT AS h
+         |  FROM (SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |    FROM nd)),
+         |sig AS (SELECT doc_id, $simhashBitsSql AS s FROM tok
+         |        GROUP BY doc_id),
+         |f AS (SELECT t.doc_id, sh, th, s FROM t
+         |      JOIN sig ON t.doc_id = sig.doc_id)
+         |SELECT CAST(pr.id_a AS BIGINT) AS id_a,
+         |  CAST(pr.id_b AS BIGINT) AS id_b,
+         |  CAST(len(a.sh) AS BIGINT) AS n_sh_a,
+         |  CAST(len(b.sh) AS BIGINT) AS n_sh_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+         |  CASE WHEN (len(a.sh) + len(b.sh)
+         |        - len(list_intersect(a.sh, b.sh))) > 0
+         |    THEN round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(a.sh) + len(b.sh)
+         |             - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+         |  END AS jaccard,
+         |  CASE WHEN least(len(a.sh), len(b.sh)) > 0
+         |    THEN round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6)
+         |  END AS containment,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming,
+         |  a.th = b.th AS exact
+         |FROM pr JOIN f a ON pr.id_a = a.doc_id
+         |  JOIN f b ON pr.id_b = b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
     "q305_overlap_audit" ->
       s"""WITH au AS (SELECT DISTINCT user_id FROM events
          |    WHERE user_id % 2 = 0),
