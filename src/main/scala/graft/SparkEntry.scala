@@ -3084,6 +3084,22 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: top movers — the keys whose REVENUE RANK moved most
+    //    between two periods (rank deltas survive level shifts raw deltas
+    //    can't); exact-cents per-(part, period) sums, distributed global
+    //    ranks over the key-cardinality aggregate, TakeOrdered top-k
+    //    (oracle: DuckDB replays sums, both rank windows, and the cut) ────
+    "q307_top_movers" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").withColumn("period",
+        when(col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+          lit("a")).otherwise(lit("b")))
+        .withColumn("cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long"))
+      Analytics.topMovers(li, "l_partkey", "cents", "period", "a", "b",
+          k = 25)
+        .orderBy(abs(col("delta")).desc, col("l_partkey"))
+    }),
     // ── scale: pair forensics — every detector's verdict for given pairs
     //    in one row (shingles, Jaccard, containment, SimHash Hamming,
     //    exact): "why did the dedup merge these two?"; corpus semi-joins
@@ -6677,6 +6693,30 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q307_top_movers" ->
+      """WITH li AS (SELECT l_partkey AS k,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+        |      THEN 'a' ELSE 'b' END AS p,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem),
+        |a AS (SELECT k, CAST(sum(cents) AS BIGINT) AS v_a FROM li
+        |      WHERE p = 'a' GROUP BY 1),
+        |b AS (SELECT k, CAST(sum(cents) AS BIGINT) AS v_b FROM li
+        |      WHERE p = 'b' GROUP BY 1),
+        |ra AS (SELECT k, v_a,
+        |       row_number() OVER (ORDER BY v_a DESC, k ASC) AS rank_a
+        |       FROM a),
+        |rb AS (SELECT k, v_b,
+        |       row_number() OVER (ORDER BY v_b DESC, k ASC) AS rank_b
+        |       FROM b),
+        |j AS (SELECT ra.k, v_a, v_b, rank_a, rank_b,
+        |        rank_a - rank_b AS delta
+        |      FROM ra JOIN rb ON ra.k = rb.k)
+        |SELECT k AS l_partkey, v_a, v_b,
+        |  CAST(rank_a AS BIGINT) AS rank_a,
+        |  CAST(rank_b AS BIGINT) AS rank_b, CAST(delta AS BIGINT) AS delta
+        |FROM j ORDER BY abs(delta) DESC, l_partkey LIMIT 25""".stripMargin,
     "q306_pair_forensics" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 100000, text FROM documents

@@ -546,6 +546,40 @@ object Analytics {
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 
+  /** Top movers: the keys whose RANK moved most between two periods —
+    * "which parts/sources/segments surged or collapsed this month"
+    * (rank deltas survive level shifts that make raw-value deltas
+    * unreadable; the period-over-period staple next to q248's growth
+    * table). Values aggregate to exact longs per (key, period); ranks
+    * are dense positions by (value desc, key asc) computed with the
+    * distributed global-rank idiom over the KEY-CARDINALITY aggregate —
+    * never a single-partition window over it; the final top-k by
+    * |rank delta| is a TakeOrdered. Keys absent from either period are
+    * excluded (a rank against nothing is not a move — the
+    * appeared/vanished lists are one anti-join away and a different
+    * question). Returns (key, v_a, v_b, rank_a, rank_b, delta) with
+    * delta = rank_a − rank_b (positive = climbed). */
+  def topMovers(df: DataFrame, keyCol: String, valueCol: String,
+      periodCol: String, periodA: String, periodB: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def ranked(period: String, vName: String, rName: String): DataFrame = {
+      val agg = df.filter(col(periodCol) === period)
+        .groupBy(col(keyCol).as("__k"))
+        .agg(sum(col(valueCol).cast("long")).as(vName))
+      Sampling.globalRowNumber(agg, rName,
+        col(vName).desc, col("__k").asc)
+    }
+    val a = ranked(periodA, "v_a", "rank_a")
+    val b = ranked(periodB, "v_b", "rank_b")
+    a.join(b, Seq("__k"))
+      .select(col("__k").as(keyCol), col("v_a"), col("v_b"),
+        col("rank_a"), col("rank_b"),
+        (col("rank_a") - col("rank_b")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Robust per-group trend — sampled Theil–Sen: the slope a few extreme
     * days cannot drag (OLS q198's outlier-proof sibling; one bad ingest
     * day flips an OLS slope sign, a median slope shrugs). Exact Theil–Sen

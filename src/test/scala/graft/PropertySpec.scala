@@ -489,4 +489,36 @@ class RoundTripSpec extends SparkSpec {
       }
     }
   }
+
+  test("reciprocalBestMatch output is one-to-one and mutually optimal, for random scored graphs") {
+    import graft.operators.Linkage
+    def forAll[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+      (0 until n).foreach { i =>
+        gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+      }
+    val pairGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(0L, 19L), Gen.choose(100L, 119L), Gen.choose(1L, 50L)))
+    forAll(pairGen, n = 20) { triples =>
+      val scored = triples.map { case (a, b, s) => (a, b, s * 100000L) }
+        .toDF("id_a", "id_b", "score_micro")
+        // keep-max per pair: duplicates in the random gen would make the
+        // "mutually optimal" reference ambiguous
+        .groupBy("id_a", "id_b")
+        .agg(max("score_micro").as("score_micro"))
+      val out = Linkage.reciprocalBestMatch(scored)
+        .as[(Long, Long, Long)].collect()
+      // 1:1 — no id appears twice on either side
+      assert(out.map(_._1).distinct.length === out.length, "id_a reused")
+      assert(out.map(_._2).distinct.length === out.length, "id_b reused")
+      // mutual optimality vs a driver-side reference on the same frame
+      val sc = scored.as[(Long, Long, Long)].collect()
+      val bestB = sc.groupBy(_._1).map { case (a, g) =>
+        a -> g.minBy(t => (-t._3, t._2))._2 }
+      val bestA = sc.groupBy(_._2).map { case (b, g) =>
+        b -> g.minBy(t => (-t._3, t._1))._1 }
+      val ref = sc.filter(t => bestB(t._1) == t._2 && bestA(t._2) == t._1)
+        .map(t => (t._1, t._2)).toSet
+      assert(out.map(t => (t._1, t._2)).toSet === ref)
+    }
+  }
 }
