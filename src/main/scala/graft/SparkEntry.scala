@@ -3084,6 +3084,88 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: Benjamini–Hochberg FDR — turn a frame of per-slice test
+    //    p-values into q-values + an αFDR decision (the correction layer
+    //    every multi-slice drift/test sweep needs before anyone acts on
+    //    "significant"); globalRowNumber ranks + per-partition suffix-min
+    //    with a driver suffix over the partitions-sized min table — no
+    //    single-partition rank exchange (oracle: DuckDB replays the hash
+    //    p-values, the rank window, and the reverse running min) ──────────
+    "q308_bh_fdr" -> ((s, dir) => {
+      // deterministic pseudo p-values (md5-fraction per slice; slices with
+      // nationkey < 5 get planted 1000× smaller p's so both decision
+      // branches are exercised) — the operator under test is the
+      // ADJUSTMENT, not the upstream test statistic
+      val tests = T(s, dir, "customer")
+        .select(concat(col("c_nationkey").cast("string"), lit("|"),
+          col("c_mktsegment")).as("test_id"), col("c_nationkey").as("nk"))
+        .distinct()
+        .withColumn("__p0", Dedup.md5Hash60(col("test_id")).cast("double") /
+          lit(1.152921504606846976e18))
+        .withColumn("p", when(col("nk") < 5, col("__p0") / lit(1000.0))
+          .otherwise(col("__p0")))
+      Analytics.bhAdjust(tests, "test_id", "p", alpha = 0.25)
+        .select(col("test_id"), round(col("p"), 9).as("p"), col("rank"),
+          round(col("q_value"), 9).as("q_value"), col("reject"))
+        .orderBy("rank")
+    }),
+    // ── scale: CUPED variance reduction — per-variant adjusted means
+    //    Y − θ·(X − mean X) from pre-period covariates (the standard
+    //    experimentation trick); θ from exact DECIMAL(38,0) sufficient
+    //    statistics, doubles only at the end with fixed parenthesization
+    //    (oracle: DuckDB HUGEINT sums + the same arithmetic tree) ─────────
+    "q309_cuped" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val units = ev.select(col("user_id"),
+          round(col("value") * lit(100.0)).cast("long").as("__cents"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("__pre"))
+        .groupBy("user_id")
+        .agg(sum(when(col("__pre"), col("__cents")).otherwise(0L)).as("x"),
+          sum(when(!col("__pre"), col("__cents")).otherwise(0L)).as("y"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)).cast("string"))
+      Analytics.cupedAdjust(units, "user_id", "variant", "x", "y")
+        .select(col("variant"), col("n_units"),
+          round(col("mean_pre"), 6).as("mean_pre"),
+          round(col("mean_post"), 6).as("mean_post"),
+          round(col("mean_post_adj"), 6).as("mean_post_adj"),
+          round(col("var_post"), 2).as("var_post"),
+          round(col("var_post_adj"), 2).as("var_post_adj"),
+          round(col("theta"), 6).as("theta"))
+        .orderBy("variant")
+    }),
+    // ── scale: Misra–Gries exact heavy hitters — the two-pass MG:
+    //    ≤ k candidates per partition (superset guarantee), then an exact
+    //    recount of candidates only — the output is EXACTLY the true
+    //    count > n/k set at bounded memory, never a vocab-wide shuffle
+    //    (oracle: plain GROUP BY/HAVING — the exactness claim itself) ─────
+    "q310_mg_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      Sketches.mgHeavyHitters(toks, "tok", k = 30)
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+    // ── scale: modularity — is a community assignment real structure?
+    //    Q-contribution per community of the nation partition over the
+    //    customer–supplier co-purchase graph; exact DECIMAL(38,0) integer
+    //    numerators, induced-subgraph semantics (m/degrees AFTER the
+    //    assignment join) (oracle: DuckDB replays canonicalization,
+    //    induced degrees, and the HUGEINT arithmetic) ─────────────────────
+    "q311_modularity" -> ((s, dir) => {
+      val el = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      val cust = T(s, dir, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("node"),
+          concat(lit("n"), col("c_nationkey")).as("comm"))
+      val supp = T(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("node"),
+          concat(lit("n"), col("s_nationkey")).as("comm"))
+      Graph.modularity(el, "a", "b", cust.unionByName(supp), "node", "comm")
+        .select(col("community"), col("n_nodes"), col("in_edges"),
+          col("deg_sum"), round(col("contrib"), 9).as("contrib"))
+        .orderBy("community")
+    }),
     // ── scale: top movers — the keys whose REVENUE RANK moved most
     //    between two periods (rank deltas survive level shifts raw deltas
     //    can't); exact-cents per-(part, period) sums, distributed global
@@ -6693,6 +6775,106 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q308_bh_fdr" ->
+      s"""WITH t AS (SELECT DISTINCT c_nationkey::VARCHAR || '|' ||
+         |    c_mktsegment AS test_id, c_nationkey AS nk FROM customer),
+         |p0 AS (SELECT test_id,
+         |    CAST(${h60Sql("test_id")} AS DOUBLE)
+         |      / 1152921504606846976.0 AS p0, nk FROM t),
+         |p1 AS (SELECT test_id,
+         |    CASE WHEN nk < 5 THEN p0 / 1000.0 ELSE p0 END AS p FROM p0),
+         |r AS (SELECT test_id, p,
+         |    row_number() OVER (ORDER BY p ASC, test_id ASC) AS rank,
+         |    count(*) OVER () AS n FROM p1),
+         |q AS (SELECT test_id, p, rank,
+         |    least(1.0, min((p * CAST(n AS DOUBLE)) / CAST(rank AS DOUBLE))
+         |      OVER (ORDER BY rank DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |      AS q_value
+         |  FROM r)
+         |SELECT test_id, round(p, 9) AS p, CAST(rank AS BIGINT) AS rank,
+         |  round(q_value, 9) AS q_value, q_value <= 0.25 AS reject
+         |FROM q ORDER BY rank""".stripMargin,
+    "q309_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant, x, y FROM u),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(y) AS DOUBLE) AS syd,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxxd,
+        |    CAST(sum(x*y) AS DOUBLE) AS sxyd FROM g),
+        |th AS (SELECT
+        |    CASE WHEN ((nd*sxxd) - (sxd*sxd)) = 0.0 THEN 0.0
+        |      ELSE ((nd*sxyd) - (sxd*syd)) / ((nd*sxxd) - (sxd*sxd))
+        |    END AS theta, sxd / nd AS meanx FROM tot),
+        |v AS (SELECT variant, count(*) AS n,
+        |    CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(y) AS DOUBLE) AS syd,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxxd,
+        |    CAST(sum(x*y) AS DOUBLE) AS sxyd,
+        |    CAST(sum(y*y) AS DOUBLE) AS syyd FROM g GROUP BY 1),
+        |e AS (SELECT variant, n, nd, sxd / nd AS mean_pre,
+        |    syd / nd AS mean_post,
+        |    CASE WHEN n > 1 THEN ((nd*syyd) - (syd*syd))
+        |      / (nd * CAST(n - 1 AS DOUBLE)) ELSE 0.0 END AS var_post,
+        |    CASE WHEN n > 1 THEN ((nd*sxxd) - (sxd*sxd))
+        |      / (nd * CAST(n - 1 AS DOUBLE)) ELSE 0.0 END AS var_x,
+        |    CASE WHEN n > 1 THEN ((nd*sxyd) - (sxd*syd))
+        |      / (nd * CAST(n - 1 AS DOUBLE)) ELSE 0.0 END AS cov
+        |  FROM v)
+        |SELECT variant, CAST(n AS BIGINT) AS n_units,
+        |  round(mean_pre, 6) AS mean_pre, round(mean_post, 6) AS mean_post,
+        |  round(mean_post - ((SELECT theta FROM th)
+        |    * (mean_pre - (SELECT meanx FROM th))), 6) AS mean_post_adj,
+        |  round(var_post, 2) AS var_post,
+        |  round((var_post - ((2.0 * (SELECT theta FROM th)) * cov))
+        |    + (((SELECT theta FROM th) * (SELECT theta FROM th)) * var_x),
+        |    2) AS var_post_adj,
+        |  round((SELECT theta FROM th), 6) AS theta
+        |FROM e ORDER BY variant""".stripMargin,
+    "q310_mg_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS item FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok CROSS JOIN tot GROUP BY item, n
+        |HAVING count(*) * 30 > n
+        |ORDER BY cnt DESC, item""".stripMargin,
+    "q311_modularity" ->
+      """WITH el AS (SELECT DISTINCT
+        |    least('c' || o_custkey, 's' || l_suppkey) AS a,
+        |    greatest('c' || o_custkey, 's' || l_suppkey) AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE ('c' || o_custkey) <> ('s' || l_suppkey)),
+        |asg AS (SELECT 'c' || c_custkey AS node, 'n' || c_nationkey AS comm
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier),
+        |t AS (SELECT el.a, el.b, ca.comm AS ca, cb.comm AS cb
+        |  FROM el JOIN asg ca ON el.a = ca.node
+        |    JOIN asg cb ON el.b = cb.node),
+        |mm AS (SELECT count(*) AS m FROM t),
+        |deg AS (SELECT node, comm, count(*) AS d FROM
+        |    (SELECT a AS node, ca AS comm FROM t
+        |     UNION ALL SELECT b, cb FROM t) GROUP BY 1, 2),
+        |pc AS (SELECT comm, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d) AS BIGINT) AS deg_sum FROM deg GROUP BY 1),
+        |ie AS (SELECT ca AS comm, CAST(count(*) AS BIGINT) AS in_edges
+        |  FROM t WHERE ca = cb GROUP BY 1)
+        |SELECT pc.comm AS community, n_nodes,
+        |  coalesce(in_edges, CAST(0 AS BIGINT)) AS in_edges, deg_sum,
+        |  round((CAST(4 * mm.m * coalesce(in_edges, 0) AS DOUBLE)
+        |      - CAST(deg_sum * deg_sum AS DOUBLE))
+        |    / (4.0 * (CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))), 9)
+        |    AS contrib
+        |FROM pc LEFT JOIN ie ON pc.comm = ie.comm CROSS JOIN mm
+        |ORDER BY community""".stripMargin,
     "q307_top_movers" ->
       """WITH li AS (SELECT l_partkey AS k,
         |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'

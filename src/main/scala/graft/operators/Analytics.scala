@@ -2206,4 +2206,135 @@ object Analytics {
     }
     row.select(explode(array(pairs: _*)).as("p")).select("p.*")
   }
+
+  /** Benjamini–Hochberg FDR adjustment: turn a frame of per-test
+    * p-values (one row per slice/metric test — the q132 KS, q153 PSI,
+    * q171 z-test family all emit MANY tests per run) into q-values and
+    * an αFDR reject decision. Running hundreds of slice tests at raw
+    * α=0.05 guarantees false alarms; BH is the standard correction.
+    *
+    * Math: sort p ascending (ties broken by test id — deterministic),
+    * raw_i = p_(i)·n/i, q_i = min(1, min_{j≥i} raw_j) (the monotone
+    * step), reject q_i ≤ α.
+    *
+    * Shape (no single-partition rank exchange — the [[Sampling.globalRowNumber]]
+    * idiom): ONE range exchange on (p, id) + driver per-partition offsets
+    * gives global ranks; the suffix-min runs per-partition with a
+    * driver-side suffix over the partitions-sized min table. All double
+    * arithmetic is two IEEE ops (p·n then /i) + exact min/cap, so a SQL
+    * oracle replays it bit-for-bit. Scale: n tests shuffle once, ranked
+    * by range — no all-to-one exchange anywhere. */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val base = df
+      .select(col(idCol).as("test_id"), col(pCol).cast("double").as("p"))
+      .repartitionByRange(parts, col("p").asc, col("test_id").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // freeze range boundaries (q79 lesson)
+    val counts = base.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty)
+      return base.select(col("test_id"), col("p"),
+        lit(0L).as("rank"), lit(0.0).as("q_value"),
+        lit(false).as("reject")).limit(0)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val wAsc = Window.partitionBy("__pid")
+      .orderBy(col("p").asc, col("test_id").asc)
+    val ranked = base
+      .withColumn("rank", row_number().over(wAsc).cast("long") +
+        element_at(typedLit(offsets), col("__pid")))
+      .withColumn("__raw",
+        (col("p") * lit(n.toDouble)) / col("rank").cast("double"))
+      .localCheckpoint(false) // __raw read twice: partition mins + final
+    // suffix min across LATER partitions, computed on the driver over the
+    // partitions-sized min table (range partitioning orders partitions by
+    // (p, id), so "later partition" = "larger rank")
+    val pmins = ranked.groupBy("__pid").agg(min("__raw").as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    val sufAfter: Map[Int, Double] = {
+      var run = Double.MaxValue
+      pmins.reverse.map { case (pid, m) =>
+        val out = pid -> run; run = math.min(run, m); out
+      }.toMap
+    }
+    val wDesc = Window.partitionBy("__pid").orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("q_value", least(lit(1.0),
+        least(min(col("__raw")).over(wDesc),
+          element_at(typedLit(sufAfter), col("__pid")))))
+      .select(col("test_id"), col("p"), col("rank"), col("q_value"),
+        (col("q_value") <= lit(alpha)).as("reject"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13): adjust each unit's
+    * post-period metric by its PRE-period metric — the single highest-leverage
+    * trick in online experimentation (the pre-period explains user-level
+    * variance the treatment can't touch, so the adjusted means separate at a
+    * fraction of the sample size).
+    *
+    * Input is a per-UNIT frame with both metrics as EXACT LONGS
+    * (micro-units — the q307 cents convention; aggregate raw events to
+    * units upstream). θ = cov(X,Y)/var(X) from exact DECIMAL(38,0)
+    * sufficient statistics over all units (the [[Sampling.neymanAllocation]]
+    * convention: per-unit products fit DECIMAL(19,0)², the corpus sums get
+    * 38 digits), converted to double ONCE with a fixed parenthesization —
+    * fold-order-free, so a HUGEINT SQL oracle replays it bit-for-bit.
+    * Adjusted metric: Y_adj = Y − θ·(X − mean(X)) (global mean centering
+    * keeps means interpretable). Per variant: mean, adjusted mean,
+    * variance, and adjusted variance (var_adj = var_y − 2θcov + θ²var_x).
+    *
+    * Shape: one unit-cardinality aggregate for the globals + one
+    * variant-cardinality aggregate — two map-side-combined passes, no
+    * per-unit join back. Returns one row per variant. */
+  def cupedAdjust(df: DataFrame, unitCol: String, variantCol: String,
+      preCol: String, postCol: String): DataFrame = {
+    val g = df.select(col(unitCol).as("__u"),
+      col(variantCol).cast("string").as("variant"),
+      col(preCol).cast("long").as("__x"), col(postCol).cast("long").as("__y"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val aggCols = Seq(
+      count(lit(1)).as("__n"),
+      sum(d19(col("__x")).cast("decimal(38,0)")).as("__sx"),
+      sum(d19(col("__y")).cast("decimal(38,0)")).as("__sy"),
+      sum((d19(col("__x")) * d19(col("__x"))).cast("decimal(38,0)")).as("__sxx"),
+      sum((d19(col("__x")) * d19(col("__y"))).cast("decimal(38,0)")).as("__sxy"),
+      sum((d19(col("__y")) * d19(col("__y"))).cast("decimal(38,0)")).as("__syy"))
+    val global = g.agg(aggCols.head, aggCols.tail: _*).first()
+    val nG = global.getLong(0)
+    require(nG >= 2, s"CUPED needs >= 2 units, got $nG")
+    def gd(i: Int): Double = global.getDecimal(i).doubleValue()
+    val (sx, sy, sxx, sxy) = (gd(1), gd(2), gd(3), gd(4))
+    val nD = nG.toDouble
+    val varXNum = (nD * sxx) - (sx * sx) // n²·var scale — exact-int-sourced
+    val theta =
+      if (varXNum == 0.0) 0.0 else ((nD * sxy) - (sx * sy)) / varXNum
+    val meanX = sx / nD
+    val perVariant = g.groupBy("variant").agg(aggCols.head, aggCols.tail: _*)
+    val vn = col("__n").cast("double")
+    def vd(name: String): Column = col(name).cast("double")
+    val meanY = vd("__sy") / vn
+    val meanXv = vd("__sx") / vn
+    def varOf(sqName: String, sName: String): Column =
+      when(col("__n") > 1L,
+        ((vn * vd(sqName)) - (vd(sName) * vd(sName))) /
+          (vn * (col("__n") - 1L).cast("double"))).otherwise(lit(0.0))
+    val covV = when(col("__n") > 1L,
+      ((vn * vd("__sxy")) - (vd("__sx") * vd("__sy"))) /
+        (vn * (col("__n") - 1L).cast("double"))).otherwise(lit(0.0))
+    val varY = varOf("__syy", "__sy")
+    val varX = varOf("__sxx", "__sx")
+    perVariant.select(col("variant"), col("__n").as("n_units"),
+      meanXv.as("mean_pre"), meanY.as("mean_post"),
+      (meanY - (lit(theta) * (meanXv - lit(meanX)))).as("mean_post_adj"),
+      varY.as("var_post"),
+      ((varY - ((lit(2.0) * lit(theta)) * covV)) +
+        ((lit(theta) * lit(theta)) * varX)).as("var_post_adj"),
+      lit(theta).as("theta"))
+  }
 }

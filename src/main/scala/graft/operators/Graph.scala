@@ -742,4 +742,70 @@ object Graph {
     e.unpersist(false)
     dist
   }
+
+  /** Modularity of a node partition (Newman Q): "is this community
+    * assignment real structure, or would a degree-preserving random
+    * rewiring look the same?" — the acceptance test for q105 LPA output
+    * (or ANY grouping used as a community claim, e.g. "nation" over the
+    * co-purchase graph). Q = Σ_c [ in_c/m − (deg_c/2m)² ].
+    *
+    * Semantics: edges are UNDIRECTED — canonicalized to (min,max),
+    * deduped, self-loops dropped; the graph is the subgraph INDUCED on
+    * assigned nodes (m and degrees are computed AFTER the community
+    * join, so an unassigned endpoint can't silently skew the null
+    * model). Per-community contribution in EXACT integer arithmetic:
+    * contrib_num = 4m·in_c − deg_c² over DECIMAL(38,0) (m up to ~1e12
+    * edges keeps 4m·in_c ≤ ~1e25 — inside 38 digits), divided by 4m²
+    * once, in doubles, at the end — a HUGEINT SQL oracle replays it
+    * bit-for-bit.
+    *
+    * Shape: two key-width joins edge→community (node-keyed, no
+    * broadcast assumption on the assignment), then community-cardinality
+    * aggregates. No all-pairs anywhere. Returns one row per community:
+    * (community, n_nodes, in_edges, deg_sum, contrib); Q = Σ contrib. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, nodeCol: String,
+      communityCol: String): DataFrame = {
+    val asg = communities
+      .select(col(nodeCol).as("__node"), col(communityCol).as("__comm"))
+      .distinct()
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .distinct()
+    val tagged = canon
+      .join(asg.select(col("__node").as("__a"), col("__comm").as("__ca")),
+        "__a")
+      .join(asg.select(col("__node").as("__b"), col("__comm").as("__cb")),
+        "__b")
+      .localCheckpoint(false) // read by m, degrees, and in-edges below
+    val m = tagged.count()
+    if (m == 0L)
+      return tagged.select(col("__ca").as("community"),
+        lit(0L).as("n_nodes"), lit(0L).as("in_edges"),
+        lit(0L).as("deg_sum"), lit(0.0).as("contrib")).limit(0)
+    // degree per assigned node, from the induced edge set
+    val deg = tagged.select(col("__a").as("__node"), col("__ca").as("__comm"))
+      .unionByName(tagged.select(col("__b").as("__node"),
+        col("__cb").as("__comm")))
+      .groupBy("__node", "__comm").agg(count(lit(1)).as("__deg"))
+    val perComm = deg.groupBy("__comm").agg(
+      count(lit(1)).as("n_nodes"), sum("__deg").as("deg_sum"))
+    val inEdges = tagged.filter(col("__ca") === col("__cb"))
+      .groupBy("__ca").agg(count(lit(1)).as("in_edges"))
+      .withColumnRenamed("__ca", "__comm")
+    val fourM = lit(4L).cast("decimal(19,0)") * lit(m).cast("decimal(19,0)")
+    val denom = lit(4.0) * (lit(m.toDouble) * lit(m.toDouble))
+    perComm
+      .join(inEdges, Seq("__comm"), "left")
+      .select(col("__comm").as("community"), col("n_nodes"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"), col("deg_sum"))
+      .withColumn("contrib",
+        ((fourM * col("in_edges").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .cast("double") -
+          (col("deg_sum").cast("decimal(19,0)") *
+            col("deg_sum").cast("decimal(19,0)")).cast("decimal(38,0)")
+            .cast("double")) / denom)
+  }
 }

@@ -318,6 +318,74 @@ object Sketches {
         col("__m").as("sample_size"))
   }
 
+  /** Misra–Gries candidate pass: one scan, O(k) state PER PARTITION,
+    * ≤ k candidate rows emitted per partition (plus one null-item row
+    * carrying the partition's element count, so the caller gets n from
+    * the same scan). Genuine per-partition imperative state — the one
+    * shape the declarative API can't express without shuffling the full
+    * item cardinality, which is exactly what MG exists to avoid.
+    *
+    * Superset guarantee (why the recount in [[mgHeavyHitters]] is exact):
+    * within a partition, MG with k counters retains every item whose
+    * partition count exceeds n_p/k. If an item's GLOBAL count exceeds
+    * n/k = Σ_p n_p/k, some partition has count_p > n_p/k (else the sum
+    * is ≤ n/k) — so every global heavy hitter survives in ≥ 1 partition's
+    * candidate set. Nulls are dropped (no identity to report). */
+  private[operators] def mgCandidates(items: DataFrame, k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      while (it.hasNext) {
+        val x = it.next()
+        np += 1L
+        m.get(x) match {
+          case Some(c) => m.update(x, c + 1L)
+          case None =>
+            if (m.size < k) m.update(x, 1L)
+            else {
+              // decrement-all; O(k) amortized over the k arrivals it absorbs
+              val dead = List.newBuilder[String]
+              m.foreachEntry { (key, c) =>
+                if (c == 1L) dead += key else m.update(key, c - 1L)
+              }
+              dead.result().foreach(m.remove)
+            }
+        }
+      }
+      m.keysIterator.map(key => (key, 0L)) ++ Iterator((null: String, np))
+    }.toDF("item", "__np")
+  }
+
+  /** EXACT heavy hitters (items with global count > n/k) at bounded
+    * memory and bounded shuffle — the classic two-pass Misra–Gries:
+    * pass 1 emits ≤ k candidates per partition (superset proof on
+    * [[mgCandidates]]); pass 2 recounts ONLY the candidates (broadcast
+    * semi-join — candidate-cardinality shuffle, never vocab-cardinality)
+    * and keeps `cnt·k > n` (integer compare, no double threshold).
+    * Output is therefore EXACTLY the true heavy-hitter set with exact
+    * counts, independent of partitioning and candidate-set noise — a
+    * plain GROUP BY/HAVING oracle replays it, while the engine never
+    * shuffles the full item cardinality the way that oracle would.
+    * Complements [[cmsHeavyHitters]] (approximate counts, one pass,
+    * no second scan) when exactness is worth the extra scan.
+    * Returns (item, cnt), null items dropped. */
+  def mgHeavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    // small frame (≤ (k+1)·partitions rows) — eager checkpoint so the
+    // candidate scan runs ONCE (n and candidates both read it)
+    val cand = mgCandidates(items, k).localCheckpoint(true)
+    val n = cand.agg(coalesce(sum("__np"), lit(0L))).first().getLong(0)
+    val candidates = cand.filter(col("item").isNotNull)
+      .select("item").distinct()
+    items.join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > lit(n))
+  }
+
   /** Merge bottom-k samples (outputs of [[kmvSample]] under the SAME
     * seed): union, keep the k smallest priorities. The union is
     * parts×k rows — driver-bounded however many parts merge. */

@@ -1198,4 +1198,69 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(1000L) === ((0L, 0.0)))
     assert(run(rows.repartition(7)) === got)
   }
+
+  test("bhAdjust: hand q-values, monotone suffix-min step, reject set") {
+    // raw_i = p_(i)·n/i = .05, .05, .05, .625(←1.125 suffix-min'd), .99
+    // (raw_4 = .9·5/4 = 1.125 collapses to the later .99 — the BH step)
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.9),
+      ("e", 0.99)).toDF("id", "p")
+    val got = Analytics.bhAdjust(df, "id", "p", alpha = 0.05)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.map(_._1).toSeq === Seq("a", "b", "c", "d", "e"))
+    assert(got.map(_._3).forall(q => q <= 1.0))
+    assert(math.abs(got(0)._3 - 0.05) < 1e-12)
+    assert(math.abs(got(2)._3 - 0.05) < 1e-12)
+    assert(math.abs(got(3)._3 - 0.99) < 1e-12) // 1.125 suffix-min'd to .99
+    assert(math.abs(got(4)._3 - 0.99) < 1e-12)
+    assert(got.map(_._4).toSeq === Seq(true, true, true, false, false))
+  }
+
+  test("bhAdjust: partition-invariant and tie-stable") {
+    val ps = (1 to 200).map(i => (s"t$i", ((i * 37) % 101).toDouble / 101.0))
+    val df = ps.toDF("id", "p")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.bhAdjust(d, "id", "p", alpha = 0.1).orderBy("rank")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val base = run(df)
+    assert(run(df.repartition(13)) === base)
+    assert(run(df.coalesce(1)) === base)
+    // q-values are monotone nondecreasing in rank (the BH step function)
+    assert(base.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+    // empty input returns an empty, correctly-shaped frame
+    assert(Analytics.bhAdjust(df.limit(0), "id", "p").count() === 0L)
+  }
+
+  test("cupedAdjust: perfect pre-predictor drives adjusted variance to ~0") {
+    // y = 2x exactly plus a constant lift on variant b; the SAME x set in
+    // both arms (balanced), so cov(x, lift) = 0 and θ = 2 EXACTLY
+    val rows = (1 to 20).flatMap { i =>
+      val x = (i * 13 % 17) * 100L
+      Seq((i.toLong * 2, "a", x, 2L * x),
+        (i.toLong * 2 + 1, "b", x, 2L * x + 500L))
+    }
+    val df = rows.toDF("unit", "variant", "x", "y")
+    val got = Analytics.cupedAdjust(df, "unit", "variant", "x", "y")
+      .orderBy("variant").collect()
+    val theta = got(0).getDouble(7)
+    assert(math.abs(theta - 2.0) < 1e-9)
+    assert(got.forall(r => math.abs(r.getDouble(6)) < 1e-6)) // var_post_adj
+    // the lift survives adjustment: mean_post_adj(b) − mean_post_adj(a) ≈ 500
+    val adj = got.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs((adj("b") - adj("a")) - 500.0) < 1e-6)
+  }
+
+  test("cupedAdjust: constant pre-metric degenerates to θ=0 (no-op)") {
+    val df = (1 to 10).map(i => (i.toLong, (i % 2).toString, 7L, i * 10L))
+      .toDF("unit", "variant", "x", "y")
+    val got = Analytics.cupedAdjust(df, "unit", "variant", "x", "y")
+      .orderBy("variant").collect()
+    assert(got.forall(_.getDouble(7) === 0.0))
+    got.foreach { r =>
+      assert(r.getDouble(3) === r.getDouble(4)) // mean_post == mean_post_adj
+      assert(r.getDouble(5) === r.getDouble(6)) // var unchanged
+    }
+  }
 }

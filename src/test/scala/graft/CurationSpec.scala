@@ -682,4 +682,41 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(prod(k)._2 - d) < 1e-9 && math.abs(prod(k)._3 - s) < 1e-9)
     }
   }
+
+  // ── Misra–Gries exact heavy hitters ────────────────────────────────────
+
+  test("mgHeavyHitters == exact GROUP BY/HAVING under any partitioning") {
+    // zipf-ish skew: item i appears ~ 600/i times
+    val items = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"w$i"))
+    val df = items.toDF("item")
+    def exact(k: Int): Map[String, Long] = {
+      val n = items.size
+      items.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+        .filter { case (_, c) => c * k > n }
+    }
+    for (parts <- Seq(1, 3, 13); k <- Seq(5, 20, 60)) {
+      val got = Sketches.mgHeavyHitters(df.repartition(parts), "item", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === exact(k), s"parts=$parts k=$k")
+    }
+  }
+
+  test("mgHeavyHitters: uniform data → empty; nulls dropped; counts exact") {
+    val uniform = (1 to 100).map(i => s"u${i % 10}").toDF("item")
+    assert(Sketches.mgHeavyHitters(uniform, "item", 5).count() === 0L)
+    val withNulls = Seq("a", "a", "a", null, null, "b")
+      .toDF("item")
+    // n = 4 non-null; a (3) > 4/2 → only heavy hitter
+    val got = Sketches.mgHeavyHitters(withNulls, "item", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L))
+  }
+
+  test("mgHeavyHitters: wide-cardinality near-uniform corpus finds nothing") {
+    // 997 distinct values ≫ k counters/partition — the MG state stays
+    // k-bounded and the exact recount correctly reports no heavy hitters
+    val items = (1 to 5000).map(i => s"v${i % 997}").toDF("item")
+      .repartition(7)
+    assert(Sketches.mgHeavyHitters(items, "item", 11).count() === 0L)
+  }
 }

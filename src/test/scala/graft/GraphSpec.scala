@@ -413,4 +413,44 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 0L, 2L -> 5L))
   }
+
+  test("modularity: barbell hand golden; dups/direction/self-loops collapse") {
+    // two triangles {a,b,c} and {d,e,f} joined by c–d: m = 7;
+    // each triangle community: in = 3, deg_sum = 7 (2+2+3) →
+    // contrib = (4·7·3 − 49)/(4·49) = 35/196; Q = 70/196 ≈ 0.35714
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d"),
+      // noise the canonicalization must collapse:
+      ("b", "a"), ("a", "b"), ("e", "e"))
+    val comm = Seq(("a", "t1"), ("b", "t1"), ("c", "t1"),
+      ("d", "t2"), ("e", "t2"), ("f", "t2")).toDF("node", "comm")
+    val got = Graph.modularity(tri.toDF("s", "d"), "s", "d",
+        comm, "node", "comm")
+      .orderBy("community").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length === 2)
+    got.foreach { case (_, nNodes, in, deg, contrib) =>
+      assert(nNodes === 3L && in === 3L && deg === 7L)
+      assert(math.abs(contrib - 35.0 / 196.0) < 1e-12)
+    }
+    assert(math.abs(got.map(_._5).sum - 70.0 / 196.0) < 1e-12)
+  }
+
+  test("modularity: induced-subgraph semantics drop unassigned endpoints") {
+    // x is unassigned: the a–x edge must vanish from m AND from a's degree
+    val edges = Seq(("a", "b"), ("a", "x")).toDF("s", "d")
+    val comm = Seq(("a", "c1"), ("b", "c1")).toDF("node", "comm")
+    val got = Graph.modularity(edges, "s", "d", comm, "node", "comm")
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    // induced graph: one edge, both in c1 → in = 1, deg_sum = 2, m = 1:
+    // contrib = (4·1·1 − 4)/(4·1) = 0
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L && r.getLong(3) === 2L)
+    assert(r.getDouble(4) === 0.0)
+    // a fully-assigned random partition on an empty edge set is empty
+    assert(Graph.modularity(edges.limit(0), "s", "d", comm, "node", "comm")
+      .count() === 0L)
+  }
 }
