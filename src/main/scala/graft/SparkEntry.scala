@@ -1172,6 +1172,30 @@ object SparkEntry {
     // candidate buckets confirms the rest), so a plain SQL anti-join is a
     // faithful oracle no matter which rows the fpp tail routes to the
     // exact path.
+    // ── scale: right-to-be-forgotten — targeted delete from the bucketed
+    //    store under the same generation+manifest commit protocol as
+    //    upsert: delete by pk (bucket-pruned) AND by a non-bucket column
+    //    (scan discovery, affected-bucket rewrite), then a full read-back;
+    //    a second upsert proves forgotten keys re-ingest as new (oracle:
+    //    DuckDB replays the survivor set + the re-ingest arithmetic) ──────
+    "q312_forget_store" -> ((s, dir) => {
+      val store = new BucketedSnapshotStore(s, tmpWorkDir("gs_forget_"),
+        numBuckets = 16, keyBloomFpp = 0.01)
+      val d = T(s, dir, "documents").select("doc_id", "source", "n_chars")
+      store.write("docs", d, Seq("doc_id"))
+      // RTBF wave 1: ids ≡ 0 (mod 7), by pk → bucket-pruned delete
+      store.delete("docs", d.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), Seq("doc_id"), Seq("doc_id"))
+      // RTBF wave 2: every doc of one source, by a NON-pk column → the
+      // scan-discovery path (prunable bucket columns absent from keys)
+      val bySource = d.select("source").distinct().orderBy("source").limit(1)
+      store.delete("docs", bySource, Seq("source"), Seq("doc_id"))
+      // forgotten ids re-ingest as brand-new rows (sidecars rebuilt)
+      store.upsert("docs", d.filter(col("doc_id") % 14 === 0)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1000000L).as("n_chars")), Seq("doc_id"))
+      store.read("docs").get.orderBy("doc_id")
+    }),
     "q71_incremental_dedup" -> ((s, dir) => {
       val store = new BucketedSnapshotStore(s, tmpWorkDir("gs_bloom_"),
         numBuckets = 32, keyBloomFpp = 0.01)
@@ -5558,6 +5582,15 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT id FROM comp)
          |   OR doc_id IN (SELECT id FROM win WHERE rk = 1)
          |ORDER BY doc_id""".stripMargin,
+    "q312_forget_store" ->
+      """WITH ms AS (SELECT min(source) AS s FROM documents),
+        |keep AS (SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 7 <> 0 AND source <> (SELECT s FROM ms)),
+        |re AS (SELECT doc_id, source,
+        |    CAST(n_chars + 1000000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 14 = 0)
+        |SELECT * FROM keep UNION ALL SELECT * FROM re
+        |ORDER BY doc_id""".stripMargin,
     "q71_incremental_dedup" ->
       """WITH hist AS (
         |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0 OR doc_id % 7 = 0),

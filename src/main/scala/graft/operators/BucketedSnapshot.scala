@@ -3,7 +3,7 @@ package graft.operators
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -505,6 +505,74 @@ class BucketedSnapshotStore(
     afterCommitHook()
     gc(root)
     liveGens
+  }
+
+  /** Targeted deletion (the right-to-be-forgotten primitive): remove every
+    * committed row whose `keyCols` tuple appears in `keys0`, under the
+    * same generation + manifest commit protocol as upsert — crash-safe,
+    * delta-proportional, and readers never observe a torn state.
+    *
+    * `keyCols` need NOT be the pk: an RTBF request arrives as raw ids
+    * (e.g. `doc_id`) while an index cell is keyed (band, band_hash,
+    * doc_id). Bucket handling follows from what's in `keyCols`:
+    *   - if the bucket-hash columns (pk, or the pk prefix under
+    *     `bucketPrefixLen`) are all present, discovery prunes to the
+    *     buckets the keys hash into (point-delete cost);
+    *   - otherwise discovery scans all buckets (one column-pruned pass)
+    *     but REWRITES only the buckets that actually contain matches —
+    *     I/O stays proportional to the affected data, which is the bound
+    *     that matters at 100 TB (the full scan is the unavoidable price
+    *     of deleting by a non-bucketed column; route deletions through
+    *     the bucketed key when the caller has it).
+    *
+    * A bucket whose rows are ALL deleted is dropped from the manifest
+    * entirely (not pointed at an empty generation), so the bloom-sidecar
+    * invariant and `exists` semantics survive. Sidecars for rewritten
+    * buckets are rebuilt by the generation write itself — a re-ingested
+    * forgotten key is genuinely "never seen" again, which is exactly what
+    * RTBF + incremental-dedup composition requires.
+    *
+    * Null-safe matching (`<=>`), like the upsert merge. Returns the
+    * number of rows deleted. */
+  def delete(name: String, keys0: DataFrame, keyCols: Seq[String],
+      pk: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val root = path(name)
+    val manifest = readManifest(root)
+    if (manifest.forall(_._2.isEmpty)) return 0L
+    val (ver, m) = manifest.get
+    val keys = alignPkTypes(
+      keys0.select(keyCols.map(col): _*).distinct(), keyCols, root, m,
+      "delete").localCheckpoint(false)
+    val bucketCols = if (bucketPrefixLen <= 0) pk else pk.take(bucketPrefixLen)
+    val prunable = bucketCols.nonEmpty && bucketCols.forall(keyCols.contains)
+    val candidate: Option[Seq[Int]] =
+      if (prunable)
+        Some(keys.select(bucketOf(pk).as(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq)
+      else None
+    val live = readBuckets(root, m, candidate).getOrElse(return 0L)
+    def matchCond(l: DataFrame): Column =
+      keyCols.map(c => l(c) <=> keys(c)).reduce(_ && _)
+    // one discovery pass: per-bucket match counts → touched set + total
+    val matches = live
+      .join(Ops.broadcastIfSmall(keys), matchCond(live), "left_semi")
+      .groupBy(BucketCol).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    if (matches.isEmpty) return 0L
+    val touched = matches.map(_._1).sorted.toIndexedSeq
+    val deleted = matches.map(_._2).sum
+    val retained = readBuckets(root, m, Some(touched)).get
+    val survivors = retained
+      .join(Ops.broadcastIfSmall(keys), matchCond(retained), "left_anti")
+    val (gen, written) = writeGeneration(root, survivors, pk,
+      alreadyBucketed = true)
+    val emptied = touched.toSet -- written.toSet
+    beforeCommitHook()
+    writeManifest(root, ver + 1, (m -- emptied) ++ written.map(_ -> gen))
+    afterCommitHook()
+    gc(root)
+    deleted
   }
 
   /** Point lookup / key-subset read with bucket pruning: scans only the

@@ -151,4 +151,14 @@ class ErIndex(
     * whose keys collide). */
   def compact(): Unit =
     store.compact(Recs, Seq("pass", "bkey", "id")): Unit
+
+  /** Right-to-be-forgotten: erase `ids`' denormalized blocking rows (every
+    * pass's copy — the id's attributes appear once per blocking pass, all
+    * removed in one commit). The record's CLUSTER id may live on in other
+    * members' rows — that's an assignment, not the forgotten record's
+    * data. A forgotten id re-ingests as a brand-new record (it may found
+    * a new cluster). Returns rows deleted. */
+  def forget(ids: DataFrame, idCol: String): Long =
+    store.delete(Recs, ids.select(col(idCol).as("id")).distinct(),
+      Seq("id"), Seq("pass", "bkey", "id"))
 }

@@ -110,4 +110,14 @@ class FuzzyIndex(
     store.compact(Variants, Seq("vkey", "id"))
     store.compact(Strings, Seq("id"))
   }
+
+  /** Right-to-be-forgotten: erase `ids` — deletion-variant postings first
+    * (the discoverable trace; crash-retry removes any orphan strings),
+    * then the stored strings. After forget, the id and its content probe
+    * as never-seen. Returns rows deleted across both tables. */
+  def forget(ids: DataFrame, idCol: String): Long = {
+    val k = ids.select(col(idCol).as("id")).distinct()
+    store.delete(Variants, k, Seq("id"), Seq("vkey", "id")) +
+      store.delete(Strings, k, Seq("id"), Seq("id"))
+  }
 }

@@ -114,4 +114,14 @@ class HammingIndex(
     add(novel, idCol, sigCol)
     novel
   }
+
+  /** Right-to-be-forgotten: erase `ids` — chunk postings first (the
+    * discoverable trace; crash-retry removes any orphan signatures),
+    * then the stored signatures. Returns rows deleted across both
+    * tables. */
+  def forget(ids: DataFrame, idCol: String): Long = {
+    val k = ids.select(col(idCol).as("id")).distinct()
+    store.delete(Chunks, k, Seq("id"), Seq("chunk", "chunk_val", "id")) +
+      store.delete(Sigs, k, Seq("id"), Seq("id"))
+  }
 }

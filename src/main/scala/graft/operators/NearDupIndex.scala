@@ -168,4 +168,22 @@ class NearDupIndex(
     store.compact(Bands, Seq("band", "band_hash", "doc_id"))
     store.compact(Shingles, Seq("doc_id"))
   }
+
+  /** Right-to-be-forgotten: erase every trace of `ids` from the index —
+    * band postings AND content-derived shingle hashes — under the store's
+    * crash-safe commit protocol. Postings go FIRST (the discoverable
+    * trace; a crash between the two deletes leaves orphan shingle rows
+    * that the next retry removes — the mirror of add()'s ordering
+    * rationale). After forget, the id probes as a complete stranger:
+    * re-ingesting the same content is treated as brand new, which is the
+    * composition RTBF + incremental dedup requires (the rewritten bucket
+    * bloom sidecars guarantee it). Bands deletes by a non-bucket column
+    * (one column-pruned discovery scan, affected-bucket rewrites);
+    * Shingles deletes prune straight to the ids' buckets. Returns rows
+    * deleted across both tables. */
+  def forget(ids: DataFrame, idCol: String): Long = {
+    val k = ids.select(col(idCol).as("doc_id")).distinct()
+    store.delete(Bands, k, Seq("doc_id"), Seq("band", "band_hash", "doc_id")) +
+      store.delete(Shingles, k, Seq("doc_id"), Seq("doc_id"))
+  }
 }

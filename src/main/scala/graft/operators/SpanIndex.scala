@@ -155,4 +155,14 @@ class SpanIndex(
     store.compact(Fps, Seq("fp", "doc_id"))
     store.compact(Meta, Seq("doc_id"))
   }
+
+  /** Right-to-be-forgotten: erase `ids` — fingerprint postings first (the
+    * discoverable, content-derived trace; crash-retry removes any orphan
+    * meta rows), then the per-doc meta. Returns rows deleted across both
+    * tables. */
+  def forget(ids: DataFrame, idCol: String): Long = {
+    val k = ids.select(col(idCol).as("doc_id")).distinct()
+    store.delete(Fps, k, Seq("doc_id"), Seq("fp", "doc_id")) +
+      store.delete(Meta, k, Seq("doc_id"), Seq("doc_id"))
+  }
 }

@@ -167,4 +167,13 @@ class VectorIndex(
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Right-to-be-forgotten: erase `ids`' vectors from the postings
+    * (centroids hold no per-id data — they stay). Deletes by a
+    * non-bucket column: one column-pruned discovery scan, rewrites only
+    * the affected cells' buckets. A forgotten id probes as never-seen
+    * and can re-ingest as new. Returns posting rows deleted. */
+  def forget(ids: DataFrame, idCol: String): Long =
+    store.delete(Postings, ids.select(col(idCol).as("vec_id")).distinct(),
+      Seq("vec_id"), Seq("centroid_id", "vec_id"))
 }
