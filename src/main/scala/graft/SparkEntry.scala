@@ -3108,6 +3108,29 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: MEASURED LSH recall calibration — per exact-Jaccard bin
+    //    over a deterministic ≤256-doc sample, the fraction of pairs the
+    //    PRODUCTION banding surfaced as candidates, beside the theoretical
+    //    S-curve (q211 says what the parameters should do; this says what
+    //    they did on this corpus). Spec-gated, not SQL-oracle-gated: the
+    //    candidate path is the fused xxhash64 MinHash, which has no DuckDB
+    //    twin (the q25 lesson) — auditing a replayable lookalike hash
+    //    would measure the wrong banding. Rows-only check here; exactness
+    //    is pinned by CurationSpec's independent-path equality test. ──────
+    "q313_lsh_recall_audit" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val dupes = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.lshRecallAudit(d.unionByName(dupes), "doc_id", "text",
+          shingleSize = 3, bands = 16, rowsPerBand = 2,
+          maxSample = 256, bins = 10)
+        .select(col("bin"), round(col("bin_lo"), 1).as("bin_lo"),
+          col("n_pairs"), col("n_candidates"),
+          round(col("recall"), 6).as("recall"),
+          round(col("theory_recall"), 6).as("theory_recall"))
+        .orderBy("bin")
+    }),
     // ── scale: Benjamini–Hochberg FDR — turn a frame of per-slice test
     //    p-values into q-values + an αFDR decision (the correction layer
     //    every multi-slice drift/test sweep needs before anyone acts on

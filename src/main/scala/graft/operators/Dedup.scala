@@ -1835,6 +1835,79 @@ object Dedup {
       .select((Seq(s.as("s")) ++ cols): _*)
   }
 
+  /** MEASURED LSH recall calibration: per exact-Jaccard bin over a
+    * deterministic corpus sample, the fraction of pairs the production
+    * banding actually surfaced as candidates, beside the theoretical
+    * S-curve 1 − (1 − s^r)^b at the bin midpoint ([[lshDetectionCurve]]
+    * says what the parameters SHOULD do; this says what they DID on this
+    * corpus — shingle-set size effects, token distribution, and hash
+    * collisions included). The calibration run a domain does once before
+    * trusting a (bands, rowsPerBand) choice corpus-wide.
+    *
+    * Exact Jaccard over pairs is inherently quadratic, so the audit runs
+    * on an md5-ranked sample of ≤ `maxSample` docs (≤ ~2M pairs at the
+    * 2048 cap — bounded by construction, never corpus²; the sample is
+    * deterministic, so reruns are comparable). The candidate set is the
+    * SAME signature + banding path production uses
+    * ([[bandsFromShingleArray]] — the fused xxhash64 MinHash), which is
+    * also why this operator is spec-gated rather than SQL-oracle-gated:
+    * xxhash64 has no DuckDB twin (the q25 lesson), and auditing a
+    * replayable lookalike hash would measure the wrong banding.
+    *
+    * Returns one row per bin: (bin, bin_lo, n_pairs, n_candidates,
+    * recall, theory_recall); recall is NULL for empty bins. */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxSample: Int = 512, bins: Int = 10): DataFrame = {
+    require(maxSample >= 2 && maxSample <= 2048,
+      s"maxSample must be in [2, 2048] (the audit is quadratic in it), got $maxSample")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val spark = df.sparkSession
+    val sample = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .orderBy(md5Hash60(col("__id")).asc, col("__id").asc)
+      .limit(maxSample)
+    val shArr = sample
+      .select(col("__id"), tokensCol(col("__text")).as("__toks"))
+      .select(col("__id"), shinglesOf(col("__toks"), shingleSize).as("__sharr"))
+      .localCheckpoint(true) // sample-sized; pairs + banding both read it
+    val a = shArr.select(col("__id").as("id_a"), col("__sharr").as("__sa"))
+    val b = shArr.select(col("__id").as("id_b"), col("__sharr").as("__sb"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val uni = size(col("__sa")) + size(col("__sb")) - inter
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(uni > 0, inter.cast("double") / uni.cast("double"))
+          .otherwise(lit(0.0)).as("__j"))
+    val bk = bandsFromShingleArray(shArr, "__id", bands, rowsPerBand)
+    val candPairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    val binCol = least(floor(col("__j") * lit(bins.toDouble)).cast("long"),
+      lit((bins - 1).toLong))
+    val perBin = pairs
+      .join(candPairs.withColumn("__c", lit(1L)), Seq("id_a", "id_b"), "left")
+      .select(binCol.as("bin"), coalesce(col("__c"), lit(0L)).as("__c"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"),
+        sum(col("__c")).as("n_candidates"))
+    import spark.implicits._
+    val theory = (0 until bins).map { i =>
+      val s = (i + 0.5) / bins
+      (i.toLong, 1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands))
+    }.toDF("bin", "theory_recall")
+    perBin.join(broadcast(theory), Seq("bin"), "right")
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(bins.toDouble)).as("bin_lo"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        when(coalesce(col("n_pairs"), lit(0L)) > 0L,
+          coalesce(col("n_candidates"), lit(0L)).cast("double") /
+            col("n_pairs").cast("double")).as("recall"),
+        col("theory_recall"))
+  }
+
   /** Incremental connected-components maintenance: fold a batch of NEW
     * pairs into an existing (id, component) map without recomputing
     * components over the full edge history. Each batch endpoint maps to

@@ -712,6 +712,62 @@ class CurationSpec extends SparkSpec {
     assert(got === Map("a" -> 3L))
   }
 
+  // ── LSH recall audit ───────────────────────────────────────────────────
+
+  test("lshRecallAudit: candidate bins == the production minhash path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    // corpus ≤ 48 docs < maxSample → the audit sees EVERY pair
+    val out = Dedup.lshRecallAudit(corpus, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2,
+        maxSample = 128, bins = 10)
+      .orderBy("bin").collect()
+    assert(out.length === 10)
+    val n = corpus.count()
+    assert(out.map(_.getLong(2)).sum === n * (n - 1) / 2) // all pairs binned
+    out.foreach(r => assert(r.getLong(3) <= r.getLong(2))) // cand ⊆ pairs
+    // theory column is exactly 1 − (1 − s²)¹⁶ at the bin midpoint
+    out.foreach { r =>
+      val s = (r.getLong(0) + 0.5) / 10.0
+      assert(math.abs(r.getDouble(5) -
+        (1.0 - math.pow(1.0 - s * s, 16))) < 1e-12)
+    }
+    // independent path: the production operator's verified pairs (tiny
+    // threshold → every candidate pair with j > 0), binned the same way,
+    // must reproduce the audit's candidate counts for bins ≥ 1
+    val prod = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 1e-9)
+      .collect().map(_.getDouble(2))
+    val prodBins = prod.groupBy(j => math.min(math.floor(j * 10).toLong, 9L))
+      .view.mapValues(_.length.toLong).toMap
+    out.filter(_.getLong(0) >= 1L).foreach { r =>
+      assert(r.getLong(3) === prodBins.getOrElse(r.getLong(0), 0L),
+        s"bin ${r.getLong(0)}")
+    }
+    // planted exact dups land in the top bin and are ALWAYS candidates
+    // (identical shingle sets → identical signatures → every band shared)
+    assert(out.last.getLong(2) >= 8L)
+    assert(!out.last.isNullAt(4) && out.last.getDouble(4) === 1.0)
+    // deterministic: the md5-ranked sample makes reruns identical
+    val again = Dedup.lshRecallAudit(corpus, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2,
+        maxSample = 128, bins = 10).orderBy("bin").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
+  test("lshRecallAudit: maxSample caps the quadratic surface") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = Dedup.lshRecallAudit(docs, "doc_id", "text",
+        maxSample = 16, bins = 5).collect()
+    assert(out.map(_.getLong(2)).sum === 16L * 15L / 2L)
+    intercept[IllegalArgumentException](
+      Dedup.lshRecallAudit(docs, "doc_id", "text", maxSample = 10000))
+  }
+
   test("mgHeavyHitters: wide-cardinality near-uniform corpus finds nothing") {
     // 997 distinct values ≫ k counters/partition — the MG state stays
     // k-bounded and the exact recount correctly reports no heavy hitters
