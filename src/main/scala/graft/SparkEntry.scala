@@ -3108,6 +3108,64 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: jackknife ratio variance — delete-one-bucket standard
+    //    error for a ratio-of-sums metric (revenue per event): exact-cents
+    //    per-bucket sufficient statistics, bucket-ORDERED deterministic
+    //    fold over the H-row frame (oracle: DuckDB replays the hash
+    //    bucketing, leave-one-out ratios, and both ordered folds) ─────────
+    "q314_jackknife_ratio" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"),
+        round(col("value") * lit(100.0)).cast("long").as("cents"),
+        lit(1L).as("one"))
+      Analytics.jackknifeRatio(ev, "user_id", "cents", "one", buckets = 32)
+        .select(col("n_rows"), col("h"), round(col("ratio"), 6).as("ratio"),
+          round(col("se"), 6).as("se"), round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+    // ── scale: isotonic (PAV) calibration — monotone regression of a
+    //    quality score against a binary outcome on score bins; exact long
+    //    pooling on the driver over the ≤bins frame. Spec-gated (PAV's
+    //    data-dependent pooling depth has no fixed SQL unrolling — the
+    //    q313 rationale); rows-only here, hand goldens + invariants in
+    //    TrainingSpec pin exactness. ──────────────────────────────────────
+    "q315_isotonic_calibration" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val scored = d.select(
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        (col("n_chars") > 400).as("label"))
+      Training.isotonicCalibration(scored, "score", col("label"), bins = 10)
+        .select(col("bin"), round(col("bin_lo"), 1).as("bin_lo"), col("n"),
+          col("positives"), round(col("raw_rate"), 6).as("raw_rate"),
+          round(col("calibrated_rate"), 6).as("calibrated_rate"))
+        .orderBy("bin")
+    }),
+    // ── scale: Wilson score intervals — the per-slice proportion CI that
+    //    stays inside [0,1] and honest at small n (report companion to the
+    //    q286 quality rules / q302 match disposition); one group aggregate
+    //    of exact longs (oracle: DuckDB replays the closed form) ──────────
+    "q316_wilson_intervals" -> ((s, dir) => {
+      Profiling.wilsonIntervals(T(s, dir, "documents"), "source",
+          col("n_chars") > 400, z = 1.96)
+        .select(col("group"), col("n"), col("successes"),
+          round(col("rate"), 6).as("rate"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"))
+        .orderBy("group")
+    }),
+    // ── scale: Chapman capture–recapture — estimate the population BOTH
+    //    samples missed (two crawl seeds / two days' actives): exact
+    //    distinct counts + one key-width semi-join, closed-form estimate
+    //    (oracle: DuckDB replays counts and the arithmetic) ────────────────
+    "q317_capture_recapture" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Sampling.chapmanEstimate(
+          ev.filter(pmod(col("event_id"), lit(3L)) === 0).select("user_id"),
+          ev.filter(pmod(col("event_id"), lit(5L)) === 0).select("user_id"),
+          "user_id")
+        .select(col("n1"), col("n2"), col("m"),
+          round(col("n_hat"), 6).as("n_hat"), round(col("se"), 6).as("se"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    }),
     // ── scale: MEASURED LSH recall calibration — per exact-Jaccard bin
     //    over a deterministic ≤256-doc sample, the fraction of pairs the
     //    PRODUCTION banding surfaced as candidates, beside the theoretical
@@ -6831,6 +6889,78 @@ object SparkEntry {
          |  CAST(count(DISTINCT bal) AS BIGINT) AS bal_variants
          |FROM res GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
+    "q314_jackknife_ratio" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+         |b AS (SELECT CAST((${h60Sql("user_id::VARCHAR")}) % 32 AS BIGINT)
+         |      AS bk,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS sy,
+         |    CAST(count(*) AS BIGINT) AS sx
+         |  FROM ev GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(sum(sy) AS BIGINT) AS syt,
+         |    CAST(sum(sx) AS BIGINT) AS sxt,
+         |    CAST(count(*) AS BIGINT) AS h FROM b),
+         |loo AS (SELECT bk,
+         |    CAST(t.syt - b.sy AS DOUBLE) / CAST(t.sxt - b.sx AS DOUBLE)
+         |      AS r
+         |  FROM b CROSS JOIN tot t),
+         |s1 AS (SELECT list_reduce(list(r ORDER BY bk), (a, v) -> a + v)
+         |      AS sr FROM loo),
+         |rb AS (SELECT sr / CAST(t.h AS DOUBLE) AS rbar FROM s1
+         |  CROSS JOIN tot t),
+         |s2 AS (SELECT list_reduce(
+         |      list((r - rbar) * (r - rbar) ORDER BY bk), (a, v) -> a + v)
+         |      AS ssq FROM loo CROSS JOIN rb),
+         |f AS (SELECT t.n_rows, t.h,
+         |    CAST(t.syt AS DOUBLE) / CAST(t.sxt AS DOUBLE) AS ratio,
+         |    sqrt((CAST(t.h - 1 AS DOUBLE) / CAST(t.h AS DOUBLE)) * ssq)
+         |      AS se
+         |  FROM tot t CROSS JOIN s2)
+         |SELECT n_rows, h, round(ratio, 6) AS ratio, round(se, 6) AS se,
+         |  round(ratio - (1.96 * se), 6) AS ci_lo,
+         |  round(ratio + (1.96 * se), 6) AS ci_hi FROM f""".stripMargin,
+    "q316_wilson_intervals" ->
+      """WITH g AS (SELECT source AS "group",
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS successes
+        |  FROM documents GROUP BY 1),
+        |e AS (SELECT "group", n, successes,
+        |    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd, (1.96 * 1.96) AS z2 FROM g)
+        |SELECT "group", n, successes, round(p, 6) AS rate,
+        |  round(((p + (z2 / (2.0 * nd))) / (1.0 + (z2 / nd)))
+        |    - ((1.96 * sqrt(((p * (1.0 - p)) / nd)
+        |        + (z2 / ((4.0 * nd) * nd)))) / (1.0 + (z2 / nd))), 6)
+        |    AS lo,
+        |  round(((p + (z2 / (2.0 * nd))) / (1.0 + (z2 / nd)))
+        |    + ((1.96 * sqrt(((p * (1.0 - p)) / nd)
+        |        + (z2 / ((4.0 * nd) * nd)))) / (1.0 + (z2 / nd))), 6)
+        |    AS hi
+        |FROM e ORDER BY "group"""".stripMargin,
+    "q317_capture_recapture" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_id % 3 = 0),
+        |bq AS (SELECT DISTINCT user_id FROM events WHERE event_id % 5 = 0),
+        |c AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM a) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM bq) AS n2,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM a
+        |     WHERE user_id IN (SELECT user_id FROM bq)) AS m),
+        |e AS (SELECT n1, n2, m,
+        |    CAST(n1 + 1 AS DOUBLE) AS n1d, CAST(n2 + 1 AS DOUBLE) AS n2d,
+        |    CAST(m + 1 AS DOUBLE) AS md FROM c),
+        |f AS (SELECT n1, n2, m,
+        |    ((n1d * n2d) / md) - 1.0 AS n_hat,
+        |    sqrt(((n1d * n2d)
+        |        * (CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)))
+        |      / ((md * md) * CAST(m + 2 AS DOUBLE))) AS se
+        |  FROM e)
+        |SELECT n1, n2, m, round(n_hat, 6) AS n_hat, round(se, 6) AS se,
+        |  round(n_hat - (1.96 * se), 6) AS ci_lo,
+        |  round(n_hat + (1.96 * se), 6) AS ci_hi FROM f""".stripMargin,
     "q308_bh_fdr" ->
       s"""WITH t AS (SELECT DISTINCT c_nationkey::VARCHAR || '|' ||
          |    c_mktsegment AS test_id, c_nationkey AS nk FROM customer),

@@ -838,6 +838,64 @@ object Stress {
         "doc_id", "text", "source")))
     }
 
+    // round-9 continuation probes ─────────────────────────────────────────
+    // MG heavy hitters: two corpus scans, candidate-width shuffle only —
+    // wall must track the token scan, never the vocab cardinality
+    time(s"mgHeavyHitters tokens ${factor}x") {
+      val toks = docs.select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      println("[stress]   hh=" + Bench.force(
+        Sketches.mgHeavyHitters(toks, "tok", k = 50)))
+    }
+    // LSH recall audit: bounded BY CONSTRUCTION (md5-ranked ≤512-doc
+    // sample) — wall must stay ~flat as the corpus grows, because the
+    // only corpus-sized work is the sample's TakeOrdered scan
+    time(s"lshRecallAudit (bounded sample) over ${factor}x corpus") {
+      println("[stress]   bins=" + Bench.force(Dedup.lshRecallAudit(
+        docs, "doc_id", "text", bands = 16, rowsPerBand = 2,
+        maxSample = 512)))
+    }
+    // RTBF delete: by-pk wave prunes to the victims' buckets; the
+    // by-value wave pays one column-pruned discovery scan + rewrites of
+    // affected buckets only — both must stay delta-proportional
+    time(s"store delete (RTBF) ${factor}x: build + 2 waves") {
+      val dir = java.nio.file.Files.createTempDirectory("stress_rtbf_").toString
+      val store = new BucketedSnapshotStore(spark, dir, numBuckets = 64,
+        keyBloomFpp = 0.01)
+      val base = docs.withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "n_chars")
+      val t0 = System.nanoTime()
+      store.write("docs", base, Seq("doc_id"))
+      println(f"[stress]   write: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      val d1 = store.delete("docs",
+        base.filter(col("doc_id") % 199 === 0).select("doc_id"),
+        Seq("doc_id"), Seq("doc_id"))
+      println(f"[stress]   delete-by-pk: ${(System.nanoTime() - t1) / 1e9}%.2f s, rows=$d1")
+      val t2 = System.nanoTime()
+      // real value keys: every row sharing one of ~1% of n_chars values
+      val vkeys = base.filter(col("doc_id") % 101 === 0)
+        .select("n_chars").distinct()
+      val d2 = store.delete("docs", vkeys, Seq("n_chars"), Seq("doc_id"))
+      println(f"[stress]   delete-by-value: ${(System.nanoTime() - t2) / 1e9}%.2f s, rows=$d2")
+    }
+    // modularity: two node-keyed joins + community-cardinality aggregates
+    time(s"modularity ${factor}x") {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val el0 = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      val el = spark.range(factor).toDF("__rep").crossJoin(el0)
+        .select(concat(col("a"), lit("_"), col("__rep")).as("a"),
+          concat(col("b"), lit("_"), col("__rep")).as("b"))
+      val asg = el.select(col("a").as("node")).union(el.select(col("b")))
+        .distinct().withColumn("comm",
+          pmod(xxhash64(col("node")), lit(25L)))
+      println("[stress]   comms=" + Bench.force(
+        Graph.modularity(el, "a", "b", asg, "node", "comm")))
+    }
+
     val meter = new E2eShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     def stage(name: String)(f: => Long): Unit = {

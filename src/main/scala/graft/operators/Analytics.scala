@@ -1961,6 +1961,132 @@ object Analytics {
           .as("auc"))
   }
 
+  /** EXACT precision–recall curve + average precision: the imbalanced-
+    * class companion to [[aucRoc]] (AUC stays rosy when positives are
+    * rare; PR collapses — the right readout for "find the 0.1% of docs
+    * worth keeping"). One point per DISTINCT threshold, descending:
+    * tp/fp are cumulative counts over scores ≥ t, precision = tp/seen,
+    * recall = tp/n_pos; AP is the standard step integral
+    * Σ ΔR_i·P_i = (1/P)·Σ pos_i·precision_i.
+    *
+    * Scale shape: the corpus collapses to the score-cardinality frame
+    * (score, cnt, pos) in one map-side-combined aggregate; cumulative
+    * counts run in the distributed-cumsum idiom (range exchange desc +
+    * driver prefix offsets — never a one-task window). tp/fp/precision/
+    * recall per row are exact (integer counts, one division each). The
+    * AP fold is FP over the score-cardinality frame: threshold-sorted
+    * deterministic fold on the gate path (gates BIN scores, bounding
+    * the frame), plain sum in production. Requires ≥1 positive.
+    * Returns (threshold, tp, fp, precision, recall) + constant `ap`,
+    * ordered by nothing (caller sorts). */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      deterministic: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val byScore = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__lbl"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__lbl"), 1L).otherwise(0L)).as("__pos"))
+      .repartitionByRange(p, col("__s").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)   // freeze range boundaries (q79 lesson)
+    val sums = byScore.groupBy("__pid")
+      .agg(sum("__cnt").as("__t"), sum("__pos").as("__p"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nPos = sums.map(_._3).sum
+    require(nPos > 0, "prCurve needs at least one positive label")
+    val cntOff: Map[Int, Long] = sums.map(_._1)
+      .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val posOff: Map[Int, Long] = sums.map(_._1)
+      .zip(sums.scanLeft(0L)(_ + _._3).dropRight(1)).toMap
+    val w = Window.partitionBy("__pid").orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = byScore
+      .withColumn("tp", sum(col("__pos")).over(w) +
+        element_at(typedLit(posOff), col("__pid")))
+      .withColumn("__seen", sum(col("__cnt")).over(w) +
+        element_at(typedLit(cntOff), col("__pid")))
+      .select(col("__s").as("threshold"), col("__pos").as("__dp"),
+        col("tp"), (col("__seen") - col("tp")).as("fp"),
+        (col("tp").cast("double") / col("__seen").cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / lit(nPos.toDouble)).as("recall"))
+      .localCheckpoint(false)
+    val apTerm = ((col("__dp").cast("double") * col("precision")) /
+      lit(nPos.toDouble)).as("__t")
+    val ap = (if (deterministic)
+      curve.agg(aggregate(
+        sort_array(collect_list(struct(col("threshold"), apTerm))),
+        lit(0.0), (a, x) => a + x.getField("__t")))
+    else curve.agg(sum(apTerm))).first().getDouble(0)
+    curve.select(col("threshold"), col("tp"), col("fp"), col("precision"),
+      col("recall")).withColumn("ap", lit(ap))
+  }
+
+  /** Welch two-sample t-test (unequal variances): is slice A's mean
+    * genuinely different from slice B's? The parametric companion to
+    * [[mannWhitney]]-style rank tests — reports the t statistic and the
+    * Welch–Satterthwaite degrees of freedom (p-value lookup is the
+    * caller's; the repo computes no special functions).
+    *
+    * Exact sufficient statistics per group — count and Σv as longs on
+    * micro-scaled integers, Σv² as DECIMAL(38,0) (the q229 convention:
+    * per-row v² fits a long, the corpus sum doesn't) — so the 2-row
+    * frame the doubles run on is bit-replayable with fixed
+    * parenthesization. Degenerate designs (a side missing, n < 2, or
+    * both variances 0) report NULL t/df. Returns one row
+    * (n_a, n_b, mean_a, mean_b, var_a, var_b, t, df). */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String,
+      microScale: Long = 1000000L): DataFrame = {
+    require(microScale >= 1L, s"microScale must be >= 1, got $microScale")
+    val md = microScale.toDouble
+    val v = round(col(valueCol).cast("double") * lit(md)).cast("long")
+    val rows = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).cast("string").as("__g"), v.as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum("__v").as("sv"),
+        sum((col("__v").cast("decimal(19,0)") *
+          col("__v").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("ss"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3)))).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    def stats(g: String): Option[(Long, Double, Double)] =
+      rows.get(g).map { case (n, sv, ss) =>
+        val nD = n.toDouble
+        val mean = (sv.toDouble / nD) / md
+        val varU =
+          if (n < 2) 0.0
+          else (((BigDecimal(n) * ss) - (BigDecimal(sv) * BigDecimal(sv)))
+            .toDouble / (nD * (nD - 1.0))) / (md * md)
+        (n, mean, varU)
+      }
+    (stats(groupA), stats(groupB)) match {
+      case (Some((na, ma, va)), Some((nb, mb, vb)))
+          if na >= 2 && nb >= 2 && (va > 0.0 || vb > 0.0) =>
+        val sa = va / na.toDouble; val sb = vb / nb.toDouble
+        val se2 = sa + sb
+        val t = (ma - mb) / math.sqrt(se2)
+        val dfW = (se2 * se2) /
+          (((sa * sa) / (na - 1).toDouble) + ((sb * sb) / (nb - 1).toDouble))
+        Seq((na, nb, ma, mb, va, vb)).toDF("n_a", "n_b", "mean_a", "mean_b",
+            "var_a", "var_b")
+          .select(col("*"), lit(t).as("t"), lit(dfW).as("df"))
+      case (a, b) =>
+        Seq((a.map(_._1).getOrElse(0L), b.map(_._1).getOrElse(0L),
+          a.map(_._2), b.map(_._2), a.map(_._3), b.map(_._3)))
+          .toDF("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b")
+          .select(col("*"), lit(null).cast("double").as("t"),
+            lit(null).cast("double").as("df"))
+    }
+  }
+
   /** Per-group winsorization: clamp each value into its group's
     * [q_lo, q_hi] EXACT order-statistic bounds — outlier taming that
     * keeps every row (where [[trimmedMeanPerGroup]] drops the tails,
@@ -2336,5 +2462,78 @@ object Analytics {
       ((varY - ((lit(2.0) * lit(theta)) * covV)) +
         ((lit(theta) * lit(theta)) * varX)).as("var_post_adj"),
       lit(theta).as("theta"))
+  }
+
+  /** Delete-one-bucket jackknife for a RATIO-of-sums metric (revenue per
+    * user, tokens per doc, CTR): ratio metrics have no closed-form
+    * variance, and unit-level resampling at corpus scale is a shuffle
+    * per replicate — the bucket jackknife gets a defensible standard
+    * error from ONE aggregate. Units hash into `buckets` groups (md5 —
+    * all of a unit's rows land in one bucket, the exchangeability the
+    * jackknife needs); r_h = ratio with bucket h removed; variance =
+    * (H−1)/H · Σ(r_h − r̄)² over the H non-empty buckets.
+    *
+    * Numerator/denominator are EXACT LONGS (micro-units upstream — the
+    * q307 cents convention), so per-bucket sufficient statistics are
+    * exact; the H-row fold runs as a bucket-ORDERED deterministic
+    * aggregate (bounded by `buckets` ≤ 4096 — never corpus-sized), so
+    * the doubles are bit-replayable by a SQL oracle. Degenerate designs
+    * (a leave-out denominator of 0, or H < 2) report NULL se.
+    * Returns one row: (n_rows, h, ratio, se, ci_lo, ci_hi) at ±1.96·se. */
+  def jackknifeRatio(df: DataFrame, unitCol: String, numCol: String,
+      denCol: String, buckets: Int = 32): DataFrame = {
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets must be in [2, 4096], got $buckets")
+    val b = pmod(graft.operators.Dedup.md5Hash60(col(unitCol)),
+      lit(buckets.toLong))
+    val perBucket = df
+      .select(b.as("__b"), col(numCol).cast("long").as("__y"),
+        col(denCol).cast("long").as("__x"))
+      .groupBy("__b").agg(count(lit(1)).as("__n"),
+        sum("__y").as("__sy"), sum("__x").as("__sx"))
+      .localCheckpoint(false) // H-row frame, read by totals + the fold
+    // exact totals from the bucket frame (long sums of ≤ `buckets` longs)
+    val tot = perBucket.agg(sum("__n").as("n"), sum("__sy").as("sy"),
+      sum("__sx").as("sx")).first()
+    val (nRows, sy, sx) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (sx == 0L)
+      return Seq((nRows, 0L)).toDF("n_rows", "h")
+        .select(col("n_rows"), col("h"), lit(null).cast("double").as("ratio"),
+          lit(null).cast("double").as("se"),
+          lit(null).cast("double").as("ci_lo"),
+          lit(null).cast("double").as("ci_hi"))
+    val ratio = sy.toDouble / sx.toDouble
+    // leave-one-out ratios; a bucket holding ALL denominator mass makes
+    // its replicate undefined → the whole se is honestly NULL
+    val loo = perBucket.select(col("__b"),
+      when(lit(sx) - col("__sx") === 0L, lit(null))
+        .otherwise((lit(sy) - col("__sy")).cast("double") /
+          (lit(sx) - col("__sx")).cast("double")).as("__r"))
+      .localCheckpoint(false)
+    def orderedSum(termCol: Column, name: String): Column =
+      aggregate(sort_array(collect_list(struct(col("__b"), termCol.as("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t")).as(name)
+    val s1 = loo.agg(count(lit(1)).as("h"),
+      sum(when(col("__r").isNull, 1L).otherwise(0L)).as("bad"),
+      orderedSum(col("__r"), "sr")).first()
+    val h = s1.getLong(0)
+    if (h < 2 || s1.getLong(1) > 0L)
+      return Seq((nRows, h)).toDF("n_rows", "h")
+        .select(col("n_rows"), col("h"), lit(ratio).as("ratio"),
+          lit(null).cast("double").as("se"),
+          lit(null).cast("double").as("ci_lo"),
+          lit(null).cast("double").as("ci_hi"))
+    val rbar = s1.getDouble(2) / h.toDouble
+    val ssq = loo.agg(orderedSum(
+      (col("__r") - lit(rbar)) * (col("__r") - lit(rbar)), "ss")).first()
+      .getDouble(0)
+    val variance = (lit((h - 1).toDouble) / lit(h.toDouble)) * lit(ssq)
+    Seq((nRows, h)).toDF("n_rows", "h")
+      .select(col("n_rows"), col("h"), lit(ratio).as("ratio"),
+        sqrt(variance).as("se"),
+        (lit(ratio) - (lit(1.96) * sqrt(variance))).as("ci_lo"),
+        (lit(ratio) + (lit(1.96) * sqrt(variance))).as("ci_hi"))
   }
 }

@@ -1348,4 +1348,69 @@ object Profiling {
         (col("n") - col("prev_n")).cast(DoubleType) /
           col("prev_n").cast(DoubleType))
   }
+
+  /** Wilson score interval per group: the honest CI for a proportion
+    * (pass rate of a quality rule, match rate of a linkage pass) that a
+    * plain normal approximation botches exactly where it matters — small
+    * groups and extreme rates (p̂ near 0/1 never produces an interval
+    * outside [0,1] here, and n=3 groups don't pretend ±0 certainty).
+    * The per-slice report companion: run after q286 quality rules or
+    * q302 match disposition, BEFORE anyone compares two slices' rates.
+    *
+    * center = (p̂ + z²/2n) / (1 + z²/n);
+    * half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+    * One group-cardinality aggregate of exact longs; doubles only in the
+    * closed form, fixed parenthesization (SQL-oracle replayable).
+    * Empty groups cannot occur (groupBy); successCol is a boolean
+    * condition column. Returns (group, n, successes, rate, lo, hi). */
+  def wilsonIntervals(df: DataFrame, groupCol: String, successCol: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be > 0, got $z")
+    val agg = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + (z2 / nD)
+    val center = (p + (z2 / (lit(2.0) * nD))) / denom
+    val half = (lit(z) * sqrt(((p * (lit(1.0) - p)) / nD) +
+      (z2 / ((lit(4.0) * nD) * nD)))) / denom
+    agg.select(col("group"), col("n"), col("successes"), p.as("rate"),
+      (center - half).as("lo"), (center + half).as("hi"))
+  }
+
+  /** Q–Q quantile pairs between two slices: the SHAPE companion to the
+    * drift tier — KS (q132) says "the distributions differ", PSI (q153)
+    * says "by this much overall"; the Q–Q table says WHERE (a heavy
+    * right tail reads as diff exploding at high q; a location shift as
+    * near-constant diff). k probe quantiles per slice, each an EXACT
+    * order statistic (a data element at ascending rank max(1, ⌈q·n⌉) —
+    * no interpolation, engine-replayable) via
+    * [[Analytics.discreteQuantilesPerGroup]]'s pruned rank machinery:
+    * ONE range exchange over both slices together, window work bounded
+    * by 2·k partitions however large the corpus. The probe join is on
+    * the identical literal q doubles (bit-equal by construction).
+    * `diff` is the only FP arithmetic (one subtraction). Returns
+    * (q, v_a, v_b, diff) ordered by q. */
+  def qqPairs(df: DataFrame, sliceCol: String, idCol: String,
+      valueCol: String, sliceA: String, sliceB: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(sliceA != sliceB, "slices must differ")
+    val probes = (1 to k).map(i => i.toDouble / k.toDouble)
+    val qs = Analytics.discreteQuantilesPerGroup(
+      df.filter(col(sliceCol).isin(sliceA, sliceB))
+        .select(col(sliceCol).cast("string").as("__slice"), col(idCol),
+          col(valueCol)),
+      "__slice", idCol, valueCol, probes)
+    val a = qs.filter(col("__slice") === sliceA)
+      .select(col("q"), col("value").as("v_a"))
+    val b = qs.filter(col("__slice") === sliceB)
+      .select(col("q"), col("value").as("v_b"))
+    a.join(b, Seq("q"))
+      .select(col("q"), col("v_a"), col("v_b"),
+        (col("v_b").cast("double") - col("v_a").cast("double")).as("diff"))
+      .orderBy("q")
+  }
 }

@@ -1016,4 +1016,42 @@ object Sampling {
       .select(col(groupCol), col("n"), col("sum_w"), col("sum_w2"),
         ess.as("ess"), (ess / col("n").cast("double")).as("ess_ratio"))
   }
+
+  /** Chapman capture–recapture estimate: how big is a population you can
+    * only SAMPLE? Two independent captures by id (two crawl seeds' doc
+    * sets, two days' active users, two scanners' PII hits) estimate the
+    * total, including what neither saw:
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman's bias-corrected Lincoln–
+    * Petersen), with the standard variance
+    * V = (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2)).
+    * The q304/q305 sketches estimate |A∪B| of what WAS seen; this
+    * estimates what WASN'T. Assumes independent captures with equal
+    * catchability — the caveat travels with the number.
+    *
+    * Exact long counts (two distincts + one key-width semi-join — the
+    * raw sets never join wide); doubles only in the closed form, fixed
+    * parenthesization. m=0 (disjoint captures) reports the estimate with
+    * NULL-free arithmetic (the +1 correction keeps it finite) — but a
+    * zero overlap at any real scale means the independence assumption is
+    * broken, which the huge CI makes visible.
+    * Returns one row: (n1, n2, m, n_hat, se, ci_lo, ci_hi). */
+  def chapmanEstimate(a: DataFrame, b: DataFrame, idCol: String): DataFrame = {
+    val av = a.select(col(idCol)).distinct().localCheckpoint(false)
+    val bv = b.select(col(idCol)).distinct().localCheckpoint(false)
+    val n1 = av.count()
+    val n2 = bv.count()
+    val m = av.join(bv, Seq(idCol), "left_semi").count()
+    val n1D = (n1 + 1L).toDouble; val n2D = (n2 + 1L).toDouble
+    val mD = (m + 1L).toDouble
+    val nHat = ((n1D * n2D) / mD) - 1.0
+    val variance = ((n1D * n2D) * ((n1 - m).toDouble * (n2 - m).toDouble)) /
+      ((mD * mD) * (m + 2L).toDouble)
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((n1, n2, m)).toDF("n1", "n2", "m")
+      .select(col("n1"), col("n2"), col("m"), lit(nHat).as("n_hat"),
+        sqrt(lit(variance)).as("se"),
+        (lit(nHat) - (lit(1.96) * sqrt(lit(variance)))).as("ci_lo"),
+        (lit(nHat) + (lit(1.96) * sqrt(lit(variance)))).as("ci_hi"))
+  }
 }

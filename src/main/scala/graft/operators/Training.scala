@@ -353,4 +353,181 @@ object Training {
       .agg(count(lit(1)).as("n"), meanOf("__a").as("mean_dist"),
         meanOf("__s").as("mean_silhouette"))
   }
+
+  /** Isotonic calibration (pool-adjacent-violators) of a score against a
+    * binary outcome, on SCORE BINS: the monotone-regression companion to
+    * [[Analytics.calibrationCurve]] (which reports raw per-bin rates —
+    * including the non-monotone wiggles a downstream threshold picker
+    * then trips over). PAV pools adjacent bins whose empirical rate
+    * violates monotonicity into weighted blocks; the result is the
+    * L2-optimal monotone fit to the binned rates, the standard way to
+    * turn a ranking score into a usable probability.
+    *
+    * Shape: ONE bin-cardinality aggregate of exact longs (bin =
+    * min(floor(score·bins), bins−1), scores clamped to [0,1]); PAV runs
+    * on the DRIVER over ≤ `bins` rows (the stack algorithm is inherently
+    * sequential and the frame is bins-bounded — the same driver-bounded
+    * contract as the weight/centroid tables, Training.scala:93). Pooling
+    * arithmetic is exact (block sums stay longs; the rate is one division
+    * per block). Empty bins are absent from the output (no rows — not
+    * fabricated zeros). Spec-gated, not SQL-oracle-gated: PAV's
+    * data-dependent pooling-pass count has no fixed-depth SQL unrolling
+    * (the q313 rationale); exactness is pinned by hand goldens and the
+    * pooled-block invariants in the spec.
+    * Returns (bin, bin_lo, n, positives, raw_rate, calibrated_rate). */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: org.apache.spark.sql.Column, bins: Int = 20): DataFrame = {
+    require(bins >= 1 && bins <= 4096,
+      s"bins must be in [1, 4096], got $bins")
+    val s = least(greatest(col(scoreCol).cast("double"), lit(0.0)), lit(1.0))
+    val bin = least(floor(s * lit(bins.toDouble)).cast("long"),
+      lit((bins - 1).toLong))
+    val perBin = df.select(bin.as("bin"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("__y").as("positives"))
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV: maintain a stack of blocks (binLo, binHi, n, pos); merge while
+    // the top two violate monotone nondecreasing rate (exact long compare:
+    // posA·nB > posB·nA ⇔ rateA > rateB — no double thresholds)
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    perBin.foreach { case (b, n, pos) =>
+      stack += ((b, b, n, pos))
+      var merging = true
+      while (merging && stack.length >= 2) {
+        val (l2, h2, n2, p2) = stack(stack.length - 1)
+        val (l1, h1, n1, p1) = stack(stack.length - 2)
+        if (p1 * n2 > p2 * n1) { // rate1 > rate2 → pool
+          stack.remove(stack.length - 1)
+          stack(stack.length - 1) = (l1, h2, n1 + n2, p1 + p2)
+        } else merging = false
+      }
+    }
+    val calibrated = stack.flatMap { case (lo, hi, n, pos) =>
+      val rate = pos.toDouble / n.toDouble
+      perBin.filter(t => t._1 >= lo && t._1 <= hi)
+        .map { case (b, bn, bp) => (b, bn, bp, rate) }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    calibrated.toDF("bin", "n", "positives", "calibrated_rate")
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(bins.toDouble)).as("bin_lo"),
+        col("n"), col("positives"),
+        (col("positives").cast("double") / col("n").cast("double"))
+          .as("raw_rate"),
+        col("calibrated_rate"))
+  }
+
+  /** Brier score + Murphy decomposition: the proper-scoring-rule audit
+    * for a probability scorer — raw Brier = mean (s−y)², split over
+    * score bins into reliability (calibration error, lower better),
+    * resolution (discrimination, higher better), and uncertainty
+    * (label-base-rate entropy, fixed by the data):
+    * Brier = REL − RES + UNC + within-bin score variance. REL tracks
+    * [[Analytics.calibrationCurve]]'s ECE but squared/decomposable; the
+    * within-bin remainder is reported as its own column so the identity
+    * is checkable in the output.
+    *
+    * Exactness: scores clamp to [0,1] and micro-scale to longs
+    * (round(s·1e6)); per-row (sᵢ−yᵢ)² fits a long, corpus sums ride
+    * DECIMAL(38,0) (the q229 convention) — the raw Brier is exact
+    * integer arithmetic until ONE division and fully order-independent.
+    * Per-bin score sums are the same exact integers, so conf_b is
+    * exact-rational; REL/RES fold bin-ascending over the ≤bins frame on
+    * the DRIVER (bins ≤ 4096 — the driver-bounded contract). Returns
+    * per-bin rows (bin, n, positives, conf, acc) + constants
+    * (brier, reliability, resolution, uncertainty, within_bin_var). */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+      labelCol: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 4096,
+      s"bins must be in [1, 4096], got $bins")
+    val M = 1000000L
+    val s = least(greatest(col(scoreCol).cast("double"), lit(0.0)), lit(1.0))
+    val si = round(s * lit(M.toDouble)).cast("long")
+    val yi = when(labelCol, lit(M)).otherwise(lit(0L))
+    val bin = least(floor(s * lit(bins.toDouble)).cast("long"),
+      lit((bins - 1).toLong))
+    val perBin = df
+      .select(bin.as("bin"), si.as("__si"), yi.as("__yi"))
+      .withColumn("__d", col("__si") - col("__yi"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__yi") === M, 1L).otherwise(0L)).as("positives"),
+        sum(col("__si").cast("decimal(38,0)")).as("__ssum"),
+        sum((col("__d").cast("decimal(19,0)") *
+          col("__d").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sqe"))
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4))))
+    require(perBin.nonEmpty, "no rows")
+    val nTot = perBin.map(_._2).sum
+    val posTot = perBin.map(_._3).sum
+    val mD = M.toDouble
+    val nD = nTot.toDouble
+    // raw Brier: exact integer sum, ONE division
+    val brier = perBin.map(_._5).sum.toDouble / ((mD * mD) * nD)
+    val ybar = posTot.toDouble / nD
+    // bin-ascending folds over the ≤bins frame, fixed parenthesization
+    var rel = 0.0; var res = 0.0
+    val rows = perBin.map { case (b, n, pos, ssum, _) =>
+      val nb = n.toDouble
+      val conf = ssum.toDouble / (mD * nb)
+      val acc = pos.toDouble / nb
+      rel += (nb / nD) * ((conf - acc) * (conf - acc))
+      res += (nb / nD) * ((acc - ybar) * (acc - ybar))
+      (b, n, pos, conf, acc)
+    }
+    val unc = ybar * (1.0 - ybar)
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("bin", "n", "positives", "conf", "acc")
+      .select(col("*"), lit(brier).as("brier"), lit(rel).as("reliability"),
+        lit(res).as("resolution"), lit(unc).as("uncertainty"),
+        lit(brier - ((rel - res) + unc)).as("within_bin_var"))
+  }
+
+  /** Split-conformal prediction interval: from a CALIBRATION split's
+    * absolute residuals |actual − pred|, the half-width q̂ such that
+    * pred ± q̂ covers a fresh point with probability ≥ 1−α —
+    * distribution-free, model-agnostic, finite-sample (the guarantee is
+    * the rank, not any fit). q̂ is the ⌈(n+1)(1−α)⌉-th smallest
+    * nonconformity — an EXACT order statistic (a data element, no
+    * interpolation) via [[Analytics.discreteQuantilesPerGroup]]'s pruned
+    * rank machinery (the target rank k maps to probe q = (k−½)/n, whose
+    * ⌈q·n⌉ = k with a 0.5 fp margin). The empirical coverage of q̂ on a
+    * disjoint TEST split rides one exact-count aggregate beside it.
+    * The residual is |·| of a double difference — comparisons only
+    * thereafter, so the order statistic is engine-exact. Requires
+    * n_cal ≥ 1; k clamps to n (α below 1/(n+1) saturates at the max).
+    * Returns one row (n_cal, alpha, k, qhat, n_test, covered, coverage). */
+  def conformalInterval(cal: DataFrame, test: DataFrame, idCol: String,
+      predCol: String, actualCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    def resid(d: DataFrame) = d.select(col(idCol),
+      abs(col(actualCol).cast("double") - col(predCol).cast("double"))
+        .as("__r"))
+    val calR = resid(cal).localCheckpoint(false)
+    val n = calR.count()
+    require(n > 0L, "conformalInterval needs a non-empty calibration split")
+    val k = math.min(n,
+      math.ceil((n + 1).toDouble * (1.0 - alpha)).toLong)
+    val q = (k.toDouble - 0.5) / n.toDouble
+    val qhat = Analytics.discreteQuantilesPerGroup(
+        calR.withColumn("__g", lit("all")), "__g", idCol, "__r", Seq(q))
+      .select("value").first().getDouble(0)
+    val t = resid(test).agg(count(lit(1)).as("n_test"),
+      sum(when(col("__r") <= qhat, 1L).otherwise(0L)).as("covered")).first()
+    val (nTest, covered) = (t.getLong(0), t.getLong(1))
+    val spark = cal.sparkSession
+    import spark.implicits._
+    Seq((n, alpha, k, qhat, nTest, covered)).toDF(
+        "n_cal", "alpha", "k", "qhat", "n_test", "covered")
+      .select(col("*"),
+        when(lit(nTest) === 0L, lit(null).cast("double"))
+          .otherwise(lit(covered.toDouble / nTest.toDouble)).as("coverage"))
+  }
 }

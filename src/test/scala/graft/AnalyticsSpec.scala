@@ -1263,4 +1263,62 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getDouble(5) === r.getDouble(6)) // var unchanged
     }
   }
+
+  // ── jackknifeRatio ─────────────────────────────────────────────────────
+
+  test("jackknifeRatio matches a driver leave-one-bucket-out reference") {
+    import graft.operators.Dedup
+    val df = (1 to 200).map { i =>
+      (s"u${i % 37}", ((i * 7) % 50 + 1).toLong, 1L)
+    }.toDF("user_id", "cents", "one")
+    val out = Analytics.jackknifeRatio(df, "user_id", "cents", "one",
+      buckets = 8).collect()(0)
+    // driver reference with the operator's own md5 bucketing, folded in
+    // the same ascending-bucket order
+    val per = df.select(
+        pmod(Dedup.md5Hash60(col("user_id")), lit(8L)).as("b"),
+        col("cents"), col("one"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (b, rs) => (b, rs.map(_._2).sum, rs.map(_._3).sum) }
+      .sortBy(_._1)
+    val sy = per.map(_._2).sum; val sx = per.map(_._3).sum
+    val ratio = sy.toDouble / sx.toDouble
+    val loo = per.map { case (_, y, x) =>
+      (sy - y).toDouble / (sx - x).toDouble }
+    val h = loo.length
+    val rbar = loo.sum / h.toDouble
+    val se = math.sqrt(((h - 1).toDouble / h.toDouble) *
+      loo.map(r => (r - rbar) * (r - rbar)).sum)
+    assert(out.getLong(0) === 200L && out.getLong(1) === h.toLong)
+    assert(math.abs(out.getDouble(2) - ratio) < 1e-12)
+    assert(math.abs(out.getDouble(3) - se) < 1e-12)
+    assert(math.abs(out.getDouble(4) - (ratio - 1.96 * se)) < 1e-9)
+    assert(math.abs(out.getDouble(5) - (ratio + 1.96 * se)) < 1e-9)
+  }
+
+  test("jackknifeRatio degenerate designs report NULL, never garbage") {
+    // one unit → one bucket → h = 1 → ratio present, se NULL
+    val one = Seq(("u1", 5L, 1L), ("u1", 7L, 1L))
+      .toDF("user_id", "cents", "one")
+    val r1 = Analytics.jackknifeRatio(one, "user_id", "cents", "one", 4)
+      .collect()(0)
+    assert(r1.getLong(1) === 1L)
+    assert(math.abs(r1.getDouble(2) - 6.0) < 1e-12)
+    assert(r1.isNullAt(3) && r1.isNullAt(4) && r1.isNullAt(5))
+    // zero total denominator → NULL ratio
+    val zx = Seq(("u1", 5L, 0L), ("u2", 7L, 0L))
+      .toDF("user_id", "cents", "one")
+    val r2 = Analytics.jackknifeRatio(zx, "user_id", "cents", "one", 4)
+      .collect()(0)
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
+    // a bucket holding ALL denominator mass → its replicate undefined →
+    // honest NULL se (ratio still reported)
+    val lop = Seq(("u1", 10L, 2L), ("u2", 3L, 0L))
+      .toDF("user_id", "cents", "one")
+    val r3 = Analytics.jackknifeRatio(lop, "user_id", "cents", "one", 4)
+      .collect()(0)
+    assert(math.abs(r3.getDouble(2) - 6.5) < 1e-12)
+    assert(r3.isNullAt(3))
+  }
 }

@@ -775,4 +775,61 @@ class CurationSpec extends SparkSpec {
       .repartition(7)
     assert(Sketches.mgHeavyHitters(items, "item", 11).count() === 0L)
   }
+
+  // ── isotonicCalibration (PAV) ──────────────────────────────────────────
+
+  test("isotonicCalibration: hand PAV golden pools the violating bins") {
+    import graft.operators.Training
+    // bins=4 on score*4: rates .25, 1.0, .5, 1.0 → PAV pools bins 1+2
+    // into (2+1)/(2+2) = .75; bins 0 and 3 stand
+    def rows(score: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)((score, true)) ++ Seq.fill(neg)((score, false))
+    val df = (rows(0.1, 1, 3) ++ rows(0.3, 2, 0) ++
+      rows(0.6, 1, 1) ++ rows(0.9, 2, 0)).toDF("score", "label")
+    val out = Training.isotonicCalibration(df, "score", col("label"),
+        bins = 4).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (0L, 0.0, 4L, 1L, 0.25, 0.25),
+      (1L, 0.25, 2L, 2L, 1.0, 0.75),
+      (2L, 0.5, 2L, 1L, 0.5, 0.75),
+      (3L, 0.75, 2L, 2L, 1.0, 1.0)))
+  }
+
+  test("isotonicCalibration invariants: monotone, mass-preserving, clamped") {
+    import graft.operators.Training
+    val df = (1 to 120).map { i =>
+      // deliberately non-monotone label pattern + out-of-range scores
+      val score = (i % 13).toDouble / 10.0 - 0.1 // in [-0.1, 1.1]
+      (score, (i * 2654435761L) % 7 < (i % 13).toLong)
+    }.toDF("score", "label")
+    val out = Training.isotonicCalibration(df, "score", col("label"),
+        bins = 8).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(5)))
+    // calibrated rates nondecreasing in bin
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1e-12, s"monotonicity broke: $a then $b") }
+    // PAV preserves total positive mass: Σ n·calibrated == Σ positives
+    val mass = out.map(t => t._2.toDouble * t._4).sum
+    assert(math.abs(mass - out.map(_._3).sum.toDouble) < 1e-9)
+    // clamping: scores < 0 land in bin 0, > 1 in bin bins-1; all bins valid
+    assert(out.forall(t => t._1 >= 0L && t._1 <= 7L))
+    // row conservation: every input row is in exactly one bin
+    assert(out.map(_._2).sum === 120L)
+  }
+
+  test("isotonicCalibration: already-monotone rates pass through unpooled") {
+    import graft.operators.Training
+    def rows(score: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)((score, true)) ++ Seq.fill(neg)((score, false))
+    val df = (rows(0.1, 0, 4) ++ rows(0.4, 1, 1) ++ rows(0.9, 3, 1))
+      .toDF("score", "label")
+    val out = Training.isotonicCalibration(df, "score", col("label"),
+        bins = 4).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5)))
+    // empty bin 2 absent; raw == calibrated everywhere
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 3L))
+    out.foreach(t => assert(t._2 === t._3))
+  }
 }

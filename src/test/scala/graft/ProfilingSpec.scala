@@ -688,4 +688,40 @@ class ProfilingSpec extends SparkSpec {
       .collect().head.getDouble(7)
     assert(math.abs(phi) < 0.2, s"independent patterns should read ~0, got $phi")
   }
+
+  // ── wilsonIntervals ────────────────────────────────────────────────────
+
+  test("wilsonIntervals: textbook closed form; extremes stay in [0,1]") {
+    /** Textbook Wilson (z = 1.96), same parenthesization as the oracle. */
+    def wilson(c: Long, n: Long): (Double, Double) = {
+      val (z, z2) = (1.96, 1.96 * 1.96)
+      val nd = n.toDouble
+      val ph = c.toDouble / nd
+      val denom = 1.0 + (z2 / nd)
+      val center = (ph + (z2 / (2.0 * nd))) / denom
+      val half = (z * math.sqrt(((ph * (1.0 - ph)) / nd) +
+        (z2 / ((4.0 * nd) * nd)))) / denom
+      (center - half, center + half)
+    }
+    val df = Seq(("a", 500L), ("a", 300L), ("a", 450L), ("a", 100L),
+      ("b", 500L), ("b", 600L), ("c", 10L))
+      .toDF("source", "n_chars")
+    val out = Profiling.wilsonIntervals(df, "source", col("n_chars") > 400)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val (lo, hi) = wilson(2, 4)
+    assert(out("a")._1 === 4L && out("a")._2 === 2L && out("a")._3 === 0.5)
+    assert(math.abs(out("a")._4 - lo) < 1e-12)
+    assert(math.abs(out("a")._5 - hi) < 1e-12)
+    // p̂ = 1 at n = 2: interval hugs 1 from below, never exceeds it
+    assert(out("b")._3 === 1.0)
+    assert(out("b")._4 > 0.0 && out("b")._4 < 1.0)
+    assert(out("b")._5 <= 1.0 + 1e-12)
+    // p̂ = 0 at n = 1: lo pinned at 0, hi well inside (0, 1) — the
+    // honest "we know almost nothing" interval a normal approx collapses
+    assert(out("c")._3 === 0.0)
+    assert(out("c")._4 >= -1e-12 && out("c")._5 < 1.0)
+    assert(out("c")._5 > 0.5) // n=1: the interval must be wide
+  }
 }

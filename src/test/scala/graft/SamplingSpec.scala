@@ -508,4 +508,32 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(t("A") - 90.0 * wa / (wa + wb)) < 1e-6)
     assert(math.abs(t("B") - 90.0 * wb / (wa + wb)) < 1e-6)
   }
+
+  // ── chapmanEstimate ────────────────────────────────────────────────────
+
+  test("chapmanEstimate: hand Chapman arithmetic; inputs deduped by id") {
+    // A = {1..10} (with a duplicate row), B = {6..15} → m = 5
+    val a = ((1 to 10).map(_.toLong) :+ 1L).toDF("user_id")
+    val b = (6 to 15).map(_.toLong).toDF("user_id")
+    val out = Sampling.chapmanEstimate(a, b, "user_id").collect()(0)
+    assert(out.getLong(0) === 10L && out.getLong(1) === 10L &&
+      out.getLong(2) === 5L)
+    val nHat = ((11.0 * 11.0) / 6.0) - 1.0
+    val v = ((11.0 * 11.0) * (5.0 * 5.0)) / ((6.0 * 6.0) * 7.0)
+    assert(math.abs(out.getDouble(3) - nHat) < 1e-12)
+    assert(math.abs(out.getDouble(4) - math.sqrt(v)) < 1e-12)
+    assert(math.abs(out.getDouble(5) - (nHat - 1.96 * math.sqrt(v))) < 1e-9)
+    assert(math.abs(out.getDouble(6) - (nHat + 1.96 * math.sqrt(v))) < 1e-9)
+  }
+
+  test("chapmanEstimate: disjoint captures stay finite (the +1 correction)") {
+    val d = Sampling.chapmanEstimate(
+      Seq(1L, 2L).toDF("user_id"), Seq(3L).toDF("user_id"), "user_id")
+      .collect()(0)
+    assert(d.getLong(2) === 0L)
+    // N̂ = (3·2)/1 − 1 = 5; V = (3·2·2·1)/(1·2) = 6
+    assert(math.abs(d.getDouble(3) - 5.0) < 1e-12)
+    assert(math.abs(d.getDouble(4) - math.sqrt(6.0)) < 1e-12)
+    assert(!d.getDouble(5).isNaN && !d.getDouble(6).isNaN)
+  }
 }
