@@ -3166,6 +3166,89 @@ object SparkEntry {
           round(col("ci_lo"), 6).as("ci_lo"),
           round(col("ci_hi"), 6).as("ci_hi"))
     }),
+    // ── scale: exact PR curve + average precision — the imbalanced-class
+    //    companion to q173's AUC (scores binned to 3dp bound the det-gated
+    //    AP fold; tp/fp ride the distributed-cumsum idiom on the
+    //    score-cardinality frame; oracle: DuckDB replays the scorer, the
+    //    desc cumulative windows, and the threshold-ordered AP fold) ──────
+    "q318_pr_curve" -> ((s, dir) => {
+      // round(round(·,6),3) mirrors the oracle's round($qualitySql, 3)
+      // exactly (qualitySql bakes in the 6dp round; single-rounding to 3
+      // could disagree at 6dp-tie boundaries)
+      val d = T(s, dir, "documents").select(
+        round(round(TextAnalysis.qualityScore(col("text")), 6), 3).as("score"),
+        (col("lang") === "en").as("label"))
+      Analytics.prCurve(d, "score", "label", deterministic = true)
+        .select(round(col("threshold"), 3).as("threshold"), col("tp"),
+          col("fp"), round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"), round(col("ap"), 6).as("ap"))
+        .orderBy(col("threshold").desc)
+    }),
+    // ── scale: Brier score + Murphy decomposition — raw Brier from exact
+    //    micro-integer (s−y)² sums (DECIMAL(38,0), order-independent);
+    //    REL/RES/UNC fold bin-ascending on the driver over the ≤bins frame
+    //    (oracle: DuckDB replays the HUGEINT sums and the bin folds) ──────
+    "q319_brier_decomposition" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(
+        round(TextAnalysis.qualityScore(col("text")), 6).as("score"),
+        (col("lang") === "en").as("label"))
+      Training.brierDecomposition(d, "score", col("label"), bins = 10)
+        .select(col("bin"), col("n"), col("positives"),
+          round(col("conf"), 6).as("conf"), round(col("acc"), 6).as("acc"),
+          round(col("brier"), 6).as("brier"),
+          round(col("reliability"), 6).as("reliability"),
+          round(col("resolution"), 6).as("resolution"),
+          round(col("uncertainty"), 6).as("uncertainty"),
+          round(col("within_bin_var"), 6).as("within_bin_var"))
+        .orderBy("bin")
+    }),
+    // ── scale: split-conformal prediction interval — distribution-free
+    //    coverage from an exact order-statistic of calibration residuals
+    //    (per-source median predictor fit on the cal split only; the rank
+    //    machinery is the pruned q103 core; oracle: DuckDB replays the
+    //    md5 split, the medians, rank k, and the test coverage) ───────────
+    "q320_conformal_interval" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("actual"))
+        .withColumn("__split",
+          pmod(Dedup.md5Hash60(col("doc_id")), lit(5L)))
+      val cal = d.filter(col("__split") =!= 0L)
+      val test = d.filter(col("__split") === 0L)
+      val med = Analytics.discreteQuantilesPerGroup(cal, "source", "doc_id",
+          "actual", Seq(0.5))
+        .select(col("source"), col("value").as("pred"))
+      Training.conformalInterval(
+          cal.join(broadcast(med), Seq("source")),
+          test.join(broadcast(med), Seq("source")),
+          "doc_id", "pred", "actual", alpha = 0.1)
+        .select(col("n_cal"), round(col("alpha"), 6).as("alpha"), col("k"),
+          round(col("qhat"), 6).as("qhat"), col("n_test"), col("covered"),
+          round(col("coverage"), 6).as("coverage"))
+    }),
+    // ── scale: Q–Q quantile pairs — WHERE two slices' distributions
+    //    diverge (the drift tier's shape readout beside KS/PSI); exact
+    //    order statistics at 20 probes over one pruned range exchange
+    //    (oracle: DuckDB replays the rank targets per slice) ──────────────
+    "q321_qq_pairs" -> ((s, dir) => {
+      Profiling.qqPairs(T(s, dir, "events"), "event_type", "event_id",
+          "value", "click", "view", k = 20)
+        .select(round(col("q"), 6).as("q"), round(col("v_a"), 6).as("v_a"),
+          round(col("v_b"), 6).as("v_b"), round(col("diff"), 6).as("diff"))
+        .orderBy("q")
+    }),
+    // ── scale: Welch two-sample t-test — exact micro-integer sufficient
+    //    statistics (Σv long, Σv² DECIMAL(38,0) — the q229 convention);
+    //    t and Welch–Satterthwaite df in fixed-parenthesization doubles on
+    //    the 2-row frame (oracle: DuckDB replays via HUGEINT) ─────────────
+    "q322_welch_ttest" -> ((s, dir) => {
+      Analytics.welchTTest(T(s, dir, "events"), "event_type", "value",
+          "click", "view")
+        .select(col("n_a"), col("n_b"), round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("var_a"), 6).as("var_a"),
+          round(col("var_b"), 6).as("var_b"),
+          round(col("t"), 6).as("t"), round(col("df"), 6).as("df"))
+    }),
     // ── scale: MEASURED LSH recall calibration — per exact-Jaccard bin
     //    over a deterministic ≤256-doc sample, the fraction of pairs the
     //    PRODUCTION banding surfaced as candidates, beside the theoretical
@@ -6961,6 +7044,143 @@ object SparkEntry {
         |SELECT n1, n2, m, round(n_hat, 6) AS n_hat, round(se, 6) AS se,
         |  round(n_hat - (1.96 * se), 6) AS ci_lo,
         |  round(n_hat + (1.96 * se), 6) AS ci_hi FROM f""".stripMargin,
+    "q318_pr_curve" ->
+      s"""WITH q AS (SELECT round($qualitySql, 3) AS s, (lang = 'en') AS lbl
+         |  FROM documents),
+         |g AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM q GROUP BY 1),
+         |np AS (SELECT CAST(sum(pos) AS BIGINT) AS npos FROM g),
+         |c AS (SELECT s, pos AS dp,
+         |    CAST(sum(pos) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(cnt) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS seen
+         |  FROM g),
+         |pr AS (SELECT s, dp, tp, seen - tp AS fp,
+         |    CAST(tp AS DOUBLE) / CAST(seen AS DOUBLE) AS prec,
+         |    CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE) AS rec
+         |  FROM c, np),
+         |ap AS (SELECT list_reduce(
+         |    list((CAST(dp AS DOUBLE) * prec) / CAST(npos AS DOUBLE)
+         |      ORDER BY s ASC), (a, v) -> a + v) AS ap FROM pr, np)
+         |SELECT round(s, 3) AS threshold, tp, fp, round(prec, 6) AS precision,
+         |  round(rec, 6) AS recall, round(ap.ap, 6) AS ap
+         |FROM pr, ap ORDER BY threshold DESC""".stripMargin,
+    "q319_brier_decomposition" ->
+      s"""WITH q AS (SELECT round($qualitySql, 6) AS s, (lang = 'en') AS lbl
+         |  FROM documents),
+         |m AS (SELECT CAST(round(s * 1000000.0) AS BIGINT) AS si,
+         |    CASE WHEN lbl THEN 1000000 ELSE 0 END AS yi,
+         |    least(CAST(floor(s * 10.0) AS BIGINT), 9) AS bin FROM q),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN yi = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS positives,
+         |    sum(CAST(si AS HUGEINT)) AS ssum,
+         |    sum(CAST(si - yi AS HUGEINT) * CAST(si - yi AS HUGEINT)) AS sqe
+         |  FROM m GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    CAST(sum(positives) AS BIGINT) AS pt, sum(sqe) AS st FROM g),
+         |k AS (SELECT CAST(st AS DOUBLE)
+         |      / ((1000000.0 * 1000000.0) * CAST(nt AS DOUBLE)) AS brier,
+         |    CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE) AS ybar FROM tot),
+         |cb AS (SELECT bin, n, positives,
+         |    CAST(ssum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) AS conf,
+         |    CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS acc FROM g),
+         |rr AS (SELECT
+         |    list_reduce(list((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        * ((conf - acc) * (conf - acc)) ORDER BY bin),
+         |      (a, v) -> a + v) AS rel,
+         |    list_reduce(list((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        * ((acc - ybar) * (acc - ybar)) ORDER BY bin),
+         |      (a, v) -> a + v) AS res
+         |  FROM cb, k, tot)
+         |SELECT bin, n, positives, round(conf, 6) AS conf,
+         |  round(acc, 6) AS acc, round(brier, 6) AS brier,
+         |  round(rel, 6) AS reliability, round(res, 6) AS resolution,
+         |  round(ybar * (1.0 - ybar), 6) AS uncertainty,
+         |  round(brier - ((rel - res) + (ybar * (1.0 - ybar))), 6)
+         |    AS within_bin_var
+         |FROM cb, k, rr ORDER BY bin""".stripMargin,
+    "q320_conformal_interval" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS actual,
+         |    (${h60Sql("doc_id::VARCHAR")}) % 5 AS split FROM documents),
+         |cal AS (SELECT * FROM d WHERE split <> 0),
+         |tst AS (SELECT * FROM d WHERE split = 0),
+         |r AS (SELECT source, doc_id, actual,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY actual ASC, doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n FROM cal),
+         |med AS (SELECT source, actual AS pred FROM r
+         |    WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+         |calr AS (SELECT cal.doc_id, abs(actual - pred) AS res
+         |  FROM cal JOIN med USING (source)),
+         |tstr AS (SELECT tst.doc_id, abs(actual - pred) AS res
+         |  FROM tst JOIN med USING (source)),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calr),
+         |kk AS (SELECT n_cal, least(n_cal,
+         |    CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * (1.0 - 0.1)) AS BIGINT))
+         |    AS k FROM nc),
+         |rr AS (SELECT res,
+         |    row_number() OVER (ORDER BY res ASC, doc_id ASC) AS rk
+         |  FROM calr),
+         |qh AS (SELECT res AS qhat FROM rr, kk WHERE rr.rk = kk.k),
+         |tv AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN res <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS covered
+         |  FROM tstr, qh)
+         |SELECT n_cal, round(CAST(0.1 AS DOUBLE), 6) AS alpha, k,
+         |  round(qhat, 6) AS qhat, n_test, covered,
+         |  round(CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+         |    AS coverage
+         |FROM kk, qh, tv""".stripMargin,
+    "q321_qq_pairs" ->
+      s"""WITH r AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value ASC, event_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |qs AS (SELECT unnest(CAST([${(1 to 20).map(_ / 20.0).mkString(", ")}]
+         |    AS DOUBLE[])) AS q),
+         |a AS (SELECT q, value AS v_a FROM r JOIN qs
+         |  ON event_type = 'click'
+         |    AND rk = greatest(1, CAST(ceil(q * n) AS BIGINT))),
+         |b AS (SELECT q, value AS v_b FROM r JOIN qs
+         |  ON event_type = 'view'
+         |    AND rk = greatest(1, CAST(ceil(q * n) AS BIGINT)))
+         |SELECT round(q, 6) AS q, round(v_a, 6) AS v_a,
+         |  round(v_b, 6) AS v_b, round(v_b - v_a, 6) AS diff
+         |FROM a JOIN b USING (q) ORDER BY q""".stripMargin,
+    "q322_welch_ttest" ->
+      """WITH m AS (SELECT event_type AS g,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv,
+        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss
+        |  FROM m GROUP BY 1),
+        |e AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS mean,
+        |    (CAST(CAST(n AS HUGEINT) * ss
+        |        - CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |      / (1000000.0 * 1000000.0) AS var FROM s),
+        |a AS (SELECT n AS n_a, mean AS mean_a, var AS var_a, nd AS nda
+        |  FROM e WHERE g = 'click'),
+        |b AS (SELECT n AS n_b, mean AS mean_b, var AS var_b, nd AS ndb
+        |  FROM e WHERE g = 'view'),
+        |f AS (SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+        |    (var_a / nda) AS sa, (var_b / ndb) AS sb, nda, ndb FROM a, b)
+        |SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
+        |  round(mean_b, 6) AS mean_b, round(var_a, 6) AS var_a,
+        |  round(var_b, 6) AS var_b,
+        |  round((mean_a - mean_b) / sqrt(sa + sb), 6) AS t,
+        |  round(((sa + sb) * (sa + sb))
+        |    / (((sa * sa) / (nda - 1.0)) + ((sb * sb) / (ndb - 1.0))), 6)
+        |    AS df
+        |FROM f""".stripMargin,
     "q308_bh_fdr" ->
       s"""WITH t AS (SELECT DISTINCT c_nationkey::VARCHAR || '|' ||
          |    c_mktsegment AS test_id, c_nationkey AS nk FROM customer),

@@ -516,8 +516,9 @@ object Training {
     val k = math.min(n,
       math.ceil((n + 1).toDouble * (1.0 - alpha)).toLong)
     val q = (k.toDouble - 0.5) / n.toDouble
+    // NB: "__g" is reserved inside discreteQuantilesPerGroup's target join
     val qhat = Analytics.discreteQuantilesPerGroup(
-        calR.withColumn("__g", lit("all")), "__g", idCol, "__r", Seq(q))
+        calR.withColumn("__grp", lit("all")), "__grp", idCol, "__r", Seq(q))
       .select("value").first().getDouble(0)
     val t = resid(test).agg(count(lit(1)).as("n_test"),
       sum(when(col("__r") <= qhat, 1L).otherwise(0L)).as("covered")).first()

@@ -1321,4 +1321,78 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r3.getDouble(2) - 6.5) < 1e-12)
     assert(r3.isNullAt(3))
   }
+
+  // ── prCurve ────────────────────────────────────────────────────────────
+
+  test("prCurve: hand golden with ties; AP matches step integral") {
+    // scores desc: 0.9 (2 rows, 2 pos), 0.7 (2 rows, 1 pos), 0.5 (1 row, 0 pos)
+    val df = Seq((0.9, true), (0.9, true), (0.7, true), (0.7, false),
+      (0.5, false)).toDF("s", "y")
+    val out = Analytics.prCurve(df, "s", "y", deterministic = true)
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // P = 3: t=0.9 → tp=2 fp=0 prec=1 rec=2/3; t=0.7 → tp=3 fp=1
+    // prec=.75 rec=1; t=0.5 → tp=3 fp=2 prec=.6 rec=1
+    assert(out.length === 3)
+    assert(out(0) === ((0.9, 2L, 0L, 1.0, 2.0 / 3.0, out(0)._6)))
+    assert(out(1)._2 === 3L && out(1)._3 === 1L && out(1)._4 === 0.75 &&
+      out(1)._5 === 1.0)
+    assert(out(2)._2 === 3L && out(2)._3 === 2L && out(2)._4 === 0.6)
+    // AP = Σ pos_i·prec_i / P = (2·1.0 + 1·0.75 + 0·0.6) / 3
+    assert(math.abs(out(0)._6 - (2.0 * 1.0 + 1.0 * 0.75) / 3.0) < 1e-12)
+    assert(out.map(_._6).distinct.length === 1) // ap constant
+  }
+
+  test("prCurve: partition-invariant; rejects all-negative labels") {
+    val rows = (1 to 300).map(i =>
+      (((i * 7) % 50).toDouble / 50.0, i % 3 == 0))
+    def run(parts: Int) = Analytics.prCurve(
+        rows.toDF("s", "y").repartition(parts), "s", "y",
+        deterministic = true)
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(5) * 1e10))).toSeq
+    assert(run(1) === run(13))
+    intercept[IllegalArgumentException] {
+      Analytics.prCurve(Seq((0.5, false)).toDF("s", "y"), "s", "y")
+    }
+  }
+
+  // ── welchTTest ─────────────────────────────────────────────────────────
+
+  test("welchTTest: textbook closed form on hand data") {
+    // A: 1,2,3,4 (mean 2.5, var 5/3); B: 2,4,6 (mean 4, var 4)
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("A", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("B", _))).toDF("g", "v")
+    val r = Analytics.welchTTest(df, "g", "v", "A", "B").collect()(0)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - 2.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-9)
+    val va = 5.0 / 3.0; val vb = 4.0
+    assert(math.abs(r.getDouble(4) - va) < 1e-9)
+    assert(math.abs(r.getDouble(5) - vb) < 1e-9)
+    val (sa, sb) = (va / 4.0, vb / 3.0)
+    val t = (2.5 - 4.0) / math.sqrt(sa + sb)
+    val dfW = ((sa + sb) * (sa + sb)) /
+      ((sa * sa) / 3.0 + (sb * sb) / 2.0)
+    assert(math.abs(r.getDouble(6) - t) < 1e-9)
+    assert(math.abs(r.getDouble(7) - dfW) < 1e-9)
+  }
+
+  test("welchTTest: degenerate designs report NULL t/df") {
+    // missing side
+    val solo = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    assert(Analytics.welchTTest(solo, "g", "v", "A", "B").collect()(0)
+      .isNullAt(6))
+    // n < 2 on one side
+    val tiny = Seq(("A", 1.0), ("A", 2.0), ("B", 5.0)).toDF("g", "v")
+    assert(Analytics.welchTTest(tiny, "g", "v", "A", "B").collect()(0)
+      .isNullAt(6))
+    // both variances zero
+    val flat = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    assert(Analytics.welchTTest(flat, "g", "v", "A", "B").collect()(0)
+      .isNullAt(6))
+  }
 }

@@ -819,6 +819,81 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._2).sum === 120L)
   }
 
+  test("brierDecomposition: hand golden; Murphy identity holds in-output") {
+    import graft.operators.Training
+    // two bins (bins=2): bin0 = score 0.2 (3 rows, 1 pos),
+    // bin1 = score 0.8 (2 rows, 2 pos)
+    val df = Seq((0.2, true), (0.2, false), (0.2, false),
+      (0.8, true), (0.8, true)).toDF("score", "label")
+    val out = Training.brierDecomposition(df, "score", col("label"), bins = 2)
+      .orderBy("bin").collect()
+    assert(out.length === 2)
+    val b0 = out(0); val b1 = out(1)
+    assert(b0.getLong(1) === 3L && b0.getLong(2) === 1L)
+    assert(math.abs(b0.getDouble(3) - 0.2) < 1e-9)         // conf
+    assert(math.abs(b0.getDouble(4) - 1.0 / 3.0) < 1e-12)  // acc
+    assert(b1.getLong(1) === 2L && b1.getLong(2) === 2L)
+    assert(math.abs(b1.getDouble(3) - 0.8) < 1e-9)
+    assert(b1.getDouble(4) === 1.0)
+    // raw Brier = ((0.8)² + 2·(0.2)² + 2·(0.2)²) / 5 = (0.64+0.16)/5
+    val brier = b0.getDouble(5)
+    assert(math.abs(brier - (0.64 + 0.04 * 4) / 5.0) < 1e-9)
+    // Murphy: brier == rel − res + unc + within_bin_var (identity column)
+    val (rel, res, unc, wbv) = (b0.getDouble(6), b0.getDouble(7),
+      b0.getDouble(8), b0.getDouble(9))
+    assert(math.abs(brier - ((rel - res) + unc + wbv)) < 1e-12)
+    val ybar = 3.0 / 5.0
+    assert(math.abs(unc - ybar * (1.0 - ybar)) < 1e-12)
+    // single score per bin → within-bin variance ~0
+    assert(math.abs(wbv) < 1e-9)
+  }
+
+  test("brierDecomposition: constant perfect scorer → all components 0") {
+    import graft.operators.Training
+    val df = Seq((1.0, true), (1.0, true), (0.0, false))
+      .toDF("score", "label")
+    val r = Training.brierDecomposition(df, "score", col("label"), bins = 4)
+      .collect()(0)
+    assert(r.getDouble(5) === 0.0)                  // brier
+    assert(math.abs(r.getDouble(6)) < 1e-12)        // reliability
+    // resolution equals uncertainty for a perfect sharp scorer
+    assert(math.abs(r.getDouble(7) - r.getDouble(8)) < 1e-12)
+  }
+
+  test("conformalInterval: rank-k order statistic + test coverage") {
+    import graft.operators.Training
+    // calibration residuals |actual−pred| = 1..10 (pred = 0)
+    val cal = (1 to 10).map(i => (i.toLong, 0.0, i.toDouble))
+      .toDF("id", "pred", "actual")
+    // alpha=0.2 → k = ceil(11·0.8) = 9 → qhat = 9.0
+    val test10 = (1 to 4).map(i => (100L + i, 0.0, i.toDouble * 3.0))
+      .toDF("id", "pred", "actual") // residuals 3,6,9,12 → 3 covered
+    val r = Training.conformalInterval(cal, test10, "id", "pred", "actual",
+      alpha = 0.2).collect()(0)
+    assert(r.getLong(0) === 10L && r.getLong(2) === 9L)
+    assert(r.getDouble(3) === 9.0)
+    assert(r.getLong(4) === 4L && r.getLong(5) === 3L)
+    assert(math.abs(r.getDouble(6) - 0.75) < 1e-12)
+    // alpha below 1/(n+1) saturates k at n → qhat = max residual
+    val sat = Training.conformalInterval(cal, test10, "id", "pred", "actual",
+      alpha = 0.01).collect()(0)
+    assert(sat.getLong(2) === 10L && sat.getDouble(3) === 10.0)
+  }
+
+  test("conformalInterval: marginal coverage >= 1−α on an exchangeable split") {
+    import graft.operators.Training
+    // iid-ish residuals split deterministically; coverage must be near 0.9
+    val all = (1 to 400).map { i =>
+      (i.toLong, 0.0, ((i * 2654435761L) % 997).toDouble / 997.0)
+    }.toDF("id", "pred", "actual")
+    val cal = all.filter(col("id") % 2 === 0)
+    val tst = all.filter(col("id") % 2 === 1)
+    val r = Training.conformalInterval(cal, tst, "id", "pred", "actual",
+      alpha = 0.1).collect()(0)
+    assert(r.getDouble(6) >= 0.85,
+      s"coverage ${r.getDouble(6)} below the conformal guarantee band")
+  }
+
   test("isotonicCalibration: already-monotone rates pass through unpooled") {
     import graft.operators.Training
     def rows(score: Double, pos: Int, neg: Int) =

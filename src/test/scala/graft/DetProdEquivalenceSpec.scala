@@ -82,7 +82,7 @@ class DetProdEquivalenceSpec extends SparkSpec {
       "tfidfCosinePairs", "mutualInformation", "chiSquareIndependence",
       "numericMI", "pageRank", "personalizedPageRank", "degreePowerLaw",
       "hits", "trainLogistic", "trainKMeans", "topPrincipalComponent",
-      "clusteringQualityReport", "stationaryDistribution")
+      "clusteringQualityReport", "stationaryDistribution", "prCurve")
     val defRe = """\bdef (\w+)""".r
     val root = new java.io.File("src/main/scala/graft")
     def files(d: java.io.File): Seq[java.io.File] =
@@ -255,5 +255,12 @@ class DetProdEquivalenceSpec extends SparkSpec {
     val (d, p) = both(b => Training.clusteringQualityReport(embs, "vec_id",
       "embedding", k = 4, rounds = 3, deterministic = b))
     assertEquiv("clusteringQualityReport", d, p)
+  }
+  test("equiv: prCurve") {
+    val scored = docs.select(
+      round(length(col("text")).cast("double") / lit(1000.0), 3).as("s"),
+      (col("lang") === "en").as("y"))
+    val (d, p) = both(b => Analytics.prCurve(scored, "s", "y", b))
+    assertEquiv("prCurve", d, p)
   }
 }

@@ -724,4 +724,35 @@ class ProfilingSpec extends SparkSpec {
     assert(out("c")._4 >= -1e-12 && out("c")._5 < 1.0)
     assert(out("c")._5 > 0.5) // n=1: the interval must be wide
   }
+
+  // ── qqPairs ────────────────────────────────────────────────────────────
+
+  test("qqPairs: exact rank-target values per slice; location shift reads flat") {
+    // slice a: 1..10; slice b: 101..110 (a +100 shift) + an ignored slice
+    val rows = (1 to 10).flatMap(i => Seq(
+      ("a", i.toLong, i.toDouble), ("b", 100L + i, 100.0 + i),
+      ("zz", 200L + i, 9999.0)))
+    val df = rows.toDF("slice", "id", "v")
+    val out = Profiling.qqPairs(df, "slice", "id", "v", "a", "b", k = 5)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    // probes .2/.4/.6/.8/1.0 over n=10 → ranks 2,4,6,8,10
+    assert(out.length === 5)
+    assert(out.map(_._1).toSeq === Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+    assert(out.map(_._2).toSeq === Seq(2.0, 4.0, 6.0, 8.0, 10.0))
+    assert(out.map(_._3).toSeq === Seq(102.0, 104.0, 106.0, 108.0, 110.0))
+    // pure location shift: diff constant at +100
+    assert(out.forall(t => t._4 === 100.0))
+  }
+
+  test("qqPairs: uneven slice sizes use each slice's own n") {
+    val rows = (1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("b", 1000L + i, i.toDouble * 10.0))
+    val out = Profiling.qqPairs(rows.toDF("slice", "id", "v"),
+        "slice", "id", "v", "a", "b", k = 4)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // a: ranks 25,50,75,100 → 25,50,75,100; b: ranks 1,2,3,4 → 10,20,30,40
+    assert(out.map(_._2).toSeq === Seq(25.0, 50.0, 75.0, 100.0))
+    assert(out.map(_._3).toSeq === Seq(10.0, 20.0, 30.0, 40.0))
+  }
 }
