@@ -3249,6 +3249,79 @@ object SparkEntry {
           round(col("var_b"), 6).as("var_b"),
           round(col("t"), 6).as("t"), round(col("df"), 6).as("df"))
     }),
+    // ── scale: sample-ratio-mismatch check — χ² goodness-of-fit of a
+    //    hash-assigned 4-arm split against the 25% design, with a planted
+    //    off-design arm exercising the n_unexpected flag (oracle: DuckDB
+    //    replays the md5 assignment, counts, and the arm-ordered fold) ────
+    "q323_srm_check" -> ((s, dir) => {
+      val u = T(s, dir, "events").select("user_id").distinct()
+      val arm = when(col("user_id") % 97 === 0, lit("zz"))
+        .otherwise(element_at(
+          typedLit(Map(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "d")),
+          pmod(Dedup.md5Hash60(col("user_id")), lit(4L))))
+      Analytics.srmCheck(u.select(arm.as("arm")), "arm",
+          Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.25, "d" -> 0.25))
+        .select(col("arm"), col("n_obs"),
+          round(col("expected_n"), 6).as("expected_n"),
+          round(col("contrib"), 6).as("contrib"), col("n"),
+          col("n_unexpected"), round(col("chi2"), 6).as("chi2"), col("dof"))
+        .orderBy("arm")
+    }),
+    // ── scale: log-rank test — censoring-aware A/B on the q152 KM
+    //    subjects (time-to-first-error in hours) split by user-hash
+    //    parity; exact long O₁, time-ascending E₁/V folds over the
+    //    duration-cardinality frame (oracle: DuckDB replays the suffix
+    //    sums and both folds) ─────────────────────────────────────────────
+    "q324_log_rank" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val subj = ev.groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("__first"),
+        min(when(col("event_type") === "error", unix_micros(col("ts"))))
+          .as("__ferr"))
+      val g = ev.agg(max(unix_micros(col("ts"))).as("__gmx"))
+      val d = subj.crossJoin(broadcast(g)).select(
+        col("user_id"),
+        expr("coalesce(__ferr - __first, __gmx - __first) div 3600000000")
+          .as("t_hours"),
+        col("__ferr").isNotNull.as("observed"))
+        .withColumn("grp",
+          when(pmod(Dedup.md5Hash60(col("user_id")), lit(2L)) === 0L,
+            lit("g0")).otherwise(lit("g1")))
+      Analytics.logRankTest(d, "t_hours", "observed", "grp", "g0", "g1")
+        .select(col("n_times"), col("o1"), round(col("e1"), 6).as("e1"),
+          round(col("v"), 6).as("v"), round(col("chi2"), 6).as("chi2"))
+    }),
+    // ── scale: categorical value drift — per-category ref/cur counts,
+    //    shares, log-ratio, new/vanished/shared status (planted 'qq' in
+    //    ref and 'zz' in cur exercise both flags); two category-sized
+    //    aggregates + one key-width full-outer join (oracle: trivial) ─────
+    "q325_category_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select(when(col("doc_id") % 41 === 0, lit("qq"))
+          .otherwise(col("lang")).as("lang"))
+      val cur = docs.filter(col("doc_id") % 2 === 1)
+        .select(when(col("doc_id") % 31 === 0, lit("zz"))
+          .otherwise(col("lang")).as("lang"))
+      Profiling.categoryDrift(ref, cur, "lang")
+        .select(col("category"), col("n_ref"), col("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("log_ratio"), 6).as("log_ratio"), col("status"))
+        .orderBy("category")
+    }),
+    // ── scale: Poisson spike bound — per (event_type, day) count vs the
+    //    key's leave-one-out daily baseline, Chernoff tail bound in
+    //    replayable closed form (the principled twin of q115's z-flag
+    //    monitor) (oracle: DuckDB replays counts, λ, and the bound) ────────
+    "q326_poisson_spike" -> ((s, dir) => {
+      Analytics.poissonSpikeBound(T(s, dir, "events"), "event_type", "ts",
+          alpha = 0.001)
+        .select(col("key"), col("day"), col("n"),
+          round(col("lambda"), 6).as("lambda"),
+          round(col("bound"), 6).as("bound"), col("flagged"))
+        .orderBy("key", "day")
+    }),
     // ── scale: MEASURED LSH recall calibration — per exact-Jaccard bin
     //    over a deterministic ≤256-doc sample, the fraction of pairs the
     //    PRODUCTION banding surfaced as candidates, beside the theoretical
@@ -7181,6 +7254,132 @@ object SparkEntry {
         |    / (((sa * sa) / (nda - 1.0)) + ((sb * sb) / (ndb - 1.0))), 6)
         |    AS df
         |FROM f""".stripMargin,
+    "q323_srm_check" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |asg AS (SELECT CASE WHEN user_id % 97 = 0 THEN 'zz'
+         |    ELSE CASE CAST((${h60Sql("user_id::VARCHAR")}) % 4 AS BIGINT)
+         |      WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c'
+         |      ELSE 'd' END END AS arm FROM u),
+         |cnt AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM asg GROUP BY 1),
+         |des AS (SELECT unnest(['a', 'b', 'c', 'd']) AS arm,
+         |    unnest(CAST([0.25, 0.25, 0.25, 0.25] AS DOUBLE[])) AS ratio),
+         |tot AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN arm IN ('a','b','c','d')
+         |      THEN n_obs END), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(CASE WHEN arm NOT IN ('a','b','c','d')
+         |      THEN n_obs END), 0) AS BIGINT) AS n_unexpected FROM cnt),
+         |rows_ AS (SELECT d.arm, CAST(coalesce(c.n_obs, 0) AS BIGINT)
+         |      AS n_obs,
+         |    CAST(t.n AS DOUBLE) * d.ratio AS expected_n, t.n, t.n_unexpected
+         |  FROM des d LEFT JOIN cnt c ON d.arm = c.arm CROSS JOIN tot t),
+         |ct AS (SELECT arm, n_obs, expected_n, n, n_unexpected,
+         |    CASE WHEN expected_n > 0.0 THEN
+         |      ((CAST(n_obs AS DOUBLE) - expected_n)
+         |        * (CAST(n_obs AS DOUBLE) - expected_n)) / expected_n
+         |    ELSE CAST(0.0 AS DOUBLE) END AS contrib FROM rows_),
+         |x2 AS (SELECT list_reduce(list(contrib ORDER BY arm),
+         |    (a, v) -> a + v) AS chi2 FROM ct)
+         |SELECT arm, n_obs, round(expected_n, 6) AS expected_n,
+         |  round(contrib, 6) AS contrib, n, n_unexpected,
+         |  round(x2.chi2, 6) AS chi2, CAST(3 AS BIGINT) AS dof
+         |FROM ct, x2 ORDER BY arm""".stripMargin,
+    "q324_log_rank" ->
+      s"""WITH s AS (SELECT user_id,
+         |    CAST(min(epoch_us(ts)) AS BIGINT) AS fst,
+         |    CAST(min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+         |      AS BIGINT) AS ferr
+         |  FROM events GROUP BY 1),
+         |g AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS gmx FROM events),
+         |subj AS (SELECT
+         |    coalesce(ferr - fst, (SELECT gmx FROM g) - fst) // 3600000000
+         |      AS t,
+         |    ferr IS NOT NULL AS e,
+         |    (${h60Sql("user_id::VARCHAR")}) % 2 = 0 AS a
+         |  FROM s),
+         |byt AS (SELECT t,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+         |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+         |    CAST(sum(CASE WHEN a AND e THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN (NOT a) AND e THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d2
+         |  FROM subj GROUP BY 1),
+         |risk AS (SELECT t, d1, d2,
+         |    CAST(sum(w1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+         |    CAST(sum(w2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n2
+         |  FROM byt),
+         |ev AS (SELECT t, d1,
+         |    (CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+         |      / CAST(n1 + n2 AS DOUBLE) AS e1t,
+         |    CASE WHEN n1 + n2 > 1 THEN
+         |      (((CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+         |          * CAST(n2 AS DOUBLE))
+         |        * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE)))
+         |      / ((CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+         |        * (CAST(n1 + n2 AS DOUBLE) - 1.0))
+         |    ELSE CAST(0.0 AS DOUBLE) END AS vt
+         |  FROM risk WHERE d1 + d2 > 0),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+         |    CAST(sum(d1) AS BIGINT) AS o1,
+         |    list_reduce(list(e1t ORDER BY t), (a, v) -> a + v) AS e1,
+         |    list_reduce(list(vt ORDER BY t), (a, v) -> a + v) AS v
+         |  FROM ev)
+         |SELECT n_times, o1, round(e1, 6) AS e1, round(v, 6) AS v,
+         |  round(CASE WHEN v > 0.0 THEN
+         |    ((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)) / v
+         |  END, 6) AS chi2
+         |FROM f""".stripMargin,
+    "q325_category_drift" ->
+      """WITH ref AS (SELECT CASE WHEN doc_id % 41 = 0 THEN 'qq'
+        |    ELSE lang END AS lang FROM documents WHERE doc_id % 2 = 0),
+        |cur AS (SELECT CASE WHEN doc_id % 31 = 0 THEN 'zz'
+        |    ELSE lang END AS lang FROM documents WHERE doc_id % 2 = 1),
+        |rc AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_ref
+        |  FROM ref GROUP BY 1),
+        |cc AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_cur
+        |  FROM cur GROUP BY 1),
+        |nt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS nr,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cur) AS nc),
+        |j AS (SELECT coalesce(rc.category, cc.category) AS category,
+        |    CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM rc FULL OUTER JOIN cc ON rc.category = cc.category)
+        |SELECT category, n_ref, n_cur,
+        |  round(CAST(n_ref AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS p_ref,
+        |  round(CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS p_cur,
+        |  round(CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+        |    ln((CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE))
+        |      / (CAST(n_ref AS DOUBLE) / CAST(nr AS DOUBLE))) END, 6)
+        |    AS log_ratio,
+        |  CASE WHEN n_ref = 0 THEN 'new' WHEN n_cur = 0 THEN 'vanished'
+        |    ELSE 'shared' END AS status
+        |FROM j, nt ORDER BY category""".stripMargin,
+    "q326_poisson_spike" ->
+      """WITH d AS (SELECT event_type AS key,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT key, CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS days FROM d GROUP BY 1),
+        |j AS (SELECT d.key, day, n,
+        |    CASE WHEN days >= 2 THEN
+        |      CAST(tot - n AS DOUBLE) / CAST(days - 1 AS DOUBLE) END
+        |      AS lambda
+        |  FROM d JOIN t ON d.key = t.key),
+        |b AS (SELECT key, day, n, lambda,
+        |    CASE WHEN lambda IS NULL THEN NULL
+        |      WHEN CAST(n AS DOUBLE) <= lambda THEN CAST(1.0 AS DOUBLE)
+        |      WHEN lambda = 0.0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE exp((CAST(n AS DOUBLE) - lambda)
+        |        + (CAST(n AS DOUBLE) * ln(lambda / CAST(n AS DOUBLE))))
+        |    END AS bound
+        |  FROM j)
+        |SELECT key, day, n, round(lambda, 6) AS lambda,
+        |  round(bound, 6) AS bound,
+        |  CASE WHEN bound IS NULL THEN NULL
+        |    ELSE bound <= 0.001 END AS flagged
+        |FROM b ORDER BY key, day""".stripMargin,
     "q308_bh_fdr" ->
       s"""WITH t AS (SELECT DISTINCT c_nationkey::VARCHAR || '|' ||
          |    c_mktsegment AS test_id, c_nationkey AS nk FROM customer),

@@ -1160,6 +1160,63 @@ object Analytics {
       .orderBy("t")
   }
 
+  /** Log-rank test: are two groups' [[kaplanMeier]] survival curves
+    * genuinely different? At each distinct event time, group A's observed
+    * deaths are compared to the expectation under "no difference"
+    * (deaths split ∝ at-risk counts): O₁ = Σ d₁(t),
+    * E₁ = Σ d(t)·n₁(t)/n(t),
+    * V = Σ d(t)·n₁(t)·n₂(t)·(n(t)−d(t)) / (n(t)²·(n(t)−1)),
+    * χ² = (O₁−E₁)²/V on 1 dof — the standard censoring-aware A/B test
+    * for time-to-event ("did the fix actually change time-to-failure?").
+    *
+    * Shape: ONE map-side-combined aggregate to per-duration per-group
+    * (leaving, deaths) counts; at-risk counts are suffix sums and the
+    * E₁/V folds run time-ascending over that frame ONLY — the same
+    * GRANULARITY CONTRACT as [[kaplanMeier]] (day/hour-bucket durations
+    * keep the frame thousands at any corpus size). O₁ and every count
+    * are exact longs; E₁/V terms are fixed-parenthesization doubles,
+    * folded in deterministic time order (SQL-replayable). Times where
+    * n(t) ≤ 1 contribute 0 to V. Degenerate designs (V = 0) report NULL
+    * χ². Returns one row (n_times, o1, e1, v, chi2). */
+  def logRankTest(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String, groupA: String, groupB: String): DataFrame = {
+    val subj = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"),
+        (col(groupCol).cast("string") === groupA).as("__a"))
+    val byT = subj.groupBy("__t").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("__w1"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("__w2"),
+      sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("__d1"),
+      sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("__d2"))
+      .localCheckpoint(false)
+    val w = Window.orderBy(col("__t").desc).rowsBetween(Long.MinValue, 0)
+    val risk = byT
+      .withColumn("__n1", sum("__w1").over(w))
+      .withColumn("__n2", sum("__w2").over(w))
+      .filter((col("__d1") + col("__d2")) > 0L)
+    val dtD = (col("__d1") + col("__d2")).cast("double")
+    val ntD = (col("__n1") + col("__n2")).cast("double")
+    val n1D = col("__n1").cast("double")
+    val n2D = col("__n2").cast("double")
+    val terms = risk.select(col("__t"), col("__d1"),
+      ((dtD * n1D) / ntD).as("__e1"),
+      when((col("__n1") + col("__n2")) > 1L,
+        (((dtD * n1D) * n2D) * (ntD - dtD)) /
+          ((ntD * ntD) * (ntD - lit(1.0))))
+        .otherwise(lit(0.0)).as("__v"))
+    def tFold(c: Column, name: String): Column =
+      aggregate(sort_array(collect_list(struct(col("__t"), c.as("__x")))),
+        lit(0.0), (acc, x) => acc + x.getField("__x")).as(name)
+    terms.agg(count(lit(1)).as("n_times"), sum("__d1").as("o1"),
+        tFold(col("__e1"), "e1"), tFold(col("__v"), "v"))
+      .select(col("n_times"), col("o1"), col("e1"), col("v"),
+        when(col("v") > 0.0,
+          ((col("o1").cast("double") - col("e1")) *
+            (col("o1").cast("double") - col("e1"))) / col("v"))
+          .otherwise(lit(null).cast("double")).as("chi2"))
+  }
+
   /** Linear multi-touch attribution: every conversion event splits one
     * unit of credit equally across the user's touch events in the
     * trailing `windowSeconds`; conversions with NO preceding touch
@@ -2535,5 +2592,89 @@ object Analytics {
         sqrt(variance).as("se"),
         (lit(ratio) - (lit(1.96) * sqrt(variance))).as("ci_lo"),
         (lit(ratio) + (lit(1.96) * sqrt(variance))).as("ci_hi"))
+  }
+
+  /** Sample-ratio-mismatch (SRM) check: the MANDATORY pre-read before
+    * trusting any A/B metric — a χ² goodness-of-fit of observed arm
+    * counts against the DESIGNED split (a 50/50 that landed 52/48 at
+    * scale means the assignment or logging pipeline is broken and every
+    * downstream comparison is biased). One exact-long count per arm;
+    * expected counts and the χ² fold run arm-ordered on the driver over
+    * the ≤|arms| frame. Rows whose arm is NOT in `expected` are counted
+    * (`n_unexpected` — its own red flag) but excluded from the test;
+    * designed arms with zero observations contribute (0−E)²/E like any
+    * other. Returns one row per designed arm
+    * (arm, n_obs, expected_n, contrib) + constants
+    * (n, n_unexpected, chi2, dof). */
+  def srmCheck(df: DataFrame, armCol: String,
+      expected: Map[String, Double]): DataFrame = {
+    require(expected.nonEmpty, "expected must be non-empty")
+    require(expected.values.forall(_ > 0.0), "expected ratios must be > 0")
+    require(math.abs(expected.values.sum - 1.0) < 1e-9,
+      s"expected ratios must sum to 1, got ${expected.values.sum}")
+    val arms = expected.keys.toSeq
+    val counts = df.select(col(armCol).cast("string").as("__arm"))
+      .groupBy("__arm").agg(count(lit(1)).as("__n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1))
+    val obs = counts.collect { case (Some(a), n) if expected.contains(a) =>
+      a -> n }.toMap
+    val nUnexpected = counts.collect {
+      case (a, n) if a.isEmpty || !expected.contains(a.get) => n }.sum
+    val n = obs.values.sum
+    var chi2 = 0.0
+    val rows = arms.sorted.map { arm =>
+      val o = obs.getOrElse(arm, 0L)
+      val e = n.toDouble * expected(arm)
+      val contrib =
+        if (e > 0.0) ((o.toDouble - e) * (o.toDouble - e)) / e else 0.0
+      chi2 += contrib
+      (arm, o, e, contrib)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("arm", "n_obs", "expected_n", "contrib")
+      .select(col("*"), lit(n).as("n"), lit(nUnexpected).as("n_unexpected"),
+        lit(chi2).as("chi2"), lit((expected.size - 1).toLong).as("dof"))
+  }
+
+  /** Poisson spike detector with a DEFENSIBLE bound: per (key, day)
+    * event count, the Chernoff upper tail P(X ≥ x) ≤ e^{x−λ}·(λ/x)^x
+    * under the key's leave-one-out baseline rate
+    * λ = (total − x)/(days − 1) — a principled "this spike is
+    * ≤ α-probable under the key's own history" flag where a z-score
+    * (q115's monitor) assumes symmetry that counts don't have. The
+    * bound is exp(x − λ + x·ln(λ/x)) for x > λ and 1 otherwise (no
+    * special functions — replayable closed form).
+    *
+    * Shape: one scan to the (key, day)-cardinality count frame (exact
+    * longs), one key-cardinality totals aggregate joined back, pure
+    * per-row closed form after that — no fold anywhere. Keys observed
+    * on < 2 distinct days report NULL (no leave-one-out baseline).
+    * Returns (key, day, n, lambda, bound, flagged). */
+  def poissonSpikeBound(df: DataFrame, keyCol: String, tsCol: String,
+      alpha: Double = 0.001): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val m = unix_micros(col(tsCol)); val dUs = lit(86400000000L)
+    val daily = df.select(col(keyCol).as("key"),
+        ((m - pmod(m, dUs)) / dUs).cast("long").as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("n"))
+    val totals = daily.groupBy("key")
+      .agg(sum("n").as("__tot"), count(lit(1)).as("__days"))
+    val xD = col("n").cast("double")
+    val lam = (col("__tot") - col("n")).cast("double") /
+      (col("__days") - lit(1L)).cast("double")
+    daily.join(totals, Seq("key"))
+      .select(col("key"), col("day"), col("n"),
+        when(col("__days") < 2L, lit(null).cast("double"))
+          .otherwise(lam).as("lambda"))
+      .withColumn("bound",
+        when(col("lambda").isNull, lit(null).cast("double"))
+          .when(xD <= col("lambda"), lit(1.0))
+          .when(col("lambda") === 0.0, lit(0.0))
+          .otherwise(exp((xD - col("lambda")) +
+            (xD * log(col("lambda") / xD)))))
+      .withColumn("flagged",
+        when(col("bound").isNull, lit(null).cast("boolean"))
+          .otherwise(col("bound") <= lit(alpha)))
   }
 }

@@ -1413,4 +1413,44 @@ object Profiling {
         (col("v_b").cast("double") - col("v_a").cast("double")).as("diff"))
       .orderBy("q")
   }
+
+  /** Categorical value drift: the per-CATEGORY companion to the numeric
+    * drift tier (KS/PSI bin values; this names the categories) — for
+    * each value of a categorical column, its reference vs current counts
+    * and shares, the log share-ratio, and a status flag: `new`
+    * (appeared — an upstream enum grew, or garbage arrived), `vanished`
+    * (a source went dark), `shared`. The first question after a PSI
+    * alarm on a categorical column is "WHICH category?" — this is that
+    * answer.
+    *
+    * Shape: two category-cardinality count aggregates, one key-width
+    * full-outer join — the corpus never shuffles. Shares divide exact
+    * longs by the side's total; log_ratio is NULL unless both sides are
+    * present (never ±∞). NULL category values count under a NULL key
+    * like any other category. Returns
+    * (category, n_ref, n_cur, p_ref, p_cur, log_ratio, status). */
+  def categoryDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    val r = reference.groupBy(col(valueCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val c = current.groupBy(col(valueCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val nRef = reference.count()
+    val nCur = current.count()
+    require(nRef > 0L && nCur > 0L,
+      s"both frames must be non-empty, got $nRef/$nCur")
+    val pRef = col("n_ref").cast("double") / lit(nRef.toDouble)
+    val pCur = col("n_cur").cast("double") / lit(nCur.toDouble)
+    r.join(c, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L, log(pCur / pRef))
+          .as("log_ratio"),
+        when(col("n_ref") === 0L, lit("new"))
+          .when(col("n_cur") === 0L, lit("vanished"))
+          .otherwise(lit("shared")).as("status"))
+  }
 }

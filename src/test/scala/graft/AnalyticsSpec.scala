@@ -1380,6 +1380,100 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - dfW) < 1e-9)
   }
 
+  // ── srmCheck ───────────────────────────────────────────────────────────
+
+  test("srmCheck: chi-square GOF hand golden; unexpected arms flagged") {
+    // designed 50/50, observed 60/40 → chi2 = (60-50)²/50 + (40-50)²/50 = 4
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b") ++ Seq.fill(3)("junk"))
+      .toDF("arm")
+    val out = Analytics.srmCheck(df, "arm", Map("a" -> 0.5, "b" -> 0.5))
+      .orderBy("arm").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "a" && out(0).getLong(1) === 60L)
+    assert(out(0).getDouble(2) === 50.0)
+    assert(math.abs(out(0).getDouble(3) - 2.0) < 1e-12)
+    assert(out(0).getLong(4) === 100L)      // n excludes junk
+    assert(out(0).getLong(5) === 3L)        // n_unexpected
+    assert(math.abs(out(0).getDouble(6) - 4.0) < 1e-12)
+    assert(out(0).getLong(7) === 1L)        // dof
+    // a designed arm with zero observations still contributes
+    val miss = Seq.fill(10)("a").toDF("arm")
+    val m = Analytics.srmCheck(miss, "arm", Map("a" -> 0.5, "b" -> 0.5))
+      .orderBy("arm").collect()
+    // E = 5 each: chi2 = (10-5)²/5 + (0-5)²/5 = 10
+    assert(math.abs(m(0).getDouble(6) - 10.0) < 1e-12)
+    assert(m(1).getLong(1) === 0L)
+  }
+
+  test("srmCheck: rejects ratios that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Analytics.srmCheck(Seq("a").toDF("arm"), "arm", Map("a" -> 0.7))
+    }
+  }
+
+  // ── logRankTest ────────────────────────────────────────────────────────
+
+  test("logRankTest: textbook hand computation with censoring") {
+    // A: events at t=1,2; B: event at t=2, censored at t=3
+    val df = Seq(("A", 1L, true), ("A", 2L, true),
+      ("B", 2L, true), ("B", 3L, false)).toDF("g", "t", "e")
+    val r = Analytics.logRankTest(df, "t", "e", "g", "A", "B").collect()(0)
+    // t=1: n1=2 n2=2 d1=1 d2=0 → e1=1·2/4=.5, v=1·2·2·3/(16·3)=.25
+    // t=2: n1=1 n2=2 d1=1 d2=1 → e1=2·1/3, v=2·1·2·1/(9·2)=2/9
+    assert(r.getLong(0) === 2L)                  // n_times
+    assert(r.getLong(1) === 2L)                  // o1
+    assert(math.abs(r.getDouble(2) - (0.5 + 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - (0.25 + 2.0 / 9.0)) < 1e-12)
+    val chi2 = (2.0 - (0.5 + 2.0 / 3.0)) * (2.0 - (0.5 + 2.0 / 3.0)) /
+      (0.25 + 2.0 / 9.0)
+    assert(math.abs(r.getDouble(4) - chi2) < 1e-12)
+  }
+
+  test("logRankTest: identical groups → O=E; V=0 → NULL chi2") {
+    // mirror-image groups: expectations match observations exactly
+    val same = Seq(("A", 1L, true), ("A", 2L, true),
+      ("B", 1L, true), ("B", 2L, true)).toDF("g", "t", "e")
+    val r = Analytics.logRankTest(same, "t", "e", "g", "A", "B").collect()(0)
+    assert(math.abs(r.getLong(1).toDouble - r.getDouble(2)) < 1e-12)
+    // single subject per group at one time → n=2, but a lone event time
+    // with d=n makes v>0; a V=0 design: both die at the only time with
+    // n(t)=d(t) and n(t)-d(t)=0 → v=0 → NULL
+    val v0 = Seq(("A", 5L, true), ("B", 5L, true)).toDF("g", "t", "e")
+    val z = Analytics.logRankTest(v0, "t", "e", "g", "A", "B").collect()(0)
+    assert(z.isNullAt(4))
+  }
+
+  // ── poissonSpikeBound ──────────────────────────────────────────────────
+
+  test("poissonSpikeBound: Chernoff closed form; spike flagged, baseline not") {
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      day.toLong * 86400000L + i.toLong * 1000L)
+    // key k1: 10 events on day 0, 10 on day 1, 100 on day 2 (spike);
+    // key k2: one day only → NULL lambda
+    val rows = (1 to 10).map(i => ("k1", ts(0, i))) ++
+      (1 to 10).map(i => ("k1", ts(1, i))) ++
+      (1 to 100).map(i => ("k1", ts(2, i))) ++
+      (1 to 5).map(i => ("k2", ts(0, i)))
+    val out = Analytics.poissonSpikeBound(rows.toDF("k", "ts"), "k", "ts",
+        alpha = 0.001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5)))).toMap
+    // day 2: λ = (120-100)/2 = 10, x = 100 → bound = exp(90 + 100·ln(0.1))
+    val spike = out(("k1", 2L))
+    assert(spike._1 === 100L && spike._2 === 10.0)
+    val want = math.exp((100.0 - 10.0) + 100.0 * math.log(10.0 / 100.0))
+    assert(math.abs(spike._3 - want) < 1e-15)
+    assert(spike._4 === Some(true))
+    // day 0: λ = (120-10)/2 = 55 > x=10 → bound 1.0, not flagged
+    val base = out(("k1", 0L))
+    assert(base._2 === 55.0 && base._3 === 1.0 && base._4 === Some(false))
+    // single-day key: NULL lambda/bound/flag
+    val k2 = out(("k2", 0L))
+    assert(k2._2.isNaN && k2._3.isNaN && k2._4.isEmpty)
+  }
+
   test("welchTTest: degenerate designs report NULL t/df") {
     // missing side
     val solo = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")

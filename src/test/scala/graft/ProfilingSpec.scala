@@ -745,6 +745,26 @@ class ProfilingSpec extends SparkSpec {
     assert(out.forall(t => t._4 === 100.0))
   }
 
+  test("categoryDrift: shared/new/vanished statuses and exact shares") {
+    val ref = Seq("en", "en", "en", "de", "fr").toDF("lang")
+    val cur = Seq("en", "en", "de", "de", "zz", "zz").toDF("lang")
+    val out = Profiling.categoryDrift(ref, cur, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          r.getString(6))).toMap
+    assert(out.keySet === Set("en", "de", "fr", "zz"))
+    val en = out("en")
+    assert(en._1 === 3L && en._2 === 2L && en._6 === "shared")
+    assert(en._3 === 3.0 / 5.0 && en._4 === 2.0 / 6.0)
+    assert(math.abs(en._5 - math.log((2.0 / 6.0) / (3.0 / 5.0))) < 1e-12)
+    assert(out("fr")._6 === "vanished" && out("fr")._2 === 0L &&
+      out("fr")._5.isNaN)
+    assert(out("zz")._6 === "new" && out("zz")._1 === 0L &&
+      out("zz")._5.isNaN)
+    assert(out("de")._6 === "shared")
+  }
+
   test("qqPairs: uneven slice sizes use each slice's own n") {
     val rows = (1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
       (1 to 4).map(i => ("b", 1000L + i, i.toDouble * 10.0))
