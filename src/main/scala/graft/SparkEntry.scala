@@ -3322,6 +3322,59 @@ object SparkEntry {
           round(col("bound"), 6).as("bound"), col("flagged"))
         .orderBy("key", "day")
     }),
+    // ── scale: Bradley–Terry preference strengths — MM fit over
+    //    "engagement duels" (per user, consecutive event pairs; the
+    //    higher-value event's type wins); 3 driver-sequenced rounds,
+    //    opponent-sorted folds on the gate path (oracle: DuckDB unrolls
+    //    the duel window, the pair counts, and all 3 MM rounds) ───────────
+    "q327_bradley_terry" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = T(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val duels = ev
+        .withColumn("__pt", lag(col("event_type"), 1).over(w))
+        .withColumn("__pv", lag(col("value"), 1).over(w))
+        .filter(col("__pt").isNotNull &&
+          col("__pt") =!= col("event_type") && col("value") =!= col("__pv"))
+        .select(
+          when(col("value") > col("__pv"), col("event_type"))
+            .otherwise(col("__pt")).as("winner"),
+          when(col("value") > col("__pv"), col("__pt"))
+            .otherwise(col("event_type")).as("loser"))
+      Training.bradleyTerry(duels, "winner", "loser", rounds = 3,
+          deterministic = true)
+        .select(col("item"), col("wins"), round(col("theta"), 6).as("theta"))
+        .orderBy("item")
+    }),
+    // ── scale: Fleiss' kappa — multi-rater chance-corrected agreement
+    //    (3 "annotators" = the langs of 3 consecutive docs per item);
+    //    exact long agreement sums, category-sorted P̄e fold (oracle:
+    //    DuckDB replays cells, marginals, and the folds) ──────────────────
+    "q328_fleiss_kappa" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select((col("doc_id") - pmod(col("doc_id"), lit(3L))).as("item"),
+          col("lang"))
+      val complete = docs.groupBy("item").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") === 3L).select("item")
+      Profiling.fleissKappa(docs.join(complete, Seq("item"), "left_semi"),
+          "item", "lang")
+        .select(col("n_items"), col("n_raters"),
+          round(col("p_bar"), 6).as("p_bar"), round(col("p_e"), 6).as("p_e"),
+          round(col("kappa"), 6).as("kappa"))
+    }),
+    // ── scale: funnel step timings — exact p50/p90 of each hop's
+    //    per-user transition delay on q113's min-time funnel path; no FP
+    //    anywhere (oracle: DuckDB replays the step mins, delays, and the
+    //    rank targets) ──────────────────────────────────────────────────────
+    "q329_funnel_timings" -> ((s, dir) => {
+      Analytics.funnelTimings(T(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          qs = Seq(0.5, 0.9))
+        .select(col("step_idx"), col("step"), col("n_users"),
+          round(col("q"), 6).as("q"), col("delay_us"))
+        .orderBy("step_idx", "q")
+    }),
     // ── scale: MEASURED LSH recall calibration — per exact-Jaccard bin
     //    over a deterministic ≤256-doc sample, the fraction of pairs the
     //    PRODUCTION banding surfaced as candidates, beside the theoretical
@@ -7380,6 +7433,59 @@ object SparkEntry {
         |  CASE WHEN bound IS NULL THEN NULL
         |    ELSE bound <= 0.001 END AS flagged
         |FROM b ORDER BY key, day""".stripMargin,
+    "q327_bradley_terry" -> btOracleSql(3),
+    "q328_fleiss_kappa" ->
+      """WITH d AS (SELECT doc_id - (doc_id % 3) AS item, lang
+        |  FROM documents),
+        |comp AS (SELECT item FROM d GROUP BY item HAVING count(*) = 3),
+        |dd AS (SELECT d.item, d.lang FROM d JOIN comp USING (item)),
+        |cells AS (SELECT item, lang AS r, CAST(count(*) AS BIGINT) AS c
+        |  FROM dd GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * c) AS BIGINT) AS sq FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS items,
+        |    CAST(min(n) AS BIGINT) AS raters,
+        |    CAST(sum(sq) AS BIGINT) AS ssq FROM pi),
+        |pb AS (SELECT items, raters,
+        |    CAST(ssq - (items * raters) AS DOUBLE)
+        |      / (CAST(items * raters AS DOUBLE)
+        |        * CAST(raters - 1 AS DOUBLE)) AS p_bar FROM tot),
+        |pe AS (SELECT list_reduce(list(
+        |    (CAST(m AS DOUBLE)
+        |      / CAST((SELECT items * raters FROM tot) AS DOUBLE))
+        |    * (CAST(m AS DOUBLE)
+        |      / CAST((SELECT items * raters FROM tot) AS DOUBLE))
+        |    ORDER BY r), (a, v) -> a + v) AS p_e
+        |  FROM (SELECT r, CAST(sum(c) AS BIGINT) AS m FROM cells
+        |    GROUP BY 1))
+        |SELECT items AS n_items, raters AS n_raters,
+        |  round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+        |  round(CASE WHEN p_e = 1.0 THEN NULL
+        |    ELSE (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
+        |FROM pb, pe""".stripMargin,
+    "q329_funnel_timings" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t, min(s1.t) AS p
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t, min(s2.t) AS p
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |d AS (SELECT 1 AS step_idx, 'click' AS step, user_id,
+        |    CAST(epoch_us(t) - epoch_us(p) AS BIGINT) AS delay FROM s2
+        |  UNION ALL SELECT 2, 'purchase', user_id,
+        |    CAST(epoch_us(t) - epoch_us(p) AS BIGINT) FROM s3),
+        |r AS (SELECT step_idx, step, user_id, delay,
+        |    row_number() OVER (PARTITION BY step_idx
+        |      ORDER BY delay ASC, user_id ASC) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY step_idx) AS BIGINT) AS n
+        |  FROM d),
+        |qs AS (SELECT unnest(CAST([0.5, 0.9] AS DOUBLE[])) AS q)
+        |SELECT step_idx, step, n AS n_users, round(q, 6) AS q,
+        |  delay AS delay_us
+        |FROM r JOIN qs ON rk = greatest(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY step_idx, q""".stripMargin,
     "q308_bh_fdr" ->
       s"""WITH t AS (SELECT DISTINCT c_nationkey::VARCHAR || '|' ||
          |    c_mktsegment AS test_id, c_nationkey AS nk FROM customer),
@@ -11218,6 +11324,57 @@ object SparkEntry {
   // (Dedup.md5Hash60) that both engines compute identically.
 
   /** DuckDB twin of Dedup.md5Hash60 (60-bit md5-prefix hash). */
+  /** Unrolled Bradley–Terry MM rounds over the events "engagement duel"
+    * stream (q327) — the pageRank-oracle pattern: t0 = 1.0, each round
+    * joins pairs to the previous θ, folds denominators opponent-sorted,
+    * and renormalizes to Σθ = n_items. */
+  private def btOracleSql(rounds: Int): String = {
+    val head =
+      """WITH e AS (SELECT user_id, ts, event_id, event_type, value,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pt,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |duel AS (SELECT
+        |    CASE WHEN value > pv THEN event_type ELSE pt END AS w,
+        |    CASE WHEN value > pv THEN pt ELSE event_type END AS l
+        |  FROM e
+        |  WHERE pt IS NOT NULL AND pt <> event_type AND value <> pv),
+        |wins AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c FROM duel
+        |  WHERE w <> l GROUP BY 1, 2),
+        |pairs AS (SELECT i, j, CAST(sum(c) AS BIGINT) AS n FROM (
+        |    SELECT w AS i, l AS j, c FROM wins
+        |    UNION ALL SELECT l AS i, w AS j, c FROM wins) GROUP BY 1, 2),
+        |wt AS (SELECT w AS i, CAST(sum(c) AS BIGINT) AS wins FROM wins
+        |  GROUP BY 1),
+        |it AS (SELECT p.i, CAST(coalesce(wt.wins, 0) AS BIGINT) AS wins
+        |  FROM (SELECT DISTINCT i FROM pairs) p LEFT JOIN wt USING (i)),
+        |ni AS (SELECT CAST(count(*) AS BIGINT) AS n FROM it),
+        |t0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS th FROM it)""".stripMargin
+    val body = (1 to rounds).map { r =>
+      s""",
+         |d$r AS (SELECT p.i, list_reduce(
+         |    list((CAST(p.n AS DOUBLE) / (a.th + b.th)) ORDER BY p.j),
+         |    (x, y) -> x + y) AS d
+         |  FROM pairs p JOIN t${r - 1} a ON p.i = a.i
+         |  JOIN t${r - 1} b ON p.j = b.i GROUP BY p.i),
+         |r$r AS (SELECT it.i, CASE WHEN d IS NULL OR d = 0.0
+         |    THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(wins AS DOUBLE) / d END AS raw
+         |  FROM it LEFT JOIN d$r ON it.i = d$r.i),
+         |s$r AS (SELECT list_reduce(list(raw ORDER BY i), (x, y) -> x + y)
+         |    AS tot FROM r$r),
+         |t$r AS (SELECT i,
+         |    (raw * CAST((SELECT n FROM ni) AS DOUBLE))
+         |      / (SELECT tot FROM s$r) AS th FROM r$r)""".stripMargin
+    }.mkString
+    head + body +
+      s"""
+         |SELECT it.i AS item, wins, round(t$rounds.th, 6) AS theta
+         |FROM it JOIN t$rounds ON it.i = t$rounds.i ORDER BY item""".stripMargin
+  }
+
   private def h60Sql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::UBIGINT"
 

@@ -764,6 +764,59 @@ object Analytics {
     counts.toDF("step_idx", "step", "n_users")
   }
 
+  /** Funnel step timings: for each adjacent step pair of [[funnel]]'s
+    * min-time path, EXACT order-statistic quantiles of the per-user
+    * transition delay (micros) — "users convert, but HOW LONG does each
+    * hop take, and is the p90 tail the step to fix?". Same open-window
+    * semantics as funnel (step k's time is the earliest event strictly
+    * after the user's step-k−1 time), so n_users per step matches
+    * funnel's counts exactly.
+    *
+    * Shape: funnel's per-step user-keyed min aggregates (filters push to
+    * the scan), delays as exact long micros, then ONE
+    * [[discreteQuantilesPerGroup]] pass over the union (groups = steps —
+    * trivially within the rank family's contract). No FP arithmetic
+    * anywhere. Returns (step_idx, step, n_users, q, delay_us) for steps
+    * 1.., one row per (step, q). */
+  def funnelTimings(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(steps.size >= 2, "funnelTimings needs at least two steps")
+    var reached: DataFrame = null
+    val delayFrames = steps.zipWithIndex.flatMap { case (st, i) =>
+      val ev = df.filter(col(typeCol) === st)
+        .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__ts"))
+      if (i == 0) {
+        reached = ev.groupBy("__u").agg(min(col("__ts")).as("__t"))
+          .localCheckpoint(true)
+        Nil
+      } else {
+        val next = ev
+          .join(reached.select(col("__u"), col("__t").as("__prev")),
+            Seq("__u"))
+          .filter(col("__ts") > col("__prev"))
+          .groupBy("__u").agg(min(col("__ts")).as("__t"),
+            min(col("__prev")).as("__p")) // __prev is constant per user
+          .localCheckpoint(true)
+        reached = next
+        Seq(next.select(lit(i.toLong).as("__step"), col("__u"),
+          (col("__t") - col("__p")).as("__d")))
+      }
+    }
+    val delays = delayFrames.reduce(_ unionByName _)
+    val counts = delays.groupBy("__step").agg(count(lit(1)).as("n_users"))
+    val quants = discreteQuantilesPerGroup(delays, "__step", "__u", "__d", qs)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = steps.zipWithIndex.map { case (st, i) => (i.toLong, st) }
+      .toDF("__step", "step")
+    quants.join(Ops.broadcastIfSmall(counts), Seq("__step"))
+      .join(Ops.broadcastIfSmall(names), Seq("__step"))
+      .select(col("__step").as("step_idx"), col("step"), col("n_users"),
+        col("q"), col("value").as("delay_us"))
+      .orderBy("step_idx", "q")
+  }
+
   /** EXACT order-statistic quantiles per group — the q-quantile is the
     * VALUE at ascending rank max(1, ⌈q·n_g⌉), no interpolation (an
     * element of the data, deterministic and replayable where

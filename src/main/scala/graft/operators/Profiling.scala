@@ -764,6 +764,57 @@ object Profiling {
       .toDF("n", "po", "pe", "kappa")
   }
 
+  /** Fleiss' kappa: chance-corrected agreement for MANY raters per item —
+    * the multi-annotator generalization of [[cohensKappa]] (3 labelers, 5
+    * heuristic judges, an LLM-judge ensemble). Input is one row per
+    * (item, rating); every item must carry the SAME number of ratings n
+    * (validated — Fleiss' formula assumes it; filter incomplete items
+    * upstream).
+    *
+    * All integer until the final divisions: per-item agreement sums
+    * S = Σᵢ Σ_c nᵢ_c² are exact longs (P̄ = (S − N·n)/(N·n·(n−1)) divides
+    * once); category shares p_c come from exact long marginals, and the
+    * P̄e = Σ p_c² fold runs category-sorted over the
+    * category-cardinality frame. Degenerate designs (P̄e = 1: every
+    * rating identical) report NULL kappa. Returns one row
+    * (n_items, n_raters, p_bar, p_e, kappa). */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      ratingCol: String): DataFrame = {
+    val cells = df
+      .select(col(itemCol).as("__i"), col(ratingCol).cast("string").as("__r"))
+      .groupBy("__i", "__r").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val perItem = cells.groupBy("__i")
+      .agg(sum("__c").as("__n"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .localCheckpoint(false)
+    val tot = perItem.agg(count(lit(1)).as("items"),
+      countDistinct(col("__n")).as("nn"), min("__n").as("raters"),
+      sum("__sq").as("ssq")).first()
+    val (nItems, raters) = (tot.getLong(0), tot.getLong(2))
+    require(nItems > 0, "no items")
+    require(tot.getLong(1) == 1L,
+      "fleissKappa requires the same rating count per item " +
+        "(filter incomplete items upstream)")
+    require(raters >= 2L, s"need >= 2 ratings per item, got $raters")
+    val s = tot.getLong(3)
+    val nTot = nItems * raters
+    val pBar = (s - nTot).toDouble / (nTot.toDouble * (raters - 1).toDouble)
+    // P̄e = Σ_c (m_c / (N·n))² — category-sorted fold
+    val pe = cells.groupBy("__r").agg(sum("__c").as("__m"))
+      .select(col("__r"),
+        ((col("__m").cast("double") / lit(nTot.toDouble)) *
+          (col("__m").cast("double") / lit(nTot.toDouble))).as("__t"))
+      .agg(aggregate(sort_array(collect_list(struct(col("__r"), col("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t")))
+      .first().getDouble(0)
+    val kappa: java.lang.Double =
+      if (pe == 1.0) null else (pBar - pe) / (1.0 - pe)
+    import df.sparkSession.implicits._
+    Seq((nItems, raters, pBar, pe, Option(kappa).map(_.doubleValue())))
+      .toDF("n_items", "n_raters", "p_bar", "p_e", "kappa")
+  }
+
   /** Order-independent MULTISET table fingerprint: "are these two copies
     * of the table identical, without sorting either?" — the migration /
     * replication / backfill reconciliation primitive (compare a 100 TB

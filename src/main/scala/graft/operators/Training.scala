@@ -531,4 +531,83 @@ object Training {
         when(lit(nTest) === 0L, lit(null).cast("double"))
           .otherwise(lit(covered.toDouble / nTest.toDouble)).as("coverage"))
   }
+
+  /** Bradley–Terry strengths from pairwise preferences — the standard
+    * model for "which response/source/variant wins head-to-head" data
+    * (RLHF preference pairs, interleaving experiments, model arenas):
+    * P(i beats j) = θᵢ/(θᵢ+θⱼ), fit by the MM algorithm
+    * θᵢ ← Wᵢ / Σⱼ nᵢⱼ/(θᵢ+θⱼ), normalized each round to Σθ = n_items.
+    *
+    * Shape per round (driver-sequenced, the pageRank/k-means pattern):
+    * the symmetric pair-count frame (i, j, nᵢⱼ) — built ONCE from one
+    * aggregate over the duel stream — joins the item-cardinality θ frame
+    * twice (broadcast-gated); the per-item denominator folds
+    * opponent-sorted on the gate path (`deterministic = true`; bounded
+    * by the item cardinality), plain map-side sum in production; the
+    * normalizer folds item-sorted the same way. Wᵢ and nᵢⱼ are exact
+    * longs. Self-matches are dropped (no information). Items with zero
+    * wins converge to θ = 0 — their zero-zero pair terms divide to
+    * ±∞/0-safe zeros (wins 0 forces raw 0 regardless). Returns
+    * (item, wins, theta). */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+      rounds: Int = 5, deterministic: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    val wins = df.select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .filter(col("__w") =!= col("__l"))
+      .groupBy("__w", "__l").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val pairs = wins.select(col("__w").as("__i"), col("__l").as("__j"),
+        col("__c"))
+      .unionByName(wins.select(col("__l").as("__i"), col("__w").as("__j"),
+        col("__c")))
+      .groupBy("__i", "__j").agg(sum("__c").as("__n"))
+      .localCheckpoint(true)
+    val w = wins.groupBy(col("__w").as("__i")).agg(sum("__c").as("__wins"))
+    val items = pairs.select(col("__i")).distinct()
+      .join(w, Seq("__i"), "left")
+      .select(col("__i"), coalesce(col("__wins"), lit(0L)).as("__wins"))
+      .localCheckpoint(true)
+    val nItems = items.count()
+    require(nItems >= 2, s"need >= 2 items with matches, got $nItems")
+    def fold(df2: DataFrame, keyCols: Seq[String],
+        ord: org.apache.spark.sql.Column, term: org.apache.spark.sql.Column,
+        name: String): DataFrame = {
+      val agg =
+        if (deterministic)
+          aggregate(sort_array(collect_list(struct(ord, term.as("__x")))),
+            lit(0.0), (a, x) => a + x.getField("__x"))
+        else sum(term)
+      if (keyCols.isEmpty) df2.agg(agg.as(name))
+      else df2.groupBy(keyCols.map(col): _*).agg(agg.as(name))
+    }
+    var theta = items.select(col("__i"), lit(1.0).as("__th"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val termed = pairs
+        .join(graft.operators.Ops.broadcastIfSmall(theta), Seq("__i"))
+        .join(graft.operators.Ops.broadcastIfSmall(
+          theta.select(col("__i").as("__j"), col("__th").as("__thj"))),
+          Seq("__j"))
+        .select(col("__i"), col("__j"),
+          (col("__n").cast("double") / (col("__th") + col("__thj")))
+            .as("__t"))
+      val d = fold(termed, Seq("__i"), col("__j"), col("__t"), "__d")
+      val raw = items.join(d, Seq("__i"), "left")
+        .select(col("__i"),
+          when(col("__d").isNull || col("__d") === 0.0, lit(0.0))
+            .otherwise(col("__wins").cast("double") / col("__d"))
+            .as("__raw"))
+        .localCheckpoint(true)
+      val tot = fold(raw, Nil, col("__i"), col("__raw"), "__s")
+        .first().getDouble(0)
+      theta = raw.select(col("__i"),
+        ((col("__raw") * lit(nItems.toDouble)) / lit(tot)).as("__th"))
+        .localCheckpoint(true)
+    }
+    items.join(theta, Seq("__i"))
+      .select(col("__i").as("item"), col("__wins").as("wins"),
+        col("__th").as("theta"))
+  }
 }

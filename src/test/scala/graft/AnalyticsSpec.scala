@@ -1443,6 +1443,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(z.isNullAt(4))
   }
 
+  // ── funnelTimings ──────────────────────────────────────────────────────
+
+  test("funnelTimings: hand delays under min-time funnel semantics") {
+    def t(sec: Int) = new java.sql.Timestamp(sec.toLong * 1000L)
+    val ev = Seq(
+      // u1: view@0 → click@10 → purchase@40 (delays 10s, 30s)
+      (1L, t(0), "view"), (1L, t(10), "click"), (1L, t(40), "purchase"),
+      // u2: view@0 → click@20; a click BEFORE the view must not count
+      (2L, t(5), "view"), (2L, t(2), "click"), (2L, t(25), "click"),
+      // u3: click only → reaches nothing (no view first)
+      (3L, t(0), "click")).toDF("u", "ts", "et")
+    val out = Analytics.funnelTimings(ev, "u", "ts", "et",
+        Seq("view", "click", "purchase"), qs = Seq(0.5, 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // step 1 (click): u1 delay 10s, u2 delay 20s → n=2,
+    //   p50 = rank ceil(.5·2)=1 → 10s; p100 = 20s
+    val s1 = out.filter(_._1 === 1L)
+    assert(s1.forall(x => x._2 === "click" && x._3 === 2L))
+    assert(s1.find(_._4 === 0.5).get._5 === 10000000L)
+    assert(s1.find(_._4 === 1.0).get._5 === 20000000L)
+    // step 2 (purchase): only u1, delay 30s
+    val s2 = out.filter(_._1 === 2L)
+    assert(s2.forall(x => x._3 === 1L && x._5 === 30000000L))
+  }
+
+  test("funnelTimings: step counts match funnel's exactly") {
+    val rows = (1 to 200).flatMap { i =>
+      def t(sec: Int) = new java.sql.Timestamp(sec.toLong * 1000L)
+      Seq((i.toLong, t(i), "view")) ++
+        (if (i % 2 == 0) Seq((i.toLong, t(i + 5), "click")) else Nil) ++
+        (if (i % 6 == 0) Seq((i.toLong, t(i + 9), "purchase")) else Nil)
+    }
+    val df = rows.toDF("u", "ts", "et")
+    val steps = Seq("view", "click", "purchase")
+    val fn = Analytics.funnel(df, "u", "ts", "et", steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ft = Analytics.funnelTimings(df, "u", "ts", "et", steps,
+        qs = Seq(0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ft(1L) === fn(1L) && ft(2L) === fn(2L))
+  }
+
   // ── poissonSpikeBound ──────────────────────────────────────────────────
 
   test("poissonSpikeBound: Chernoff closed form; spike flagged, baseline not") {

@@ -58,6 +58,8 @@ class BoundednessSpec extends AnyFunSuite {
     "Analytics.scala#orderedSum" -> (1, "group: jackknifeRatio H-row bucket frame (require-capped buckets <= 4096)"),
     "Analytics.scala#prCurve" -> (1, "det-gate: AP fold over the score-cardinality frame (gates bin scores); production plain sum"),
     "Analytics.scala#tFold" -> (1, "group: logRankTest E1/V folds over the duration-cardinality frame (kaplanMeier granularity contract: bucketed durations)"),
+    "Training.scala#fold" -> (1, "det-gate + group: bradleyTerry per-item opponent fold / item normalizer over item-cardinality frames; production plain sums"),
+    "Profiling.scala#fleissKappa" -> (1, "group: P_e fold over the rating-category-cardinality frame (cohensKappa convention)"),
     "Dedup.scala#bucketCandidatePairs" -> (1, "capped: per-LSH-bucket members under the maxBucket/capBuckets bounded-recall cap"),
     "Dedup.scala#containmentPairs" -> (1, "group: per-doc PREFIX shingles only (n - ceil(t*n) + 1 rarest — pigeonhole prefix filter)"),
     "Dedup.scala#hammingNearDupPairs" -> (1, "capped: per-(chunk,val) bucket members under the capBuckets convention"),

@@ -819,6 +819,36 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._2).sum === 120L)
   }
 
+  test("bradleyTerry: two-item fixed point matches the closed-form MLE") {
+    import graft.operators.Training
+    // A beats B 3×, B beats A 1× → MLE odds 3:1; with Σθ = 2 the MM
+    // fixed point is θA = 1.5, θB = 0.5, reached exactly at round 1
+    val duels = (Seq.fill(3)(("A", "B")) ++ Seq.fill(1)(("B", "A")))
+      .toDF("w", "l")
+    val out = Training.bradleyTerry(duels, "w", "l", rounds = 3,
+        deterministic = true)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("A")._1 === 3L && out("B")._1 === 1L)
+    assert(math.abs(out("A")._2 - 1.5) < 1e-12)
+    assert(math.abs(out("B")._2 - 0.5) < 1e-12)
+    // implied win probability equals the empirical rate
+    val p = out("A")._2 / (out("A")._2 + out("B")._2)
+    assert(math.abs(p - 0.75) < 1e-12)
+  }
+
+  test("bradleyTerry: transitive duels rank correctly; self-matches dropped") {
+    import graft.operators.Training
+    val duels = (Seq.fill(2)(("A", "B")) ++ Seq.fill(2)(("B", "C")) ++
+      Seq.fill(2)(("A", "C")) ++ Seq.fill(5)(("C", "C"))) // self-noise
+      .toDF("w", "l")
+    val out = Training.bradleyTerry(duels, "w", "l", rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("A") > out("B") && out("B") > out("C"))
+    // normalization: Σθ = n_items
+    assert(math.abs(out.values.sum - 3.0) < 1e-9)
+  }
+
   test("brierDecomposition: hand golden; Murphy identity holds in-output") {
     import graft.operators.Training
     // two bins (bins=2): bin0 = score 0.2 (3 rows, 1 pos),

@@ -82,7 +82,8 @@ class DetProdEquivalenceSpec extends SparkSpec {
       "tfidfCosinePairs", "mutualInformation", "chiSquareIndependence",
       "numericMI", "pageRank", "personalizedPageRank", "degreePowerLaw",
       "hits", "trainLogistic", "trainKMeans", "topPrincipalComponent",
-      "clusteringQualityReport", "stationaryDistribution", "prCurve")
+      "clusteringQualityReport", "stationaryDistribution", "prCurve",
+      "bradleyTerry")
     val defRe = """\bdef (\w+)""".r
     val root = new java.io.File("src/main/scala/graft")
     def files(d: java.io.File): Seq[java.io.File] =
@@ -262,5 +263,13 @@ class DetProdEquivalenceSpec extends SparkSpec {
       (col("lang") === "en").as("y"))
     val (d, p) = both(b => Analytics.prCurve(scored, "s", "y", b))
     assertEquiv("prCurve", d, p)
+  }
+  test("equiv: bradleyTerry") {
+    val duels = docs.select(
+      concat(lit("s"), pmod(col("doc_id"), lit(5L))).as("w"),
+      concat(lit("s"), pmod(col("doc_id") * 7L + 3L, lit(5L))).as("l"))
+    val (d, p) = both(b => Training.bradleyTerry(duels, "w", "l",
+      rounds = 3, deterministic = b))
+    assertEquiv("bradleyTerry", d, p)
   }
 }

@@ -745,6 +745,35 @@ class ProfilingSpec extends SparkSpec {
     assert(out.forall(t => t._4 === 100.0))
   }
 
+  test("fleissKappa: hand goldens — perfect 1, chance-level 0, constant NULL") {
+    // perfect agreement: every item's raters unanimous
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("item", "r")
+    val p = Profiling.fleissKappa(perfect, "item", "r").collect()(0)
+    assert(p.getLong(0) === 2L && p.getLong(1) === 2L)
+    assert(p.getDouble(2) === 1.0 && math.abs(p.getDouble(4) - 1.0) < 1e-12)
+    // engineered chance-level: P̄ == P̄e == 5/9 → kappa exactly 0
+    val mixed = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"), (2L, "y"),
+      (3L, "x"), (3L, "x"), (3L, "x")).toDF("item", "r")
+    val m = Profiling.fleissKappa(mixed, "item", "r").collect()(0)
+    assert(math.abs(m.getDouble(2) - 5.0 / 9.0) < 1e-12)
+    assert(math.abs(m.getDouble(3) - 5.0 / 9.0) < 1e-12)
+    assert(math.abs(m.getDouble(4)) < 1e-12)
+    // every rating identical → P̄e = 1 → NULL kappa
+    val const = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("item", "r")
+    assert(Profiling.fleissKappa(const, "item", "r").collect()(0).isNullAt(4))
+  }
+
+  test("fleissKappa: rejects unequal rating counts per item") {
+    val bad = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("item", "r")
+    intercept[IllegalArgumentException] {
+      Profiling.fleissKappa(bad, "item", "r").collect()
+    }
+  }
+
   test("categoryDrift: shared/new/vanished statuses and exact shares") {
     val ref = Seq("en", "en", "en", "de", "fr").toDF("lang")
     val cur = Seq("en", "en", "de", "de", "zz", "zz").toDF("lang")
