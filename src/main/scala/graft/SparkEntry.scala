@@ -3363,6 +3363,32 @@ object SparkEntry {
           round(col("p_bar"), 6).as("p_bar"), round(col("p_e"), 6).as("p_e"),
           round(col("kappa"), 6).as("kappa"))
     }),
+    // ── scale: MEASURED IVF recall calibration — recall@k of the
+    //    PRODUCTION ivfTopK path per nProbe vs exact brute-force truth on
+    //    a deterministic ≤64-query sample (the q313 twin for the vector
+    //    tier). Rows-only: the IVF path's xxhash64 seeding has no DuckDB
+    //    twin (the q313 rationale); exactness is pinned by the
+    //    probe-all-centroids ≡ brute-force equality spec. ──────────────────
+    "q330_ivf_recall_audit" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfRecallAudit(emb, "vec_id", "embedding", k = 10,
+          numCentroids = 16, nProbes = Seq(1, 2, 4, 16), maxQueries = 64)
+        .select(col("n_probe"), col("n_queries"), col("n_truth_pairs"),
+          col("n_hit"), round(col("recall"), 6).as("recall"))
+        .orderBy("n_probe")
+    }),
+    // ── scale: hard-negative mining — per query the top-k corpus rows in
+    //    a cosine band [0.3, 0.8): similar enough to teach, below the
+    //    near-duplicate false-negative zone; band filters BEFORE the
+    //    top-k window (oracle: DuckDB list_cosine_similarity + QUALIFY) ───
+    "q331_hard_negatives" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, lo = 0.3, hi = 0.8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
     // ── scale: funnel step timings — exact p50/p90 of each hop's
     //    per-user transition delay on q113's min-time funnel path; no FP
     //    anywhere (oracle: DuckDB replays the step mins, delays, and the
@@ -7434,6 +7460,21 @@ object SparkEntry {
         |    ELSE bound <= 0.001 END AS flagged
         |FROM b ORDER BY key, day""".stripMargin,
     "q327_bradley_terry" -> btOracleSql(3),
+    "q331_hard_negatives" ->
+      """SELECT q.vec_id AS query_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank,
+        |  c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) >= 0.3
+        |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) < 0.8
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q328_fleiss_kappa" ->
       """WITH d AS (SELECT doc_id - (doc_id % 3) AS item, lang
         |  FROM documents),

@@ -896,6 +896,58 @@ object Stress {
         Graph.modularity(el, "a", "b", asg, "node", "comm")))
     }
 
+    // round-9 continuation-2 probes ───────────────────────────────────────
+    // PR curve: the corpus collapses to the (3dp-binned) score-cardinality
+    // frame in ONE aggregate; wall must track the scan (AP work ≤ 1001 rows)
+    time(s"prCurve ${factor}x") {
+      val scored = docs.select(
+        round(TextAnalysis.qualityScore(col("text")), 3).as("s"),
+        (length(col("text")) > 400).as("y"))
+      println("[stress]   points=" + Bench.force(
+        Analytics.prCurve(scored, "s", "y")))
+    }
+    // jackknife ratio: one micro-int aggregate to H=64 buckets, driver
+    // work on the H-row frame after — scan-bound
+    time(s"jackknifeRatio ${factor}x") {
+      val ev = events.select(col("user_id"),
+        round(col("value") * lit(100.0)).cast("long").as("cents"),
+        lit(1L).as("one"))
+      println("[stress]   rows=" + Bench.force(
+        Analytics.jackknifeRatio(ev, "user_id", "cents", "one",
+          buckets = 64)))
+    }
+    // Bradley–Terry: the duel scan collapses to the item² pair frame
+    // (items fixed at 5 types) — the 5 MM rounds must stay flat as the
+    // corpus grows because they only touch pair/item-cardinality frames
+    time(s"bradleyTerry ${factor}x duels, 5 rounds") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val duels = events
+        .withColumn("__pt", lag(col("event_type"), 1).over(w))
+        .withColumn("__pv", lag(col("value"), 1).over(w))
+        .filter(col("__pt").isNotNull &&
+          col("__pt") =!= col("event_type") && col("value") =!= col("__pv"))
+        .select(when(col("value") > col("__pv"), col("event_type"))
+            .otherwise(col("__pt")).as("w"),
+          when(col("value") > col("__pv"), col("__pt"))
+            .otherwise(col("event_type")).as("l"))
+      println("[stress]   items=" + Bench.force(
+        Training.bradleyTerry(duels, "w", "l", rounds = 5)))
+    }
+    // funnel timings: per-step user-keyed min aggregates + ONE pruned
+    // rank pass over the union of delay frames — linear in events
+    time(s"funnelTimings ${factor}x") {
+      println("[stress]   rows=" + Bench.force(
+        Analytics.funnelTimings(events, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))))
+    }
+    // Poisson spike bound: (key, day) count aggregate + key-totals join,
+    // pure closed form after — scan-bound
+    time(s"poissonSpikeBound ${factor}x") {
+      println("[stress]   rows=" + Bench.force(
+        Analytics.poissonSpikeBound(events, "event_type", "ts")))
+    }
+
     val meter = new E2eShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     def stage(name: String)(f: => Long): Unit = {

@@ -647,4 +647,72 @@ object Similarity {
     import spark.implicits._
     rows.toDF("source_a", "source_b", "cosine", "l2")
   }
+
+  /** MEASURED IVF recall calibration — the vector-tier twin of
+    * Dedup.lshRecallAudit (q313): for a deterministic bounded query
+    * sample, recall@k of the PRODUCTION [[ivfTopK]] path at each
+    * `nProbe` against exact [[bruteForceTopK]] ground truth. nProbe is
+    * THE recall/compute knob; this measures what each setting buys on
+    * THIS corpus before anyone commits a fleet to it.
+    *
+    * Bounded by construction: ≤ maxQueries (require ≤ 1024) md5-ranked
+    * query rows (TakeOrdered — no global sort), so the ground-truth
+    * brute force is a corpus scan × a broadcast probe set, never n².
+    * Counts are exact longs; recall divides once. Probing every
+    * centroid (nProbe ≥ numCentroids) scans every cluster, so recall
+    * is exactly 1.0 there — the spec pins that equality. Returns one
+    * row per nProbe: (n_probe, n_queries, n_truth_pairs, n_hit,
+    * recall). */
+  def ivfRecallAudit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCentroids: Int, nProbes: Seq[Int],
+      maxQueries: Int = 64): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      "nProbes must be non-empty positive")
+    require(maxQueries >= 1 && maxQueries <= 1024,
+      s"maxQueries must be in [1, 1024], got $maxQueries")
+    val queries = corpus
+      .orderBy(Dedup.md5Hash60(col(idCol).cast(StringType)).asc,
+        col(idCol).asc)
+      .limit(maxQueries)
+      .localCheckpoint(true)
+    val nQ = queries.count()
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    val rows = nProbes.map { np =>
+      val got = ivfTopK(corpus, queries, idCol, vecCol, k, numCentroids, np)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (np.toLong, nQ, nTruth, hits,
+        if (nTruth == 0L) 0.0 else hits.toDouble / nTruth.toDouble)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    rows.toDF("n_probe", "n_queries", "n_truth_pairs", "n_hit", "recall")
+  }
+
+  /** Hard-negative mining: per query, the top-k most-similar corpus rows
+    * whose cosine falls in [lo, hi) — the embedding-training staple
+    * (negatives just below the positive band are the ones that teach the
+    * model; random negatives are trivially easy, near-duplicates above
+    * `hi` are false negatives). Same broadcast-probe shape as
+    * [[bruteForceTopK]]: corpus scan × bounded query set, band filter
+    * BEFORE the per-query top-k window (rows outside the band never
+    * shuffle). Excludes self-matches. Returns
+    * (query_id, rank, neighbor_id, cosine). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vector_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    rankTopK(scored, k)
+  }
 }

@@ -1030,4 +1030,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rep.head._1 === "1_exact" && rep.head._2 === 2L)
     assert(rep.head._3 === 1L) // the exact copy of history id 1 drops
   }
+
+  // ── ivfRecallAudit / hardNegatives ───────────────────────────────────
+
+  test("ivfRecallAudit: monotone in nProbe; probe-all equals brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.ivfRecallAudit(e, "vec_id", "embedding", k = 5,
+        numCentroids = 8, nProbes = Seq(1, 2, 8), maxQueries = 16)
+      .orderBy("n_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 8L))
+    assert(out.forall(_._2 === 16L))
+    // recall nondecreasing in nProbe
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5 + 1e-12, s"recall fell: $a then $b") }
+    // probing every centroid scans every cluster → EXACTLY brute force
+    assert(out.last._4 === out.last._3 && out.last._5 === 1.0)
+    // hit counts never exceed the truth-pair count
+    assert(out.forall(t => t._4 <= t._3))
+  }
+
+  test("hardNegatives: band respected, subset of brute-force ordering") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 4)
+    // raw column order: (query_id, neighbor_id, cosine, rank)
+    val out = Similarity.hardNegatives(e, q, "vec_id", "embedding",
+      k = 5, lo = 0.2, hi = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    // every row inside the band, no self-matches, ranks contiguous from 1
+    assert(out.forall(t => t._3 >= 0.2 && t._3 < 0.9 && t._1 != t._2))
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq) }
+    // within the band, order matches the brute-force cosine ordering:
+    // the top hard negative is the best-scoring in-band brute neighbor
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val bestInBand = brute.filter(t => t._1 == qid &&
+        t._3 >= 0.2 && t._3 < 0.9).maxBy(_._3)
+      val top = rows.minBy(_._4)
+      assert(top._2 === bestInBand._2, s"query $qid top mismatch")
+    }
+  }
 }
