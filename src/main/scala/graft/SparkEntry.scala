@@ -3377,6 +3377,33 @@ object SparkEntry {
           col("n_hit"), round(col("recall"), 6).as("recall"))
         .orderBy("n_probe")
     }),
+    // ── scale: int8 scalar-quantization report — per-dim max-abs scales
+    //    from ONE posexplode aggregate, per-vector round-trip MSE /
+    //    max-abs-err / self-cosine as a pure projection (the "can the
+    //    embedding tier ship at 1/4 width?" decision table) (oracle:
+    //    DuckDB replays scales, the int8 round-trip, and the per-row
+    //    folds) ─────────────────────────────────────────────────────────────
+    "q332_scalar_quantize" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.scalarQuantizeReport(emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding")
+        .select(col("id"), round(col("mse") * lit(1e6), 6).as("mse_ppm"),
+          round(col("max_abs_err"), 6).as("max_abs_err"),
+          round(col("cosine_self"), 6).as("cosine_self"))
+        .orderBy("id")
+    }),
+    // ── scale: quantization recall audit — recall@10 of brute-force
+    //    search over the int8-dequantized vectors vs full-precision truth
+    //    on the deterministic ≤64-query sample (oracle: DuckDB replays
+    //    the scales, round-trip, both QUALIFY top-k's, and the hit
+    //    count) ─────────────────────────────────────────────────────────────
+    "q333_quantization_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.quantizationRecallAudit(emb, "vec_id", "embedding",
+          k = 10, maxQueries = 64)
+        .select(col("n_queries"), col("n_truth_pairs"), col("n_hit"),
+          round(col("recall"), 6).as("recall"))
+    }),
     // ── scale: hard-negative mining — per query the top-k corpus rows in
     //    a cosine band [0.3, 0.8): similar enough to teach, below the
     //    near-duplicate false-negative zone; band filters BEFORE the
@@ -7460,6 +7487,72 @@ object SparkEntry {
         |    ELSE bound <= 0.001 END AS flagged
         |FROM b ORDER BY key, day""".stripMargin,
     "q327_bradley_terry" -> btOracleSql(3),
+    "q332_scalar_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 100),
+        |sc AS (SELECT u.i AS pos, max(abs(CAST(embedding[u.i] AS DOUBLE)))
+        |    AS s
+        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY 1),
+        |sa AS (SELECT list(s ORDER BY pos) AS sv FROM sc),
+        |d AS (SELECT vec_id,
+        |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE))
+        |      AS v,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN sv[i] = 0.0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE ((round((CAST(embedding[i] AS DOUBLE) / sv[i]) * 127.0)
+        |        / 127.0) * sv[i]) END) AS r
+        |  FROM e, sa),
+        |m AS (SELECT vec_id,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (v[i] - r[i]) * (v[i] - r[i])), (a, b) -> a + b) / 64.0
+        |      AS mse,
+        |    list_aggregate(list_transform(range(1, 65),
+        |      i -> abs(v[i] - r[i])), 'max') AS mae,
+        |    list_reduce(list_transform(range(1, 65), i -> v[i] * r[i]),
+        |      (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> v[i] * v[i]), (a, b) -> a + b))
+        |      * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> r[i] * r[i]), (a, b) -> a + b))) AS cs
+        |  FROM d)
+        |SELECT vec_id AS id, round(mse * 1000000.0, 6) AS mse_ppm,
+        |  round(mae, 6) AS max_abs_err, round(cs, 6) AS cosine_self
+        |FROM m ORDER BY id""".stripMargin,
+    "q333_quantization_recall" ->
+      s"""WITH sc AS (SELECT u.i AS pos,
+         |    max(abs(CAST(embedding[u.i] AS DOUBLE))) AS s
+         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) u
+         |  GROUP BY 1),
+         |sa AS (SELECT list(s ORDER BY pos) AS sv FROM sc),
+         |deq AS (SELECT vec_id, list_transform(range(1, 65), i ->
+         |    CAST(CAST(CASE WHEN sv[i] = 0.0 THEN 0.0
+         |      ELSE ((round((CAST(embedding[i] AS DOUBLE) / sv[i]) * 127.0)
+         |        / 127.0) * sv[i]) END AS REAL) AS DOUBLE)) AS emb
+         |  FROM embeddings, sa),
+         |qs AS (SELECT vec_id FROM embeddings
+         |  ORDER BY (${h60Sql("vec_id::VARCHAR")}) ASC, vec_id ASC
+         |  LIMIT 64),
+         |truth AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM embeddings q JOIN qs USING (vec_id), embeddings c
+         |  WHERE q.vec_id <> c.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) <= 10),
+         |got AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM deq q JOIN qs USING (vec_id), deq c
+         |  WHERE q.vec_id <> c.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+         |      c.vec_id) <= 10),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM truth JOIN got USING (query_id, neighbor_id))
+         |SELECT CAST(64 AS BIGINT) AS n_queries, n_truth AS n_truth_pairs,
+         |  n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+         |    AS recall
+         |FROM t, h""".stripMargin,
     "q331_hard_negatives" ->
       """SELECT q.vec_id AS query_id,
         |  row_number() OVER (PARTITION BY q.vec_id

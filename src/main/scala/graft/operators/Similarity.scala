@@ -693,6 +693,93 @@ object Similarity {
     rows.toDF("n_probe", "n_queries", "n_truth_pairs", "n_hit", "recall")
   }
 
+  /** Int8 scalar quantization report: per-dimension max-abs symmetric
+    * quantization (q_d = round(v_d/s_d·127), s_d = corpus max |v_d|) and
+    * each vector's reconstruction error — the decision table for "can we
+    * store the 100 TB embedding tier at 1/4 width?" (at 4× fewer bytes
+    * the scan, shuffle, and cache all shrink 4×; this report says what
+    * that costs in fidelity, per vector, before anyone flips the
+    * format).
+    *
+    * Shape: ONE posexplode aggregate to the dim-cardinality scale frame
+    * (map-side combined — the ivfIndex refinement idiom), scales ship as
+    * a plan literal, then a pure per-row projection computes the
+    * round-trip error — no second shuffle, no fold across rows (MSE is
+    * per-vector, fixed parenthesization, SQL-replayable). Zero-scale
+    * dimensions (constant 0 across the corpus) quantize to 0 exactly.
+    * Returns (id, mse, max_abs_err, cosine_self) where cosine_self is
+    * the cosine between the vector and its dequantized round-trip. */
+  def scalarQuantizeReport(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val scales = df
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__pos").agg(max(abs(col("__v").cast(DoubleType))).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+      .map(_._2).toSeq
+    require(scales.nonEmpty, "empty corpus")
+    val sLit = typedLit(scales)
+    // dequantized round-trip per element: rt = round(v/s·127)/127·s
+    val rt = zip_with(transform(col(vecCol), v => v.cast(DoubleType)), sLit,
+      (v, s) => when(s === 0.0, lit(0.0))
+        .otherwise((round((v / s) * lit(127.0)) / lit(127.0)) * s))
+    val vD = transform(col(vecCol), v => v.cast(DoubleType))
+    df.select(col(idCol).as("id"), vD.as("__v"), rt.as("__r"))
+      .select(col("id"),
+        (aggregate(zip_with(col("__v"), col("__r"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x) /
+          size(col("__v")).cast(DoubleType)).as("mse"),
+        array_max(zip_with(col("__v"), col("__r"),
+          (a, b) => abs(a - b))).as("max_abs_err"),
+        (aggregate(zip_with(col("__v"), col("__r"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(transform(col("__v"), a => a * a), lit(0.0),
+            (acc, x) => acc + x)) *
+           sqrt(aggregate(transform(col("__r"), a => a * a), lit(0.0),
+             (acc, x) => acc + x)))).as("cosine_self"))
+  }
+
+  /** MEASURED quantization recall audit — [[ivfRecallAudit]]'s sibling
+    * for the int8 storage question: recall@k of brute-force search OVER
+    * THE DEQUANTIZED vectors vs full-precision ground truth, on the same
+    * deterministic bounded query sample. Bounded by construction
+    * (≤ maxQueries md5-ranked queries, corpus scan × broadcast probes).
+    * Returns one row: (n_queries, n_truth_pairs, n_hit, recall). */
+  def quantizationRecallAudit(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, maxQueries: Int = 64): DataFrame = {
+    require(maxQueries >= 1 && maxQueries <= 1024,
+      s"maxQueries must be in [1, 1024], got $maxQueries")
+    val scales = corpus
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__pos").agg(max(abs(col("__v").cast(DoubleType))).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+      .map(_._2).toSeq
+    val sLit = typedLit(scales)
+    val rt = zip_with(transform(col(vecCol), v => v.cast(DoubleType)), sLit,
+      (v, s) => when(s === 0.0, lit(0.0))
+        .otherwise(((round((v / s) * lit(127.0)) / lit(127.0)) * s)
+          .cast(FloatType).cast(DoubleType)))
+    val deq = corpus.select(col(idCol), rt.cast(ArrayType(FloatType))
+      .as(vecCol))
+    val queries = corpus
+      .orderBy(Dedup.md5Hash60(col(idCol).cast(StringType)).asc,
+        col(idCol).asc)
+      .limit(maxQueries).localCheckpoint(true)
+    val nQ = queries.count()
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nTruth = truth.count()
+    val qDeq = deq.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+    val got = bruteForceTopK(deq, qDeq, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((nQ, nTruth, hits,
+      if (nTruth == 0L) 0.0 else hits.toDouble / nTruth.toDouble))
+      .toDF("n_queries", "n_truth_pairs", "n_hit", "recall")
+  }
+
   /** Hard-negative mining: per query, the top-k most-similar corpus rows
     * whose cosine falls in [lo, hi) — the embedding-training staple
     * (negatives just below the positive band are the ones that teach the

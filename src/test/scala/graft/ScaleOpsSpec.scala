@@ -1051,6 +1051,50 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.forall(t => t._4 <= t._3))
   }
 
+  test("scalarQuantizeReport: hand round-trip; exact-representable errors 0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f)),   // both dims hit ±scale → exact round-trip
+      (1L, Array(0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantizeReport(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // scales: dim0 = 1.0, dim1 = 0.5 (max-abs over the corpus)
+    assert(out(0L)._1 === 0.0 && out(0L)._2 === 0.0)
+    assert(math.abs(out(0L)._3 - 1.0) < 1e-12) // sqrt round-trip epsilon
+    // v1: 0.5/1.0·127 = 63.5 → 64 → 64/127·1.0; 0.25/0.5·127 = 63.5 → 64
+    val e0 = 64.0 / 127.0 - 0.5
+    val e1 = (64.0 / 127.0) * 0.5 - 0.25
+    assert(math.abs(out(1L)._1 - (e0 * e0 + e1 * e1) / 2.0) < 1e-15)
+    assert(math.abs(out(1L)._2 - e0) < 1e-15)
+    assert(out(1L)._3 > 0.999) // direction barely moves
+  }
+
+  test("scalarQuantizeReport: constant-zero dimension is NaN-free") {
+    val vecs = Seq((0L, Array(0.0f, 2.0f)), (1L, Array(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantizeReport(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(3))).toMap
+    out.values.foreach { case (mse, cs) =>
+      assert(!mse.isNaN && !cs.isNaN) }
+    // vec 0 hits ±scale on both dims → exact round-trip
+    assert(out(0L)._1 === 0.0)
+    // vec 1: -1/2·127 = -63.5 → -64 (half away from zero) → err 1/127
+    val e = 64.0 / 127.0 * 2.0 - 1.0
+    assert(math.abs(out(1L)._1 - (e * e) / 2.0) < 1e-15)
+  }
+
+  test("quantizationRecallAudit: int8 keeps recall high on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.quantizationRecallAudit(e, "vec_id", "embedding",
+      k = 5, maxQueries = 32).collect()(0)
+    assert(r.getLong(0) === 32L)
+    assert(r.getLong(1) === 32L * 5L)      // every query has >= 5 neighbors
+    assert(r.getLong(2) <= r.getLong(1))
+    assert(r.getDouble(3) >= 0.8,
+      s"int8 recall collapsed: ${r.getDouble(3)}")
+  }
+
   test("hardNegatives: band respected, subset of brute-force ordering") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 4)
