@@ -550,13 +550,32 @@ object Training {
     * ±∞/0-safe zeros (wins 0 forces raw 0 regardless). Returns
     * (item, wins, theta). */
   def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
-      rounds: Int = 5, deterministic: Boolean = false): DataFrame = {
+      rounds: Int = 5, deterministic: Boolean = false): DataFrame =
+    bradleyTerryFromCounts(
+      df.select(col(winnerCol).cast("string").as("__w"),
+          col(loserCol).cast("string").as("__l"))
+        .filter(col("__w") =!= col("__l"))
+        .groupBy("__w", "__l").agg(count(lit(1)).as("__c")),
+      "__w", "__l", "__c", rounds, deterministic)
+
+  /** [[bradleyTerry]] from PRE-AGGREGATED (winner, loser, count) rows —
+    * the refit entry point for incrementally-maintained duel counts
+    * (the [[graft.streaming.Streaming.streamingPreferenceIngest]] cell:
+    * pair counts are a plain mergeable sum, so the persisted state is
+    * exactly this frame and history is never rescanned). Same MM shape,
+    * exactness, and determinism contract as [[bradleyTerry]];
+    * self-pairs are dropped here too. */
+  def bradleyTerryFromCounts(counts: DataFrame, winnerCol: String,
+      loserCol: String, countCol: String, rounds: Int = 5,
+      deterministic: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"rounds must be in [1, 20], got $rounds")
-    val wins = df.select(col(winnerCol).cast("string").as("__w"),
-        col(loserCol).cast("string").as("__l"))
+    val wins = counts
+      .select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"),
+        col(countCol).cast("long").as("__c0"))
       .filter(col("__w") =!= col("__l"))
-      .groupBy("__w", "__l").agg(count(lit(1)).as("__c"))
+      .groupBy("__w", "__l").agg(sum("__c0").as("__c"))
       .localCheckpoint(true)
     val pairs = wins.select(col("__w").as("__i"), col("__l").as("__j"),
         col("__c"))

@@ -427,6 +427,60 @@ object Streaming {
         }
       }
 
+  /** Micro-batch incremental preference-pair counts: each batch's
+    * (winner, loser) duel counts merge into a persisted
+    * pair-cardinality frame — exactly the state
+    * [[graft.operators.Training.bradleyTerryFromCounts]] refits from,
+    * kept current without ever rescanning the duel history (pair counts
+    * are a plain mergeable sum). Counter merges are NOT idempotent, so
+    * the CMS replay guard applies: a redelivered batchId is skipped.
+    * Self-pairs are dropped at ingest (they carry no information and
+    * would only bloat the state). Same versioned-dir + ATOMIC_MOVE
+    * pointer layout as the other ingests. */
+  def streamingPreferenceIngest(
+      stream: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      dir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val spark = batch.sparkSession
+        Files.createDirectories(Paths.get(dir))
+        val (prior, lastId) = readVersioned(spark, dir)
+        if (batchId != lastId && !batch.isEmpty) {
+          val bs = batch
+            .select(col(winnerCol).cast("string").as("w"),
+              col(loserCol).cast("string").as("l"))
+            .filter(col("w") =!= col("l"))
+            .groupBy("w", "l").agg(count(lit(1)).as("c"))
+          val merged = prior match {
+            case Some(p) => p.unionByName(bs)
+              .groupBy("w", "l").agg(sum("c").as("c"))
+            case None => bs
+          }
+          val vdir = s"$dir/v$batchId"
+          merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+          val tmp = Paths.get(s"$dir/.latest.tmp-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+          Files.move(tmp, Paths.get(s"$dir/LATEST"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          val d = new java.io.File(dir)
+          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+            if (f.isDirectory && f.getName.startsWith("v") &&
+                f.getName != s"v$batchId")
+              scala.util.Try {
+                val walk = Files.walk(f.toPath)
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(p => { Files.deleteIfExists(p); () })
+                finally walk.close()
+              }: Unit
+          }
+          ()
+        }
+      }
+
   /** Micro-batch incremental table profile: each batch's MERGEABLE
     * per-column stats ([[graft.operators.Profiling.profileStats]] —
     * counts/nulls sum, mins/maxs fold, length sums add) merge into a

@@ -83,7 +83,7 @@ class DetProdEquivalenceSpec extends SparkSpec {
       "numericMI", "pageRank", "personalizedPageRank", "degreePowerLaw",
       "hits", "trainLogistic", "trainKMeans", "topPrincipalComponent",
       "clusteringQualityReport", "stationaryDistribution", "prCurve",
-      "bradleyTerry")
+      "bradleyTerry", "bradleyTerryFromCounts")
     val defRe = """\bdef (\w+)""".r
     val root = new java.io.File("src/main/scala/graft")
     def files(d: java.io.File): Seq[java.io.File] =
@@ -271,5 +271,15 @@ class DetProdEquivalenceSpec extends SparkSpec {
     val (d, p) = both(b => Training.bradleyTerry(duels, "w", "l",
       rounds = 3, deterministic = b))
     assertEquiv("bradleyTerry", d, p)
+  }
+  test("equiv: bradleyTerryFromCounts") {
+    val counts = docs.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(5L))).as("w"),
+        concat(lit("s"), pmod(col("doc_id") * 7L + 3L, lit(5L))).as("l"))
+      .filter(col("w") =!= col("l"))
+      .groupBy("w", "l").agg(count(lit(1)).as("c"))
+    val (d, p) = both(b => Training.bradleyTerryFromCounts(counts,
+      "w", "l", "c", rounds = 3, deterministic = b))
+    assertEquiv("bradleyTerryFromCounts", d, p)
   }
 }

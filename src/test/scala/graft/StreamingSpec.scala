@@ -538,4 +538,40 @@ class StreamingSpec extends SparkSpec {
     assert(after.get.collect().map(r => r.getString(0) -> r.getLong(1))
       .toMap.values.toSet === Set(1L))  // not double-counted
   }
+
+  test("streamingPreferenceIngest: merged counts refit == one-shot BT fit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val dir = tmpDir("stream_pref_")
+    val ckpt = tmpDir("ckpt_pref_")
+    def ingest() = Streaming.streamingPreferenceIngest(
+        mem.toDF.toDF("w", "l"), "w", "l", dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    val batch1 = Seq.fill(3)(("A", "B")) ++ Seq(("B", "A"), ("C", "C"))
+    val batch2 = Seq.fill(2)(("B", "C")) ++ Seq(("A", "C"))
+    mem.addData(batch1: _*)
+    ingest()
+    mem.addData(batch2: _*)
+    ingest()
+
+    val (merged, _) = Streaming.readVersioned(spark, dir)
+    // self-pairs dropped at ingest; counts are the exact duel totals
+    val counts = merged.get.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("A", "B")) === 3L && counts(("B", "A")) === 1L)
+    assert(counts(("B", "C")) === 2L && counts(("A", "C")) === 1L)
+    assert(!counts.contains(("C", "C")))
+    // refit from the persisted state == one-shot fit over all duels
+    val refit = graft.operators.Training.bradleyTerryFromCounts(
+        merged.get, "w", "l", "c", rounds = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).sortBy(_._1).toSeq
+    val oneShot = graft.operators.Training.bradleyTerry(
+        (batch1 ++ batch2).toDF("w", "l"), "w", "l", rounds = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).sortBy(_._1).toSeq
+    assert(refit === oneShot)
+  }
 }
