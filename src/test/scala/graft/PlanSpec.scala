@@ -437,4 +437,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"probes not broadcast:\n$plan")
   }
+
+  test("prCurve: cumulative pass is pid-partitioned, never one partition") {
+    val df = (1 to 500).map(i => (((i * 7) % 50).toDouble / 50.0, i % 3 == 0))
+      .toDF("s", "y")
+    val plan = physical(graft.operators.Analytics.prCurve(df, "s", "y"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"PR cumulative collapses to one partition:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"PR goes cartesian:\n$plan")
+  }
+
+  test("scalarQuantizeReport: error projection adds no shuffle over the scan") {
+    val out = Similarity.scalarQuantizeReport(vecs, "vec_id", "embedding")
+    val plan = physical(out)
+    // scales ship as a plan literal; the round-trip error is a pure
+    // projection — no Exchange, no Join after the scan
+    assert(!plan.contains("Exchange"), s"quantize report shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"quantize report joins:\n$plan")
+  }
+
+  test("poissonSpikeBound: one aggregate + key-totals join, no cartesian") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> TS (T() shape)
+    val plan = physical(graft.operators.Analytics.poissonSpikeBound(
+      ev, "event_type", "ts"))
+    assert(!plan.contains("CartesianProduct"),
+      s"spike bound goes cartesian:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"spike bound collapses to one partition:\n$plan")
+  }
+
+  test("funnelTimings: rank pass never collapses to a single partition") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> TS (T() shape)
+    val plan = physical(graft.operators.Analytics.funnelTimings(
+      ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase")))
+    assert(!plan.contains("CartesianProduct"),
+      s"funnel timings go cartesian:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"funnel rank collapses to one partition:\n$plan")
+  }
 }
