@@ -3363,6 +3363,48 @@ object SparkEntry {
           round(col("p_bar"), 6).as("p_bar"), round(col("p_e"), 6).as("p_e"),
           round(col("kappa"), 6).as("kappa"))
     }),
+    // ── scale: anytime-valid confidence sequence — the peeking-safe
+    //    per-(arm, day) cumulative-mean monitor (Hoeffding + union bound
+    //    over looks); exact micro-int cumulative sums, per-arm windows
+    //    over the day frame, closed form after (oracle: DuckDB replays
+    //    the md5 arms, the cumsum windows, and the boundary) ──────────────
+    "q334_confidence_sequence" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("arm",
+        when(pmod(Dedup.md5Hash60(col("user_id")), lit(2L)) === 0L,
+          lit("g0")).otherwise(lit("g1")))
+      Analytics.confidenceSequence(ev, "arm", "ts", "value",
+          lo = 0.0, hi = 500.0, alpha = 0.05)
+        .select(col("arm"), col("day"), col("n_cum"),
+          round(col("mean_cum"), 6).as("mean_cum"),
+          round(col("half"), 6).as("half"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("arm", "day")
+    }),
+    // ── scale: post-stratified mean — reweight per-lang sample means to
+    //    known population shares; exact micro-int sufficient statistics,
+    //    stratum-sorted driver fold over the ≤|shares| frame (oracle:
+    //    DuckDB replays the VALUES shares and both folds) ──────────────────
+    "q335_post_stratified_mean" -> ((s, dir) => {
+      Sampling.postStratifiedMean(T(s, dir, "documents"), "lang",
+          "n_chars", Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.15,
+            "de" -> 0.15, "fr" -> 0.1))
+        .select(col("n"), col("n_strata"), col("missing_strata"),
+          col("n_excluded"), round(col("mean_ps"), 6).as("mean_ps"),
+          round(col("se"), 6).as("se"))
+    }),
+    // ── scale: exact-matching ATT — treated-vs-control value gap within
+    //    event_type strata holding both arms, treated-weighted; det-gated
+    //    stratum-sorted fold on the gate path (oracle: DuckDB replays the
+    //    pivot and the key-ordered fold) ───────────────────────────────────
+    "q336_exact_matched_att" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("treat",
+        pmod(Dedup.md5Hash60(col("user_id")), lit(2L)) === 0L)
+      Analytics.exactMatchedATT(ev, Seq("event_type"), "treat", "value",
+          deterministic = true)
+        .select(col("n_strata_matched"), col("n_treated_matched"),
+          col("n_treated_unmatched"), round(col("att"), 6).as("att"))
+    }),
     // ── scale: MEASURED IVF recall calibration — recall@k of the
     //    PRODUCTION ivfTopK path per nProbe vs exact brute-force truth on
     //    a deterministic ≤64-query sample (the q313 twin for the vector
@@ -7487,6 +7529,86 @@ object SparkEntry {
         |    ELSE bound <= 0.001 END AS flagged
         |FROM b ORDER BY key, day""".stripMargin,
     "q327_bradley_terry" -> btOracleSql(3),
+    "q334_confidence_sequence" ->
+      s"""WITH a AS (SELECT
+         |    CASE WHEN (${h60Sql("user_id::VARCHAR")}) % 2 = 0
+         |      THEN 'g0' ELSE 'g1' END AS arm,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(round(value * 1000000.0) AS BIGINT) AS v FROM events),
+         |d AS (SELECT arm, day, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS s FROM a GROUP BY 1, 2),
+         |c AS (SELECT arm, day,
+         |    CAST(sum(n) OVER w AS BIGINT) AS t,
+         |    CAST(sum(s) OVER w AS BIGINT) AS st
+         |  FROM d WINDOW w AS (PARTITION BY arm ORDER BY day ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f AS (SELECT arm, day, t,
+         |    (CAST(st AS DOUBLE) / CAST(t AS DOUBLE)) / 1000000.0 AS mean,
+         |    (500.0 - 0.0) * sqrt(
+         |      ln((((CAST(2.0 AS DOUBLE) * (pi() * pi()))
+         |          * (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
+         |        / (CAST(6.0 AS DOUBLE) * CAST(0.05 AS DOUBLE))))
+         |      / (CAST(2.0 AS DOUBLE) * CAST(t AS DOUBLE))) AS half
+         |  FROM c)
+         |SELECT arm, day, t AS n_cum, round(mean, 6) AS mean_cum,
+         |  round(half, 6) AS half, round(mean - half, 6) AS ci_lo,
+         |  round(mean + half, 6) AS ci_hi
+         |FROM f ORDER BY arm, day""".stripMargin,
+    "q335_post_stratified_mean" ->
+      """WITH sh AS (SELECT * FROM (VALUES ('de', 0.15), ('en', 0.4),
+        |    ('es', 0.15), ('fr', 0.1), ('zh', 0.2)) AS t(h, w)),
+        |mv AS (SELECT lang AS h,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+        |  FROM documents),
+        |st AS (SELECT h, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv,
+        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss
+        |  FROM mv GROUP BY 1),
+        |j AS (SELECT sh.h, CAST(sh.w AS DOUBLE) AS w, n, sv, ss
+        |  FROM sh JOIN st USING (h)),
+        |f AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    list_reduce(list(
+        |      (w * ((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0))
+        |      ORDER BY h), (a, x) -> a + x) AS mean_ps,
+        |    list_reduce(list(
+        |      (((w * w) * ((CAST(CAST(n AS HUGEINT) * ss
+        |            - CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT) AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |          / (1000000.0 * 1000000.0))) / CAST(n AS DOUBLE))
+        |      ORDER BY h), (a, x) -> a + x) AS vs
+        |  FROM j)
+        |SELECT n_tot AS n, n_strata, CAST(0 AS BIGINT) AS missing_strata,
+        |  CAST(0 AS BIGINT) AS n_excluded,
+        |  round(mean_ps, 6) AS mean_ps, round(sqrt(vs), 6) AS se
+        |FROM f""".stripMargin,
+    "q336_exact_matched_att" ->
+      s"""WITH e AS (SELECT event_type AS k,
+         |    ((${h60Sql("user_id::VARCHAR")}) % 2 = 0) AS t,
+         |    CAST(round(value * 1000000.0) AS BIGINT) AS v FROM events),
+         |pa AS (SELECT k, t, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+         |st AS (SELECT k,
+         |    CAST(sum(CASE WHEN t THEN n END) AS BIGINT) AS nt,
+         |    CAST(sum(CASE WHEN t THEN s END) AS BIGINT) AS stt,
+         |    CAST(sum(CASE WHEN NOT t THEN n END) AS BIGINT) AS nc,
+         |    CAST(sum(CASE WHEN NOT t THEN s END) AS BIGINT) AS sc
+         |  FROM pa GROUP BY 1),
+         |ma AS (SELECT * FROM st WHERE nt IS NOT NULL AND nc IS NOT NULL),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         |    CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_treated,
+         |    coalesce(list_reduce(list((CAST(nt AS DOUBLE) *
+         |      (((CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE)) / 1000000.0)
+         |       - ((CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) / 1000000.0)))
+         |      ORDER BY k), (a, x) -> a + x), CAST(0.0 AS DOUBLE)) AS num
+         |  FROM ma),
+         |u AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS unmatched
+         |  FROM st WHERE nc IS NULL)
+         |SELECT n_strata AS n_strata_matched, n_treated AS n_treated_matched,
+         |  unmatched AS n_treated_unmatched,
+         |  round(CASE WHEN n_treated = 0 THEN NULL
+         |    ELSE num / CAST(n_treated AS DOUBLE) END, 6) AS att
+         |FROM f, u""".stripMargin,
     "q332_scalar_quantize" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
         |  WHERE vec_id < 100),

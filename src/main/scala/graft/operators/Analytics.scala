@@ -2690,6 +2690,120 @@ object Analytics {
         lit(chi2).as("chi2"), lit((expected.size - 1).toLong).as("dof"))
   }
 
+  /** Anytime-valid confidence sequence per arm: the peeking-safe
+    * experiment monitor — a fixed-n CI is only valid if you look ONCE;
+    * dashboards look daily, and the first day the naive CI excludes 0
+    * is routinely a false positive. This emits, per (arm, day), a
+    * cumulative mean with a half-width valid SIMULTANEOUSLY at every
+    * day: Hoeffding + a union bound with α_t = 6α/(π²t²) over looks,
+    * half_t = (hi−lo)·√(ln(2π²t²/(6α)) / (2t)) — conservative vs
+    * stitched boundaries, but closed-form and replayable, and the
+    * guarantee (P(any day's interval misses μ) ≤ α for iid values in
+    * [lo, hi]) is exact. Values are VALIDATED into [lo, hi] (a single
+    * extra check on the daily frame; out-of-range data voids the bound,
+    * so it throws rather than lies).
+    *
+    * Shape: one (arm, day) exact micro-integer aggregate, per-arm
+    * cumulative windows over the day-cardinality frame (the kaplanMeier
+    * granularity contract), pure closed form after. Returns
+    * (arm, day, n_cum, mean_cum, half, ci_lo, ci_hi). */
+  def confidenceSequence(df: DataFrame, armCol: String, tsCol: String,
+      valueCol: String, lo: Double, hi: Double, alpha: Double = 0.05,
+      microScale: Long = 1000000L): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(microScale >= 1L, s"microScale must be >= 1, got $microScale")
+    val m = unix_micros(col(tsCol)); val dUs = lit(86400000000L)
+    val md = microScale.toDouble
+    val v = col(valueCol).cast("double")
+    val daily = df.select(col(armCol).cast("string").as("arm"),
+        ((m - pmod(m, dUs)) / dUs).cast("long").as("day"),
+        round(v * lit(md)).cast("long").as("__v"),
+        when(v < lo || v > hi, 1L).otherwise(0L).as("__oob"))
+      .groupBy("arm", "day")
+      .agg(count(lit(1)).as("__n"), sum("__v").as("__s"),
+        sum("__oob").as("__b"))
+      .localCheckpoint(false)
+    val oob = daily.agg(coalesce(sum("__b"), lit(0L))).first().getLong(0)
+    require(oob == 0L,
+      s"$oob values outside [$lo, $hi] — the confidence sequence's " +
+        "guarantee assumes bounded support; clip or widen the bound")
+    val w = Window.partitionBy("arm").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t = sum(col("__n")).over(w)
+    val tD = t.cast("double")
+    val mean = ((sum(col("__s")).over(w).cast("double") / tD) / lit(md))
+    val half = lit(hi - lo) * sqrt(
+      log((((lit(2.0) * (lit(math.Pi) * lit(math.Pi))) * (tD * tD)) /
+        (lit(6.0) * lit(alpha)))) / (lit(2.0) * tD))
+    daily.select(col("arm"), col("day"), t.as("n_cum"),
+        mean.as("mean_cum"), half.as("half"),
+        (mean - half).as("ci_lo"), (mean + half).as("ci_hi"))
+  }
+
+  /** Exact-matching average treatment effect on the treated (ATT):
+    * strata = the distinct `keyCols` combinations holding BOTH arms;
+    * within each, the arms are exchangeable-by-construction on those
+    * keys, so ATT = Σ_s n_t(s)·(x̄_t(s) − x̄_c(s)) / Σ_s n_t(s) — the
+    * causal-inference workhorse when the confounders are a handful of
+    * categorical keys (source, language, day-of-week). Treated rows in
+    * strata with NO control match are DROPPED and counted
+    * (`n_treated_unmatched` — a large value means the matching keys
+    * don't overlap and the estimate answers a narrower question).
+    *
+    * One (keys, arm) exact micro-integer aggregate; per-stratum means
+    * are exact-rational; the stratum-weighted fold is FP over the
+    * strata-cardinality frame — key-sorted under `deterministic = true`
+    * (the oracle path), plain map-side sum in production. Returns one
+    * row (n_strata_matched, n_treated_matched, n_treated_unmatched,
+    * att). */
+  def exactMatchedATT(df: DataFrame, keyCols: Seq[String],
+      treatCol: String, valueCol: String, microScale: Long = 1000000L,
+      deterministic: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(microScale >= 1L, s"microScale must be >= 1, got $microScale")
+    val md = microScale.toDouble
+    // u0001-joined so adjacent keys cannot collide; NULL key values
+    // coalesce to a sentinel so they stratify rather than vanish
+    // (concat_ws silently skips NULLs)
+    val key = concat_ws("",
+      keyCols.map(k => coalesce(col(k).cast("string"), lit("NULL"))): _*)
+    val perArm = df.select(key.as("__k"),
+        col(treatCol).cast("boolean").as("__t"),
+        round(col(valueCol).cast("double") * lit(md)).cast("long").as("__v"))
+      .groupBy("__k", "__t")
+      .agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
+    val strata = perArm.groupBy("__k").agg(
+        sum(when(col("__t"), col("__n"))).as("__nt"),
+        sum(when(col("__t"), col("__s"))).as("__st"),
+        sum(when(!col("__t"), col("__n"))).as("__nc"),
+        sum(when(!col("__t"), col("__s"))).as("__sc"))
+      .localCheckpoint(false)
+    val matched = strata.filter(col("__nt").isNotNull &&
+      col("__nc").isNotNull)
+    val unmatchedT = strata.filter(col("__nc").isNull)
+      .agg(coalesce(sum("__nt"), lit(0L))).first().getLong(0)
+    val term = (col("__nt").cast("double") *
+      (((col("__st").cast("double") / col("__nt").cast("double")) / lit(md)) -
+       ((col("__sc").cast("double") / col("__nc").cast("double")) / lit(md))))
+    val folded =
+      if (deterministic)
+        matched.agg(count(lit(1)).as("n_strata"),
+          coalesce(sum("__nt"), lit(0L)).as("n_treated"),
+          coalesce(aggregate(
+            sort_array(collect_list(struct(col("__k"), term.as("__x")))),
+            lit(0.0), (a, x) => a + x.getField("__x")), lit(0.0)).as("__num"))
+      else
+        matched.agg(count(lit(1)).as("n_strata"),
+          coalesce(sum("__nt"), lit(0L)).as("n_treated"),
+          coalesce(sum(term), lit(0.0)).as("__num"))
+    folded.select(col("n_strata").as("n_strata_matched"),
+      col("n_treated").as("n_treated_matched"),
+      lit(unmatchedT).as("n_treated_unmatched"),
+      when(col("n_treated") === 0L, lit(null).cast("double"))
+        .otherwise(col("__num") / col("n_treated").cast("double")).as("att"))
+  }
+
   /** Poisson spike detector with a DEFENSIBLE bound: per (key, day)
     * event count, the Chernoff upper tail P(X ≥ x) ≤ e^{x−λ}·(λ/x)^x
     * under the key's leave-one-out baseline rate

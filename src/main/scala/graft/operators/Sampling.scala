@@ -1035,6 +1035,75 @@ object Sampling {
     * zero overlap at any real scale means the independence assumption is
     * broken, which the huge CI makes visible.
     * Returns one row: (n1, n2, m, n_hat, se, ci_lo, ci_hi). */
+  /** Post-stratified mean: reweight per-stratum sample means to KNOWN
+    * population shares — the one-line fix for "our sample over-represents
+    * stratum X" (a crawl that over-samples English, an event stream that
+    * over-samples power users): mean_ps = Σ_h W_h·x̄_h,
+    * SE = √(Σ_h W_h²·s_h²/n_h). The survey-statistics companion to
+    * [[neymanAllocation]] (that plans the sample; this corrects one you
+    * already have).
+    *
+    * One exact micro-integer sufficient-statistics aggregate (Σv long,
+    * Σv² DECIMAL(38,0) — the q229 convention); the weighted fold runs
+    * stratum-sorted on the DRIVER over the ≤|popShares| frame. Strata
+    * in the data but NOT in `popShares` are excluded (they have no
+    * population weight — counted in `n_excluded`); shares with NO data
+    * rows make the estimate undefined → NULL mean/se +
+    * `missing_strata` > 0. Any stratum with n < 2 reports NULL se (no
+    * within-stratum variance evidence) but a real mean. Returns one row
+    * (n, n_strata, missing_strata, n_excluded, mean_ps, se). */
+  def postStratifiedMean(df: DataFrame, strataCol: String,
+      valueCol: String, popShares: Map[String, Double],
+      microScale: Long = 1000000L): DataFrame = {
+    require(popShares.nonEmpty, "popShares must be non-empty")
+    require(popShares.values.forall(_ > 0.0), "shares must be > 0")
+    require(math.abs(popShares.values.sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${popShares.values.sum}")
+    require(microScale >= 1L, s"microScale must be >= 1, got $microScale")
+    val md = microScale.toDouble
+    val v = round(col(valueCol).cast("double") * lit(md)).cast("long")
+    val stats = df
+      .select(col(strataCol).cast("string").as("__h"), v.as("__v"))
+      .groupBy("__h")
+      .agg(count(lit(1)).as("n"), sum("__v").as("sv"),
+        sum((col("__v").cast("decimal(19,0)") *
+          col("__v").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("ss"))
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        (r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3)))).toMap
+    val nExcluded = stats.collect {
+      case (h, (n, _, _)) if !popShares.contains(h) => n }.sum
+    val missing = popShares.keys.count(!stats.contains(_))
+    val present = popShares.toSeq.sortBy(_._1)
+      .flatMap { case (h, w) => stats.get(h).map(s => (h, w, s)) }
+    val nTot = present.map(_._3._1).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (missing > 0)
+      return Seq((nTot, present.size.toLong, missing.toLong, nExcluded))
+        .toDF("n", "n_strata", "missing_strata", "n_excluded")
+        .select(col("*"), lit(null).cast("double").as("mean_ps"),
+          lit(null).cast("double").as("se"))
+    var mean = 0.0; var varSum = 0.0; var anyTiny = false
+    present.foreach { case (_, w, (n, sv, ss)) =>
+      val nD = n.toDouble
+      mean += w * ((sv.toDouble / nD) / md)
+      if (n < 2) anyTiny = true
+      else {
+        val varU = (((BigDecimal(n) * ss) -
+          (BigDecimal(sv) * BigDecimal(sv))).toDouble /
+          (nD * (nD - 1.0))) / (md * md)
+        varSum += ((w * w) * varU) / nD
+      }
+    }
+    Seq((nTot, present.size.toLong, 0L, nExcluded))
+      .toDF("n", "n_strata", "missing_strata", "n_excluded")
+      .select(col("*"), lit(mean).as("mean_ps"),
+        (if (anyTiny) lit(null).cast("double")
+         else lit(math.sqrt(varSum))).as("se"))
+  }
+
   def chapmanEstimate(a: DataFrame, b: DataFrame, idCol: String): DataFrame = {
     val av = a.select(col(idCol)).distinct().localCheckpoint(false)
     val bv = b.select(col(idCol)).distinct().localCheckpoint(false)

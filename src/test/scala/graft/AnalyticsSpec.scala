@@ -1443,6 +1443,66 @@ class AnalyticsSpec extends SparkSpec {
     assert(z.isNullAt(4))
   }
 
+  // ── confidenceSequence ─────────────────────────────────────────────────
+
+  test("confidenceSequence: hand boundary; constant values covered always") {
+    def t(day: Int, i: Int) = new java.sql.Timestamp(
+      day.toLong * 86400000L + i.toLong * 1000L)
+    // constant value 0.5 in [0,1]: mean exact at every look, and the CS
+    // must contain it at every day (the anytime guarantee, trivially)
+    val rows = (0 until 4).flatMap(d =>
+      (1 to 25).map(i => ("a", t(d, i), 0.5)))
+    val out = Analytics.confidenceSequence(rows.toDF("arm", "ts", "v"),
+        "arm", "ts", "v", lo = 0.0, hi = 1.0, alpha = 0.05)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.length === 4)
+    assert(out.map(_._2).toSeq === Seq(25L, 50L, 75L, 100L))
+    out.foreach { case (_, n, mean, half, lo2, hi2) =>
+      assert(mean === 0.5)
+      assert(lo2 <= 0.5 && hi2 >= 0.5)
+      // hand boundary: (hi-lo)·sqrt(ln(2π²t²/(6α)) / 2t)
+      val tD = n.toDouble
+      val want = math.sqrt(math.log(
+        2.0 * math.Pi * math.Pi * tD * tD / (6.0 * 0.05)) / (2.0 * tD))
+      assert(math.abs(half - want) < 1e-12)
+    }
+    // the boundary SHRINKS with more data
+    out.sliding(2).foreach { case Array(a, b) => assert(b._4 < a._4) }
+    // out-of-range data voids the guarantee → reject, don't lie
+    intercept[IllegalArgumentException] {
+      Analytics.confidenceSequence(
+        Seq(("a", t(0, 1), 2.0)).toDF("arm", "ts", "v"),
+        "arm", "ts", "v", lo = 0.0, hi = 1.0)
+    }
+  }
+
+  // ── exactMatchedATT ────────────────────────────────────────────────────
+
+  test("exactMatchedATT: hand strata; unmatched treated counted not used") {
+    val df = Seq(
+      // stratum A: treated mean 10, control mean 4 → diff 6, nt=2
+      ("A", true, 8.0), ("A", true, 12.0), ("A", false, 4.0),
+      // stratum B: treated mean 3, control mean 1 → diff 2, nt=1
+      ("B", true, 3.0), ("B", false, 0.0), ("B", false, 2.0),
+      // stratum C: treated only → unmatched (2 rows dropped)
+      ("C", true, 99.0), ("C", true, 99.0),
+      // stratum D: control only → contributes nothing
+      ("D", false, 7.0)).toDF("k", "treat", "v")
+    val r = Analytics.exactMatchedATT(df, Seq("k"), "treat", "v",
+      deterministic = true).collect()(0)
+    assert(r.getLong(0) === 2L)        // A, B matched
+    assert(r.getLong(1) === 3L)        // nt = 2 + 1
+    assert(r.getLong(2) === 2L)        // C's treated rows
+    // ATT = (2·6 + 1·2) / 3
+    assert(math.abs(r.getDouble(3) - 14.0 / 3.0) < 1e-9)
+    // no matched treated → NULL att
+    val none = Seq(("A", false, 1.0), ("B", true, 2.0)).toDF("k", "treat", "v")
+    assert(Analytics.exactMatchedATT(none, Seq("k"), "treat", "v")
+      .collect()(0).isNullAt(3))
+  }
+
   // ── funnelTimings ──────────────────────────────────────────────────────
 
   test("funnelTimings: hand delays under min-time funnel semantics") {

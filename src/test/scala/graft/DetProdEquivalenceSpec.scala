@@ -83,7 +83,7 @@ class DetProdEquivalenceSpec extends SparkSpec {
       "numericMI", "pageRank", "personalizedPageRank", "degreePowerLaw",
       "hits", "trainLogistic", "trainKMeans", "topPrincipalComponent",
       "clusteringQualityReport", "stationaryDistribution", "prCurve",
-      "bradleyTerry", "bradleyTerryFromCounts")
+      "bradleyTerry", "bradleyTerryFromCounts", "exactMatchedATT")
     val defRe = """\bdef (\w+)""".r
     val root = new java.io.File("src/main/scala/graft")
     def files(d: java.io.File): Seq[java.io.File] =
@@ -271,6 +271,13 @@ class DetProdEquivalenceSpec extends SparkSpec {
     val (d, p) = both(b => Training.bradleyTerry(duels, "w", "l",
       rounds = 3, deterministic = b))
     assertEquiv("bradleyTerry", d, p)
+  }
+  test("equiv: exactMatchedATT") {
+    val ev = events.select(col("event_type"),
+      (pmod(col("user_id"), lit(2L)) === 0L).as("treat"), col("value"))
+    val (d, p) = both(b => Analytics.exactMatchedATT(ev,
+      Seq("event_type"), "treat", "value", deterministic = b))
+    assertEquiv("exactMatchedATT", d, p)
   }
   test("equiv: bradleyTerryFromCounts") {
     val counts = docs.select(

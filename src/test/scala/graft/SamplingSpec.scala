@@ -509,6 +509,36 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(t("B") - 90.0 * wb / (wa + wb)) < 1e-6)
   }
 
+  // ── postStratifiedMean ─────────────────────────────────────────────────
+
+  test("postStratifiedMean: hand reweighting; SE from within-stratum vars") {
+    // stratum a: values 1,3 (mean 2, var 2); stratum b: 10,14 (mean 12, var 8)
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 14.0))
+      .toDF("h", "v")
+    val r = Sampling.postStratifiedMean(df, "h", "v",
+      Map("a" -> 0.75, "b" -> 0.25)).collect()(0)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
+    assert(math.abs(r.getDouble(4) - (0.75 * 2.0 + 0.25 * 12.0)) < 1e-9)
+    val se = math.sqrt(0.75 * 0.75 * 2.0 / 2.0 + 0.25 * 0.25 * 8.0 / 2.0)
+    assert(math.abs(r.getDouble(5) - se) < 1e-9)
+  }
+
+  test("postStratifiedMean: missing share → NULL; extras excluded; tiny → NULL se") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("x", 9.0)).toDF("h", "v")
+    // share 'b' has no data → estimate undefined
+    val m = Sampling.postStratifiedMean(df, "h", "v",
+      Map("a" -> 0.5, "b" -> 0.5)).collect()(0)
+    assert(m.getLong(2) === 1L && m.isNullAt(4) && m.isNullAt(5))
+    assert(m.getLong(3) === 1L) // 'x' carried no weight
+    // single-row stratum: mean real, se honestly NULL
+    val tiny = Sampling.postStratifiedMean(
+      Seq(("a", 2.0), ("b", 6.0), ("b", 6.0)).toDF("h", "v"), "h", "v",
+      Map("a" -> 0.5, "b" -> 0.5)).collect()(0)
+    assert(math.abs(tiny.getDouble(4) - (0.5 * 2.0 + 0.5 * 6.0)) < 1e-9)
+    assert(tiny.isNullAt(5))
+  }
+
   // ── chapmanEstimate ────────────────────────────────────────────────────
 
   test("chapmanEstimate: hand Chapman arithmetic; inputs deduped by id") {
