@@ -3363,6 +3363,21 @@ object SparkEntry {
           round(col("p_bar"), 6).as("p_bar"), round(col("p_e"), 6).as("p_e"),
           round(col("kappa"), 6).as("kappa"))
     }),
+    // ── scale: HyperBall harmonic centrality — full-radius centrality on
+    //    q154's co-occurrence graph via HLL ball sketches (O(|E|·m) per
+    //    round vs the wedge family's Σ deg^d); md5 registers make every
+    //    round SQL-replayable (oracle: DuckDB unrolls all 3 register-merge
+    //    rounds + the HLL estimates + the harmonic accumulation) ──────────
+    "q337_hyperball_harmonic" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.harmonicCentralityHyperBall(edges, "item_a", "item_b",
+          rounds = 3, m = 16, topK = 20)
+        .select(col("rank"), col("node"),
+          round(col("ball_est"), 6).as("ball_est"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("rank")
+    }),
     // ── scale: anytime-valid confidence sequence — the peeking-safe
     //    per-(arm, day) cumulative-mean monitor (Hoeffding + union bound
     //    over looks); exact micro-int cumulative sums, per-arm windows
@@ -7529,6 +7544,8 @@ object SparkEntry {
         |    ELSE bound <= 0.001 END AS flagged
         |FROM b ORDER BY key, day""".stripMargin,
     "q327_bradley_terry" -> btOracleSql(3),
+    "q337_hyperball_harmonic" -> hyperballOracleSql(rounds = 3, m = 16,
+      topK = 20),
     "q334_confidence_sequence" ->
       s"""WITH a AS (SELECT
          |    CASE WHEN (${h60Sql("user_id::VARCHAR")}) % 2 = 0
@@ -11580,6 +11597,63 @@ object SparkEntry {
   // (Dedup.md5Hash60) that both engines compute identically.
 
   /** DuckDB twin of Dedup.md5Hash60 (60-bit md5-prefix hash). */
+  /** Unrolled HyperBall rounds over q154's item co-occurrence graph
+    * (q337): r0 = own md5 HLL register, each round register-merges
+    * neighbors (max), per-round estimates via the q111 replay shape,
+    * harmonic = Σ_d clamp(est_d − est_{d−1}, 0)/d. */
+  private def hyperballOracleSql(rounds: Int, m: Int, topK: Int): String = {
+    val b = java.lang.Integer.numberOfTrailingZeros(m)
+    val width = 60 - b
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    val m2 = s"${m.toLong * m}.0"
+    def est(i: Int): String =
+      s""",
+         |z$i AS (SELECT node,
+         |    list_reduce(list(power(2.0, -M) ORDER BY bucket),
+         |      (a, c) -> a + c) + ($m.0 - count(*)) AS z,
+         |    $m.0 - count(*) AS v0
+         |  FROM r$i GROUP BY 1),
+         |x$i AS (SELECT node,
+         |    CASE WHEN $alpha * $m2 / z <= ${2.5 * m} AND v0 > 0.0
+         |      THEN $m.0 * ln($m.0 / v0)
+         |      ELSE $alpha * $m2 / z END AS est
+         |  FROM z$i)""".stripMargin
+    val head =
+      s"""WITH bkt AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |e AS MATERIALIZED (SELECT DISTINCT a.it AS x, b2.it AS y
+         |  FROM bkt a JOIN bkt b2 ON a.bk = b2.bk AND a.it < b2.it),
+         |adj AS MATERIALIZED (SELECT x AS src, y AS dst FROM e
+         |  UNION ALL SELECT y AS src, x AS dst FROM e),
+         |nd AS (SELECT DISTINCT src AS node FROM adj),
+         |h0 AS (SELECT node,
+         |    ('0x' || substr(md5(node::VARCHAR), 1, 15))::UBIGINT AS hv
+         |  FROM nd),
+         |r0 AS MATERIALIZED (SELECT node, CAST(hv & ${m - 1} AS BIGINT)
+         |      AS bucket,
+         |    max(${hllRhoSql(s"(hv >> $b)", width)}) AS M
+         |  FROM h0 GROUP BY 1, 2)""".stripMargin + est(0)
+    val body = (1 to rounds).map { d =>
+      s""",
+         |r$d AS MATERIALIZED (SELECT node, bucket, max(M) AS M FROM (
+         |    SELECT a.src AS node, r.bucket, r.M
+         |    FROM adj a JOIN r${d - 1} r ON a.dst = r.node
+         |    UNION ALL SELECT node, bucket, M FROM r${d - 1}) u
+         |  GROUP BY 1, 2)""".stripMargin + est(d)
+    }.mkString
+    val hTerms = (1 to rounds).map(d =>
+      s"(greatest(0.0, x$d.est - x${d - 1}.est) / $d.0)").mkString(" + ")
+    val joins = (1 to rounds).map(d => s"JOIN x$d USING (node)").mkString(" ")
+    head + body +
+      s"""
+         |, hh AS (SELECT x0.node, $hTerms AS h, x$rounds.est AS ball
+         |  FROM x0 $joins)
+         |SELECT CAST(row_number() OVER (ORDER BY h DESC, node ASC)
+         |    AS BIGINT) AS rank,
+         |  node, round(ball, 6) AS ball_est, round(h, 6) AS harmonic
+         |FROM hh ORDER BY h DESC, node ASC LIMIT $topK""".stripMargin
+  }
+
   /** Unrolled Bradley–Terry MM rounds over the events "engagement duel"
     * stream (q327) — the pageRank-oracle pattern: t0 = 1.0, each round
     * joins pairs to the previous θ, folds denominators opponent-sorted,

@@ -947,6 +947,24 @@ object Stress {
       println("[stress]   rows=" + Bench.force(
         Analytics.poissonSpikeBound(events, "event_type", "ts")))
     }
+    // HyperBall harmonic: each round is O(|E|·m) register-merge rows —
+    // radius-linear, degree-INDEPENDENT (the wedge family's Σ deg²
+    // explodes on exactly these replicated bipartite hubs; HyperBall
+    // must scale with edges only)
+    time(s"hyperball harmonic ${factor}x (12M-edge graph, 3 rounds, m=16)") {
+      val oB = spark.range(factor).toDF("__rep")
+        .crossJoin(spark.read.parquet(s"$sfDir/orders.parquet"))
+      val lB = spark.range(factor).toDF("__rep2")
+        .crossJoin(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+      val el = oB.join(lB, col("__rep") === col("__rep2") &&
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("__rep"), lit("_"), col("o_custkey"))
+            .as("a"),
+          concat(lit("s"), col("__rep"), lit("_"), col("l_suppkey")).as("b"))
+      println("[stress]   top=" + Bench.force(
+        Graph.harmonicCentralityHyperBall(el, "a", "b", rounds = 3,
+          m = 16, topK = 20)))
+    }
 
     val meter = new E2eShuffleMeter
     spark.sparkContext.addSparkListener(meter)

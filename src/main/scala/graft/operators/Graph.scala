@@ -483,6 +483,68 @@ object Graph {
       .orderBy("rank")
   }
 
+  /** HyperBall harmonic centrality (Boldi–Vigna): the FULL-radius
+    * centrality the wedge family can't afford — [[harmonicCentrality2]]
+    * truncates at distance 2 because exact |N_d| materializes Σ deg^d
+    * pairs; HyperBall keeps ONE HLL sketch of each node's ball B_d(v)
+    * and grows it by register-merging neighbors, so every round is
+    * O(|E|·m) regardless of how the balls explode. harmonic(v) ≈
+    * Σ_d (|B_d| − |B_{d−1}|)/d with |B_d| estimated from the registers
+    * (≈1.04/√m relative error; negative HLL diffs clamp to 0 — the
+    * standard HyperBall treatment of estimator jitter).
+    *
+    * Shape per round (driver-sequenced, the pageRank pattern): ONE
+    * (node-keyed) join of the register frame against the bidirected
+    * adjacency, union own registers, groupBy(node, bucket).max — a
+    * plain mergeable-max shuffle of n·m + |E|·m key-width rows; the
+    * estimate pass is the replayable md5 HLL
+    * ([[Sketches.hllEstimateFromRegisters]], register fold bounded by
+    * m). The registers are a pure function of md5, so an external SQL
+    * engine replays every round bit-for-bit. Returns the top-`topK`
+    * rows (rank, node, ball_est, harmonic). */
+  def harmonicCentralityHyperBall(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int = 4, m: Int = 64,
+      topK: Int = 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"rounds must be in [1, 10], got $rounds")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val adj = bidirect(edges, srcCol, dstCol).distinct()
+      .localCheckpoint(true)
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var regs = Sketches.hllRegisters(
+        nodes.select(col("node"), col("node").as("__v")),
+        Seq("node"), "__v", m)
+      .localCheckpoint(true)
+    def estOf(r: DataFrame): DataFrame =
+      Sketches.hllEstimateFromRegisters(r, Seq("node"), m)
+        .select(col("node"), col("est"))
+    var state = estOf(regs)
+      .select(col("node"), lit(0.0).as("h"), col("est").as("__prev"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { d =>
+      regs = regs
+        .join(adj.select(col("dst").as("node"), col("src").as("__to")),
+          Seq("node"))
+        .select(col("__to").as("node"), col("bucket"), col("M"))
+        .unionByName(regs)
+        .groupBy("node", "bucket").agg(max("M").as("M"))
+        .localCheckpoint(true)
+      state = state.join(estOf(regs), Seq("node"))
+        .select(col("node"),
+          (col("h") + (greatest(lit(0.0), col("est") - col("__prev")) /
+            lit(d.toDouble))).as("h"),
+          col("est").as("__prev"))
+        .localCheckpoint(true)
+    }
+    state.orderBy(col("h").desc, col("node").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("h").desc, col("node").asc)))
+      .select(col("rank"), col("node"), col("__prev").as("ball_est"),
+        col("h").as("harmonic"))
+      .orderBy("rank")
+  }
+
   /** Degree power-law fit: ln(count) over ln(degree) OLS on the degree
     * HISTOGRAM — the one-number "is this graph scale-free" check behind
     * every hub-handling decision in this family (the q144/q154

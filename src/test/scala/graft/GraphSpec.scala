@@ -453,4 +453,41 @@ class GraphSpec extends SparkSpec {
     assert(Graph.modularity(edges.limit(0), "s", "d", comm, "node", "comm")
       .count() === 0L)
   }
+
+  // ── harmonicCentralityHyperBall ────────────────────────────────────────
+
+  test("hyperball: star graph — saturated balls agree, center dominates") {
+    // star: center 0, leaves 1..200; diameter 2 → saturated at rounds=2
+    val n = 200
+    val edges = (1 to n).map(i => (0L, i.toLong)).toDF("s", "d")
+    val out = Graph.harmonicCentralityHyperBall(edges, "s", "d",
+        rounds = 3, m = 256, topK = n + 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === n + 1)
+    // after saturation every node's registers cover the SAME value set →
+    // identical ball estimates, within HLL error of the true 201
+    val balls = out.map(_._2).distinct
+    assert(balls.length === 1, s"saturated balls differ: ${balls.take(3)}")
+    assert(math.abs(balls.head - (n + 1).toDouble) / (n + 1) < 0.15,
+      s"ball estimate ${balls.head} too far from ${n + 1}")
+    // the center reaches everyone at d=1; leaves split across d=1 and 2 →
+    // center's harmonic strictly dominates, and it ranks first
+    val byNode = out.map(t => t._1 -> t._3).toMap
+    assert((1 to n).forall(i => byNode(0L) > byNode(i.toLong)))
+  }
+
+  test("hyperball: balls never cross components; harmonic nonnegative") {
+    // two disjoint triangles
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("s", "d")
+    val out = Graph.harmonicCentralityHyperBall(edges, "s", "d",
+        rounds = 3, m = 256, topK = 6)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 6)
+    out.foreach { case (_, ball, h) =>
+      // saturated ball ≈ the 3-node component, NOT the 6-node union
+      assert(ball < 4.5, s"ball $ball leaked across components")
+      assert(h >= 0.0)
+    }
+  }
 }
