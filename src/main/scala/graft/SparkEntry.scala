@@ -3378,6 +3378,20 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: HyperANF neighborhood function — N(d) pairs-within-d +
+    //    effective-diameter readout on the same O(|E|·m) HyperBall loop;
+    //    node-sorted Σ-est folds on the gate path (oracle: DuckDB replays
+    //    the rounds and the node-ordered sums) ─────────────────────────────
+    "q338_hyperanf" -> ((s, dir) => {
+      val edges = Analytics.coOccurrenceEdges(T(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+      Graph.neighborhoodFunction(edges, "item_a", "item_b",
+          rounds = 3, m = 16, deterministic = true)
+        .select(col("d"), col("n_nodes"),
+          round(col("n_pairs_est"), 6).as("n_pairs_est"),
+          round(col("frac_of_max"), 6).as("frac_of_max"))
+        .orderBy("d")
+    }),
     // ── scale: anytime-valid confidence sequence — the peeking-safe
     //    per-(arm, day) cumulative-mean monitor (Hoeffding + union bound
     //    over looks); exact micro-int cumulative sums, per-arm windows
@@ -7546,6 +7560,7 @@ object SparkEntry {
     "q327_bradley_terry" -> btOracleSql(3),
     "q337_hyperball_harmonic" -> hyperballOracleSql(rounds = 3, m = 16,
       topK = 20),
+    "q338_hyperanf" -> hyperanfOracleSql(rounds = 3, m = 16),
     "q334_confidence_sequence" ->
       s"""WITH a AS (SELECT
          |    CASE WHEN (${h60Sql("user_id::VARCHAR")}) % 2 = 0
@@ -11652,6 +11667,31 @@ object SparkEntry {
          |    AS BIGINT) AS rank,
          |  node, round(ball, 6) AS ball_est, round(h, 6) AS harmonic
          |FROM hh ORDER BY h DESC, node ASC LIMIT $topK""".stripMargin
+  }
+
+  /** HyperANF twin of [[hyperballOracleSql]] (q338): per-round
+    * node-summed ball estimates (node-ordered fold) + frac of the
+    * final round's sum. */
+  private def hyperanfOracleSql(rounds: Int, m: Int): String = {
+    // identical head/body as hyperballOracleSql — rebuild them
+    val full = hyperballOracleSql(rounds, m, topK = 1)
+    val head = full.substring(0, full.indexOf("\n, hh AS"))
+    val sCtes = (0 to rounds).map { d =>
+      s""",
+         |s$d AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    list_reduce(list(est ORDER BY node), (a, c) -> a + c) AS s
+         |  FROM x$d)""".stripMargin
+    }.mkString
+    val rows = (0 to rounds).map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS d, s$d.n AS n_nodes,
+         |  round(s$d.s, 6) AS n_pairs_est,
+         |  round(s$d.s / sm.s, 6) AS frac_of_max FROM s$d, sm""".stripMargin
+    }.mkString("\nUNION ALL ")
+    head + sCtes +
+      s""",
+         |sm AS (SELECT s FROM s$rounds)
+         |$rows
+         |ORDER BY d""".stripMargin
   }
 
   /** Unrolled Bradley–Terry MM rounds over the events "engagement duel"

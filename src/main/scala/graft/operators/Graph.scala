@@ -505,9 +505,36 @@ object Graph {
   def harmonicCentralityHyperBall(edges: DataFrame, srcCol: String,
       dstCol: String, rounds: Int = 4, m: Int = 64,
       topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    var state: DataFrame = null
+    hyperBallRounds(edges, srcCol, dstCol, rounds, m) { (d, est) =>
+      state =
+        (if (d == 0) est.select(col("node"), lit(0.0).as("h"),
+          col("est").as("__prev"))
+        else state.join(est, Seq("node"))
+          .select(col("node"),
+            (col("h") + (greatest(lit(0.0), col("est") - col("__prev")) /
+              lit(d.toDouble))).as("h"),
+            col("est").as("__prev"))).localCheckpoint(true)
+    }
+    state.orderBy(col("h").desc, col("node").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("h").desc, col("node").asc)))
+      .select(col("rank"), col("node"), col("__prev").as("ball_est"),
+        col("h").as("harmonic"))
+      .orderBy("rank")
+  }
+
+  /** Shared HyperBall loop: B_0 = own md5 HLL register; each round
+    * register-merges neighbors (ONE node-keyed join + mergeable max,
+    * O(|E|·m) rows). `onEst(d, estFrame)` fires with the per-node ball
+    * estimate after round d (d = 0 is the singleton ball). */
+  private def hyperBallRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int, m: Int)(
+      onEst: (Int, DataFrame) => Unit): Unit = {
     require(rounds >= 1 && rounds <= 10,
       s"rounds must be in [1, 10], got $rounds")
-    require(topK >= 1, s"topK must be >= 1, got $topK")
     val adj = bidirect(edges, srcCol, dstCol).distinct()
       .localCheckpoint(true)
     val nodes = adj.select(col("src").as("node")).distinct()
@@ -518,9 +545,7 @@ object Graph {
     def estOf(r: DataFrame): DataFrame =
       Sketches.hllEstimateFromRegisters(r, Seq("node"), m)
         .select(col("node"), col("est"))
-    var state = estOf(regs)
-      .select(col("node"), lit(0.0).as("h"), col("est").as("__prev"))
-      .localCheckpoint(true)
+    onEst(0, estOf(regs))
     (1 to rounds).foreach { d =>
       regs = regs
         .join(adj.select(col("dst").as("node"), col("src").as("__to")),
@@ -529,20 +554,43 @@ object Graph {
         .unionByName(regs)
         .groupBy("node", "bucket").agg(max("M").as("M"))
         .localCheckpoint(true)
-      state = state.join(estOf(regs), Seq("node"))
-        .select(col("node"),
-          (col("h") + (greatest(lit(0.0), col("est") - col("__prev")) /
-            lit(d.toDouble))).as("h"),
-          col("est").as("__prev"))
-        .localCheckpoint(true)
+      onEst(d, estOf(regs))
     }
-    state.orderBy(col("h").desc, col("node").asc).limit(topK)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("h").desc, col("node").asc)))
-      .select(col("rank"), col("node"), col("__prev").as("ball_est"),
-        col("h").as("harmonic"))
-      .orderBy("rank")
+  }
+
+  /** HyperANF neighborhood function + effective diameter: N(d) = the
+    * estimated number of node pairs within distance d (Σ over nodes of
+    * the ball estimate), per round — "how far apart is this graph,
+    * really?" without a single BFS. effective-diameter-style readout:
+    * `frac_of_max` = N(d)/N(rounds); the smallest d with frac ≥ 0.9 is
+    * the standard effective diameter (read it off the table). Same
+    * O(|E|·m)-per-round HyperBall loop as
+    * [[harmonicCentralityHyperBall]]; the per-round Σ est over the
+    * node-cardinality frame folds node-sorted under
+    * `deterministic = true` (the oracle path), plain sum in production.
+    * Returns one row per d in 0..rounds:
+    * (d, n_nodes, n_pairs_est, frac_of_max). */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int = 4, m: Int = 64,
+      deterministic: Boolean = false): DataFrame = {
+    val sums = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    hyperBallRounds(edges, srcCol, dstCol, rounds, m) { (d, est) =>
+      val agg =
+        if (deterministic)
+          est.agg(count(lit(1)).as("n"),
+            aggregate(sort_array(collect_list(struct(col("node"),
+              col("est").as("__e")))), lit(0.0),
+              (a, x) => a + x.getField("__e")).as("s"))
+        else est.agg(count(lit(1)).as("n"), sum("est").as("s"))
+      val r = agg.first()
+      sums += ((d, r.getLong(0), r.getDouble(1)))
+    }
+    val nMax = sums.last._3
+    val spark = edges.sparkSession
+    import spark.implicits._
+    sums.toSeq.map { case (d, n, s) =>
+      (d.toLong, n, s, if (nMax > 0.0) s / nMax else 0.0) }
+      .toDF("d", "n_nodes", "n_pairs_est", "frac_of_max")
   }
 
   /** Degree power-law fit: ln(count) over ln(degree) OLS on the degree

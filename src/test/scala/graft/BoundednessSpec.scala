@@ -60,6 +60,7 @@ class BoundednessSpec extends AnyFunSuite {
     "Analytics.scala#tFold" -> (1, "group: logRankTest E1/V folds over the duration-cardinality frame (kaplanMeier granularity contract: bucketed durations)"),
     "Training.scala#fold" -> (1, "det-gate + group: bradleyTerry per-item opponent fold / item normalizer over item-cardinality frames; production plain sums"),
     "Analytics.scala#exactMatchedATT" -> (1, "det-gate: stratum-weighted ATT fold over the strata-cardinality frame; production plain sum"),
+    "Graph.scala#neighborhoodFunction" -> (1, "det-gate: HyperANF per-round sum-of-estimates fold over the node-cardinality frame; production plain sum"),
     "Profiling.scala#fleissKappa" -> (1, "group: P_e fold over the rating-category-cardinality frame (cohensKappa convention)"),
     "Dedup.scala#bucketCandidatePairs" -> (1, "capped: per-LSH-bucket members under the maxBucket/capBuckets bounded-recall cap"),
     "Dedup.scala#containmentPairs" -> (1, "group: per-doc PREFIX shingles only (n - ceil(t*n) + 1 rarest — pigeonhole prefix filter)"),

@@ -83,7 +83,8 @@ class DetProdEquivalenceSpec extends SparkSpec {
       "numericMI", "pageRank", "personalizedPageRank", "degreePowerLaw",
       "hits", "trainLogistic", "trainKMeans", "topPrincipalComponent",
       "clusteringQualityReport", "stationaryDistribution", "prCurve",
-      "bradleyTerry", "bradleyTerryFromCounts", "exactMatchedATT")
+      "bradleyTerry", "bradleyTerryFromCounts", "exactMatchedATT",
+      "neighborhoodFunction")
     val defRe = """\bdef (\w+)""".r
     val root = new java.io.File("src/main/scala/graft")
     def files(d: java.io.File): Seq[java.io.File] =
@@ -271,6 +272,11 @@ class DetProdEquivalenceSpec extends SparkSpec {
     val (d, p) = both(b => Training.bradleyTerry(duels, "w", "l",
       rounds = 3, deterministic = b))
     assertEquiv("bradleyTerry", d, p)
+  }
+  test("equiv: neighborhoodFunction") {
+    val (d, p) = both(b => Graph.neighborhoodFunction(bipartite, "a", "b",
+      rounds = 2, m = 16, deterministic = b))
+    assertEquiv("neighborhoodFunction", d, p)
   }
   test("equiv: exactMatchedATT") {
     val ev = events.select(col("event_type"),

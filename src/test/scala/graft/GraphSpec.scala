@@ -476,6 +476,27 @@ class GraphSpec extends SparkSpec {
     assert((1 to n).forall(i => byNode(0L) > byNode(i.toLong)))
   }
 
+  test("neighborhoodFunction: monotone, saturates at 1.0, star goldens") {
+    val n = 100
+    val edges = (1 to n).map(i => (0L, i.toLong)).toDF("s", "d")
+    val out = Graph.neighborhoodFunction(edges, "s", "d", rounds = 3,
+        m = 256, deterministic = true)
+      .orderBy("d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(_._2 === (n + 1).toLong))
+    // balls only grow → N(d) nondecreasing; frac hits exactly 1 at the end
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 - 1e-9, s"N(d) fell: $a -> $b") }
+    assert(out.last._4 === 1.0)
+    // star saturates at d=2: N(2) == N(3), and ≈ (n+1)² pairs
+    assert(math.abs(out(2)._3 - out(3)._3) < 1e-9)
+    assert(math.abs(out(3)._3 - (n + 1.0) * (n + 1.0)) /
+      ((n + 1.0) * (n + 1.0)) < 0.15)
+    // N(0) ≈ one per node (singleton balls)
+    assert(math.abs(out(0)._3 - (n + 1.0)) / (n + 1.0) < 0.1)
+  }
+
   test("hyperball: balls never cross components; harmonic nonnegative") {
     // two disjoint triangles
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
