@@ -3378,6 +3378,22 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy("rank")
     }),
+    // ── scale: Markov removal-effect attribution — the principled
+    //    multi-touch credit model: per-user paths truncated at first
+    //    purchase collapse to the channel-cardinality transition matrix;
+    //    K absorption rounds per removal scenario run on the driver with
+    //    to-sorted folds (oracle: DuckDB replays the paths, the matrix,
+    //    and every round of every scenario) ────────────────────────────────
+    "q339_markov_attribution" -> ((s, dir) => {
+      Analytics.markovAttribution(T(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id", convType = "purchase", rounds = 6)
+        .select(col("channel"), col("touches"),
+          round(col("p_conv_full"), 6).as("p_conv_full"),
+          round(col("p_conv_removed"), 6).as("p_conv_removed"),
+          round(col("removal_effect"), 6).as("removal_effect"),
+          round(col("share"), 6).as("share"))
+        .orderBy("channel")
+    }),
     // ── scale: HyperANF neighborhood function — N(d) pairs-within-d +
     //    effective-diameter readout on the same O(|E|·m) HyperBall loop;
     //    node-sorted Σ-est folds on the gate path (oracle: DuckDB replays
@@ -7561,6 +7577,8 @@ object SparkEntry {
     "q337_hyperball_harmonic" -> hyperballOracleSql(rounds = 3, m = 16,
       topK = 20),
     "q338_hyperanf" -> hyperanfOracleSql(rounds = 3, m = 16),
+    "q339_markov_attribution" -> markovOracleSql(
+      Seq("click", "error", "signup", "view"), "purchase", rounds = 6),
     "q334_confidence_sequence" ->
       s"""WITH a AS (SELECT
          |    CASE WHEN (${h60Sql("user_id::VARCHAR")}) % 2 = 0
@@ -11692,6 +11710,87 @@ object SparkEntry {
          |sm AS (SELECT s FROM s$rounds)
          |$rows
          |ORDER BY d""".stripMargin
+  }
+
+  /** Unrolled Markov-attribution absorption rounds (q339): transitions
+    * from the truncated per-user paths, then K to-sorted-fold rounds per
+    * removal scenario (full + one per channel). `channels` must be the
+    * sorted channel list present in the data. */
+  private def markovOracleSql(channels: Seq[String], conv: String,
+      rounds: Int): String = {
+    val states = (channels :+ "(start)").sorted
+    val stList = states.map(s => s"('$s')").mkString(", ")
+    def scenario(tag: String, removed: Option[String]): String = {
+      val st = removed.map(c => states.filterNot(_ == c)).getOrElse(states)
+      val inList = st.map(s => s"'$s'").mkString(", ")
+      val head =
+        s""",
+           |st$tag AS (SELECT * FROM (VALUES ${st.map(s => s"('$s')")
+             .mkString(", ")}) AS s(st)),
+           |pc$tag AS (SELECT s.st, coalesce(p.pr, CAST(0.0 AS DOUBLE))
+           |      AS pc
+           |  FROM st$tag s LEFT JOIN p ON p.f = s.st AND p.t2 = '(conv)'),
+           |pt$tag AS (SELECT f, t2, pr FROM p
+           |  WHERE f IN ($inList) AND t2 IN ($inList)),
+           |a${tag}0 AS (SELECT st AS s, CAST(0.0 AS DOUBLE) AS a
+           |  FROM st$tag)""".stripMargin
+      val rs = (1 to rounds).map { t =>
+        s""",
+           |a$tag$t AS (SELECT pc.st AS s,
+           |    pc.pc + coalesce(lr.v, CAST(0.0 AS DOUBLE)) AS a
+           |  FROM pc$tag pc LEFT JOIN (
+           |    SELECT p.f AS s,
+           |      list_reduce(list((p.pr * a.a) ORDER BY p.t2),
+           |        (x, y) -> x + y) AS v
+           |    FROM pt$tag p JOIN a$tag${t - 1} a ON p.t2 = a.s
+           |    GROUP BY p.f) lr ON pc.st = lr.s)""".stripMargin
+      }.mkString
+      head + rs
+    }
+    val scen = scenario("F", None) + channels.zipWithIndex.map {
+      case (c, i) => scenario(s"C$i", Some(c)) }.mkString
+    val rows = channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cnt
+         |   WHERE t2 = '$c') AS touches,
+         |  (SELECT a FROM aF$rounds WHERE s = '(start)') AS pf,
+         |  (SELECT a FROM aC$i$rounds WHERE s = '(start)') AS pr2"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH seqq AS (SELECT user_id AS u, ts, event_id AS o,
+       |    event_type AS t,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |cr AS (SELECT u, min(rn) AS cr FROM seqq WHERE t = '$conv'
+       |  GROUP BY 1),
+       |tr AS (SELECT s.u, s.ts, s.o, s.t, s.rn FROM seqq s
+       |  LEFT JOIN cr ON s.u = cr.u
+       |  WHERE cr.cr IS NULL OR s.rn <= cr.cr),
+       |steps AS (SELECT coalesce(lag(t) OVER (PARTITION BY u
+       |      ORDER BY ts, o), '(start)') AS f,
+       |    CASE WHEN t = '$conv' THEN '(conv)' ELSE t END AS t2
+       |  FROM tr),
+       |term AS (SELECT t AS f, '(null)' AS t2 FROM (
+       |    SELECT t, rn, max(rn) OVER (PARTITION BY u) AS mx FROM tr) x
+       |  WHERE rn = mx AND t <> '$conv'),
+       |cnt AS (SELECT f, t2, CAST(count(*) AS BIGINT) AS n FROM
+       |  (SELECT * FROM steps UNION ALL SELECT * FROM term) uu
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tt FROM cnt
+       |  GROUP BY 1),
+       |p AS (SELECT cnt.f, cnt.t2,
+       |    CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS pr
+       |  FROM cnt JOIN tot USING (f))$scen,
+       |res AS ($rows),
+       |es AS (SELECT list_reduce(list((pf - pr2) ORDER BY channel),
+       |    (x, y) -> x + y) AS s FROM res)
+       |SELECT channel, touches, round(pf, 6) AS p_conv_full,
+       |  round(pr2, 6) AS p_conv_removed,
+       |  round(pf - pr2, 6) AS removal_effect,
+       |  round(CASE WHEN es.s > 0.0 THEN (pf - pr2) / es.s END, 6)
+       |    AS share
+       |FROM res, es ORDER BY channel""".stripMargin
   }
 
   /** Unrolled Bradley–Terry MM rounds over the events "engagement duel"

@@ -546,6 +546,102 @@ object Analytics {
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 
+  /** Markov removal-effect attribution: the principled multi-touch model
+    * ("which channel actually DRIVES conversions?") that last-touch and
+    * [[linearAttribution]] only approximate. Each user's event stream
+    * (truncated at their FIRST conversion) becomes a first-order Markov
+    * path (start) → touches → (conv)/(null); a channel's credit is its
+    * REMOVAL EFFECT — how much the K-step absorption probability
+    * P(conv | start) drops when every edge into that channel is deleted
+    * (paths through it fail) — normalized to shares.
+    *
+    * Shape: ONE keyed window builds the truncated paths (user-keyed,
+    * never global), one (from, to) exact-long aggregate — the corpus
+    * collapses to the (channels+3)²-cardinality transition matrix
+    * (require ≤ 1000 channels), and every absorption iteration runs on
+    * the DRIVER over that matrix with to-sorted folds, so an external
+    * SQL engine replays all K rounds of every removal scenario
+    * bit-for-bit. K truncates the absorption series (longer paths than
+    * K contribute nothing — documented, same-K across scenarios keeps
+    * effects ≥ 0 and comparable). Returns one row per channel
+    * (channel, touches, p_conv_full, p_conv_removed, removal_effect,
+    * share); share is NULL when no channel has any effect. */
+  def markovAttribution(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, orderCol: String, convType: String,
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    val START = "(start)"; val CONV = "(conv)"; val NUL = "(null)"
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__o"))
+    val seq0 = df.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(orderCol).as("__o"), col(typeCol).cast("string").as("__t"))
+      .withColumn("__rn", row_number().over(w))
+    val convRank = seq0.filter(col("__t") === convType)
+      .groupBy("__u").agg(min("__rn").as("__cr"))
+    val trunc = seq0.join(convRank, Seq("__u"), "left")
+      .filter(col("__cr").isNull || col("__rn") <= col("__cr"))
+      .localCheckpoint(false)
+    val w2 = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__o"))
+    val steps = trunc
+      .withColumn("__prev", lag(col("__t"), 1).over(w2))
+      .select(coalesce(col("__prev"), lit(START)).as("__f"),
+        when(col("__t") === convType, lit(CONV)).otherwise(col("__t"))
+          .as("__to"))
+    val terminal = trunc
+      .withColumn("__mx", max(col("__rn")).over(Window.partitionBy("__u")))
+      .filter(col("__rn") === col("__mx") && col("__t") =!= convType)
+      .select(col("__t").as("__f"), lit(NUL).as("__to"))
+    val trans = steps.unionByName(terminal)
+      .groupBy("__f", "__to").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(trans.nonEmpty, "no events")
+    val channels = (trans.map(_._1) ++ trans.map(_._2)).distinct
+      .filterNot(Set(START, CONV, NUL)).sorted.toSeq
+    require(channels.size <= 1000,
+      s"markovAttribution requires ≤ 1000 channels, got ${channels.size}")
+    require(channels.forall(c => c != START && c != CONV && c != NUL),
+      "channel names collide with the (start)/(conv)/(null) sentinels")
+    val outTot = trans.groupBy(_._1).map { case (f, rs) =>
+      f -> rs.map(_._3).sum }
+    // p as the SAME double the SQL oracle computes: n / rowTotal
+    val p = trans.map { case (f, t, n) =>
+      (f, t) -> (n.toDouble / outTot(f).toDouble) }.toMap
+    val states = (channels :+ START).sorted
+    /** K absorption rounds excluding channel `removed` (None = full). */
+    def absorb(removed: Option[String]): Map[String, Double] = {
+      val st = states.filterNot(removed.contains)
+      var a = st.map(_ -> 0.0).toMap
+      (1 to rounds).foreach { _ =>
+        a = st.map { s =>
+          var acc = 0.0
+          st.foreach { to => // to-sorted fold, matching the oracle
+            p.get((s, to)).foreach(pr => acc += pr * a(to))
+          }
+          s -> (p.getOrElse((s, CONV), 0.0) + acc)
+        }.toMap
+      }
+      a
+    }
+    val pFull = absorb(None)(START)
+    val touches = trans.filter(t => channels.contains(t._2))
+      .groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
+    val effects = channels.map { c =>
+      val pc = absorb(Some(c))(START)
+      (c, touches.getOrElse(c, 0L), pc, pFull - pc)
+    }
+    var effSum = 0.0
+    effects.foreach(e => effSum += e._4) // channel-sorted fold
+    val spark = df.sparkSession
+    import spark.implicits._
+    effects.map { case (c, n, pc, eff) =>
+      (c, n, pFull, pc, eff,
+        if (effSum > 0.0) Some(eff / effSum) else None)
+    }.toDF("channel", "touches", "p_conv_full", "p_conv_removed",
+      "removal_effect", "share")
+  }
+
   /** Top movers: the keys whose RANK moved most between two periods —
     * "which parts/sources/segments surged or collapsed this month"
     * (rank deltas survive level shifts that make raw-value deltas

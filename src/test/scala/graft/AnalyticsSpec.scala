@@ -1443,6 +1443,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(z.isNullAt(4))
   }
 
+  // ── markovAttribution ──────────────────────────────────────────────────
+
+  test("markovAttribution: hand absorption chain and removal effects") {
+    def t(sec: Int) = new java.sql.Timestamp(sec.toLong * 1000L)
+    // u1: A → conv; u2: A → B (no conv); u3: B → conv
+    val ev = Seq(
+      (1L, t(1), "A"), (1L, t(2), "buy"),
+      (2L, t(1), "A"), (2L, t(2), "B"),
+      (3L, t(1), "B"), (3L, t(2), "buy"))
+      .toDF("u", "ts", "et").withColumn("oid", monotonically_increasing_id())
+    val out = Analytics.markovAttribution(ev, "u", "ts", "et", "oid",
+        convType = "buy", rounds = 6)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // P(conv) = 2/3·(1/2 + 1/2·1/2) + 1/3·1/2 = 2/3
+    // remove A: 1/3·1/2 = 1/6 → effect 1/2; remove B: 2/3·1/2 = 1/3 →
+    // effect 1/3; shares 3/5 and 2/5; touches A=2, B=2
+    assert(out.map(_._1).toSeq === Seq("A", "B"))
+    assert(out(0)._2 === 2L && out(1)._2 === 2L)
+    out.foreach(o => assert(math.abs(o._3 - 2.0 / 3.0) < 1e-12))
+    assert(math.abs(out(0)._4 - 1.0 / 6.0) < 1e-12)
+    assert(math.abs(out(0)._5 - 0.5) < 1e-12)
+    assert(math.abs(out(1)._4 - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(out(1)._5 - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(out(0)._6 - 0.6) < 1e-12)
+    assert(math.abs(out(1)._6 - 0.4) < 1e-12)
+  }
+
+  test("markovAttribution: events after first conversion are ignored") {
+    def t(sec: Int) = new java.sql.Timestamp(sec.toLong * 1000L)
+    // post-conversion touches must not earn credit
+    val ev = Seq(
+      (1L, t(1), "A"), (1L, t(2), "buy"), (1L, t(3), "C"), (1L, t(4), "C"))
+      .toDF("u", "ts", "et").withColumn("oid", monotonically_increasing_id())
+    val out = Analytics.markovAttribution(ev, "u", "ts", "et", "oid",
+        convType = "buy", rounds = 4)
+      .collect().map(r => r.getString(0))
+    assert(out.toSeq === Seq("A")) // C never appears as a channel
+  }
+
   // ── confidenceSequence ─────────────────────────────────────────────────
 
   test("confidenceSequence: hand boundary; constant values covered always") {
