@@ -3417,8 +3417,11 @@ object SparkEntry {
       val ev = T(s, dir, "events").withColumn("arm",
         when(pmod(Dedup.md5Hash60(col("user_id")), lit(2L)) === 0L,
           lit("g0")).otherwise(lit("g1")))
+      // hi = 1000: value's support bound across ALL test SFs (sf0.1 max is
+      // 560.21 — the original 500 only held at sf0.01 and threw at bench
+      // scale; the operator throws on out-of-range BY DESIGN)
       Analytics.confidenceSequence(ev, "arm", "ts", "value",
-          lo = 0.0, hi = 500.0, alpha = 0.05)
+          lo = 0.0, hi = 1000.0, alpha = 0.05)
         .select(col("arm"), col("day"), col("n_cum"),
           round(col("mean_cum"), 6).as("mean_cum"),
           round(col("half"), 6).as("half"),
@@ -7594,7 +7597,7 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |f AS (SELECT arm, day, t,
          |    (CAST(st AS DOUBLE) / CAST(t AS DOUBLE)) / 1000000.0 AS mean,
-         |    (500.0 - 0.0) * sqrt(
+         |    (1000.0 - 0.0) * sqrt(
          |      ln((((CAST(2.0 AS DOUBLE) * (pi() * pi()))
          |          * (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
          |        / (CAST(6.0 AS DOUBLE) * CAST(0.05 AS DOUBLE))))
