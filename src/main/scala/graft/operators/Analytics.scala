@@ -1147,12 +1147,20 @@ object Analytics {
 
   /** In-row pair generation from a sorted item array: for item i, pair
     * with every later item (slice is 1-based; i is 0-based → start
-    * i + 2). One row per (basket, pair). */
+    * i + 2). One row per (basket, pair), columns (__pa, __pb).
+    * Two chained Generate nodes (posexplode, then explode of the tail
+    * slice) instead of nested `transform` lambdas: higher-order functions
+    * build every pair STRUCT through the interpreted lambda path, which
+    * measured 10× slower than the generator form on the same 1.2M-pair
+    * input (0.66 s vs 0.06 s at sf0.1) — and the generator form never
+    * materializes the per-basket pair array at all. */
   private def basketPairs(baskets: DataFrame): DataFrame =
-    baskets.select(explode(flatten(
-      transform(col("__items"), (x, i) =>
-        transform(slice(col("__items"), i + lit(2), size(col("__items"))),
-          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+    baskets
+      .select(posexplode(col("__items")).as(Seq("__i", "__pa")),
+        col("__items"))
+      .select(col("__pa"),
+        explode(slice(col("__items"), col("__i") + lit(2),
+          size(col("__items")) - col("__i") - lit(1))).as("__pb"))
 
   /** Distinct co-occurrence edges (item_a < item_b by the array sort
     * order): the graph projection of the basket table — input to
@@ -1160,7 +1168,7 @@ object Analytics {
   def coOccurrenceEdges(df: DataFrame, basketCol: String,
       itemCol: String): DataFrame =
     basketPairs(basketArrays(df, basketCol, itemCol))
-      .select(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .select(col("__pa").as("item_a"), col("__pb").as("item_b"))
       .distinct()
 
   def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
@@ -1173,7 +1181,7 @@ object Analytics {
       .select(explode(col("__items")).as("__it"))
       .groupBy("__it").agg(count(lit(1)).as("__ci"))
     val pairs = basketPairs(baskets)
-      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .groupBy(col("__pa").as("item_a"), col("__pb").as("item_b"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
     val nbD = lit(nb.toDouble)

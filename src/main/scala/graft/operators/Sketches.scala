@@ -173,6 +173,39 @@ object Sketches {
           .otherwise(rawE).as("est")): _*)
   }
 
+  /** Estimate from a WIDE register frame (group…, <prefix>0..<prefix>{m−1})
+    * where value 0 encodes an ABSENT register (ρ ≥ 1 for every present
+    * value by [[hllRho]]'s construction, so 0 is unambiguous).
+    * BIT-IDENTICAL to [[hllEstimateFromRegisters]] on the equivalent row
+    * frame: the Z fold there adds the present buckets' 2^−M terms in
+    * bucket-ascending order starting from 0.0, then one (m − cnt) tail
+    * term for the absent registers. This fold walks ALL m columns in the
+    * same ascending order adding literal 0.0 for absent ones — and
+    * x + 0.0 == x bitwise for every non-negative IEEE double, so the
+    * partial sums match term for term; the tail term and the small-range
+    * correction are verbatim. (Spec: SketchesSpec "wide-register estimate
+    * is bit-identical"; also verified live over 3 HyperBall rounds.)
+    * No groupBy: the frame is already one row per group. */
+  def hllEstimateFromWideRegisters(regs: DataFrame, groupCols: Seq[String],
+      m: Int, prefix: String): DataFrame = {
+    log2i(m) // validates m
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val acc = (0 until m).foldLeft(lit(0.0)) { (a, j) =>
+      a + when(col(s"$prefix$j") > lit(0),
+        pow(lit(2.0), -col(s"$prefix$j").cast("double"))).otherwise(lit(0.0))
+    }
+    val cnt = (0 until m).map(j =>
+      when(col(s"$prefix$j") > lit(0), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val v0 = lit(m.toDouble) - cnt.cast("double")
+    val z = acc + v0
+    val rawE = alpha * lit((m.toLong * m).toDouble) / z
+    regs.select((groupCols.map(col) :+
+      when(rawE <= lit(2.5 * m) && v0 > lit(0.0),
+        lit(m.toDouble) * log(lit(m.toDouble) / v0))
+        .otherwise(rawE).as("est")): _*)
+  }
+
   /** Rolling-window distinct counts — "distinct users over the trailing
     * `windowDays` days, every day" — via HLL register MERGE: daily
     * registers build once (m rows per day, the only state the raw stream

@@ -73,6 +73,31 @@ class CurationSpec extends SparkSpec {
     assert(whole === merged)
   }
 
+  test("wide-register estimate is bit-identical to the row-form estimate") {
+    import org.apache.spark.sql.DataFrame
+    val m = 16
+    // three groups with different fills: sparse (absent registers exercise
+    // the small-range correction), medium, and saturated (rawE path)
+    val df = ((1 to 5).map(i => ("sparse", s"a$i")) ++
+      (1 to 40).map(i => ("mid", s"b$i")) ++
+      (1 to 3000).map(i => ("full", s"c$i"))).toDF("g", "v")
+    val rows = Sketches.hllRegisters(df, Seq("g"), "v", m)
+    val estRow = Sketches.hllEstimateFromRegisters(rows, Seq("g"), m)
+    // widen the same rows: one column per bucket, 0 = absent
+    def widen(r: DataFrame): DataFrame =
+      r.groupBy("g").pivot("bucket", (0 until m).map(_.toLong))
+        .agg(first("M"))
+        .select(col("g") +: (0 until m).map(j =>
+          coalesce(col(s"$j"), lit(0)).as(s"__M$j")): _*)
+    val estWide = Sketches.hllEstimateFromWideRegisters(
+      widen(rows), Seq("g"), m, "__M")
+    val joined = estRow.withColumnRenamed("est", "er")
+      .join(estWide.withColumnRenamed("est", "ew"), Seq("g"), "full")
+    // exact double equality — the fold-order argument, not a tolerance
+    assert(joined.filter(col("er").isNull || col("ew").isNull ||
+      col("er") =!= col("ew")).count() === 0L)
+  }
+
   test("kmv: merge of shard bottom-ks == one-shot bottom-k, bit-exact") {
     val a = (1 to 4000).map(i => (i.toLong, (i % 97).toDouble)).toDF("id", "v")
     val b = (4001 to 9000).map(i => (i.toLong, (i % 89).toDouble)).toDF("id", "v")
