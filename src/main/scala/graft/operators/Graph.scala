@@ -33,10 +33,18 @@ object Graph {
 
   /** Make a directed edge list undirected by emitting both directions.
     * PageRank over the result has no dangling nodes (every node that
-    * appears has at least one out-edge). */
+    * appears has at least one out-edge).
+    *
+    * One pass, not a self-union: `union(select(a,b), select(b,a))`
+    * duplicates the ENTIRE upstream plan — when the edge list is itself a
+    * join (q101/q105/q110 derive it from orders⋈lineitem), the join runs
+    * twice. The 2-way explode emits both directions from a single scan of
+    * the input; same output multiset (callers dedup downstream). */
   def bidirect(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
 
   /** Shared prep: deduped persisted edge frame (materialized once — deg,
     * nodes, and the degree join all read it; an unmaterialized plan would
@@ -48,12 +56,19 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
-    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    (e, eDeg, nodes, nodes.count())
+    val nNodes = nodes.count()
+    // the degree frame is node-sized: broadcast-gate it on the DRIVER-known
+    // node count instead of letting Catalyst guess (the aggregate's size
+    // estimate routinely exceeds the auto-broadcast threshold, turning this
+    // into a second full exchange + sort of the edge frame — measured 4.1 s
+    // of q101's 9.5 s at sf0.1)
+    val eDeg = e.join(maybeBroadcast(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), nNodes), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (e, eDeg, nodes, nNodes)
   }
 
   /** Size-gated broadcast of a per-node state frame: post-checkpoint
@@ -187,10 +202,15 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    val nNodes = nodes.count()
     var labels = nodes.withColumn("label", col("node"))
     for (r <- 1 to rounds) {
+      // broadcast-gate the node-sized label frame (the pageRank idiom):
+      // the checkpointed labels have no Catalyst stats, so without the
+      // hint every round pays an exchange + sort of the cached edge frame
       val winner = e
-        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(maybeBroadcast(
+          labels.withColumnRenamed("node", "src"), nNodes), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
         .groupBy("node")
@@ -459,16 +479,21 @@ object Graph {
       if (maxMiddleDegree == 0) adj
       else adj.join(deg.select(col("n").as("m"), col("d").as("__dm")), Seq("m"))
         .filter(col("__dm") <= maxMiddleDegree).drop("__dm")
+    // the two-hop pair set is SYMMETRIC (a and z both range over the
+    // middle's neighbors), so enumerate each unordered pair ONCE (a < z):
+    // half the wedge rows through the distinct, ONE anti-join against the
+    // canonical (x < y) edge frame instead of two, and each surviving
+    // pair credits both endpoints via a 2-way explode — same n2 counts,
+    // half the dominant shuffle
     val twoHop = mids.select(col("m"), col("n").as("a"))
       .join(mids.select(col("m"), col("n").as("z")), Seq("m"))
-      .filter(col("a") =!= col("z"))
+      .filter(col("a") < col("z"))
       .select(col("a"), col("z")).distinct()
     val n2 = twoHop
       .join(e.select(col("x").as("a"), col("y").as("z")),
         Seq("a", "z"), "left_anti")
-      .join(e.select(col("y").as("a"), col("x").as("z")),
-        Seq("a", "z"), "left_anti")
-      .groupBy(col("a").as("node")).agg(count(lit(1)).as("n2"))
+      .select(explode(array(col("a"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n2"))
     deg.select(col("n").as("node"), col("d"))
       .join(n2, Seq("node"), "left")
       .withColumn("n2", coalesce(col("n2"), lit(0L)))
