@@ -1702,7 +1702,16 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     val tau = maxDist
+    // dropDuplicates: a deletion inside a repeated-character run yields the
+    // SAME variant for every position in the run (template ids are full of
+    // zero runs), so raw keys carry duplicate (id, key) rows that multiply
+    // the self-join quadratically per block — measured 285k→223k key rows
+    // and 1.46M→0.98M join rows on sf0.1 customer names. The eager
+    // checkpoint keeps the variant explosion from running once per join
+    // side (self-join duplicates the upstream plan).
     val keys = deletionVariantKeys(df, idCol, strCol, tau)
+      .dropDuplicates("__id", "__k")
+      .localCheckpoint(true)
 
     val a = keys.select(col("__id").as("id_a"), col("__s").as("sa"), col("__k"))
     val b = keys.select(col("__id").as("id_b"), col("__s").as("sb"), col("__k"))
@@ -1711,8 +1720,11 @@ object Dedup {
         abs(length(col("sa")) - length(col("sb"))) <= tau)
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
       .distinct()
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
-      .filter(col("dist") <= tau)
+      // threshold form: banded O(L·τ) DP with early exit instead of the
+      // full O(L²) table; returns the EXACT distance when ≤ τ (−1 above),
+      // so the kept rows are bit-identical to the unbounded form
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), tau))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

@@ -87,8 +87,10 @@ class FuzzyIndex(
         cand.select(col("hist_id").as("id")), Seq("id"))
       .select(col("id").as("hist_id"), col("s").as("sb"))
     cand.join(histStr, Seq("hist_id"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
-      .filter(col("dist") <= maxDist)
+      // threshold form: banded O(L·τ) DP, exact distance when ≤ maxDist
+      // (−1 above) — same kept rows as the unbounded expression
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("inc_id"), col("hist_id"), col("dist"))
       .localCheckpoint(true)
   }
