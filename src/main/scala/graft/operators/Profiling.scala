@@ -392,28 +392,44 @@ object Profiling {
       .select(cols.map(c => col(c).cast("double").as(s"__v_$c")): _*)
       .na.drop()
       .localCheckpoint(false) // one corpus scan feeds k rank passes + join
-    // (value -> doubled midrank) frame for one column
-    def ranks(cName: String): DataFrame = {
+    // (value -> doubled midrank) frame for one column, plus its
+    // driver-known distinct count (free: the per-partition totals are
+    // already collected for the offsets)
+    def ranks(cName: String): (DataFrame, Long) = {
       val byV = base.select(col(s"__v_$cName").as("__v"))
         .groupBy("__v").agg(count(lit(1)).as("__cnt"))
         .repartitionByRange(p, col("__v").asc)
         .withColumn("__pid", spark_partition_id())
         .localCheckpoint(false) // freeze range boundaries (q79 lesson)
-      val sums = byV.groupBy("__pid").agg(sum("__cnt").as("__t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val sums = byV.groupBy("__pid").agg(sum("__cnt").as("__t"),
+          count(lit(1)).as("__d"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val nDistinct = sums.map(_._3).sum
       val offsets: Map[Int, Long] = sums.map(_._1)
         .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("__pid").orderBy(col("__v").asc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      byV.withColumn("__cb",
+      (byV.withColumn("__cb",
           coalesce(sum(col("__cnt")).over(w), lit(0L)) +
             element_at(typedLit(offsets), col("__pid")))
         .select(col("__v").as(s"__v_$cName"),
-          (lit(2L) * col("__cb") + col("__cnt") + lit(1L)).as(s"__r_$cName"))
+          (lit(2L) * col("__cb") + col("__cnt") + lit(1L)).as(s"__r_$cName")),
+        nDistinct)
     }
+    // broadcast-gate each (value → rank) frame on its DRIVER-known
+    // cardinality: the checkpointed rank frames have no Catalyst stats, so
+    // without the hint every per-column join pays a full exchange + sort of
+    // the corpus-sized row frame — k columns, k exchanges (measured: the
+    // dominant cost of q229 at sf0.1; low-cardinality measures like
+    // quantity/discount broadcast a few hundred rows instead)
     var rows = base
-    for (c <- cols) rows = rows.join(ranks(c), Seq(s"__v_$c"))
+    for (c <- cols) {
+      val (rk, nd) = ranks(c)
+      rows = rows.join(
+        if (nd <= (1L << 22)) broadcast(rk) else rk, Seq(s"__v_$c"))
+    }
     val dec = DecimalType(38, 0)
     val aggs = Seq(count(lit(1)).as("__n")) ++
       cols.flatMap { c =>
@@ -1174,7 +1190,9 @@ object Profiling {
     * key-ONLY distincts + one semi-join with the parent side broadcast
     * when small ([[Ops.broadcastIfSmall]]) — never a row-width shuffle;
     * the report is pairs-sized. The plan stays lazy (one-row aggregates
-    * cross-joined), so all pairs evaluate in one job. */
+    * cross-joined), so all pairs evaluate in one job; the only eager step
+    * per pair is materializing the checkpointed parent key set, whose
+    * count gates the semi-join broadcast. */
   def fkCandidates(
       pairs: Seq[(String, DataFrame, String, String, DataFrame, String)])
       : DataFrame = {
@@ -1186,15 +1204,27 @@ object Profiling {
       val pv = parent.select(col(pc).cast("string").as("__v"))
         .filter(col("__v").isNotNull)
       val pd = pv.distinct().localCheckpoint(false)
+      // parent_distinct must be DRIVER-known to gate the semi-join
+      // broadcast: Ops.broadcastIfSmall reads Catalyst stats and the
+      // checkpointed pd has none, so the key-set join was a full
+      // exchange + sort of both distinct frames per hypothesis. pd.count()
+      // materializes the checkpoint ONCE (the semi-join reuses the
+      // blocks) and doubles as the parent_distinct output. Everything
+      // else stays a lazy one-row aggregate so all pairs still evaluate
+      // concurrently in the single final job (eager-collecting all three
+      // counts per pair serialized 3·|pairs| jobs and regressed, measured).
+      val parentDistinct = pd.count()
       val childStats = cd.agg(count(lit(1)).as("child_distinct"))
       val parentStats = pv.agg(count(lit(1)).as("__prows"))
-        .crossJoin(pd.agg(count(lit(1)).as("parent_distinct")))
-      val matched = cd.join(Ops.broadcastIfSmall(pd), Seq("__v"), "left_semi")
+      val matched = cd.join(
+          if (parentDistinct <= (1L << 22)) broadcast(pd) else pd,
+          Seq("__v"), "left_semi")
         .agg(count(lit(1)).as("matched"))
       childStats.crossJoin(parentStats).crossJoin(matched)
         .select(lit(childLabel).as("child"), lit(parentLabel).as("parent"),
-          col("child_distinct"), col("parent_distinct"),
-          (col("__prows") - col("parent_distinct")).as("parent_dup_rows"),
+          col("child_distinct"),
+          lit(parentDistinct).as("parent_distinct"),
+          (col("__prows") - lit(parentDistinct)).as("parent_dup_rows"),
           col("matched"),
           (col("child_distinct") - col("matched")).as("orphans"),
           when(col("child_distinct") > 0L,
