@@ -107,7 +107,10 @@ object Graph {
             aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
               lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
         else contribs.groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(summed, Seq("node"), "left")
+      // summed is node-sized but Catalyst's aggregate estimate blocks the
+      // auto-broadcast; gate on the driver-known node count (an upper
+      // bound on |summed|) so the rank refresh joins broadcast-side
+      ranks = nodes.join(maybeBroadcast(summed, nNodes), Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
@@ -162,7 +165,8 @@ object Graph {
             aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
               lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
         else contribs.groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = based.join(summed, Seq("node"), "left")
+      // same node-count broadcast gate as pageRank's rank refresh
+      ranks = based.join(maybeBroadcast(summed, nNodes), Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) * col("__t") +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
@@ -222,7 +226,8 @@ object Graph {
       // the previous frame here would reference `labels` TWICE per round
       // (left side + inside winner), doubling the lazy plan per round —
       // 2^rounds subtree evaluations without a checkpoint.
-      labels = nodes.join(winner, Seq("node"), "left")
+      // same node-count broadcast gate for the label refresh join
+      labels = nodes.join(maybeBroadcast(winner, nNodes), Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
       // interval checkpointing, same rationale as pageRank
       if (r % checkpointInterval == 0 && r < rounds)
@@ -352,20 +357,23 @@ object Graph {
     var alive = e.select(col("x").as("n"))
       .unionAll(e.select(col("y").as("n"))).distinct()
       .localCheckpoint(true)
+    // alive is checkpointed (no Catalyst stats), so Ops.broadcastIfSmall
+    // never fired and every round paid TWO exchange+sorts of the edge
+    // frame; gate on the DRIVER-known alive count instead (maybeBroadcast
+    // idiom) — the count reads eagerly-checkpointed blocks only
+    var nAlive = alive.count()
+    def gated(keyed: DataFrame): DataFrame = maybeBroadcast(keyed, nAlive)
     for (_ <- 1 to rounds) {
       val ae = e
-        .join(Ops.broadcastIfSmall(alive.select(col("n").as("x"))),
-          Seq("x"), "left_semi")
-        .join(Ops.broadcastIfSmall(alive.select(col("n").as("y"))),
-          Seq("y"), "left_semi")
+        .join(gated(alive.select(col("n").as("x"))), Seq("x"), "left_semi")
+        .join(gated(alive.select(col("n").as("y"))), Seq("y"), "left_semi")
       alive = degrees(ae).filter(col("d") >= k).select("n")
         .localCheckpoint(true)
+      nAlive = alive.count()
     }
     val core = e
-      .join(Ops.broadcastIfSmall(alive.select(col("n").as("x"))),
-        Seq("x"), "left_semi")
-      .join(Ops.broadcastIfSmall(alive.select(col("n").as("y"))),
-        Seq("y"), "left_semi")
+      .join(gated(alive.select(col("n").as("x"))), Seq("x"), "left_semi")
+      .join(gated(alive.select(col("n").as("y"))), Seq("y"), "left_semi")
     degrees(core).select(col("n").as("node"), col("d").as("degree"))
       .orderBy("node")
   }
@@ -698,6 +706,12 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
+    // hub/auth state frames are node-sized and checkpointed (no Catalyst
+    // stats), so gate each round's edge join on the DRIVER-known side
+    // cardinalities (the maybeBroadcast idiom) — otherwise every phase
+    // pays an exchange + sort of the persisted edge frame
+    val nSrc = e.select("src").distinct().count()
+    val nDst = e.select("dst").distinct().count()
     def fold(keyCol: String, termCol: Column): Column =
       if (deterministic)
         aggregate(sort_array(collect_list(struct(col(keyCol),
@@ -720,10 +734,12 @@ object Graph {
       .withColumn("h", lit(1.0))
     var auth: DataFrame = null
     for (r <- 1 to rounds) {
-      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+      val araw = e.join(
+          maybeBroadcast(hub.withColumnRenamed("node", "src"), nSrc), "src")
         .groupBy(col("dst").as("node")).agg(fold("src", col("h")).as("a"))
       auth = l2normalize(araw, "a")
-      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+      val hraw = e.join(
+          maybeBroadcast(auth.withColumnRenamed("node", "dst"), nDst), "dst")
         .groupBy(col("src").as("node")).agg(fold("dst", col("a")).as("h"))
       hub = l2normalize(hraw, "h")
       if (r % checkpointInterval == 0 && r < rounds) {
@@ -765,21 +781,32 @@ object Graph {
     e.count()
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
+    // frontier/visited frames are node-sized and checkpointed (no Catalyst
+    // stats): gate each round's joins on DRIVER-known counts (the
+    // maybeBroadcast idiom) — the counts double as the empty-frontier
+    // exit test, so no extra jobs vs the old isEmpty probe
+    var nFrontier = frontier.count()
     var state = frontier
+    var nState = nFrontier
     var h = 1
     var done = maxHops == 0
     while (!done) {
       val next = e
-        .join(frontier.select(col("node").as("src")), "src")
+        .join(maybeBroadcast(
+          frontier.select(col("node").as("src")), nFrontier), "src")
         .select(col("dst").as("node")).distinct()
-        .join(state.select("node"), Seq("node"), "left_anti")
+        .join(maybeBroadcast(state.select("node"), nState),
+          Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
-      val exhausted = next.isEmpty
+      val nNext = next.count()
+      val exhausted = nNext == 0L
       if (exhausted || h == maxHops) done = true
       if (!exhausted) {
         state = state.unionByName(next)
+        nState += nNext
         frontier = next
+        nFrontier = nNext
       }
       h += 1
     }
@@ -814,28 +841,40 @@ object Graph {
     e.count()
     var reach = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("reach_t", lit(seedT)).localCheckpoint(true)
+    // frontier/state frames are node-sized and checkpointed (no Catalyst
+    // stats): gate every round join on DRIVER-known counts (maybeBroadcast
+    // idiom); the improved count doubles as the convergence test, and the
+    // merged state is eagerly checkpointed so its recount reads cached
+    // blocks only
+    var nReach = reach.count()
     var frontier = reach
+    var nFrontier = nReach
     var r = 1
     var done = rounds == 0
     while (!done) {
       val candidates = e
-        .join(frontier.select(col("node").as("src"),
-          col("reach_t").as("__t")), "src")
+        .join(maybeBroadcast(frontier.select(col("node").as("src"),
+          col("reach_t").as("__t")), nFrontier), "src")
         .filter(col("t") >= col("__t"))
         .groupBy(col("dst").as("node")).agg(min("t").as("reach_t"))
       val improved = candidates
-        .join(reach.select(col("node"), col("reach_t").as("__cur")),
+        .join(maybeBroadcast(
+          reach.select(col("node"), col("reach_t").as("__cur")), nReach),
           Seq("node"), "left")
         .filter(col("__cur").isNull || col("reach_t") < col("__cur"))
         .select("node", "reach_t")
         .localCheckpoint(true)
-      val exhausted = improved.isEmpty
+      val nImproved = improved.count()
+      val exhausted = nImproved == 0L
       if (exhausted || r == rounds) done = true
       if (!exhausted) {
-        reach = reach.join(improved.select("node"), Seq("node"), "left_anti")
+        reach = reach.join(maybeBroadcast(improved.select("node"), nImproved),
+            Seq("node"), "left_anti")
           .unionByName(improved)
           .localCheckpoint(true)
+        nReach = reach.count()
         frontier = improved
+        nFrontier = nImproved
       }
       r += 1
     }
@@ -877,28 +916,36 @@ object Graph {
     e.count()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
+    // same driver-known broadcast gating as [[temporalReachability]]
+    var nDist = dist.count()
     var frontier = dist
+    var nFrontier = nDist
     var r = 1
     var done = rounds == 0
     while (!done) {
       val candidates = e
-        .join(frontier.select(col("node").as("src"), col("dist").as("__d")),
-          "src")
+        .join(maybeBroadcast(frontier.select(col("node").as("src"),
+          col("dist").as("__d")), nFrontier), "src")
         .select(col("dst").as("node"), (col("__d") + col("w")).as("dist"))
         .groupBy("node").agg(min("dist").as("dist"))
       val improved = candidates
-        .join(dist.select(col("node"), col("dist").as("__cur")),
+        .join(maybeBroadcast(
+          dist.select(col("node"), col("dist").as("__cur")), nDist),
           Seq("node"), "left")
         .filter(col("__cur").isNull || col("dist") < col("__cur"))
         .select("node", "dist")
         .localCheckpoint(true)
-      val exhausted = improved.isEmpty
+      val nImproved = improved.count()
+      val exhausted = nImproved == 0L
       if (exhausted || r == rounds) done = true
       if (!exhausted) {
-        dist = dist.join(improved.select("node"), Seq("node"), "left_anti")
+        dist = dist.join(maybeBroadcast(improved.select("node"), nImproved),
+            Seq("node"), "left_anti")
           .unionByName(improved)
           .localCheckpoint(true)
+        nDist = dist.count()
         frontier = improved
+        nFrontier = nImproved
       }
       r += 1
     }
