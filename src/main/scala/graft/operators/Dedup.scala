@@ -1251,7 +1251,15 @@ object Dedup {
       idB: String = "id_b",
       maxIter: Int = 20,
       maxDriverEdges: Long = -1L): DataFrame = {
+    // lazy checkpoint: the pair frame is read up to THREE times (the
+    // canonical distinct, then twice more in the residual/allNodes union
+    // of both id columns) — without a plan break every read re-runs the
+    // caller's ENTIRE pair-generation pipeline (measured: 2 of q293's
+    // ~2.7 s cc stage were upstream re-evaluation). Key-width rows only;
+    // blocks fall to the ContextCleaner (the residual branch is still
+    // lazy when this function returns, so no explicit unpersist).
     val raw = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .localCheckpoint(false)
     // union type-widens, so this is the common id type the result carries
     val allNodes = raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id"))).distinct()
