@@ -703,7 +703,7 @@ object SparkEntry {
       val dupes = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
       Dedup.simhashNearDupPairs(d.unionByName(dupes), "doc_id", "text", maxDist = 3,
-          tokenHash = Dedup.md5Hash60)
+          tokenHash = Dedup.Md5TokenHash)
         .orderBy("id_a", "id_b")
     }),
     // ── scale: brute-force ANN (exact top-k cosine) ──────────────────
@@ -2893,7 +2893,7 @@ object SparkEntry {
     "q261_hamming_index" -> ((s, dir) => {
       val d = T(s, dir, "documents").select("doc_id", "text")
       val sig = Dedup.simhash(d, "doc_id", "text",
-        tokenHash = Dedup.md5Hash60).localCheckpoint(true)
+        tokenHash = Dedup.Md5TokenHash).localCheckpoint(true)
       val idx = new HammingIndex(s, tmpWorkDir("gs_hamix_"), maxDist = 3,
         numBuckets = 16, maxBucketSize = 100000)
       idx.add(sig.filter(col("doc_id") % 2 === 0), "doc_id", "simhash")
@@ -3654,7 +3654,7 @@ object SparkEntry {
       val probePairs = Seq((10L, 100010L), (20L, 100020L), (33L, 77L),
         (40L, 100050L)).toDF("id_a", "id_b")
       Dedup.pairForensics(corpus, probePairs, "doc_id", "text",
-          shingleSize = 3, tokenHash = Dedup.md5Hash60)
+          shingleSize = 3, tokenHash = Dedup.Md5TokenHash)
         .orderBy("id_a", "id_b")
     }),
     // ── scale: sketch-error audit — q304's HLL overlap NEXT TO the exact
@@ -3899,7 +3899,7 @@ object SparkEntry {
               .as("text")))
       Dedup.cascadeNoveltyReport(d, batch, "doc_id", "text",
           maxDist = 3, threshold = 0.55, bands = 16, rowsPerBand = 2,
-          tokenHash = Dedup.md5Hash60)
+          tokenHash = Dedup.Md5TokenHash)
         .orderBy("stage")
     }),
     // ── scale: quality-rules filter report — the Gopher-style heuristic
@@ -4221,7 +4221,7 @@ object SparkEntry {
       val jac = norm(Dedup.minhashNearDupPairs(u, "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55))
       val ham = norm(Dedup.simhashNearDupPairs(u, "doc_id", "text",
-        maxDist = 3, tokenHash = Dedup.md5Hash60))
+        maxDist = 3, tokenHash = Dedup.Md5TokenHash))
       val cont = norm(Dedup.containmentPairs(u, "doc_id", "text",
         shingleSize = 3, threshold = 0.9))
       val tagged = exact
@@ -5266,7 +5266,7 @@ object SparkEntry {
       "q261_hamming_index" -> ((s, dir) => {
         val d = T(s, dir, "documents").select("doc_id", "text")
         val sig = Dedup.simhash(d, "doc_id", "text",
-          tokenHash = Dedup.md5Hash60).localCheckpoint(true)
+          tokenHash = Dedup.Md5TokenHash).localCheckpoint(true)
         val idx = new HammingIndex(s, tmpWorkDir("gs_hamix_"), maxDist = 3,
           numBuckets = 16, maxBucketSize = 100000)
         idx.add(sig.filter(col("doc_id") % 2 === 0), "doc_id", "simhash")

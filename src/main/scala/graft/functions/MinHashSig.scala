@@ -110,6 +110,63 @@ case class SimHashBits(child: Expression)
   override def prettyName: String = "simhash_bits"
 }
 
+/** 64-bit SimHash of a token ARRAY with the PORTABLE md5-60 token hash
+  * ([[graft.operators.Dedup.md5Hash60]]: decimal value of the first 15
+  * hex chars of md5 = first 8 big-endian digest bytes >>> 4), value-
+  * identical to the explode → md5Hash60 → groupBy → 64-bit-vote-sum
+  * formulation (spec-asserted on real testdata). Same win as
+  * [[SimHashBits]]: the signature becomes a pure per-row projection —
+  * no (doc, token-hash) explode and no 64-column vote shuffle — while
+  * staying bit-replayable in any engine with md5 (bits 60–63 vote
+  * negative for every token, exactly like the grouped form's
+  * shiftright ≥ 60). */
+case class SimHashBitsMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val md = mdLocal.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+        h = h >>> 4 // first 15 hex chars = first 60 bits
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashBitsMd5 =
+    copy(child = c)
+  override def prettyName: String = "simhash_bits_md5"
+}
+
 object MinHashSig {
   import org.apache.spark.sql.graft.bridge
 
@@ -118,4 +175,7 @@ object MinHashSig {
 
   def simhash_bits(tokens: Column): Column =
     bridge.column(SimHashBits(bridge.expression(tokens)))
+
+  def simhash_bits_md5(tokens: Column): Column =
+    bridge.column(SimHashBitsMd5(bridge.expression(tokens)))
 }

@@ -81,6 +81,15 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 
+  /** Pass THIS exact reference as a `tokenHash` argument to select
+    * [[simhash]]'s FUSED single-expression md5 path (bit-identical to the
+    * generic explode → md5Hash60 → groupBy formulation, spec-asserted; no
+    * token explode, no 64-column vote shuffle). Any other non-null
+    * function takes the generic grouped path — identity is the marker,
+    * so a fresh `Dedup.md5Hash60 _` eta-expansion still runs (correctly,
+    * just slower) through the grouped form. */
+  val Md5TokenHash: Column => Column = md5Hash60(_)
+
   /** Positional (non-distinct) shingles — winnowing needs every k-gram
     * occurrence in document order; `shinglesOf` dedups for set-similarity. */
   def shinglesOfAll(tokens: Column, n: Int): Column =
@@ -823,6 +832,14 @@ object Dedup {
         .filter(col("__toks").isNotNull)
         .select(col(idCol),
           graft.functions.MinHashSig.simhash_bits(col("__toks")).as("simhash"))
+    // the portable md5-60 hash has its own fused expression (selected by
+    // reference identity — see [[Md5TokenHash]]): same pure-projection
+    // shape as the xxhash64 default instead of the grouped vote shuffle
+    if (tokenHash eq Md5TokenHash)
+      return df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+        .filter(col("__toks").isNotNull)
+        .select(col(idCol),
+          graft.functions.MinHashSig.simhash_bits_md5(col("__toks")).as("simhash"))
     val tok = df.select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
       .withColumn("__h", tokenHash(col("__t")))

@@ -491,6 +491,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"fused simhash shuffles:\n$plan")
   }
 
+  test("fused md5 simhash is value-identical to the grouped md5Hash60 form") {
+    // a fresh eta-expansion of md5Hash60 is NOT the marker reference, so
+    // this runs the generic explode -> groupBy bit-vote path
+    val grouped = Dedup.simhash(docsDf, "doc_id", "text",
+        tokenHash = Dedup.md5Hash60(_))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Dedup.simhash(docsDf, "doc_id", "text",
+        tokenHash = Dedup.Md5TokenHash)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === grouped)
+    // and the fused plan is a pure projection — no Exchange
+    val plan = Dedup.simhash(docsDf, "doc_id", "text",
+        tokenHash = Dedup.Md5TokenHash)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused md5 simhash shuffles:\n$plan")
+  }
+
   test("fused minhash signature is bit-identical to the per-lane HOF form") {
     val sh = docsDf.select(col("doc_id"),
       Dedup.shinglesOf(Dedup.tokensCol(col("text")), 3).as("__sharr"))
