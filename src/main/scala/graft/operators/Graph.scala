@@ -79,6 +79,15 @@ object Graph {
   private def maybeBroadcast(state: DataFrame, nNodes: Long): DataFrame =
     if (nNodes <= (1L << 22)) broadcast(state) else state
 
+  /** Size-gated broadcast of an EDGE-derived frame on the driver-known
+    * edge count — a tighter cap than the node gate (the build side of a
+    * wedge-mass join holds 2-3 long columns per edge and must fit every
+    * executor). Below the gate, probing the broadcast from the wedge side
+    * replaces an exchange (+sort) of the Σ deg² wedge mass; above it the
+    * caller keeps the exchange-reusing sort-merge shape. */
+  private def maybeBroadcastEdges(df: DataFrame, nEdges: Long): DataFrame =
+    if (nEdges <= (1L << 21)) broadcast(df) else df
+
   /** PageRank, GraphX `staticPageRank` semantics: every node starts at
     * 1.0 and each round sets
     * `rank' = (1 − damping) + damping · Σ_{in-edges} rank_src / outdeg_src`.
@@ -282,6 +291,9 @@ object Graph {
     * edge frame — the degree-ordered compact-forward enumeration
     * documented on [[triangleCounts]]. Checkpointed (node-sized). */
   private[graft] def nodeTriangles(e: DataFrame): DataFrame = {
+    // e is lazily checkpointed by the callers; the count materializes it
+    // (first consumer pays that anyway) and gates the wedge-side broadcast
+    val nE = e.count()
     val deg = nodeDegrees(e)
     // orient low-(degree, id) → high: (u, v) with (du, u) < (dv, v);
     // carry the dst order key for the wedge comparison
@@ -302,8 +314,13 @@ object Graph {
         Seq("u"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
+    // broadcast the |E|-row oriented frame into the closing join when it
+    // fits: the LEFT side is the Σ deg_fwd² wedge mass, and the default
+    // sort-merge shape exchanges + sorts ALL of it by (v, w) just to
+    // probe |E| rows (measured ~17% of q142 end-to-end at sf0.1)
     val tris = wedges
-      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+      .join(maybeBroadcastEdges(
+        oriented.select(col("u").as("v"), col("v").as("w")), nE),
         Seq("v", "w"))
       .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
     tris
@@ -414,13 +431,22 @@ object Graph {
       if (maxMiddleDegree == 0) adj
       else adj.join(deg.select(col("n").as("m"), col("d").as("__dm")), Seq("m"))
         .filter(col("__dm") <= maxMiddleDegree).drop("__dm")
-    val common = mids.select(col("m"), col("n").as("a"))
+    val wedgePairs = mids.select(col("m"), col("n").as("a"))
       .join(mids.select(col("m"), col("n").as("b")), Seq("m"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    val candidates = common
-      .join(e.select(col("x").as("a"), col("y").as("b")),
-        Seq("a", "b"), "left_anti")
+    val eAB = e.select(col("x").as("a"), col("y").as("b"))
+    // same pre-aggregation anti-join trade as harmonicCentrality2: with a
+    // broadcastable edge frame, connected pairs (which never become
+    // candidates) drop map-side BEFORE the (a,b) count exchange; above
+    // the gate keep count-then-anti, which reuses the groupBy partitioning
+    val candidates = e.count() match {
+      case nE if nE <= (1L << 21) =>
+        wedgePairs.join(broadcast(eAB), Seq("a", "b"), "left_anti")
+          .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      case _ =>
+        wedgePairs.groupBy("a", "b").agg(count(lit(1)).as("common"))
+          .join(eAB, Seq("a", "b"), "left_anti")
+    }
     candidates
       .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
@@ -493,13 +519,25 @@ object Graph {
     // canonical (x < y) edge frame instead of two, and each surviving
     // pair credits both endpoints via a 2-way explode — same n2 counts,
     // half the dominant shuffle
-    val twoHop = mids.select(col("m"), col("n").as("a"))
+    val twoHopRaw = mids.select(col("m"), col("n").as("a"))
       .join(mids.select(col("m"), col("n").as("z")), Seq("m"))
       .filter(col("a") < col("z"))
-      .select(col("a"), col("z")).distinct()
-    val n2 = twoHop
-      .join(e.select(col("x").as("a"), col("y").as("z")),
-        Seq("a", "z"), "left_anti")
+      .select(col("a"), col("z"))
+    val eAZ = e.select(col("x").as("a"), col("y").as("z"))
+    // when the edge frame fits the broadcast gate, drop direct-edge pairs
+    // BEFORE the distinct (a map-side probe of the broadcast): the wedge
+    // mass entering the distinct exchange shrinks by the direct-edge
+    // fraction and the anti-join costs no sort of the pair set. Above the
+    // gate keep the old order — distinct first, whose (a,z) partitioning
+    // the sort-merge anti-join then reuses (anti-join-first would add an
+    // extra full sort of the undeduped wedge mass there).
+    val twoHopNew = e.count() match {
+      case nE if nE <= (1L << 21) =>
+        twoHopRaw.join(broadcast(eAZ), Seq("a", "z"), "left_anti").distinct()
+      case _ =>
+        twoHopRaw.distinct().join(eAZ, Seq("a", "z"), "left_anti")
+    }
+    val n2 = twoHopNew
       .select(explode(array(col("a"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n2"))
     deg.select(col("n").as("node"), col("d"))
