@@ -1197,7 +1197,30 @@ object Profiling {
       pairs: Seq[(String, DataFrame, String, String, DataFrame, String)])
       : DataFrame = {
     require(pairs.nonEmpty, "no candidate pairs")
-    pairs.map { case (childLabel, child, cc, parentLabel, parent, pc) =>
+    // the per-hypothesis parent-key materialization (pd.count) is an
+    // INDEPENDENT job per pair: submit them from a small driver thread
+    // pool so the next pair's count back-fills executors freed by the
+    // current one's tail (Spark's scheduler runs concurrent jobs FIFO;
+    // plan construction and job submission are thread-safe). Result
+    // order — and so the output union — stays the caller's pair order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, pairs.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val frames = try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(pairs.map { p =>
+          scala.concurrent.Future(fkCandidateFrame(p))
+        }),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    frames.reduce(_ unionByName _)
+  }
+
+  private def fkCandidateFrame(
+      pair: (String, DataFrame, String, String, DataFrame, String))
+      : DataFrame = {
+    val (childLabel, child, cc, parentLabel, parent, pc) = pair
       val cd = child.select(col(cc).cast("string").as("__v"))
         .filter(col("__v").isNotNull).distinct()
         .localCheckpoint(false)
@@ -1231,7 +1254,6 @@ object Profiling {
             round(col("matched").cast(DoubleType) /
               col("child_distinct").cast(DoubleType), 6))
             .as("containment"))
-    }.reduce(_ unionByName _)
   }
 
   /** Functional-dependency audit: for each hypothesis determinant →
