@@ -4216,14 +4216,29 @@ object SparkEntry {
       def norm(p: DataFrame): DataFrame =
         p.select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
-      val exact = Linkage.blockedPairs(u, "doc_id", Seq(md5(col("text"))),
-        maxBlockSize = 1000000)
-      val jac = norm(Dedup.minhashNearDupPairs(u, "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55))
-      val ham = norm(Dedup.simhashNearDupPairs(u, "doc_id", "text",
-        maxDist = 3, tokenHash = Dedup.Md5TokenHash))
-      val cont = norm(Dedup.containmentPairs(u, "doc_id", "text",
-        shingleSize = 3, threshold = 0.9))
+      // the four detector families are INDEPENDENT and each materializes
+      // eager internal checkpoints: build them from a driver thread pool
+      // (guide §2.6 — concurrent jobs schedule FIFO, so one detector's
+      // straggler tail is back-filled by the next; u is checkpointed
+      // above, so no shared lazy upstream recomputes). Deterministic:
+      // each detector is a pure function of u, union order is fixed.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.Future
+      val fExact = Future(Linkage.blockedPairs(u, "doc_id",
+        Seq(md5(col("text"))), maxBlockSize = 1000000))
+      val fJac = Future(norm(Dedup.minhashNearDupPairs(u, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 2, threshold = 0.55)))
+      val fHam = Future(norm(Dedup.simhashNearDupPairs(u, "doc_id", "text",
+        maxDist = 3, tokenHash = Dedup.Md5TokenHash)))
+      val fCont = Future(norm(Dedup.containmentPairs(u, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)))
+      val Seq(exact, jac, ham, cont) = try {
+        scala.concurrent.Await.result(
+          Future.sequence(Seq(fExact, fJac, fHam, fCont)),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       val tagged = exact
         .select(lit("exact").as("det"), col("id_a"), col("id_b"))
         .unionAll(jac.select(lit("jaccard").as("det"), col("id_a"), col("id_b")))
