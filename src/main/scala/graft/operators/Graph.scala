@@ -65,8 +65,18 @@ object Graph {
     // estimate routinely exceeds the auto-broadcast threshold, turning this
     // into a second full exchange + sort of the edge frame — measured 4.1 s
     // of q101's 9.5 s at sf0.1)
-    val eDeg = e.join(maybeBroadcast(
+    // In the broadcast-state regime (nNodes under the maybeBroadcast gate)
+    // every round's state join is map-side, so the ONLY per-round exchange
+    // left is the contribution aggregate keyed by dst. Persist the edge
+    // frame ALREADY dst-partitioned: hashpartitioning(dst) satisfies the
+    // groupBy(node=dst[, ...]) clustering, so the rounds become
+    // exchange-free — one setup exchange buys `rounds` of them. Above the
+    // gate the state join is a shuffle join anyway; keep the plain shape
+    // (the join and the aggregate each pick their own partitioning).
+    val eDegRaw = e.join(maybeBroadcast(
         e.groupBy("src").agg(count(lit(1)).as("deg")), nNodes), "src")
+    val eDeg = (if (nNodes <= (1L << 22)) eDegRaw.repartition(col("dst"))
+                else eDegRaw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     (e, eDeg, nodes, nNodes)
   }
@@ -209,13 +219,21 @@ object Graph {
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     // same up-front materialization rationale as pageRank: nodes and the
     // round joins all read `e`
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .repartition(col("src"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val nNodes = nodes.count()
+    // dst-partitioned in the broadcast-label regime so each round's
+    // (dst, label) count aggregate reuses the persisted partitioning —
+    // the prepGraph rationale; src-partitioned otherwise (the shuffled
+    // label join then reuses it instead)
+    val e = (if (nNodes <= (1L << 22)) e0.repartition(col("dst"))
+             else e0.repartition(col("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    e0.unpersist(false)
     var labels = nodes.withColumn("label", col("node"))
     for (r <- 1 to rounds) {
       // broadcast-gate the node-sized label frame (the pageRank idiom):
