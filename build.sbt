@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output prints straight to stdout with no `[info] ` prefix:
+// the bench's one-line JSON summary must be machine-parseable from
+// `sbt "runMain graft.Bench"` output (it never has been — every line wore
+// the sbt log prefix). scripts/run_main.sh graft.Bench is the prefix-free
+// canonical invocation; this makes the sbt path equivalent.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
